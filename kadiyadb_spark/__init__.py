@@ -1,0 +1,28 @@
+"""kadiyadb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of kadirahq/kadiyadb.
+
+The reference (/root/reference, Go) is a pre-aggregated fixed-resolution
+time-series store: Track(ts, fields, total, count) adds a (total, count)
+point into every prefix of the ordered field path; Fetch(from, to, pattern)
+returns dense zero-filled vectors for every series matching an exact-depth
+wildcard pattern. See SURVEY.md for the full semantic map (O1-O15).
+
+This package reproduces those semantics Spark-first:
+
+- ingest.track_batch      O1/O3: events DF -> cube DF (prefix rollup, one shuffle)
+- query.fetch             O2/O4/O6/O7: time range + wildcard pattern -> dense DF
+- catalog.Params          O13: params.json validation (database.go:128-137)
+- database.Database       O10/O12/O13: persisted parquet cube partitioned by epoch
+- retention.expire        O11: drop epochs older than a cutoff
+- streaming.ingest        O1 streaming form: readStream -> windowed agg -> merge sink
+- functions.*             north-star ops: dedup, similarity, text analysis, multimodal
+"""
+
+from kadiyadb_spark.catalog import Params, load_all
+from kadiyadb_spark.ingest import track_batch
+from kadiyadb_spark.query import fetch
+from kadiyadb_spark.session import get_spark
+
+__all__ = ["Params", "load_all", "track_batch", "fetch", "get_spark"]
+
+__version__ = "0.1.0"

@@ -1,0 +1,176 @@
+"""Database — persisted form of the engine (O10/O12/O13).
+
+Layout mirrors the reference (SURVEY §1.3): a database is a directory with
+``params.json`` and a ``cube/`` parquet table partitioned by ``epoch``; epoch
+partitions are independent, so writes to one never rewrite another
+(epoch/epoch.go:11-13), retention is a partition drop, and time-range queries
+prune partitions.
+
+The reference's RO/RW epoch pools, mmap, WAL and snapshots (O10/O12/O14/O15)
+are storage-engine mechanics Spark replaces: parquet footers + partition
+pruning play the snapshot/index role, dynamic partition overwrite plays the
+RW-epoch role, and Sync is the write itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kadiyadb_spark import schema as S
+from kadiyadb_spark.catalog import Params
+from kadiyadb_spark.ingest import merge_increment, track_batch
+from kadiyadb_spark.query import fetch as fetch_df
+
+
+class Database:
+    """Open/Track/Fetch/Expire on a persisted epoch-partitioned cube."""
+
+    def __init__(self, spark: SparkSession, path: str, params: Params):
+        self.spark = spark
+        self.path = path
+        self.params = params
+        self.cube_path = os.path.join(path, "cube")
+
+    # -- O13 Open ------------------------------------------------------------
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, params: Params | None = None) -> "Database":
+        pj = os.path.join(path, "params.json")
+        if params is None:
+            params = Params.from_json_file(pj)
+        else:
+            os.makedirs(path, exist_ok=True)
+            if not os.path.exists(pj):
+                with open(pj, "w") as f:
+                    json.dump(params.to_dict(), f)
+        return cls(spark, path, params)
+
+    @property
+    def max_depth(self) -> int:
+        return len(self.params.fields)
+
+    def cube(self) -> DataFrame:
+        """The cube as a DataFrame; empty-schema DataFrame if nothing written
+        yet. Partition column ``epoch`` comes back typed long."""
+        if not os.path.isdir(self.cube_path):
+            return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
+        df = self.spark.read.parquet(self.cube_path)
+        cols = [f.name for f in S.cube_schema(self.max_depth).fields]
+        return df.select(*[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))])
+
+    # -- O1 Track (micro-batch) ---------------------------------------------
+    def track(self, events: DataFrame, ts_col: str = "ts", total_col: str = "value", count_col: str | None = None) -> None:
+        """Merge-increment a batch of events into the persisted cube.
+
+        Scale path: aggregate the batch to cube deltas (one shuffle), find
+        the touched epochs (a tiny distinct on the delta), read ONLY those
+        epoch partitions back, merge, and dynamic-partition-overwrite them.
+        Untouched epochs are never read or written — equivalent to the
+        reference only mmap-ing RW epochs (epoch/cache.go:94-132).
+        """
+        p = self.params
+        delta = track_batch(
+            events,
+            fields=list(p.fields),
+            ts_col=ts_col,
+            total_col=total_col,
+            count_col=count_col,
+            resolution=p.resolution,
+            duration=p.duration,
+        )
+        if not os.path.isdir(self.cube_path):
+            (
+                delta.repartition(S.EPOCH)
+                .write.partitionBy(S.EPOCH)
+                .mode("overwrite")
+                .parquet(self.cube_path)
+            )
+            return
+        delta = delta.persist()
+        try:
+            touched = [r[0] for r in delta.select(S.EPOCH).distinct().collect()]
+            existing = self.cube().filter(F.col(S.EPOCH).isin(touched))
+            merged = merge_increment(existing, delta, self.max_depth)
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                merged.repartition(S.EPOCH)
+                .write.partitionBy(S.EPOCH)
+                .mode("overwrite")
+                .parquet(self.cube_path)
+            )
+        finally:
+            delta.unpersist()
+
+    def merge_replace(self, delta: DataFrame) -> None:
+        """Replace-merge cube-shaped delta rows (cumulative values win over
+        stored ones) — the sink for update-mode streaming aggregation, where
+        each emitted row is the running (total, cnt) for its group."""
+        fcols = S.field_cols(self.max_depth)
+        keys = [S.EPOCH, S.BUCKET, *fcols, S.DEPTH]
+        delta = delta.select(*keys, S.TOTAL, S.CNT)
+        if not os.path.isdir(self.cube_path):
+            delta.repartition(S.EPOCH).write.partitionBy(S.EPOCH).mode("overwrite").parquet(self.cube_path)
+            return
+        delta = delta.persist()
+        try:
+            touched = [r[0] for r in delta.select(S.EPOCH).distinct().collect()]
+            if not touched:
+                return
+            existing = self.cube().filter(F.col(S.EPOCH).isin(touched))
+            # NULL-safe key equality: f-columns are null for prefix rows, and
+            # a plain equality join would never match them.
+            d = delta.select(*keys)
+            cond = None
+            for k in keys:
+                c = existing[k].eqNullSafe(d[k])
+                cond = c if cond is None else (cond & c)
+            merged = existing.join(d, on=cond, how="left_anti").unionByName(delta)
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.repartition(S.EPOCH).write.partitionBy(S.EPOCH).mode("overwrite").parquet(self.cube_path)
+        finally:
+            delta.unpersist()
+
+    # -- O2 Fetch ------------------------------------------------------------
+    def fetch(self, from_ts: int, to_ts: int, pattern: list[str], densify: bool = True) -> DataFrame:
+        return fetch_df(
+            self.cube(),
+            from_ts,
+            to_ts,
+            pattern,
+            resolution=self.params.resolution,
+            duration=self.params.duration,
+            densify=densify,
+        )
+
+    # -- O11 Expire ----------------------------------------------------------
+    def expire(self, before_ts: int) -> list[int]:
+        """Drop epoch partitions strictly older than ``before_ts``
+        (epoch/cache.go:136-156 — there RemoveAll of epoch dirs; here a
+        partition-directory drop, no data rewrite)."""
+        import shutil
+
+        dropped = []
+        if not os.path.isdir(self.cube_path):
+            return dropped
+        cutoff = before_ts - (before_ts % self.params.duration)
+        for name in os.listdir(self.cube_path):
+            if not name.startswith(f"{S.EPOCH}="):
+                continue
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e < cutoff:
+                shutil.rmtree(os.path.join(self.cube_path, name))
+                dropped.append(e)
+        return sorted(dropped)
+
+    def expire_by_retention(self, now_ts: int) -> list[int]:
+        return self.expire(now_ts - self.params.retention)
+
+    # -- O12 Sync ------------------------------------------------------------
+    def sync(self) -> None:
+        """No-op: parquet writes are durable on commit (SURVEY O12)."""

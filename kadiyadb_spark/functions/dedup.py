@@ -1,0 +1,278 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these): never materialize the O(n^2) pair
+space. Candidate pairs come from LSH band buckets (MinHash) or signature
+chunks (SimHash); exact Jaccard runs only on candidates. All hashing is MD5
+via built-in functions so the identical computation runs in the DuckDB
+oracle; no Python UDFs anywhere.
+
+Pipeline shape at 100 TB:
+  shingle (map) -> minhash (map, groupBy doc) -> band keys (map)
+  -> self-join on band bucket (shuffle on band key — skew-bounded because a
+     bucket holds only near-identical docs) -> exact verify (map).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.text import normalize_expr, tokens_expr
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicate *group*
+    (n_copies >= 2), keeper = min id. One shuffle keyed by the hash."""
+    fp = F.md5(normalize_expr(F.col(text_col)).cast("binary"))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one doc (min id) per distinct normalized content."""
+    fp = F.md5(normalize_expr(F.col(text_col)).cast("binary"))
+    keep = (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def shingles_expr(text: Column, k: int = 8) -> Column:
+    """Distinct character k-grams of normalized text. Whole-stage-codegen
+    transform over a generated index sequence — no UDF."""
+    norm = normalize_expr(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """MinHash signature: h_i(doc) = min over shingles of md5(i|shingle).
+    MD5 hex strings compare lexicographically identically in Spark and
+    DuckDB, so signatures are engine-portable."""
+    sh = shingles_expr(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary"))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key): docs
+    agreeing on ALL hashes of any band become a candidate pair (a < b)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                        ).cast("binary")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band_idx") == F.col("b.band_idx"),
+                F.col(f"a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs."""
+    sh = docs.select(F.col(id_col), shingles_expr(F.col(text_col), shingle_k).alias("sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"sa.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band-bucket
+    join -> exact-Jaccard verify -> threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidates(sigs, id_col, bands, rows_per_band)
+    jac = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over whitespace tokens: token hash = first 8 hex chars of
+    md5 (32-bit), bit j of the fingerprint set iff sum over distinct tokens
+    of (+1 if bit j set else -1) > 0."""
+    toks = F.array_distinct(tokens_expr(F.col(text_col)))
+    h = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+    bit_sums = [
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t, j=j: acc + F.when(F.shiftright(h(t), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for j in range(bits)
+    ]
+    fp = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup with chunk blocking: split the fingerprint into
+    ``chunks`` pieces; by pigeonhole, any pair within hamming distance
+    < chunks must agree on >= 1 chunk — join on (chunk_idx, chunk_value),
+    then verify exact hamming distance via bit_count(xor)."""
+    sh = simhash(df, text_col, id_col, bits)
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright("simhash", i * w).bitwiseAND(F.lit(mask)) for i in range(chunks)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup. Baseline formulation is the all-pairs
+    cosine >= threshold; at scale callers should pre-block (see
+    similarity.ivf_assign) — this function accepts an optional pre-blocked
+    frame by simply being applied to it."""
+    from kadiyadb_spark.functions.similarity import cosine_expr
+
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Text analysis operators: tokenization, token counting, language ID,
+quality scoring, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` (JVM-side, whole-stage codegen); every
+operator has a 1:1 ANSI-SQL twin used as the DuckDB oracle. At 100 TB these
+are embarrassingly parallel map-side transforms — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic priority order breaks ties.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "de", "por"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish subword proxy: alternating letter/digit runs + single punctuation,
+# the classic pre-tokenizer split. Same regex works in DuckDB.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def normalize_expr(text: Column) -> Column:
+    """Canonical form for fingerprint/dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish subword
+    count, average token length."""
+    toks = tokens_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_subwords"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: score = |distinct tokens ∩ markers(lang)|,
+    argmax with fixed priority-order tiebreak; 'und' (undetermined) if all
+    scores are zero."""
+    toks = F.array_distinct(tokens_expr(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    # priority-ordered argmax: first lang whose score equals the max and > 0
+    mx = F.greatest(*scores.values())
+    lang = F.when(mx <= 0, F.lit("und"))
+    for code in LANG_PRIORITY:
+        lang = lang.when(scores[code] == mx, F.lit(code))
+    out = df.select(
+        F.col(id_col),
+        lang.alias("lang_pred"),
+        *[scores[c].cast("long").alias(f"score_{c}") for c in LANG_PRIORITY],
+    )
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length band, stopword ratio, alphabetic
+    ratio, repetition. Rounded to 4dp for cross-engine comparability."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    n_d = F.greatest(n, F.lit(1)).cast("double")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double") / n_d
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_d
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")).cast("double")
+        / F.greatest(F.length(text), F.lit(1)).cast("double")
+    )
+    len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = 0.25 * len_score + 0.25 * uniq_ratio + 0.25 * alpha_ratio + 0.25 * F.least(
+        stop_ratio * 5.0, F.lit(1.0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text (exact
+    content identity modulo case/whitespace)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_expr(F.col(text_col)).cast("binary")).alias("fp"),
+    )

@@ -1,0 +1,132 @@
+"""O1/O3 — Track: events -> pre-aggregated cube with write-time prefix rollup.
+
+Reference semantics (SURVEY §2 O1, epoch/epoch.go:66-80): Track(ts, fields,
+total, count) adds (total, count) into the Point at slot floor((ts-ets)/res)
+for EVERY prefix fields[:i], i=1..len(fields). A batch of Track calls is
+therefore exactly:
+
+    explode each event into its path prefixes  (depth x fan-out, map-side)
+    groupBy (epoch, bucket, f1..fN, depth)     (ONE shuffle, partial agg
+    agg sum(total), sum(count)                  map-side combine for free)
+
+Scale notes: the prefix fan-out happens in the same projection that computes
+the bucket, so whole-stage codegen keeps it JVM-side; the single shuffle is
+keyed by the full group key so cardinality = #series-prefixes x #buckets —
+the cube is the *aggregate*, orders of magnitude smaller than raw events at
+100 TB. No UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kadiyadb_spark import schema as S
+
+# Values the reference forbids as stored field values (index/node.go:200-214).
+ILLEGAL_FIELD_VALUES = ("", "*")
+
+
+def bucket_expr(ts: Column, resolution: int) -> Column:
+    """O3 split: ts -> slot start (database.go:267-277). Floor division; the
+    reference clamps ts < resolution to slot 0, which floor gives us for
+    non-negative ts."""
+    return (ts - (ts % F.lit(resolution))).cast("long")
+
+
+def epoch_expr(bucket: Column, duration: int) -> Column:
+    return (bucket - (bucket % F.lit(duration))).cast("long")
+
+
+def validate_fields_df(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Reject rows carrying illegal stored field values ("" / "*" / null),
+    mirroring index/node.go:200-214. Returns the filtered DataFrame; callers
+    that want hard failure can compare counts."""
+    cond = F.lit(True)
+    for f in fields:
+        c = F.col(f).cast("string")
+        cond = cond & c.isNotNull() & ~c.isin(*ILLEGAL_FIELD_VALUES)
+    return df.filter(cond)
+
+
+def track_batch(
+    df: DataFrame,
+    fields: list[str],
+    ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    resolution: int = 60_000_000_000,
+    duration: int = 3_600_000_000_000,
+    rollup: bool = True,
+    validate: bool = False,
+) -> DataFrame:
+    """Aggregate an events DataFrame into the kadiyadb cube.
+
+    ``fields`` are the source columns forming the ordered field path (cast to
+    string). ``count_col=None`` counts 1 per row (the Track(v, 1) pattern).
+    ``rollup=True`` materializes every path prefix (reference write-time
+    rollup); ``rollup=False`` stores only full-depth series (cheaper writes;
+    query-time rollup can reconstruct prefixes — property-tested equal).
+
+    Returns a DataFrame with schema ``cube_schema(len(fields))``.
+    """
+    n = len(fields)
+    if n == 0:
+        raise ValueError("need at least one field column")
+    if validate:
+        df = validate_fields_df(df, fields)
+
+    ts = F.col(ts_col).cast("long")
+    bucket = bucket_expr(ts, resolution)
+    total = F.col(total_col).cast("double")
+    cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
+
+    src = [F.col(f).cast("string") for f in fields]
+    depths = range(1, n + 1) if rollup else [n]
+    # One struct per prefix depth; explode fans out in the same codegen stage.
+    prefixes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias(S.DEPTH),
+                *[
+                    (src[j] if j < d else F.lit(None).cast("string")).alias(S.field_col(j + 1))
+                    for j in range(n)
+                ],
+            )
+            for d in depths
+        ]
+    )
+    exploded = df.select(
+        bucket.alias(S.BUCKET),
+        total.alias("_t"),
+        cnt.alias("_c"),
+        F.explode(prefixes).alias("_p"),
+    )
+    fcols = S.field_cols(n)
+    return (
+        exploded.select(
+            epoch_expr(F.col(S.BUCKET), duration).alias(S.EPOCH),
+            S.BUCKET,
+            *[F.col(f"_p.{c}").alias(c) for c in fcols],
+            F.col(f"_p.{S.DEPTH}").cast("int").alias(S.DEPTH),
+            "_t",
+            "_c",
+        )
+        .groupBy(S.EPOCH, S.BUCKET, *fcols, S.DEPTH)
+        .agg(F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT))
+    )
+
+
+def merge_increment(existing: DataFrame, delta: DataFrame, max_depth: int) -> DataFrame:
+    """MERGE-increment (SURVEY §4 'lock-free hot writes' mapping): combine an
+    existing cube with a batch of cube deltas, summing Points on key match.
+    Pure DataFrame union+re-agg — at scale this runs per touched epoch
+    partition only (see database.Database.track)."""
+    fcols = S.field_cols(max_depth)
+    keys = [S.EPOCH, S.BUCKET, *fcols, S.DEPTH]
+    return (
+        existing.select(*keys, S.TOTAL, S.CNT)
+        .unionByName(delta.select(*keys, S.TOTAL, S.CNT))
+        .groupBy(*keys)
+        .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+    )

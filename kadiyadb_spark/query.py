@@ -1,0 +1,161 @@
+"""O2/O4/O6/O7 — Fetch: time-range scan + exact-depth wildcard match + dense
+zero-fill.
+
+Reference semantics (SURVEY §2):
+- half-open range [from, to): database.go:176-199 (O4)
+- exact-depth pattern match, "*" wildcard per level: index/node.go:126-198 (O6/O7)
+- matched series yield a DENSE vector over the requested slots; never-written
+  slots read as (0.0, 0.0): block/blockrw.go:109-117 (fine-print #3)
+- to < from -> error; from == to -> empty result (fine-print #4)
+- result ordering unspecified (fine-print #8)
+
+Spark shape: predicate-pushed filter on the cube (epoch partition pruning +
+bucket range + dimension equality reach the parquet scan), then densify by
+joining the matched-series dimension set against a generated bucket axis.
+The densify join broadcasts the bucket axis (bounded by the requested range)
+so it adds no shuffle; the only wide operation is the ``distinct`` over
+matched series, whose cardinality is #series, not #rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kadiyadb_spark import schema as S
+from kadiyadb_spark.ingest import epoch_expr
+
+WILDCARD = "*"
+
+
+class InvalidTimeRange(ValueError):
+    """Reference ErrInvTime / ErrRange (database.go:156-158, 176-199)."""
+
+
+def compile_pattern(pattern: list[str]):
+    """Validate a query pattern and return (depth, [(col, value), ...]) of
+    equality predicates ("*" levels contribute none). "" is illegal in
+    queries (index/node.go:138-147)."""
+    if not pattern:
+        raise ValueError("empty query pattern")
+    preds = []
+    for i, v in enumerate(pattern, start=1):
+        if v is None or v == "":
+            raise ValueError(f"illegal query field value at level {i}: {v!r}")
+        if v != WILDCARD:
+            preds.append((S.field_col(i), v))
+    return len(pattern), preds
+
+
+def pattern_filter(df: DataFrame, pattern: list[str]) -> DataFrame:
+    """O6/O7 as a Catalyst filter: exact depth + equality on non-* levels."""
+    depth, preds = compile_pattern(pattern)
+    cond = F.col(S.DEPTH) == F.lit(depth)
+    for col, val in preds:
+        cond = cond & (F.col(col) == F.lit(val))
+    return df.filter(cond)
+
+
+def _bucket_axis(spark: SparkSession, from_b: int, to_b: int, resolution: int) -> DataFrame:
+    """All slot starts in [from_b, to_b) — spark.range is a leaf with known
+    bounds, so Catalyst can broadcast it."""
+    return spark.range(from_b, to_b, step=resolution).select(F.col("id").alias(S.BUCKET))
+
+
+def fetch(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    resolution: int = 60_000_000_000,
+    duration: int = 3_600_000_000_000,
+    densify: bool = True,
+) -> DataFrame:
+    """Fetch matching series over [from_ts, to_ts).
+
+    Returns columns (epoch, f1..fD, bucket, total, cnt) — one row per matched
+    series per slot, zero-filled when ``densify`` (the reference always
+    densifies; sparse mode is for when the caller aggregates anyway).
+    Row order is unspecified (fine-print #8).
+    """
+    if from_ts < 0 or to_ts < 0:
+        raise InvalidTimeRange("timestamps must be non-negative")
+    if to_ts < from_ts:
+        raise InvalidTimeRange(f"invalid range: to={to_ts} < from={from_ts}")
+
+    depth, _ = compile_pattern(pattern)
+    fcols = S.field_cols(depth)
+
+    # Slot-align the range: reference converts ts -> slot index by floor
+    # division (database.go:176-199), so a `to` inside a slot still includes
+    # that slot only if strictly past its start. Half-open on slot starts.
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    if to_b < to_ts:  # partial final slot counts (to is exclusive on slots)
+        to_b += resolution
+
+    spark = cube.sparkSession
+    empty = spark.createDataFrame(
+        [], schema="epoch long, " + ", ".join(f"{c} string" for c in fcols) + ", bucket long, total double, cnt double"
+    )
+    if from_b == to_b:
+        return empty  # from == to -> empty result, not an error (fine-print #4)
+
+    matched = pattern_filter(cube, pattern).filter(
+        (F.col(S.BUCKET) >= F.lit(from_b)) & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+
+    if not densify:
+        return matched.select(S.EPOCH, *fcols, S.BUCKET, S.TOTAL, S.CNT)
+
+    # Series membership is per-EPOCH, not per-slot: a series present in a
+    # touched epoch's index yields a dense (possibly all-zero) vector for
+    # that epoch, and nothing for epochs where it was never tracked
+    # (database.go:204-251, database_test.go:203-281). So pair each epoch's
+    # series set with that epoch's slice of the bucket axis.
+    e_from = from_b - (from_b % duration)
+    e_to = (to_b - resolution) - ((to_b - resolution) % duration)
+    series_per_epoch = (
+        pattern_filter(cube, pattern)
+        .filter((F.col(S.EPOCH) >= F.lit(e_from)) & (F.col(S.EPOCH) <= F.lit(e_to)))
+        .select(S.EPOCH, *fcols)
+        .distinct()
+    )
+
+    axis = _bucket_axis(spark, from_b, to_b, resolution).select(
+        epoch_expr(F.col(S.BUCKET), duration).alias(S.EPOCH), S.BUCKET
+    )
+    dense = (
+        series_per_epoch.join(F.broadcast(axis), on=S.EPOCH)
+        .join(matched.select(*fcols, S.BUCKET, S.TOTAL, S.CNT), on=[*fcols, S.BUCKET], how="left")
+        .select(
+            S.EPOCH,
+            *fcols,
+            S.BUCKET,
+            F.coalesce(F.col(S.TOTAL), F.lit(0.0)).alias(S.TOTAL),
+            F.coalesce(F.col(S.CNT), F.lit(0.0)).alias(S.CNT),
+        )
+    )
+    return dense
+
+
+def rollup_at_read(cube: DataFrame, to_depth: int, max_depth: int) -> DataFrame:
+    """Reconstruct a prefix series at read time from full-depth series —
+    property-test twin of write-time rollup (SURVEY fine-print #7): fetching
+    prefix ["a","b"] from a rollup=True cube must equal aggregating all
+    depth-N children of ["a","b"] from a rollup=False cube."""
+    fcols = S.field_cols(to_depth)
+    return (
+        cube.filter(F.col(S.DEPTH) == F.lit(max_depth))
+        .groupBy(S.EPOCH, S.BUCKET, *fcols)
+        .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+        .select(
+            S.EPOCH,
+            S.BUCKET,
+            *fcols,
+            *[F.lit(None).cast("string").alias(S.field_col(i)) for i in range(to_depth + 1, max_depth + 1)],
+            F.lit(to_depth).cast("int").alias(S.DEPTH),
+            S.TOTAL,
+            S.CNT,
+        )
+    )

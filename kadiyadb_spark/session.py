@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-minded defaults.
+
+Defaults chosen for a large cluster (AQE on, skew-join handling, Arrow for
+the few pandas-UDF paths) but parameterized so local[N] tests stay fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference timestamps are uint64 nanoseconds (SURVEY §1.3); the driver's
+# events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects.
+# Reading nanos as LongType keeps full precision and is the documented
+# escape hatch (SPARK-40819).
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(
+    app_name: str = "kadiyadb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS|*]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs this engine needs on a session we did not
+    create (e.g. the verification driver's). Safe to call repeatedly."""
+    spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    return spark

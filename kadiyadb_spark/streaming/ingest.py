@@ -1,0 +1,130 @@
+"""O1 streaming form — Structured Streaming ingestion into the cube.
+
+The reference's write path is synchronous Track() calls into mmap'd epochs
+(SURVEY §3.1). The Spark-native equivalent is a stream of events micro-batched
+into the persisted cube. Two strategies, both exactly-once-ish via
+checkpointing:
+
+1. ``stream_track_raw`` — foreachBatch over the RAW event stream; each
+   micro-batch runs the same aggregate-then-merge-increment as batch Track.
+   Faithful to reference increments; supports arbitrarily late data (the
+   reference accepts any timestamp within retention via RO->RW promotion,
+   epoch/cache.go:94-132).
+
+2. ``stream_track_agg`` — idiomatic: watermark + windowed aggregation in
+   update mode; each micro-batch emits the *cumulative* (total, cnt) per
+   (window, fields) group, which is REPLACE-merged into the cube. State
+   bounded by the watermark; late data beyond it is dropped (a documented
+   divergence from the reference, which has no watermark concept).
+
+Scale notes: both paths shuffle once per micro-batch keyed by the cube key;
+the merge touches only the epoch partitions present in the batch. On a real
+cluster the source would be Kafka; tests use the file source with
+Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kadiyadb_spark import schema as S
+from kadiyadb_spark.database import Database
+from kadiyadb_spark.ingest import track_batch
+
+
+def stream_track_raw(
+    events: DataFrame,
+    db: Database,
+    checkpoint: str,
+    ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Increment-merge every micro-batch of raw events into ``db``."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        db.track(batch, ts_col=ts_col, total_col=total_col, count_col=count_col)
+
+    writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_track_agg(
+    events: DataFrame,
+    db: Database,
+    checkpoint: str,
+    ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked windowed aggregation (update mode) + replace-merge.
+
+    The streaming agg state holds running (total, cnt) per (bucket, path
+    prefix); each micro-batch emits only updated groups, whose values are
+    cumulative — so the sink REPLACES matched cube rows instead of adding.
+    """
+    p = db.params
+    n = len(p.fields)
+    if n == 0:
+        raise ValueError("database params must declare fields for streaming ingest")
+
+    ts = F.col(ts_col).cast("long")
+    # Watermarks need a TimestampType column; ns -> micros loses nothing at
+    # our resolutions (resolution >= 1us).
+    evt = events.withColumn("_event_time", F.timestamp_micros((ts / 1000).cast("long")))
+    evt = evt.withWatermark("_event_time", watermark)
+
+    win = F.window("_event_time", f"{p.resolution // 1_000_000_000} seconds")
+    cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
+    src = [F.col(f).cast("string") for f in p.fields]
+
+    # Prefix fan-out before the stateful agg (same trick as track_batch).
+    prefixes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias(S.DEPTH),
+                *[
+                    (src[j] if j < d else F.lit(None).cast("string")).alias(S.field_col(j + 1))
+                    for j in range(n)
+                ],
+            )
+            for d in range(1, n + 1)
+        ]
+    )
+    fcols = S.field_cols(n)
+    exploded = evt.select(
+        "_event_time",
+        F.col(total_col).cast("double").alias("_t"),
+        cnt.alias("_c"),
+        F.explode(prefixes).alias("_p"),
+    ).select("_event_time", "_t", "_c", *[F.col(f"_p.{c}").alias(c) for c in [*fcols, S.DEPTH]])
+
+    agg = exploded.groupBy(win.alias("_w"), *fcols, S.DEPTH).agg(
+        F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)
+    )
+    delta = agg.select(
+        (F.unix_micros(F.col("_w.start")) * 1000).alias(S.BUCKET),
+        *fcols,
+        S.DEPTH,
+        S.TOTAL,
+        S.CNT,
+    ).withColumn(S.EPOCH, (F.col(S.BUCKET) - (F.col(S.BUCKET) % F.lit(p.duration))).cast("long"))
+
+    def _replace(batch: DataFrame, batch_id: int) -> None:
+        db.merge_replace(batch)
+
+    writer = (
+        delta.writeStream.outputMode("update")
+        .foreachBatch(_replace)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,58 @@
+"""O13 params validation — ports database_test.go:17-99 / FIXTURES.md A1."""
+
+import json
+
+import pytest
+
+from kadiyadb_spark.catalog import Params, load_all, parse_duration
+
+
+def test_parse_duration():
+    assert parse_duration("1h") == 3_600_000_000_000
+    assert parse_duration("1m") == 60_000_000_000
+    assert parse_duration("24h") == 24 * 3_600_000_000_000
+    assert parse_duration("1h30m") == 5_400_000_000_000
+    assert parse_duration(42) == 42
+    with pytest.raises(ValueError):
+        parse_duration("")
+    with pytest.raises(ValueError):
+        parse_duration("bogus")
+
+
+def test_valid_params():
+    p = Params.from_dict(
+        {"duration": "1h", "resolution": "1m", "retention": "24h", "maxROEpochs": 10, "maxRWEpochs": 3}
+    )
+    assert p.rsize == 60
+    assert p.duration == 3_600_000_000_000
+
+
+@pytest.mark.parametrize(
+    "d",
+    [
+        {},  # empty params.json
+        {"duration": "1h", "resolution": "31m", "retention": "24h"},  # non-dividing resolution
+        {"duration": "1h", "resolution": "1m", "retention": "24h", "maxRWEpochs": 0},  # zero cache
+        {"duration": "1h", "resolution": "1m", "retention": "90m"},  # retention % duration != 0
+        {"duration": 0, "resolution": "1m", "retention": "24h"},  # zero duration
+    ],
+)
+def test_invalid_params(d):
+    with pytest.raises(ValueError):
+        Params.from_dict(d)
+
+
+def test_load_all_skips_invalid(tmp_path):
+    good = tmp_path / "good"
+    good.mkdir()
+    (good / "params.json").write_text(
+        json.dumps({"duration": "1h", "resolution": "1m", "retention": "24h"})
+    )
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "params.json").write_text("{}")
+    notdb = tmp_path / "notdb"
+    notdb.mkdir()  # no params.json at all
+    dbs = load_all(str(tmp_path))
+    assert set(dbs) == {"good"}
+    assert dbs["good"].rsize == 60

@@ -1,0 +1,73 @@
+"""Persisted Database: open/track/merge/fetch/expire round-trips (O10-O13)."""
+
+import pytest
+from pyspark.sql import Row
+
+from kadiyadb_spark.catalog import Params
+from kadiyadb_spark.database import Database
+
+P = Params(duration=5, resolution=1, retention=10, fields=("x", "y"))
+
+
+def _events(spark, rows):
+    return spark.createDataFrame([Row(ts=r[0], x=r[1], y=r[2], v=float(r[3])) for r in rows])
+
+
+def _pts(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        key = tuple(d[k] for k in sorted(d) if k.startswith("f") and d[k] is not None)
+        out.append((d["epoch"], key, d["bucket"], d["total"], d["cnt"]))
+    return sorted(out)
+
+
+def test_open_writes_and_reads_params(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db1"), P)
+    db2 = Database.open(spark, str(tmp_path / "db1"))
+    assert db2.params == P
+
+
+def test_track_fetch_roundtrip(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 5.0), (1, "a", "b", 7.0)]), total_col="v")
+    got = _pts(db.fetch(0, 2, ["a", "b"]))
+    assert got == [(0, ("a", "b"), 0, 5.0, 1.0), (0, ("a", "b"), 1, 7.0, 1.0)]
+    # rollup prefix persisted too
+    got1 = _pts(db.fetch(0, 2, ["a"]))
+    assert got1 == [(0, ("a",), 0, 5.0, 1.0), (0, ("a",), 1, 7.0, 1.0)]
+
+
+def test_track_increments_across_batches(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    db.track(_events(spark, [(0, "a", "b", 2.0), (6, "a", "c", 1.0)]), total_col="v")
+    got = _pts(db.fetch(0, 1, ["a", "b"]))
+    assert got == [(0, ("a", "b"), 0, 7.0, 2.0)]  # 5+2, count 1+1
+    # second epoch written without clobbering the first
+    got2 = _pts(db.fetch(5, 7, ["a", "c"]))
+    # slot 5 zero-filled (series exists in epoch 5), slot 6 has the point
+    assert got2 == [(5, ("a", "c"), 5, 0.0, 0.0), (5, ("a", "c"), 6, 1.0, 1.0)]
+
+
+def test_merge_replace_overwrites_matched_keys(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    cumulative = db.cube().limit(0)  # schema template
+    rows = db.cube().collect()
+    # simulate an update-mode batch carrying new cumulative values
+    updated = spark.createDataFrame([r.asDict() | {"total": 99.0, "cnt": 9.0} for r in rows], db.cube().schema)
+    db.merge_replace(updated)
+    got = _pts(db.fetch(0, 1, ["a", "b"]))
+    assert got == [(0, ("a", "b"), 0, 99.0, 9.0)]
+
+
+def test_expire_drops_old_epochs(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0), (5, "a", "b", 2.0), (11, "a", "b", 3.0)]), total_col="v")
+    dropped = db.expire(before_ts=5)
+    assert dropped == [0]
+    assert db.fetch(0, 5, ["a", "b"]).count() == 0
+    assert _pts(db.fetch(5, 6, ["a", "b"])) == [(5, ("a", "b"), 5, 2.0, 1.0)]
+    # retention-driven: now=21, retention=10 -> cutoff 11 -> epoch 5 dropped
+    assert db.expire_by_retention(now_ts=21) == [5]

@@ -1,0 +1,200 @@
+"""Core Track/Fetch semantics — ports the reference goldens (FIXTURES.md A2-A5):
+
+- A2 write-time prefix rollup   (epoch/epoch_test.go:79-193, TestTrackValue)
+- A3 exact-depth wildcards      (epoch/epoch_test.go:200-295, TestFetchSlow)
+- A4 zero-fill + boundaries     (database_test.go:136-368)
+- A5 illegal field values       (index/node_test.go:5-35)
+
+Unit conventions: resolution=1, duration=5 (rsize=5) in abstract ns so slot
+index == timestamp; all comparisons order-insensitive (fine-print #8).
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from kadiyadb_spark.ingest import track_batch, validate_fields_df
+from kadiyadb_spark.query import InvalidTimeRange, fetch, rollup_at_read
+
+RES, DUR = 1, 5
+
+
+def _events(spark, rows):
+    """rows: (ts, a, b, c, total, count)"""
+    return spark.createDataFrame(
+        [Row(ts=r[0], x=r[1], y=r[2], z=r[3], v=float(r[4]), c=float(r[5])) for r in rows]
+    )
+
+
+def _cube(spark, rows, rollup=True):
+    return track_batch(
+        _events(spark, rows),
+        fields=["x", "y", "z"],
+        ts_col="ts",
+        total_col="v",
+        count_col="c",
+        resolution=RES,
+        duration=DUR,
+        rollup=rollup,
+    )
+
+
+@pytest.fixture(scope="module")
+def rollup_cube(spark):
+    # A2: abc->(1,1), abd->(2,2), ace->(3,3), each tracked at slots 0..4
+    rows = []
+    for slot in range(5):
+        rows += [
+            (slot, "a", "b", "c", 1, 1),
+            (slot, "a", "b", "d", 2, 2),
+            (slot, "a", "c", "e", 3, 3),
+        ]
+    return _cube(spark, rows).cache()
+
+
+def _points(df):
+    """-> {fields tuple: sorted [(bucket, total, cnt), ...]}"""
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        key = tuple(v for k, v in sorted(d.items()) if k.startswith("f") and v is not None)
+        out.setdefault(key, []).append((d["bucket"], d["total"], d["cnt"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------- A2 rollup
+@pytest.mark.parametrize(
+    "pattern,expect",
+    [
+        (["a"], {("a",): (6.0, 6.0)}),
+        (["a", "b"], {("a", "b"): (3.0, 3.0)}),
+        (["a", "b", "c"], {("a", "b", "c"): (1.0, 1.0)}),
+        (["a", "b", "d"], {("a", "b", "d"): (2.0, 2.0)}),
+        (["a", "c"], {("a", "c"): (3.0, 3.0)}),
+        (["a", "c", "e"], {("a", "c", "e"): (3.0, 3.0)}),
+    ],
+)
+def test_write_time_rollup_goldens(rollup_cube, pattern, expect):
+    got = _points(fetch(rollup_cube, 0, 5, pattern, RES, DUR))
+    assert set(got) == set(expect)
+    for key, (t, c) in expect.items():
+        assert got[key] == [(slot, t, c) for slot in range(5)]
+
+
+def test_exact_match_returns_at_most_one_series(rollup_cube):
+    got = _points(fetch(rollup_cube, 0, 5, ["a", "b", "c"], RES, DUR))
+    assert len(got) == 1
+
+
+def test_missing_series_empty(rollup_cube):
+    assert fetch(rollup_cube, 0, 5, ["zzz"], RES, DUR).count() == 0
+
+
+# ------------------------------------------------------------- A3 wildcards
+@pytest.fixture(scope="module")
+def wild_cube(spark):
+    rows = []
+    for slot in range(5):
+        rows += [
+            (slot, "a", "b", "c", 1, 1),
+            (slot, "a", "b", "d", 2, 2),
+            (slot, "a", "e", "c", 3, 3),
+        ]
+    return _cube(spark, rows).cache()
+
+
+@pytest.mark.parametrize(
+    "pattern,keys",
+    [
+        (["a", "b", "*"], {("a", "b", "c"), ("a", "b", "d")}),
+        (["a", "*", "c"], {("a", "b", "c"), ("a", "e", "c")}),
+        (["a", "*", "*"], {("a", "b", "c"), ("a", "b", "d"), ("a", "e", "c")}),
+    ],
+)
+def test_wildcard_goldens(wild_cube, pattern, keys):
+    got = _points(fetch(wild_cube, 0, 5, pattern, RES, DUR))
+    assert set(got) == keys
+
+
+def test_wildcard_exact_depth_only(wild_cube):
+    # ["a","*"] matches depth-2 prefixes only, never depth-3 series or ["a"]
+    got = _points(fetch(wild_cube, 0, 5, ["a", "*"], RES, DUR))
+    assert set(got) == {("a", "b"), ("a", "e")}
+
+
+# ------------------------------------------------- A4 zero-fill + boundaries
+def test_fetch_simple_half_open(spark):
+    cube = _cube(spark, [(0, "a", "b", "d", 5, 1), (1, "a", "b", "d", 5, 2)])
+    got = _points(fetch(cube, 0, 2, ["a", "b", "d"], RES, DUR))
+    assert got == {("a", "b", "d"): [(0, 5.0, 1.0), (1, 5.0, 2.0)]}
+    # [0, 1) excludes slot 1
+    got = _points(fetch(cube, 0, 1, ["a", "b", "d"], RES, DUR))
+    assert got == {("a", "b", "d"): [(0, 5.0, 1.0)]}
+
+
+def test_fetch_multi_series_zero_fill(spark):
+    cube = _cube(spark, [(0, "a", "b", "c", 5, 1), (1, "a", "b", "d", 5, 2)])
+    got = _points(fetch(cube, 0, 2, ["a", "b", "*"], RES, DUR))
+    assert got == {
+        ("a", "b", "c"): [(0, 5.0, 1.0), (1, 0.0, 0.0)],
+        ("a", "b", "d"): [(0, 0.0, 0.0), (1, 5.0, 2.0)],
+    }
+
+
+def test_fetch_epoch_boundary_two_epochs(spark):
+    # points at t=DUR-1 and t=DUR; fetch [DUR-1, DUR+1) -> 2 rows in 2 epochs
+    cube = _cube(spark, [(DUR - 1, "a", "b", "c", 5, 1), (DUR, "a", "b", "c", 5, 2)])
+    rows = fetch(cube, DUR - 1, DUR + 1, ["a", "b", "c"], RES, DUR).collect()
+    assert {(r["epoch"], r["bucket"], r["total"], r["cnt"]) for r in rows} == {
+        (0, DUR - 1, 5.0, 1.0),
+        (DUR, DUR, 5.0, 2.0),
+    }
+
+
+def test_per_epoch_series_membership(spark):
+    # series exists only in epoch 0; a fetch spanning epochs 0+1 must not
+    # zero-fill buckets of epoch 1 (chunk membership is per-epoch)
+    cube = _cube(spark, [(0, "a", "b", "c", 5, 1)])
+    rows = fetch(cube, 0, 2 * DUR, ["a", "b", "c"], RES, DUR).collect()
+    assert len(rows) == DUR  # only epoch 0's 5 slots
+    assert all(r["epoch"] == 0 for r in rows)
+
+
+def test_degenerate_ranges(spark):
+    cube = _cube(spark, [(0, "a", "b", "c", 5, 1)])
+    with pytest.raises(InvalidTimeRange):
+        fetch(cube, 2, 1, ["a"], RES, DUR)
+    assert fetch(cube, 1, 1, ["a"], RES, DUR).count() == 0
+    with pytest.raises(InvalidTimeRange):
+        fetch(cube, -1, 1, ["a"], RES, DUR)
+
+
+# ----------------------------------------------------------- A5 validation
+def test_illegal_query_values(rollup_cube):
+    with pytest.raises(ValueError):
+        fetch(rollup_cube, 0, 5, ["a", ""], RES, DUR)
+    with pytest.raises(ValueError):
+        fetch(rollup_cube, 0, 5, [], RES, DUR)
+
+
+def test_illegal_stored_values_filtered(spark):
+    df = _events(spark, [(0, "a", "b", "c", 1, 1), (0, "", "b", "c", 1, 1), (0, "a", "*", "c", 1, 1)])
+    ok = validate_fields_df(df, ["x", "y", "z"])
+    assert ok.count() == 1
+
+
+# ------------------------------------------- rollup equivalence (fine-print #7)
+def test_write_time_equals_read_time_rollup(spark):
+    rows = []
+    for slot in range(5):
+        rows += [
+            (slot, "a", "b", "c", 1, 1),
+            (slot, "a", "b", "d", 2, 2),
+            (slot, "a", "c", "e", 3, 3),
+        ]
+    wt = _cube(spark, rows, rollup=True)
+    flat = _cube(spark, rows, rollup=False)
+    for depth, pattern in [(1, ["a"]), (2, ["a", "b"]), (2, ["a", "c"])]:
+        via_write = _points(fetch(wt, 0, 5, pattern, RES, DUR))
+        rt = rollup_at_read(flat, to_depth=depth, max_depth=3)
+        via_read = _points(fetch(rt, 0, 5, pattern, RES, DUR))
+        assert via_write == via_read
