@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kadiyadb_spark.functions.num import round4_expr
 from kadiyadb_spark.functions.text import normalize_expr, tokens_expr
 
 # ---------------------------------------------------------------- exact
@@ -81,12 +82,16 @@ def minhash_signature(
     MD5 hex strings compare lexicographically identically in Spark and
     DuckDB, so signatures are engine-portable."""
     sh = shingles_expr(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary"))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def _minhash(i: int):
+        # Closure (not a default-arg lambda: a 2-arg lambda would make
+        # transform() bind the 2nd parameter to the array INDEX column).
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -147,10 +152,9 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            round4_expr(
                 F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-                / F.size(F.array_union("sa.sh", "sb.sh")).cast("double"),
-                4,
+                / F.size(F.array_union("sa.sh", "sb.sh")).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -185,22 +189,28 @@ def simhash(
 ) -> DataFrame:
     """SimHash over whitespace tokens: token hash = first 8 hex chars of
     md5 (32-bit), bit j of the fingerprint set iff sum over distinct tokens
-    of (+1 if bit j set else -1) > 0."""
+    of (+1 if bit j set else -1) > 0.
+
+    Shape: explode distinct tokens -> one groupBy(doc) with ``bits``
+    conditional sums. One shuffle keyed by doc id, partial-aggregated
+    map-side; docs with zero tokens produce no row (matches unnest-based
+    SQL semantics).
+    """
     toks = F.array_distinct(tokens_expr(F.col(text_col)))
-    h = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    h = F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10).cast("long")
     bit_sums = [
-        F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t, j=j: acc + F.when(F.shiftright(h(t), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
         for j in range(bits)
     ]
+    summed = exploded.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for j, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(bits):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    return summed.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -267,12 +277,15 @@ def embedding_near_duplicates(
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     a, b = v.alias("a"), v.alias("b")
     cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    # Threshold on the UNROUNDED cosine (rounding is presentation only);
+    # filtering the rounded value would admit pairs just below threshold.
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
+            cos.alias("_cos"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", round4_expr(F.col("_cos")).alias("cosine"))
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kadiyadb_spark.functions.num import round4_expr
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -57,7 +59,7 @@ def cosine_topk(
             query_id_col,
             id_col,
             F.col("rank").cast("long").alias("rank"),
-            F.round("_cos", 4).alias("cosine"),
+            round4_expr(F.col("_cos")).alias("cosine"),
         )
     )
 
@@ -139,6 +141,6 @@ def ivf_topk(
             query_id_col,
             id_col,
             F.col("rank").cast("long").alias("rank"),
-            F.round("_cos", 4).alias("cosine"),
+            round4_expr(F.col("_cos")).alias("cosine"),
         )
     )

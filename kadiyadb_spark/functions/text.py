@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kadiyadb_spark.functions.num import round4_expr
+
 # Marker stopwords per language for the n-gram/stopword language-ID
 # heuristic. Deterministic priority order breaks ties.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -47,10 +49,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_subwords"),
-        F.round(
+        round4_expr(
             F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
+            / F.greatest(F.size(toks), F.lit(1))
         ).alias("avg_token_len"),
     )
 
@@ -99,10 +100,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(uniq_ratio, 4).alias("unique_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(score, 4).alias("quality"),
+        round4_expr(stop_ratio).alias("stopword_ratio"),
+        round4_expr(uniq_ratio).alias("unique_ratio"),
+        round4_expr(alpha_ratio).alias("alpha_ratio"),
+        round4_expr(score).alias("quality"),
     )
 
 

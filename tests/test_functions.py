@@ -1,0 +1,201 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis, multimodal.
+
+Hand-computed goldens on tiny constructed inputs (the oracle harness checks
+these same operators against DuckDB at fixture scale; these tests pin the
+semantics independently and run fast)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions import dedup as D
+from kadiyadb_spark.functions import multimodal as M
+from kadiyadb_spark.functions import similarity as SIM
+from kadiyadb_spark.functions import text as TX
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_token_stats_golden(spark):
+    r = TX.token_stats(_docs(spark, ["The cat  sat on the mat"])).collect()[0]
+    # tokens: the cat sat on the mat -> 6 tokens, 5 unique
+    assert r.n_tokens == 6
+    assert r.n_unique_tokens == 5
+    # avg token len: (3+3+3+2+3+3)/6
+    assert r.avg_token_len == round((3 + 3 + 3 + 2 + 3 + 3) / 6, 4)
+
+
+def test_language_id_golden(spark):
+    rows = {
+        r.doc_id: r.lang_pred
+        for r in TX.language_id(
+            _docs(
+                spark,
+                [
+                    "the cat and the dog in a house",
+                    "der hund ist nicht auf dem sofa und",
+                    "el perro es un animal que vive por la casa",
+                    "xyzzy plugh",
+                ],
+            )
+        ).collect()
+    }
+    assert rows == {0: "en", 1: "de", 2: "es", 3: "und"}
+
+
+def test_fingerprint_is_md5_of_normalized(spark):
+    r = TX.fingerprint(_docs(spark, ["  Hello   World  "])).collect()[0]
+    assert r.fp == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_score_bounds(spark):
+    rows = TX.quality_score(
+        _docs(spark, ["the quick brown fox jumps over the lazy dog", "aaa aaa aaa aaa"])
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert 0.0 <= by_id[0].quality <= 1.0
+    # repetitive doc scores lower on unique_ratio
+    assert by_id[1].unique_ratio < by_id[0].unique_ratio
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates_groups(spark):
+    df = _docs(spark, ["same text", "Same   TEXT", "different"])
+    groups = D.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 0 and groups[0].n_copies == 2
+    kept = sorted(r.doc_id for r in D.dedup_exact(df).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_signature_matches_python(spark):
+    """Pin the exact signature against a pure-python reimplementation —
+    regression for the transform() two-arg-lambda index bug."""
+    text = "the quick brown fox jumps over the lazy dog"
+    norm = " ".join(text.lower().split())
+    shingles = list(dict.fromkeys(norm[i : i + 8] for i in range(len(norm) - 7)))
+    expected = [
+        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles) for i in range(8)
+    ]
+    sig = D.minhash_signature(_docs(spark, [text])).collect()[0].signature
+    assert list(sig) == expected
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely unrelated content about spark accumulators and shuffles"
+    out = D.minhash_near_duplicates(
+        _docs(spark, [base, near, far]), num_hashes=8, bands=4, threshold=0.3
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert 0.3 <= out[0].jaccard <= 1.0
+
+
+def test_simhash_matches_python(spark):
+    text = "alpha beta gamma delta epsilon"
+    toks = list(dict.fromkeys(text.split()))
+    bit_sums = [0] * 32
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for j in range(32):
+            bit_sums[j] += 1 if (h >> j) & 1 else -1
+    expected = sum(1 << j for j in range(32) if bit_sums[j] > 0)
+    got = D.simhash(_docs(spark, [text])).collect()[0].simhash
+    assert got == expected
+
+
+def test_simhash_near_duplicates_blocking(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    near = base + " thirteen"
+    out = D.simhash_near_duplicates(_docs(spark, [base, near]), max_hamming=8).collect()
+    assert len(out) == 1 and (out[0].id_a, out[0].id_b) == (0, 1)
+    # verify the reported hamming against python
+    def sh(text):
+        toks = list(dict.fromkeys(text.lower().split()))
+        bs = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                bs[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(32) if bs[j] > 0)
+
+    assert out[0].hamming == bin(sh(base) ^ sh(near)).count("1")
+
+
+def test_embedding_near_duplicates_threshold(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.999, 0.01]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = D.embedding_near_duplicates(emb, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_cosine_topk_exact(spark):
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(i / 10), math.sin(i / 10)]) for i in range(1, 6)]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, query_vec=[1.0, 0.0])])
+    out = SIM.cosine_topk(base, queries, k=3).collect()
+    # nearest to angle 0 is the smallest angle: vec 1, then 2, then 3
+    assert [(r.rank, r.vec_id) for r in sorted(out, key=lambda r: r.rank)] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
+
+
+def test_ivf_topk_recall_on_probed_buckets(spark):
+    # 20 vectors on the unit circle; centroids = 4 lowest ids
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(i / 7), math.sin(i / 7)]) for i in range(20)]
+    )
+    queries = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0])])
+    exact = {r.vec_id for r in SIM.cosine_topk(base, queries, k=3).collect()}
+    approx = {r.vec_id for r in SIM.ivf_topk(base, queries, k=3, num_centroids=4, nprobe=2).collect()}
+    # ANN may miss, but with nprobe=2 of 4 circle buckets overlap should be high
+    assert len(exact & approx) >= 2
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_media_table_and_fake_decode(spark):
+    media = M.to_media_table(_docs(spark, ["hello", "worlds!"]))
+    rows = {r.asset_id: r for r in M.decode_images(media, fake=True).collect()}
+    payload = b"hello"
+    assert rows[0].n_bytes == len(payload)
+    assert rows[0].first_byte == payload[0]
+    assert rows[0].byte_sum_mod == sum(payload) % 1_000_003
+    assert rows[0].width == (sum(payload) % 1_000_003) % 64 + 1
+    assert rows[0].height == len(payload) % 64 + 1
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    media = M.to_media_table(_docs(spark, ["x"]))
+    with pytest.raises(NotImplementedError):
+        M.decode_images(media, fake=False)
+
+
+def test_frame_sample_shapes(spark):
+    media = M.to_media_table(_docs(spark, ["a" * 200]))
+    frames = M.frame_sample(media, every_n_bytes=64, max_frames=8).collect()
+    assert 1 <= len(frames) <= 8
+    assert all(f.frame_idx >= 0 for f in frames)
