@@ -21,7 +21,7 @@ from kadiyadb_spark.functions import multimodal as M
 from kadiyadb_spark.functions.num import round4_expr
 from kadiyadb_spark.functions import similarity as SIM
 from kadiyadb_spark.functions import text as TX
-from kadiyadb_spark.session import ensure_engine_confs
+from kadiyadb_spark.session import ensure_engine_confs, spread
 
 SEC = 1_000_000_000
 RES = 60 * SEC  # 1 minute slots
@@ -34,7 +34,13 @@ WEEK1 = WEEK0 + 7 * 24 * 3600 * SEC
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # Compute-heavy narrow tables: a small file scans as 1 partition,
+        # serializing shingling/hashing/vector math onto one core. spread()
+        # never shrinks, so it is a no-op once the table is genuinely large.
+        df = spread(df)
+    return df
 
 
 def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,8 +451,11 @@ _DOC_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
 
+# Same universal-hash family as dedup.minhash_signature: one md5 base hash
+# per shingle, h_i = (A[i]*base + B[i]) % P in exact int64 arithmetic.
 _MINHASH_SIG = ", ".join(
-    f"list_min([md5('{i}|' || s) for s in sh]) AS m{i}" for i in range(8)
+    f"list_min([({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P} for h in hs]) AS m{i}"
+    for i in range(8)
 )
 
 _LANG_SCORES = {
@@ -613,7 +622,8 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
 
     band_keys = ", ".join(
-        f"md5(m{2 * b} || '|' || m{2 * b + 1}) AS bk{b}" for b in range(4)
+        f"CAST(m{2 * b} AS VARCHAR) || '|' || CAST(m{2 * b + 1} AS VARCHAR) AS bk{b}"
+        for b in range(4)
     )
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM sigs" for b in range(4)
@@ -621,7 +631,8 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
     o["dedup_minhash_lsh"] = f"""
 WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
-mh AS (SELECT doc_id, sh, {_MINHASH_SIG} FROM sh),
+hsx AS (SELECT doc_id, sh, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
+mh AS (SELECT doc_id, sh, {_MINHASH_SIG} FROM hsx),
 sigs AS (SELECT doc_id, {band_keys} FROM mh),
 banded AS ({band_union}),
 cand AS (

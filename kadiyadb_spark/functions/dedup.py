@@ -71,6 +71,20 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
 # ---------------------------------------------------------------- minhash
 
 
+# Universal-hash family for minhash: h_i(s) = (A[i]*base(s) + B[i]) mod P,
+# base(s) = first 32 bits of md5(s). One md5 per shingle (not one per hash
+# function — 8x less hashing); A[i] < 2^20 keeps A*base < 2^52, exact in
+# int64 in any engine. Constants are arbitrary fixed primes.
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869, 3145739, 6291469, 12582917, 25165843]
+MINHASH_B = [378551, 63689, 458798, 262144, 104729, 99991, 65537, 524287, 131071, 8191, 6700417, 2147483647, 999983, 101111, 333667, 15485863]
+
+
+def base_hash_expr(s: Column) -> Column:
+    """First 32 bits of md5 as a bigint — the per-shingle base hash."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -78,21 +92,25 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_k: int = 8,
 ) -> DataFrame:
-    """MinHash signature: h_i(doc) = min over shingles of md5(i|shingle).
-    MD5 hex strings compare lexicographically identically in Spark and
-    DuckDB, so signatures are engine-portable."""
+    """MinHash signature via a universal-hash family over one md5 base hash
+    per shingle. The identical integer arithmetic runs in the DuckDB oracle,
+    so signatures are engine-portable."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hash functions supported")
     sh = shingles_expr(F.col(text_col), shingle_k)
-
-    def _minhash(i: int):
-        # Closure (not a default-arg lambda: a 2-arg lambda would make
-        # transform() bind the 2nd parameter to the array INDEX column).
-        prefix = f"{i}|"
+    # Materialize the base-hash array once in its own projection; the 8
+    # min-derivations reference the column, not 8 copies of the md5 subtree.
+    based = df.select(F.col(id_col), F.transform(sh, base_hash_expr).alias("_hs"))
+    def _min_h(i: int):
+        # Single-arg lambda via closure (a second parameter would be bound
+        # to the array index by transform()).
+        a, b_, p = MINHASH_A[i], MINHASH_B[i], MINHASH_P
         return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
+            F.transform(F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b_)) % F.lit(p))
         )
 
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    sig = F.array(*[_min_h(i) for i in range(num_hashes)])
+    return based.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidates(
@@ -108,11 +126,12 @@ def lsh_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)],
-                        ).cast("binary")
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -272,11 +291,15 @@ def embedding_near_duplicates(
     cosine >= threshold; at scale callers should pre-block (see
     similarity.ivf_assign) — this function accepts an optional pre-blocked
     frame by simply being applied to it."""
-    from kadiyadb_spark.functions.similarity import cosine_expr
+    from kadiyadb_spark.functions.similarity import dot_expr, norm_expr
 
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # Per-row norms precomputed before the pair join (see similarity.py:
+    # per-pair norm evaluation is ~20x slower and numerically identical).
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")).withColumn(
+        "n", norm_expr(F.col("v"))
+    )
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cos = dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     # Threshold on the UNROUNDED cosine (rounding is presentation only);
     # filtering the rounded value would admit pairs just below threshold.
     return (

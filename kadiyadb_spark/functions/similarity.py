@@ -44,12 +44,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query. ``queries`` is small ->
     broadcast; ranking by (cosine desc, id asc) for determinism."""
-    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    qs = queries.select(F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q"))
+    # Norms are computed ONCE per row and carried through the join as
+    # columns; per-pair work is a single dot product. dot/(qn*vn) is
+    # bitwise identical to cosine_expr (same sqrt factors), but three
+    # stacked higher-order aggregates per pair fall off Spark's fast path
+    # (~20x slower measured) — never compute norms inside the pair loop.
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")).withColumn(
+        "_vn", norm_expr(F.col("_v"))
+    )
+    qs = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
+    ).withColumn("_qn", norm_expr(F.col("_q")))
     scored = base.crossJoin(F.broadcast(qs)).select(
         query_id_col,
         id_col,
-        cosine_expr(F.col("_q"), F.col("_v")).alias("_cos"),
+        (dot_expr(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     return (
@@ -72,12 +81,17 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties -> lowest
     centroid id). Centroids are broadcast; output adds ``centroid_id``."""
-    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")).withColumn(
+        "_vn", norm_expr(F.col("_v"))
+    )
     cents = centroids.select(
         F.col("centroid_id"), F.col("centroid_vec").cast("array<double>").alias("_c")
-    )
+    ).withColumn("_cn", norm_expr(F.col("_c")))
     scored = base.crossJoin(F.broadcast(cents)).select(
-        id_col, "_v", "centroid_id", cosine_expr(F.col("_v"), F.col("_c")).alias("_cos")
+        id_col,
+        "_v",
+        "centroid_id",
+        (dot_expr(F.col("_v"), F.col("_c")) / (F.col("_vn") * F.col("_cn"))).alias("_cos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
     return (
@@ -119,19 +133,28 @@ def ivf_topk(
     cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
 
-    qs = queries.select(F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q"))
+    qs = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
+    ).withColumn("_qn", norm_expr(F.col("_q")))
     qscored = qs.crossJoin(F.broadcast(cents)).select(
-        query_id_col, "_q", "centroid_id", cosine_expr(F.col("_q"), F.col("centroid_vec")).alias("_cos")
+        query_id_col,
+        "_q",
+        "_qn",
+        "centroid_id",
+        (dot_expr(F.col("_q"), F.col("centroid_vec"))
+         / (F.col("_qn") * norm_expr(F.col("centroid_vec")))).alias("_cos"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
     probes = qscored.withColumn("_rn", F.row_number().over(wq)).filter(F.col("_rn") <= nprobe).select(
-        query_id_col, "_q", "centroid_id"
+        query_id_col, "_q", "_qn", "centroid_id"
     )
 
-    scored = probes.join(assigned, on="centroid_id").select(
+    assigned_n = assigned.withColumn("_an", norm_expr(F.col(vec_col).cast("array<double>")))
+    scored = probes.join(assigned_n, on="centroid_id").select(
         query_id_col,
         id_col,
-        cosine_expr(F.col("_q"), F.col(vec_col)).alias("_cos"),
+        (dot_expr(F.col("_q"), F.col(vec_col).cast("array<double>"))
+         / (F.col("_qn") * F.col("_an"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     return (

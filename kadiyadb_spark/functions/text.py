@@ -48,7 +48,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_subwords"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long").alias("n_subwords"),
         round4_expr(
             F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
             / F.greatest(F.size(toks), F.lit(1))

@@ -50,6 +50,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition a DataFrame UP to the session's parallelism if the scan
+    produced fewer partitions (a small parquet file arrives as 1 partition
+    and serializes every downstream map stage onto one core; a parquet row
+    group cannot be split, so maxPartitionBytes can't fix this). Never
+    shrinks: a table already wider than the target is left alone, so at real
+    scale this is a no-op."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable confs this engine needs on a session we did not
     create (e.g. the verification driver's). Safe to call repeatedly."""

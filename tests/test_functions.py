@@ -84,8 +84,9 @@ def test_minhash_signature_matches_python(spark):
     text = "the quick brown fox jumps over the lazy dog"
     norm = " ".join(text.lower().split())
     shingles = list(dict.fromkeys(norm[i : i + 8] for i in range(len(norm) - 7)))
+    bases = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
     expected = [
-        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles) for i in range(8)
+        min((D.MINHASH_A[i] * b + D.MINHASH_B[i]) % D.MINHASH_P for b in bases) for i in range(8)
     ]
     sig = D.minhash_signature(_docs(spark, [text])).collect()[0].signature
     assert list(sig) == expected
