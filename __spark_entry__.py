@@ -97,10 +97,104 @@ def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(r, ["total"])
 
 
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 streaming form, end-to-end: file-source Structured Stream ->
+    foreachBatch merge-increment into a persisted epoch-partitioned cube ->
+    read back. Checked against the SAME SQL oracle as the batch cube, so
+    streaming ingestion is value-equivalent to batch Track."""
+    import shutil
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+    from kadiyadb_spark.schema import EVENTS_SCHEMA
+    from kadiyadb_spark.streaming.ingest import stream_track_raw
+
+    import os
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_stream_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=DUR, resolution=RES, retention=720 * 3600 * SEC, fields=("event_type", "user_id")),
+    )
+    evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
+    q = stream_track_raw(evs, db, checkpoint=f"{tmp}/ckpt")
+    q.awaitTermination()
+    # tmp is intentionally left for the driver to read the lazy result;
+    # a few MB per invocation under /tmp.
+    c = db.cube().withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
 # --------------------------------------------------------------------------
 # Relational surface (Spark-free capabilities the reference lacks; judged
 # as engine breadth — joins, sorts, top-k, windows, grouping sets)
 # --------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with region filter; dims broadcast."""
+    rg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(rg), n["n_regionkey"] == rg["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having at least one order over 300k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300_000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders in the first half of 1996."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-07-01"))
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT surface: users who clicked AND purchased on day one
+    but raised no 'error' that day (a one-day window keeps the sets
+    non-degenerate — over the full month every user does everything)."""
+    day1 = T0 + 24 * 3600 * SEC
+    ev = _t(spark, sf_dir, "events").filter((F.col("ts") >= T0) & (F.col("ts") < day1))
+    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id")
+    return u("click").intersect(u("purchase")).subtract(u("error"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only check: approximate results are
+    engine-specific by design; exact twin is q_distinct_users)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).cast("long").alias("approx_users")
+    )
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,7 +455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_wildcard": q_fetch_wildcard,
         "fetch_rollup_prefix": q_fetch_rollup_prefix,
         "fetch_boundary": q_fetch_boundary,
+        "streaming_ingest": q_streaming_ingest,
         "q1_pricing_summary": q1_pricing_summary,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "approx_distinct": q_approx_distinct,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "topk_users": q_topk_users,
         "window_daily_running": q_window_daily_running,
@@ -483,6 +583,9 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
 
+    # Streaming ingestion must land on exactly the batch-track values.
+    o["streaming_ingest"] = o["track_cube"]
+
     o["fetch_exact"] = _fetch_oracle("click", "7", T0, T_END, 2)
     o["fetch_wildcard"] = _fetch_oracle("click", "*", WEEK0, WEEK1, 2)
     o["fetch_rollup_prefix"] = _fetch_oracle("purchase", None, WEEK0, WEEK1, 1)
@@ -515,6 +618,41 @@ WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+"""
+
+    o["q5_local_supplier_volume"] = """
+SELECT n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+    o["semi_join"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+    o["anti_join"] = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01')
+"""
+
+    day1 = T0 + 24 * 3600 * SEC
+    o["set_ops"] = f"""
+WITH d1 AS (SELECT user_id, event_type FROM events
+            WHERE epoch_ns(ts) >= {T0} AND epoch_ns(ts) < {day1})
+(SELECT user_id FROM d1 WHERE event_type = 'click'
+ INTERSECT
+ SELECT user_id FROM d1 WHERE event_type = 'purchase')
+EXCEPT
+SELECT user_id FROM d1 WHERE event_type = 'error'
 """
 
     o["topk_users"] = """
