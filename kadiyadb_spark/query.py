@@ -101,8 +101,16 @@ def fetch(
     if from_b == to_b:
         return empty  # from == to -> empty result, not an error (fine-print #4)
 
+    # The epoch bounds are derivable from the bucket range but Catalyst can't
+    # infer that through the floor arithmetic — state them explicitly so the
+    # values scan partition-prunes on epoch too.
+    e_from = from_b - (from_b % duration)
+    e_to = (to_b - resolution) - ((to_b - resolution) % duration)
     matched = pattern_filter(cube, pattern).filter(
-        (F.col(S.BUCKET) >= F.lit(from_b)) & (F.col(S.BUCKET) < F.lit(to_b))
+        (F.col(S.EPOCH) >= F.lit(e_from))
+        & (F.col(S.EPOCH) <= F.lit(e_to))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
     )
 
     if not densify:
@@ -113,8 +121,6 @@ def fetch(
     # that epoch, and nothing for epochs where it was never tracked
     # (database.go:204-251, database_test.go:203-281). So pair each epoch's
     # series set with that epoch's slice of the bucket axis.
-    e_from = from_b - (from_b % duration)
-    e_to = (to_b - resolution) - ((to_b - resolution) % duration)
     series_per_epoch = (
         pattern_filter(cube, pattern)
         .filter((F.col(S.EPOCH) >= F.lit(e_from)) & (F.col(S.EPOCH) <= F.lit(e_to)))
