@@ -34,6 +34,18 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not session bootstrap.
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # Warm the Python/Arrow workers too (one per core on first pandas-UDF
+    # use, several seconds of fork+import otherwise billed to the first
+    # mapInPandas query).
+    import pandas as pd
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, 256, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        _noop, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

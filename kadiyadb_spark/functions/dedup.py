@@ -291,24 +291,43 @@ def embedding_near_duplicates(
     cosine >= threshold; at scale callers should pre-block (see
     similarity.ivf_assign) — this function accepts an optional pre-blocked
     frame by simply being applied to it."""
-    from kadiyadb_spark.functions.similarity import dot_expr, norm_expr
+    import numpy as np
 
-    # Per-row norms precomputed before the pair join (see similarity.py:
-    # per-pair norm evaluation is ~20x slower and numerically identical).
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")).withColumn(
-        "n", norm_expr(F.col("v"))
-    )
-    a, b = v.alias("a"), v.alias("b")
-    cos = dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    # Threshold on the UNROUNDED cosine (rounding is presentation only);
-    # filtering the rounded value would admit pairs just below threshold.
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("_cos"),
-        )
-        .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b", round4_expr(F.col("_cos")).alias("cosine"))
-    )
+    from kadiyadb_spark.functions.similarity import _collect_matrix
+
+    # Upper-triangle self-scoring via a numpy kernel: the normalized matrix
+    # is broadcast, each partition scores its rows against all HIGHER ids in
+    # one matmul. Per-pair JVM expression evaluation measured ~6us/pair
+    # (interpreted HOFs / past the JIT huge-method limit) — at 2M pairs that
+    # is minutes; numpy runs at memory bandwidth. Threshold on the UNROUNDED
+    # cosine (rounding is presentation only). At real scale, pre-block with
+    # similarity.ivf_assign and apply this per bucket — all-pairs over 100 TB
+    # is not a thing regardless of kernel.
+    spark = emb.sparkSession
+    ids, m = _collect_matrix(emb, id_col, vec_col)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    bc = spark.sparkContext.broadcast((ids[order], mn[order]))
+
+    def score(batches):
+        import pandas as pd
+
+        all_ids, all_mn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            row_ids = pdf[id_col].to_numpy()
+            s = vn @ all_mn.T  # (batch, n)
+            hit_r, hit_c = np.where((s >= threshold) & (row_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": row_ids[hit_r],
+                    "id_b": all_ids[hit_c],
+                    "_cos": s[hit_r, hit_c],
+                }
+            )
+
+    scored = emb.mapInPandas(score, schema="id_a long, id_b long, _cos double")
+    return scored.select("id_a", "id_b", round4_expr(F.col("_cos")).alias("cosine"))
