@@ -85,22 +85,26 @@ def base_hash_expr(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signature(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 8,
-    shingle_k: int = 8,
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 8
+) -> DataFrame:
+    """(id, sh) — the shingle sets, as a frame so pipelines can persist it
+    once and feed both signature generation and Jaccard verification."""
+    return docs.select(F.col(id_col), shingles_expr(F.col(text_col), shingle_k).alias("sh"))
+
+
+def minhash_signature_from_shingles(
+    sh_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
     """MinHash signature via a universal-hash family over one md5 base hash
     per shingle. The identical integer arithmetic runs in the DuckDB oracle,
     so signatures are engine-portable."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions supported")
-    sh = shingles_expr(F.col(text_col), shingle_k)
     # Materialize the base-hash array once in its own projection; the 8
     # min-derivations reference the column, not 8 copies of the md5 subtree.
-    based = df.select(F.col(id_col), F.transform(sh, base_hash_expr).alias("_hs"))
+    based = sh_df.select(F.col(id_col), F.transform(F.col("sh"), base_hash_expr).alias("_hs"))
+
     def _min_h(i: int):
         # Single-arg lambda via closure (a second parameter would be bound
         # to the array index by transform()).
@@ -111,6 +115,18 @@ def minhash_signature(
 
     sig = F.array(*[_min_h(i) for i in range(num_hashes)])
     return based.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 8,
+) -> DataFrame:
+    return minhash_signature_from_shingles(
+        shingle_table(df, text_col, id_col, shingle_k), id_col, num_hashes
+    )
 
 
 def lsh_candidates(
@@ -160,9 +176,12 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for given candidate pairs."""
-    sh = docs.select(F.col(id_col), shingles_expr(F.col(text_col), shingle_k).alias("sh"))
+    """Exact shingle-set Jaccard for given candidate pairs. Pass a persisted
+    ``sh`` (from shingle_table) to avoid recomputing shingles per join side."""
+    if sh is None:
+        sh = shingle_table(docs, text_col, id_col, shingle_k)
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (
@@ -189,11 +208,21 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band-bucket
-    join -> exact-Jaccard verify -> threshold."""
+    join -> exact-Jaccard verify -> threshold.
+
+    The shingle table is computed ONCE and persisted (memory-and-disk):
+    the LSH self-join and the two Jaccard join sides would otherwise each
+    recompute the whole normalize+shingle+md5 chain — ~5 full passes over
+    the corpus instead of one."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    sh = shingle_table(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signature_from_shingles(sh, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidates(sigs, id_col, bands, rows_per_band)
-    jac = jaccard_pairs(df, cands, text_col, id_col, shingle_k)
+    jac = jaccard_pairs(df, cands, text_col, id_col, shingle_k, sh=sh)
     return jac.filter(F.col("jaccard") >= threshold)
 
 
@@ -243,8 +272,11 @@ def simhash_near_duplicates(
     """SimHash near-dup with chunk blocking: split the fingerprint into
     ``chunks`` pieces; by pigeonhole, any pair within hamming distance
     < chunks must agree on >= 1 chunk — join on (chunk_idx, chunk_value),
-    then verify exact hamming distance via bit_count(xor)."""
-    sh = simhash(df, text_col, id_col, bits)
+    then verify exact hamming distance via bit_count(xor). The fingerprint
+    frame is persisted: both self-join sides read it."""
+    from pyspark import StorageLevel
+
+    sh = simhash(df, text_col, id_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     w = bits // chunks
     mask = (1 << w) - 1
     chunked = sh.select(
