@@ -428,6 +428,19 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one payload row -> up to 8 typed frame rows
+    (the one-in-many-out shape of video frame extraction), pure built-ins."""
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    frames = M.frame_sample(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_payload").cast("long").alias("frame_len"),
+        F.md5(F.col("frame_payload").cast("binary")).alias("frame_md5"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.to_media_table(_t(spark, sf_dir, "documents"))
     feats = M.decode_images(media, fake=True)
@@ -484,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -905,6 +919,21 @@ SELECT doc_id AS asset_id,
        CAST((list_sum([ord(substr(text, i, 1)) for i in range(1, len(text) + 1)]) % 1000003) % 64 + 1 AS BIGINT) AS width,
        CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS height
 FROM documents
+"""
+
+    o["multimodal_frames"] = """
+WITH f AS (
+  SELECT doc_id,
+         unnest(range(0, least(octet_length(encode(text)) // 64, 7) + 1)) AS i,
+         text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS sub FROM f
+)
+SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(len(sub) AS BIGINT) AS frame_len, md5(sub) AS frame_md5
+FROM s WHERE len(sub) > 0
 """
 
     return o

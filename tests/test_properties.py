@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the core engine invariants the
+reference's golden tests imply but never state generally (SURVEY §5):
+
+P1  write-time rollup ≡ read-time rollup: a prefix series in a rollup cube
+    equals the sum of its full-depth descendants in a non-rollup cube.
+P2  fetch range additivity: fetch(a,b) ∪ fetch(b,c) == fetch(a,c) for any
+    slot-aligned split point b.
+P3  cube mass conservation: sum(total) at each depth equals the sum of the
+    tracked values; sum(cnt) equals the event count.
+P4  merge_increment associativity: tracking a batch in any 2-way split and
+    merging equals tracking it whole.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.ingest import merge_increment, track_batch
+from kadiyadb_spark.query import fetch
+
+RES, DUR = 1, 5
+N_SLOTS = 15  # three epochs
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=N_SLOTS - 1),  # ts (== slot)
+        st.sampled_from(["a", "b"]),  # f1
+        st.sampled_from(["x", "y", "z"]),  # f2
+        st.integers(min_value=-5, max_value=10),  # value (ints: exact FP)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _events_df(spark, events):
+    return spark.createDataFrame(
+        [Row(ts=ts, f1=f1, f2=f2, v=float(v)) for ts, f1, f2, v in events]
+    )
+
+
+def _cube(spark, events, rollup=True):
+    return track_batch(
+        _events_df(spark, events),
+        fields=["f1", "f2"],
+        ts_col="ts",
+        total_col="v",
+        resolution=RES,
+        duration=DUR,
+        rollup=rollup,
+    )
+
+
+def _rows(df):
+    # "" stands in for the null f2 of depth-1 rows ("" is an illegal stored
+    # value, so no collision) to keep tuples orderable.
+    return sorted(
+        (r["epoch"], r["f1"], r.asDict().get("f2") or "", r["bucket"], r["total"], r["cnt"])
+        for r in df.collect()
+    )
+
+
+@given(events=events_strategy)
+@SETTINGS
+def test_p1_write_time_rollup_equals_read_time(spark, events):
+    roll = _cube(spark, events, rollup=True)
+    flat = _cube(spark, events, rollup=False)
+    parents = _rows(
+        roll.filter(F.col("depth") == 1).select("epoch", "f1", "f2", "bucket", "total", "cnt")
+    )
+    recomputed = _rows(
+        flat.groupBy("epoch", "bucket", "f1")
+        .agg(F.sum("total").alias("total"), F.sum("cnt").alias("cnt"))
+        .select("epoch", "f1", F.lit(None).cast("string").alias("f2"), "bucket", "total", "cnt")
+    )
+    assert parents == recomputed
+
+
+@given(events=events_strategy, split=st.integers(min_value=0, max_value=N_SLOTS))
+@SETTINGS
+def test_p2_fetch_range_additivity(spark, events, split):
+    cube = _cube(spark, events).cache()
+    whole = _rows(fetch(cube, 0, N_SLOTS, ["a", "*"], RES, DUR))
+    left = _rows(fetch(cube, 0, split, ["a", "*"], RES, DUR))
+    right = _rows(fetch(cube, split, N_SLOTS, ["a", "*"], RES, DUR))
+    assert sorted(left + right) == whole
+
+
+@given(events=events_strategy)
+@SETTINGS
+def test_p3_mass_conservation(spark, events):
+    cube = _cube(spark, events).cache()
+    expected_total = float(sum(v for _, _, _, v in events))
+    expected_cnt = float(len(events))
+    for depth in (1, 2):
+        agg = cube.filter(F.col("depth") == depth).agg(
+            F.sum("total").alias("t"), F.sum("cnt").alias("c")
+        ).collect()[0]
+        assert agg["t"] == pytest.approx(expected_total)
+        assert agg["c"] == expected_cnt
+
+
+@given(events=events_strategy, cut=st.integers(min_value=0, max_value=40))
+@SETTINGS
+def test_p4_merge_increment_associative(spark, events, cut):
+    cut = min(cut, len(events))
+    first, second = events[:cut], events[cut:]
+    whole = _rows(_cube(spark, events))
+    if not first or not second:
+        merged = _cube(spark, first or second)
+    else:
+        merged = merge_increment(_cube(spark, first), _cube(spark, second), max_depth=2)
+    assert _rows(merged) == whole
