@@ -324,6 +324,69 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface: parse the events props payload."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            round4_expr(F.avg("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): per-user sessions split at >30 min
+    inactivity; classic lag + running-sum-of-flags composition."""
+    from pyspark.sql import Window
+
+    gap = 30 * 60 * SEC
+    # micros precision for oracle comparability (see q_asof_join)
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        F.when(F.lag("ts").over(w).isNull() | (F.col("ts") - F.lag("ts").over(w) > gap), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("_new").over(w))
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        ((F.max("ts") - F.min("ts")) / F.lit(SEC)).cast("long").alias("duration_s"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of extended price per flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return li.groupBy("l_returnflag").agg(
+        round4_expr(F.element_at(pct, 1)).alias("p25"),
+        round4_expr(F.element_at(pct, 2)).alias("p50"),
+        round4_expr(F.element_at(pct, 3)).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar-function surface: monthly order stats."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            round4_expr(F.sum("o_totalprice")).alias("revenue"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -484,6 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "rollup_revenue": q_rollup_revenue,
         "asof_join": q_asof_join,
+        "json_extract": q_json_extract,
+        "sessionize": q_sessionize,
+        "percentiles": q_percentiles,
+        "date_extract": q_date_extract,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -716,6 +783,55 @@ WITH tl AS (
 SELECT event_id, user_id, ts, last_view_ts,
        CAST((ts - last_view_ts) // {SEC} AS BIGINT) AS gap_s
 FROM tl WHERE event_type = 'purchase'
+"""
+
+    o["json_extract"] = """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       floor((avg(json_extract(props, '$.k')::BIGINT)) * 10000 + 0.5) / 10000 AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+    gap_ns = 30 * 60 * SEC
+    o["sessionize"] = f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {gap_ns}
+              THEN 1 ELSE 0 END AS new_f
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start,
+       CAST((max(ts) - min(ts)) // {SEC} AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session_id
+"""
+
+    o["percentiles"] = """
+SELECT l_returnflag,
+       floor((quantile_cont(l_extendedprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+       floor((quantile_cont(l_extendedprice, 0.50)) * 10000 + 0.5) / 10000 AS p50,
+       floor((quantile_cont(l_extendedprice, 0.75)) * 10000 + 0.5) / 10000 AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    o["date_extract"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue,
+       min(o_orderkey) AS first_orderkey
+FROM orders GROUP BY 1, 2
 """
 
     # ---- text ----
