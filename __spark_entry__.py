@@ -35,7 +35,7 @@ WEEK1 = WEEK0 + 7 * 24 * 3600 * SEC
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if name in ("documents", "embeddings", "events"):
         # Compute-heavy narrow tables: a small file scans as 1 partition,
         # serializing shingling/hashing/vector math onto one core. spread()
         # never shrinks, so it is a no-op once the table is genuinely large.

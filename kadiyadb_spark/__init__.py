@@ -12,17 +12,20 @@ This package reproduces those semantics Spark-first:
 - ingest.track_batch      O1/O3: events DF -> cube DF (prefix rollup, one shuffle)
 - query.fetch             O2/O4/O6/O7: time range + wildcard pattern -> dense DF
 - catalog.Params          O13: params.json validation (database.go:128-137)
-- database.Database       O10/O12/O13: persisted parquet cube partitioned by epoch
-- retention.expire        O11: drop epochs older than a cutoff
+- database.Database       O10/O12/O13: persisted parquet cube partitioned by epoch;
+                          Database.expire is O11 (drop epochs older than a cutoff)
 - streaming.ingest        O1 streaming form: readStream -> windowed agg -> merge sink
-- functions.*             north-star ops: dedup, similarity, text analysis, multimodal
+- streaming.stateful      applyInPandasWithState session assembly
+- functions.*             north-star ops: dedup, similarity, text analysis,
+                          multimodal, skew salting
 """
 
 from kadiyadb_spark.catalog import Params, load_all
+from kadiyadb_spark.database import Database
 from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import fetch
-from kadiyadb_spark.session import get_spark
+from kadiyadb_spark.session import get_spark, spread
 
-__all__ = ["Params", "load_all", "track_batch", "fetch", "get_spark"]
+__all__ = ["Database", "Params", "load_all", "track_batch", "fetch", "get_spark", "spread"]
 
 __version__ = "0.1.0"
