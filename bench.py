@@ -56,6 +56,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - a failed query must not hide the rest
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Queries persist intermediates (shingle/signature tables) that are
+        # only useful within that query; across 36 queries the leftovers
+        # accumulate in the old gen and degrade late heavy queries ~10x.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
