@@ -97,6 +97,28 @@ def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(r, ["total"])
 
 
+def q_rollup_read_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-print #7 (SURVEY §2): read-time rollup of full-depth series must
+    equal the write-time prefix records. This entry computes the READ-time
+    side from a rollup=False cube; its oracle is the WRITE-time depth-1
+    aggregation — the gate itself checks the equivalence."""
+    from kadiyadb_spark.query import rollup_at_read
+
+    flat = track_batch(
+        _t(spark, sf_dir, "events"),
+        fields=["event_type", "user_id"],
+        ts_col="ts",
+        total_col="value",
+        resolution=RES,
+        duration=DUR,
+        rollup=False,
+    )
+    r = rollup_at_read(flat, to_depth=1, max_depth=2).select(
+        "epoch", "bucket", "f1", "total", "cnt"
+    )
+    return _round_doubles(r, ["total"])
+
+
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 streaming form, end-to-end: file-source Structured Stream ->
     foreachBatch merge-increment into a persisted epoch-partitioned cube ->
@@ -534,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_wildcard": q_fetch_wildcard,
         "fetch_rollup_prefix": q_fetch_rollup_prefix,
         "fetch_boundary": q_fetch_boundary,
+        "rollup_read_equivalence": q_rollup_read_equivalence,
         "streaming_ingest": q_streaming_ingest,
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -669,6 +692,14 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
 
     # Streaming ingestion must land on exactly the batch-track values.
     o["streaming_ingest"] = o["track_cube"]
+
+    # Read-time rollup of depth-2 series == write-time depth-1 records.
+    o["rollup_read_equivalence"] = f"""
+WITH {_EV_CUBE}
+SELECT epoch, bucket, f1,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt
+FROM cube1
+"""
 
     o["fetch_exact"] = _fetch_oracle("click", "7", T0, T_END, 2)
     o["fetch_wildcard"] = _fetch_oracle("click", "*", WEEK0, WEEK1, 2)
