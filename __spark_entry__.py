@@ -818,7 +818,7 @@ FROM tl WHERE event_type = 'purchase'
 
     o["json_extract"] = """
 SELECT event_type,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        floor((avg(json_extract(props, '$.k')::BIGINT)) * 10000 + 0.5) / 10000 AS avg_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type
@@ -837,8 +837,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_f) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -86,13 +86,12 @@ def fetch(
     depth, _ = compile_pattern(pattern)
     fcols = S.field_cols(depth)
 
-    # Slot-align the range: reference converts ts -> slot index by floor
-    # division (database.go:176-199), so a `to` inside a slot still includes
-    # that slot only if strictly past its start. Half-open on slot starts.
+    # Slot-align the range: reference FLOORS both ends (database.go:176-199,
+    # split at :267-277 — pos1 = floor((to-ets)/res)) and scans slots
+    # [pos0, pos1), so a `to` inside a slot EXCLUDES that partial slot:
+    # fetch(0, 90) at res=60 returns only slot 0, and fetch(90, 90) is empty.
     from_b = from_ts - (from_ts % resolution)
     to_b = to_ts - (to_ts % resolution)
-    if to_b < to_ts:  # partial final slot counts (to is exclusive on slots)
-        to_b += resolution
 
     spark = cube.sparkSession
     empty = spark.createDataFrame(

@@ -26,10 +26,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver-style value canonicalization: collapse -0.0/0.0, fixed repr
+        # driver-style value canonicalization: collapse -0.0/0.0, then FULL
+        # precision (repr) — a looser format (e.g. .6g) can false-pass locally
+        # while the driver's hash sees a difference in the last decimals.
         if v == 0:
             return "0"
-        return f"{v:.6g}" if abs(v) < 1e15 else repr(v)
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     return repr(v)

@@ -159,6 +159,30 @@ def test_per_epoch_series_membership(spark):
     assert all(r["epoch"] == 0 for r in rows)
 
 
+def test_non_aligned_range_floors_to(spark):
+    # Reference floors BOTH ends (database.go:267-277: pos1=floor((to-ets)/res),
+    # scan [pos0, pos1)), so a `to` inside a slot EXCLUDES the partial slot.
+    res, dur = 60, 300
+    events = _events(spark, [(0, "a", "b", "c", 5, 1), (60, "a", "b", "c", 7, 1)])
+    cube = track_batch(
+        events, fields=["x", "y", "z"], ts_col="ts", total_col="v",
+        count_col="c", resolution=res, duration=dur,
+    )
+    # fetch(0, 90): slot 1 starts at 60 but to=90 floors to 60 -> only slot 0
+    got = _points(fetch(cube, 0, 90, ["a", "b", "c"], res, dur))
+    assert got == {("a", "b", "c"): [(0, 5.0, 1.0)]}
+    # fetch(90, 90): from == to mid-slot -> empty (fine-print #4)
+    assert fetch(cube, 90, 90, ["a", "b", "c"], res, dur).count() == 0
+    # fetch(30, 70): both ends floor -> only slot 0 (from floors to 0, to to 60)
+    got = _points(fetch(cube, 30, 70, ["a", "b", "c"], res, dur))
+    assert got == {("a", "b", "c"): [(0, 5.0, 1.0)]}
+    # fetch(0, 120): exactly two slots
+    got = _points(fetch(cube, 0, 120, ["a", "b", "c"], res, dur))
+    assert got == {("a", "b", "c"): [(0, 5.0, 1.0), (60, 7.0, 1.0)]}
+    # fetch(30, 50): both inside slot 0 -> floors to [0, 0) -> empty
+    assert fetch(cube, 30, 50, ["a", "b", "c"], res, dur).count() == 0
+
+
 def test_degenerate_ranges(spark):
     cube = _cube(spark, [(0, "a", "b", "c", 5, 1)])
     with pytest.raises(InvalidTimeRange):
