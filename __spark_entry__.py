@@ -997,11 +997,23 @@ SELECT id_a, id_b,
 FROM pairs
 """
 
+    # Mirrors the engine's IVF centroid blocking: assign each vector to its
+    # nearest of the 8 lowest-id centroids (ties -> lowest centroid id), then
+    # score pairs only WITHIN a bucket.
     o["dedup_embedding"] = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS cv FROM v ORDER BY vec_id ASC LIMIT 8),
+assign_scored AS (
+  SELECT v.vec_id, v.e, cents.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM v CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, e, centroid_id FROM assign_scored WHERE rn = 1)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        floor((list_cosine_similarity(a.e, b.e)) * 10000 + 0.5) / 10000 AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.35
 """
 

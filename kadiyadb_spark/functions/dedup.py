@@ -318,48 +318,43 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    num_centroids: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup. Baseline formulation is the all-pairs
-    cosine >= threshold; at scale callers should pre-block (see
-    similarity.ivf_assign) — this function accepts an optional pre-blocked
-    frame by simply being applied to it."""
+    """Embedding-cosine near-dup with IVF centroid blocking: assign every
+    vector to its nearest centroid MAP-SIDE (similarity.ivf_assign — one
+    numpy argmax per Arrow batch, no shuffle, no crossJoin), then score
+    all pairs WITHIN each centroid bucket only. One shuffle keyed by
+    centroid_id; per-bucket upper-triangle matmul at memory bandwidth.
+
+    This is approximate by construction — a pair split across buckets is
+    never scored — which is the standard recall/cost trade of blocked
+    near-dup at scale: all-pairs over 100 TB is not a thing. Recall is
+    tuned by ``num_centroids`` (fewer = bigger buckets = higher recall,
+    more work per bucket); raise centroid count with corpus size so bucket
+    sizes stay bounded. Threshold applies to the UNROUNDED cosine
+    (rounding is presentation only). Per-pair JVM expression evaluation
+    measured ~6us/pair (interpreted HOFs / past the JIT huge-method
+    limit) — numpy per bucket instead."""
     import numpy as np
 
-    from kadiyadb_spark.functions.similarity import _collect_matrix
+    from kadiyadb_spark.functions.similarity import deterministic_centroids, ivf_assign
 
-    # Upper-triangle self-scoring via a numpy kernel: the normalized matrix
-    # is broadcast, each partition scores its rows against all HIGHER ids in
-    # one matmul. Per-pair JVM expression evaluation measured ~6us/pair
-    # (interpreted HOFs / past the JIT huge-method limit) — at 2M pairs that
-    # is minutes; numpy runs at memory bandwidth. Threshold on the UNROUNDED
-    # cosine (rounding is presentation only). At real scale, pre-block with
-    # similarity.ivf_assign and apply this per bucket — all-pairs over 100 TB
-    # is not a thing regardless of kernel.
-    spark = emb.sparkSession
-    ids, m = _collect_matrix(emb, id_col, vec_col)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    bc = spark.sparkContext.broadcast((ids[order], mn[order]))
+    cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
 
-    def score(batches):
+    def bucket_pairs(pdf):
         import pandas as pd
 
-        all_ids, all_mn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-            row_ids = pdf[id_col].to_numpy()
-            s = vn @ all_mn.T  # (batch, n)
-            hit_r, hit_c = np.where((s >= threshold) & (row_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": row_ids[hit_r],
-                    "id_b": all_ids[hit_c],
-                    "_cos": s[hit_r, hit_c],
-                }
-            )
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
+        ids = pdf[id_col].to_numpy()
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        s = vn @ vn.T
+        hit_r, hit_c = np.where((s >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[hit_r], "id_b": ids[hit_c], "_cos": s[hit_r, hit_c]})
 
-    scored = emb.mapInPandas(score, schema="id_a long, id_b long, _cos double")
+    scored = assigned.groupBy("centroid_id").applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, _cos double"
+    )
     return scored.select("id_a", "id_b", round4_expr(F.col("_cos")).alias("cosine"))

@@ -69,13 +69,21 @@ def cosine_scores_pandas(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    local_topk: int | None = None,
 ) -> DataFrame:
     """All (query, base) cosine scores via an Arrow-batched mapInPandas
     kernel: the query matrix is broadcast, each base partition computes one
     numpy matmul. This is the vectorized-UDF fast path — per-pair JVM
     expression evaluation (interpreted higher-order functions, or unrolled
     expressions past the JIT's huge-method limit) measured ~6us/pair;
-    numpy does the whole block at memory bandwidth."""
+    numpy does the whole block at memory bandwidth.
+
+    ``local_topk``: emit only each Arrow batch's top-k rows per query
+    (cos desc, id asc) instead of all batch x queries scores. The global
+    top-k over the union of per-batch top-ks is exact, and the rows shipped
+    to the final ranking shuffle drop from |base| x |queries| to
+    k x batches x |queries| — the difference between shuffling 100 TB of
+    scores and a few MB."""
     import numpy as np
 
     spark = base.sparkSession
@@ -87,20 +95,37 @@ def cosine_scores_pandas(
         import pandas as pd
 
         qi, qmat = bc.value
+        nq = len(qi)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             s = vn @ qmat.T  # (batch, queries)
-            b, nq = s.shape
-            yield pd.DataFrame(
-                {
-                    query_id_col: np.tile(qi, b),
-                    id_col: np.repeat(pdf[id_col].to_numpy(), nq),
-                    "_cos": s.ravel(),
-                }
-            )
+            ids = pdf[id_col].to_numpy()
+            if local_topk is not None and len(ids) > local_topk:
+                parts = []
+                for j in range(nq):
+                    # same total order as the final window: cos desc, id asc
+                    order = np.lexsort((ids, -s[:, j]))[:local_topk]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                query_id_col: qi[j],
+                                id_col: ids[order],
+                                "_cos": s[order, j],
+                            }
+                        )
+                    )
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.tile(qi, len(ids)),
+                        id_col: np.repeat(ids, nq),
+                        "_cos": s.ravel(),
+                    }
+                )
 
     return base.mapInPandas(
         score, schema=f"{query_id_col} long, {id_col} long, _cos double"
@@ -123,7 +148,9 @@ def cosine_topk(
     """Exact brute-force cosine top-k per query: numpy-scored via
     cosine_scores_pandas (queries broadcast, one matmul per base partition),
     ranked (cosine desc, id asc) for determinism."""
-    scored = cosine_scores_pandas(emb, queries, id_col, vec_col, query_id_col, query_vec_col)
+    scored = cosine_scores_pandas(
+        emb, queries, id_col, vec_col, query_id_col, query_vec_col, local_topk=k
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -137,6 +164,18 @@ def cosine_topk(
     )
 
 
+def _centroid_arrays(centroids: DataFrame):
+    """Driver-side (ids asc, NORMALIZED matrix) of the small centroid frame.
+    Sorted ascending so a numpy argmax resolves ties to the LOWEST centroid
+    id — same total order as `ORDER BY cos DESC, centroid_id ASC`."""
+    import numpy as np
+
+    c_ids, cmat = _collect_matrix(centroids, "centroid_id", "centroid_vec")
+    order = np.argsort(c_ids)
+    c_ids, cmat = c_ids[order], cmat[order]
+    return c_ids, cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -144,25 +183,35 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties -> lowest
-    centroid id). Centroids are broadcast; output adds ``centroid_id``."""
-    dim = infer_dim(emb, vec_col)
-    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")).withColumn(
-        "_vn", norm_expr(F.col("_v"), dim)
-    )
-    cents = centroids.select(
-        F.col("centroid_id"), F.col("centroid_vec").cast("array<double>").alias("_c")
-    ).withColumn("_cn", norm_expr(F.col("_c"), dim))
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "_v",
-        "centroid_id",
-        (dot_expr(F.col("_v"), F.col("_c"), dim) / (F.col("_vn") * F.col("_cn"))).alias("_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("_v").alias(vec_col), "centroid_id")
+    centroid id). Output adds ``centroid_id``.
+
+    MAP-SIDE argmax: the (tiny) centroid matrix is broadcast and each Arrow
+    batch resolves its nearest centroid in one numpy matmul — zero shuffle,
+    zero row inflation. (The obvious crossJoin(centroids) + row_number
+    formulation explodes the base table C-fold and then shuffles+sorts all of
+    it just to pick a per-row max — at 100 TB that is C x 100 TB through the
+    shuffle for a value computable locally.)"""
+    import numpy as np
+
+    spark = emb.sparkSession
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    bc = spark.sparkContext.broadcast(_centroid_arrays(centroids))
+
+    def assign(batches):
+        c_ids, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            # argmax returns the FIRST max -> lowest centroid id on ties
+            nearest = np.argmax(vn @ cn.T, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["centroid_id"] = c_ids[nearest]
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} {vec_type}, centroid_id long"
     )
 
 
@@ -194,33 +243,58 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` centroid buckets nearest
-    to each query."""
+    to each query.
+
+    Single map pass, no joins: the centroid and query matrices are both tiny
+    and broadcast, so each Arrow batch of the base table (a) resolves its
+    rows' nearest centroids, (b) scores rows against every query, (c) masks
+    rows whose centroid the query does not probe, and (d) keeps only the
+    batch-local top-k per query. The only shuffle is the final ranking over
+    ~k x batches x |queries| candidate rows. At 100 TB this is one scan of
+    the base table with ~nprobe/C of the pairs scored and a trivial shuffle;
+    a real deployment would persist ivf_assign's output partitioned by
+    centroid_id once and skip (a) per query."""
+    import numpy as np
+
+    spark = emb.sparkSession
     cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
-    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    c_ids, cn = _centroid_arrays(cents)
+    q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
-    dim = infer_dim(emb, vec_col)
-    qs = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
-    ).withColumn("_qn", norm_expr(F.col("_q"), dim))
-    qscored = qs.crossJoin(F.broadcast(cents)).select(
-        query_id_col,
-        "_q",
-        "_qn",
-        "centroid_id",
-        (dot_expr(F.col("_q"), F.col("centroid_vec"), dim)
-         / (F.col("_qn") * norm_expr(F.col("centroid_vec"), dim))).alias("_cos"),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
-    probes = qscored.withColumn("_rn", F.row_number().over(wq)).filter(F.col("_rn") <= nprobe).select(
-        query_id_col, "_q", "_qn", "centroid_id"
-    )
+    # Probe selection on the driver (|queries| x C — tiny): same total order
+    # as the oracle's `ORDER BY cos DESC, centroid_id ASC`.
+    qc = qn @ cn.T
+    probes = np.stack(
+        [np.isin(np.arange(len(c_ids)), np.lexsort((c_ids, -qc[j]))[:nprobe]) for j in range(len(q_ids))]
+    )  # (queries, centroids) bool
+    bc = spark.sparkContext.broadcast((c_ids, cn, q_ids, qn, probes))
 
-    assigned_n = assigned.withColumn("_an", norm_expr(F.col(vec_col).cast("array<double>"), dim))
-    scored = probes.join(assigned_n, on="centroid_id").select(
-        query_id_col,
-        id_col,
-        (dot_expr(F.col("_q"), F.col(vec_col).cast("array<double>"), dim)
-         / (F.col("_qn") * F.col("_an"))).alias("_cos"),
+    def score(batches):
+        import pandas as pd
+
+        cids, cmat, qi, qmat, probe_mask = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            nearest = np.argmax(vn @ cmat.T, axis=1)  # centroid INDEX per row
+            s = vn @ qmat.T  # (batch, queries)
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j in range(len(qi)):
+                hit = probe_mask[j][nearest]  # rows in a probed bucket
+                if not hit.any():
+                    continue
+                hids, hcos = ids[hit], s[hit, j]
+                order = np.lexsort((hids, -hcos))[:k]  # cos desc, id asc
+                parts.append(pd.DataFrame({query_id_col: qi[j], id_col: hids[order], "_cos": hcos[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, _cos double"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     return (

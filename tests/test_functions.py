@@ -142,8 +142,13 @@ def test_embedding_near_duplicates_threshold(spark):
             Row(vec_id=2, embedding=[0.0, 1.0]),
         ]
     )
-    out = D.embedding_near_duplicates(emb, threshold=0.95).collect()
+    # one bucket -> exact within-bucket scoring finds the near-pair
+    out = D.embedding_near_duplicates(emb, threshold=0.95, num_centroids=1).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    # blocking trade-off: every vector its own centroid -> singleton buckets,
+    # no pairs scored (recall is tuned by num_centroids)
+    out = D.embedding_near_duplicates(emb, threshold=0.95, num_centroids=3).collect()
+    assert out == []
 
 
 # ---------------------------------------------------------------- similarity
