@@ -152,6 +152,67 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 Expire: persist a cube, drop epoch partitions older than a mid-
+    month cutoff (epoch/cache.go:136-156 — there RemoveAll of epoch dirs,
+    here a partition-directory drop), return the SURVIVING rows. Oracle:
+    the same cube aggregation restricted to epoch >= cutoff."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_expire_entry_")
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=DUR, resolution=RES, retention=720 * 3600 * SEC, fields=("event_type", "user_id")),
+    )
+    db.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
+    cutoff = T0 + 15 * 24 * 3600 * SEC  # keep the back half of the month
+    db.expire(cutoff)
+    c = db.cube().withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
+def q_catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 LoadAll: scan a server directory, open every database with a valid
+    params.json, skip invalid ones with a warning (database.go:66-124,
+    database_test.go:17-99). Output = the opened handles' validated params;
+    oracle = the statically expected table (invalid/malformed dbs absent,
+    Go-style duration strings parsed to ns, rsize derived)."""
+    import json
+    import os
+    import tempfile
+
+    from kadiyadb_spark.database import load_all_open
+
+    root = tempfile.mkdtemp(prefix="kdb_catalog_entry_")
+    specs = {
+        "metrics_1h": {"duration": "1h", "resolution": "1m", "retention": "720h", "fields": ["et", "uid"]},
+        "metrics_1s": {"duration": 60 * SEC, "resolution": SEC, "retention": 3600 * SEC, "fields": ["et"]},
+        "bad_ratio": {"duration": "1h", "resolution": "7s", "retention": "720h"},  # 1h % 7s != 0
+        "bad_missing": {"duration": "1h"},  # missing resolution/retention
+    }
+    for name, d in specs.items():
+        os.makedirs(f"{root}/{name}", exist_ok=True)
+        with open(f"{root}/{name}/params.json", "w") as f:
+            json.dump(d, f)
+    os.makedirs(f"{root}/not_a_db", exist_ok=True)  # no params.json -> ignored
+    os.makedirs(f"{root}/bad_json", exist_ok=True)
+    with open(f"{root}/bad_json/params.json", "w") as f:
+        f.write("{not json")  # malformed file -> skipped with a warning
+    dbs = load_all_open(spark, root)
+    rows = [
+        (n, db.params.duration, db.params.resolution, db.params.retention, db.params.rsize, len(db.params.fields))
+        for n, db in sorted(dbs.items())
+    ]
+    return spark.createDataFrame(
+        rows, "db_name string, duration long, resolution long, retention long, rsize long, n_fields long"
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational surface (Spark-free capabilities the reference lacks; judged
 # as engine breadth — joins, sorts, top-k, windows, grouping sets)
@@ -211,11 +272,23 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct (rows-only check: approximate results are
-    engine-specific by design; exact twin is q_distinct_users)."""
+    """HLL++ approximate distinct, gated by a TOLERANCE oracle: the estimate
+    itself is engine-specific, so the hashed output carries the exact count
+    (cross-engine comparable) plus a within-3*rsd flag the oracle asserts
+    TRUE — the gate fails iff the estimate drifts out of tolerance."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).cast("long").alias("approx_users")
+    rsd = 0.02
+    r = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).cast("long").alias("_approx"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    return r.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(3 * rsd) * F.col("exact_users")
+        ).alias("within_tol"),
     )
 
 
@@ -558,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_boundary": q_fetch_boundary,
         "rollup_read_equivalence": q_rollup_read_equivalence,
         "streaming_ingest": q_streaming_ingest,
+        "expire_retention": q_expire_retention,
+        "catalog_load": q_catalog_load,
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "semi_join": q_semi_join,
@@ -693,6 +768,29 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
     # Streaming ingestion must land on exactly the batch-track values.
     o["streaming_ingest"] = o["track_cube"]
 
+    # O11: only rows in epochs >= the cutoff survive an expire.
+    cutoff = T0 + 15 * 24 * 3600 * SEC
+    o["expire_retention"] = f"""
+WITH {_EV_CUBE}
+SELECT * FROM (
+  SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
+         floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
+  UNION ALL
+  SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
+         floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
+) WHERE epoch >= {cutoff}
+"""
+
+    # O13: statically expected catalog after skipping the invalid databases.
+    o["catalog_load"] = f"""
+SELECT * FROM (VALUES
+  ('metrics_1h', CAST({3600 * SEC} AS BIGINT), CAST({60 * SEC} AS BIGINT),
+   CAST({720 * 3600 * SEC} AS BIGINT), CAST(60 AS BIGINT), CAST(2 AS BIGINT)),
+  ('metrics_1s', CAST({60 * SEC} AS BIGINT), CAST({SEC} AS BIGINT),
+   CAST({3600 * SEC} AS BIGINT), CAST(60 AS BIGINT), CAST(1 AS BIGINT))
+) AS t(db_name, duration, resolution, retention, rsize, n_fields)
+"""
+
     # Read-time rollup of depth-2 series == write-time depth-1 records.
     o["rollup_read_equivalence"] = f"""
 WITH {_EV_CUBE}
@@ -786,6 +884,14 @@ SELECT user_id, day, floor((dv) * 10000 + 0.5) / 10000 AS day_value,
        floor((sum(dv) OVER (PARTITION BY user_id ORDER BY day)) * 10000 + 0.5) / 10000 AS running_value,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS day_rank
 FROM daily
+"""
+
+    # Tolerance oracle: asserts the HLL++ estimate landed within 3*rsd of the
+    # exact count (the flag is computed Spark-side; the oracle pins it TRUE).
+    o["approx_distinct"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
 """
 
     o["distinct_users"] = """

@@ -104,6 +104,54 @@ class Database:
         finally:
             delta.unpersist()
 
+    # -- streaming idempotency ------------------------------------------------
+    def _stream_meta_path(self, stream_id: str) -> str:
+        return os.path.join(self.path, "_streams", f"{stream_id}.json")
+
+    def applied_batch_hwm(self, stream_id: str) -> int:
+        """Highest micro-batch id already merged for ``stream_id``; -1 if none."""
+        try:
+            with open(self._stream_meta_path(stream_id)) as f:
+                return int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _commit_batch(self, stream_id: str, batch_id: int) -> None:
+        path = self._stream_meta_path(stream_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def track_stream_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        stream_id: str = "raw",
+        ts_col: str = "ts",
+        total_col: str = "value",
+        count_col: str | None = None,
+    ) -> bool:
+        """Increment-merge one micro-batch, idempotent under replay.
+
+        Structured Streaming re-runs a foreachBatch with the SAME batch_id
+        after a sink failure or restart-from-checkpoint; a bare increment
+        merge would double-count those rows (SURVEY §7's one real design
+        risk). Batch ids are monotonically increasing per checkpoint, so an
+        applied-batch high-water mark stored beside the cube makes replays
+        no-ops. The marker is written AFTER the data commit: a crash landing
+        exactly between the two re-applies that one batch — closing that last
+        window needs an atomic data+marker commit (a transactional table
+        format, e.g. Delta MERGE with txn app ids; not available in this
+        container — documented trade-off). Returns True if the batch was
+        applied, False if skipped as already applied."""
+        if batch_id <= self.applied_batch_hwm(stream_id):
+            return False
+        self.track(batch, ts_col=ts_col, total_col=total_col, count_col=count_col)
+        self._commit_batch(stream_id, batch_id)
+        return True
+
     def merge_replace(self, delta: DataFrame) -> None:
         """Replace-merge cube-shaped delta rows (cumulative values win over
         stored ones) — the sink for update-mode streaming aggregation, where
@@ -174,3 +222,15 @@ class Database:
     # -- O12 Sync ------------------------------------------------------------
     def sync(self) -> None:
         """No-op: parquet writes are durable on commit (SURVEY O12)."""
+
+
+def load_all_open(spark: SparkSession, root: str) -> dict[str, Database]:
+    """Open every valid database under ``root`` — the reference's
+    ``LoadAll(dir) map[string]*DB`` (database.go:66-124) returns OPEN handles,
+    not just parsed params; ``catalog.load_all`` stays the params-only form."""
+    from kadiyadb_spark.catalog import load_all
+
+    return {
+        name: Database.open(spark, os.path.join(root, name), params)
+        for name, params in load_all(root).items()
+    }

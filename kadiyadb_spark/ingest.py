@@ -58,7 +58,7 @@ def track_batch(
     resolution: int = 60_000_000_000,
     duration: int = 3_600_000_000_000,
     rollup: bool = True,
-    validate: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Aggregate an events DataFrame into the kadiyadb cube.
 
@@ -67,6 +67,14 @@ def track_batch(
     ``rollup=True`` materializes every path prefix (reference write-time
     rollup); ``rollup=False`` stores only full-depth series (cheaper writes;
     query-time rollup can reconstruct prefixes — property-tested equal).
+
+    ``validate=True`` (the default, matching the reference's UNCONDITIONAL
+    write-path rejection of ""/"*" values, index/node.go:200-214) drops rows
+    carrying illegal field values so they never become series; the per-call
+    error of the reference maps to row rejection in a batch engine (aborting
+    a 100 TB job for one poison row is not a useful parity). Negative
+    timestamps DO abort (ErrInvTime, database.go:156-158): a bad clock is a
+    pipeline bug, not a data-quality case.
 
     Returns a DataFrame with schema ``cube_schema(len(fields))``.
     """
@@ -77,6 +85,13 @@ def track_batch(
         df = validate_fields_df(df, fields)
 
     ts = F.col(ts_col).cast("long")
+    # ErrInvTime guard (database.go:156-158, 190-193): negative ts would
+    # silently floor into negative buckets; raise at execution instead.
+    # assert_true is NULL on pass, so the coalesce adds 0 and stays codegen.
+    ts_ok = F.assert_true(
+        ts >= 0, F.concat(F.lit("ErrInvTime: negative timestamp "), ts.cast("string"))
+    ).cast("long")
+    ts = ts + F.coalesce(ts_ok, F.lit(0))
     bucket = bucket_expr(ts, resolution)
     total = F.col(total_col).cast("double")
     cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")

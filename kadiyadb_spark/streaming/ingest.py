@@ -31,7 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kadiyadb_spark import schema as S
 from kadiyadb_spark.database import Database
-from kadiyadb_spark.ingest import track_batch
+from kadiyadb_spark.ingest import validate_fields_df
 
 
 def stream_track_raw(
@@ -42,11 +42,20 @@ def stream_track_raw(
     total_col: str = "value",
     count_col: str | None = None,
     trigger_available_now: bool = True,
+    stream_id: str = "raw",
 ) -> StreamingQuery:
-    """Increment-merge every micro-batch of raw events into ``db``."""
+    """Increment-merge every micro-batch of raw events into ``db``.
+
+    Idempotent under micro-batch replay: Database.track_stream_batch keeps an
+    applied-batch high-water mark beside the cube, so a batch re-run after a
+    sink failure or checkpoint restart is a no-op instead of a double-count.
+    ``stream_id`` names the mark; use distinct ids for distinct streams into
+    the same database."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        db.track(batch, ts_col=ts_col, total_col=total_col, count_col=count_col)
+        db.track_stream_batch(
+            batch, batch_id, stream_id=stream_id, ts_col=ts_col, total_col=total_col, count_col=count_col
+        )
 
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if trigger_available_now:
@@ -76,12 +85,23 @@ def stream_track_agg(
         raise ValueError("database params must declare fields for streaming ingest")
 
     ts = F.col(ts_col).cast("long")
+    # Same write-path rejection of ""/"*" field values as batch track
+    # (index/node.go:200-214).
+    events = validate_fields_df(events, list(p.fields))
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (resolution >= 1us).
     evt = events.withColumn("_event_time", F.timestamp_micros((ts / 1000).cast("long")))
     evt = evt.withWatermark("_event_time", watermark)
 
-    win = F.window("_event_time", f"{p.resolution // 1_000_000_000} seconds")
+    # Express the window in MICROseconds: integer-dividing by 1e9 silently
+    # turns any sub-second resolution into "0 seconds" (params accept ms/us/ns
+    # durations). Timestamps are µs precision, so require µs granularity.
+    if p.resolution % 1_000 != 0:
+        raise ValueError(
+            f"stream_track_agg requires resolution in whole microseconds "
+            f"(timestamps are µs precision); got {p.resolution} ns"
+        )
+    win = F.window("_event_time", f"{p.resolution // 1_000} microseconds")
     cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
     src = [F.col(f).cast("string") for f in p.fields]
 

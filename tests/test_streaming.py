@@ -72,3 +72,36 @@ def test_stream_matches_batch(spark, tmp_path, strategy):
     assert got1 == [(B0 + 60 * SEC, ("click",), 7.0, 1.0)]
     got2 = _pts(db.fetch(B0 + 60 * SEC, B0 + 120 * SEC, ["view", "u2"]))
     assert got2 == [(B0 + 60 * SEC, ("view", "u2"), 1.0, 1.0)]
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch re-runs a micro-batch with the SAME batch_id after a sink
+    failure or restart-from-checkpoint; the increment merge must not
+    double-count it (applied-batch high-water mark)."""
+    db = Database.open(spark, str(tmp_path / "db_replay"), P)
+    batch = spark.createDataFrame(
+        [Row(ts=B0 + 5 * SEC, et="click", uid="u1", value=5.0)], SRC_SCHEMA
+    )
+    assert db.track_stream_batch(batch, batch_id=0) is True
+    # forced replay of batch 0 -> skipped
+    assert db.track_stream_batch(batch, batch_id=0) is False
+    got = _pts(db.fetch(B0, B0 + 60 * SEC, ["click", "u1"]))
+    assert got == [(B0, ("click", "u1"), 5.0, 1.0)]
+    # next batch id applies normally
+    assert db.track_stream_batch(batch, batch_id=1) is True
+    got = _pts(db.fetch(B0, B0 + 60 * SEC, ["click", "u1"]))
+    assert got == [(B0, ("click", "u1"), 10.0, 2.0)]
+    # a second stream's marks are independent
+    assert db.track_stream_batch(batch, batch_id=0, stream_id="other") is True
+
+
+def test_stream_agg_rejects_subsecond_resolution(spark, tmp_path):
+    # resolution not a whole number of microseconds -> clear error, not a
+    # silently mis-bucketed '0 seconds' window
+    bad = Params(duration=1_000_000, resolution=500, retention=2_000_000, fields=("et",))
+    db = Database.open(spark, str(tmp_path / "db_ns"), bad)
+    src = tmp_path / "nosrc"
+    src.mkdir()
+    events = spark.readStream.schema(SRC_SCHEMA).parquet(str(src))
+    with pytest.raises(ValueError, match="microsecond"):
+        stream_track_agg(events, db, checkpoint=str(tmp_path / "ckpt_ns"))

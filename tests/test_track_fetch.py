@@ -206,6 +206,26 @@ def test_illegal_stored_values_filtered(spark):
     assert ok.count() == 1
 
 
+def test_write_path_rejects_illegal_values_by_default(spark):
+    # reference rejects ""/"*" stored values UNCONDITIONALLY on write
+    # (index/node.go:200-214); track_batch must not need opt-in
+    rows = [(0, "a", "b", "c", 1, 1), (0, "", "b", "c", 9, 9), (0, "a", "*", "c", 9, 9)]
+    cube = _cube(spark, rows)
+    got = _points(fetch(cube, 0, 1, ["a", "b", "c"], RES, DUR))
+    assert got == {("a", "b", "c"): [(0, 1.0, 1.0)]}  # poison rows never became series
+    # and the poison rows' values must not leak into prefix rollups either
+    got = _points(fetch(cube, 0, 1, ["a"], RES, DUR))
+    assert got == {("a",): [(0, 1.0, 1.0)]}
+
+
+def test_write_path_negative_ts_errors(spark):
+    # ErrInvTime (database.go:156-158): negative ts aborts the write, it does
+    # not silently floor into a negative bucket
+    cube = _cube(spark, [(-1, "a", "b", "c", 1, 1)])
+    with pytest.raises(Exception, match="ErrInvTime"):
+        cube.collect()
+
+
 # ------------------------------------------- rollup equivalence (fine-print #7)
 def test_write_time_equals_read_time_rollup(spark):
     rows = []
