@@ -529,15 +529,14 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard over consecutive-id pairs (deterministic blocking
     so the oracle is cheap; the LSH entry covers candidate generation)."""
-    from pyspark import StorageLevel
-
     docs = _t(spark, sf_dir, "documents")
     ids = docs.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
     pairs = ids.join(docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="inner").select("id_a", "id_b")
-    # Persisted: both join sides read the shingle table.
-    sh = docs.select(
-        "doc_id", D.word_shingles_expr(F.col("text"), 3).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Unpersisted by design: shingling is a shuffle-free map expression, so
+    # each join branch recomputes it inside its own shuffle-write stage —
+    # cheaper than leaking a persisted frame the caller can't unpersist
+    # (the previous persist here forced bench to clearCache between queries).
+    sh = docs.select("doc_id", D.word_shingles_expr(F.col("text"), 3).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         pairs.join(a, pairs["id_a"] == F.col("a.doc_id"))

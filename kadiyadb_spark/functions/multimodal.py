@@ -105,9 +105,14 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
             F.lit(max_frames - 1),
         ),
     )
+    # substring() operates directly on BinaryType (byte offsets, returns
+    # binary) — slicing via cast("string") would corrupt any non-ASCII
+    # payload because byte and char offsets diverge.
     return media.select(
         "asset_id",
         F.posexplode(
-            F.transform(idx, lambda i: F.substring(F.col("payload").cast("string"), i * every_n_bytes + 1, every_n_bytes))
+            F.transform(
+                idx, lambda i: F.substring(F.col("payload"), i * every_n_bytes + 1, F.lit(every_n_bytes))
+            )
         ).alias("frame_idx", "frame_payload"),
-    ).filter(F.octet_length(F.col("frame_payload").cast("binary")) > 0)
+    ).filter(F.octet_length(F.col("frame_payload")) > 0)

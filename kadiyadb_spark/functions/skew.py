@@ -59,7 +59,18 @@ def salted_join(
     """Join a skewed large frame against ``other`` on column ``on`` without
     one reducer receiving the whole hot key: the skewed side salts each row
     into one of ``buckets``; ``other`` is replicated once per bucket via a
-    generated salt array, so the shuffle keys become (on, salt)."""
+    generated salt array, so the shuffle keys become (on, salt).
+
+    Only joins whose OUTPUT is driven by the skewed side are valid: since
+    ``other`` is replicated ``buckets`` times, any join type that emits
+    unmatched ``other`` rows ('right'/'full' outer) would emit them once per
+    bucket — silently corrupt results — so those are rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports skewed-side-driven joins only {sorted(allowed)}; "
+            f"'{how}' would duplicate unmatched rows of the replicated side {buckets}x"
+        )
     uc = F.col(unique_col) if unique_col else F.spark_partition_id() + F.monotonically_increasing_id()
     s = skewed.withColumn(SALT, salt_expr(uc, buckets))
     replicated = other.withColumn(

@@ -61,6 +61,22 @@ def spread(df, min_partitions: int | None = None):
     scale this is a no-op."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    # Estimate the scan's split count from input file sizes instead of
+    # df.rdd.getNumPartitions(): the RDD conversion rebuilds the physical
+    # plan per call. maxPartitionBytes-sized splits over-estimate the real
+    # partition count (row groups can't split), so this only errs toward
+    # leaving an already-wide table alone — the safe direction.
+    files = df.inputFiles()
+    if files:
+        local = [f[len("file:") :] if f.startswith("file:") else f for f in files]
+        try:
+            total = sum(os.path.getsize(p) for p in local)
+        except OSError:
+            total = None
+        if total is not None:
+            max_pb = 128 << 20  # spark.sql.files.maxPartitionBytes default
+            est = max(len(files), -(-total // max_pb))
+            return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

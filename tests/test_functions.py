@@ -205,3 +205,17 @@ def test_frame_sample_shapes(spark):
     frames = M.frame_sample(media, every_n_bytes=64, max_frames=8).collect()
     assert 1 <= len(frames) <= 8
     assert all(f.frame_idx >= 0 for f in frames)
+
+
+def test_frame_sample_binary_safe(spark):
+    # Non-UTF8 payload: byte slicing must reassemble the exact original
+    # bytes (a string-cast slice corrupts multi-byte/invalid sequences).
+    payload = bytes(range(256)) * 2  # 512 bytes incl. 0x00 and >0x7f
+    media = spark.createDataFrame(
+        [Row(asset_id=0, media_type="video", payload=payload, n_bytes=len(payload))],
+        M.MEDIA_SCHEMA,
+    )
+    frames = M.frame_sample(media, every_n_bytes=64, max_frames=8).collect()
+    assert len(frames) == 8
+    reassembled = b"".join(bytes(f.frame_payload) for f in sorted(frames, key=lambda f: f.frame_idx))
+    assert reassembled == payload

@@ -1,6 +1,7 @@
 """Salted aggregation/join equal their unsalted counterparts (exactness of
 the two-phase decomposition), including on pathologically skewed keys."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -37,3 +38,12 @@ def test_salted_join_exact(spark):
         for r in skew.salted_join(big, dim, on="k", buckets=8, unique_col="id").collect()
     )
     assert salted == plain
+
+
+def test_salted_join_rejects_other_side_joins(spark):
+    # 'right'/'full' would emit each unmatched dim row once per salt bucket
+    big = _skewed_df(spark)
+    dim = spark.createDataFrame([Row(k="hot", label="H")])
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(big, dim, on="k", buckets=4, unique_col="id", how=how)
