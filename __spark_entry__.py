@@ -164,13 +164,17 @@ def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_expire_entry_")
+    # DAILY epochs: a month at 1h epochs means 720 partition directories of
+    # tiny files — the small-files antipattern. 30 daily partitions keep the
+    # same operator semantics with a layout that scales.
+    day = 24 * 3600 * SEC
     db = Database.open(
         spark,
         f"{tmp}/db",
-        Params(duration=DUR, resolution=RES, retention=720 * 3600 * SEC, fields=("event_type", "user_id")),
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
     )
     db.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
-    cutoff = T0 + 15 * 24 * 3600 * SEC  # keep the back half of the month
+    cutoff = T0 + 15 * day  # keep the back half of the month
     db.expire(cutoff)
     c = db.cube().withColumn("depth", F.col("depth").cast("long"))
     return _round_doubles(c, ["total"])
@@ -767,10 +771,27 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
     # Streaming ingestion must land on exactly the batch-track values.
     o["streaming_ingest"] = o["track_cube"]
 
-    # O11: only rows in epochs >= the cutoff survive an expire.
-    cutoff = T0 + 15 * 24 * 3600 * SEC
+    # O11: only rows in epochs >= the cutoff survive an expire. The entry
+    # uses DAILY epochs (see q_expire_retention), so the epoch floor here is
+    # a day, not _EV_CUBE's hour.
+    day_ns = 24 * 3600 * SEC
+    cutoff = T0 + 15 * day_ns
     o["expire_retention"] = f"""
-WITH {_EV_CUBE}
+WITH ev AS (
+    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
+           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+    FROM events
+),
+cube2 AS (
+    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1, f2,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3, 4
+),
+cube1 AS (
+    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+)
 SELECT * FROM (
   SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
          floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1

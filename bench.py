@@ -31,9 +31,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not session bootstrap.
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # Warm the JVM + parquet footers + page cache once so per-query numbers
+    # measure the engine, not session bootstrap or the first cold read of a
+    # table (steady-state cluster behavior).
+    for tbl in ("events", "documents", "embeddings", "lineitem", "orders"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
     # Warm the Python/Arrow workers too (one per core on first pandas-UDF
     # use, several seconds of fork+import otherwise billed to the first
     # mapInPandas query).

@@ -219,6 +219,47 @@ class Database:
     def expire_by_retention(self, now_ts: int) -> list[int]:
         return self.expire(now_ts - self.params.retention)
 
+    # -- maintenance ----------------------------------------------------------
+    def compact(self, max_files_per_epoch: int = 1) -> list[int]:
+        """Rewrite fragmented epoch partitions down to ``max_files_per_epoch``
+        parquet files each.
+
+        Why this exists: ``track``/``merge_replace`` rewrite each TOUCHED
+        epoch per micro-batch (dynamic partition overwrite), so frequent
+        small batches amplify writes and can fragment an epoch into many
+        small files; a periodic compaction pass restores scan-friendly
+        layout. The strictly better design is a transactional MERGE (Delta/
+        Iceberg: ``MERGE INTO cube USING delta ON <cube key> WHEN MATCHED
+        THEN UPDATE SET total = t.total + s.total, cnt = ... WHEN NOT
+        MATCHED THEN INSERT``), which gives row-level upsert, atomic
+        data+marker commits for streaming idempotency (txn app ids), and
+        background OPTIMIZE — none of which plain parquet offers; those
+        formats are not in this container, so merge-by-rewrite + explicit
+        compact() is the honest parquet-native equivalent. Returns the list
+        of compacted epoch ids."""
+        if not os.path.isdir(self.cube_path):
+            return []
+        compacted = []
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for name in sorted(os.listdir(self.cube_path)):
+            if not name.startswith(f"{S.EPOCH}="):
+                continue
+            part_dir = os.path.join(self.cube_path, name)
+            n_files = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
+            if n_files <= max_files_per_epoch:
+                continue
+            epoch = int(name.split("=", 1)[1])
+            (
+                self.cube()
+                .filter(F.col(S.EPOCH) == epoch)
+                .coalesce(max_files_per_epoch)
+                .write.partitionBy(S.EPOCH)
+                .mode("overwrite")
+                .parquet(self.cube_path)
+            )
+            compacted.append(epoch)
+        return compacted
+
     # -- O12 Sync ------------------------------------------------------------
     def sync(self) -> None:
         """No-op: parquet writes are durable on commit (SURVEY O12)."""

@@ -71,3 +71,21 @@ def test_expire_drops_old_epochs(spark, tmp_path):
     assert _pts(db.fetch(5, 6, ["a", "b"])) == [(5, ("a", "b"), 5, 2.0, 1.0)]
     # retention-driven: now=21, retention=10 -> cutoff 11 -> epoch 5 dropped
     assert db.expire_by_retention(now_ts=21) == [5]
+
+
+def test_compact_reduces_files_preserves_values(spark, tmp_path):
+    import os
+
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    # several small batches fragment epoch 0 into multiple files
+    for i in range(3):
+        db.track(_events(spark, [(i, "a", "b", float(i + 1))]), total_col="v")
+    before = _pts(db.fetch(0, 5, ["a", "b"]))
+    part = os.path.join(db.cube_path, "epoch=0")
+    db_files = lambda: sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert db_files() >= 1
+    compacted = db.compact(max_files_per_epoch=1)
+    assert db_files() == 1
+    assert _pts(db.fetch(0, 5, ["a", "b"])) == before
+    # idempotent: nothing left to compact
+    assert db.compact(max_files_per_epoch=1) == []
