@@ -152,6 +152,38 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 streaming form, strategy 2 (the idiomatic one): watermarked
+    windowed aggregation in update mode -> cumulative (total, cnt) per
+    group -> REPLACE-merge sink. Gated against the same SQL oracle as batch
+    track, proving the watermark+window+replace path lands on identical
+    values (naturally idempotent under replay: cumulative rows overwrite)."""
+    import shutil
+    import tempfile
+
+    import os
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+    from kadiyadb_spark.schema import EVENTS_SCHEMA
+    from kadiyadb_spark.streaming.ingest import stream_track_agg
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_stream_agg_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=DUR, resolution=RES, retention=720 * 3600 * SEC, fields=("event_type", "user_id")),
+    )
+    evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
+    q = stream_track_agg(evs, db, checkpoint=f"{tmp}/ckpt")
+    q.awaitTermination()
+    c = db.cube().withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
 def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 Expire: persist a cube, drop epoch partitions older than a mid-
     month cutoff (epoch/cache.go:136-156 — there RemoveAll of epoch dirs,
@@ -634,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_boundary": q_fetch_boundary,
         "rollup_read_equivalence": q_rollup_read_equivalence,
         "streaming_ingest": q_streaming_ingest,
+        "streaming_agg": q_streaming_agg,
         "expire_retention": q_expire_retention,
         "catalog_load": q_catalog_load,
         "q1_pricing_summary": q1_pricing_summary,
@@ -768,8 +801,10 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
 
-    # Streaming ingestion must land on exactly the batch-track values.
+    # Streaming ingestion must land on exactly the batch-track values —
+    # both strategies (raw increment-merge and watermarked agg replace-merge).
     o["streaming_ingest"] = o["track_cube"]
+    o["streaming_agg"] = o["track_cube"]
 
     # O11: only rows in epochs >= the cutoff survive an expire. The entry
     # uses DAILY epochs (see q_expire_retention), so the epoch floor here is

@@ -56,3 +56,24 @@ def test_load_all_skips_invalid(tmp_path):
     dbs = load_all(str(tmp_path))
     assert set(dbs) == {"good"}
     assert dbs["good"].rsize == 60
+
+
+def test_load_all_open_returns_handles(spark, tmp_path):
+    from kadiyadb_spark.database import load_all_open
+
+    good = tmp_path / "metrics"
+    good.mkdir()
+    (good / "params.json").write_text(
+        json.dumps({"duration": 5, "resolution": 1, "retention": 10, "fields": ["x", "y"]})
+    )
+    bad = tmp_path / "broken"
+    bad.mkdir()
+    (bad / "params.json").write_text("{not json")
+    dbs = load_all_open(spark, str(tmp_path))
+    assert set(dbs) == {"metrics"}
+    db = dbs["metrics"]
+    # the handle is usable end-to-end
+    from pyspark.sql import Row
+
+    db.track(spark.createDataFrame([Row(ts=0, x="a", y="b", v=2.0)]), total_col="v")
+    assert db.fetch(0, 1, ["a", "b"]).collect()[0]["total"] == 2.0
