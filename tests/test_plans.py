@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the scale properties this engine claims
+(pushdown reaching scans, minimal shuffles, broadcast verification, map-side
+ANN) are asserted on the PLAN, not just timed — a regression that keeps
+results correct but reintroduces a shuffle fails here.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.catalog import Params
+from kadiyadb_spark.database import Database
+from kadiyadb_spark.functions import dedup as D
+from kadiyadb_spark.functions import similarity as SIM
+from kadiyadb_spark.ingest import track_batch
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    """Shuffle Exchange node count (formatted explain lists each node once in
+    the tree and once as a numbered detail header; count the headers —
+    BroadcastExchange deliberately excluded)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def n_broadcast_joins(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan))
+
+
+def test_track_batch_is_one_shuffle(spark):
+    ev = spark.createDataFrame([Row(ts=i, x="a", y="b", v=1.0) for i in range(10)])
+    plan = plan_str(track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5))
+    assert n_shuffles(plan) == 1  # the cube-key groupBy, nothing else
+
+
+def test_fetch_prunes_partitions_and_pushes_filters(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), Params(duration=5, resolution=1, retention=10, fields=("x", "y")))
+    db.track(
+        spark.createDataFrame([Row(ts=t, x="a", y="b", v=1.0) for t in (0, 7)]),
+        total_col="v",
+    )
+    plan = plan_str(db.fetch(0, 3, ["a", "b"], densify=False))
+    # epoch is the partition column: the time range must prune partitions...
+    assert "PartitionFilters" in plan and "epoch" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    # ...and bucket/dimension predicates must reach the parquet reader
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "bucket" in pushed and "f1" in pushed
+
+
+def test_jaccard_verify_broadcasts_candidates(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"doc number {i} " * 10) for i in range(20)])
+    pairs = spark.createDataFrame([Row(id_a=0, id_b=1), Row(id_a=2, id_b=3)])
+    plan = plan_str(D.jaccard_pairs(docs, pairs))
+    # the shingle table must stream map-side, never shuffle for a sort-merge
+    assert "SortMergeJoin" not in plan
+    assert n_broadcast_joins(plan) == 2
+
+
+def test_ivf_topk_single_shuffle(spark):
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0]) for i in range(64)])
+    q = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0, 0.0])])
+    plan = plan_str(SIM.ivf_topk(emb, q, k=3, num_centroids=4, nprobe=2))
+    # assignment+scoring+local-topk are fused map-side; the only exchange
+    # ranks the pruned candidate set
+    assert n_shuffles(plan) == 1
+
+
+def test_ivf_assign_no_shuffle(spark):
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(16)])
+    cents = SIM.deterministic_centroids(emb, num=2)
+    plan = plan_str(SIM.ivf_assign(emb, cents))
+    assert n_shuffles(plan) == 0  # pure map: argmax against broadcast matrix
+
+
+def test_embedding_near_dup_single_shuffle(spark):
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=[float(i % 5), 1.0]) for i in range(32)])
+    plan = plan_str(D.embedding_near_duplicates(emb, threshold=0.9, num_centroids=4))
+    # exactly one shuffle: partitioning by centroid bucket for applyInPandas
+    assert n_shuffles(plan) == 1
