@@ -138,10 +138,13 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="kdb_stream_entry_")
     os.makedirs(f"{tmp}/events", exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    # Daily epochs: hourly epochs over a month mean 720 tiny partition dirs
+    # per cube write (see q_expire_retention).
+    day = 24 * 3600 * SEC
     db = Database.open(
         spark,
         f"{tmp}/db",
-        Params(duration=DUR, resolution=RES, retention=720 * 3600 * SEC, fields=("event_type", "user_id")),
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
     )
     evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
     q = stream_track_raw(evs, db, checkpoint=f"{tmp}/ckpt")
@@ -172,10 +175,11 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="kdb_stream_agg_entry_")
     os.makedirs(f"{tmp}/events", exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    day = 24 * 3600 * SEC
     db = Database.open(
         spark,
         f"{tmp}/db",
-        Params(duration=DUR, resolution=RES, retention=720 * 3600 * SEC, fields=("event_type", "user_id")),
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
     )
     evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
     q = stream_track_agg(evs, db, checkpoint=f"{tmp}/ckpt")
@@ -803,8 +807,34 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
 
     # Streaming ingestion must land on exactly the batch-track values —
     # both strategies (raw increment-merge and watermarked agg replace-merge).
-    o["streaming_ingest"] = o["track_cube"]
-    o["streaming_agg"] = o["track_cube"]
+    # The streaming entries persist with DAILY epochs (layout, not values):
+    # same cube, day-floored epoch column.
+    day_ns0 = 24 * 3600 * SEC
+    _day_cube = f"""
+ev AS (
+    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
+           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+    FROM events
+),
+cube2 AS (
+    SELECT (bucket // {day_ns0}) * {day_ns0} AS epoch, bucket, f1, f2,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3, 4
+),
+cube1 AS (
+    SELECT (bucket // {day_ns0}) * {day_ns0} AS epoch, bucket, f1,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+)"""
+    o["streaming_ingest"] = f"""
+WITH {_day_cube}
+SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
+UNION ALL
+SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
+"""
+    o["streaming_agg"] = o["streaming_ingest"]
 
     # O11: only rows in epochs >= the cutoff survive an expire. The entry
     # uses DAILY epochs (see q_expire_retention), so the epoch floor here is

@@ -108,6 +108,31 @@ def test_p3_mass_conservation(spark, events):
         assert agg["c"] == expected_cnt
 
 
+@given(
+    events=events_strategy,
+    frm=st.integers(min_value=0, max_value=3 * N_SLOTS),
+    to_extra=st.integers(min_value=0, max_value=3 * N_SLOTS),
+)
+@SETTINGS
+def test_p5_fetch_floors_non_aligned_ends(spark, events, frm, to_extra):
+    """Both range ends floor to slot starts (database.go:267-277): any
+    mid-slot from/to is equivalent to the floored aligned range. Uses a
+    coarse resolution so non-aligned timestamps exist."""
+    res = 3
+    to = frm + to_extra
+    cube = track_batch(
+        _events_df(spark, [(ts * res, f1, f2, v) for ts, f1, f2, v in events]),
+        fields=["f1", "f2"],
+        ts_col="ts",
+        total_col="v",
+        resolution=res,
+        duration=res * DUR,
+    ).cache()
+    raw = _rows(fetch(cube, frm, to, ["a", "*"], res, res * DUR))
+    aligned = _rows(fetch(cube, frm - frm % res, to - to % res, ["a", "*"], res, res * DUR))
+    assert raw == aligned
+
+
 @given(events=events_strategy, cut=st.integers(min_value=0, max_value=40))
 @SETTINGS
 def test_p4_merge_increment_associative(spark, events, cut):
