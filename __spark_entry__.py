@@ -543,6 +543,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash window fingerprint (winnowing min-selection)."""
+    return TX.winnow_fingerprint(_t(spark, sf_dir, "documents"), k=8, num_mins=4)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -693,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "text_simhash": q_text_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1106,6 +1112,16 @@ FROM c
 
     o["text_fingerprint"] = f"""
 SELECT doc_id, md5({_DOC_NORM}) AS fp FROM documents
+"""
+
+    o["text_winnow"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+h AS (SELECT doc_id,
+        list_sort(list_distinct(
+          [CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)
+           for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS hs
+      FROM d)
+SELECT doc_id, hs[1] AS min0, hs[2] AS min1, hs[3] AS min2, hs[4] AS min3 FROM h
 """
 
     # ---- dedup ----

@@ -114,3 +114,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(normalize_expr(F.col(text_col)).cast("binary")).alias("fp"),
     )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_mins: int = 4,
+) -> DataFrame:
+    """Winnowing-style robust fingerprint: hash every character k-gram of the
+    normalized text (the set-of-window-hashes a rolling Rabin-Karp hash
+    produces — Spark has no incremental-hash expression, so each window is
+    hashed directly; same values, same O(n) windows) and keep the
+    ``num_mins`` smallest as the document's fingerprint. Unlike the exact
+    md5 fingerprint, two documents sharing most content share most window
+    hashes, so their min-sets collide — the selection step of
+    winnowing/MOSS-style local fingerprinting. Shuffle-free map transform;
+    the identical arithmetic runs in the DuckDB oracle."""
+    norm = normalize_expr(F.col(text_col))
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k).cast("binary")), 1, 8), 16, 10).cast("long"),
+    )
+    mins = F.slice(F.array_sort(F.array_distinct(hashes)), 1, num_mins)
+    return df.select(
+        F.col(id_col),
+        *[F.element_at(mins, j + 1).alias(f"min{j}") for j in range(num_mins)],
+    )

@@ -56,6 +56,24 @@ def test_fingerprint_is_md5_of_normalized(spark):
     assert r.fp == hashlib.md5(b"hello world").hexdigest()
 
 
+def test_winnow_fingerprint_matches_python(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    k, m = 8, 4
+    windows = [text[i : i + k] for i in range(len(text) - k + 1)]
+    hs = sorted({int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in windows})[:m]
+    r = TX.winnow_fingerprint(_docs(spark, [text]), k=k, num_mins=m).collect()[0]
+    assert [r.min0, r.min1, r.min2, r.min3] == hs
+
+
+def test_winnow_fingerprint_robust_to_small_edits(spark):
+    # shared content -> overlapping min-sets, unlike the exact md5 fingerprint
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    edited = base + " tonight"
+    rows = TX.winnow_fingerprint(_docs(spark, [base, edited])).collect()
+    a, b = ({r.min0, r.min1, r.min2, r.min3} for r in sorted(rows, key=lambda r: r.doc_id))
+    assert len(a & b) >= 3
+
+
 def test_quality_score_bounds(spark):
     rows = TX.quality_score(
         _docs(spark, ["the quick brown fox jumps over the lazy dog", "aaa aaa aaa aaa"])
