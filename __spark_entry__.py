@@ -625,6 +625,11 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(base, queries, k=5, num_centroids=8, nprobe=2)
 
 
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, queries = _queries_vs_base(spark, sf_dir)
+    return SIM.lsh_topk(base, queries, k=5, nbits=6)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -707,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
     }
@@ -1265,6 +1271,42 @@ probes AS (SELECT query_id, qv, centroid_id FROM probe_scored WHERE rn <= 2),
 scored AS (
   SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+    # Mirrors lsh_topk: hyperplanes = the 6 lowest-id base vectors; bucket =
+    # sign bits of the inner products (bit j from the j-th lowest hyperplane
+    # id); each query probes its bucket and every single-bit flip.
+    o["sim_lsh_topk"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+hyper AS (SELECT vec_id AS hid, v AS hv FROM base ORDER BY vec_id ASC LIMIT 6),
+hb AS (SELECT hid, hv, row_number() OVER (ORDER BY hid ASC) - 1 AS bit FROM hyper),
+vb AS (
+  SELECT b.vec_id, b.v,
+         CAST(sum(CASE WHEN list_inner_product(b.v, hb.hv) >= 0 THEN (1 << hb.bit) ELSE 0 END) AS BIGINT) AS bkt
+  FROM base b CROSS JOIN hb GROUP BY b.vec_id, b.v
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qb AS (
+  SELECT q.query_id, q.qv,
+         CAST(sum(CASE WHEN list_inner_product(q.qv, hb.hv) >= 0 THEN (1 << hb.bit) ELSE 0 END) AS BIGINT) AS bkt
+  FROM q CROSS JOIN hb GROUP BY q.query_id, q.qv
+),
+probes AS (
+  SELECT query_id, qv, bkt AS pb FROM qb
+  UNION ALL
+  SELECT qb.query_id, qb.qv, xor(qb.bkt, CAST(1 << hb.bit AS BIGINT)) FROM qb CROSS JOIN hb
+),
+scored AS (
+  SELECT p.query_id, vb.vec_id, list_cosine_similarity(p.qv, vb.v) AS cos
+  FROM probes p JOIN vb ON vb.bkt = p.pb
 ),
 ranked AS (
   SELECT query_id, vec_id, cos,

@@ -215,6 +215,91 @@ def ivf_assign(
     )
 
 
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: bucket = the sign-bit
+    string of dot products against ``nbits`` fixed hyperplanes (the
+    ``nbits`` lowest-id base vectors — deterministic, so the oracle can
+    reproduce every bucket). Each query probes its own bucket plus all
+    hamming-distance-1 neighbors (multi-probe, flips one bit at a time).
+
+    Same fused single-map-pass shape as ivf_topk: bucketing, probe masking,
+    scoring and batch-local top-k happen per Arrow batch against broadcast
+    hyperplane/query matrices; the only shuffle ranks the pruned candidates.
+    2^nbits buckets cut scored pairs by ~(nbits+1)/2^nbits."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    hyper = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(nbits)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("centroid_vec"))
+    )
+    h_ids, hmat = _collect_matrix(hyper, "centroid_id", "centroid_vec")
+    hmat = hmat[np.argsort(h_ids)]  # bit j = lowest-id hyperplane first
+    q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def buckets_of(m):
+        bits = (m @ hmat.T >= 0).astype(np.int64)  # (rows, nbits)
+        return bits @ (1 << np.arange(nbits, dtype=np.int64))
+
+    qb = buckets_of(q)
+    # probe sets: own bucket + every single-bit flip
+    probe_sets = [
+        {int(qb[j])} | {int(qb[j]) ^ (1 << b) for b in range(nbits)} for j in range(len(q_ids))
+    ]
+    bc = spark.sparkContext.broadcast((hmat, q_ids, qn, probe_sets))
+
+    def score(batches):
+        import pandas as pd
+
+        hm, qi, qmat, probes = bc.value
+        nb = hm.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (v @ hm.T >= 0).astype(np.int64)
+            bkt = bits @ (1 << np.arange(nb, dtype=np.int64))
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = vn @ qmat.T
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j in range(len(qi)):
+                hit = np.isin(bkt, list(probes[j]))
+                if not hit.any():
+                    continue
+                hids, hcos = ids[hit], s[hit, j]
+                order = np.lexsort((hids, -hcos))[:k]
+                parts.append(pd.DataFrame({query_id_col: qi[j], id_col: hids[order], "_cos": hcos[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, _cos double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            round4_expr(F.col("_cos")).alias("cosine"),
+        )
+    )
+
+
 def deterministic_centroids(
     emb: DataFrame, num: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

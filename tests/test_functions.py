@@ -186,6 +186,17 @@ def test_cosine_topk_exact(spark):
     ]
 
 
+def test_lsh_topk_recall_with_multiprobe(spark):
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(i / 7), math.sin(i / 7)]) for i in range(20)]
+    )
+    queries = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0])])
+    exact = {r.vec_id for r in SIM.cosine_topk(base, queries, k=3).collect()}
+    approx = {r.vec_id for r in SIM.lsh_topk(base, queries, k=3, nbits=3).collect()}
+    # hamming-1 multi-probe over 2^3 sign buckets on a circle: high overlap
+    assert len(exact & approx) >= 2
+
+
 def test_ivf_topk_recall_on_probed_buckets(spark):
     # 20 vectors on the unit circle; centroids = 4 lowest ids
     base = spark.createDataFrame(

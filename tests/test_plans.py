@@ -75,6 +75,13 @@ def test_ivf_topk_single_shuffle(spark):
     assert n_shuffles(plan) == 1
 
 
+def test_lsh_topk_single_shuffle(spark):
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0]) for i in range(64)])
+    q = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0, 0.0])])
+    plan = plan_str(SIM.lsh_topk(emb, q, k=3, nbits=3))
+    assert n_shuffles(plan) == 1  # bucketing+probe+score fused map-side
+
+
 def test_ivf_assign_no_shuffle(spark):
     emb = spark.createDataFrame([Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(16)])
     cents = SIM.deterministic_centroids(emb, num=2)
