@@ -522,6 +522,226 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-aggregate. All three predicates
+    push down to the parquet scan (no join, no shuffle beyond the final
+    1-row agg) — the canonical 'filters reach the scan' plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        round4_expr(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+    return r
+
+
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio over a broadcast dim
+    join (part is tiny relative to lineitem at any SF; the fact side never
+    shuffles)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
+        round4_expr(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+        ).alias("promo_pct"),
+        round4_expr(F.sum(rev)).alias("total_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+    return r
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a join + top-k.
+    The quantity rollup shrinks lineitem to order grain BEFORE the joins,
+    so only qualifying orders (a tiny fraction) reach the join; customer is
+    broadcast. Sort keys are raw parquet values (bitwise identical across
+    engines) with an orderkey tiebreak, so the top-20 set is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_sq")).filter(F.col("_sq") > 150)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            round4_expr(F.col("o_totalprice")).alias("totalprice"),
+            round4_expr(F.col("_sq")).alias("sum_qty"),
+        )
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs residual over a broadcast join. Catalyst
+    factors the common p_partkey equi-key out of the disjunction (the join
+    stays a hash join; the OR becomes a post-join filter) — the plan to
+    check is that no cartesian/BNLJ appears."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-parser + correlated-scalar-subquery surface (spark.sql entry):
+    orders 1.5x above their own customer's average price. Catalyst decorrelates
+    this into an aggregate + self-join on o_custkey — one shuffle, no
+    per-row subquery execution."""
+    ensure_engine_confs(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders_v o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets surface: (event_type x day-of-week) with all four
+    grouping combinations. dow is computed with pure int64 arithmetic (ts is
+    ns since epoch; float division would lose precision above 2^53)."""
+    ev = _t(spark, sf_dir, "events")
+    week_ns = 7 * 24 * 3600 * SEC
+    day_ns = 24 * 3600 * SEC
+    d = ev.withColumn("dow", F.expr(f"(ts % {week_ns}) div {day_ns}"))
+    return (
+        d.cube("event_type", "dow")
+        .agg(round4_expr(F.sum("value")).alias("total_value"), F.count("*").alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit(-1)).cast("long").alias("dow"),
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: day x event_type value matrix. The pivot value list is
+    explicit, so the schema is static (no extra pass to discover columns) and
+    the plan is a single hash aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 24 * 3600 * SEC
+    types = ["click", "error", "purchase", "signup", "view"]
+    r = (
+        ev.withColumn("day", F.col("ts") - F.col("ts") % F.lit(day_ns))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.sum("value"))
+    )
+    for t in types:
+        r = r.withColumn(t, round4_expr(F.col(t)))
+    return r
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface: ROWS-frame moving average, lag/lead with
+    defaults, ntile — all over one (event_type, day) partition ordering, so
+    Spark evaluates every function in a single window exchange."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 24 * 3600 * SEC
+    daily = (
+        ev.withColumn("day", F.col("ts") - F.col("ts") % F.lit(day_ns))
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("dv"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wma = w.rowsBetween(-2, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        round4_expr(F.col("dv")).alias("day_value"),
+        round4_expr(F.avg("dv").over(wma)).alias("ma3"),
+        round4_expr(F.col("dv") - F.lag("dv", 1, 0.0).over(w)).alias("delta_prev"),
+        round4_expr(F.lead("dv", 1, 0.0).over(w)).alias("next_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF/lateral-view surface: posexplode of the whitespace token array
+    (one-row-to-many-rows generator, the flatMap shape). Bounded to 50 docs
+    so the oracle compare stays cheap; the plan is a shuffle-free Generate."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "token")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    )
+
+
+def q_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: collect_set / sort_array / array_join /
+    array_contains per user. One shuffle on user_id; the array never leaves
+    the aggregate (scalar outputs), so result size stays user-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    r = ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types_csv"),
+        F.size(types).cast("long").alias("n_types"),
+        F.element_at(types, 1).alias("first_type"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+    )
+    return r
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface (upper/substr/translate/lpad/
+    regexp_extract/concat_ws) — shuffle-free map-only projection, fully
+    inside whole-stage codegen."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("cust_num"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.translate("c_name", "0123456789", "##########").alias("masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", F.lower("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -561,6 +781,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(
         _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=8, threshold=0.1
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation; an iterative algorithm the
+    oracle mirrors with a recursive CTE). Output: every clustered doc with
+    its cluster id (= min doc_id reachable through the pair graph)."""
+    pairs = D.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=8, threshold=0.1
+    )
+    return D.connected_components(pairs)
 
 
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +930,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "percentiles": q_percentiles,
         "date_extract": q_date_extract,
+        "q6_selective_scan": q6_selective_scan,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "correlated_subquery": q_correlated_subquery,
+        "cube_grouping": q_cube_grouping,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "window_frames": q_window_frames,
+        "explode_tokens": q_explode_tokens,
+        "array_collect": q_array_collect,
+        "string_funcs": q_string_funcs,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -707,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_simhash": q_text_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1068,6 +1311,121 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
 FROM orders GROUP BY 1, 2
 """
 
+    o["q6_selective_scan"] = """
+SELECT floor((sum(l_extendedprice * l_discount)) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+    o["q14_promo_ratio"] = """
+SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)
+              / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_pct,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+    o["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice,
+       floor(sq * 10000 + 0.5) / 10000 AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+    o["q19_disjunctive"] = """
+SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+    o["correlated_subquery"] = """
+SELECT o_orderkey, o_custkey,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+    week_ns = 7 * 24 * 3600 * SEC
+    o["cube_grouping"] = f"""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1) AS dow,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       count(*) AS n_events
+FROM (SELECT event_type, (epoch_ns(ts) % {week_ns}) // {day_ns} AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+    _pv = ",\n       ".join(
+        f"floor((sum(CASE WHEN event_type = '{t}' THEN value END)) * 10000 + 0.5) / 10000 AS {t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    o["pivot_event_matrix"] = f"""
+SELECT (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
+       {_pv}
+FROM events GROUP BY 1
+"""
+
+    o["window_frames"] = f"""
+WITH daily AS (
+  SELECT event_type, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day, sum(value) AS dv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       floor(dv * 10000 + 0.5) / 10000 AS day_value,
+       floor((avg(dv) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS ma3,
+       floor((dv - lag(dv, 1, 0.0) OVER (PARTITION BY event_type ORDER BY day)) * 10000 + 0.5) / 10000 AS delta_prev,
+       floor((lead(dv, 1, 0.0) OVER (PARTITION BY event_type ORDER BY day)) * 10000 + 0.5) / 10000 AS next_value,
+       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS quartile
+FROM daily
+"""
+
+    o["explode_tokens"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id < 50)
+SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token FROM t
+"""
+
+    o["array_collect"] = """
+WITH per_user AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(types, ',') AS types_csv,
+       CAST(len(types) AS BIGINT) AS n_types,
+       types[1] AS first_type,
+       list_contains(types, 'purchase') AS has_purchase
+FROM per_user
+"""
+
+    o["string_funcs"] = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
+       substr(c_mktsegment, 1, 3) AS seg3,
+       translate(c_name, '0123456789', '##########') AS masked,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lower(c_mktsegment) || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
+FROM customer
+"""
+
     # ---- text ----
     o["text_token_stats"] = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks, text FROM documents)
@@ -1143,8 +1501,7 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM sigs" for b in range(4)
     )
-    o["dedup_minhash_lsh"] = f"""
-WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+    _minhash_pairs_cte = f"""d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
 hsx AS (SELECT doc_id, sh, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
 mh AS (SELECT doc_id, sh, {_MINHASH_SIG} FROM hsx),
@@ -1160,8 +1517,25 @@ jac AS (
          floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5) / 10000 AS jaccard
   FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-)
+)"""
+    o["dedup_minhash_lsh"] = f"""
+WITH {_minhash_pairs_cte}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+"""
+
+    # Transitive closure of the SAME pair graph: min reachable id per node.
+    # UNION (distinct) terminates the recursion on cycles.
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {_minhash_pairs_cte},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+)
+SELECT n AS node, least(n, min(m)) AS cluster_id FROM reach GROUP BY n
 """
 
     bit_sum = " + ".join(

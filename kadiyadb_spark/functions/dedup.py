@@ -320,6 +320,62 @@ def simhash_near_duplicates(
     )
 
 
+# ---------------------------------------------------------------- clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the (undirected) near-duplicate pair graph by
+    iterative min-label propagation: every node starts labeled with its own
+    id; each round, a node adopts the minimum label among itself and its
+    neighbors; at fixpoint, label = smallest id reachable = cluster id.
+    Returns (node, cluster_id).
+
+    This is the step that turns pairwise near-dup OUTPUT (a, b, score) into
+    the thing a curation pipeline actually needs — "keep one doc per
+    cluster" — without ever materializing transitive pair closures.
+
+    Scale shape: one shuffle per round (groupBy node), rounds = graph
+    diameter. Near-dup graphs are shallow (duplicate groups are near-
+    cliques: LSH emits most intra-group pairs directly), so convergence is
+    typically 2-4 rounds, not O(V). Labels are monotonically non-increasing,
+    so sum(label) is an exact, O(1)-size convergence probe — one scalar per
+    round instead of an anti-join diff. Lineage is truncated each round
+    with localCheckpoint; on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` so a lost
+    executor can recompute from stable storage.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        labels = (
+            prop.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------- embeddings
 
 

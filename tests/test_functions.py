@@ -169,6 +169,24 @@ def test_embedding_near_duplicates_threshold(spark):
     assert out == []
 
 
+def test_connected_components_merges_transitive_pairs(spark):
+    # two chains and a singleton pair: {1,2,3,4} via 1-2,2-3,3-4 ; {10,11}
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4), Row(id_a=10, id_b=11)]
+    )
+    out = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_handles_cycles_and_order(spark):
+    # a cycle given in descending order must still converge to the min id
+    pairs = spark.createDataFrame(
+        [Row(id_a=9, id_b=7), Row(id_a=7, id_b=5), Row(id_a=5, id_b=9)]
+    )
+    out = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == {5: 5, 7: 5, 9: 5}
+
+
 # ---------------------------------------------------------------- similarity
 
 
@@ -207,6 +225,39 @@ def test_ivf_topk_recall_on_probed_buckets(spark):
     approx = {r.vec_id for r in SIM.ivf_topk(base, queries, k=3, num_centroids=4, nprobe=2).collect()}
     # ANN may miss, but with nprobe=2 of 4 circle buckets overlap should be high
     assert len(exact & approx) >= 2
+
+
+def test_ivf_index_build_once_search_many(spark, tmp_path):
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(i / 7), math.sin(i / 7)]) for i in range(20)]
+    )
+    queries = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0])])
+    idx = SIM.IVFIndex.build(base, str(tmp_path / "ivf"), num_centroids=4)
+    got = SIM.IVFIndex(spark, str(tmp_path / "ivf")).search(queries, k=3, nprobe=2)
+    # identical semantics to the one-shot ivf_topk with the same centroids
+    want = SIM.ivf_topk(base, queries, k=3, num_centroids=4, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the probe scan must PRUNE partitions: the centroid_id filter appears as
+    # a partition filter in the physical parquet scan, not a post-scan filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_index_recall_vs_brute_force(spark, tmp_path):
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(i / 9), math.sin(i / 9)]) for i in range(40)]
+    )
+    queries = spark.createDataFrame(
+        [Row(query_id=j, query_vec=[math.cos(j / 3), math.sin(j / 3)]) for j in range(3)]
+    )
+    idx = SIM.IVFIndex.build(base, str(tmp_path / "ivf"), num_centroids=4)
+    exact = SIM.cosine_topk(base, queries, k=5).collect()
+    approx = idx.search(queries, k=5, nprobe=2).collect()
+    e = {(r.query_id, r.vec_id) for r in exact}
+    a = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # 2 of 4 circle buckets probed
 
 
 # ---------------------------------------------------------------- multimodal
