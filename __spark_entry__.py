@@ -794,6 +794,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composition the LLM-pipeline
+    operators exist for: exact dedup (hash groupBy, keep min id) -> MinHash
+    near-dup clustering (keep each cluster's min-id representative) ->
+    quality-score filter -> per-source token budget. Scale shape: one
+    content-hash shuffle, one LSH band join, a star-contraction loop over
+    the tiny pair graph, a source-keyed agg; no all-pairs stage anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = D.dedup_exact(docs)
+    pairs = D.minhash_near_duplicates(
+        survivors, num_hashes=8, bands=4, shingle_k=8, threshold=0.1
+    )
+    clusters = D.connected_components(pairs)
+    reps = (
+        survivors.join(F.broadcast(clusters), survivors["doc_id"] == clusters["node"], "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "source", "text")
+    )
+    qual = (
+        TX.quality_score(reps)
+        .filter(F.col("quality") >= 0.5)  # rounded 4dp on BOTH engines
+        .select("doc_id", "n_tokens", "quality")
+    )
+    return (
+        reps.join(qual, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            round4_expr(F.avg("quality")).alias("avg_quality"),
+        )
+    )
+
+
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
@@ -950,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "pipeline_curate": q_pipeline_curate,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1501,6 +1536,25 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM sigs" for b in range(4)
     )
+    def _mh_cte(src: str) -> str:
+        return f"""d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM {src}),
+sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
+hsx AS (SELECT doc_id, sh, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
+mh AS (SELECT doc_id, sh, {_MINHASH_SIG} FROM hsx),
+sigs AS (SELECT doc_id, {band_keys} FROM mh),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5) / 10000 AS jaccard
+  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+)"""
+
     _minhash_pairs_cte = f"""d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
 hsx AS (SELECT doc_id, sh, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
@@ -1536,6 +1590,48 @@ reach(n, m) AS (
   SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
 )
 SELECT n AS node, least(n, min(m)) AS cluster_id FROM reach GROUP BY n
+"""
+
+    # Full curation pipeline: exact dedup -> near-dup cluster reps (the same
+    # minhash CTE, over the exact-dedup survivors) -> quality filter ->
+    # per-source token budget. Term order in the quality sum matches the
+    # Spark expression exactly (FP addition is order-sensitive).
+    o["pipeline_curate"] = f"""
+WITH RECURSIVE
+fp0 AS (SELECT doc_id, md5({_DOC_NORM}) AS f FROM documents),
+kept_exact AS (SELECT min(doc_id) AS doc_id FROM fp0 GROUP BY f),
+dd AS (SELECT d0.* FROM documents d0 JOIN kept_exact USING (doc_id)),
+{_mh_cte('dd')},
+p2 AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
+edges AS (SELECT id_a AS s, id_b AS d FROM p2 UNION SELECT id_b, id_a FROM p2),
+reach(n, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+clusters AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n),
+reps AS (
+  SELECT dd.doc_id, dd.source FROM dd LEFT JOIN clusters c USING (doc_id)
+  WHERE c.cluster_id IS NULL OR c.cluster_id = dd.doc_id
+),
+tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+qual AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         floor((0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+               + 0.25 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1))
+               + 0.25 * least((CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE) / greatest(len(toks), 1)) * 5.0, 1.0)
+               ) * 10000 + 0.5) / 10000 AS quality
+  FROM tq
+),
+final AS (
+  SELECT r.source, q.n_tokens, q.quality
+  FROM reps r JOIN qual q USING (doc_id)
+  WHERE q.quality >= 0.5
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       floor((avg(quality)) * 10000 + 0.5) / 10000 AS avg_quality
+FROM final GROUP BY source
 """
 
     bit_sum = " + ".join(

@@ -327,53 +327,73 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 30,
 ) -> DataFrame:
-    """Connected components of the (undirected) near-duplicate pair graph by
-    iterative min-label propagation: every node starts labeled with its own
-    id; each round, a node adopts the minimum label among itself and its
-    neighbors; at fixpoint, label = smallest id reachable = cluster id.
-    Returns (node, cluster_id).
+    """Connected components of the (undirected) near-duplicate pair graph via
+    alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014). Returns (node, cluster_id)
+    with cluster_id = smallest id in the component.
 
     This is the step that turns pairwise near-dup OUTPUT (a, b, score) into
     the thing a curation pipeline actually needs — "keep one doc per
     cluster" — without ever materializing transitive pair closures.
 
-    Scale shape: one shuffle per round (groupBy node), rounds = graph
-    diameter. Near-dup graphs are shallow (duplicate groups are near-
-    cliques: LSH emits most intra-group pairs directly), so convergence is
-    typically 2-4 rounds, not O(V). Labels are monotonically non-increasing,
-    so sum(label) is an exact, O(1)-size convergence probe — one scalar per
-    round instead of an anti-join diff. Lineage is truncated each round
-    with localCheckpoint; on a real cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` so a lost
-    executor can recompute from stable storage.
-    """
+    Why star-contraction and not min-label propagation: propagation needs
+    O(diameter) rounds — the component minimum travels one hop per round —
+    and near-dup graphs DO have long chains (templated docs mutate
+    incrementally: doc_i ~ doc_{i+1}; measured on the sf0.1 fixture, label
+    propagation had not converged after 25 rounds while this converges in 7).
+    Star rounds rewire every node toward its neighborhood minimum, halving
+    component depth each pass: O(log^2 n) rounds on any graph.
+
+    Per round: two shuffles (groupBy for neighborhood minima, distinct on
+    the rewired edges) over the PAIR graph only — |pairs| ~ duplicate count,
+    orders of magnitude below corpus size. Convergence probe is an O(1)
+    (count, sum, sum) signature; lineage is truncated each round with
+    localCheckpoint (on a multi-node cluster prefer setCheckpointDir +
+    .checkpoint() so lost executors recover from stable storage)."""
     edges = (
-        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    prev_sum = None
+    prev_sig = None
     for _ in range(max_iter):
-        prop = edges.join(labels, edges["s"] == labels["node"]).select(
-            F.col("d").alias("node"), F.col("label")
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: every neighbor v > u re-points to min(N(u) ∪ {u})
+        m = bidir.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
         )
-        labels = (
-            prop.union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        large = (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: smaller neighbors (and u itself) re-point to their min
+        small_nb = bidir.filter(F.col("v") < F.col("u"))
+        sm = small_nb.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_nb.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = (
+            large.union(small)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])
+        if sig == prev_sig:
             break
-        prev_sum = cur_sum
-    return labels.select("node", F.col("label").alias("cluster_id"))
+        prev_sig = sig
+    # fixpoint edge set is the star {(x, min_C) : x ∈ C, x != min_C}
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------- embeddings

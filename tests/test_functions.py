@@ -178,6 +178,14 @@ def test_connected_components_merges_transitive_pairs(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain(spark):
+    # a 60-hop path: min-label propagation needs 60 rounds (O(diameter));
+    # star contraction must finish within the default max_iter (O(log^2 n))
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(60)])
+    out = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == {i: 0 for i in range(61)}
+
+
 def test_connected_components_handles_cycles_and_order(spark):
     # a cycle given in descending order must still converge to the min id
     pairs = spark.createDataFrame(
