@@ -702,8 +702,14 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF/lateral-view surface: posexplode of the whitespace token array
     (one-row-to-many-rows generator, the flatMap shape). Bounded to 50 docs
-    so the oracle compare stays cheap; the plan is a shuffle-free Generate."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    so the oracle compare stays cheap; the plan is a shuffle-free Generate.
+
+    Deliberately NOT via _t(): spread()'s repartition is a shuffle barrier
+    that would keep the doc_id predicate from reaching the parquet scan —
+    the whole text payload would shuffle just to keep 50 rows. A raw read
+    lets the filter push down (row-group skipping on doc_id min/max)."""
+    ensure_engine_confs(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "token")).select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "token"
