@@ -20,6 +20,7 @@ from kadiyadb_spark.functions import dedup as D
 from kadiyadb_spark.functions import multimodal as M
 from kadiyadb_spark.functions.num import round4_expr
 from kadiyadb_spark.functions import similarity as SIM
+from kadiyadb_spark.functions import skew as SK
 from kadiyadb_spark.functions import text as TX
 from kadiyadb_spark.session import ensure_engine_confs, spread
 
@@ -748,6 +749,33 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation correctness gate: the two-phase salted aggregation
+    (hot key spread over 16 reducers, then a tiny combine shuffle) must land
+    on EXACTLY the plain GROUP BY values — the oracle is the plain SQL."""
+    ev = _t(spark, sf_dir, "events")
+    r = SK.salted_sum_count(ev, ["event_type"], "value", unique_col="event_id", buckets=16)
+    return r.select(
+        "event_type",
+        round4_expr(F.col("total")).alias("total"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join correctness gate: the skewed side salts into 8 buckets and
+    the dim side replicates 8x so shuffle keys become (key, salt) — results
+    must equal the plain join (oracle). Covers the hot-key case AQE's
+    skew-join can't re-plan (broadcast-ineligible dim, pre-shuffle skew)."""
+    ev = _t(spark, sf_dir, "events").withColumn("c_custkey", F.col("user_id"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = SK.salted_join(ev, c, on="c_custkey", buckets=8, unique_col="event_id")
+    return j.groupBy("c_mktsegment").agg(
+        round4_expr(F.sum("value")).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -981,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "array_collect": q_array_collect,
         "string_funcs": q_string_funcs,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -1465,6 +1495,18 @@ SELECT c_custkey,
        CAST(length(c_name) AS BIGINT) AS name_len,
        lower(c_mktsegment) || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
 FROM customer
+"""
+
+    o["skew_salted_agg"] = """
+SELECT event_type, floor((sum(value)) * 10000 + 0.5) / 10000 AS total, count(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+    o["skew_salted_join"] = """
+SELECT c_mktsegment, floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
 """
 
     # ---- text ----

@@ -1,3 +1,3 @@
-from kadiyadb_spark.streaming.ingest import stream_track_agg, stream_track_raw
+from kadiyadb_spark.streaming.ingest import stream_dedup, stream_track_agg, stream_track_raw
 
-__all__ = ["stream_track_raw", "stream_track_agg"]
+__all__ = ["stream_track_raw", "stream_track_agg", "stream_dedup"]

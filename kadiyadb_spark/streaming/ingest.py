@@ -63,6 +63,33 @@ def stream_track_raw(
     return writer.start()
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon — the Structured Streaming form of exact dedup for
+    at-least-once sources (Kafka redelivers on rebalance; file sources
+    re-list on restart). State is one entry per key seen, EVICTED once the
+    watermark passes it, so memory is bounded by keys-per-horizon rather
+    than stream length. Compose upstream of stream_track_raw/agg for
+    exactly-once ingestion from an at-least-once source.
+
+    ``ts_col`` is ns-long (engine convention); truncated to µs event time
+    like the other streaming paths."""
+    evt = events.withColumn(
+        "_event_time",
+        F.timestamp_micros((F.col(ts_col).cast("long") / 1000).cast("long")),
+    )
+    return (
+        evt.withWatermark("_event_time", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("_event_time")
+    )
+
+
 def stream_track_agg(
     events: DataFrame,
     db: Database,

@@ -7,7 +7,7 @@ from pyspark.sql import types as T
 
 from kadiyadb_spark.catalog import Params
 from kadiyadb_spark.database import Database
-from kadiyadb_spark.streaming import stream_track_agg, stream_track_raw
+from kadiyadb_spark.streaming import stream_dedup, stream_track_agg, stream_track_raw
 
 # seconds-scale params so event-time watermarking is meaningful
 SEC = 1_000_000_000
@@ -105,3 +105,39 @@ def test_stream_agg_rejects_subsecond_resolution(spark, tmp_path):
     events = spark.readStream.schema(SRC_SCHEMA).parquet(str(src))
     with pytest.raises(ValueError, match="microsecond"):
         stream_track_agg(events, db, checkpoint=str(tmp_path / "ckpt_ns"))
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once delivery: the same event_id arriving again (same file or
+    a later micro-batch within the watermark) must be dropped before it can
+    double-count downstream."""
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.LongType()),
+            T2.StructField("eid", T2.StringType()),
+            T2.StructField("value", T2.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows1 = [(B0 + 5 * SEC, "e1", 5.0), (B0 + 6 * SEC, "e2", 7.0), (B0 + 5 * SEC, "e1", 5.0)]
+    rows2 = [(B0 + 6 * SEC, "e2", 7.0), (B0 + 8 * SEC, "e3", 1.0)]
+    for rows in (rows1, rows2):
+        spark.createDataFrame([Row(ts=r[0], eid=r[1], value=r[2]) for r in rows], schema).write.mode(
+            "append"
+        ).parquet(src)
+
+    events = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_dedup(events, ["eid"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.eid for r in spark.sql("SELECT eid FROM dedup_out").collect())
+    assert got == ["e1", "e2", "e3"]
