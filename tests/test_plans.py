@@ -94,3 +94,47 @@ def test_embedding_near_dup_single_shuffle(spark):
     plan = plan_str(D.embedding_near_duplicates(emb, threshold=0.9, num_centroids=4))
     # exactly one shuffle: partitioning by centroid bucket for applyInPandas
     assert n_shuffles(plan) == 1
+
+
+def test_ivf_index_search_prunes_to_probed_buckets(spark, tmp_path):
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0]) for i in range(64)])
+    q = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0, 0.0])])
+    idx = SIM.IVFIndex.build(emb, str(tmp_path / "ivf"), num_centroids=4)
+    plan = plan_str(idx.search(q, k=3, nprobe=2))
+    # the index scan must read only probed bucket directories
+    pf = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "centroid_id" in pf
+    # scoring fused map-side: the one exchange ranks pruned candidates
+    assert n_shuffles(plan) == 1
+
+
+def test_salted_agg_two_shuffles_no_more(spark):
+    from kadiyadb_spark.functions import skew as SK
+
+    ev = spark.createDataFrame([Row(k="hot", eid=i, v=1.0) for i in range(100)])
+    plan = plan_str(SK.salted_sum_count(ev, ["k"], "v", unique_col="eid", buckets=8))
+    # wide salted shuffle + tiny combine shuffle; partial aggregation
+    # (map-side combine) must appear before each
+    assert n_shuffles(plan) == 2
+    assert "partial_sum" in plan
+
+
+def test_entry_q6_pushes_all_predicates(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q6_selective_scan"](spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+
+
+def test_entry_q19_no_nested_loop_join(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q19_disjunctive"](spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    # the common equi-key must be factored out of the OR: hash join + filter,
+    # never a nested-loop/cartesian plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert n_broadcast_joins(plan) == 1
