@@ -749,6 +749,49 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRC_SCHEMA_DDL = "event_id long, ts long, user_id long, event_type string, value double"
+
+
+def _roundtrip_source_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Re-materialize events in a row format (JSONL/CSV), read back with an
+    EXPLICIT schema (inference costs an extra full scan at scale), and
+    aggregate. The oracle aggregates the original parquet — so the format
+    round-trip must be value-exact, doubles included (both writers emit
+    shortest round-trip decimal reprs). At 100 TB row formats live only at
+    the ingest boundary: land them to parquet/Delta immediately; this entry
+    IS that boundary."""
+    import tempfile
+
+    ensure_engine_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = f"{tempfile.mkdtemp(prefix='kdb_src_')}/events_{fmt}"
+    w = ev.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", True)
+    getattr(w, fmt)(path)
+    r = spark.read.schema(_SRC_SCHEMA_DDL)
+    if fmt == "csv":
+        r = r.option("header", True)
+    back = getattr(r, fmt)(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        round4_expr(F.sum("value")).alias("total_value"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def q_json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip (write -> schema-pinned read -> agg)."""
+    return _roundtrip_source_agg(spark, sf_dir, "json")
+
+
+def q_csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip (write -> schema-pinned read -> agg)."""
+    return _roundtrip_source_agg(spark, sf_dir, "csv")
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation correctness gate: the two-phase salted aggregation
     (hot key spread over 16 reducers, then a tiny combine shuffle) must land
@@ -1011,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
+        "json_source_agg": q_json_source_agg,
+        "csv_source_agg": q_csv_source_agg,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -1496,6 +1541,17 @@ SELECT c_custkey,
        lower(c_mktsegment) || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
 FROM customer
 """
+
+    # Source round-trips: the oracle reads the ORIGINAL parquet — any value
+    # drift introduced by the JSON/CSV writer+reader fails the hash.
+    _src_agg_sql = """
+SELECT event_type, count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       min(event_id) AS first_event
+FROM events GROUP BY event_type
+"""
+    o["json_source_agg"] = _src_agg_sql
+    o["csv_source_agg"] = _src_agg_sql
 
     o["skew_salted_agg"] = """
 SELECT event_type, floor((sum(value)) * 10000 + 0.5) / 10000 AS total, count(*) AS cnt
