@@ -749,6 +749,30 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + time-range join: for every error event, how many clicks
+    the same user made in the preceding 5 minutes. Executed via the
+    bucket decomposition (timeops.range_join_bucketed): a HASH join on
+    (user, time-bucket) + exact residual — never the per-key nested loop a
+    raw BETWEEN join degrades to. Outer semantics recovered by aggregating
+    the inner pairs and left-joining the counts back."""
+    from kadiyadb_spark.functions import timeops as TO
+
+    # µs precision for oracle comparability (see q_asof_join)
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    pairs = TO.range_join_bucketed(errors, clicks, ["user_id"], lower=-5 * 60 * SEC, upper=0)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("_n"))
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_prior_clicks"),
+    )
+
+
 _SRC_SCHEMA_DDL = "event_id long, ts long, user_id long, event_type string, value double"
 
 
@@ -1056,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
+        "range_join_counts": q_range_join_counts,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -1540,6 +1565,18 @@ SELECT c_custkey,
        CAST(length(c_name) AS BIGINT) AS name_len,
        lower(c_mktsegment) || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
 FROM customer
+"""
+
+    o["range_join_counts"] = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events),
+err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - {5 * 60 * SEC} AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id
 """
 
     # Source round-trips: the oracle reads the ORIGINAL parquet — any value

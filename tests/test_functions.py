@@ -307,3 +307,45 @@ def test_frame_sample_binary_safe(spark):
     assert len(frames) == 8
     reassembled = b"".join(bytes(f.frame_payload) for f in sorted(frames, key=lambda f: f.frame_idx))
     assert reassembled == payload
+
+
+# ---------------------------------------------------------------- timeops
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    from kadiyadb_spark.functions import timeops as TO
+
+    import random
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [Row(k=rnd.randint(0, 3), ts=rnd.randint(0, 1000), lid=i) for i in range(60)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=rnd.randint(0, 3), r_ts=rnd.randint(0, 1000), rid=i) for i in range(60)]
+    )
+    lower, upper = -70, 30  # window straddles bucket boundaries
+    got = sorted(
+        (r.lid, r.rid)
+        for r in TO.range_join_bucketed(left, right, ["k"], lower, upper).collect()
+    )
+    naive = sorted(
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.k == r.k and l.ts + lower <= r.r_ts < l.ts + upper
+    )
+    assert got == naive
+
+
+def test_range_join_rejects_bad_args(spark):
+    from kadiyadb_spark.functions import timeops as TO
+
+    df = spark.createDataFrame([Row(k=1, ts=0)])
+    df2 = spark.createDataFrame([Row(k=1, r_ts=0)])
+    with pytest.raises(ValueError, match="lower < upper"):
+        TO.range_join_bucketed(df, df2, ["k"], 5, 5)
+    with pytest.raises(ValueError, match="inner-only"):
+        TO.range_join_bucketed(df, df2, ["k"], 0, 5, how="left")
+    with pytest.raises(ValueError, match="distinct"):
+        TO.range_join_bucketed(df, df.withColumnRenamed("k", "k2"), ["k"], 0, 5, right_ts="ts")

@@ -138,3 +138,15 @@ def test_entry_q19_no_nested_loop_join(spark):
     # never a nested-loop/cartesian plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert n_broadcast_joins(plan) == 1
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    from kadiyadb_spark.functions import timeops as TO
+
+    left = spark.createDataFrame([Row(k=i % 3, ts=i * 10, lid=i) for i in range(50)])
+    right = spark.createDataFrame([Row(k=i % 3, r_ts=i * 7, rid=i) for i in range(50)])
+    plan = plan_str(TO.range_join_bucketed(left, right, ["k"], -50, 50))
+    # the bucket decomposition must keep this an equi hash/sort-merge join;
+    # a raw BETWEEN join degrades to BroadcastNestedLoopJoin
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
