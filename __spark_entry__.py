@@ -312,6 +312,34 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u("click").intersect(u("purchase")).subtract(u("error"))
 
 
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles with a TOLERANCE oracle
+    (same pattern as approx_distinct): the sketch value is engine-specific,
+    so the hashed output carries the exact percentile plus a within-epsilon
+    flag the oracle pins TRUE. At 100 TB the sketch is the only option —
+    exact percentile_cont needs a full sort; GK merges partial sketches
+    map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    eps = 0.01
+    exact = F.expr("percentile(l_extendedprice, 0.5D)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)")
+    r = li.groupBy("l_returnflag").agg(
+        round4_expr(exact).alias("p50_exact"),
+        approx.alias("_approx"),
+        F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))").alias("_band"),
+    )
+    # GK guarantee: rank error <= eps*n, so the estimate must lie within the
+    # [p45, p55] value band (eps=0.01 << 0.05 margin).
+    return r.select(
+        "l_returnflag",
+        "p50_exact",
+        (
+            (F.col("_approx") >= F.element_at("_band", 1))
+            & (F.col("_approx") <= F.element_at("_band", 2))
+        ).alias("within_band"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct, gated by a TOLERANCE oracle: the estimate
     itself is engine-specific, so the hashed output carries the exact count
@@ -1055,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "set_ops": q_set_ops,
         "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "topk_users": q_topk_users,
         "window_daily_running": q_window_daily_running,
@@ -1365,6 +1394,15 @@ SELECT user_id, day, floor((dv) * 10000 + 0.5) / 10000 AS day_value,
        floor((sum(dv) OVER (PARTITION BY user_id ORDER BY day)) * 10000 + 0.5) / 10000 AS running_value,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS day_rank
 FROM daily
+"""
+
+    # Tolerance oracle: the GK percentile sketch must land inside the exact
+    # [p45, p55] value band (flag computed Spark-side, pinned TRUE here).
+    o["approx_quantile"] = """
+SELECT l_returnflag,
+       floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50_exact,
+       TRUE AS within_band
+FROM lineitem GROUP BY l_returnflag
 """
 
     # Tolerance oracle: asserts the HLL++ estimate landed within 3*rsd of the

@@ -7,4 +7,4 @@ scale-minded (built-in functions, no row-at-a-time Python in hot paths,
 blocking/LSH instead of quadratic self-joins).
 """
 
-from kadiyadb_spark.functions import dedup, multimodal, similarity, text  # noqa: F401
+from kadiyadb_spark.functions import dedup, multimodal, similarity, skew, text, timeops  # noqa: F401

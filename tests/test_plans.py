@@ -150,3 +150,26 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     # a raw BETWEEN join degrades to BroadcastNestedLoopJoin
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join via bucketBy: both sides bucketed on the join key
+    land pre-partitioned, so the sort-merge join needs NO Exchange — the
+    layout a 100 TB fact/fact join should use (bucket pruning + no shuffle
+    beats paying the full shuffle per join)."""
+    # warehouse dir is a static conf, set in conftest (/tmp/kdb_test_warehouse)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        a = spark.createDataFrame([Row(k=i % 50, va=float(i)) for i in range(500)])
+        b = spark.createDataFrame([Row(k=i % 50, vb=float(i * 2)) for i in range(500)])
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_a")
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_b")
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = plan_str(joined)
+        assert "SortMergeJoin" in plan
+        assert n_shuffles(plan) == 0, plan  # bucketing replaces the shuffle
+        assert joined.count() == 5000  # 500 x 10 matches per key bucket
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

@@ -141,3 +141,63 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.eid for r in spark.sql("SELECT eid FROM dedup_out").collect())
     assert got == ["e1", "e2", "e3"]
+
+
+def test_stream_stream_join_within_watermark(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds: purchases join the
+    same user's views from the preceding hour; both sides watermarked so
+    state is evicted (unbounded-state joins OOM a real cluster)."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.LongType()),
+            T2.StructField("uid", T2.StringType()),
+            T2.StructField("kind", T2.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows = [
+        (B0 + 10 * SEC, "u1", "view"),
+        (B0 + 20 * SEC, "u1", "purchase"),   # joins the view 10s earlier
+        (B0 + 30 * SEC, "u2", "purchase"),   # no prior view -> no row
+        (B0 + 40 * SEC, "u2", "view"),       # later view doesn't match
+    ]
+    spark.createDataFrame([Row(ts=r[0], uid=r[1], kind=r[2]) for r in rows], schema).write.parquet(src)
+
+    def side(kind, ts_name):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F2.col("kind") == kind)
+            .select(
+                F2.col("uid"),
+                F2.timestamp_micros((F2.col("ts") / 1000).cast("long")).alias(ts_name),
+            )
+            .withWatermark(ts_name, "1 hour")
+        )
+    views, purchases = side("view", "v_time"), side("purchase", "p_time")
+    joined = purchases.join(
+        views,
+        F2.expr("uid = uid"),  # placeholder replaced below by explicit condition
+        "inner",
+    ) if False else purchases.alias("p").join(
+        views.alias("v"),
+        F2.expr(
+            "p.uid = v.uid AND v_time >= p_time - INTERVAL 1 HOUR AND v_time < p_time"
+        ),
+        "inner",
+    )
+    q = (
+        joined.select(F2.col("p.uid").alias("uid"), "p_time", "v_time")
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.uid,) for r in spark.sql("SELECT uid FROM ss_join_out").collect()]
+    assert got == [("u1",)]
