@@ -1042,6 +1042,19 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: nearest-neighbor sample of the fake-decoded pixel
+    grid to 8x8, checksum of sampled bytes as the verifiable output."""
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    r = M.resize_images(media, out_w=8, out_h=8, fake=True)
+    return r.select(
+        "asset_id",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "pix_checksum",
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.to_media_table(_t(spark, sf_dir, "documents"))
     feats = M.decode_images(media, fake=True)
@@ -1128,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1976,6 +1990,28 @@ SELECT doc_id AS asset_id,
        CAST((list_sum([ord(substr(text, i, 1)) for i in range(1, len(text) + 1)]) % 1000003) % 64 + 1 AS BIGINT) AS width,
        CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS height
 FROM documents
+"""
+
+    # 8x8 nearest-neighbor sample over the fake-decoded w x h grid: the 64
+    # sampled positions are generated here as explicit SQL terms (w/h are
+    # per-row columns, so each term's arithmetic stays in SQL).
+    _bsum = f"list_sum([ord(substr(text, i, 1)) for i in range(1, len(text) + 1)])"
+    _pix_terms = " + ".join(
+        f"(CASE WHEN (({j} * h) // 8) * w + (({i} * w) // 8) + 1 <= n "
+        f"THEN ord(substr(text, CAST((({j} * h) // 8) * w + (({i} * w) // 8) + 1 AS INT), 1)) ELSE 0 END)"
+        for j in range(8)
+        for i in range(8)
+    )
+    o["multimodal_resize"] = f"""
+WITH dims AS (
+  SELECT doc_id, text, len(text) AS n,
+         ({_bsum} % 1000003) % 64 + 1 AS w,
+         octet_length(encode(text)) % 64 + 1 AS h
+  FROM documents
+)
+SELECT doc_id AS asset_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       CAST(({_pix_terms}) % 1000003 AS BIGINT) AS pix_checksum
+FROM dims
 """
 
     o["multimodal_frames"] = """

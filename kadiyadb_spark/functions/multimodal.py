@@ -94,6 +94,59 @@ def decode_images(media: DataFrame, fake: bool = True, batch_hint: int = 256) ->
     return media.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pix_checksum", T.LongType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, out_w: int, out_h: int) -> dict:
+    """Deterministic stand-in for image resize: lay the payload out row-major
+    as the fake-decoded width x height pixel grid and nearest-neighbor sample
+    an out_w x out_h grid (positions past the payload read as 0). The
+    checksum of sampled 'pixels' is the verifiable output."""
+    d = _fake_decode(payload)
+    w, h, n = d["width"], d["height"], len(payload)
+    tot = 0
+    for j in range(out_h):
+        r = (j * h) // out_h
+        for i in range(out_w):
+            c = (i * w) // out_w
+            pos = r * w + c
+            tot += payload[pos] if pos < n else 0
+    return {"out_w": out_w, "out_h": out_h, "pix_checksum": tot % 1_000_003}
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing via mapInPandas (Arrow batches), same stub contract as
+    decode_images: ``fake=False`` is the production signature (PIL/libvips
+    kernel) and raises here; the deterministic fake kernel keeps schema,
+    batching and output typing real and oracle-checkable."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resizing requires PIL/libvips, not present in this "
+            "container; use fake=True for the deterministic stand-in"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_resize(p if p is not None else b"", out_w, out_h)
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing demo: slice the payload at a fixed stride
     into up to ``max_frames`` chunks (what video frame extraction looks like

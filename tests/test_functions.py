@@ -349,3 +349,21 @@ def test_range_join_rejects_bad_args(spark):
         TO.range_join_bucketed(df, df2, ["k"], 0, 5, how="left")
     with pytest.raises(ValueError, match="distinct"):
         TO.range_join_bucketed(df, df.withColumnRenamed("k", "k2"), ["k"], 0, 5, right_ts="ts")
+
+
+def test_resize_images_golden_and_stub(spark):
+    payload = bytes(range(1, 201))  # 200 bytes: w=(sum%1000003)%64+1, h=200%64+1
+    media = spark.createDataFrame(
+        [Row(asset_id=0, media_type="image", payload=payload, n_bytes=len(payload))]
+    )
+    r = M.resize_images(media, out_w=4, out_h=4).collect()[0]
+    s = sum(payload) % 1_000_003
+    w, h = (s % 64) + 1, (len(payload) % 64) + 1
+    want = 0
+    for j in range(4):
+        for i in range(4):
+            pos = ((j * h) // 4) * w + ((i * w) // 4)
+            want += payload[pos] if pos < len(payload) else 0
+    assert (r.out_w, r.out_h, r.pix_checksum) == (4, 4, want % 1_000_003)
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, fake=False)
