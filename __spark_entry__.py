@@ -801,6 +801,29 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) re-layout round-trip: cluster events by interleaved
+    (time, user) bits, write, read back, aggregate. The oracle aggregates
+    the ORIGINAL table — re-layout must be content-preserving; the skipping
+    payoff (every cluster column's per-file min-max span narrow) is
+    quantified in tests/test_layout.py."""
+    import tempfile
+
+    from kadiyadb_spark.layout import quantize_expr, zorder_layout
+
+    ensure_engine_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qt = quantize_expr(F.col("ts"), T0, T_END, bits=8)
+    qu = quantize_expr(F.col("user_id"), 0, 10_000, bits=8)
+    out = f"{tempfile.mkdtemp(prefix='kdb_z_')}/events_z"
+    zorder_layout(ev, [qt, qu], num_files=8).write.parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        round4_expr(F.sum("value")).alias("total_value"),
+    )
+
+
 _SRC_SCHEMA_DDL = "event_id long, ts long, user_id long, event_type string, value double"
 
 
@@ -1123,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
         "range_join_counts": q_range_join_counts,
+        "zorder_layout": q_zorder_layout,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -1641,6 +1665,13 @@ FROM events GROUP BY event_type
 """
     o["json_source_agg"] = _src_agg_sql
     o["csv_source_agg"] = _src_agg_sql
+
+    # Layout change only — values must round-trip bit-exactly.
+    o["zorder_layout"] = """
+SELECT event_type, count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value
+FROM events GROUP BY event_type
+"""
 
     o["skew_salted_agg"] = """
 SELECT event_type, floor((sum(value)) * 10000 + 0.5) / 10000 AS total, count(*) AS cnt
