@@ -220,9 +220,14 @@ class Database:
         return self.expire(now_ts - self.params.retention)
 
     # -- maintenance ----------------------------------------------------------
-    def compact(self, max_files_per_epoch: int = 1) -> list[int]:
+    def compact(self, max_files_per_epoch: int = 1, sort_series: bool = True) -> list[int]:
         """Rewrite fragmented epoch partitions down to ``max_files_per_epoch``
-        parquet files each.
+        parquet files each, by default sorted series-major
+        (depth, f1..fN, bucket) — each series' slots become contiguous runs,
+        the parquet analog of the reference's record-major block layout
+        (block/block.go:53-61: rows r0..rM x slots p0..pN), and row-group
+        min-max stats on the dimension and bucket columns both narrow, so
+        exact-path fetches skip row groups.
 
         Why this exists: ``track``/``merge_replace`` rewrite each TOUCHED
         epoch per micro-batch (dynamic partition overwrite), so frequent
@@ -249,11 +254,15 @@ class Database:
             if n_files <= max_files_per_epoch:
                 continue
             epoch = int(name.split("=", 1)[1])
+            part = self.cube().filter(F.col(S.EPOCH) == epoch).coalesce(max_files_per_epoch)
+            if sort_series:
+                # epoch leads the sort so the partitioned-write path sees its
+                # ordering requirement already satisfied and does NOT insert
+                # its own (order-scrambling) sort on the partition column
+                fcols = S.field_cols(len(self.params.fields))
+                part = part.sortWithinPartitions(S.EPOCH, S.DEPTH, *fcols, S.BUCKET)
             (
-                self.cube()
-                .filter(F.col(S.EPOCH) == epoch)
-                .coalesce(max_files_per_epoch)
-                .write.partitionBy(S.EPOCH)
+                part.write.partitionBy(S.EPOCH)
                 .mode("overwrite")
                 .parquet(self.cube_path)
             )

@@ -89,3 +89,28 @@ def test_compact_reduces_files_preserves_values(spark, tmp_path):
     assert _pts(db.fetch(0, 5, ["a", "b"])) == before
     # idempotent: nothing left to compact
     assert db.compact(max_files_per_epoch=1) == []
+
+
+def test_compact_sorts_series_major(spark, tmp_path):
+    """Compacted epochs are series-major (depth, f1.., bucket): each series'
+    slots are contiguous in the file — the reference's record-major block
+    layout (block/block.go:53-61) — so dimension row-group stats narrow."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    rows = [
+        Row(ts=(i % 4) * P.resolution, x=f"x{i % 3}", y=f"y{i % 2}", v=1.0)
+        for i in range(24)
+    ]
+    db.track(spark.createDataFrame(rows), total_col="v")
+    # fragment epoch 0 the way an out-of-band writer would: an appended file
+    extra = db.cube().limit(1).withColumn("f1", F.lit("zzz"))
+    extra.write.mode("append").partitionBy("epoch").parquet(db.cube_path)
+    assert db.compact(max_files_per_epoch=1) != []
+    # parquet preserves in-file row order: the read-back must be sorted
+    got = [
+        (r["depth"], r["f1"] or "", r["f2"] or "", r["bucket"])
+        for r in db.cube().collect()
+    ]
+    assert got == sorted(got)
