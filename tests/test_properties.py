@@ -144,3 +144,68 @@ def test_p4_merge_increment_associative(spark, events, cut):
     else:
         merged = merge_increment(_cube(spark, first), _cube(spark, second), max_depth=2)
     assert _rows(merged) == whole
+
+
+# P6: connected_components partitions the node set into reachability classes
+# with min-id representatives — checked against a pure-python union-find.
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=pairs_strategy)
+@SETTINGS
+def test_p6_connected_components_match_union_find(spark, pairs):
+    from kadiyadb_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+# P7: bucketed range join == the naive quadratic definition, any window.
+range_rows = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=0, max_size=25)
+
+
+@given(
+    lrows=range_rows,
+    rrows=range_rows,
+    lower=st.integers(-80, 40),
+    width=st.integers(1, 90),
+)
+@SETTINGS
+def test_p7_range_join_equals_naive(spark, lrows, rrows, lower, width):
+    from kadiyadb_spark.functions.timeops import range_join_bucketed
+
+    upper = lower + width
+    left = spark.createDataFrame(
+        [Row(k=k, ts=ts, lid=i) for i, (k, ts) in enumerate(lrows)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, r_ts=ts, rid=i) for i, (k, ts) in enumerate(rrows)], "k long, r_ts long, rid long"
+    )
+    got = sorted((r.lid, r.rid) for r in range_join_bucketed(left, right, ["k"], lower, upper).collect())
+    want = sorted(
+        (i, j)
+        for i, (lk, lts) in enumerate(lrows)
+        for j, (rk, rts) in enumerate(rrows)
+        if lk == rk and lts + lower <= rts < lts + upper
+    )
+    assert got == want
