@@ -1042,6 +1042,18 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(base, queries, k=5, num_centroids=8, nprobe=2)
 
 
+def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index path: build once to parquet (assignments
+    partitioned by centroid_id), then search with partition-pruned bucket
+    scans. Same centroids/probe order as ivf_topk, so the same SQL oracle
+    gates it — proving index-then-search lands on identical results."""
+    import tempfile
+
+    base, queries = _queries_vs_base(spark, sf_dir)
+    idx = SIM.IVFIndex.build(base, f"{tempfile.mkdtemp(prefix='kdb_ivf_')}/idx", num_centroids=8)
+    return idx.search(queries, k=5, nprobe=2)
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, queries = _queries_vs_base(spark, sf_dir)
     return SIM.lsh_topk(base, queries, k=5, nbits=6)
@@ -1162,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_index": q_sim_ivf_index,
         "sim_lsh_topk": q_sim_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
@@ -1978,6 +1991,8 @@ FROM ranked WHERE rnk <= 5
     # Mirrors lsh_topk: hyperplanes = the 6 lowest-id base vectors; bucket =
     # sign bits of the inner products (bit j from the j-th lowest hyperplane
     # id); each query probes its bucket and every single-bit flip.
+    o["sim_ivf_index"] = o["sim_ivf_topk"]
+
     o["sim_lsh_topk"] = """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
 hyper AS (SELECT vec_id AS hid, v AS hv FROM base ORDER BY vec_id ASC LIMIT 6),
