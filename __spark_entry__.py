@@ -999,6 +999,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-fingerprint near-dup candidates: docs sharing >= 2 of their 4
+    min window hashes. Local-feature blocking — robust to prepended/appended
+    content that shifts whole-document signatures."""
+    return D.winnow_near_duplicates(
+        _t(spark, sf_dir, "documents"), k=8, num_mins=4, min_shared=2
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash-LSH pairs -> connected
     components (iterative min-label propagation; an iterative algorithm the
@@ -1234,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "pipeline_curate": q_pipeline_curate,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1910,6 +1920,20 @@ jac AS (
     o["dedup_minhash_lsh"] = f"""
 WITH {_minhash_pairs_cte}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+"""
+
+    o["dedup_winnow_pairs"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+h AS (SELECT doc_id,
+        list_sort(list_distinct(
+          [CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)
+           for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS hs
+      FROM d),
+mins AS (SELECT doc_id, unnest([hs[1], hs[2], hs[3], hs[4]]) AS hv FROM h),
+dmins AS (SELECT DISTINCT doc_id, hv FROM mins)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM dmins a JOIN dmins b ON a.hv = b.hv AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
     # Transitive closure of the SAME pair graph: min reachable id per node.

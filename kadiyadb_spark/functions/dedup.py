@@ -320,6 +320,54 @@ def simhash_near_duplicates(
     )
 
 
+# ---------------------------------------------------------------- winnowing
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_mins: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidates via winnowing fingerprints (MOSS-style): each doc
+    keeps its ``num_mins`` smallest k-gram window hashes; docs sharing a min
+    hash almost surely share a k-gram, and sharing >= ``min_shared`` of them
+    indicates substantial overlap. Output (id_a, id_b, n_shared).
+
+    Blocking shape: explode num_mins values per doc, self-join on the HASH
+    VALUE (position-independent) — the bucket key is a content hash, so
+    bucket sizes track duplicate-group sizes exactly like MinHash bands.
+    A 4th independent candidate generator beside MinHash-LSH bands, SimHash
+    chunks and IVF-blocked embeddings; useful because winnowing mins are
+    LOCAL features (robust to appended/prepended content that shifts every
+    MinHash signature)."""
+    from kadiyadb_spark.functions.text import winnow_fingerprint
+
+    fp = winnow_fingerprint(df, text_col, id_col, k, num_mins)
+    exploded = fp.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"min{j}") for j in range(num_mins)])).alias("h"),
+    ).distinct()
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------- clustering
 
 

@@ -367,3 +367,13 @@ def test_resize_images_golden_and_stub(spark):
     assert (r.out_w, r.out_h, r.pix_checksum) == (4, 4, want % 1_000_003)
     with pytest.raises(NotImplementedError):
         M.resize_images(media, fake=False)
+
+
+def test_winnow_near_duplicates_local_feature_blocking(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs very far away tonight"
+    # appended prefix shifts every positional feature but not local k-grams
+    shifted = "breaking news update: " + base
+    unrelated = "entirely different material concerning database query optimizers"
+    out = D.winnow_near_duplicates(_docs(spark, [base, shifted, unrelated]), min_shared=2).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].n_shared >= 2
