@@ -728,6 +728,49 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with heterogeneous sets ((region), (nation),
+    ()) — the general form rollup/cube are shorthands for; via spark.sql to
+    exercise the SQL parser path. One hash aggregate with set expansion."""
+    ensure_engine_confs(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue,
+               count(*) AS n_orders
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one line
+    shipped more than 60 days after ordering. Catalyst decorrelates the
+    EXISTS into a left-semi join on o_orderkey with the date residual."""
+    ensure_engine_confs(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ex_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM ex_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM ex_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets surface: (event_type x day-of-week) with all four
     grouping combinations. dow is computed with pure int64 arithmetic (ts is
@@ -1222,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "correlated_subquery": q_correlated_subquery,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "exists_subquery": q_exists_subquery,
         "cube_grouping": q_cube_grouping,
         "pivot_event_matrix": q_pivot_event_matrix,
         "window_frames": q_window_frames,
@@ -1697,6 +1742,27 @@ SELECT o_orderkey, o_custkey,
 FROM orders o
 WHERE o_totalprice > 1.5 * (
     SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+    o["grouping_sets_mixed"] = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+"""
+
+    o["exists_subquery"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
 """
 
     week_ns = 7 * 24 * 3600 * SEC
