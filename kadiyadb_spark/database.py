@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from kadiyadb_spark import schema as S
 from kadiyadb_spark.catalog import Params
-from kadiyadb_spark.ingest import merge_increment, track_batch
+from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import fetch as fetch_df
 
 
@@ -53,24 +53,39 @@ class Database:
         return len(self.params.fields)
 
     def cube(self) -> DataFrame:
-        """The cube as a DataFrame; empty-schema DataFrame if nothing written
-        yet. Partition column ``epoch`` comes back typed long."""
+        """The cube as a DataFrame, FOLDED to one row per cube key.
+
+        ``track`` appends delta files (LSM-style, see its docstring), so an
+        epoch directory may hold several partial rows per (bucket, fields,
+        depth) key; the fold is a sum groupBy — exact, because the Point is
+        a decomposable (total, count) pair (SURVEY §1.1). Catalyst pushes
+        epoch/dimension predicates below the fold (grouping-key filters), so
+        partition pruning and row-group skipping still reach the scan; after
+        ``compact`` the fold is a per-key identity. Empty-schema DataFrame if
+        nothing written yet; partition column ``epoch`` comes back long."""
         if not os.path.isdir(self.cube_path):
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
         df = self.spark.read.parquet(self.cube_path)
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
-        return df.select(*[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))])
+        df = df.select(*[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))])
+        keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
+        return df.groupBy(*keys).agg(
+            F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT)
+        ).select(*cols)
 
     # -- O1 Track (micro-batch) ---------------------------------------------
     def track(self, events: DataFrame, ts_col: str = "ts", total_col: str = "value", count_col: str | None = None) -> None:
-        """Merge-increment a batch of events into the persisted cube.
+        """Append-increment a batch of events into the persisted cube.
 
-        Scale path: aggregate the batch to cube deltas (one shuffle), find
-        the touched epochs (a tiny distinct on the delta), read ONLY those
-        epoch partitions back, merge, and dynamic-partition-overwrite them.
-        Untouched epochs are never read or written — equivalent to the
-        reference only mmap-ing RW epochs (epoch/cache.go:94-132).
-        """
+        LSM-style write path: aggregate the batch to cube deltas (one
+        shuffle) and APPEND them as new files under the touched epoch
+        partitions — no read, no rewrite, no driver-side epoch listing. The
+        old merge-by-rewrite path re-read and overwrote every touched epoch
+        per micro-batch (write amplification ~ epoch size / batch size, the
+        design risk VERDICT r1 carried forward); appends make the write cost
+        proportional to the BATCH, like the reference's in-place atomic adds
+        (block/blockrw.go:60-78). Reads fold the deltas exactly (see
+        ``cube``); periodic ``compact`` folds them physically."""
         p = self.params
         delta = track_batch(
             events,
@@ -81,28 +96,12 @@ class Database:
             resolution=p.resolution,
             duration=p.duration,
         )
-        if not os.path.isdir(self.cube_path):
-            (
-                delta.repartition(S.EPOCH)
-                .write.partitionBy(S.EPOCH)
-                .mode("overwrite")
-                .parquet(self.cube_path)
-            )
-            return
-        delta = delta.persist()
-        try:
-            touched = [r[0] for r in delta.select(S.EPOCH).distinct().collect()]
-            existing = self.cube().filter(F.col(S.EPOCH).isin(touched))
-            merged = merge_increment(existing, delta, self.max_depth)
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            (
-                merged.repartition(S.EPOCH)
-                .write.partitionBy(S.EPOCH)
-                .mode("overwrite")
-                .parquet(self.cube_path)
-            )
-        finally:
-            delta.unpersist()
+        (
+            delta.repartition(S.EPOCH)
+            .write.partitionBy(S.EPOCH)
+            .mode("append")
+            .parquet(self.cube_path)
+        )
 
     # -- streaming idempotency ------------------------------------------------
     def _stream_meta_path(self, stream_id: str) -> str:
@@ -229,19 +228,16 @@ class Database:
         min-max stats on the dimension and bucket columns both narrow, so
         exact-path fetches skip row groups.
 
-        Why this exists: ``track``/``merge_replace`` rewrite each TOUCHED
-        epoch per micro-batch (dynamic partition overwrite), so frequent
-        small batches amplify writes and can fragment an epoch into many
-        small files; a periodic compaction pass restores scan-friendly
-        layout. The strictly better design is a transactional MERGE (Delta/
-        Iceberg: ``MERGE INTO cube USING delta ON <cube key> WHEN MATCHED
-        THEN UPDATE SET total = t.total + s.total, cnt = ... WHEN NOT
-        MATCHED THEN INSERT``), which gives row-level upsert, atomic
-        data+marker commits for streaming idempotency (txn app ids), and
-        background OPTIMIZE — none of which plain parquet offers; those
-        formats are not in this container, so merge-by-rewrite + explicit
-        compact() is the honest parquet-native equivalent. Returns the list
-        of compacted epoch ids."""
+        Why this exists: ``track`` APPENDS one delta file set per
+        micro-batch (LSM write path — no write amplification), so a
+        frequently-written epoch accumulates files and every read re-folds
+        them; compaction folds physically, restoring 1-row-per-key,
+        scan-friendly layout — the LSM memtable-flush/SSTable-merge role.
+        The reads-stay-exact guarantee comes from ``cube``'s fold. A
+        transactional table format (Delta/Iceberg MERGE + txn app ids +
+        OPTIMIZE) would add row-level upsert and atomic data+marker commits;
+        not available in this container — append+fold+compact is the honest
+        parquet-native equivalent. Returns the compacted epoch ids."""
         if not os.path.isdir(self.cube_path):
             return []
         compacted = []

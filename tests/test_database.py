@@ -108,9 +108,28 @@ def test_compact_sorts_series_major(spark, tmp_path):
     extra = db.cube().limit(1).withColumn("f1", F.lit("zzz"))
     extra.write.mode("append").partitionBy("epoch").parquet(db.cube_path)
     assert db.compact(max_files_per_epoch=1) != []
-    # parquet preserves in-file row order: the read-back must be sorted
+    # parquet preserves in-file row order; read RAW (cube()'s fold shuffles)
+    raw = spark.read.parquet(db.cube_path)
     got = [
         (r["depth"], r["f1"] or "", r["f2"] or "", r["bucket"])
-        for r in db.cube().collect()
+        for r in raw.collect()
     ]
     assert got == sorted(got)
+
+
+def test_track_appends_without_rewrite_and_folds_exactly(spark, tmp_path):
+    """LSM write path: each track() appends delta files (earlier files are
+    never rewritten), and cube() folds duplicates to exact sums."""
+    import os
+
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    part = os.path.join(db.cube_path, "epoch=0")
+    first_files = set(os.listdir(part))
+    db.track(_events(spark, [(0, "a", "b", 2.0)]), total_col="v")
+    after = set(os.listdir(part))
+    # append-only: the first batch's files survive untouched, new ones added
+    assert first_files <= after and len(after) > len(first_files)
+    # the fold is exact: one row per key, summed
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 3.0, 2.0)]
+    assert db.cube().filter("depth = 2").count() == 1
