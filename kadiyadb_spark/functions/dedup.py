@@ -426,11 +426,13 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(sm.select(F.col("u"), F.col("m").alias("v")))
         )
+        # lazy checkpoint: the signature aggregation right after is the job
+        # that materializes it — one job per round instead of two
         edges = (
             large.union(small)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])
         if sig == prev_sig:
