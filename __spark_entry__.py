@@ -189,6 +189,65 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) gated by
+    a REAL oracle: with one availableNow micro-batch, the sessionizer
+    deterministically emits every CLOSED session — all sessions except each
+    user's final one, which stays open in state when the stream drains. The
+    oracle is the batch gaps-and-islands sessionization minus each user's
+    last island."""
+    import os
+    import shutil
+    import tempfile
+
+    from kadiyadb_spark.schema import EVENTS_SCHEMA
+    from kadiyadb_spark.streaming.stateful import stream_sessionize
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_sess_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
+    # µs precision for oracle comparability (see q_asof_join)
+    evs = evs.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
+    sessions = stream_sessionize(evs, gap_ns=30 * 60 * SEC)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # NOT awaitTermination()/processAllAvailable(): after the data batch
+    # commits, availableNow holds an ACTIVE "cleaning up state" trigger
+    # waiting for pending processing-time timeouts (30 min per open
+    # session), so both calls block. Poll until the source reports drained
+    # ("No new data"), then stop — the data batch is committed by then, no
+    # timeout can have fired (gap >> runtime), so the emitted set is exactly
+    # the deterministic data-closed sessions.
+    import time as _time
+
+    t0 = _time.time()
+    while q.isActive and _time.time() - t0 < 300:
+        st = q.status
+        if not st["isDataAvailable"] and "No new data" in st["message"]:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(120)
+    from kadiyadb_spark.streaming.stateful import SESSION_SCHEMA
+
+    out = spark.read.schema(SESSION_SCHEMA).parquet(f"{tmp}/out")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        round4_expr(F.col("value_sum")).alias("value_sum"),
+    )
+
+
 def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 Expire: persist a cube, drop epoch partitions older than a mid-
     month cutoff (epoch/cache.go:136-156 — there RemoveAll of epoch dirs,
@@ -1239,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_read_equivalence": q_rollup_read_equivalence,
         "streaming_ingest": q_streaming_ingest,
         "streaming_agg": q_streaming_agg,
+        "streaming_sessionize": q_streaming_sessionize,
         "expire_retention": q_expire_retention,
         "catalog_load": q_catalog_load,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1432,6 +1492,35 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
     o["streaming_agg"] = o["streaming_ingest"]
+
+    # Closed sessions only: the batch gaps-and-islands sessionization minus
+    # each user's LAST island (still open in state when the source drains).
+    # The kernel sorts by ts alone; ts ties land in one session either way,
+    # so no event_id tiebreak is needed for any output column.
+    gap = 30 * 60 * SEC
+    o["streaming_sessionize"] = f"""
+WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {gap}
+              THEN 1 ELSE 0 END AS nf
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, sum(value) AS vsum
+  FROM sess GROUP BY user_id, sid
+),
+last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+       floor(a.vsum * 10000 + 0.5) / 10000 AS value_sum
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+"""
 
     # O11: only rows in epochs >= the cutoff survive an expire. The entry
     # uses DAILY epochs (see q_expire_retention), so the epoch floor here is
