@@ -610,6 +610,45 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 users by value per event type): the windowed
+    rank-filter shape. One shuffle for the user aggregate, one window
+    exchange keyed by the group — never a global sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("_v"))
+    w = Window.partitionBy("event_type").orderBy(F.col("_v").desc(), F.col("user_id").asc())
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            round4_expr(F.col("_v")).alias("total_value"),
+        )
+    )
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif-generated nulls, aggregate null
+    skipping (count(col) vs count(*)), coalesce defaults, and the null-safe
+    equality operator (<=> / IS NOT DISTINCT FROM). All-integer outputs, so
+    the gate is exact."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    n = F.nullif(k % 5, F.lit(0))
+    d = ev.select("event_type", n.alias("n"))
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n").alias("n_nonnull"),
+        F.count_if(F.col("n").isNull()).alias("n_null"),
+        F.sum(F.coalesce("n", F.lit(-1))).alias("sum_coalesced"),
+        F.count_if(F.col("n").eqNullSafe(F.lit(None).cast("long"))).alias("n_nullsafe_eq_null"),
+    )
+
+
 def q6_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly selective scan-aggregate. All three predicates
     push down to the parquet scan (no join, no shuffle beyond the final
@@ -1318,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "percentiles": q_percentiles,
         "date_extract": q_date_extract,
+        "topk_per_group": q_topk_per_group,
+        "null_semantics": q_null_semantics,
         "q6_selective_scan": q6_selective_scan,
         "q14_promo_ratio": q14_promo_ratio,
         "q18_large_orders": q18_large_orders,
@@ -1749,6 +1790,36 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue,
        min(o_orderkey) AS first_orderkey
 FROM orders GROUP BY 1, 2
+"""
+
+    o["topk_per_group"] = """
+WITH per AS (
+  SELECT event_type, user_id, sum(value) AS v
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v DESC, user_id ASC) AS rnk
+  FROM per
+)
+SELECT event_type, user_id, CAST(rnk AS BIGINT) AS rnk,
+       floor(v * 10000 + 0.5) / 10000 AS total_value
+FROM ranked WHERE rnk <= 3
+"""
+
+    o["null_semantics"] = """
+WITH d AS (
+  SELECT event_type,
+         nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 0) AS n
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(n) AS n_nonnull,
+       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(coalesce(n, -1)) AS BIGINT) AS sum_coalesced,
+       CAST(sum(CASE WHEN n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
+FROM d GROUP BY event_type
 """
 
     o["q6_selective_scan"] = """

@@ -16,8 +16,10 @@ This package reproduces those semantics Spark-first:
                           Database.expire is O11 (drop epochs older than a cutoff)
 - streaming.ingest        O1 streaming form: readStream -> windowed agg -> merge sink
 - streaming.stateful      applyInPandasWithState session assembly
-- functions.*             north-star ops: dedup, similarity, text analysis,
-                          multimodal, skew salting
+- functions.*             north-star ops: dedup (incl. clustering), similarity
+                          (incl. persisted IVFIndex), text analysis, multimodal,
+                          skew salting, bucketed time-range joins (timeops)
+- layout                  Z-order clustering for multi-column data skipping
 """
 
 from kadiyadb_spark.catalog import Params, load_all
