@@ -1167,8 +1167,13 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-score filter -> per-source token budget. Scale shape: one
     content-hash shuffle, one LSH band join, a star-contraction loop over
     the tiny pair graph, a source-keyed agg; no all-pairs stage anywhere."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    survivors = D.dedup_exact(docs)
+    # Persisted: feeds the minhash shingle table, the representative join
+    # AND the quality scorer — without it the content-hash dedup (scan +
+    # md5 groupBy + join) re-runs three times.
+    survivors = D.dedup_exact(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = D.minhash_near_duplicates(
         survivors, num_hashes=8, bands=4, shingle_k=8, threshold=0.1
     )
