@@ -248,6 +248,47 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup, oracle-gated: the source delivers EVERY
+    event twice (two copies of the file -> two micro-batches), stream_dedup
+    drops the re-deliveries by event_id across batches (watermark state far
+    wider than the data span), and the surviving aggregate must equal the
+    ORIGINAL table's — the oracle never sees the duplication."""
+    import os
+    import shutil
+    import tempfile
+
+    from kadiyadb_spark.schema import EVENTS_SCHEMA
+    from kadiyadb_spark.streaming.ingest import stream_dedup
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_sdedup_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/copy_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/copy_b.parquet")
+    evs = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force the duplicate into a SECOND batch
+        .parquet(f"{tmp}/events")
+    )
+    deduped = stream_dedup(evs, ["event_id"], watermark="90 days")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema(EVENTS_SCHEMA).parquet(f"{tmp}/out")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        round4_expr(F.sum("value")).alias("total_value"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 Expire: persist a cube, drop epoch partitions older than a mid-
     month cutoff (epoch/cache.go:136-156 — there RemoveAll of epoch dirs,
@@ -1343,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "streaming_agg": q_streaming_agg,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
         "expire_retention": q_expire_retention,
         "catalog_load": q_catalog_load,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1538,6 +1580,15 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
     o["streaming_agg"] = o["streaming_ingest"]
+
+    # Exactly-once under double delivery: the aggregate of what survives the
+    # streaming dedup must equal the aggregate of the ORIGINAL table.
+    o["streaming_dedup"] = """
+SELECT event_type, count(*) AS n_events,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       min(event_id) AS first_event
+FROM events GROUP BY event_type
+"""
 
     # Closed sessions only: the batch gaps-and-islands sessionization minus
     # each user's LAST island (still open in state when the source drains).
