@@ -1161,6 +1161,25 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: document frequency + collection frequency per
+    token, top-50 by df (token tiebreak). The foundation table for stopword
+    discovery and IDF weighting. ONE explode + ONE groupBy(token) — df and
+    cf come from the same shuffle via count_distinct(doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    all_t = docs.select("doc_id", F.explode(toks).alias("token"))
+    return (
+        all_t.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.count("*").alias("coll_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash window fingerprint (winnowing min-selection)."""
     return TX.winnow_fingerprint(_t(spark, sf_dir, "documents"), k=8, num_mins=4)
@@ -1432,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "text_vocab": q_text_vocab,
         "text_simhash": q_text_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2138,6 +2158,12 @@ FROM c
 
     o["text_fingerprint"] = f"""
 SELECT doc_id, md5({_DOC_NORM}) AS fp FROM documents
+"""
+
+    o["text_vocab"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, count(*) AS coll_freq
+FROM t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 50
 """
 
     o["text_winnow"] = f"""
