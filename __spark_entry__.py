@@ -1180,6 +1180,41 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (docs 0..19): term frequency joined
+    against the corpus document-frequency table (broadcast — vocabulary is
+    tiny relative to the corpus), idf = ln((N+1)/(df+1)). Rank ties break on
+    token; equal (tf, df) pairs produce bit-identical scores on both
+    engines, so the cut is deterministic."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    all_t = docs.select("doc_id", F.explode(toks).alias("token"))
+    n_docs = float(docs.count())
+    df_t = all_t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        all_t.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df_t), "token").withColumn(
+        "tfidf",
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("rnk").cast("long").alias("rnk"),
+            round4_expr(F.col("tfidf")).alias("tfidf"),
+        )
+    )
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash window fingerprint (winnowing min-selection)."""
     return TX.winnow_fingerprint(_t(spark, sf_dir, "documents"), k=8, num_mins=4)
@@ -1452,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "text_vocab": q_text_vocab,
+        "text_tfidf": q_text_tfidf,
         "text_simhash": q_text_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2164,6 +2200,26 @@ SELECT doc_id, md5({_DOC_NORM}) AS fp FROM documents
 WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
 SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, count(*) AS coll_freq
 FROM t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 50
+"""
+
+    o["text_tfidf"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE doc_id < 20 GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((n.nd + 1.0) / (dfx.df + 1.0)) AS tfidf
+  FROM tf CROSS JOIN n JOIN dfx ON tf.token = dfx.token
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, CAST(rnk AS BIGINT) AS rnk,
+       floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
+FROM ranked WHERE rnk <= 3
 """
 
     o["text_winnow"] = f"""
