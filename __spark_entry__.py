@@ -1346,6 +1346,22 @@ def _queries_vs_base(spark: SparkSession, sf_dir: str):
     return base, queries
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column analytics: per-label vector counts and norm
+    statistics — the sanity table a pipeline checks before indexing (zero
+    vectors, norm drift, label balance). Norms via the sequential JVM fold
+    (one pass; matches DuckDB's list_sum fold order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = SIM.norm_expr(F.col("embedding").cast("array<double>"))
+    d = emb.select("label", norm.alias("_n"))
+    return d.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        round4_expr(F.avg("_n")).alias("avg_norm"),
+        round4_expr(F.min("_n")).alias("min_norm"),
+        round4_expr(F.max("_n")).alias("max_norm"),
+    )
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, queries = _queries_vs_base(spark, sf_dir)
     return SIM.cosine_topk(base, queries, k=5)
@@ -1497,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "embedding_stats": q_embedding_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_index": q_sim_ivf_index,
@@ -2424,6 +2441,18 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.35
 """
 
     # ---- similarity ----
+    o["embedding_stats"] = """
+WITH n AS (
+  SELECT label, sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS nn
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+       floor(avg(nn) * 10000 + 0.5) / 10000 AS avg_norm,
+       floor(min(nn) * 10000 + 0.5) / 10000 AS min_norm,
+       floor(max(nn) * 10000 + 0.5) / 10000 AS max_norm
+FROM n GROUP BY label
+"""
+
     o["sim_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
