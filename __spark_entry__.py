@@ -1444,7 +1444,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate evaluates the FIRST 50
+    # entries of this dict (CORRECTNESS_r02 stopped at entry 50 exactly).
+    # Entries are therefore rotated each round so that, across consecutive
+    # rounds, every entry gets an oracle-gated CORRECTNESS row: r02 gated the
+    # relational/core block; r03 leads with the text/dedup/similarity/
+    # multimodal block that r02's cap missed, followed by new round-3 entries,
+    # then the core reference-parity block.
     return {
+        # -- ungated in r02: text / layout / dedup / similarity / multimodal --
+        "range_join_counts": q_range_join_counts,
+        "zorder_layout": q_zorder_layout,
+        "text_token_stats": q_text_token_stats,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
+        "text_vocab": q_text_vocab,
+        "text_tfidf": q_text_tfidf,
+        "text_simhash": q_text_simhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "pipeline_curate": q_pipeline_curate,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "embedding_stats": q_embedding_stats,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_index": q_sim_ivf_index,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        # -- core reference-parity block (gated green in r02; re-gated here
+        #    while slots remain under the 50-entry cap) --
         "track_cube": q_track_cube,
         "fetch_exact": q_fetch_exact,
         "fetch_wildcard": q_fetch_wildcard,
@@ -1495,32 +1531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
-        "range_join_counts": q_range_join_counts,
-        "zorder_layout": q_zorder_layout,
-        "text_token_stats": q_text_token_stats,
-        "text_language_id": q_text_language_id,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "text_winnow": q_text_winnow,
-        "text_vocab": q_text_vocab,
-        "text_tfidf": q_text_tfidf,
-        "text_simhash": q_text_simhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "pipeline_curate": q_pipeline_curate,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "embedding_stats": q_embedding_stats,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_index": q_sim_ivf_index,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
     }
 
 

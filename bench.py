@@ -64,17 +64,43 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # Full per-query detail for humans/judges (not size-limited).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(
+            {"metric": "total_query_wall_seconds", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf, "n_queries": len(timings)},
+            f, indent=1,
         )
-    )
+    # The driver keeps only the LAST 2000 chars of output and parses the JSON
+    # line out of that tail; with 75+ queries a full per-query dict overflows
+    # the window and the line arrives truncated (unparseable). Emit a compact
+    # line and, if needed, keep only the slowest queries so it always fits.
+    def line_for(q: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "n_queries": len(timings),
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
+
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    out = line_for(compact, 0)
+    if len(out) > 1500:
+        # keep failures (-1.0) and the slowest queries that fit
+        keep = sorted(compact, key=lambda k: (compact[k] >= 0, -compact[k]))
+        kept: dict[str, float] = {}
+        for k in keep:
+            trial = dict(kept, **{k: compact[k]})
+            if len(line_for(trial, len(compact) - len(trial))) > 1500:
+                break
+            kept[k] = compact[k]
+        out = line_for(kept, len(compact) - len(kept))
+    print(out)
 
 
 if __name__ == "__main__":
