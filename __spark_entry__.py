@@ -22,6 +22,7 @@ from kadiyadb_spark.functions.num import round4_expr
 from kadiyadb_spark.functions import similarity as SIM
 from kadiyadb_spark.functions import skew as SK
 from kadiyadb_spark.functions import text as TX
+from kadiyadb_spark.schema import normalize_ts
 from kadiyadb_spark.session import ensure_engine_confs, spread
 
 SEC = 1_000_000_000
@@ -36,12 +37,30 @@ WEEK1 = WEEK0 + 7 * 24 * 3600 * SEC
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # Event-time boundary: fixtures have stored ts as TIMESTAMP(NANOS)
+        # (read long via nanosAsLong) in one generation and timestamp[us]
+        # (TIMESTAMP_NTZ) in another. normalize_ts adapts to whatever the
+        # parquet footer says and emits the engine's long-ns convention, so
+        # every downstream `ts % <ns>` expression is type-stable.
+        df = normalize_ts(df, "ts")
     if name in ("documents", "embeddings", "events"):
         # Compute-heavy narrow tables: a small file scans as 1 partition,
         # serializing shingling/hashing/vector math onto one core. spread()
         # never shrinks, so it is a no-op once the table is genuinely large.
         df = spread(df)
     return df
+
+
+def _events_stream(spark: SparkSession, events_dir: str, sample: str) -> DataFrame:
+    """readStream over an events directory using the ACTUAL schema of the
+    parquet files (from a batch-read of ``sample``), with ts normalized to
+    long-ns. Never pins LongType over a timestamp column: the file source
+    would silently hand back raw int64 MICROseconds and every ns constant
+    downstream would be 1000x off without any error."""
+    actual = spark.read.parquet(sample).schema
+    evs = spark.readStream.schema(actual).parquet(events_dir)
+    return normalize_ts(evs, "ts")
 
 
 def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +149,6 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kadiyadb_spark.catalog import Params
     from kadiyadb_spark.database import Database
-    from kadiyadb_spark.schema import EVENTS_SCHEMA
     from kadiyadb_spark.streaming.ingest import stream_track_raw
 
     import os
@@ -147,7 +165,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tmp}/db",
         Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
     )
-    evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
+    evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
     q = stream_track_raw(evs, db, checkpoint=f"{tmp}/ckpt")
     q.awaitTermination()
     # tmp is intentionally left for the driver to read the lazy result;
@@ -169,7 +187,6 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kadiyadb_spark.catalog import Params
     from kadiyadb_spark.database import Database
-    from kadiyadb_spark.schema import EVENTS_SCHEMA
     from kadiyadb_spark.streaming.ingest import stream_track_agg
 
     ensure_engine_confs(spark)
@@ -182,7 +199,7 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tmp}/db",
         Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
     )
-    evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
+    evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
     q = stream_track_agg(evs, db, checkpoint=f"{tmp}/ckpt")
     q.awaitTermination()
     c = db.cube().withColumn("depth", F.col("depth").cast("long"))
@@ -200,14 +217,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from kadiyadb_spark.schema import EVENTS_SCHEMA
     from kadiyadb_spark.streaming.stateful import stream_sessionize
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sess_entry_")
     os.makedirs(f"{tmp}/events", exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
-    evs = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/events")
+    evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
     # µs precision for oracle comparability (see q_asof_join)
     evs = evs.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
     sessions = stream_sessionize(evs, gap_ns=30 * 60 * SEC)
@@ -258,7 +274,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from kadiyadb_spark.schema import EVENTS_SCHEMA
     from kadiyadb_spark.streaming.ingest import stream_dedup
 
     ensure_engine_confs(spark)
@@ -266,11 +281,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(f"{tmp}/events", exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/copy_a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/copy_b.parquet")
+    actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     evs = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(actual)
         .option("maxFilesPerTrigger", 1)  # force the duplicate into a SECOND batch
         .parquet(f"{tmp}/events")
     )
+    evs = normalize_ts(evs, "ts")
     deduped = stream_dedup(evs, ["event_id"], watermark="90 days")
     q = (
         deduped.writeStream.format("parquet")
@@ -281,7 +298,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.schema(EVENTS_SCHEMA).parquet(f"{tmp}/out")
+    # After normalize_ts the sink parquet carries long-ns ts already.
+    out = spark.read.parquet(f"{tmp}/out")
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         round4_expr(F.sum("value")).alias("total_value"),
@@ -1058,7 +1076,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.layout import quantize_expr, zorder_layout
 
     ensure_engine_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
     qt = quantize_expr(F.col("ts"), T0, T_END, bits=8)
     qu = quantize_expr(F.col("user_id"), 0, 10_000, bits=8)
     out = f"{tempfile.mkdtemp(prefix='kdb_z_')}/events_z"
@@ -1084,7 +1102,7 @@ def _roundtrip_source_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFra
     import tempfile
 
     ensure_engine_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     path = f"{tempfile.mkdtemp(prefix='kdb_src_')}/events_{fmt}"

@@ -84,7 +84,9 @@ def track_batch(
     if validate:
         df = validate_fields_df(df, fields)
 
-    ts = F.col(ts_col).cast("long")
+    # Event-time boundary: accept long-ns, TIMESTAMP, TIMESTAMP_NTZ, or DATE
+    # input and emit long-ns (schema.ts_ns_expr) — the engine convention.
+    ts = S.ts_ns_expr(df.schema[ts_col].dataType, ts_col)
     # ErrInvTime guard (database.go:156-158, 190-193): negative ts would
     # silently floor into negative buckets; raise at execution instead.
     # assert_true is NULL on pass, so the coalesce adds 0 and stays codegen.

@@ -9,6 +9,8 @@ fine-print #6).
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EPOCH = "epoch"  # ns, floor(ts/duration)*duration — the partition column
@@ -44,10 +46,55 @@ def cube_schema(max_depth: int) -> T.StructType:
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+        T.StructField("ts", T.LongType()),  # long-ns AFTER normalize_ts (engine convention)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Event-time normalization boundary.
+#
+# The engine's internal convention is int64 UTC NANOseconds (the reference
+# keys everything on uint64 ns, database.go:153-171). Input tables, however,
+# arrive however the producer wrote them: int64 ns (TIMESTAMP(NANOS) parquet
+# read via nanosAsLong), TIMESTAMP / TIMESTAMP_NTZ (µs), or DATE. Every
+# ingest path MUST pass event time through ts_ns_expr()/normalize_ts() so
+# the rest of the engine never sees anything but long-ns. Never pin a
+# LongType schema over a parquet timestamp column: the reader will hand back
+# the raw int64 MICROseconds without error and every ns-denominated constant
+# downstream is silently 1000x off.
+# --------------------------------------------------------------------------
+
+_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def ts_ns_expr(dtype: T.DataType, col: str | Column) -> Column:
+    """Column expression converting an event-time column of ``dtype`` to the
+    engine's long-ns convention.
+
+    Integral input is assumed to already be ns and passes through (cast to
+    long). TIMESTAMP_NTZ is interpreted as UTC wall-clock: the session
+    timezone is pinned to UTC (session.py), so the NTZ->TIMESTAMP cast is
+    deterministic and matches DuckDB's epoch_ns() on naive timestamps —
+    the two sides of the correctness gate agree by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(dtype, _INTEGRAL):
+        return c.cast("long")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return (F.unix_micros(c.cast("timestamp")) * F.lit(1000)).cast("long")
+    raise TypeError(f"cannot normalize event-time column of type {dtype.simpleString()} to long-ns")
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Replace ``col`` with its long-ns form (no-op projection if already
+    long). Works on batch and streaming DataFrames alike — it is a plain
+    projection, so it keeps whole-stage codegen and pushes through to scans."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        return df
+    return df.withColumn(col, ts_ns_expr(dtype, col))

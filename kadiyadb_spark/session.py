@@ -37,6 +37,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config(NANOS_AS_LONG, "true")
+        # The ts normalization boundary (schema.ts_ns_expr) interprets
+        # TIMESTAMP_NTZ wall-clocks as UTC; a non-UTC session tz would skew
+        # the NTZ->TIMESTAMP cast and diverge from DuckDB's epoch_ns().
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -86,5 +90,6 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable confs this engine needs on a session we did not
     create (e.g. the verification driver's). Safe to call repeatedly."""
     spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     return spark

@@ -77,11 +77,13 @@ def stream_dedup(
     than stream length. Compose upstream of stream_track_raw/agg for
     exactly-once ingestion from an at-least-once source.
 
-    ``ts_col`` is ns-long (engine convention); truncated to µs event time
-    like the other streaming paths."""
+    ``ts_col`` may be long-ns (engine convention) or a timestamp type —
+    normalized at the boundary (schema.ts_ns_expr), then truncated to µs
+    event time like the other streaming paths."""
+    ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
     evt = events.withColumn(
         "_event_time",
-        F.timestamp_micros((F.col(ts_col).cast("long") / 1000).cast("long")),
+        F.timestamp_micros((ts / 1000).cast("long")),
     )
     return (
         evt.withWatermark("_event_time", watermark)
@@ -111,7 +113,7 @@ def stream_track_agg(
     if n == 0:
         raise ValueError("database params must declare fields for streaming ingest")
 
-    ts = F.col(ts_col).cast("long")
+    ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
     # Same write-path rejection of ""/"*" field values as batch track
     # (index/node.go:200-214).
     events = validate_fields_df(events, list(p.fields))

@@ -116,9 +116,11 @@ def stream_sessionize(
     DataFrame of finalized sessions (append semantics)."""
     from pyspark.sql import functions as F
 
+    from kadiyadb_spark.schema import ts_ns_expr
+
     src = events.select(
         F.col(user_col).cast("long").alias("user_id"),
-        F.col(ts_col).cast("long").alias("ts"),
+        ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
     return src.groupBy("user_id").applyInPandasWithState(

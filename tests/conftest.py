@@ -9,6 +9,7 @@ def spark():
         .appName("kadiyadb-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.warehouse.dir", "/tmp/kdb_test_warehouse")

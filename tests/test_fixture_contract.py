@@ -1,0 +1,78 @@
+"""Fixture-contract tests: run representative entry queries against the
+DRIVER'S parquet fixtures (/root/testdata/sf0.001), not synthetic in-memory
+frames.
+
+Round-3 postmortem: the driver regenerated events.parquet with ts as
+timestamp[us] where it had been TIMESTAMP(NANOS)-read-as-long, and the whole
+pytest suite stayed green because nothing here ever opened the fixtures —
+19 entry queries broke or went silently 1000x off. These tests exist so the
+NEXT fixture-schema change fails `pytest` loudly instead of only the driver
+harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+import __spark_entry__ as entry
+from kadiyadb_spark.schema import normalize_ts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver fixtures not present"
+)
+
+# Fixture ts generations seen so far; normalize_ts must handle every one.
+_TS_TYPES_HANDLED = (T.LongType, T.TimestampType, T.TimestampNTZType)
+
+
+def test_events_ts_type_is_a_handled_generation(spark):
+    """If the driver regenerates events.ts as a type the normalization
+    boundary does not know, fail HERE with a readable message."""
+    dtype = spark.read.parquet(f"{SF_DIR}/events.parquet").schema["ts"].dataType
+    assert isinstance(dtype, _TS_TYPES_HANDLED), (
+        f"events.ts arrived as {dtype.simpleString()}; extend "
+        f"kadiyadb_spark.schema.ts_ns_expr (and this list) for the new generation"
+    )
+
+
+def test_normalize_ts_lands_in_expected_epoch_range(spark):
+    """Whatever the storage type, normalized ts must be long-ns inside the
+    generator's [2024-01-01, +31d) window — catches unit errors (a µs-read-
+    as-ns mistake lands 1000x below T0)."""
+    ev = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"), "ts")
+    assert isinstance(ev.schema["ts"].dataType, T.LongType)
+    row = ev.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    assert entry.T0 <= row["lo"] <= row["hi"] < entry.T_END, (
+        f"normalized ts range [{row['lo']}, {row['hi']}] outside the "
+        f"generator window [{entry.T0}, {entry.T_END}) — unit mismatch?"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["track_cube", "fetch_wildcard", "set_ops", "text_token_stats"],
+)
+def test_entry_runs_on_fixtures(spark, name):
+    """End-to-end: entry queries execute against the real fixtures and
+    return rows with their declared columns."""
+    df = entry.queries()[name](spark, SF_DIR)
+    rows = df.limit(5).collect()
+    assert df.columns, name
+    assert rows is not None
+
+
+def test_streaming_agg_matches_batch_cube_on_fixtures(spark):
+    """The silent failure mode: streaming read of the fixtures with a wrong
+    pinned schema returns µs-as-ns values and WRONG rows, no error. Gate the
+    streaming cube row-count against the batch cube built from the same
+    fixture file."""
+    batch = entry.queries()["track_cube"](spark, SF_DIR)
+    stream = entry.queries()["streaming_agg"](spark, SF_DIR)
+    # Identical grouping keys => identical cardinality; values are gated by
+    # the driver's oracle, cardinality is the cheap in-suite proxy.
+    assert stream.count() == batch.count()
