@@ -64,13 +64,20 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Full per-query detail for humans/judges (not size-limited).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
-        json.dump(
-            {"metric": "total_query_wall_seconds", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf, "n_queries": len(timings)},
-            f, indent=1,
-        )
+    # Full per-query detail for humans/judges (not size-limited). Best-effort:
+    # a read-only checkout or full disk must not abort before the metric line
+    # below — that line is the whole point of the run.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w"
+        ) as f:
+            json.dump(
+                {"metric": "total_query_wall_seconds", "value": total, "unit": "sec",
+                 "queries": timings, "sf": sf, "n_queries": len(timings)},
+                f, indent=1,
+            )
+    except OSError as e:
+        print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
     # The driver keeps only the LAST 2000 chars of output and parses the JSON
     # line out of that tail; with 75+ queries a full per-query dict overflows
     # the window and the line arrives truncated (unparseable). Emit a compact
@@ -97,7 +104,7 @@ def main() -> None:
         for k in keep:
             trial = dict(kept, **{k: compact[k]})
             if len(line_for(trial, len(compact) - len(trial))) > 1500:
-                break
+                continue  # a later, shorter-named query may still fit
             kept[k] = compact[k]
         out = line_for(kept, len(compact) - len(kept))
     print(out)
