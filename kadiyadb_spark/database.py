@@ -240,30 +240,37 @@ class Database:
         parquet-native equivalent. Returns the compacted epoch ids."""
         if not os.path.isdir(self.cube_path):
             return []
-        compacted = []
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Driver-side directory listing finds the fragmented epochs (cheap
+        # metadata scan), then ONE filtered read + dynamic partition
+        # overwrite rewrites them all — a single job instead of a driver
+        # loop launching one job per epoch (at 720 epochs/month the loop's
+        # per-job scheduling latency dominates the actual I/O).
+        fragmented = []
         for name in sorted(os.listdir(self.cube_path)):
             if not name.startswith(f"{S.EPOCH}="):
                 continue
             part_dir = os.path.join(self.cube_path, name)
             n_files = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
-            if n_files <= max_files_per_epoch:
-                continue
-            epoch = int(name.split("=", 1)[1])
-            part = self.cube().filter(F.col(S.EPOCH) == epoch).coalesce(max_files_per_epoch)
-            if sort_series:
-                # epoch leads the sort so the partitioned-write path sees its
-                # ordering requirement already satisfied and does NOT insert
-                # its own (order-scrambling) sort on the partition column
-                fcols = S.field_cols(len(self.params.fields))
-                part = part.sortWithinPartitions(S.EPOCH, S.DEPTH, *fcols, S.BUCKET)
-            (
-                part.write.partitionBy(S.EPOCH)
-                .mode("overwrite")
-                .parquet(self.cube_path)
-            )
-            compacted.append(epoch)
-        return compacted
+            if n_files > max_files_per_epoch:
+                fragmented.append(int(name.split("=", 1)[1]))
+        if not fragmented:
+            return []
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        part = self.cube().filter(F.col(S.EPOCH).isin(fragmented))
+        # Hash-repartition by epoch: every epoch lands in exactly one task,
+        # so each rewritten partition dir holds ONE file (<= any max). An
+        # epoch too large for a single writer task would want a salted key
+        # here; epochs are sized by params.duration precisely so they stay
+        # task-sized (SURVEY §1.6).
+        part = part.repartition(len(fragmented), F.col(S.EPOCH))
+        if sort_series:
+            # epoch leads the sort so the partitioned-write path sees its
+            # ordering requirement already satisfied and does NOT insert
+            # its own (order-scrambling) sort on the partition column
+            fcols = S.field_cols(len(self.params.fields))
+            part = part.sortWithinPartitions(S.EPOCH, S.DEPTH, *fcols, S.BUCKET)
+        part.write.partitionBy(S.EPOCH).mode("overwrite").parquet(self.cube_path)
+        return fragmented
 
     # -- O12 Sync ------------------------------------------------------------
     def sync(self) -> None:

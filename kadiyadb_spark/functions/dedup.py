@@ -371,11 +371,42 @@ def winnow_near_duplicates(
 # ---------------------------------------------------------------- clustering
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a pre-materialized SMALL edge frame.
+    min-root semantics identical to the star-contraction fixpoint: every
+    node in a component maps to the component's smallest id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges.select("u", "v").toLocalIterator():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so the root IS the cluster id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, schema="node long, cluster_id long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the (undirected) near-duplicate pair graph via
     alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
@@ -399,15 +430,28 @@ def connected_components(
     orders of magnitude below corpus size. Convergence probe is an O(1)
     (count, sum, sum) signature; lineage is truncated each round with
     localCheckpoint (on a multi-node cluster prefer setCheckpointDir +
-    .checkpoint() so lost executors recover from stable storage)."""
+    .checkpoint() so lost executors recover from stable storage).
+
+    Tiered execution: the checkpoint that materializes the edge set also
+    yields its count; at or below ``local_threshold`` edges (~32 MB of
+    longs — far under driver headroom, same bound class as the broadcast
+    guards in similarity.py) the component computation runs as driver-side
+    union-find instead of 5-10 distributed rounds. Each star round costs
+    several shuffle stages of fixed scheduling latency, which DOMINATES
+    when the dup graph is small — the common case even for huge corpora,
+    since |pairs| tracks duplicate count, not corpus size. Past the
+    threshold (pathological dup-heavy corpora) the star loop takes over;
+    results are identical (min-id labeling) either way."""
     edges = (
         pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= local_threshold:
+        return _local_components(edges)
     prev_sig = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: every neighbor v > u re-points to min(N(u) ∪ {u})
         m = bidir.groupBy("u").agg(F.min("v").alias("_mn")).select(
@@ -434,6 +478,13 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
+        # Probe convergence only every OTHER round: the collect round-trip
+        # and its job are pure latency, and a round past the fixpoint is a
+        # no-op on the edge set (star rounds are idempotent at fixpoint), so
+        # the worst case is one wasted cheap round. Lineage depth stays
+        # bounded at two rounds between materializations.
+        if it % 2 == 0 and it + 1 < max_iter:
+            continue
         sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])
         if sig == prev_sig:
             break

@@ -248,13 +248,22 @@ class IVFIndex:
         vec_col: str = "embedding",
     ) -> "IVFIndex":
         """One pass over the base table: map-side centroid argmax, then a
-        partitioned write clustered by centroid_id (one shuffle-free write;
-        files per bucket follow the input partitioning)."""
+        partitioned write clustered by centroid_id.
+
+        The write repartitions by centroid_id first: a direct partitionBy
+        write emits (input partitions x buckets) files — at 1000 executors
+        over 100 TB that is a small-files catastrophe, and every later
+        probe pays the per-file open cost. One shuffle keyed by bucket buys
+        few-large-files-per-bucket layout; a skewed bucket can be split by
+        salting the repartition key if a single writer task becomes the
+        straggler."""
         spark = emb.sparkSession
         cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
         assigned = ivf_assign(emb, cents, id_col, vec_col)
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/assigned")
+        assigned.repartition(num_centroids, "centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{path}/assigned")
         return IVFIndex(spark, path, id_col, vec_col)
 
     def centroids(self) -> DataFrame:

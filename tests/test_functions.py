@@ -195,6 +195,30 @@ def test_connected_components_handles_cycles_and_order(spark):
     assert out == {5: 5, 7: 5, 9: 5}
 
 
+def test_connected_components_distributed_path_matches_local(spark):
+    # local_threshold=0 forces the star-contraction loop (the 100 TB path);
+    # both tiers must label identically — min id per component.
+    import random
+
+    rng = random.Random(7)
+    # 40 random components over 300 nodes, plus a 50-hop chain
+    edges = [Row(id_a=i + 1000, id_b=i + 1001) for i in range(50)]
+    for c in range(40):
+        members = rng.sample(range(c * 25, c * 25 + 25), 6)
+        edges += [Row(id_a=a, id_b=rng.choice(members)) for a in members]
+    pairs = spark.createDataFrame(edges)
+    local = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+    dist = {
+        r.node: r.cluster_id
+        for r in D.connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    # every label is its component's minimum: a labeled node never maps to
+    # a larger id, and each cluster id maps to itself
+    assert all(cid <= n for n, cid in dist.items())
+    assert all(dist[cid] == cid for cid in set(dist.values()))
+
+
 # ---------------------------------------------------------------- similarity
 
 
