@@ -90,6 +90,15 @@ def ts_ns_expr(dtype: T.DataType, col: str | Column) -> Column:
     raise TypeError(f"cannot normalize event-time column of type {dtype.simpleString()} to long-ns")
 
 
+def ts_us_expr(ts: Column) -> Column:
+    """long-ns -> long-µs with EXACT arithmetic. ``ts / 1000`` in Spark is
+    double division, and ns epochs (~1.7e18) exceed double's 53-bit mantissa
+    — the quotient can land on the adjacent microsecond, silently moving
+    boundary events across a window edge. Decimal division keeps all digits;
+    floor matches integral-div semantics for the engine's non-negative ts."""
+    return F.floor(ts.cast("decimal(20,0)") / F.lit(1000)).cast("long")
+
+
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Replace ``col`` with its long-ns form (no-op projection if already
     long). Works on batch and streaming DataFrames alike — it is a plain

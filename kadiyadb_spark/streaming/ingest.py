@@ -81,10 +81,7 @@ def stream_dedup(
     normalized at the boundary (schema.ts_ns_expr), then truncated to µs
     event time like the other streaming paths."""
     ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
-    evt = events.withColumn(
-        "_event_time",
-        F.timestamp_micros((ts / 1000).cast("long")),
-    )
+    evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))
     return (
         evt.withWatermark("_event_time", watermark)
         .dropDuplicatesWithinWatermark(key_cols)
@@ -119,7 +116,7 @@ def stream_track_agg(
     events = validate_fields_df(events, list(p.fields))
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (resolution >= 1us).
-    evt = events.withColumn("_event_time", F.timestamp_micros((ts / 1000).cast("long")))
+    evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))
     evt = evt.withWatermark("_event_time", watermark)
 
     # Express the window in MICROseconds: integer-dividing by 1e9 silently

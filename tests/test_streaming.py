@@ -201,3 +201,26 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r.uid,) for r in spark.sql("SELECT uid FROM ss_join_out").collect()]
     assert got == [("u1",)]
+
+
+def test_ts_us_expr_is_exact_where_double_division_is_not(spark):
+    """ns->µs must use exact arithmetic: ns epochs (~1.7e18) exceed double's
+    53-bit mantissa, so `ts / 1000` can land on the adjacent microsecond and
+    silently move a boundary event across a window edge. Values below are
+    found by search: int(v/1000) != v//1000 for each."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.schema import ts_us_expr
+
+    vals = [
+        1536378608205740996,
+        1938664983666283899,
+        1653529114056516909,
+        1704067200000000000,  # a clean boundary must stay exact too
+    ]
+    df = spark.createDataFrame([Row(ts=v) for v in vals])
+    got = {r["ts"]: r["us"] for r in df.select("ts", ts_us_expr(F.col("ts")).alias("us")).collect()}
+    for v in vals:
+        assert got[v] == v // 1000, f"{v}: got {got[v]}, want {v // 1000}"
+    # and the naive double division is indeed wrong on the adversarial ones
+    assert any(int(v / 1000) != v // 1000 for v in vals[:3])
