@@ -52,6 +52,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _events_range(spark: SparkSession, sf_dir: str, lo_ns: int, hi_ns: int) -> DataFrame:
+    """Events restricted to [lo_ns, hi_ns), with the range predicate pushed
+    to the parquet scan IN THE SOURCE TYPE (schema.ts_range_pred) before ts
+    normalization — the selective-scan path: spread()'s repartition is a
+    shuffle barrier, so _t() + filter would read the whole table first."""
+    ensure_engine_confs(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from kadiyadb_spark.schema import ts_range_pred
+
+    return normalize_ts(raw.filter(ts_range_pred(raw.schema["ts"].dataType, "ts", lo_ns, hi_ns)))
+
+
 def _events_stream(spark: SparkSession, events_dir: str, sample: str) -> DataFrame:
     """readStream over an events directory using the ACTUAL schema of the
     parquet files (from a batch-read of ``sample``), with ts normalized to
@@ -425,7 +437,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     but raised no 'error' that day (a one-day window keeps the sets
     non-degenerate — over the full month every user does everything)."""
     day1 = T0 + 24 * 3600 * SEC
-    ev = _t(spark, sf_dir, "events").filter((F.col("ts") >= T0) & (F.col("ts") < day1))
+    ev = _events_range(spark, sf_dir, T0, day1)
     u = lambda t: ev.filter(F.col("event_type") == t).select("user_id")
     return u("click").intersect(u("purchase")).subtract(u("error"))
 

@@ -107,3 +107,43 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dtype, T.LongType):
         return df
     return df.withColumn(col, ts_ns_expr(dtype, col))
+
+
+def ts_range_pred(
+    dtype: T.DataType, col: str | Column, lo_ns: int | None = None, hi_ns: int | None = None
+) -> Column:
+    """Half-open ``[lo_ns, hi_ns)`` event-time predicate expressed against the
+    column's SOURCE type.
+
+    Filtering ``ts_ns_expr(...) >= lo`` wraps the column in a conversion, and
+    Catalyst cannot push an expression through to parquet row-group min/max
+    stats — at 100 TB that is the difference between pruning a month-long
+    table down to one day and scanning all of it. This helper converts the
+    CONSTANTS instead (ns bound -> µs bound via ceil, exact because
+    normalized ns values are whole multiples of 1000), leaving a bare
+    ``col >= literal`` comparison that lands in PushedFilters
+    (plan-asserted in tests/test_plans.py). Timestamp literals are built
+    with constant-folded casts, so NTZ columns compare against NTZ
+    literals under the engine's pinned UTC session tz."""
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(dtype, _INTEGRAL):
+        lo_lit = None if lo_ns is None else F.lit(int(lo_ns))
+        hi_lit = None if hi_ns is None else F.lit(int(hi_ns))
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # ns in [lo, hi) on the normalized value (us*1000) is equivalent to
+        # us in [ceil(lo/1000), ceil(hi/1000)) on the raw column.
+        def us_lit(ns: int) -> Column:
+            return F.timestamp_micros(F.lit(-(-int(ns) // 1000))).cast(dtype)
+
+        lo_lit = None if lo_ns is None else us_lit(lo_ns)
+        hi_lit = None if hi_ns is None else us_lit(hi_ns)
+    else:
+        raise TypeError(
+            f"cannot build a pushdown time-range over type {dtype.simpleString()}"
+        )
+    pred = F.lit(True)
+    if lo_lit is not None:
+        pred = pred & (c >= lo_lit)
+    if hi_lit is not None:
+        pred = pred & (c < hi_lit)
+    return pred

@@ -173,3 +173,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_ts_range_pred_pushes_to_scan_for_both_ts_generations(spark, tmp_path):
+    """Time-range filters must reach parquet row-group stats in the column's
+    SOURCE type: wrapping the column in the ns conversion first would strip
+    PushedFilters and force a full scan (the 100 TB day-slice case)."""
+    from kadiyadb_spark.schema import normalize_ts, ts_range_pred
+
+    SEC = 10**9
+    T0 = 1_704_067_200 * SEC
+    day1 = T0 + 24 * 3600 * SEC
+
+    # generation A: whatever the driver fixtures currently store (timestamp)
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pred = ts_range_pred(raw.schema["ts"].dataType, "ts", T0, day1)
+    plan = plan_str(raw.filter(pred))
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+    # generation B: long-ns storage (rounds 1-2 style), written locally
+    p = str(tmp_path / "ev_long")
+    spark.createDataFrame(
+        [Row(ts=T0 + i * 3600 * SEC, v=1.0) for i in range(48)]
+    ).write.parquet(p)
+    raw_l = spark.read.parquet(p)
+    pred_l = ts_range_pred(raw_l.schema["ts"].dataType, "ts", T0, day1)
+    plan_l = plan_str(raw_l.filter(pred_l))
+    pushed_l = plan_l.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "GreaterThanOrEqual(ts" in pushed_l and "LessThan(ts" in pushed_l
+
+    # and the source-type predicate selects exactly the normalized-range rows
+    n_src = raw_l.filter(pred_l).count()
+    n_norm = normalize_ts(raw_l).filter(
+        (F.col("ts") >= T0) & (F.col("ts") < day1)
+    ).count()
+    assert n_src == n_norm == 24
