@@ -1191,6 +1191,23 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval set;
+    flag corpus docs sharing any word 5-gram with it (n_hits = distinct
+    matched benchmark grams). Broadcast the tiny benchmark gram set; the
+    corpus side is map-side explode + broadcast join + one groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return TX.decontaminate(docs, benchmark, n=5)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition metrics (Gopher-style quality gate): duplicate
+    token/bigram fractions are shuffle-free array expressions; the top-token
+    fraction is one explode + doc-keyed groupBy."""
+    return TX.repetition_score(_t(spark, sf_dir, "documents"))
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: document frequency + collection frequency per
     token, top-50 by df (token tiebreak). The foundation table for stopword
@@ -1538,10 +1555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
-        "distinct_users": q_distinct_users,
-        "rollup_revenue": q_rollup_revenue,
+        # -- NEW in r04 (never gated): must sit inside the 50-entry cap --
+        "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
         # ---- 50-entry gate cap lands here ----
         # -- green in r03 (gated there): tpch tail + text/dedup/sim/multimodal --
+        "distinct_users": q_distinct_users,
+        "rollup_revenue": q_rollup_revenue,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
@@ -2258,6 +2278,43 @@ FROM c
 
     o["text_fingerprint"] = f"""
 SELECT doc_id, md5({_DOC_NORM}) AS fp FROM documents
+"""
+
+    # Word 5-grams as a DuckDB list comprehension over the shared token
+    # fragment; docs with < 5 tokens yield an empty gram list (mirrors
+    # word_ngrams_expr's short-doc guard).
+    _GRAMS5 = (
+        "[array_to_string(toks[i : i + 4], ' ') for i in range(1, greatest(len(toks) - 3, 1))]"
+    )
+    o["text_decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id, unnest({_GRAMS5}) AS gram FROM t),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT g.doc_id, count(*) AS n_hits
+FROM g JOIN b USING (gram) GROUP BY g.doc_id
+"""
+
+    o["text_repetition"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000
+              ELSE 0.0 END AS dup_token_frac,
+         CASE WHEN len(g) > 0
+              THEN floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000 + 0.5) / 10000
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM (SELECT doc_id, toks,
+               [array_to_string(toks[i : i + 1], ' ') for i in range(1, greatest(len(toks), 1))] AS g
+        FROM t)
+),
+cnt AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+top AS (SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS top_token_frac
+        FROM cnt GROUP BY doc_id)
+SELECT base.doc_id, n_tokens, dup_token_frac,
+       coalesce(top_token_frac, 0.0) AS top_token_frac, dup_bigram_frac
+FROM base LEFT JOIN top USING (doc_id)
 """
 
     o["text_vocab"] = f"""

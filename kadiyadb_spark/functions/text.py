@@ -144,3 +144,99 @@ def winnow_fingerprint(
         F.col(id_col),
         *[F.element_at(mins, j + 1).alias(f"min{j}") for j in range(num_mins)],
     )
+
+
+def word_ngrams_expr(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of the whitespace tokens; a document with
+    fewer than ``n`` tokens yields an empty array. Whole-stage-codegen
+    transform over a generated index sequence — no UDF, no shuffle."""
+    toks = tokens_expr(text)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, stop) DESCENDS when stop < 1 — guard short docs explicitly.
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with an evaluation set — the standard leakage check before
+    training (eval answers memorized verbatim inflate benchmarks).
+
+    Returns ``(doc_id, n_hits)`` with n_hits = count of DISTINCT benchmark
+    n-grams the document contains (>= 1 by construction).
+
+    Scale shape: the benchmark is tiny by nature (eval sets, not corpora) —
+    its distinct gram set broadcasts; the corpus side is a map-side explode
+    + broadcast hash semi-join, then ONE groupBy keyed by doc id. The 100 TB
+    corpus is never shuffled on content, only the (doc, matched-gram) hits —
+    bounded by contamination volume, not corpus size."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality signals):
+    duplicate-token fraction, most-frequent-token fraction, duplicate-bigram
+    fraction. Heavily templated or looping machine text scores high on all
+    three; a filter on these is a standard pretraining-corpus gate.
+
+    Shape: the array metrics are shuffle-free map expressions; the top-token
+    fraction needs per-(doc, token) counts — one explode + groupBy keyed by
+    doc id (same shape as the vocab/tfidf operators)."""
+    toks = tokens_expr(F.col(text_col))
+    grams2 = word_ngrams_expr(F.col(text_col), 2)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        round4_expr(
+            F.when(
+                F.size(toks) > 0,
+                1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_token_frac"),
+        round4_expr(
+            F.when(
+                F.size(grams2) > 0,
+                1.0 - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_n"))
+        .select(
+            F.col(id_col),
+            round4_expr(F.col("_top").cast("double") / F.col("_n")).alias("top_token_frac"),
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        F.coalesce(F.col("top_token_frac"), F.lit(0.0)).alias("top_token_frac"),
+        "dup_bigram_frac",
+    )

@@ -401,3 +401,45 @@ def test_winnow_near_duplicates_local_feature_blocking(spark):
     out = D.winnow_near_duplicates(_docs(spark, [base, shifted, unrelated]), min_shared=2).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
     assert out[0].n_shared >= 2
+
+
+# ---------------------------------------------------------------- curation extras
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="a completely different sentence with no overlap at all"),
+            Row(doc_id=3, text="prefix words then the quick brown fox jumps too"),
+            Row(doc_id=4, text="short doc"),  # < n tokens: never flagged
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text="the quick brown fox jumps")])
+    out = {r["doc_id"]: r["n_hits"] for r in TX.decontaminate(docs, bench, n=5).collect()}
+    # docs 1 and 3 contain the benchmark's single 5-gram; 2 and 4 are clean
+    assert out == {1: 1, 3: 1}
+
+
+def test_repetition_score_metrics(spark):
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),  # max repetition
+            Row(doc_id=2, text="all four tokens differ"),  # no repetition
+            Row(doc_id=3, text=" "),  # zero tokens
+        ]
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_score(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_frac"] == 0.75  # 1 - 1/4
+    assert r1["top_token_frac"] == 1.0
+    assert r1["dup_bigram_frac"] == round(1 - 1 / 3, 4)  # 3 bigrams, 1 distinct
+    r2 = out[2]
+    assert (r2["dup_token_frac"], r2["top_token_frac"], r2["dup_bigram_frac"]) == (0.0, 0.25, 0.0)
+    r3 = out[3]
+    assert (r3["n_tokens"], r3["top_token_frac"]) == (0, 0.0)
