@@ -87,6 +87,11 @@ def ts_ns_expr(dtype: T.DataType, col: str | Column) -> Column:
         return c.cast("long")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return (F.unix_micros(c.cast("timestamp")) * F.lit(1000)).cast("long")
+    if isinstance(dtype, T.StringType):
+        # ISO-8601 wall-clock strings (a CSV/JSON ingest reality); parsed in
+        # the pinned UTC session tz. Unparseable values become NULL — the
+        # write path's validation rejects them rather than silently zeroing.
+        return (F.unix_micros(F.to_timestamp(c)) * F.lit(1000)).cast("long")
     raise TypeError(f"cannot normalize event-time column of type {dtype.simpleString()} to long-ns")
 
 

@@ -76,3 +76,32 @@ def test_streaming_agg_matches_batch_cube_on_fixtures(spark):
     # Identical grouping keys => identical cardinality; values are gated by
     # the driver's oracle, cardinality is the cheap in-suite proxy.
     assert stream.count() == batch.count()
+
+
+def test_ts_ns_expr_across_input_generations(spark):
+    """One wall-clock instant, five storage types, one long-ns answer."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.schema import ts_ns_expr
+
+    ns = 1_704_110_445_123_456_000  # 2024-01-01T12:00:45.123456Z
+    us = ns // 1000
+    dt = datetime.datetime(2024, 1, 1, 12, 0, 45, 123456)
+    frames = {
+        "long": spark.createDataFrame([Row(ts=ns)], "ts long"),
+        "timestamp": spark.createDataFrame([Row(ts=dt)], "ts timestamp"),
+        "timestamp_ntz": spark.createDataFrame([Row(ts=dt)], "ts timestamp_ntz"),
+        "string": spark.createDataFrame(
+            [Row(ts="2024-01-01 12:00:45.123456")], "ts string"
+        ),
+        "date": spark.createDataFrame([Row(ts=datetime.date(2024, 1, 1))], "ts date"),
+    }
+    for name, df in frames.items():
+        got = df.select(
+            ts_ns_expr(df.schema["ts"].dataType, F.col("ts")).alias("ns")
+        ).first()["ns"]
+        want = 1_704_067_200 * 10**9 if name == "date" else us * 1000
+        assert got == want, f"{name}: {got} != {want}"
