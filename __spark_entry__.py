@@ -1208,6 +1208,25 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_score(_t(spark, sf_dir, "documents"))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling — corpus mixture construction.
+    Three sources at different rates, the rest dropped; the keep-decision is
+    a per-row md5-bucket expression (map-only, reproducible, nested across
+    rates). Output: per-source kept counts + min/max doc_id as content
+    witness."""
+    from kadiyadb_spark.functions.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, strata_col="source", id_col="doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: document frequency + collection frequency per
     token, top-50 by df (token tiebreak). The foundation table for stopword
@@ -1554,12 +1573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
         # -- NEW in r04 (never gated): must sit inside the 50-entry cap --
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
+        "mixture_sample": q_mixture_sample,
         # ---- 50-entry gate cap lands here ----
         # -- green in r03 (gated there): tpch tail + text/dedup/sim/multimodal --
+        "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "rollup_revenue": q_rollup_revenue,
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -2315,6 +2335,18 @@ top AS (SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10
 SELECT base.doc_id, n_tokens, dup_token_frac,
        coalesce(top_token_frac, 0.0) AS top_token_frac, dup_bigram_frac
 FROM base LEFT JOIN top USING (doc_id)
+"""
+
+    o["mixture_sample"] = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('kdb' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 2500 ELSE 0 END
+GROUP BY source
 """
 
     o["text_vocab"] = f"""

@@ -1,0 +1,61 @@
+"""Deterministic sampling operators for corpus mixture construction.
+
+Training-data pipelines sample each source at a configured rate to hit a
+target mixture (and to downsample over-represented crawls). Random sampling
+is not reproducible across runs/engines, so the standard trick is HASH
+sampling: a row is kept iff a stable hash of its id lands under the
+stratum's rate. Properties that matter at 100 TB:
+
+- map-only: the keep-decision is a per-row expression — no shuffle, no
+  state, embarrassingly parallel, and it composes under predicate pushdown;
+- reproducible: the same (salt, id) always samples the same way, across
+  engines (the md5 arithmetic has a 1:1 DuckDB twin, oracle-gated);
+- nested: rate 0.1 keeps a subset of rate 0.2's sample (buckets are a fixed
+  permutation), so growing a mixture never resamples disjoint data.
+
+Reference parity note: kadiyadb has no sampling surface (SURVEY §2); this is
+north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # rate resolution 0.01%
+
+
+def sample_bucket_expr(id_col: Column | str, salt: str = "kdb") -> Column:
+    """Stable bucket in [0, BUCKETS): first 32 md5 bits of salt||id, mod
+    BUCKETS. Same arithmetic as the dedup base hash so the DuckDB twin is
+    the established `CAST(('0x' || substr(md5(..),1,8)) AS BIGINT)` form."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(BUCKETS)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "kdb",
+) -> DataFrame:
+    """Keep each row of stratum ``s`` iff its id-bucket < rates[s] * BUCKETS.
+    Strata absent from ``rates`` are dropped (rate 0). Expected kept fraction
+    per stratum is the configured rate (exact in distribution over ids, not
+    per-stratum quota — quota sampling needs a sort; this needs nothing)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    bucket = sample_bucket_expr(id_col, salt)
+    threshold: Column | None = None
+    for s, r in sorted(rates.items()):
+        cond, val = F.col(strata_col) == s, F.lit(int(round(r * BUCKETS)))
+        threshold = F.when(cond, val) if threshold is None else threshold.when(cond, val)
+    threshold = F.lit(0) if threshold is None else threshold.otherwise(F.lit(0))
+    return df.filter(bucket < threshold)

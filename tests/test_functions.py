@@ -443,3 +443,37 @@ def test_repetition_score_metrics(spark):
     assert (r2["dup_token_frac"], r2["top_token_frac"], r2["dup_bigram_frac"]) == (0.0, 0.25, 0.0)
     r3 = out[3]
     assert (r3["n_tokens"], r3["top_token_frac"]) == (0, 0.0)
+
+
+def test_stratified_hash_sample_deterministic_and_nested(spark):
+    from kadiyadb_spark.functions.sampling import BUCKETS, sample_bucket_expr, stratified_hash_sample
+
+    rows = [Row(doc_id=i, source="a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows)
+    half = stratified_hash_sample(df, {"a": 0.5}, strata_col="source")
+    kept = sorted(r.doc_id for r in half.collect())
+    # deterministic: same call, same sample
+    again = sorted(r.doc_id for r in stratified_hash_sample(df, {"a": 0.5}, strata_col="source").collect())
+    assert kept == again
+    # stratum b dropped entirely (absent from rates)
+    assert all(i % 2 == 0 for i in kept)
+    # roughly the configured rate on stratum a (200 ids, md5-uniform)
+    assert 60 <= len(kept) <= 140
+    # nested: the 25% sample is a subset of the 50% sample
+    quarter = sorted(r.doc_id for r in stratified_hash_sample(df, {"a": 0.25}, strata_col="source").collect())
+    assert set(quarter) <= set(kept)
+    # bucket expr matches pure python md5 arithmetic
+    import hashlib
+
+    b = df.select("doc_id", sample_bucket_expr("doc_id").alias("b")).collect()
+    for r in b[:20]:
+        expect = int(hashlib.md5(f"kdb{r.doc_id}".encode()).hexdigest()[:8], 16) % BUCKETS
+        assert r.b == expect
+
+
+def test_stratified_hash_sample_rejects_bad_rate(spark):
+    from kadiyadb_spark.functions.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame([Row(doc_id=1, source="a")])
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, {"a": 1.5})
