@@ -1208,6 +1208,30 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_score(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction entry. The synthetic docs carry no PII, so each doc is
+    salted with deterministic contact strings (every 3rd an email, every 5th
+    a phone, every 7th an IP — same expression in the oracle) and the
+    operator must find and replace exactly those."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call +1 555 000 "), (F.col("doc_id") % 9000 + 1000))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".1"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.redact_pii(salted)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling — corpus mixture construction.
     Three sources at different rates, the rest dropped; the keep-decision is
@@ -1572,13 +1596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
-        "approx_distinct": q_approx_distinct,
         # -- NEW in r04 (never gated): must sit inside the 50-entry cap --
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "mixture_sample": q_mixture_sample,
+        "pii_redact": q_pii_redact,
         # ---- 50-entry gate cap lands here ----
         # -- green in r03 (gated there): tpch tail + text/dedup/sim/multimodal --
+        "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "rollup_revenue": q_rollup_revenue,
@@ -2335,6 +2360,28 @@ top AS (SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10
 SELECT base.doc_id, n_tokens, dup_token_frac,
        coalesce(top_token_frac, 0.0) AS top_token_frac, dup_bigram_frac
 FROM base LEFT JOIN top USING (doc_id)
+"""
+
+    o["pii_redact"] = """
+WITH salted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 000 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+         AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM salted),
+r2 AS (SELECT *, regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,14}[0-9]', '<PHONE>', 'g') AS t2 FROM r),
+r3 AS (SELECT *, regexp_replace(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS t3 FROM r2)
+SELECT doc_id, t3 AS redacted,
+       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{6,14}[0-9]')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
+FROM r3
 """
 
     o["mixture_sample"] = """

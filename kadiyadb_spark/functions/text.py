@@ -240,3 +240,33 @@ def repetition_score(
         F.coalesce(F.col("top_token_frac"), F.lit(0.0)).alias("top_token_frac"),
         "dup_bigram_frac",
     )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB) agree
+# on: character classes, bounded repetition, no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,14}[0-9]"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction — anonymization pass of a curation pipeline: replace
+    emails, phone-shaped digit runs, and IPv4 literals with typed tags,
+    APPLIED IN THAT ORDER on the running result (an email's digits must not
+    be re-matched as a phone; order is part of the operator contract and the
+    oracle mirrors it). Returns (id, redacted, n_emails, n_phones, n_ips)
+    with each count taken on the text the pattern actually saw.
+
+    Shuffle-free map expressions; regex evaluation is JVM-side codegen. At
+    100 TB this is the cheapest stage in the pipeline — bandwidth-bound."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    t3 = F.regexp_replace(t2, PII_IP_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("redacted"),
+        F.regexp_count(t0, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t2, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+    )

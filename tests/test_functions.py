@@ -477,3 +477,31 @@ def test_stratified_hash_sample_rejects_bad_rate(spark):
     df = spark.createDataFrame([Row(doc_id=1, source="a")])
     with pytest.raises(ValueError):
         stratified_hash_sample(df, {"a": 1.5})
+
+
+def test_redact_pii_golden(spark):
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c@x-mail.co or call +1 (555) 123-4567 from 10.0.0.1"),
+            Row(doc_id=2, text="no pii here at all"),
+        ]
+    )
+    out = {r.doc_id: r for r in TX.redact_pii(docs).collect()}
+    r1 = out[1]
+    assert r1.redacted == "mail <EMAIL> or call <PHONE> from <IP>"
+    assert (r1.n_emails, r1.n_phones, r1.n_ips) == (1, 1, 1)
+    r2 = out[2]
+    assert r2.redacted == "no pii here at all"
+    assert (r2.n_emails, r2.n_phones, r2.n_ips) == (0, 0, 0)
+
+
+def test_redact_pii_order_contract(spark):
+    # an email's digits must not be re-matched as a phone after redaction
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x 5551234567@example.com y")])
+    r = TX.redact_pii(docs).collect()[0]
+    assert r.redacted == "x <EMAIL> y"
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 0, 0)
