@@ -1208,6 +1208,23 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_score(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: persist a MinHash LSH band index over the
+    'accepted corpus' (doc_id < 400), then probe the 'incoming batch'
+    (doc_id >= 400) against it — corpus text is never re-read, the batch's
+    banded signatures broadcast, and candidates are scored by signature
+    agreement. The continuous-ingest shape of dedup_minhash_lsh."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx = D.MinHashIndex.build(
+        corpus, f"{tempfile.mkdtemp(prefix='kdb_mhidx_')}/idx", num_hashes=8, bands=4, shingle_k=8
+    )
+    return idx.query(batch, min_est=0.5)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction entry. The synthetic docs carry no PII, so each doc is
     salted with deterministic contact strings (every 3rd an email, every 5th
@@ -1595,14 +1612,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         # -- NEW in r04 (never gated): must sit inside the 50-entry cap --
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
+        "dedup_index_query": q_dedup_index_query,
         # ---- 50-entry gate cap lands here ----
         # -- green in r03 (gated there): tpch tail + text/dedup/sim/multimodal --
+        "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
@@ -2484,6 +2502,30 @@ jac AS (
     o["dedup_minhash_lsh"] = f"""
 WITH {_minhash_pairs_cte}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+"""
+
+    # Incremental index probe: corpus = doc_id < 400, batch = doc_id >= 400;
+    # candidates from band collision, scored by signature agreement (the
+    # MinHash Jaccard estimator — the index stores signatures, not shingles).
+    _sig_eq_sum = " + ".join(f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(8))
+    o["dedup_index_query"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
+hsx AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
+mh AS (SELECT doc_id, {_MINHASH_SIG} FROM hsx),
+sigs AS (SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, {band_keys} FROM mh),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS index_id
+  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < 400 AND b.doc_id >= 400
+),
+est AS (
+  SELECT c.new_id, c.index_id,
+         floor((({_sig_eq_sum}) / 8.0) * 10000 + 0.5) / 10000 AS est_jaccard
+  FROM cand c JOIN sigs x ON c.new_id = x.doc_id JOIN sigs y ON c.index_id = y.doc_id
+)
+SELECT new_id, index_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
     o["dedup_winnow_pairs"] = f"""

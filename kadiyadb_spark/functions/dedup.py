@@ -129,15 +129,18 @@ def minhash_signature(
     )
 
 
-def lsh_candidates(
+def banded_signatures(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    keep_signature: bool = False,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_key): docs
-    agreeing on ALL hashes of any band become a candidate pair (a < b)."""
-    banded = sigs.select(
+    """(id, band_idx, band_key[, signature]) — one row per band, band_key =
+    the band's hashes joined. Docs agreeing on ALL hashes of any band share
+    a (band_idx, band_key) bucket."""
+    extra = [F.col("signature")] if keep_signature else []
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -153,7 +156,19 @@ def lsh_candidates(
                 ]
             )
         ).alias("band_idx", "band_key"),
+        *extra,
     )
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key): docs
+    agreeing on ALL hashes of any band become a candidate pair (a < b)."""
+    banded = banded_signatures(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -545,3 +560,120 @@ def embedding_near_duplicates(
         bucket_pairs, schema="id_a long, id_b long, _cos double"
     )
     return scored.select("id_a", "id_b", round4_expr(F.col("_cos")).alias("cosine"))
+
+
+def signature_est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """MinHash estimate of Jaccard: fraction of agreeing signature slots
+    (the unbiased estimator the signature exists for). JVM-side zip_with +
+    aggregate — no UDF."""
+    agree = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(agree, F.lit(0), lambda acc, v: acc + v).cast("double") / F.lit(
+        float(num_hashes)
+    )
+
+
+class MinHashIndex:
+    """A PERSISTED LSH band index for INCREMENTAL near-dup detection.
+
+    ``minhash_near_duplicates`` recomputes the whole corpus per call — the
+    right shape for a one-shot sweep, the wrong one for continuous ingest
+    where each incoming batch must be checked against everything already
+    accepted. This index materializes the corpus side once:
+
+      <path>/banded/   one row per (doc, band): band_idx, band_key,
+                       signature — parquet PARTITIONED BY band_idx,
+                       repartitioned by band key so each bucket's rows
+                       cluster into few files (same small-files reasoning
+                       as IVFIndex.build)
+
+    ``query(new_docs)`` computes the batch's signatures map-side, BROADCASTS
+    its banded form (a batch is small by definition; the corpus is not),
+    joins against the index bucket-for-bucket, and scores candidates by
+    signature agreement — corpus TEXT is never read again, only the index.
+    At 100 TB the per-batch cost is one broadcast hash join over the index
+    scan plus a distinct on candidate pairs (bounded by collision volume).
+
+    The estimate-based score (agreeing-slots / num_hashes) is the honest
+    index trade: exact Jaccard needs the shingle sets, which would make the
+    index as large as the corpus. Raise ``num_hashes`` for tighter
+    estimates; the entry-level contract (candidates from band collision,
+    score >= threshold) is oracle-gated in __spark_entry__.py.
+
+    Reference parity note: kadiyadb builds its field index once on open
+    (index/index.go:26-65), not per query — this is that shape for dedup.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_k: int = 8,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+
+    @staticmethod
+    def build(
+        docs: DataFrame,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_k: int = 8,
+    ) -> "MinHashIndex":
+        rows_per_band = num_hashes // bands
+        sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k)
+        banded = banded_signatures(sigs, id_col, bands, rows_per_band, keep_signature=True)
+        (
+            banded.repartition(bands, "band_idx", "band_key")
+            .write.mode("overwrite")
+            .partitionBy("band_idx")
+            .parquet(f"{path}/banded")
+        )
+        return MinHashIndex(docs.sparkSession, path, id_col, num_hashes, bands, shingle_k)
+
+    def banded(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/banded")
+
+    def query(
+        self,
+        new_docs: DataFrame,
+        text_col: str = "text",
+        min_est: float = 0.5,
+    ) -> DataFrame:
+        """Near-duplicates of ``new_docs`` against the INDEXED corpus:
+        (new_id, index_id, est_jaccard), est >= min_est. New-batch ids may
+        overlap index ids (re-ingest); self-pairs are excluded."""
+        rows_per_band = self.num_hashes // self.bands
+        nsigs = minhash_signature(new_docs, text_col, self.id_col, self.num_hashes, self.shingle_k)
+        nbanded = banded_signatures(
+            nsigs, self.id_col, self.bands, rows_per_band, keep_signature=True
+        ).select(
+            F.col(self.id_col).alias("new_id"),
+            "band_idx",
+            "band_key",
+            F.col("signature").alias("_nsig"),
+        )
+        idx = self.banded().select(
+            F.col(self.id_col).alias("index_id"), "band_idx", "band_key", "signature"
+        )
+        cand = (
+            idx.join(F.broadcast(nbanded), on=["band_idx", "band_key"])
+            .filter(F.col("index_id") != F.col("new_id"))
+            .select("new_id", "index_id", "_nsig", "signature")
+            .distinct()
+        )
+        est = signature_est_jaccard(F.col("_nsig"), F.col("signature"), self.num_hashes)
+        return cand.select(
+            "new_id",
+            "index_id",
+            round4_expr(est).alias("est_jaccard"),
+        ).filter(F.col("est_jaccard") >= min_est)

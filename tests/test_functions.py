@@ -505,3 +505,38 @@ def test_redact_pii_order_contract(spark):
     r = TX.redact_pii(docs).collect()[0]
     assert r.redacted == "x <EMAIL> y"
     assert (r.n_emails, r.n_phones, r.n_ips) == (1, 0, 0)
+
+
+def test_minhash_index_incremental_query(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text=base),
+         Row(doc_id=1, text="completely unrelated content about spark shuffles and joins")]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text=near),
+         Row(doc_id=101, text="another novel document with fresh words entirely")]
+    )
+    idx = D.MinHashIndex.build(corpus, str(tmp_path / "mh"), num_hashes=8, bands=4)
+    hits = idx.query(batch, min_est=0.5).collect()
+    assert [(r.new_id, r.index_id) for r in hits] == [(100, 0)]
+    # estimator agrees with directly-computed signatures
+    import itertools
+
+    sigs = {r.doc_id: list(r.signature)
+            for r in D.minhash_signature(corpus.union(batch)).collect()}
+    expect = sum(a == b for a, b in zip(sigs[100], sigs[0])) / 8
+    assert hits[0].est_jaccard == round(expect, 4)
+
+
+def test_minhash_index_rebuild_matches_fresh(spark, tmp_path):
+    # reopening by path + params yields the same answers as the built handle
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared prefix words here variant {i}") for i in range(6)]
+    )
+    D.MinHashIndex.build(docs, str(tmp_path / "mh2"), num_hashes=8, bands=4)
+    reopened = D.MinHashIndex(spark, str(tmp_path / "mh2"), num_hashes=8, bands=4)
+    batch = spark.createDataFrame([Row(doc_id=50, text="shared prefix words here variant 3")])
+    got = {(r.new_id, r.index_id) for r in reopened.query(batch, min_est=0.5).collect()}
+    assert (50, 3) in got

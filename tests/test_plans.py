@@ -209,3 +209,15 @@ def test_ts_range_pred_pushes_to_scan_for_both_ts_generations(spark, tmp_path):
         (F.col("ts") >= T0) & (F.col("ts") < day1)
     ).count()
     assert n_src == n_norm == 24
+
+
+def test_minhash_index_query_broadcasts_the_batch(spark, tmp_path):
+    """The incoming batch side must broadcast: the index (corpus-sized at
+    100 TB) streams map-side instead of shuffling on band keys per probe."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some words for document number {i}") for i in range(20)]
+    )
+    idx = D.MinHashIndex.build(docs, str(tmp_path / "mhp"), num_hashes=8, bands=4)
+    batch = spark.createDataFrame([Row(doc_id=99, text="some words for document number 7")])
+    plan = plan_str(idx.query(batch, min_est=0.1))
+    assert n_broadcast_joins(plan) >= 1
