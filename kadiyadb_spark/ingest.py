@@ -86,6 +86,11 @@ def track_batch(
 
     # Event-time boundary: accept long-ns, TIMESTAMP, TIMESTAMP_NTZ, or DATE
     # input and emit long-ns (schema.ts_ns_expr) — the engine convention.
+    # NULL event time is unrepresentable in the reference (uint64 ts) and
+    # has no position on the time axis: drop the row UNCONDITIONALLY rather
+    # than emit a poison null-bucket series (the negative-ts case below
+    # still aborts — a bad clock is a pipeline bug, a null is missing data).
+    df = df.filter(F.col(ts_col).isNotNull())
     ts = S.ts_ns_expr(df.schema[ts_col].dataType, ts_col)
     # ErrInvTime guard (database.go:156-158, 190-193): negative ts would
     # silently floor into negative buckets; raise at execution instead.

@@ -81,6 +81,8 @@ def stream_dedup(
     normalized at the boundary (schema.ts_ns_expr), then truncated to µs
     event time like the other streaming paths."""
     ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
+    # null event time has no place on the watermark axis (see track_batch)
+    events = events.filter(F.col(ts_col).isNotNull())
     evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))
     return (
         evt.withWatermark("_event_time", watermark)
@@ -112,8 +114,8 @@ def stream_track_agg(
 
     ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
     # Same write-path rejection of ""/"*" field values as batch track
-    # (index/node.go:200-214).
-    events = validate_fields_df(events, list(p.fields))
+    # (index/node.go:200-214); null event time dropped like track_batch.
+    events = validate_fields_df(events, list(p.fields)).filter(F.col(ts_col).isNotNull())
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (resolution >= 1us).
     evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))

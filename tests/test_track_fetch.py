@@ -242,3 +242,21 @@ def test_write_time_equals_read_time_rollup(spark):
         rt = rollup_at_read(flat, to_depth=depth, max_depth=3)
         via_read = _points(fetch(rt, 0, 5, pattern, RES, DUR))
         assert via_write == via_read
+
+
+def test_write_path_null_ts_rows_are_dropped(spark):
+    # NULL event time is unrepresentable in the reference (uint64 ts); the
+    # row is dropped rather than becoming a poison null-bucket series
+    from pyspark.sql import Row
+
+    from kadiyadb_spark import track_batch
+
+    df = spark.createDataFrame(
+        [Row(ts=None, x="a", y="b", v=5.0), Row(ts=0, x="a", y="b", v=1.0)],
+        "ts long, x string, y string, v double",
+    )
+    cube = track_batch(df, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    rows = cube.collect()
+    assert all(r["bucket"] is not None for r in rows)
+    # the null row's value leaked nowhere (depth-1 rollup total is 1.0 only)
+    assert {r["total"] for r in rows} == {1.0}
