@@ -224,3 +224,46 @@ def test_ts_us_expr_is_exact_where_double_division_is_not(spark):
         assert got[v] == v // 1000, f"{v}: got {got[v]}, want {v // 1000}"
     # and the naive double division is indeed wrong on the adversarial ones
     assert any(int(v / 1000) != v // 1000 for v in vals[:3])
+
+
+def test_stateless_curation_ops_compose_on_streams(spark, tmp_path):
+    """Mixture sampling and PII redaction are stateless map expressions, so
+    the SAME operators run unchanged inside a Structured Stream — the
+    curation pipeline works at the ingest boundary, not only in batch.
+    Stream output must equal the batch computation row-for-row."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.functions.sampling import stratified_hash_sample
+    from kadiyadb_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                source="a" if i % 2 == 0 else "b",
+                text=f"doc {i} mail user{i}@ex.com",
+            )
+            for i in range(40)
+        ]
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+
+    def curate(df):
+        kept = stratified_hash_sample(df, {"a": 0.6, "b": 0.2}, strata_col="source")
+        return redact_pii(kept).select("doc_id", "redacted", "n_emails")
+
+    batch = {tuple(r) for r in curate(spark.read.parquet(src)).collect()}
+    stream = curate(spark.readStream.schema(docs.schema).parquet(src))
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(got) > 0
