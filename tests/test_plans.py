@@ -221,3 +221,27 @@ def test_minhash_index_query_broadcasts_the_batch(spark, tmp_path):
     batch = spark.createDataFrame([Row(doc_id=99, text="some words for document number 7")])
     plan = plan_str(idx.query(batch, min_est=0.1))
     assert n_broadcast_joins(plan) >= 1
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-set gram side must broadcast — the corpus is never shuffled
+    on content, only the matched hits reach the doc-keyed aggregation."""
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"words of document {i} with some shared phrasing") for i in range(30)]
+    )
+    bench = spark.createDataFrame([Row(doc_id=0, text="with some shared phrasing here")])
+    plan = plan_str(TX.decontaminate(docs, bench, n=5))
+    assert n_broadcast_joins(plan) >= 1
+
+
+def test_mixture_sample_is_map_only(spark):
+    """The keep-decision is a per-row expression: zero shuffles."""
+    from kadiyadb_spark.functions.sampling import stratified_hash_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", text="t") for i in range(10)]
+    )
+    plan = plan_str(stratified_hash_sample(docs, {"a": 0.5}, strata_col="source"))
+    assert n_shuffles(plan) == 0
