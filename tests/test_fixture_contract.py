@@ -105,3 +105,21 @@ def test_ts_ns_expr_across_input_generations(spark):
         ).first()["ns"]
         want = 1_704_067_200 * 10**9 if name == "date" else us * 1000
         assert got == want, f"{name}: {got} != {want}"
+
+
+def test_ts_conversions_exact_on_random_int64(spark):
+    """10k seeded random ns values through ts_us_expr and the ns round-trip;
+    every value must match python integer arithmetic exactly (the double-
+    division failure mode is value-dependent, so breadth matters)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.schema import ts_us_expr
+
+    rng = random.Random(20240813)
+    vals = [rng.randrange(0, 2**62) for _ in range(10_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "ts long")
+    got = df.select("ts", ts_us_expr(F.col("ts")).alias("us")).collect()
+    bad = [(r["ts"], r["us"]) for r in got if r["us"] != r["ts"] // 1000]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
