@@ -183,9 +183,18 @@ def decontaminate(
         benchmark.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
+    # Within-doc gram dedupe happens MAP-SIDE (array_distinct before the
+    # explode), so a plain count after the join is already the distinct-gram
+    # count, and the broadcast join is the map-side filter that discards
+    # every clean gram in place. Only the matched hits — bounded by
+    # contamination volume, not corpus size — reach the single doc-keyed
+    # shuffle. A row-level distinct here instead would shuffle the ENTIRE
+    # corpus gram set to dedupe rows the join is about to drop
+    # (plan-asserted in tests/test_plans.py).
     doc_grams = docs.select(
-        F.col(id_col), F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_expr(F.col(text_col), n))).alias("gram"),
+    )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)

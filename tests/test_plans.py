@@ -234,6 +234,10 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     bench = spark.createDataFrame([Row(doc_id=0, text="with some shared phrasing here")])
     plan = plan_str(TX.decontaminate(docs, bench, n=5))
     assert n_broadcast_joins(plan) >= 1
+    # two shuffles total: the benchmark side's tiny distinct and the
+    # doc-keyed count over matched hits. Within-doc gram dedupe is map-side
+    # (array_distinct), so the corpus gram set itself is never shuffled.
+    assert n_shuffles(plan) == 2
 
 
 def test_mixture_sample_is_map_only(spark):
