@@ -210,12 +210,34 @@ def repetition_score(
     fraction. Heavily templated or looping machine text scores high on all
     three; a filter on these is a standard pretraining-corpus gate.
 
-    Shape: the array metrics are shuffle-free map expressions; the top-token
-    fraction needs per-(doc, token) counts — one explode + groupBy keyed by
-    doc id (same shape as the vocab/tfidf operators)."""
+    Shape: ENTIRELY shuffle-free map expressions — the top-token count is a
+    fold over the sorted token array (equal tokens group adjacently, so the
+    longest equal-run IS the max frequency), not an explode + groupBy. An
+    exploded formulation shuffles corpus-sized (doc, token) pairs twice plus
+    a join; this version never leaves the scan's partitions
+    (plan-asserted in tests/test_plans.py)."""
     toks = tokens_expr(F.col(text_col))
     grams2 = word_ngrams_expr(F.col(text_col), 2)
-    base = df.select(
+    # max run length of equal adjacent elements in the sorted array:
+    # state = (prev token, current run, best run)
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         round4_expr(
@@ -226,28 +248,15 @@ def repetition_score(
         ).alias("dup_token_frac"),
         round4_expr(
             F.when(
+                F.size(toks) > 0, top_cnt.cast("double") / F.size(toks)
+            ).otherwise(F.lit(0.0))
+        ).alias("top_token_frac"),
+        round4_expr(
+            F.when(
                 F.size(grams2) > 0,
                 1.0 - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2),
             ).otherwise(F.lit(0.0))
         ).alias("dup_bigram_frac"),
-    )
-    top = (
-        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
-        .groupBy(id_col, "_tok")
-        .agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_n"))
-        .select(
-            F.col(id_col),
-            round4_expr(F.col("_top").cast("double") / F.col("_n")).alias("top_token_frac"),
-        )
-    )
-    return base.join(top, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        "dup_token_frac",
-        F.coalesce(F.col("top_token_frac"), F.lit(0.0)).alias("top_token_frac"),
-        "dup_bigram_frac",
     )
 
 

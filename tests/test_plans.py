@@ -249,3 +249,12 @@ def test_mixture_sample_is_map_only(spark):
     )
     plan = plan_str(stratified_hash_sample(docs, {"a": 0.5}, strata_col="source"))
     assert n_shuffles(plan) == 0
+
+
+def test_repetition_score_is_map_only(spark):
+    """All four metrics fold inside the scan's partitions: zero shuffles."""
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b a c a b")])
+    plan = plan_str(TX.repetition_score(docs))
+    assert n_shuffles(plan) == 0
