@@ -632,8 +632,14 @@ class MinHashIndex:
         rows_per_band = num_hashes // bands
         sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k)
         banded = banded_signatures(sigs, id_col, bands, rows_per_band, keep_signature=True)
+        # Repartition by the full bucket key WITHOUT pinning a partition
+        # count: band_key cardinality scales with the corpus, so the default
+        # parallelism (AQE-coalesced when small) gives corpus-proportional
+        # writer tasks while still clustering each bucket's rows together —
+        # a pinned count of `bands` would funnel a 100 TB index through a
+        # handful of writers.
         (
-            banded.repartition(bands, "band_idx", "band_key")
+            banded.repartition("band_idx", "band_key")
             .write.mode("overwrite")
             .partitionBy("band_idx")
             .parquet(f"{path}/banded")
