@@ -117,12 +117,31 @@ class Params:
         }
 
 
-def load_all(root: str) -> dict[str, Params]:
+def load_all(root: str, spark=None) -> dict[str, Params]:
     """Scan ``root`` for database subdirectories with a valid params.json
     (reference ``LoadAll``, database.go:66-124). Invalid databases are
     skipped with a warning, matching the reference's console-warn behavior
-    (database_test.go:17-99)."""
+    (database_test.go:17-99).
+
+    With ``spark`` given, the scan runs through the Hadoop FileSystem API so
+    a catalog root on S3/HDFS/GCS works identically to a local directory;
+    without it (no session available), plain local-fs scanning."""
     out: dict[str, Params] = {}
+    if spark is not None:
+        from kadiyadb_spark.fs import HadoopFS
+
+        fs = HadoopFS(spark, root)
+        if not fs.is_dir(root):
+            return out
+        for name in fs.listdir(root):
+            pj = HadoopFS.join(root, name, "params.json")
+            if not fs.exists(pj) or fs.is_dir(pj):
+                continue
+            try:
+                out[name] = Params.from_dict(fs.read_json(pj))
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                logger.warning("skipping database %s: invalid params (%s)", name, e)
+        return out
     if not os.path.isdir(root):
         return out
     for name in sorted(os.listdir(root)):

@@ -1,72 +1,233 @@
 """Database — persisted form of the engine (O10/O12/O13).
 
-Layout mirrors the reference (SURVEY §1.3): a database is a directory with
-``params.json`` and a ``cube/`` parquet table partitioned by ``epoch``; epoch
-partitions are independent, so writes to one never rewrite another
-(epoch/epoch.go:11-13), retention is a partition drop, and time-range queries
-prune partitions.
+Layout mirrors the reference's epoch-oriented design (SURVEY §1.3) but is
+committed through a single-file MANIFEST swap so every mutation is atomic on
+any Hadoop filesystem (file:, hdfs:, s3a:, gs:):
+
+    <path>/params.json
+    <path>/cube/MANIFEST-<gen>.json   # THE commit point (atomic rename)
+    <path>/cube/segs/<seg>/epoch_p=<E>/*.parquet
+
+A manifest names, per epoch, the ordered list of SEGMENT directories holding
+that epoch's delta rows, plus the per-stream applied-batch high-water marks:
+
+    {"gen": N, "segments": {"<epoch>": ["segs/<seg>/epoch_p=<E>", ...]},
+     "hwm": {"<stream_id>": <batch_id>}}
+
+Readers resolve the highest-generation manifest and read exactly the listed
+directories — no directory listing in the read path at all (on object stores
+listing is slow and eventually consistent; one small GET replaces it), and
+epoch pruning happens at the MANIFEST level before Spark ever plans a scan,
+the same role the reference's epoch directory structure plays
+(epoch/epoch.go:11-13).
+
+Write paths stage new segment directories (invisible until referenced), then
+commit by renaming the next-generation manifest into place:
+
+- ``track`` appends delta segments (LSM write path — cost proportional to the
+  batch, like the reference's in-place atomic adds, block/blockrw.go:60-78);
+- ``track_stream_batch`` commits the segment refs AND the stream's batch
+  high-water mark in the SAME manifest swap, so a crash at any instant either
+  commits both or neither — the exactly-once replay window a data-then-marker
+  sequence leaves open is closed by construction;
+- ``compact`` folds an epoch's segments into one and re-points the manifest
+  atomically (readers see old or new, never half);
+- ``expire`` is a manifest de-reference + directory delete (the reference's
+  ``Cache.Expire`` RemoveAll of epoch dirs, epoch/cache.go:136-156).
+
+Single-writer assumption (matches the reference: one process owns a db): the
+generation-numbered manifest makes a lost race an explicit failure (rename
+onto an existing generation returns false) rather than silent corruption.
 
 The reference's RO/RW epoch pools, mmap, WAL and snapshots (O10/O12/O14/O15)
-are storage-engine mechanics Spark replaces: parquet footers + partition
-pruning play the snapshot/index role, dynamic partition overwrite plays the
-RW-epoch role, and Sync is the write itself.
+are storage-engine mechanics Spark replaces: parquet footers + manifest
+pruning play the snapshot/index role, and Sync is the write itself.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kadiyadb_spark import schema as S
 from kadiyadb_spark.catalog import Params
+from kadiyadb_spark.fs import HadoopFS
 from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import fetch as fetch_df
 
+_MANIFEST_PREFIX = "MANIFEST-"
+_KEEP_MANIFESTS = 3  # old generations kept for debugging/readers-in-flight
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this generation first (single-writer
+    deployments should never see this; it exists so a misconfigured second
+    writer fails loudly instead of corrupting the cube)."""
+
 
 class Database:
-    """Open/Track/Fetch/Expire on a persisted epoch-partitioned cube."""
+    """Open/Track/Fetch/Expire on a persisted manifest-committed cube."""
 
     def __init__(self, spark: SparkSession, path: str, params: Params):
         self.spark = spark
         self.path = path
         self.params = params
-        self.cube_path = os.path.join(path, "cube")
+        self.fs = HadoopFS(spark, path)
+        self.cube_path = HadoopFS.join(path, "cube")
 
     # -- O13 Open ------------------------------------------------------------
     @classmethod
     def open(cls, spark: SparkSession, path: str, params: Params | None = None) -> "Database":
-        pj = os.path.join(path, "params.json")
+        fs = HadoopFS(spark, path)
+        pj = HadoopFS.join(path, "params.json")
         if params is None:
-            params = Params.from_json_file(pj)
+            params = Params.from_dict(fs.read_json(pj))
         else:
-            os.makedirs(path, exist_ok=True)
-            if not os.path.exists(pj):
-                with open(pj, "w") as f:
-                    json.dump(params.to_dict(), f)
+            fs.mkdirs(path)
+            if not fs.exists(pj):
+                fs.write_text_atomic(pj, json.dumps(params.to_dict()))
         return cls(spark, path, params)
 
     @property
     def max_depth(self) -> int:
         return len(self.params.fields)
 
-    def cube(self) -> DataFrame:
+    # -- manifest protocol -----------------------------------------------------
+    def _manifest(self) -> dict:
+        names = [
+            f
+            for f in self.fs.list_files(self.cube_path, suffix=".json")
+            if f.startswith(_MANIFEST_PREFIX)
+        ]
+        if not names:
+            return {"gen": -1, "segments": {}, "hwm": {}}
+        latest = max(names)  # zero-padded gen -> lexical max == numeric max
+        m = self.fs.read_json(HadoopFS.join(self.cube_path, latest))
+        m["segments"] = {int(e): list(refs) for e, refs in m["segments"].items()}
+        return m
+
+    def _commit_manifest(self, m: dict, prev_gen: int) -> None:
+        """Atomically publish the next generation. The rename IS the commit:
+        before it, nothing referenced the staged segments; after it, readers
+        resolve the new generation. Rename-to-fresh-name is atomic on
+        HDFS/POSIX and all-or-nothing per object on S3A (fs.py module doc)."""
+        gen = prev_gen + 1
+        m = {
+            "gen": gen,
+            "segments": {str(e): refs for e, refs in sorted(m["segments"].items()) if refs},
+            "hwm": m.get("hwm", {}),
+        }
+        name = f"{_MANIFEST_PREFIX}{gen:012d}.json"
+        self.fs.mkdirs(self.cube_path)
+        if not self.fs.write_json_atomic(HadoopFS.join(self.cube_path, name), m):
+            raise ConcurrentWriteError(f"manifest generation {gen} already exists")
+        # Retire old manifests (keep a few; pure metadata, bytes-sized).
+        names = sorted(
+            f
+            for f in self.fs.list_files(self.cube_path, suffix=".json")
+            if f.startswith(_MANIFEST_PREFIX)
+        )
+        for old in names[:-_KEEP_MANIFESTS]:
+            self.fs.delete(HadoopFS.join(self.cube_path, old))
+
+    def _write_segment(self, delta: DataFrame, sort_series: bool = False) -> dict[int, str]:
+        """Stage one cube-shaped delta as a new segment directory tree and
+        return {epoch: relative ref}. Staged data is INVISIBLE until a
+        manifest referencing it commits, so a crash here just leaves an
+        orphan for vacuum().
+
+        The write repartitions by epoch so each epoch's rows land in one
+        writer task -> one file per (segment, epoch); `epoch_p` duplicates
+        the epoch value because partitionBy strips its column from the data
+        files and readers address segment LEAF dirs directly (no partition
+        discovery), so `epoch` must survive as a data column. When
+        ``sort_series``, rows are sorted series-major (depth, f1.., bucket)
+        with epoch_p leading so the partitioned-write path sees its ordering
+        requirement satisfied and does not insert its own (order-scrambling)
+        sort."""
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        seg_root = HadoopFS.join(self.cube_path, "segs", seg)
+        out = delta.withColumn("epoch_p", F.col(S.EPOCH)).repartition(F.col("epoch_p"))
+        if sort_series:
+            fcols = S.field_cols(self.max_depth)
+            out = out.sortWithinPartitions("epoch_p", S.DEPTH, *fcols, S.BUCKET)
+        out.write.partitionBy("epoch_p").mode("overwrite").parquet(seg_root)
+        refs: dict[int, str] = {}
+        for child in self.fs.listdir(seg_root):
+            if child.startswith("epoch_p="):
+                e = int(child.split("=", 1)[1])
+                refs[e] = f"segs/{seg}/{child}"
+        if not refs:  # empty delta: nothing will reference the husk
+            self.fs.delete(seg_root)
+        return refs
+
+    def _segment_paths(self, m: dict, epochs: set[int] | None = None) -> list[str]:
+        return [
+            HadoopFS.join(self.cube_path, ref)
+            for e, refs in sorted(m["segments"].items())
+            if epochs is None or e in epochs
+            for ref in refs
+        ]
+
+    def _gc(self, refs: list[str]) -> None:
+        """Drop de-referenced segment leaf directories. Runs AFTER the
+        manifest commit, so a crash leaves only orphans (vacuum's job),
+        never dangling references."""
+        for ref in set(refs):
+            self.fs.delete(HadoopFS.join(self.cube_path, ref))
+
+    def vacuum(self) -> list[str]:
+        """Remove segment data not referenced by the CURRENT manifest —
+        leftovers of writes that crashed before their commit. Safe under the
+        single-writer assumption (an in-flight writer's staged segments are
+        unreferenced by definition; don't vacuum concurrently with writes)."""
+        m = self._manifest()
+        live: set[str] = set()
+        for refs in m["segments"].values():
+            live.update(refs)
+        live_roots = {ref.split("/")[1] for ref in live}
+        removed = []
+        segs_root = HadoopFS.join(self.cube_path, "segs")
+        for seg in self.fs.listdir(segs_root):
+            seg_path = HadoopFS.join(segs_root, seg)
+            if seg not in live_roots:
+                self.fs.delete(seg_path)
+                removed.append(f"segs/{seg}")
+                continue
+            for child in self.fs.listdir(seg_path):
+                rel = f"segs/{seg}/{child}"
+                if child.startswith("epoch_p=") and rel not in live:
+                    self.fs.delete(HadoopFS.join(seg_path, child))
+                    removed.append(rel)
+        return sorted(removed)
+
+    # -- read path -------------------------------------------------------------
+    def cube(self, from_epoch: int | None = None, to_epoch: int | None = None) -> DataFrame:
         """The cube as a DataFrame, FOLDED to one row per cube key.
 
-        ``track`` appends delta files (LSM-style, see its docstring), so an
-        epoch directory may hold several partial rows per (bucket, fields,
-        depth) key; the fold is a sum groupBy — exact, because the Point is
-        a decomposable (total, count) pair (SURVEY §1.1). Catalyst pushes
-        epoch/dimension predicates below the fold (grouping-key filters), so
-        partition pruning and row-group skipping still reach the scan; after
-        ``compact`` the fold is a per-key identity. Empty-schema DataFrame if
-        nothing written yet; partition column ``epoch`` comes back long."""
-        if not os.path.isdir(self.cube_path):
-            return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
-        df = self.spark.read.parquet(self.cube_path)
+        ``track`` appends delta segments (LSM-style), so an epoch may hold
+        several partial rows per (bucket, fields, depth) key; the fold is a
+        sum groupBy — exact, because the Point is a decomposable
+        (total, count) pair (SURVEY §1.1). Epoch pruning happens HERE, at
+        the manifest level: only segment directories of epochs inside
+        [from_epoch, to_epoch] are handed to the scan, so out-of-range data
+        is never listed, planned or read. Within the scan, epoch is a data
+        column with one value per file, so parquet min-max stats skip
+        whole row groups for any further epoch predicate Catalyst pushes."""
+        m = self._manifest()
+        epochs = {
+            e
+            for e in m["segments"]
+            if (from_epoch is None or e >= from_epoch) and (to_epoch is None or e <= to_epoch)
+        }
+        paths = self._segment_paths(m, epochs)
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
+        if not paths:
+            return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
+        df = self.spark.read.parquet(*paths)
         df = df.select(*[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))])
         keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
         return df.groupBy(*keys).agg(
@@ -78,14 +239,11 @@ class Database:
         """Append-increment a batch of events into the persisted cube.
 
         LSM-style write path: aggregate the batch to cube deltas (one
-        shuffle) and APPEND them as new files under the touched epoch
-        partitions — no read, no rewrite, no driver-side epoch listing. The
-        old merge-by-rewrite path re-read and overwrote every touched epoch
-        per micro-batch (write amplification ~ epoch size / batch size, the
-        design risk VERDICT r1 carried forward); appends make the write cost
-        proportional to the BATCH, like the reference's in-place atomic adds
-        (block/blockrw.go:60-78). Reads fold the deltas exactly (see
-        ``cube``); periodic ``compact`` folds them physically."""
+        shuffle), stage them as a new segment, and commit a manifest that
+        APPENDS the segment to the touched epochs — no read, no rewrite of
+        existing data, cost proportional to the BATCH (the reference's
+        in-place atomic adds, block/blockrw.go:60-78). Reads fold the
+        segments exactly (see ``cube``); ``compact`` folds them physically."""
         p = self.params
         delta = track_batch(
             events,
@@ -96,32 +254,19 @@ class Database:
             resolution=p.resolution,
             duration=p.duration,
         )
-        (
-            delta.repartition(S.EPOCH)
-            .write.partitionBy(S.EPOCH)
-            .mode("append")
-            .parquet(self.cube_path)
-        )
+        refs = self._write_segment(delta)
+        if not refs:
+            return
+        m = self._manifest()
+        for e, ref in refs.items():
+            m["segments"].setdefault(e, []).append(ref)
+        self._commit_manifest(m, m["gen"])
 
     # -- streaming idempotency ------------------------------------------------
-    def _stream_meta_path(self, stream_id: str) -> str:
-        return os.path.join(self.path, "_streams", f"{stream_id}.json")
-
     def applied_batch_hwm(self, stream_id: str) -> int:
-        """Highest micro-batch id already merged for ``stream_id``; -1 if none."""
-        try:
-            with open(self._stream_meta_path(stream_id)) as f:
-                return int(json.load(f)["batch_id"])
-        except (OSError, ValueError, KeyError):
-            return -1
-
-    def _commit_batch(self, stream_id: str, batch_id: int) -> None:
-        path = self._stream_meta_path(stream_id)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, path)  # atomic on POSIX
+        """Highest micro-batch id already committed for ``stream_id``; -1 if
+        none. Lives IN the manifest, so it can never disagree with the data."""
+        return int(self._manifest().get("hwm", {}).get(stream_id, -1))
 
     def track_stream_batch(
         self,
@@ -132,41 +277,60 @@ class Database:
         total_col: str = "value",
         count_col: str | None = None,
     ) -> bool:
-        """Increment-merge one micro-batch, idempotent under replay.
+        """Increment-merge one micro-batch, EXACTLY-ONCE under replay.
 
         Structured Streaming re-runs a foreachBatch with the SAME batch_id
         after a sink failure or restart-from-checkpoint; a bare increment
         merge would double-count those rows (SURVEY §7's one real design
-        risk). Batch ids are monotonically increasing per checkpoint, so an
-        applied-batch high-water mark stored beside the cube makes replays
-        no-ops. The marker is written AFTER the data commit: a crash landing
-        exactly between the two re-applies that one batch — closing that last
-        window needs an atomic data+marker commit (a transactional table
-        format, e.g. Delta MERGE with txn app ids; not available in this
-        container — documented trade-off). Returns True if the batch was
-        applied, False if skipped as already applied."""
-        if batch_id <= self.applied_batch_hwm(stream_id):
+        risk). Here the segment references and the stream's applied-batch
+        high-water mark commit in the SAME atomic manifest swap: a crash
+        before the swap leaves only unreferenced staged files (the replay
+        re-stages and commits once), a crash after it makes the replay a
+        no-op via the hwm check — there is no instant at which data is
+        visible without the mark or vice versa. This is the transactional
+        write a Delta `txn` appId/version pair provides, done parquet-native.
+        Returns True if the batch was applied, False if skipped as already
+        applied."""
+        m = self._manifest()
+        if batch_id <= int(m.get("hwm", {}).get(stream_id, -1)):
             return False
-        self.track(batch, ts_col=ts_col, total_col=total_col, count_col=count_col)
-        self._commit_batch(stream_id, batch_id)
+        p = self.params
+        delta = track_batch(
+            batch,
+            fields=list(p.fields),
+            ts_col=ts_col,
+            total_col=total_col,
+            count_col=count_col,
+            resolution=p.resolution,
+            duration=p.duration,
+        )
+        refs = self._write_segment(delta)
+        for e, ref in refs.items():
+            m["segments"].setdefault(e, []).append(ref)
+        m.setdefault("hwm", {})[stream_id] = batch_id
+        self._commit_manifest(m, m["gen"])
         return True
 
     def merge_replace(self, delta: DataFrame) -> None:
         """Replace-merge cube-shaped delta rows (cumulative values win over
         stored ones) — the sink for update-mode streaming aggregation, where
-        each emitted row is the running (total, cnt) for its group."""
+        each emitted row is the running (total, cnt) for its group. The
+        rewritten epochs swap in atomically with the manifest commit; replay
+        safety here comes from the VALUES being cumulative (rewriting the
+        same batch lands the same totals), so no hwm is needed."""
         fcols = S.field_cols(self.max_depth)
         keys = [S.EPOCH, S.BUCKET, *fcols, S.DEPTH]
-        delta = delta.select(*keys, S.TOTAL, S.CNT)
-        if not os.path.isdir(self.cube_path):
-            delta.repartition(S.EPOCH).write.partitionBy(S.EPOCH).mode("overwrite").parquet(self.cube_path)
-            return
-        delta = delta.persist()
+        delta = delta.select(*keys, S.TOTAL, S.CNT).persist()
         try:
-            touched = [r[0] for r in delta.select(S.EPOCH).distinct().collect()]
+            # Driver-side epoch census of the BATCH (bounded: epochs-per-batch,
+            # not data volume) — decides which epochs get rewritten.
+            touched = [int(r[0]) for r in delta.select(S.EPOCH).distinct().collect()]
             if not touched:
                 return
-            existing = self.cube().filter(F.col(S.EPOCH).isin(touched))
+            m = self._manifest()
+            existing = self.cube(min(touched), max(touched)).filter(
+                F.col(S.EPOCH).isin(touched)
+            )
             # NULL-safe key equality: f-columns are null for prefix rows, and
             # a plain equality join would never match them.
             d = delta.select(*keys)
@@ -175,106 +339,98 @@ class Database:
                 c = existing[k].eqNullSafe(d[k])
                 cond = c if cond is None else (cond & c)
             merged = existing.join(d, on=cond, how="left_anti").unionByName(delta)
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.repartition(S.EPOCH).write.partitionBy(S.EPOCH).mode("overwrite").parquet(self.cube_path)
+            refs = self._write_segment(merged)
+            old = [ref for e in touched for ref in m["segments"].get(e, [])]
+            for e in touched:
+                m["segments"][e] = []
+            for e, ref in refs.items():
+                m["segments"].setdefault(e, []).append(ref)
+            self._commit_manifest(m, m["gen"])
+            self._gc(old)
         finally:
             delta.unpersist()
 
     # -- O2 Fetch ------------------------------------------------------------
     def fetch(self, from_ts: int, to_ts: int, pattern: list[str], densify: bool = True) -> DataFrame:
+        """Manifest-level epoch pruning happens before the scan is planned:
+        only segments of epochs overlapping [from_ts, to_ts) are read."""
+        res, dur = self.params.resolution, self.params.duration
+        from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
+        to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
+        e_from = from_b - (from_b % dur)
+        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
         return fetch_df(
-            self.cube(),
+            self.cube(e_from, e_to),
             from_ts,
             to_ts,
             pattern,
-            resolution=self.params.resolution,
-            duration=self.params.duration,
+            resolution=res,
+            duration=dur,
             densify=densify,
         )
 
     # -- O11 Expire ----------------------------------------------------------
     def expire(self, before_ts: int) -> list[int]:
-        """Drop epoch partitions strictly older than ``before_ts``
-        (epoch/cache.go:136-156 — there RemoveAll of epoch dirs; here a
-        partition-directory drop, no data rewrite)."""
-        import shutil
-
-        dropped = []
-        if not os.path.isdir(self.cube_path):
-            return dropped
+        """Drop epochs strictly older than ``before_ts``
+        (epoch/cache.go:136-156 — there RemoveAll of epoch dirs; here an
+        atomic manifest de-reference followed by directory deletes, no data
+        rewrite). Works identically on file:, hdfs: and s3a: roots."""
         cutoff = before_ts - (before_ts % self.params.duration)
-        for name in os.listdir(self.cube_path):
-            if not name.startswith(f"{S.EPOCH}="):
-                continue
-            try:
-                e = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if e < cutoff:
-                shutil.rmtree(os.path.join(self.cube_path, name))
-                dropped.append(e)
-        return sorted(dropped)
+        m = self._manifest()
+        dropped = sorted(e for e in m["segments"] if e < cutoff)
+        if not dropped:
+            return []
+        old = [ref for e in dropped for ref in m["segments"].pop(e)]
+        self._commit_manifest(m, m["gen"])
+        self._gc(old)
+        return dropped
 
     def expire_by_retention(self, now_ts: int) -> list[int]:
         return self.expire(now_ts - self.params.retention)
 
     # -- maintenance ----------------------------------------------------------
     def compact(self, max_files_per_epoch: int = 1, sort_series: bool = True) -> list[int]:
-        """Rewrite fragmented epoch partitions down to ``max_files_per_epoch``
-        parquet files each, by default sorted series-major
-        (depth, f1..fN, bucket) — each series' slots become contiguous runs,
-        the parquet analog of the reference's record-major block layout
-        (block/block.go:53-61: rows r0..rM x slots p0..pN), and row-group
-        min-max stats on the dimension and bucket columns both narrow, so
-        exact-path fetches skip row groups.
+        """Fold fragmented epochs' segments down to one segment each, by
+        default sorted series-major (depth, f1..fN, bucket) — each series'
+        slots become contiguous runs, the parquet analog of the reference's
+        record-major block layout (block/block.go:53-61: rows r0..rM x slots
+        p0..pN), and row-group min-max stats on the dimension and bucket
+        columns both narrow, so exact-path fetches skip row groups.
 
-        Why this exists: ``track`` APPENDS one delta file set per
-        micro-batch (LSM write path — no write amplification), so a
-        frequently-written epoch accumulates files and every read re-folds
-        them; compaction folds physically, restoring 1-row-per-key,
-        scan-friendly layout — the LSM memtable-flush/SSTable-merge role.
-        The reads-stay-exact guarantee comes from ``cube``'s fold. A
-        transactional table format (Delta/Iceberg MERGE + txn app ids +
-        OPTIMIZE) would add row-level upsert and atomic data+marker commits;
-        not available in this container — append+fold+compact is the honest
-        parquet-native equivalent. Returns the compacted epoch ids."""
-        if not os.path.isdir(self.cube_path):
-            return []
-        # Driver-side directory listing finds the fragmented epochs (cheap
-        # metadata scan), then ONE filtered read + dynamic partition
-        # overwrite rewrites them all — a single job instead of a driver
-        # loop launching one job per epoch (at 720 epochs/month the loop's
-        # per-job scheduling latency dominates the actual I/O).
-        fragmented = []
-        for name in sorted(os.listdir(self.cube_path)):
-            if not name.startswith(f"{S.EPOCH}="):
-                continue
-            part_dir = os.path.join(self.cube_path, name)
-            n_files = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
-            if n_files > max_files_per_epoch:
-                fragmented.append(int(name.split("=", 1)[1]))
+        Why this exists: ``track`` APPENDS one segment per micro-batch (LSM
+        write path — no write amplification), so a frequently-written epoch
+        accumulates segments and every read re-folds them; compaction folds
+        them physically — the LSM memtable-flush/SSTable-merge role. The
+        fragment census is pure MANIFEST arithmetic (refs per epoch), no
+        directory listing; only the fragmented epochs are rewritten (cost
+        bounded by their size, not the cube's), and the re-pointing is one
+        atomic manifest swap — a reader mid-compact sees the old segments
+        until the instant the new generation lands, and a crashed compact
+        leaves only unreferenced staging for ``vacuum``. Returns the
+        compacted epoch ids."""
+        m = self._manifest()
+        fragmented = sorted(
+            e for e, refs in m["segments"].items() if len(refs) > max_files_per_epoch
+        )
         if not fragmented:
             return []
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        part = self.cube().filter(F.col(S.EPOCH).isin(fragmented))
-        # Hash-repartition by epoch: every epoch lands in exactly one task,
-        # so each rewritten partition dir holds ONE file (<= any max). An
-        # epoch too large for a single writer task would want a salted key
-        # here; epochs are sized by params.duration precisely so they stay
-        # task-sized (SURVEY §1.6).
-        part = part.repartition(len(fragmented), F.col(S.EPOCH))
-        if sort_series:
-            # epoch leads the sort so the partitioned-write path sees its
-            # ordering requirement already satisfied and does NOT insert
-            # its own (order-scrambling) sort on the partition column
-            fcols = S.field_cols(len(self.params.fields))
-            part = part.sortWithinPartitions(S.EPOCH, S.DEPTH, *fcols, S.BUCKET)
-        part.write.partitionBy(S.EPOCH).mode("overwrite").parquet(self.cube_path)
+        folded = self.cube(min(fragmented), max(fragmented)).filter(
+            F.col(S.EPOCH).isin(fragmented)
+        )
+        refs = self._write_segment(folded, sort_series=sort_series)
+        old = [ref for e in fragmented for ref in m["segments"].get(e, [])]
+        for e in fragmented:
+            m["segments"][e] = []
+        for e, ref in refs.items():
+            m["segments"].setdefault(e, []).append(ref)
+        self._commit_manifest(m, m["gen"])
+        self._gc(old)
         return fragmented
 
     # -- O12 Sync ------------------------------------------------------------
     def sync(self) -> None:
-        """No-op: parquet writes are durable on commit (SURVEY O12)."""
+        """No-op: segment parquet writes are durable on close and visible
+        only after their manifest commits (SURVEY O12)."""
 
 
 def load_all_open(spark: SparkSession, root: str) -> dict[str, Database]:
@@ -284,6 +440,6 @@ def load_all_open(spark: SparkSession, root: str) -> dict[str, Database]:
     from kadiyadb_spark.catalog import load_all
 
     return {
-        name: Database.open(spark, os.path.join(root, name), params)
-        for name, params in load_all(root).items()
+        name: Database.open(spark, HadoopFS.join(root, name), params)
+        for name, params in load_all(root, spark=spark).items()
     }

@@ -1,10 +1,12 @@
-"""Persisted Database: open/track/merge/fetch/expire round-trips (O10-O13)."""
+"""Persisted Database: open/track/merge/fetch/expire round-trips (O10-O13)
+plus the manifest commit protocol (atomicity, exactly-once replay, vacuum)."""
 
 import pytest
 from pyspark.sql import Row
 
 from kadiyadb_spark.catalog import Params
 from kadiyadb_spark.database import Database
+from kadiyadb_spark.fs import HadoopFS
 
 P = Params(duration=5, resolution=1, retention=10, fields=("x", "y"))
 
@@ -22,10 +24,28 @@ def _pts(df):
     return sorted(out)
 
 
+def _refs(db, epoch):
+    return db._manifest()["segments"].get(epoch, [])
+
+
 def test_open_writes_and_reads_params(spark, tmp_path):
     db = Database.open(spark, str(tmp_path / "db1"), P)
     db2 = Database.open(spark, str(tmp_path / "db1"))
     assert db2.params == P
+
+
+def test_open_via_hadoop_file_uri(spark, tmp_path):
+    """The whole lifecycle must run against a Hadoop URI root (the
+    object-store path shape), not just bare POSIX paths."""
+    root = f"file://{tmp_path}/udb"
+    db = Database.open(spark, root, P)
+    db.track(_events(spark, [(0, "a", "b", 5.0), (7, "a", "b", 1.0)]), total_col="v")
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 5.0, 1.0)]
+    assert db.expire(before_ts=5) == [0]
+    assert db.compact() == []  # one segment per epoch already
+    db2 = Database.open(spark, root)
+    assert db2.params == P
+    assert db2.fetch(0, 10, ["a", "b"], densify=False).count() == 1
 
 
 def test_track_fetch_roundtrip(spark, tmp_path):
@@ -53,7 +73,6 @@ def test_track_increments_across_batches(spark, tmp_path):
 def test_merge_replace_overwrites_matched_keys(spark, tmp_path):
     db = Database.open(spark, str(tmp_path / "db"), P)
     db.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
-    cumulative = db.cube().limit(0)  # schema template
     rows = db.cube().collect()
     # simulate an update-mode batch carrying new cumulative values
     updated = spark.createDataFrame([r.asDict() | {"total": 99.0, "cnt": 9.0} for r in rows], db.cube().schema)
@@ -69,23 +88,24 @@ def test_expire_drops_old_epochs(spark, tmp_path):
     assert dropped == [0]
     assert db.fetch(0, 5, ["a", "b"]).count() == 0
     assert _pts(db.fetch(5, 6, ["a", "b"])) == [(5, ("a", "b"), 5, 2.0, 1.0)]
+    # the dropped epoch's segment directories are gone, not just dereferenced
+    segs = db.fs.listdir(HadoopFS.join(db.cube_path, "segs"))
+    for seg in segs:
+        children = db.fs.listdir(HadoopFS.join(db.cube_path, "segs", seg))
+        assert "epoch_p=0" not in children
     # retention-driven: now=21, retention=10 -> cutoff 11 -> epoch 5 dropped
     assert db.expire_by_retention(now_ts=21) == [5]
 
 
-def test_compact_reduces_files_preserves_values(spark, tmp_path):
-    import os
-
+def test_compact_reduces_segments_preserves_values(spark, tmp_path):
     db = Database.open(spark, str(tmp_path / "db"), P)
-    # several small batches fragment epoch 0 into multiple files
+    # several small batches fragment epoch 0 into multiple segments
     for i in range(3):
         db.track(_events(spark, [(i, "a", "b", float(i + 1))]), total_col="v")
     before = _pts(db.fetch(0, 5, ["a", "b"]))
-    part = os.path.join(db.cube_path, "epoch=0")
-    db_files = lambda: sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
-    assert db_files() >= 1
-    compacted = db.compact(max_files_per_epoch=1)
-    assert db_files() == 1
+    assert len(_refs(db, 0)) == 3
+    assert db.compact(max_files_per_epoch=1) == [0]
+    assert len(_refs(db, 0)) == 1
     assert _pts(db.fetch(0, 5, ["a", "b"])) == before
     # idempotent: nothing left to compact
     assert db.compact(max_files_per_epoch=1) == []
@@ -95,21 +115,17 @@ def test_compact_sorts_series_major(spark, tmp_path):
     """Compacted epochs are series-major (depth, f1.., bucket): each series'
     slots are contiguous in the file — the reference's record-major block
     layout (block/block.go:53-61) — so dimension row-group stats narrow."""
-    from pyspark.sql import Row
-    from pyspark.sql import functions as F
-
     db = Database.open(spark, str(tmp_path / "db"), P)
     rows = [
         Row(ts=(i % 4) * P.resolution, x=f"x{i % 3}", y=f"y{i % 2}", v=1.0)
         for i in range(24)
     ]
     db.track(spark.createDataFrame(rows), total_col="v")
-    # fragment epoch 0 the way an out-of-band writer would: an appended file
-    extra = db.cube().limit(1).withColumn("f1", F.lit("zzz"))
-    extra.write.mode("append").partitionBy("epoch").parquet(db.cube_path)
-    assert db.compact(max_files_per_epoch=1) != []
-    # parquet preserves in-file row order; read RAW (cube()'s fold shuffles)
-    raw = spark.read.parquet(db.cube_path)
+    db.track(_events(spark, [(0, "zzz", "y0", 1.0)]), total_col="v")  # fragment
+    assert db.compact(max_files_per_epoch=1) == [0]
+    # parquet preserves in-file row order; read the segment RAW (cube()'s
+    # fold shuffles)
+    raw = spark.read.parquet(*db._segment_paths(db._manifest()))
     got = [
         (r["depth"], r["f1"] or "", r["f2"] or "", r["bucket"])
         for r in raw.collect()
@@ -117,19 +133,102 @@ def test_compact_sorts_series_major(spark, tmp_path):
     assert got == sorted(got)
 
 
-def test_track_appends_without_rewrite_and_folds_exactly(spark, tmp_path):
-    """LSM write path: each track() appends delta files (earlier files are
-    never rewritten), and cube() folds duplicates to exact sums."""
-    import os
-
+def test_track_appends_segments_without_rewrite_and_folds_exactly(spark, tmp_path):
+    """LSM write path: each track() commits a NEW segment (earlier segment
+    files are never rewritten), and cube() folds duplicates to exact sums."""
     db = Database.open(spark, str(tmp_path / "db"), P)
     db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
-    part = os.path.join(db.cube_path, "epoch=0")
-    first_files = set(os.listdir(part))
+    (first_ref,) = _refs(db, 0)
+    first_files = set(db.fs.list_files(HadoopFS.join(db.cube_path, first_ref)))
     db.track(_events(spark, [(0, "a", "b", 2.0)]), total_col="v")
-    after = set(os.listdir(part))
-    # append-only: the first batch's files survive untouched, new ones added
-    assert first_files <= after and len(after) > len(first_files)
+    refs = _refs(db, 0)
+    # append-only: the first segment survives untouched, a new one is added
+    assert len(refs) == 2 and first_ref in refs
+    assert set(db.fs.list_files(HadoopFS.join(db.cube_path, first_ref))) == first_files
     # the fold is exact: one row per key, summed
     assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 3.0, 2.0)]
     assert db.cube().filter("depth = 2").count() == 1
+
+
+# ---------------------------------------------------------------- commit protocol
+
+
+def test_stream_batch_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a committed micro-batch (same batch_id) must be a no-op:
+    the hwm lives in the same manifest commit as the data refs."""
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    b = _events(spark, [(0, "a", "b", 5.0)])
+    assert db.track_stream_batch(b, batch_id=0, total_col="v") is True
+    assert db.track_stream_batch(b, batch_id=0, total_col="v") is False  # replay skipped
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 5.0, 1.0)]
+    assert db.applied_batch_hwm("raw") == 0
+    assert db.track_stream_batch(b, batch_id=1, total_col="v") is True
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 10.0, 2.0)]
+
+
+def test_stream_batch_crash_before_commit_leaves_no_data(spark, tmp_path, monkeypatch):
+    """Simulated crash BETWEEN the segment write and the manifest commit:
+    the staged data must be invisible, and the replay must land the batch
+    exactly once. This is the window the old data-then-marker sequence
+    double-counted."""
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    b = _events(spark, [(0, "a", "b", 5.0)])
+
+    class Crash(RuntimeError):
+        pass
+
+    def boom(m, prev_gen):
+        raise Crash("crash between data write and manifest commit")
+
+    monkeypatch.setattr(db, "_commit_manifest", boom)
+    with pytest.raises(Crash):
+        db.track_stream_batch(b, batch_id=0, total_col="v")
+    monkeypatch.undo()
+    # nothing visible: the staged segment is unreferenced
+    assert db.cube().count() == 0
+    assert db.applied_batch_hwm("raw") == -1
+    # replay applies the batch ONCE
+    assert db.track_stream_batch(b, batch_id=0, total_col="v") is True
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 5.0, 1.0)]
+    # vacuum clears the crash's orphaned staging
+    removed = db.vacuum()
+    assert removed  # the orphan from the crashed attempt
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 5.0, 1.0)]
+
+
+def test_empty_stream_batch_still_advances_hwm(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    empty = _events(spark, [(0, "a", "b", 1.0)]).limit(0)
+    assert db.track_stream_batch(empty, batch_id=0, total_col="v") is True
+    assert db.applied_batch_hwm("raw") == 0
+    assert db.cube().count() == 0
+
+
+def test_manifest_epoch_pruning_reads_only_in_range_segments(spark, tmp_path):
+    """fetch() must hand the scan only the segment dirs of in-range epochs —
+    the manifest plays the partition-pruning role, before Spark plans."""
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(
+        _events(spark, [(0, "a", "b", 1.0), (7, "a", "b", 2.0), (12, "a", "b", 3.0)]),
+        total_col="v",
+    )
+    files = db.fetch(0, 3, ["a", "b"], densify=False).inputFiles()
+    assert files and all("epoch_p=0" in f for f in files)
+
+
+def test_vacuum_keeps_referenced_segments(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    assert db.vacuum() == []  # nothing orphaned
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 1.0, 1.0)]
+
+
+def test_old_manifests_are_retired(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    for i in range(6):
+        db.track(_events(spark, [(i, "a", "b", 1.0)]), total_col="v")
+    manifests = [
+        f for f in db.fs.list_files(db.cube_path, suffix=".json") if f.startswith("MANIFEST-")
+    ]
+    assert len(manifests) == 3  # _KEEP_MANIFESTS
+    assert db.cube().filter("depth = 2").count() == 6  # buckets 0..5

@@ -49,12 +49,16 @@ def test_fetch_prunes_partitions_and_pushes_filters(spark, tmp_path):
         spark.createDataFrame([Row(ts=t, x="a", y="b", v=1.0) for t in (0, 7)]),
         total_col="v",
     )
-    plan = plan_str(db.fetch(0, 3, ["a", "b"], densify=False))
-    # epoch is the partition column: the time range must prune partitions...
-    assert "PartitionFilters" in plan and "epoch" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
-    # ...and bucket/dimension predicates must reach the parquet reader
+    fetched = db.fetch(0, 3, ["a", "b"], densify=False)
+    # epoch pruning happens at the MANIFEST level, before Spark plans: only
+    # in-range segment directories reach the scan at all...
+    files = fetched.inputFiles()
+    assert files and all("epoch_p=0" in f for f in files)
+    # ...and epoch/bucket/dimension predicates must reach the parquet reader
+    # (epoch is a data column with one value per file -> row-group skipping)
+    plan = plan_str(fetched)
     pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
-    assert "bucket" in pushed and "f1" in pushed
+    assert "epoch" in pushed and "bucket" in pushed and "f1" in pushed
 
 
 def test_jaccard_verify_broadcasts_candidates(spark):
