@@ -219,12 +219,16 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState) gated by
-    a REAL oracle: with one availableNow micro-batch, the sessionizer
-    deterministically emits every CLOSED session — all sessions except each
-    user's final one, which stays open in state when the stream drains. The
-    oracle is the batch gaps-and-islands sessionization minus each user's
-    last island."""
+    """Custom stateful streaming operator (applyInPandasWithState,
+    EventTimeTimeout) gated by a REAL oracle: the emitted session set is a
+    deterministic function of event time alone. A session is emitted either
+    when a later event of its user arrives past the gap (data path) or when
+    the WATERMARK passes session_end + gap (timeout path, fired in the
+    final no-data micro-batch before availableNow terminates). The oracle
+    is the batch gaps-and-islands sessionization minus only the sessions
+    whose timeout the final watermark (= max event time, delay 0) has not
+    passed — each user's last island IF it ends within one gap of the
+    stream's maximum timestamp."""
     import os
     import shutil
     import tempfile
@@ -247,23 +251,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    # NOT awaitTermination()/processAllAvailable(): after the data batch
-    # commits, availableNow holds an ACTIVE "cleaning up state" trigger
-    # waiting for pending processing-time timeouts (30 min per open
-    # session), so both calls block. Poll until the source reports drained
-    # ("No new data"), then stop — the data batch is committed by then, no
-    # timeout can have fired (gap >> runtime), so the emitted set is exactly
-    # the deterministic data-closed sessions.
-    import time as _time
-
-    t0 = _time.time()
-    while q.isActive and _time.time() - t0 < 300:
-        st = q.status
-        if not st["isDataAvailable"] and "No new data" in st["message"]:
-            break
-        _time.sleep(1)
-    q.stop()
-    q.awaitTermination(120)
+    # Event-time timeouts fire against the watermark, not wall clock, so the
+    # trigger drains and terminates on its own — a plain awaitTermination
+    # (the processing-time version needed a status-string poll here).
+    q.awaitTermination()
     from kadiyadb_spark.streaming.stateful import SESSION_SCHEMA
 
     out = spark.read.schema(SESSION_SCHEMA).parquet(f"{tmp}/out")
@@ -1816,10 +1807,13 @@ agg AS (
          count(*) AS n_events, sum(value) AS vsum
   FROM sess GROUP BY user_id, sid
 ),
-last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id),
+mx AS (SELECT max(ts) AS max_ts FROM ev)
 SELECT a.user_id, a.session_start, a.session_end, a.n_events,
        floor(a.vsum * 10000 + 0.5) / 10000 AS value_sum
-FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+FROM agg a JOIN last l ON a.user_id = l.user_id, mx
+WHERE a.sid < l.last_sid
+   OR (a.session_end + {gap}) // 1000000 < mx.max_ts // 1000000
 """
 
     # O11: only rows in epochs >= the cutoff survive an expire. The entry

@@ -6,15 +6,19 @@ operators a metrics/training pipeline layers on top of the event stream.
 
 - ``stream_sessionize``: per-user session assembly with an inactivity gap —
   the canonical custom-state example. State per user = (session start, last
-  event ts, event count, value sum). A session is EMITTED when the gap
-  elapses (decided by event time against the watermark via state timeouts),
-  so output is append-mode finalized sessions.
+  event ts, event count, value sum). A session closes on the DATA path when
+  a later event of the same user arrives past the gap, and on the WATERMARK
+  path (event-time timeout) when the watermark passes session_end + gap — so
+  closure is decided entirely by event time, never wall clock. A stalled or
+  slow source cannot close sessions early, and a drained source flushes
+  exactly the sessions whose gap the data itself has passed: output is a
+  deterministic function of the input events.
 
 Scale notes: state is keyed by user and lives in the state store (RocksDB
 on a real cluster); each micro-batch touches only keys present in the batch
-plus timed-out keys. The Arrow boundary batches whole key-groups, so the
-Python kernel sees one pandas frame per user per batch — vectorized, never
-row-at-a-time.
+plus watermark-expired keys. The Arrow boundary batches whole key-groups, so
+the Python kernel sees one pandas frame per user per batch — vectorized,
+never row-at-a-time.
 """
 
 from __future__ import annotations
@@ -55,6 +59,9 @@ def _session_fn(gap_ns: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
+            # Watermark passed session_end + gap: the open session is closed
+            # BY EVENT TIME — no later event can extend it (any in-gap event
+            # would be behind the watermark, i.e. dropped as late anyway).
             start, last, n, vsum = state.get
             state.remove()
             yield pd.DataFrame(
@@ -87,9 +94,12 @@ def _session_fn(gap_ns: int):
             n += 1
             vsum += float(value)
         state.update((start, last, n, vsum))
-        # Close the open session once no event arrives for gap (processing
-        # time approximates event time once the source drains).
-        state.setTimeoutDuration(gap_ns // 1_000_000)
+        # Event-time closure for the open session: fire when the watermark
+        # passes session_end + gap. Spark requires the timeout to sit above
+        # the current watermark; the max() guard covers a batch whose events
+        # were already close to it (fires on the next watermark advance).
+        timeout_ms = (last + gap_ns) // 1_000_000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame(
                 {
@@ -110,23 +120,33 @@ def stream_sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Assemble per-user sessions from a STREAMING events frame; emits a
-    session row when its inactivity gap elapses. Returns the streaming
-    DataFrame of finalized sessions (append semantics)."""
+    session row when its inactivity gap elapses IN EVENT TIME (watermark-
+    driven, ``GroupStateTimeout.EventTimeTimeout``). Returns the streaming
+    DataFrame of finalized sessions (append semantics).
+
+    ``watermark_delay`` is the out-of-orderness bound: events later than the
+    watermark are dropped by the engine before they can reopen a closed
+    session, which is exactly what makes the timeout sound."""
     from pyspark.sql import functions as F
 
-    from kadiyadb_spark.schema import ts_ns_expr
+    from kadiyadb_spark.schema import ts_ns_expr, ts_us_expr
 
     src = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
+    # Watermarks need a TimestampType column; ns -> micros loses nothing at
+    # our resolutions (the engine truncates to µs at streaming boundaries).
+    src = src.withColumn("_event_time", F.timestamp_micros(ts_us_expr(F.col("ts"))))
+    src = src.withWatermark("_event_time", watermark_delay)
     return src.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_ns),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1,12 +1,16 @@
 """Custom stateful streaming operator (applyInPandasWithState):
-session assembly with inactivity gaps, across micro-batches."""
+event-time session assembly with inactivity gaps, across micro-batches.
 
-import time
+With GroupStateTimeout.EventTimeTimeout the emitted session set is a
+DETERMINISTIC function of the events: a session closes either when a later
+event of the same user arrives past the gap (data path) or when the
+watermark passes session_end + gap (timeout path). Wall-clock speed of the
+host can no longer change the output."""
 
 from pyspark.sql import Row
 from pyspark.sql import types as T
 
-from kadiyadb_spark.streaming.stateful import SEC, stream_sessionize
+from kadiyadb_spark.streaming.stateful import SEC, SESSION_SCHEMA, stream_sessionize
 
 SRC_SCHEMA = T.StructType(
     [
@@ -26,7 +30,19 @@ def _write(spark, path, rows):
     ).write.mode("append").parquet(path)
 
 
-def test_stream_sessionize_across_batches(spark, tmp_path):
+def _run(spark, src, out, ckpt):
+    q = (
+        stream_sessionize(spark.readStream.schema(SRC_SCHEMA).parquet(src), gap_ns=GAP)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_sessionize_event_time_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -38,48 +54,64 @@ def test_stream_sessionize_across_batches(spark, tmp_path):
         (BASE + 5 * SEC, 2, 7.0),
     ]
     batch2 = [
-        (BASE + 200 * SEC, 1, 4.0),  # > GAP after user 1's last -> closes session 1
+        (BASE + 200 * SEC, 1, 4.0),  # > GAP after user 1's last -> NEW session
         (BASE + 210 * SEC, 1, 8.0),
     ]
     _write(spark, src, batch1)
+    _run(spark, src, out, ckpt)
+    # After run 1 the watermark is BASE+10s: neither open session's
+    # timeout (end + GAP) has been passed, so NOTHING is emitted yet —
+    # closure is event-time-driven, not wall-clock-driven.
+    import glob
 
-    events = spark.readStream.schema(SRC_SCHEMA).parquet(src)
-    sessions = stream_sessionize(events, gap_ns=GAP)
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    emitted_after_1 = (
+        spark.read.schema(SESSION_SCHEMA).parquet(out).count()
+        if glob.glob(f"{out}/*.parquet")
+        else 0
     )
-    q.awaitTermination(120)
+    assert emitted_after_1 == 0
 
     _write(spark, src, batch2)
-    q = (
-        stream_sessionize(spark.readStream.schema(SRC_SCHEMA).parquet(src), gap_ns=GAP)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    _run(spark, src, out, ckpt)
 
     got = {
         (r.user_id, r.session_start): (r.session_end, r.n_events, r.value_sum)
         for r in spark.read.parquet(out).collect()
     }
-    # user 1's first session closed by the gap to batch2's events — always
-    # emitted, with exact aggregates.
-    assert got[(1, BASE)] == (BASE + 10 * SEC, 2, 3.0)
-    # The still-open sessions emit only if their PROCESSING-time timeout
-    # elapsed between query runs (host-speed dependent); if they did emit,
-    # their aggregates must be exact.
-    optional = {
-        (1, BASE + 200 * SEC): (BASE + 210 * SEC, 2, 12.0),
+    assert got == {
+        # closed on the data path: batch2's event arrived past the gap and
+        # opened a NEW session (the late-data island split)
+        (1, BASE): (BASE + 10 * SEC, 2, 3.0),
+        # closed by the WATERMARK (BASE+210s) passing end+GAP = BASE+65s
         (2, BASE + 5 * SEC): (BASE + 5 * SEC, 1, 7.0),
+        # user 1's second session (end BASE+210s) is still open: the final
+        # watermark equals its end, so its timeout has not elapsed — held in
+        # state, deterministically NOT emitted.
     }
-    for key, val in got.items():
-        if key == (1, BASE):
-            continue
-        assert optional[key] == val
+
+
+def test_stream_sessionize_drops_late_events(spark, tmp_path):
+    """An event behind the watermark cannot corrupt or reopen a session:
+    the engine filters it before the stateful operator (that guarantee is
+    what makes event-time timeouts sound)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(spark, src, [(BASE, 1, 1.0), (BASE + 100 * SEC, 9, 1.0)])
+    _run(spark, src, out, ckpt)  # watermark -> BASE+100s
+    # user 1's session (end BASE) timed out already (BASE+60s < BASE+100s);
+    # this LATE event (BASE+5s << watermark) must be dropped, not start a
+    # ghost session.
+    _write(spark, src, [(BASE + 5 * SEC, 1, 5.0), (BASE + 300 * SEC, 9, 1.0)])
+    _run(spark, src, out, ckpt)
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.value_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, BASE): (BASE, 1, 1.0),  # timeout-closed in run 1's no-data batch
+        # user 9's first session closed by its second event (data path)
+        (9, BASE + 100 * SEC): (BASE + 100 * SEC, 1, 1.0),
+    }
