@@ -521,6 +521,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_centroids: int = 8,
+    centroids: "str | DataFrame" = "deterministic",
 ) -> DataFrame:
     """Embedding-cosine near-dup with IVF centroid blocking: assign every
     vector to its nearest centroid MAP-SIDE (similarity.ivf_assign — one
@@ -539,9 +540,9 @@ def embedding_near_duplicates(
     limit) — numpy per bucket instead."""
     import numpy as np
 
-    from kadiyadb_spark.functions.similarity import deterministic_centroids, ivf_assign
+    from kadiyadb_spark.functions.similarity import ivf_assign, resolve_centroids
 
-    cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
+    cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
 
     def bucket_pairs(pdf):

@@ -246,6 +246,7 @@ class IVFIndex:
         num_centroids: int = 8,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        centroids: "str | DataFrame" = "deterministic",
     ) -> "IVFIndex":
         """One pass over the base table: map-side centroid argmax, then a
         partitioned write clustered by centroid_id.
@@ -258,7 +259,7 @@ class IVFIndex:
         salting the repartition key if a single writer task becomes the
         straggler."""
         spark = emb.sparkSession
-        cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
+        cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         assigned.repartition(num_centroids, "centroid_id").write.mode("overwrite").partitionBy(
@@ -424,9 +425,11 @@ def lsh_topk(
 def deterministic_centroids(
     emb: DataFrame, num: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic pseudo-centroids: the ``num`` lowest-id vectors. (A real
-    system would k-means; determinism matters more here so the oracle can
-    reproduce the assignment.)"""
+    """Deterministic pseudo-centroids: the ``num`` lowest-id vectors —
+    bit-reproducible by the SQL oracle, which is what the correctness gate
+    needs. On clustered real embeddings this skews bucket sizes and costs
+    recall; production indexes should pass ``centroids="kmeans"`` (or a
+    pre-trained centroid frame) to ``ivf_topk``/``IVFIndex.build``."""
     return (
         emb.orderBy(F.col(id_col).asc())
         .limit(num)
@@ -435,6 +438,56 @@ def deterministic_centroids(
             F.col(vec_col).cast("array<double>").alias("centroid_vec"),
         )
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    num: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """TRAINED centroids via Spark ML KMeans (fixed seed): the recall path
+    for IVF on clustered data — buckets follow the embedding distribution
+    instead of whichever vectors happen to carry the lowest ids, so a
+    query's nprobe buckets actually contain its neighbors.
+
+    Scale notes: KMeans|| init + Lloyd iterations are each one map-reduce
+    over the vectors (distributed, no driver materialization of the data);
+    only the k centers come back to the driver. Train once per index build,
+    never per query. Returns the same (centroid_id, centroid_vec) frame
+    shape as deterministic_centroids, with ids 0..k-1."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=num, seed=seed, maxIter=max_iter).fit(feats)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="centroid_id long, centroid_vec array<double>",
+    )
+
+
+def resolve_centroids(
+    emb: DataFrame,
+    num_centroids: int,
+    centroids: "str | DataFrame" = "deterministic",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid strategy switch shared by ivf_topk / IVFIndex.build /
+    embedding_near_duplicates: "deterministic" (oracle-reproducible
+    default), "kmeans" (trained, the recall path), or a caller-provided
+    (centroid_id, centroid_vec) DataFrame."""
+    if isinstance(centroids, DataFrame):
+        return centroids
+    if centroids == "deterministic":
+        return deterministic_centroids(emb, num_centroids, id_col, vec_col)
+    if centroids == "kmeans":
+        return kmeans_centroids(emb, num_centroids, id_col, vec_col)
+    raise ValueError(f"unknown centroid strategy: {centroids!r}")
 
 
 def ivf_topk(
@@ -447,9 +500,11 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: "str | DataFrame" = "deterministic",
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` centroid buckets nearest
-    to each query.
+    to each query. ``centroids``: "deterministic" (oracle default),
+    "kmeans" (trained — the recall path on clustered data), or a frame.
 
     Single map pass, no joins: the centroid and query matrices are both tiny
     and broadcast, so each Arrow batch of the base table (a) resolves its
@@ -463,7 +518,7 @@ def ivf_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    cents = deterministic_centroids(emb, num_centroids, id_col, vec_col)
+    cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
     c_ids, cn = _centroid_arrays(cents)
     q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)

@@ -1,0 +1,99 @@
+"""Trained (KMeans) IVF centroids vs the oracle-reproducible deterministic
+ones: on CLUSTERED embeddings the deterministic choice (lowest-id vectors)
+collapses buckets and costs recall; kmeans buckets follow the distribution.
+
+The synthetic set is adversarial for the deterministic strategy by
+construction: the lowest-id vectors all sit in ONE cluster, so every
+centroid is near-identical and bucket membership is noise w.r.t. the true
+cluster structure."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from kadiyadb_spark.functions import similarity as SIM
+
+DIM = 8
+N_CLUSTERS = 4
+PER_CLUSTER = 40
+
+
+def _clustered(spark):
+    rng = np.random.RandomState(7)  # fixed seed: deterministic fixture
+    centers = np.zeros((N_CLUSTERS, DIM))
+    for c in range(N_CLUSTERS):
+        centers[c, c] = 10.0  # well-separated axis clusters
+    rows = []
+    vid = 0
+    # ids 0..PER_CLUSTER-1 all land in cluster 0 -> every deterministic
+    # centroid comes from one cluster
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + rng.normal(0, 0.5, DIM)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows)
+
+
+def _queries(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for c in range(N_CLUSTERS):
+        v = np.zeros(DIM)
+        v[c] = 10.0
+        v += rng.normal(0, 0.3, DIM)
+        rows.append(Row(query_id=100 + c, query_vec=[float(x) for x in v]))
+    return spark.createDataFrame(rows)
+
+
+def _recall_at_k(approx, exact, k=5):
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qs = sorted(truth)
+    return sum(len(got.get(q, set()) & truth[q]) for q in qs) / (k * len(qs))
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark):
+    emb = _clustered(spark).cache()
+    qs = _queries(spark)
+    exact = SIM.cosine_topk(emb, qs, k=5)
+
+    det = SIM.ivf_topk(emb, qs, k=5, num_centroids=N_CLUSTERS, nprobe=1)
+    km = SIM.ivf_topk(
+        emb, qs, k=5, num_centroids=N_CLUSTERS, nprobe=1, centroids="kmeans"
+    )
+    r_det = _recall_at_k(det, exact, k=5)
+    r_km = _recall_at_k(km, exact, k=5)
+    # trained centroids must recover the cluster structure...
+    assert r_km >= 0.95, f"kmeans recall@5 {r_km}"
+    # ...and beat the adversarially-placed deterministic centroids
+    assert r_km > r_det, f"kmeans {r_km} vs deterministic {r_det}"
+
+
+def test_kmeans_centroid_frame_shape_and_determinism(spark):
+    emb = _clustered(spark)
+    c1 = SIM.kmeans_centroids(emb, num=N_CLUSTERS, seed=42)
+    assert [f.name for f in c1.schema.fields] == ["centroid_id", "centroid_vec"]
+    rows = c1.collect()
+    assert sorted(r["centroid_id"] for r in rows) == list(range(N_CLUSTERS))
+    assert all(len(r["centroid_vec"]) == DIM for r in rows)
+    # fixed seed -> same centers across runs
+    c2 = SIM.kmeans_centroids(emb, num=N_CLUSTERS, seed=42)
+    m1 = sorted(tuple(round(x, 6) for x in r["centroid_vec"]) for r in c1.collect())
+    m2 = sorted(tuple(round(x, 6) for x in r["centroid_vec"]) for r in c2.collect())
+    assert m1 == m2
+
+
+def test_ivf_index_build_with_kmeans_centroids(spark, tmp_path):
+    emb = _clustered(spark)
+    qs = _queries(spark)
+    idx = SIM.IVFIndex.build(
+        emb, str(tmp_path / "ivf_km"), num_centroids=N_CLUSTERS, centroids="kmeans"
+    )
+    exact = SIM.cosine_topk(emb, qs, k=5)
+    got = idx.search(qs, k=5, nprobe=1)
+    assert _recall_at_k(got, exact, k=5) >= 0.95
