@@ -9,12 +9,14 @@ Reference semantics (SURVEY §2):
 - to < from -> error; from == to -> empty result (fine-print #4)
 - result ordering unspecified (fine-print #8)
 
-Spark shape: predicate-pushed filter on the cube (epoch partition pruning +
-bucket range + dimension equality reach the parquet scan), then densify by
-joining the matched-series dimension set against a generated bucket axis.
-The densify join broadcasts the bucket axis (bounded by the requested range)
-so it adds no shuffle; the only wide operation is the ``distinct`` over
-matched series, whose cardinality is #series, not #rows.
+Spark shape: predicate-pushed filter on the cube (epoch pruning + bucket
+range + dimension equality reach the parquet scan), then densify by fanning
+each (epoch, series) membership row out to its epoch's slots MAP-SIDE with
+``explode(sequence(...))`` — no bucket-axis table, no broadcast, memory
+bounded by slots-per-epoch regardless of how wide the requested range is
+(a year at 1 s resolution fans out 3600 slots per epoch row, never 31M at
+once). The only wide operations are the ``distinct`` over matched series
+(cardinality #series, not #rows) and the left join back to stored values.
 """
 
 from __future__ import annotations
@@ -23,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kadiyadb_spark import schema as S
-from kadiyadb_spark.ingest import epoch_expr
 
 WILDCARD = "*"
 
@@ -56,10 +57,17 @@ def pattern_filter(df: DataFrame, pattern: list[str]) -> DataFrame:
     return df.filter(cond)
 
 
-def _bucket_axis(spark: SparkSession, from_b: int, to_b: int, resolution: int) -> DataFrame:
-    """All slot starts in [from_b, to_b) — spark.range is a leaf with known
-    bounds, so Catalyst can broadcast it."""
-    return spark.range(from_b, to_b, step=resolution).select(F.col("id").alias(S.BUCKET))
+def _epoch_slots_expr(from_b: int, to_b: int, resolution: int, duration: int):
+    """Slot starts of ONE epoch clipped to [from_b, to_b), as an array
+    expression over the row's epoch column. sequence() is inclusive of its
+    stop, so the last slot is the exclusive clip minus one resolution; both
+    ends are slot-aligned by construction (duration % resolution == 0).
+    Evaluated per (epoch, series) row at explode time — the densify axis is
+    never materialized as a table, so its memory cost is O(slots-per-epoch)
+    however wide the requested range is."""
+    start = F.greatest(F.col(S.EPOCH), F.lit(from_b))
+    stop = F.least(F.col(S.EPOCH) + F.lit(duration), F.lit(to_b)) - F.lit(resolution)
+    return F.sequence(start, stop, F.lit(resolution))
 
 
 def fetch(
@@ -118,8 +126,10 @@ def fetch(
     # Series membership is per-EPOCH, not per-slot: a series present in a
     # touched epoch's index yields a dense (possibly all-zero) vector for
     # that epoch, and nothing for epochs where it was never tracked
-    # (database.go:204-251, database_test.go:203-281). So pair each epoch's
-    # series set with that epoch's slice of the bucket axis.
+    # (database.go:204-251, database_test.go:203-281). Fan each membership
+    # row out to its epoch's clipped slot sequence MAP-SIDE — the explode
+    # happens inside the projection, so no axis table, no broadcast, no
+    # join to produce the dense grid.
     series_per_epoch = (
         pattern_filter(cube, pattern)
         .filter((F.col(S.EPOCH) >= F.lit(e_from)) & (F.col(S.EPOCH) <= F.lit(e_to)))
@@ -127,12 +137,13 @@ def fetch(
         .distinct()
     )
 
-    axis = _bucket_axis(spark, from_b, to_b, resolution).select(
-        epoch_expr(F.col(S.BUCKET), duration).alias(S.EPOCH), S.BUCKET
+    grid = series_per_epoch.select(
+        S.EPOCH,
+        *fcols,
+        F.explode(_epoch_slots_expr(from_b, to_b, resolution, duration)).alias(S.BUCKET),
     )
     dense = (
-        series_per_epoch.join(F.broadcast(axis), on=S.EPOCH)
-        .join(matched.select(*fcols, S.BUCKET, S.TOTAL, S.CNT), on=[*fcols, S.BUCKET], how="left")
+        grid.join(matched.select(*fcols, S.BUCKET, S.TOTAL, S.CNT), on=[*fcols, S.BUCKET], how="left")
         .select(
             S.EPOCH,
             *fcols,

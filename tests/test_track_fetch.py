@@ -260,3 +260,33 @@ def test_write_path_null_ts_rows_are_dropped(spark):
     assert all(r["bucket"] is not None for r in rows)
     # the null row's value leaked nowhere (depth-1 rollup total is 1.0 only)
     assert {r["total"] for r in rows} == {1.0}
+
+
+def test_densify_wide_range_fine_resolution_is_map_side(spark):
+    """A wide fetch at fine resolution must densify WITHOUT materializing a
+    range-sized bucket axis: the slot fan-out is a per-(epoch, series)
+    explode, so memory is bounded by slots-per-epoch. 3 days at 1-unit
+    resolution with 3600-unit epochs = 259,200 slots from one stored point."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark import track_batch
+
+    res, dur = 1, 3600
+    span = 3 * 24 * 3600  # 259,200 slots
+    df = spark.createDataFrame([Row(ts=10, x="a", v=2.0)])
+    cube = track_batch(df, fields=["x"], ts_col="ts", total_col="v", resolution=res, duration=dur)
+    dense = fetch(cube, 0, span, ["a"], resolution=res, duration=dur)
+    # series exists only in epoch 0 -> dense over that epoch's slots alone
+    assert dense.count() == dur // res
+    hit = dense.filter("bucket = 10").collect()
+    assert [(r["total"], r["cnt"]) for r in hit] == [(2.0, 1.0)]
+    assert dense.filter("total != 0").count() == 1
+    # the plan fans out via explode(sequence(...)), never an axis join:
+    # no range/axis leaf other than the cube source
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dense.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" in plan and "Range" not in plan
