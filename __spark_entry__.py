@@ -1216,6 +1216,27 @@ def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.query(batch, min_est=0.5)
 
 
+def q_dedup_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE incremental ingest: build the index on doc_id < 300, append an
+    accepted batch (300-399) with MinHashIndex.add (LSM append into the
+    band partitions), fold the appended files with compact, then probe
+    doc_id >= 400. The oracle is the ONE-SHOT build over doc_id < 400 —
+    build+add must be indistinguishable from having indexed everything up
+    front."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    growth = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx = D.MinHashIndex.build(
+        corpus, f"{tempfile.mkdtemp(prefix='kdb_mhadd_')}/idx", num_hashes=8, bands=4, shingle_k=8
+    )
+    idx.add(growth)
+    idx.compact()
+    return idx.query(batch, min_est=0.5)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction entry. The synthetic docs carry no PII, so each doc is
     salted with deterministic contact strings (every 3rd an email, every 5th
@@ -1609,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
         "dedup_index_query": q_dedup_index_query,
+        "dedup_index_add": q_dedup_index_add,
         # ---- 50-entry gate cap lands here ----
         # -- green in r03 (gated there): tpch tail + text/dedup/sim/multimodal --
         "anti_join": q_anti_join,
@@ -2521,6 +2543,11 @@ est AS (
 )
 SELECT new_id, index_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
+
+    # Incremental ADD: the Spark side builds on <300, appends 300-399, then
+    # probes >=400 — the oracle is the very same one-shot corpus<400 query,
+    # asserting build+add is indistinguishable from indexing up front.
+    o["dedup_index_add"] = o["dedup_index_query"]
 
     o["dedup_winnow_pairs"] = f"""
 WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),

@@ -650,6 +650,53 @@ class MinHashIndex:
     def banded(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/banded")
 
+    def add(
+        self,
+        accepted_docs: DataFrame,
+        text_col: str = "text",
+    ) -> None:
+        """APPEND an accepted batch to the index — the continuous-ingest
+        write path. ``build`` is a full overwrite; a pipeline that checks
+        each incoming batch with ``query`` and then accepts survivors must
+        index them incrementally or the next batch misses them.
+
+        Same LSM reasoning as ``Database.track``: the batch's banded rows
+        are appended as new files under the touched band partitions (cost
+        proportional to the BATCH, nothing rewritten); a frequently-grown
+        bucket accumulates small files that ``compact`` folds back to
+        cluster-per-bucket layout. Re-adding a doc_id is harmless for
+        correctness: duplicate index rows collapse in query's candidate
+        ``distinct``."""
+        rows_per_band = self.num_hashes // self.bands
+        sigs = minhash_signature(accepted_docs, text_col, self.id_col, self.num_hashes, self.shingle_k)
+        banded = banded_signatures(sigs, self.id_col, self.bands, rows_per_band, keep_signature=True)
+        (
+            banded.repartition("band_idx", "band_key")
+            .write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(f"{self.path}/banded")
+        )
+
+    def compact(self) -> None:
+        """Fold the appended batches: rewrite the banded index clustered by
+        (band_idx, band_key) so each bucket's rows sit in few files again
+        (the SSTable-merge role; ``add`` is the memtable flush). Staged
+        write + swap via the Hadoop FS API — runs on object stores; the
+        swap is a maintenance op under the single-writer assumption."""
+        from kadiyadb_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.path)
+        tmp = f"{self.path}/banded_compacting"
+        (
+            self.banded()
+            .repartition("band_idx", "band_key")
+            .write.mode("overwrite")
+            .partitionBy("band_idx")
+            .parquet(tmp)
+        )
+        fs.delete(f"{self.path}/banded")
+        fs.rename(tmp, f"{self.path}/banded")
+
     def query(
         self,
         new_docs: DataFrame,

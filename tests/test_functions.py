@@ -540,3 +540,37 @@ def test_minhash_index_rebuild_matches_fresh(spark, tmp_path):
     batch = spark.createDataFrame([Row(doc_id=50, text="shared prefix words here variant 3")])
     got = {(r.new_id, r.index_id) for r in reopened.query(batch, min_est=0.5).collect()}
     assert (50, 3) in got
+
+
+def test_minhash_index_add_matches_one_shot_build(spark, tmp_path):
+    """build + add must be indistinguishable from a one-shot build over the
+    union, before AND after compact (the LSM append + fold contract)."""
+    mk = lambda i, txt: Row(doc_id=i, text=txt)
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [mk(0, base), mk(1, "unrelated content about spark shuffles and joins entirely")]
+    )
+    growth = spark.createDataFrame(
+        [mk(10, base.replace("today", "tonight")),
+         mk(11, "fresh accepted document with wholly novel vocabulary")]
+    )
+    batch = spark.createDataFrame(
+        [mk(100, base.replace("dog", "cat")), mk(101, "nothing like anything indexed")]
+    )
+    inc = D.MinHashIndex.build(corpus, str(tmp_path / "inc"), num_hashes=8, bands=4)
+    inc.add(growth)
+    one = D.MinHashIndex.build(
+        corpus.union(growth), str(tmp_path / "one"), num_hashes=8, bands=4
+    )
+    want = {(r.new_id, r.index_id, r.est_jaccard) for r in one.query(batch, min_est=0.3).collect()}
+    got = {(r.new_id, r.index_id, r.est_jaccard) for r in inc.query(batch, min_est=0.3).collect()}
+    assert got == want and any(i in (0, 10) for _, i, _ in got)  # matches from BOTH halves
+    # compact folds the appended files; answers unchanged, fewer files
+    import glob
+
+    files_before = len(glob.glob(str(tmp_path / "inc" / "banded" / "**" / "*.parquet"), recursive=True))
+    inc.compact()
+    files_after = len(glob.glob(str(tmp_path / "inc" / "banded" / "**" / "*.parquet"), recursive=True))
+    assert files_after < files_before
+    got2 = {(r.new_id, r.index_id, r.est_jaccard) for r in inc.query(batch, min_est=0.3).collect()}
+    assert got2 == want
