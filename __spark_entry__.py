@@ -1193,9 +1193,11 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-doc repetition metrics (Gopher-style quality gate): duplicate
-    token/bigram fractions are shuffle-free array expressions; the top-token
-    fraction is one explode + doc-keyed groupBy."""
+    """Within-doc repetition metrics (Gopher-style quality gate): all four
+    metrics — duplicate token/bigram fractions AND the top-token fraction —
+    are shuffle-free array expressions; the top-token count folds a run
+    length over the doc's SORTED token array in one pass (plan-asserted
+    zero-shuffle, tests/test_plans.py)."""
     return TX.repetition_score(_t(spark, sf_dir, "documents"))
 
 
@@ -1570,69 +1572,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracle.py is run over ALL entries locally each round as
     # the safety net for whatever the cap skips (log kept in ORACLE_LOCAL.md).
     # Rotation history: r02 gated the relational/core block; r03 led with the
-    # text/dedup/similarity/multimodal block r02's cap missed; r04 (this one)
-    # leads with the 26 relational entries r03's cap skipped, then re-gates
-    # the 14 entries that broke in r03 via the fixture ts-type change plus the
-    # streaming/source entries whose code changed with the ts-boundary fix.
+    # text/dedup/similarity/multimodal block r02's cap missed; r04 led with
+    # the 26 relational entries r03's cap skipped plus the ts-boundary
+    # re-gates; r05 (this one) leads with the 31 entries r04's cap skipped —
+    # so the union of r04+r05 driver rows covers every entry — plus the NEW
+    # dedup_index_add and the entries whose code this round touched (manifest
+    # database, map-side densify fetch, event-time sessionize, centroid
+    # resolver, converted-ts filters).
     return {
-        # -- ungated in r03 (cap): relational tail --
-        "asof_join": q_asof_join,
-        "json_extract": q_json_extract,
-        "sessionize": q_sessionize,
-        "percentiles": q_percentiles,
-        "date_extract": q_date_extract,
-        "topk_per_group": q_topk_per_group,
-        "null_semantics": q_null_semantics,
-        "q6_selective_scan": q6_selective_scan,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive": q19_disjunctive,
-        "q7_nation_volume": q7_nation_volume,
-        "q10_returned_items": q10_returned_items,
-        "correlated_subquery": q_correlated_subquery,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        "exists_subquery": q_exists_subquery,
-        "cube_grouping": q_cube_grouping,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "window_frames": q_window_frames,
-        "explode_tokens": q_explode_tokens,
-        "array_collect": q_array_collect,
-        "string_funcs": q_string_funcs,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "json_source_agg": q_json_source_agg,
-        "csv_source_agg": q_csv_source_agg,
-        # -- failed in r03 (fixture ts-type change), fixed by the ts boundary;
-        #    re-gated here --
-        "track_cube": q_track_cube,
-        "fetch_exact": q_fetch_exact,
-        "fetch_wildcard": q_fetch_wildcard,
-        "fetch_rollup_prefix": q_fetch_rollup_prefix,
-        "fetch_boundary": q_fetch_boundary,
-        "rollup_read_equivalence": q_rollup_read_equivalence,
-        "streaming_ingest": q_streaming_ingest,
-        "streaming_agg": q_streaming_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "expire_retention": q_expire_retention,
-        "set_ops": q_set_ops,
-        "window_daily_running": q_window_daily_running,
-        "range_join_counts": q_range_join_counts,
-        "zorder_layout": q_zorder_layout,
-        # -- code touched by the ts fix or green-but-worth-regating core --
-        "streaming_dedup": q_streaming_dedup,
-        "catalog_load": q_catalog_load,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "semi_join": q_semi_join,
-        # -- NEW in r04 (never gated): must sit inside the 50-entry cap --
-        "text_decontaminate": q_text_decontaminate,
-        "text_repetition": q_text_repetition,
-        "mixture_sample": q_mixture_sample,
-        "pii_redact": q_pii_redact,
-        "dedup_index_query": q_dedup_index_query,
-        "dedup_index_add": q_dedup_index_add,
-        # ---- 50-entry gate cap lands here ----
-        # -- green in r03 (gated there): tpch tail + text/dedup/sim/multimodal --
+        # -- ungated in r04 (cap): tpch tail + text/dedup/sim/multimodal --
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -1664,6 +1612,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        # -- NEW in r05 (never gated): must sit inside the 50-entry cap --
+        "dedup_index_add": q_dedup_index_add,
+        # -- code changed in r05: manifest-committed database (expire,
+        #    streaming ingest/agg, catalog), map-side densify (all fetch),
+        #    event-time sessionize, converted-ts filters (track paths) --
+        "track_cube": q_track_cube,
+        "fetch_exact": q_fetch_exact,
+        "fetch_wildcard": q_fetch_wildcard,
+        "fetch_rollup_prefix": q_fetch_rollup_prefix,
+        "fetch_boundary": q_fetch_boundary,
+        "rollup_read_equivalence": q_rollup_read_equivalence,
+        "streaming_ingest": q_streaming_ingest,
+        "streaming_agg": q_streaming_agg,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "expire_retention": q_expire_retention,
+        "catalog_load": q_catalog_load,
+        "dedup_index_query": q_dedup_index_query,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
+        "mixture_sample": q_mixture_sample,
+        "pii_redact": q_pii_redact,
+        "q1_pricing_summary": q1_pricing_summary,
+        # ---- 50-entry gate cap lands here ----
+        # -- gated green in r04, code untouched this round --
+        "asof_join": q_asof_join,
+        "json_extract": q_json_extract,
+        "sessionize": q_sessionize,
+        "percentiles": q_percentiles,
+        "date_extract": q_date_extract,
+        "topk_per_group": q_topk_per_group,
+        "null_semantics": q_null_semantics,
+        "q6_selective_scan": q6_selective_scan,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
+        "correlated_subquery": q_correlated_subquery,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "exists_subquery": q_exists_subquery,
+        "cube_grouping": q_cube_grouping,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "window_frames": q_window_frames,
+        "explode_tokens": q_explode_tokens,
+        "array_collect": q_array_collect,
+        "string_funcs": q_string_funcs,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "json_source_agg": q_json_source_agg,
+        "csv_source_agg": q_csv_source_agg,
+        "set_ops": q_set_ops,
+        "window_daily_running": q_window_daily_running,
+        "range_join_counts": q_range_join_counts,
+        "zorder_layout": q_zorder_layout,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "semi_join": q_semi_join,
     }
 
 

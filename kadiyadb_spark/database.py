@@ -96,24 +96,45 @@ class Database:
         return len(self.params.fields)
 
     # -- manifest protocol -----------------------------------------------------
-    def _manifest(self) -> dict:
-        names = [
+    def _manifest_names(self) -> list[str]:
+        return sorted(
             f
             for f in self.fs.list_files(self.cube_path, suffix=".json")
             if f.startswith(_MANIFEST_PREFIX)
-        ]
+        )
+
+    def generations(self) -> list[int]:
+        """Retained manifest generations, oldest first — each is a readable
+        snapshot (see ``cube(at_gen=...)``)."""
+        return [int(n[len(_MANIFEST_PREFIX) : -len(".json")]) for n in self._manifest_names()]
+
+    def _manifest(self, at_gen: int | None = None) -> dict:
+        names = self._manifest_names()
         if not names:
+            if at_gen is not None:
+                raise ValueError(f"generation {at_gen} not retained (no manifests)")
             return {"gen": -1, "segments": {}, "hwm": {}}
-        latest = max(names)  # zero-padded gen -> lexical max == numeric max
-        m = self.fs.read_json(HadoopFS.join(self.cube_path, latest))
+        if at_gen is None:
+            pick = names[-1]  # zero-padded gen -> lexical max == numeric max
+        else:
+            pick = f"{_MANIFEST_PREFIX}{at_gen:012d}.json"
+            if pick not in names:
+                raise ValueError(
+                    f"generation {at_gen} not retained (have {self.generations()})"
+                )
+        m = self.fs.read_json(HadoopFS.join(self.cube_path, pick))
         m["segments"] = {int(e): list(refs) for e, refs in m["segments"].items()}
         return m
 
-    def _commit_manifest(self, m: dict, prev_gen: int) -> None:
+    def _commit_manifest(self, m: dict, prev_gen: int, keep: int = _KEEP_MANIFESTS) -> None:
         """Atomically publish the next generation. The rename IS the commit:
         before it, nothing referenced the staged segments; after it, readers
         resolve the new generation. Rename-to-fresh-name is atomic on
-        HDFS/POSIX and all-or-nothing per object on S3A (fs.py module doc)."""
+        HDFS/POSIX and all-or-nothing per object on S3A (fs.py module doc).
+
+        ``keep`` bounds the retained snapshot window (old manifests are pure
+        metadata, bytes-sized); data-DELETING commits pass keep=1 so the
+        deleted data is not resurrectable through an older snapshot."""
         gen = prev_gen + 1
         m = {
             "gen": gen,
@@ -124,13 +145,7 @@ class Database:
         self.fs.mkdirs(self.cube_path)
         if not self.fs.write_json_atomic(HadoopFS.join(self.cube_path, name), m):
             raise ConcurrentWriteError(f"manifest generation {gen} already exists")
-        # Retire old manifests (keep a few; pure metadata, bytes-sized).
-        names = sorted(
-            f
-            for f in self.fs.list_files(self.cube_path, suffix=".json")
-            if f.startswith(_MANIFEST_PREFIX)
-        )
-        for old in names[:-_KEEP_MANIFESTS]:
+        for old in self._manifest_names()[:-keep]:
             self.fs.delete(HadoopFS.join(self.cube_path, old))
 
     def _write_segment(self, delta: DataFrame, sort_series: bool = False) -> dict[int, str]:
@@ -172,22 +187,33 @@ class Database:
             for ref in refs
         ]
 
+    def _live_refs(self) -> set[str]:
+        """Segment refs reachable from ANY retained manifest — the set
+        snapshot reads (``cube(at_gen=...)``) may still touch."""
+        live: set[str] = set()
+        for name in self._manifest_names():
+            m = self.fs.read_json(HadoopFS.join(self.cube_path, name))
+            for refs in m["segments"].values():
+                live.update(refs)
+        return live
+
     def _gc(self, refs: list[str]) -> None:
         """Drop de-referenced segment leaf directories. Runs AFTER the
         manifest commit, so a crash leaves only orphans (vacuum's job),
-        never dangling references."""
-        for ref in set(refs):
+        never dangling references. A ref still reachable from a RETAINED
+        older manifest is kept so pinned snapshot reads stay consistent;
+        it is collected when that generation rotates out (a few tiny JSON
+        reads per GC — pure metadata)."""
+        live = self._live_refs()
+        for ref in set(refs) - live:
             self.fs.delete(HadoopFS.join(self.cube_path, ref))
 
     def vacuum(self) -> list[str]:
-        """Remove segment data not referenced by the CURRENT manifest —
+        """Remove segment data not referenced by ANY retained manifest —
         leftovers of writes that crashed before their commit. Safe under the
         single-writer assumption (an in-flight writer's staged segments are
         unreferenced by definition; don't vacuum concurrently with writes)."""
-        m = self._manifest()
-        live: set[str] = set()
-        for refs in m["segments"].values():
-            live.update(refs)
+        live = self._live_refs()
         live_roots = {ref.split("/")[1] for ref in live}
         removed = []
         segs_root = HadoopFS.join(self.cube_path, "segs")
@@ -205,7 +231,12 @@ class Database:
         return sorted(removed)
 
     # -- read path -------------------------------------------------------------
-    def cube(self, from_epoch: int | None = None, to_epoch: int | None = None) -> DataFrame:
+    def cube(
+        self,
+        from_epoch: int | None = None,
+        to_epoch: int | None = None,
+        at_gen: int | None = None,
+    ) -> DataFrame:
         """The cube as a DataFrame, FOLDED to one row per cube key.
 
         ``track`` appends delta segments (LSM-style), so an epoch may hold
@@ -216,8 +247,16 @@ class Database:
         [from_epoch, to_epoch] are handed to the scan, so out-of-range data
         is never listed, planned or read. Within the scan, epoch is a data
         column with one value per file, so parquet min-max stats skip
-        whole row groups for any further epoch predicate Catalyst pushes."""
-        m = self._manifest()
+        whole row groups for any further epoch predicate Catalyst pushes.
+
+        ``at_gen`` reads a RETAINED older generation (snapshot read / time
+        travel): because commits are whole-manifest swaps and segments are
+        immutable, every kept manifest is a consistent point-in-time view —
+        a long-running job can pin the generation it started on and never
+        see a torn mix of old and new data. GC only deletes segments
+        dereferenced by the CURRENT manifest, so pinned reads must stay
+        within the retained window (``generations()``)."""
+        m = self._manifest(at_gen=at_gen)
         epochs = {
             e
             for e in m["segments"]
@@ -381,7 +420,11 @@ class Database:
         if not dropped:
             return []
         old = [ref for e in dropped for ref in m["segments"].pop(e)]
-        self._commit_manifest(m, m["gen"])
+        # keep=1: expiry is data DELETION — older snapshots must not keep
+        # the expired epochs reachable (retention is often a compliance
+        # boundary, not just a space reclaim), so the retained-manifest
+        # window collapses to the new generation and the segments free now.
+        self._commit_manifest(m, m["gen"], keep=1)
         self._gc(old)
         return dropped
 

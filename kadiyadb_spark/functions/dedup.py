@@ -448,10 +448,13 @@ def connected_components(
     .checkpoint() so lost executors recover from stable storage).
 
     Tiered execution: the checkpoint that materializes the edge set also
-    yields its count; at or below ``local_threshold`` edges (~32 MB of
-    longs — far under driver headroom, same bound class as the broadcast
-    guards in similarity.py) the component computation runs as driver-side
-    union-find instead of 5-10 distributed rounds. Each star round costs
+    yields its count; at or below ``local_threshold`` edges the component
+    computation runs as driver-side union-find instead of 5-10 distributed
+    rounds. Driver footprint at the 1M-edge default is the parent dict of
+    up to 2M boxed-int entries plus the result createDataFrame — realistic
+    peak is a few hundred MB, a deliberate latency-for-memory trade that
+    any driver sized for Spark planning absorbs; shrink ``local_threshold``
+    on a memory-tight driver. Each star round costs
     several shuffle stages of fixed scheduling latency, which DOMINATES
     when the dup graph is small — the common case even for huge corpora,
     since |pairs| tracks duplicate count, not corpus size. Past the
@@ -494,10 +497,14 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         # Probe convergence only every OTHER round: the collect round-trip
-        # and its job are pure latency, and a round past the fixpoint is a
-        # no-op on the edge set (star rounds are idempotent at fixpoint), so
-        # the worst case is one wasted cheap round. Lineage depth stays
-        # bounded at two rounds between materializations.
+        # and its job are pure latency, and rounds past the fixpoint are
+        # no-ops on the edge set (star rounds are idempotent at fixpoint).
+        # Worst case: the fixpoint lands right after a probe, so the loop
+        # runs up to TWO extra no-op rounds before the next probe sees the
+        # unchanged (count, sum, sum) signature — sound for monotone star
+        # contraction because the signature is compared across the same
+        # two-round stride every time. Lineage depth stays bounded at two
+        # rounds between materializations.
         if it % 2 == 0 and it + 1 < max_iter:
             continue
         sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])

@@ -108,16 +108,20 @@ def _fake_resize(payload: bytes, out_w: int, out_h: int) -> dict:
     """Deterministic stand-in for image resize: lay the payload out row-major
     as the fake-decoded width x height pixel grid and nearest-neighbor sample
     an out_w x out_h grid (positions past the payload read as 0). The
-    checksum of sampled 'pixels' is the verifiable output."""
+    checksum of sampled 'pixels' is the verifiable output.
+
+    Loop-free: the sample positions form an outer sum of two index vectors,
+    so one numpy gather over the payload buffer computes the checksum — the
+    kernel shape a real resampler (PIL/libvips) drops into."""
+    import numpy as np
+
     d = _fake_decode(payload)
     w, h, n = d["width"], d["height"], len(payload)
-    tot = 0
-    for j in range(out_h):
-        r = (j * h) // out_h
-        for i in range(out_w):
-            c = (i * w) // out_w
-            pos = r * w + c
-            tot += payload[pos] if pos < n else 0
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    pos = (rows[:, None] * w + cols[None, :]).ravel()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    tot = int(buf[pos[pos < n]].sum(dtype=np.int64))
     return {"out_w": out_w, "out_h": out_h, "pix_checksum": tot % 1_000_003}
 
 

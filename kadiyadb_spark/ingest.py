@@ -84,14 +84,17 @@ def track_batch(
     if validate:
         df = validate_fields_df(df, fields)
 
-    # Event-time boundary: accept long-ns, TIMESTAMP, TIMESTAMP_NTZ, or DATE
-    # input and emit long-ns (schema.ts_ns_expr) — the engine convention.
-    # NULL event time is unrepresentable in the reference (uint64 ts) and
-    # has no position on the time axis: drop the row UNCONDITIONALLY rather
-    # than emit a poison null-bucket series (the negative-ts case below
-    # still aborts — a bad clock is a pipeline bug, a null is missing data).
-    df = df.filter(F.col(ts_col).isNotNull())
+    # Event-time boundary: accept long-ns, TIMESTAMP, TIMESTAMP_NTZ, DATE or
+    # ISO string input and emit long-ns (schema.ts_ns_expr) — the engine
+    # convention. Filter on the CONVERTED expression: NULL event time is
+    # unrepresentable in the reference (uint64 ts) and has no position on
+    # the time axis, and an unparseable string normalizes to NULL — both
+    # are dropped here rather than becoming a poison null-bucket series or
+    # tripping the negative-ts assert with a misleading message (the
+    # negative-ts case below still aborts — a bad clock is a pipeline bug,
+    # a null/unparseable value is missing data).
     ts = S.ts_ns_expr(df.schema[ts_col].dataType, ts_col)
+    df = df.filter(ts.isNotNull())
     # ErrInvTime guard (database.go:156-158, 190-193): negative ts would
     # silently floor into negative buckets; raise at execution instead.
     # assert_true is NULL on pass, so the coalesce adds 0 and stays codegen.

@@ -89,9 +89,13 @@ def ts_ns_expr(dtype: T.DataType, col: str | Column) -> Column:
         return (F.unix_micros(c.cast("timestamp")) * F.lit(1000)).cast("long")
     if isinstance(dtype, T.StringType):
         # ISO-8601 wall-clock strings (a CSV/JSON ingest reality); parsed in
-        # the pinned UTC session tz. Unparseable values become NULL — the
-        # write path's validation rejects them rather than silently zeroing.
-        return (F.unix_micros(F.to_timestamp(c)) * F.lit(1000)).cast("long")
+        # the pinned UTC session tz. try_to_timestamp, not to_timestamp:
+        # under ANSI mode (Spark 4 default) the latter ABORTS the job on the
+        # first malformed string — one poison row killing a 100 TB ingest.
+        # Unparseable values become NULL instead, and every write path
+        # filters on this converted expression, so they are dropped like
+        # null event times.
+        return (F.unix_micros(F.try_to_timestamp(c)) * F.lit(1000)).cast("long")
     raise TypeError(f"cannot normalize event-time column of type {dtype.simpleString()} to long-ns")
 
 

@@ -81,8 +81,10 @@ def stream_dedup(
     normalized at the boundary (schema.ts_ns_expr), then truncated to µs
     event time like the other streaming paths."""
     ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
-    # null event time has no place on the watermark axis (see track_batch)
-    events = events.filter(F.col(ts_col).isNotNull())
+    # null/unparseable event time has no place on the watermark axis: filter
+    # on the CONVERTED expression so string inputs that fail to parse are
+    # dropped too, not turned into null _event_time rows (see track_batch)
+    events = events.filter(ts.isNotNull())
     evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))
     return (
         evt.withWatermark("_event_time", watermark)
@@ -114,8 +116,9 @@ def stream_track_agg(
 
     ts = S.ts_ns_expr(events.schema[ts_col].dataType, ts_col)
     # Same write-path rejection of ""/"*" field values as batch track
-    # (index/node.go:200-214); null event time dropped like track_batch.
-    events = validate_fields_df(events, list(p.fields)).filter(F.col(ts_col).isNotNull())
+    # (index/node.go:200-214); null/unparseable event time dropped on the
+    # CONVERTED expression like track_batch.
+    events = validate_fields_df(events, list(p.fields)).filter(ts.isNotNull())
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (resolution >= 1us).
     evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))

@@ -138,7 +138,7 @@ def stream_sessionize(
         F.col(user_col).cast("long").alias("user_id"),
         ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
-    )
+    ).filter(F.col("ts").isNotNull())  # null/unparseable: no event-time position
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (the engine truncates to µs at streaming boundaries).
     src = src.withColumn("_event_time", F.timestamp_micros(ts_us_expr(F.col("ts"))))

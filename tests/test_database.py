@@ -232,3 +232,37 @@ def test_old_manifests_are_retired(spark, tmp_path):
     ]
     assert len(manifests) == 3  # _KEEP_MANIFESTS
     assert db.cube().filter("depth = 2").count() == 6  # buckets 0..5
+
+
+def test_snapshot_reads_pin_a_generation(spark, tmp_path):
+    """Each retained manifest is a consistent point-in-time view: commits
+    are whole-manifest swaps over immutable segments, and GC keeps any
+    segment some retained generation still references."""
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    g1 = db.generations()[-1]
+    db.track(_events(spark, [(0, "a", "b", 2.0)]), total_col="v")
+    g2 = db.generations()[-1]
+    assert g2 == g1 + 1
+    # pinned read sees ONLY the first commit; latest sees the fold of both
+    pin = db.cube(at_gen=g1).filter("depth = 2").collect()
+    assert [(r["total"], r["cnt"]) for r in pin] == [(1.0, 1.0)]
+    now = db.cube().filter("depth = 2").collect()
+    assert [(r["total"], r["cnt"]) for r in now] == [(3.0, 2.0)]
+    # compaction rewrites the data but the pinned snapshot stays readable
+    # (its segments survive GC while the generation is retained)
+    assert db.compact() == [0]
+    pin2 = db.cube(at_gen=g1).filter("depth = 2").collect()
+    assert [(r["total"], r["cnt"]) for r in pin2] == [(1.0, 1.0)]
+    with pytest.raises(ValueError):
+        db.cube(at_gen=999)
+
+
+def test_expire_collapses_snapshot_window(spark, tmp_path):
+    """Expiry is data deletion: older generations must not keep expired
+    epochs reachable, so only the expiring commit's generation remains."""
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0), (7, "a", "b", 2.0)]), total_col="v")
+    db.expire(before_ts=5)
+    assert len(db.generations()) == 1
+    assert db.cube().select("epoch").distinct().collect()[0][0] == 5

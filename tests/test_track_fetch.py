@@ -290,3 +290,24 @@ def test_densify_wide_range_fine_resolution_is_map_side(spark):
         dense.explain("formatted")
     plan = buf.getvalue()
     assert "Generate" in plan and "Range" not in plan
+
+
+def test_write_path_unparseable_string_ts_rows_are_dropped(spark):
+    """String event time that fails ISO parsing normalizes to NULL and is
+    dropped like a null — never an 'ErrInvTime: negative timestamp' abort
+    (the filter runs on the CONVERTED expression)."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark import track_batch
+
+    df = spark.createDataFrame(
+        [
+            Row(ts="not a timestamp", x="a", y="b", v=5.0),
+            Row(ts="1970-01-01T00:00:00", x="a", y="b", v=1.0),
+        ],
+        "ts string, x string, y string, v double",
+    )
+    cube = track_batch(df, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    rows = cube.collect()
+    assert rows and all(r["bucket"] is not None for r in rows)
+    assert {r["total"] for r in rows} == {1.0}  # the bad row's value leaked nowhere
