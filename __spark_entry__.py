@@ -1505,6 +1505,24 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(queries, k=5, nprobe=2)
 
 
+def q_sim_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest: build the persisted IVF index on vec_id <
+    300, append the rest with IVFIndex.add (assigned against the EXISTING
+    centroids, appended into the touched bucket partitions), compact, then
+    search. Oracle = the one-shot full-index search (sim_ivf_index's SQL):
+    the deterministic centroids are the 8 lowest base ids, which the build
+    subset contains, so build+add must land on identical results."""
+    import tempfile
+
+    base, queries = _queries_vs_base(spark, sf_dir)
+    first = base.filter(F.col("vec_id") < 300)
+    rest = base.filter(F.col("vec_id") >= 300)
+    idx = SIM.IVFIndex.build(first, f"{tempfile.mkdtemp(prefix='kdb_ivfadd_')}/idx", num_centroids=8)
+    idx.add(rest)
+    idx.compact()
+    return idx.search(queries, k=5, nprobe=2)
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, queries = _queries_vs_base(spark, sf_dir)
     return SIM.lsh_topk(base, queries, k=5, nbits=6)
@@ -1614,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         # -- NEW in r05 (never gated): must sit inside the 50-entry cap --
         "dedup_index_add": q_dedup_index_add,
+        "sim_ivf_add": q_sim_ivf_add,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -1634,9 +1653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
-        "q1_pricing_summary": q1_pricing_summary,
         # ---- 50-entry gate cap lands here ----
         # -- gated green in r04, code untouched this round --
+        "q1_pricing_summary": q1_pricing_summary,
         "asof_join": q_asof_join,
         "json_extract": q_json_extract,
         "sessionize": q_sessionize,
@@ -2758,6 +2777,9 @@ FROM ranked WHERE rnk <= 5
     # sign bits of the inner products (bit j from the j-th lowest hyperplane
     # id); each query probes its bucket and every single-bit flip.
     o["sim_ivf_index"] = o["sim_ivf_topk"]
+    # build(<300) + add(>=300) + compact must equal the one-shot index: the
+    # deterministic centroids (8 lowest base ids) live in the build subset.
+    o["sim_ivf_add"] = o["sim_ivf_topk"]
 
     o["sim_lsh_topk"] = """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),

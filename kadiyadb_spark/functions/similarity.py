@@ -270,6 +270,47 @@ class IVFIndex:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/centroids")
 
+    def add(self, emb: DataFrame) -> None:
+        """APPEND a batch of vectors to the index against the EXISTING
+        centroids — continuous ingest for a serving ANN index (same LSM
+        shape as MinHashIndex.add / Database.track: cost proportional to
+        the batch, nothing rewritten; new files land under the touched
+        centroid_id partitions and searches see them immediately through
+        partition discovery). Centroids deliberately do NOT retrain here:
+        bucket membership of already-indexed vectors must stay stable or
+        the partition layout lies; retrain+rebuild is a full build().
+        Frequent adds fragment buckets into small files — ``compact`` folds
+        them back."""
+        cents = self.centroids()
+        n = cents.count()  # tiny frame: C rows
+        assigned = ivf_assign(emb, cents, self.id_col, self.vec_col)
+        (
+            assigned.repartition(int(n), "centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/assigned")
+        )
+
+    def compact(self) -> None:
+        """Fold appended batches: rewrite the assignment table clustered by
+        centroid_id so each bucket is few large files again (per-file open
+        cost dominates probed scans otherwise). Staged write + Hadoop-FS
+        swap — object-store safe, single-writer maintenance op."""
+        from kadiyadb_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.path)
+        tmp = f"{self.path}/assigned_compacting"
+        df = self.spark.read.parquet(f"{self.path}/assigned")
+        n = self.centroids().count()
+        (
+            df.repartition(int(n), "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(tmp)
+        )
+        fs.delete(f"{self.path}/assigned")
+        fs.rename(tmp, f"{self.path}/assigned")
+
     def search(
         self,
         queries: DataFrame,

@@ -574,3 +574,30 @@ def test_minhash_index_add_matches_one_shot_build(spark, tmp_path):
     assert files_after < files_before
     got2 = {(r.new_id, r.index_id, r.est_jaccard) for r in inc.query(batch, min_est=0.3).collect()}
     assert got2 == want
+
+
+def test_ivf_index_add_matches_one_shot_build(spark, tmp_path):
+    """IVFIndex build + add against existing centroids must equal the
+    one-shot build over the union (centroids stable: lowest-id vectors are
+    in the build subset), before and after compact."""
+    from kadiyadb_spark.functions import similarity as SIM
+
+    first = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0]) for i in range(40)]
+    )
+    rest = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0]) for i in range(40, 64)]
+    )
+    qs = spark.createDataFrame([Row(query_id=100, query_vec=[1.0, 0.0, 0.0]),
+                                Row(query_id=101, query_vec=[0.0, 1.0, 1.0])])
+    inc = SIM.IVFIndex.build(first, str(tmp_path / "inc"), num_centroids=4)
+    inc.add(rest)
+    one = SIM.IVFIndex.build(first.union(rest), str(tmp_path / "one"), num_centroids=4)
+    want = [tuple(r) for r in one.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
+    got = [tuple(r) for r in inc.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
+    assert got == want
+    # appended ids actually reachable (not just the build half)
+    assert any(r[1] >= 40 for r in got)
+    inc.compact()
+    got2 = [tuple(r) for r in inc.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
+    assert got2 == want
