@@ -50,7 +50,12 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    # FIXED alphabetical order, decoupled from queries()' dict order: the
+    # dict is rotated every round for the correctness-gate cap, and early
+    # slots pay residual session warmup (~1-2 s) that late slots don't —
+    # rotating would make per-query numbers incomparable across rounds.
+    for name in sorted(qs):
+        fn = qs[name]
         t0 = time.perf_counter()
         try:
             run_query(fn(spark, sf_dir))
