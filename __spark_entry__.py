@@ -218,6 +218,39 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_streaming_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 streaming form, strategy 3 (bounded state, rewrite-free): append-
+    mode watermarked window aggregation — each (bucket, prefix) group is
+    emitted exactly once when the watermark closes its window, and the sink
+    commits final rows through the atomic segment+hwm manifest swap (no
+    merge, no epoch rewrite). Oracle = the batch cube restricted to windows
+    the final watermark (max event time, delay 0) closed; the stream's tail
+    buckets stay in state, deterministically absent."""
+    import os
+    import shutil
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+    from kadiyadb_spark.streaming.ingest import stream_track_agg_append
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_stream_app_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
+    q = stream_track_agg_append(evs, db, checkpoint=f"{tmp}/ckpt", watermark="0 seconds")
+    q.awaitTermination()
+    c = db.cube().withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
     EventTimeTimeout) gated by a REAL oracle: the emitted session set is a
@@ -1633,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r05 (never gated): must sit inside the 50-entry cap --
         "dedup_index_add": q_dedup_index_add,
         "sim_ivf_add": q_sim_ivf_add,
+        "streaming_agg_append": q_streaming_agg_append,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -1820,6 +1854,21 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
     o["streaming_agg"] = o["streaming_ingest"]
+
+    # Strategy 3 (append mode): only windows the FINAL watermark closed are
+    # emitted — watermark = max event time (delay 0, ms precision), a window
+    # is final when its end <= watermark. The tail windows stay in state.
+    _wm_ms_ns = "(SELECT (max(epoch_ns(ts)) // 1000000) * 1000000 FROM events)"
+    o["streaming_agg_append"] = f"""
+WITH {_day_cube}
+SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
+ WHERE bucket + {RES} <= {_wm_ms_ns}
+UNION ALL
+SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
+ WHERE bucket + {RES} <= {_wm_ms_ns}
+"""
 
     # Exactly-once under double delivery: the aggregate of what survives the
     # streaming dedup must equal the aggregate of the ORIGINAL table.

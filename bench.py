@@ -48,6 +48,22 @@ def main() -> None:
     spark.range(0, 256, 1, spark.sparkContext.defaultParallelism).mapInPandas(
         _noop, schema="id long"
     ).count()
+    # ...and the shuffle/window/sketch machinery: the first Exchange, window
+    # sort and ObjectHashAggregate of a session each pay one-off codegen +
+    # buffer setup that would otherwise be billed to whichever query sorts
+    # first alphabetically.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    warm = spark.range(0, 4096).select(
+        (_F.col("id") % 17).alias("k"), _F.col("id").cast("double").alias("v")
+    )
+    warm.groupBy("k").agg(
+        _F.sum("v"), _F.approx_count_distinct("v"), _F.percentile_approx("v", 0.5)
+    ).count()
+    warm.withColumn("r", _F.row_number().over(_W.partitionBy("k").orderBy("v"))).filter(
+        "r = 1"
+    ).count()
 
     timings: dict[str, float] = {}
     # FIXED alphabetical order, decoupled from queries()' dict order: the

@@ -330,9 +330,6 @@ class Database:
         write a Delta `txn` appId/version pair provides, done parquet-native.
         Returns True if the batch was applied, False if skipped as already
         applied."""
-        m = self._manifest()
-        if batch_id <= int(m.get("hwm", {}).get(stream_id, -1)):
-            return False
         p = self.params
         delta = track_batch(
             batch,
@@ -343,7 +340,21 @@ class Database:
             resolution=p.resolution,
             duration=p.duration,
         )
-        refs = self._write_segment(delta)
+        return self.commit_cube_batch(delta, batch_id, stream_id=stream_id)
+
+    def commit_cube_batch(self, delta: DataFrame, batch_id: int, stream_id: str = "raw") -> bool:
+        """Commit ALREADY-cube-shaped delta rows for one micro-batch with
+        the same atomic segment-refs + hwm manifest swap as
+        track_stream_batch. Also the sink for APPEND-mode streaming
+        aggregation (streaming.stream_track_agg_append), where the engine
+        emits each (bucket, path, depth) group exactly once when the
+        watermark closes its window — final rows, so the commit is a pure
+        exactly-once append with no merge anywhere."""
+        m = self._manifest()
+        if batch_id <= int(m.get("hwm", {}).get(stream_id, -1)):
+            return False
+        cols = [f.name for f in S.cube_schema(self.max_depth).fields]
+        refs = self._write_segment(delta.select(*cols))
         for e, ref in refs.items():
             m["segments"].setdefault(e, []).append(ref)
         m.setdefault("hwm", {})[stream_id] = batch_id

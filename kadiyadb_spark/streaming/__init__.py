@@ -1,3 +1,8 @@
-from kadiyadb_spark.streaming.ingest import stream_dedup, stream_track_agg, stream_track_raw
+from kadiyadb_spark.streaming.ingest import (
+    stream_dedup,
+    stream_track_agg,
+    stream_track_agg_append,
+    stream_track_raw,
+)
 
-__all__ = ["stream_track_raw", "stream_track_agg", "stream_dedup"]
+__all__ = ["stream_track_raw", "stream_track_agg", "stream_track_agg_append", "stream_dedup"]

@@ -93,22 +93,17 @@ def stream_dedup(
     )
 
 
-def stream_track_agg(
+def _windowed_cube_delta(
     events: DataFrame,
     db: Database,
-    checkpoint: str,
-    ts_col: str = "ts",
-    total_col: str = "value",
-    count_col: str | None = None,
-    watermark: str = "10 minutes",
-    trigger_available_now: bool = True,
-) -> StreamingQuery:
-    """Watermarked windowed aggregation (update mode) + replace-merge.
-
-    The streaming agg state holds running (total, cnt) per (bucket, path
-    prefix); each micro-batch emits only updated groups, whose values are
-    cumulative — so the sink REPLACES matched cube rows instead of adding.
-    """
+    ts_col: str,
+    total_col: str,
+    count_col: str | None,
+    watermark: str,
+) -> DataFrame:
+    """Shared core of both windowed-aggregation strategies: watermarked
+    per-resolution window groupBy over the prefix fan-out, emitting
+    cube-shaped rows (epoch, bucket, f1..fN, depth, total, cnt)."""
     p = db.params
     n = len(p.fields)
     if n == 0:
@@ -129,8 +124,8 @@ def stream_track_agg(
     # durations). Timestamps are µs precision, so require µs granularity.
     if p.resolution % 1_000 != 0:
         raise ValueError(
-            f"stream_track_agg requires resolution in whole microseconds "
-            f"(timestamps are µs precision); got {p.resolution} ns"
+            f"windowed streaming ingest requires resolution in whole "
+            f"microseconds (timestamps are µs precision); got {p.resolution} ns"
         )
     win = F.window("_event_time", f"{p.resolution // 1_000} microseconds")
     cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
@@ -160,7 +155,7 @@ def stream_track_agg(
     agg = exploded.groupBy(win.alias("_w"), *fcols, S.DEPTH).agg(
         F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)
     )
-    delta = agg.select(
+    return agg.select(
         (F.unix_micros(F.col("_w.start")) * 1000).alias(S.BUCKET),
         *fcols,
         S.DEPTH,
@@ -168,12 +163,77 @@ def stream_track_agg(
         S.CNT,
     ).withColumn(S.EPOCH, (F.col(S.BUCKET) - (F.col(S.BUCKET) % F.lit(p.duration))).cast("long"))
 
+
+def stream_track_agg(
+    events: DataFrame,
+    db: Database,
+    checkpoint: str,
+    ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked windowed aggregation (update mode) + replace-merge.
+
+    The streaming agg state holds running (total, cnt) per (bucket, path
+    prefix); each micro-batch emits only updated groups, whose values are
+    cumulative — so the sink REPLACES matched cube rows instead of adding.
+    Results become visible per micro-batch (low read latency) at the cost
+    of rewriting touched epochs each batch; see stream_track_agg_append for
+    the rewrite-free trade.
+    """
+    delta = _windowed_cube_delta(events, db, ts_col, total_col, count_col, watermark)
+
     def _replace(batch: DataFrame, batch_id: int) -> None:
         db.merge_replace(batch)
 
     writer = (
         delta.writeStream.outputMode("update")
         .foreachBatch(_replace)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_track_agg_append(
+    events: DataFrame,
+    db: Database,
+    checkpoint: str,
+    ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+    stream_id: str = "agg_append",
+) -> StreamingQuery:
+    """Strategy 3 — watermarked windowed aggregation in APPEND mode: the
+    engine emits each (bucket, path prefix) group EXACTLY ONCE, when the
+    watermark passes its window end, and the sink commits those final rows
+    via the atomic segment+hwm manifest swap (Database.commit_cube_batch).
+
+    This is the boundedest of the three ingest strategies and the idiomatic
+    Spark shape for continuous rollup at scale: state is evicted as windows
+    close (memory ∝ windows per watermark horizon), the sink never reads or
+    rewrites existing data (no merge, no epoch rewrite — pure append, cost
+    ∝ closed windows per batch), and replay is exactly-once through the
+    manifest hwm. The trade: results for a bucket appear only after the
+    watermark passes it (availability lags by the out-of-orderness bound),
+    and events later than the watermark are DROPPED — the reference instead
+    accepts any timestamp within retention (epoch/cache.go:94-132), which
+    is what stream_track_raw preserves. Pick per use: raw = any-lateness
+    increments, update = low-latency cumulative, append = bounded-state
+    finalized rollup."""
+    delta = _windowed_cube_delta(events, db, ts_col, total_col, count_col, watermark)
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        db.commit_cube_batch(batch, batch_id, stream_id=stream_id)
+
+    writer = (
+        delta.writeStream.outputMode("append")
+        .foreachBatch(_append)
         .option("checkpointLocation", checkpoint)
     )
     if trigger_available_now:

@@ -77,3 +77,23 @@ def test_load_all_open_returns_handles(spark, tmp_path):
 
     db.track(spark.createDataFrame([Row(ts=0, x="a", y="b", v=2.0)]), total_col="v")
     assert db.fetch(0, 1, ["a", "b"]).collect()[0]["total"] == 2.0
+
+
+def test_load_all_via_hadoop_fs(spark, tmp_path):
+    """Catalog scanning through the Hadoop FS API (object-store path shape)
+    must match the local-fs scan: valid dbs loaded, invalid skipped."""
+    import json as _json
+
+    from kadiyadb_spark.catalog import load_all
+
+    root = tmp_path / "srv"
+    (root / "good").mkdir(parents=True)
+    (root / "good" / "params.json").write_text(
+        _json.dumps({"duration": "1h", "resolution": "1m", "retention": "720h"})
+    )
+    (root / "bad").mkdir()
+    (root / "bad" / "params.json").write_text("{nope")
+    local = load_all(str(root))
+    via_fs = load_all(f"file://{root}", spark=spark)
+    assert set(local) == set(via_fs) == {"good"}
+    assert local["good"] == via_fs["good"]

@@ -266,3 +266,20 @@ def test_expire_collapses_snapshot_window(spark, tmp_path):
     db.expire(before_ts=5)
     assert len(db.generations()) == 1
     assert db.cube().select("epoch").distinct().collect()[0][0] == 5
+
+
+def test_concurrent_writer_loses_loudly(spark, tmp_path):
+    """A second writer racing the same generation must fail with
+    ConcurrentWriteError, never silently corrupt (single-writer contract)."""
+    from kadiyadb_spark.database import ConcurrentWriteError
+
+    db_a = Database.open(spark, str(tmp_path / "db"), P)
+    db_b = Database.open(spark, str(tmp_path / "db"))
+    db_a.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    # writer B plans its commit against gen G, writer A commits G+1 first
+    m = db_b._manifest()
+    db_a.track(_events(spark, [(1, "a", "b", 1.0)]), total_col="v")
+    with pytest.raises(ConcurrentWriteError):
+        db_b._commit_manifest(m, m["gen"])
+    # A's committed data is intact
+    assert db_a.cube().filter("depth = 2").count() == 2

@@ -267,3 +267,53 @@ def test_stateless_curation_ops_compose_on_streams(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == batch and len(got) > 0
+
+
+def test_stream_track_agg_append_emits_closed_windows_once(spark, tmp_path):
+    """Strategy 3: append-mode window agg commits a group exactly once when
+    the watermark passes its window end; tail windows stay in state; the
+    sink never rewrites existing data (pure segment appends)."""
+    from kadiyadb_spark.streaming import stream_track_agg_append
+
+    src = str(tmp_path / "src")
+    # run 1: two buckets; watermark ends at max ts -> nothing closed yet
+    # except buckets whose end <= max ts
+    rows1 = [
+        (B0 + 5 * SEC, "click", "u1", 5.0),
+        (B0 + 10 * SEC, "click", "u1", 3.0),
+        (B0 + 65 * SEC, "click", "u1", 7.0),
+    ]
+    _write_batch(spark, src, rows1)
+    db = Database.open(spark, str(tmp_path / "db_app"), P)
+    q = stream_track_agg_append(
+        spark.readStream.schema(SRC_SCHEMA).parquet(src),
+        db,
+        checkpoint=str(tmp_path / "ckpt_app"),
+        watermark="0 seconds",
+    )
+    q.awaitTermination(120)
+    # watermark = B0+65s: bucket B0 (end B0+60s) is closed and committed
+    # with the EXACT final sum; bucket B0+60s is open -> absent
+    got = _pts(db.cube().filter("depth = 2"))
+    assert got == [(B0, ("click", "u1"), 8.0, 2.0)]
+
+    # run 2: a later event closes bucket B0+60s; its committed row carries
+    # the full sum, emitted once (no partials, no rewrite of bucket B0)
+    refs_before = db._manifest()["segments"]
+    _write_batch(spark, src, [(B0 + 200 * SEC, "view", "u2", 1.0)])
+    q = stream_track_agg_append(
+        spark.readStream.schema(SRC_SCHEMA).parquet(src),
+        db,
+        checkpoint=str(tmp_path / "ckpt_app"),
+        watermark="0 seconds",
+    )
+    q.awaitTermination(120)
+    got = _pts(db.cube().filter("depth = 2"))
+    assert got == [
+        (B0, ("click", "u1"), 8.0, 2.0),
+        (B0 + 60 * SEC, ("click", "u1"), 7.0, 1.0),
+    ]
+    # append-only: run 1's committed segments are still referenced untouched
+    now = db._manifest()["segments"]
+    for e, refs in refs_before.items():
+        assert set(refs) <= set(now[e])
