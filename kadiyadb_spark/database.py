@@ -148,7 +148,9 @@ class Database:
         for old in self._manifest_names()[:-keep]:
             self.fs.delete(HadoopFS.join(self.cube_path, old))
 
-    def _write_segment(self, delta: DataFrame, sort_series: bool = False) -> dict[int, str]:
+    def _write_segment(
+        self, delta: DataFrame, sort_series: bool = False, salt_files: int = 1
+    ) -> dict[int, str]:
         """Stage one cube-shaped delta as a new segment directory tree and
         return {epoch: relative ref}. Staged data is INVISIBLE until a
         manifest referencing it commits, so a crash here just leaves an
@@ -162,12 +164,26 @@ class Database:
         ``sort_series``, rows are sorted series-major (depth, f1.., bucket)
         with epoch_p leading so the partitioned-write path sees its ordering
         requirement satisfied and does not insert its own (order-scrambling)
-        sort."""
+        sort.
+
+        ``salt_files`` > 1 splits each epoch across that many writer tasks
+        (salt = hash of the series dimensions, so each file still holds
+        whole series and sorting stays series-major within the file). This
+        is the straggler escape for epochs too large for one task — the
+        same salting reasoning as the skew-join helpers."""
         seg = f"seg-{uuid.uuid4().hex[:12]}"
         seg_root = HadoopFS.join(self.cube_path, "segs", seg)
-        out = delta.withColumn("epoch_p", F.col(S.EPOCH)).repartition(F.col("epoch_p"))
+        fcols = S.field_cols(self.max_depth)
+        out = delta.withColumn("epoch_p", F.col(S.EPOCH))
+        if salt_files > 1:
+            # Explicit partition count: AQE would coalesce a small salted
+            # shuffle back into one task, silently undoing the split.
+            salt = F.pmod(F.hash(S.DEPTH, *fcols), F.lit(salt_files))
+            n = max(salt_files, self.spark.sparkContext.defaultParallelism)
+            out = out.repartition(n, F.col("epoch_p"), salt)
+        else:
+            out = out.repartition(F.col("epoch_p"))
         if sort_series:
-            fcols = S.field_cols(self.max_depth)
             out = out.sortWithinPartitions("epoch_p", S.DEPTH, *fcols, S.BUCKET)
         out.write.partitionBy("epoch_p").mode("overwrite").parquet(seg_root)
         refs: dict[int, str] = {}
@@ -443,7 +459,9 @@ class Database:
         return self.expire(now_ts - self.params.retention)
 
     # -- maintenance ----------------------------------------------------------
-    def compact(self, max_files_per_epoch: int = 1, sort_series: bool = True) -> list[int]:
+    def compact(
+        self, max_files_per_epoch: int = 1, sort_series: bool = True, salt_files: int = 1
+    ) -> list[int]:
         """Fold fragmented epochs' segments down to one segment each, by
         default sorted series-major (depth, f1..fN, bucket) — each series'
         slots become contiguous runs, the parquet analog of the reference's
@@ -460,7 +478,9 @@ class Database:
         bounded by their size, not the cube's), and the re-pointing is one
         atomic manifest swap — a reader mid-compact sees the old segments
         until the instant the new generation lands, and a crashed compact
-        leaves only unreferenced staging for ``vacuum``. Returns the
+        leaves only unreferenced staging for ``vacuum``. ``salt_files``
+        splits each epoch's rewrite across that many writer tasks when a
+        single epoch outgrows one task (see _write_segment). Returns the
         compacted epoch ids."""
         m = self._manifest()
         fragmented = sorted(
@@ -471,7 +491,7 @@ class Database:
         folded = self.cube(min(fragmented), max(fragmented)).filter(
             F.col(S.EPOCH).isin(fragmented)
         )
-        refs = self._write_segment(folded, sort_series=sort_series)
+        refs = self._write_segment(folded, sort_series=sort_series, salt_files=salt_files)
         old = [ref for e in fragmented for ref in m["segments"].get(e, [])]
         for e in fragmented:
             m["segments"][e] = []

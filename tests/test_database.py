@@ -283,3 +283,22 @@ def test_concurrent_writer_loses_loudly(spark, tmp_path):
         db_b._commit_manifest(m, m["gen"])
     # A's committed data is intact
     assert db_a.cube().filter("depth = 2").count() == 2
+
+
+def test_salted_compact_splits_epoch_across_files(spark, tmp_path):
+    """salt_files > 1 must split an epoch's rewrite across multiple writer
+    tasks/files (the huge-epoch straggler escape) with values unchanged and
+    whole series kept together per file (salt hashes the dimensions)."""
+    db = Database.open(spark, str(tmp_path / "db"), P)
+    rows = [
+        Row(ts=(i % 5) * P.resolution, x=f"x{i % 8}", y=f"y{i % 3}", v=1.0)
+        for i in range(120)
+    ]
+    db.track(spark.createDataFrame(rows), total_col="v")
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")  # fragment
+    before = _pts(db.cube())
+    assert db.compact(salt_files=3) == [0]
+    (ref,) = _refs(db, 0)
+    files = db.fs.list_files(HadoopFS.join(db.cube_path, ref), suffix=".parquet")
+    assert len(files) > 1  # epoch split across writer tasks
+    assert _pts(db.cube()) == before  # values identical
