@@ -1234,6 +1234,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_score(_t(spark, sf_dir, "documents"))
 
 
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-span removal (C4's curation step, fixed
+    10-word spans standing in for sentence units): each distinct span
+    survives only at its globally first (doc_id, span_idx); docs rebuilt
+    from survivors. Skew-proof: first-occurrence via groupBy(span) + min
+    struct (map-side combine), never a window rank over span."""
+    return TX.span_dedup(_t(spark, sf_dir, "documents"), words_per_span=10)
+
+
 def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: persist a MinHash LSH band index over the
     'accepted corpus' (doc_id < 400), then probe the 'incoming batch'
@@ -1667,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_add": q_dedup_index_add,
         "sim_ivf_add": q_sim_ivf_add,
         "streaming_agg_append": q_streaming_agg_append,
+        "text_span_dedup": q_text_span_dedup,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -2467,6 +2477,25 @@ top AS (SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10
 SELECT base.doc_id, n_tokens, dup_token_frac,
        coalesce(top_token_frac, 0.0) AS top_token_frac, dup_bigram_frac
 FROM base LEFT JOIN top USING (doc_id)
+"""
+
+    # Corpus span dedup: a span survives only at its globally-first
+    # (doc_id, span_idx); docs rebuilt from survivors in span order.
+    o["text_span_dedup"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS span
+  FROM toks, unnest(range(CAST(ceil(len(tk)/10.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
+       count(*) AS n_spans_kept
+FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
     o["pii_redact"] = """

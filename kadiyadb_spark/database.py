@@ -417,16 +417,24 @@ class Database:
             delta.unpersist()
 
     # -- O2 Fetch ------------------------------------------------------------
-    def fetch(self, from_ts: int, to_ts: int, pattern: list[str], densify: bool = True) -> DataFrame:
+    def fetch(
+        self,
+        from_ts: int,
+        to_ts: int,
+        pattern: list[str],
+        densify: bool = True,
+        at_gen: int | None = None,
+    ) -> DataFrame:
         """Manifest-level epoch pruning happens before the scan is planned:
-        only segments of epochs overlapping [from_ts, to_ts) are read."""
+        only segments of epochs overlapping [from_ts, to_ts) are read.
+        ``at_gen`` pins the read to a retained snapshot (see ``cube``)."""
         res, dur = self.params.resolution, self.params.duration
         from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
         to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
         e_from = from_b - (from_b % dur)
         e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
         return fetch_df(
-            self.cube(e_from, e_to),
+            self.cube(e_from, e_to, at_gen=at_gen),
             from_ts,
             to_ts,
             pattern,

@@ -288,3 +288,70 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.regexp_count(t1, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         F.regexp_count(t2, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
     )
+
+
+# ---------------------------------------------------------------- span dedup
+
+
+def split_fixed_spans(
+    df: DataFrame, words_per_span: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Chunk each doc's whitespace tokens into fixed-width word spans:
+    (doc_id, span_idx, span). The fixed-span analog of C4's three-sentence
+    units for corpora without sentence/line structure; map-side only (array
+    slicing inside the projection, then one posexplode)."""
+    toks = F.split(F.col(text_col), " ")
+    nspans = F.ceil(F.size(toks) / F.lit(words_per_span)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), nspans - 1),
+        lambda i: F.array_join(F.slice(toks, i * words_per_span + 1, words_per_span), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    words_per_span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal (the C4 curation step: "discard
+    duplicate spans across the whole corpus, keep the first occurrence"):
+    every distinct span survives only at its globally first position
+    (lowest (doc_id, span_idx)); docs are reconstructed from their
+    surviving spans; docs left with nothing are dropped.
+
+    Scale shape — skew-proof and join-free: the first occurrence per span
+    is `groupBy(span).agg(min(struct(doc_id, span_idx)))`, which partial-
+    aggregates map-side, so a boilerplate span duplicated a billion times
+    collapses to one row per input partition BEFORE the shuffle (a window
+    rank over span would funnel all copies through one task). The kept
+    rows ARE the aggregation output — no join back. Two shuffles total
+    (by span, then by doc for reconstruction).
+
+    Returns (doc_id, text, n_spans_kept) with text rebuilt in span order.
+    """
+    spans = split_fixed_spans(df, words_per_span, text_col, id_col)
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_first")
+    )
+    kept = firsts.select(
+        F.col(f"_first.{id_col}").alias(id_col),
+        F.col("_first.span_idx").alias("span_idx"),
+        "span",
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").alias("n_spans_kept"),
+        )
+    )

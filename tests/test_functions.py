@@ -601,3 +601,32 @@ def test_ivf_index_add_matches_one_shot_build(spark, tmp_path):
     inc.compact()
     got2 = [tuple(r) for r in inc.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
     assert got2 == want
+
+
+def test_span_dedup_keeps_first_global_occurrence(spark):
+    """C4-style duplicate-span removal: a repeated span survives only at
+    its lowest (doc_id, span_idx); docs rebuild in span order; fully-
+    duplicated docs vanish."""
+    from kadiyadb_spark.functions import text as TX
+
+    A = "w1 w2 w3"  # 3-word spans below
+    B = "x1 x2 x3"
+    C = "y1 y2 y3"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{A} {B}"),
+            Row(doc_id=2, text=f"{B} {C}"),  # B is a dup -> only C survives
+            Row(doc_id=3, text=A),           # fully duplicated -> dropped
+        ]
+    )
+    got = {r.doc_id: (r.text, r.n_spans_kept) for r in TX.span_dedup(docs, words_per_span=3).collect()}
+    assert got == {1: (f"{A} {B}", 2), 2: (C, 1)}
+
+
+def test_span_dedup_within_doc_duplicates(spark):
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame([Row(doc_id=7, text="a b a b a b")])
+    # spans of 2: ("a b", "a b", "a b") -> first kept only
+    got = TX.span_dedup(docs, words_per_span=2).collect()
+    assert [(r.doc_id, r.text, r.n_spans_kept) for r in got] == [(7, "a b", 1)]
