@@ -1124,6 +1124,50 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout join: orders and customer are persisted bucketed (and
+    per-bucket sorted) on the customer key, then joined WITHOUT any Exchange
+    or re-sort — the write-time shuffle is the amortized one, the plan
+    property the 100 TB fact-to-fact join story rests on
+    (plan-asserted in tests/test_layout.py). The oracle joins the original
+    tables: bucketing must be content-preserving."""
+    import tempfile
+
+    from kadiyadb_spark.layout import write_bucketed
+
+    ensure_engine_confs(spark)
+    loc = tempfile.mkdtemp(prefix="kdb_bkt_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS kdb_bkt LOCATION '{loc}'")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(orders, "kdb_bkt.orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(customer, "kdb_bkt.customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    j = spark.table("kdb_bkt.orders_b").join(
+        spark.table("kdb_bkt.customer_b"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        round4_expr(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (concat-and-chunk): documents tokenized, laid
+    end-to-end per shard, sliced into 512-token chunks; one row per
+    (shard, chunk) with exact doc/token accounting. No UDF anywhere — a
+    shard-partitioned window cumsum + explode(sequence) + groupBy
+    (functions/packing.py scale notes)."""
+    from kadiyadb_spark.functions import packing as PK
+
+    docs = _t(spark, sf_dir, "documents")
+    return PK.pack_chunks(docs, seq_len=512, num_shards=8)
+
+
 _SRC_SCHEMA_DDL = "event_id long, ts long, user_id long, event_type string, value double"
 
 
@@ -1730,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_daily_running": q_window_daily_running,
         "range_join_counts": q_range_join_counts,
         "zorder_layout": q_zorder_layout,
+        "bucketed_join": q_bucketed_join,
+        "pack_sequences": q_pack_sequences,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "semi_join": q_semi_join,
     }
@@ -2376,6 +2422,43 @@ FROM events GROUP BY event_type
 SELECT event_type, count(*) AS n_events,
        floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value
 FROM events GROUP BY event_type
+"""
+
+    # Bucketed re-layout is content-preserving: oracle joins the originals.
+    o["bucketed_join"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+    # Concat-and-chunk packing: shard-partitioned cumsum offsets, chunk ids
+    # by integer division, per-chunk token accounting via interval overlap —
+    # the WHERE filters zero-token docs BEFORE the window, like the Spark
+    # side (functions/packing.py).
+    o["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+  FROM t WHERE n_tok > 0
+),
+e AS (
+  SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off, end_off,
+         unnest(generate_series(CAST((end_off - n_tok) // 512 AS BIGINT),
+                                CAST((end_off - 1) // 512 AS BIGINT))) AS chunk_id
+  FROM c
+)
+SELECT CAST(shard AS BIGINT) AS shard, chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(least(end_off, (chunk_id + 1) * 512)
+                - greatest(start_off, chunk_id * 512)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM e GROUP BY shard, chunk_id
 """
 
     o["skew_salted_agg"] = """

@@ -1,0 +1,111 @@
+"""Sequence packing for LLM training pipelines (concat-and-chunk).
+
+Training consumes fixed-length token sequences; a corpus is variable-length
+documents. The standard preparation (GPT-style "concat and chunk") lays the
+tokenized documents end-to-end inside a shard and slices the resulting token
+stream into ``seq_len``-sized chunks — documents cross chunk boundaries, no
+padding except the shard tail.
+
+The whole computation is expressible with built-in DataFrame ops — no UDF,
+no driver loop:
+
+1. shard assignment (deterministic, map-only),
+2. one window cumulative-sum per shard -> each doc's [start, end) token
+   offsets in its shard's stream,
+3. ``explode(sequence(start_chunk, end_chunk))`` -> (doc, chunk) coverage
+   rows,
+4. groupBy (shard, chunk) -> per-chunk stats / doc lists.
+
+Scale shape: the window is partitioned by shard, so parallelism = number of
+shards and no global sort exists anywhere. Shards are the unit a real
+pipeline writes anyway (one output file / tfrecord per shard, ~100M tokens
+each); pick ``num_shards`` so a shard's docs fit one task comfortably. The
+explode emits one row per (doc, chunk-it-touches) — bounded by
+total_tokens/seq_len + n_docs — and the final groupBy is partial-agg
+friendly. Two shuffles total.
+
+Shard assignment here is ``doc_id % num_shards`` (reproducible in the SQL
+oracle); production would use ``pmod(xxhash64(id), n)`` for balance under
+non-uniform ids — one-line swap, same plan shape.
+
+Reference note: kadiyadb has no text pipeline (SURVEY §2 maps none); this
+belongs to the LLM-pipeline surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.text import tokens_expr
+
+
+def pack_offsets(
+    df: DataFrame,
+    seq_len: int,
+    num_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document placement in the packed token stream: shard, token
+    count, [start, end) offsets and the chunk range the doc spans.
+
+    Zero-token documents occupy no stream positions and are dropped (their
+    chunk range would be empty/inverted).
+    """
+    if seq_len <= 0 or num_shards <= 0:
+        raise ValueError("seq_len and num_shards must be positive")
+    n_tok = F.size(tokens_expr(F.col(text_col))).cast("long")
+    d = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
+        n_tok.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = d.withColumn("end_off", F.sum("n_tokens").over(w))
+    d = d.withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_off",
+        "end_off",
+        # integer `div`, not float division: offsets are exact int64 stream
+        # positions and must stay exact past double's 2^53 integer range
+        F.expr(f"start_off div {seq_len}").alias("start_chunk"),
+        F.expr(f"(end_off - 1) div {seq_len}").alias("end_chunk"),
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    seq_len: int,
+    num_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level view of the packed stream: one row per (shard, chunk)
+    with the docs it draws from and the token count it actually holds
+    (== seq_len everywhere except each shard's tail chunk).
+
+    ``n_tokens`` per chunk is the sum over covering docs of the overlap
+    between the doc's [start_off, end_off) and the chunk's window — an
+    exact accounting that a writer materializing real token ids would
+    reproduce byte-for-byte.
+    """
+    offs = pack_offsets(df, seq_len, num_shards, text_col=text_col, id_col=id_col)
+    cov = offs.withColumn(
+        "chunk_id", F.explode(F.sequence("start_chunk", "end_chunk"))
+    )
+    lo = F.col("chunk_id") * seq_len
+    hi = lo + seq_len
+    contrib = F.least(F.col("end_off"), hi) - F.greatest(F.col("start_off"), lo)
+    return (
+        cov.groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

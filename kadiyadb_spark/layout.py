@@ -54,6 +54,41 @@ def zorder_key_expr(cols: list[Column], bits: int = 8) -> Column:
     return key
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally per-bucket-sorted)
+    table: rows are hash-distributed into ``num_buckets`` files per
+    partition by ``bucket_cols``, and the bucket spec is recorded in the
+    catalog.
+
+    Payoff at 100 TB: a join or aggregation keyed on the bucket columns
+    between tables bucketed the same way needs NO Exchange — the scan
+    itself reports hash partitioning, so the most expensive repeated
+    operation in a warehouse (the big-fact shuffle) is paid ONCE at write
+    time and amortized over every subsequent query. ``sort_cols`` keeps each
+    bucket file internally sorted (better row-group stats + faster in-bucket
+    sorts); note Spark >= 3.0 does not report that order from scans by
+    default (spark.sql.legacy.bucketedTableScan.outputOrdering), so
+    SortMergeJoin still sorts WITHIN buckets — cheap and shuffle-free. The
+    repartition below guarantees one file per (partition, bucket) so bucket
+    pruning and the legacy ordering path both stay available.
+
+    Bucketing requires the table catalog (``saveAsTable``): bucket metadata
+    lives in the catalog, not in parquet footers. Plan effects asserted in
+    tests/test_layout.py.
+    """
+    out = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    w = out.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def zorder_layout(
     df: DataFrame,
     cols: list[Column],

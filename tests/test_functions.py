@@ -630,3 +630,53 @@ def test_span_dedup_within_doc_duplicates(spark):
     # spans of 2: ("a b", "a b", "a b") -> first kept only
     got = TX.span_dedup(docs, words_per_span=2).collect()
     assert [(r.doc_id, r.text, r.n_spans_kept) for r in got] == [(7, "a b", 1)]
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_offsets_and_chunks_golden(spark):
+    from kadiyadb_spark.functions import packing as PK
+
+    docs = _docs(
+        spark,
+        [
+            "a b c",        # id 0, shard 0: 3 tokens -> [0, 3)
+            "d e",          # id 1, shard 1: 2 tokens -> [0, 2)
+            "f g h i j",    # id 2, shard 0: 5 tokens -> [3, 8)
+            "   ",          # id 3, shard 1: 0 tokens -> dropped
+            "k",            # id 4, shard 0: 1 token  -> [8, 9)
+            "l m n o p q",  # id 5, shard 1: 6 tokens -> [2, 8)
+        ],
+    )
+    offs = {r.doc_id: r for r in PK.pack_offsets(docs, seq_len=4, num_shards=2).collect()}
+    assert set(offs) == {0, 1, 2, 4, 5}  # zero-token doc 3 occupies no stream slot
+    assert (offs[2].start_off, offs[2].end_off) == (3, 8)
+    assert (offs[2].start_chunk, offs[2].end_chunk) == (0, 1)  # crosses the boundary
+    assert (offs[4].start_chunk, offs[4].end_chunk) == (2, 2)
+    assert (offs[5].start_off, offs[5].end_off) == (2, 8)
+
+    chunks = {
+        (r.shard, r.chunk_id): r
+        for r in PK.pack_chunks(docs, seq_len=4, num_shards=2).collect()
+    }
+    # shard 0 stream: doc0 [0,3) doc2 [3,8) doc4 [8,9)
+    assert (chunks[(0, 0)].n_docs, chunks[(0, 0)].n_tokens) == (2, 4)  # full
+    assert (chunks[(0, 1)].n_docs, chunks[(0, 1)].n_tokens) == (1, 4)  # doc2 only
+    assert (chunks[(0, 2)].n_docs, chunks[(0, 2)].n_tokens) == (1, 1)  # tail
+    # shard 1 stream: doc1 [0,2) doc5 [2,8)
+    assert (chunks[(1, 0)].first_doc, chunks[(1, 0)].last_doc) == (1, 5)
+    assert chunks[(1, 0)].n_tokens == 4
+    assert chunks[(1, 1)].n_tokens == 4
+    # every non-tail chunk holds exactly seq_len tokens; totals conserve
+    total = sum(r.n_tokens for r in chunks.values())
+    assert total == 3 + 2 + 5 + 1 + 6
+
+
+def test_pack_rejects_bad_args(spark):
+    from kadiyadb_spark.functions import packing as PK
+
+    with pytest.raises(ValueError):
+        PK.pack_offsets(_docs(spark, ["x"]), seq_len=0, num_shards=2)
+    with pytest.raises(ValueError):
+        PK.pack_chunks(_docs(spark, ["x"]), seq_len=8, num_shards=0)

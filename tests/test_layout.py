@@ -65,3 +65,39 @@ def test_zorder_narrows_every_columns_file_spans(spark, tmp_path):
 def test_zorder_rejects_bit_overflow(spark):
     with pytest.raises(ValueError, match="int64 budget"):
         zorder_key_expr([F.lit(1)] * 8, bits=8)
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with NO Exchange —
+    the write-time shuffle is the amortized one. (The in-bucket Sort stays:
+    Spark >= 3.0 does not report bucket sort order from scans by default —
+    spark.sql.legacy.bucketedTableScan.outputOrdering — and a sort of one
+    bucket is noise next to the shuffle it replaces.)"""
+    import contextlib
+    import io
+
+    from kadiyadb_spark.layout import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    write_bucketed(left, "kdbt_left_b", ["k"], 4, sort_cols=["k"])
+    write_bucketed(right, "kdbt_right_b", ["k"], 4, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("kdbt_left_b").join(spark.table("kdbt_right_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS kdbt_left_b")
+        spark.sql("DROP TABLE IF EXISTS kdbt_right_b")

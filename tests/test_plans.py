@@ -262,3 +262,18 @@ def test_repetition_score_is_map_only(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b a c a b")])
     plan = plan_str(TX.repetition_score(docs))
     assert n_shuffles(plan) == 0
+
+
+def test_pack_chunks_is_one_shuffle(spark):
+    """Packing shuffles ONCE: the window's hashpartitioning(shard) already
+    satisfies the (shard, chunk_id) groupBy's clustering requirement (shard
+    is a subset of the keys), so the chunk aggregation reuses the exchange.
+    No UDF/Python node anywhere."""
+    from kadiyadb_spark.functions import packing as PK
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="a b c d e") for i in range(20)])
+    plan = plan_str(PK.pack_chunks(docs, seq_len=4, num_shards=4))
+    assert n_shuffles(plan) == 1
+    # pure built-ins end to end: no Python-exec operator (the source scan's
+    # "applySchemaToPythonRDD" is createDataFrame plumbing, not an operator)
+    assert not re.search(r"\(\d+\) \w*(EvalPython|InPandas)", plan)
