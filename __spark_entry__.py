@@ -1501,6 +1501,33 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle: each doc gets a deterministic
+    pseudo-random (shard, pos) address — training-order randomization with
+    no rand()/seed plumbing, identical across engines (md5-key arithmetic
+    with an exact DuckDB twin). One shuffle, parallel per shard, no global
+    sort (functions/sampling.py)."""
+    from kadiyadb_spark.functions.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, num_shards=8).select("doc_id", "shard", "pos")
+
+
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> training-ready sequences, end to end: exact dedup (content
+    hash, keep min id) -> quality floor -> concat-and-chunk packing into
+    512-token chunks. The last mile of the curation story: what leaves this
+    query is the shape a trainer consumes. Scale: one md5 groupBy, map-only
+    scoring, one packing shuffle."""
+    from kadiyadb_spark.functions import packing as PK
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = D.dedup_exact(docs)
+    qual = TX.quality_score(survivors).filter(F.col("quality") >= 0.5).select("doc_id")
+    kept = survivors.join(qual, "doc_id").select("doc_id", "text")
+    return PK.pack_chunks(kept, seq_len=512, num_shards=8)
+
+
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1721,6 +1748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_add": q_sim_ivf_add,
         "streaming_agg_append": q_streaming_agg_append,
         "text_span_dedup": q_text_span_dedup,
+        # new this round — INSIDE the driver's 50-entry gate cap
+        "bucketed_join": q_bucketed_join,
+        "pack_sequences": q_pack_sequences,
+        "corpus_shuffle": q_corpus_shuffle,
+        "pipeline_pack": q_pipeline_pack,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -1774,8 +1806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_daily_running": q_window_daily_running,
         "range_join_counts": q_range_join_counts,
         "zorder_layout": q_zorder_layout,
-        "bucketed_join": q_bucketed_join,
-        "pack_sequences": q_pack_sequences,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "semi_join": q_semi_join,
     }
@@ -2461,6 +2491,19 @@ SELECT CAST(shard AS BIGINT) AS shard, chunk_id,
 FROM e GROUP BY shard, chunk_id
 """
 
+    # Same 60-bit md5 key arithmetic as sampling.shuffle_key_expr (15 hex
+    # chars: 16 would overflow signed int64).
+    o["corpus_shuffle"] = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+  FROM documents
+)
+SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
     o["skew_salted_agg"] = """
 SELECT event_type, floor((sum(value)) * 10000 + 0.5) / 10000 AS total, count(*) AS cnt
 FROM events GROUP BY event_type
@@ -2803,6 +2846,43 @@ final AS (
 SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        floor((avg(quality)) * 10000 + 0.5) / 10000 AS avg_quality
 FROM final GROUP BY source
+"""
+
+    # Exact dedup + quality floor + concat-and-chunk packing: the fp0/qual
+    # fragments mirror pipeline_curate's, the packing CTEs pack_sequences'.
+    o["pipeline_pack"] = f"""
+WITH fp0 AS (SELECT doc_id, md5({_DOC_NORM}) AS f FROM documents),
+kept_exact AS (SELECT min(doc_id) AS doc_id FROM fp0 GROUP BY f),
+tq AS (
+  SELECT d.doc_id, d.text, {_TOKENS} AS toks
+  FROM documents d JOIN kept_exact USING (doc_id)
+),
+qual AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         floor((0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+               + 0.25 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1))
+               + 0.25 * least((CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE) / greatest(len(toks), 1)) * 5.0, 1.0)
+               ) * 10000 + 0.5) / 10000 AS quality
+  FROM tq
+),
+c AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS end_off
+  FROM qual WHERE quality >= 0.5 AND n_tok > 0
+),
+e AS (
+  SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off, end_off,
+         unnest(generate_series(CAST((end_off - n_tok) // 512 AS BIGINT),
+                                CAST((end_off - 1) // 512 AS BIGINT))) AS chunk_id
+  FROM c
+)
+SELECT CAST(shard AS BIGINT) AS shard, chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(least(end_off, (chunk_id + 1) * 512)
+                - greatest(start_off, chunk_id * 512)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM e GROUP BY shard, chunk_id
 """
 
     bit_sum = " + ".join(

@@ -38,6 +38,50 @@ def sample_bucket_expr(id_col: Column | str, salt: str = "kdb") -> Column:
     return h % F.lit(BUCKETS)
 
 
+def shuffle_key_expr(id_col: Column | str, salt: str = "shuf") -> Column:
+    """Stable 60-bit shuffle key: first 15 hex chars of md5(salt||id) (15,
+    not 16 — 16 hex digits can overflow SIGNED int64; 60 bits keep the key
+    positive on both engines). DuckDB twin:
+    ``CAST(('0x' || substr(md5('<salt>' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Reproducible global corpus shuffle: every row gets a (shard, pos)
+    address that is a pseudo-random but DETERMINISTIC permutation of the
+    corpus — the training-order randomization step of a data pipeline,
+    reproducible across runs and engines (no rand(), no seed plumbing).
+
+    Shape at 100 TB: shard = hash-key mod num_shards (map-only, uniform by
+    construction), pos = row_number over the key WITHIN each shard — one
+    shuffle, parallel across shards, no global sort. Downstream training
+    reads shards in any order and rows by pos; to materialize the layout,
+    ``repartition(num_shards, "shard").sortWithinPartitions("pos")`` and
+    write. Changing ``salt`` yields an independent permutation (new epoch
+    ordering) without touching the data.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    from pyspark.sql import Window
+
+    key = shuffle_key_expr(id_col, salt)
+    d = df.withColumn("_skey", key).withColumn(
+        "shard", F.pmod(F.col("_skey"), F.lit(num_shards)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return d.withColumn("pos", F.row_number().over(w).cast("long")).drop("_skey")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -680,3 +680,39 @@ def test_pack_rejects_bad_args(spark):
         PK.pack_offsets(_docs(spark, ["x"]), seq_len=0, num_shards=2)
     with pytest.raises(ValueError):
         PK.pack_chunks(_docs(spark, ["x"]), seq_len=8, num_shards=0)
+
+
+def test_deterministic_shuffle_properties(spark):
+    from kadiyadb_spark.functions.sampling import deterministic_shuffle
+
+    docs = _docs(spark, [f"doc {i}" for i in range(40)])
+    a = deterministic_shuffle(docs, num_shards=4).collect()
+    b = deterministic_shuffle(docs, num_shards=4).collect()
+    # deterministic: identical addresses across invocations
+    assert sorted((r.doc_id, r.shard, r.pos) for r in a) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in b
+    )
+    # every shard's positions are exactly 1..len(shard)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # pseudo-random: not the identity order (doc_ids within a shard not
+    # sorted by pos) and a different salt yields a different permutation
+    ordered = [
+        r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))
+    ]
+    assert ordered != sorted(ordered)
+    c = deterministic_shuffle(docs, num_shards=4, salt="other").collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in c) != sorted(
+        (r.doc_id, r.shard, r.pos) for r in a
+    )
+
+
+def test_deterministic_shuffle_rejects_bad_args(spark):
+    from kadiyadb_spark.functions.sampling import deterministic_shuffle
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle(_docs(spark, ["x"]), num_shards=0)

@@ -209,3 +209,57 @@ def test_p7_range_join_equals_naive(spark, lrows, rrows, lower, width):
         if lk == rk and lts + lower <= rts < lts + upper
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- packing / shuffle
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=docs_strategy, seq_len=st.integers(min_value=1, max_value=7))
+@SETTINGS
+def test_p8_packing_conserves_tokens_and_fills_chunks(spark, texts, seq_len):
+    """For ANY corpus and chunk size: (a) chunk token counts sum to the
+    corpus token count, (b) every chunk except each shard's LAST holds
+    exactly seq_len tokens, (c) chunk ids per shard are contiguous from 0."""
+    from kadiyadb_spark.functions import packing as PK
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    n_tok_total = sum(len(t.split()) for t in texts)
+    chunks = PK.pack_chunks(docs, seq_len=seq_len, num_shards=3).collect()
+    assert sum(r.n_tokens for r in chunks) == n_tok_total
+    by_shard = {}
+    for r in chunks:
+        by_shard.setdefault(r.shard, {})[r.chunk_id] = r.n_tokens
+    for shard, cm in by_shard.items():
+        assert sorted(cm) == list(range(len(cm)))  # contiguous from 0
+        last = max(cm)
+        for cid, n in cm.items():
+            if cid != last:
+                assert n == seq_len
+            else:
+                assert 1 <= n <= seq_len
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40))
+@SETTINGS
+def test_p9_deterministic_shuffle_is_a_permutation(spark, ids):
+    """For ANY id set: every row gets exactly one (shard, pos) address and
+    positions per shard are exactly 1..n — the output is a permutation."""
+    from kadiyadb_spark.functions.sampling import deterministic_shuffle
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in sorted(ids)])
+    out = deterministic_shuffle(docs, num_shards=4).collect()
+    assert len(out) == len(ids)
+    assert {r.doc_id for r in out} == ids
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
