@@ -371,6 +371,35 @@ def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_cube_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-consumer read (change-data-feed over the manifest store):
+    track the first half of the month, record the generation, track the
+    second half, read ``changes(g0)`` — exactly the second batch's cube
+    increments, folded per key, without re-reading the cube. Oracle: the
+    cube aggregation over only the second half's events. Rewrite detection
+    (compact/expire in range -> refuse) is pytest-covered."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_changes_entry_")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    ev = _t(spark, sf_dir, "events")
+    cut = T0 + 15 * day
+    db.track(ev.filter(F.col("ts") < cut), ts_col="ts", total_col="value")
+    g0 = db.current_gen()
+    db.track(ev.filter(F.col("ts") >= cut), ts_col="ts", total_col="value")
+    c = db.changes(g0).withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
 def q_catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O13 LoadAll: scan a server directory, open every database with a valid
     params.json, skip invalid ones with a warning (database.go:66-124,
@@ -1528,6 +1557,35 @@ def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.pack_chunks(kept, seq_len=512, num_shards=8)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment as a pure function of the doc id: hash
+    bucket -> named split (map-only, no sort/sampling pass, stable under
+    corpus growth). Returns per-split doc and char totals."""
+    from kadiyadb_spark.functions.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (exact quota, reproducible): the
+    5 hash-first docs of every source — the eval-set carving primitive.
+    One window shuffle by group (functions/sampling.py skew note)."""
+    from kadiyadb_spark.functions.sampling import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, k=5, group_col="source").select(
+        "doc_id", "source"
+    )
+
+
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1753,6 +1811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_shuffle": q_corpus_shuffle,
         "pipeline_pack": q_pipeline_pack,
+        "dataset_split": q_dataset_split,
+        "sample_per_source": q_sample_per_source,
+        "cube_changes": q_cube_changes,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -2025,6 +2086,32 @@ SELECT * FROM (
   SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
          floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 ) WHERE epoch >= {cutoff}
+"""
+
+    # Changes = the cube aggregation over ONLY the second batch's events
+    # (daily epochs, same shape as expire_retention's oracle).
+    changes_cut = T0 + 15 * day_ns
+    o["cube_changes"] = f"""
+WITH ev AS (
+    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
+           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+    FROM events WHERE epoch_ns(ts) >= {changes_cut}
+),
+cube2 AS (
+    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1, f2,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3, 4
+),
+cube1 AS (
+    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+)
+SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
+UNION ALL
+SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
 
     # O13: statically expected catalog after skipping the invalid databases.
@@ -2489,6 +2576,34 @@ SELECT CAST(shard AS BIGINT) AS shard, chunk_id,
                 - greatest(start_off, chunk_id * 512)) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM e GROUP BY shard, chunk_id
+"""
+
+    # Split boundaries partition [0, 10000) in SORTED split-name order
+    # (test < 500, train < 9500, val = rest) — sampling.split_assign.
+    o["dataset_split"] = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 500 THEN 'test'
+            WHEN bucket < 9500 THEN 'train'
+            ELSE 'val' END AS split,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+"""
+
+    # Hash-rank quota sample: same 60-bit key family as corpus_shuffle,
+    # salt 'spg' (sampling.sample_per_group).
+    o["sample_per_source"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('spg' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 5
 """
 
     # Same 60-bit md5 key arithmetic as sampling.shuffle_key_expr (15 hex

@@ -108,6 +108,11 @@ class Database:
         snapshot (see ``cube(at_gen=...)``)."""
         return [int(n[len(_MANIFEST_PREFIX) : -len(".json")]) for n in self._manifest_names()]
 
+    def current_gen(self) -> int:
+        """Generation of the latest commit (-1 on an empty cube) — the
+        handle a consumer records to later read ``changes(gen)``."""
+        return int(self._manifest()["gen"])
+
     def _manifest(self, at_gen: int | None = None) -> dict:
         names = self._manifest_names()
         if not names:
@@ -288,6 +293,52 @@ class Database:
         return df.groupBy(*keys).agg(
             F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT)
         ).select(*cols)
+
+    def changes(self, since_gen: int, to_gen: int | None = None) -> DataFrame:
+        """Cube rows ADDED after generation ``since_gen`` (exclusive), up to
+        ``to_gen`` (inclusive; default the current generation) — the
+        incremental-consumer read. Because commits are whole-manifest swaps
+        over immutable segments, the delta between two retained generations
+        is exactly the segments referenced by the newer manifest and not the
+        older one; a downstream aggregate updates from those increments
+        without re-reading the cube (the change-data-feed a Delta table
+        exposes, manifest-native here).
+
+        Only valid across PURE-APPEND history: if the range spans a rewrite
+        (compact/expire/merge_replace re-point or drop segments), increments
+        cannot express the change and this raises — the consumer falls back
+        to a full ``cube()`` refresh. Rewrites are detectable as refs present
+        in the old manifest but missing from the new one.
+
+        Returned rows are folded per cube key WITHIN the delta (same exact
+        (total, cnt) decomposition as ``cube``), so ``cube(at_gen=g0)`` plus
+        ``changes(g0)`` folded together equals ``cube()``.
+        """
+        m0 = self._manifest(at_gen=since_gen)
+        m1 = self._manifest(at_gen=to_gen)
+        old_refs = {ref for refs in m0["segments"].values() for ref in refs}
+        new_refs = {ref for refs in m1["segments"].values() for ref in refs}
+        rewritten = old_refs - new_refs
+        if rewritten:
+            raise ValueError(
+                f"generations {since_gen}..{m1['gen']} span a rewrite "
+                f"(compact/expire/replace-merge removed {len(rewritten)} segment refs); "
+                "incremental read unavailable — refresh from cube()"
+            )
+        added = sorted(new_refs - old_refs)
+        cols = [f.name for f in S.cube_schema(self.max_depth).fields]
+        if not added:
+            return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
+        df = self.spark.read.parquet(*[HadoopFS.join(self.cube_path, r) for r in added])
+        df = df.select(
+            *[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))]
+        )
+        keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
+        return (
+            df.groupBy(*keys)
+            .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+            .select(*cols)
+        )
 
     # -- O1 Track (micro-batch) ---------------------------------------------
     def track(self, events: DataFrame, ts_col: str = "ts", total_col: str = "value", count_col: str | None = None) -> None:

@@ -82,6 +82,73 @@ def deterministic_shuffle(
     return d.withColumn("pos", F.row_number().over(w).cast("long")).drop("_skey")
 
 
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash
+    bucket: split boundaries partition [0, BUCKETS) in sorted-name order,
+    so the assignment is a map-only expression — deterministic across runs
+    and engines, stable under corpus growth (a doc's split never changes
+    when other docs arrive), and disjoint+exhaustive by construction.
+    Fractions must sum to 1 (±1 bucket of rounding is absorbed by the last
+    split's upper bound).
+
+    This is how a 100 TB corpus is split: no sort, no sampling pass, no
+    state — the split IS a pure function of the id.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for split {name!r} must be in [0, 1], got {frac}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = sample_bucket_expr(id_col, salt)
+    expr = None
+    hi = 0
+    names = sorted(fractions)
+    for i, name in enumerate(names):
+        hi = BUCKETS if i == len(names) - 1 else hi + int(round(fractions[name] * BUCKETS))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "spg",
+) -> DataFrame:
+    """Deterministic uniform-ish sample of ``k`` rows per group: rank rows
+    within each group by a stable hash of their id and keep the first
+    ``k``. The reproducible form of per-group reservoir sampling — same
+    rows every run, exact per-group quota (unlike rate sampling), and
+    growing a group only ever swaps members in/out by hash order.
+
+    Scale: one shuffle (window by group). Skew note: a single monster
+    group funnels through one task; for quota sampling of pathological
+    groups pre-filter with ``stratified_hash_sample`` at a few times the
+    target rate, then quota-cut the survivors.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    key = shuffle_key_expr(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, float],

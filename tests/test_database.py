@@ -302,3 +302,41 @@ def test_salted_compact_splits_epoch_across_files(spark, tmp_path):
     files = db.fs.list_files(HadoopFS.join(db.cube_path, ref), suffix=".parquet")
     assert len(files) > 1  # epoch split across writer tasks
     assert _pts(db.cube()) == before  # values identical
+
+
+def test_changes_returns_exactly_the_new_increments(spark, tmp_path):
+    """cube(at_gen=g0) + changes(g0) folded together == cube(): the
+    incremental consumer sees exactly the appended delta, folded per key."""
+    db = Database.open(spark, str(tmp_path / "db_cdf"), P)
+    db.track(_events(spark, [(0, "a", "b", 5.0), (1, "a", "b", 7.0)]), total_col="v")
+    g0 = db._manifest()["gen"]
+    db.track(_events(spark, [(1, "a", "b", 2.0), (7, "a", "c", 3.0)]), total_col="v")
+    db.track(_events(spark, [(1, "a", "b", 1.0)]), total_col="v")
+    delta = _pts(db.changes(g0).filter("depth = 2"))
+    # batch 2+3 only, folded: bucket 1 of epoch 0 sums 2+1, epoch 5 holds 3
+    assert delta == [
+        (0, ("a", "b"), 1, 3.0, 2.0),
+        (5, ("a", "c"), 7, 3.0, 1.0),
+    ]
+    # empty range
+    g2 = db._manifest()["gen"]
+    assert db.changes(g2).count() == 0
+    # conservation: snapshot + delta == current cube (per-key fold)
+    cur = _pts(db.cube())
+    snap = _pts(db.cube(at_gen=g0))
+    merged = {}
+    for e, k, b, t, c in snap + _pts(db.changes(g0)):
+        key = (e, k, b)
+        t0, c0 = merged.get(key, (0.0, 0.0))
+        merged[key] = (t0 + t, c0 + c)
+    assert sorted((e, k, b, t, c) for (e, k, b), (t, c) in merged.items()) == cur
+
+
+def test_changes_refuses_ranges_spanning_a_rewrite(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db_cdf2"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    g0 = db._manifest()["gen"]
+    db.track(_events(spark, [(1, "a", "b", 2.0)]), total_col="v")
+    assert db.compact() == [0]  # two segments folded -> refs re-pointed
+    with pytest.raises(ValueError, match="rewrite"):
+        db.changes(g0)

@@ -716,3 +716,53 @@ def test_deterministic_shuffle_rejects_bad_args(spark):
 
     with pytest.raises(ValueError):
         deterministic_shuffle(_docs(spark, ["x"]), num_shards=0)
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark):
+    from kadiyadb_spark.functions.sampling import split_assign
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in range(2000)])
+    out = split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()
+    assert len(out) == 2000  # exhaustive: every row gets exactly one split
+    counts = {}
+    split_of = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+        split_of[r.doc_id] = r.split
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~1800 expected; loose hash-variance bound
+    # growth stability: a doc's split is a pure function of its id — the
+    # same ids in a SUBSET corpus land in the same splits
+    sub = split_assign(
+        spark.createDataFrame([Row(doc_id=i, text="t") for i in range(500)]),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).collect()
+    assert all(split_of[r.doc_id] == r.split for r in sub)
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    from kadiyadb_spark.functions.sampling import split_assign
+
+    docs = _docs(spark, ["x"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(docs, {})
+
+
+def test_sample_per_group_exact_quota_and_deterministic(spark):
+    from kadiyadb_spark.functions.sampling import sample_per_group
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(60)] + [
+        Row(doc_id=100, source="tiny")
+    ]
+    df = spark.createDataFrame(rows)
+    a = sample_per_group(df, k=4, group_col="source").collect()
+    by_src = {}
+    for r in a:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert {s: len(v) for s, v in by_src.items()} == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+    b = sample_per_group(df, k=4, group_col="source").collect()
+    assert {(r.source, r.doc_id) for r in a} == {(r.source, r.doc_id) for r in b}
+    with pytest.raises(ValueError):
+        sample_per_group(df, k=0, group_col="source")
