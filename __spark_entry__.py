@@ -901,6 +901,108 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of PROMO-part revenue
+    sold to ASIA customers, per year. Six-table join where every dimension
+    side broadcasts; the conditional-sum / sum ratio is a single agg pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == n2["s_nkey"])
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        round4_expr(F.sum(nat) / F.sum(vol)).alias("mkt_share"),
+        round4_expr(F.sum(vol)).alias("total_vol"),
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, including
+    the zero-order customers a LEFT join preserves. Two aggregations; the
+    second input is one row per customer, so the histogram agg is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an agg, a global-max scalar subquery over it, an equality filter. The
+    revenue is rounded 4dp on BOTH engines BEFORE the max/equality so the
+    comparison is deterministic across summation orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"]).drop("mx")
+    return top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    (< 20% of the part's mean) Brand#23 line items went unshipped. The
+    correlated per-part AVG becomes a broadcast agg-join — no re-scan per
+    row, the decorrelation Catalyst would pick anyway."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    lp = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    avg_q = lp.groupBy(F.col("p_partkey").alias("ak")).agg(
+        round4_expr(F.avg("l_quantity") * 0.2).alias("q_thresh")
+    )
+    small = lp.join(F.broadcast(avg_q), lp["p_partkey"] == avg_q["ak"]).filter(
+        F.col("l_quantity") < F.col("q_thresh")
+    )
+    return small.agg(round4_expr(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+def q22_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT orders (none
+    since 1999 — the fixture's dense order history would make the literal
+    no-orders-ever set empty), per nation. Global-average scalar subquery
+    (rounded 4dp both engines), anti join against the filtered orders,
+    then a per-nation rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        round4_expr(F.avg("c_acctbal")).alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal), c["c_acctbal"] > avg_bal["ab"]).drop("ab")
+    waiting = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return waiting.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count("*").alias("numcust"),
+        round4_expr(F.sum("c_acctbal")).alias("totacctbal"),
+    )
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
     quarter. Selective order-date + returnflag predicates both push to the
@@ -1814,6 +1916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "sample_per_source": q_sample_per_source,
         "cube_changes": q_cube_changes,
+        "q8_market_share": q8_market_share,
+        "q13_order_distribution": q13_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q22_waiting_customers": q22_waiting_customers,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -2415,6 +2522,78 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC
 LIMIT 20
+"""
+
+    o["q8_market_share"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       floor((sum(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS mkt_share,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_vol
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+    o["q13_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+    o["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+    o["q17_small_quantity"] = """
+WITH lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+thresh AS (
+  SELECT l_partkey AS ak,
+         floor((avg(l_quantity) * 0.2) * 10000 + 0.5) / 10000 AS q_thresh
+  FROM lp GROUP BY l_partkey
+)
+SELECT floor((sum(l_extendedprice) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+FROM lp JOIN thresh ON l_partkey = ak
+WHERE l_quantity < q_thresh
+"""
+
+    o["q22_waiting_customers"] = """
+WITH ab AS (
+  SELECT floor((avg(c_acctbal)) * 10000 + 0.5) / 10000 AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS numcust,
+       floor((sum(c_acctbal)) * 10000 + 0.5) / 10000 AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
 """
 
     o["correlated_subquery"] = """
