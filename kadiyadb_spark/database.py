@@ -560,6 +560,29 @@ class Database:
         self._gc(old)
         return fragmented
 
+    def maintain(
+        self,
+        now_ts: int,
+        max_files_per_epoch: int = 8,
+        vacuum_orphans: bool = True,
+    ) -> dict:
+        """One-call housekeeping with the ordering that matters: expire
+        FIRST (so compaction never rewrites epochs that are about to be
+        deleted), then fold epochs fragmented past ``max_files_per_epoch``,
+        then sweep crash orphans. The cron-job entry point a deployment
+        schedules between ingest windows (single-writer contract: don't run
+        concurrently with writes — vacuum would sweep their staging).
+
+        ``max_files_per_epoch`` is the LSM read-amplification knob: track
+        appends one segment per batch, reads fold them; 8 keeps the fold
+        cheap while letting ~hourly batches run a workday before rewrite.
+        Returns {"expired": [...], "compacted": [...], "vacuumed": [...]}.
+        """
+        expired = self.expire_by_retention(now_ts)
+        compacted = self.compact(max_files_per_epoch=max_files_per_epoch)
+        vacuumed = self.vacuum() if vacuum_orphans else []
+        return {"expired": expired, "compacted": compacted, "vacuumed": vacuumed}
+
     # -- O12 Sync ------------------------------------------------------------
     def sync(self) -> None:
         """No-op: segment parquet writes are durable on close and visible

@@ -77,6 +77,38 @@ def pack_offsets(
     )
 
 
+def pack_assignments(
+    df: DataFrame,
+    seq_len: int,
+    num_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The writer-facing slice map: one row per (chunk, doc-slice) telling a
+    materializer exactly which token span of which doc lands where —
+    (shard, chunk_id, doc, slice_start WITHIN the doc, slice_len, offset
+    WITHIN the chunk). Concatenating each chunk's slices ordered by
+    chunk_offset yields the chunk's token stream byte-for-byte; a trainer-
+    shard writer is a pure map over this frame grouped by chunk.
+
+    Same single-shuffle plan as pack_chunks (the explode adds no exchange).
+    """
+    offs = pack_offsets(df, seq_len, num_shards, text_col=text_col, id_col=id_col)
+    cov = offs.withColumn("chunk_id", F.explode(F.sequence("start_chunk", "end_chunk")))
+    lo = F.col("chunk_id") * seq_len
+    hi = lo + seq_len
+    s = F.greatest(F.col("start_off"), lo)
+    e = F.least(F.col("end_off"), hi)
+    return cov.select(
+        "shard",
+        "chunk_id",
+        id_col,
+        (s - F.col("start_off")).alias("slice_start"),
+        (e - s).alias("slice_len"),
+        (s - lo).alias("chunk_offset"),
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     seq_len: int,

@@ -340,3 +340,26 @@ def test_changes_refuses_ranges_spanning_a_rewrite(spark, tmp_path):
     assert db.compact() == [0]  # two segments folded -> refs re-pointed
     with pytest.raises(ValueError, match="rewrite"):
         db.changes(g0)
+
+
+def test_maintain_runs_expire_compact_vacuum_in_order(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "db_maint"), P)
+    # three appends into epoch 0 -> fragmented; one stale epoch below cutoff
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    db.track(_events(spark, [(1, "a", "b", 2.0)]), total_col="v")
+    db.track(_events(spark, [(2, "a", "b", 3.0)]), total_col="v")
+    db.track(_events(spark, [(12, "a", "b", 9.0)]), total_col="v")
+    # plant an orphan: a staged segment no manifest references
+    orphan = f"{tmp_path}/db_maint/cube/segs/seg-orphan/epoch_p=0"
+    db.fs.mkdirs(orphan)
+    # retention 10, now=22 -> cutoff 12 -> epoch 0 expires (12 stays: 12 >= cutoff-floored-epoch 10? epoch(12)=10 >= 10)
+    out = db.maintain(now_ts=22, max_files_per_epoch=1)
+    assert out["expired"] == [0]
+    assert out["compacted"] == []  # the fragmented epoch was the expired one
+    assert any("seg-orphan" in v for v in out["vacuumed"])
+    assert _pts(db.cube()) == [(10, ("a",), 12, 9.0, 1.0), (10, ("a", "b"), 12, 9.0, 1.0)]
+    # fragmentation in a LIVE epoch compacts
+    db.track(_events(spark, [(13, "a", "b", 1.0)]), total_col="v")
+    out2 = db.maintain(now_ts=22, max_files_per_epoch=1)
+    assert out2["compacted"] == [10]
+    assert len(_refs(db, 10)) == 1

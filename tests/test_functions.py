@@ -766,3 +766,38 @@ def test_sample_per_group_exact_quota_and_deterministic(spark):
     assert {(r.source, r.doc_id) for r in a} == {(r.source, r.doc_id) for r in b}
     with pytest.raises(ValueError):
         sample_per_group(df, k=0, group_col="source")
+
+
+def test_pack_assignments_reconstruct_chunks(spark):
+    """The slice map must reconstruct every chunk's token stream exactly:
+    concatenating each chunk's slices (ordered by chunk_offset) equals
+    slicing the shard's concatenated token stream at chunk boundaries."""
+    from kadiyadb_spark.functions import packing as PK
+
+    texts = ["a b c", "d e", "f g h i j", "", "k", "l m n o p q", "r s t u"]
+    docs = _docs(spark, texts)
+    L = 4
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    rows = PK.pack_assignments(docs, seq_len=L, num_shards=2).collect()
+    # group slices per (shard, chunk)
+    chunks = {}
+    for r in rows:
+        chunks.setdefault((r.shard, r.chunk_id), []).append(r)
+    # expected: concatenated per-shard stream in doc_id order, cut into L
+    streams = {}
+    for i in sorted(toks):
+        if toks[i]:
+            streams.setdefault(i % 2, []).extend(toks[i])
+    for (shard, cid), slices in chunks.items():
+        got = []
+        for r in sorted(slices, key=lambda r: r.chunk_offset):
+            got.extend(toks[r.doc_id][r.slice_start : r.slice_start + r.slice_len])
+        expect = streams[shard][cid * L : (cid + 1) * L]
+        assert got == expect, (shard, cid, got, expect)
+    # every chunk fully covered: offsets tile [0, chunk_len) with no gaps
+    for (shard, cid), slices in chunks.items():
+        slices = sorted(slices, key=lambda r: r.chunk_offset)
+        pos = 0
+        for r in slices:
+            assert r.chunk_offset == pos
+            pos += r.slice_len

@@ -263,3 +263,60 @@ def test_p9_deterministic_shuffle_is_a_permutation(spark, ids):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40),
+    weights=st.lists(st.integers(min_value=1, max_value=10), min_size=2, max_size=4),
+)
+@SETTINGS
+def test_p10_split_assign_partitions_the_corpus(spark, ids, weights):
+    """For ANY corpus and ANY normalized fraction vector: splits are
+    disjoint and exhaustive (every row exactly one split), and assignment
+    is a pure function of the id (stable under subsetting)."""
+    from kadiyadb_spark.functions.sampling import split_assign
+
+    total = sum(weights)
+    fracs = {f"s{i}": w / total for i, w in enumerate(weights)}
+    # float rounding: force exact sum-to-1 on the last split
+    fracs[f"s{len(weights)-1}"] = 1.0 - sum(
+        v for k, v in fracs.items() if k != f"s{len(weights)-1}"
+    )
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in sorted(ids)])
+    out = split_assign(docs, fracs).collect()
+    assert len(out) == len(ids)
+    assert all(r.split in fracs for r in out)
+    split_of = {r.doc_id: r.split for r in out}
+    some = sorted(ids)[: max(1, len(ids) // 2)]
+    sub = split_assign(
+        spark.createDataFrame([Row(doc_id=i, text="t") for i in some]), fracs
+    ).collect()
+    assert all(split_of[r.doc_id] == r.split for r in sub)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500), st.sampled_from(["g0", "g1", "g2"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_p11_sample_per_group_exact_quota(spark, rows, k):
+    """For ANY table and k: each group returns exactly min(k, |group|) rows,
+    and the sample is a subset of the group."""
+    from kadiyadb_spark.functions.sampling import sample_per_group
+
+    df = spark.createDataFrame([Row(doc_id=i, source=g) for i, g in rows])
+    out = sample_per_group(df, k=k, group_col="source").collect()
+    groups = {}
+    for i, g in rows:
+        groups.setdefault(g, set()).add(i)
+    got = {}
+    for r in out:
+        got.setdefault(r.source, set()).add(r.doc_id)
+    for g, members in groups.items():
+        assert len(got.get(g, set())) == min(k, len(members))
+        assert got.get(g, set()) <= members
