@@ -1418,6 +1418,50 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.span_dedup(_t(spark, sf_dir, "documents"), words_per_span=10)
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1): word-count band,
+    mean-word-length band, symbol ratio, alphabetic-word fraction, the
+    two-stopword rule, and the conjunction verdict. Shuffle-free map scan —
+    composes with text_repetition for the paper's full filter."""
+    return TX.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring: per-doc cross-entropy (nats) and
+    perplexity under the corpus's own unigram distribution — the cheap
+    CCNet-style LM-quality ranking. One explode feeds both the vocab build
+    and the scoring join; frequency table broadcasts (vocab-sized under
+    Zipf); the only corpus-sized shuffle is the doc-keyed average."""
+    return TX.unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality census over lineitem: per-column null count, EXACT
+    distinct cardinality, min/max — ONE aggregation job for all columns
+    (multi-distinct plans as a single Expand: one scan, one reduce), then a
+    1-row stack unpivot. approx=True (HLL sketches) is the 100 TB scheduled
+    form; exact is the default so the oracle can gate it."""
+    from kadiyadb_spark.functions.profile import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date")
+    )
+    return profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"]
+    )
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Jégou et al.
+    2011; the FAISS IVF-PQ scan kernel): base vectors compress to m=4
+    codes against deterministic per-subspace codebooks, each query
+    precomputes an [m, ksub] dot-product table, and scoring is m table
+    lookups per vector — the query never touches a base vector. The scan
+    that ADC-scores a 100 TB float column reads ~2 TB of codes."""
+    base, queries = _queries_vs_base(spark, sf_dir)
+    return SIM.pq_topk(base, queries, k=5, m=4, ksub=8)
+
+
 def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: persist a MinHash LSH band index over the
     'accepted corpus' (doc_id < 400), then probe the 'incoming batch'
@@ -1921,6 +1965,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q22_waiting_customers": q22_waiting_customers,
+        # new in r05 second half — INSIDE the cap (never gated before);
+        # the displaced track_cube/fetch_* re-gates were r04-gated green
+        # and keep local-oracle coverage (ORACLE_LOCAL.md)
+        "quality_gopher": q_quality_gopher,
+        "unigram_lm": q_unigram_lm,
+        "sim_pq_topk": q_sim_pq_topk,
+        # 51st: past the cap this round (local-oracle covered; rotates into
+        # the gate in r06)
+        "profile_columns": q_profile_columns,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -3396,6 +3449,127 @@ s AS (
 SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
        CAST(len(sub) AS BIGINT) AS frame_len, md5(sub) AS frame_md5
 FROM s WHERE len(sub) > 0
+"""
+
+    o["quality_gopher"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks, text FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         greatest(len(toks), 1)::DOUBLE AS n_d,
+         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       floor((tot_len / n_d) * 10000 + 0.5) / 10000 AS avg_word_len,
+       floor((n_symbols / n_d) * 10000 + 0.5) / 10000 AS symbol_ratio,
+       floor((n_alpha / n_d) * 10000 + 0.5) / 10000 AS alpha_word_frac,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       CAST(CASE WHEN n >= 50 AND n <= 100000
+                  AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
+                  AND n_symbols / n_d <= 0.1
+                  AND n_alpha / n_d >= 0.80
+                  AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM m
+"""
+
+    o["unigram_lm"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+f AS (SELECT token, count(*)::DOUBLE AS cnt FROM t GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM f),
+lp AS (SELECT token, ln(cnt / total) AS logp FROM f, tot),
+d AS (
+  SELECT t.doc_id, count(*) AS n_tokens, avg(-lp.logp) AS ce
+  FROM t JOIN lp USING (token) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(ce * 10000 + 0.5) / 10000 AS cross_entropy,
+       floor(exp(ce) * 10000 + 0.5) / 10000 AS perplexity
+FROM d
+"""
+
+    _prof = """
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({e}) AS n_nulls,
+       CAST(count(DISTINCT {e}) AS BIGINT) AS n_distinct,
+       CAST(min({e}) AS VARCHAR) AS min_val,
+       CAST(max({e}) AS VARCHAR) AS max_val
+FROM lineitem"""
+    o["profile_columns"] = "\nUNION ALL\n".join(
+        _prof.format(c=c, e=e)
+        for c, e in [
+            ("l_orderkey", "l_orderkey"),
+            ("l_linenumber", "l_linenumber"),
+            ("l_returnflag", "l_returnflag"),
+            ("l_linestatus", "l_linestatus"),
+            ("l_shipdate", "CAST(l_shipdate AS DATE)"),
+        ]
+    )
+
+    # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8
+    # lowest BASE ids), same L2 assignment (ties -> lowest code), same
+    # cos(q, reconstruction) score, same (score desc, vec_id asc) ranking.
+    o["sim_pq_topk"] = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
+),
+cb_src AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8)
+),
+subspaces AS (SELECT unnest(range(4)) AS m),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.v, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),
+dists AS (
+  SELECT b.vec_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(b.v, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM base b CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+tables AS (
+  SELECT q.query_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS t,
+         list_sum(list_transform(c.cent, x -> x*x)) AS n2
+  FROM q CROSS JOIN cb c
+),
+scored AS (
+  SELECT co.vec_id, tb.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
+  FROM codes co JOIN tables tb ON co.m = tb.m AND co.code = tb.code
+  GROUP BY co.vec_id, tb.query_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id, s.adot / (qn.qnorm * s.rnorm) AS ac,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY s.adot / (qn.qnorm * s.rnorm) DESC, s.vec_id ASC) AS rnk
+  FROM scored s JOIN qn USING (query_id)
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
+FROM ranked WHERE rnk <= 5
 """
 
     return o

@@ -609,3 +609,160 @@ def ivf_topk(
             round4_expr(F.col("_cos")).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------------------------ PQ (ADC)
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic product-quantization codebooks: split the embedding
+    dimension into ``m`` contiguous subspaces and use the ``ksub`` lowest-id
+    vectors' subvectors as each subspace's centroids (codes 0..ksub-1 in id
+    order) — bit-reproducible by the SQL oracle, same trade as
+    deterministic_centroids. Production recall wants per-subspace k-means
+    (train on a sample; only m*ksub*dsub floats come back), which drops in
+    here without touching assign/search.
+
+    Returns (codebook ndarray [m, ksub, dsub], dim). Driver memory is
+    m*ksub*dsub doubles — KBs."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)  # ksub x dim
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # [m, ksub, dsub]: subspace-major view of the ksub chosen vectors
+    return mat.reshape(ksub, m, dsub).transpose(1, 0, 2).copy(), dim
+
+
+def pq_assign(
+    emb: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code of the L2-nearest
+    centroid (ties -> lowest code; numpy argmin picks the first, same total
+    order as the oracle's ``ORDER BY d2 ASC, code ASC``). Output is
+    (id, codes array<long>) — m small ints per vector, the ~dsub*8/1-byte
+    compression that lets a 100 TB embedding column sit in ~100s of GB of
+    codes for ADC scanning.
+
+    Map-side only: the codebook broadcasts, each Arrow batch computes its
+    [batch, ksub] distance matrix per subspace in one vectorized pass."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cb = codebooks if isinstance(codebooks, np.ndarray) else codebooks[0]
+    bc = spark.sparkContext.broadcast(cb)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value  # [m, ksub, dsub]
+        m, ksub, dsub = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            sub = v.reshape(len(v), m, dsub)
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for j in range(m):
+                # [batch, ksub] squared L2; argmin = first (lowest code)
+                d2 = ((sub[:, j, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
+    computation (Jégou et al. 2011, the FAISS IVF-PQ scan kernel): base
+    vectors are m-code words; each query precomputes one [m, ksub] table of
+    subspace dot products against the codebook, and a vector's approximate
+    score is m table lookups — no base vector is ever touched at query time.
+
+    score = cos(query, reconstruction(codes)): sum_j T[j, code_j] over
+    (|q| * sqrt(sum_j |centroid_{j,code_j}|^2)). Exactly reproducible by
+    the SQL oracle because codebooks are deterministic.
+
+    Scale shape: after a one-off encode pass (map-side, see pq_assign), the
+    scan reads ONLY (id, m codes) — a 64-dim float32 vector (256 B) becomes
+    m=4 codes; the 100 TB column scans as ~2 TB of codes, memory-bandwidth
+    bound, zero shuffle until the k x batches x |queries| ranking rows.
+    Composes with IVF (probe buckets, ADC-score inside) for the standard
+    IVF-PQ index."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    C, dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    coded = pq_assign(emb, C, id_col, vec_col)
+
+    q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
+    dsub = dim // m
+    qsub = q.reshape(len(q_ids), m, dsub)
+    # T[qi, j, code] = dot(qsub, centroid); n2[j, code] = |centroid|^2
+    T = np.einsum("qjd,jkd->qjk", qsub, C)
+    n2 = (C**2).sum(axis=2)
+    qn = np.linalg.norm(q, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, T, n2, qn))
+
+    def adc(batches):
+        import pandas as pd
+
+        qi, Tt, nn2, qnorm = bc.value
+        nq, mm, _ = Tt.shape
+        cols = np.arange(mm)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # [b, m]
+            ids = pdf[id_col].to_numpy()
+            rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))  # [b]
+            parts = []
+            for j in range(nq):
+                adot = Tt[j][cols, codes].sum(axis=1)  # m lookups per vector
+                s = adot / (qnorm[j] * rnorm)
+                order = np.lexsort((ids, -s))[:k]  # cos desc, id asc
+                parts.append(
+                    pd.DataFrame({query_id_col: qi[j], id_col: ids[order], "_cos": s[order]})
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = coded.mapInPandas(adc, schema=f"{query_id_col} long, {id_col} long, _cos double")
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            round4_expr(F.col("_cos")).alias("approx_cos"),
+        )
+    )

@@ -260,8 +260,115 @@ def repetition_score(
     )
 
 
+# Gopher-rule stop set (Rae et al. 2021 §A1.1: "contains at least two of
+# the following English words": the, be, to, of, and, that, have, with).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality gate (Rae et al. 2021 §A1.1, public):
+    per-document word-count band, mean-word-length band, symbol-to-word
+    ratio (# and ellipsis), alphabetic-word fraction, and the two-stopword
+    rule, plus the conjunction verdict the pipeline filters on.
+
+    Composes with repetition_score (the paper's other half) for the full
+    Gopher gate. Entirely shuffle-free map expressions — at 100 TB this is
+    a bandwidth-bound scan, and the verdict column means the downstream
+    filter prunes before any shuffle ever sees the rejected rows."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    n_d = F.greatest(n, F.lit(1)).cast("double")
+    avg_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d
+    )
+    n_symbols = (
+        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    )
+    symbol_ratio = n_symbols.cast("double") / n_d
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_d
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    passes = (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (avg_len >= min_avg_len)
+        & (avg_len <= max_avg_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        round4_expr(avg_len).alias("avg_word_len"),
+        round4_expr(symbol_ratio).alias("symbol_ratio"),
+        round4_expr(alpha_frac).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        passes.cast("long").alias("passes"),
+    )
+
+
+def unigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring: per-document
+    cross-entropy (nats/token) and perplexity under the corpus's own
+    unigram distribution — the cheap LM-quality proxy (CCNet-style ranking
+    uses a real LM; the unigram form is the shuffle-light self-contained
+    variant). Outlier docs (gibberish = rare tokens everywhere, boilerplate
+    = near-zero entropy) land at the tails, which is what the ranking gate
+    consumes.
+
+    Scale shape: ONE explode feeding both sides — a token-keyed groupBy
+    builds the frequency table (map-side partial agg), the corpus total is
+    a 1-row agg cross-joined back (broadcast), and the score join
+    broadcasts the frequency table (vocab-sized — tens of MB for a 100 TB
+    corpus under Zipf, far under executor memory; spill to a shuffle join
+    only if a tokenizer explosion breaks Zipf). Final doc-keyed groupBy is
+    the only corpus-sized shuffle."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").cast("double").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(-F.col("logp")).alias("_ce"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            round4_expr(F.col("_ce")).alias("cross_entropy"),
+            round4_expr(F.exp(F.col("_ce"))).alias("perplexity"),
+        )
+    )
+
+
 # PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB) agree
-# on: character classes, bounded repetition, no lookaround, no backrefs.
+# on: character classes, bounded repetition, no lookarounds, no backrefs.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,14}[0-9]"
 PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"

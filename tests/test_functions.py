@@ -801,3 +801,118 @@ def test_pack_assignments_reconstruct_chunks(spark):
         for r in slices:
             assert r.chunk_offset == pos
             pos += r.slice_len
+
+
+# ------------------------------------------------------- gopher / LM / profile
+
+
+def test_gopher_rules_verdicts(spark):
+    from kadiyadb_spark.functions.text import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that have with lazy dogs"] * 5
+    )  # 55 tokens, sane lengths, plenty of stopwords
+    short = "the and of"
+    symbols = " ".join(["word"] * 60) + " " + " ".join(["###"] * 30)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[1]["passes"] == 1
+    assert out[2]["passes"] == 0  # under min_tokens
+    assert out[3]["passes"] == 0  # symbol ratio + stopword rule
+    assert out[1]["stopword_hits"] >= 2
+    assert abs(out[2]["avg_word_len"] - 8 / 3) < 1e-3
+
+
+def test_unigram_lm_score_exact_math(spark):
+    import math
+
+    from kadiyadb_spark.functions.text import unigram_lm_score
+
+    # corpus: 4 tokens total -> p(a)=0.5, p(b)=0.25, p(c)=0.25
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_lm_score(df).collect()}
+    ce1 = -(2 * math.log(0.5) + math.log(0.25)) / 3
+    assert abs(out[1]["cross_entropy"] - round(ce1, 4)) < 2e-4
+    assert abs(out[2]["cross_entropy"] - round(-math.log(0.25), 4)) < 2e-4
+    assert abs(out[2]["perplexity"] - 4.0) < 1e-3
+
+
+def test_profile_columns_nulls_and_minmax(spark):
+    from kadiyadb_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "y")], "k long, s string"
+    )
+    out = {r["col_name"]: r.asDict() for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_val"] == "1" and out["k"]["max_val"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    # approx mode keeps the same shape (values are sketch estimates)
+    approx = profile_columns(df, ["k"], approx=True).collect()[0]
+    assert approx["n_distinct"] >= 1
+
+
+# ----------------------------------------------------------------- PQ / ADC
+
+
+def _clustered_vectors(n_per=40, dim=64, seed=7):
+    """4 well-separated clusters, ROUND-ROBIN over ids (cluster = id % 4) so
+    the deterministic lowest-id codebooks/centroids sample every cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(4, dim)) * 3
+    rows = []
+    for i in range(4 * n_per):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.normal(size=dim) * 0.4).tolist()))
+    return rows
+
+
+def test_pq_assign_codebook_vectors_get_own_code(spark):
+    import numpy as np
+
+    from kadiyadb_spark.functions.similarity import pq_assign, pq_codebooks
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C, dim = pq_codebooks(df, m=4, ksub=8)
+    assert C.shape == (4, 8, dim // 4)
+    codes = {r["vec_id"]: r["codes"] for r in pq_assign(df, C).collect()}
+    # the ksub lowest-id vectors ARE the codebooks: their own subvector is
+    # at distance 0, so each must encode to its own code in every subspace
+    for vid in range(8):
+        assert codes[vid] == [vid] * 4, codes[vid]
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    from kadiyadb_spark.functions.similarity import cosine_topk, pq_topk
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (
+        df.filter("vec_id < 3")
+        .selectExpr("vec_id as query_id", "embedding as query_vec")
+    )
+    base = df.filter("vec_id >= 3")
+    exact = cosine_topk(base, queries, k=5).collect()
+    approx = pq_topk(base, queries, k=5, m=4, ksub=8).collect()
+    # ADC quantization is cluster-granular by design (all members of a
+    # cluster share near-identical codes, so WITHIN-cluster order is
+    # arbitrary); the guarantee worth asserting is that every approximate
+    # neighbor comes from the query's true cluster — which the exact top-5
+    # all do on this well-separated set.
+    for r in exact:
+        assert r["vec_id"] % 4 == r["query_id"] % 4
+    assert len(approx) == 15
+    for r in approx:
+        assert r["vec_id"] % 4 == r["query_id"] % 4, (
+            f"PQ neighbor {r['vec_id']} outside query {r['query_id']}'s cluster"
+        )
+    # determinism: approximate scores are rounded & ranked with id tiebreak
+    assert [r["rank"] for r in approx if r["query_id"] == 0] == [1, 2, 3, 4, 5]
