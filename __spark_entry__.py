@@ -1418,6 +1418,46 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.span_dedup(_t(spark, sf_dir, "documents"), words_per_span=10)
 
 
+def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING closure of the persisted near-dup index: docs < 166 are the
+    pre-indexed accepted history; two deterministic micro-batches ([166,332)
+    then >= 332, ordered by file mtime) stream through stream_index_dedup —
+    each batch probed against the index, decisions appended, accepted docs
+    fed BACK into the index so batch 2 is checked against batch 1's
+    survivors. The oracle replays the same two-step acceptance cascade in
+    SQL."""
+    import os
+    import tempfile
+
+    from kadiyadb_spark.streaming.ingest import stream_index_dedup
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_sidx_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = D.MinHashIndex.build(
+        docs.filter(F.col("doc_id") < 166), f"{tmp}/idx", num_hashes=8, bands=4, shingle_k=8
+    )
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = f"{tmp}/incoming"
+    os.makedirs(src)
+    slices = ["doc_id >= 166 AND doc_id < 332", "doc_id >= 332"]
+    for i, pred in enumerate(slices):
+        sdir = f"{tmp}/slice{i}"
+        raw.filter(pred).coalesce(1).write.parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = f"{src}/batch{i}.parquet"
+        os.rename(f"{sdir}/{part}", dst)
+        # file source processes oldest-mtime first: pin the batch order
+        t = 1_700_000_000 + i * 3600
+        os.utime(dst, (t, t))
+    stream = (
+        spark.readStream.schema(raw.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_index_dedup(stream, idx, f"{tmp}/decisions", f"{tmp}/ckpt", min_est=0.5)
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/decisions")
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (Rae et al. 2021 §A1.1): word-count band,
     mean-word-length band, symbol ratio, alphabetic-word fraction, the
@@ -1971,9 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "unigram_lm": q_unigram_lm,
         "sim_pq_topk": q_sim_pq_topk,
-        # 51st: past the cap this round (local-oracle covered; rotates into
+        # 51st+: past the cap this round (local-oracle covered; rotate into
         # the gate in r06)
         "profile_columns": q_profile_columns,
+        "streaming_index_dedup": q_streaming_index_dedup,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -3123,6 +3164,56 @@ SELECT new_id, index_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
     # probes >=400 — the oracle is the very same one-shot corpus<400 query,
     # asserting build+add is indistinguishable from indexing up front.
     o["dedup_index_add"] = o["dedup_index_query"]
+
+    # Streaming two-batch acceptance cascade: batch 1 ([166,332)) is checked
+    # against the seeded index (<166, all accepted); batch 2 (>=332) against
+    # the seed PLUS batch 1's survivors. Same banding + signature-agreement
+    # estimate >= 0.5 as the index itself.
+    o["streaming_index_dedup"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
+hsx AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
+mh AS (SELECT doc_id, {_MINHASH_SIG} FROM hsx),
+sigs AS (SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, {band_keys} FROM mh),
+banded AS ({band_union}),
+grp AS (SELECT doc_id,
+               CASE WHEN doc_id < 166 THEN 0 WHEN doc_id < 332 THEN 1 ELSE 2 END AS g
+        FROM d),
+cand AS (
+  SELECT DISTINCT a.doc_id AS idx_id, b.doc_id AS new_id
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  JOIN grp ga ON ga.doc_id = a.doc_id
+  JOIN grp gb ON gb.doc_id = b.doc_id
+  WHERE ga.g < gb.g
+),
+mtch AS (
+  SELECT c.idx_id, c.new_id
+  FROM cand c JOIN sigs x ON c.new_id = x.doc_id JOIN sigs y ON c.idx_id = y.doc_id
+  WHERE floor((({_sig_eq_sum}) / 8.0) * 10000 + 0.5) / 10000 >= 0.5
+),
+m1 AS (
+  SELECT new_id, count(*) AS n_dups FROM mtch
+  WHERE new_id >= 166 AND new_id < 332 AND idx_id < 166
+  GROUP BY new_id
+),
+a1 AS (
+  SELECT doc_id FROM grp
+  WHERE g = 1 AND doc_id NOT IN (SELECT new_id FROM m1)
+),
+m2 AS (
+  SELECT new_id, count(*) AS n_dups FROM mtch
+  WHERE new_id >= 332
+    AND (idx_id < 166 OR idx_id IN (SELECT doc_id FROM a1))
+  GROUP BY new_id
+),
+allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+SELECT g.doc_id,
+       CAST(CASE WHEN allm.new_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+       CAST(coalesce(allm.n_dups, 0) AS BIGINT) AS n_dups
+FROM grp g LEFT JOIN allm ON allm.new_id = g.doc_id
+WHERE g.g >= 1
+"""
 
     o["dedup_winnow_pairs"] = f"""
 WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),

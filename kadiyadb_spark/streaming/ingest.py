@@ -239,3 +239,77 @@ def stream_track_agg_append(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_index_dedup(
+    docs: DataFrame,
+    index,
+    decisions_dir: str,
+    checkpoint: str,
+    min_est: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Continuous-ingest near-dup gate: probe each incoming micro-batch of
+    documents against a persisted ``MinHashIndex``, append the per-doc
+    decision (accepted, n_dups) to ``decisions_dir``, and ``add`` the
+    accepted docs to the index so the NEXT batch is checked against them —
+    the streaming closure of dedup_index_query/add (a batch pipeline that
+    probes but never feeds accepted docs back misses batch-to-batch dups).
+
+    Semantics: a doc is rejected iff the index holds a previously-ACCEPTED
+    doc with signature-agreement estimate >= ``min_est``. Docs within one
+    micro-batch are NOT checked against each other (they carry no order);
+    run the batch near-dup sweep inside the batch first if that matters.
+
+    Scale shape per batch: the batch's banded signatures broadcast against
+    the partitioned index scan (MinHashIndex.query), the accepted rows
+    append into the touched band partitions (MinHashIndex.add — LSM, cost
+    proportional to the batch), and the decisions append as plain parquet.
+    Replay caveat, stated honestly: a crashed-and-replayed batch re-appends
+    its decision rows and index rows; index duplicates are harmless
+    (query's candidate distinct collapses them) but the decisions sink is
+    at-least-once — route decisions through Database.commit_cube_batch-
+    style manifest commits (or a txn sink) where exactly-once reporting
+    matters. Periodically ``index.compact()`` to fold the appended files.
+    """
+    from pyspark.sql import functions as F
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            matches = index.query(batch, text_col=text_col, min_est=min_est)
+            per_doc = matches.groupBy("new_id").agg(
+                F.count("*").cast("long").alias("n_dups")
+            )
+            decisions = (
+                batch.select(id_col)
+                .join(per_doc, F.col(id_col) == F.col("new_id"), "left")
+                .select(
+                    id_col,
+                    F.when(F.col("n_dups").isNull(), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("accepted"),
+                    F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+                )
+                .persist()
+            )
+            try:
+                decisions.write.mode("append").parquet(decisions_dir)
+                accepted = batch.join(
+                    decisions.filter(F.col("accepted") == 1).select(id_col), id_col
+                )
+                index.add(accepted, text_col=text_col)
+            finally:
+                decisions.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

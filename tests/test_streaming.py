@@ -317,3 +317,62 @@ def test_stream_track_agg_append_emits_closed_windows_once(spark, tmp_path):
     now = db._manifest()["segments"]
     for e, refs in refs_before.items():
         assert set(refs) <= set(now[e])
+
+
+def test_stream_index_dedup_feedback_loop(spark, tmp_path):
+    """Batch 2 must be checked against batch 1's ACCEPTED docs (the add-back
+    loop), and rejected docs must NOT become part of the index."""
+    import os
+
+    from kadiyadb_spark.functions.dedup import MinHashIndex
+    from kadiyadb_spark.streaming.ingest import stream_index_dedup
+
+    texts = {
+        "seed": "the quick brown fox jumps over the lazy dog near the river bank " * 4,
+        "novel_a": "completely different machine learning pipeline with gradient descent " * 4,
+        "novel_b": "astronomy telescopes observe distant galaxies through cosmic dust " * 4,
+    }
+    seed = spark.createDataFrame([(1, texts["seed"])], "doc_id long, text string")
+    idx = MinHashIndex.build(
+        seed, str(tmp_path / "idx"), num_hashes=8, bands=4, shingle_k=8
+    )
+    # batch 1: 200 is novel (accept), 201 duplicates the seed (reject)
+    b1 = spark.createDataFrame(
+        [(200, texts["novel_a"]), (201, texts["seed"])], "doc_id long, text string"
+    )
+    # batch 2: 300 duplicates ACCEPTED 200 (must reject -> proves feedback);
+    # 301 re-sends the seed text — it must match ONLY the indexed seed doc
+    # (n_dups=1), not also the REJECTED 201, proving rejects aren't indexed;
+    # 302 is novel (accept)
+    b2 = spark.createDataFrame(
+        [(300, texts["novel_a"]), (301, texts["seed"]), (302, texts["novel_b"])],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "incoming"
+    os.makedirs(src)
+    for i, b in enumerate([b1, b2]):
+        sdir = str(tmp_path / f"slice{i}")
+        b.coalesce(1).write.parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        dst = str(src / f"batch{i}.parquet")
+        os.rename(f"{sdir}/{part}", dst)
+        t = 1_700_000_000 + i * 3600
+        os.utime(dst, (t, t))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_index_dedup(
+        stream, idx, str(tmp_path / "dec"), str(tmp_path / "ckpt_sidx"), min_est=0.5
+    )
+    q.awaitTermination()
+    out = {
+        r["doc_id"]: (r["accepted"], r["n_dups"])
+        for r in spark.read.parquet(str(tmp_path / "dec")).collect()
+    }
+    assert out[200] == (1, 0)
+    assert out[201] == (0, 1)  # matches the indexed seed
+    assert out[300] == (0, 1), "batch-2 dup of accepted batch-1 doc must be rejected"
+    assert out[301] == (0, 1), "rejected 201 must not have been indexed (n_dups would be 2)"
+    assert out[302] == (1, 0)
