@@ -1502,6 +1502,15 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(base, queries, k=5, m=4, ksub=8)
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed (the FAISS billion-scale serving shape): IVF probes
+    pick WHICH buckets are scored, PQ codes + per-query lookup tables are
+    HOW — one fused map pass, raw-vector (non-residual) coding so the
+    oracle is the composition of the two tested pieces."""
+    base, queries = _queries_vs_base(spark, sf_dir)
+    return SIM.ivfpq_topk(base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8)
+
+
 def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: persist a MinHash LSH band index over the
     'accepted corpus' (doc_id < 400), then probe the 'incoming batch'
@@ -2015,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gate in r06)
         "profile_columns": q_profile_columns,
         "streaming_index_dedup": q_streaming_index_dedup,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -3606,6 +3616,86 @@ FROM lineitem"""
         ]
     )
 
+    # IVF-PQ composition: sim_ivf_topk's bucket assignment + probe sets
+    # select the candidates; sim_pq_topk's codes + lookup tables score them.
+    o["sim_ivfpq_topk"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, centroid_id FROM assign_scored WHERE rn = 1),
+cb_src AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8)
+),
+subspaces AS (SELECT unnest(range(4)) AS m),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.v, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),
+dists AS (
+  SELECT b.vec_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(b.v, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM base b CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+probe_scored AS (
+  SELECT q.query_id, cents.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, centroid_id FROM probe_scored WHERE rn <= 2),
+qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+tables AS (
+  SELECT q.query_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS t,
+         list_sum(list_transform(c.cent, x -> x*x)) AS n2
+  FROM q CROSS JOIN cb c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+),
+scored AS (
+  SELECT cd.vec_id, cd.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
+  GROUP BY cd.vec_id, cd.query_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
+                      s.vec_id ASC) AS rnk
+  FROM scored s JOIN qn USING (query_id)
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
+FROM ranked WHERE rnk <= 5
+"""
+
     # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8
     # lowest BASE ids), same L2 assignment (ties -> lowest code), same
     # cos(q, reconstruction) score, same (score desc, vec_id asc) ranking.
@@ -3653,9 +3743,11 @@ scored AS (
   GROUP BY co.vec_id, tb.query_id
 ),
 ranked AS (
-  SELECT s.query_id, s.vec_id, s.adot / (qn.qnorm * s.rnorm) AS ac,
+  SELECT s.query_id, s.vec_id,
+         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
          row_number() OVER (PARTITION BY s.query_id
-             ORDER BY s.adot / (qn.qnorm * s.rnorm) DESC, s.vec_id ASC) AS rnk
+             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
+                      s.vec_id ASC) AS rnk
   FROM scored s JOIN qn USING (query_id)
 )
 SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,

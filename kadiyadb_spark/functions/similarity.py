@@ -747,7 +747,12 @@ def pq_topk(
             parts = []
             for j in range(nq):
                 adot = Tt[j][cols, codes].sum(axis=1)  # m lookups per vector
-                s = adot / (qnorm[j] * rnorm)
+                # Rank on the ROUNDED score: vectors sharing a code word have
+                # mathematically equal scores, but FP summation order makes
+                # them differ in the last ulp per engine — ranking raw values
+                # would bypass the id tie-break nondeterministically. Rounding
+                # first restores a total order both engines agree on.
+                s = np.floor(adot / (qnorm[j] * rnorm) * 10000 + 0.5) / 10000
                 order = np.lexsort((ids, -s))[:k]  # cos desc, id asc
                 parts.append(
                     pd.DataFrame({query_id_col: qi[j], id_col: ids[order], "_cos": s[order]})
@@ -755,6 +760,114 @@ def pq_topk(
             yield pd.concat(parts, ignore_index=True)
 
     scored = coded.mapInPandas(adc, schema=f"{query_id_col} long, {id_col} long, _cos double")
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            round4_expr(F.col("_cos")).alias("approx_cos"),
+        )
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: "str | DataFrame" = "deterministic",
+) -> DataFrame:
+    """IVF-PQ: the two approximations composed the way FAISS composes them —
+    IVF restricts WHICH vectors are scored (each query probes its ``nprobe``
+    nearest centroid buckets), PQ restricts WHAT is read to score them
+    (m codes per vector + per-query lookup tables; see pq_topk). This is
+    the standard billion-scale ANN serving index: at 100 TB the probed
+    fraction (~nprobe/C) of a ~50x-compressed code column is all a query
+    touches.
+
+    Variant note: codes quantize the RAW vector (IVFFlat+PQ), not the
+    residual v - centroid; residual coding (finer quantization per bucket,
+    codebooks shared across buckets) drops in by subtracting the assigned
+    centroid before pq encoding on both the build and table side — kept raw
+    here so the SQL oracle stays the composition of the two tested pieces.
+
+    Single fused map pass over the base table: each Arrow batch resolves
+    (a) its rows' nearest centroid (bucket), (b) their PQ codes, then per
+    query (c) masks unprobed buckets and (d) ADC-scores the survivors via
+    m table lookups, yielding batch-local top-k. Only the final
+    k x batches x |queries| ranking shuffles. A persisted deployment is
+    IVFIndex.build storing (id, codes) partitioned by centroid_id —
+    partition-pruned probes over codes, never vectors."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
+    c_ids, cn = _centroid_arrays(cents)
+    C, dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
+    qn_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qc = qn_unit @ cn.T
+    probes = np.stack(
+        [
+            np.isin(np.arange(len(c_ids)), np.lexsort((c_ids, -qc[j]))[:nprobe])
+            for j in range(len(q_ids))
+        ]
+    )  # (queries, centroids) bool
+    dsub = dim // m
+    T = np.einsum("qjd,jkd->qjk", q.reshape(len(q_ids), m, dsub), C)
+    n2 = (C**2).sum(axis=2)
+    qnorm = np.linalg.norm(q, axis=1)
+    bc = spark.sparkContext.broadcast((cn, q_ids, probes, C, T, n2, qnorm))
+
+    def score(batches):
+        import pandas as pd
+
+        cmat, qi, probe_mask, Cb, Tt, nn2, qno = bc.value
+        mm = Cb.shape[0]
+        cols = np.arange(mm)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            nearest = np.argmax(vn @ cmat.T, axis=1)  # bucket per row
+            sub = v.reshape(len(v), mm, Cb.shape[2])
+            codes = np.empty((len(v), mm), dtype=np.int64)
+            for j in range(mm):
+                d2 = ((sub[:, j, None, :] - Cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j in range(len(qi)):
+                hit = probe_mask[j][nearest]
+                if not hit.any():
+                    continue
+                adot = Tt[j][cols, codes[hit]].sum(axis=1)
+                # rounded BEFORE ranking: equal-code-word vectors tie exactly
+                # and fall through to the id tie-break (see pq_topk)
+                s = np.floor(adot / (qno[j] * rnorm[hit]) * 10000 + 0.5) / 10000
+                hids = ids[hit]
+                order = np.lexsort((hids, -s))[:k]
+                parts.append(
+                    pd.DataFrame({query_id_col: qi[j], id_col: hids[order], "_cos": s[order]})
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, _cos double"
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -916,3 +916,21 @@ def test_pq_topk_recall_vs_brute_force(spark):
         )
     # determinism: approximate scores are rounded & ranked with id tiebreak
     assert [r["rank"] for r in approx if r["query_id"] == 0] == [1, 2, 3, 4, 5]
+
+
+def test_ivfpq_topk_probes_own_cluster(spark):
+    from kadiyadb_spark.functions.similarity import ivfpq_topk
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (
+        df.filter("vec_id < 3")
+        .selectExpr("vec_id as query_id", "embedding as query_vec")
+    )
+    base = df.filter("vec_id >= 3")
+    out = ivfpq_topk(base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8).collect()
+    assert len(out) == 15
+    for r in out:
+        # IVF probing + PQ coding must both land in the query's cluster
+        assert r["vec_id"] % 4 == r["query_id"] % 4
+    assert [r["rank"] for r in out if r["query_id"] == 1] == [1, 2, 3, 4, 5]
