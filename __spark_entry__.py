@@ -1502,6 +1502,15 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(base, queries, k=5, m=4, ksub=8)
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (w ∝ p^0.5, mT5/XLM-R-style): one
+    corpus agg for per-source token shares, two broadcast scalar joins for
+    normalization; emits the boost factor a hash sampler applies."""
+    from kadiyadb_spark.functions.sampling import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed (the FAISS billion-scale serving shape): IVF probes
     pick WHICH buckets are scored, PQ codes + per-query lookup tables are
@@ -2025,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "streaming_index_dedup": q_streaming_index_dedup,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "mixture_temperature": q_mixture_temperature,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -3615,6 +3625,21 @@ FROM lineitem"""
             ("l_shipdate", "CAST(l_shipdate AS DATE)"),
         ]
     )
+
+    o["mixture_temperature"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs, sum(len({_TOKENS})) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
+wp AS (SELECT per.*, n_tokens / total AS p FROM per, tot),
+ws AS (SELECT sum(pow(p, 0.5)) AS wsum FROM wp)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(p * 10000 + 0.5) / 10000 AS p,
+       floor((pow(p, 0.5) / wsum) * 10000 + 0.5) / 10000 AS weight,
+       floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 AS boost
+FROM wp, ws
+"""
 
     # IVF-PQ composition: sim_ivf_topk's bucket assignment + probe sets
     # select the candidates; sim_pq_topk's codes + lookup tables score them.

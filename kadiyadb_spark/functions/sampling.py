@@ -170,3 +170,49 @@ def stratified_hash_sample(
         threshold = F.when(cond, val) if threshold is None else threshold.when(cond, val)
     threshold = F.lit(0) if threshold is None else threshold.otherwise(F.lit(0))
     return df.filter(bucket < threshold)
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights: w_i ∝ p_i^alpha where p_i is
+    source i's share of corpus tokens — the standard multilingual/multi-
+    source rebalancing rule (alpha=1 keeps natural proportions, alpha→0
+    approaches uniform; mT5/XLM-R train at alpha≈0.3, public literature).
+    Returns per source: n_docs, n_tokens, the natural share ``p``, the
+    temperature weight ``weight``, and ``boost`` = weight/p (the up/down-
+    sampling factor a sampler like stratified_hash_sample should apply).
+
+    Scale shape: ONE corpus-sized aggregation (token counts are computed
+    map-side inside the partial agg — the text column never shuffles, only
+    per-source partial sums), then two 1-row/handful-of-rows aggregates
+    cross-joined back via broadcast. Output is sources-count rows."""
+    from kadiyadb_spark.functions.text import tokens_expr
+
+    per = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_expr(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("_total"))
+    with_p = per.crossJoin(F.broadcast(total)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_total")
+    )
+    wsum = with_p.agg(F.sum(F.pow(F.col("_p"), F.lit(alpha))).alias("_wsum"))
+    from kadiyadb_spark.functions.num import round4_expr
+
+    return (
+        with_p.crossJoin(F.broadcast(wsum))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            round4_expr(F.col("_p")).alias("p"),
+            round4_expr(F.pow(F.col("_p"), F.lit(alpha)) / F.col("_wsum")).alias("weight"),
+            round4_expr(
+                (F.pow(F.col("_p"), F.lit(alpha)) / F.col("_wsum")) / F.col("_p")
+            ).alias("boost"),
+        )
+    )

@@ -934,3 +934,21 @@ def test_ivfpq_topk_probes_own_cluster(spark):
         # IVF probing + PQ coding must both land in the query's cluster
         assert r["vec_id"] % 4 == r["query_id"] % 4
     assert [r["rank"] for r in out if r["query_id"] == 1] == [1, 2, 3, 4, 5]
+
+
+def test_temperature_weights_math(spark):
+    from kadiyadb_spark.functions.sampling import temperature_weights
+
+    # source A: 90 tokens, source B: 10 -> p = 0.9/0.1
+    df = spark.createDataFrame(
+        [(1, "w " * 90, "A"), (2, "w " * 10, "B")], "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r.asDict() for r in temperature_weights(df, alpha=0.5).collect()}
+    import math
+
+    wa, wb = math.sqrt(0.9), math.sqrt(0.1)
+    assert abs(out["A"]["weight"] - wa / (wa + wb)) < 1e-3
+    assert abs(out["B"]["weight"] - wb / (wa + wb)) < 1e-3
+    # temperature flattens: the small source is boosted, the big one damped
+    assert out["B"]["boost"] > 1.0 > out["A"]["boost"]
+    assert abs(out["A"]["weight"] + out["B"]["weight"] - 1.0) < 2e-4

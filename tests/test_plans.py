@@ -277,3 +277,58 @@ def test_pack_chunks_is_one_shuffle(spark):
     # pure built-ins end to end: no Python-exec operator (the source scan's
     # "applySchemaToPythonRDD" is createDataFrame plumbing, not an operator)
     assert not re.search(r"\(\d+\) \w*(EvalPython|InPandas)", plan)
+
+
+def test_gopher_rules_is_map_only(spark):
+    from kadiyadb_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="the cat sat")])
+    plan = plan_str(gopher_rules(docs))
+    assert n_shuffles(plan) == 0
+
+
+def test_unigram_lm_broadcasts_frequency_table(spark):
+    from kadiyadb_spark.functions.text import unigram_lm_score
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="a b c d") for i in range(4)])
+    plan = plan_str(unigram_lm_score(docs))
+    # scoring join must be broadcast (vocab-sized), never a corpus shuffle
+    assert n_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+    # shuffles: vocab groupBy (planned twice — it feeds both the total agg
+    # and the broadcast side; both instances are VOCAB-sized), the 1-row
+    # total agg, and the doc-keyed average — the corpus-sized (doc, token)
+    # stream shuffles exactly once (the doc groupBy)
+    assert n_shuffles(plan) <= 4
+
+
+def test_profile_columns_single_scan(spark):
+    from kadiyadb_spark.functions.profile import profile_columns
+
+    df = spark.range(100).selectExpr("id as a", "cast(id % 7 as string) as b")
+    plan = plan_str(profile_columns(df, ["a", "b"]))
+    # multi-distinct census plans as ONE pass: a single Expand over one scan
+    assert plan.count("(1) Range") == 1 and "Expand" in plan
+
+
+def test_pq_topk_single_shuffle(spark):
+    from kadiyadb_spark.functions.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3), float(i % 5), 1.0, 0.5] * 16) for i in range(30)]
+    )
+    q = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding as query_vec")
+    plan = plan_str(pq_topk(emb.filter("vec_id >= 2"), q, k=3))
+    # encode + ADC are chained map passes; only the final ranking shuffles
+    assert n_shuffles(plan) == 1
+
+
+def test_ivfpq_topk_single_shuffle(spark):
+    from kadiyadb_spark.functions.similarity import ivfpq_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3), float(i % 5), 1.0, 0.5] * 16) for i in range(30)]
+    )
+    q = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding as query_vec")
+    plan = plan_str(ivfpq_topk(emb.filter("vec_id >= 2"), q, k=3, num_centroids=4, nprobe=2))
+    assert n_shuffles(plan) == 1
