@@ -1502,6 +1502,26 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(base, queries, k=5, m=4, ksub=8)
 
 
+def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-gate stack as one plan: Gopher + repetition gates are
+    applied MAP-SIDE as filter expressions (gopher_pass_expr /
+    dup_token_frac_expr — no metrics-frame join), then the unigram LM is
+    trained on the SURVIVORS and the per-source report groups directly
+    through carry_cols — zero joins back against the corpus. Thresholds
+    are relaxed vs the paper's (fixture docs are synthetic word soup with
+    ~1 stopword): min_tokens=30, min_stopword_hits=1, dup_frac<=0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = TX.gopher_pass_expr(
+        F.col("text"), min_tokens=30, min_stopword_hits=1
+    ) & (TX.dup_token_frac_expr(F.col("text")) <= F.lit(0.8))
+    scored = TX.unigram_lm_score(docs.filter(gate), carry_cols=["source"])
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        round4_expr(F.avg("perplexity")).alias("avg_ppl"),
+    )
+
+
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (w ∝ p^0.5, mT5/XLM-R-style): one
     corpus agg for per-source token shares, two broadcast scalar joins for
@@ -2035,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_dedup": q_streaming_index_dedup,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "mixture_temperature": q_mixture_temperature,
+        "pipeline_quality": q_pipeline_quality,
         # -- code changed in r05: manifest-committed database (expire,
         #    streaming ingest/agg, catalog), map-side densify (all fetch),
         #    event-time sessionize, converted-ts filters (track paths) --
@@ -3625,6 +3646,47 @@ FROM lineitem"""
             ("l_shipdate", "CAST(l_shipdate AS DATE)"),
         ]
     )
+
+    o["pipeline_quality"] = f"""
+WITH t0 AS (SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, toks,
+         len(toks) AS n,
+         greatest(len(toks), 1)::DOUBLE AS n_d,
+         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS dupfrac
+  FROM t0
+),
+surv AS (
+  SELECT doc_id, source, toks FROM m
+  WHERE n >= 30 AND n <= 100000
+    AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
+    AND n_symbols / n_d <= 0.1
+    AND n_alpha / n_d >= 0.80
+    AND stop_hits >= 1
+    AND dupfrac <= 0.8
+),
+tok AS (SELECT doc_id, source, unnest(toks) AS token FROM surv),
+f AS (SELECT token, count(*)::DOUBLE AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM f),
+lp AS (SELECT token, ln(cnt / total) AS logp FROM f, tot),
+d AS (
+  SELECT tok.doc_id, tok.source, count(*) AS n_tokens, avg(-lp.logp) AS ce
+  FROM tok JOIN lp USING (token) GROUP BY tok.doc_id, tok.source
+),
+dr AS (SELECT source, n_tokens, floor(exp(ce) * 10000 + 0.5) / 10000 AS ppl FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       floor(avg(ppl) * 10000 + 0.5) / 10000 AS avg_ppl
+FROM dr GROUP BY source
+"""
 
     o["mixture_temperature"] = f"""
 WITH per AS (

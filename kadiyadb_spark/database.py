@@ -583,6 +583,47 @@ class Database:
         vacuumed = self.vacuum() if vacuum_orphans else []
         return {"expired": expired, "compacted": compacted, "vacuumed": vacuumed}
 
+    def fsck(self) -> dict:
+        """Integrity census of the manifest-committed store — the check a
+        deployment runs after an incident (partial restore, manual surgery,
+        suspected bit-rot of metadata):
+
+        - ``missing``: segment refs named by a RETAINED manifest whose
+          directory does not exist — readers WILL fail on these epochs;
+          restore the segment or roll back to a generation that predates it.
+        - ``orphans``: staged segment leaf dirs no retained manifest
+          references — crash leftovers; space, not correctness
+          (``vacuum()`` removes them).
+        - ``gens``: retained generations, ``current`` the newest.
+
+        Pure metadata: a handful of tiny JSON reads + one listing of the
+        segs tree — no data files are opened, so it is safe to run on a
+        100 TB cube (the listing is one LIST per segment dir on an object
+        store; run it as maintenance, not per query). Never mutates."""
+        names = self._manifest_names()
+        live = self._live_refs()
+        missing = sorted(
+            ref for ref in live if not self.fs.exists(HadoopFS.join(self.cube_path, ref))
+        )
+        orphans: list[str] = []
+        segs_root = HadoopFS.join(self.cube_path, "segs")
+        for seg in self.fs.listdir(segs_root):
+            seg_path = HadoopFS.join(segs_root, seg)
+            leaves = [c for c in self.fs.listdir(seg_path) if c.startswith("epoch_p=")]
+            if not leaves and f"segs/{seg}" not in {r.rsplit("/", 1)[0] for r in live}:
+                orphans.append(f"segs/{seg}")
+            for child in leaves:
+                rel = f"segs/{seg}/{child}"
+                if rel not in live:
+                    orphans.append(rel)
+        return {
+            "gens": self.generations(),
+            "current": int(self._manifest()["gen"]) if names else -1,
+            "missing": missing,
+            "orphans": sorted(orphans),
+            "ok": not missing,
+        }
+
     # -- O12 Sync ------------------------------------------------------------
     def sync(self) -> None:
         """No-op: segment parquet writes are durable on close and visible

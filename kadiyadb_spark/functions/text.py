@@ -265,6 +265,54 @@ def repetition_score(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def gopher_pass_expr(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher verdict as ONE boolean column expression — usable directly
+    in a filter() so a pipeline gates map-side with no join against a
+    metrics frame (gopher_rules reports the per-metric breakdown; this is
+    the decision alone)."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    n_d = F.greatest(n, F.lit(1)).cast("double")
+    avg_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d
+    symbol_ratio = (
+        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("double") / n_d
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_d
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (avg_len >= min_avg_len)
+        & (avg_len <= max_avg_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+
+
+def dup_token_frac_expr(text: Column) -> Column:
+    """Duplicate-token fraction (repetition_score's first metric) as a bare
+    expression for map-side gating."""
+    toks = tokens_expr(text)
+    return F.when(
+        F.size(toks) > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -305,14 +353,15 @@ def gopher_rules(
             F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
         )
     )
-    passes = (
-        (n >= min_tokens)
-        & (n <= max_tokens)
-        & (avg_len >= min_avg_len)
-        & (avg_len <= max_avg_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (stop_hits >= min_stopword_hits)
+    passes = gopher_pass_expr(
+        text,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_avg_len=min_avg_len,
+        max_avg_len=max_avg_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopword_hits=min_stopword_hits,
     )
     return df.select(
         F.col(id_col),
@@ -326,7 +375,10 @@ def gopher_rules(
 
 
 def unigram_lm_score(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Corpus-trained unigram language-model scoring: per-document
     cross-entropy (nats/token) and perplexity under the corpus's own
@@ -342,9 +394,14 @@ def unigram_lm_score(
     broadcasts the frequency table (vocab-sized — tens of MB for a 100 TB
     corpus under Zipf, far under executor memory; spill to a shuffle join
     only if a tokenizer explosion breaks Zipf). Final doc-keyed groupBy is
-    the only corpus-sized shuffle."""
+    the only corpus-sized shuffle.
+
+    ``carry_cols``: doc-level columns (e.g. source) carried through the
+    explode into the grouping keys, so downstream per-group reports need
+    no join back against the corpus."""
+    carry = list(carry_cols or [])
     toks = docs.select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+        F.col(id_col), *carry, F.explode(tokens_expr(F.col(text_col))).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count("*").cast("double").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
@@ -353,13 +410,14 @@ def unigram_lm_score(
     )
     return (
         toks.join(F.broadcast(logp), "token")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.avg(-F.col("logp")).alias("_ce"),
         )
         .select(
             F.col(id_col),
+            *carry,
             "n_tokens",
             round4_expr(F.col("_ce")).alias("cross_entropy"),
             round4_expr(F.exp(F.col("_ce"))).alias("perplexity"),

@@ -363,3 +363,34 @@ def test_maintain_runs_expire_compact_vacuum_in_order(spark, tmp_path):
     out2 = db.maintain(now_ts=22, max_files_per_epoch=1)
     assert out2["compacted"] == [10]
     assert len(_refs(db, 10)) == 1
+
+
+def test_fsck_reports_missing_and_orphans(spark, tmp_path):
+    from kadiyadb_spark.fs import HadoopFS
+
+    db = Database.open(
+        spark,
+        str(tmp_path / "db_fsck"),
+        Params(duration=5, resolution=1, retention=100, fields=("x",)),
+    )
+    db.track(
+        spark.createDataFrame([Row(ts=t, x="a", v=1.0) for t in (0, 7)]), total_col="v"
+    )
+    rep = db.fsck()
+    assert rep["ok"] and rep["missing"] == [] and rep["orphans"] == []
+    assert rep["current"] == rep["gens"][-1]
+
+    # orphan: a staged segment dir no manifest references (crashed write)
+    fs = HadoopFS(spark, db.cube_path)
+    fs.mkdirs(HadoopFS.join(db.cube_path, "segs", "seg-deadbeef", "epoch_p=0"))
+    rep = db.fsck()
+    assert rep["ok"] and any("seg-deadbeef" in o for o in rep["orphans"])
+    db.vacuum()
+    rep = db.fsck()
+    assert rep["orphans"] == []
+
+    # missing: a referenced leaf dir deleted out from under the manifest
+    ref = db._segment_paths(db._manifest())[0]
+    fs.delete(ref)
+    rep = db.fsck()
+    assert not rep["ok"] and len(rep["missing"]) == 1
