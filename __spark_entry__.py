@@ -1429,7 +1429,7 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from kadiyadb_spark.streaming.ingest import stream_index_dedup
+    from kadiyadb_spark.streaming.ingest import read_decisions, stream_index_dedup
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sidx_")
@@ -1455,7 +1455,9 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = stream_index_dedup(stream, idx, f"{tmp}/decisions", f"{tmp}/ckpt", min_est=0.5)
     q.awaitTermination()
-    return spark.read.parquet(f"{tmp}/decisions")
+    # committed (manifest-resolved) view: staged-but-uncommitted segments
+    # from a crashed batch would be invisible here — exactly-once audit
+    return read_decisions(spark, f"{tmp}/decisions")
 
 
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,8 +1729,18 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # Persisted: feeds the minhash shingle table, the representative join
     # AND the quality scorer — without it the content-hash dedup (scan +
-    # md5 groupBy + join) re-runs three times.
-    survivors = D.dedup_exact(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # md5 groupBy + join) re-runs three times. The explicit repartition
+    # matters: at tiny SF, AQE coalesces the dedup groupBy's output to ONE
+    # post-shuffle partition, and persisting that serializes the whole
+    # shingle/minhash stage onto one core (measured 26 s vs 3 s at sf0.1).
+    # An explicit numPartitions pins the exchange (AQE honors it), so the
+    # persisted frame materializes wide; at real scale the dedup output is
+    # already wide and this is a cheap no-op-sized shuffle of survivors.
+    survivors = (
+        D.dedup_exact(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = D.minhash_near_duplicates(
         survivors, num_hashes=8, bands=4, shingle_k=8, threshold=0.1
     )
@@ -1749,7 +1761,16 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            round4_expr(F.avg("quality")).alias("avg_quality"),
+            # ORDER-INDEPENDENT average: qualities are 4dp-rounded, so the
+            # 1e4-scaled values are integers; summing them as longs is exact
+            # and immune to partition-order FP drift (a plain avg() flipped
+            # the 4th decimal when the survivors repartition changed the
+            # reduce order). One division at the end, then round4 — the
+            # oracle mirrors the same formula.
+            round4_expr(
+                F.sum(F.round(F.col("quality") * 1e4).cast("long"))
+                / (F.lit(1e4) * F.count(F.lit(1)))
+            ).alias("avg_quality"),
         )
     )
 
@@ -1984,16 +2005,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # an oracle-gated row at least every TWO rounds, and
     # scripts/check_oracle.py is run over ALL entries locally each round as
     # the safety net for whatever the cap skips (log kept in ORACLE_LOCAL.md).
-    # Rotation history: r02 gated the relational/core block; r03 led with the
-    # text/dedup/similarity/multimodal block r02's cap missed; r04 led with
-    # the 26 relational entries r03's cap skipped plus the ts-boundary
-    # re-gates; r05 (this one) leads with the 31 entries r04's cap skipped —
-    # so the union of r04+r05 driver rows covers every entry — plus the NEW
-    # dedup_index_add and the entries whose code this round touched (manifest
-    # database, map-side densify fetch, event-time sessionize, centroid
-    # resolver, converted-ts filters).
+    # Rotation history: r02 relational/core; r03 text/dedup/sim/multimodal;
+    # r04 the relational entries r03 skipped; r05 the 31 entries r04 skipped
+    # plus new operators (r04 union r05 covered 100/105); r06 (this one)
+    # leads with the 5 entries never driver-gated before, then the full
+    # r04-gated block whose two-round re-gate is due (5 trivial due entries
+    # deferred to r07 — see comment inside the dict).
     return {
-        # -- ungated in r04 (cap): tpch tail + text/dedup/sim/multimodal --
+        # -- r06 gate (first 50): the 5 never-driver-gated entries lead, per
+        #    VERDICT r05 item 1, followed by every entry whose last driver
+        #    gate was r04 (the two-round rotation contract). 55 entries were
+        #    due vs the 50-entry cap; the 5 deferred to lead r07 are trivial
+        #    map-only r04-green entries with untouched code (string_funcs,
+        #    set_ops, array_collect, explode_tokens, date_extract) — all
+        #    covered by this round's all-105 local oracle run (ORACLE_LOCAL.md).
+        # never driver-gated before r06:
+        "profile_columns": q_profile_columns,
+        "streaming_index_dedup": q_streaming_index_dedup,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "mixture_temperature": q_mixture_temperature,
+        "pipeline_quality": q_pipeline_quality,
+        # last gated r04:
+        "asof_join": q_asof_join,
+        "catalog_load": q_catalog_load,
+        "correlated_subquery": q_correlated_subquery,
+        "csv_source_agg": q_csv_source_agg,
+        "cube_grouping": q_cube_grouping,
+        "dedup_index_query": q_dedup_index_query,
+        "exists_subquery": q_exists_subquery,
+        "expire_retention": q_expire_retention,
+        "fetch_boundary": q_fetch_boundary,
+        "fetch_exact": q_fetch_exact,
+        "fetch_rollup_prefix": q_fetch_rollup_prefix,
+        "fetch_wildcard": q_fetch_wildcard,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "json_extract": q_json_extract,
+        "json_source_agg": q_json_source_agg,
+        "mixture_sample": q_mixture_sample,
+        "null_semantics": q_null_semantics,
+        "percentiles": q_percentiles,
+        "pii_redact": q_pii_redact,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_selective_scan": q6_selective_scan,
+        "q7_nation_volume": q7_nation_volume,
+        "range_join_counts": q_range_join_counts,
+        "rollup_read_equivalence": q_rollup_read_equivalence,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "streaming_agg": q_streaming_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_ingest": q_streaming_ingest,
+        "streaming_sessionize": q_streaming_sessionize,
+        "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
+        "topk_per_group": q_topk_per_group,
+        "track_cube": q_track_cube,
+        "window_daily_running": q_window_daily_running,
+        "window_frames": q_window_frames,
+        "zorder_layout": q_zorder_layout,
+        # ---- 50-entry gate cap lands here ----
+        # -- deferred due entries (lead the r07 gate): --
+        "string_funcs": q_string_funcs,
+        "set_ops": q_set_ops,
+        "array_collect": q_array_collect,
+        "explode_tokens": q_explode_tokens,
+        "date_extract": q_date_extract,
+        # -- gated green in r05: --
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -2025,12 +2110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        # -- NEW in r05 (never gated): must sit inside the 50-entry cap --
         "dedup_index_add": q_dedup_index_add,
         "sim_ivf_add": q_sim_ivf_add,
         "streaming_agg_append": q_streaming_agg_append,
         "text_span_dedup": q_text_span_dedup,
-        # new this round — INSIDE the driver's 50-entry gate cap
         "bucketed_join": q_bucketed_join,
         "pack_sequences": q_pack_sequences,
         "corpus_shuffle": q_corpus_shuffle,
@@ -2043,74 +2126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q22_waiting_customers": q22_waiting_customers,
-        # new in r05 second half — INSIDE the cap (never gated before);
-        # the displaced track_cube/fetch_* re-gates were r04-gated green
-        # and keep local-oracle coverage (ORACLE_LOCAL.md)
         "quality_gopher": q_quality_gopher,
         "unigram_lm": q_unigram_lm,
         "sim_pq_topk": q_sim_pq_topk,
-        # 51st+: past the cap this round (local-oracle covered; rotate into
-        # the gate in r06)
-        "profile_columns": q_profile_columns,
-        "streaming_index_dedup": q_streaming_index_dedup,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "mixture_temperature": q_mixture_temperature,
-        "pipeline_quality": q_pipeline_quality,
-        # -- code changed in r05: manifest-committed database (expire,
-        #    streaming ingest/agg, catalog), map-side densify (all fetch),
-        #    event-time sessionize, converted-ts filters (track paths) --
-        "track_cube": q_track_cube,
-        "fetch_exact": q_fetch_exact,
-        "fetch_wildcard": q_fetch_wildcard,
-        "fetch_rollup_prefix": q_fetch_rollup_prefix,
-        "fetch_boundary": q_fetch_boundary,
-        "rollup_read_equivalence": q_rollup_read_equivalence,
-        "streaming_ingest": q_streaming_ingest,
-        "streaming_agg": q_streaming_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "expire_retention": q_expire_retention,
-        "catalog_load": q_catalog_load,
-        "dedup_index_query": q_dedup_index_query,
-        "text_repetition": q_text_repetition,
-        "text_decontaminate": q_text_decontaminate,
-        "mixture_sample": q_mixture_sample,
-        "pii_redact": q_pii_redact,
-        # ---- 50-entry gate cap lands here ----
-        # -- gated green in r04, code untouched this round --
-        "q1_pricing_summary": q1_pricing_summary,
-        "asof_join": q_asof_join,
-        "json_extract": q_json_extract,
-        "sessionize": q_sessionize,
-        "percentiles": q_percentiles,
-        "date_extract": q_date_extract,
-        "topk_per_group": q_topk_per_group,
-        "null_semantics": q_null_semantics,
-        "q6_selective_scan": q6_selective_scan,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive": q19_disjunctive,
-        "q7_nation_volume": q7_nation_volume,
-        "q10_returned_items": q10_returned_items,
-        "correlated_subquery": q_correlated_subquery,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        "exists_subquery": q_exists_subquery,
-        "cube_grouping": q_cube_grouping,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "window_frames": q_window_frames,
-        "explode_tokens": q_explode_tokens,
-        "array_collect": q_array_collect,
-        "string_funcs": q_string_funcs,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "json_source_agg": q_json_source_agg,
-        "csv_source_agg": q_csv_source_agg,
-        "set_ops": q_set_ops,
-        "window_daily_running": q_window_daily_running,
-        "range_join_counts": q_range_join_counts,
-        "zorder_layout": q_zorder_layout,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "semi_join": q_semi_join,
+
     }
 
 
@@ -3323,7 +3342,7 @@ final AS (
   WHERE q.quality >= 0.5
 )
 SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       floor((avg(quality)) * 10000 + 0.5) / 10000 AS avg_quality
+       floor((sum(CAST(round(quality * 10000) AS BIGINT)) / (10000.0 * count(*))) * 10000 + 0.5) / 10000 AS avg_quality
 FROM final GROUP BY source
 """
 

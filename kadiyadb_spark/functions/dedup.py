@@ -588,11 +588,17 @@ class MinHashIndex:
     where each incoming batch must be checked against everything already
     accepted. This index materializes the corpus side once:
 
-      <path>/banded/   one row per (doc, band): band_idx, band_key,
-                       signature — parquet PARTITIONED BY band_idx,
-                       repartitioned by band key so each bucket's rows
-                       cluster into few files (same small-files reasoning
-                       as IVFIndex.build)
+      <path>/banded-g<N>/      one row per (doc, band): band_idx, band_key,
+                               signature — parquet PARTITIONED BY band_idx,
+                               repartitioned by band key so each bucket's
+                               rows cluster into few files (same small-files
+                               reasoning as IVFIndex.build)
+      <path>/manifest-*.json   generation manifest naming the LIVE data dir
+                               (manifest.GenLog); compaction swaps the
+                               pointer atomically, so a crash or a
+                               concurrent reader mid-compact always sees a
+                               complete index — never the empty window a
+                               delete-then-rename swap has
 
     ``query(new_docs)`` computes the batch's signatures map-side, BROADCASTS
     its banded form (a batch is small by definition; the corpus is not),
@@ -640,6 +646,10 @@ class MinHashIndex:
         rows_per_band = num_hashes // bands
         sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k)
         banded = banded_signatures(sigs, id_col, bands, rows_per_band, keep_signature=True)
+        idx = MinHashIndex(docs.sparkSession, path, id_col, num_hashes, bands, shingle_k)
+        log = idx._log()
+        m = log.read()
+        live = f"banded-g{m['gen'] + 1:06d}"
         # Repartition by the full bucket key WITHOUT pinning a partition
         # count: band_key cardinality scales with the corpus, so the default
         # parallelism (AQE-coalesced when small) gives corpus-proportional
@@ -650,12 +660,36 @@ class MinHashIndex:
             banded.repartition("band_idx", "band_key")
             .write.mode("overwrite")
             .partitionBy("band_idx")
-            .parquet(f"{path}/banded")
+            .parquet(f"{path}/{live}")
         )
-        return MinHashIndex(docs.sparkSession, path, id_col, num_hashes, bands, shingle_k)
+        log.commit({"live": live}, m["gen"])
+        idx._gc_data_dirs(keep=live)
+        return idx
+
+    def _log(self):
+        from kadiyadb_spark.manifest import GenLog
+
+        return GenLog(self.spark, self.path)
+
+    def _live(self) -> str:
+        m = self._log().read()
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
+        return f"{self.path}/{m['live']}"
+
+    def _gc_data_dirs(self, keep: str) -> None:
+        """Delete superseded ``banded-g*`` dirs (orphans from compaction
+        swaps or crashed staged writes). Safe because nothing references
+        them once the manifest points at ``keep``."""
+        from kadiyadb_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.path)
+        for name in fs.listdir(self.path):
+            if name.startswith("banded") and name != keep:
+                fs.delete(HadoopFS.join(self.path, name))
 
     def banded(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/banded")
+        return self.spark.read.parquet(self._live())
 
     def add(
         self,
@@ -673,36 +707,57 @@ class MinHashIndex:
         bucket accumulates small files that ``compact`` folds back to
         cluster-per-bucket layout. Re-adding a doc_id is harmless for
         correctness: duplicate index rows collapse in query's candidate
-        ``distinct``."""
+        ``distinct``, and ``compact`` drops the duplicate rows physically,
+        so a crash-loop replay cannot grow the index monotonically."""
+        self.add_banded(self.banded_of(accepted_docs, text_col))
+
+    def banded_of(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """The banded-signature form of ``docs`` under THIS index's
+        parameters — the frame ``query``/``add`` consume. Exposed so a
+        caller that both probes and ingests one batch (the streaming gate)
+        can compute signatures ONCE, persist, and feed both paths instead
+        of re-shingling the text per call."""
         rows_per_band = self.num_hashes // self.bands
-        sigs = minhash_signature(accepted_docs, text_col, self.id_col, self.num_hashes, self.shingle_k)
-        banded = banded_signatures(sigs, self.id_col, self.bands, rows_per_band, keep_signature=True)
+        sigs = minhash_signature(docs, text_col, self.id_col, self.num_hashes, self.shingle_k)
+        return banded_signatures(sigs, self.id_col, self.bands, rows_per_band, keep_signature=True)
+
+    def add_banded(self, banded: DataFrame) -> None:
+        """``add`` from an already-banded frame (see ``banded_of``)."""
         (
             banded.repartition("band_idx", "band_key")
             .write.mode("append")
             .partitionBy("band_idx")
-            .parquet(f"{self.path}/banded")
+            .parquet(self._live())
         )
 
     def compact(self) -> None:
         """Fold the appended batches: rewrite the banded index clustered by
         (band_idx, band_key) so each bucket's rows sit in few files again
-        (the SSTable-merge role; ``add`` is the memtable flush). Staged
-        write + swap via the Hadoop FS API — runs on object stores; the
-        swap is a maintenance op under the single-writer assumption."""
-        from kadiyadb_spark.fs import HadoopFS
+        (the SSTable-merge role; ``add`` is the memtable flush), dropping
+        exact-duplicate rows (re-adds of the same doc under crash-replay —
+        full-row distinct, so only true duplicates collapse: a re-ingested
+        doc whose text changed hashes to different rows and keeps both).
 
-        fs = HadoopFS(self.spark, self.path)
-        tmp = f"{self.path}/banded_compacting"
+        Commit is the generation swap: stage ``banded-g<N+1>``, atomically
+        publish a manifest pointing at it, then GC the old dir — a crash
+        anywhere leaves the previous generation fully readable (the old
+        delete-then-rename swap had a window with NO index). Single-writer
+        maintenance op; a reader that resolved the old manifest must finish
+        its scan before the GC, same caveat as Database._gc."""
+        log = self._log()
+        m = log.read()
+        live = self._live()
+        new = f"banded-g{m['gen'] + 1:06d}"
         (
-            self.banded()
+            self.spark.read.parquet(live)
+            .distinct()
             .repartition("band_idx", "band_key")
             .write.mode("overwrite")
             .partitionBy("band_idx")
-            .parquet(tmp)
+            .parquet(f"{self.path}/{new}")
         )
-        fs.delete(f"{self.path}/banded")
-        fs.rename(tmp, f"{self.path}/banded")
+        log.commit({"live": new}, m["gen"])
+        self._gc_data_dirs(keep=new)
 
     def query(
         self,
@@ -713,11 +768,11 @@ class MinHashIndex:
         """Near-duplicates of ``new_docs`` against the INDEXED corpus:
         (new_id, index_id, est_jaccard), est >= min_est. New-batch ids may
         overlap index ids (re-ingest); self-pairs are excluded."""
-        rows_per_band = self.num_hashes // self.bands
-        nsigs = minhash_signature(new_docs, text_col, self.id_col, self.num_hashes, self.shingle_k)
-        nbanded = banded_signatures(
-            nsigs, self.id_col, self.bands, rows_per_band, keep_signature=True
-        ).select(
+        return self.query_banded(self.banded_of(new_docs, text_col), min_est)
+
+    def query_banded(self, new_banded: DataFrame, min_est: float = 0.5) -> DataFrame:
+        """``query`` from an already-banded batch frame (see ``banded_of``)."""
+        nbanded = new_banded.select(
             F.col(self.id_col).alias("new_id"),
             "band_idx",
             "band_key",

@@ -223,9 +223,14 @@ class IVFIndex:
     (the reference analog: kadiyadb builds its field index once on open, not
     per Fetch — index/index.go:26-65). This class materializes the index:
 
-      <path>/centroids/   C rows (centroid_id, centroid_vec)
-      <path>/assigned/    base table + centroid_id, parquet PARTITIONED BY
-                          centroid_id
+      <path>/centroids/        C rows (centroid_id, centroid_vec)
+      <path>/assigned-g<N>/    base table + centroid_id, parquet
+                               PARTITIONED BY centroid_id
+      <path>/manifest-*.json   generation manifest naming the live
+                               assignment dir (manifest.GenLog) — compaction
+                               swaps the pointer atomically instead of the
+                               old delete-then-rename, which had a crash
+                               window exposing NO index
 
     A search probes ``nprobe`` buckets per query and reads ONLY those
     partition directories (Spark prunes on the centroid_id filter — verify
@@ -261,11 +266,39 @@ class IVFIndex:
         spark = emb.sparkSession
         cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        idx = IVFIndex(spark, path, id_col, vec_col)
+        log = idx._log()
+        m = log.read()
+        live = f"assigned-g{m['gen'] + 1:06d}"
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         assigned.repartition(num_centroids, "centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
-        ).parquet(f"{path}/assigned")
-        return IVFIndex(spark, path, id_col, vec_col)
+        ).parquet(f"{path}/{live}")
+        log.commit({"live": live}, m["gen"])
+        idx._gc_data_dirs(keep=live)
+        return idx
+
+    def _log(self):
+        from kadiyadb_spark.manifest import GenLog
+
+        return GenLog(self.spark, self.path)
+
+    def _live(self) -> str:
+        m = self._log().read()
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
+        return f"{self.path}/{m['live']}"
+
+    def _gc_data_dirs(self, keep: str) -> None:
+        from kadiyadb_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.path)
+        for name in fs.listdir(self.path):
+            if name.startswith("assigned") and name != keep:
+                fs.delete(HadoopFS.join(self.path, name))
+
+    def assigned(self) -> DataFrame:
+        return self.spark.read.parquet(self._live())
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/centroids")
@@ -288,28 +321,33 @@ class IVFIndex:
             assigned.repartition(int(n), "centroid_id")
             .write.mode("append")
             .partitionBy("centroid_id")
-            .parquet(f"{self.path}/assigned")
+            .parquet(self._live())
         )
 
     def compact(self) -> None:
         """Fold appended batches: rewrite the assignment table clustered by
         centroid_id so each bucket is few large files again (per-file open
-        cost dominates probed scans otherwise). Staged write + Hadoop-FS
-        swap — object-store safe, single-writer maintenance op."""
-        from kadiyadb_spark.fs import HadoopFS
-
-        fs = HadoopFS(self.spark, self.path)
-        tmp = f"{self.path}/assigned_compacting"
-        df = self.spark.read.parquet(f"{self.path}/assigned")
+        cost dominates probed scans otherwise), dropping exact-duplicate
+        rows (crash-replayed ``add`` batches). Commit = stage the next
+        ``assigned-g<N+1>`` dir, atomically publish the manifest pointing
+        at it, GC the old dir — the previous generation stays fully
+        readable through any crash (the old delete-then-rename swap had a
+        no-index window). Single-writer maintenance op."""
+        log = self._log()
+        m = log.read()
+        live = self._live()
+        new = f"assigned-g{m['gen'] + 1:06d}"
         n = self.centroids().count()
         (
-            df.repartition(int(n), "centroid_id")
+            self.spark.read.parquet(live)
+            .distinct()
+            .repartition(int(n), "centroid_id")
             .write.mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(tmp)
+            .parquet(f"{self.path}/{new}")
         )
-        fs.delete(f"{self.path}/assigned")
-        fs.rename(tmp, f"{self.path}/assigned")
+        log.commit({"live": new}, m["gen"])
+        self._gc_data_dirs(keep=new)
 
     def search(
         self,
@@ -334,7 +372,7 @@ class IVFIndex:
         probe_sets = [set(int(c) for c in p) for p in probed]
         bc = self.spark.sparkContext.broadcast((q_ids, qn, probe_sets))
 
-        scan = self.spark.read.parquet(f"{self.path}/assigned").filter(
+        scan = self.assigned().filter(
             F.col("centroid_id").isin(union_ids)  # -> PartitionFilters: bucket dirs only
         )
         id_col, vec_col = self.id_col, self.vec_col

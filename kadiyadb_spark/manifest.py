@@ -1,0 +1,77 @@
+"""Generation-manifest protocol for index/side-table storage.
+
+The same commit primitive ``Database`` uses for the cube (database.py:
+_commit_manifest) factored for the auxiliary stores that previously relied
+on directory renames: the LSH/IVF index live-directory pointer and the
+streaming decisions log. A store directory holds
+
+    <dir>/manifest-<gen 12-digit>.json     -- the committed states
+    <dir>/<data dirs / segment dirs>       -- invisible until referenced
+
+and the LATEST manifest (lexical max == numeric max on zero-padded names)
+is the truth. Commit = atomic create of the next generation file
+(write-to-temp + rename-to-fresh-name; atomic on HDFS/POSIX, all-or-nothing
+per object on S3A for these byte-sized files — fs.py module doc). A crash
+at ANY point leaves either the previous generation fully readable or the
+new one — never a half-state: staged data directories are pure orphans
+until a manifest names them.
+
+This is deliberately a dumb string->json keyed log: each store decides its
+own manifest fields (``live`` data-dir for indexes; ``segments``/``hwm``
+for the decisions log).
+
+Reference parity: the reference's index persists via snapshot files +
+logfile replay (index/index.go:66-125); the generation manifest is that
+durability contract on object-store semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from kadiyadb_spark.fs import HadoopFS
+
+_PREFIX = "manifest-"
+
+
+class GenLog:
+    """Latest-generation-wins manifest log over one directory."""
+
+    def __init__(self, spark, path: str, keep: int = 3):
+        self.fs = HadoopFS(spark, path)
+        self.path = path
+        self.keep = keep
+
+    def _names(self) -> list[str]:
+        return sorted(
+            f
+            for f in self.fs.list_files(self.path, suffix=".json")
+            if f.startswith(_PREFIX)
+        )
+
+    def read(self) -> dict[str, Any]:
+        """Latest committed manifest; ``{"gen": -1}`` when none exists."""
+        names = self._names()
+        if not names:
+            return {"gen": -1}
+        return self.fs.read_json(HadoopFS.join(self.path, names[-1]))
+
+    def commit(self, m: dict[str, Any], prev_gen: int) -> int:
+        """Atomically publish generation ``prev_gen + 1``; returns it.
+
+        Raises on a lost commit race (the generation file already exists) —
+        single-writer is the maintenance assumption, so a race means two
+        writers and silent last-wins would corrupt either's view."""
+        gen = prev_gen + 1
+        m = dict(m)
+        m["gen"] = gen
+        self.fs.mkdirs(self.path)
+        name = f"{_PREFIX}{gen:012d}.json"
+        if not self.fs.write_json_atomic(HadoopFS.join(self.path, name), m):
+            raise RuntimeError(
+                f"manifest generation {gen} already exists in {self.path} "
+                "(concurrent writer?)"
+            )
+        for old in self._names()[: -self.keep]:
+            self.fs.delete(HadoopFS.join(self.path, old))
+        return gen

@@ -263,49 +263,92 @@ def stream_index_dedup(
     micro-batch are NOT checked against each other (they carry no order);
     run the batch near-dup sweep inside the batch first if that matters.
 
-    Scale shape per batch: the batch's banded signatures broadcast against
-    the partitioned index scan (MinHashIndex.query), the accepted rows
-    append into the touched band partitions (MinHashIndex.add — LSM, cost
-    proportional to the batch), and the decisions append as plain parquet.
-    Replay caveat, stated honestly: a crashed-and-replayed batch re-appends
-    its decision rows and index rows; index duplicates are harmless
-    (query's candidate distinct collapses them) but the decisions sink is
-    at-least-once — route decisions through Database.commit_cube_batch-
-    style manifest commits (or a txn sink) where exactly-once reporting
-    matters. Periodically ``index.compact()`` to fold the appended files.
+    Scale shape per batch: the batch's banded signatures are computed ONCE
+    and persisted (``MinHashIndex.banded_of``) — they feed both the probe
+    (broadcast against the partitioned index scan, ``query_banded``) and
+    the accepted-survivor ingest (``add_banded`` — LSM append into touched
+    band partitions, cost proportional to the batch). The text is shingled
+    exactly once per batch.
+
+    EXACTLY-ONCE decisions: the decisions dir is a manifest-committed
+    segment log (manifest.GenLog — the same atomic-generation protocol as
+    Database.commit_cube_batch). Each batch stages its decision rows as an
+    invisible segment, then one atomic manifest swap publishes the segment
+    ref AND the batch high-water mark together — a replayed batch is a
+    no-op, and ``read_decisions`` resolves only committed segments, so the
+    audit record can never double-count. The index feedback is tracked by a
+    SECOND mark (``add_hwm``) committed after the add: a crash between the
+    two replays the add from the COMMITTED decisions (deterministic
+    accepted set), so the index is at-least-once — duplicate index rows are
+    harmless (query's candidate distinct; compact drops them physically) —
+    while the decisions stay exactly-once. Periodically ``index.compact()``
+    to fold the appended files.
     """
     from pyspark.sql import functions as F
 
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+
+    def _decisions_of(banded_batch: DataFrame, ids: DataFrame) -> DataFrame:
+        matches = index.query_banded(banded_batch, min_est=min_est)
+        per_doc = matches.groupBy("new_id").agg(
+            F.count("*").cast("long").alias("n_dups")
+        )
+        return (
+            ids.join(per_doc, F.col(id_col) == F.col("new_id"), "left")
+            .select(
+                id_col,
+                F.when(F.col("n_dups").isNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("accepted"),
+                F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            )
+        )
+
     def _gate(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.persist()
+        spark = batch.sparkSession
+        log = GenLog(spark, decisions_dir)
+        m = log.read()
+        hwm = int(m.get("hwm", -1))
+        add_hwm = int(m.get("add_hwm", -1))
+        if batch_id <= add_hwm:
+            return  # fully applied: replay is a no-op
+        banded = index.banded_of(batch, text_col=text_col).persist()
         try:
-            matches = index.query(batch, text_col=text_col, min_est=min_est)
-            per_doc = matches.groupBy("new_id").agg(
-                F.count("*").cast("long").alias("n_dups")
-            )
-            decisions = (
-                batch.select(id_col)
-                .join(per_doc, F.col(id_col) == F.col("new_id"), "left")
-                .select(
-                    id_col,
-                    F.when(F.col("n_dups").isNull(), F.lit(1))
-                    .otherwise(F.lit(0))
-                    .cast("long")
-                    .alias("accepted"),
-                    F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            if batch_id <= hwm:
+                # decisions committed, index feedback not marked: re-derive
+                # the accepted set from the COMMITTED segment (deterministic
+                # — NOT from a re-probe, which would now see this batch's
+                # own rows in the index) and finish the add.
+                ref = next(s["ref"] for s in m.get("segments", []) if s["batch"] == batch_id)
+                decided = spark.read.parquet(HadoopFS.join(decisions_dir, ref))
+            else:
+                ref = f"seg-{batch_id:012d}"
+                decided = _decisions_of(banded, batch.select(id_col)).persist()
+                # stage (invisible; a crashed earlier attempt is overwritten)
+                decided.write.mode("overwrite").parquet(
+                    HadoopFS.join(decisions_dir, ref)
                 )
-                .persist()
+                # the atomic commit: segment ref + hwm in one generation swap
+                m["segments"] = [*m.get("segments", []), {"batch": batch_id, "ref": ref}]
+                m["hwm"] = batch_id
+                log.commit(m, m["gen"])
+                decided.unpersist()
+                decided = spark.read.parquet(HadoopFS.join(decisions_dir, ref))
+            accepted_ids = decided.filter(F.col("accepted") == 1).select(
+                F.col(id_col).alias("_aid")
             )
-            try:
-                decisions.write.mode("append").parquet(decisions_dir)
-                accepted = batch.join(
-                    decisions.filter(F.col("accepted") == 1).select(id_col), id_col
-                )
-                index.add(accepted, text_col=text_col)
-            finally:
-                decisions.unpersist()
+            index.add_banded(
+                banded.join(
+                    F.broadcast(accepted_ids), banded[index.id_col] == F.col("_aid")
+                ).drop("_aid")
+            )
+            m2 = log.read()
+            m2["add_hwm"] = batch_id
+            log.commit(m2, m2["gen"])
         finally:
-            batch.unpersist()
+            banded.unpersist()
 
     writer = docs.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint
@@ -313,3 +356,18 @@ def stream_index_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_decisions(spark, decisions_dir: str) -> DataFrame:
+    """Committed view of a ``stream_index_dedup`` decisions log: resolves
+    the latest manifest and reads ONLY the referenced segments — staged
+    segments from in-flight or crashed batches are invisible, so the audit
+    record is exactly-once by construction."""
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+
+    m = GenLog(spark, decisions_dir).read()
+    refs = [HadoopFS.join(decisions_dir, s["ref"]) for s in m.get("segments", [])]
+    if not refs:
+        raise FileNotFoundError(f"no committed decisions at {decisions_dir}")
+    return spark.read.parquet(*refs)

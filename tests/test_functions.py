@@ -568,9 +568,9 @@ def test_minhash_index_add_matches_one_shot_build(spark, tmp_path):
     # compact folds the appended files; answers unchanged, fewer files
     import glob
 
-    files_before = len(glob.glob(str(tmp_path / "inc" / "banded" / "**" / "*.parquet"), recursive=True))
+    files_before = len(glob.glob(str(tmp_path / "inc" / "banded-g*" / "**" / "*.parquet"), recursive=True))
     inc.compact()
-    files_after = len(glob.glob(str(tmp_path / "inc" / "banded" / "**" / "*.parquet"), recursive=True))
+    files_after = len(glob.glob(str(tmp_path / "inc" / "banded-g*" / "**" / "*.parquet"), recursive=True))
     assert files_after < files_before
     got2 = {(r.new_id, r.index_id, r.est_jaccard) for r in inc.query(batch, min_est=0.3).collect()}
     assert got2 == want
@@ -601,6 +601,87 @@ def test_ivf_index_add_matches_one_shot_build(spark, tmp_path):
     inc.compact()
     got2 = [tuple(r) for r in inc.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
     assert got2 == want
+
+
+def test_index_compact_crash_leaves_previous_generation_readable(spark, tmp_path):
+    """A crash during compact — specifically between staging the new data
+    dir and the manifest commit — must leave the previous generation fully
+    queryable (the old delete-then-rename swap had a window with NO index)."""
+    from kadiyadb_spark.functions import similarity as SIM
+    from kadiyadb_spark.functions.dedup import MinHashIndex
+    from kadiyadb_spark.manifest import GenLog
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} with shared words quick brown fox {i % 3}")
+         for i in range(8)]
+    )
+    idx = MinHashIndex.build(docs, str(tmp_path / "mh"), num_hashes=8, bands=4)
+    idx.add(docs.filter("doc_id < 2"))
+    batch = spark.createDataFrame([Row(doc_id=99, text="document number 0 with shared words quick brown fox 0")])
+    want = {(r.new_id, r.index_id) for r in idx.query(batch, min_est=0.3).collect()}
+
+    real_commit = GenLog.commit
+
+    def exploding_commit(self, m, prev_gen):
+        raise RuntimeError("injected crash before manifest commit")
+
+    GenLog.commit = exploding_commit
+    try:
+        with pytest.raises(RuntimeError):
+            idx.compact()
+    finally:
+        GenLog.commit = real_commit
+    # previous generation intact: same answers, no missing-index window
+    got = {(r.new_id, r.index_id) for r in idx.query(batch, min_est=0.3).collect()}
+    assert got == want
+    # and a subsequent (non-crashing) compact recovers and still answers
+    idx.compact()
+    assert {(r.new_id, r.index_id) for r in idx.query(batch, min_est=0.3).collect()} == want
+
+    # same contract for IVFIndex
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 5), float(i % 2), 1.0]) for i in range(32)]
+    )
+    ivf = SIM.IVFIndex.build(emb, str(tmp_path / "ivf"), num_centroids=4)
+    qs = spark.createDataFrame([Row(query_id=1, query_vec=[1.0, 0.0, 0.0])])
+    want_s = [tuple(r) for r in ivf.search(qs, k=3).orderBy("rank").collect()]
+    GenLog.commit = exploding_commit
+    try:
+        with pytest.raises(RuntimeError):
+            ivf.compact()
+    finally:
+        GenLog.commit = real_commit
+    assert [tuple(r) for r in ivf.search(qs, k=3).orderBy("rank").collect()] == want_s
+    ivf.compact()
+    assert [tuple(r) for r in ivf.search(qs, k=3).orderBy("rank").collect()] == want_s
+
+
+def test_minhash_compact_dedups_replayed_adds(spark, tmp_path):
+    """Crash-loop replay protection: adding the SAME batch twice doubles the
+    banded rows (harmless for answers), and compact folds them back to
+    exactly the one-shot build's row count — the index cannot grow
+    monotonically under replay."""
+    from kadiyadb_spark.functions.dedup import MinHashIndex
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} full of regular words and phrases {i % 4}")
+         for i in range(6)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"late arriving document {i} with novel vocabulary entirely {i}")
+         for i in range(3)]
+    )
+    idx = MinHashIndex.build(docs, str(tmp_path / "mh"), num_hashes=8, bands=4)
+    idx.add(batch)
+    once = idx.banded().count()
+    idx.add(batch)  # the replay
+    assert idx.banded().count() == once + once - idx.banded().filter("doc_id < 100").count()
+    idx.compact()
+    assert idx.banded().count() == once
+    one_shot = MinHashIndex.build(
+        docs.union(batch), str(tmp_path / "one"), num_hashes=8, bands=4
+    )
+    assert idx.banded().count() == one_shot.banded().count()
 
 
 def test_span_dedup_keeps_first_global_occurrence(spark):

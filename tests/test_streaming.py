@@ -325,7 +325,7 @@ def test_stream_index_dedup_feedback_loop(spark, tmp_path):
     import os
 
     from kadiyadb_spark.functions.dedup import MinHashIndex
-    from kadiyadb_spark.streaming.ingest import stream_index_dedup
+    from kadiyadb_spark.streaming.ingest import read_decisions, stream_index_dedup
 
     texts = {
         "seed": "the quick brown fox jumps over the lazy dog near the river bank " * 4,
@@ -369,10 +369,100 @@ def test_stream_index_dedup_feedback_loop(spark, tmp_path):
     q.awaitTermination()
     out = {
         r["doc_id"]: (r["accepted"], r["n_dups"])
-        for r in spark.read.parquet(str(tmp_path / "dec")).collect()
+        for r in read_decisions(spark, str(tmp_path / "dec")).collect()
     }
     assert out[200] == (1, 0)
     assert out[201] == (0, 1)  # matches the indexed seed
     assert out[300] == (0, 1), "batch-2 dup of accepted batch-1 doc must be rejected"
     assert out[301] == (0, 1), "rejected 201 must not have been indexed (n_dups would be 2)"
     assert out[302] == (1, 0)
+
+    # -- exactly-once under FULL replay: blow away the checkpoint and rerun
+    # the identical stream against the same decisions log + index. Every
+    # micro-batch replays with its original batch_id; the hwm makes each a
+    # no-op — decision rows and index rows must both be byte-identical.
+    import shutil
+
+    dec_before = read_decisions(spark, str(tmp_path / "dec")).count()
+    idx_before = idx.banded().count()
+    shutil.rmtree(str(tmp_path / "ckpt_sidx"))
+    stream2 = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = stream_index_dedup(
+        stream2, idx, str(tmp_path / "dec"), str(tmp_path / "ckpt_sidx"), min_est=0.5
+    )
+    q2.awaitTermination()
+    assert read_decisions(spark, str(tmp_path / "dec")).count() == dec_before
+    assert idx.banded().count() == idx_before
+    out2 = {
+        r["doc_id"]: (r["accepted"], r["n_dups"])
+        for r in read_decisions(spark, str(tmp_path / "dec")).collect()
+    }
+    assert out2 == out
+
+
+def test_stream_index_dedup_crash_between_commit_and_add(spark, tmp_path):
+    """Crash AFTER the decisions manifest commit but BEFORE the index add:
+    the replay must finish the add from the COMMITTED decisions (not
+    re-probe), leaving decisions exactly-once and the feedback loop intact."""
+    import os
+
+    from kadiyadb_spark.functions.dedup import MinHashIndex
+    from kadiyadb_spark.streaming.ingest import read_decisions, stream_index_dedup
+
+    novel = "completely different machine learning pipeline with gradient descent " * 4
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank " * 4)],
+        "doc_id long, text string",
+    )
+    idx = MinHashIndex.build(
+        seed, str(tmp_path / "idx"), num_hashes=8, bands=4, shingle_k=8
+    )
+    b1 = spark.createDataFrame([(200, novel)], "doc_id long, text string")
+    src = tmp_path / "incoming"
+    os.makedirs(src)
+    sdir = str(tmp_path / "slice0")
+    b1.coalesce(1).write.parquet(sdir)
+    part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+    os.rename(f"{sdir}/{part}", str(src / "batch0.parquet"))
+
+    # first attempt: the index add explodes after the decisions commit
+    real_add = MinHashIndex.add_banded
+    calls = {"n": 0}
+
+    def exploding_add(self, banded):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before index add")
+
+    MinHashIndex.add_banded = exploding_add
+    try:
+        stream = spark.readStream.schema(b1.schema).parquet(str(src))
+        q = stream_index_dedup(
+            stream, idx, str(tmp_path / "dec"), str(tmp_path / "ckpt"), min_est=0.5
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            q.awaitTermination()
+    finally:
+        MinHashIndex.add_banded = real_add
+    assert calls["n"] == 1
+    # decisions ARE committed (the crash was after the manifest swap)...
+    assert read_decisions(spark, str(tmp_path / "dec")).count() == 1
+    # ...but the accepted doc is NOT in the index yet
+    assert idx.banded().filter("doc_id = 200").count() == 0
+
+    # replay (fresh checkpoint, same batch content/id): takes the
+    # recovery branch — decisions unchanged, add completed
+    stream2 = spark.readStream.schema(b1.schema).parquet(str(src))
+    q2 = stream_index_dedup(
+        stream2, idx, str(tmp_path / "dec"), str(tmp_path / "ckpt2"), min_est=0.5
+    )
+    q2.awaitTermination()
+    dec = read_decisions(spark, str(tmp_path / "dec"))
+    assert dec.count() == 1
+    assert dec.collect()[0]["accepted"] == 1
+    assert idx.banded().filter("doc_id = 200").count() > 0
