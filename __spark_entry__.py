@@ -1542,6 +1542,19 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8)
 
 
+def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL coding (Jégou et al. 2011 §IV, the FAISS
+    default): codes quantize v - centroid(v) under codebooks trained on the
+    residual distribution — finer reconstruction at the same m x ksub
+    budget. Numpy-k-means training makes this non-SQL-expressible, so there
+    is deliberately no oracle_sql twin (rows-only driver check); the recall
+    improvement over raw coding is pinned by tests/test_ivf_recall.py."""
+    base, queries = _queries_vs_base(spark, sf_dir)
+    return SIM.ivfpq_topk(
+        base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8, residual=True
+    )
+
+
 def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: persist a MinHash LSH band index over the
     'accepted corpus' (doc_id < 400), then probe the 'incoming batch'
@@ -2072,6 +2085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "zorder_layout": q_zorder_layout,
         # ---- 50-entry gate cap lands here ----
+        # NEW in r06, first past the cap (no oracle twin by design — trained
+        # residual codebooks are not SQL-expressible; recall pinned by
+        # tests/test_ivf_recall.py; rows-only check when it rotates in r07):
+        "sim_ivfpq_residual": q_sim_ivfpq_residual,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,

@@ -685,6 +685,64 @@ def pq_codebooks(
     return mat.reshape(ksub, m, dsub).transpose(1, 0, 2).copy(), dim
 
 
+def pq_codebooks_residual(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    sample: int = 1024,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Residual PQ codebooks (Jégou et al. 2011 §IV): train each subspace's
+    ``ksub`` centers on RESIDUALS v - centroid(v) instead of raw vectors.
+    Residuals are centered near zero and far lower-variance than the raw
+    distribution, so the same code budget quantizes them much more finely —
+    the FAISS-standard recall refinement over raw coding.
+
+    Training is per-subspace Lloyd's k-means in numpy over a BOUNDED,
+    deterministic sample (the ``sample`` lowest-id vectors — one driver
+    collect of sample x dim doubles, MBs; codebooks shared across buckets,
+    so one global train suffices). Init = the first ksub sample residual
+    subvectors; fixed iteration count, argmin-first tie-break — fully
+    deterministic, no RNG. Empty clusters keep their previous center.
+
+    Returns (codebook [m, ksub, dsub], dim)."""
+    import numpy as np
+
+    s_ids, v = _collect_matrix(
+        emb.orderBy(F.col(id_col).asc()).limit(sample), id_col, vec_col
+    )
+    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
+    order = np.argsort(c_ids)
+    craw = craw[order]
+    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    nearest = np.argmax(vn @ cn.T, axis=1)  # same assignment rule as ivf_assign
+    r = v - craw[nearest]
+    dim = r.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = r.reshape(len(r), m, dsub)
+    C = np.empty((m, ksub, dsub))
+    for j in range(m):
+        x = sub[:, j, :]
+        cent = x[:ksub].copy()
+        if len(cent) < ksub:  # degenerate tiny sample: pad by repetition
+            cent = np.resize(cent, (ksub, dsub))
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for kk in range(ksub):
+                hit = a == kk
+                if hit.any():
+                    cent[kk] = x[hit].mean(axis=0)
+        C[j] = cent
+    return C, dim
+
+
 def pq_assign(
     emb: DataFrame,
     codebooks,
@@ -824,6 +882,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: "str | DataFrame" = "deterministic",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the two approximations composed the way FAISS composes them —
     IVF restricts WHICH vectors are scored (each query probes its ``nprobe``
@@ -833,11 +892,20 @@ def ivfpq_topk(
     fraction (~nprobe/C) of a ~50x-compressed code column is all a query
     touches.
 
-    Variant note: codes quantize the RAW vector (IVFFlat+PQ), not the
-    residual v - centroid; residual coding (finer quantization per bucket,
-    codebooks shared across buckets) drops in by subtracting the assigned
-    centroid before pq encoding on both the build and table side — kept raw
-    here so the SQL oracle stays the composition of the two tested pieces.
+    Variant note: by default codes quantize the RAW vector (IVFFlat+PQ) so
+    the SQL oracle stays the composition of the two tested pieces.
+    ``residual=True`` switches to FAISS-standard residual coding: codes
+    quantize v - centroid(v) under codebooks TRAINED on the residual
+    distribution (pq_codebooks_residual) — residuals are near-zero-mean and
+    low-variance, so the same m x ksub budget reconstructs far more finely.
+    score stays cos(q, reconstruction) with reconstruction = centroid +
+    decode(codes); the cross terms dot(q, centroid) and |centroid +
+    decode|^2 come from per-bucket lookup tables precomputed on the driver
+    (C x m x ksub doubles — KBs, broadcast), so the scan kernel is still m
+    table lookups per vector. Recall improvement is pinned by
+    tests/test_ivf_recall.py; the raw mode's exact SQL oracle does not
+    extend to residual mode (trained codebooks), which is why raw stays
+    the gated default.
 
     Single fused map pass over the base table: each Arrow batch resolves
     (a) its rows' nearest centroid (bucket), (b) their PQ codes, then per
@@ -851,7 +919,6 @@ def ivfpq_topk(
     spark = emb.sparkSession
     cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
     c_ids, cn = _centroid_arrays(cents)
-    C, dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
     q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
     qn_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
     qc = qn_unit @ cn.T
@@ -861,16 +928,33 @@ def ivfpq_topk(
             for j in range(len(q_ids))
         ]
     )  # (queries, centroids) bool
-    dsub = dim // m
+    if residual:
+        C, dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+        cid2, craw = _collect_matrix(cents, "centroid_id", "centroid_vec")
+        craw = craw[np.argsort(cid2)]  # id-ascending, same order as cn
+        dsub = dim // m
+        # cross-term tables, all bucket-indexed in id-ascending order:
+        # B[b, j, code] = dot(centroid_b subspace j, codebook[j, code])
+        B = np.einsum("bjd,jkd->bjk", craw.reshape(len(craw), m, dsub), C)
+        cnorm2 = (craw**2).sum(axis=1)
+        qc_raw = q @ craw.T  # [nq, C] dot(raw query, raw centroid)
+    else:
+        C, dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+        dsub = dim // m
+        B = cnorm2 = qc_raw = None
+        craw = None
     T = np.einsum("qjd,jkd->qjk", q.reshape(len(q_ids), m, dsub), C)
     n2 = (C**2).sum(axis=2)
     qnorm = np.linalg.norm(q, axis=1)
-    bc = spark.sparkContext.broadcast((cn, q_ids, probes, C, T, n2, qnorm))
+    bc = spark.sparkContext.broadcast(
+        (cn, q_ids, probes, C, T, n2, qnorm, craw, B, cnorm2, qc_raw)
+    )
 
     def score(batches):
         import pandas as pd
 
-        cmat, qi, probe_mask, Cb, Tt, nn2, qno = bc.value
+        cmat, qi, probe_mask, Cb, Tt, nn2, qno, crawb, Bb, cn2, qcr = bc.value
+        res = crawb is not None
         mm = Cb.shape[0]
         cols = np.arange(mm)
         for pdf in batches:
@@ -879,12 +963,22 @@ def ivfpq_topk(
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             nearest = np.argmax(vn @ cmat.T, axis=1)  # bucket per row
-            sub = v.reshape(len(v), mm, Cb.shape[2])
+            enc = (v - crawb[nearest]) if res else v  # residual or raw coding
+            sub = enc.reshape(len(v), mm, Cb.shape[2])
             codes = np.empty((len(v), mm), dtype=np.int64)
             for j in range(mm):
                 d2 = ((sub[:, j, None, :] - Cb[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
-            rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))
+            if res:
+                # |centroid + decode(codes)|^2 via the per-bucket cross table
+                rn2 = (
+                    cn2[nearest]
+                    + 2.0 * Bb[nearest[:, None], cols[None, :], codes].sum(axis=1)
+                    + nn2[cols, codes].sum(axis=1)
+                )
+                rnorm = np.sqrt(np.maximum(rn2, 1e-300))
+            else:
+                rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))
             ids = pdf[id_col].to_numpy()
             parts = []
             for j in range(len(qi)):
@@ -892,6 +986,8 @@ def ivfpq_topk(
                 if not hit.any():
                     continue
                 adot = Tt[j][cols, codes[hit]].sum(axis=1)
+                if res:
+                    adot = adot + qcr[j, nearest[hit]]
                 # rounded BEFORE ranking: equal-code-word vectors tie exactly
                 # and fall through to the id tie-break (see pq_topk)
                 s = np.floor(adot / (qno[j] * rnorm[hit]) * 10000 + 0.5) / 10000

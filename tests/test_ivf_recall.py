@@ -97,3 +97,32 @@ def test_ivf_index_build_with_kmeans_centroids(spark, tmp_path):
     exact = SIM.cosine_topk(emb, qs, k=5)
     got = idx.search(qs, k=5, nprobe=1)
     assert _recall_at_k(got, exact, k=5) >= 0.95
+
+
+def test_residual_pq_improves_ivfpq_recall(spark):
+    """Residual coding (codes quantize v - centroid under residual-trained
+    codebooks) must beat raw coding at the same m x ksub budget on the
+    clustered set — the FAISS-standard refinement. Raw mode's results must
+    be unaffected by the flag's existence (still the oracle-gated default)."""
+    emb = _clustered(spark).cache()
+    qs = _queries(spark)
+    exact = SIM.cosine_topk(emb, qs, k=5)
+
+    kw = dict(k=5, num_centroids=N_CLUSTERS, nprobe=1, m=4, ksub=8, centroids="kmeans")
+    raw = SIM.ivfpq_topk(emb, qs, **kw)
+    res = SIM.ivfpq_topk(emb, qs, residual=True, **kw)
+    r_raw = _recall_at_k(raw, exact, k=5)
+    r_res = _recall_at_k(res, exact, k=5)
+    assert r_res > r_raw, f"residual {r_res} vs raw {r_raw}"
+    # Absolute level is budget-bound on this fixture: 8 codes per 2-dim
+    # subspace leaves reconstruction error (~0.5) larger than the in-bucket
+    # cosine spread (~0.02), so top-5 order inside a bucket stays noisy at
+    # ANY coding of this size — the claim under test is the improvement at
+    # equal budget, plus a floor well above raw's.
+    assert r_res >= 0.55, f"residual recall@5 {r_res}"
+
+    # determinism: residual training has no RNG -> identical reruns
+    res2 = SIM.ivfpq_topk(emb, qs, residual=True, **kw)
+    a = sorted(tuple(r) for r in res.collect())
+    b = sorted(tuple(r) for r in res2.collect())
+    assert a == b
