@@ -334,8 +334,9 @@ def stream_index_dedup(
                 m["segments"] = [*m.get("segments", []), {"batch": batch_id, "ref": ref}]
                 m["hwm"] = batch_id
                 log.commit(m, m["gen"])
-                decided.unpersist()
-                decided = spark.read.parquet(HadoopFS.join(decisions_dir, ref))
+                # the persisted frame IS what was just committed (the write
+                # materialized it), so feed the add from memory instead of
+                # re-reading the segment — one fewer job per batch
             accepted_ids = decided.filter(F.col("accepted") == 1).select(
                 F.col(id_col).alias("_aid")
             )
@@ -348,6 +349,8 @@ def stream_index_dedup(
             m2["add_hwm"] = batch_id
             log.commit(m2, m2["gen"])
         finally:
+            if decided.is_cached:
+                decided.unpersist()
             banded.unpersist()
 
     writer = docs.writeStream.foreachBatch(_gate).option(
