@@ -361,6 +361,49 @@ def stream_index_dedup(
     return writer.start()
 
 
+def compact_decisions(spark, decisions_dir: str) -> None:
+    """Fold a ``stream_index_dedup`` decisions log: one segment accrues per
+    micro-batch, and a long-running stream leaves thousands of small
+    parquet directories behind. Rewrite all committed segments as ONE
+    folded segment and commit a manifest referencing only it (hwm/add_hwm
+    carried over, so replay semantics are untouched), then GC the old
+    segment dirs. Same single-writer maintenance contract as
+    ``MinHashIndex.compact`` — run it from the maintenance cadence, not
+    inside the stream."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ gate imports)
+
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+
+    log = GenLog(spark, decisions_dir)
+    m = log.read()
+    segs = m.get("segments", [])
+    if len(segs) <= 1:
+        return
+    if int(m.get("hwm", -1)) != int(m.get("add_hwm", -1)):
+        # A batch is mid-window (decisions committed, index add pending):
+        # its crash-recovery reads its PER-BATCH segment ref, which folding
+        # would destroy. Compact only at quiescence.
+        raise RuntimeError(
+            f"decisions log has an in-flight batch (hwm={m.get('hwm')}, "
+            f"add_hwm={m.get('add_hwm')}); compact after the stream settles"
+        )
+    refs = [HadoopFS.join(decisions_dir, s["ref"]) for s in segs]
+    folded = f"seg-folded-g{m['gen'] + 1:06d}"
+    # No coalesce: a long-lived log is corpus-sized; keep the write parallel
+    # (AQE sizes the output files from the scan's partitioning).
+    spark.read.parquet(*refs).write.mode("overwrite").parquet(
+        HadoopFS.join(decisions_dir, folded)
+    )
+    hi = max(int(s["batch"]) for s in segs)
+    m["segments"] = [{"batch": hi, "ref": folded}]
+    log.commit(m, m["gen"])
+    fs = HadoopFS(spark, decisions_dir)
+    for name in fs.listdir(decisions_dir):
+        if name.startswith("seg-") and name != folded:
+            fs.delete(HadoopFS.join(decisions_dir, name))
+
+
 def read_decisions(spark, decisions_dir: str) -> DataFrame:
     """Committed view of a ``stream_index_dedup`` decisions log: resolves
     the latest manifest and reads ONLY the referenced segments — staged

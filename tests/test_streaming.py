@@ -403,6 +403,30 @@ def test_stream_index_dedup_feedback_loop(spark, tmp_path):
     }
     assert out2 == out
 
+    # -- maintenance: folding the per-batch segments into one must not
+    # change the committed view, and replaying after the fold must still
+    # be a no-op (hwm/add_hwm carried over).
+    from kadiyadb_spark.streaming.ingest import compact_decisions
+
+    compact_decisions(spark, str(tmp_path / "dec"))
+    out3 = {
+        r["doc_id"]: (r["accepted"], r["n_dups"])
+        for r in read_decisions(spark, str(tmp_path / "dec")).collect()
+    }
+    assert out3 == out
+    shutil.rmtree(str(tmp_path / "ckpt_sidx"))
+    stream3 = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q3 = stream_index_dedup(
+        stream3, idx, str(tmp_path / "dec"), str(tmp_path / "ckpt_sidx"), min_est=0.5
+    )
+    q3.awaitTermination()
+    assert read_decisions(spark, str(tmp_path / "dec")).count() == dec_before
+    assert idx.banded().count() == idx_before
+
 
 def test_stream_index_dedup_crash_between_commit_and_add(spark, tmp_path):
     """Crash AFTER the decisions manifest commit but BEFORE the index add:
