@@ -1400,6 +1400,33 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.decontaminate(docs, benchmark, n=5)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB form of
+    text_decontaminate: a ~num_bits-bounded Bloom filter of the eval grams
+    broadcasts instead of the gram strings (3 orders smaller at 10^8
+    grams), a vectorized numpy probe drops clean grams map-side, and the
+    exact verify join removes false positives — the RESULT is
+    bit-identical to the exact operator, so this entry shares its SQL
+    oracle (functions/text.py:bloom_decontaminate; construction collects
+    set-bit indices, bounded by filter size, never gram count)."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return TX.bloom_decontaminate(docs, benchmark, n=5, num_bits=1 << 18)
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication census: MinHash near-dup pairs rolled up to
+    a symmetric source x source matrix — where a curator sees mirrored
+    crawls and cross-feed replication. Pair side broadcasts (dup-volume
+    bounded); the corpus contributes a two-column pruned scan and never
+    shuffles (functions/dedup.py:cross_source_matrix)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, num_hashes=8, bands=4, shingle_k=8, threshold=0.1
+    )
+    return D.cross_source_matrix(docs, pairs)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition metrics (Gopher-style quality gate): all four
     metrics — duplicate token/bigram fractions AND the top-token fraction —
@@ -2089,6 +2116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # residual codebooks are not SQL-expressible; recall pinned by
         # tests/test_ivf_recall.py; rows-only check when it rotates in r07):
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
+        # NEW in r06, past the cap (both locally oracle-verified this round,
+        # logged in ORACLE_LOCAL.md; rotate into the r07 gate):
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "cross_source_dups": q_cross_source_dups,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -3047,6 +3078,10 @@ SELECT g.doc_id, count(*) AS n_hits
 FROM g JOIN b USING (gram) GROUP BY g.doc_id
 """
 
+    # The Bloom probe is a pure prefilter (false positives die in the exact
+    # verify join), so the bloom entry's truth IS the exact operator's.
+    o["decontaminate_bloom"] = o["text_decontaminate"]
+
     o["text_repetition"] = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
 base AS (
@@ -3211,6 +3246,20 @@ jac AS (
     o["dedup_minhash_lsh"] = f"""
 WITH {_minhash_pairs_cte}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
+"""
+
+    o["cross_source_dups"] = f"""
+WITH {_minhash_pairs_cte},
+p2 AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
+src AS (SELECT doc_id, source FROM documents),
+resolved AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b
+  FROM p2 JOIN src sa ON p2.id_a = sa.doc_id
+          JOIN src sb ON p2.id_b = sb.doc_id
+)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM resolved GROUP BY source_a, source_b
 """
 
     # Incremental index probe: corpus = doc_id < 400, batch = doc_id >= 400;

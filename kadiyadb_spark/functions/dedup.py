@@ -416,6 +416,44 @@ def _local_components(edges: DataFrame) -> DataFrame:
     )
 
 
+def cross_source_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication census: roll a near-dup pair list up to a
+    symmetric source x source matrix — the report that tells a corpus
+    curator WHERE duplication lives (mirrors of the same crawl, an eval
+    benchmark leaked into a training source, one feed re-publishing
+    another). Rows: (source_a <= source_b lexicographically, n_pairs).
+
+    Scale shape: the PAIR side broadcasts (bounded by duplicate volume,
+    orders below corpus size — the corpus's (id, source) projection is
+    billions of rows and must never be the broadcast side); each resolve
+    is then a map-side join against the two-column pruned corpus scan,
+    and the intermediate shrinks to pair volume after the first join, so
+    the second broadcast is pair-sized too. One groupBy over the
+    normalized source pair ends it — the corpus never shuffles."""
+    side = docs.select(F.col(id_col), F.col(source_col))
+    with_a = (
+        side.join(F.broadcast(pairs.select("id_a", "id_b")), side[id_col] == F.col("id_a"))
+        .select("id_a", "id_b", F.col(source_col).alias("_sa"))
+    )
+    with_b = (
+        side.join(F.broadcast(with_a), side[id_col] == F.col("id_b"))
+        .select("_sa", F.col(source_col).alias("_sb"))
+    )
+    return (
+        with_b.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",

@@ -202,6 +202,79 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """``decontaminate`` for eval-gram sets too big to broadcast as an
+    exact hash set: same EXACT result, Bloom-prefiltered probe.
+
+    ``decontaminate`` broadcasts the benchmark's distinct grams — right
+    while eval suites are MBs, wrong once the union of every benchmark's
+    grams reaches 10^8+ strings (tens of GB broadcast). A Bloom filter at
+    ~10 bits/gram is ~3 orders smaller, and CONSTRUCTION is distributed:
+    each gram's ``num_hashes`` bit positions are computed JVM-side
+    (xxhash64), and only the DISTINCT SET BIT INDICES are collected — the
+    driver pull is bounded by ``num_bits`` (the filter's size), never by
+    the gram count. The probe is one vectorized numpy gather per Arrow
+    batch (bits[positions].all()), map-side; survivors — true matches plus
+    the filter's false positives — then pass through the same exact
+    broadcast gram join as ``decontaminate``, so false positives die there
+    and the final (doc_id, n_hits) is bit-identical to the exact operator
+    (pinned by test; the entry shares text_decontaminate's SQL oracle).
+
+    Scale shape: corpus grams never shuffle; the only shuffle is the final
+    doc-keyed count over verified hits (bounded by contamination volume).
+    Note the exact verify join still broadcasts the full gram set — at the
+    10^8-gram scale swap that single join for a shuffle join on the
+    (tiny) survivor side; the Bloom stage already removed ~all of the
+    corpus, which is where the broadcast actually mattered."""
+    import numpy as np
+
+    spark = docs.sparkSession
+    gram = F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram")
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("gram"), F.lit(s)), F.lit(num_bits))
+            for s in range(num_hashes)
+        ]
+    )
+    bench_grams = benchmark.select(gram).distinct()
+    set_bits = [
+        int(r[0])
+        for r in bench_grams.select(F.explode(positions).alias("b")).distinct().collect()
+    ]
+    bits = np.zeros(num_bits, dtype=bool)
+    bits[set_bits] = True
+    bc = spark.sparkContext.broadcast(bits)
+
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_expr(F.col(text_col), n))).alias("gram"),
+    ).select(id_col, "gram", positions.alias("_pos"))
+
+    def probe(batches):
+        b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = np.array(pdf["_pos"].tolist(), dtype=np.int64)
+            hit = b[pos].all(axis=1)
+            yield pdf.loc[hit, [id_col, "gram"]]
+
+    survivors = doc_grams.mapInPandas(probe, schema=f"{id_col} long, gram string")
+    return (
+        survivors.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def repetition_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

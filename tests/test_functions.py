@@ -1033,3 +1033,45 @@ def test_temperature_weights_math(spark):
     # temperature flattens: the small source is boosted, the big one damped
     assert out["B"]["boost"] > 1.0 > out["A"]["boost"]
     assert abs(out["A"]["weight"] + out["B"]["weight"] - 1.0) < 2e-4
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    """The Bloom filter is a pure prefilter: its false positives must die in
+    the exact verify join, leaving output bit-identical to decontaminate —
+    including at an ABSURDLY small filter (every probe a false positive)."""
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared leading words for document {i} " * 3
+             + ("the secret benchmark answer sequence here now" if i % 3 == 0 else f"unique tail {i}"))
+         for i in range(12)]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the secret benchmark answer sequence here now")]
+    )
+    want = sorted(tuple(r) for r in TX.decontaminate(docs, bench, n=5).collect())
+    got = sorted(tuple(r) for r in TX.bloom_decontaminate(docs, bench, n=5).collect())
+    assert got == want and len(want) > 0
+    # saturated filter (64 bits): everything survives the probe, exact join
+    # still yields the same answer
+    tiny = sorted(
+        tuple(r)
+        for r in TX.bloom_decontaminate(docs, bench, n=5, num_bits=64).collect()
+    )
+    assert tiny == want
+
+
+def test_cross_source_matrix_normalizes_and_counts(spark):
+    from kadiyadb_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="web"), Row(doc_id=2, source="books"),
+         Row(doc_id=3, source="web"), Row(doc_id=4, source="code")]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=1, id_b=3)]
+    )
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in D.cross_source_matrix(docs, pairs).collect()}
+    # (1,2)=(web,books)->sorted (books,web); (2,3)=(books,web); (1,3)=(web,web)
+    assert got == {("books", "web"): 2, ("web", "web"): 1}
