@@ -1436,6 +1436,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_score(_t(spark, sf_dir, "documents"))
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold boilerplate removal (CCNet/C4 line-dedup rule
+    over 3-word spans): spans in >= 2 distinct docs are template chrome and
+    vanish from EVERY doc. One span-keyed agg; the filter join broadcasts
+    the frequency table while it fits and falls back to a same-key shuffle
+    join at scale; one doc-keyed rebuild. Never collected to the driver."""
+    return TX.remove_boilerplate(
+        _t(spark, sf_dir, "documents"), words_per_span=3, min_docs=2
+    )
+
+
 def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicate-span removal (C4's curation step, fixed
     10-word spans standing in for sentence units): each distinct span
@@ -2120,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logged in ORACLE_LOCAL.md; rotate into the r07 gate):
         "decontaminate_bloom": q_decontaminate_bloom,
         "cross_source_dups": q_cross_source_dups,
+        "text_boilerplate": q_text_boilerplate,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -3122,6 +3134,20 @@ ranked AS (
 SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
        count(*) AS n_spans_kept
 FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+    o["text_boilerplate"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         array_to_string(tk[(i*3+1):(i*3+3)], ' ') AS span
+  FROM toks, unnest(range(CAST(ceil(len(tk)/3.0) AS BIGINT))) AS t(i)
+),
+f AS (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
+SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
+       count(*) AS n_spans_kept
+FROM spans JOIN f USING (span)
+WHERE f.nd < 2 GROUP BY doc_id
 """
 
     o["pii_redact"] = """

@@ -549,6 +549,55 @@ def split_fixed_spans(
     )
 
 
+def remove_boilerplate(
+    df: DataFrame,
+    words_per_span: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet/C4 line-dedup
+    rule, over fixed word spans as the unit): any span occurring in at
+    least ``min_docs`` DISTINCT documents is boilerplate — navigation
+    chrome, cookie banners, license headers, templated footers — and is
+    removed from EVERY document (unlike ``span_dedup``, which keeps the
+    first occurrence; boilerplate carries no training signal anywhere).
+    Docs reduced to nothing are dropped.
+
+    Scale shape: one span-keyed aggregation for the distinct-doc frequency
+    (partial map-side count-distinct via the two-phase plan); the filter
+    join back to the span rows is left to the planner — it broadcasts the
+    frequency table while it fits (observed at test SF: map-side filter,
+    no extra shuffle) and degrades to a span-keyed shuffle join on the
+    aggregation's own key once the distinct-span table outgrows the
+    threshold; one doc-keyed shuffle rebuilds the text. The frequency
+    table is never collected to the driver — its size is corpus-bounded,
+    not boilerplate-bounded.
+
+    Returns (doc_id, text, n_spans_kept), text rebuilt in span order."""
+    spans = split_fixed_spans(df, words_per_span, text_col, id_col)
+    freq = spans.groupBy("span").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    kept = (
+        spans.join(freq, "span")
+        .filter(F.col("_nd") < min_docs)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").cast("long").alias("n_spans_kept"),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     words_per_span: int = 10,

@@ -1075,3 +1075,24 @@ def test_cross_source_matrix_normalizes_and_counts(spark):
            for r in D.cross_source_matrix(docs, pairs).collect()}
     # (1,2)=(web,books)->sorted (books,web); (2,3)=(books,web); (1,3)=(web,web)
     assert got == {("books", "web"): 2, ("web", "web"): 1}
+
+
+def test_remove_boilerplate_drops_common_spans_everywhere(spark):
+    """A span in >= min_docs distinct docs vanishes from ALL of them (not
+    kept-first like span_dedup); rare spans survive in place; fully-
+    boilerplate docs disappear."""
+    footer = "copyright acme corp"
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=f"alpha beta gamma {footer}"),
+         Row(doc_id=1, text=f"delta epsilon zeta {footer}"),
+         Row(doc_id=2, text=f"eta theta iota {footer}"),
+         Row(doc_id=3, text=footer)]
+    )
+    out = {r.doc_id: (r.text, r.n_spans_kept)
+           for r in TX.remove_boilerplate(docs, words_per_span=3, min_docs=3).collect()}
+    assert out == {0: ("alpha beta gamma", 1),
+                   1: ("delta epsilon zeta", 1),
+                   2: ("eta theta iota", 1)}  # doc 3 vanished
+    # below the threshold nothing is removed
+    out2 = {r.doc_id for r in TX.remove_boilerplate(docs, words_per_span=3, min_docs=5).collect()}
+    assert out2 == {0, 1, 2, 3}
