@@ -1447,6 +1447,16 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG corpus prep): 16-token windows,
+    stride 12 (4-token overlap), trailing partial kept, pure-suffix
+    windows dropped. Map-side only — array slicing in the projection plus
+    one posexplode, zero shuffles (functions/text.py:chunk_documents)."""
+    return TX.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_words=16, stride=12
+    )
+
+
 def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicate-span removal (C4's curation step, fixed
     10-word spans standing in for sentence units): each distinct span
@@ -2132,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "cross_source_dups": q_cross_source_dups,
         "text_boilerplate": q_text_boilerplate,
+        "text_chunk": q_text_chunk,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -3134,6 +3145,19 @@ ranked AS (
 SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
        count(*) AS n_spans_kept
 FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+    o["text_chunk"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         tk[(i*12+1):(i*12+16)] AS w
+  FROM toks, unnest(range(CAST(greatest(1, ceil(len(tk)/12.0)) AS BIGINT))) AS t(i)
+  WHERE i*12 < len(tk) AND (i = 0 OR (i-1)*12 + 16 < len(tk))
+)
+SELECT doc_id, chunk_idx, array_to_string(w, ' ') AS chunk,
+       CAST(len(w) AS BIGINT) AS n_tokens
+FROM c
 """
 
     o["text_boilerplate"] = """

@@ -549,6 +549,58 @@ def split_fixed_spans(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/RAG corpus
+    preparation step: each doc becomes ceil-strided windows of
+    ``chunk_words`` whitespace tokens advancing by ``stride`` (stride <
+    chunk_words => consecutive chunks overlap by chunk_words - stride
+    tokens, so passages spanning a boundary survive in one of them). The
+    trailing partial window is kept (it holds the doc's tail). Output:
+    (doc_id, chunk_idx, chunk, n_tokens).
+
+    Map-side ONLY: window slicing is array arithmetic inside the
+    projection plus one posexplode — zero shuffles, linear in corpus size,
+    output inflation = chunk_words/stride. Chunks feed embed + index
+    (sim_* operators) downstream."""
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    # windows start at 0, stride, 2*stride, ... while start < n_tokens
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(stride)).cast("int")
+    )
+    # a window starting past (n - chunk_words) is fully inside the previous
+    # one's coverage only when stride >= chunk_words is false; keep any
+    # start < n, but drop starts where the previous window already reaches
+    # the end (pure-suffix duplicates): start < n AND (start == 0 OR
+    # start - stride + chunk_words < n)
+    n = F.size(toks)
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.slice(toks, i * stride + 1, chunk_words).alias("w"),
+            ),
+        ),
+        lambda s: (s["i"] * stride < n)
+        & ((s["i"] == 0) | ((s["i"] - 1) * stride + chunk_words < n)),
+    )
+    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(F.col("_c.w"), " ").alias("chunk"),
+        F.size(F.col("_c.w")).cast("long").alias("n_tokens"),
+    )
+
+
 def remove_boilerplate(
     df: DataFrame,
     words_per_span: int = 3,

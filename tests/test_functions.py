@@ -1096,3 +1096,20 @@ def test_remove_boilerplate_drops_common_spans_everywhere(spark):
     # below the threshold nothing is removed
     out2 = {r.doc_id for r in TX.remove_boilerplate(docs, words_per_span=3, min_docs=5).collect()}
     assert out2 == {0, 1, 2, 3}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """16 tokens, chunk=8, stride=4: windows at 0,4,8 keep (8..15 reaches
+    the end, so starts 12+ are pure suffixes and drop); overlap = 4."""
+    toks = [f"w{i}" for i in range(16)]
+    docs = spark.createDataFrame([Row(doc_id=0, text=" ".join(toks)),
+                                  Row(doc_id=1, text="a b c")])
+    out = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+           for r in TX.chunk_documents(docs, chunk_words=8, stride=4).collect()}
+    assert out[(0, 0)] == (" ".join(toks[0:8]), 8)
+    assert out[(0, 1)] == (" ".join(toks[4:12]), 8)
+    assert out[(0, 2)] == (" ".join(toks[8:16]), 8)
+    assert (0, 3) not in out  # pure suffix of chunk 2
+    assert out[(1, 0)] == ("a b c", 3)  # short doc = one whole chunk
+    # boundary-spanning passage survives intact in some chunk
+    assert any("w7 w8" in c for c, _ in out.values())

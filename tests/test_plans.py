@@ -332,3 +332,55 @@ def test_ivfpq_topk_single_shuffle(spark):
     q = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding as query_vec")
     plan = plan_str(ivfpq_topk(emb.filter("vec_id >= 2"), q, k=3, num_centroids=4, nprobe=2))
     assert n_shuffles(plan) == 1
+
+
+def test_chunk_documents_is_map_only(spark):
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b c d e f g h")])
+    plan = plan_str(TX.chunk_documents(docs, chunk_words=4, stride=3))
+    assert n_shuffles(plan) == 0  # slicing + posexplode never leave the scan
+
+
+def test_cross_source_matrix_broadcasts_pair_side(spark):
+    """Both resolve joins must broadcast the PAIR side — the corpus's
+    (id, source) projection must never be the build side or shuffle."""
+    from kadiyadb_spark.functions import dedup as D2
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}") for i in range(20)]
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=3, id_b=4)])
+    plan = plan_str(D2.cross_source_matrix(docs, pairs))
+    assert n_broadcast_joins(plan) == 2
+    # one shuffle only: the final source-pair groupBy
+    assert n_shuffles(plan) == 1
+
+
+def test_bloom_decontaminate_single_doc_shuffle(spark):
+    """Bloom probe + verify join are map-side; the only shuffle is the final
+    doc-keyed hit count."""
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b c d e f")])
+    bench = spark.createDataFrame([Row(doc_id=9, text="c d e f g")])
+    plan = plan_str(TX.bloom_decontaminate(docs, bench, n=3, num_bits=1 << 10))
+    assert n_broadcast_joins(plan) >= 1  # exact verify join broadcasts
+    # two shuffles total: the BENCHMARK-side gram distinct (eval-set
+    # bounded, not corpus) and the final doc-keyed count — the corpus path
+    # itself is map-only end to end
+    assert n_shuffles(plan) <= 2
+
+
+def test_remove_boilerplate_shuffle_budget(spark):
+    """Span frequency agg (two-phase count-distinct: span+doc then span),
+    the filter join's span exchange (broadcast when stats allow — observed
+    on the parquet-backed fixture; SortMergeJoin worst case on a no-stats
+    frame like this one), and the doc rebuild — four shuffles worst case,
+    never a corpus-squared stage."""
+    from kadiyadb_spark.functions import text as TX
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="x y z common tail here") for i in range(4)])
+    plan = plan_str(TX.remove_boilerplate(docs, words_per_span=3, min_docs=2))
+    assert n_shuffles(plan) <= 4
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
