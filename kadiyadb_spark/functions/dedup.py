@@ -700,9 +700,45 @@ class MinHashIndex:
             .partitionBy("band_idx")
             .parquet(f"{path}/{live}")
         )
-        log.commit({"live": live}, m["gen"])
+        log.commit({"live": live, "params": idx._params()}, m["gen"])
         idx._gc_data_dirs(keep=live)
         return idx
+
+    def _params(self) -> dict:
+        return {
+            "id_col": self.id_col,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_k": self.shingle_k,
+        }
+
+    @classmethod
+    def open(cls, spark, path: str) -> "MinHashIndex":
+        """Reopen a persisted index with the parameters it was BUILT with
+        (recorded in the manifest at build time — the reference's
+        params.json-on-open contract, database.go:66-149). Constructing
+        directly with different num_hashes/bands/shingle_k than the stored
+        rows silently yields signatures that never match; open() makes the
+        stored parameters the single source of truth."""
+        from kadiyadb_spark.manifest import GenLog
+
+        m = GenLog(spark, path).read()
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {path} (build() first)")
+        p = m.get("params")
+        if p is None:
+            raise ValueError(
+                f"index at {path} predates parameter recording; construct "
+                "MinHashIndex(...) with its build parameters explicitly"
+            )
+        return cls(
+            spark,
+            path,
+            id_col=p["id_col"],
+            num_hashes=int(p["num_hashes"]),
+            bands=int(p["bands"]),
+            shingle_k=int(p["shingle_k"]),
+        )
 
     def _log(self):
         from kadiyadb_spark.manifest import GenLog
@@ -794,7 +830,7 @@ class MinHashIndex:
             .partitionBy("band_idx")
             .parquet(f"{self.path}/{new}")
         )
-        log.commit({"live": new}, m["gen"])
+        log.commit({**m, "live": new}, m["gen"])  # params etc. carry forward
         self._gc_data_dirs(keep=new)
 
     def query(

@@ -274,9 +274,29 @@ class IVFIndex:
         assigned.repartition(num_centroids, "centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(f"{path}/{live}")
-        log.commit({"live": live}, m["gen"])
+        log.commit(
+            {"live": live, "params": {"id_col": id_col, "vec_col": vec_col}},
+            m["gen"],
+        )
         idx._gc_data_dirs(keep=live)
         return idx
+
+    @classmethod
+    def open(cls, spark, path: str) -> "IVFIndex":
+        """Reopen with the column names recorded at build time (the
+        reference's params-on-open contract; see MinHashIndex.open)."""
+        from kadiyadb_spark.manifest import GenLog
+
+        m = GenLog(spark, path).read()
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {path} (build() first)")
+        p = m.get("params")
+        if p is None:
+            raise ValueError(
+                f"index at {path} predates parameter recording; construct "
+                "IVFIndex(...) with its build parameters explicitly"
+            )
+        return cls(spark, path, id_col=p["id_col"], vec_col=p["vec_col"])
 
     def _log(self):
         from kadiyadb_spark.manifest import GenLog
@@ -346,7 +366,7 @@ class IVFIndex:
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/{new}")
         )
-        log.commit({"live": new}, m["gen"])
+        log.commit({**m, "live": new}, m["gen"])  # params etc. carry forward
         self._gc_data_dirs(keep=new)
 
     def search(

@@ -540,6 +540,15 @@ def test_minhash_index_rebuild_matches_fresh(spark, tmp_path):
     batch = spark.createDataFrame([Row(doc_id=50, text="shared prefix words here variant 3")])
     got = {(r.new_id, r.index_id) for r in reopened.query(batch, min_est=0.5).collect()}
     assert (50, 3) in got
+    # open() recovers the BUILD parameters from the manifest (the reference's
+    # params-on-open contract) — no chance of a silently-mismatched reopen
+    opened = D.MinHashIndex.open(spark, str(tmp_path / "mh2"))
+    assert (opened.num_hashes, opened.bands, opened.shingle_k) == (8, 4, 8)
+    got2 = {(r.new_id, r.index_id) for r in opened.query(batch, min_est=0.5).collect()}
+    assert got2 == got
+    # parameters survive compaction's manifest swap
+    opened.compact()
+    assert D.MinHashIndex.open(spark, str(tmp_path / "mh2")).bands == 4
 
 
 def test_minhash_index_add_matches_one_shot_build(spark, tmp_path):
@@ -1113,3 +1122,19 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert out[(1, 0)] == ("a b c", 3)  # short doc = one whole chunk
     # boundary-spanning passage survives intact in some chunk
     assert any("w7 w8" in c for c, _ in out.values())
+
+
+def test_ivf_index_open_recovers_params(spark, tmp_path):
+    from kadiyadb_spark.functions import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [Row(item=i, v=[float(i % 5), float(i % 2), 1.0]) for i in range(24)]
+    )
+    SIM.IVFIndex.build(emb, str(tmp_path / "ivf"), num_centroids=3,
+                       id_col="item", vec_col="v")
+    opened = SIM.IVFIndex.open(spark, str(tmp_path / "ivf"))
+    assert (opened.id_col, opened.vec_col) == ("item", "v")
+    qs = spark.createDataFrame([Row(query_id=1, query_vec=[1.0, 0.0, 0.0])])
+    assert opened.search(qs, k=3).count() == 3
+    opened.compact()
+    assert SIM.IVFIndex.open(spark, str(tmp_path / "ivf")).vec_col == "v"
