@@ -1590,6 +1590,21 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8)
 
 
+def q_sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF-PQ serving index: build once (codes partitioned by
+    centroid bucket — the ~50x-compressed scan body), search by reading
+    ONLY the probed buckets' codes (PartitionFilters; base vectors never
+    touched after build). Same deterministic centroids/codebooks as
+    sim_ivfpq_topk, so the one-shot operator's oracle gates the index
+    path end-to-end (similarity.py:IVFPQIndex)."""
+    import tempfile
+
+    base, queries = _queries_vs_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="kdb_ivfpq_")
+    idx = SIM.IVFPQIndex.build(base, f"{tmp}/idx", num_centroids=8, m=4, ksub=8)
+    return idx.search(queries, k=5, nprobe=2)
+
+
 def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with RESIDUAL coding (Jégou et al. 2011 §IV, the FAISS
     default): codes quantize v - centroid(v) under codebooks trained on the
@@ -2143,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "text_boilerplate": q_text_boilerplate,
         "text_chunk": q_text_chunk,
+        "sim_ivfpq_search": q_sim_ivfpq_search,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -3917,6 +3933,11 @@ SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
        floor(ac * 10000 + 0.5) / 10000 AS approx_cos
 FROM ranked WHERE rnk <= 5
 """
+
+    # the persisted index path is gated by the SAME truth: identical
+    # centroids/codebooks/tie-breaks as the one-shot operator
+    o["sim_ivfpq_search"] = o["sim_ivfpq_topk"]
+
 
     # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8
     # lowest BASE ids), same L2 assignment (ties -> lowest code), same

@@ -1033,3 +1033,309 @@ def ivfpq_topk(
             round4_expr(F.col("_cos")).alias("approx_cos"),
         )
     )
+
+
+class IVFPQIndex:
+    """The PERSISTED IVF-PQ serving index — ivfpq_topk's one-shot fused scan
+    materialized the way FAISS deploys it at billion scale:
+
+      <path>/centroids/        C rows (centroid_id, centroid_vec)
+      <path>/codebooks/        m*ksub rows (subspace, code, center_vec)
+      <path>/codes-g<N>/       (id, codes array) parquet PARTITIONED BY
+                               centroid_id — the ~50x-compressed scan body
+      <path>/manifest-*.json   generation manifest: live codes dir + build
+                               params (m, ksub, residual, column names)
+
+    Search reads ONLY the probed buckets' CODE column (PartitionFilters on
+    centroid_id — the base vectors are never touched after build): at
+    100 TB of float32 embeddings a query scans ~nprobe/C of ~2 TB of codes,
+    memory-bandwidth bound, with per-query [m, ksub] lookup tables doing
+    the scoring. ``residual=True`` stores residual-coded words and the
+    per-bucket cross-term tables reconstruct scores exactly as
+    ivfpq_topk's residual mode (codebooks trained once at build; identical
+    results to the one-shot operator under the same strategy, pinned by
+    test). Incremental ``add`` encodes against the FROZEN centroids and
+    codebooks (LSM append, cost ∝ batch); ``compact`` folds + dedups via
+    the atomic generation swap shared with IVFIndex."""
+
+    def __init__(self, spark, path: str):
+        from kadiyadb_spark.manifest import GenLog
+
+        self.spark = spark
+        self.path = path
+        m = GenLog(spark, path).read()
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {path} (build() first)")
+        p = m["params"]
+        self.id_col = p["id_col"]
+        self.vec_col = p["vec_col"]
+        self.m = int(p["m"])
+        self.ksub = int(p["ksub"])
+        self.residual = bool(p["residual"])
+
+    # -- storage helpers ----------------------------------------------------
+    def _log(self):
+        from kadiyadb_spark.manifest import GenLog
+
+        return GenLog(self.spark, self.path)
+
+    def _live(self) -> str:
+        return f"{self.path}/{self._log().read()['live']}"
+
+    def _gc_data_dirs(self, keep: str) -> None:
+        from kadiyadb_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.path)
+        for name in fs.listdir(self.path):
+            if name.startswith("codes") and name != keep:
+                fs.delete(HadoopFS.join(self.path, name))
+
+    def _codebooks(self):
+        """[m, ksub, dsub] ndarray from the persisted codebook rows."""
+        import numpy as np
+
+        rows = self.spark.read.parquet(f"{self.path}/codebooks").collect()
+        dsub = len(rows[0]["center_vec"])
+        C = np.zeros((self.m, self.ksub, dsub))
+        for r in rows:
+            C[int(r["subspace"]), int(r["code"])] = list(r["center_vec"])
+        return C
+
+    @staticmethod
+    def _encode(emb, cents, C, id_col, vec_col, residual):
+        """(id, centroid_id, codes) — fused bucket argmax + PQ encode, one
+        Arrow pass, zero shuffle (the write's repartition is the only one)."""
+        import numpy as np
+
+        c_ids, cn = _centroid_arrays(cents)
+        cid2, craw = _collect_matrix(cents, "centroid_id", "centroid_vec")
+        craw = craw[np.argsort(cid2)]
+        bc = emb.sparkSession.sparkContext.broadcast((c_ids, cn, craw, C, residual))
+
+        def enc(batches):
+            import pandas as pd
+
+            ids_of_pos, cmat, crawb, Cb, res = bc.value
+            mm, _, dsub = Cb.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+                nearest = np.argmax(vn @ cmat.T, axis=1)  # ARRAY POSITION
+                enc_v = (v - crawb[nearest]) if res else v
+                sub = enc_v.reshape(len(v), mm, dsub)
+                codes = np.empty((len(v), mm), dtype=np.int64)
+                for j in range(mm):
+                    d2 = ((sub[:, j, None, :] - Cb[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        # position -> the centroid's actual ID (deterministic
+                        # centroids carry source vec_ids, NOT 0..C-1 — probes
+                        # and partition dirs key on the id)
+                        "centroid_id": ids_of_pos[nearest],
+                        "codes": list(codes),
+                    }
+                )
+
+        return emb.select(id_col, vec_col).mapInPandas(
+            enc, schema=f"{id_col} long, centroid_id long, codes array<long>"
+        )
+
+    @staticmethod
+    def build(
+        emb: DataFrame,
+        path: str,
+        num_centroids: int = 8,
+        m: int = 4,
+        ksub: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroids: "str | DataFrame" = "deterministic",
+        residual: bool = False,
+    ) -> "IVFPQIndex":
+        import pandas as pd
+
+        spark = emb.sparkSession
+        cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        if residual:
+            C, _dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+        else:
+            C, _dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+        cb_rows = pd.DataFrame(
+            [
+                {"subspace": j, "code": kk, "center_vec": [float(x) for x in C[j, kk]]}
+                for j in range(m)
+                for kk in range(ksub)
+            ]
+        )
+        spark.createDataFrame(
+            cb_rows, schema="subspace long, code long, center_vec array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+        from kadiyadb_spark.manifest import GenLog
+
+        log = GenLog(spark, path)
+        mm = log.read()
+        live = f"codes-g{mm['gen'] + 1:06d}"
+        coded = IVFPQIndex._encode(emb, cents, C, id_col, vec_col, residual)
+        (
+            coded.repartition(num_centroids, "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/{live}")
+        )
+        log.commit(
+            {
+                "live": live,
+                "params": {
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "m": m,
+                    "ksub": ksub,
+                    "residual": residual,
+                },
+            },
+            mm["gen"],
+        )
+        idx = IVFPQIndex(spark, path)
+        idx._gc_data_dirs(keep=live)
+        return idx
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/centroids")
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(self._live())
+
+    def add(self, emb: DataFrame) -> None:
+        """LSM append against the FROZEN centroids + codebooks (bucket
+        membership and code meaning must stay stable; retrain = rebuild).
+        Cost ∝ batch; compact folds the small files and drops replayed
+        duplicates."""
+        cents = self.centroids()
+        n = cents.count()
+        coded = IVFPQIndex._encode(
+            emb, cents, self._codebooks(), self.id_col, self.vec_col, self.residual
+        )
+        (
+            coded.repartition(int(n), "centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(self._live())
+        )
+
+    def compact(self) -> None:
+        log = self._log()
+        m = log.read()
+        live = self._live()
+        new = f"codes-g{m['gen'] + 1:06d}"
+        n = self.centroids().count()
+        (
+            self.spark.read.parquet(live)
+            .distinct()
+            .repartition(int(n), "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/{new}")
+        )
+        log.commit({**m, "live": new}, m["gen"])
+        self._gc_data_dirs(keep=new)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """ADC over the probed buckets' codes — identical results to
+        ivfpq_topk with the same centroid/codebook strategy (same rounded-
+        rank tie-break); the scan touches codes only, partition-pruned to
+        the probed centroid dirs."""
+        import numpy as np
+        import pandas as pd
+
+        C = self._codebooks()
+        c_ids, cn = _centroid_arrays(self.centroids())
+        cid2, craw = _collect_matrix(self.centroids(), "centroid_id", "centroid_vec")
+        craw = craw[np.argsort(cid2)]
+        q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
+        qn_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qc = qn_unit @ cn.T
+        probed = [c_ids[np.lexsort((c_ids, -qc[j]))[:nprobe]] for j in range(len(q_ids))]
+        union_ids = sorted({int(c) for p in probed for c in p})
+        probe_sets = [set(int(c) for c in p) for p in probed]
+        mm = self.m
+        dsub = C.shape[2]
+        T = np.einsum("qjd,jkd->qjk", q.reshape(len(q_ids), mm, dsub), C)
+        n2 = (C**2).sum(axis=2)
+        qnorm = np.linalg.norm(q, axis=1)
+        if self.residual:
+            B = np.einsum("bjd,jkd->bjk", craw.reshape(len(craw), mm, dsub), C)
+            cnorm2 = (craw**2).sum(axis=1)
+            qc_raw = q @ craw.T
+        else:
+            B = cnorm2 = qc_raw = None
+        bc = self.spark.sparkContext.broadcast(
+            (q_ids, probe_sets, T, n2, qnorm, B, cnorm2, qc_raw, self.residual, c_ids)
+        )
+        id_col = self.id_col
+
+        def adc(batches):
+            qi, probes, Tt, nn2, qno, Bb, cn2, qcr, res, ids_sorted = bc.value
+            cols = np.arange(mm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                ids = pdf[id_col].to_numpy()
+                buckets = pdf["centroid_id"].to_numpy()
+                if res:
+                    # bucket column carries centroid IDs; the residual cross
+                    # tables are POSITION-indexed (id-ascending) — map back
+                    pos = np.searchsorted(ids_sorted, buckets)
+                    rn2 = (
+                        cn2[pos]
+                        + 2.0 * Bb[pos[:, None], cols[None, :], codes].sum(axis=1)
+                        + nn2[cols, codes].sum(axis=1)
+                    )
+                    rnorm = np.sqrt(np.maximum(rn2, 1e-300))
+                else:
+                    rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))
+                parts = []
+                for j in range(len(qi)):
+                    hit = np.isin(buckets, list(probes[j]))
+                    if not hit.any():
+                        continue
+                    adot = Tt[j][cols, codes[hit]].sum(axis=1)
+                    if res:
+                        adot = adot + qcr[j, pos[hit]]
+                    s = np.floor(adot / (qno[j] * rnorm[hit]) * 10000 + 0.5) / 10000
+                    hids = ids[hit]
+                    order = np.lexsort((hids, -s))[:k]
+                    parts.append(
+                        pd.DataFrame({query_id_col: qi[j], id_col: hids[order], "_cos": s[order]})
+                    )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+        scan = self.codes().filter(F.col("centroid_id").isin(union_ids))
+        scored = scan.select(id_col, "codes", "centroid_id").mapInPandas(
+            adc, schema=f"{query_id_col} long, {id_col} long, _cos double"
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                query_id_col,
+                id_col,
+                F.col("rank").cast("long").alias("rank"),
+                round4_expr(F.col("_cos")).alias("approx_cos"),
+            )
+        )

