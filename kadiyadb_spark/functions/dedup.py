@@ -165,13 +165,41 @@ def lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key): docs
-    agreeing on ALL hashes of any band become a candidate pair (a < b)."""
+    agreeing on ALL hashes of any band become a candidate pair (a < b).
+
+    ``max_bucket`` is the 100 TB skew valve: a boilerplate-heavy corpus
+    puts millions of near-identical docs into ONE band bucket, and
+    all-pairs there is quadratic (10M docs -> 5*10^13 pairs through one
+    join key — the job never finishes). Buckets larger than ``max_bucket``
+    switch to STAR pairing: every member pairs with the bucket's min id
+    only (n-1 pairs, linear). The trade, stated precisely: downstream
+    connected-components clustering is UNCHANGED (a bucket's star keeps it
+    connected, so cluster membership is identical), but the raw pair LIST
+    loses non-min-adjacent pairs whose similarity the verify step would
+    have had to score anyway — in an oversized bucket those are
+    overwhelmingly true duplicates of each other. Default None (exact
+    all-pairs) keeps the oracle-gated semantics."""
     banded = banded_signatures(sigs, id_col, bands, rows_per_band)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    if max_bucket is None:
+        small, big = banded, None
+    else:
+        stats = banded.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("_n"), F.min(id_col).alias("_min")
+        )
+        tagged = banded.join(stats, ["band_idx", "band_key"])
+        small = tagged.filter(F.col("_n") <= max_bucket).select(
+            id_col, "band_idx", "band_key"
+        )
+        big = (
+            tagged.filter((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_min")))
+            .select(F.col("_min").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = (
         a.join(
             b,
             on=[
@@ -181,8 +209,10 @@ def lsh_candidates(
             ],
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if big is not None:
+        pairs = pairs.unionByName(big)
+    return pairs.distinct()
 
 
 def jaccard_pairs(
@@ -231,9 +261,12 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_k: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band-bucket
-    join -> exact-Jaccard verify -> threshold.
+    join -> exact-Jaccard verify -> threshold. ``max_bucket`` caps oversized
+    band buckets with star pairing (see lsh_candidates) — set it on
+    boilerplate-heavy corpora where one bucket would go quadratic.
 
     The shingle table is computed ONCE and persisted (memory-and-disk):
     the LSH self-join and the two Jaccard join sides would otherwise each
@@ -246,7 +279,7 @@ def minhash_near_duplicates(
     sigs = minhash_signature_from_shingles(sh, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidates(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidates(sigs, id_col, bands, rows_per_band, max_bucket=max_bucket)
     jac = jaccard_pairs(df, cands, text_col, id_col, shingle_k, sh=sh)
     return jac.filter(F.col("jaccard") >= threshold)
 

@@ -1182,3 +1182,27 @@ def test_ivfpq_index_matches_one_shot_operator(spark, tmp_path):
     # open-by-path recovers params
     reopened = SIM.IVFPQIndex(spark, str(tmp_path / "inc"))
     assert (reopened.m, reopened.ksub, reopened.residual) == (2, 8, False)
+
+
+def test_lsh_max_bucket_star_pairing_preserves_clusters(spark):
+    """With a bucket over the cap, star pairing emits n-1 pairs instead of
+    n(n-1)/2, yet connected-components clustering is identical — the valve
+    trades pair-list completeness, never cluster membership."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(6)]
+        + [Row(doc_id=100, text="entirely different content about planets and moons")]
+    )
+    exact = D.minhash_near_duplicates(docs, num_hashes=8, bands=4, threshold=0.3)
+    capped = D.minhash_near_duplicates(
+        docs, num_hashes=8, bands=4, threshold=0.3, max_bucket=3
+    )
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact == 15  # all-pairs of the 6 identical docs
+    assert n_capped == 5  # star: (0, other) for the 5 others
+    ce = {r.node: r.cluster_id for r in D.connected_components(exact.select("id_a", "id_b")).collect()}
+    cc = {r.node: r.cluster_id for r in D.connected_components(capped.select("id_a", "id_b")).collect()}
+    assert ce == cc == {i: 0 for i in range(6)}
+    # under-cap buckets unaffected: cap larger than any bucket == exact
+    same = D.minhash_near_duplicates(docs, num_hashes=8, bands=4, threshold=0.3, max_bucket=50)
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, exact.collect()))
