@@ -1863,6 +1863,26 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, num_shards=8).select("doc_id", "shard", "pos")
 
 
+def q_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard materialization, end to end: write the corpus as 8
+    deterministically-shuffled shards with an atomic stats-carrying
+    manifest commit, then return the COMMITTED per-shard stats (read from
+    the manifest, not recomputed) — so the oracle's SQL recount gates the
+    whole write+commit path (functions/packing.py:write_shards)."""
+    import tempfile
+
+    from kadiyadb_spark.functions import packing as PK
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="kdb_shards_")
+    PK.write_shards(docs, f"{tmp}/shards", num_shards=8)
+    stats = PK.shard_stats(spark, f"{tmp}/shards")
+    return spark.createDataFrame(
+        [(int(s["shard"]), int(s["n_rows"])) for s in stats],
+        "shard long, n_rows long",
+    )
+
+
 def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus -> training-ready sequences, end to end: exact dedup (content
     hash, keep min id) -> quality floor -> concat-and-chunk packing into
@@ -2159,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_chunk": q_text_chunk,
         "sim_ivfpq_search": q_sim_ivfpq_search,
+        "shard_writer": q_shard_writer,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -3037,6 +3058,16 @@ WITH k AS (
 SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
        CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
 FROM k
+"""
+
+    o["shard_writer"] = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+  FROM documents
+)
+SELECT CAST(skey % 8 AS BIGINT) AS shard, count(*) AS n_rows
+FROM k GROUP BY 1
 """
 
     o["skew_salted_agg"] = """

@@ -141,3 +141,92 @@ def pack_chunks(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def write_shards(
+    df,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+):
+    """The LAST MILE: materialize a training-ready table as numbered shards
+    with an atomic, stats-carrying commit. Shard assignment is the
+    deterministic md5 permutation (sampling.deterministic_shuffle), rows
+    ordered by their shuffle position within each shard — so a trainer
+    streams shard files in order and gets the reproducible global shuffle,
+    and re-running the writer reproduces the bytes.
+
+    Storage contract (same GenLog protocol as the indexes/cube): data
+    stages invisibly under ``shard-data-g<N>/shard=S/``, then ONE manifest
+    commit publishes the generation together with per-shard row/token
+    counts — a crashed write leaves the previous generation fully
+    readable, and the recorded stats can never disagree with the data they
+    describe. One shuffle total (repartition by shard + sortWithinPartitions
+    rides it).
+
+    Returns the committed per-shard stats as a list of dicts
+    (shard, n_rows). Use ``read_shards`` for the data."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.functions.sampling import deterministic_shuffle
+    from kadiyadb_spark.manifest import GenLog
+
+    spark = df.sparkSession
+    log = GenLog(spark, path)
+    m = log.read()
+    live = f"shard-data-g{m['gen'] + 1:06d}"
+    addressed = deterministic_shuffle(df, num_shards, id_col=id_col, salt=salt)
+    (
+        addressed.repartition(num_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(HadoopFS.join(path, live))
+    )
+    # stats from the STAGED data (what will be committed), tiny: one row
+    # per shard
+    stats = [
+        {"shard": int(r["shard"]), "n_rows": int(r["n"])}
+        for r in spark.read.parquet(HadoopFS.join(path, live))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    stats.sort(key=lambda s: s["shard"])
+    log.commit(
+        {"live": live, "num_shards": num_shards, "salt": salt, "shards": stats},
+        m["gen"],
+    )
+    fs = HadoopFS(spark, path)
+    for name in fs.listdir(path):
+        if name.startswith("shard-data") and name != live:
+            fs.delete(HadoopFS.join(path, name))
+    return stats
+
+
+def read_shards(spark, path: str, shard: int | None = None):
+    """Committed view of a shard store; ``shard`` filters to one shard's
+    directory (partition-pruned)."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+
+    m = GenLog(spark, path).read()
+    if m["gen"] < 0:
+        raise FileNotFoundError(f"no committed shards at {path}")
+    df = spark.read.parquet(HadoopFS.join(path, m["live"]))
+    return df if shard is None else df.filter(F.col("shard") == shard)
+
+
+def shard_stats(spark, path: str):
+    """The per-shard stats recorded at commit time (manifest-resolved; no
+    data scan)."""
+    from kadiyadb_spark.manifest import GenLog
+
+    m = GenLog(spark, path).read()
+    if m["gen"] < 0:
+        raise FileNotFoundError(f"no committed shards at {path}")
+    return m["shards"]

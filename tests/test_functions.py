@@ -1206,3 +1206,35 @@ def test_lsh_max_bucket_star_pairing_preserves_clusters(spark):
     # under-cap buckets unaffected: cap larger than any bucket == exact
     same = D.minhash_near_duplicates(docs, num_hashes=8, bands=4, threshold=0.3, max_bucket=50)
     assert sorted(map(tuple, same.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_write_shards_atomic_and_reproducible(spark, tmp_path):
+    from kadiyadb_spark.functions import packing as PK
+    from kadiyadb_spark.manifest import GenLog
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"doc {i}") for i in range(40)])
+    path = str(tmp_path / "shards")
+    stats = PK.write_shards(docs, path, num_shards=4)
+    assert sum(s["n_rows"] for s in stats) == 40
+    assert PK.shard_stats(spark, path) == stats
+    all_rows = PK.read_shards(spark, path)
+    assert all_rows.count() == 40
+    one = PK.read_shards(spark, path, shard=stats[0]["shard"])
+    assert one.count() == stats[0]["n_rows"]
+    # deterministic: a rewrite commits identical stats (and a new generation)
+    stats2 = PK.write_shards(docs, path, num_shards=4)
+    assert stats2 == stats
+    # atomicity: crash before commit leaves the previous generation readable
+    real_commit = GenLog.commit
+
+    def exploding(self, m, prev_gen):
+        raise RuntimeError("injected crash before shard commit")
+
+    GenLog.commit = exploding
+    try:
+        with pytest.raises(RuntimeError):
+            PK.write_shards(docs.limit(10), path, num_shards=4)
+    finally:
+        GenLog.commit = real_commit
+    assert PK.read_shards(spark, path).count() == 40  # old gen intact
+    assert PK.shard_stats(spark, path) == stats
