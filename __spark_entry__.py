@@ -1457,6 +1457,43 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_hashed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free retrieval pipeline, end to end: chunk the corpus
+    (overlapping 16/12 windows), vectorize chunks AND queries with the
+    hashing trick (64-bucket md5 bag-of-words, L2-normalized — no fitted
+    model to ship), brute-force cosine, rank top-5 per query on the
+    4dp-ROUNDED score (identical-content chunks tie exactly and fall to
+    the id tie-break on both engines — same device as the PQ rankers).
+    Docs 0-2 play the queries; chunks of docs >= 10 are the corpus.
+    Scale: scores via the broadcast-query numpy matmul kernel; the hashing
+    and chunking are map-side; one ranking shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    chunks = TX.chunk_documents(docs.filter(F.col("doc_id") >= 10), 16, 12).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("vec_id"),
+        F.col("chunk").alias("text"),
+    )
+    base = TX.hashed_bow(chunks, dim=64, id_col="vec_id")
+    queries = TX.hashed_bow(
+        docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        dim=64,
+        id_col="query_id",
+    ).select("query_id", F.col("embedding").alias("query_vec"))
+    scored = SIM.cosine_scores_pandas(base, queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select("query_id", "vec_id", round4_expr(F.col("_cos")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
 def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicate-span removal (C4's curation step, fixed
     10-word spans standing in for sentence units): each distinct span
@@ -2180,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": q_text_chunk,
         "sim_ivfpq_search": q_sim_ivfpq_search,
         "shard_writer": q_shard_writer,
+        "rag_hashed_retrieval": q_rag_hashed_retrieval,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -3205,6 +3243,51 @@ c AS (
 SELECT doc_id, chunk_idx, array_to_string(w, ' ') AS chunk,
        CAST(len(w) AS BIGINT) AS n_tokens
 FROM c
+"""
+
+    o["rag_hashed_retrieval"] = """
+WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id >= 10),
+chunks AS (
+  SELECT doc_id*1000 + CAST(i AS BIGINT) AS vec_id,
+         array_to_string(tk[(i*12+1):(i*12+16)], ' ') AS chunk
+  FROM toks0, unnest(range(CAST(greatest(1, ceil(len(tk)/12.0)) AS BIGINT))) AS t(i)
+  WHERE i*12 < len(tk) AND (i = 0 OR (i-1)*12 + 16 < len(tk))
+),
+cb AS (
+  SELECT vec_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT vec_id, unnest(string_split(lower(chunk), ' ')) AS tok FROM chunks)
+  WHERE tok <> '' GROUP BY 1, 2
+),
+qb AS (
+  SELECT doc_id AS query_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE doc_id < 3)
+  WHERE tok <> '' GROUP BY 1, 2
+),
+cn AS (SELECT vec_id, sqrt(sum(c*c)) AS n FROM cb GROUP BY vec_id),
+qn AS (SELECT query_id, sqrt(sum(c*c)) AS n FROM qb GROUP BY query_id),
+dots AS (
+  SELECT q.query_id, v.vec_id, sum(q.c * v.c) AS d
+  FROM qb q JOIN cb v ON q.b = v.b GROUP BY 1, 2
+),
+allpairs AS (
+  SELECT q.query_id, v.vec_id
+  FROM (SELECT DISTINCT query_id FROM qb) q CROSS JOIN (SELECT DISTINCT vec_id FROM cb) v
+),
+cosd AS (
+  SELECT a.query_id, a.vec_id,
+         floor((COALESCE(d.d, 0) / (qn.n * cn.n)) * 10000 + 0.5) / 10000 AS cosine
+  FROM allpairs a
+  LEFT JOIN dots d ON a.query_id = d.query_id AND a.vec_id = d.vec_id
+  JOIN qn ON a.query_id = qn.query_id JOIN cn ON a.vec_id = cn.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+       cosine
+FROM cosd
+QUALIFY rank <= 5
 """
 
     o["text_boilerplate"] = """

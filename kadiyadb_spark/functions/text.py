@@ -694,3 +694,53 @@ def span_dedup(
             F.count("*").alias("n_spans_kept"),
         )
     )
+
+
+def hashed_bow(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing bag-of-words (the hashing trick, Weinberger et al.
+    2009): every token hashes into one of ``dim`` buckets; a document's
+    vector is its L2-normalized bucket-count histogram. The model-free
+    text->vector step — deterministic, vocabulary-free (no fitted
+    dictionary to ship), and engine-reproducible (md5 bucket hash), so the
+    SQL oracle can rebuild the exact vectors. Composes with the sim_*
+    operators for lexical similarity search and with chunk_documents for a
+    retrieval pipeline.
+
+    Output: (id, embedding array<double>) with |embedding| = 1 (all-empty
+    docs yield the zero vector).
+
+    Shape: explode tokens -> ONE groupBy(doc, bucket) count (partial
+    map-side combine) -> ONE groupBy(doc) assembling the dense array from
+    the (bucket, count) entries via map lookup over a dim-length sequence.
+    Two doc-keyed shuffles, both corpus-linear; dim stays a projection
+    width, never a join."""
+    toks = tokens_expr(F.col(text_col))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .select(id_col, bucket.alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    assembled = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, v: a + v * v))
+    return assembled.select(
+        id_col,
+        F.when(
+            norm > 0, F.transform(dense, lambda v: v / norm)
+        ).otherwise(dense).alias("embedding"),
+    )
