@@ -320,3 +320,56 @@ def test_p11_sample_per_group_exact_quota(spark, rows, k):
     for g, members in groups.items():
         assert len(got.get(g, set())) == min(k, len(members))
         assert got.get(g, set()) <= members
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    stride_delta=st.integers(min_value=1, max_value=11),
+)
+@SETTINGS
+def test_p7_chunking_covers_every_token_in_order(spark, n_tokens, chunk, stride_delta):
+    """Every token appears in some chunk, order is preserved, and
+    concatenating each chunk's first `stride` tokens (plus the last chunk's
+    tail) reconstructs the document exactly — no token lost or duplicated
+    outside the declared overlap."""
+    from kadiyadb_spark.functions import text as TX
+
+    stride = min(stride_delta, chunk)  # stride <= chunk (overlapping windows)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([Row(doc_id=0, text=" ".join(toks))])
+    rows = sorted(
+        TX.chunk_documents(df, chunk_words=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert rows[0].chunk_idx == 0
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    rebuilt = []
+    for i, r in enumerate(rows):
+        words = r.chunk.split(" ")
+        assert r.n_tokens == len(words)
+        start = r.chunk_idx * stride
+        assert words == toks[start : start + chunk]  # window content exact
+        rebuilt.extend(words if i == len(rows) - 1 else words[:stride])
+    # the last chunk may re-cover tokens earlier chunks already emitted
+    assert rebuilt[: len(toks)] == toks or rebuilt == toks
+    covered = {w for r in rows for w in r.chunk.split(" ")}
+    assert covered == set(toks)
+
+
+def test_genlog_commit_race_raises(spark, tmp_path):
+    """Two writers committing over the same base generation: the second
+    must RAISE (lost race), never silently clobber — the single-writer
+    assumption is enforced, not assumed."""
+    from kadiyadb_spark.manifest import GenLog
+
+    log = GenLog(spark, str(tmp_path / "log"))
+    m = log.read()
+    log.commit({"live": "a"}, m["gen"])
+    with pytest.raises(RuntimeError):
+        log.commit({"live": "b"}, m["gen"])  # same prev_gen: race lost
+    assert log.read()["live"] == "a"
+    # the winner's successor commit proceeds normally
+    m2 = log.read()
+    log.commit({"live": "c"}, m2["gen"])
+    assert log.read()["live"] == "c"
