@@ -122,6 +122,38 @@ def q_fetch_rollup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(r, ["total"])
 
 
+def q_fetch_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta()/rate() over the dense wildcard fetch — the counter math every
+    metrics engine layers on a store like the reference's: per-series slot
+    difference and per-second rate, null on each series' first slot. Both
+    engines difference the 4dp-ROUNDED totals, so the window arithmetic is
+    bit-identical (query.py:series_delta; one series-keyed window shuffle)."""
+    from kadiyadb_spark.query import series_delta
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_delta(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], resolution=RES
+    )
+
+
+def q_fetch_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior zero-fill gaps in the dense fetch:
+    cnt=0 slots between two observed slots get the line between them;
+    leading/trailing gaps keep the zero-fill (nothing to anchor). Two
+    ignoreNulls window passes over ONE (series, bucket) sort
+    (query.py:interpolate_series)."""
+    from kadiyadb_spark.query import interpolate_series
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return interpolate_series(
+        r.select("f1", "f2", "bucket", "total", "cnt"), ["f1", "f2"]
+    )
+
+
 def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range straddling an epoch boundary -> rows from two epochs."""
     b = T0 + 3600 * SEC  # epoch boundary at 01:00
@@ -2218,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_search": q_sim_ivfpq_search,
         "shard_writer": q_shard_writer,
         "rag_hashed_retrieval": q_rag_hashed_retrieval,
+        "fetch_rate": q_fetch_rate,
+        "fetch_interpolate": q_fetch_interpolate,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -2542,6 +2576,45 @@ FROM cube1
     o["fetch_exact"] = _fetch_oracle("click", "7", T0, T_END, 2)
     o["fetch_wildcard"] = _fetch_oracle("click", "*", WEEK0, WEEK1, 2)
     o["fetch_rollup_prefix"] = _fetch_oracle("purchase", None, WEEK0, WEEK1, 1)
+    o["fetch_rate"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+d AS (
+  SELECT f1, f2, bucket, total,
+         total - lag(total) OVER (PARTITION BY f1, f2 ORDER BY bucket) AS delta
+  FROM base
+)
+SELECT f1, f2, bucket, total,
+       floor((delta) * 10000 + 0.5) / 10000 AS delta,
+       floor((delta / 60.0) * 10000 + 0.5) / 10000 AS rate_per_sec
+FROM d
+"""
+    o["fetch_interpolate"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, total, cnt FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+anch AS (
+  SELECT f1, f2, bucket, cnt, total,
+         last_value(CASE WHEN cnt > 0 THEN bucket END IGNORE NULLS)
+           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+         last_value(CASE WHEN cnt > 0 THEN total END IGNORE NULLS)
+           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         first_value(CASE WHEN cnt > 0 THEN bucket END IGNORE NULLS)
+           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+         first_value(CASE WHEN cnt > 0 THEN total END IGNORE NULLS)
+           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM base
+)
+SELECT f1, f2, bucket, cnt,
+       floor((total) * 10000 + 0.5) / 10000 AS total,
+       floor((CASE WHEN cnt > 0 THEN total
+                   WHEN pb IS NOT NULL AND nb IS NOT NULL
+                        THEN pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+                   ELSE total END) * 10000 + 0.5) / 10000 AS interpolated,
+       (cnt = 0) AS was_gap
+FROM anch
+"""
     b = T0 + 3600 * SEC
     o["fetch_boundary"] = _fetch_oracle("click", "*", b - RES, b + RES, 2)
 

@@ -175,3 +175,84 @@ def rollup_at_read(cube: DataFrame, to_depth: int, max_depth: int) -> DataFrame:
             S.CNT,
         )
     )
+
+
+def series_delta(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Per-series difference and rate over consecutive slots — the
+    delta()/rate() every metrics engine offers over what the reference
+    stores (pre-aggregated per-slot totals). delta = total - lag(total)
+    ordered by bucket within each series path (null on each series' first
+    slot, where no predecessor exists); rate = delta per second
+    (resolution is ns). ONE shuffle: the window partitions by the series
+    path — at 100 TB this is the same key the cube is already clustered
+    by, and slots-per-series is bounded by the fetch range, so no
+    partition skew."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    delta = F.col(total_col) - F.lag(total_col).over(w)
+    return df.select(
+        *series_cols,
+        bucket_col,
+        total_col,
+        round4_expr(delta).alias("delta"),
+        round4_expr(delta / F.lit(resolution / 1e9)).alias("rate_per_sec"),
+    )
+
+
+def interpolate_series(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Linear interpolation of INTERIOR gaps in a dense zero-filled fetch
+    frame: slots with cnt = 0 lying between two observed slots of the same
+    series get the linearly interpolated total; leading/trailing gaps keep
+    the zero-fill (no observation to anchor the line — the reference's
+    zero-fill is the honest value there). Observed slots pass through
+    unchanged.
+
+    Shape: two window passes over the SAME (series, bucket) ordering —
+    last-observed-before (ignoreNulls last) and first-observed-after
+    (ignoreNulls first) — so Spark plans ONE sort+shuffle and both frames
+    ride it. No joins, no self-merge."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    obs = F.when(F.col(cnt_col) > 0, F.struct(F.col(bucket_col).alias("b"), F.col(total_col).alias("v")))
+    w_prev = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    frac = (F.col(bucket_col) - prev["b"]).cast("double") / (nxt["b"] - prev["b"]).cast("double")
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * frac
+    filled = F.when(F.col(cnt_col) > 0, F.col(total_col)).otherwise(
+        F.when(prev.isNotNull() & nxt.isNotNull(), interp).otherwise(F.col(total_col))
+    )
+    return df.select(
+        *series_cols,
+        bucket_col,
+        F.col(cnt_col),
+        round4_expr(F.col(total_col)).alias(total_col),
+        round4_expr(filled).alias("interpolated"),
+        (F.col(cnt_col) == 0).cast("boolean").alias("was_gap"),
+    )

@@ -311,3 +311,36 @@ def test_write_path_unparseable_string_ts_rows_are_dropped(spark):
     rows = cube.collect()
     assert rows and all(r["bucket"] is not None for r in rows)
     assert {r["total"] for r in rows} == {1.0}  # the bad row's value leaked nowhere
+
+
+def test_series_delta_and_interpolation_goldens(spark):
+    """Hand-computed: series a has slots [10, 0(gap), 0(gap), 40]; deltas
+    difference CONSECUTIVE slots; interpolation draws the line across the
+    interior gaps; leading/trailing gaps keep zero-fill."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.query import interpolate_series, series_delta
+
+    rows = [
+        Row(f1="a", bucket=0, total=10.0, cnt=1.0),
+        Row(f1="a", bucket=60, total=0.0, cnt=0.0),
+        Row(f1="a", bucket=120, total=0.0, cnt=0.0),
+        Row(f1="a", bucket=180, total=40.0, cnt=2.0),
+        Row(f1="b", bucket=0, total=0.0, cnt=0.0),   # leading gap
+        Row(f1="b", bucket=60, total=6.0, cnt=1.0),
+        Row(f1="b", bucket=120, total=0.0, cnt=0.0),  # trailing gap
+    ]
+    df = spark.createDataFrame(rows)
+    d = {(r.f1, r.bucket): (r.delta, r.rate_per_sec)
+         for r in series_delta(df, ["f1"], resolution=60 * 10**9).collect()}
+    assert d[("a", 0)] == (None, None)
+    assert d[("a", 60)] == (-10.0, round(-10.0 / 60, 4))
+    assert d[("a", 180)] == (40.0, round(40.0 / 60, 4))
+    i = {(r.f1, r.bucket): (r.interpolated, r.was_gap)
+         for r in interpolate_series(df, ["f1"]).collect()}
+    assert i[("a", 0)] == (10.0, False)
+    assert i[("a", 60)] == (20.0, True)   # 10 + (40-10) * 1/3
+    assert i[("a", 120)] == (30.0, True)  # 10 + (40-10) * 2/3
+    assert i[("a", 180)] == (40.0, False)
+    assert i[("b", 0)] == (0.0, True)     # leading gap: zero-fill kept
+    assert i[("b", 120)] == (0.0, True)   # trailing gap: zero-fill kept
