@@ -154,6 +154,19 @@ def q_fetch_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg_over_time: trailing 5-slot moving average per series over the
+    dense fetch — the dashboard smoothing pass; one series-keyed window
+    (query.py:series_smooth), averaging the 4dp-rounded totals in frame
+    order on both engines."""
+    from kadiyadb_spark.query import series_smooth
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_smooth(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 5)
+
+
 def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range straddling an epoch boundary -> rows from two epochs."""
     b = T0 + 3600 * SEC  # epoch boundary at 01:00
@@ -2252,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_hashed_retrieval": q_rag_hashed_retrieval,
         "fetch_rate": q_fetch_rate,
         "fetch_interpolate": q_fetch_interpolate,
+        "fetch_smooth": q_fetch_smooth,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -2590,6 +2604,16 @@ SELECT f1, f2, bucket, total,
        floor((delta / 60.0) * 10000 + 0.5) / 10000 AS rate_per_sec
 FROM d
 """
+    o["fetch_smooth"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+)
+SELECT f1, f2, bucket, total,
+       floor((avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS smoothed
+FROM base
+"""
+
     o["fetch_interpolate"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total, cnt FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

@@ -256,3 +256,33 @@ def interpolate_series(
         round4_expr(filled).alias("interpolated"),
         (F.col(cnt_col) == 0).cast("boolean").alias("was_gap"),
     )
+
+
+def series_smooth(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int = 5,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """Trailing moving average over the last ``window_slots`` slots per
+    series (avg_over_time): the smoothing pass dashboards apply to noisy
+    per-slot totals. Windows shorter than ``window_slots`` at a series'
+    start average what exists (standard trailing-window semantics). Same
+    single series-keyed sort/shuffle as series_delta — compose them and
+    Spark rides one Exchange."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-(window_slots - 1), 0)
+    )
+    return df.select(
+        *series_cols,
+        bucket_col,
+        round4_expr(F.col(total_col)).alias(total_col),
+        round4_expr(F.avg(total_col).over(w)).alias("smoothed"),
+    )
