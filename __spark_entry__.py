@@ -1048,6 +1048,224 @@ def q22_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each mid-size STANDARD part, the supplier(s)
+    offering the minimum unit cost, decorated with supplier/nation. The
+    fixture has no partsupp table, so unit cost is the MIN observed
+    lineitem unit price (l_extendedprice / l_quantity) per
+    (part, supplier) — MIN of per-row doubles (not AVG) keeps the
+    correlated-aggregate equality exact across engines. The correlated
+    min-per-part scalar subquery decorrelates to an agg + broadcast join
+    (Catalyst's own strategy); part/supplier/nation all broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(
+            round4_expr(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("bk")).agg(F.min("unit_cost").alias("best_cost"))
+    r = (
+        cost.join(
+            F.broadcast(best),
+            (cost["p_partkey"] == best["bk"]) & (cost["unit_cost"] == best["best_cost"]),
+        )
+        .join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        r.select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count the quarter's orders
+    having at least one late line item. The fixture has no commit/receipt
+    dates, so "late" is shipped >= 30 days after the order date; the EXISTS
+    stays a left-semi join with the correlated predicate in the join
+    condition (no pre-agg, no row explosion). Order-date filter pushes to
+    the orders scan before the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] >= F.date_add(o["o_orderdate"], 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (nation, year) for parts matching a name
+    fragment. No partsupp/ps_supplycost in the fixture, so per-unit cost is
+    proxied as 60% of p_retailprice — the join topology under test is
+    unchanged: name-filtered part broadcast into lineitem, supplier→nation
+    broadcast, the big-big lineitem⋈orders shuffle join for the order year,
+    then one agg shuffle on (nation, year)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(round4_expr(F.sum(amount)).alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's suppliers,
+    kept when it exceeds a global-fraction scalar subquery. No partsupp, so
+    value is the summed extended price of the nation's shipments of that
+    part. All money in the fixture is exact cents, so both sums are done in
+    integer cents and the HAVING is the integer cross-multiplication
+    value_cents * 1000 > total_cents (0.1% fraction) — exact, no FP
+    boundary flake. One agg shuffle; the scalar total broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("_cents"))
+    )
+    total = per.agg(F.sum("_cents").alias("_total"))
+    return (
+        per.join(F.broadcast(total), per["_cents"] * 1000 > total["_total"])
+        .select("l_partkey", (F.col("_cents") / F.lit(100.0)).alias("value"))
+    )
+
+
+def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line-priority counts per shipping class. The fixture
+    has no l_shipmode/commit/receipt dates, so the class is the
+    order-to-ship delay bucket (FAST <= 30 < MEDIUM <= 90 < SLOW days); the
+    CASE-sum pivot over the big-big orders join is the shape under test.
+    Ship-date year filter pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(delay > 90, F.lit("SLOW")).when(delay > 30, F.lit("MEDIUM")).otherwise(F.lit("FAST"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_class")).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can supply each
+    (brand, type, size), with a NOT IN supplier exclusion. The
+    part-supplier relation is derived from observed lineitem shipments (no
+    partsupp table); the complaints exclusion is proxied by negative
+    account balance. The NOT IN becomes a broadcast anti join before the
+    part join; one shuffle for the distinct-count agg."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    rel = li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    return (
+        rel.join(F.broadcast(p), rel["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a significant share of promotable
+    stock — here, suppliers whose 1997 shipments of 'small %' parts beat
+    1.5x the cross-supplier average, decorated with nation. The aggregate
+    scalar subquery keeps Q20's correlated-threshold form; quantities are
+    whole numbers, so the comparison is the exact integer
+    cross-multiplication 2 * qty * n_suppliers > 3 * total_qty."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+    tot = per.agg(
+        F.sum("sum_qty").alias("_total"), F.count("*").cast("long").alias("_n")
+    )
+    return (
+        per.join(F.broadcast(tot), 2 * per["sum_qty"] * tot["_n"] > 3 * tot["_total"])
+        .join(F.broadcast(s), per["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name", "sum_qty")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole late shipper on a
+    multi-supplier finalized order — EXISTS (another supplier shipped on the
+    order) AND NOT EXISTS (another supplier shipped late). Late = shipped
+    60+ days after the order date (no receipt/commit dates in the fixture).
+    The two correlated quantifiers become a semi + anti self-join, both
+    hash joins on the order key with the supplier inequality as a join-side
+    residual; numwait counts late LINES per TPC-H semantics."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    other_late = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    waited = late.join(
+        other, (late["l_orderkey"] == other["k2"]) & (late["l_suppkey"] != other["s2"]), "left_semi"
+    )
+    sole = waited.join(
+        other_late,
+        (waited["l_orderkey"] == other_late["k3"]) & (waited["l_suppkey"] != other_late["s3"]),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
     quarter. Selective order-date + returnflag predicates both push to the
@@ -2266,6 +2484,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_rate": q_fetch_rate,
         "fetch_interpolate": q_fetch_interpolate,
         "fetch_smooth": q_fetch_smooth,
+        # NEW in r06 fourth tranche: the remaining TPC-H query shapes
+        # (adapted to the fixture's slimmed schema — no partsupp/commit/
+        # receipt/shipmode columns; docstrings state each substitution).
+        # All locally oracle-verified (ORACLE_LOCAL.md); rotate into r07.
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_shipmode": q12_shipmode,
+        "q16_supplier_relation": q16_supplier_relation,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -2991,6 +3221,114 @@ WHERE c_acctbal > ab
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
+"""
+
+    o["q2_min_cost_supplier"] = """
+WITH cost AS (
+  SELECT p_partkey, l_suppkey,
+         floor((min(l_extendedprice / l_quantity)) * 10000 + 0.5) / 10000 AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+  GROUP BY p_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM cost c
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE unit_cost = (SELECT min(unit_cost) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+    o["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+    o["q9_product_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       floor((sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity))
+             * 10000 + 0.5) / 10000 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+    o["q11_important_stock"] = """
+WITH per AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS _cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, _cents / 100.0 AS value
+FROM per
+WHERE _cents * 1000 > (SELECT sum(_cents) FROM per)
+"""
+
+    o["q12_shipmode"] = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW'
+            WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN 'MEDIUM'
+            ELSE 'FAST' END AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+    o["q16_supplier_relation"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+    o["q20_potential_promotion"] = """
+WITH per AS (
+  SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, n_name, sum_qty
+FROM per
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * sum_qty * (SELECT count(*) FROM per) > 3 * (SELECT sum(sum_qty) FROM per)
+"""
+
+    o["q21_waiting_suppliers"] = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
 """
 
     o["correlated_subquery"] = """
