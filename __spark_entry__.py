@@ -388,6 +388,53 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-gated: purchases attributed to
+    the same user's clicks within the preceding 30 minutes, both sides
+    live streams through the stateful symmetric hash join (watermark far
+    wider than the data span, so the oracle — a plain batch interval join
+    — sees the identical pair set)."""
+    import os
+    import shutil
+    import tempfile
+
+    from kadiyadb_spark.streaming.ingest import stream_interval_join
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_sjoin_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/events.parquet")
+    actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    left = (
+        spark.readStream.schema(actual)
+        .parquet(f"{tmp}/events")
+        .filter(F.col("event_type") == "purchase")
+    )
+    right = (
+        spark.readStream.schema(actual)
+        .parquet(f"{tmp}/events")
+        .filter(F.col("event_type") == "click")
+    )
+    pairs = stream_interval_join(
+        left, right, ["user_id"], lookback="30 minutes", watermark="90 days"
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{tmp}/out")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("event_id").cast("long").alias("n_purchases"),
+        F.count_distinct("event_id_r").cast("long").alias("n_clicks"),
+    )
+
+
 def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 Expire: persist a cube, drop epoch partitions older than a mid-
     month cutoff (epoch/cache.go:136-156 — there RemoveAll of epoch dirs,
@@ -2496,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_relation": q16_supplier_relation,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "streaming_join": q_streaming_join,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
@@ -2709,6 +2757,18 @@ SELECT event_type, count(*) AS n_events,
        floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
        min(event_id) AS first_event
 FROM events GROUP BY event_type
+"""
+
+    o["streaming_join"] = """
+SELECT l.user_id, count(*) AS n_pairs,
+       count(DISTINCT l.event_id) AS n_purchases,
+       count(DISTINCT r.event_id) AS n_clicks
+FROM events l
+JOIN events r ON l.user_id = r.user_id
+            AND r.ts >= l.ts - INTERVAL 30 MINUTE
+            AND r.ts <= l.ts
+WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+GROUP BY l.user_id
 """
 
     # Closed sessions only: the batch gaps-and-islands sessionization minus

@@ -93,6 +93,59 @@ def stream_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matched to right events
+    sharing ``key_cols`` whose event time falls in
+    [left_ts - lookback, left_ts] — the attribution join (purchase <- the
+    clicks that preceded it) every event pipeline needs.
+
+    Structured Streaming's stateful symmetric hash join does this with
+    BOUNDED state: both sides are watermarked and the interval condition
+    lets the engine compute a state watermark, so buffered rows are evicted
+    once they can no longer match anything (state ~ rows-per-(watermark +
+    lookback) per key, never stream length). The join itself shuffles both
+    streams once, keyed by ``key_cols`` — the same partitioning the state
+    store uses, so matching is partition-local forever after.
+
+    Right-side columns are suffixed with ``right_suffix`` (both sides'
+    ``ts_col`` pass through in their source type); the internal event-time
+    columns are dropped from the output. ``ts_col`` may be long-ns or any
+    timestamp type on either side (normalized at the boundary, like every
+    other streaming path)."""
+    lt = S.ts_ns_expr(left.schema[ts_col].dataType, ts_col)
+    rt = S.ts_ns_expr(right.schema[ts_col].dataType, ts_col)
+    lhs = left.filter(lt.isNotNull()).withColumn(
+        "_lt", F.timestamp_micros(S.ts_us_expr(lt))
+    )
+    rhs = right.filter(rt.isNotNull()).withColumn(
+        "_rt", F.timestamp_micros(S.ts_us_expr(rt))
+    )
+    rhs = rhs.select(
+        [F.col(c).alias(c + right_suffix) for c in right.columns] + [F.col("_rt")]
+    )
+    cond = None
+    for k in key_cols:
+        eq = lhs[k] == rhs[k + right_suffix]
+        cond = eq if cond is None else (cond & eq)
+    cond = (
+        cond
+        & (F.col("_rt") >= F.col("_lt") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("_rt") <= F.col("_lt"))
+    )
+    joined = lhs.withWatermark("_lt", watermark).join(
+        rhs.withWatermark("_rt", watermark), cond, "inner"
+    )
+    return joined.drop("_lt", "_rt")
+
+
 def _windowed_cube_delta(
     events: DataFrame,
     db: Database,

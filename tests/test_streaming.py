@@ -178,11 +178,7 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
             .withWatermark(ts_name, "1 hour")
         )
     views, purchases = side("view", "v_time"), side("purchase", "p_time")
-    joined = purchases.join(
-        views,
-        F2.expr("uid = uid"),  # placeholder replaced below by explicit condition
-        "inner",
-    ) if False else purchases.alias("p").join(
+    joined = purchases.alias("p").join(
         views.alias("v"),
         F2.expr(
             "p.uid = v.uid AND v_time >= p_time - INTERVAL 1 HOUR AND v_time < p_time"
@@ -201,6 +197,70 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r.uid,) for r in spark.sql("SELECT uid FROM ss_join_out").collect()]
     assert got == [("u1",)]
+
+
+def test_stream_interval_join_cross_batch(spark, tmp_path):
+    """stream_interval_join must match pairs whose halves arrive in
+    DIFFERENT micro-batches — only buffered join state can connect a click
+    from batch 1 to its purchase in batch 2 — and must honor the inclusive
+    [ts - lookback, ts] bound exactly."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from kadiyadb_spark.streaming.ingest import stream_interval_join
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.LongType()),
+            T2.StructField("uid", T2.StringType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("eid", T2.LongType()),
+        ]
+    )
+    MIN = 60 * SEC
+    src = str(tmp_path / "src")
+    batch1 = [
+        (B0 + 10 * SEC, "u1", "click", 1),
+        (B0 + 50 * SEC, "u2", "purchase", 2),  # no prior click -> no pair
+        (B0, "u3", "click", 3),
+        (B0, "u4", "click", 4),
+    ]
+    batch2 = [
+        (B0 + 100 * SEC, "u1", "purchase", 5),       # pairs with eid=1 (batch 1)
+        (B0 + 60 * SEC, "u2", "click", 6),           # after u2's purchase -> no pair
+        (B0 + 30 * MIN, "u3", "purchase", 7),        # exactly lookback -> inclusive
+        (B0 + 30 * MIN + SEC, "u4", "purchase", 8),  # past lookback -> no pair
+    ]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(
+            [Row(ts=r[0], uid=r[1], kind=r[2], eid=r[3]) for r in rows], schema
+        ).write.mode("append").parquet(src)
+
+    def stream(kind):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F2.col("kind") == kind)
+        )
+
+    pairs = stream_interval_join(
+        stream("purchase"), stream("click"), ["uid"], lookback="30 minutes", watermark="2 hours"
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.uid, r.eid, r.eid_r)
+        for r in spark.sql("SELECT uid, eid, eid_r FROM ij_out").collect()
+    )
+    assert got == [("u1", 5, 1), ("u3", 7, 3)]
 
 
 def test_ts_us_expr_is_exact_where_double_division_is_not(spark):
