@@ -12,7 +12,8 @@ A manifest names, per epoch, the ordered list of SEGMENT directories holding
 that epoch's delta rows, plus the per-stream applied-batch high-water marks:
 
     {"gen": N, "segments": {"<epoch>": ["segs/<seg>/epoch_p=<E>", ...]},
-     "hwm": {"<stream_id>": <batch_id>}}
+     "hwm": {"<stream_id>": <batch_id>},
+     "stats": {"segs/<seg>/epoch_p=<E>": ["<f1 value>", ...] | null}}
 
 Readers resolve the highest-generation manifest and read exactly the listed
 directories — no directory listing in the read path at all (on object stores
@@ -60,6 +61,7 @@ from kadiyadb_spark.query import fetch as fetch_df
 
 _MANIFEST_PREFIX = "MANIFEST-"
 _KEEP_MANIFESTS = 3  # old generations kept for debugging/readers-in-flight
+_STATS_MAX = 64  # distinct f1 values recorded per (segment, epoch) for data skipping
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -118,7 +120,7 @@ class Database:
         if not names:
             if at_gen is not None:
                 raise ValueError(f"generation {at_gen} not retained (no manifests)")
-            return {"gen": -1, "segments": {}, "hwm": {}}
+            return {"gen": -1, "segments": {}, "hwm": {}, "stats": {}}
         if at_gen is None:
             pick = names[-1]  # zero-padded gen -> lexical max == numeric max
         else:
@@ -129,6 +131,7 @@ class Database:
                 )
         m = self.fs.read_json(HadoopFS.join(self.cube_path, pick))
         m["segments"] = {int(e): list(refs) for e, refs in m["segments"].items()}
+        m.setdefault("stats", {})
         return m
 
     def _commit_manifest(self, m: dict, prev_gen: int, keep: int = _KEEP_MANIFESTS) -> None:
@@ -141,10 +144,16 @@ class Database:
         metadata, bytes-sized); data-DELETING commits pass keep=1 so the
         deleted data is not resurrectable through an older snapshot."""
         gen = prev_gen + 1
+        segments = {str(e): refs for e, refs in sorted(m["segments"].items()) if refs}
+        live = {ref for refs in segments.values() for ref in refs}
         m = {
             "gen": gen,
-            "segments": {str(e): refs for e, refs in sorted(m["segments"].items()) if refs},
+            "segments": segments,
             "hwm": m.get("hwm", {}),
+            # data-skipping stats ride the same atomic swap as the refs they
+            # describe, so they can never disagree with the data; entries for
+            # de-referenced segments are dropped here.
+            "stats": {r: v for r, v in m.get("stats", {}).items() if r in live},
         }
         name = f"{_MANIFEST_PREFIX}{gen:012d}.json"
         self.fs.mkdirs(self.cube_path)
@@ -155,11 +164,11 @@ class Database:
 
     def _write_segment(
         self, delta: DataFrame, sort_series: bool = False, salt_files: int = 1
-    ) -> dict[int, str]:
+    ) -> tuple[dict[int, str], dict[str, list[str] | None]]:
         """Stage one cube-shaped delta as a new segment directory tree and
-        return {epoch: relative ref}. Staged data is INVISIBLE until a
-        manifest referencing it commits, so a crash here just leaves an
-        orphan for vacuum().
+        return ({epoch: relative ref}, {ref: f1 stats}). Staged data is
+        INVISIBLE until a manifest referencing it commits, so a crash here
+        just leaves an orphan for vacuum().
 
         The write repartitions by epoch so each epoch's rows land in one
         writer task -> one file per (segment, epoch); `epoch_p` duplicates
@@ -198,14 +207,65 @@ class Database:
                 refs[e] = f"segs/{seg}/{child}"
         if not refs:  # empty delta: nothing will reference the husk
             self.fs.delete(seg_root)
-        return refs
+            return {}, {}
+        by_epoch = self._seg_stats(seg_root)
+        return refs, {ref: by_epoch.get(e) for e, ref in refs.items()}
 
-    def _segment_paths(self, m: dict, epochs: set[int] | None = None) -> list[str]:
+    def _seg_stats(self, seg_root: str) -> dict[int, list[str] | None]:
+        """Per-epoch distinct first-dimension (f1) values of a just-written
+        segment — the manifest's data-skipping stats, the Spark-native form
+        of the reference's index Find narrowing reads to matching series
+        (index/node.go:126-198). Computed from the WRITTEN files (a
+        column-pruned scan of the batch-sized segment, never a recompute of
+        the upstream plan). An epoch with more than ``_STATS_MAX`` distinct
+        values records None ("too wide to skip on"); the rank cap below
+        bounds what reaches the driver at MAX+1 rows per epoch no matter
+        the dimension's cardinality."""
+        if self.max_depth < 1:
+            return {}
+        from pyspark.sql import Window
+
+        f1 = S.field_col(1)
+        d = (
+            self.spark.read.parquet(seg_root)
+            .select("epoch_p", f1)
+            .where(F.col(f1).isNotNull())
+            .distinct()
+        )
+        w = Window.partitionBy("epoch_p").orderBy(f1)
+        capped = d.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= _STATS_MAX + 1
+        )
+        rows = capped.groupBy("epoch_p").agg(
+            F.sort_array(F.collect_list(f1)).alias("vals")
+        ).collect()
+        return {
+            int(r["epoch_p"]): (list(r["vals"]) if len(r["vals"]) <= _STATS_MAX else None)
+            for r in rows
+        }
+
+    def _segment_paths(
+        self, m: dict, epochs: set[int] | None = None, f1_value: str | None = None
+    ) -> list[str]:
+        """Resolve manifest refs to scan paths, applying manifest-level data
+        skipping: epoch pruning, then f1-value pruning against the
+        per-segment stats ``_write_segment`` recorded. A ref with no stats
+        entry (pre-stats manifest) or a None entry (cardinality overflow)
+        is never skipped — skipping is only ever done on positive evidence,
+        so stale or missing stats degrade to a full read, not a wrong one.
+        ``f1_value`` pruning is ONLY sound for reads that will filter on
+        f1 == value with depth >= 1 (fetch's exact-first-level patterns —
+        every row such a query can match carries a non-null f1 the stats
+        set must contain)."""
+        stats = m.get("stats", {})
         return [
             HadoopFS.join(self.cube_path, ref)
             for e, refs in sorted(m["segments"].items())
             if epochs is None or e in epochs
             for ref in refs
+            if f1_value is None
+            or not isinstance(stats.get(ref), list)
+            or f1_value in stats[ref]
         ]
 
     def _live_refs(self) -> set[str]:
@@ -257,6 +317,7 @@ class Database:
         from_epoch: int | None = None,
         to_epoch: int | None = None,
         at_gen: int | None = None,
+        f1_value: str | None = None,
     ) -> DataFrame:
         """The cube as a DataFrame, FOLDED to one row per cube key.
 
@@ -269,6 +330,11 @@ class Database:
         is never listed, planned or read. Within the scan, epoch is a data
         column with one value per file, so parquet min-max stats skip
         whole row groups for any further epoch predicate Catalyst pushes.
+
+        ``f1_value`` applies manifest-level data skipping: segments whose
+        recorded first-dimension stats exclude the value are left out of
+        the scan entirely (see ``_segment_paths`` for the soundness
+        contract — callers must themselves filter f1 == value, depth >= 1).
 
         ``at_gen`` reads a RETAINED older generation (snapshot read / time
         travel): because commits are whole-manifest swaps and segments are
@@ -283,7 +349,7 @@ class Database:
             for e in m["segments"]
             if (from_epoch is None or e >= from_epoch) and (to_epoch is None or e <= to_epoch)
         }
-        paths = self._segment_paths(m, epochs)
+        paths = self._segment_paths(m, epochs, f1_value=f1_value)
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
         if not paths:
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
@@ -360,12 +426,13 @@ class Database:
             resolution=p.resolution,
             duration=p.duration,
         )
-        refs = self._write_segment(delta)
+        refs, stats = self._write_segment(delta)
         if not refs:
             return
         m = self._manifest()
         for e, ref in refs.items():
             m["segments"].setdefault(e, []).append(ref)
+        m["stats"].update(stats)
         self._commit_manifest(m, m["gen"])
 
     # -- streaming idempotency ------------------------------------------------
@@ -421,9 +488,10 @@ class Database:
         if batch_id <= int(m.get("hwm", {}).get(stream_id, -1)):
             return False
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
-        refs = self._write_segment(delta.select(*cols))
+        refs, stats = self._write_segment(delta.select(*cols))
         for e, ref in refs.items():
             m["segments"].setdefault(e, []).append(ref)
+        m["stats"].update(stats)
         m.setdefault("hwm", {})[stream_id] = batch_id
         self._commit_manifest(m, m["gen"])
         return True
@@ -456,12 +524,13 @@ class Database:
                 c = existing[k].eqNullSafe(d[k])
                 cond = c if cond is None else (cond & c)
             merged = existing.join(d, on=cond, how="left_anti").unionByName(delta)
-            refs = self._write_segment(merged)
+            refs, stats = self._write_segment(merged)
             old = [ref for e in touched for ref in m["segments"].get(e, [])]
             for e in touched:
                 m["segments"][e] = []
             for e, ref in refs.items():
                 m["segments"].setdefault(e, []).append(ref)
+            m["stats"].update(stats)
             self._commit_manifest(m, m["gen"])
             self._gc(old)
         finally:
@@ -476,16 +545,20 @@ class Database:
         densify: bool = True,
         at_gen: int | None = None,
     ) -> DataFrame:
-        """Manifest-level epoch pruning happens before the scan is planned:
-        only segments of epochs overlapping [from_ts, to_ts) are read.
+        """Manifest-level pruning happens before the scan is planned: only
+        segments of epochs overlapping [from_ts, to_ts) are read, and when
+        the pattern's FIRST level is exact, segments whose recorded f1
+        stats exclude that value are skipped too (the reference's index
+        Find narrowing the read to matching series, done as metadata).
         ``at_gen`` pins the read to a retained snapshot (see ``cube``)."""
         res, dur = self.params.resolution, self.params.duration
         from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
         to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
         e_from = from_b - (from_b % dur)
         e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        f1v = pattern[0] if pattern and pattern[0] != "*" else None
         return fetch_df(
-            self.cube(e_from, e_to, at_gen=at_gen),
+            self.cube(e_from, e_to, at_gen=at_gen, f1_value=f1v),
             from_ts,
             to_ts,
             pattern,
@@ -550,12 +623,13 @@ class Database:
         folded = self.cube(min(fragmented), max(fragmented)).filter(
             F.col(S.EPOCH).isin(fragmented)
         )
-        refs = self._write_segment(folded, sort_series=sort_series, salt_files=salt_files)
+        refs, stats = self._write_segment(folded, sort_series=sort_series, salt_files=salt_files)
         old = [ref for e in fragmented for ref in m["segments"].get(e, [])]
         for e in fragmented:
             m["segments"][e] = []
         for e, ref in refs.items():
             m["segments"].setdefault(e, []).append(ref)
+        m["stats"].update(stats)
         self._commit_manifest(m, m["gen"])
         self._gc(old)
         return fragmented

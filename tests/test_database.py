@@ -394,3 +394,65 @@ def test_fsck_reports_missing_and_orphans(spark, tmp_path):
     fs.delete(ref)
     rep = db.fsck()
     assert not rep["ok"] and len(rep["missing"]) == 1
+
+
+def test_f1_stats_prune_segments_on_exact_fetch(spark, tmp_path):
+    """Manifest f1 stats: two tracked batches with disjoint first-dimension
+    values -> an exact-f1 fetch plans only the segments whose stats contain
+    the value, a wildcard fetch reads all, and results are identical to the
+    unpruned read."""
+    db = Database.open(spark, str(tmp_path / "dbs"), P)
+    db.track(_events(spark, [(0, "click", "u1", 5.0), (1, "click", "u2", 2.0)]), total_col="v")
+    db.track(_events(spark, [(0, "view", "u1", 3.0)]), total_col="v")
+    m = db._manifest()
+    refs = m["segments"][0]
+    assert len(refs) == 2
+    assert sorted(m["stats"][refs[0]]) == ["click"]
+    assert sorted(m["stats"][refs[1]]) == ["view"]
+    # exact first level -> one segment planned; wildcard -> both
+    assert len(db._segment_paths(m, {0}, f1_value="click")) == 1
+    assert len(db._segment_paths(m, {0}, f1_value=None)) == 2
+    got = _pts(db.fetch(0, 2, ["click", "*"]))
+    assert got == [
+        (0, ("click", "u1"), 0, 5.0, 1.0),
+        (0, ("click", "u1"), 1, 0.0, 0.0),
+        (0, ("click", "u2"), 0, 0.0, 0.0),
+        (0, ("click", "u2"), 1, 2.0, 1.0),
+    ]
+    # a value no segment contains plans an empty scan and returns empty
+    assert db._segment_paths(m, {0}, f1_value="nope") == []
+    assert db.fetch(0, 2, ["nope", "*"], densify=False).count() == 0
+
+
+def test_f1_stats_overflow_disables_pruning_not_correctness(spark, tmp_path, monkeypatch):
+    """Past _STATS_MAX distinct f1 values the stats record None and pruning
+    degrades to a full read — never a wrong skip."""
+    import kadiyadb_spark.database as dbmod
+
+    monkeypatch.setattr(dbmod, "_STATS_MAX", 2)
+    db = Database.open(spark, str(tmp_path / "dbo"), P)
+    rows = [(0, f"t{i}", "u", 1.0) for i in range(4)]
+    db.track(_events(spark, rows), total_col="v")
+    m = db._manifest()
+    ref = m["segments"][0][0]
+    assert m["stats"][ref] is None
+    # None -> no pruning: the segment is still read for any exact value
+    assert len(db._segment_paths(m, {0}, f1_value="t3")) == 1
+    assert _pts(db.fetch(0, 1, ["t3", "u"])) == [(0, ("t3", "u"), 0, 1.0, 1.0)]
+
+
+def test_f1_stats_survive_compact_and_follow_gc(spark, tmp_path):
+    """compact() folds segments: the folded segment's stats are the union of
+    its inputs' values, and stats for the de-referenced inputs drop out of
+    the committed manifest with their refs."""
+    db = Database.open(spark, str(tmp_path / "dbc"), P)
+    db.track(_events(spark, [(0, "click", "u1", 5.0)]), total_col="v")
+    db.track(_events(spark, [(0, "view", "u1", 3.0)]), total_col="v")
+    old_refs = set(db._manifest()["segments"][0])
+    assert db.compact() == [0]
+    m = db._manifest()
+    refs = m["segments"][0]
+    assert len(refs) == 1
+    assert sorted(m["stats"][refs[0]]) == ["click", "view"]
+    assert set(m["stats"]) == set(refs)  # de-referenced stats dropped
+    assert not (old_refs & set(m["stats"]))
