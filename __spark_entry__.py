@@ -388,6 +388,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (the model-based curation stage): the Gopher
+    heuristic gate distilled into a hashed-BOW logistic regression, then
+    the whole corpus scored map-side from the broadcast (weights, bias).
+    No SQL oracle by design — the iterative LBFGS fit is not
+    SQL-expressible; separability and holdout generalization are pinned by
+    tests/test_quality_model.py, so the driver records the rows-only
+    check."""
+    from kadiyadb_spark.functions.quality_model import distill_heuristic_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    _, scored = distill_heuristic_gate(docs, dim=512, max_iter=15)
+    return scored
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, oracle-gated: purchases attributed to
     the same user's clicks within the preceding 30 minutes, both sides
@@ -2544,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "streaming_join": q_streaming_join,
+        # rows-only by design (trained LBFGS model; see docstring):
+        "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,

@@ -1,0 +1,134 @@
+"""Learned quality scoring — the model-based filter stage of an LLM data
+pipeline (the fastText-classifier role in GPT-3/LLaMA/DCLM-style curation,
+done Spark-native).
+
+The practice this mirrors: hand-write a cheap heuristic gate (Gopher rules),
+or hand-label a sample, then DISTILL it into a smooth classifier whose
+probability ranks the whole corpus — the ranking enables threshold sweeps,
+stratified sampling by quality band, and soft mixing weights, none of which
+a boolean gate gives you.
+
+Scale shape: training runs Spark ML logistic regression over hashed-BOW
+features (one corpus scan per LBFGS iteration, all aggregation map-side
+combined); the FITTED model is extracted to a plain (weights, bias) pair a
+few KB big, so SCORING the 100 TB corpus is a broadcast + one map-only pass
+of numpy dot products — no MLlib plumbing, no shuffle, no model server.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.num import round4_expr
+from kadiyadb_spark.functions.text import hashed_bow
+
+
+def train_quality_model(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    reg: float = 1e-3,
+    max_iter: int = 50,
+) -> dict:
+    """Fit L2 logistic regression on hashed-BOW features of ``text_col``
+    against the 0/1 ``label_col``. Returns a broadcast-sized plain dict
+    {"weights": [float]*dim, "bias": float, "dim": dim} — engine-agnostic,
+    JSON-serializable, nothing MLlib to ship to the scoring side.
+
+    The hashing trick keeps the feature space fixed-width with no fitted
+    vocabulary, so a model trained on a 0.1% sample applies verbatim to
+    the full corpus (and to tomorrow's crawl)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = hashed_bow(docs, dim=dim, text_col=text_col, id_col=id_col)
+    labeled = feats.join(
+        docs.select(id_col, F.col(label_col).cast("double").alias("_y")), on=id_col
+    )
+    train = labeled.select(
+        array_to_vector(F.col("embedding")).alias("features"), F.col("_y").alias("label")
+    )
+    lr = LogisticRegression(regParam=reg, maxIter=max_iter, standardization=False)
+    fitted = lr.fit(train)
+    return {
+        "weights": [float(w) for w in fitted.coefficients],
+        "bias": float(fitted.intercept),
+        "dim": dim,
+    }
+
+
+def score_quality(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with a trained quality model: sigmoid of the
+    hashed-BOW dot product. Output (id, quality_score, quality_pass).
+
+    Map-only after hashed_bow's two corpus-linear shuffles: the weight
+    vector broadcasts (KBs) and each Arrow batch scores as ONE numpy
+    matvec — no join, no per-row Python."""
+    import numpy as np
+
+    if int(model["dim"]) <= 0:
+        raise ValueError(f"invalid model dim: {model['dim']}")
+    feats = hashed_bow(docs, dim=int(model["dim"]), text_col=text_col, id_col=id_col)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(model["weights"], dtype=np.float64), float(model["bias"]))
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        w, b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            z = x @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            yield pd.DataFrame({id_col: pdf[id_col], "_p": p})
+
+    scored = feats.mapInPandas(score, schema=f"{id_col} long, _p double")
+    return scored.select(
+        id_col,
+        round4_expr(F.col("_p")).alias("quality_score"),
+        (F.col("_p") >= F.lit(threshold)).alias("quality_pass"),
+    )
+
+
+def distill_heuristic_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    holdout_mod: int = 5,
+    max_iter: int = 25,
+) -> tuple[dict, DataFrame]:
+    """The end-to-end distillation recipe: weak-label every document with
+    the Gopher heuristic verdict, train on the ~(1 - 1/holdout_mod) id-hash
+    split, and return (model, scores-for-ALL-docs). The held-out slice
+    (md5(id) % holdout_mod == 0) never influences the fit, so evaluating
+    the gate/score agreement on it measures generalization, not recall of
+    the training answers."""
+    from kadiyadb_spark.functions.text import gopher_rules
+
+    labeled = gopher_rules(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("passes").cast("int").alias("label")
+    )
+    base = docs.select(id_col, text_col).join(labeled, on=id_col)
+    split = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(holdout_mod),
+    )
+    train = base.filter(split != 0)
+    model = train_quality_model(
+        train, label_col="label", text_col=text_col, id_col=id_col, dim=dim, max_iter=max_iter
+    )
+    return model, score_quality(docs, model, text_col=text_col, id_col=id_col)

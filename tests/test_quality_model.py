@@ -1,0 +1,64 @@
+"""Learned quality filter: hashed-BOW logistic regression distillation —
+train/score round-trip, separability, and holdout generalization."""
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.quality_model import (
+    distill_heuristic_gate,
+    score_quality,
+    train_quality_model,
+)
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs to the house "
+    "with some friends because it was a fine day for all of them"
+).split()
+
+
+def _docs(spark, n_good=60, n_junk=60):
+    rng = random.Random(7)
+    rows = []
+    for i in range(n_good):
+        rows.append(Row(doc_id=i, text=" ".join(rng.choices(GOOD, k=80)), label=1))
+    for i in range(n_good, n_good + n_junk):
+        junk = " ".join("###@@" + str(rng.randint(0, 9)) for _ in range(30))
+        rows.append(Row(doc_id=i, text=junk, label=0))
+    return spark.createDataFrame(rows)
+
+
+def test_train_score_separates_good_from_junk(spark):
+    docs = _docs(spark)
+    model = train_quality_model(docs, dim=256, max_iter=20)
+    assert len(model["weights"]) == 256
+    scored = score_quality(docs, model)
+    j = scored.join(docs.select("doc_id", "label"), "doc_id")
+    acc = j.select(
+        F.avg((F.col("quality_pass").cast("int") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc >= 0.95
+    lo, hi = scored.select(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= lo <= hi <= 1.0
+
+
+def test_distilled_gate_generalizes_to_holdout(spark):
+    """The model never sees the md5(id)%5==0 slice; its agreement with the
+    heuristic gate there measures generalization, not memorization."""
+    from kadiyadb_spark.functions.text import gopher_rules
+
+    docs = _docs(spark)
+    model, scored = distill_heuristic_gate(docs, dim=256, holdout_mod=5)
+    gate = gopher_rules(docs).select("doc_id", F.col("passes").cast("boolean").alias("_gate"))
+    split = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(5),
+    )
+    holdout = scored.join(gate, "doc_id").filter(split == 0)
+    n = holdout.count()
+    assert n > 0
+    agree = holdout.select(
+        F.avg((F.col("quality_pass") == F.col("_gate")).cast("double"))
+    ).first()[0]
+    assert agree >= 0.8
