@@ -167,6 +167,36 @@ def q_fetch_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_smooth(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 5)
 
 
+def q_fetch_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the dense wildcard fetch 10:1 (1m slots -> 10m slots) —
+    the long-retention storage pass; exact fold of the decomposable
+    (total, cnt) pair plus min/max/observed census, ONE shuffle keyed by
+    (series, coarse bucket) (query.py:series_downsample)."""
+    from kadiyadb_spark.query import series_downsample
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_downsample(r, ["f1", "f2"], factor=10, resolution=RES)
+
+
+def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection over the dense fetch: each slot
+    vs the mean/stddev of its preceding 12 slots (current excluded), flag
+    at |z| >= 2. One series-keyed window shuffle
+    (query.py:series_anomaly); both engines z-score the 4dp-rounded
+    totals and compare the 4dp-rounded z, so the flag is deterministic
+    cross-engine."""
+    from kadiyadb_spark.query import series_anomaly
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_anomaly(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=12, z_thresh=2.0
+    )
+
+
 def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range straddling an epoch boundary -> rows from two epochs."""
     b = T0 + 3600 * SEC  # epoch boundary at 01:00
@@ -2559,6 +2589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "streaming_join": q_streaming_join,
+        "fetch_downsample": q_fetch_downsample,
+        "fetch_anomaly": q_fetch_anomaly,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -2919,6 +2951,46 @@ SELECT f1, f2, bucket, total,
        floor((avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS smoothed
 FROM base
+"""
+
+    o["fetch_downsample"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, floor(total * 10000 + 0.5) / 10000 AS total, cnt
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+)
+SELECT f1, f2, bucket - bucket % {10 * RES} AS bucket,
+       floor((sum(total)) * 10000 + 0.5) / 10000 AS total,
+       floor((sum(cnt)) * 10000 + 0.5) / 10000 AS cnt,
+       floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
+       floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
+       sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_observed
+FROM base
+GROUP BY f1, f2, 3
+"""
+
+    o["fetch_anomaly"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, floor(total * 10000 + 0.5) / 10000 AS total
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+st AS (
+  SELECT f1, f2, bucket, total,
+         avg(total)         OVER w AS m,
+         stddev_samp(total) OVER w AS sd,
+         count(total)       OVER w AS n
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT f1, f2, bucket, total,
+         CASE WHEN n = 12 THEN floor(m * 10000 + 0.5) / 10000 END AS baseline_mean,
+         CASE WHEN n = 12 AND sd > 1e-12
+              THEN floor(((total - m) / sd) * 10000 + 0.5) / 10000 END AS zscore
+  FROM st
+)
+SELECT f1, f2, bucket, total, baseline_mean, zscore,
+       coalesce(abs(zscore) >= 2.0, false) AS is_anomaly
+FROM z
 """
 
     o["fetch_interpolate"] = f"""

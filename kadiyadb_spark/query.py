@@ -286,3 +286,80 @@ def series_smooth(
         round4_expr(F.col(total_col)).alias(total_col),
         round4_expr(F.avg(total_col).over(w)).alias("smoothed"),
     )
+
+
+def series_downsample(
+    df: DataFrame,
+    series_cols: list[str],
+    factor: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    cnt_col: str = "cnt",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Re-bucket a dense fetch frame to a coarser resolution (``factor``
+    fine slots -> one coarse slot) — the long-retention downsampling pass
+    (keep 1m slots for a week, 10m for a year). The reference expresses
+    this as parallel databases at coarser Params (readme.md: multiple
+    resolutions per metric); here it is ONE aggregation over the fetch
+    frame, exact because the Point (total, cnt) pair is decomposable.
+    min/max/observed-slot census ride the same single shuffle keyed by
+    (series, coarse bucket) — slots-per-coarse-bucket is ``factor``, so
+    no skew by construction."""
+    from kadiyadb_spark.functions.num import round4_expr
+
+    if factor < 1:
+        raise ValueError(f"downsample factor must be >= 1, got {factor}")
+    coarse = factor * resolution
+    cb = F.col(bucket_col) - F.col(bucket_col) % F.lit(coarse)
+    return (
+        df.groupBy(*series_cols, cb.alias(bucket_col))
+        .agg(
+            round4_expr(F.sum(total_col)).alias(total_col),
+            round4_expr(F.sum(cnt_col)).alias(cnt_col),
+            round4_expr(F.min(total_col)).alias("min_total"),
+            round4_expr(F.max(total_col)).alias("max_total"),
+            F.sum((F.col(cnt_col) > 0).cast("long")).alias("n_observed"),
+        )
+    )
+
+
+def series_anomaly(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int = 12,
+    z_thresh: float = 3.0,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """Trailing z-score anomaly flag per slot: each slot's total compared
+    to the mean/stddev of the PRECEDING ``window_slots`` slots — current
+    slot excluded, so an outlier cannot defend itself by inflating its own
+    baseline. z is null (and the flag false) until a series has a full
+    baseline window, and when the baseline is flat (stddev ~ 0, where a
+    z-score is undefined). Same one series-keyed window shuffle as the
+    other fetch transforms — compose them and Spark rides one Exchange."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-window_slots, -1)
+    )
+    mean = F.avg(total_col).over(w)
+    sd = F.stddev_samp(total_col).over(w)
+    n = F.count(total_col).over(w)
+    z = F.when(
+        (n == window_slots) & (sd > 1e-12), (F.col(total_col) - mean) / sd
+    )
+    zr = round4_expr(z)
+    return df.select(
+        *series_cols,
+        bucket_col,
+        round4_expr(F.col(total_col)).alias(total_col),
+        round4_expr(F.when(n == window_slots, mean)).alias("baseline_mean"),
+        zr.alias("zscore"),
+        F.coalesce(F.abs(zr) >= F.lit(z_thresh), F.lit(False)).alias("is_anomaly"),
+    )
