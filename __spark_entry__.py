@@ -537,6 +537,43 @@ def q_cube_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (rollup cascade): a 1m-resolution database
+    incrementally maintains a 10m-resolution one through the manifest
+    changelog (database.rollup_refresh) — two src commits, two refreshes,
+    the SECOND reading only the newly committed segments (changes(hwm)),
+    each applied through the atomic segment+hwm swap (replay = no-op).
+    The dst fetch must equal the coarse aggregation of ALL events, which
+    the oracle computes directly from the events table — proving the
+    incremental cascade is exact, not approximately refreshed."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database, rollup_refresh
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_cascade_entry_")
+    day = 24 * 3600 * SEC
+    fields = ("event_type", "user_id")
+    src = Database.open(
+        spark, f"{tmp}/src", Params(duration=day, resolution=RES, retention=30 * day, fields=fields)
+    )
+    dst = Database.open(
+        spark,
+        f"{tmp}/dst",
+        Params(duration=day, resolution=10 * RES, retention=30 * day, fields=fields),
+    )
+    ev = _t(spark, sf_dir, "events")
+    cut = T0 + 15 * day
+    src.track(ev.filter(F.col("ts") < cut), ts_col="ts", total_col="value")
+    assert rollup_refresh(src, dst) is True
+    src.track(ev.filter(F.col("ts") >= cut), ts_col="ts", total_col="value")
+    assert rollup_refresh(src, dst) is True
+    assert rollup_refresh(src, dst) is False  # up to date -> no-op
+    r = dst.fetch(WEEK0, WEEK1, ["click", "*"], densify=False)
+    return _round_doubles(r, ["total"])
+
+
 def q_catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O13 LoadAll: scan a server directory, open every database with a valid
     params.json, skip invalid ones with a warning (database.go:66-124,
@@ -2591,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "fetch_downsample": q_fetch_downsample,
         "fetch_anomaly": q_fetch_anomaly,
+        "rollup_cascade": q_rollup_cascade,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -2951,6 +2989,22 @@ SELECT f1, f2, bucket, total,
        floor((avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS smoothed
 FROM base
+"""
+
+    day_ns = 24 * 3600 * SEC
+    o["rollup_cascade"] = f"""
+WITH ev10 AS (
+  SELECT (epoch_ns(ts) // {10 * RES}) * {10 * RES} AS bucket,
+         event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+  FROM events
+  WHERE event_type = 'click'
+)
+SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS total,
+       CAST(count(*) AS DOUBLE) AS cnt
+FROM ev10
+WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY 1, 2, 3, 4
 """
 
     o["fetch_downsample"] = f"""

@@ -714,3 +714,58 @@ def load_all_open(spark: SparkSession, root: str) -> dict[str, Database]:
         name: Database.open(spark, HadoopFS.join(root, name), params)
         for name, params in load_all(root, spark=spark).items()
     }
+
+
+def rollup_refresh(src: Database, dst: Database, stream_id: str = "rollup") -> bool:
+    """Continuous aggregate: incrementally maintain ``dst`` — a
+    coarser-resolution database — from ``src``'s manifest changelog (the
+    TimescaleDB continuous-aggregate / Druid rollup-cascade shape; the
+    reference runs parallel databases at coarser Params and pays the full
+    write twice, readme.md's multi-resolution deployment).
+
+    Each refresh reads ONLY the segments ``src`` committed since the last
+    applied generation (``changes(hwm)`` — manifest arithmetic, no cube
+    re-read), re-buckets the delta to ``dst``'s (resolution, duration), and
+    commits it through the SAME atomic segment+hwm manifest swap as
+    streaming ingest (``commit_cube_batch`` with the src generation as the
+    batch id). Exactly-once by construction: re-running a refresh after a
+    crash replays the same src generation and the hwm check makes it a
+    no-op. Cost is proportional to NEW data, never cube size.
+
+    Correctness: deltas are increments, bucket grids nest (dst.resolution
+    is a multiple of src.resolution), and the Point (total, cnt) pair is
+    decomposable — so folding re-bucketed deltas into ``dst`` commutes with
+    folding raw events at the coarse grid; exact, no approximation.
+
+    First refresh on an empty hwm reads the full ``src.cube()`` (the delta
+    from nothing). If src history since the hwm spans a rewrite
+    (compact/expire/replace-merge), ``changes`` raises and the caller must
+    rebuild ``dst`` from scratch — refresh at least once per
+    ``_KEEP_MANIFESTS`` src commits to keep the incremental window open.
+
+    Returns True if a new generation was applied, False if already
+    up to date."""
+    sp, dp = src.params, dst.params
+    if tuple(sp.fields) != tuple(dp.fields):
+        raise ValueError(f"field mismatch: src {sp.fields} vs dst {dp.fields}")
+    if dp.resolution % sp.resolution != 0:
+        raise ValueError(
+            f"dst resolution {dp.resolution} must be a multiple of src resolution {sp.resolution}"
+        )
+    src_gen = src.current_gen()
+    last = dst.applied_batch_hwm(stream_id)
+    if src_gen <= last:
+        return False
+    delta = src.cube() if last < 0 else src.changes(last, to_gen=src_gen)
+    res, dur = dp.resolution, dp.duration
+    cb = F.col(S.BUCKET) - F.col(S.BUCKET) % F.lit(res)
+    eb = cb - cb % F.lit(dur)
+    fcols = S.field_cols(src.max_depth)
+    keys = [eb.alias(S.EPOCH), cb.alias(S.BUCKET), *fcols, S.DEPTH]
+    cols = [f.name for f in S.cube_schema(dst.max_depth).fields]
+    folded = (
+        delta.groupBy(*keys)
+        .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+        .select(*cols)
+    )
+    return dst.commit_cube_batch(folded, batch_id=src_gen, stream_id=stream_id)

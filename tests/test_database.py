@@ -456,3 +456,59 @@ def test_f1_stats_survive_compact_and_follow_gc(spark, tmp_path):
     assert sorted(m["stats"][refs[0]]) == ["click", "view"]
     assert set(m["stats"]) == set(refs)  # de-referenced stats dropped
     assert not (old_refs & set(m["stats"]))
+
+
+def test_rollup_refresh_continuous_aggregate(spark, tmp_path):
+    """Continuous aggregate: dst (coarser resolution) maintained from src's
+    manifest changelog — first refresh = full cube, later refreshes read
+    only the NEW segments, and replaying a refresh is a no-op (hwm)."""
+    from kadiyadb_spark.database import rollup_refresh
+
+    src = Database.open(spark, str(tmp_path / "src"), P)
+    dstp = Params(duration=10, resolution=5, retention=100, fields=("x", "y"))
+    dst = Database.open(spark, str(tmp_path / "dst"), dstp)
+
+    src.track(_events(spark, [(0, "a", "b", 5.0), (7, "a", "b", 1.0)]), total_col="v")
+    assert rollup_refresh(src, dst) is True
+    assert rollup_refresh(src, dst) is False  # already applied -> no-op
+    got = _pts(dst.fetch(0, 10, ["a", "b"]))
+    assert got == [(0, ("a", "b"), 0, 5.0, 1.0), (0, ("a", "b"), 5, 1.0, 1.0)]
+
+    # second src commit -> incremental delta folds into the same coarse slot
+    src.track(_events(spark, [(8, "a", "b", 2.0)]), total_col="v")
+    assert rollup_refresh(src, dst) is True
+    got = _pts(dst.fetch(0, 10, ["a", "b"]))
+    assert got == [(0, ("a", "b"), 0, 5.0, 1.0), (0, ("a", "b"), 5, 3.0, 2.0)]
+    # prefix rollup carried through the cascade too
+    got1 = _pts(dst.fetch(0, 10, ["a"]))
+    assert got1 == [(0, ("a",), 0, 5.0, 1.0), (0, ("a",), 5, 3.0, 2.0)]
+
+
+def test_rollup_refresh_rejects_incompatible_params(spark, tmp_path):
+    from kadiyadb_spark.database import rollup_refresh
+
+    src = Database.open(spark, str(tmp_path / "s2"), P)
+    bad_fields = Params(duration=10, resolution=5, retention=100, fields=("x",))
+    with pytest.raises(ValueError, match="field mismatch"):
+        rollup_refresh(src, Database.open(spark, str(tmp_path / "d2"), bad_fields))
+    bad_res = Params(duration=9, resolution=3, retention=90, fields=("x", "y"))
+    src3 = Database.open(spark, str(tmp_path / "s3"), Params(duration=10, resolution=2, retention=100, fields=("x", "y")))
+    with pytest.raises(ValueError, match="multiple"):
+        rollup_refresh(src3, Database.open(spark, str(tmp_path / "d3"), bad_res))
+
+
+def test_rollup_refresh_surfaces_rewritten_history(spark, tmp_path):
+    """A src compact between refreshes breaks the pure-append changelog;
+    the refresh must fail loudly (rebuild dst), never silently double."""
+    from kadiyadb_spark.database import rollup_refresh
+
+    src = Database.open(spark, str(tmp_path / "s4"), P)
+    dst = Database.open(
+        spark, str(tmp_path / "d4"), Params(duration=10, resolution=5, retention=100, fields=("x", "y"))
+    )
+    src.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    assert rollup_refresh(src, dst) is True
+    src.track(_events(spark, [(1, "a", "b", 1.0)]), total_col="v")
+    assert src.compact() == [0]
+    with pytest.raises(ValueError, match="rewrite"):
+        rollup_refresh(src, dst)
