@@ -197,6 +197,18 @@ def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series algebra (PromQL a/b): per-slot error-to-click ratio from ONE
+    cube scan — conditional-sum pivot on the bucket key, no self-join, no
+    second scan (query.py:series_ratio); ratio null where clicks are
+    absent/zero in the slot."""
+    from kadiyadb_spark.query import series_ratio
+
+    return series_ratio(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["error"], ["click"], resolution=RES
+    )
+
+
 def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range straddling an epoch boundary -> rows from two epochs."""
     b = T0 + 3600 * SEC  # epoch boundary at 01:00
@@ -2629,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_downsample": q_fetch_downsample,
         "fetch_anomaly": q_fetch_anomaly,
         "rollup_cascade": q_rollup_cascade,
+        "fetch_ratio": q_fetch_ratio,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -3005,6 +3018,19 @@ SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
 FROM ev10
 WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY 1, 2, 3, 4
+"""
+
+    o["fetch_ratio"] = f"""
+WITH {_EV_CUBE}
+SELECT bucket,
+       floor((sum(CASE WHEN f1 = 'error' THEN total END)) * 10000 + 0.5) / 10000 AS num_total,
+       floor((sum(CASE WHEN f1 = 'click' THEN total END)) * 10000 + 0.5) / 10000 AS den_total,
+       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN total END) != 0
+              THEN sum(CASE WHEN f1 = 'error' THEN total END)
+                   / sum(CASE WHEN f1 = 'click' THEN total END) END) * 10000 + 0.5) / 10000 AS ratio
+FROM cube1
+WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY bucket
 """
 
     o["fetch_downsample"] = f"""

@@ -288,6 +288,65 @@ def series_smooth(
     )
 
 
+def series_ratio(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    num_pattern: list[str],
+    den_pattern: list[str],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Aligned binary operation over two exact series (the PromQL
+    ``a / b`` — error rate = errors/clicks per slot): ONE cube scan
+    filters both exact paths, a conditional-sum pivot aligns them per
+    bucket, and the ratio is null where the denominator is absent or
+    zero. No self-join, no second scan: the naive two-fetch formulation
+    scans the cube twice and shuffles both sides into an equi-join, where
+    this is one pushed-down scan and one bucket-keyed aggregation.
+
+    Patterns must be exact (no wildcards) and the same depth — aligned
+    division across wildcard fan-outs is a per-series window, not a
+    scalar pivot, and deserves its own operator."""
+    for p in (num_pattern, den_pattern):
+        d, preds = compile_pattern(p)
+        if len(preds) != d:
+            raise ValueError(f"series_ratio needs exact patterns, got {p!r}")
+    if len(num_pattern) == 0 or len(num_pattern) != len(den_pattern):
+        raise ValueError("numerator and denominator patterns must share a depth >= 1")
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    depth = len(num_pattern)
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+
+    def _is(pattern):
+        cond = F.lit(True)
+        for i, v in enumerate(pattern, start=1):
+            cond = cond & (F.col(S.field_col(i)) == F.lit(v))
+        return cond
+
+    is_num, is_den = _is(num_pattern), _is(den_pattern)
+    base = cube.filter(
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+        & (is_num | is_den)
+    )
+    g = base.groupBy(S.BUCKET).agg(
+        F.sum(F.when(is_num, F.col(S.TOTAL))).alias("_n"),
+        F.sum(F.when(is_den, F.col(S.TOTAL))).alias("_d"),
+    )
+    ratio = F.when(F.col("_d") != 0, F.col("_n") / F.col("_d"))
+    return g.select(
+        S.BUCKET,
+        round4_expr(F.col("_n")).alias("num_total"),
+        round4_expr(F.col("_d")).alias("den_total"),
+        round4_expr(ratio).alias("ratio"),
+    )
+
+
 def series_downsample(
     df: DataFrame,
     series_cols: list[str],

@@ -344,3 +344,34 @@ def test_series_delta_and_interpolation_goldens(spark):
     assert i[("a", 180)] == (40.0, False)
     assert i[("b", 0)] == (0.0, True)     # leading gap: zero-fill kept
     assert i[("b", 120)] == (0.0, True)   # trailing gap: zero-fill kept
+
+
+def test_series_ratio_aligns_and_nulls_zero_denominator(spark):
+    from kadiyadb_spark.query import series_ratio
+
+    rows = [
+        (0, "err", "x", "y", 1, 1),
+        (0, "clk", "x", "y", 4, 4),   # slot 0: 1/4
+        (1, "clk", "x", "y", 5, 5),   # slot 1: no errors -> num null, ratio null
+        (2, "err", "x", "y", 2, 2),   # slot 2: no clicks -> den null, ratio null
+    ]
+    cube = _cube(spark, rows)
+    got = {
+        r["bucket"]: (r["num_total"], r["den_total"], r["ratio"])
+        for r in series_ratio(cube, 0, 5, ["err"], ["clk"], resolution=RES).collect()
+    }
+    assert got == {
+        0: (1.0, 4.0, 0.25),
+        1: (None, 5.0, None),
+        2: (2.0, None, None),
+    }
+
+
+def test_series_ratio_rejects_wildcards_and_depth_mismatch(spark):
+    from kadiyadb_spark.query import series_ratio
+
+    cube = _cube(spark, [(0, "a", "b", "c", 1, 1)])
+    with pytest.raises(ValueError, match="exact"):
+        series_ratio(cube, 0, 5, ["a", "*"], ["a", "b"], resolution=RES)
+    with pytest.raises(ValueError, match="depth"):
+        series_ratio(cube, 0, 5, ["a"], ["a", "b"], resolution=RES)
