@@ -469,8 +469,14 @@ def cross_source_matrix(
     the second broadcast is pair-sized too. One groupBy over the
     normalized source pair ends it — the corpus never shuffles."""
     side = docs.select(F.col(id_col), F.col(source_col))
+    # The pair list is broadcast TWICE (directly, then inside with_a's
+    # plan); without a persist the whole upstream pair computation — a
+    # full LSH pass over the corpus — re-executes per broadcast. The
+    # cached frame is pair-sized (broadcastable by assumption), so this
+    # trades KBs-to-MBs of executor memory for a second corpus-wide job.
+    pairs = pairs.select("id_a", "id_b").persist()
     with_a = (
-        side.join(F.broadcast(pairs.select("id_a", "id_b")), side[id_col] == F.col("id_a"))
+        side.join(F.broadcast(pairs), side[id_col] == F.col("id_a"))
         .select("id_a", "id_b", F.col(source_col).alias("_sa"))
     )
     with_b = (
