@@ -1746,6 +1746,15 @@ def q_csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_source_agg(spark, sf_dir, "csv")
 
 
+def q_orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (write -> schema-pinned read -> agg) — the
+    columnar interchange format a Hive-era lake still speaks; unlike the
+    row formats, the ORC reader keeps column pruning and predicate
+    pushdown, so it is a first-class resident format, not just an ingest
+    boundary."""
+    return _roundtrip_source_agg(spark, sf_dir, "orc")
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation correctness gate: the two-phase salted aggregation
     (hot key spread over 16 reducers, then a tiny combine shuffle) must land
@@ -2642,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_anomaly": q_fetch_anomaly,
         "rollup_cascade": q_rollup_cascade,
         "fetch_ratio": q_fetch_ratio,
+        "orc_source_agg": q_orc_source_agg,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -3676,6 +3686,7 @@ FROM events GROUP BY event_type
 """
     o["json_source_agg"] = _src_agg_sql
     o["csv_source_agg"] = _src_agg_sql
+    o["orc_source_agg"] = _src_agg_sql
 
     # Layout change only — values must round-trip bit-exactly.
     o["zorder_layout"] = """

@@ -373,3 +373,50 @@ def test_genlog_commit_race_raises(spark, tmp_path):
     m2 = log.read()
     log.commit({"live": "c"}, m2["gen"])
     assert log.read()["live"] == "c"
+
+
+@given(events=events_strategy, factor=st.integers(min_value=1, max_value=7))
+@SETTINGS
+def test_p12_downsample_conserves_mass_and_nests_buckets(spark, events, factor):
+    """series_downsample at ANY factor conserves total/cnt mass per series
+    and emits only buckets aligned to the coarse grid."""
+    from kadiyadb_spark.query import series_downsample
+
+    dense = fetch(_cube(spark, events), 0, N_SLOTS, ["a", "*"], RES, DUR)
+    coarse = series_downsample(dense, ["f1", "f2"], factor=factor, resolution=RES)
+    fine = dense.groupBy("f1", "f2").agg(F.sum("total").alias("t"), F.sum("cnt").alias("c"))
+    agg = coarse.groupBy("f1", "f2").agg(F.sum("total").alias("t"), F.sum("cnt").alias("c"))
+    f = {(r["f1"], r["f2"]): (r["t"], r["c"]) for r in fine.collect()}
+    g = {(r["f1"], r["f2"]): (r["t"], r["c"]) for r in agg.collect()}
+    assert set(f) == set(g)
+    for k in f:
+        assert g[k][0] == pytest.approx(f[k][0], abs=1e-3)  # 4dp rounding per coarse slot
+        assert g[k][1] == pytest.approx(f[k][1], abs=1e-3)
+    for r in coarse.collect():
+        assert r["bucket"] % (factor * RES) == 0
+
+
+@given(events=events_strategy)
+@SETTINGS
+def test_p13_series_ratio_matches_bruteforce(spark, events):
+    """series_ratio equals the python brute-force ratio at every bucket."""
+    from kadiyadb_spark.query import series_ratio
+
+    cube = _cube(spark, events)
+    got = {
+        r["bucket"]: (r["num_total"], r["den_total"], r["ratio"])
+        for r in series_ratio(cube, 0, N_SLOTS, ["a"], ["b"], resolution=RES).collect()
+    }
+    num, den = {}, {}
+    for ts, f1, _f2, v in events:
+        d = num if f1 == "a" else den
+        d[ts] = d.get(ts, 0) + v
+    def r4(x):
+        import math
+        return None if x is None else math.floor(x * 10000 + 0.5) / 10000
+    for b in set(num) | set(den):
+        n, d = num.get(b), den.get(b)
+        ratio = (n / d) if (n is not None and d not in (None, 0)) else None
+        assert got[b] == (r4(float(n)) if n is not None else None,
+                          r4(float(d)) if d is not None else None,
+                          r4(ratio))
