@@ -23,11 +23,35 @@ This package reproduces those semantics Spark-first:
 """
 
 from kadiyadb_spark.catalog import Params, load_all
-from kadiyadb_spark.database import Database, load_all_open
+from kadiyadb_spark.database import Database, load_all_open, rollup_refresh
 from kadiyadb_spark.ingest import track_batch
-from kadiyadb_spark.query import fetch
+from kadiyadb_spark.query import (
+    fetch,
+    interpolate_series,
+    series_anomaly,
+    series_delta,
+    series_downsample,
+    series_ratio,
+    series_smooth,
+)
 from kadiyadb_spark.session import get_spark, spread
 
-__all__ = ["Database", "Params", "load_all", "load_all_open", "track_batch", "fetch", "get_spark", "spread"]
+__all__ = [
+    "Database",
+    "Params",
+    "load_all",
+    "load_all_open",
+    "rollup_refresh",
+    "track_batch",
+    "fetch",
+    "series_delta",
+    "interpolate_series",
+    "series_smooth",
+    "series_downsample",
+    "series_anomaly",
+    "series_ratio",
+    "get_spark",
+    "spread",
+]
 
 __version__ = "0.1.0"

@@ -408,3 +408,35 @@ def test_ivfpq_index_search_prunes_to_probed_buckets(spark, tmp_path):
     assert len(literals) == 1, pf
     # the scan reads codes, never the vector column
     assert "ReadSchema" in plan and "embedding" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+
+
+def test_series_ratio_one_scan_no_join(spark):
+    """series_ratio must stay a single-scan conditional-sum pivot: one
+    shuffle (the bucket groupBy), zero joins — the naive two-fetch
+    formulation would show two scans and an equi-join."""
+    from kadiyadb_spark.query import series_ratio
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 5, x=("err" if i % 3 else "clk"), y="u", v=1.0) for i in range(12)]
+    )
+    cube = track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    plan = plan_str(series_ratio(cube, 0, 5, ["err"], ["clk"], resolution=1))
+    assert "Join" not in plan
+    # cube build costs one shuffle; the pivot adds exactly one more
+    assert n_shuffles(plan) == 2
+
+
+def test_series_transforms_share_one_window_exchange(spark):
+    """Composing delta -> smooth -> anomaly over one fetch frame must ride a
+    single series-keyed Exchange: every transform sorts by the same
+    (series, bucket) key, so Spark reuses the partitioning."""
+    from kadiyadb_spark.query import fetch, series_anomaly, series_delta, series_smooth
+
+    ev = spark.createDataFrame([Row(ts=i % 10, x="a", y="u", v=float(i)) for i in range(20)])
+    cube = track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    dense = fetch(cube, 0, 10, ["a", "*"], resolution=1, duration=5)
+    d = series_delta(dense.select("f1", "f2", "bucket", "total"), ["f1", "f2"], resolution=1)
+    s = series_smooth(d.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 3)
+    a = series_anomaly(s.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=3)
+    base = n_shuffles(plan_str(dense))
+    assert n_shuffles(plan_str(a)) == base + 1  # ONE window exchange for all three
