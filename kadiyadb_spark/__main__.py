@@ -1,0 +1,171 @@
+"""Operational CLI — ``python -m kadiyadb_spark <cmd>``.
+
+The reference ships as a server binary whose operators are driven over a
+protocol (server.go, protocol.pb.go); the Spark-native deployment drives the
+same operators from jobs, so the operational surface here is a thin argparse
+front over the public API — enough to init/inspect/ingest/query/maintain a
+database from a shell without writing a script, and a copy-pasteable example
+of every call. All heavy lifting stays in the library; the CLI adds no logic.
+
+Examples:
+    python -m kadiyadb_spark init    --path /tmp/db --duration 1h \
+        --resolution 1m --retention 720h --fields event_type,user_id
+    python -m kadiyadb_spark track   --path /tmp/db --events events.parquet
+    python -m kadiyadb_spark fetch   --path /tmp/db --from-ns 0 \
+        --to-ns 3600000000000 --pattern click,*
+    python -m kadiyadb_spark rollup  --src /tmp/db --dst /tmp/db10m
+    python -m kadiyadb_spark fsck    --path /tmp/db
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from kadiyadb_spark.session import ensure_engine_confs, get_spark
+
+    spark = get_spark(app_name="kadiyadb-cli", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_engine_confs(spark)
+    return spark
+
+
+def _open(spark, path):
+    from kadiyadb_spark.database import Database
+
+    return Database.open(spark, path)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, sort_keys=True))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kadiyadb_spark")
+    ap.add_argument("--master", default="local[*]")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("init", help="create a database (writes params.json)")
+    p.add_argument("--path", required=True)
+    p.add_argument("--duration", required=True, help="epoch width (ns int or Go-style '1h')")
+    p.add_argument("--resolution", required=True)
+    p.add_argument("--retention", required=True)
+    p.add_argument("--fields", required=True, help="comma-separated dimension names")
+
+    p = sub.add_parser("info", help="params + manifest generations")
+    p.add_argument("--path", required=True)
+
+    p = sub.add_parser("track", help="append-increment a parquet batch of events")
+    p.add_argument("--path", required=True)
+    p.add_argument("--events", required=True, help="parquet file/dir of events")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--total-col", default="value")
+    p.add_argument("--count-col", default=None)
+
+    p = sub.add_parser("fetch", help="range + pattern query, JSONL to stdout")
+    p.add_argument("--path", required=True)
+    p.add_argument("--from-ns", type=int, required=True)
+    p.add_argument("--to-ns", type=int, required=True)
+    p.add_argument("--pattern", required=True, help="comma-separated, '*' for wildcard levels")
+    p.add_argument("--sparse", action="store_true", help="skip dense zero-fill")
+    p.add_argument("--limit", type=int, default=1000)
+
+    p = sub.add_parser("expire", help="drop epochs older than a cutoff")
+    p.add_argument("--path", required=True)
+    p.add_argument("--before-ns", type=int, required=True)
+
+    p = sub.add_parser("compact", help="fold fragmented epochs' segments")
+    p.add_argument("--path", required=True)
+    p.add_argument("--max-files-per-epoch", type=int, default=1)
+
+    p = sub.add_parser("maintain", help="expire + compact + vacuum in order")
+    p.add_argument("--path", required=True)
+    p.add_argument("--now-ns", type=int, required=True)
+
+    p = sub.add_parser("vacuum", help="remove crash-orphaned segment staging")
+    p.add_argument("--path", required=True)
+
+    p = sub.add_parser("fsck", help="manifest/segment integrity census")
+    p.add_argument("--path", required=True)
+
+    p = sub.add_parser("rollup", help="incremental continuous-aggregate refresh")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--stream-id", default="rollup")
+
+    args = ap.parse_args(argv)
+    spark = _spark(args)
+
+    if args.cmd == "init":
+        from kadiyadb_spark.catalog import Params
+        from kadiyadb_spark.database import Database
+
+        def num(v: str):
+            return int(v) if v.isdigit() else v  # bare digits = ns
+
+        params = Params.from_dict(
+            {
+                "duration": num(args.duration),
+                "resolution": num(args.resolution),
+                "retention": num(args.retention),
+                "fields": [f for f in args.fields.split(",") if f],
+            }
+        )
+        Database.open(spark, args.path, params)
+        _emit({"initialized": args.path, "params": params.to_dict()})
+    elif args.cmd == "info":
+        db = _open(spark, args.path)
+        _emit(
+            {
+                "params": db.params.to_dict(),
+                "generations": db.generations(),
+                "current_gen": db.current_gen(),
+            }
+        )
+    elif args.cmd == "track":
+        db = _open(spark, args.path)
+        db.track(
+            spark.read.parquet(args.events),
+            ts_col=args.ts_col,
+            total_col=args.total_col,
+            count_col=args.count_col,
+        )
+        _emit({"tracked": args.events, "gen": db.current_gen()})
+    elif args.cmd == "fetch":
+        db = _open(spark, args.path)
+        r = db.fetch(
+            args.from_ns, args.to_ns, args.pattern.split(","), densify=not args.sparse
+        )
+        for row in r.limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "expire":
+        _emit({"dropped_epochs": _open(spark, args.path).expire(args.before_ns)})
+    elif args.cmd == "compact":
+        _emit(
+            {
+                "compacted_epochs": _open(spark, args.path).compact(
+                    max_files_per_epoch=args.max_files_per_epoch
+                )
+            }
+        )
+    elif args.cmd == "maintain":
+        _emit(_open(spark, args.path).maintain(args.now_ns))
+    elif args.cmd == "vacuum":
+        _emit({"removed": _open(spark, args.path).vacuum()})
+    elif args.cmd == "fsck":
+        _emit(_open(spark, args.path).fsck())
+    elif args.cmd == "rollup":
+        from kadiyadb_spark.database import rollup_refresh
+
+        applied = rollup_refresh(
+            _open(spark, args.src), _open(spark, args.dst), stream_id=args.stream_id
+        )
+        _emit({"applied": applied})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

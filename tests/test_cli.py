@@ -1,0 +1,63 @@
+"""Operational CLI: init/track/fetch/maintain lifecycle through
+``python -m kadiyadb_spark`` (in-process main(argv), shared session)."""
+
+import json
+
+from pyspark.sql import Row
+
+from kadiyadb_spark.__main__ import main
+
+
+def _out(capsys):
+    return [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    db = str(tmp_path / "db")
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [Row(ts=0, x="a", y="b", value=5.0), Row(ts=1, x="a", y="b", value=2.0)]
+    ).write.parquet(ev)
+
+    assert main(["init", "--path", db, "--duration", "5", "--resolution", "1",
+                 "--retention", "10", "--fields", "x,y"]) == 0
+    (init_out,) = _out(capsys)
+    assert init_out["params"]["fields"] == ["x", "y"]
+
+    assert main(["track", "--path", db, "--events", ev, "--total-col", "value"]) == 0
+    (track_out,) = _out(capsys)
+    assert track_out["gen"] == 0
+
+    assert main(["fetch", "--path", db, "--from-ns", "0", "--to-ns", "2",
+                 "--pattern", "a,b"]) == 0
+    rows = {r["bucket"]: (r["total"], r["cnt"]) for r in _out(capsys)}
+    assert rows == {0: (5.0, 1.0), 1: (2.0, 1.0)}
+
+    assert main(["info", "--path", db]) == 0
+    (info_out,) = _out(capsys)
+    assert info_out["current_gen"] == 0
+
+    assert main(["fsck", "--path", db]) == 0
+    (fsck_out,) = _out(capsys)
+    assert fsck_out["missing"] == [] and fsck_out["orphans"] == []
+
+    assert main(["maintain", "--path", db, "--now-ns", "100"]) == 0
+    _out(capsys)  # shape-checked by the library's own tests
+
+
+def test_cli_rollup_refresh(spark, tmp_path, capsys):
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    ev = str(tmp_path / "e.parquet")
+    spark.createDataFrame([Row(ts=0, x="a", y="b", value=1.0)]).write.parquet(ev)
+    main(["init", "--path", src, "--duration", "5", "--resolution", "1",
+          "--retention", "10", "--fields", "x,y"])
+    main(["init", "--path", dst, "--duration", "10", "--resolution", "5",
+          "--retention", "100", "--fields", "x,y"])
+    main(["track", "--path", src, "--events", ev, "--total-col", "value"])
+    capsys.readouterr()
+    assert main(["rollup", "--src", src, "--dst", dst]) == 0
+    (r1,) = _out(capsys)
+    assert r1["applied"] is True
+    assert main(["rollup", "--src", src, "--dst", dst]) == 0
+    (r2,) = _out(capsys)
+    assert r2["applied"] is False  # idempotent
