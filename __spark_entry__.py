@@ -730,6 +730,42 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (functions/sketch.py): per-(type,
+    day) HLL sketches of user_id built write-time, UNIONED day->month
+    (lossless merge — no re-scan of raw events), estimated, and gated by a
+    tolerance oracle like approx_distinct: the estimate must land within
+    3x the sketch's relative standard error of the exact count, which the
+    oracle pins TRUE. The sketch binaries themselves are engine-specific
+    (DataSketches registers), so the hashed output carries the exact count
+    + flag, not the sketch."""
+    from kadiyadb_spark.functions import sketch as SKC
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 24 * 3600 * SEC
+    daily = SKC.hll_rollup(
+        ev.withColumn("day", (F.col("ts") - F.col("ts") % F.lit(day_ns)).cast("long")),
+        "user_id",
+        ["event_type", "day"],
+        lgk=12,
+    )
+    monthly = SKC.hll_merge(daily, ["event_type"])
+    est = SKC.hll_estimate(F.col("sketch"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    rse = 1.04 / (2**12) ** 0.5
+    j = monthly.join(F.broadcast(exact), "event_type")
+    return j.select(
+        "event_type",
+        "exact_users",
+        F.col("n_sketches").cast("long").alias("n_days"),
+        (F.abs(est - F.col("exact_users")) <= F.lit(3 * rse) * F.col("exact_users")).alias(
+            "within_tol"
+        ),
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     r = (
@@ -2652,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade": q_rollup_cascade,
         "fetch_ratio": q_fetch_ratio,
         "orc_source_agg": q_orc_source_agg,
+        "hll_distinct_rollup": q_hll_distinct_rollup,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -3687,6 +3724,17 @@ FROM events GROUP BY event_type
     o["json_source_agg"] = _src_agg_sql
     o["csv_source_agg"] = _src_agg_sql
     o["orc_source_agg"] = _src_agg_sql
+
+    # Tolerance oracle (approx_distinct pattern): exact values + a flag the
+    # sketch estimate must satisfy; the oracle asserts the flag TRUE.
+    o["hll_distinct_rollup"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT (epoch_ns(ts) // 86400000000000)) AS n_days,
+       true AS within_tol
+FROM events
+GROUP BY event_type
+"""
 
     # Layout change only — values must round-trip bit-exactly.
     o["zorder_layout"] = """

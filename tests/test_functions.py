@@ -1258,3 +1258,29 @@ def test_hashed_bow_matches_python(spark):
     assert np.allclose(by[0], by[1])
     assert abs(float(by[0] @ by[2])) < 1e-12 or True  # may collide; just sanity
     assert all(abs(np.linalg.norm(e) - 1.0) < 1e-9 for e in by.values())
+
+
+def test_hll_merge_is_lossless_and_within_tolerance(spark):
+    """Mergeable-sketch invariants: (a) unioning per-day sketches yields the
+    SAME estimate as sketching the whole month directly (register maxima
+    are order/partition-independent), (b) the estimate lands within 3x RSE
+    of the exact distinct count."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions import sketch as SKC
+
+    rows = [
+        Row(day=d, et="click", uid=f"u{(d * 37 + i) % 400}")
+        for d in range(10)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    daily = SKC.hll_rollup(df, "uid", ["et", "day"], lgk=12)
+    merged = SKC.hll_merge(daily, ["et"])
+    direct = SKC.hll_rollup(df, "uid", ["et"], lgk=12)
+    est_m = merged.select(SKC.hll_estimate(F.col("sketch")).alias("e")).first()["e"]
+    est_d = direct.select(SKC.hll_estimate(F.col("sketch")).alias("e")).first()["e"]
+    assert est_m == est_d  # lossless merge
+    exact = df.select("uid").distinct().count()
+    assert abs(est_m - exact) <= 3 * (1.04 / (2**12) ** 0.5) * exact
+    assert merged.first()["n_sketches"] == 10
