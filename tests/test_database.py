@@ -512,3 +512,23 @@ def test_rollup_refresh_surfaces_rewritten_history(spark, tmp_path):
     assert src.compact() == [0]
     with pytest.raises(ValueError, match="rewrite"):
         rollup_refresh(src, dst)
+
+
+def test_pre_stats_manifest_reads_fine_and_never_prunes(spark, tmp_path):
+    """Forward compatibility: a manifest written before the stats key
+    existed (hand-stripped here) must read normally and simply skip
+    nothing — pruning only ever acts on positive evidence."""
+    import json as _json
+
+    db = Database.open(spark, str(tmp_path / "old"), P)
+    db.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    name = db._manifest_names()[-1]
+    mpath = HadoopFS.join(db.cube_path, name)
+    m = db.fs.read_json(mpath)
+    del m["stats"]
+    db.fs.delete(mpath)
+    assert db.fs.write_json_atomic(mpath, m)
+    m2 = db._manifest()
+    assert m2["stats"] == {}
+    assert len(db._segment_paths(m2, {0}, f1_value="zzz")) == 1  # no evidence -> no skip
+    assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 5.0, 1.0)]

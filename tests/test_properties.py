@@ -420,3 +420,35 @@ def test_p13_series_ratio_matches_bruteforce(spark, events):
         assert got[b] == (r4(float(n)) if n is not None else None,
                           r4(float(d)) if d is not None else None,
                           r4(ratio))
+
+
+@given(
+    events=events_strategy,
+    cut=st.integers(min_value=0, max_value=N_SLOTS),
+)
+@SETTINGS
+def test_p14_rollup_cascade_equals_direct_coarse_track(spark, events, cut, tmp_path_factory):
+    """Continuous aggregate exactness: tracking any event split into src and
+    refreshing dst twice must equal tracking EVERYTHING directly at the
+    coarse resolution — for every series, slot, and depth."""
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database, rollup_refresh
+
+    tmp = tmp_path_factory.mktemp("cascade")
+    src = Database.open(
+        spark, str(tmp / "s"), Params(duration=5, resolution=1, retention=15, fields=("f1", "f2"))
+    )
+    dst = Database.open(
+        spark, str(tmp / "d"), Params(duration=15, resolution=5, retention=15, fields=("f1", "f2"))
+    )
+    a = [e for e in events if e[0] < cut]
+    b = [e for e in events if e[0] >= cut]
+    for half in (a, b):
+        if half:
+            src.track(_events_df(spark, half), total_col="v")
+            rollup_refresh(src, dst)
+    direct = track_batch(
+        _events_df(spark, events), fields=["f1", "f2"], ts_col="ts", total_col="v",
+        resolution=5, duration=15,
+    )
+    assert _rows(dst.cube()) == _rows(direct)
