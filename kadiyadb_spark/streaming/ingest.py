@@ -101,6 +101,7 @@ def stream_interval_join(
     lookback: str = "30 minutes",
     watermark: str = "10 minutes",
     right_suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event matched to right events
     sharing ``key_cols`` whose event time falls in
@@ -119,7 +120,15 @@ def stream_interval_join(
     ``ts_col`` pass through in their source type); the internal event-time
     columns are dropped from the output. ``ts_col`` may be long-ns or any
     timestamp type on either side (normalized at the boundary, like every
-    other streaming path)."""
+    other streaming path).
+
+    ``how='left_outer'`` emits each unmatched left row (right columns
+    null) — but only once the watermark proves no matching right row can
+    still arrive, which in micro-batch terms means ON A LATER BATCH after
+    event time has advanced past the row's eligibility window. A drained
+    availableNow run therefore holds back unmatched rows from the final
+    batch — the documented Structured Streaming outer-join contract, not a
+    bug in this operator."""
     lt = S.ts_ns_expr(left.schema[ts_col].dataType, ts_col)
     rt = S.ts_ns_expr(right.schema[ts_col].dataType, ts_col)
     lhs = left.filter(lt.isNotNull()).withColumn(
@@ -140,8 +149,10 @@ def stream_interval_join(
         & (F.col("_rt") >= F.col("_lt") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("_rt") <= F.col("_lt"))
     )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     joined = lhs.withWatermark("_lt", watermark).join(
-        rhs.withWatermark("_rt", watermark), cond, "inner"
+        rhs.withWatermark("_rt", watermark), cond, how
     )
     return joined.drop("_lt", "_rt")
 

@@ -550,3 +550,64 @@ def test_stream_index_dedup_crash_between_commit_and_add(spark, tmp_path):
     assert dec.count() == 1
     assert dec.collect()[0]["accepted"] == 1
     assert idx.banded().filter("doc_id = 200").count() > 0
+
+
+def test_stream_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
+    """left_outer: an unmatched purchase emits with null click columns — but
+    only after a LATER batch advances the watermark past its eligibility
+    window (the Structured Streaming outer-join contract). Three single-file
+    batches: the match emits inline, the far-future batches push the
+    watermark, and the unmatched row from batch 1 surfaces in batch 3."""
+    import time as _time
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from kadiyadb_spark.streaming.ingest import stream_interval_join
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.LongType()),
+            T2.StructField("uid", T2.StringType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("eid", T2.LongType()),
+        ]
+    )
+    MIN, HOUR = 60 * SEC, 3600 * SEC
+    src = str(tmp_path / "src")
+    batches = [
+        [(B0, "u2", "click", 1), (B0 + 5 * MIN, "u2", "purchase", 2), (B0, "u1", "purchase", 3)],
+        [(B0 + 3 * HOUR, "u9", "click", 4), (B0 + 3 * HOUR, "u9", "purchase", 5)],
+        [(B0 + 6 * HOUR, "u8", "click", 6)],  # watermark pusher only
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [Row(ts=r[0], uid=r[1], kind=r[2], eid=r[3]) for r in rows], schema
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    def stream(kind):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F2.col("kind") == kind)
+        )
+
+    pairs = stream_interval_join(
+        stream("purchase"), stream("click"), ["uid"],
+        lookback="10 minutes", watermark="10 minutes", how="left_outer",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("oj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.eid, r.eid_r) for r in spark.sql("SELECT eid, eid_r FROM oj_out").collect()
+    )
+    assert got == [(2, 1), (3, None), (5, 4)]
