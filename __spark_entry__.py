@@ -2058,6 +2058,36 @@ def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-MIXING stage end to end: heuristic quality gate ->
+    temperature weights over the survivors -> downsample-only rates
+    (each source's boost normalized by the max, so the most-boosted
+    source keeps everything and the rest downsample proportionally) ->
+    deterministic hash sample -> per-source audit. The driver touches
+    ONLY the sources-count weights table; the corpus path is map-only
+    plus one agg. Rate arithmetic is half-up at 4dp on BOTH engines so
+    the bucket thresholds are integer-identical."""
+    import math
+
+    from kadiyadb_spark.functions.sampling import stratified_hash_sample, temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = TX.gopher_pass_expr(
+        F.col("text"), min_tokens=30, min_stopword_hits=1
+    ) & (TX.dup_token_frac_expr(F.col("text")) <= F.lit(0.8))
+    surv = docs.filter(gate)
+    w = temperature_weights(surv, alpha=0.5)
+    boosts = {r["source"]: r["boost"] for r in w.collect()}  # sources-count rows
+    mx = max(boosts.values())
+    rates = {s: math.floor(b / mx * 10000 + 0.5) / 10000 for s, b in boosts.items()}
+    kept = stratified_hash_sample(surv, rates, strata_col="source", id_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (w ∝ p^0.5, mT5/XLM-R-style): one
     corpus agg for per-source token shares, two broadcast scalar joins for
@@ -2689,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio": q_fetch_ratio,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
+        "pipeline_mix": q_pipeline_mix,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -4674,6 +4705,53 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        floor(avg(ppl) * 10000 + 0.5) / 10000 AS avg_ppl
 FROM dr GROUP BY source
+"""
+
+    o["pipeline_mix"] = f"""
+WITH t0 AS (SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, toks,
+         len(toks) AS n,
+         greatest(len(toks), 1)::DOUBLE AS n_d,
+         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS dupfrac
+  FROM t0
+),
+surv AS (
+  SELECT doc_id, source, toks FROM m
+  WHERE n >= 30 AND n <= 100000
+    AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
+    AND n_symbols / n_d <= 0.1
+    AND n_alpha / n_d >= 0.80
+    AND stop_hits >= 1
+    AND dupfrac <= 0.8
+),
+per AS (SELECT source, sum(len(toks)) AS n_tokens FROM surv GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
+wp AS (SELECT per.source, n_tokens / total AS p FROM per, tot),
+ws AS (SELECT sum(pow(p, 0.5)) AS wsum FROM wp),
+bo AS (SELECT source,
+              floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 AS boost
+       FROM wp, ws),
+mx AS (SELECT max(boost) AS mb FROM bo),
+th AS (SELECT source, CAST(floor(boost / mb * 10000 + 0.5) AS BIGINT) AS thr FROM bo, mx),
+b AS (
+  SELECT s.doc_id, s.source,
+         CAST(('0x' || substr(md5('kdb' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM surv s
+)
+SELECT b.source, count(*) AS n_kept, min(b.doc_id) AS first_doc, max(b.doc_id) AS last_doc
+FROM b JOIN th ON b.source = th.source
+WHERE b.bucket < th.thr
+GROUP BY b.source
 """
 
     o["mixture_temperature"] = f"""

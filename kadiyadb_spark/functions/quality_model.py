@@ -103,6 +103,29 @@ def score_quality(
     )
 
 
+def save_model(spark, model: dict, path: str) -> None:
+    """Persist a trained model atomically on any Hadoop filesystem (the
+    deployment writes it next to the corpus manifest; tomorrow's crawl is
+    scored with yesterday's model without retraining)."""
+    import json
+
+    from kadiyadb_spark.fs import HadoopFS
+
+    fs = HadoopFS(spark, path)
+    fs.mkdirs(path.rsplit("/", 1)[0])
+    if not fs.write_text_atomic(path, json.dumps(model)):
+        raise IOError(f"model already exists at {path}")
+
+
+def load_model(spark, path: str) -> dict:
+    from kadiyadb_spark.fs import HadoopFS
+
+    m = HadoopFS(spark, path).read_json(path)
+    if not {"weights", "bias", "dim"} <= set(m):
+        raise ValueError(f"not a quality model file: {path}")
+    return m
+
+
 def distill_heuristic_gate(
     docs: DataFrame,
     text_col: str = "text",

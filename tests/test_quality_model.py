@@ -62,3 +62,22 @@ def test_distilled_gate_generalizes_to_holdout(spark):
         F.avg((F.col("quality_pass") == F.col("_gate")).cast("double"))
     ).first()[0]
     assert agree >= 0.8
+
+
+def test_model_save_load_roundtrip_scores_identically(spark, tmp_path):
+    from kadiyadb_spark.functions.quality_model import load_model, save_model
+
+    docs = _docs(spark, 20, 20)
+    model = train_quality_model(docs, dim=64, max_iter=10)
+    path = f"{tmp_path}/models/quality.json"
+    save_model(spark, model, path)
+    loaded = load_model(spark, path)
+    assert loaded["dim"] == 64 and loaded["bias"] == model["bias"]
+    a = {r["doc_id"]: r["quality_score"] for r in score_quality(docs, model).collect()}
+    b = {r["doc_id"]: r["quality_score"] for r in score_quality(docs, loaded).collect()}
+    assert a == b
+    # atomic: double-save refuses rather than clobbering
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        save_model(spark, model, path)
