@@ -2600,6 +2600,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-sampling: overlapping 64-byte windows at stride 32 over
+    the payload, per-window integer energy + zero crossings (the fake PCM
+    is byte-centered, so every feature is integer-exact cross-engine —
+    see functions/multimodal.py:audio_windows). Output aggregated per
+    asset so the hashed frame stays corpus-sized."""
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    wins = M.audio_windows(media, window=64, stride=32, fake=True)
+    return wins.groupBy("asset_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.sum("zero_crossings").alias("total_zc"),
+        F.max("energy").alias("peak_energy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2720,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
+        "multimodal_audio": q_multimodal_audio,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -4600,6 +4617,35 @@ s AS (
 SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
        CAST(len(sub) AS BIGINT) AS frame_len, md5(sub) AS frame_md5
 FROM s WHERE len(sub) > 0
+"""
+
+    # Byte-centered fake PCM: sample = ord(char) - 128 (fixtures are ASCII,
+    # so char position == byte position); full 64-wide windows at stride 32.
+    o["multimodal_audio"] = """
+WITH w AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest((octet_length(encode(text)) - 64) // 32 + 1, 0))) AS k
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+),
+feat AS (
+  SELECT doc_id, k,
+         list_sum([(ord(substr(text, CAST(k * 32 + i AS INT), 1)) - 128)
+                   * (ord(substr(text, CAST(k * 32 + i AS INT), 1)) - 128)
+                   for i in range(1, 65)]) AS energy,
+         list_sum([CASE WHEN (ord(substr(text, CAST(k * 32 + i AS INT), 1)) >= 128)
+                          != (ord(substr(text, CAST(k * 32 + i + 1 AS INT), 1)) >= 128)
+                        THEN 1 ELSE 0 END
+                   for i in range(1, 64)]) AS zc
+  FROM w
+)
+SELECT doc_id AS asset_id,
+       count(*) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS total_energy,
+       CAST(sum(zc) AS BIGINT) AS total_zc,
+       CAST(max(energy) AS BIGINT) AS peak_energy
+FROM feat
+GROUP BY doc_id
 """
 
     o["quality_gopher"] = f"""

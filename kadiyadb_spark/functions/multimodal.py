@@ -173,3 +173,65 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
             )
         ).alias("frame_idx", "frame_payload"),
     ).filter(F.octet_length(F.col("frame_payload")) > 0)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    fake: bool = True,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Frame-sample audio payloads into overlapping fixed-size windows and
+    extract per-window features — the audio half of the multimodal
+    contract (decode -> window -> feature), the prep for VAD / loudness
+    filtering / segment-level dedup of an audio corpus.
+
+    ``fake=False`` is the production signature and raises
+    NotImplementedError (no ffmpeg/soundfile in this container). The fake
+    PCM decode is byte-centered integers (sample_i = byte_i - 128), so
+    both features are INTEGER-exact: ``energy`` = sum(sample^2) over the
+    window, ``zero_crossings`` = sign changes between consecutive samples
+    (>= 128 counts as non-negative). Only FULL windows emit — a trailing
+    partial window would smuggle a length-dependent bias into energy.
+
+    Scale shape: one mapInPandas pass, numpy per payload (vectorized
+    square/compare — no per-sample Python); output rows ~ n_bytes/stride
+    per asset, so downstream aggregation cost tracks audio duration, not
+    corpus row count."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires ffmpeg/soundfile, not present in "
+            "this container; use fake=True for the deterministic stand-in"
+        )
+    if window < 2 or stride < 1:
+        raise ValueError(f"need window >= 2 and stride >= 1, got {window}/{stride}")
+    import numpy as np
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, es, zs = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = np.frombuffer(payload or b"", dtype=np.uint8).astype(np.int64) - 128
+                n = len(b)
+                for k in range((n - window) // stride + 1 if n >= window else 0):
+                    s = b[k * stride : k * stride + window]
+                    ids.append(aid)
+                    wins.append(k)
+                    es.append(int((s * s).sum()))
+                    zs.append(int(((s[:-1] >= 0) != (s[1:] >= 0)).sum()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "win_idx": wins, "energy": es, "zero_crossings": zs}
+            )
+
+    return media.mapInPandas(_win, schema=AUDIO_WINDOW_SCHEMA)

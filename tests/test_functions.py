@@ -1284,3 +1284,33 @@ def test_hll_merge_is_lossless_and_within_tolerance(spark):
     exact = df.select("uid").distinct().count()
     assert abs(est_m - exact) <= 3 * (1.04 / (2**12) ** 0.5) * exact
     assert merged.first()["n_sketches"] == 10
+
+
+def test_audio_windows_full_windows_only_and_integer_features(spark):
+    """audio_windows: only FULL windows emit; energy/zero-crossings are
+    integer-exact on the byte-centered fake PCM; fake=False raises the
+    documented codec guard."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions import multimodal as M2
+
+    rows = [
+        Row(asset_id=1, media_type="audio", payload=bytes([100, 200] * 4), n_bytes=8),
+        Row(asset_id=2, media_type="audio", payload=bytes([130] * 5), n_bytes=5),  # < window
+        Row(asset_id=3, media_type="audio", payload=b"", n_bytes=0),
+    ]
+    media = spark.createDataFrame(rows, M2.MEDIA_SCHEMA)
+    got = {
+        (r["asset_id"], r["win_idx"]): (r["energy"], r["zero_crossings"])
+        for r in M2.audio_windows(media, window=4, stride=2, fake=True).collect()
+    }
+    # asset 1: samples -28,+72 alternating; window 4 energy = 2*(784+5184)
+    assert got[(1, 0)] == (11936, 3)
+    assert (1, 2) in got and (1, 3) not in got  # trailing partial window dropped
+    # asset 2: len 5 >= window 4 -> exactly one full window at offset 0
+    # (all samples +2 -> energy 16, zc 0); asset 3 empty -> no rows
+    assert got[(2, 0)] == (16, 0)
+    assert (2, 1) not in got and not any(a == 3 for a, _ in got)
+    with _pytest.raises(NotImplementedError):
+        M2.audio_windows(media, fake=False)
