@@ -12,9 +12,11 @@ prefix sums, extended to the one aggregate that cannot be pre-summed.
 Error model: relative standard error ≈ 1.04 / sqrt(2^lgk) (~1.6% at the
 lgk=12 default, ~1 KB per sketch). Sketches are deterministic functions of
 the input SET (register maxima — order-independent), so rollup reads are
-reproducible; they are NOT bit-portable to other HLL implementations, which
-is why the correctness entry for this operator is rows-only (no DuckDB
-oracle can replay a DataSketches binary).
+reproducible; they are NOT bit-portable to other HLL implementations, so
+the correctness entry (`hll_distinct_rollup`) gates a TOLERANCE contract
+instead: exact counts + a within-3×RSE flag the SQL oracle pins TRUE, and
+merge losslessness is pinned by pytest (day→month union estimate equals
+the direct whole-range sketch exactly).
 
 All three ops are one Spark aggregation each: partial sketches build
 map-side and merge in the reduce — a distinct-count rollup never shuffles
