@@ -209,6 +209,18 @@ def q_fetch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style topk: the 10 heaviest (click, user) series by total
+    over the week — one pushed-down scan, one series agg, and Spark's
+    TakeOrderedAndProject top-K (never a full sort of all series;
+    query.py:series_topk). Ties break on the series path."""
+    from kadiyadb_spark.query import series_topk
+
+    return series_topk(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], k=10, resolution=RES
+    )
+
+
 def q_fetch_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range straddling an epoch boundary -> rows from two epochs."""
     b = T0 + 3600 * SEC  # epoch boundary at 01:00
@@ -2737,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
         "multimodal_audio": q_multimodal_audio,
+        "fetch_topk_series": q_fetch_topk_series,
         # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
         # -- deferred due entries (lead the r07 gate): --
@@ -3113,6 +3126,18 @@ SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
 FROM ev10
 WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY 1, 2, 3, 4
+"""
+
+    o["fetch_topk_series"] = f"""
+WITH {_EV_CUBE}
+SELECT f1, f2,
+       floor((sum(total)) * 10000 + 0.5) / 10000 AS range_total,
+       sum(cnt) AS range_cnt
+FROM cube2
+WHERE f1 = 'click' AND bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY f1, f2
+ORDER BY range_total DESC, f1 ASC, f2 ASC
+LIMIT 10
 """
 
     o["fetch_ratio"] = f"""

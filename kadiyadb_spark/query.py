@@ -347,6 +347,47 @@ def series_ratio(
     )
 
 
+def series_topk(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    k: int = 10,
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Top-K series by total over a range (the PromQL ``topk`` over what
+    the reference stores): one pushed-down cube scan over the pattern's
+    exact depth, one series-keyed aggregation, then a global top-K —
+    Spark's TakeOrderedAndProject keeps only K rows per partition and K
+    at the driver, so the ranking never materializes the full series
+    list. Ties break on the series path (deterministic cross-engine on
+    4dp-rounded totals)."""
+    depth, preds = compile_pattern(pattern)
+    from kadiyadb_spark.functions.num import round4_expr
+
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    fcols = S.field_cols(depth)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & (F.col(col) == F.lit(val))
+    g = (
+        cube.filter(cond)
+        .groupBy(*fcols)
+        .agg(
+            round4_expr(F.sum(S.TOTAL)).alias("range_total"),
+            F.sum(S.CNT).alias("range_cnt"),
+        )
+    )
+    return g.orderBy(F.col("range_total").desc(), *[F.col(c).asc() for c in fcols]).limit(k)
+
+
 def series_downsample(
     df: DataFrame,
     series_cols: list[str],

@@ -440,3 +440,18 @@ def test_series_transforms_share_one_window_exchange(spark):
     a = series_anomaly(s.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=3)
     base = n_shuffles(plan_str(dense))
     assert n_shuffles(plan_str(a)) == base + 1  # ONE window exchange for all three
+
+
+def test_series_topk_uses_take_ordered_not_full_sort(spark):
+    """series_topk must rank via TakeOrderedAndProject (K rows per
+    partition, K at the driver) — a global Sort of every series is the
+    anti-pattern at 100 TB."""
+    from kadiyadb_spark.query import series_topk
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 5, x="a", y=f"u{i % 7}", v=1.0) for i in range(30)]
+    )
+    cube = track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    plan = plan_str(series_topk(cube, 0, 5, ["a", "*"], k=3, resolution=1))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Sort\b", plan)
