@@ -33,6 +33,7 @@ from kadiyadb_spark.query import (
     series_downsample,
     series_ratio,
     series_smooth,
+    series_topk,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -50,6 +51,7 @@ __all__ = [
     "series_downsample",
     "series_anomaly",
     "series_ratio",
+    "series_topk",
     "get_spark",
     "spread",
 ]
