@@ -13,7 +13,8 @@ that epoch's delta rows, plus the per-stream applied-batch high-water marks:
 
     {"gen": N, "segments": {"<epoch>": ["segs/<seg>/epoch_p=<E>", ...]},
      "hwm": {"<stream_id>": <batch_id>},
-     "stats": {"segs/<seg>/epoch_p=<E>": ["<f1 value>", ...] | null}}
+     "stats": {"segs/<seg>/epoch_p=<E>": {"f1": ["<value>", ...] | null,
+                                          "f2": [...], ...}}}
 
 Readers resolve the highest-generation manifest and read exactly the listed
 directories — no directory listing in the read path at all (on object stores
@@ -61,7 +62,7 @@ from kadiyadb_spark.query import fetch as fetch_df
 
 _MANIFEST_PREFIX = "MANIFEST-"
 _KEEP_MANIFESTS = 3  # old generations kept for debugging/readers-in-flight
-_STATS_MAX = 64  # distinct f1 values recorded per (segment, epoch) for data skipping
+_STATS_MAX = 64  # distinct values recorded per (segment, epoch, dimension) for data skipping
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -164,7 +165,7 @@ class Database:
 
     def _write_segment(
         self, delta: DataFrame, sort_series: bool = False, salt_files: int = 1
-    ) -> tuple[dict[int, str], dict[str, list[str] | None]]:
+    ) -> tuple[dict[int, str], dict[str, dict[str, list[str] | None]]]:
         """Stage one cube-shaped delta as a new segment directory tree and
         return ({epoch: relative ref}, {ref: f1 stats}). Staged data is
         INVISIBLE until a manifest referencing it commits, so a crash here
@@ -211,61 +212,85 @@ class Database:
         by_epoch = self._seg_stats(seg_root)
         return refs, {ref: by_epoch.get(e) for e, ref in refs.items()}
 
-    def _seg_stats(self, seg_root: str) -> dict[int, list[str] | None]:
-        """Per-epoch distinct first-dimension (f1) values of a just-written
-        segment — the manifest's data-skipping stats, the Spark-native form
-        of the reference's index Find narrowing reads to matching series
-        (index/node.go:126-198). Computed from the WRITTEN files (a
-        column-pruned scan of the batch-sized segment, never a recompute of
-        the upstream plan). An epoch with more than ``_STATS_MAX`` distinct
-        values records None ("too wide to skip on"); the rank cap below
-        bounds what reaches the driver at MAX+1 rows per epoch no matter
-        the dimension's cardinality."""
-        if self.max_depth < 1:
+    def _seg_stats(self, seg_root: str) -> dict[int, dict[str, list[str] | None]]:
+        """Per-epoch distinct dimension values of a just-written segment,
+        for EVERY field column — the manifest's data-skipping stats, the
+        Spark-native form of the reference's index Find narrowing reads to
+        matching series (index/node.go:126-198). Computed from the WRITTEN
+        files (a column-pruned scan of the batch-sized segment, never a
+        recompute of the upstream plan): one scan explodes the (level,
+        value) pairs, so all dimensions cost one aggregation. A (epoch,
+        level) with more than ``_STATS_MAX`` distinct values records None
+        ("too wide to skip on"); the rank cap bounds what reaches the
+        driver at MAX+1 rows per (epoch, level) no matter the dimension's
+        cardinality."""
+        fcols = S.field_cols(self.max_depth)
+        if not fcols:
             return {}
         from pyspark.sql import Window
 
-        f1 = S.field_col(1)
-        d = (
+        pairs = (
             self.spark.read.parquet(seg_root)
-            .select("epoch_p", f1)
-            .where(F.col(f1).isNotNull())
+            .select("epoch_p", F.posexplode(F.array(*[F.col(c) for c in fcols])).alias("_i", "_v"))
+            .where(F.col("_v").isNotNull())
             .distinct()
         )
-        w = Window.partitionBy("epoch_p").orderBy(f1)
-        capped = d.withColumn("_rn", F.row_number().over(w)).where(
+        w = Window.partitionBy("epoch_p", "_i").orderBy("_v")
+        capped = pairs.withColumn("_rn", F.row_number().over(w)).where(
             F.col("_rn") <= _STATS_MAX + 1
         )
-        rows = capped.groupBy("epoch_p").agg(
-            F.sort_array(F.collect_list(f1)).alias("vals")
+        rows = capped.groupBy("epoch_p", "_i").agg(
+            F.sort_array(F.collect_list("_v")).alias("vals")
         ).collect()
-        return {
-            int(r["epoch_p"]): (list(r["vals"]) if len(r["vals"]) <= _STATS_MAX else None)
-            for r in rows
-        }
+        out: dict[int, dict[str, list[str] | None]] = {}
+        for r in rows:
+            e, col = int(r["epoch_p"]), S.field_col(int(r["_i"]) + 1)
+            vals = list(r["vals"])
+            out.setdefault(e, {})[col] = vals if len(vals) <= _STATS_MAX else None
+        return out
 
     def _segment_paths(
-        self, m: dict, epochs: set[int] | None = None, f1_value: str | None = None
+        self, m: dict, epochs: set[int] | None = None, prune_pattern: list[str] | None = None
     ) -> list[str]:
         """Resolve manifest refs to scan paths, applying manifest-level data
-        skipping: epoch pruning, then f1-value pruning against the
-        per-segment stats ``_write_segment`` recorded. A ref with no stats
-        entry (pre-stats manifest) or a None entry (cardinality overflow)
-        is never skipped — skipping is only ever done on positive evidence,
-        so stale or missing stats degrade to a full read, not a wrong one.
-        ``f1_value`` pruning is ONLY sound for reads that will filter on
-        f1 == value with depth >= 1 (fetch's exact-first-level patterns —
-        every row such a query can match carries a non-null f1 the stats
-        set must contain)."""
+        skipping: epoch pruning, then dimension-value pruning against the
+        per-segment stats ``_write_segment`` recorded — for EVERY exact
+        (non-``*``) level of ``prune_pattern``, a segment whose recorded
+        value set for that level excludes the value cannot hold a matching
+        row (a pattern of depth L only matches depth-L rows, whose f1..fL
+        are all non-null, and the stats cover all non-null values at every
+        depth — conservative, never wrongly skips). A ref with no stats
+        entry (pre-stats manifest), a None level (cardinality overflow), or
+        an early-round list-form entry missing the level is never skipped —
+        skipping only ever acts on positive evidence, so stale or missing
+        stats degrade to a full read, not a wrong one."""
         stats = m.get("stats", {})
+        preds: list[tuple[str, str]] = []
+        if prune_pattern:
+            preds = [
+                (S.field_col(i), v)
+                for i, v in enumerate(prune_pattern, start=1)
+                if v != "*"
+            ]
+
+        def _keep(ref: str) -> bool:
+            st = stats.get(ref)
+            if st is None:
+                return True
+            if isinstance(st, list):  # early round-6 format: f1 values only
+                st = {S.field_col(1): st}
+            for col, val in preds:
+                vals = st.get(col)
+                if isinstance(vals, list) and val not in vals:
+                    return False
+            return True
+
         return [
             HadoopFS.join(self.cube_path, ref)
             for e, refs in sorted(m["segments"].items())
             if epochs is None or e in epochs
             for ref in refs
-            if f1_value is None
-            or not isinstance(stats.get(ref), list)
-            or f1_value in stats[ref]
+            if not preds or _keep(ref)
         ]
 
     def _live_refs(self) -> set[str]:
@@ -317,7 +342,7 @@ class Database:
         from_epoch: int | None = None,
         to_epoch: int | None = None,
         at_gen: int | None = None,
-        f1_value: str | None = None,
+        prune_pattern: list[str] | None = None,
     ) -> DataFrame:
         """The cube as a DataFrame, FOLDED to one row per cube key.
 
@@ -331,10 +356,11 @@ class Database:
         column with one value per file, so parquet min-max stats skip
         whole row groups for any further epoch predicate Catalyst pushes.
 
-        ``f1_value`` applies manifest-level data skipping: segments whose
-        recorded first-dimension stats exclude the value are left out of
-        the scan entirely (see ``_segment_paths`` for the soundness
-        contract — callers must themselves filter f1 == value, depth >= 1).
+        ``prune_pattern`` applies manifest-level data skipping: segments
+        whose recorded dimension stats exclude any exact level's value are
+        left out of the scan entirely (see ``_segment_paths`` for the
+        soundness contract — callers must themselves apply the pattern's
+        exact-depth equality filter).
 
         ``at_gen`` reads a RETAINED older generation (snapshot read / time
         travel): because commits are whole-manifest swaps and segments are
@@ -349,7 +375,7 @@ class Database:
             for e in m["segments"]
             if (from_epoch is None or e >= from_epoch) and (to_epoch is None or e <= to_epoch)
         }
-        paths = self._segment_paths(m, epochs, f1_value=f1_value)
+        paths = self._segment_paths(m, epochs, prune_pattern=prune_pattern)
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
         if not paths:
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
@@ -546,19 +572,19 @@ class Database:
         at_gen: int | None = None,
     ) -> DataFrame:
         """Manifest-level pruning happens before the scan is planned: only
-        segments of epochs overlapping [from_ts, to_ts) are read, and when
-        the pattern's FIRST level is exact, segments whose recorded f1
-        stats exclude that value are skipped too (the reference's index
-        Find narrowing the read to matching series, done as metadata).
-        ``at_gen`` pins the read to a retained snapshot (see ``cube``)."""
+        segments of epochs overlapping [from_ts, to_ts) are read, and for
+        EVERY exact (non-*) pattern level, segments whose recorded
+        dimension stats exclude that value are skipped too (the
+        reference's index Find narrowing the read to matching series, done
+        as metadata). ``at_gen`` pins the read to a retained snapshot (see
+        ``cube``)."""
         res, dur = self.params.resolution, self.params.duration
         from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
         to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
         e_from = from_b - (from_b % dur)
         e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
-        f1v = pattern[0] if pattern and pattern[0] != "*" else None
         return fetch_df(
-            self.cube(e_from, e_to, at_gen=at_gen, f1_value=f1v),
+            self.cube(e_from, e_to, at_gen=at_gen, prune_pattern=pattern),
             from_ts,
             to_ts,
             pattern,

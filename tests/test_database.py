@@ -407,11 +407,11 @@ def test_f1_stats_prune_segments_on_exact_fetch(spark, tmp_path):
     m = db._manifest()
     refs = m["segments"][0]
     assert len(refs) == 2
-    assert sorted(m["stats"][refs[0]]) == ["click"]
-    assert sorted(m["stats"][refs[1]]) == ["view"]
+    assert m["stats"][refs[0]]["f1"] == ["click"]
+    assert m["stats"][refs[1]]["f1"] == ["view"]
     # exact first level -> one segment planned; wildcard -> both
-    assert len(db._segment_paths(m, {0}, f1_value="click")) == 1
-    assert len(db._segment_paths(m, {0}, f1_value=None)) == 2
+    assert len(db._segment_paths(m, {0}, prune_pattern=["click", "*"])) == 1
+    assert len(db._segment_paths(m, {0}, prune_pattern=None)) == 2
     got = _pts(db.fetch(0, 2, ["click", "*"]))
     assert got == [
         (0, ("click", "u1"), 0, 5.0, 1.0),
@@ -420,8 +420,14 @@ def test_f1_stats_prune_segments_on_exact_fetch(spark, tmp_path):
         (0, ("click", "u2"), 1, 2.0, 1.0),
     ]
     # a value no segment contains plans an empty scan and returns empty
-    assert db._segment_paths(m, {0}, f1_value="nope") == []
+    assert db._segment_paths(m, {0}, prune_pattern=["nope", "*"]) == []
     assert db.fetch(0, 2, ["nope", "*"], densify=False).count() == 0
+    # SECOND-level pruning: u2 only ever appears in the first segment
+    assert len(db._segment_paths(m, {0}, prune_pattern=["*", "u2"])) == 1
+    assert _pts(db.fetch(0, 2, ["*", "u2"])) == [
+        (0, ("click", "u2"), 0, 0.0, 0.0),
+        (0, ("click", "u2"), 1, 2.0, 1.0),
+    ]
 
 
 def test_f1_stats_overflow_disables_pruning_not_correctness(spark, tmp_path, monkeypatch):
@@ -435,9 +441,10 @@ def test_f1_stats_overflow_disables_pruning_not_correctness(spark, tmp_path, mon
     db.track(_events(spark, rows), total_col="v")
     m = db._manifest()
     ref = m["segments"][0][0]
-    assert m["stats"][ref] is None
-    # None -> no pruning: the segment is still read for any exact value
-    assert len(db._segment_paths(m, {0}, f1_value="t3")) == 1
+    assert m["stats"][ref]["f1"] is None  # f1 overflowed the cap
+    assert m["stats"][ref]["f2"] == ["u"]  # f2 did not
+    # None level -> no pruning on it: still read for any exact f1 value
+    assert len(db._segment_paths(m, {0}, prune_pattern=["t3", "u"])) == 1
     assert _pts(db.fetch(0, 1, ["t3", "u"])) == [(0, ("t3", "u"), 0, 1.0, 1.0)]
 
 
@@ -453,7 +460,7 @@ def test_f1_stats_survive_compact_and_follow_gc(spark, tmp_path):
     m = db._manifest()
     refs = m["segments"][0]
     assert len(refs) == 1
-    assert sorted(m["stats"][refs[0]]) == ["click", "view"]
+    assert m["stats"][refs[0]]["f1"] == ["click", "view"]
     assert set(m["stats"]) == set(refs)  # de-referenced stats dropped
     assert not (old_refs & set(m["stats"]))
 
@@ -530,5 +537,25 @@ def test_pre_stats_manifest_reads_fine_and_never_prunes(spark, tmp_path):
     assert db.fs.write_json_atomic(mpath, m)
     m2 = db._manifest()
     assert m2["stats"] == {}
-    assert len(db._segment_paths(m2, {0}, f1_value="zzz")) == 1  # no evidence -> no skip
+    assert len(db._segment_paths(m2, {0}, prune_pattern=["zzz", "*"])) == 1  # no evidence -> no skip
     assert _pts(db.fetch(0, 1, ["a", "b"])) == [(0, ("a", "b"), 0, 5.0, 1.0)]
+
+
+def test_list_form_stats_entry_still_prunes_f1_only(spark, tmp_path):
+    """Early round-6 manifests stored stats as a bare f1 value list; the
+    reader must honor them for f1 pruning and treat deeper levels as
+    no-evidence."""
+    db = Database.open(spark, str(tmp_path / "compat"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    name = db._manifest_names()[-1]
+    mpath = HadoopFS.join(db.cube_path, name)
+    m = db.fs.read_json(mpath)
+    ref = m["segments"]["0"][0]
+    m["stats"][ref] = ["a"]  # legacy list form
+    db.fs.delete(mpath)
+    assert db.fs.write_json_atomic(mpath, m)
+    m2 = db._manifest()
+    assert len(db._segment_paths(m2, {0}, prune_pattern=["a", "b"])) == 1
+    assert db._segment_paths(m2, {0}, prune_pattern=["zzz", "*"]) == []
+    # legacy entry has no f2 evidence -> deeper-level pruning never skips
+    assert len(db._segment_paths(m2, {0}, prune_pattern=["*", "zzz"])) == 1
