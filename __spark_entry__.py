@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from kadiyadb_spark import fetch, track_batch
 from kadiyadb_spark.functions import dedup as D
 from kadiyadb_spark.functions import multimodal as M
-from kadiyadb_spark.functions.num import round4_expr
+from kadiyadb_spark.functions.num import exact_avg4_expr, round4_expr
 from kadiyadb_spark.functions import similarity as SIM
 from kadiyadb_spark.functions import skew as SK
 from kadiyadb_spark.functions import text as TX
@@ -790,9 +790,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            # qty/price/disc are ≤2dp: integer-scaled exact averages are
+            # order-immune (same latent 4dp flake class as pipeline_quality)
+            exact_avg4_expr(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg4_expr(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg4_expr(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -914,7 +916,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            round4_expr(F.avg("k")).alias("avg_k"),
+            # long sum / count: exact integer arithmetic, order-immune
+            # (avg(long) sums doubles in partition order — latent 4dp flake)
+            round4_expr(F.sum("k") / F.count("k")).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
     )
@@ -1210,7 +1214,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     lp = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     avg_q = lp.groupBy(F.col("p_partkey").alias("ak")).agg(
-        round4_expr(F.avg("l_quantity") * 0.2).alias("q_thresh")
+        # quantities are whole numbers: 1e4-scaled long sum is exact and
+        # order-immune; (sum/count)*0.2 association mirrored in the oracle
+        round4_expr(
+            F.sum(F.round(F.col("l_quantity") * 10000).cast("long"))
+            / (F.lit(10000.0) * F.count("l_quantity"))
+            * 0.2
+        ).alias("q_thresh")
     )
     small = lp.join(F.broadcast(avg_q), lp["p_partkey"] == avg_q["ak"]).filter(
         F.col("l_quantity") < F.col("q_thresh")
@@ -1227,7 +1237,8 @@ def q22_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        round4_expr(F.avg("c_acctbal")).alias("ab")
+        # acctbal is 2dp cents: integer-scaled exact average (order-immune)
+        exact_avg4_expr(F.col("c_acctbal")).alias("ab")
     )
     rich = c.join(F.broadcast(avg_bal), c["c_acctbal"] > avg_bal["ab"]).drop("ab")
     waiting = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
@@ -2066,7 +2077,10 @@ def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-        round4_expr(F.avg("perplexity")).alias("avg_ppl"),
+        # perplexity is 4dp-rounded (text.py unigram_lm_score), so the
+        # integer-scaled sum is exact — avg() here flipped the 4th decimal
+        # between local[8] and local[32] (r06 driver gate red).
+        exact_avg4_expr(F.col("perplexity")).alias("avg_ppl"),
     )
 
 
@@ -2514,12 +2528,15 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one pass; matches DuckDB's list_sum fold order)."""
     emb = _t(spark, sf_dir, "embeddings")
     norm = SIM.norm_expr(F.col("embedding").cast("array<double>"))
-    d = emb.select("label", norm.alias("_n"))
+    # Quantize the norm per row FIRST (round4 is monotone, so min/max are
+    # unchanged), then average the 4dp values exactly — avg() of raw
+    # doubles depends on partition summation order at the floor boundary.
+    d = emb.select("label", round4_expr(norm).alias("_n"))
     return d.groupBy(F.col("label").cast("long").alias("label")).agg(
         F.count("*").alias("n_vectors"),
-        round4_expr(F.avg("_n")).alias("avg_norm"),
-        round4_expr(F.min("_n")).alias("min_norm"),
-        round4_expr(F.max("_n")).alias("max_norm"),
+        exact_avg4_expr(F.col("_n")).alias("avg_norm"),
+        F.min("_n").alias("min_norm"),
+        F.max("_n").alias("max_norm"),
     )
 
 
@@ -3227,9 +3244,12 @@ SELECT l_returnflag, l_linestatus,
        floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
        floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
        floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
-       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
-       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+       floor((sum(CAST(round(l_quantity * 10000) AS BIGINT))
+              / (10000.0 * count(l_quantity))) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+              / (10000.0 * count(l_extendedprice))) * 10000 + 0.5) / 10000 AS avg_price,
+       floor((sum(CAST(round(l_discount * 10000) AS BIGINT))
+              / (10000.0 * count(l_discount))) * 10000 + 0.5) / 10000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -3350,7 +3370,8 @@ FROM tl WHERE event_type = 'purchase'
     o["json_extract"] = """
 SELECT event_type,
        CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-       floor((avg(json_extract(props, '$.k')::BIGINT)) * 10000 + 0.5) / 10000 AS avg_k,
+       floor((sum(json_extract(props, '$.k')::BIGINT)
+              / count(json_extract(props, '$.k')::BIGINT)) * 10000 + 0.5) / 10000 AS avg_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
@@ -3549,7 +3570,8 @@ WITH lp AS (
 ),
 thresh AS (
   SELECT l_partkey AS ak,
-         floor((avg(l_quantity) * 0.2) * 10000 + 0.5) / 10000 AS q_thresh
+         floor((sum(CAST(round(l_quantity * 10000) AS BIGINT))
+                / (10000.0 * count(l_quantity)) * 0.2) * 10000 + 0.5) / 10000 AS q_thresh
   FROM lp GROUP BY l_partkey
 )
 SELECT floor((sum(l_extendedprice) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
@@ -3559,7 +3581,8 @@ WHERE l_quantity < q_thresh
 
     o["q22_waiting_customers"] = """
 WITH ab AS (
-  SELECT floor((avg(c_acctbal)) * 10000 + 0.5) / 10000 AS ab
+  SELECT floor((sum(CAST(round(c_acctbal * 10000) AS BIGINT))
+                / (10000.0 * count(c_acctbal))) * 10000 + 0.5) / 10000 AS ab
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS numcust,
@@ -4494,13 +4517,16 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.35
     # ---- similarity ----
     o["embedding_stats"] = """
 WITH n AS (
-  SELECT label, sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS nn
+  SELECT label,
+         floor(sqrt(list_sum([x * x for x in embedding::DOUBLE[]]))
+               * 10000 + 0.5) / 10000 AS nn
   FROM embeddings
 )
 SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
-       floor(avg(nn) * 10000 + 0.5) / 10000 AS avg_norm,
-       floor(min(nn) * 10000 + 0.5) / 10000 AS min_norm,
-       floor(max(nn) * 10000 + 0.5) / 10000 AS max_norm
+       floor((sum(CAST(round(nn * 10000) AS BIGINT))
+              / (10000.0 * count(nn))) * 10000 + 0.5) / 10000 AS avg_norm,
+       min(nn) AS min_norm,
+       max(nn) AS max_norm
 FROM n GROUP BY label
 """
 
@@ -4774,7 +4800,8 @@ d AS (
 dr AS (SELECT source, n_tokens, floor(exp(ce) * 10000 + 0.5) / 10000 AS ppl FROM d)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       floor(avg(ppl) * 10000 + 0.5) / 10000 AS avg_ppl
+       floor((sum(CAST(round(ppl * 10000) AS BIGINT))
+              / (10000.0 * count(ppl))) * 10000 + 0.5) / 10000 AS avg_ppl
 FROM dr GROUP BY source
 """
 

@@ -23,3 +23,28 @@ def round4_expr(c: Column) -> Column:
 def round4_sql(expr: str) -> str:
     """The identical computation as ANSI/DuckDB SQL text."""
     return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+
+def exact_avg4_expr(c: Column) -> Column:
+    """Order-independent 4dp average of a 4dp-QUANTIZED double column.
+
+    ``avg(double)`` sums in partition order; when the true mean sits on a
+    round4 floor boundary, 8-partition and 32-partition layouts round to
+    DIFFERENT 4th decimals (observed: 30.3019 vs 30.302 at local[32] vs
+    local[8]). Inputs that are exact multiples of 1e-4 scale to exact
+    integers, so summing ``round(v*1e4)`` as longs is associative and the
+    single final division is deterministic at ANY parallelism. Callers
+    MUST pass a column already rounded with ``round4_expr`` (or integral /
+    ≤4dp data); ``exact_avg4_sql`` is the DuckDB twin.
+    """
+    return round4_expr(
+        F.sum(F.round(c.cast("double") * 10000).cast("long"))
+        / (F.lit(10000.0) * F.count(c))
+    )
+
+
+def exact_avg4_sql(expr: str) -> str:
+    """DuckDB twin of ``exact_avg4_expr`` (same scaling, same association)."""
+    return round4_sql(
+        f"sum(CAST(round(({expr}) * 10000) AS BIGINT)) / (10000.0 * count({expr}))"
+    )

@@ -2,12 +2,19 @@
 scale factor, compare row-count, column names and the order-insensitive
 multiset of values (mimics the driver's t2 gate).
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Runs at the DRIVER's parallelism by default (local[32], 32 shuffle
+partitions) — r06's gate failure (`pipeline_quality`) was a partition-order
+FP boundary that local[8] systematically masked; the local record must
+reproduce the driver's layout. Override with KDB_ORACLE_PAR=N to re-check
+at another width (order-independent entries must pass at every width).
+
+Usage: [KDB_ORACLE_PAR=N] python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -49,7 +56,9 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    par = int(os.environ.get("KDB_ORACLE_PAR", "32"))
+    print(f"parallelism: local[{par}], shuffle_partitions={par}")
+    spark = get_spark(master=f"local[{par}]", shuffle_partitions=par)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
