@@ -2664,77 +2664,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the safety net for whatever the cap skips (log kept in ORACLE_LOCAL.md).
     # Rotation history: r02 relational/core; r03 text/dedup/sim/multimodal;
     # r04 the relational entries r03 skipped; r05 the 31 entries r04 skipped
-    # plus new operators (r04 union r05 covered 100/105); r06 (this one)
-    # leads with the 5 entries never driver-gated before, then the full
-    # r04-gated block whose two-round re-gate is due (5 trivial due entries
-    # deferred to r07 — see comment inside the dict).
+    # plus new operators (r04 union r05 covered 100/105); r06 the 5
+    # never-gated entries + the full r04-gated block; r07 (this one) leads
+    # with the 5 r05-deferred map-only entries, then the 6 entries whose
+    # averages were rewritten this round (re-gate the fix), then every
+    # never-driver-gated r06 entry, then the oldest r05-gated entries with
+    # the remaining slots.
     return {
-        # -- r06 gate (first 50): the 5 never-driver-gated entries lead, per
-        #    VERDICT r05 item 1, followed by every entry whose last driver
-        #    gate was r04 (the two-round rotation contract). 55 entries were
-        #    due vs the 50-entry cap; the 5 deferred to lead r07 are trivial
-        #    map-only r04-green entries with untouched code (string_funcs,
-        #    set_ops, array_collect, explode_tokens, date_extract) — all
-        #    covered by this round's all-105 local oracle run (ORACLE_LOCAL.md).
-        # never driver-gated before r06:
-        "profile_columns": q_profile_columns,
-        "streaming_index_dedup": q_streaming_index_dedup,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "mixture_temperature": q_mixture_temperature,
+        # -- r07 gate (first 50) --
+        # (1) the five map-only entries deferred from r05 (SURVEY §13 plan):
+        "string_funcs": q_string_funcs,
+        "set_ops": q_set_ops,
+        "array_collect": q_array_collect,
+        "explode_tokens": q_explode_tokens,
+        "date_extract": q_date_extract,
+        # (2) changed this round — order-independent integer-scaled averages
+        #     (pipeline_quality was the r06 hash-red row; the other five are
+        #     the same rewritten class and must re-prove green at the
+        #     driver's parallelism):
         "pipeline_quality": q_pipeline_quality,
-        # last gated r04:
-        "asof_join": q_asof_join,
-        "catalog_load": q_catalog_load,
-        "correlated_subquery": q_correlated_subquery,
-        "csv_source_agg": q_csv_source_agg,
-        "cube_grouping": q_cube_grouping,
-        "dedup_index_query": q_dedup_index_query,
-        "exists_subquery": q_exists_subquery,
-        "expire_retention": q_expire_retention,
-        "fetch_boundary": q_fetch_boundary,
-        "fetch_exact": q_fetch_exact,
-        "fetch_rollup_prefix": q_fetch_rollup_prefix,
-        "fetch_wildcard": q_fetch_wildcard,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        "json_extract": q_json_extract,
-        "json_source_agg": q_json_source_agg,
-        "mixture_sample": q_mixture_sample,
-        "null_semantics": q_null_semantics,
-        "percentiles": q_percentiles,
-        "pii_redact": q_pii_redact,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive": q19_disjunctive,
         "q1_pricing_summary": q1_pricing_summary,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_selective_scan": q6_selective_scan,
-        "q7_nation_volume": q7_nation_volume,
-        "range_join_counts": q_range_join_counts,
-        "rollup_read_equivalence": q_rollup_read_equivalence,
-        "semi_join": q_semi_join,
-        "sessionize": q_sessionize,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "streaming_agg": q_streaming_agg,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_ingest": q_streaming_ingest,
-        "streaming_sessionize": q_streaming_sessionize,
-        "text_decontaminate": q_text_decontaminate,
-        "text_repetition": q_text_repetition,
-        "topk_per_group": q_topk_per_group,
-        "track_cube": q_track_cube,
-        "window_daily_running": q_window_daily_running,
-        "window_frames": q_window_frames,
-        "zorder_layout": q_zorder_layout,
-        # ---- 50-entry gate cap lands here ----
-        # NEW in r06, first past the cap (no oracle twin by design — trained
-        # residual codebooks are not SQL-expressible; recall pinned by
-        # tests/test_ivf_recall.py; rows-only check when it rotates in r07):
+        "json_extract": q_json_extract,
+        "q17_small_quantity": q17_small_quantity,
+        "q22_waiting_customers": q22_waiting_customers,
+        "embedding_stats": q_embedding_stats,
+        # (3) never driver-gated r06 additions (all locally oracle-verified
+        #     in ORACLE_LOCAL.md; sim_ivfpq_residual/quality_model are
+        #     rows-only by design — trained codebooks/LBFGS fits have no SQL
+        #     twin; pinned by tests/test_ivf_recall.py,
+        #     tests/test_quality_model.py):
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
-        # NEW in r06, past the cap (both locally oracle-verified this round,
-        # logged in ORACLE_LOCAL.md; rotate into the r07 gate):
         "decontaminate_bloom": q_decontaminate_bloom,
         "cross_source_dups": q_cross_source_dups,
         "text_boilerplate": q_text_boilerplate,
@@ -2745,10 +2704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_rate": q_fetch_rate,
         "fetch_interpolate": q_fetch_interpolate,
         "fetch_smooth": q_fetch_smooth,
-        # NEW in r06 fourth tranche: the remaining TPC-H query shapes
-        # (adapted to the fixture's slimmed schema — no partsupp/commit/
-        # receipt/shipmode columns; docstrings state each substitution).
-        # All locally oracle-verified (ORACLE_LOCAL.md); rotate into r07.
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q9_product_profit": q9_product_profit,
@@ -2767,15 +2722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mix": q_pipeline_mix,
         "multimodal_audio": q_multimodal_audio,
         "fetch_topk_series": q_fetch_topk_series,
-        # rows-only by design (trained LBFGS model; see docstring):
         "quality_model": q_quality_model,
-        # -- deferred due entries (lead the r07 gate): --
-        "string_funcs": q_string_funcs,
-        "set_ops": q_set_ops,
-        "array_collect": q_array_collect,
-        "explode_tokens": q_explode_tokens,
-        "date_extract": q_date_extract,
-        # -- gated green in r05: --
+        # (4) r05-gated entries, oldest-first, filling the remaining slots:
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -2785,6 +2733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
+        # ---- 50-entry gate cap lands here ----
+        # remaining r05-gated entries (due to lead the r08 gate; covered by
+        # this round's all-entry local oracle run at driver parallelism):
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
@@ -2799,7 +2750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        "embedding_stats": q_embedding_stats,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_index": q_sim_ivf_index,
@@ -2821,12 +2771,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q13_order_distribution": q13_order_distribution,
         "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q22_waiting_customers": q22_waiting_customers,
         "quality_gopher": q_quality_gopher,
         "unigram_lm": q_unigram_lm,
         "sim_pq_topk": q_sim_pq_topk,
-
+        # r06-gated green (most recent gate — last in line for rotation):
+        "profile_columns": q_profile_columns,
+        "streaming_index_dedup": q_streaming_index_dedup,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "mixture_temperature": q_mixture_temperature,
+        "asof_join": q_asof_join,
+        "catalog_load": q_catalog_load,
+        "correlated_subquery": q_correlated_subquery,
+        "csv_source_agg": q_csv_source_agg,
+        "cube_grouping": q_cube_grouping,
+        "dedup_index_query": q_dedup_index_query,
+        "exists_subquery": q_exists_subquery,
+        "expire_retention": q_expire_retention,
+        "fetch_boundary": q_fetch_boundary,
+        "fetch_exact": q_fetch_exact,
+        "fetch_rollup_prefix": q_fetch_rollup_prefix,
+        "fetch_wildcard": q_fetch_wildcard,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "json_source_agg": q_json_source_agg,
+        "mixture_sample": q_mixture_sample,
+        "null_semantics": q_null_semantics,
+        "percentiles": q_percentiles,
+        "pii_redact": q_pii_redact,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_selective_scan": q6_selective_scan,
+        "q7_nation_volume": q7_nation_volume,
+        "range_join_counts": q_range_join_counts,
+        "rollup_read_equivalence": q_rollup_read_equivalence,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "streaming_agg": q_streaming_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_ingest": q_streaming_ingest,
+        "streaming_sessionize": q_streaming_sessionize,
+        "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
+        "topk_per_group": q_topk_per_group,
+        "track_cube": q_track_cube,
+        "window_daily_running": q_window_daily_running,
+        "window_frames": q_window_frames,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -2984,14 +2979,18 @@ SELECT event_type, count(*) AS n_events,
 FROM events GROUP BY event_type
 """
 
-    o["streaming_join"] = """
+    # Compare at integer MICROSECONDS: the operator's interval condition
+    # runs on ts_us_expr-truncated event times, so a pair exactly at the
+    # lookback boundary with sub-us ns components must resolve identically
+    # here (ns-typed TIMESTAMP comparison could flip it).
+    o["streaming_join"] = f"""
 SELECT l.user_id, count(*) AS n_pairs,
        count(DISTINCT l.event_id) AS n_purchases,
        count(DISTINCT r.event_id) AS n_clicks
 FROM events l
 JOIN events r ON l.user_id = r.user_id
-            AND r.ts >= l.ts - INTERVAL 30 MINUTE
-            AND r.ts <= l.ts
+            AND epoch_ns(r.ts) // 1000 >= epoch_ns(l.ts) // 1000 - {30 * 60 * 1000000}
+            AND epoch_ns(r.ts) // 1000 <= epoch_ns(l.ts) // 1000
 WHERE l.event_type = 'purchase' AND r.event_type = 'click'
 GROUP BY l.user_id
 """

@@ -139,7 +139,11 @@ def main(argv: list[str] | None = None) -> int:
         r = db.fetch(
             args.from_ns, args.to_ns, args.pattern.split(","), densify=not args.sparse
         )
-        for row in r.limit(args.limit).collect():
+        # Deterministic truncation: an unordered limit() returns whichever
+        # partitions answer first, so repeated invocations with --limit
+        # would emit different rows. Order by the series key + bucket.
+        keys = [c for c in r.columns if c not in ("total", "cnt")]
+        for row in r.orderBy(*keys).limit(args.limit).collect():
             _emit(row.asDict())
     elif args.cmd == "expire":
         _emit({"dropped_epochs": _open(spark, args.path).expire(args.before_ns)})

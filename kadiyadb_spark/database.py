@@ -164,12 +164,21 @@ class Database:
             self.fs.delete(HadoopFS.join(self.cube_path, old))
 
     def _write_segment(
-        self, delta: DataFrame, sort_series: bool = False, salt_files: int = 1
+        self,
+        delta: DataFrame,
+        sort_series: bool = False,
+        salt_files: int = 1,
+        collect_stats: bool = True,
     ) -> tuple[dict[int, str], dict[str, dict[str, list[str] | None]]]:
         """Stage one cube-shaped delta as a new segment directory tree and
         return ({epoch: relative ref}, {ref: f1 stats}). Staged data is
         INVISIBLE until a manifest referencing it commits, so a crash here
         just leaves an orphan for vacuum().
+
+        ``collect_stats=False`` skips the data-skipping stats job — missing
+        stats degrade to a full read, never a wrong skip, so latency-bound
+        writers (streaming micro-batches) omit them and let
+        ``refresh_stats()``/``compact()`` backfill during maintenance.
 
         The write repartitions by epoch so each epoch's rows land in one
         writer task -> one file per (segment, epoch); `epoch_p` duplicates
@@ -209,6 +218,8 @@ class Database:
         if not refs:  # empty delta: nothing will reference the husk
             self.fs.delete(seg_root)
             return {}, {}
+        if not collect_stats:
+            return refs, {}
         by_epoch = self._seg_stats(seg_root)
         return refs, {ref: by_epoch.get(e) for e, ref in refs.items()}
 
@@ -475,6 +486,7 @@ class Database:
         ts_col: str = "ts",
         total_col: str = "value",
         count_col: str | None = None,
+        collect_stats: bool = False,
     ) -> bool:
         """Increment-merge one micro-batch, EXACTLY-ONCE under replay.
 
@@ -489,7 +501,14 @@ class Database:
         visible without the mark or vice versa. This is the transactional
         write a Delta `txn` appId/version pair provides, done parquet-native.
         Returns True if the batch was applied, False if skipped as already
-        applied."""
+        applied.
+
+        ``collect_stats`` defaults OFF here (unlike batch ``track``): the
+        data-skipping stats census is one extra Spark job per segment — pure
+        fixed latency on every micro-batch of a low-latency stream (measured
+        25-40% per-batch tax at tiny batches). Missing stats only disable
+        segment skipping for the batch's epochs until ``refresh_stats()`` /
+        ``compact()`` (both inside ``maintain()``) backfill them."""
         p = self.params
         delta = track_batch(
             batch,
@@ -500,21 +519,31 @@ class Database:
             resolution=p.resolution,
             duration=p.duration,
         )
-        return self.commit_cube_batch(delta, batch_id, stream_id=stream_id)
+        return self.commit_cube_batch(
+            delta, batch_id, stream_id=stream_id, collect_stats=collect_stats
+        )
 
-    def commit_cube_batch(self, delta: DataFrame, batch_id: int, stream_id: str = "raw") -> bool:
+    def commit_cube_batch(
+        self,
+        delta: DataFrame,
+        batch_id: int,
+        stream_id: str = "raw",
+        collect_stats: bool = False,
+    ) -> bool:
         """Commit ALREADY-cube-shaped delta rows for one micro-batch with
         the same atomic segment-refs + hwm manifest swap as
         track_stream_batch. Also the sink for APPEND-mode streaming
         aggregation (streaming.stream_track_agg_append), where the engine
         emits each (bucket, path, depth) group exactly once when the
         watermark closes its window — final rows, so the commit is a pure
-        exactly-once append with no merge anywhere."""
+        exactly-once append with no merge anywhere. ``collect_stats``
+        defaults OFF (see track_stream_batch — the per-batch stats job is
+        pure ingest latency; maintenance backfills)."""
         m = self._manifest()
         if batch_id <= int(m.get("hwm", {}).get(stream_id, -1)):
             return False
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
-        refs, stats = self._write_segment(delta.select(*cols))
+        refs, stats = self._write_segment(delta.select(*cols), collect_stats=collect_stats)
         for e, ref in refs.items():
             m["segments"].setdefault(e, []).append(ref)
         m["stats"].update(stats)
@@ -522,13 +551,15 @@ class Database:
         self._commit_manifest(m, m["gen"])
         return True
 
-    def merge_replace(self, delta: DataFrame) -> None:
+    def merge_replace(self, delta: DataFrame, collect_stats: bool = False) -> None:
         """Replace-merge cube-shaped delta rows (cumulative values win over
         stored ones) — the sink for update-mode streaming aggregation, where
         each emitted row is the running (total, cnt) for its group. The
         rewritten epochs swap in atomically with the manifest commit; replay
         safety here comes from the VALUES being cumulative (rewriting the
-        same batch lands the same totals), so no hwm is needed."""
+        same batch lands the same totals), so no hwm is needed.
+        ``collect_stats`` defaults OFF like the other per-micro-batch sinks
+        (see track_stream_batch); ``refresh_stats()`` backfills."""
         fcols = S.field_cols(self.max_depth)
         keys = [S.EPOCH, S.BUCKET, *fcols, S.DEPTH]
         delta = delta.select(*keys, S.TOTAL, S.CNT).persist()
@@ -550,7 +581,7 @@ class Database:
                 c = existing[k].eqNullSafe(d[k])
                 cond = c if cond is None else (cond & c)
             merged = existing.join(d, on=cond, how="left_anti").unionByName(delta)
-            refs, stats = self._write_segment(merged)
+            refs, stats = self._write_segment(merged, collect_stats=collect_stats)
             old = [ref for e in touched for ref in m["segments"].get(e, [])]
             for e in touched:
                 m["segments"][e] = []
@@ -660,6 +691,64 @@ class Database:
         self._gc(old)
         return fragmented
 
+    def refresh_stats(self) -> list[str]:
+        """Backfill data-skipping stats for segment refs committed without
+        them — the per-micro-batch streaming sinks skip the stats census
+        for ingest latency (see ``track_stream_batch``), so a long-running
+        stream leaves its epochs un-prunable until maintenance runs.
+
+        ONE Spark job covers every stats-less ref: all their leaf dirs scan
+        together and each row is attributed back to its ref via
+        ``input_file_name()`` (the ``segs/<seg>/epoch_p=<E>`` ref IS a
+        substring of the file path), so the cost is one column-pruned scan
+        of the un-statted data — never a job per segment. The same
+        rank-capped census as ``_seg_stats`` bounds what reaches the driver
+        at ``_STATS_MAX``+1 rows per (ref, level). The refreshed stats
+        commit through the usual atomic manifest swap (same segment refs,
+        next generation). Returns the refs backfilled."""
+        m = self._manifest()
+        have = m.get("stats", {})
+        missing = [
+            ref for refs in m["segments"].values() for ref in refs if ref not in have
+        ]
+        fcols = S.field_cols(self.max_depth)
+        if not missing or not fcols:
+            return []
+        from pyspark.sql import Window
+
+        df = self.spark.read.parquet(
+            *[HadoopFS.join(self.cube_path, ref) for ref in missing]
+        )
+        pairs = (
+            df.select(
+                F.regexp_extract(
+                    F.input_file_name(), r"(segs/[^/]+/epoch_p=[^/]+)/", 1
+                ).alias("_ref"),
+                F.posexplode(F.array(*[F.col(c) for c in fcols])).alias("_i", "_v"),
+            )
+            .where(F.col("_v").isNotNull())
+            .distinct()
+        )
+        w = Window.partitionBy("_ref", "_i").orderBy("_v")
+        capped = pairs.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= _STATS_MAX + 1
+        )
+        rows = capped.groupBy("_ref", "_i").agg(
+            F.sort_array(F.collect_list("_v")).alias("vals")
+        ).collect()
+        backfilled: dict[str, dict[str, list[str] | None]] = {}
+        for r in rows:
+            col = S.field_col(int(r["_i"]) + 1)
+            vals = list(r["vals"])
+            backfilled.setdefault(r["_ref"], {})[col] = (
+                vals if len(vals) <= _STATS_MAX else None
+            )
+        if not backfilled:
+            return []
+        m["stats"].update(backfilled)
+        self._commit_manifest(m, m["gen"])
+        return sorted(backfilled)
+
     def maintain(
         self,
         now_ts: int,
@@ -669,19 +758,29 @@ class Database:
         """One-call housekeeping with the ordering that matters: expire
         FIRST (so compaction never rewrites epochs that are about to be
         deleted), then fold epochs fragmented past ``max_files_per_epoch``,
-        then sweep crash orphans. The cron-job entry point a deployment
-        schedules between ingest windows (single-writer contract: don't run
+        then backfill data-skipping stats the streaming sinks deferred
+        (compaction first — folded segments get stats in the rewrite, so
+        the backfill only scans segments compaction left alone), then sweep
+        crash orphans. The cron-job entry point a deployment schedules
+        between ingest windows (single-writer contract: don't run
         concurrently with writes — vacuum would sweep their staging).
 
         ``max_files_per_epoch`` is the LSM read-amplification knob: track
         appends one segment per batch, reads fold them; 8 keeps the fold
         cheap while letting ~hourly batches run a workday before rewrite.
-        Returns {"expired": [...], "compacted": [...], "vacuumed": [...]}.
+        Returns {"expired": [...], "compacted": [...], "stats_refreshed":
+        [...], "vacuumed": [...]}.
         """
         expired = self.expire_by_retention(now_ts)
         compacted = self.compact(max_files_per_epoch=max_files_per_epoch)
+        stats_refreshed = self.refresh_stats()
         vacuumed = self.vacuum() if vacuum_orphans else []
-        return {"expired": expired, "compacted": compacted, "vacuumed": vacuumed}
+        return {
+            "expired": expired,
+            "compacted": compacted,
+            "stats_refreshed": stats_refreshed,
+            "vacuumed": vacuumed,
+        }
 
     def fsck(self) -> dict:
         """Integrity census of the manifest-committed store — the check a

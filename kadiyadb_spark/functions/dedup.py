@@ -475,22 +475,30 @@ def cross_source_matrix(
     # cached frame is pair-sized (broadcastable by assumption), so this
     # trades KBs-to-MBs of executor memory for a second corpus-wide job.
     pairs = pairs.select("id_a", "id_b").persist()
-    with_a = (
-        side.join(F.broadcast(pairs), side[id_col] == F.col("id_a"))
-        .select("id_a", "id_b", F.col(source_col).alias("_sa"))
-    )
-    with_b = (
-        side.join(F.broadcast(with_a), side[id_col] == F.col("id_b"))
-        .select("_sa", F.col(source_col).alias("_sb"))
-    )
-    return (
-        with_b.select(
-            F.least("_sa", "_sb").alias("source_a"),
-            F.greatest("_sa", "_sb").alias("source_b"),
+    try:
+        with_a = (
+            side.join(F.broadcast(pairs), side[id_col] == F.col("id_a"))
+            .select("id_a", "id_b", F.col(source_col).alias("_sa"))
         )
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("long").alias("n_pairs"))
-    )
+        with_b = (
+            side.join(F.broadcast(with_a), side[id_col] == F.col("id_b"))
+            .select("_sa", F.col(source_col).alias("_sb"))
+        )
+        out = (
+            with_b.select(
+                F.least("_sa", "_sb").alias("source_a"),
+                F.greatest("_sa", "_sb").alias("source_b"),
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+        )
+        # Materialize the (source-pair-sized) matrix eagerly so the cached
+        # pair partitions can be released here instead of living for the
+        # session (the result is rows ~ |sources|^2, trivially small).
+        rows = out.collect()
+        return docs.sparkSession.createDataFrame(rows, schema=out.schema)
+    finally:
+        pairs.unpersist()
 
 
 def connected_components(

@@ -112,7 +112,11 @@ def save_model(spark, model: dict, path: str) -> None:
     from kadiyadb_spark.fs import HadoopFS
 
     fs = HadoopFS(spark, path)
-    fs.mkdirs(path.rsplit("/", 1)[0])
+    # A bare filename has no parent to create — rsplit would return the
+    # full path and mkdirs a DIRECTORY named like the model file, making
+    # the subsequent atomic write fail confusingly.
+    if "/" in path:
+        fs.mkdirs(path.rsplit("/", 1)[0])
     if not fs.write_text_atomic(path, json.dumps(model)):
         raise IOError(f"model already exists at {path}")
 

@@ -465,6 +465,40 @@ def test_f1_stats_survive_compact_and_follow_gc(spark, tmp_path):
     assert not (old_refs & set(m["stats"]))
 
 
+def test_stream_batches_defer_stats_and_refresh_backfills(spark, tmp_path):
+    """Per-micro-batch sinks skip the stats census (pure ingest latency on
+    a low-latency stream); refresh_stats() backfills every stats-less ref
+    in ONE job and pruning then behaves exactly as if the stats had been
+    written inline. Missing stats in between only cost skipping, never
+    correctness."""
+    db = Database.open(spark, str(tmp_path / "db_defer"), P)
+    b0 = _events(spark, [(0, "click", "u1", 5.0)])
+    b1 = _events(spark, [(0, "view", "u1", 3.0)])
+    assert db.track_stream_batch(b0, batch_id=0, total_col="v") is True
+    assert db.track_stream_batch(b1, batch_id=1, total_col="v") is True
+    m = db._manifest()
+    refs = m["segments"][0]
+    assert len(refs) == 2
+    assert m["stats"] == {}  # census deferred, not wrong
+    # no evidence -> no skip: both segments planned, results still exact
+    assert len(db._segment_paths(m, {0}, prune_pattern=["click", "*"])) == 2
+    assert _pts(db.fetch(0, 1, ["click", "u1"])) == [(0, ("click", "u1"), 0, 5.0, 1.0)]
+    backfilled = db.refresh_stats()
+    assert sorted(backfilled) == sorted(refs)
+    m2 = db._manifest()
+    assert m2["gen"] == m["gen"] + 1  # atomic swap, data untouched
+    assert m2["segments"] == m["segments"]
+    assert m2["stats"][refs[0]]["f1"] == ["click"]
+    assert m2["stats"][refs[1]]["f1"] == ["view"]
+    assert len(db._segment_paths(m2, {0}, prune_pattern=["click", "*"])) == 1
+    assert db.refresh_stats() == []  # idempotent: nothing left to backfill
+    # maintain() reports the backfill step for segments compaction skips
+    db.track_stream_batch(_events(spark, [(12, "x", "y", 1.0)]), batch_id=2, total_col="v")
+    out = db.maintain(now_ts=0, max_files_per_epoch=8)
+    assert out["stats_refreshed"] == db._manifest()["segments"][10]
+    assert db._manifest()["stats"][out["stats_refreshed"][0]]["f1"] == ["x"]
+
+
 def test_rollup_refresh_continuous_aggregate(spark, tmp_path):
     """Continuous aggregate: dst (coarser resolution) maintained from src's
     manifest changelog — first refresh = full cube, later refreshes read

@@ -81,3 +81,22 @@ def test_model_save_load_roundtrip_scores_identically(spark, tmp_path):
 
     with _pytest.raises(IOError):
         save_model(spark, model, path)
+
+
+def test_model_save_bare_filename(spark):
+    """A path with no '/' must not mkdir a directory named like the model
+    file (rsplit on a bare name returns the whole path). Bare names resolve
+    against the JVM working dir, so clean up through the same FS layer."""
+    import uuid
+
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.functions.quality_model import load_model, save_model
+
+    name = f"bare_model_{uuid.uuid4().hex[:8]}.json"
+    fs = HadoopFS(spark, name)
+    try:
+        model = {"weights": [0.0] * 4, "bias": 0.5, "dim": 4}
+        save_model(spark, model, name)
+        assert load_model(spark, name)["dim"] == 4
+    finally:
+        fs.delete(name)
