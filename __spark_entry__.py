@@ -209,6 +209,19 @@ def q_fetch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_ratio_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series algebra over a WILDCARD fan-out (PromQL errors{*}/clicks{*}):
+    per-user error-to-click ratio per slot — the '*' level is the join
+    key, still ONE cube scan + ONE aggregation keyed by (user, bucket),
+    no self-join (query.py:series_ratio_wildcard). Users with only one of
+    the two roles in a slot keep nulls on the absent side."""
+    from kadiyadb_spark.query import series_ratio_wildcard
+
+    return series_ratio_wildcard(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["error", "*"], ["click", "*"], resolution=RES
+    )
+
+
 def q_fetch_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style topk: the 10 heaviest (click, user) series by total
     over the week — one pushed-down scan, one series agg, and Spark's
@@ -2717,6 +2730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_anomaly": q_fetch_anomaly,
         "rollup_cascade": q_rollup_cascade,
         "fetch_ratio": q_fetch_ratio,
+        # NEW in r07 (inside the cap per rotation rule):
+        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
@@ -2732,10 +2747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
-        "text_language_id": q_text_language_id,
         # ---- 50-entry gate cap lands here ----
         # remaining r05-gated entries (due to lead the r08 gate; covered by
         # this round's all-entry local oracle run at driver parallelism):
+        "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
@@ -3167,6 +3182,19 @@ SELECT bucket,
 FROM cube1
 WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY bucket
+"""
+
+    o["fetch_ratio_wildcard"] = f"""
+WITH {_EV_CUBE}
+SELECT f2, bucket,
+       floor((sum(CASE WHEN f1 = 'error' THEN total END)) * 10000 + 0.5) / 10000 AS num_total,
+       floor((sum(CASE WHEN f1 = 'click' THEN total END)) * 10000 + 0.5) / 10000 AS den_total,
+       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN total END) != 0
+              THEN sum(CASE WHEN f1 = 'error' THEN total END)
+                   / sum(CASE WHEN f1 = 'click' THEN total END) END) * 10000 + 0.5) / 10000 AS ratio
+FROM cube2
+WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY f2, bucket
 """
 
     o["fetch_downsample"] = f"""

@@ -32,6 +32,7 @@ from kadiyadb_spark.query import (
     series_delta,
     series_downsample,
     series_ratio,
+    series_ratio_wildcard,
     series_smooth,
     series_topk,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "series_downsample",
     "series_anomaly",
     "series_ratio",
+    "series_ratio_wildcard",
     "series_topk",
     "get_spark",
     "spread",

@@ -476,29 +476,38 @@ def cross_source_matrix(
     # trades KBs-to-MBs of executor memory for a second corpus-wide job.
     pairs = pairs.select("id_a", "id_b").persist()
     try:
-        with_a = (
-            side.join(F.broadcast(pairs), side[id_col] == F.col("id_a"))
-            .select("id_a", "id_b", F.col(source_col).alias("_sa"))
-        )
-        with_b = (
-            side.join(F.broadcast(with_a), side[id_col] == F.col("id_b"))
-            .select("_sa", F.col(source_col).alias("_sb"))
-        )
-        out = (
-            with_b.select(
-                F.least("_sa", "_sb").alias("source_a"),
-                F.greatest("_sa", "_sb").alias("source_b"),
-            )
-            .groupBy("source_a", "source_b")
-            .agg(F.count("*").cast("long").alias("n_pairs"))
-        )
+        out = _cross_source_plan(side, pairs, id_col, source_col)
         # Materialize the (source-pair-sized) matrix eagerly so the cached
-        # pair partitions can be released here instead of living for the
-        # session (the result is rows ~ |sources|^2, trivially small).
+        # pair partitions release HERE instead of living for the session
+        # (the result is ~ |sources|^2 rows, trivially small).
         rows = out.collect()
         return docs.sparkSession.createDataFrame(rows, schema=out.schema)
     finally:
         pairs.unpersist()
+
+
+def _cross_source_plan(
+    side: DataFrame, pairs: DataFrame, id_col: str, source_col: str
+) -> DataFrame:
+    """The lazy plan under cross_source_matrix: two pair-side broadcast
+    resolve joins + one source-pair groupBy (plan-asserted in
+    tests/test_plans.py — the corpus projection never shuffles)."""
+    with_a = (
+        side.join(F.broadcast(pairs), side[id_col] == F.col("id_a"))
+        .select("id_a", "id_b", F.col(source_col).alias("_sa"))
+    )
+    with_b = (
+        side.join(F.broadcast(with_a), side[id_col] == F.col("id_b"))
+        .select("_sa", F.col(source_col).alias("_sb"))
+    )
+    return (
+        with_b.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
 
 
 def connected_components(

@@ -305,8 +305,7 @@ def series_ratio(
     this is one pushed-down scan and one bucket-keyed aggregation.
 
     Patterns must be exact (no wildcards) and the same depth — aligned
-    division across wildcard fan-outs is a per-series window, not a
-    scalar pivot, and deserves its own operator."""
+    division across wildcard fan-outs is ``series_ratio_wildcard``."""
     for p in (num_pattern, den_pattern):
         d, preds = compile_pattern(p)
         if len(preds) != d:
@@ -340,6 +339,78 @@ def series_ratio(
     )
     ratio = F.when(F.col("_d") != 0, F.col("_n") / F.col("_d"))
     return g.select(
+        S.BUCKET,
+        round4_expr(F.col("_n")).alias("num_total"),
+        round4_expr(F.col("_d")).alias("den_total"),
+        round4_expr(ratio).alias("ratio"),
+    )
+
+
+def series_ratio_wildcard(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    num_pattern: list[str],
+    den_pattern: list[str],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Aligned binary operation across WILDCARD fan-outs — the PromQL
+    ``errors{*} / requests{*}`` a monitoring user writes on day one: both
+    patterns share their wildcard POSITIONS, every wildcard level is a
+    join dimension (a numerator series divides the denominator series
+    holding the SAME values at all wildcard levels), and the exact levels
+    select the two roles (e.g. f1 'error' vs 'click', per-f2-user ratio).
+
+    Still ONE pushed-down cube scan and ONE aggregation: the alignment is
+    the same conditional-sum pivot as ``series_ratio``, keyed by
+    (wildcard levels, bucket) instead of bucket alone — no self-join, no
+    second scan, and the shuffle carries at most fan-out x slots rows.
+    Groups where one role never fired keep a null on that side (and a
+    null ratio) so missing counterparts stay visible instead of silently
+    dropping (PromQL drops them; filter ``ratio IS NOT NULL`` for that);
+    ratio is null where the denominator is absent or zero."""
+    if len(num_pattern) == 0 or len(num_pattern) != len(den_pattern):
+        raise ValueError("numerator and denominator patterns must share a depth >= 1")
+    wild = [i for i, v in enumerate(num_pattern, start=1) if v == "*"]
+    if wild != [i for i, v in enumerate(den_pattern, start=1) if v == "*"]:
+        raise ValueError(
+            "wildcard positions must match between patterns: the '*' levels "
+            f"are the join key, got {num_pattern!r} vs {den_pattern!r}"
+        )
+    if not wild:
+        raise ValueError("no wildcard level; use series_ratio for exact patterns")
+    for p in (num_pattern, den_pattern):
+        compile_pattern(p)  # validates '' / illegal values
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    depth = len(num_pattern)
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+
+    def _is(pattern):
+        cond = F.lit(True)
+        for i, v in enumerate(pattern, start=1):
+            if v != "*":
+                cond = cond & (F.col(S.field_col(i)) == F.lit(v))
+        return cond
+
+    is_num, is_den = _is(num_pattern), _is(den_pattern)
+    wild_cols = [S.field_col(i) for i in wild]
+    base = cube.filter(
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+        & (is_num | is_den)
+    )
+    g = base.groupBy(*wild_cols, S.BUCKET).agg(
+        F.sum(F.when(is_num, F.col(S.TOTAL))).alias("_n"),
+        F.sum(F.when(is_den, F.col(S.TOTAL))).alias("_d"),
+    )
+    ratio = F.when(F.col("_d") != 0, F.col("_n") / F.col("_d"))
+    return g.select(
+        *wild_cols,
         S.BUCKET,
         round4_expr(F.col("_n")).alias("num_total"),
         round4_expr(F.col("_d")).alias("den_total"),

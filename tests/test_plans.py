@@ -344,17 +344,29 @@ def test_chunk_documents_is_map_only(spark):
 
 def test_cross_source_matrix_broadcasts_pair_side(spark):
     """Both resolve joins must broadcast the PAIR side — the corpus's
-    (id, source) projection must never be the build side or shuffle."""
+    (id, source) projection must never be the build side or shuffle. The
+    public function materializes eagerly (to unpersist its pair cache), so
+    the plan contract lives on the internal lazy builder; the public call
+    must leave NO cached RDDs behind."""
+    from pyspark.sql import functions as F2
+
     from kadiyadb_spark.functions import dedup as D2
 
     docs = spark.createDataFrame(
         [Row(doc_id=i, source=f"s{i % 3}") for i in range(20)]
     )
     pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=3, id_b=4)])
-    plan = plan_str(D2.cross_source_matrix(docs, pairs))
+    plan = plan_str(
+        D2._cross_source_plan(
+            docs.select(F2.col("doc_id"), F2.col("source")), pairs, "doc_id", "source"
+        )
+    )
     assert n_broadcast_joins(plan) == 2
     # one shuffle only: the final source-pair groupBy
     assert n_shuffles(plan) == 1
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert D2.cross_source_matrix(docs, pairs).count() == 2
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
 
 
 def test_bloom_decontaminate_single_doc_shuffle(spark):
@@ -423,6 +435,23 @@ def test_series_ratio_one_scan_no_join(spark):
     plan = plan_str(series_ratio(cube, 0, 5, ["err"], ["clk"], resolution=1))
     assert "Join" not in plan
     # cube build costs one shuffle; the pivot adds exactly one more
+    assert n_shuffles(plan) == 2
+
+
+def test_series_ratio_wildcard_one_scan_no_join(spark):
+    """The wildcard fan-out ratio keeps the same shape: the '*' level joins
+    by becoming a grouping key, NOT by a self-join — one scan, one extra
+    shuffle, zero Join nodes."""
+    from kadiyadb_spark.query import series_ratio_wildcard
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 5, x=("err" if i % 3 else "clk"), y=f"u{i % 2}", v=1.0) for i in range(12)]
+    )
+    cube = track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    plan = plan_str(
+        series_ratio_wildcard(cube, 0, 5, ["err", "*"], ["clk", "*"], resolution=1)
+    )
+    assert "Join" not in plan
     assert n_shuffles(plan) == 2
 
 

@@ -375,3 +375,45 @@ def test_series_ratio_rejects_wildcards_and_depth_mismatch(spark):
         series_ratio(cube, 0, 5, ["a", "*"], ["a", "b"], resolution=RES)
     with pytest.raises(ValueError, match="depth"):
         series_ratio(cube, 0, 5, ["a"], ["a", "b"], resolution=RES)
+
+
+def test_series_ratio_wildcard_aligns_per_fanout_series(spark):
+    """errors{*}/clicks{*}: each wildcard value is its own aligned pair —
+    y1's ratio never mixes with y2's, one-sided groups keep nulls."""
+    from kadiyadb_spark.query import series_ratio_wildcard
+
+    # depth-2 prefix rows (write-time rollup over z) hold the values the
+    # depth-2 patterns read — same surface a user fans out over
+    rows = [
+        (0, "err", "y1", "z", 1, 1),
+        (0, "clk", "y1", "z", 4, 4),   # (y1, slot0): 1/4
+        (0, "err", "y2", "z", 3, 3),
+        (0, "clk", "y2", "z", 6, 6),   # (y2, slot0): 3/6
+        (1, "clk", "y1", "z", 5, 5),   # (y1, slot1): no errors -> null ratio
+        (1, "err", "y2", "z", 2, 2),   # (y2, slot1): no clicks -> null ratio
+    ]
+    cube = _cube(spark, rows)
+    got = {
+        (r["f2"], r["bucket"]): (r["num_total"], r["den_total"], r["ratio"])
+        for r in series_ratio_wildcard(
+            cube, 0, 5, ["err", "*"], ["clk", "*"], resolution=RES
+        ).collect()
+    }
+    assert got == {
+        ("y1", 0): (1.0, 4.0, 0.25),
+        ("y2", 0): (3.0, 6.0, 0.5),
+        ("y1", 1): (None, 5.0, None),
+        ("y2", 1): (2.0, None, None),
+    }
+
+
+def test_series_ratio_wildcard_rejects_bad_patterns(spark):
+    from kadiyadb_spark.query import series_ratio_wildcard
+
+    cube = _cube(spark, [(0, "a", "b", "c", 1, 1)])
+    with pytest.raises(ValueError, match="wildcard positions"):
+        series_ratio_wildcard(cube, 0, 5, ["*", "b"], ["a", "*"], resolution=RES)
+    with pytest.raises(ValueError, match="series_ratio"):
+        series_ratio_wildcard(cube, 0, 5, ["a", "b"], ["a", "c"], resolution=RES)
+    with pytest.raises(ValueError, match="depth"):
+        series_ratio_wildcard(cube, 0, 5, ["a", "*"], ["a"], resolution=RES)
