@@ -1,0 +1,268 @@
+"""Pure-stdlib/numpy codecs for the publicly-documented uncompressed media
+formats — the REAL decode path behind ``multimodal`` (no PIL/ffmpeg in the
+container, but PNG is zlib + per-row unfiltering, BMP is a header parse, and
+WAV-PCM is a RIFF chunk walk: all fully specified public formats that numpy
+decodes exactly).
+
+Coverage (decoder raises ValueError on anything else — honest refusal, never
+a fake answer):
+
+- PNG  (W3C PNG spec): bit depth 8, color types 0/2/4/6 (gray, RGB,
+  gray+alpha, RGBA), non-interlaced; all five scanline filters
+  (None/Sub/Up/Average/Paeth).
+- BMP  (BITMAPINFOHEADER): 24bpp uncompressed BI_RGB, bottom-up or top-down.
+- WAV  (RIFF PCM): 8-bit unsigned or 16-bit signed LE, any channel count.
+
+Encoders for the same subset ship alongside so pipelines (and tests) can
+synthesize payloads deterministically; PNG encoding writes filter-0 rows
+(decode must still handle all filters — the test suite cross-checks with an
+independent forward-filter implementation).
+
+These run INSIDE Arrow ``mapInPandas`` batches (multimodal.py): payload in,
+ndarray out, per-asset python cost proportional to payload size. A 100 TB
+corpus decodes embarrassingly parallel; the executor never sees more than a
+batch of payloads at once.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channels
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff(payload: bytes) -> str | None:
+    """Container format by magic bytes: 'png' | 'bmp' | 'wav' | None."""
+    if payload[:8] == PNG_SIG:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# -- PNG ---------------------------------------------------------------------
+
+
+def _png_chunks(b: bytes):
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a row (spec 9.4: ties a <= b <= c)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, channels) uint8. Bit depth 8, color types 0/2/4/6,
+    non-interlaced; all five filters unfiltered per the spec."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    w = h = ch = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = cur + prior
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                left = rec[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                up = prior[x : x + bpp]
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(
+                        left.astype(np.uint8), up.astype(np.uint8),
+                        (prior[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)).astype(np.uint8),
+                    ).astype(np.int32)
+                rec[x : x + bpp] = (cur[x : x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, ch) uint8 -> PNG bytes (filter 0 rows, zlib)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"cannot encode {ch}-channel image as PNG")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = np.concatenate([np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)], axis=1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# -- BMP ---------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, 24bpp BI_RGB) -> (h, w, 3) uint8 RGB.
+    Positive biHeight is bottom-up per the spec; negative is top-down."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    bpp, comp = struct.unpack("<HI", payload[28:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={comp} (only 24bpp BI_RGB)")
+    h = abs(h_signed)
+    stride = ((w * 3 + 3) // 4) * 4
+    body = payload[data_off : data_off + stride * h]
+    if len(body) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp bottom-up BMP bytes."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("BMP encoder takes (h, w, 3) RGB")
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB->BGR
+    body = rows.tobytes()
+    data_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+# -- WAV ---------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF WAVE PCM -> ((n_frames, channels) int16 samples, sample_rate).
+    8-bit unsigned recenters to signed (b - 128) per the WAV convention;
+    16-bit is signed little-endian as stored."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        cdata = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", cdata[:16])
+        elif cid == b"data":
+            data = cdata
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format} (only PCM)")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    elif bits == 16:
+        samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(np.int16)
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits} (only 8/16)")
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000, bits: int = 16) -> bytes:
+    """(n,) or (n, channels) int samples -> RIFF WAVE PCM bytes."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    channels = a.shape[1]
+    if bits == 16:
+        body = a.astype("<i2").tobytes()
+    elif bits == 8:
+        body = (a.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, ch) array — the real kernel
+    behind resize_images(fake=False)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[rows[:, None], cols[None, :]]

@@ -801,25 +801,38 @@ class MinHashIndex:
 
         return GenLog(self.spark, self.path)
 
-    def _live(self) -> str:
-        m = self._log().read()
+    def _live(self, at_gen: int | None = None) -> str:
+        m = self._log().read(at_gen)
         if m["gen"] < 0:
             raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
         return f"{self.path}/{m['live']}"
 
     def _gc_data_dirs(self, keep: str) -> None:
-        """Delete superseded ``banded-g*`` dirs (orphans from compaction
-        swaps or crashed staged writes). Safe because nothing references
-        them once the manifest points at ``keep``."""
+        """Delete ``banded-g*`` dirs no RETAINED manifest references
+        (orphans from crashed staged writes, and generations older than the
+        manifest log's retention). Dirs named by any retained manifest stay
+        on disk so generation-pinned reads (``query(at_gen=...)``) survive a
+        concurrent compaction — the GenLog keeps 3 manifests, so a reader
+        may pin up to 2 generations behind head."""
         from kadiyadb_spark.fs import HadoopFS
 
         fs = HadoopFS(self.spark, self.path)
+        keep_set = self._log().live_dirs() | {keep}
         for name in fs.listdir(self.path):
-            if name.startswith("banded") and name != keep:
+            if name.startswith("banded") and name not in keep_set:
                 fs.delete(HadoopFS.join(self.path, name))
 
-    def banded(self) -> DataFrame:
-        return self.spark.read.parquet(self._live())
+    def generations(self) -> list[int]:
+        """Retained (pinnable) generation numbers, ascending."""
+        return self._log().retained()
+
+    def banded(self, at_gen: int | None = None) -> DataFrame:
+        """The live banded rows, or a RETAINED older generation's when
+        ``at_gen`` is given — a snapshot read that a concurrent ``compact``
+        cannot GC out from under the scan (closes the reader-vs-compact
+        race: pin the generation before a long probe job and the directory
+        outlives the swap as long as the manifest is retained)."""
+        return self.spark.read.parquet(self._live(at_gen))
 
     def add(
         self,
@@ -872,8 +885,10 @@ class MinHashIndex:
         publish a manifest pointing at it, then GC the old dir — a crash
         anywhere leaves the previous generation fully readable (the old
         delete-then-rename swap had a window with NO index). Single-writer
-        maintenance op; a reader that resolved the old manifest must finish
-        its scan before the GC, same caveat as Database._gc."""
+        maintenance op. GC keeps every dir a retained manifest names, so a
+        reader that PINNED its generation (``query(at_gen=...)``) survives
+        the swap; only an unpinned reader racing >2 further compactions can
+        lose its directory."""
         log = self._log()
         m = log.read()
         live = self._live()
@@ -894,13 +909,18 @@ class MinHashIndex:
         new_docs: DataFrame,
         text_col: str = "text",
         min_est: float = 0.5,
+        at_gen: int | None = None,
     ) -> DataFrame:
         """Near-duplicates of ``new_docs`` against the INDEXED corpus:
         (new_id, index_id, est_jaccard), est >= min_est. New-batch ids may
-        overlap index ids (re-ingest); self-pairs are excluded."""
-        return self.query_banded(self.banded_of(new_docs, text_col), min_est)
+        overlap index ids (re-ingest); self-pairs are excluded. ``at_gen``
+        pins a retained generation (see ``banded``) so a long probe job is
+        immune to a concurrent compaction's swap+GC."""
+        return self.query_banded(self.banded_of(new_docs, text_col), min_est, at_gen)
 
-    def query_banded(self, new_banded: DataFrame, min_est: float = 0.5) -> DataFrame:
+    def query_banded(
+        self, new_banded: DataFrame, min_est: float = 0.5, at_gen: int | None = None
+    ) -> DataFrame:
         """``query`` from an already-banded batch frame (see ``banded_of``)."""
         nbanded = new_banded.select(
             F.col(self.id_col).alias("new_id"),
@@ -908,7 +928,7 @@ class MinHashIndex:
             "band_key",
             F.col("signature").alias("_nsig"),
         )
-        idx = self.banded().select(
+        idx = self.banded(at_gen).select(
             F.col(self.id_col).alias("index_id"), "band_idx", "band_key", "signature"
         )
         cand = (

@@ -303,22 +303,30 @@ class IVFIndex:
 
         return GenLog(self.spark, self.path)
 
-    def _live(self) -> str:
-        m = self._log().read()
+    def _live(self, at_gen: int | None = None) -> str:
+        m = self._log().read(at_gen)
         if m["gen"] < 0:
             raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
         return f"{self.path}/{m['live']}"
 
     def _gc_data_dirs(self, keep: str) -> None:
+        """Keeps every dir a RETAINED manifest references — generation-pinned
+        searches (``search(at_gen=...)``) stay serviceable across a
+        concurrent compact's swap (same contract as MinHashIndex)."""
         from kadiyadb_spark.fs import HadoopFS
 
         fs = HadoopFS(self.spark, self.path)
+        keep_set = self._log().live_dirs() | {keep}
         for name in fs.listdir(self.path):
-            if name.startswith("assigned") and name != keep:
+            if name.startswith("assigned") and name not in keep_set:
                 fs.delete(HadoopFS.join(self.path, name))
 
-    def assigned(self) -> DataFrame:
-        return self.spark.read.parquet(self._live())
+    def generations(self) -> list[int]:
+        """Retained (pinnable) generation numbers, ascending."""
+        return self._log().retained()
+
+    def assigned(self, at_gen: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(self._live(at_gen))
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/centroids")
@@ -376,9 +384,12 @@ class IVFIndex:
         nprobe: int = 2,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        at_gen: int | None = None,
     ) -> DataFrame:
         """Partition-pruned probe + score: identical results to ivf_topk with
-        the same centroids (same probe order: cos desc, centroid_id asc)."""
+        the same centroids (same probe order: cos desc, centroid_id asc).
+        ``at_gen`` pins a retained generation so a long search cannot have
+        its directory GC'd by a concurrent ``compact``."""
         import numpy as np
         import pandas as pd
 
@@ -392,7 +403,7 @@ class IVFIndex:
         probe_sets = [set(int(c) for c in p) for p in probed]
         bc = self.spark.sparkContext.broadcast((q_ids, qn, probe_sets))
 
-        scan = self.assigned().filter(
+        scan = self.assigned(at_gen).filter(
             F.col("centroid_id").isin(union_ids)  # -> PartitionFilters: bucket dirs only
         )
         id_col, vec_col = self.id_col, self.vec_col
@@ -1079,16 +1090,24 @@ class IVFPQIndex:
 
         return GenLog(self.spark, self.path)
 
-    def _live(self) -> str:
-        return f"{self.path}/{self._log().read()['live']}"
+    def _live(self, at_gen: int | None = None) -> str:
+        return f"{self.path}/{self._log().read(at_gen)['live']}"
 
     def _gc_data_dirs(self, keep: str) -> None:
+        """Keeps every dir a RETAINED manifest references — generation-pinned
+        searches (``search(at_gen=...)``) stay serviceable across a
+        concurrent compact's swap (same contract as MinHashIndex)."""
         from kadiyadb_spark.fs import HadoopFS
 
         fs = HadoopFS(self.spark, self.path)
+        keep_set = self._log().live_dirs() | {keep}
         for name in fs.listdir(self.path):
-            if name.startswith("codes") and name != keep:
+            if name.startswith("codes") and name not in keep_set:
                 fs.delete(HadoopFS.join(self.path, name))
+
+    def generations(self) -> list[int]:
+        """Retained (pinnable) generation numbers, ascending."""
+        return self._log().retained()
 
     def _codebooks(self):
         """[m, ksub, dsub] ndarray from the persisted codebook rows."""
@@ -1208,8 +1227,8 @@ class IVFPQIndex:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/centroids")
 
-    def codes(self) -> DataFrame:
-        return self.spark.read.parquet(self._live())
+    def codes(self, at_gen: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(self._live(at_gen))
 
     def add(self, emb: DataFrame) -> None:
         """LSM append against the FROZEN centroids + codebooks (bucket
@@ -1252,11 +1271,13 @@ class IVFPQIndex:
         nprobe: int = 2,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        at_gen: int | None = None,
     ) -> DataFrame:
         """ADC over the probed buckets' codes — identical results to
         ivfpq_topk with the same centroid/codebook strategy (same rounded-
         rank tie-break); the scan touches codes only, partition-pruned to
-        the probed centroid dirs."""
+        the probed centroid dirs. ``at_gen`` pins a retained generation so
+        a long search survives a concurrent ``compact``'s swap+GC."""
         import numpy as np
         import pandas as pd
 
@@ -1324,7 +1345,7 @@ class IVFPQIndex:
                 if parts:
                     yield pd.concat(parts, ignore_index=True)
 
-        scan = self.codes().filter(F.col("centroid_id").isin(union_ids))
+        scan = self.codes(at_gen).filter(F.col("centroid_id").isin(union_ids))
         scored = scan.select(id_col, "codes", "centroid_id").mapInPandas(
             adc, schema=f"{query_id_col} long, {id_col} long, _cos double"
         )

@@ -49,12 +49,44 @@ class GenLog:
             if f.startswith(_PREFIX)
         )
 
-    def read(self) -> dict[str, Any]:
-        """Latest committed manifest; ``{"gen": -1}`` when none exists."""
+    def read(self, at_gen: int | None = None) -> dict[str, Any]:
+        """Latest committed manifest, or the RETAINED manifest of a pinned
+        older generation (``at_gen``); ``{"gen": -1}`` when none exists.
+
+        The log keeps the newest ``keep`` manifest files, so a reader can
+        pin up to ``keep - 1`` generations behind the head — the snapshot
+        contract that lets a long scan survive a concurrent compaction's
+        generation swap (the store's data-dir GC retains every directory a
+        retained manifest references; see ``live_dirs``)."""
         names = self._names()
-        if not names:
-            return {"gen": -1}
-        return self.fs.read_json(HadoopFS.join(self.path, names[-1]))
+        if at_gen is None:
+            if not names:
+                return {"gen": -1}
+            return self.fs.read_json(HadoopFS.join(self.path, names[-1]))
+        name = f"{_PREFIX}{at_gen:012d}.json"
+        if name not in names:
+            raise ValueError(
+                f"generation {at_gen} not retained in {self.path} "
+                f"(have {self.retained()})"
+            )
+        return self.fs.read_json(HadoopFS.join(self.path, name))
+
+    def retained(self) -> list[int]:
+        """Generation numbers whose manifests are still on disk (ascending);
+        any of them is a valid ``read(at_gen=...)`` pin."""
+        return [int(n[len(_PREFIX) : -len(".json")]) for n in self._names()]
+
+    def live_dirs(self, key: str = "live") -> set[str]:
+        """Data-dir names referenced by ANY retained manifest — the set a
+        store's GC must keep so pinned generation reads stay serviceable.
+        Manifests without ``key`` (e.g. segment-list logs) contribute
+        nothing."""
+        out: set[str] = set()
+        for n in self._names():
+            v = self.fs.read_json(HadoopFS.join(self.path, n)).get(key)
+            if v is not None:
+                out.add(v)
+        return out
 
     def commit(self, m: dict[str, Any], prev_gen: int) -> int:
         """Atomically publish generation ``prev_gen + 1``; returns it.

@@ -1,0 +1,216 @@
+"""Real-codec tests: pure-stdlib/numpy PNG/BMP/WAV decoding (codecs.py) and
+the multimodal fake=False kernels built on it.
+
+Independence of the checks: the PNG all-filters test encodes with a
+test-side FORWARD filter implementation (spec 9.2) so encoder and decoder
+are two separate readings of the published spec; the WAV test encodes with
+the stdlib ``wave`` module — an implementation we didn't write at all."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from kadiyadb_spark.functions import codecs as C
+from kadiyadb_spark.functions import multimodal as M
+
+
+def _img(h, w, ch, seed=0):
+    # deterministic pseudo-random pixels without RNG state
+    i = np.arange(h * w * ch, dtype=np.int64) + seed
+    return ((i * 2654435761) % 251).astype(np.uint8).reshape(h, w, ch)
+
+
+# -- PNG ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(ch):
+    img = _img(13, 7, ch, seed=ch)
+    out = C.decode_png(C.encode_png(img))
+    assert out.shape == (13, 7, ch)
+    assert (out == img).all()
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Test-side PNG forward filter (spec 9.2) — independent of the decoder's
+    inverse. Produces the filtered scanline stream for one filter type."""
+    h, w, ch = img.shape
+    raw = img.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+        pleft = np.concatenate([np.zeros(ch, dtype=np.int32), prior[:-ch]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        else:  # paeth
+            p = left + prior - pleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - pleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pleft))
+            filt = cur - pred
+        out.append(ftype)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prior = cur
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decodes_every_scanline_filter(ftype):
+    """Each of the five spec filters, forward-applied by an independent
+    test-side implementation, must invert to the original pixels."""
+    img = _img(9, 11, 3, seed=ftype + 10)
+    ihdr = struct.pack(">IIBBBBB", 11, 9, 8, 2, 0, 0, 0)
+    png = (
+        C.PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(_forward_filter(img, ftype)))
+        + C._png_chunk(b"IEND", b"")
+    )
+    assert (C.decode_png(png) == img).all()
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        C.decode_png(b"JFIF not a png")
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png = C.PNG_SIG + C._png_chunk(b"IHDR", ihdr) + C._png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        C.decode_png(png)
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = C.PNG_SIG + C._png_chunk(b"IHDR", ihdr) + C._png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlaced"):
+        C.decode_png(png)
+
+
+# -- BMP ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5])  # every row-padding phase
+def test_bmp_roundtrip_row_padding(w):
+    img = _img(4, w, 3, seed=w)
+    assert (C.decode_bmp(C.encode_bmp(img)) == img).all()
+
+
+def test_bmp_top_down_negative_height():
+    """Negative biHeight stores rows top-down (no flip)."""
+    img = _img(3, 2, 3, seed=99)
+    b = bytearray(C.encode_bmp(img[::-1]))  # encoder writes bottom-up of the flip
+    b[22:26] = struct.pack("<i", -3)  # declare top-down
+    assert (C.decode_bmp(bytes(b)) == img[::-1][::-1]).all()  # == original rows as stored
+    # top-down decode must differ from the bottom-up reading of the same body
+    assert not (C.decode_bmp(bytes(b)) == C.decode_bmp(C.encode_bmp(img[::-1]))).all()
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        C.decode_bmp(b"PNG nope")
+
+
+# -- WAV ----------------------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit_stereo():
+    n = 50
+    samples = np.stack(
+        [np.arange(-n, n, 2, dtype=np.int16) * 100, np.arange(n, dtype=np.int16) * -7], axis=1
+    )
+    out, rate = C.decode_wav(C.encode_wav(samples, rate=22050, bits=16))
+    assert rate == 22050 and out.shape == (n, 2) and (out == samples).all()
+
+
+def test_wav_roundtrip_8bit_mono():
+    samples = (np.arange(100, dtype=np.int16) % 200) - 100
+    out, rate = C.decode_wav(C.encode_wav(samples, rate=8000, bits=8))
+    assert rate == 8000 and (out[:, 0] == samples).all()
+
+
+def test_wav_decodes_stdlib_wave_output():
+    """Cross-check against an encoder we didn't write: python's stdlib
+    ``wave`` module."""
+    samples = (np.sin(np.arange(200) / 7) * 12000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())
+    out, rate = C.decode_wav(buf.getvalue())
+    assert rate == 16000 and (out[:, 0] == samples).all()
+
+
+def test_wav_rejects_non_pcm():
+    b = bytearray(C.encode_wav(np.zeros(4, dtype=np.int16)))
+    b[20:22] = struct.pack("<H", 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match="only PCM"):
+        C.decode_wav(bytes(b))
+
+
+def test_resize_nearest_known_grid():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = C.resize_nearest(img, 2, 2)
+    assert out[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+
+# -- multimodal fake=False (Spark side) ----------------------------------------
+
+
+def test_decode_images_real_png_bmp_and_skip(spark):
+    png_img, bmp_img = _img(6, 5, 3, seed=1), _img(3, 8, 3, seed=2)
+    rows = [
+        Row(asset_id=1, media_type="image", payload=bytearray(C.encode_png(png_img)), n_bytes=0),
+        Row(asset_id=2, media_type="image", payload=bytearray(C.encode_bmp(bmp_img)), n_bytes=0),
+        Row(asset_id=3, media_type="image", payload=bytearray(b"\xff\xd8\xffJPEG..."), n_bytes=0),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r.asset_id: r for r in
+           M.decode_images(media, fake=False, on_error="skip").collect()}
+    assert set(got) == {1, 2}  # the JPEG-magic payload skipped
+    assert (got[1].width, got[1].height) == (5, 6)
+    assert got[1].byte_sum_mod == int(png_img.sum(dtype="int64") % 1_000_003)
+    assert (got[2].width, got[2].height) == (8, 3)
+    assert got[2].byte_sum_mod == int(bmp_img.sum(dtype="int64") % 1_000_003)
+    with pytest.raises(Exception, match="undecodable"):
+        M.decode_images(media, fake=False, on_error="raise").collect()
+
+
+def test_resize_images_real_checksum(spark):
+    img = _img(10, 10, 3, seed=5)
+    media = spark.createDataFrame(
+        [Row(asset_id=7, media_type="image", payload=bytearray(C.encode_png(img)), n_bytes=0)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got = M.resize_images(media, out_w=4, out_h=4, fake=False).collect()[0]
+    want = int(C.resize_nearest(img, 4, 4).sum(dtype="int64") % 1_000_003)
+    assert (got.out_w, got.out_h, got.pix_checksum) == (4, 4, want)
+
+
+def test_audio_windows_real_wav(spark):
+    samples = ((np.arange(96, dtype=np.int64) * 37) % 257 - 128).astype(np.int16)
+    payload = C.encode_wav(samples, rate=16000, bits=16)
+    media = spark.createDataFrame(
+        [Row(asset_id=9, media_type="audio", payload=bytearray(payload), n_bytes=0)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got = sorted(
+        M.audio_windows(media, window=32, stride=32, fake=False).collect(),
+        key=lambda r: r.win_idx,
+    )
+    assert len(got) == 3
+    for r in got:
+        s = samples[r.win_idx * 32 : r.win_idx * 32 + 32].astype(np.int64)
+        assert r.energy == int((s * s).sum())
+        assert r.zero_crossings == int(((s[:-1] >= 0) != (s[1:] >= 0)).sum())

@@ -306,10 +306,15 @@ def test_media_table_and_fake_decode(spark):
     assert rows[0].height == len(payload) % 64 + 1
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    media = M.to_media_table(_docs(spark, ["x"]))
-    with pytest.raises(NotImplementedError):
-        M.decode_images(media, fake=False)
+def test_real_decode_refuses_undecodable_payloads(spark):
+    """fake=False is the REAL codec path (codecs.py): a payload that is not
+    PNG/BMP raises at execution (honest refusal, never a fabricated
+    answer); on_error='skip' drops it instead. Real decodes are covered in
+    tests/test_codecs.py."""
+    media = M.to_media_table(_docs(spark, ["x"]))  # text bytes, no magic
+    with pytest.raises(Exception, match="undecodable"):
+        M.decode_images(media, fake=False).collect()
+    assert M.decode_images(media, fake=False, on_error="skip").count() == 0
 
 
 def test_frame_sample_shapes(spark):
@@ -389,8 +394,9 @@ def test_resize_images_golden_and_stub(spark):
             pos = ((j * h) // 4) * w + ((i * w) // 4)
             want += payload[pos] if pos < len(payload) else 0
     assert (r.out_w, r.out_h, r.pix_checksum) == (4, 4, want % 1_000_003)
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, fake=False)
+    # fake=False really decodes; this payload has no PNG/BMP magic
+    with pytest.raises(Exception, match="undecodable"):
+        M.resize_images(media, fake=False).collect()
 
 
 def test_winnow_near_duplicates_local_feature_blocking(spark):
@@ -574,13 +580,21 @@ def test_minhash_index_add_matches_one_shot_build(spark, tmp_path):
     want = {(r.new_id, r.index_id, r.est_jaccard) for r in one.query(batch, min_est=0.3).collect()}
     got = {(r.new_id, r.index_id, r.est_jaccard) for r in inc.query(batch, min_est=0.3).collect()}
     assert got == want and any(i in (0, 10) for _, i, _ in got)  # matches from BOTH halves
-    # compact folds the appended files; answers unchanged, fewer files
+    # compact folds the appended files; answers unchanged, the LIVE
+    # generation has fewer files (the superseded dir stays on disk while its
+    # manifest is retained — the generation-pin GC contract)
     import glob
 
-    files_before = len(glob.glob(str(tmp_path / "inc" / "banded-g*" / "**" / "*.parquet"), recursive=True))
+    def live_files():
+        return len(glob.glob(str(tmp_path / "inc" / "**" / "*.parquet"), recursive=True)), len(
+            glob.glob(f"{inc._live()}/**/*.parquet", recursive=True)
+        )
+
+    _, files_before = live_files()
     inc.compact()
-    files_after = len(glob.glob(str(tmp_path / "inc" / "banded-g*" / "**" / "*.parquet"), recursive=True))
+    total_after, files_after = live_files()
     assert files_after < files_before
+    assert total_after > files_after  # old generation retained for pins
     got2 = {(r.new_id, r.index_id, r.est_jaccard) for r in inc.query(batch, min_est=0.3).collect()}
     assert got2 == want
 
@@ -691,6 +705,79 @@ def test_minhash_compact_dedups_replayed_adds(spark, tmp_path):
         docs.union(batch), str(tmp_path / "one"), num_hashes=8, bands=4
     )
     assert idx.banded().count() == one_shot.banded().count()
+
+
+def test_minhash_pinned_generation_survives_compact(spark, tmp_path):
+    """Generation-pinned reads close the reader-vs-compact GC race: a query
+    pinned at generation G keeps reading G's directory through a later
+    compact's swap+GC (GC keeps every dir a retained manifest names —
+    GenLog retains 3, so pins up to 2 generations back are safe)."""
+    from kadiyadb_spark.functions.dedup import MinHashIndex
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} full of regular words and phrases {i % 4}")
+         for i in range(5)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text="late arriving document with novel vocabulary entirely")]
+    )
+    idx = MinHashIndex.build(docs, str(tmp_path / "mh"), num_hashes=8, bands=4)
+    g0 = idx.generations()[-1]
+    idx.add(batch)
+    pre_compact = idx.banded().count()  # g0's dir, adds included
+    # a long probe job pins g0, then a maintenance cycle lands mid-scan
+    idx.compact()
+    assert idx.generations() == [g0, g0 + 1]
+    # the pinned read serves EXACTLY the directory state the reader resolved
+    # before the swap (the pin is a GC guard over that dir)
+    assert idx.banded(at_gen=g0).count() == pre_compact
+    probe = spark.createDataFrame(
+        [Row(doc_id=200, text="document number 2 full of regular words and phrases 2")]
+    )
+    pinned = {(r.new_id, r.index_id) for r in idx.query(probe, min_est=0.5, at_gen=g0).collect()}
+    assert (200, 2) in pinned
+    # an evicted generation refuses loudly instead of reading deleted data
+    with pytest.raises(ValueError, match="not retained"):
+        idx.banded(at_gen=g0 + 7)
+    # push g0 out of retention (keep=3): 3 more compacts evict its manifest
+    for _ in range(3):
+        idx.compact()
+    assert g0 not in idx.generations()
+    with pytest.raises(ValueError, match="not retained"):
+        idx.banded(at_gen=g0)
+    # retained dirs really survive on disk: the oldest retained gen reads
+    oldest = idx.generations()[0]
+    assert idx.banded(at_gen=oldest).count() == idx.banded().count()
+
+
+def test_ivf_index_pinned_generation_survives_compact(spark, tmp_path):
+    """Same pin contract for the vector indexes: IVFIndex.search(at_gen=...)
+    reads the pinned generation's partition dirs across a concurrent
+    compact (and IVFPQIndex shares the GC-keeps-retained-dirs rule)."""
+    import random
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[random.random() for _ in range(8)]) for i in range(30)]
+    )
+    queries = spark.createDataFrame(
+        [Row(query_id=0, query_vec=[0.5] * 8)]
+    )
+    idx = SIM.IVFIndex.build(emb, str(tmp_path / "ivf"), num_centroids=4)
+    g0 = idx.generations()[-1]
+    late = spark.createDataFrame(
+        [Row(vec_id=100 + i, embedding=[0.5] * 8) for i in range(3)]
+    )
+    idx.add(late)
+    pre_compact = [(r.vec_id, r.rank) for r in
+                   idx.search(queries, k=3, nprobe=4).collect()]
+    idx.compact()
+    # the g0 pin reads exactly the pre-swap directory state through the GC
+    pinned = [(r.vec_id, r.rank) for r in
+              idx.search(queries, k=3, nprobe=4, at_gen=g0).collect()]
+    assert pinned == pre_compact
+    with pytest.raises(ValueError, match="not retained"):
+        idx.search(queries, at_gen=g0 + 9)
 
 
 def test_span_dedup_keeps_first_global_occurrence(spark):
@@ -1312,5 +1399,6 @@ def test_audio_windows_full_windows_only_and_integer_features(spark):
     # (all samples +2 -> energy 16, zc 0); asset 3 empty -> no rows
     assert got[(2, 0)] == (16, 0)
     assert (2, 1) not in got and not any(a == 3 for a, _ in got)
-    with _pytest.raises(NotImplementedError):
-        M2.audio_windows(media, fake=False)
+    # fake=False really parses RIFF; these raw bytes are not a WAV
+    with _pytest.raises(Exception, match="not a WAV"):
+        M2.audio_windows(media, fake=False).collect()
