@@ -462,21 +462,30 @@ def compact_decisions(spark, decisions_dir: str) -> None:
     hi = max(int(s["batch"]) for s in segs)
     m["segments"] = [{"batch": hi, "ref": folded}]
     log.commit(m, m["gen"])
+    # GC keeps every segment a RETAINED manifest still references (GenLog
+    # keep=3), so a read_decisions(at_gen=...) pinned before the fold — or
+    # an unpinned reader that resolved the pre-fold manifest — keeps its
+    # segments through the swap (same contract as the index GCs).
+    keep = {folded}
+    for g in log.retained():
+        keep.update(s["ref"] for s in log.read(at_gen=g).get("segments", []))
     fs = HadoopFS(spark, decisions_dir)
     for name in fs.listdir(decisions_dir):
-        if name.startswith("seg-") and name != folded:
+        if name.startswith("seg-") and name not in keep:
             fs.delete(HadoopFS.join(decisions_dir, name))
 
 
-def read_decisions(spark, decisions_dir: str) -> DataFrame:
+def read_decisions(spark, decisions_dir: str, at_gen: int | None = None) -> DataFrame:
     """Committed view of a ``stream_index_dedup`` decisions log: resolves
     the latest manifest and reads ONLY the referenced segments — staged
     segments from in-flight or crashed batches are invisible, so the audit
-    record is exactly-once by construction."""
+    record is exactly-once by construction. ``at_gen`` pins a retained
+    manifest generation; compaction's GC keeps every segment a retained
+    manifest references, so the pinned view survives a concurrent fold."""
     from kadiyadb_spark.fs import HadoopFS
     from kadiyadb_spark.manifest import GenLog
 
-    m = GenLog(spark, decisions_dir).read()
+    m = GenLog(spark, decisions_dir).read(at_gen)
     refs = [HadoopFS.join(decisions_dir, s["ref"]) for s in m.get("segments", [])]
     if not refs:
         raise FileNotFoundError(f"no committed decisions at {decisions_dir}")

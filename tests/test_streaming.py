@@ -468,12 +468,22 @@ def test_stream_index_dedup_feedback_loop(spark, tmp_path):
     # be a no-op (hwm/add_hwm carried over).
     from kadiyadb_spark.streaming.ingest import compact_decisions
 
+    from kadiyadb_spark.manifest import GenLog
+
+    pre_gen = GenLog(spark, str(tmp_path / "dec")).read()["gen"]
     compact_decisions(spark, str(tmp_path / "dec"))
     out3 = {
         r["doc_id"]: (r["accepted"], r["n_dups"])
         for r in read_decisions(spark, str(tmp_path / "dec")).collect()
     }
     assert out3 == out
+    # generation-pin contract: a reader pinned at the pre-fold manifest
+    # keeps its (per-batch) segments through the fold's GC
+    pinned = {
+        r["doc_id"]: (r["accepted"], r["n_dups"])
+        for r in read_decisions(spark, str(tmp_path / "dec"), at_gen=pre_gen).collect()
+    }
+    assert pinned == out
     shutil.rmtree(str(tmp_path / "ckpt_sidx"))
     stream3 = (
         spark.readStream.schema(b1.schema)
