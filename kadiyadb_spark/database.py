@@ -238,20 +238,18 @@ class Database:
         fcols = S.field_cols(self.max_depth)
         if not fcols:
             return {}
-        from pyspark.sql import Window
-
         pairs = (
             self.spark.read.parquet(seg_root)
             .select("epoch_p", F.posexplode(F.array(*[F.col(c) for c in fcols])).alias("_i", "_v"))
             .where(F.col("_v").isNotNull())
-            .distinct()
         )
-        w = Window.partitionBy("epoch_p", "_i").orderBy("_v")
-        capped = pairs.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= _STATS_MAX + 1
-        )
-        rows = capped.groupBy("epoch_p", "_i").agg(
-            F.sort_array(F.collect_list("_v")).alias("vals")
+        # ONE shuffle: collect_set partial-aggregates map-side (each task
+        # ships its local distinct values, not its rows), slice caps what
+        # the driver decodes at MAX+1 values per (epoch, level). The
+        # previous distinct -> window-rank -> collect_list form shuffled
+        # the same key three times for the same answer.
+        rows = pairs.groupBy("epoch_p", "_i").agg(
+            F.slice(F.sort_array(F.collect_set("_v")), 1, _STATS_MAX + 1).alias("vals")
         ).collect()
         out: dict[int, dict[str, list[str] | None]] = {}
         for r in rows:
