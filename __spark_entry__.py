@@ -2730,6 +2730,76 @@ def q_multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich 2016 / the GPT-2
+    family): one corpus scan builds the distinct-word frequency table, then
+    each merge is one pair-count aggregation + a JVM aggregate() symbol
+    fold — no Python per word, lineage checkpoint-truncated per iteration
+    (functions/bpe.py). Output is the trained merge table itself; the
+    oracle replays the identical algorithm in SQL (list_reduce fold,
+    count-desc/lex-asc tie-break) stage by stage."""
+    from kadiyadb_spark.functions import bpe as BP
+
+    merges = BP.train_bpe(_t(spark, sf_dir, "documents"), num_merges=_BPE_MERGES)
+    return BP.merges_df(spark, merges)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION at corpus scale: replaying the trained merges in
+    rank order = the greedy lowest-rank tokenization (the standard BPE
+    equivalence), done ONCE per distinct word and joined back to
+    occurrences — per-source exact token accounting for mixture budgeting
+    (functions/bpe.py:tokenize_bpe)."""
+    from kadiyadb_spark.functions import bpe as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.train_bpe(docs, num_merges=_BPE_MERGES)
+    return BP.tokenize_bpe(docs, merges, carry_cols=["source"]).orderBy("source")
+
+
+def _bpe_oracle_ctes(k: int) -> str:
+    """The k-stage DuckDB replay of train_bpe: w0 = word/freq/symbol table,
+    then per merge i: pair counts p{i} -> argmax b{i} (count desc, lex asc)
+    -> folded word table w{i} (list_reduce, non-overlapping left-to-right,
+    same as the Spark aggregate())."""
+    parts = [r"""
+w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_concat(list_transform(range(1, length(word) + 1),
+                                    i -> substr(word, CAST(i AS INT), 1)),
+                     ['</w>']) AS syms
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x != '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f"""
+p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq,
+               unnest(list_transform(range(1, len(syms)),
+                      j -> {{'l': syms[CAST(j AS INT)],
+                             'r': syms[CAST(j AS INT) + 1]}})) AS pr
+        FROM w{p})
+  GROUP BY pr.l, pr.r
+),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+w{i} AS (
+  SELECT word, freq,
+         list_reduce(list_transform(w{p}.syms, x -> [x]),
+           (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{i}.l AND s[1] = b{i}.r
+                       THEN list_append(acc[1:-2], b{i}.l || b{i}.r)
+                       ELSE list_concat(acc, s) END) AS syms
+  FROM w{p} CROSS JOIN b{i}
+)""")
+    return "WITH " + ",".join(parts)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2806,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "multimodal_png_real": q_multimodal_png_real,
         "multimodal_wav_real": q_multimodal_wav_real,
+        "bpe_train": q_bpe_train,
+        "bpe_tokenize": q_bpe_tokenize,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
@@ -2817,11 +2889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
-        "rollup_revenue": q_rollup_revenue,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
         # ---- 50-entry gate cap lands here ----
         # remaining r05-gated entries (due to lead the r08 gate; covered by
         # this round's all-entry local oracle run at driver parallelism):
+        "rollup_revenue": q_rollup_revenue,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
@@ -4773,6 +4845,29 @@ FROM s WHERE len(sub) > 0
 
     # Byte-centered fake PCM: sample = ord(char) - 128 (fixtures are ASCII,
     # so char position == byte position); full 64-wide windows at stride 32.
+    _bpe_union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS freq FROM b{i}'
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    o["bpe_train"] = f"""
+{_bpe_oracle_ctes(_BPE_MERGES)}
+SELECT * FROM ({_bpe_union})
+"""
+
+    o["bpe_tokenize"] = f"""
+{_bpe_oracle_ctes(_BPE_MERGES)},
+tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM w{_BPE_MERGES}),
+occ AS (SELECT source,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x != '')) AS word
+        FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM occ JOIN tok USING (word)
+GROUP BY source
+"""
+
     o["multimodal_png_real"] = """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
 SELECT doc_id,

@@ -1,0 +1,171 @@
+"""Distributed BPE tokenizer training + application (Sennrich et al. 2016;
+the GPT-2 tokenizer family) — the real subword pipeline behind the corpus
+token accounting that ``text.token_stats`` only approximates with regexes.
+
+Training never touches the corpus more than once: one scan builds the
+(word, freq) table (bounded by DISTINCT words — Heaps' law puts that around
+10^7-10^8 for a 100 TB web corpus, a small Spark table), and every merge
+iteration is ONE pair-count aggregation over it plus a map-side symbol fold.
+The fold is a JVM higher-order ``aggregate`` — merging adjacent (left,
+right) occurrences non-overlapping left-to-right — so no Python runs per
+word. Lineage is truncated each iteration (localCheckpoint) or the
+2*num_merges-deep nested plan would dominate optimization time.
+
+Applying a trained merge table uses the standard equivalence: replaying the
+merges IN RANK ORDER over a word's symbol sequence produces exactly the
+greedy lowest-rank-first tokenization (how subword-nmt/GPT-2 apply BPE).
+``tokenize_bpe`` does it over the DISTINCT-word table and joins back — each
+unique word is tokenized once per corpus, not once per occurrence.
+
+Determinism contract (what the DuckDB oracle replicates): words split on
+``\\s+``; symbols are single characters plus a ``</w>`` end-of-word marker;
+tie-break for the best pair is (count DESC, left ASC, right ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over ``\\s+``-split tokens — the one corpus scan."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def sym_init_expr(word: Column) -> Column:
+    """Initial symbol sequence: characters + the end-of-word marker.
+    Explicit substring transform (not split-on-empty) so Spark and the SQL
+    oracle agree on every input."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def apply_merge_expr(syms: Column, left: str, right: str) -> Column:
+    """Fold one merge rule over a symbol array: adjacent (left, right)
+    becomes left||right, non-overlapping left-to-right (the merged symbol
+    differs from ``left``, so a chain like a,a,a under (a,a) gives
+    [aa, a] — the standard BPE behavior). JVM-side aggregate, no UDF."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+    checkpoint: bool = True,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns
+    [(left, right, pair_count), ...] in rank order. Stops early when the
+    best pair's count falls under ``min_freq`` (merging singletons learns
+    noise). Cost: one corpus scan + num_merges aggregations over the
+    distinct-word table. ``checkpoint=False`` keeps full lineage (only for
+    tiny inputs/tests)."""
+    if num_merges < 1:
+        raise ValueError(f"need num_merges >= 1, got {num_merges}")
+    wf = word_frequencies(docs, text_col).withColumn(
+        "syms", sym_init_expr(F.col("word"))
+    ).select("freq", "syms")
+    if checkpoint:
+        wf = wf.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best = (
+            _pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None or int(best["cnt"]) < min_freq:
+            break
+        left, right = best["l"], best["r"]
+        merges.append((left, right, int(best["cnt"])))
+        wf = wf.withColumn("syms", apply_merge_expr(F.col("syms"), left, right))
+        if checkpoint:
+            wf = wf.localCheckpoint(eager=True)
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Merge list as a (rank, left, right, freq) frame (the persistable /
+    oracle-comparable form of a trained tokenizer)."""
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        schema="rank long, left string, right string, freq long",
+    )
+
+
+def tokenize_words(words: DataFrame, merges: list[tuple[str, str, int]],
+                   word_col: str = "word") -> DataFrame:
+    """Tokenize the DISTINCT-word frame by replaying merges in rank order
+    (exactly the greedy lowest-rank tokenization, per the standard BPE
+    equivalence) — adds ``tokens array<string>``. The fold chain is JVM
+    expressions end to end; tokenizing unique words instead of occurrences
+    is the corpus-scale win (join back on the word column)."""
+    syms = sym_init_expr(F.col(word_col))
+    for left, right, _ in merges:
+        syms = apply_merge_expr(syms, left, right)
+    return words.withColumn("tokens", syms)
+
+
+def tokenize_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document BPE token accounting: (carry_cols..., n_words,
+    n_tokens) — each document's words tokenized under the trained merges.
+    Tokenization happens ONCE per distinct word (broadcast-joined back when
+    the vocabulary is small enough for the planner; shuffle-joined
+    otherwise) — never per occurrence."""
+    carry = carry_cols or []
+    occ = (
+        docs.select(*carry, F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = tokenize_words(occ.select("word").distinct(), merges).select(
+        "word", F.size("tokens").alias("_n_tok")
+    )
+    return (
+        occ.join(vocab, "word")
+        .groupBy(*carry)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_n_tok").cast("long").alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""BPE trainer/tokenizer vs an independent pure-python reference
+implementation (the classic Sennrich merge loop, written here from the
+paper's description — no shared code with the Spark version)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from kadiyadb_spark.functions import bpe as B
+
+
+def ref_train(texts, num_merges, min_freq=2):
+    """Reference BPE: dict-of-tuples word table, full recount per merge."""
+    wf = Counter()
+    for t in texts:
+        for w in t.split():
+            wf[w] += 1
+    words = {tuple(w) + (B.END,): c for w, c in wf.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # tie-break: count desc, then (left, right) lexicographic asc
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((l, r, cnt))
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return merges
+
+
+def ref_tokenize(word, merges):
+    syms = list(word) + [B.END]
+    for l, r, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "the newest of the new lowest",
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    got = B.train_bpe(docs, num_merges=8, checkpoint=False)
+    want = ref_train(CORPUS, 8)
+    assert got == want
+    # the learned merges are the famous ones for this corpus family
+    assert got[0][0:2] == ("e", "s") or got[0][2] >= 8
+
+
+def test_train_bpe_min_freq_stops_early(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="ab ab xy")])
+    got = B.train_bpe(docs, num_merges=50, min_freq=2, checkpoint=False)
+    assert got == ref_train(["ab ab xy"], 50)
+    # 'xy' pairs occur once -> never merged; only the 'ab' chain survives
+    assert all(c >= 2 for _, _, c in got)
+
+
+def test_tokenize_words_equals_greedy_reference(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    merges = B.train_bpe(docs, num_merges=6, checkpoint=False)
+    words = ["lowest", "newest", "wide", "unseen", "low"]
+    wdf = spark.createDataFrame([Row(word=w) for w in words])
+    got = {r["word"]: list(r["tokens"]) for r in B.tokenize_words(wdf, merges).collect()}
+    for w in words:
+        assert got[w] == ref_tokenize(w, merges), w
+        # lossless: concatenating tokens reconstructs word + end marker
+        assert "".join(got[w]) == w + B.END
+
+
+def test_tokenize_bpe_counts_per_group(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, src="a", text="low low lower"),
+         Row(doc_id=1, src="b", text="newest")]
+    )
+    merges = B.train_bpe(
+        spark.createDataFrame([Row(text=t) for t in CORPUS]), 6, checkpoint=False
+    )
+    got = {r["src"]: (r["n_words"], r["n_tokens"])
+           for r in B.tokenize_bpe(docs, merges, carry_cols=["src"]).collect()}
+    want_a = sum(len(ref_tokenize(w, merges)) for w in "low low lower".split())
+    want_b = len(ref_tokenize("newest", merges))
+    assert got == {"a": (3, want_a), "b": (1, want_b)}
+
+
+def test_train_bpe_rejects_bad_args(spark):
+    docs = spark.createDataFrame([Row(text="a b")])
+    with pytest.raises(ValueError, match="num_merges"):
+        B.train_bpe(docs, 0)
