@@ -2730,6 +2730,16 @@ def q_multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget sampling (trainer quotas are tokens, not
+    rows): md5-ordered docs kept while the running token total before them
+    is under budget — first crosser kept, overshoot <= one doc, ONE window
+    shuffle (functions/sampling.py:sample_token_budget)."""
+    from kadiyadb_spark.functions.sampling import sample_token_budget
+
+    return sample_token_budget(_t(spark, sf_dir, "documents"), budget_tokens=800)
+
+
 _BPE_MERGES = 8
 
 
@@ -2878,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_real": q_multimodal_wav_real,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
+        "sample_token_budget": q_sample_token_budget,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
@@ -2888,8 +2899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
-        "distinct_users": q_distinct_users,
         # ---- 50-entry gate cap lands here ----
+        "distinct_users": q_distinct_users,
         # remaining r05-gated entries (due to lead the r08 gate; covered by
         # this round's all-entry local oracle run at driver parallelism):
         "rollup_revenue": q_rollup_revenue,
@@ -4849,6 +4860,21 @@ FROM s WHERE len(sub) > 0
         f'SELECT CAST({i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS freq FROM b{i}'
         for i in range(1, _BPE_MERGES + 1)
     )
+    o["sample_token_budget"] = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t)
+SELECT source, doc_id, n_tokens FROM c WHERE before < 800
+"""
+
     o["bpe_train"] = f"""
 {_bpe_oracle_ctes(_BPE_MERGES)}
 SELECT * FROM ({_bpe_union})

@@ -216,3 +216,56 @@ def temperature_weights(
             ).alias("boost"),
         )
     )
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group TOKEN-budget sampling — mixture quotas the
+    way a trainer actually budgets them (tokens, not rows; the C4/Pile
+    recipe step "take N tokens of source X"). Docs are ordered inside each
+    group by (md5(id), id) — the same reproducible shuffle addressing as
+    corpus_shuffle — and a doc is kept while the running token total of
+    everything BEFORE it is under the budget; the first doc to cross keeps
+    the budget reachable for every nonempty group (budget overshoot is at
+    most one document, deterministic). Re-running on a grown corpus keeps
+    the previously-sampled prefix stable except where new docs hash into
+    it — same stability contract as stratified_hash_sample.
+
+    ``token_count_col`` uses a precomputed per-doc count; default counts
+    whitespace tokens map-side (text never shuffles: only id/group/count
+    enter the window). ONE shuffle: the per-group window ordering.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"need budget_tokens >= 1, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.text import tokens_expr
+
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(tokens_expr(F.col(text_col)))
+    ).cast("long")
+    slim = docs.select(
+        group_col,
+        F.col(id_col),
+        n_tok.alias("_n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("_n_tok").over(w), F.lit(0))
+    return (
+        slim.withColumn("_before", before)
+        .where(F.col("_before") < F.lit(int(budget_tokens)))
+        .select(group_col, id_col, F.col("_n_tok").alias("n_tokens"))
+    )

@@ -214,3 +214,48 @@ def test_audio_windows_real_wav(spark):
         s = samples[r.win_idx * 32 : r.win_idx * 32 + 32].astype(np.int64)
         assert r.energy == int((s * s).sum())
         assert r.zero_crossings == int(((s[:-1] >= 0) != (s[1:] >= 0)).sum())
+
+
+# -- hypothesis property coverage ----------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except Exception:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 10_000),
+    )
+    def test_png_roundtrip_property(h, w, ch, seed):
+        img = _img(h, w, ch, seed=seed)
+        assert (C.decode_png(C.encode_png(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 10), w=st.integers(1, 10), seed=st.integers(0, 10_000))
+    def test_bmp_roundtrip_property(h, w, seed):
+        img = _img(h, w, 3, seed=seed)
+        assert (C.decode_bmp(C.encode_bmp(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 300),
+        chans=st.integers(1, 3),
+        bits=st.sampled_from([8, 16]),
+        seed=st.integers(0, 10_000),
+    )
+    def test_wav_roundtrip_property(n, chans, bits, seed):
+        lim = 127 if bits == 8 else 30000
+        base = (np.arange(n * chans, dtype=np.int64) * 2654435761 + seed) % (2 * lim + 1) - lim
+        samples = base.astype(np.int16).reshape(n, chans)
+        out, rate = C.decode_wav(C.encode_wav(samples, rate=44100, bits=bits))
+        assert rate == 44100 and (out == samples).all()

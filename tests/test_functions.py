@@ -477,6 +477,46 @@ def test_stratified_hash_sample_deterministic_and_nested(spark):
         assert r.b == expect
 
 
+def test_sample_token_budget_prefix_and_overshoot(spark):
+    """Per-group token budget: md5-ordered prefix kept, the first doc to
+    cross the budget is INCLUDED (overshoot <= one doc), groups independent,
+    deterministic across calls."""
+    import hashlib
+
+    from kadiyadb_spark.functions.sampling import sample_token_budget
+
+    rows = [Row(doc_id=i, source=("a" if i < 6 else "b"),
+                text=" ".join(["w"] * (3 + i)))  # 3+i tokens each
+            for i in range(10)]
+    docs = spark.createDataFrame(rows)
+    got = {(r.source, r.doc_id): r.n_tokens
+           for r in sample_token_budget(docs, budget_tokens=10,
+                                        group_col="source").collect()}
+    # reference: same ordering + keep-while-before<budget rule in python
+    want = {}
+    for src in ("a", "b"):
+        members = sorted((hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id)
+                         for r in rows if r.source == src)
+        run = 0
+        for _, did in members:
+            n = 3 + did
+            if run < 10:
+                want[(src, did)] = n
+            run += n
+    assert got == want
+    # overshoot bounded: kept tokens - budget < largest kept doc, per group
+    for src in ("a", "b"):
+        kept = [v for (s2, _), v in got.items() if s2 == src]
+        assert sum(kept) >= 10 and sum(kept) - 10 < max(kept)
+    # determinism
+    again = {(r.source, r.doc_id): r.n_tokens
+             for r in sample_token_budget(docs, budget_tokens=10,
+                                          group_col="source").collect()}
+    assert again == got
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sample_token_budget(docs, 0)
+
+
 def test_stratified_hash_sample_rejects_bad_rate(spark):
     from kadiyadb_spark.functions.sampling import stratified_hash_sample
 
