@@ -484,3 +484,37 @@ def test_series_topk_uses_take_ordered_not_full_sort(spark):
     plan = plan_str(series_topk(cube, 0, 5, ["a", "*"], k=3, resolution=1))
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"\(\d+\) Sort\b", plan)
+
+
+def test_sample_token_budget_single_window_shuffle(spark):
+    """Token-budget sampling: the text column must not shuffle (counts are
+    computed map-side before the exchange) and the whole plan carries ONE
+    shuffle — the per-group window ordering."""
+    from kadiyadb_spark.functions.sampling import sample_token_budget
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}", text="a few words here") for i in range(12)]
+    )
+    plan = plan_str(sample_token_budget(docs, budget_tokens=5))
+    assert n_shuffles(plan) == 1
+    # the exchange ships (group, id, count, hash) — never the text column;
+    # the formatted plan's Exchange detail block lists its Input schema
+    ex_block = next(b for b in plan.split("\n\n") if ") Exchange" in b)
+    input_line = next(ln for ln in ex_block.splitlines() if ln.startswith("Input"))
+    assert "_n_tok" in input_line and "text" not in input_line
+
+
+def test_bpe_pair_counts_one_partial_agg_shuffle(spark):
+    """Each BPE merge iteration is ONE pair-count aggregation with map-side
+    partial aggregation (HashAggregate before and after the Exchange) —
+    the per-merge cost bound the trainer's scale story rests on."""
+    from kadiyadb_spark.functions import bpe as B2
+
+    docs = spark.createDataFrame([Row(text="low low lower newest")])
+    wf = B2.word_frequencies(docs).withColumn(
+        "syms", B2.sym_init_expr(F.col("word"))
+    ).select("freq", "syms")
+    plan = plan_str(B2._pair_counts(wf))
+    # word_frequencies contributes one groupBy shuffle; the pair count one more
+    assert n_shuffles(plan) == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
