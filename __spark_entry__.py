@@ -2730,6 +2730,18 @@ def q_multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL sum by (user): per-user per-slot totals summed ACROSS event
+    types — the non-prefix aggregation the write-time rollup cannot hold
+    (prefix rollup sums the TAIL; this fans the HEAD in). One scan at
+    depth 2, one (f2, bucket) aggregation (query.py:series_sum_by)."""
+    from kadiyadb_spark.query import series_sum_by
+
+    return series_sum_by(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[2], resolution=RES
+    )
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source TOKEN-budget sampling (trainer quotas are tokens, not
     rows): md5-ordered docs kept while the running token total before them
@@ -2889,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
         "sample_token_budget": q_sample_token_budget,
+        "fetch_sum_by": q_fetch_sum_by,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
@@ -2898,8 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (4) r05-gated entries, oldest-first, filling the remaining slots:
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
         # ---- 50-entry gate cap lands here ----
+        "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         # remaining r05-gated entries (due to lead the r08 gate; covered by
         # this round's all-entry local oracle run at driver parallelism):
@@ -4860,6 +4873,16 @@ FROM s WHERE len(sub) > 0
         f'SELECT CAST({i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS freq FROM b{i}'
         for i in range(1, _BPE_MERGES + 1)
     )
+    o["fetch_sum_by"] = f"""
+WITH {_EV_CUBE}
+SELECT f2, bucket,
+       floor(sum(total) * 10000 + 0.5) / 10000 AS total,
+       sum(cnt) AS cnt
+FROM cube2
+WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY f2, bucket
+"""
+
     o["sample_token_budget"] = r"""
 WITH t AS (
   SELECT source, doc_id,

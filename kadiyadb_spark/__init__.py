@@ -34,6 +34,7 @@ from kadiyadb_spark.query import (
     series_ratio,
     series_ratio_wildcard,
     series_smooth,
+    series_sum_by,
     series_topk,
 )
 from kadiyadb_spark.session import get_spark, spread
@@ -53,6 +54,7 @@ __all__ = [
     "series_anomaly",
     "series_ratio",
     "series_ratio_wildcard",
+    "series_sum_by",
     "series_topk",
     "get_spark",
     "spread",

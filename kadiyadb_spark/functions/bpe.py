@@ -169,3 +169,33 @@ def tokenize_bpe(
             F.sum("_n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def save_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a trained merge table as one atomic JSON file (fs.HadoopFS —
+    file:/hdfs:/s3a:). The artifact is KBs; atomic write means readers see
+    the old tokenizer or the new one, never a torn file."""
+    from kadiyadb_spark.fs import HadoopFS
+
+    fs = HadoopFS(spark, path)
+    parent = path.rsplit("/", 1)[0] if "/" in path else ""
+    if parent:
+        fs.mkdirs(parent)
+    # overwrite semantics (a retrain replaces the artifact): clear the
+    # destination, then temp-write + rename — readers see old or new bytes
+    fs.delete(path)
+    if not fs.write_json_atomic(
+        path, {"version": 1, "end": END, "merges": [[l, r, c] for l, r, c in merges]}
+    ):
+        raise RuntimeError(f"could not commit merges to {path} (concurrent writer?)")
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Reload a merge table saved by ``save_merges`` (rank order preserved —
+    rank IS the list position, the only thing application depends on)."""
+    from kadiyadb_spark.fs import HadoopFS
+
+    m = HadoopFS(spark, path).read_json(path)
+    if m.get("version") != 1 or m.get("end") != END:
+        raise ValueError(f"not a BPE merges file (or incompatible version): {path}")
+    return [(l, r, int(c)) for l, r, c in m["merges"]]

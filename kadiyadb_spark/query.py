@@ -418,6 +418,59 @@ def series_ratio_wildcard(
     )
 
 
+def series_sum_by(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    keep_levels: list[int],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``sum by (labels)`` over the cube: per-slot totals summed
+    across every level NOT in ``keep_levels`` (1-based). One pushed-down
+    scan at the pattern's depth + one aggregation keyed by (kept levels,
+    bucket) — no join, no second scan.
+
+    When the kept levels are a PREFIX [1..k] and the deeper levels are all
+    ``*``, prefer ``fetch(pattern[:k])``: the write-time rollup already
+    materialized that sum and the scan reads depth-k rows directly
+    (epoch/epoch.go:66-80's rollup exists exactly for that case). This
+    operator exists for the aggregations the prefix rollup CANNOT serve —
+    keeping a non-prefix subset (``sum by (user)`` over (event_type, user)
+    fans event types IN per user, which no rollup row holds)."""
+    depth, preds = compile_pattern(pattern)
+    if not keep_levels:
+        raise ValueError("keep_levels must name at least one level")
+    if sorted(set(keep_levels)) != sorted(keep_levels) or any(
+        i < 1 or i > depth for i in keep_levels
+    ):
+        raise ValueError(
+            f"keep_levels must be distinct levels in 1..{depth}, got {keep_levels}"
+        )
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & (F.col(col) == F.lit(val))
+    keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
+    return (
+        cube.filter(cond)
+        .groupBy(*keep_cols, S.BUCKET)
+        .agg(
+            round4_expr(F.sum(S.TOTAL)).alias("total"),
+            F.sum(S.CNT).alias("cnt"),
+        )
+    )
+
+
 def series_topk(
     cube: DataFrame,
     from_ts: int,

@@ -116,3 +116,20 @@ def test_train_bpe_rejects_bad_args(spark):
     docs = spark.createDataFrame([Row(text="a b")])
     with pytest.raises(ValueError, match="num_merges"):
         B.train_bpe(docs, 0)
+
+
+def test_save_load_merges_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    merges = B.train_bpe(docs, num_merges=5, checkpoint=False)
+    path = str(tmp_path / "tok" / "merges.json")
+    B.save_merges(spark, merges, path)
+    assert B.load_merges(spark, path) == merges
+    # retrain overwrite: saving a different table replaces the artifact
+    B.save_merges(spark, merges[:2], path)
+    assert B.load_merges(spark, path) == merges[:2]
+    # incompatible artifact refuses loudly
+    import json as _json
+
+    (tmp_path / "bad.json").write_text(_json.dumps({"version": 9}))
+    with pytest.raises(ValueError, match="merges file"):
+        B.load_merges(spark, str(tmp_path / "bad.json"))

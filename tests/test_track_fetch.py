@@ -417,3 +417,28 @@ def test_series_ratio_wildcard_rejects_bad_patterns(spark):
         series_ratio_wildcard(cube, 0, 5, ["a", "b"], ["a", "c"], resolution=RES)
     with pytest.raises(ValueError, match="depth"):
         series_ratio_wildcard(cube, 0, 5, ["a", "*"], ["a"], resolution=RES)
+
+
+def test_series_sum_by_non_prefix_aggregation(spark):
+    """sum by (f2): event types fan IN per user — totals across f1 for each
+    (f2, slot); validation rejects empty/bad levels."""
+    from kadiyadb_spark.query import series_sum_by
+
+    rows = [
+        (0, "err", "y1", "z", 1, 1),
+        (0, "clk", "y1", "z", 4, 2),   # (y1, 0): 5 total, 3 cnt
+        (0, "err", "y2", "z", 3, 1),   # (y2, 0): 3, 1
+        (1, "clk", "y1", "z", 5, 1),   # (y1, 1): 5, 1
+    ]
+    cube = _cube(spark, rows)
+    got = {
+        (r["f2"], r["bucket"]): (r["total"], r["cnt"])
+        for r in series_sum_by(cube, 0, 5, ["*", "*"], [2], resolution=RES).collect()
+    }
+    assert got == {("y1", 0): (5.0, 3.0), ("y2", 0): (3.0, 1.0), ("y1", 1): (5.0, 1.0)}
+    with pytest.raises(ValueError, match="keep_levels"):
+        series_sum_by(cube, 0, 5, ["*", "*"], [])
+    with pytest.raises(ValueError, match="keep_levels"):
+        series_sum_by(cube, 0, 5, ["*", "*"], [3])
+    with pytest.raises(ValueError, match="keep_levels"):
+        series_sum_by(cube, 0, 5, ["*", "*"], [2, 2])
