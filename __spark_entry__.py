@@ -167,6 +167,19 @@ def q_fetch_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_smooth(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 5)
 
 
+def q_fetch_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL offset: each slot vs the SAME series one day earlier (1440
+    1-minute slots) — dense zero-fill makes row distance slot distance, so
+    a window lag is exact: no self-join (query.py:series_offset). First-day
+    slots keep null baseline/delta/ratio."""
+    from kadiyadb_spark.query import series_offset
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_offset(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 1440)
+
+
 def q_fetch_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample the dense wildcard fetch 10:1 (1m slots -> 10m slots) —
     the long-retention storage pass; exact fold of the decomposable
@@ -2902,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "sample_token_budget": q_sample_token_budget,
         "fetch_sum_by": q_fetch_sum_by,
+        "fetch_offset": q_fetch_offset,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
@@ -2910,8 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         # (4) r05-gated entries, oldest-first, filling the remaining slots:
         "anti_join": q_anti_join,
-        "approx_distinct": q_approx_distinct,
         # ---- 50-entry gate cap lands here ----
+        "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         # remaining r05-gated entries (due to lead the r08 gate; covered by
@@ -3303,6 +3317,19 @@ SELECT f1, f2, bucket, total,
        floor((delta / 60.0) * 10000 + 0.5) / 10000 AS rate_per_sec
 FROM d
 """
+    o["fetch_offset"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+)
+SELECT f1, f2, bucket, total,
+       floor((lag(total, 1440) OVER w) * 10000 + 0.5) / 10000 AS baseline,
+       floor((total - lag(total, 1440) OVER w) * 10000 + 0.5) / 10000 AS offset_delta,
+       floor((CASE WHEN lag(total, 1440) OVER w != 0
+              THEN total / lag(total, 1440) OVER w END) * 10000 + 0.5) / 10000 AS offset_ratio
+FROM base
+WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+"""
+
     o["fetch_smooth"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

@@ -32,6 +32,7 @@ from kadiyadb_spark.query import (
     series_delta,
     series_downsample,
     series_ratio,
+    series_offset,
     series_ratio_wildcard,
     series_smooth,
     series_sum_by,
@@ -53,6 +54,7 @@ __all__ = [
     "series_downsample",
     "series_anomaly",
     "series_ratio",
+    "series_offset",
     "series_ratio_wildcard",
     "series_sum_by",
     "series_topk",

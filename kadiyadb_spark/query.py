@@ -471,6 +471,42 @@ def series_sum_by(
     )
 
 
+def series_offset(
+    df: DataFrame,
+    series_cols: list[str],
+    offset_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``offset`` comparison over a DENSE fetch frame: each slot's
+    total against the same series ``offset_slots`` earlier (day-over-day:
+    offset_slots = day_ns / resolution), as delta and ratio. Because fetch
+    zero-fills, row distance IS slot distance, so a window ``lag`` is exact
+    — no self-join, no second scan, and the window rides the SAME
+    (series, bucket) Exchange as delta/smooth/anomaly (composing transforms
+    stays one shuffle, plan-asserted for the family). Slots with no
+    baseline (the first ``offset_slots`` of the range) keep null delta and
+    ratio; ratio is also null on a zero baseline."""
+    if offset_slots < 1:
+        raise ValueError(f"need offset_slots >= 1, got {offset_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    prev = F.lag(F.col(total_col), offset_slots).over(w)
+    return df.select(
+        *series_cols,
+        bucket_col,
+        round4_expr(F.col(total_col)).alias(total_col),
+        round4_expr(prev).alias("baseline"),
+        round4_expr(F.col(total_col) - prev).alias("offset_delta"),
+        round4_expr(
+            F.when(prev != 0, F.col(total_col) / prev)
+        ).alias("offset_ratio"),
+    )
+
+
 def series_topk(
     cube: DataFrame,
     from_ts: int,

@@ -1442,3 +1442,28 @@ def test_audio_windows_full_windows_only_and_integer_features(spark):
     # fake=False really parses RIFF; these raw bytes are not a WAV
     with _pytest.raises(Exception, match="not a WAV"):
         M2.audio_windows(media, fake=False).collect()
+
+
+def test_ivfpq_index_pinned_generation_survives_compact(spark, tmp_path):
+    """IVFPQIndex completes the pin matrix: search(at_gen) equals the
+    pre-compact read through the swap's GC (same GenLog contract as
+    MinHash/IVF)."""
+    import random
+
+    random.seed(11)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[random.random() for _ in range(8)]) for i in range(24)]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, query_vec=[0.4] * 8)])
+    idx = SIM.IVFPQIndex.build(emb, str(tmp_path / "pq"), num_centroids=3, m=4, ksub=4)
+    g0 = idx.generations()[-1]
+    idx.add(spark.createDataFrame(
+        [Row(vec_id=100 + i, embedding=[0.4] * 8) for i in range(2)]
+    ))
+    pre = [(r.vec_id, r.rank) for r in idx.search(queries, k=3, nprobe=3).collect()]
+    idx.compact()
+    pinned = [(r.vec_id, r.rank) for r in
+              idx.search(queries, k=3, nprobe=3, at_gen=g0).collect()]
+    assert pinned == pre
+    with pytest.raises(ValueError, match="not retained"):
+        idx.search(queries, at_gen=g0 + 9)

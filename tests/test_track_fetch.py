@@ -442,3 +442,21 @@ def test_series_sum_by_non_prefix_aggregation(spark):
         series_sum_by(cube, 0, 5, ["*", "*"], [3])
     with pytest.raises(ValueError, match="keep_levels"):
         series_sum_by(cube, 0, 5, ["*", "*"], [2, 2])
+
+
+def test_series_offset_day_over_day(spark):
+    """offset comparison: slot vs same-series offset_slots earlier; leading
+    slots and zero baselines keep nulls."""
+    from kadiyadb_spark.query import series_offset
+
+    rows = [Row(f1="a", f2="y", bucket=b, total=float(v))
+            for b, v in [(0, 2.0), (1, 0.0), (2, 3.0), (3, 4.0)]]
+    df = spark.createDataFrame(rows)
+    got = {r["bucket"]: (r["baseline"], r["offset_delta"], r["offset_ratio"])
+           for r in series_offset(df, ["f1", "f2"], 2).collect()}
+    assert got[0] == (None, None, None)
+    assert got[1] == (None, None, None)
+    assert got[2] == (2.0, 1.0, 1.5)
+    assert got[3] == (0.0, 4.0, None)  # zero baseline -> null ratio
+    with pytest.raises(ValueError, match="offset_slots"):
+        series_offset(df, ["f1", "f2"], 0)
