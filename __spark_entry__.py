@@ -2778,7 +2778,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-desc/lex-asc tie-break) stage by stage."""
     from kadiyadb_spark.functions import bpe as BP
 
-    merges = BP.train_bpe(_t(spark, sf_dir, "documents"), num_merges=_BPE_MERGES)
+    # min_freq=1: the SQL oracle unconditionally replays _BPE_MERGES stages,
+    # so the engine must not stop early on a low-count best pair — the two
+    # sides may only diverge if the corpus runs out of pairs entirely
+    # (impossible for 8 merges over the fixture corpora).
+    merges = BP.train_bpe(
+        _t(spark, sf_dir, "documents"), num_merges=_BPE_MERGES, min_freq=1
+    )
     return BP.merges_df(spark, merges)
 
 
@@ -2791,7 +2797,9 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.functions import bpe as BP
 
     docs = _t(spark, sf_dir, "documents")
-    merges = BP.train_bpe(docs, num_merges=_BPE_MERGES)
+    # min_freq=1 to match the oracle's unconditional k-stage replay (see
+    # q_bpe_train)
+    merges = BP.train_bpe(docs, num_merges=_BPE_MERGES, min_freq=1)
     return BP.tokenize_bpe(docs, merges, carry_cols=["source"]).orderBy("source")
 
 

@@ -238,19 +238,27 @@ class Database:
         fcols = S.field_cols(self.max_depth)
         if not fcols:
             return {}
+        from pyspark.sql import Window
+
         pairs = (
             self.spark.read.parquet(seg_root)
             .select("epoch_p", F.posexplode(F.array(*[F.col(c) for c in fcols])).alias("_i", "_v"))
             .where(F.col("_v").isNotNull())
         )
-        # ONE shuffle: collect_set partial-aggregates map-side (each task
-        # ships its local distinct values, not its rows), slice caps what
-        # the driver decodes at MAX+1 values per (epoch, level). The
-        # previous distinct -> window-rank -> collect_list form shuffled
-        # the same key three times for the same answer.
-        rows = pairs.groupBy("epoch_p", "_i").agg(
-            F.slice(F.sort_array(F.collect_set("_v")), 1, _STATS_MAX + 1).alias("vals")
-        ).collect()
+        # ONE shuffle, spill-safe: the window's sort-based dense_rank caps
+        # each (epoch, level) at MAX+1 DISTINCT values BEFORE any aggregation
+        # buffer exists (sorts spill to disk; an unbounded collect_set buffer
+        # cannot — a million-cardinality level would OOM the final agg task),
+        # and the groupBy rides the window's partitioning with no second
+        # exchange. collect_set then holds <= MAX+1 values per group.
+        w = Window.partitionBy("epoch_p", "_i").orderBy("_v")
+        rows = (
+            pairs.withColumn("_dr", F.dense_rank().over(w))
+            .where(F.col("_dr") <= _STATS_MAX + 1)
+            .groupBy("epoch_p", "_i")
+            .agg(F.sort_array(F.collect_set("_v")).alias("vals"))
+            .collect()
+        )
         out: dict[int, dict[str, list[str] | None]] = {}
         for r in rows:
             e, col = int(r["epoch_p"]), S.field_col(int(r["_i"]) + 1)
@@ -891,4 +899,11 @@ def rollup_refresh(src: Database, dst: Database, stream_id: str = "rollup") -> b
         .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
         .select(*cols)
     )
-    return dst.commit_cube_batch(folded, batch_id=src_gen, stream_id=stream_id)
+    # collect_stats=True: a rollup refresh is scheduled MAINTENANCE, not a
+    # latency-bound micro-batch — and for a dst that is only ever refreshed
+    # (never separately maintain()'d) this is its ONLY chance to record
+    # data-skipping stats; the stats-deferral default would leave every
+    # pruned fetch against the rollup cube a full scan forever.
+    return dst.commit_cube_batch(
+        folded, batch_id=src_gen, stream_id=stream_id, collect_stats=True
+    )

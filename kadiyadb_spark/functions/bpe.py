@@ -181,21 +181,34 @@ def save_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
     parent = path.rsplit("/", 1)[0] if "/" in path else ""
     if parent:
         fs.mkdirs(parent)
-    # overwrite semantics (a retrain replaces the artifact): clear the
-    # destination, then temp-write + rename — readers see old or new bytes
-    fs.delete(path)
+    # Overwrite without ever holding zero copies: park the live artifact at
+    # .old, commit the new one (temp-write + rename), then drop the parked
+    # copy. A crash between park and commit leaves .old on disk and
+    # load_merges falls back to it — the tokenizer is never lost, and a
+    # reader sees old bytes or new bytes, never a torn file.
+    old = path + ".old"
+    if fs.exists(path):
+        fs.delete(old)
+        if not fs.rename(path, old):
+            raise RuntimeError(f"could not park existing merges at {old}")
     if not fs.write_json_atomic(
         path, {"version": 1, "end": END, "merges": [[l, r, c] for l, r, c in merges]}
     ):
         raise RuntimeError(f"could not commit merges to {path} (concurrent writer?)")
+    fs.delete(old)
 
 
 def load_merges(spark, path: str) -> list[tuple[str, str, int]]:
     """Reload a merge table saved by ``save_merges`` (rank order preserved —
-    rank IS the list position, the only thing application depends on)."""
+    rank IS the list position, the only thing application depends on).
+    Falls back to the ``.old`` parked copy if a crashed re-save left no
+    live file."""
     from kadiyadb_spark.fs import HadoopFS
 
-    m = HadoopFS(spark, path).read_json(path)
+    fs = HadoopFS(spark, path)
+    if not fs.exists(path) and fs.exists(path + ".old"):
+        path = path + ".old"
+    m = fs.read_json(path)
     if m.get("version") != 1 or m.get("end") != END:
         raise ValueError(f"not a BPE merges file (or incompatible version): {path}")
     return [(l, r, int(c)) for l, r, c in m["merges"]]

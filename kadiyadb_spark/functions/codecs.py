@@ -231,6 +231,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, channels, rate, _byte_rate, _align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format {audio_format} (only PCM)")
+    if channels < 1:
+        raise ValueError(f"corrupt WAV: channels={channels}")
     if bits == 8:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
     elif bits == 16:
@@ -257,6 +259,38 @@ def encode_wav(samples: np.ndarray, rate: int = 16000, bits: int = 16) -> bytes:
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode an image payload (PNG or BMP) to (h, w, ch) uint8.
+    ALL failures — unknown container, unsupported variant, or corrupt
+    bytes (truncated header, bad zlib stream, size mismatch) — surface as
+    ValueError, the single exception type the multimodal kernels' skip
+    path keys on."""
+    kind = sniff(payload)
+    try:
+        if kind == "png":
+            return decode_png(payload)
+        if kind == "bmp":
+            return decode_bmp(payload)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, numpy reshape, ...
+        raise ValueError(f"corrupt {kind} payload: {e}") from e
+    raise ValueError(f"undecodable image payload (magic={payload[:4]!r})")
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Sniff + decode an audio payload (WAV) — same ValueError
+    normalization contract as decode_image."""
+    if sniff(payload) != "wav":
+        raise ValueError(f"undecodable audio payload (magic={payload[:4]!r})")
+    try:
+        return decode_wav(payload)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"corrupt wav payload: {e}") from e
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -78,19 +78,43 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _skip_kernel(media: DataFrame, kernel, schema: T.StructType, on_error: str) -> DataFrame:
+    """Shared Arrow batch loop for all real-codec kernels: run ``kernel``
+    per payload, re-raise or drop on ValueError per ``on_error`` — the ONE
+    place the skip semantics live (codecs.py normalizes every corrupt-
+    payload failure to ValueError, so 'skip' really skips truncated/corrupt
+    files, not just wrong-magic ones)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    skip = on_error == "skip"
+    names = [f.name for f in schema.fields]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    feats.append(kernel(p if p is not None else b""))
+                    ids.append(aid)
+                except ValueError:
+                    if not skip:
+                        raise
+            out = pd.DataFrame(feats) if feats else pd.DataFrame(
+                columns=[n for n in names if n != "asset_id"]
+            )
+            out.insert(0, "asset_id", pd.Series(ids, dtype="int64"))
+            yield out[names]
+
+    return media.mapInPandas(_run, schema=schema)
+
+
 def _real_decode(payload: bytes) -> dict:
     """REAL image decode (PNG/BMP via codecs.py): true width/height and
     pixel statistics over the DECODED bytes (the fake kernel's stats are
     over payload bytes — different surface, deliberately)."""
     from kadiyadb_spark.functions import codecs
 
-    kind = codecs.sniff(payload)
-    if kind == "png":
-        img = codecs.decode_png(payload)
-    elif kind == "bmp":
-        img = codecs.decode_bmp(payload)
-    else:
-        raise ValueError(f"undecodable image payload (magic={payload[:4]!r})")
+    img = codecs.decode_image(payload)
     flat = img.reshape(-1)
     return {
         "n_bytes": len(payload),
@@ -108,32 +132,13 @@ def decode_images(
 
     ``fake=False`` REALLY decodes PNG/BMP payloads (codecs.py) — width and
     height are the image's true dimensions and byte stats cover the decoded
-    pixels. Unsupported containers raise ValueError per payload, or are
-    dropped with ``on_error="skip"`` (the curation posture for a crawl
-    corpus with stray JPEGs).
+    pixels. Unsupported containers AND corrupt payloads (truncated headers,
+    bad zlib streams — codecs normalizes them all to ValueError) raise per
+    payload, or are dropped with ``on_error="skip"`` (the curation posture
+    for a crawl corpus with stray or damaged files).
     """
-    if on_error not in ("raise", "skip"):
-        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     kernel = _fake_decode if fake else _real_decode
-    skip = on_error == "skip"
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, feats = [], []
-            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    feats.append(kernel(p if p is not None else b""))
-                    ids.append(aid)
-                except ValueError:
-                    if not skip:
-                        raise
-            out = pd.DataFrame(feats) if feats else pd.DataFrame(
-                columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields if f.name != "asset_id"]
-            )
-            out.insert(0, "asset_id", pd.Series(ids, dtype="int64"))
-            yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
-
-    return media.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
+    return _skip_kernel(media, kernel, IMAGE_FEATURES_SCHEMA, on_error)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -173,14 +178,7 @@ def _real_resize(payload: bytes, out_w: int, out_h: int) -> dict:
     kernel, computed over true pixels)."""
     from kadiyadb_spark.functions import codecs
 
-    kind = codecs.sniff(payload)
-    if kind == "png":
-        img = codecs.decode_png(payload)
-    elif kind == "bmp":
-        img = codecs.decode_bmp(payload)
-    else:
-        raise ValueError(f"undecodable image payload (magic={payload[:4]!r})")
-    small = codecs.resize_nearest(img, out_w, out_h)
+    small = codecs.resize_nearest(codecs.decode_image(payload), out_w, out_h)
     return {
         "out_w": out_w,
         "out_h": out_h,
@@ -194,29 +192,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize via mapInPandas (Arrow batches). ``fake=False`` REALLY decodes
     PNG/BMP and nearest-neighbor resamples the true pixel grid (codecs.py);
-    the fake kernel keeps the oracle-stable byte-grid stand-in."""
-    if on_error not in ("raise", "skip"):
-        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
-    kernel = _fake_resize if fake else _real_resize
-    skip = on_error == "skip"
-
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, feats = [], []
-            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    feats.append(kernel(p if p is not None else b"", out_w, out_h))
-                    ids.append(aid)
-                except ValueError:
-                    if not skip:
-                        raise
-            out = pd.DataFrame(feats) if feats else pd.DataFrame(
-                columns=[f.name for f in RESIZED_SCHEMA.fields if f.name != "asset_id"]
-            )
-            out.insert(0, "asset_id", pd.Series(ids, dtype="int64"))
-            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
-
-    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    the fake kernel keeps the oracle-stable byte-grid stand-in. Same
+    ``on_error`` contract as decode_images (shared _skip_kernel)."""
+    base = _fake_resize if fake else _real_resize
+    return _skip_kernel(
+        media, lambda p: base(p, out_w, out_h), RESIZED_SCHEMA, on_error
+    )
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
@@ -259,6 +240,7 @@ def audio_windows(
     stride: int = 32,
     fake: bool = True,
     batch_hint: int = 256,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame-sample audio payloads into overlapping fixed-size windows and
     extract per-window features — the audio half of the multimodal
@@ -268,7 +250,9 @@ def audio_windows(
     ``fake=True`` treats payload bytes as byte-centered PCM
     (sample_i = byte_i - 128) — the SQL-reproducible stand-in. ``fake=False``
     REALLY parses RIFF WAV (codecs.py: PCM 8/16-bit, any channel count;
-    channel 0 is windowed) and raises ValueError on non-WAV payloads. Both
+    channel 0 is windowed) and raises ValueError on non-WAV or corrupt
+    payloads — or drops them with ``on_error="skip"``, the same curation
+    contract as decode_images/resize_images. Both
     features are INTEGER-exact either way: ``energy`` = sum(sample^2) over
     the window, ``zero_crossings`` = sign changes between consecutive
     samples (>= 0 counts as non-negative). Only FULL windows emit — a
@@ -281,6 +265,9 @@ def audio_windows(
     corpus row count."""
     if window < 2 or stride < 1:
         raise ValueError(f"need window >= 2 and stride >= 1, got {window}/{stride}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    skip = on_error == "skip"
     import numpy as np
 
     def _samples(payload: bytes) -> "np.ndarray":
@@ -288,14 +275,19 @@ def audio_windows(
             return np.frombuffer(payload or b"", dtype=np.uint8).astype(np.int64) - 128
         from kadiyadb_spark.functions import codecs
 
-        frames, _rate = codecs.decode_wav(payload or b"")
+        frames, _rate = codecs.decode_audio(payload or b"")
         return frames[:, 0].astype(np.int64)
 
     def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, wins, es, zs = [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = _samples(payload)
+                try:
+                    b = _samples(payload)
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
                 n = len(b)
                 for k in range((n - window) // stride + 1 if n >= window else 0):
                     s = b[k * stride : k * stride + window]

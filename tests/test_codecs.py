@@ -259,3 +259,48 @@ if HAVE_HYP:
         samples = base.astype(np.int16).reshape(n, chans)
         out, rate = C.decode_wav(C.encode_wav(samples, rate=44100, bits=bits))
         assert rate == 44100 and (out == samples).all()
+
+
+def test_corrupt_payloads_normalize_to_valueerror():
+    """Every corrupt-payload failure mode surfaces as ValueError — the one
+    type the skip path keys on (truncated header -> struct.error, bad zlib
+    stream -> zlib.error, zero channels -> ZeroDivisionError: all wrapped)."""
+    with pytest.raises(ValueError):
+        C.decode_image(b"BM" + b"\x00" * 10)  # truncated BMP header
+    good = C.encode_png(_img(3, 3, 3))
+    # corrupt the IDAT payload bytes (keeps chunk framing, breaks zlib)
+    bad = bytearray(good)
+    idat = good.index(b"IDAT")
+    bad[idat + 8] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.decode_image(bytes(bad))
+    wav = bytearray(C.encode_wav(np.zeros(4, dtype=np.int16)))
+    wav[22:24] = struct.pack("<H", 0)  # channels = 0
+    with pytest.raises(ValueError, match="channels"):
+        C.decode_audio(bytes(wav))
+    with pytest.raises(ValueError, match="undecodable"):
+        C.decode_audio(b"\xff\xfbMP3 frames")
+
+
+def test_skip_drops_corrupt_not_just_wrong_magic(spark):
+    """on_error='skip' must survive a payload with VALID magic but corrupt
+    body — the malformed files crawls actually produce."""
+    truncated_bmp = b"BM" + b"\x00" * 8  # sniffs as bmp, dies in the header
+    rows = [
+        Row(asset_id=1, media_type="image", payload=bytearray(C.encode_png(_img(4, 4, 3))), n_bytes=0),
+        Row(asset_id=2, media_type="image", payload=bytearray(truncated_bmp), n_bytes=0),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    assert [r.asset_id for r in M.decode_images(media, fake=False, on_error="skip").collect()] == [1]
+    assert [r.asset_id for r in M.resize_images(media, fake=False, on_error="skip").collect()] == [1]
+    # audio: one real WAV + one MP3-magic payload, skip keeps the WAV rows
+    wav = C.encode_wav((np.arange(96) % 64).astype(np.int16), bits=16)
+    arows = [
+        Row(asset_id=5, media_type="audio", payload=bytearray(wav), n_bytes=0),
+        Row(asset_id=6, media_type="audio", payload=bytearray(b"\xff\xfbJUNK" * 30), n_bytes=0),
+    ]
+    amedia = spark.createDataFrame(arows, schema=M.MEDIA_SCHEMA)
+    got = M.audio_windows(amedia, window=32, stride=32, fake=False, on_error="skip").collect()
+    assert {r.asset_id for r in got} == {5}
+    with pytest.raises(Exception, match="undecodable"):
+        M.audio_windows(amedia, window=32, stride=32, fake=False).collect()

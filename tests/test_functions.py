@@ -1440,7 +1440,7 @@ def test_audio_windows_full_windows_only_and_integer_features(spark):
     assert got[(2, 0)] == (16, 0)
     assert (2, 1) not in got and not any(a == 3 for a, _ in got)
     # fake=False really parses RIFF; these raw bytes are not a WAV
-    with _pytest.raises(Exception, match="not a WAV"):
+    with _pytest.raises(Exception, match="undecodable audio"):
         M2.audio_windows(media, fake=False).collect()
 
 
