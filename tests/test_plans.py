@@ -469,6 +469,12 @@ def test_series_transforms_share_one_window_exchange(spark):
     a = series_anomaly(s.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=3)
     base = n_shuffles(plan_str(dense))
     assert n_shuffles(plan_str(a)) == base + 1  # ONE window exchange for all three
+    # series_offset joins the family: lag over the SAME (series, bucket)
+    # ordering rides that same single Exchange
+    from kadiyadb_spark.query import series_offset
+
+    o = series_offset(s.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 2)
+    assert n_shuffles(plan_str(o)) == base + 1
 
 
 def test_series_topk_uses_take_ordered_not_full_sort(spark):
