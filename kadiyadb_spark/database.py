@@ -733,15 +733,18 @@ class Database:
                 F.posexplode(F.array(*[F.col(c) for c in fcols])).alias("_i", "_v"),
             )
             .where(F.col("_v").isNotNull())
-            .distinct()
         )
+        # same single-exchange spill-safe shape as _seg_stats: dense_rank
+        # caps DISTINCT values per (ref, level) in the window's (spillable)
+        # sort before any agg buffer; the groupBy reuses the partitioning
         w = Window.partitionBy("_ref", "_i").orderBy("_v")
-        capped = pairs.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= _STATS_MAX + 1
+        rows = (
+            pairs.withColumn("_dr", F.dense_rank().over(w))
+            .where(F.col("_dr") <= _STATS_MAX + 1)
+            .groupBy("_ref", "_i")
+            .agg(F.sort_array(F.collect_set("_v")).alias("vals"))
+            .collect()
         )
-        rows = capped.groupBy("_ref", "_i").agg(
-            F.sort_array(F.collect_list("_v")).alias("vals")
-        ).collect()
         backfilled: dict[str, dict[str, list[str] | None]] = {}
         for r in rows:
             col = S.field_col(int(r["_i"]) + 1)
