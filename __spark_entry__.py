@@ -2743,6 +2743,18 @@ def q_multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-set matcher (PromQL {event=~"click|error"}): one pushed-down
+    scan with an IN predicate at level 1 plus the f2 wildcard fan-out,
+    dense zero-filled like any fetch; the IN values also drive manifest
+    data skipping (a segment skips only when its stats exclude EVERY
+    listed value) — query.py:compile_pattern / database.py:_segment_paths."""
+    return _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, [["click", "error"], "*"], RES, DUR),
+        ["total"],
+    )
+
+
 def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL sum by (user): per-user per-slot totals summed ACROSS event
     types — the non-prefix aggregation the write-time rollup cannot hold
@@ -2924,15 +2936,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "fetch_sum_by": q_fetch_sum_by,
         "fetch_offset": q_fetch_offset,
+        "fetch_in": q_fetch_in,
         "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
         "multimodal_audio": q_multimodal_audio,
         "fetch_topk_series": q_fetch_topk_series,
         "quality_model": q_quality_model,
-        # (4) r05-gated entries, oldest-first, filling the remaining slots:
-        "anti_join": q_anti_join,
         # ---- 50-entry gate cap lands here ----
+        # (4) r05-gated entries, oldest-first (due to lead the r08 gate):
+        "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
@@ -3055,17 +3068,22 @@ _EV_CUBE = f"""
 """
 
 
-def _fetch_oracle(pattern_f1: str, f2: str | None, from_ns: int, to_ns: int, depth: int) -> str:
+def _fetch_oracle(pattern_f1, f2: str | None, from_ns: int, to_ns: int, depth: int) -> str:
     """Dense zero-filled fetch oracle with per-epoch series membership.
-    f2=None -> depth-1 prefix; f2='*' -> wildcard; else exact."""
+    f2=None -> depth-1 prefix; f2='*' -> wildcard; else exact. pattern_f1
+    may be a LIST of values (the IN matcher)."""
     e_from = (from_ns // DUR) * DUR
     e_to = ((to_ns - RES) // DUR) * DUR
+    if isinstance(pattern_f1, (list, tuple)):
+        f1_cond = "f1 IN (" + ", ".join(f"'{v}'" for v in pattern_f1) + ")"
+    else:
+        f1_cond = f"f1 = '{pattern_f1}'"
     if depth == 1:
-        src = f"SELECT epoch, bucket, f1, total, cnt FROM cube1 WHERE f1 = '{pattern_f1}'"
+        src = f"SELECT epoch, bucket, f1, total, cnt FROM cube1 WHERE {f1_cond}"
         keycols = "f1"
         joink = "c.f1 = m.f1"
     else:
-        cond = f"f1 = '{pattern_f1}'" + ("" if f2 == "*" else f" AND f2 = '{f2}'")
+        cond = f1_cond + ("" if f2 == "*" else f" AND f2 = '{f2}'")
         src = f"SELECT epoch, bucket, f1, f2, total, cnt FROM cube2 WHERE {cond}"
         keycols = "f1, f2"
         joink = "c.f1 = m.f1 AND c.f2 = m.f2"
@@ -3325,6 +3343,8 @@ SELECT f1, f2, bucket, total,
        floor((delta / 60.0) * 10000 + 0.5) / 10000 AS rate_per_sec
 FROM d
 """
+    o["fetch_in"] = _fetch_oracle(["click", "error"], "*", WEEK0, WEEK1, 2)
+
     o["fetch_offset"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

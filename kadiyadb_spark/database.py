@@ -284,10 +284,12 @@ class Database:
         stats = m.get("stats", {})
         preds: list[tuple[str, str]] = []
         if prune_pattern:
+            # value-set levels (the IN matcher) prune too: a segment is
+            # skippable only when its stats exclude EVERY listed value
             preds = [
-                (S.field_col(i), v)
+                (S.field_col(i), v if isinstance(v, str) else tuple(sorted(set(v))))
                 for i, v in enumerate(prune_pattern, start=1)
-                if v != "*"
+                if isinstance(v, (list, tuple, set, frozenset)) or v != "*"
             ]
 
         def _keep(ref: str) -> bool:
@@ -298,8 +300,10 @@ class Database:
                 st = {S.field_col(1): st}
             for col, val in preds:
                 vals = st.get(col)
-                if isinstance(vals, list) and val not in vals:
-                    return False
+                if isinstance(vals, list):
+                    want = val if isinstance(val, tuple) else (val,)
+                    if not any(x in vals for x in want):
+                        return False
             return True
 
         return [

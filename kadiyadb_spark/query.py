@@ -33,14 +33,33 @@ class InvalidTimeRange(ValueError):
     """Reference ErrInvTime / ErrRange (database.go:156-158, 176-199)."""
 
 
-def compile_pattern(pattern: list[str]):
+def compile_pattern(pattern: list):
     """Validate a query pattern and return (depth, [(col, value), ...]) of
-    equality predicates ("*" levels contribute none). "" is illegal in
-    queries (index/node.go:138-147)."""
+    predicates ("*" levels contribute none). A level is an exact string, a
+    ``"*"`` wildcard, or a LIST/SET of strings — the PromQL value-set
+    matcher (``{event=~"click|view"}``) compiled to one IN predicate, still
+    a single pushed-down scan. Multi-value levels normalize to a sorted
+    tuple (order-independent, deterministic). "" is illegal in queries
+    (index/node.go:138-147), inside sets too; so is "*" inside a set (a set
+    containing the wildcard IS the wildcard — say so)."""
     if not pattern:
         raise ValueError("empty query pattern")
     preds = []
     for i, v in enumerate(pattern, start=1):
+        if isinstance(v, (list, tuple, set, frozenset)):
+            vals = sorted(set(v))
+            if not vals:
+                raise ValueError(f"empty value set at level {i}")
+            for x in vals:
+                if not isinstance(x, str) or x == "":
+                    raise ValueError(f"illegal query field value at level {i}: {x!r}")
+                if x == WILDCARD:
+                    raise ValueError(
+                        f"'*' inside a value set at level {i}: use the plain "
+                        "wildcard for that level instead"
+                    )
+            preds.append((S.field_col(i), vals[0] if len(vals) == 1 else tuple(vals)))
+            continue
         if v is None or v == "":
             raise ValueError(f"illegal query field value at level {i}: {v!r}")
         if v != WILDCARD:
@@ -48,12 +67,20 @@ def compile_pattern(pattern: list[str]):
     return len(pattern), preds
 
 
-def pattern_filter(df: DataFrame, pattern: list[str]) -> DataFrame:
-    """O6/O7 as a Catalyst filter: exact depth + equality on non-* levels."""
+def match_expr(col: str, val) -> "F.Column":
+    """The Catalyst predicate of one compiled pattern entry: equality for a
+    scalar, IN for a value-set tuple — both reach PushedFilters."""
+    if isinstance(val, tuple):
+        return F.col(col).isin(*val)
+    return F.col(col) == F.lit(val)
+
+
+def pattern_filter(df: DataFrame, pattern: list) -> DataFrame:
+    """O6/O7 as a Catalyst filter: exact depth + equality/IN on non-* levels."""
     depth, preds = compile_pattern(pattern)
     cond = F.col(S.DEPTH) == F.lit(depth)
     for col, val in preds:
-        cond = cond & (F.col(col) == F.lit(val))
+        cond = cond & match_expr(col, val)
     return df.filter(cond)
 
 
@@ -308,6 +335,8 @@ def series_ratio(
     division across wildcard fan-outs is ``series_ratio_wildcard``."""
     for p in (num_pattern, den_pattern):
         d, preds = compile_pattern(p)
+        if any(isinstance(v, tuple) for _, v in preds):
+            raise ValueError("series_ratio needs scalar exact patterns (no value sets)")
         if len(preds) != d:
             raise ValueError(f"series_ratio needs exact patterns, got {p!r}")
     if len(num_pattern) == 0 or len(num_pattern) != len(den_pattern):
@@ -380,7 +409,11 @@ def series_ratio_wildcard(
     if not wild:
         raise ValueError("no wildcard level; use series_ratio for exact patterns")
     for p in (num_pattern, den_pattern):
-        compile_pattern(p)  # validates '' / illegal values
+        _, _preds = compile_pattern(p)  # validates '' / illegal values
+        if any(isinstance(v, tuple) for _, v in _preds):
+            raise ValueError(
+                "series_ratio_wildcard needs scalar exact levels (no value sets)"
+            )
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from kadiyadb_spark.functions.num import round4_expr
@@ -459,7 +492,7 @@ def series_sum_by(
         & (F.col(S.BUCKET) < F.lit(to_b))
     )
     for col, val in preds:
-        cond = cond & (F.col(col) == F.lit(val))
+        cond = cond & match_expr(col, val)
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
     return (
         cube.filter(cond)
@@ -536,7 +569,7 @@ def series_topk(
         & (F.col(S.BUCKET) < F.lit(to_b))
     )
     for col, val in preds:
-        cond = cond & (F.col(col) == F.lit(val))
+        cond = cond & match_expr(col, val)
     g = (
         cube.filter(cond)
         .groupBy(*fcols)

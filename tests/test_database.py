@@ -593,3 +593,23 @@ def test_list_form_stats_entry_still_prunes_f1_only(spark, tmp_path):
     assert db._segment_paths(m2, {0}, prune_pattern=["zzz", "*"]) == []
     # legacy entry has no f2 evidence -> deeper-level pruning never skips
     assert len(db._segment_paths(m2, {0}, prune_pattern=["*", "zzz"])) == 1
+
+
+def test_segment_skipping_value_set_keeps_any_match(spark, tmp_path):
+    """IN-matcher pruning: a segment skips only when its stats exclude
+    EVERY listed value; holding any one of them keeps it. And the fetch
+    result equals the union of the exact fetches."""
+    db = Database.open(spark, str(tmp_path / "indb"), P)
+    for ev in ("click", "error", "view"):
+        db.track(_events(spark, [(0, ev, "u1", 1.0)]), total_col="v")
+    m = db._manifest()
+    keep_in = db._segment_paths(m, prune_pattern=[["click", "error"], "*"])
+    keep_click = db._segment_paths(m, prune_pattern=["click", "*"])
+    keep_all = db._segment_paths(m)
+    # three single-event segments: IN keeps exactly the click+error ones
+    assert len(keep_all) == 3 and len(keep_click) == 1 and len(keep_in) == 2
+    got = _pts(db.fetch(0, 1, [["click", "error"], "*"]))
+    assert got == [
+        (0, ("click", "u1"), 0, 1.0, 1.0),
+        (0, ("error", "u1"), 0, 1.0, 1.0),
+    ]

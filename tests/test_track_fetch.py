@@ -460,3 +460,46 @@ def test_series_offset_day_over_day(spark):
     assert got[3] == (0.0, 4.0, None)  # zero baseline -> null ratio
     with pytest.raises(ValueError, match="offset_slots"):
         series_offset(df, ["f1", "f2"], 0)
+
+
+def test_fetch_value_set_matcher(spark):
+    """IN matcher: [{click,error}, *] equals the UNION of the two exact
+    fetches (same dense zero-fill, one scan); validation rejects empty
+    sets, '' members and '*'-in-set."""
+    from kadiyadb_spark.query import compile_pattern, fetch
+
+    rows = [
+        (0, "click", "u1", "z", 2, 1),
+        (1, "error", "u2", "z", 3, 1),
+        (2, "view", "u1", "z", 5, 1),  # excluded by the matcher
+    ]
+    cube = _cube(spark, rows)
+
+    def key(r):
+        return (r["f1"], r["f2"], r["bucket"], r["total"], r["cnt"])
+
+    got = sorted(
+        map(key, fetch(cube, 0, 5, [["click", "error"], "*"], RES, DUR).collect())
+    )
+    want = sorted(
+        map(key, fetch(cube, 0, 5, ["click", "*"], RES, DUR).collect())
+    ) + sorted(map(key, fetch(cube, 0, 5, ["error", "*"], RES, DUR).collect()))
+    assert got == sorted(want) and len(got) > 0
+    assert not any(f1 == "view" for f1, *_ in got)
+    # normalization: order/duplicates don't matter; single-element set == exact
+    _, p1 = compile_pattern([["error", "click", "click"], "*"])
+    _, p2 = compile_pattern([["click", "error"], "*"])
+    assert p1 == p2
+    _, p3 = compile_pattern([["click"], "*"])
+    assert p3 == [("f1", "click")]
+    with pytest.raises(ValueError, match="empty value set"):
+        compile_pattern([[], "*"])
+    with pytest.raises(ValueError, match="illegal"):
+        compile_pattern([["click", ""], "*"])
+    with pytest.raises(ValueError, match="wildcard"):
+        compile_pattern([["click", "*"], "*"])
+    # the ratio operators demand scalar levels
+    from kadiyadb_spark.query import series_ratio
+
+    with pytest.raises(ValueError, match="scalar"):
+        series_ratio(cube, 0, 5, [["a", "b"], "x", "y"], ["c", "x", "y"], resolution=RES)
