@@ -2878,8 +2878,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-gated entries + the full r04-gated block; r07 (this one) leads
     # with the 5 r05-deferred map-only entries, then the 6 entries whose
     # averages were rewritten this round (re-gate the fix), then every
-    # never-driver-gated r06 entry, then the oldest r05-gated entries with
-    # the remaining slots.
+    # never-driver-gated r06 entry, then the NINE new r07 entries (inside
+    # the cap per the rule: fetch_ratio_wildcard, multimodal_png/wav_real,
+    # bpe_train/tokenize, sample_token_budget, fetch_sum_by, fetch_offset,
+    # fetch_in), with quality_model closing the cap; the displaced
+    # r05-gated map-only entries lead the r08 gate and are covered by this
+    # round's all-entry local runs at driver parallelism.
     return {
         # -- r07 gate (first 50) --
         # (1) the five map-only entries deferred from r05 (SURVEY §13 plan):
