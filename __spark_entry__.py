@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from kadiyadb_spark import fetch, track_batch
 from kadiyadb_spark.functions import dedup as D
 from kadiyadb_spark.functions import multimodal as M
-from kadiyadb_spark.functions.num import exact_avg4_expr, round4_expr
+from kadiyadb_spark.functions.num import exact_avg4_expr, exact_sum4_expr, round4_expr
 from kadiyadb_spark.functions import similarity as SIM
 from kadiyadb_spark.functions import skew as SK
 from kadiyadb_spark.functions import text as TX
@@ -463,7 +463,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(f"{tmp}/out")
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        round4_expr(F.sum("value")).alias("total_value"),
+        exact_sum4_expr(F.col("value")).alias("total_value"),
         F.min("event_id").alias("first_event"),
     )
 
@@ -686,7 +686,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("n_name")
-        .agg(round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(exact_sum4_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -810,23 +810,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            # qty/price ≤2dp, price*(1-disc) ≤4dp, the triple product ≤6dp:
+            # every sum/avg is an integer-scaled exact fold (order-immune,
+            # the r07 gate's 4dp-boundary flake class eliminated)
+            exact_sum4_expr(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum4_expr(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum4_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            exact_sum4_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                dp=6,
             ).alias("sum_charge"),
-            # qty/price/disc are ≤2dp: integer-scaled exact averages are
-            # order-immune (same latent 4dp flake class as pipeline_quality)
             exact_avg4_expr(F.col("l_quantity")).alias("avg_qty"),
             exact_avg4_expr(F.col("l_extendedprice")).alias("avg_price"),
             exact_avg4_expr(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
-    return _round_doubles(
-        r, ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"]
-    )
+    return r
 
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,7 +840,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey")
         .agg(
-            round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            exact_sum4_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -851,7 +853,7 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(round4_expr(F.sum("value")).alias("total_value"), F.count("*").alias("n_events"))
+        .agg(exact_sum4_expr(F.col("value")).alias("total_value"), F.count("*").alias("n_events"))
         .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
         .limit(20)
     )
@@ -862,17 +864,20 @@ def q_window_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     day_ns = 24 * 3600 * SEC
+    # Day totals accumulate as integer-scaled longs so BOTH the day value
+    # and the running cumulative sum are associative/order-immune; each is
+    # divided back to 4dp exactly once (num.py:exact_sum4_expr rationale).
     daily = (
         ev.withColumn("day", (F.col("ts") - F.col("ts") % F.lit(day_ns)).cast("long"))
         .groupBy("user_id", "day")
-        .agg(F.sum("value").alias("day_value"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_dv4"))
     )
     w = Window.partitionBy("user_id").orderBy("day")
     r = daily.select(
         "user_id",
         "day",
-        round4_expr(F.col("day_value")).alias("day_value"),
-        round4_expr(F.sum("day_value").over(w)).alias("running_value"),
+        (F.col("_dv4") / F.lit(10000.0)).alias("day_value"),
+        (F.sum("_dv4").over(w) / F.lit(10000.0)).alias("running_value"),
         F.row_number().over(w).cast("long").alias("day_rank"),
     )
     return r
@@ -899,7 +904,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = (
         joined.rollup("r_name", "n_name")
-        .agg(round4_expr(F.sum("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
+        .agg(exact_sum4_expr(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -992,7 +997,7 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            round4_expr(F.sum("o_totalprice")).alias("revenue"),
+            exact_sum4_expr(F.col("o_totalprice")).alias("revenue"),
             F.min("o_orderkey").alias("first_orderkey"),
         )
     )
@@ -1005,8 +1010,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    per = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("_v"))
-    w = Window.partitionBy("event_type").orderBy(F.col("_v").desc(), F.col("user_id").asc())
+    # rank on integer-scaled exact sums: partition-order double sums could
+    # flip ranks between engines at a tie boundary (num.py:exact_sum4_expr)
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_v4")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("_v4").desc(), F.col("user_id").asc())
     return (
         per.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -1014,7 +1023,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "user_id",
             F.col("rnk").cast("long").alias("rnk"),
-            round4_expr(F.col("_v")).alias("total_value"),
+            (F.col("_v4") / F.lit(10000.0)).alias("total_value"),
         )
     )
 
@@ -1049,7 +1058,7 @@ def q6_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        round4_expr(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        exact_sum4_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
     return r
@@ -1063,15 +1072,21 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    r = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
-        round4_expr(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev)
-        ).alias("promo_pct"),
-        round4_expr(F.sum(rev)).alias("total_revenue"),
-        F.count("*").alias("n_rows"),
+    # revenue scaled to exact 4dp longs: both sums are associative and the
+    # promo ratio is one long/long division — no engine-order FP path.
+    rev4 = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast("long")
+    r = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))).alias("_p4"),
+            F.sum(rev4).alias("_t4"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            round4_expr(F.lit(100.0) * F.col("_p4") / F.col("_t4")).alias("promo_pct"),
+            (F.col("_t4") / F.lit(10000.0)).alias("total_revenue"),
+            "n_rows",
+        )
     )
     return r
 
@@ -1126,7 +1141,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(c1 | c2 | c3).agg(
-        round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        exact_sum4_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
@@ -1160,7 +1175,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr")
     ).agg(
-        round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        exact_sum4_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -1191,10 +1206,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n2), s["s_nationkey"] == n2["s_nkey"])
     )
-    nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
-    return j.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
-        round4_expr(F.sum(nat) / F.sum(vol)).alias("mkt_share"),
-        round4_expr(F.sum(vol)).alias("total_vol"),
+    # scaled-long sums; market share is one long/long division (order-immune)
+    vol4 = F.round(vol * 10000).cast("long")
+    nat4 = F.when(F.col("supp_nation") == "NATION_3", vol4).otherwise(F.lit(0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(nat4).alias("_n4"), F.sum(vol4).alias("_v4"))
+        .select(
+            "yr",
+            round4_expr(F.col("_n4") / F.col("_v4")).alias("mkt_share"),
+            (F.col("_v4") / F.lit(10000.0)).alias("total_vol"),
+        )
     )
 
 
@@ -1222,7 +1244,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        round4_expr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev")
+        exact_sum4_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     top = rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"]).drop("mx")
@@ -1251,7 +1273,12 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = lp.join(F.broadcast(avg_q), lp["p_partkey"] == avg_q["ak"]).filter(
         F.col("l_quantity") < F.col("q_thresh")
     )
-    return small.agg(round4_expr(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    # scaled-long sum, ONE division by 70000.0 (= 1e4 scale * 7 years)
+    return small.agg(
+        round4_expr(
+            F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long")) / F.lit(70000.0)
+        ).alias("avg_yearly")
+    )
 
 
 def q22_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,7 +1297,7 @@ def q22_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     waiting = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
     return waiting.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
         F.count("*").alias("numcust"),
-        round4_expr(F.sum("c_acctbal")).alias("totacctbal"),
+        exact_sum4_expr(F.col("c_acctbal")).alias("totacctbal"),
     )
 
 
@@ -1323,10 +1350,16 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    # "30 days later" as raw int64 epoch-µs subtraction: date_add/INTERVAL
+    # semantics on TIMESTAMP inputs are an engine default that has diverged
+    # across gate-engine versions (VERDICT r07); epoch arithmetic has no
+    # default to diverge on (fixture dates are midnight-aligned UTC).
+    ship_us = F.unix_micros(li["l_shipdate"].cast("timestamp"))
+    order_us = F.unix_micros(o["o_orderdate"].cast("timestamp"))
     late = o.join(
         li,
         (o["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] >= F.date_add(o["o_orderdate"], 30)),
+        & (ship_us - order_us >= F.lit(30 * 86_400_000_000)),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
@@ -1355,7 +1388,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(round4_expr(F.sum(amount)).alias("sum_profit"))
+        .agg(exact_sum4_expr(amount).alias("sum_profit"))
     )
 
 
@@ -1395,9 +1428,18 @@ def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
-    delay = F.datediff("l_shipdate", "o_orderdate")
+    # r07 driver-gate red: F.datediff vs DuckDB datediff('day', ts, ts)
+    # resolve complete-period vs boundary-crossing differently across
+    # engine builds. Raw epoch-µs subtraction (dates are midnight-aligned
+    # UTC) has no engine default; thresholds compare in µs directly.
+    delay_us = F.unix_micros(F.col("l_shipdate").cast("timestamp")) - F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    )
+    day_us = 86_400_000_000
     bucket = (
-        F.when(delay > 90, F.lit("SLOW")).when(delay > 30, F.lit("MEDIUM")).otherwise(F.lit("FAST"))
+        F.when(delay_us > F.lit(90 * day_us), F.lit("SLOW"))
+        .when(delay_us > F.lit(30 * day_us), F.lit("MEDIUM"))
+        .otherwise(F.lit("FAST"))
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return j.groupBy(bucket.alias("ship_class")).agg(
@@ -1444,7 +1486,11 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        # round-then-cast, NOT a bare cast: Spark CAST(double AS LONG)
+        # truncates while DuckDB CAST rounds — an engine default that
+        # redlined this entry at the r07 driver gate. round() on exactly
+        # integral doubles is identical in both engines.
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
     )
     tot = per.agg(
         F.sum("sum_qty").alias("_total"), F.count("*").cast("long").alias("_n")
@@ -1467,9 +1513,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual; numwait counts late LINES per TPC-H semantics."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
+    # epoch-µs subtraction instead of date_add: no engine-default date
+    # semantics on either side of the gate (see q12_shipmode).
+    delay_us = F.unix_micros(F.col("l_shipdate").cast("timestamp")) - F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    )
     late = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60))
+        .filter(delay_us >= F.lit(60 * 86_400_000_000))
         .select("l_orderkey", "l_suppkey")
     )
     other = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
@@ -1508,14 +1559,22 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     )
     return (
+        # rank on integer-scaled exact revenue: a partition-order double sum
+        # could flip the top-20 boundary between engines (num.py rationale)
         j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
-        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .agg(
+            F.sum(
+                F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+                    "long"
+                )
+            ).alias("_rev4")
+        )
+        .orderBy(F.col("_rev4").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select(
             "c_custkey",
             "c_name",
-            round4_expr(F.col("_rev")).alias("revenue"),
+            (F.col("_rev4") / F.lit(10000.0)).alias("revenue"),
             round4_expr(F.col("c_acctbal")).alias("acctbal"),
             "n_name",
         )
@@ -1534,8 +1593,10 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey,
                floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
         FROM orders_v o
-        WHERE o_totalprice > 1.5 * (
-            SELECT avg(o2.o_totalprice) FROM orders_v o2
+        WHERE o_totalprice > 1.5D * (
+            SELECT sum(CAST(round(o2.o_totalprice * 10000) AS BIGINT))
+                   / (10000.0D * count(o2.o_totalprice))
+            FROM orders_v o2
             WHERE o2.o_custkey = o.o_custkey)
         """
     )
@@ -1552,8 +1613,10 @@ def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
     return spark.sql(
         """
+        -- 10000.0D: Spark SQL parses a bare 10000.0 literal as DECIMAL,
+        -- which would turn the whole expression (and schema) decimal
         SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue,
+               floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0D) * 10000 + 0.5) / 10000 AS revenue,
                count(*) AS n_orders
         FROM gs_orders
         JOIN gs_customer ON o_custkey = c_custkey
@@ -1578,7 +1641,8 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE EXISTS (
             SELECT 1 FROM ex_lineitem l
             WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+              AND unix_micros(CAST(l.l_shipdate AS TIMESTAMP))
+                  - unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) > 60 * 86400000000)
         GROUP BY o_orderpriority
         """
     )
@@ -1594,7 +1658,7 @@ def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.withColumn("dow", F.expr(f"(ts % {week_ns}) div {day_ns}"))
     return (
         d.cube("event_type", "dow")
-        .agg(round4_expr(F.sum("value")).alias("total_value"), F.count("*").alias("n_events"))
+        .agg(exact_sum4_expr(F.col("value")).alias("total_value"), F.count("*").alias("n_events"))
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce(F.col("dow"), F.lit(-1)).cast("long").alias("dow"),
@@ -1615,10 +1679,11 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("day", F.col("ts") - F.col("ts") % F.lit(day_ns))
         .groupBy("day")
         .pivot("event_type", types)
-        .agg(F.sum("value"))
+        # integer-scaled exact sum per pivot cell (order-immune; num.py)
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")))
     )
     for t in types:
-        r = r.withColumn(t, round4_expr(F.col(t)))
+        r = r.withColumn(t, F.col(t) / F.lit(10000.0))
     return r
 
 
@@ -1630,20 +1695,24 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     day_ns = 24 * 3600 * SEC
+    # day totals carried as integer-scaled longs: every frame function
+    # (moving avg, lag delta, lead) folds exact integers and divides once
     daily = (
         ev.withColumn("day", F.col("ts") - F.col("ts") % F.lit(day_ns))
         .groupBy("event_type", "day")
-        .agg(F.sum("value").alias("dv"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_dv4"))
     )
     w = Window.partitionBy("event_type").orderBy("day")
     wma = w.rowsBetween(-2, 0)
     return daily.select(
         "event_type",
         "day",
-        round4_expr(F.col("dv")).alias("day_value"),
-        round4_expr(F.avg("dv").over(wma)).alias("ma3"),
-        round4_expr(F.col("dv") - F.lag("dv", 1, 0.0).over(w)).alias("delta_prev"),
-        round4_expr(F.lead("dv", 1, 0.0).over(w)).alias("next_value"),
+        (F.col("_dv4") / F.lit(10000.0)).alias("day_value"),
+        round4_expr(F.sum("_dv4").over(wma) / (F.lit(10000.0) * F.count("_dv4").over(wma))).alias(
+            "ma3"
+        ),
+        ((F.col("_dv4") - F.lag("_dv4", 1, 0).over(w)) / F.lit(10000.0)).alias("delta_prev"),
+        (F.lead("_dv4", 1, 0).over(w) / F.lit(10000.0)).alias("next_value"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
@@ -1740,7 +1809,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        round4_expr(F.sum("value")).alias("total_value"),
+        exact_sum4_expr(F.col("value")).alias("total_value"),
     )
 
 
@@ -1772,7 +1841,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        round4_expr(F.sum("o_totalprice")).alias("total_price"),
+        exact_sum4_expr(F.col("o_totalprice")).alias("total_price"),
     )
 
 
@@ -1816,7 +1885,7 @@ def _roundtrip_source_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFra
     back = getattr(r, fmt)(path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        round4_expr(F.sum("value")).alias("total_value"),
+        exact_sum4_expr(F.col("value")).alias("total_value"),
         F.min("event_id").alias("first_event"),
     )
 
@@ -1844,11 +1913,15 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation correctness gate: the two-phase salted aggregation
     (hot key spread over 16 reducers, then a tiny combine shuffle) must land
     on EXACTLY the plain GROUP BY values — the oracle is the plain SQL."""
-    ev = _t(spark, sf_dir, "events")
-    r = SK.salted_sum_count(ev, ["event_type"], "value", unique_col="event_id", buckets=16)
+    # value pre-scaled to exact 4dp longs: both salted phases then fold
+    # integers (associative at any salt/partition layout), one division back.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value4", F.round(F.col("value") * 10000).cast("long")
+    )
+    r = SK.salted_sum_count(ev, ["event_type"], "value4", unique_col="event_id", buckets=16)
     return r.select(
         "event_type",
-        round4_expr(F.col("total")).alias("total"),
+        round4_expr(F.col("total") / F.lit(10000.0)).alias("total"),
         F.col("cnt").cast("long").alias("cnt"),
     )
 
@@ -1862,7 +1935,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = SK.salted_join(ev, c, on="c_custkey", buckets=8, unique_col="event_id")
     return j.groupBy("c_mktsegment").agg(
-        round4_expr(F.sum("value")).alias("total_value"),
+        exact_sum4_expr(F.col("value")).alias("total_value"),
         F.count("*").alias("n_events"),
     )
 
@@ -3203,7 +3276,7 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
     # streaming dedup must equal the aggregate of the ORIGINAL table.
     o["streaming_dedup"] = """
 SELECT event_type, count(*) AS n_events,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
        min(event_id) AS first_event
 FROM events GROUP BY event_type
 """
@@ -3367,9 +3440,11 @@ WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
 )
 SELECT f1, f2, bucket, total,
-       floor((avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
-              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS smoothed
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) OVER w
+              / (10000.0 * count(total) OVER w)) * 10000 + 0.5) / 10000 AS smoothed
 FROM base
+WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
     day_ns = 24 * 3600 * SEC
@@ -3391,7 +3466,7 @@ GROUP BY 1, 2, 3, 4
     o["fetch_topk_series"] = f"""
 WITH {_EV_CUBE}
 SELECT f1, f2,
-       floor((sum(total)) * 10000 + 0.5) / 10000 AS range_total,
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS range_total,
        sum(cnt) AS range_cnt
 FROM cube2
 WHERE f1 = 'click' AND bucket >= {WEEK0} AND bucket < {WEEK1}
@@ -3403,11 +3478,11 @@ LIMIT 10
     o["fetch_ratio"] = f"""
 WITH {_EV_CUBE}
 SELECT bucket,
-       floor((sum(CASE WHEN f1 = 'error' THEN total END)) * 10000 + 0.5) / 10000 AS num_total,
-       floor((sum(CASE WHEN f1 = 'click' THEN total END)) * 10000 + 0.5) / 10000 AS den_total,
-       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN total END) != 0
-              THEN sum(CASE WHEN f1 = 'error' THEN total END)
-                   / sum(CASE WHEN f1 = 'click' THEN total END) END) * 10000 + 0.5) / 10000 AS ratio
+       sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS num_total,
+       sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS den_total,
+       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) != 0
+              THEN sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END)
+                   / sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) END) * 10000 + 0.5) / 10000 AS ratio
 FROM cube1
 WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY bucket
@@ -3416,11 +3491,11 @@ GROUP BY bucket
     o["fetch_ratio_wildcard"] = f"""
 WITH {_EV_CUBE}
 SELECT f2, bucket,
-       floor((sum(CASE WHEN f1 = 'error' THEN total END)) * 10000 + 0.5) / 10000 AS num_total,
-       floor((sum(CASE WHEN f1 = 'click' THEN total END)) * 10000 + 0.5) / 10000 AS den_total,
-       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN total END) != 0
-              THEN sum(CASE WHEN f1 = 'error' THEN total END)
-                   / sum(CASE WHEN f1 = 'click' THEN total END) END) * 10000 + 0.5) / 10000 AS ratio
+       sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS num_total,
+       sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS den_total,
+       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) != 0
+              THEN sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END)
+                   / sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) END) * 10000 + 0.5) / 10000 AS ratio
 FROM cube2
 WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY f2, bucket
@@ -3432,8 +3507,8 @@ WITH base AS (
   FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
 )
 SELECT f1, f2, bucket - bucket % {10 * RES} AS bucket,
-       floor((sum(total)) * 10000 + 0.5) / 10000 AS total,
-       floor((sum(cnt)) * 10000 + 0.5) / 10000 AS cnt,
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
+       floor((sum(CAST(round((cnt) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS cnt,
        floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
        floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
        sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_observed
@@ -3496,10 +3571,10 @@ FROM anch
 
     o["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+       floor((sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / 1000000.0) * 10000 + 0.5) / 10000 AS sum_charge,
        floor((sum(CAST(round(l_quantity * 10000) AS BIGINT))
               / (10000.0 * count(l_quantity))) * 10000 + 0.5) / 10000 AS avg_qty,
        floor((sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
@@ -3514,7 +3589,7 @@ GROUP BY l_returnflag, l_linestatus
 
     o["q3_top_revenue_orders"] = """
 SELECT o_orderkey,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
        strftime(any_value(o_orderdate), '%Y-%m-%d') AS orderdate
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -3527,7 +3602,7 @@ LIMIT 10
 
     o["q5_local_supplier_volume"] = """
 SELECT n_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3561,7 +3636,9 @@ SELECT user_id FROM d1 WHERE event_type = 'error'
 """
 
     o["topk_users"] = """
-SELECT user_id, floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value, count(*) AS n_events
+SELECT user_id,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
+       count(*) AS n_events
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id ASC LIMIT 20
 """
@@ -3569,11 +3646,12 @@ ORDER BY total_value DESC, user_id ASC LIMIT 20
     day_ns = 24 * 3600 * SEC
     o["window_daily_running"] = f"""
 WITH daily AS (
-  SELECT user_id, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day, sum(value) AS dv
+  SELECT user_id, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
+         sum(CAST(round((value) * 10000) AS BIGINT)) AS dv4
   FROM events GROUP BY 1, 2
 )
-SELECT user_id, day, floor((dv) * 10000 + 0.5) / 10000 AS day_value,
-       floor((sum(dv) OVER (PARTITION BY user_id ORDER BY day)) * 10000 + 0.5) / 10000 AS running_value,
+SELECT user_id, day, dv4 / 10000.0 AS day_value,
+       sum(dv4) OVER (PARTITION BY user_id ORDER BY day) / 10000.0 AS running_value,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS day_rank
 FROM daily
 """
@@ -3602,7 +3680,8 @@ FROM events GROUP BY event_type
 
     o["rollup_revenue"] = """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue, count(*) AS n_orders
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -3668,23 +3747,23 @@ FROM lineitem GROUP BY l_returnflag
 SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        CAST(month(o_orderdate) AS BIGINT) AS mo,
        count(*) AS n_orders,
-       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue,
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
        min(o_orderkey) AS first_orderkey
 FROM orders GROUP BY 1, 2
 """
 
     o["topk_per_group"] = """
 WITH per AS (
-  SELECT event_type, user_id, sum(value) AS v
+  SELECT event_type, user_id, sum(CAST(round((value) * 10000) AS BIGINT)) AS v4
   FROM events GROUP BY event_type, user_id
 ),
 ranked AS (
-  SELECT event_type, user_id, v,
-         row_number() OVER (PARTITION BY event_type ORDER BY v DESC, user_id ASC) AS rnk
+  SELECT event_type, user_id, v4,
+         row_number() OVER (PARTITION BY event_type ORDER BY v4 DESC, user_id ASC) AS rnk
   FROM per
 )
 SELECT event_type, user_id, CAST(rnk AS BIGINT) AS rnk,
-       floor(v * 10000 + 0.5) / 10000 AS total_value
+       v4 / 10000.0 AS total_value
 FROM ranked WHERE rnk <= 3
 """
 
@@ -3704,7 +3783,7 @@ FROM d GROUP BY event_type
 """
 
     o["q6_selective_scan"] = """
-SELECT floor((sum(l_extendedprice * l_discount)) * 10000 + 0.5) / 10000 AS revenue,
+SELECT floor((sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3713,10 +3792,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
     o["q14_promo_ratio"] = """
 SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
-                               THEN l_extendedprice * (1 - l_discount)
-                               ELSE 0.0 END)
-              / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_pct,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_revenue,
+                               THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                               ELSE 0 END)
+              / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))) * 10000 + 0.5) / 10000 AS promo_pct,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS total_revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -3737,7 +3816,7 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
 
     o["q19_disjunctive"] = """
-SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+SELECT floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -3748,7 +3827,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
     o["q7_nation_volume"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS yr,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -3763,7 +3842,7 @@ GROUP BY 1, 2, 3
 
     o["q10_returned_items"] = """
 SELECT c_custkey, c_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue,
        floor(c_acctbal * 10000 + 0.5) / 10000 AS acctbal,
        n_name
 FROM lineitem
@@ -3773,16 +3852,17 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
   AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC
+ORDER BY sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) DESC, c_custkey ASC
 LIMIT 20
 """
 
     o["q8_market_share"] = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        floor((sum(CASE WHEN n2.n_name = 'NATION_3'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-              / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS mkt_share,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_vol
+                       THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                       ELSE 0 END)
+              / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))) * 10000 + 0.5) / 10000 AS mkt_share,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS total_vol
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -3808,7 +3888,7 @@ SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
     o["q15_top_supplier"] = """
 WITH rev AS (
   SELECT l_suppkey,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS total_rev
+         floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -3830,7 +3910,7 @@ thresh AS (
                 / (10000.0 * count(l_quantity)) * 0.2) * 10000 + 0.5) / 10000 AS q_thresh
   FROM lp GROUP BY l_partkey
 )
-SELECT floor((sum(l_extendedprice) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+SELECT floor((sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 70000.0) * 10000 + 0.5) / 10000 AS avg_yearly
 FROM lp JOIN thresh ON l_partkey = ak
 WHERE l_quantity < q_thresh
 """
@@ -3842,7 +3922,7 @@ WITH ab AS (
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS numcust,
-       floor((sum(c_acctbal)) * 10000 + 0.5) / 10000 AS totacctbal
+       floor((sum(CAST(round((c_acctbal) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS totacctbal
 FROM customer, ab
 WHERE c_acctbal > ab
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -3874,13 +3954,15 @@ FROM orders o
 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
   AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+                AND CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                    - CAST(epoch_us(o.o_orderdate) AS BIGINT) >= 30 * 86400000000)
 GROUP BY o_orderpriority
 """
 
     o["q9_product_profit"] = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       floor((sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity))
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity)
+                             * 10000) AS BIGINT)) / 10000.0)
              * 10000 + 0.5) / 10000 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -3906,8 +3988,10 @@ WHERE _cents * 1000 > (SELECT sum(_cents) FROM per)
 """
 
     o["q12_shipmode"] = """
-SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW'
-            WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN 'MEDIUM'
+SELECT CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) - CAST(epoch_us(o_orderdate) AS BIGINT)
+                 > 90 * 86400000000 THEN 'SLOW'
+            WHEN CAST(epoch_us(l_shipdate) AS BIGINT) - CAST(epoch_us(o_orderdate) AS BIGINT)
+                 > 30 * 86400000000 THEN 'MEDIUM'
             ELSE 'FAST' END AS ship_class,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
@@ -3927,7 +4011,7 @@ GROUP BY p_brand, p_type, p_size
 
     o["q20_potential_promotion"] = """
 WITH per AS (
-  SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  SELECT l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_name LIKE 'small %'
     AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3945,7 +4029,8 @@ WITH late AS (
   SELECT l_orderkey, l_suppkey
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE o_orderstatus = 'F'
-    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    AND CAST(epoch_us(l_shipdate) AS BIGINT)
+        - CAST(epoch_us(o_orderdate) AS BIGINT) >= 60 * 86400000000
 )
 SELECT s_name, count(*) AS numwait
 FROM late l1
@@ -3964,12 +4049,14 @@ SELECT o_orderkey, o_custkey,
        floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
 FROM orders o
 WHERE o_totalprice > 1.5 * (
-    SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    SELECT sum(CAST(round(o2.o_totalprice * 10000) AS BIGINT))
+           / (10000.0 * count(o2.o_totalprice))
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 """
 
     o["grouping_sets_mixed"] = """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue,
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -3984,7 +4071,8 @@ FROM orders o
 WHERE EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey
-      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND CAST(epoch_us(l.l_shipdate) AS BIGINT)
+          - CAST(epoch_us(o.o_orderdate) AS BIGINT) > 60 * 86400000000)
 GROUP BY o_orderpriority
 """
 
@@ -3992,14 +4080,15 @@ GROUP BY o_orderpriority
     o["cube_grouping"] = f"""
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(dow, -1) AS dow,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
        count(*) AS n_events
 FROM (SELECT event_type, (epoch_ns(ts) % {week_ns}) // {day_ns} AS dow, value FROM events)
 GROUP BY CUBE (event_type, dow)
 """
 
     _pv = ",\n       ".join(
-        f"floor((sum(CASE WHEN event_type = '{t}' THEN value END)) * 10000 + 0.5) / 10000 AS {t}"
+        f"sum(CASE WHEN event_type = '{t}' THEN CAST(round((value) * 10000) AS BIGINT) END)"
+        f" / 10000.0 AS {t}"
         for t in ["click", "error", "purchase", "signup", "view"]
     )
     o["pivot_event_matrix"] = f"""
@@ -4010,17 +4099,19 @@ FROM events GROUP BY 1
 
     o["window_frames"] = f"""
 WITH daily AS (
-  SELECT event_type, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day, sum(value) AS dv
+  SELECT event_type, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
+         sum(CAST(round((value) * 10000) AS BIGINT)) AS dv4
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day,
-       floor(dv * 10000 + 0.5) / 10000 AS day_value,
-       floor((avg(dv) OVER (PARTITION BY event_type ORDER BY day
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS ma3,
-       floor((dv - lag(dv, 1, 0.0) OVER (PARTITION BY event_type ORDER BY day)) * 10000 + 0.5) / 10000 AS delta_prev,
-       floor((lead(dv, 1, 0.0) OVER (PARTITION BY event_type ORDER BY day)) * 10000 + 0.5) / 10000 AS next_value,
-       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS quartile
+       dv4 / 10000.0 AS day_value,
+       floor((sum(dv4) OVER wma / (10000.0 * count(dv4) OVER wma)) * 10000 + 0.5) / 10000 AS ma3,
+       (dv4 - lag(dv4, 1, 0) OVER w) / 10000.0 AS delta_prev,
+       lead(dv4, 1, 0) OVER w / 10000.0 AS next_value,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
 FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day),
+       wma AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
     o["explode_tokens"] = f"""
@@ -4069,7 +4160,7 @@ GROUP BY e.event_id, e.user_id
     # drift introduced by the JSON/CSV writer+reader fails the hash.
     _src_agg_sql = """
 SELECT event_type, count(*) AS n_events,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
        min(event_id) AS first_event
 FROM events GROUP BY event_type
 """
@@ -4091,14 +4182,14 @@ GROUP BY event_type
     # Layout change only — values must round-trip bit-exactly.
     o["zorder_layout"] = """
 SELECT event_type, count(*) AS n_events,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value
 FROM events GROUP BY event_type
 """
 
     # Bucketed re-layout is content-preserving: oracle joins the originals.
     o["bucketed_join"] = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total_price
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -4184,12 +4275,15 @@ FROM k GROUP BY 1
 """
 
     o["skew_salted_agg"] = """
-SELECT event_type, floor((sum(value)) * 10000 + 0.5) / 10000 AS total, count(*) AS cnt
+SELECT event_type,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
+       count(*) AS cnt
 FROM events GROUP BY event_type
 """
 
     o["skew_salted_join"] = """
-SELECT c_mktsegment, floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value,
+SELECT c_mktsegment,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
        count(*) AS n_events
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
@@ -4935,7 +5029,7 @@ FROM s WHERE len(sub) > 0
     o["fetch_sum_by"] = f"""
 WITH {_EV_CUBE}
 SELECT f2, bucket,
-       floor(sum(total) * 10000 + 0.5) / 10000 AS total,
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
        sum(cnt) AS cnt
 FROM cube2
 WHERE bucket >= {WEEK0} AND bucket < {WEEK1}

@@ -48,3 +48,32 @@ def exact_avg4_sql(expr: str) -> str:
     return round4_sql(
         f"sum(CAST(round(({expr}) * 10000) AS BIGINT)) / (10000.0 * count({expr}))"
     )
+
+
+def exact_sum4_expr(c: Column, dp: int = 4) -> Column:
+    """Order-independent 4dp sum of a ``dp``-decimal-QUANTIZED double column.
+
+    ``sum(double)`` accumulates in partition order; when the rounded result
+    sits on a round4 floor boundary (or the two gate engines' partition
+    layouts differ), the 4th decimal diverges — the class that redlined
+    ``fetch_downsample`` at the r07 driver gate despite local ALL-PASS.
+    Scaling each value to an exact integer (``round(v * 10^dp)`` as long)
+    makes the sum associative — exact at ANY parallelism and identical in
+    any engine — with ONE final division. ``dp`` must cover the input's
+    true decimal width (4 for prices/discount products, 6 for the
+    price*(1-disc)*(1+tax) triple product): at the right scale the scaled
+    value is within ~1e-5 of an integer, so Spark's HALF_UP round and
+    DuckDB's half-away round agree. Long overflow bound: |v|<=1e5 at dp=6
+    leaves ~9e7 rows/group; beyond that switch the callsite to
+    ``decimal(38, dp)``. ``exact_sum4_sql`` is the DuckDB twin.
+    """
+    s = 10**dp
+    return round4_expr(
+        F.sum(F.round(c.cast("double") * s).cast("long")) / F.lit(float(s))
+    )
+
+
+def exact_sum4_sql(expr: str, dp: int = 4) -> str:
+    """DuckDB twin of ``exact_sum4_expr`` (same scaling, same association)."""
+    s = 10**dp
+    return round4_sql(f"sum(CAST(round(({expr}) * {s}) AS BIGINT)) / {float(s)}")

@@ -297,7 +297,10 @@ def series_smooth(
     per-slot totals. Windows shorter than ``window_slots`` at a series'
     start average what exists (standard trailing-window semantics). Same
     single series-keyed sort/shuffle as series_delta — compose them and
-    Spark rides one Exchange."""
+    Spark rides one Exchange. The mean is integer-scaled exact (sum of
+    round(v*1e4) longs over the frame, ONE division): window avg(double)
+    accumulates in the engine's own order/algorithm, the cross-engine
+    4dp-boundary flake class of the r07 gate."""
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
@@ -307,11 +310,13 @@ def series_smooth(
         .orderBy(bucket_col)
         .rowsBetween(-(window_slots - 1), 0)
     )
+    scaled = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    mean = F.sum(scaled).over(w) / (F.lit(10000.0) * F.count(total_col).over(w))
     return df.select(
         *series_cols,
         bucket_col,
         round4_expr(F.col(total_col)).alias(total_col),
-        round4_expr(F.avg(total_col).over(w)).alias("smoothed"),
+        round4_expr(mean).alias("smoothed"),
     )
 
 
@@ -362,15 +367,19 @@ def series_ratio(
         & (F.col(S.BUCKET) < F.lit(to_b))
         & (is_num | is_den)
     )
+    # Integer-scaled exact sums (functions/num.py:exact_sum4_expr rationale):
+    # the ratio divides the two LONG sums directly — one deterministic
+    # division on associative inputs, never a partition-order double sum.
+    scaled = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     g = base.groupBy(S.BUCKET).agg(
-        F.sum(F.when(is_num, F.col(S.TOTAL))).alias("_n"),
-        F.sum(F.when(is_den, F.col(S.TOTAL))).alias("_d"),
+        F.sum(F.when(is_num, scaled)).alias("_n4"),
+        F.sum(F.when(is_den, scaled)).alias("_d4"),
     )
-    ratio = F.when(F.col("_d") != 0, F.col("_n") / F.col("_d"))
+    ratio = F.when(F.col("_d4") != 0, F.col("_n4") / F.col("_d4"))
     return g.select(
         S.BUCKET,
-        round4_expr(F.col("_n")).alias("num_total"),
-        round4_expr(F.col("_d")).alias("den_total"),
+        (F.col("_n4") / F.lit(10000.0)).alias("num_total"),
+        (F.col("_d4") / F.lit(10000.0)).alias("den_total"),
         round4_expr(ratio).alias("ratio"),
     )
 
@@ -437,16 +446,20 @@ def series_ratio_wildcard(
         & (F.col(S.BUCKET) < F.lit(to_b))
         & (is_num | is_den)
     )
+    # Same integer-scaled exact-sum shape as series_ratio: long sums are
+    # associative, and the ratio is ONE long/long division (identical IEEE
+    # result in any engine) instead of a quotient of partition-order sums.
+    scaled = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     g = base.groupBy(*wild_cols, S.BUCKET).agg(
-        F.sum(F.when(is_num, F.col(S.TOTAL))).alias("_n"),
-        F.sum(F.when(is_den, F.col(S.TOTAL))).alias("_d"),
+        F.sum(F.when(is_num, scaled)).alias("_n4"),
+        F.sum(F.when(is_den, scaled)).alias("_d4"),
     )
-    ratio = F.when(F.col("_d") != 0, F.col("_n") / F.col("_d"))
+    ratio = F.when(F.col("_d4") != 0, F.col("_n4") / F.col("_d4"))
     return g.select(
         *wild_cols,
         S.BUCKET,
-        round4_expr(F.col("_n")).alias("num_total"),
-        round4_expr(F.col("_d")).alias("den_total"),
+        (F.col("_n4") / F.lit(10000.0)).alias("num_total"),
+        (F.col("_d4") / F.lit(10000.0)).alias("den_total"),
         round4_expr(ratio).alias("ratio"),
     )
 
@@ -482,7 +495,7 @@ def series_sum_by(
         )
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
-    from kadiyadb_spark.functions.num import round4_expr
+    from kadiyadb_spark.functions.num import exact_sum4_expr
 
     from_b = from_ts - (from_ts % resolution)
     to_b = to_ts - (to_ts % resolution)
@@ -498,7 +511,10 @@ def series_sum_by(
         cube.filter(cond)
         .groupBy(*keep_cols, S.BUCKET)
         .agg(
-            round4_expr(F.sum(S.TOTAL)).alias("total"),
+            # integer-scaled exact sum: associative (any parallelism, any
+            # engine) — plain round4(sum(double)) redlined this class at
+            # the r07 driver gate (functions/num.py:exact_sum4_expr)
+            exact_sum4_expr(F.col(S.TOTAL)).alias("total"),
             F.sum(S.CNT).alias("cnt"),
         )
     )
@@ -556,7 +572,7 @@ def series_topk(
     list. Ties break on the series path (deterministic cross-engine on
     4dp-rounded totals)."""
     depth, preds = compile_pattern(pattern)
-    from kadiyadb_spark.functions.num import round4_expr
+    from kadiyadb_spark.functions.num import exact_sum4_expr
 
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
@@ -574,7 +590,8 @@ def series_topk(
         cube.filter(cond)
         .groupBy(*fcols)
         .agg(
-            round4_expr(F.sum(S.TOTAL)).alias("range_total"),
+            # order-immune ranking values (functions/num.py:exact_sum4_expr)
+            exact_sum4_expr(F.col(S.TOTAL)).alias("range_total"),
             F.sum(S.CNT).alias("range_cnt"),
         )
     )
@@ -598,8 +615,11 @@ def series_downsample(
     frame, exact because the Point (total, cnt) pair is decomposable.
     min/max/observed-slot census ride the same single shuffle keyed by
     (series, coarse bucket) — slots-per-coarse-bucket is ``factor``, so
-    no skew by construction."""
-    from kadiyadb_spark.functions.num import round4_expr
+    no skew by construction. Sums are integer-scaled exact folds
+    (functions/num.py:exact_sum4_expr): the plain round4(sum(double)) form
+    was the r07 driver-gate red — a partition-order FP sum rounded at the
+    4dp boundary; min/max/census are order-free already."""
+    from kadiyadb_spark.functions.num import exact_sum4_expr, round4_expr
 
     if factor < 1:
         raise ValueError(f"downsample factor must be >= 1, got {factor}")
@@ -608,8 +628,8 @@ def series_downsample(
     return (
         df.groupBy(*series_cols, cb.alias(bucket_col))
         .agg(
-            round4_expr(F.sum(total_col)).alias(total_col),
-            round4_expr(F.sum(cnt_col)).alias(cnt_col),
+            exact_sum4_expr(F.col(total_col)).alias(total_col),
+            exact_sum4_expr(F.col(cnt_col)).alias(cnt_col),
             round4_expr(F.min(total_col)).alias("min_total"),
             round4_expr(F.max(total_col)).alias("max_total"),
             F.sum((F.col(cnt_col) > 0).cast("long")).alias("n_observed"),
