@@ -2948,38 +2948,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation history: r02 relational/core; r03 text/dedup/sim/multimodal;
     # r04 the relational entries r03 skipped; r05 the 31 entries r04 skipped
     # plus new operators (r04 union r05 covered 100/105); r06 the 5
-    # never-gated entries + the full r04-gated block; r07 (this one) leads
-    # with the 5 r05-deferred map-only entries, then the 6 entries whose
-    # averages were rewritten this round (re-gate the fix), then every
-    # never-driver-gated r06 entry, then the NINE new r07 entries (inside
-    # the cap per the rule: fetch_ratio_wildcard, multimodal_png/wav_real,
-    # bpe_train/tokenize, sample_token_budget, fetch_sum_by, fetch_offset,
-    # fetch_in), with quality_model closing the cap; the displaced
-    # r05-gated map-only entries lead the r08 gate and are covered by this
-    # round's all-entry local runs at driver parallelism.
+    # never-gated entries + the full r04-gated block; r07 the r05-deferred
+    # map-only entries + the rewritten-average class + every never-gated r06
+    # entry + the nine new r07 entries (45 green, 2 rows-only, 3 hash-red).
+    # r08 (this one) leads with the three r07 hash-reds — now rewritten to
+    # engine-default-free arithmetic (exact integer-scaled sums, epoch-us
+    # date subtraction, explicit cast rounding) — then the three deferred
+    # map-only entries, then EVERY entry the exactness sweep rewrote this
+    # round (both Spark code and oracle changed, so each must re-prove at
+    # the driver), closing the cap with six r05-gated never-since entries.
     return {
-        # -- r07 gate (first 50) --
-        # (1) the five map-only entries deferred from r05 (SURVEY §13 plan):
+        # -- r08 gate (first 50) --
+        # (1) the three r07 driver-gate hash-reds, rewritten this round to
+        #     engine-default-free arithmetic (lead the gate per VERDICT r07):
+        "q12_shipmode": q12_shipmode,
+        "q20_potential_promotion": q20_potential_promotion,
+        "fetch_downsample": q_fetch_downsample,
+        # (2) the three r05-gated map-only entries deferred from r07
+        #     (SURVEY §14 gate note):
+        "topk_users": q_topk_users,
+        "text_token_stats": q_text_token_stats,
+        "text_language_id": q_text_language_id,
+        # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
+        #     AND oracle were rewritten this round must re-prove green at the
+        #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_selective_scan": q6_selective_scan,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q19_disjunctive": q19_disjunctive,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_waiting_customers": q22_waiting_customers,
+        # (3b) sweep re-gates: SQL-surface entries:
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "rollup_revenue": q_rollup_revenue,
+        "date_extract": q_date_extract,
+        "topk_per_group": q_topk_per_group,
+        "window_daily_running": q_window_daily_running,
+        "window_frames": q_window_frames,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "cube_grouping": q_cube_grouping,
+        # (3c) sweep re-gates: sources/layout/skew/streaming sums:
+        "streaming_dedup": q_streaming_dedup,
+        "json_source_agg": q_json_source_agg,
+        "csv_source_agg": q_csv_source_agg,
+        "orc_source_agg": q_orc_source_agg,
+        "zorder_layout": q_zorder_layout,
+        "bucketed_join": q_bucketed_join,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        # (3d) sweep re-gates: the fetch family whose series operators
+        #     (sum_by/topk/ratio/smooth/downsample) now fold scaled longs:
+        "fetch_sum_by": q_fetch_sum_by,
+        "fetch_topk_series": q_fetch_topk_series,
+        "fetch_ratio": q_fetch_ratio,
+        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
+        "fetch_smooth": q_fetch_smooth,
+        # (4) r05-gated entries never re-gated since, filling the cap:
+        "anti_join": q_anti_join,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
+        "distinct_users": q_distinct_users,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        # ---- 50-entry gate cap lands here (text_fingerprint closes it) --
+        # Displaced r07-gated entries (green last round, unchanged since) and
+        # the rest, covered by this round's all-entry local oracle run at
+        # driver parallelism (ORACLE_LOCAL.md):
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
         "array_collect": q_array_collect,
         "explode_tokens": q_explode_tokens,
-        "date_extract": q_date_extract,
-        # (2) changed this round — order-independent integer-scaled averages
-        #     (pipeline_quality was the r06 hash-red row; the other five are
-        #     the same rewritten class and must re-prove green at the
-        #     driver's parallelism):
         "pipeline_quality": q_pipeline_quality,
-        "q1_pricing_summary": q1_pricing_summary,
         "json_extract": q_json_extract,
-        "q17_small_quantity": q17_small_quantity,
-        "q22_waiting_customers": q22_waiting_customers,
         "embedding_stats": q_embedding_stats,
-        # (3) never driver-gated r06 additions (all locally oracle-verified
-        #     in ORACLE_LOCAL.md; sim_ivfpq_residual/quality_model are
-        #     rows-only by design — trained codebooks/LBFGS fits have no SQL
-        #     twin; pinned by tests/test_ivf_recall.py,
-        #     tests/test_quality_model.py):
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
         "decontaminate_bloom": q_decontaminate_bloom,
         "cross_source_dups": q_cross_source_dups,
@@ -2990,51 +3042,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_hashed_retrieval": q_rag_hashed_retrieval,
         "fetch_rate": q_fetch_rate,
         "fetch_interpolate": q_fetch_interpolate,
-        "fetch_smooth": q_fetch_smooth,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,
-        "q12_shipmode": q12_shipmode,
         "q16_supplier_relation": q16_supplier_relation,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
         "streaming_join": q_streaming_join,
-        "fetch_downsample": q_fetch_downsample,
         "fetch_anomaly": q_fetch_anomaly,
         "rollup_cascade": q_rollup_cascade,
-        "fetch_ratio": q_fetch_ratio,
-        # NEW in r07 (inside the cap per rotation rule):
-        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "multimodal_png_real": q_multimodal_png_real,
         "multimodal_wav_real": q_multimodal_wav_real,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
         "sample_token_budget": q_sample_token_budget,
-        "fetch_sum_by": q_fetch_sum_by,
         "fetch_offset": q_fetch_offset,
         "fetch_in": q_fetch_in,
-        "orc_source_agg": q_orc_source_agg,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "pipeline_mix": q_pipeline_mix,
         "multimodal_audio": q_multimodal_audio,
-        "fetch_topk_series": q_fetch_topk_series,
         "quality_model": q_quality_model,
-        # ---- 50-entry gate cap lands here ----
-        # (4) r05-gated entries, oldest-first (due to lead the r08 gate):
-        "anti_join": q_anti_join,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "distinct_users": q_distinct_users,
-        # remaining r05-gated entries (due to lead the r08 gate; covered by
-        # this round's all-entry local oracle run at driver parallelism):
-        "rollup_revenue": q_rollup_revenue,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "topk_users": q_topk_users,
-        "text_token_stats": q_text_token_stats,
-        "text_language_id": q_text_language_id,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
@@ -3058,67 +3082,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_add": q_sim_ivf_add,
         "streaming_agg_append": q_streaming_agg_append,
         "text_span_dedup": q_text_span_dedup,
-        "bucketed_join": q_bucketed_join,
         "pack_sequences": q_pack_sequences,
         "corpus_shuffle": q_corpus_shuffle,
         "pipeline_pack": q_pipeline_pack,
         "dataset_split": q_dataset_split,
         "sample_per_source": q_sample_per_source,
         "cube_changes": q_cube_changes,
-        "q8_market_share": q8_market_share,
         "q13_order_distribution": q13_order_distribution,
-        "q15_top_supplier": q15_top_supplier,
         "quality_gopher": q_quality_gopher,
         "unigram_lm": q_unigram_lm,
         "sim_pq_topk": q_sim_pq_topk,
-        # r06-gated green (most recent gate — last in line for rotation):
         "profile_columns": q_profile_columns,
         "streaming_index_dedup": q_streaming_index_dedup,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "mixture_temperature": q_mixture_temperature,
         "asof_join": q_asof_join,
         "catalog_load": q_catalog_load,
-        "correlated_subquery": q_correlated_subquery,
-        "csv_source_agg": q_csv_source_agg,
-        "cube_grouping": q_cube_grouping,
         "dedup_index_query": q_dedup_index_query,
-        "exists_subquery": q_exists_subquery,
         "expire_retention": q_expire_retention,
         "fetch_boundary": q_fetch_boundary,
         "fetch_exact": q_fetch_exact,
         "fetch_rollup_prefix": q_fetch_rollup_prefix,
         "fetch_wildcard": q_fetch_wildcard,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        "json_source_agg": q_json_source_agg,
         "mixture_sample": q_mixture_sample,
         "null_semantics": q_null_semantics,
         "percentiles": q_percentiles,
         "pii_redact": q_pii_redact,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
         "q18_large_orders": q18_large_orders,
-        "q19_disjunctive": q19_disjunctive,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_selective_scan": q6_selective_scan,
-        "q7_nation_volume": q7_nation_volume,
         "range_join_counts": q_range_join_counts,
         "rollup_read_equivalence": q_rollup_read_equivalence,
         "semi_join": q_semi_join,
         "sessionize": q_sessionize,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
         "streaming_agg": q_streaming_agg,
-        "streaming_dedup": q_streaming_dedup,
         "streaming_ingest": q_streaming_ingest,
         "streaming_sessionize": q_streaming_sessionize,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
-        "topk_per_group": q_topk_per_group,
         "track_cube": q_track_cube,
-        "window_daily_running": q_window_daily_running,
-        "window_frames": q_window_frames,
-        "zorder_layout": q_zorder_layout,
     }
 
 
