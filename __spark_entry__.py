@@ -5062,12 +5062,17 @@ tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM w{_BPE_MERGES}),
 occ AS (SELECT source,
                unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                   x -> x != '')) AS word
-        FROM documents)
+        FROM documents),
+counts AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(n_tok) AS BIGINT) AS nt
+  FROM occ JOIN tok USING (word)
+  GROUP BY source)
 SELECT source,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens
-FROM occ JOIN tok USING (word)
-GROUP BY source
+       coalesce(nw, 0) AS n_words,
+       coalesce(nt, 0) AS n_tokens
+FROM (SELECT DISTINCT source FROM documents) LEFT JOIN counts USING (source)
 """
 
     o["multimodal_png_real"] = """

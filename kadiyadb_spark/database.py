@@ -756,8 +756,14 @@ class Database:
             backfilled.setdefault(r["_ref"], {})[col] = (
                 vals if len(vals) <= _STATS_MAX else None
             )
-        if not backfilled:
-            return []
+        # A scanned ref that yielded no non-null field values (e.g. a
+        # depth-0-only segment) still gets an explicit EMPTY stats entry:
+        # without one it would stay in the missing set and be re-scanned by
+        # every maintain() forever. Empty stats skip nothing (pruning acts
+        # only on positive evidence), so this is purely a "scanned, nothing
+        # to record" marker.
+        for ref in missing:
+            backfilled.setdefault(ref, {})
         m["stats"].update(backfilled)
         self._commit_manifest(m, m["gen"])
         return sorted(backfilled)

@@ -152,7 +152,10 @@ def tokenize_bpe(
     n_tokens) — each document's words tokenized under the trained merges.
     Tokenization happens ONCE per distinct word (broadcast-joined back when
     the vocabulary is small enough for the planner; shuffle-joined
-    otherwise) — never per occurrence."""
+    otherwise) — never per occurrence. Carry groups whose text is empty or
+    whitespace-only stay VISIBLE with n_words = n_tokens = 0 (left join
+    back to the carry frame): a curation pipeline counting tokens per
+    source must see the source that contributed nothing, not lose the row."""
     carry = carry_cols or []
     occ = (
         docs.select(*carry, F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
@@ -161,13 +164,26 @@ def tokenize_bpe(
     vocab = tokenize_words(occ.select("word").distinct(), merges).select(
         "word", F.size("tokens").alias("_n_tok")
     )
-    return (
+    counts = (
         occ.join(vocab, "word")
         .groupBy(*carry)
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum("_n_tok").cast("long").alias("n_tokens"),
         )
+    )
+    if not carry:
+        # global accounting: groupBy() already emits exactly one row
+        # (count 0 / null sum on an empty corpus)
+        return counts.select(
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    base = docs.select(*carry).distinct()
+    return base.join(counts, carry, "left").select(
+        *carry,
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
     )
 
 

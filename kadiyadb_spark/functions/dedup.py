@@ -831,7 +831,16 @@ class MinHashIndex:
         ``at_gen`` is given — a snapshot read that a concurrent ``compact``
         cannot GC out from under the scan (closes the reader-vs-compact
         race: pin the generation before a long probe job and the directory
-        outlives the swap as long as the manifest is retained)."""
+        outlives the swap as long as the manifest is retained).
+
+        Consumption contract: ``_live`` resolves the directory EAGERLY but
+        the parquet scan is lazy — the pin protects a plan only while its
+        generation stays within the manifest retention window (keep=3: the
+        live gen plus two back). Execute (or checkpoint) the returned
+        DataFrame before more than two further compactions run; a plan held
+        across maintenance windows beyond that can hit FileNotFound at
+        action time, exactly like any snapshot reader outliving its
+        snapshot's GC horizon."""
         return self.spark.read.parquet(self._live(at_gen))
 
     def add(
