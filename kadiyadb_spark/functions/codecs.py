@@ -10,6 +10,9 @@ a fake answer):
 - PNG  (W3C PNG spec): bit depth 8, color types 0/2/4/6 (gray, RGB,
   gray+alpha, RGBA), non-interlaced; all five scanline filters
   (None/Sub/Up/Average/Paeth).
+- JPEG (ITU-T T.81 baseline sequential, functions/jpeg.py): 8-bit,
+  grayscale/YCbCr, 4:4:4/4:2:2/4:4:0/4:2:0, restart intervals — the
+  majority class of real web-crawl images.
 - BMP  (BITMAPINFOHEADER): 24bpp uncompressed BI_RGB, bottom-up or top-down.
 - WAV  (RIFF PCM): 8-bit unsigned or 16-bit signed LE, any channel count.
 
@@ -38,9 +41,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Container format by magic bytes: 'png' | 'bmp' | 'wav' | None."""
+    """Container format by magic bytes: 'png' | 'jpeg' | 'bmp' | 'wav' | None."""
     if payload[:8] == PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -271,6 +276,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     try:
         if kind == "png":
             return decode_png(payload)
+        if kind == "jpeg":
+            from kadiyadb_spark.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         if kind == "bmp":
             return decode_bmp(payload)
     except ValueError:

@@ -173,17 +173,19 @@ def test_decode_images_real_png_bmp_and_skip(spark):
     rows = [
         Row(asset_id=1, media_type="image", payload=bytearray(C.encode_png(png_img)), n_bytes=0),
         Row(asset_id=2, media_type="image", payload=bytearray(C.encode_bmp(bmp_img)), n_bytes=0),
+        # JPEG is a REAL codec since r8 — this payload sniffs as jpeg but is
+        # corrupt, so it exercises the corrupt-body skip path instead
         Row(asset_id=3, media_type="image", payload=bytearray(b"\xff\xd8\xffJPEG..."), n_bytes=0),
     ]
     media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
     got = {r.asset_id: r for r in
            M.decode_images(media, fake=False, on_error="skip").collect()}
-    assert set(got) == {1, 2}  # the JPEG-magic payload skipped
+    assert set(got) == {1, 2}  # the corrupt-JPEG payload skipped
     assert (got[1].width, got[1].height) == (5, 6)
     assert got[1].byte_sum_mod == int(png_img.sum(dtype="int64") % 1_000_003)
     assert (got[2].width, got[2].height) == (8, 3)
     assert got[2].byte_sum_mod == int(bmp_img.sum(dtype="int64") % 1_000_003)
-    with pytest.raises(Exception, match="undecodable"):
+    with pytest.raises(Exception, match="(?i)jpeg"):
         M.decode_images(media, fake=False, on_error="raise").collect()
 
 
