@@ -693,9 +693,10 @@ def pq_codebooks(
     dimension into ``m`` contiguous subspaces and use the ``ksub`` lowest-id
     vectors' subvectors as each subspace's centroids (codes 0..ksub-1 in id
     order) — bit-reproducible by the SQL oracle, same trade as
-    deterministic_centroids. Production recall wants per-subspace k-means
-    (train on a sample; only m*ksub*dsub floats come back), which drops in
-    here without touching assign/search.
+    deterministic_centroids. Production recall wants per-subspace k-means:
+    pass ``codebooks="kmeans"`` to pq_topk/ivfpq_topk/IVFPQIndex.build
+    (pq_codebooks_kmeans — trains on a bounded sample; only m*ksub*dsub
+    floats come back) without touching assign/search.
 
     Returns (codebook ndarray [m, ksub, dsub], dim). Driver memory is
     m*ksub*dsub doubles — KBs."""
@@ -714,6 +715,98 @@ def pq_codebooks(
     dsub = dim // m
     # [m, ksub, dsub]: subspace-major view of the ksub chosen vectors
     return mat.reshape(ksub, m, dsub).transpose(1, 0, 2).copy(), dim
+
+
+def _lloyd_subspaces(x: "np.ndarray", m: int, ksub: int, iters: int) -> "np.ndarray":
+    """Per-subspace deterministic Lloyd's k-means over a sample matrix
+    (n x dim): greedy farthest-point (maximin) init — first subvector,
+    then repeatedly the point maximizing its distance to the chosen set
+    (lowest index on ties) — fixed iteration count, argmin-first
+    tie-break, empty clusters keep their center. No RNG anywhere, so a
+    retrain on the same sample is bit-identical. Maximin matters: the
+    sample is id-ordered and real corpora cluster, so "first ksub
+    subvectors" can all land in ONE cluster and Lloyd never escapes it
+    (observed: recall@5 0.45 vs 0.95 on the adversarial fixture). Shared
+    by raw-kmeans and residual codebook training."""
+    import numpy as np
+
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = x.reshape(len(x), m, dsub)
+    C = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xs = sub[:, j, :]
+        k_eff = min(ksub, len(xs))
+        cent = np.empty((k_eff, dsub))
+        cent[0] = xs[0]
+        mind2 = ((xs - cent[0]) ** 2).sum(axis=1)
+        for i in range(1, k_eff):
+            cent[i] = xs[int(np.argmax(mind2))]  # argmax: first max wins
+            mind2 = np.minimum(mind2, ((xs - cent[i]) ** 2).sum(axis=1))
+        if k_eff < ksub:  # degenerate tiny sample: pad by repetition
+            cent = np.resize(cent, (ksub, dsub))
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for kk in range(ksub):
+                hit = a == kk
+                if hit.any():
+                    cent[kk] = xs[hit].mean(axis=0)
+        C[j] = cent
+    return C
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    sample: int = 1024,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """TRAINED raw-vector PQ codebooks (the recall path pq_codebooks'
+    docstring promises): per-subspace Lloyd's k-means over a BOUNDED,
+    deterministic sample — the ``sample`` lowest-id vectors, one driver
+    collect of sample x dim doubles (MBs). On clustered embeddings the
+    deterministic codebooks (subvectors of the ksub lowest-id vectors) can
+    all come from one cluster and quantize everything else coarsely;
+    trained centers follow each subspace's distribution. Returns
+    (codebook [m, ksub, dsub], dim) — drop-in for pq_codebooks without
+    touching assign/search (recall pinned in tests/test_ivf_recall.py;
+    deterministic stays the SQL-gated default)."""
+    _ids, v = _collect_matrix(
+        emb.orderBy(F.col(id_col).asc()).limit(sample), id_col, vec_col
+    )
+    return _lloyd_subspaces(v, m, ksub, iters), v.shape[1]
+
+
+def resolve_pq_codebooks(
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    codebooks="deterministic",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Codebook strategy switch shared by pq_topk / ivfpq_topk /
+    IVFPQIndex.build (raw coding): "deterministic" (oracle-reproducible
+    default), "kmeans" (trained, the recall path), or a caller-provided
+    ([m, ksub, dsub] ndarray, dim) pair / bare ndarray."""
+    import numpy as np
+
+    if isinstance(codebooks, tuple):
+        C, dim = codebooks
+        return np.asarray(C, dtype=np.float64), int(dim)
+    if isinstance(codebooks, np.ndarray):
+        return codebooks.astype(np.float64), codebooks.shape[0] * codebooks.shape[2]
+    if codebooks == "deterministic":
+        return pq_codebooks(emb, m, ksub, id_col, vec_col)
+    if codebooks == "kmeans":
+        return pq_codebooks_kmeans(emb, m, ksub, id_col=id_col, vec_col=vec_col)
+    raise ValueError(f"unknown PQ codebook strategy: {codebooks!r}")
 
 
 def pq_codebooks_residual(
@@ -735,9 +828,9 @@ def pq_codebooks_residual(
     Training is per-subspace Lloyd's k-means in numpy over a BOUNDED,
     deterministic sample (the ``sample`` lowest-id vectors — one driver
     collect of sample x dim doubles, MBs; codebooks shared across buckets,
-    so one global train suffices). Init = the first ksub sample residual
-    subvectors; fixed iteration count, argmin-first tie-break — fully
-    deterministic, no RNG. Empty clusters keep their previous center.
+    so one global train suffices). Deterministic maximin init, fixed
+    iteration count, argmin-first tie-break — fully deterministic, no RNG
+    (see _lloyd_subspaces). Empty clusters keep their previous center.
 
     Returns (codebook [m, ksub, dsub], dim)."""
     import numpy as np
@@ -752,26 +845,7 @@ def pq_codebooks_residual(
     vn = v / np.linalg.norm(v, axis=1, keepdims=True)
     nearest = np.argmax(vn @ cn.T, axis=1)  # same assignment rule as ivf_assign
     r = v - craw[nearest]
-    dim = r.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    sub = r.reshape(len(r), m, dsub)
-    C = np.empty((m, ksub, dsub))
-    for j in range(m):
-        x = sub[:, j, :]
-        cent = x[:ksub].copy()
-        if len(cent) < ksub:  # degenerate tiny sample: pad by repetition
-            cent = np.resize(cent, (ksub, dsub))
-        for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for kk in range(ksub):
-                hit = a == kk
-                if hit.any():
-                    cent[kk] = x[hit].mean(axis=0)
-        C[j] = cent
-    return C, dim
+    return _lloyd_subspaces(r, m, ksub, iters), r.shape[1]
 
 
 def pq_assign(
@@ -827,6 +901,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    codebooks="deterministic",
 ) -> DataFrame:
     """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
     computation (Jégou et al. 2011, the FAISS IVF-PQ scan kernel): base
@@ -847,7 +922,7 @@ def pq_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    C, dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+    C, dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
     coded = pq_assign(emb, C, id_col, vec_col)
 
     q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
@@ -914,6 +989,7 @@ def ivfpq_topk(
     query_vec_col: str = "query_vec",
     centroids: "str | DataFrame" = "deterministic",
     residual: bool = False,
+    codebooks="deterministic",
 ) -> DataFrame:
     """IVF-PQ: the two approximations composed the way FAISS composes them —
     IVF restricts WHICH vectors are scored (each query probes its ``nprobe``
@@ -970,7 +1046,7 @@ def ivfpq_topk(
         cnorm2 = (craw**2).sum(axis=1)
         qc_raw = q @ craw.T  # [nq, C] dot(raw query, raw centroid)
     else:
-        C, dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+        C, dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
         dsub = dim // m
         B = cnorm2 = qc_raw = None
         craw = None
@@ -1174,6 +1250,7 @@ class IVFPQIndex:
         vec_col: str = "embedding",
         centroids: "str | DataFrame" = "deterministic",
         residual: bool = False,
+        codebooks="deterministic",
     ) -> "IVFPQIndex":
         import pandas as pd
 
@@ -1183,7 +1260,7 @@ class IVFPQIndex:
         if residual:
             C, _dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
         else:
-            C, _dim = pq_codebooks(emb, m, ksub, id_col, vec_col)
+            C, _dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
         cb_rows = pd.DataFrame(
             [
                 {"subspace": j, "code": kk, "center_vec": [float(x) for x in C[j, kk]]}

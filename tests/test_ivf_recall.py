@@ -126,3 +126,60 @@ def test_residual_pq_improves_ivfpq_recall(spark):
     a = sorted(tuple(r) for r in res.collect())
     b = sorted(tuple(r) for r in res2.collect())
     assert a == b
+
+
+def test_kmeans_pq_codebooks_improve_pq_recall(spark):
+    """Raw-PQ analogue of the centroid test: deterministic codebooks are the
+    lowest-id vectors' subvectors — here all from ONE cluster, so other
+    clusters quantize onto far-away code words; trained (Lloyd) codebooks
+    follow each subspace's distribution."""
+    emb = _clustered(spark).cache()
+    qs = _queries(spark)
+    exact = SIM.cosine_topk(emb, qs, k=5)
+
+    # m=8/ksub=32: fine enough coding that the codebook QUALITY is the
+    # recall limiter (at m=4/ksub=8 within-cluster ranking saturates the
+    # code budget for both strategies: det 0.25 vs km 0.45)
+    det = SIM.pq_topk(emb, qs, k=5, m=8, ksub=32)
+    km = SIM.pq_topk(emb, qs, k=5, m=8, ksub=32, codebooks="kmeans")
+    r_det = _recall_at_k(det, exact, k=5)
+    r_km = _recall_at_k(km, exact, k=5)
+    assert r_km >= 0.9, f"kmeans-PQ recall@5 {r_km}"
+    assert r_km > r_det, f"kmeans-PQ {r_km} vs deterministic {r_det}"
+
+
+def test_kmeans_pq_codebooks_compose_with_ivfpq_and_index(spark, tmp_path):
+    """codebooks='kmeans' flows through ivfpq_topk and the persisted
+    IVFPQIndex identically: the one-shot operator and a built index must
+    return the same rows under the same strategy, and beat deterministic
+    codebooks on the adversarial fixture."""
+    emb = _clustered(spark).cache()
+    qs = _queries(spark)
+    exact = SIM.cosine_topk(emb, qs, k=5)
+
+    kw = dict(k=5, num_centroids=N_CLUSTERS, nprobe=2, m=8, ksub=32, centroids="kmeans")
+    det = SIM.ivfpq_topk(emb, qs, **kw)
+    km = SIM.ivfpq_topk(emb, qs, **kw, codebooks="kmeans")
+    r_det = _recall_at_k(det, exact, k=5)
+    r_km = _recall_at_k(km, exact, k=5)
+    assert r_km >= r_det, f"kmeans-PQ {r_km} vs deterministic {r_km}"
+    assert r_km >= 0.9, f"kmeans-PQ IVFPQ recall@5 {r_km}"
+
+    idx = SIM.IVFPQIndex.build(
+        emb, str(tmp_path / "ivfpq_km"), num_centroids=N_CLUSTERS, m=8, ksub=32,
+        centroids="kmeans", codebooks="kmeans",
+    )
+    got = idx.search(qs, k=5, nprobe=2)
+    one_shot = {(r.query_id, r.vec_id, r.rank) for r in km.collect()}
+    persisted = {(r.query_id, r.vec_id, r.rank) for r in got.collect()}
+    assert one_shot == persisted
+
+
+def test_pq_codebooks_kmeans_deterministic_retrain(spark):
+    """No RNG anywhere: retraining on the same frame is bit-identical."""
+    import numpy as np
+
+    emb = _clustered(spark)
+    c1, d1 = SIM.pq_codebooks_kmeans(emb, m=4, ksub=8)
+    c2, d2 = SIM.pq_codebooks_kmeans(emb, m=4, ksub=8)
+    assert d1 == d2 and np.array_equal(c1, c2)
