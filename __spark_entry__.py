@@ -2916,6 +2916,20 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.tokenize_bpe(docs, merges, carry_cols=["source"]).orderBy("source")
 
 
+def q_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2 pre-tokenization (Radford 2019 / tiktoken family) over the
+    corpus: contractions, space-prefixed letter/number/punct runs, and the
+    lookahead rule that a whitespace run before a word donates its last
+    space to the word. RE2 (DuckDB) has no lookahead, so BOTH engines run
+    the provably-equivalent marker construction (functions/bpe.py:
+    gpt2_pretokens_expr) — which is exactly what lets this be hash-gated
+    cross-engine. Output: the (pre-token, freq) vocabulary table, the one
+    corpus scan BPE training starts from."""
+    from kadiyadb_spark.functions import bpe as BP
+
+    return BP.word_frequencies(_t(spark, sf_dir, "documents"), pretokenize="gpt2")
+
+
 def _bpe_oracle_ctes(k: int) -> str:
     """The k-stage DuckDB replay of train_bpe: w0 = word/freq/symbol table,
     then per merge i: pair counts p{i} -> argmax b{i} (count desc, lex asc)
@@ -2999,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         # (2b) NEW in r08 (new entries go inside the cap per rotation rule):
         "multimodal_jpeg_real": q_multimodal_jpeg_real,
+        "bpe_gpt2_pretok": q_bpe_gpt2_pretok,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -5103,6 +5118,20 @@ SELECT source,
        coalesce(nw, 0) AS n_words,
        coalesce(nt, 0) AS n_tokens
 FROM (SELECT DISTINCT source FROM documents) LEFT JOIN counts USING (source)
+"""
+
+    # Same marker construction as bpe.gpt2_pretokens_expr: \x01 inserted
+    # before the last space of every whitespace->nonspace boundary, then a
+    # lookahead-free extract whose classes exclude the marker.
+    o["bpe_gpt2_pretok"] = r"""
+SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(regexp_extract_all(
+    regexp_replace(text, '(\s)(\S)', chr(1) || '\1\2', 'g'),
+    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}\x01]+|\s+')) AS t
+  FROM documents)
+WHERE t != ''
+GROUP BY t
 """
 
     o["multimodal_png_real"] = """

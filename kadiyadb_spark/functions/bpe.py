@@ -18,8 +18,10 @@ greedy lowest-rank-first tokenization (how subword-nmt/GPT-2 apply BPE).
 unique word is tokenized once per corpus, not once per occurrence.
 
 Determinism contract (what the DuckDB oracle replicates): words split on
-``\\s+``; symbols are single characters plus a ``</w>`` end-of-word marker;
-tie-break for the best pair is (count DESC, left ASC, right ASC).
+``\\s+`` (default) or by the GPT-2 pre-tokenizer (``pretokenize='gpt2'``,
+lookahead-free marker construction so RE2 reproduces it); symbols are
+single characters plus a ``</w>`` end-of-word marker; tie-break for the
+best pair is (count DESC, left ASC, right ASC).
 """
 
 from __future__ import annotations
@@ -29,11 +31,57 @@ from pyspark.sql import functions as F
 
 END = "</w>"
 
+# GPT-2 pre-tokenization (Radford et al. 2019; the regex published in the
+# GPT-2 repo / tiktoken): contractions, optionally-space-prefixed letter /
+# number / punctuation runs, and whitespace runs — with the subtlety that a
+# whitespace run FOLLOWED BY a non-space keeps its last space attached to
+# the next token ("a  b" -> ["a", " ", " b"]). The original expresses that
+# with a lookahead (\s+(?!\S)) which RE2 — DuckDB's engine — cannot run, so
+# both engines here use a provably-equivalent marker construction instead:
+# insert \x01 before the final space of every whitespace-then-nonspace
+# boundary, then extract with a lookahead-free pattern whose classes
+# exclude the marker (the marker can never be inside a match, so it acts
+# as a split point). Identical Java-regex and RE2 semantics for every
+# class used (\p{L}, \p{N}, \s), which is what lets the driver hash-gate
+# the pre-tokenizer cross-engine.
+GPT2_MARK_RE = r"(\s)(\S)"
+GPT2_PRETOK_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}\\x01]+|\\s+"
+)
 
-def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq) over ``\\s+``-split tokens — the one corpus scan."""
+
+def gpt2_pretokens_expr(text: Column) -> Column:
+    """array<string> of GPT-2 pre-tokens of ``text`` (marker construction
+    above; empty strings never appear — regexp_extract_all skips unmatched
+    marker bytes). Input containing a literal \\x01 byte would split there;
+    real text corpora don't carry C0 control bytes."""
+    marked = F.regexp_replace(text, GPT2_MARK_RE, "\u0001$1$2")
+    return F.regexp_extract_all(marked, F.lit(GPT2_PRETOK_RE), 0)
+
+
+def pretokens_expr(text: Column, pretokenize: str = "whitespace") -> Column:
+    """The pre-tokenizer switch shared by training and application:
+    'whitespace' (split on \\s+, the oracle-simplest default) or 'gpt2'
+    (the GPT-2 regex family — what tiktoken-comparable token accounting
+    needs, VERDICT r07 gap #3)."""
+    if pretokenize == "whitespace":
+        return F.split(text, r"\s+")
+    if pretokenize == "gpt2":
+        return gpt2_pretokens_expr(text)
+    raise ValueError(f"unknown pretokenize strategy: {pretokenize!r}")
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", pretokenize: str = "whitespace"
+) -> DataFrame:
+    """(word, freq) over pre-tokens — the one corpus scan. 'gpt2' keeps
+    space-prefixed words and whitespace runs as distinct vocabulary items
+    (the Ġ-convention), exactly like the GPT-2 tokenizer family."""
     return (
-        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        docs.select(
+            F.explode(pretokens_expr(F.col(text_col), pretokenize)).alias("word")
+        )
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -89,16 +137,18 @@ def train_bpe(
     text_col: str = "text",
     min_freq: int = 2,
     checkpoint: bool = True,
+    pretokenize: str = "whitespace",
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns
     [(left, right, pair_count), ...] in rank order. Stops early when the
     best pair's count falls under ``min_freq`` (merging singletons learns
     noise). Cost: one corpus scan + num_merges aggregations over the
     distinct-word table. ``checkpoint=False`` keeps full lineage (only for
-    tiny inputs/tests)."""
+    tiny inputs/tests). ``pretokenize='gpt2'`` trains over GPT-2 pre-tokens
+    (space-prefixed words, whitespace runs) instead of \\s+ words."""
     if num_merges < 1:
         raise ValueError(f"need num_merges >= 1, got {num_merges}")
-    wf = word_frequencies(docs, text_col).withColumn(
+    wf = word_frequencies(docs, text_col, pretokenize).withColumn(
         "syms", sym_init_expr(F.col("word"))
     ).select("freq", "syms")
     if checkpoint:
@@ -147,6 +197,7 @@ def tokenize_bpe(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     carry_cols: list[str] | None = None,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """Per-document BPE token accounting: (carry_cols..., n_words,
     n_tokens) — each document's words tokenized under the trained merges.
@@ -158,7 +209,9 @@ def tokenize_bpe(
     source must see the source that contributed nothing, not lose the row."""
     carry = carry_cols or []
     occ = (
-        docs.select(*carry, F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        docs.select(
+            *carry, F.explode(pretokens_expr(F.col(text_col), pretokenize)).alias("word")
+        )
         .filter(F.col("word") != "")
     )
     vocab = tokenize_words(occ.select("word").distinct(), merges).select(

@@ -133,3 +133,57 @@ def test_save_load_merges_roundtrip(spark, tmp_path):
     (tmp_path / "bad.json").write_text(_json.dumps({"version": 9}))
     with pytest.raises(ValueError, match="merges file"):
         B.load_merges(spark, str(tmp_path / "bad.json"))
+
+
+def test_gpt2_pretokens_match_true_lookahead_reference(spark):
+    """The marker construction (RE2-compatible, no lookahead) must produce
+    EXACTLY the published GPT-2 pattern's tokens — pinned against a pure
+    Python re implementation of the true lookahead pattern."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.functions import bpe as BP
+
+    ref = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+| ?_+|\s+(?!\S)|\s+"
+    )
+    cases = [
+        "Hello world", "a  b", "a   b", "  leading", "trailing  ",
+        "don't stop, can't won't I'm we're you've he'll she'd",
+        "abc123 45x", "multi\nline\ttext  here",
+        "punct!!! ...and--dashes", "unicode: héllo wörld café",
+        "x", "", "   ", "price: $3.50 (50% off!)",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r.id: list(r.t)
+        for r in df.select(
+            "id", BP.gpt2_pretokens_expr(F.col("text")).alias("t")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == ref.findall(c), f"case {c!r}"
+
+
+def test_train_and_tokenize_with_gpt2_pretokenizer(spark):
+    """End-to-end: gpt2 pre-tokens flow through training and application;
+    space-prefixed words are their own vocabulary items (Ġ-convention),
+    and token counts stay exact."""
+    from kadiyadb_spark.functions import bpe as BP
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low lower")], "doc_id long, text string"
+    )
+    wf = {r.word: r.freq for r in BP.word_frequencies(docs, pretokenize="gpt2").collect()}
+    # "low" appears once unprefixed (start of doc1/doc2) and once prefixed
+    assert wf == {"low": 2, " low": 1, " lower": 2}
+    merges = BP.train_bpe(docs, num_merges=3, min_freq=1, pretokenize="gpt2")
+    assert merges, "trained at least one merge"
+    out = {r.doc_id: (r.n_words, r.n_tokens) for r in BP.tokenize_bpe(
+        docs, merges, carry_cols=["doc_id"], pretokenize="gpt2"
+    ).collect()}
+    assert out[1][0] == 3 and out[2][0] == 2  # pre-token counts
+    assert out[1][1] >= out[1][0]  # tokens >= words always
