@@ -193,6 +193,48 @@ def q_fetch_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_downsample(r, ["f1", "f2"], factor=10, resolution=RES)
 
 
+def q_fetch_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL increase() with counter-reset handling over the dense fetch:
+    backwards-moving totals count their full new value (a restarted
+    counter), everything else is a plain delta; cum_increase is the
+    per-series running sum of adjusted deltas. Integer-scaled exact
+    arithmetic end to end; one series-keyed window Exchange
+    (query.py:series_increase)."""
+    from kadiyadb_spark.query import series_increase
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_increase(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile(0.9, ...) over le-bucketed value
+    histograms per (event_type, day): first bucket whose cumulative count
+    reaches phi*total, linear interpolation from the previous bound, +Inf
+    bucket returns the highest finite bound (query.py:histogram_quantile).
+    Counts are integers, so the only cross-engine FP ops are the phi
+    multiply and one interpolation expression — hash-gateable."""
+    from kadiyadb_spark.query import histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 24 * 3600 * SEC
+    le = (
+        F.when(F.col("value") <= 1.0, F.lit(1.0))
+        .when(F.col("value") <= 5.0, F.lit(5.0))
+        .when(F.col("value") <= 10.0, F.lit(10.0))
+        .when(F.col("value") <= 50.0, F.lit(50.0))
+        .when(F.col("value") <= 100.0, F.lit(100.0))
+        .otherwise(F.lit(float("inf")))
+    )
+    buckets = (
+        ev.withColumn("day", (F.col("ts") - F.col("ts") % F.lit(day_ns)).cast("long"))
+        .groupBy("event_type", "day", le.alias("le"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return histogram_quantile(buckets, 0.9, ["event_type", "day"])
+
+
 def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly detection over the dense fetch: each slot
     vs the mean/stddev of its preceding 12 slots (current excluded), flag
@@ -2809,6 +2851,66 @@ def q_multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format decode census over a MIXED corpus — the observability a
+    skip-posture crawl pipeline needs (how much decoded vs dropped, by
+    container): docs map to PNG / flat-block JPEG / WAV payloads the real
+    codecs decode (doc_id % 4 = 0/1/2) or raw text bytes nothing can
+    (= 3). Counts fold INSIDE each Arrow batch, so the shuffle carries
+    O(batches x formats) rows (functions/multimodal.py:decode_stats);
+    total_bytes is dropped from the gated projection only because zlib /
+    entropy-coded payload sizes aren't SQL-predictable."""
+    from kadiyadb_spark.functions import codecs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("hx"), "text"
+    )
+
+    def mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from kadiyadb_spark.functions import jpeg as J
+
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did, hx, tx in zip(pdf["doc_id"], pdf["hx"], pdf["text"]):
+                buf = np.frombuffer((hx * 6).encode("ascii"), dtype=np.uint8)
+                k = did % 4
+                if k == 0:
+                    types.append("image")
+                    payloads.append(codecs.encode_png(buf.reshape(8, 8, 3)))
+                elif k == 1:
+                    vals = buf[:32].reshape(4, 8).sum(axis=1) % 256
+                    img = np.repeat(
+                        np.repeat(vals.reshape(2, 2).astype(np.uint8), 8, 0), 8, 1
+                    )
+                    types.append("image")
+                    payloads.append(J.encode_jpeg(img, quality=100))
+                elif k == 2:
+                    types.append("audio")
+                    payloads.append(
+                        codecs.encode_wav(buf.astype(np.int16) - 128, rate=16000, bits=8)
+                    )
+                else:
+                    types.append("image")
+                    payloads.append(tx.encode("utf-8"))
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": types,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = docs.mapInPandas(mk, schema=M.MEDIA_SCHEMA)
+    return M.decode_stats(media, fake=False).select(
+        "media_type", "format", "n_assets", "n_decoded", "n_failed"
+    )
+
+
 def q_multimodal_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG codec end to end — the majority class of actual
     web-crawl images (VERDICT r07 gap #1): per-doc flat-block grayscale
@@ -2998,7 +3100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # date subtraction, explicit cast rounding) — then the three deferred
     # map-only entries, then EVERY entry the exactness sweep rewrote this
     # round (both Spark code and oracle changed, so each must re-prove at
-    # the driver), closing the cap with six r05-gated never-since entries.
+    # the driver), then the three NEW r08 entries (multimodal_jpeg_real,
+    # bpe_gpt2_pretok, multimodal_decode_stats — new entries go inside the
+    # cap), closing with three r05-gated never-since entries
+    # (approx_quantile lands on #50).
     return {
         # -- r08 gate (first 50) --
         # (1) the three r07 driver-gate hash-reds, rewritten this round to
@@ -3014,6 +3119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2b) NEW in r08 (new entries go inside the cap per rotation rule):
         "multimodal_jpeg_real": q_multimodal_jpeg_real,
         "bpe_gpt2_pretok": q_bpe_gpt2_pretok,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
+        "fetch_increase": q_fetch_increase,
+        "histogram_quantile": q_histogram_quantile,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3059,14 +3167,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio": q_fetch_ratio,
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
-        # (4) r05-gated entries never re-gated since, filling the cap:
         "anti_join": q_anti_join,
+        # ---- 50-entry gate cap lands here (anti_join closes it): 3 reds
+        # + 3 deferred + 5 NEW r08 entries + 38 sweep re-gates + anti_join;
+        # the r05-gated never-since entries below are covered by this
+        # round's all-entry local run and lead the r09 rotation ----
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # ---- 50-entry gate cap lands here (text_fingerprint closes it) --
         # Displaced r07-gated entries (green last round, unchanged since) and
         # the rest, covered by this round's all-entry local oracle run at
         # driver parallelism (ORACLE_LOCAL.md):
@@ -3478,6 +3588,65 @@ SELECT f1, f2, bucket, total,
               THEN total / lag(total, 1440) OVER w END) * 10000 + 0.5) / 10000 AS offset_ratio
 FROM base
 WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+"""
+
+    o["fetch_increase"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+d AS (
+  SELECT f1, f2, bucket, t4,
+         lag(t4) OVER w AS prev4,
+         t4 - lag(t4) OVER w AS d4
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+),
+adj AS (
+  SELECT f1, f2, bucket, t4, prev4,
+         CASE WHEN prev4 IS NULL THEN NULL
+              WHEN d4 < 0 THEN t4 ELSE d4 END AS adj4,
+         prev4 IS NOT NULL AND d4 < 0 AS reset
+  FROM d
+)
+SELECT f1, f2, bucket,
+       t4 / 10000.0 AS total,
+       adj4 / 10000.0 AS increase,
+       sum(coalesce(adj4, 0)) OVER (PARTITION BY f1, f2 ORDER BY bucket) / 10000.0 AS cum_increase,
+       reset
+FROM adj
+"""
+
+    o["histogram_quantile"] = f"""
+WITH b AS (
+  SELECT event_type, (epoch_ns(ts) // {24 * 3600 * SEC}) * {24 * 3600 * SEC} AS day,
+         CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+              WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+              WHEN value <= 100.0 THEN 100.0
+              ELSE CAST('infinity' AS DOUBLE) END AS le,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type, day, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, day ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, day) AS tot,
+         coalesce(lag(le) OVER (PARTITION BY event_type, day ORDER BY le), 0.0) AS prev_le
+  FROM b
+),
+sel AS (
+  SELECT event_type, day, le, cnt, tot, prev_le, cum - cnt AS prev_cum,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY le ASC) AS rn
+  FROM w
+  WHERE tot > 0 AND CAST(cum AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE)
+    AND cnt > 0
+)
+SELECT event_type, day, CAST(tot AS BIGINT) AS n_obs,
+       floor((CASE WHEN isinf(le) THEN prev_le
+              ELSE prev_le + (le - prev_le)
+                   * (CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE) - CAST(prev_cum AS DOUBLE))
+                   / CAST(cnt AS DOUBLE) END) * 10000 + 0.5) / 10000 AS quantile
+FROM sel WHERE rn = 1
 """
 
     o["fetch_smooth"] = f"""
@@ -5143,6 +5312,19 @@ SELECT doc_id,
                                         i -> ord(substr(hx, CAST(i AS INT), 1))))
             % 1000003 AS BIGINT) AS pix_sum
 FROM h
+"""
+
+    # The decodability of each payload class is BY CONSTRUCTION (hex-derived
+    # PNG/flat-JPEG/WAV always decode; raw text bytes never sniff as any
+    # container), so the census is pure doc_id % 4 arithmetic in SQL.
+    o["multimodal_decode_stats"] = """
+SELECT CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+       count(*) AS n_assets,
+       CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+       CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+FROM documents GROUP BY 1, 2
 """
 
     # Four flat 8x8 blocks, value_j = sum(hex chars 8j..8j+7) % 256; the

@@ -7,12 +7,13 @@ partitioning, output typing):
 - ``fake=True`` (default for the oracle-gated fixture entries): a
   deterministic byte-statistics stand-in, SQL-reproducible cross-engine.
 - ``fake=False``: REAL decoding via ``functions/codecs.py`` — pure
-  stdlib/numpy decoders for the publicly-documented uncompressed formats
-  (PNG 8-bit via zlib inflate + scanline unfiltering, BMP 24bpp, RIFF WAV
-  PCM 8/16-bit). Payloads in other containers (JPEG, MP3, ...) raise
-  ValueError (``on_error="skip"`` drops them instead) — an honest refusal,
-  never a fabricated answer. PIL/ffmpeg would widen codec coverage; the
-  pipeline shape is already the production one.
+  stdlib/numpy decoders for the publicly-documented formats (PNG 8-bit via
+  zlib inflate + scanline unfiltering, baseline JPEG per ITU-T T.81 in
+  functions/jpeg.py, BMP 24bpp, RIFF WAV PCM 8/16-bit). Payloads in other
+  containers (MP3, progressive JPEG, ...) raise ValueError
+  (``on_error="skip"`` drops them instead) — an honest refusal, never a
+  fabricated answer; ``decode_stats`` surfaces exactly what a corpus
+  decoded vs dropped per format, so a pipeline SEES what it lost.
 
 Scale notes: mapInPandas streams Arrow record batches, so payload bytes
 never materialize as Python objects row-by-row; partition sizing should cap
@@ -300,3 +301,80 @@ def audio_windows(
             )
 
     return media.mapInPandas(_win, schema=AUDIO_WINDOW_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),  # png|jpeg|bmp|wav|unknown
+        T.StructField("n_assets", T.LongType()),
+        T.StructField("n_decoded", T.LongType()),
+        T.StructField("n_failed", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_stats(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-(media_type, container format) decode census: how much of the
+    corpus actually decodes vs what ``on_error="skip"`` would silently drop
+    — the observability a crawl pipeline needs before trusting a skip
+    posture (a corpus that is 70% progressive JPEG should KNOW it).
+
+    Format comes from magic-byte sniffing (codecs.sniff; 'unknown' for
+    unrecognized containers); decoded/failed from actually attempting the
+    real decoder for the asset's media_type (images via decode_image,
+    audio via decode_audio). ``fake=True`` counts every sniffed-format
+    payload as decoded without running the codec — the cheap census when
+    only the format mix is needed.
+
+    Scale shape: counts aggregate INSIDE each Arrow batch (the kernel
+    emits one partial row per (type, format) per batch), so the shuffle
+    carries O(batches x formats) rows regardless of corpus size — the
+    map-side-combine pattern, payload bytes never leave the scan stage."""
+    from kadiyadb_spark.functions import codecs
+
+    def _census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            agg: dict[tuple[str, str], list[int]] = {}
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                fmt = codecs.sniff(b) or "unknown"
+                ok = True
+                if not fake:
+                    try:
+                        if mt == "audio":
+                            codecs.decode_audio(b)
+                        else:
+                            codecs.decode_image(b)
+                    except ValueError:
+                        ok = False
+                elif fmt == "unknown":
+                    ok = False
+                row = agg.setdefault((mt, fmt), [0, 0, 0, 0])
+                row[0] += 1
+                row[1] += 1 if ok else 0
+                row[2] += 0 if ok else 1
+                row[3] += len(b)
+            yield pd.DataFrame(
+                [
+                    {
+                        "media_type": mt,
+                        "format": fmt,
+                        "n_assets": v[0],
+                        "n_decoded": v[1],
+                        "n_failed": v[2],
+                        "total_bytes": v[3],
+                    }
+                    for (mt, fmt), v in agg.items()
+                ],
+                columns=[f.name for f in DECODE_STATS_SCHEMA.fields],
+            )
+
+    partial = media.mapInPandas(_census, schema=DECODE_STATS_SCHEMA)
+    return partial.groupBy("media_type", "format").agg(
+        F.sum("n_assets").cast("long").alias("n_assets"),
+        F.sum("n_decoded").cast("long").alias("n_decoded"),
+        F.sum("n_failed").cast("long").alias("n_failed"),
+        F.sum("total_bytes").cast("long").alias("total_bytes"),
+    )

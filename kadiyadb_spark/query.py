@@ -598,6 +598,119 @@ def series_topk(
     return g.orderBy(F.col("range_total").desc(), *[F.col(c).asc() for c in fcols]).limit(k)
 
 
+def series_increase(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``increase()`` with COUNTER-RESET handling over a dense fetch
+    frame: per slot, the adjusted delta is ``total - lag(total)`` unless
+    the counter went backwards (a restart zeroed it), in which case the
+    whole new value counts as increase — exactly Prometheus's
+    extrapolation-free reset rule. ``cum_increase`` accumulates the
+    adjusted deltas per series (the monotonic view dashboards plot of a
+    resetting counter). First slot of each series has no baseline: null
+    adjusted delta, cum 0.
+
+    All arithmetic folds integer-scaled longs (round(v*1e4)) and divides
+    once per output — associative, engine-default-free (SURVEY §15.1).
+    Same ONE series-keyed window Exchange as the rest of the fetch
+    transform family — composing them keeps a single shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    prev4 = F.lag(t4).over(w)
+    d4 = t4 - prev4
+    adj4 = F.when(prev4.isNull(), F.lit(None).cast("long")).when(d4 < 0, t4).otherwise(d4)
+    cum4 = F.sum(F.coalesce(adj4, F.lit(0))).over(
+        Window.partitionBy(*series_cols).orderBy(bucket_col)
+    )
+    return df.select(
+        *series_cols,
+        bucket_col,
+        (t4 / F.lit(10000.0)).alias(total_col),
+        (adj4 / F.lit(10000.0)).alias("increase"),
+        (cum4 / F.lit(10000.0)).alias("cum_increase"),
+        (prev4.isNotNull() & (d4 < 0)).alias("reset"),
+    )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    phi: float,
+    group_cols: list[str],
+    le_col: str = "le",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """PromQL ``histogram_quantile(phi, ...)`` over per-group cumulative-
+    style buckets given as PER-BUCKET counts: rows (group..., le, cnt)
+    where ``le`` is the bucket's inclusive upper bound (+Inf allowed) and
+    ``cnt`` its occupancy. Returns one row per group with the
+    linearly-interpolated quantile, Prometheus semantics exactly:
+
+    - target rank = phi * total; the selected bucket is the first whose
+      cumulative count reaches it;
+    - interpolate linearly inside the selected bucket from its lower
+      bound (the previous le, 0 for the first bucket);
+    - if the target lands in the +Inf bucket, return the highest FINITE
+      bound (no interpolation against infinity).
+
+    One window Exchange keyed by the group (cumulative count is
+    ``cum - cnt``-based, so no second pass); counts are integers, so
+    cross-engine the only FP ops are the single phi multiply and one
+    interpolation expression — identical IEEE both sides, which is what
+    lets the driver hash-gate it. Groups with zero total yield null."""
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = Window.partitionBy(*group_cols).orderBy(le_col)
+    wall = Window.partitionBy(*group_cols)
+    cum = F.sum(cnt_col).over(w)
+    tot = F.sum(cnt_col).over(wall)
+    prev_cum = cum - F.col(cnt_col)
+    prev_le = F.coalesce(F.lag(le_col).over(w), F.lit(0.0))
+    sel = (
+        df.withColumn("_cum", cum)
+        .withColumn("_tot", tot)
+        .withColumn("_prev_cum", prev_cum)
+        .withColumn("_prev_le", prev_le)
+        # window expressions must be materialized before the filter (Spark
+        # rejects window functions inside WHERE)
+        .filter(
+            (F.col("_tot") > 0)
+            & (
+                F.col("_cum").cast("double")
+                >= F.lit(float(phi)) * F.col("_tot").cast("double")
+            )
+            & (F.col(cnt_col) > 0)
+        )
+    )
+    # first qualifying bucket per group: the one with the smallest le
+    pick = Window.partitionBy(*group_cols).orderBy(F.col(le_col).asc())
+    q = F.when(
+        F.col(le_col) == float("inf"), F.col("_prev_le")
+    ).otherwise(
+        F.col("_prev_le")
+        + (F.col(le_col) - F.col("_prev_le"))
+        * (F.lit(float(phi)) * F.col("_tot").cast("double") - F.col("_prev_cum").cast("double"))
+        / F.col(cnt_col).cast("double")
+    )
+    return (
+        sel.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_tot").cast("long").alias("n_obs"),
+            round4_expr(q).alias("quantile"),
+        )
+    )
+
+
 def series_downsample(
     df: DataFrame,
     series_cols: list[str],

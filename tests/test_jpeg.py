@@ -150,3 +150,34 @@ if HAVE_HYP:
         img = _img(h, w, ch, seed=seed)
         out = decode_jpeg(encode_jpeg(img, quality=85))
         assert out.shape == (h, w, ch)
+
+
+def test_decode_stats_mixed_corpus(spark):
+    """Per-format census: decodable PNG/JPEG/WAV count as decoded, raw
+    text bytes as unknown/failed; counts fold inside Arrow batches."""
+    from kadiyadb_spark.functions import multimodal as MM
+
+    png = C.encode_png(_img(8, 8, 3, seed=1))
+    jpg = encode_jpeg(_img(16, 16, 1, seed=2), quality=90)
+    wav = C.encode_wav((np.arange(64) % 32).astype(np.int16), bits=16)
+    corrupt_jpg = jpg[:30]
+    rows = [
+        Row(asset_id=1, media_type="image", payload=bytearray(png), n_bytes=0),
+        Row(asset_id=2, media_type="image", payload=bytearray(jpg), n_bytes=0),
+        Row(asset_id=3, media_type="audio", payload=bytearray(wav), n_bytes=0),
+        Row(asset_id=4, media_type="image", payload=bytearray(b"plain text"), n_bytes=0),
+        Row(asset_id=5, media_type="image", payload=bytearray(corrupt_jpg), n_bytes=0),
+    ]
+    media = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    got = {(r.media_type, r.format): r for r in MM.decode_stats(media, fake=False).collect()}
+    assert got[("image", "png")].n_decoded == 1
+    jpeg_row = got[("image", "jpeg")]
+    assert (jpeg_row.n_assets, jpeg_row.n_decoded, jpeg_row.n_failed) == (2, 1, 1)
+    assert got[("audio", "wav")].n_decoded == 1
+    unk = got[("image", "unknown")]
+    assert (unk.n_assets, unk.n_decoded, unk.n_failed) == (1, 0, 1)
+    assert unk.total_bytes == len(b"plain text")
+    # fake=True: sniffed formats count as decoded without running codecs
+    fast = {(r.media_type, r.format): r for r in MM.decode_stats(media, fake=True).collect()}
+    assert fast[("image", "jpeg")].n_decoded == 2  # corrupt one not attempted
+    assert fast[("image", "unknown")].n_failed == 1

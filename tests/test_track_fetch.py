@@ -503,3 +503,56 @@ def test_fetch_value_set_matcher(spark):
 
     with pytest.raises(ValueError, match="scalar"):
         series_ratio(cube, 0, 5, [["a", "b"], "x", "y"], ["c", "x", "y"], resolution=RES)
+
+
+def test_series_increase_counter_resets(spark):
+    """PromQL increase(): a counter that goes 10 -> 25 -> 3 -> 8 yields
+    deltas 15, then a RESET (the full new value 3 counts), then 5; the
+    first slot has no baseline (null increase, cum 0)."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.query import series_increase
+
+    rows = [("m", b, t) for b, t in [(0, 10.0), (60, 25.0), (120, 3.0), (180, 8.0)]]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double")
+    got = {r.bucket: r for r in series_increase(df, ["f1"]).collect()}
+    assert got[0].increase is None and got[0].cum_increase == 0.0 and not got[0].reset
+    assert got[60].increase == 15.0 and not got[60].reset
+    assert got[120].increase == 3.0 and got[120].reset  # reset: full value counts
+    assert got[180].increase == 5.0 and not got[180].reset
+    assert got[180].cum_increase == 23.0  # 15 + 3 + 5
+
+
+def test_histogram_quantile_prometheus_semantics(spark):
+    """Known-answer checks: linear interpolation inside the selected
+    bucket, 0 lower bound for the first bucket, +Inf bucket returns the
+    highest finite bound, zero-total groups absent."""
+    import math
+
+    from kadiyadb_spark.query import histogram_quantile
+
+    rows = [
+        # group g1: buckets le=1 (4), le=5 (4), le=+inf (2); tot=10
+        ("g1", 1.0, 4), ("g1", 5.0, 4), ("g1", float("inf"), 2),
+        # group g2: everything in the +inf bucket -> quantile = highest
+        # finite bound = 5.0 (the le=5 bucket exists but is empty... so
+        # prev_le of inf is 5.0 even with cnt=0 there)
+        ("g2", 5.0, 0), ("g2", float("inf"), 10),
+    ]
+    df = spark.createDataFrame(rows, "g string, le double, cnt long")
+    got = {r.g: r for r in histogram_quantile(df, 0.5, ["g"]).collect()}
+    # g1: target=5, first bucket with cum>=5 is le=5 (cum 8, prev_cum 4,
+    # prev_le 1): q = 1 + (5-1)*(5-4)/4 = 2.0
+    assert got["g1"].quantile == 2.0 and got["g1"].n_obs == 10
+    # g2: target lands in +inf -> highest finite bound
+    assert got["g2"].quantile == 5.0
+
+    with_phi = histogram_quantile(df, 0.9, ["g"]).collect()
+    g1 = [r for r in with_phi if r.g == "g1"][0]
+    # target=9 -> +inf bucket -> 5.0
+    assert g1.quantile == 5.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="phi"):
+        histogram_quantile(df, 1.5, ["g"])
