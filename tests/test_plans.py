@@ -524,3 +524,32 @@ def test_bpe_pair_counts_one_partial_agg_shuffle(spark):
     # word_frequencies contributes one groupBy shuffle; the pair count one more
     assert n_shuffles(plan) == 2
     assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_series_increase_rides_the_family_window_exchange(spark):
+    """series_increase joins the one-Exchange transform family: lag +
+    ordered cumulative sum over the same (series, bucket) key add NO
+    shuffle beyond the single window exchange."""
+    from kadiyadb_spark.query import fetch, series_increase
+
+    ev = spark.createDataFrame([Row(ts=i % 10, x="a", y="u", v=float(i)) for i in range(20)])
+    cube = track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    dense = fetch(cube, 0, 10, ["a", "*"], resolution=1, duration=5)
+    base = n_shuffles(plan_str(dense))
+    inc = series_increase(dense.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
+    assert n_shuffles(plan_str(inc)) == base + 1
+
+
+def test_histogram_quantile_single_group_exchange(spark):
+    """histogram_quantile: cumulative count, total, lag and the rank pick
+    all key by the group, so the whole operator is ONE Exchange over the
+    bucket rows (never the raw observations)."""
+    from kadiyadb_spark.query import histogram_quantile
+
+    b = spark.createDataFrame(
+        [Row(g=f"g{i % 3}", le=float(le), cnt=i + 1) for i in range(9) for le in (1, 5)],
+    )
+    agg = b.groupBy("g", "le").agg(F.sum("cnt").alias("cnt"))
+    base = n_shuffles(plan_str(agg))
+    plan = plan_str(histogram_quantile(agg, 0.9, ["g"]))
+    assert n_shuffles(plan) == base + 1
