@@ -2820,6 +2820,12 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     blocks = vals.reshape(2, 2).astype(np.uint8)
                     img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
                     payloads.append(J.encode_jpeg(img, quality=100))
+                elif kind == "avi":
+                    # two 8x8x3 frames: the hex bytes, then hex bytes + 1
+                    # (hex chars <= 'f' = 102, so +1 never wraps a byte)
+                    f0 = buf.reshape(8, 8, 3)
+                    f1 = (buf + 1).astype(np.uint8).reshape(8, 8, 3)
+                    payloads.append(codecs.encode_avi(np.stack([f0, f1]), fps=10))
                 else:
                     payloads.append(
                         codecs.encode_wav(buf.astype(np.int16) - 128, rate=16000, bits=8)
@@ -2827,7 +2833,7 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "media_type": "audio" if kind == "wav" else "image",
+                    "media_type": {"wav": "audio", "avi": "video"}.get(kind, "image"),
                     "payload": payloads,
                     "n_bytes": [len(p) for p in payloads],
                 }
@@ -2908,6 +2914,23 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(mk, schema=M.MEDIA_SCHEMA)
     return M.decode_stats(media, fake=False).select(
         "media_type", "format", "n_assets", "n_decoded", "n_failed"
+    )
+
+
+def q_multimodal_avi_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end to end — the third leg of the multimodal
+    contract: per-doc two-frame uncompressed AVI built by
+    codecs.encode_avi, frames extracted back by the RIFF-walking decoder
+    inside video_frames (one row per sampled frame, true dims + decoded
+    pixel checksum). Uncompressed DIB frames round-trip bit-exactly, so
+    the oracle reproduces per-frame pixel sums from md5 hex arithmetic."""
+    media = _hex_media(spark, sf_dir, "avi")
+    return M.video_frames(media, every_n=1).select(
+        F.col("asset_id").alias("doc_id"),
+        "frame_idx",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("pix_sum_mod").cast("long").alias("pix_sum"),
     )
 
 
@@ -3122,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "fetch_increase": q_fetch_increase,
         "histogram_quantile": q_histogram_quantile,
+        "multimodal_avi_real": q_multimodal_avi_real,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3167,11 +3191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio": q_fetch_ratio,
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
+        # ---- 50-entry gate cap lands here (fetch_smooth closes it):
+        # 3 reds + 3 deferred + 6 NEW r08 entries + 38 sweep re-gates fill
+        # the cap exactly; the r05-gated never-since entries below are
+        # covered by this round's all-entry local run and lead the r09
+        # rotation ----
         "anti_join": q_anti_join,
-        # ---- 50-entry gate cap lands here (anti_join closes it): 3 reds
-        # + 3 deferred + 5 NEW r08 entries + 38 sweep re-gates + anti_join;
-        # the r05-gated never-since entries below are covered by this
-        # round's all-entry local run and lead the r09 rotation ----
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
@@ -5325,6 +5350,20 @@ SELECT CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
        CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
        CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
 FROM documents GROUP BY 1, 2
+"""
+
+    # Frame 0 = the 192 hex bytes (sum = 6 * S); frame 1 = bytes + 1
+    # (sum = 6 * (S + 32)); uncompressed DIB frames round-trip exactly.
+    o["multimodal_avi_real"] = """
+WITH h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, 33),
+                                 i -> ord(substr(md5(text), CAST(i AS INT), 1)))) AS s
+  FROM documents)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST((6 * (s + 32 * f)) % 1000003 AS BIGINT) AS pix_sum
+FROM h, (SELECT unnest([0, 1]) AS f) frames
 """
 
     # Four flat 8x8 blocks, value_j = sum(hex chars 8j..8j+7) % 256; the

@@ -15,6 +15,8 @@ a fake answer):
   majority class of real web-crawl images.
 - BMP  (BITMAPINFOHEADER): 24bpp uncompressed BI_RGB, bottom-up or top-down.
 - WAV  (RIFF PCM): 8-bit unsigned or 16-bit signed LE, any channel count.
+- AVI  (RIFF, uncompressed 24bpp DIB video stream): the video leg of the
+  multimodal contract — frame extraction over real container bytes.
 
 Encoders for the same subset ship alongside so pipelines (and tests) can
 synthesize payloads deterministically; PNG encoding writes filter-0 rows
@@ -41,7 +43,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Container format by magic bytes: 'png' | 'jpeg' | 'bmp' | 'wav' | None."""
+    """Container format by magic bytes:
+    'png' | 'jpeg' | 'bmp' | 'wav' | 'avi' | None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -50,6 +53,8 @@ def sniff(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -309,3 +314,121 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
     cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return img[rows[:, None], cols[None, :]]
+
+
+# -- AVI (uncompressed video) --------------------------------------------------
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """RIFF AVI with an uncompressed 24bpp DIB video stream ->
+    ((n_frames, h, w, 3) uint8 RGB, fps). The video analog of the other
+    real codecs: AVI is a plain RIFF chunk walk (public spec), frames are
+    BMP-style bottom-up BGR rows padded to 4 bytes. Compressed streams
+    (any biCompression != 0) refuse with ValueError — same honest-refusal
+    contract as decode_image/decode_audio."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF/AVI header)")
+
+    w = h = None
+    rate = scale = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal w, h, rate, scale
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + clen > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + clen)  # skip list type
+            elif cid == b"strh":
+                fcc_type = buf[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", buf[body_start + 20 : body_start + 28]
+                    )
+            elif cid == b"strf" and w is None:
+                bi = buf[body_start : body_start + 40]
+                if len(bi) >= 40:
+                    _sz, bw, bh, _pl, bpp, comp = struct.unpack("<IiiHHI", bi[:20])
+                    if bpp == 24 and comp == 0:
+                        w, h = bw, abs(bh)
+                    elif comp != 0:
+                        raise ValueError(
+                            f"unsupported AVI: compressed video (biCompression={comp})"
+                        )
+            elif cid[2:4] in (b"db", b"dc") and clen:
+                frames.append(buf[body_start : body_start + clen])
+            pos = body_start + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if w is None or h is None:
+        raise ValueError("AVI missing uncompressed 24bpp video stream header")
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    stride = ((w * 3 + 3) // 4) * 4
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames):
+        if len(fr) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fr[: stride * h], dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR
+    fps = (rate / scale) if rate and scale else 0.0
+    return out, float(fps)
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
+    """Sniff + decode a video payload (AVI) — same ValueError
+    normalization contract as decode_image (every corrupt-payload failure
+    surfaces as ValueError so the skip kernels key on one type)."""
+    if sniff(payload) != "avi":
+        raise ValueError(f"undecodable video payload (magic={payload[:4]!r})")
+    try:
+        return decode_avi(payload)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, numpy reshape, ...
+        raise ValueError(f"corrupt avi payload: {e}") from e
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> uncompressed 24bpp DIB AVI bytes (the
+    deterministic test/pipeline payload producer, like the other encoders)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError("AVI encoder takes (n, h, w, 3) RGB")
+    n, h, w, _ = a.shape
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("cannot encode an empty video")
+    stride = ((w * 3 + 3) // 4) * 4
+    frame_bytes = []
+    for i in range(n):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[i, ::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB->BGR
+        frame_bytes.append(rows.tobytes())
+    fsize = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, fsize * fps, 0, 0x10, n, 0, 1, fsize, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, fsize, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 2835, 2835, 0, 0)
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

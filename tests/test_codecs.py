@@ -306,3 +306,58 @@ def test_skip_drops_corrupt_not_just_wrong_magic(spark):
     assert {r.asset_id for r in got} == {5}
     with pytest.raises(Exception, match="undecodable"):
         M.audio_windows(amedia, window=32, stride=32, fake=False).collect()
+
+
+# -- AVI (uncompressed video) --------------------------------------------------
+
+
+def test_avi_roundtrip_multiframe():
+    frames = _img(3 * 5 * 7 * 3, 1, 1, seed=11).reshape(3, 5, 7, 3)
+    out, fps = C.decode_avi(C.encode_avi(frames, fps=24))
+    assert fps == 24.0
+    assert np.array_equal(out, frames)
+
+
+def test_avi_row_padding_and_sniff():
+    # width 7 -> stride 24 != 21: padding must be stripped on decode
+    frames = _img(2 * 4 * 7 * 3, 1, 1, seed=3).reshape(2, 4, 7, 3)
+    b = C.encode_avi(frames, fps=10)
+    assert C.sniff(b) == "avi"
+    out, _ = C.decode_avi(b)
+    assert np.array_equal(out, frames)
+
+
+def test_avi_rejects_compressed_and_corrupt():
+    frames = _img(1 * 8 * 8 * 3, 1, 1, seed=1).reshape(1, 8, 8, 3)
+    b = bytearray(C.encode_avi(frames))
+    i = bytes(b).find(b"strf")
+    # biCompression lives 16 bytes into the BITMAPINFOHEADER body
+    b[i + 8 + 16 : i + 8 + 20] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compressed"):
+        C.decode_avi(bytes(b))
+    with pytest.raises(ValueError, match="undecodable video"):
+        C.decode_video(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    with pytest.raises(ValueError):
+        C.decode_video(C.encode_avi(frames)[:40])
+
+
+def test_video_frames_sampling_and_skip(spark):
+    frames = _img(6 * 4 * 4 * 3, 1, 1, seed=9).reshape(6, 4, 4, 3)
+    good = C.encode_avi(frames, fps=5)
+    rows = [
+        Row(asset_id=1, media_type="video", payload=bytearray(good), n_bytes=0),
+        Row(asset_id=2, media_type="video", payload=bytearray(good[:50]), n_bytes=0),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = M.video_frames(media, every_n=2, on_error="skip").collect()
+    assert {r.asset_id for r in got} == {1}
+    assert sorted(r.frame_idx for r in got) == [0, 2, 4]  # every 2nd frame
+    for r in got:
+        i = r.frame_idx
+        assert (r.width, r.height) == (4, 4) and r.fps == 5.0
+        assert r.pix_sum_mod == int(frames[i].sum(dtype="int64") % 1_000_003)
+    with pytest.raises(Exception, match="(?i)avi|truncated"):
+        M.video_frames(media, every_n=1).collect()
+    # max_frames caps the fan-out
+    capped = M.video_frames(media, every_n=1, max_frames=2, on_error="skip").collect()
+    assert sorted(r.frame_idx for r in capped) == [0, 1]
