@@ -27,10 +27,12 @@ from kadiyadb_spark.database import Database, load_all_open, rollup_refresh
 from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import (
     fetch,
+    histogram_quantile,
     interpolate_series,
     series_anomaly,
     series_delta,
     series_downsample,
+    series_increase,
     series_ratio,
     series_offset,
     series_ratio_wildcard,
@@ -58,6 +60,8 @@ __all__ = [
     "series_ratio_wildcard",
     "series_sum_by",
     "series_topk",
+    "series_increase",
+    "histogram_quantile",
     "get_spark",
     "spread",
 ]
