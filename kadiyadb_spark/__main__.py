@@ -96,6 +96,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dst", required=True)
     p.add_argument("--stream-id", default="rollup")
 
+    p = sub.add_parser(
+        "route",
+        help="resolution-routed fetch across every database under a server "
+        "root (the reference's LoadAll surface): finest tier whose dense "
+        "point count fits --max-points serves the query",
+    )
+    p.add_argument("--root", required=True, help="server dir of database subdirs")
+    p.add_argument("--from-ns", type=int, required=True)
+    p.add_argument("--to-ns", type=int, required=True)
+    p.add_argument("--pattern", required=True)
+    p.add_argument("--max-points", type=int, default=None)
+    p.add_argument("--now-ns", type=int, default=None, help="retention filter anchor")
+    p.add_argument("--sparse", action="store_true")
+    p.add_argument("--limit", type=int, default=1000)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -168,6 +183,22 @@ def main(argv: list[str] | None = None) -> int:
             _open(spark, args.src), _open(spark, args.dst), stream_id=args.stream_id
         )
         _emit({"applied": applied})
+    elif args.cmd == "route":
+        from kadiyadb_spark.database import fetch_routed, load_all_open
+
+        tiers = list(load_all_open(spark, args.root).values())
+        r = fetch_routed(
+            tiers,
+            args.from_ns,
+            args.to_ns,
+            args.pattern.split(","),
+            max_points=args.max_points,
+            now_ts=args.now_ns,
+            densify=not args.sparse,
+        )
+        keys = [c for c in r.columns if c not in ("total", "cnt")]
+        for row in r.orderBy(*keys).limit(args.limit).collect():
+            _emit(row.asDict())
     return 0
 
 

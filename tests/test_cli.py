@@ -61,3 +61,33 @@ def test_cli_rollup_refresh(spark, tmp_path, capsys):
     assert main(["rollup", "--src", src, "--dst", dst]) == 0
     (r2,) = _out(capsys)
     assert r2["applied"] is False  # idempotent
+
+
+def test_cli_route_across_tiers(spark, tmp_path, capsys):
+    """`route` fetches across every database under a server root through
+    the resolution router; res_ns stamps which tier answered."""
+    root = tmp_path / "srv"
+    root.mkdir()
+    fine, coarse = str(root / "fine"), str(root / "coarse")
+    ev = str(tmp_path / "e.parquet")
+    spark.createDataFrame(
+        [Row(ts=i, x="a", y="b", value=1.0) for i in range(0, 10)]
+    ).write.parquet(ev)
+    main(["init", "--path", fine, "--duration", "5", "--resolution", "1",
+          "--retention", "100", "--fields", "x,y"])
+    main(["init", "--path", coarse, "--duration", "10", "--resolution", "5",
+          "--retention", "1000", "--fields", "x,y"])
+    main(["track", "--path", fine, "--events", ev, "--total-col", "value"])
+    assert main(["rollup", "--src", fine, "--dst", coarse]) == 0
+    capsys.readouterr()
+    # 10 ns at 1-ns resolution = 10 points: budget 3 -> the 5-ns tier (2)
+    assert main(["route", "--root", str(root), "--from-ns", "0", "--to-ns", "10",
+                 "--pattern", "a,*", "--max-points", "3", "--sparse"]) == 0
+    rows = _out(capsys)
+    assert rows and all(r["res_ns"] == 5 for r in rows)
+    assert sum(r["total"] for r in rows) == 10.0
+    # generous budget -> fine tier
+    assert main(["route", "--root", str(root), "--from-ns", "0", "--to-ns", "10",
+                 "--pattern", "a,*", "--max-points", "1000", "--sparse"]) == 0
+    rows = _out(capsys)
+    assert rows and all(r["res_ns"] == 1 for r in rows)
