@@ -847,6 +847,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent-items via the two-pass sketch-pruned design
+    (functions/sketch.py:heavy_hitters): per-partition Misra-Gries
+    summaries bound pass 1's shuffle to partitions x k candidate rows
+    (pigeonhole makes the union a guaranteed heavy-hitter superset), pass
+    2 recounts only candidates — output is exact, so a plain GROUP BY /
+    HAVING oracle hash-gates it. Threshold 1/512 is dyadic: exact in
+    binary doubles AND decimals, so both engines floor the same integer."""
+    from kadiyadb_spark.functions.sketch import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id"], 1.0 / 512)
+
+
 def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct rollup (functions/sketch.py): per-(type,
     day) HLL sketches of user_id built write-time, UNIONED day->month
@@ -3184,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "multimodal_avi_real": q_multimodal_avi_real,
         "fetch_routed": q_fetch_routed,
+        "heavy_hitters": q_heavy_hitters,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3215,7 +3230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
-        "json_source_agg": q_json_source_agg,
         "orc_source_agg": q_orc_source_agg,
         "zorder_layout": q_zorder_layout,
         "bucketed_join": q_bucketed_join,
@@ -3229,12 +3243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
         # ---- 50-entry gate cap lands here (fetch_smooth closes it):
-        # 3 reds + 3 deferred + 7 NEW r08 entries + 37 sweep re-gates.
-        # csv_source_agg (sweep-rewritten) is the one displaced re-gate: it
-        # shares the IDENTICAL oracle text and agg code path with the gated
-        # json/orc source entries, so the rewrite is proven by proxy; it and
-        # the r05-gated never-since entries below are covered by this
-        # round's all-entry local run and lead the r09 rotation ----
+        # 3 reds + 3 deferred + 8 NEW r08 entries + 36 sweep re-gates.
+        # json_source_agg/csv_source_agg (sweep-rewritten) are the two
+        # displaced re-gates: they share the IDENTICAL oracle text and agg
+        # code path with the gated orc_source_agg, so the rewrite is proven
+        # by proxy; they and the r05-gated never-since entries below are
+        # covered by this round's all-entry local run and lead the r09
+        # rotation ----
+        "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
@@ -4467,6 +4483,14 @@ FROM events GROUP BY event_type
 
     # Tolerance oracle (approx_distinct pattern): exact values + a flag the
     # sketch estimate must satisfy; the oracle asserts the flag TRUE.
+    o["heavy_hitters"] = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+       floor((count(*) / (SELECT CAST(c AS DOUBLE) FROM n)) * 10000 + 0.5) / 10000 AS frac
+FROM events GROUP BY user_id
+HAVING count(*) > (SELECT CAST(floor(c * 0.001953125) AS BIGINT) FROM n)
+"""
+
     o["hll_distinct_rollup"] = """
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,

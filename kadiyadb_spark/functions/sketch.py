@@ -65,3 +65,92 @@ def hll_merge(
 def hll_estimate(sketch: Column) -> Column:
     """Distinct-count estimate of a sketch column (long)."""
     return F.hll_sketch_estimate(sketch).cast("long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    threshold_frac: float,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency > threshold_frac of all
+    rows) via the standard two-pass sketch-pruned design — the frequent-
+    items query a 100 TB corpus cannot answer with a raw groupBy when the
+    key space is huge (user ids, URLs, shingles) and only the head matters:
+
+    Pass 1 — per-partition Misra-Gries summaries with k counters inside
+    Arrow batches: a key whose GLOBAL frequency exceeds n/k must exceed
+    n_p/k in at least one partition (pigeonhole), so the union of the
+    per-partition summaries is a guaranteed SUPERSET of every true heavy
+    hitter — only partitions x k candidate rows ever shuffle, never the
+    raw keys.
+
+    Pass 2 — exact recount of the candidate set only (semi join pruned
+    before the count shuffle), filtered by the exact global threshold
+    ``floor(threshold_frac * n)`` — so the OUTPUT is exact (keys and
+    counts), which is what lets a plain GROUP BY / HAVING SQL oracle
+    hash-gate it; the sketch only prunes, it never answers.
+
+    ``k`` defaults to ceil(2 / threshold_frac) (the MG bound 1/frac with
+    2x headroom for skewed partition sizes); the candidate broadcast is
+    bounded by partitions x k rows. For a CROSS-ENGINE-exact threshold use
+    a dyadic fraction (1/2^m): exact in binary doubles AND decimals, so
+    ``int(threshold_frac * n)`` is the same floor in any engine. Returns
+    (key_cols..., cnt, frac), unordered (callers sort)."""
+    if not 0.0 < threshold_frac < 1.0:
+        raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
+    if not key_cols:
+        raise ValueError("heavy_hitters needs at least one key column")
+    if k is None:
+        import math
+
+        kk = max(2, math.ceil(2.0 / threshold_frac))
+    else:
+        kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {kk}")
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    keyed = df.select(*key_cols)
+    schema = keyed.schema
+
+    def _mg(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # one Misra-Gries summary across ALL batches of this partition
+        counters: dict[tuple, int] = {}
+        cols = list(schema.fieldNames())
+        for pdf in batches:
+            for tup in zip(*(pdf[c] for c in cols)):
+                t = tuple(tup)
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < kk:
+                    counters[t] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            [dict(zip(cols, key)) for key in counters], columns=cols
+        )
+
+    candidates = keyed.mapInPandas(_mg, schema=schema).distinct()
+    n = df.count()
+    floor_thresh = int(threshold_frac * n)
+    exact = (
+        df.join(F.broadcast(candidates), on=key_cols, how="left_semi")
+        .groupBy(*key_cols)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > floor_thresh)
+    )
+    from kadiyadb_spark.functions.num import round4_expr
+
+    return exact.select(
+        *key_cols,
+        "cnt",
+        round4_expr(F.col("cnt") / F.lit(float(n))).alias("frac"),
+    )

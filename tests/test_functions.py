@@ -1467,3 +1467,33 @@ def test_ivfpq_index_pinned_generation_survives_compact(spark, tmp_path):
     assert pinned == pre
     with pytest.raises(ValueError, match="not retained"):
         idx.search(queries, at_gen=g0 + 9)
+
+
+def test_heavy_hitters_exact_with_adversarial_partitioning(spark):
+    """The MG superset guarantee: a key spread thinly across partitions
+    but globally over threshold must still surface; counts are exact."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.sketch import heavy_hitters
+
+    rows = []
+    # 'hot': 40 rows, 'warm': 25, 60 singletons -> n = 125
+    rows += [Row(k="hot")] * 40 + [Row(k="warm")] * 25
+    rows += [Row(k=f"cold{i}") for i in range(60)]
+    df = spark.createDataFrame(rows).repartition(8)  # spread every key around
+    got = {r.k: (r.cnt, r.frac) for r in heavy_hitters(df, ["k"], 0.125).collect()}
+    # threshold 0.125 * 125 = 15.625 -> floor 15: hot and warm qualify
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"][0] == 40 and got["warm"][0] == 25
+    assert got["hot"][1] == round(40 / 125, 4)
+
+    # tight k forces real MG evictions; superset guarantee must hold
+    tight = {r.k for r in heavy_hitters(df, ["k"], 0.125, k=8).collect()}
+    assert tight == {"hot", "warm"}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold_frac"):
+        heavy_hitters(df, ["k"], 1.5)
+    with _pt.raises(ValueError, match="key column"):
+        heavy_hitters(df, [], 0.1)
