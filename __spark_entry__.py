@@ -208,6 +208,24 @@ def q_fetch_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_increase(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
 
 
+def q_fetch_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv()/predict_linear(): per slot, the least-squares line
+    through the trailing 30 totals, as slope per second and the value one
+    hour ahead — capacity planning's trend query. Every regression sum is
+    an exact integer window fold (the rn-shift identity); slope/prediction
+    are single double expressions over exact operands, identical IEEE both
+    engines (query.py:series_predict_linear)."""
+    from kadiyadb_spark.query import series_predict_linear
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_predict_linear(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"],
+        window_slots=30, horizon_slots=60, resolution=RES,
+    )
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL histogram_quantile(0.9, ...) over le-bucketed value
     histograms per (event_type, day): first bucket whose cumulative count
@@ -3199,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_real": q_multimodal_avi_real,
         "fetch_routed": q_fetch_routed,
         "heavy_hitters": q_heavy_hitters,
+        "fetch_predict_linear": q_fetch_predict_linear,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3231,7 +3250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
         "orc_source_agg": q_orc_source_agg,
-        "zorder_layout": q_zorder_layout,
         "bucketed_join": q_bucketed_join,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
@@ -3243,15 +3261,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
         # ---- 50-entry gate cap lands here (fetch_smooth closes it):
-        # 3 reds + 3 deferred + 8 NEW r08 entries + 36 sweep re-gates.
-        # json_source_agg/csv_source_agg (sweep-rewritten) are the two
-        # displaced re-gates: they share the IDENTICAL oracle text and agg
-        # code path with the gated orc_source_agg, so the rewrite is proven
-        # by proxy; they and the r05-gated never-since entries below are
-        # covered by this round's all-entry local run and lead the r09
-        # rotation ----
+        # 3 reds + 3 deferred + 9 NEW r08 entries + 35 sweep re-gates.
+        # json/csv_source_agg and zorder_layout (sweep-rewritten) are the
+        # displaced re-gates: the source aggs share the IDENTICAL oracle
+        # text and agg code path with the gated orc_source_agg, and
+        # zorder_layout's rewritten agg is the same exact_sum4 shape the
+        # gated event aggregations prove; all three plus the r05-gated
+        # never-since entries below are covered by this round's all-entry
+        # local run and lead the r09 rotation ----
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
+        "zorder_layout": q_zorder_layout,
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -3696,6 +3716,48 @@ SELECT f1, f2, bucket,
        sum(coalesce(adj4, 0)) OVER (PARTITION BY f1, f2 ORDER BY bucket) / 10000.0 AS cum_increase,
        reset
 FROM adj
+"""
+
+    o["fetch_predict_linear"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, total, CAST(round(total * 10000) AS BIGINT) AS y4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+r0 AS (
+  SELECT f1, f2, bucket, total, y4,
+         CAST(row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS BIGINT) AS rn
+  FROM base
+),
+r1 AS (
+  SELECT f1, f2, bucket, total, rn,
+         count(y4) OVER wf AS n,
+         sum(y4) OVER wf AS sy,
+         sum(rn * y4) OVER wf AS srny
+  FROM r0
+  WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
+                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT f1, f2, bucket, total, n, sy,
+         srny - (rn - (n - 1)) * sy AS sxy,
+         n * (n - 1) / 2 AS sx,
+         n * (n - 1) * (2 * n - 1) / 6 AS sxx
+  FROM r1
+),
+s AS (
+  SELECT f1, f2, bucket, total, n, sy, sx,
+         CASE WHEN n = 30 AND (n * sxx - sx * sx) != 0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                   / (n * sxx - sx * sx) END AS slope4
+  FROM c
+)
+SELECT f1, f2, bucket,
+       floor(total * 10000 + 0.5) / 10000 AS total,
+       floor((slope4 / 600000.0) * 10000 + 0.5) / 10000 AS deriv_per_sec,
+       floor(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               + slope4 * ((CAST(n - 1 AS DOUBLE) + 60.0) - sx / CAST(n AS DOUBLE)))
+              / 10000.0) * 10000 + 0.5) / 10000 AS predicted
+FROM s
 """
 
     o["histogram_quantile"] = f"""

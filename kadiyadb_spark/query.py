@@ -637,6 +637,78 @@ def series_increase(
     )
 
 
+def series_predict_linear(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int,
+    horizon_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``deriv()`` + ``predict_linear()`` over a dense fetch frame:
+    per slot, the least-squares line through the trailing ``window_slots``
+    totals, reported as slope per second and the extrapolated value
+    ``horizon_slots`` ahead (capacity-planning's "when does the disk
+    fill"). Slots without a full baseline window yield nulls (a 2-point
+    line through noise is not a trend).
+
+    Engine-default-free by construction (SURVEY §15.1): totals scale to
+    exact longs, x is the in-frame slot index via the shift identity
+    ``sum((rn - rn_start) * y) = sum(rn*y) - rn_start * sum(y)`` so every
+    regression sum is an ASSOCIATIVE integer window fold, and the slope /
+    prediction are single double expressions over exact operands —
+    identical IEEE in any engine. Overflow bounds: rn in-frame <= W,
+    y4 <= ~1e9 at the fixture value scale -> n*Sxy <= W^2 * max|y4| * W;
+    W <= 1440 (a day of minutes) keeps every intermediate under 2^63.
+    Same ONE series-keyed window Exchange as the transform family."""
+    if window_slots < 2:
+        raise ValueError(f"need window_slots >= 2, got {window_slots}")
+    if horizon_slots < 0:
+        raise ValueError(f"need horizon_slots >= 0, got {horizon_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    wf = w.rowsBetween(-(window_slots - 1), 0)
+    # rn and the rn*y product materialize BEFORE the frame sums (window
+    # expressions cannot nest inside another window's argument)
+    base = df.select(
+        *series_cols,
+        bucket_col,
+        F.col(total_col),
+        F.round(F.col(total_col).cast("double") * 10000).cast("long").alias("_y4"),
+        F.row_number().over(w).cast("long").alias("_rn"),
+    )
+    n = F.count("_y4").over(wf)
+    sy = F.sum("_y4").over(wf)
+    srny = F.sum(F.col("_rn") * F.col("_y4")).over(wf)
+    # in-frame x: x_rel = rn - rn_start, rn_start = rn - (n - 1)
+    rn_start = F.col("_rn") - (n - F.lit(1))
+    sxy = srny - rn_start * sy  # = sum(x_rel * y4), exact integer fold
+    # closed forms over x_rel = 0..n-1: sum x = n(n-1)/2, sum x^2 = n(n-1)(2n-1)/6
+    sx = n * (n - F.lit(1)) / F.lit(2)
+    sxx = n * (n - F.lit(1)) * (2 * n - F.lit(1)) / F.lit(6)
+    denom = n * sxx - sx * sx
+    slope4 = F.when(
+        (n == window_slots) & (denom != 0),
+        (n.cast("double") * sxy.cast("double") - sx * sy.cast("double")) / denom,
+    )  # scaled-by-1e4 units per slot
+    x_pred = (n - F.lit(1)).cast("double") + F.lit(float(horizon_slots))
+    mean_y4 = sy.cast("double") / n.cast("double")
+    mean_x = sx / n.cast("double")
+    pred4 = mean_y4 + slope4 * (x_pred - mean_x)
+    res_sec = resolution / 1e9
+    return base.select(
+        *series_cols,
+        bucket_col,
+        round4_expr(F.col(total_col)).alias(total_col),
+        round4_expr(slope4 / F.lit(10000.0 * res_sec)).alias("deriv_per_sec"),
+        round4_expr(pred4 / F.lit(10000.0)).alias("predicted"),
+    )
+
+
 def histogram_quantile(
     df: DataFrame,
     phi: float,

@@ -556,3 +556,22 @@ def test_histogram_quantile_prometheus_semantics(spark):
 
     with _pt.raises(ValueError, match="phi"):
         histogram_quantile(df, 1.5, ["g"])
+
+
+def test_series_predict_linear_known_line(spark):
+    """Known-answer: totals on an exact line y = 2 + 0.5*x recover slope
+    0.5/slot and extrapolate exactly; slots without a full window are null."""
+    from kadiyadb_spark.query import series_predict_linear
+
+    rows = [("m", b * 60, 2.0 + 0.5 * b) for b in range(10)]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double")
+    got = {r.bucket // 60: r for r in series_predict_linear(
+        df, ["f1"], window_slots=5, horizon_slots=4, resolution=60
+    ).collect()}
+    assert got[3].deriv_per_sec is None and got[3].predicted is None
+    r = got[9]  # full window over x=5..9
+    # slope 0.5 per slot over 60 ns -> per "second" at resolution=60: the
+    # operator treats resolution in ns, so per_sec = 0.5 / (60/1e9)
+    assert r.deriv_per_sec == round(0.5 / (60 / 1e9), 4)
+    # prediction 4 slots past bucket 9: y = 2 + 0.5 * 13 = 8.5
+    assert r.predicted == 8.5
