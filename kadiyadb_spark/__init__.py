@@ -28,6 +28,7 @@ from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import (
     fetch,
     histogram_quantile,
+    series_predict_linear,
     interpolate_series,
     series_anomaly,
     series_delta,
@@ -61,6 +62,7 @@ __all__ = [
     "series_sum_by",
     "series_topk",
     "series_increase",
+    "series_predict_linear",
     "histogram_quantile",
     "get_spark",
     "spread",
