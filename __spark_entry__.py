@@ -865,6 +865,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT packing (next-fit decreasing) — the SFT-side packing
+    strategy where documents must not cross sequence boundaries
+    (functions/packing.py:pack_nosplit): one shuffle onto shards, a
+    per-shard Arrow kernel runs the deterministic next-fit, and the
+    per-bin census (docs/tokens/padding) is hash-gated against a DuckDB
+    RECURSIVE CTE replaying the same online rule — an iterative
+    algorithm value-checked cross-engine, like the BPE trainer."""
+    from kadiyadb_spark.functions.packing import pack_nosplit, pack_nosplit_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_nosplit_bins(pack_nosplit(docs, seq_len=512, num_shards=8), seq_len=512)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequent-items via the two-pass sketch-pruned design
     (functions/sketch.py:heavy_hitters): per-partition Misra-Gries
@@ -3218,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_routed": q_fetch_routed,
         "heavy_hitters": q_heavy_hitters,
         "fetch_predict_linear": q_fetch_predict_linear,
+        "pack_nosplit": q_pack_nosplit,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3241,7 +3256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "rollup_revenue": q_rollup_revenue,
-        "date_extract": q_date_extract,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,
@@ -3261,17 +3275,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
         # ---- 50-entry gate cap lands here (fetch_smooth closes it):
-        # 3 reds + 3 deferred + 9 NEW r08 entries + 35 sweep re-gates.
-        # json/csv_source_agg and zorder_layout (sweep-rewritten) are the
-        # displaced re-gates: the source aggs share the IDENTICAL oracle
-        # text and agg code path with the gated orc_source_agg, and
-        # zorder_layout's rewritten agg is the same exact_sum4 shape the
-        # gated event aggregations prove; all three plus the r05-gated
-        # never-since entries below are covered by this round's all-entry
-        # local run and lead the r09 rotation ----
+        # 3 reds + 3 deferred + 10 NEW r08 entries + 34 sweep re-gates.
+        # json/csv_source_agg, zorder_layout and date_extract are the
+        # displaced sweep re-gates, each proven by proxy: the source aggs
+        # share the IDENTICAL oracle text/code path with the gated
+        # orc_source_agg, and zorder_layout/date_extract rewrote to the
+        # same exact_sum4 shape the gated event/order aggregations prove;
+        # all four plus the r05-gated never-since entries below are covered
+        # by this round's all-entry local run and lead the r09 rotation ---
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
         "zorder_layout": q_zorder_layout,
+        "date_extract": q_date_extract,
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -4545,6 +4560,35 @@ FROM events GROUP BY event_type
 
     # Tolerance oracle (approx_distinct pattern): exact values + a flag the
     # sketch estimate must satisfy; the oracle asserts the flag TRUE.
+    # Recursive replay of next-fit decreasing: rn orders each shard's docs
+    # (tokens DESC, id ASC); the recursion threads (bin_idx, used) through
+    # rn+1 joins — linear per shard, parallel across shards.
+    o["pack_nosplit"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS shard, CAST(len({_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+f AS (
+  SELECT doc_id, shard, n_tok,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM t WHERE n_tok > 0 AND n_tok <= 512
+),
+r AS (
+  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_idx, n_tok AS used
+  FROM f WHERE rn = 1
+  UNION ALL
+  SELECT f.shard, f.rn, f.doc_id, f.n_tok,
+         CASE WHEN r.used + f.n_tok <= 512 THEN r.bin_idx ELSE r.bin_idx + 1 END,
+         CASE WHEN r.used + f.n_tok <= 512 THEN r.used + f.n_tok ELSE f.n_tok END
+  FROM r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1
+)
+SELECT CAST(shard AS BIGINT) AS shard, bin_idx,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(512 - sum(n_tok) AS BIGINT) AS padding
+FROM r GROUP BY shard, bin_idx
+"""
+
     o["heavy_hitters"] = """
 WITH n AS (SELECT count(*) AS c FROM events)
 SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,

@@ -230,3 +230,86 @@ def shard_stats(spark, path: str):
     if m["gen"] < 0:
         raise FileNotFoundError(f"no committed shards at {path}")
     return m["shards"]
+
+
+def pack_nosplit(
+    df: DataFrame,
+    seq_len: int,
+    num_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NO-SPLIT sequence packing (next-fit decreasing): each document goes
+    WHOLE into a bin of ``seq_len`` token capacity — the strategy SFT-style
+    training uses when examples must not cross sequence boundaries (the
+    concat-and-chunk packer above is the pretraining strategy; this is the
+    other one a complete pipeline needs).
+
+    Deterministic next-fit over the shard's docs sorted (tokens DESC, id
+    ASC): if the current bin lacks room, a new bin opens — an online
+    1-pass rule whose determinism a SQL oracle can replay with a recursive
+    CTE (first-fit would need per-bin backtracking state; next-fit on a
+    DECREASING order is the standard compromise and is within 2x of
+    optimal bin count). Documents longer than ``seq_len`` cannot pack
+    whole and are DROPPED (surfaced by comparing input/output doc counts —
+    the curation step before packing should have chunked them).
+
+    Output: one row per packed doc — (shard, bin_idx, doc_id, n_tok,
+    offset) with offset = token start inside the bin. Scale shape: one
+    shuffle onto shards, then a per-shard Arrow kernel whose loop is
+    O(docs-in-shard); parallelism = num_shards, the same unit the shard
+    writer emits."""
+    if seq_len <= 0 or num_shards <= 0:
+        raise ValueError("seq_len and num_shards must be positive")
+    from kadiyadb_spark.functions.text import tokens_expr
+
+    n_tok = F.size(tokens_expr(F.col(text_col))).cast("long")
+    d = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            (F.col(id_col) % num_shards).cast("long").alias("shard"),
+            n_tok.alias("n_tok"),
+        )
+        .filter((F.col("n_tok") > 0) & (F.col("n_tok") <= seq_len))
+    )
+
+    def _nfd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        bins, offs = [], []
+        bin_idx, used = 0, 0
+        first = True
+        for t in pdf["n_tok"]:
+            t = int(t)
+            if first:
+                first = False
+                offs.append(0)
+                used = t
+            elif used + t <= seq_len:
+                offs.append(used)
+                used += t
+            else:
+                bin_idx += 1
+                offs.append(0)
+                used = t
+            bins.append(bin_idx)
+        out = pdf.copy()
+        out["bin_idx"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        out["offset"] = pd.Series(offs, index=pdf.index, dtype="int64")
+        return out[["shard", "bin_idx", "doc_id", "n_tok", "offset"]]
+
+    return d.groupBy("shard").applyInPandas(
+        _nfd, schema="shard long, bin_idx long, doc_id long, n_tok long, offset long"
+    )
+
+
+def pack_nosplit_bins(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-bin census over ``pack_nosplit`` output: docs, tokens, padding —
+    the fill-efficiency numbers that decide whether next-fit's waste is
+    acceptable or the corpus needs pre-chunking."""
+    return packed.groupBy("shard", "bin_idx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.lit(seq_len) - F.sum("n_tok")).cast("long").alias("padding"),
+    )

@@ -1497,3 +1497,38 @@ def test_heavy_hitters_exact_with_adversarial_partitioning(spark):
         heavy_hitters(df, ["k"], 1.5)
     with _pt.raises(ValueError, match="key column"):
         heavy_hitters(df, [], 0.1)
+
+
+def test_pack_nosplit_invariants_and_determinism(spark):
+    """No-split packing: every doc packed exactly once and WHOLE, no bin
+    over capacity, offsets tile each bin contiguously from 0, oversize
+    docs dropped, and re-running is bit-identical."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.packing import pack_nosplit, pack_nosplit_bins
+
+    docs = [Row(doc_id=i, text=" ".join(["w"] * n))
+            for i, n in enumerate([30, 7, 25, 12, 3, 18, 40, 9, 22, 60])]
+    df = spark.createDataFrame(docs)
+    packed = pack_nosplit(df, seq_len=32, num_shards=2).collect()
+    # doc 9 (60 tokens) exceeds seq_len -> dropped; doc 6 (40) too
+    packed_ids = sorted(r.doc_id for r in packed)
+    assert packed_ids == [0, 1, 2, 3, 4, 5, 7, 8]
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault((r.shard, r.bin_idx), []).append(r)
+    for (sh, b), rows in by_bin.items():
+        rows.sort(key=lambda r: r.offset)
+        assert rows[0].offset == 0
+        total = 0
+        for r in rows:
+            assert r.offset == total  # contiguous tiling
+            total += r.n_tok
+        assert total <= 32
+    bins = {(r.shard, r.bin_idx): r for r in
+            pack_nosplit_bins(pack_nosplit(df, 32, 2), 32).collect()}
+    for (sh, b), r in bins.items():
+        assert r.n_tokens + r.padding == 32
+    again = sorted((r.shard, r.bin_idx, r.doc_id, r.offset) for r in
+                   pack_nosplit(df, seq_len=32, num_shards=2).collect())
+    assert again == sorted((r.shard, r.bin_idx, r.doc_id, r.offset) for r in packed)
