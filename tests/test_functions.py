@@ -1532,3 +1532,34 @@ def test_pack_nosplit_invariants_and_determinism(spark):
     again = sorted((r.shard, r.bin_idx, r.doc_id, r.offset) for r in
                    pack_nosplit(df, seq_len=32, num_shards=2).collect())
     assert again == sorted((r.shard, r.bin_idx, r.doc_id, r.offset) for r in packed)
+
+
+def test_value_histogram_merge_lossless(spark):
+    """Bucket counts are decomposable: merging per-day histograms equals
+    the histogram computed directly at the coarse grain, bucket by bucket;
+    quantiles over the merged rows equal the direct quantiles."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.sketch import histogram_merge, value_histogram
+    from kadiyadb_spark.query import histogram_quantile
+
+    rows = [Row(g="a", day=d, v=float(x))
+            for d in (0, 1) for x in ([0.5] * 3 + [3.0] * 4 + [8.0] * 2 + [999.0])]
+    df = spark.createDataFrame(rows)
+    bounds = [1.0, 5.0, 10.0]
+    daily = value_histogram(df, "v", ["g", "day"], bounds)
+    merged = {(r.g, r.le): r.cnt for r in histogram_merge(daily, ["g"]).collect()}
+    direct = {(r.g, r.le): r.cnt for r in value_histogram(df, "v", ["g"], bounds).collect()}
+    assert merged == direct
+    qa = {r.g: r.quantile for r in
+          histogram_quantile(histogram_merge(daily, ["g"]), 0.5, ["g"]).collect()}
+    qb = {r.g: r.quantile for r in
+          histogram_quantile(value_histogram(df, "v", ["g"], bounds), 0.5, ["g"]).collect()}
+    assert qa == qb
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bounds"):
+        value_histogram(df, "v", ["g"], [5.0, 1.0])
+    with _pt.raises(ValueError, match="bounds"):
+        value_histogram(df, "v", ["g"], [])
