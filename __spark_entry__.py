@@ -226,6 +226,39 @@ def q_fetch_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets()/changes() over the dense fetch: per slot, counter
+    restarts (decreases) and value changes within the trailing hour (60
+    1-minute slots) — the alerting primitives behind "restarted N times"
+    and flap detection. Scaled-long comparisons + 0/1 integer frame sums:
+    engine-default-free at any parallelism; one series-keyed window
+    Exchange (query.py:series_resets_changes)."""
+    from kadiyadb_spark.query import series_resets_changes
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_resets_changes(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=60
+    )
+
+
+def q_fetch_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent_over_time made actionable: contiguous never-written slot
+    runs per series over the dense week fetch, as half-open
+    [gap_start, gap_end) + slot count — "this probe sent nothing from
+    02:17 to 02:43". Dense zero-fill turns absence into cnt=0 rows, so
+    gaps-and-islands is exact integer arithmetic (slot index minus
+    per-series rank is constant within a run); the groupBy shuffles ONLY
+    absent slots (query.py:series_gaps)."""
+    from kadiyadb_spark.query import series_gaps
+
+    r = fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR)
+    return series_gaps(
+        r.select("f1", "f2", "bucket", "cnt"), ["f1", "f2"], resolution=RES
+    )
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL histogram_quantile(0.9, ...) over le-bucketed value
     histograms per (event_type, day): first bucket whose cumulative count
@@ -3255,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_routed": q_fetch_routed,
         "heavy_hitters": q_heavy_hitters,
         "fetch_predict_linear": q_fetch_predict_linear,
+        "fetch_resets": q_fetch_resets,
+        "fetch_gaps": q_fetch_gaps,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -3798,6 +3833,49 @@ SELECT f1, f2, bucket,
                + slope4 * ((CAST(n - 1 AS DOUBLE) + 60.0) - sx / CAST(n AS DOUBLE)))
               / 10000.0) * 10000 + 0.5) / 10000 AS predicted
 FROM s
+"""
+
+    o["fetch_resets"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+d AS (
+  SELECT f1, f2, bucket, t4, lag(t4) OVER w AS prev4
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+),
+e AS (
+  SELECT f1, f2, bucket, t4,
+         CASE WHEN prev4 IS NOT NULL AND t4 < prev4 THEN 1 ELSE 0 END AS is_reset,
+         CASE WHEN prev4 IS NOT NULL AND t4 != prev4 THEN 1 ELSE 0 END AS is_change
+  FROM d
+)
+SELECT f1, f2, bucket, t4 / 10000.0 AS total,
+       CAST(sum(is_reset) OVER wf AS BIGINT) AS resets,
+       CAST(sum(is_change) OVER wf AS BIGINT) AS changes
+FROM e
+WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
+              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+"""
+
+    o["fetch_gaps"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(bucket // {RES} AS BIGINT) AS slot
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+  WHERE cnt = 0
+),
+r AS (
+  SELECT f1, f2, bucket, slot,
+         slot - row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS run
+  FROM base
+)
+SELECT f1, f2,
+       min(bucket) AS gap_start,
+       max(bucket) + {RES} AS gap_end,
+       CAST(count(*) AS BIGINT) AS n_slots
+FROM r
+GROUP BY f1, f2, run
 """
 
     o["histogram_quantile"] = f"""

@@ -40,6 +40,8 @@ from kadiyadb_spark.query import (
     series_smooth,
     series_sum_by,
     series_topk,
+    series_resets_changes,
+    series_gaps,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -64,6 +66,8 @@ __all__ = [
     "series_increase",
     "series_predict_linear",
     "histogram_quantile",
+    "series_resets_changes",
+    "series_gaps",
     "get_spark",
     "spread",
 ]

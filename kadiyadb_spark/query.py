@@ -861,3 +861,98 @@ def series_anomaly(
         zr.alias("zscore"),
         F.coalesce(F.abs(zr) >= F.lit(z_thresh), F.lit(False)).alias("is_anomaly"),
     )
+
+
+def series_resets_changes(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``resets()`` + ``changes()`` over a dense fetch frame: per
+    slot, how many times the series value DECREASED (a counter restart)
+    and how many times it CHANGED AT ALL within the trailing
+    ``window_slots`` slots — the alerting primitives behind
+    "service restarted N times in the last hour" and flap detection.
+    The first slot of a series has no predecessor, so it contributes no
+    event to any frame (Prometheus compares consecutive samples inside
+    the range; k samples yield k-1 comparisons).
+
+    Engine-default-free by construction (SURVEY §15.1): totals scale to
+    exact longs, reset/change are integer comparisons, and the frame sums
+    fold 0/1 longs — associative, identical in any engine at any
+    parallelism. Same ONE series-keyed window Exchange as the rest of the
+    fetch transform family."""
+    if window_slots < 1:
+        raise ValueError(f"need window_slots >= 1, got {window_slots}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    wf = w.rowsBetween(-(window_slots - 1), 0)
+    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    base = df.select(
+        *series_cols,
+        bucket_col,
+        t4.alias("_t4"),
+        F.lag(t4).over(w).alias("_prev4"),
+    )
+    is_reset = (F.col("_prev4").isNotNull() & (F.col("_t4") < F.col("_prev4"))).cast(
+        "long"
+    )
+    is_change = (F.col("_prev4").isNotNull() & (F.col("_t4") != F.col("_prev4"))).cast(
+        "long"
+    )
+    return base.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_t4") / F.lit(10000.0)).alias(total_col),
+        F.sum(is_reset).over(wf).alias("resets"),
+        F.sum(is_change).over(wf).alias("changes"),
+    )
+
+
+def series_gaps(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``absent_over_time`` made actionable: the contiguous runs of
+    never-written slots per series in a dense fetch frame — "this probe
+    sent nothing from 02:17 to 02:43". Dense zero-fill turns absence into
+    ``cnt = 0`` rows, so gaps-and-islands is exact integer arithmetic:
+    slot index minus the per-series rank of absent slots is constant
+    within a run (both are integers; no session-window heuristics).
+    Output: one row per gap with its half-open [gap_start, gap_end) and
+    slot count, ordered nowhere (fine-print #8).
+
+    ONE exchange: the series-keyed window (shared with the transform
+    family when composed); the run groupBy keys on (series, run), a
+    superset of the window's partitioning, so ClusteredDistribution is
+    already satisfied and Catalyst adds no second shuffle
+    (plan-asserted). The cnt=0 filter precedes the window, so only
+    absent slots ever shuffle — a mostly-healthy fleet moves almost
+    nothing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    absent = df.filter(F.col(cnt_col) == 0).select(
+        *series_cols,
+        bucket_col,
+        # integer DIV, not double division: buckets are epoch-ns longs
+        # (~1.7e18), past double's 2^53 exact range
+        F.expr(f"CAST({bucket_col} DIV {resolution} AS LONG)").alias("_slot"),
+    )
+    run = (F.col("_slot") - F.row_number().over(w).cast("long")).alias("_run")
+    return (
+        absent.select(*series_cols, bucket_col, "_slot", run)
+        .groupBy(*series_cols, "_run")
+        .agg(
+            F.min(bucket_col).alias("gap_start"),
+            (F.max(bucket_col) + F.lit(resolution)).alias("gap_end"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+        .drop("_run")
+    )

@@ -553,3 +553,35 @@ def test_histogram_quantile_single_group_exchange(spark):
     base = n_shuffles(plan_str(agg))
     plan = plan_str(histogram_quantile(agg, 0.9, ["g"]))
     assert n_shuffles(plan) == base + 1
+
+
+def test_series_resets_and_gaps_plan_shape(spark):
+    """series_resets_changes joins the one-Exchange transform family (lag
+    + frame sums over the same (series, bucket) key); series_gaps ALSO
+    rides that single Exchange — the run groupBy keys on (series, _run),
+    a superset of the window's series partitioning, so ClusteredDistribution
+    is already satisfied and no second shuffle appears. The cnt=0 filter
+    precedes the window, so only absent slots ever shuffle."""
+    from kadiyadb_spark.query import fetch, series_gaps, series_resets_changes
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 10, x="a", y="u", v=float(i)) for i in range(20)]
+    )
+    cube = track_batch(
+        ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5
+    )
+    dense = fetch(cube, 0, 10, ["a", "*"], resolution=1, duration=5)
+    base = n_shuffles(plan_str(dense))
+    rc = series_resets_changes(
+        dense.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=3
+    )
+    assert n_shuffles(plan_str(rc)) == base + 1
+    g = series_gaps(
+        dense.select("f1", "f2", "bucket", "cnt"), ["f1", "f2"], resolution=1
+    )
+    plan = plan_str(g)
+    assert n_shuffles(plan) == base + 1  # window exchange reused by the groupBy
+    # the cnt=0 filter must sit below the first window Exchange so only
+    # absent slots ever shuffle
+    first_ex = plan.index("Exchange")
+    assert "Filter" in plan[:first_ex] or re.search(r"cnt.*= 0", plan)

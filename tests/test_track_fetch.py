@@ -575,3 +575,59 @@ def test_series_predict_linear_known_line(spark):
     assert r.deriv_per_sec == round(0.5 / (60 / 1e9), 4)
     # prediction 4 slots past bucket 9: y = 2 + 0.5 * 13 = 8.5
     assert r.predicted == 8.5
+
+
+def test_series_resets_changes_known(spark):
+    """resets()/changes() over a 3-slot trailing window: 10,10,7,7,9 has
+    one decrease (10->7) and two changes (10->7, 7->9); the first slot
+    contributes no comparison. Frame of 3 slides both counts out."""
+    from kadiyadb_spark.query import series_resets_changes
+
+    vals = [(0, 10.0), (60, 10.0), (120, 7.0), (180, 7.0), (240, 9.0)]
+    df = spark.createDataFrame(
+        [("m", b, t) for b, t in vals], "f1 string, bucket long, total double"
+    )
+    got = {
+        r.bucket: r
+        for r in series_resets_changes(df, ["f1"], window_slots=3).collect()
+    }
+    assert (got[0].resets, got[0].changes) == (0, 0)
+    assert (got[60].resets, got[60].changes) == (0, 0)  # 10 -> 10: no change
+    assert (got[120].resets, got[120].changes) == (1, 1)  # the 10 -> 7 drop
+    assert (got[180].resets, got[180].changes) == (1, 1)  # drop still in frame
+    assert (got[240].resets, got[240].changes) == (1, 2)  # drop + 7 -> 9
+    # one more slot and the drop leaves the 3-frame
+    df2 = spark.createDataFrame(
+        [("m", b, t) for b, t in vals + [(300, 9.0)]],
+        "f1 string, bucket long, total double",
+    )
+    got2 = {
+        r.bucket: r
+        for r in series_resets_changes(df2, ["f1"], window_slots=3).collect()
+    }
+    assert (got2[300].resets, got2[300].changes) == (0, 1)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_slots"):
+        series_resets_changes(df, ["f1"], window_slots=0)
+
+
+def test_series_gaps_islands(spark):
+    """Gaps-and-islands over a dense frame: absent slots 1-2 and 5 form
+    two runs with half-open bounds; a fully-present series yields no
+    rows; runs never merge across series."""
+    from kadiyadb_spark.query import series_gaps
+
+    res = 60
+    rows = [("a", i * res, 0.0 if i in (1, 2, 5) else 1.0) for i in range(7)]
+    rows += [("b", i * res, 1.0) for i in range(7)]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, cnt double")
+    got = sorted(
+        series_gaps(df, ["f1"], resolution=res).collect(),
+        key=lambda r: (r.f1, r.gap_start),
+    )
+    assert [(r.f1, r.gap_start, r.gap_end, r.n_slots) for r in got] == [
+        ("a", 60, 180, 2),
+        ("a", 300, 360, 1),
+    ]
