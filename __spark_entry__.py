@@ -259,6 +259,25 @@ def q_fetch_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters(v, 0.3, 0.1): per-series double exponential
+    smoothing (level + trend) over one day of the dense fetch. The
+    sequential recursion runs as one Arrow applyInPandas kernel per
+    series with state RE-QUANTIZED to scaled longs at every step, so the
+    DuckDB RECURSIVE CTE twin replaying the same rule is bit-identical —
+    the third iterative algorithm value-checked cross-engine
+    (query.py:series_holt_winters)."""
+    from kadiyadb_spark.query import series_holt_winters
+
+    day1 = WEEK0 + 24 * 3600 * SEC
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, day1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_holt_winters(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], sf=0.3, tf=0.1
+    )
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL histogram_quantile(0.9, ...) over le-bucketed value
     histograms per (event_type, day): first bucket whose cumulative count
@@ -3290,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_predict_linear": q_fetch_predict_linear,
         "fetch_resets": q_fetch_resets,
         "fetch_gaps": q_fetch_gaps,
+        "fetch_holt_winters": q_fetch_holt_winters,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -3876,6 +3896,46 @@ SELECT f1, f2,
        CAST(count(*) AS BIGINT) AS n_slots
 FROM r
 GROUP BY f1, f2, run
+"""
+
+    day1_hw = WEEK0 + 24 * 3600 * SEC
+    o["fetch_holt_winters"] = f"""
+WITH RECURSIVE base AS (
+  SELECT f1, f2, bucket,
+         CAST(floor(total * 10000 + 0.5) AS BIGINT) AS y4,
+         CAST(row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS BIGINT) AS rn
+  FROM ({_fetch_oracle("click", "*", WEEK0, day1_hw, 2)}) t
+),
+rec AS (
+  SELECT b.f1, b.f2, b.rn, b.bucket, b.y4,
+         b.y4 AS s4,
+         coalesce(b2.y4 - b.y4, 0) AS b4
+  FROM base b
+  LEFT JOIN base b2 ON b2.f1 = b.f1 AND b2.f2 = b.f2 AND b2.rn = 2
+  WHERE b.rn = 1
+  UNION ALL
+  -- every literal cast to DOUBLE: bare decimal literals are DECIMAL in
+  -- DuckDB, whose exact arithmetic diverges from the kernel's float64 at
+  -- floor(+0.5) boundaries
+  SELECT f1, f2, rn, bucket, y4, s4_new,
+         CAST(floor(0.1::DOUBLE * (s4_new - s4_prev)
+                    + (1.0::DOUBLE - 0.1::DOUBLE) * b4_prev
+                    + 0.5::DOUBLE) AS BIGINT) AS b4
+  FROM (
+    SELECT nb.f1, nb.f2, nb.rn, nb.bucket, nb.y4,
+           r.s4 AS s4_prev, r.b4 AS b4_prev,
+           CAST(floor(0.3::DOUBLE * nb.y4
+                      + (1.0::DOUBLE - 0.3::DOUBLE) * (r.s4 + r.b4)
+                      + 0.5::DOUBLE) AS BIGINT) AS s4_new
+    FROM rec r
+    JOIN base nb ON nb.f1 = r.f1 AND nb.f2 = r.f2 AND nb.rn = r.rn + 1
+  ) step
+)
+SELECT f1, f2, bucket,
+       y4 / 10000.0 AS total,
+       s4 / 10000.0 AS smoothed,
+       b4 / 10000.0 AS trend
+FROM rec
 """
 
     o["histogram_quantile"] = f"""

@@ -42,6 +42,7 @@ from kadiyadb_spark.query import (
     series_topk,
     series_resets_changes,
     series_gaps,
+    series_holt_winters,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -68,6 +69,7 @@ __all__ = [
     "histogram_quantile",
     "series_resets_changes",
     "series_gaps",
+    "series_holt_winters",
     "get_spark",
     "spread",
 ]

@@ -956,3 +956,80 @@ def series_gaps(
         )
         .drop("_run")
     )
+
+
+def series_holt_winters(
+    df: DataFrame,
+    series_cols: list[str],
+    sf: float = 0.3,
+    tf: float = 0.1,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``holt_winters(v, sf, tf)``: per-series double exponential
+    smoothing over a dense fetch frame — level ``s`` tracks the value,
+    trend ``b`` tracks its slope, both updated per slot:
+
+        s_t = sf*y_t + (1-sf)*(s_{t-1} + b_{t-1})
+        b_t = tf*(s_t - s_{t-1}) + (1-tf)*b_{t-1}
+
+    with the Prometheus initialization s_0 = y_0, b_0 = y_1 - y_0.
+    The recursion is inherently sequential per series (not a window
+    fold), so it runs as ONE Arrow ``applyInPandas`` kernel per series
+    group — parallel across series, which is where the cardinality lives
+    at 100 TB; a series' dense frame is bounded by the requested range.
+
+    Engine-default-free (SURVEY §15.1) despite being an FP recursion:
+    state is RE-QUANTIZED to scaled longs at every step — each update
+    computes one double expression over exact integer operands and
+    floors at the 4dp boundary (``floor(x + 0.5)``), so any engine
+    replaying the same rule gets bit-identical state at every step;
+    cross-engine divergence cannot accumulate. Gate twin: a DuckDB
+    RECURSIVE CTE replaying the rule (the third iterative algorithm
+    value-checked cross-engine, after the BPE trainer and no-split
+    packing)."""
+    if not (0.0 < sf < 1.0) or not (0.0 < tf < 1.0):
+        raise ValueError(f"smoothing/trend factors must be in (0, 1), got {sf}, {tf}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    isf = 1.0 - sf  # computed, not a literal: the oracle mirrors (1.0 - sf)
+    itf = 1.0 - tf  # so both engines run the identical IEEE subtraction
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in series_cols]
+        + [
+            in_fields[bucket_col],
+            StructField(total_col, DoubleType()),
+            StructField("smoothed", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(bucket_col)
+        y4 = np.floor(
+            pdf[total_col].to_numpy(np.float64) * 10000.0 + 0.5
+        ).astype(np.int64)
+        n = len(y4)
+        s = np.empty(n, np.int64)
+        b = np.empty(n, np.int64)
+        s[0] = y4[0]
+        b[0] = y4[1] - y4[0] if n >= 2 else 0
+        for t in range(1, n):
+            s_new = int(np.floor(sf * y4[t] + isf * float(s[t - 1] + b[t - 1]) + 0.5))
+            b[t] = int(
+                np.floor(tf * float(s_new - s[t - 1]) + itf * float(b[t - 1]) + 0.5)
+            )
+            s[t] = s_new
+        out = {c: pdf[c].to_numpy() for c in series_cols}
+        out[bucket_col] = pdf[bucket_col].to_numpy()
+        out[total_col] = y4 / 10000.0
+        out["smoothed"] = s / 10000.0
+        out["trend"] = b / 10000.0
+        return pd.DataFrame(out)
+
+    return df.select(*series_cols, bucket_col, total_col).groupBy(
+        *series_cols
+    ).applyInPandas(_kernel, out_schema)

@@ -631,3 +631,35 @@ def test_series_gaps_islands(spark):
         ("a", 60, 180, 2),
         ("a", 300, 360, 1),
     ]
+
+
+def test_series_holt_winters_tracks_a_line_exactly(spark):
+    """Double exponential smoothing follows a perfect linear ramp with
+    zero error (level = value, trend = slope); when the ramp plateaus the
+    forecast overshoots and the trend decays. Hand-computed with the
+    quantized-state rule (4dp longs, floor(x+0.5) per step)."""
+    from kadiyadb_spark.query import series_holt_winters
+
+    vals = [(0, 10.0), (60, 12.0), (120, 14.0), (180, 14.0)]
+    df = spark.createDataFrame(
+        [("m", b, t) for b, t in vals], "f1 string, bucket long, total double"
+    )
+    got = {
+        r.bucket: r
+        for r in series_holt_winters(df, ["f1"], sf=0.3, tf=0.1).collect()
+    }
+    assert [(got[b].smoothed, got[b].trend) for b in (0, 60, 120, 180)] == [
+        (10.0, 2.0),   # s0 = y0, b0 = y1 - y0
+        (12.0, 2.0),   # on the line: level exact, trend held
+        (14.0, 2.0),
+        (15.4, 1.94),  # plateau: 0.3*14 + 0.7*16 = 15.4; 0.1*1.4 + 0.9*2
+    ]
+    # single-point series: level = value, no trend
+    one = spark.createDataFrame([("x", 0, 5.0)], "f1 string, bucket long, total double")
+    r = series_holt_winters(one, ["f1"]).collect()[0]
+    assert (r.smoothed, r.trend) == (5.0, 0.0)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="factors"):
+        series_holt_winters(df, ["f1"], sf=0.0)
