@@ -278,6 +278,25 @@ def q_fetch_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_quantile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile_over_time(0.75, v[30m]) + min/max_over_time riding
+    the same frame: per slot, the interpolated p75 / min / max of the
+    trailing 30 totals — the p99-latency panel shape. Dyadic phi over
+    integer-scaled longs makes the type-7 interpolation exactly
+    representable, so any engine's formula shape yields bit-identical
+    doubles (query.py:series_quantile_over_time); one series-keyed window
+    Exchange."""
+    from kadiyadb_spark.query import series_quantile_over_time
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_quantile_over_time(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"],
+        phi=0.75, window_slots=30,
+    )
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL histogram_quantile(0.9, ...) over le-bucketed value
     histograms per (event_type, day): first bucket whose cumulative count
@@ -3310,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_resets": q_fetch_resets,
         "fetch_gaps": q_fetch_gaps,
         "fetch_holt_winters": q_fetch_holt_winters,
+        "fetch_quantile_window": q_fetch_quantile_window,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -3936,6 +3956,21 @@ SELECT f1, f2, bucket,
        s4 / 10000.0 AS smoothed,
        b4 / 10000.0 AS trend
 FROM rec
+"""
+
+    o["fetch_quantile_window"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+)
+SELECT f1, f2, bucket,
+       t4 / 10000.0 AS total,
+       quantile_cont(t4, 0.75) OVER wf / 10000.0 AS quantile,
+       min(t4) OVER wf / 10000.0 AS min_total,
+       max(t4) OVER wf / 10000.0 AS max_total
+FROM base
+WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
+              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 """
 
     o["histogram_quantile"] = f"""

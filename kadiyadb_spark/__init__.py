@@ -43,6 +43,7 @@ from kadiyadb_spark.query import (
     series_resets_changes,
     series_gaps,
     series_holt_winters,
+    series_quantile_over_time,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -70,6 +71,7 @@ __all__ = [
     "series_resets_changes",
     "series_gaps",
     "series_holt_winters",
+    "series_quantile_over_time",
     "get_spark",
     "spread",
 ]

@@ -1033,3 +1033,50 @@ def series_holt_winters(
     return df.select(*series_cols, bucket_col, total_col).groupBy(
         *series_cols
     ).applyInPandas(_kernel, out_schema)
+
+
+def series_quantile_over_time(
+    df: DataFrame,
+    series_cols: list[str],
+    phi: float,
+    window_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``quantile_over_time(phi, v[w])`` — plus ``min_over_time``/
+    ``max_over_time`` riding the same frame free: per slot, the
+    type-7 (linearly interpolated) phi-quantile, min and max of the
+    trailing ``window_slots`` totals. The p99-latency-over-the-last-hour
+    panel. Slots near a series' start use the points present, exactly as
+    Prometheus evaluates a partially-covered range.
+
+    Engine-default-free under one documented condition: totals scale to
+    exact longs and min/max are integer folds, so the only FP is the
+    quantile interpolation ``a + f*(b - a)`` — and when ``phi`` is
+    DYADIC (k/2^m: 0.5, 0.25, 0.75, 0.875, ...) over an integer frame,
+    every term is exactly representable, so ANY algebraic form of the
+    type-7 formula yields the bit-identical double in any engine. Pass a
+    non-dyadic phi and you accept the engines' interpolation expression
+    shape (the `percentiles` entry precedent, green since r04). One
+    series-keyed window Exchange, shared with the transform family."""
+    if not (0.0 <= phi <= 1.0):
+        raise ValueError(f"phi must be in [0, 1], got {phi}")
+    if window_slots < 1:
+        raise ValueError(f"need window_slots >= 1, got {window_slots}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-(window_slots - 1), 0)
+    )
+    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    base = df.select(*series_cols, bucket_col, t4.alias("_t4"))
+    return base.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_t4") / F.lit(10000.0)).alias(total_col),
+        (F.percentile("_t4", F.lit(phi)).over(w) / F.lit(10000.0)).alias("quantile"),
+        (F.min("_t4").over(w) / F.lit(10000.0)).alias("min_total"),
+        (F.max("_t4").over(w) / F.lit(10000.0)).alias("max_total"),
+    )

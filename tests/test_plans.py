@@ -585,3 +585,23 @@ def test_series_resets_and_gaps_plan_shape(spark):
     # absent slots ever shuffle
     first_ex = plan.index("Exchange")
     assert "Filter" in plan[:first_ex] or re.search(r"cnt.*= 0", plan)
+
+
+def test_series_quantile_over_time_one_window_exchange(spark):
+    """quantile/min/max_over_time all frame on the same (series, bucket)
+    key: ONE window Exchange beyond the dense fetch."""
+    from kadiyadb_spark.query import fetch, series_quantile_over_time
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 10, x="a", y="u", v=float(i)) for i in range(20)]
+    )
+    cube = track_batch(
+        ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5
+    )
+    dense = fetch(cube, 0, 10, ["a", "*"], resolution=1, duration=5)
+    base = n_shuffles(plan_str(dense))
+    q = series_quantile_over_time(
+        dense.select("f1", "f2", "bucket", "total"), ["f1", "f2"],
+        phi=0.5, window_slots=3,
+    )
+    assert n_shuffles(plan_str(q)) == base + 1

@@ -663,3 +663,28 @@ def test_series_holt_winters_tracks_a_line_exactly(spark):
 
     with _pt.raises(ValueError, match="factors"):
         series_holt_winters(df, ["f1"], sf=0.0)
+
+
+def test_series_quantile_over_time_type7(spark):
+    """Trailing p75 over 1..5 with a 4-slot frame, hand-computed type-7
+    interpolation: partial frames at the series start use the points
+    present; min/max ride the same frame."""
+    from kadiyadb_spark.query import series_quantile_over_time
+
+    df = spark.createDataFrame(
+        [("m", i * 60, float(i + 1)) for i in range(5)],
+        "f1 string, bucket long, total double",
+    )
+    got = {
+        r.bucket: r
+        for r in series_quantile_over_time(
+            df, ["f1"], phi=0.75, window_slots=4
+        ).collect()
+    }
+    assert [got[i * 60].quantile for i in range(5)] == [1.0, 1.75, 2.5, 3.25, 4.25]
+    assert (got[240].min_total, got[240].max_total) == (2.0, 5.0)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="phi"):
+        series_quantile_over_time(df, ["f1"], phi=1.5, window_slots=4)
