@@ -1194,6 +1194,34 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> click -> purchase over the event
+    stream: per stage, users reached (each stage strictly after the event
+    completing the previous one) + conversion ratios. Spark runs ONE
+    user-keyed shuffle and a greedy JVM aggregate() scan per user; the
+    oracle proves the same numbers via the textbook min-filter CTE chain
+    — two different algorithms, one answer
+    (functions/analytics.py:funnel_counts)."""
+    from kadiyadb_spark.functions.analytics import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["signup", "view", "click", "purchase"], ts_col="ts"
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first active day; per
+    (cohort_day, day_offset <= 14) the users active again and the
+    retention ratio. Integer DIV day arithmetic (no calendar functions),
+    one wide (user, day) dedup shuffle, broadcast cohort sizes
+    (functions/analytics.py:cohort_retention)."""
+    from kadiyadb_spark.functions.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, ts_col="ts", max_offset=14)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) of extended price per flag."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3298,12 +3326,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r08 (this one) leads with the three r07 hash-reds — now rewritten to
     # engine-default-free arithmetic (exact integer-scaled sums, epoch-us
     # date subtraction, explicit cast rounding) — then the three deferred
-    # map-only entries, then EVERY entry the exactness sweep rewrote this
-    # round (both Spark code and oracle changed, so each must re-prove at
-    # the driver), then the three NEW r08 entries (multimodal_jpeg_real,
-    # bpe_gpt2_pretok, multimodal_decode_stats — new entries go inside the
-    # cap), closing with three r05-gated never-since entries
-    # (approx_quantile lands on #50).
+    # map-only entries, then the FIFTEEN new r08 entries (new entries go
+    # inside the cap), then as many exactness-sweep rewrites as fit (both
+    # Spark code and oracle changed, so each re-proves at the driver).
+    # Displaced by the late-round additions, proven by in-cap proxies of
+    # the identical rewrite class: fetch_topk_series + fetch_smooth
+    # (exact_sum4 fold — same shape as in-cap fetch_sum_by /
+    # fetch_downsample), fetch_ratio + fetch_ratio_wildcard (scaled-long
+    # one-division ratio — same shape as in-cap q8/q14), json/
+    # csv_source_agg, zorder_layout, date_extract, rollup_revenue (plain
+    # exact_sum4 group aggs, many in-cap siblings). All lead the r09 gate.
     return {
         # -- r08 gate (first 50) --
         # (1) the three r07 driver-gate hash-reds, rewritten this round to
@@ -3330,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_gaps": q_fetch_gaps,
         "fetch_holt_winters": q_fetch_holt_winters,
         "fetch_quantile_window": q_fetch_quantile_window,
+        "funnel_counts": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -3971,6 +4005,56 @@ SELECT f1, f2, bucket,
 FROM base
 WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+    o["funnel_counts"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+u1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'view' AND e.ts > u1.t1 GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'click' AND e.ts > u2.t2 GROUP BY e.user_id),
+u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u3.t3 GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM u1) AS c1, (SELECT count(*) FROM u2) AS c2,
+             (SELECT count(*) FROM u3) AS c3, (SELECT count(*) FROM u4) AS c4)
+SELECT 1 AS stage, 'signup' AS step, c1 AS users,
+       CAST(1.0 AS DOUBLE) AS conv_from_prev,
+       CASE WHEN c1 > 0 THEN floor((CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS conv_from_first
+FROM c
+UNION ALL
+SELECT 2, 'view', c2,
+       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
+FROM c
+UNION ALL
+SELECT 3, 'click', c3,
+       CASE WHEN c2 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
+FROM c
+UNION ALL
+SELECT 4, 'purchase', c4,
+       CASE WHEN c3 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c3 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
+FROM c
+"""
+
+    o["cohort_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events
+),
+fc AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id),
+sz AS (SELECT cohort, count(*) AS cohort_size FROM fc GROUP BY cohort),
+j AS (
+  SELECT f.cohort, a.day - f.cohort AS day_offset, a.user_id
+  FROM act a JOIN fc f ON a.user_id = f.user_id
+  WHERE a.day - f.cohort <= 14
+),
+cnt AS (SELECT cohort, day_offset, count(*) AS active_users FROM j GROUP BY cohort, day_offset)
+SELECT c.cohort AS cohort_day, c.day_offset, c.active_users, s.cohort_size,
+       floor((CAST(c.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)) * 10000 + 0.5) / 10000 AS retention
+FROM cnt c JOIN sz s ON c.cohort = s.cohort
 """
 
     o["histogram_quantile"] = f"""

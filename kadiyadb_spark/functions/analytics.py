@@ -1,0 +1,162 @@
+"""Product-analytics operators over the event stream the cube ingests:
+ordered funnels and cohort retention — the two queries every APM /
+product-analytics deployment of a store like the reference runs beside
+its time-series fetches (the reference's own host product is an APM;
+readme.md positions the engine under exactly this workload).
+
+Reference parity note: kadiyadb itself has no multi-event operators
+(SURVEY §2) — like the join family, this is north-star surface over the
+cube's SOURCE events, kept engine-default-free so it gates cross-engine.
+
+Scale shapes:
+
+``funnel_counts`` — ONE shuffle keyed by user (collect each user's
+events once, sorted in-array), then a JVM ``aggregate`` fold runs the
+greedy stage scan per user — no per-stage join cascade, no Python. The
+greedy first-occurrence scan over ts-sorted events is equivalent to the
+textbook "min ts of step_i strictly after t_{i-1}" chain (induction on
+stages), which is what the DuckDB oracle computes via k min-filter CTEs
+— same numbers, two very different algorithms, so the gate is a real
+cross-check. Per-user event lists are bounded by the caller's time-range
+filter (funnel windows are days/weeks, not all history); the stage
+census that ships off each executor is k rows.
+
+``cohort_retention`` — activity de-dups to (user, day) FIRST (the only
+wide shuffle, collapsing raw event volume to at most users x days),
+cohort assignment reuses the same user-keyed partitioning, and the final
+(cohort, offset) census is tiny. Ratios are one long/long division
+(identical IEEE in any engine) rounded at 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.num import round4_expr
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion over an event frame: a user reaches
+    stage i when an event of type ``steps[i]`` occurs STRICTLY after the
+    event that completed stage i-1 (first stage: any occurrence). Output
+    is one row per stage: ``stage`` (1-based), ``step``, ``users``
+    reached, ``conv_from_prev`` and ``conv_from_first`` (4dp; stage 1
+    reads 1.0; an empty previous stage yields null).
+
+    ``ts_col`` must be a numeric (long) timestamp — pass epoch-ns/us,
+    not a TIMESTAMP, so ordering and strict-inequality are integer
+    comparisons on both engines."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.col(ts_col).cast("long").alias("ts"),
+                F.col(type_col).alias("et"),
+            ).alias("_e"),
+        )
+        .filter(F.col("_e.et").isin(*steps))
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
+    )
+    # greedy stage scan, JVM-side: state = (stage reached, ts completing it)
+    init = F.struct(F.lit(0).cast("int").alias("stage"), F.lit(-1).cast("long").alias("t"))
+    fold = F.aggregate(
+        F.col("_evs"),
+        init,
+        lambda st, e: F.when(
+            (st["stage"] < F.lit(k))
+            & (e["et"] == F.element_at(steps_arr, st["stage"] + F.lit(1)))
+            & (e["ts"] > st["t"]),
+            F.struct(
+                (st["stage"] + F.lit(1)).alias("stage"), e["ts"].alias("t")
+            ),
+        ).otherwise(st),
+    )
+    reached = per_user.select(fold["stage"].alias("_reached")).filter(
+        F.col("_reached") > 0
+    )
+    # census: users at stage s = users whose scan reached >= s
+    stages = reached.groupBy("_reached").agg(F.count(F.lit(1)).alias("_n"))
+    spark = events.sparkSession
+    axis = spark.range(1, k + 1).select(F.col("id").cast("int").alias("stage"))
+    cum = (
+        axis.join(stages, stages["_reached"] >= axis["stage"], "left")
+        .groupBy("stage")
+        .agg(F.sum(F.coalesce(F.col("_n"), F.lit(0))).alias("users"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage")
+    prev = F.lag("users").over(w)
+    first = F.first("users").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return cum.select(
+        "stage",
+        F.element_at(steps_arr, F.col("stage")).alias("step"),
+        "users",
+        round4_expr(
+            F.when(F.col("stage") == 1, F.lit(1.0)).otherwise(
+                F.when(prev > 0, F.col("users").cast("double") / prev.cast("double"))
+            )
+        ).alias("conv_from_prev"),
+        round4_expr(
+            F.when(first > 0, F.col("users").cast("double") / first.cast("double"))
+        ).alias("conv_from_first"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    day_ns: int = 86_400 * 10**9,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST active day;
+    for each (cohort_day, day_offset) the output counts users active
+    again ``day_offset`` days later and the retention ratio against the
+    cohort's size. ``day_offset`` 0 is the cohort itself (ratio 1.0).
+    Day arithmetic is integer DIV on the numeric timestamp — no calendar
+    functions, no timezone, identical in any engine.
+
+    Output: cohort_day (day index since epoch), day_offset, active_users,
+    cohort_size, retention (4dp)."""
+    day = F.expr(f"CAST({ts_col} DIV {day_ns} AS LONG)").alias("_day")
+    activity = (
+        events.select(F.col(user_col).alias("_u"), day).distinct()
+    )
+    firsts = activity.groupBy("_u").agg(F.min("_day").alias("_cohort"))
+    sizes = firsts.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = activity.join(firsts, "_u").select(
+        F.col("_cohort"), (F.col("_day") - F.col("_cohort")).alias("day_offset"), "_u"
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("day_offset") <= max_offset)
+    counts = joined.groupBy("_cohort", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            round4_expr(
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

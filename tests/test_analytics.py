@@ -1,0 +1,94 @@
+"""funnel_counts / cohort_retention — hand-computed goldens + plan shape."""
+
+import pytest
+from pyspark.sql import Row
+
+from kadiyadb_spark.functions.analytics import cohort_retention, funnel_counts
+
+
+def _r4(x):
+    return None if x is None else round(x, 4)
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """A completes the whole funnel; B's only view precedes their signup
+    (order matters); C's view shares the signup's timestamp (strict >
+    fails); D never signs up (excluded entirely)."""
+    rows = [
+        ("A", 1, "signup"), ("A", 2, "view"), ("A", 3, "click"), ("A", 4, "purchase"),
+        ("B", 1, "view"), ("B", 2, "signup"),
+        ("C", 5, "signup"), ("C", 5, "view"),
+        ("D", 1, "view"), ("D", 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, event_type=e) for u, t, e in rows]
+    )
+    got = {
+        r.stage: r
+        for r in funnel_counts(ev, ["signup", "view", "click", "purchase"]).collect()
+    }
+    assert [got[s].users for s in (1, 2, 3, 4)] == [3, 1, 1, 1]
+    assert got[1].conv_from_prev == 1.0
+    assert _r4(got[2].conv_from_prev) == 0.3333  # 1/3
+    assert got[3].conv_from_prev == 1.0 and got[4].conv_from_prev == 1.0
+    assert _r4(got[4].conv_from_first) == 0.3333
+    assert [got[s].step for s in (1, 2, 3, 4)] == [
+        "signup", "view", "click", "purchase"
+    ]
+
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ev, ["view", "view"])
+    with pytest.raises(ValueError, match="at least one"):
+        funnel_counts(ev, [])
+
+
+def test_funnel_reuses_min_ts_chain_semantics(spark):
+    """The greedy array scan equals the min-ts chain: a user with TWO
+    signups takes the EARLIEST, maximizing later-stage eligibility."""
+    rows = [
+        ("X", 10, "signup"), ("X", 20, "signup"), ("X", 15, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, event_type=e) for u, t, e in rows]
+    )
+    got = {r.stage: r.users for r in funnel_counts(ev, ["signup", "view"]).collect()}
+    # view@15 is after the FIRST signup@10 -> stage 2 reached
+    assert got == {1: 1, 2: 1}
+
+
+def test_cohort_retention_day_math(spark):
+    """Cohorts keyed by first active day (integer DIV); offsets count
+    distinct users; retention = users/cohort_size."""
+    rows = [("u1", 5), ("u1", 12), ("u1", 31), ("u2", 7), ("u3", 11), ("u3", 39)]
+    ev = spark.createDataFrame([Row(user_id=u, ts_ns=t) for u, t in rows])
+    got = {
+        (r.cohort_day, r.day_offset): r
+        for r in cohort_retention(ev, ts_col="ts_ns", day_ns=10).collect()
+    }
+    assert got[(0, 0)].active_users == 2 and got[(0, 0)].cohort_size == 2
+    assert got[(0, 1)].active_users == 1 and got[(0, 1)].retention == 0.5
+    assert got[(0, 3)].active_users == 1
+    assert got[(1, 0)].active_users == 1 and got[(1, 0)].retention == 1.0
+    assert got[(1, 2)].active_users == 1
+    assert len(got) == 5
+    # max_offset trims the tail
+    trimmed = cohort_retention(ev, ts_col="ts_ns", day_ns=10, max_offset=1).collect()
+    assert {(r.cohort_day, r.day_offset) for r in trimmed} == {(0, 0), (0, 1), (1, 0)}
+
+
+def test_funnel_single_user_shuffle_plan(spark):
+    """The per-user event collection is the only wide shuffle over event
+    volume; everything after operates on the k-row stage census."""
+    import re
+
+    from tests.test_plans import n_shuffles, plan_str
+
+    ev = spark.createDataFrame(
+        [Row(user_id=f"u{i % 7}", ts_ns=i, event_type="signup") for i in range(50)]
+    )
+    plan = plan_str(funnel_counts(ev, ["signup", "view"]))
+    # wide data passes exactly one Exchange before the census; the
+    # stage-axis join/window add small exchanges over <= k rows only
+    first_ex = re.search(r"\(\d+\) Exchange", plan)
+    assert first_ex is not None
+    assert "SortMergeJoin" not in plan  # census joins stay broadcast/tiny
