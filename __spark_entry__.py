@@ -2886,6 +2886,22 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query, the 5 most-similar base vectors
+    with a DIFFERENT label — the contrastive-training sampler. The label
+    mask applies inside the Arrow kernel BEFORE the per-batch top-k
+    prune, so the ranking shuffle stays k x batches x queries
+    (functions/similarity.py:hard_negatives)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    base = emb.filter(F.col("vec_id") >= 5)
+    return SIM.hard_negatives(base, queries, k=5)
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, queries = _queries_vs_base(spark, sf_dir)
     return SIM.cosine_topk(base, queries, k=5)
@@ -3364,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_quantile_window": q_fetch_quantile_window,
         "funnel_counts": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "sim_hard_negatives": q_sim_hard_negatives,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -5621,6 +5638,27 @@ SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
        min(nn) AS min_norm,
        max(nn) AS max_norm
 FROM n GROUP BY label
+"""
+
+    o["sim_hard_negatives"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+         FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, base.vec_id, base.label,
+         list_cosine_similarity(q.qv, base.v) AS cos
+  FROM q CROSS JOIN base
+  WHERE base.label != q.ql
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(label AS BIGINT) AS label,
+       CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
+FROM ranked WHERE rnk <= 5
 """
 
     o["sim_cosine_topk"] = """

@@ -1437,3 +1437,84 @@ class IVFPQIndex:
                 round4_expr(F.col("_cos")).alias("approx_cos"),
             )
         )
+
+
+def hard_negatives(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    MOST similar base vectors with a DIFFERENT label — the highest-loss
+    negatives a triplet/InfoNCE sampler wants. Same broadcast-queries +
+    one-numpy-matmul-per-partition shape as cosine_topk, but the label
+    mask applies INSIDE the kernel BEFORE the per-batch top-k prune (a
+    label-blind prune could fill all k slots with same-label rows and
+    starve the union), so the ranking shuffle still carries only
+    k x batches x queries rows. Ranked (cos desc, id asc); ties and
+    rounding follow the sim_cosine_topk precedent."""
+    import numpy as np
+
+    spark = base.sparkSession
+    rows = queries.select(query_id_col, query_vec_col, query_label_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    q_labels = np.array([r[2] for r in rows], dtype=np.int64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qn, q_labels))
+
+    def score(batches):
+        import pandas as pd
+
+        qi, qmat, qlab = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = vn @ qmat.T  # (batch, queries)
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            parts = []
+            for j in range(len(qi)):
+                neg = np.nonzero(labels != qlab[j])[0]
+                if len(neg) == 0:
+                    continue
+                order = neg[np.lexsort((ids[neg], -s[neg, j]))][:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qi[j],
+                            id_col: ids[order],
+                            label_col: labels[order],
+                            "_cos": s[order, j],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = base.mapInPandas(
+        score,
+        schema=f"{query_id_col} long, {id_col} long, {label_col} long, _cos double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col).cast("long").alias(label_col),
+            F.col("rank").cast("long").alias("rank"),
+            round4_expr(F.col("_cos")).alias("cosine"),
+        )
+    )

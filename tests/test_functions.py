@@ -1563,3 +1563,32 @@ def test_value_histogram_merge_lossless(spark):
         value_histogram(df, "v", ["g"], [5.0, 1.0])
     with _pt.raises(ValueError, match="bounds"):
         value_histogram(df, "v", ["g"], [])
+
+
+def test_hard_negatives_label_mask_before_prune(spark):
+    """Same-label vectors never appear, even when they dominate the
+    similarity ranking — the mask must precede the per-batch top-k prune
+    (a label-blind prune would starve the negative set)."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.similarity import hard_negatives
+
+    # base: ids 10..19 label 0 nearly parallel to the query; ids 20..22
+    # label 1 orthogonal-ish — the true hard negatives despite ranking
+    # below every positive
+    base = spark.createDataFrame(
+        [Row(vec_id=10 + i, embedding=[1.0, 0.001 * i], label=0) for i in range(10)]
+        + [Row(vec_id=20 + i, embedding=[0.1, 1.0 - 0.01 * i], label=1) for i in range(3)]
+    )
+    q = spark.createDataFrame(
+        [Row(query_id=1, query_vec=[1.0, 0.0], query_label=0)]
+    )
+    got = hard_negatives(base, q, k=5).collect()
+    # only label-1 rows; cos = 0.1/|v| and |v| shrinks with i -> 22 first
+    assert [r.vec_id for r in got] == [22, 21, 20]
+    assert all(r.label == 1 for r in got)
+    assert [r.rank for r in got] == [1, 2, 3]
+    # cos desc: vec 22 has the largest x-component ratio... verify ordering
+    # is by cosine descending
+    cosines = [r.cosine for r in got]
+    assert cosines == sorted(cosines, reverse=True)
