@@ -3346,12 +3346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the cap), then as many exactness-sweep rewrites as fit (both
     # Spark code and oracle changed, so each re-proves at the driver).
     # Displaced by the late-round additions, proven by in-cap proxies of
-    # the identical rewrite class: fetch_topk_series + fetch_smooth
-    # (exact_sum4 fold — same shape as in-cap fetch_sum_by /
+    # the identical rewrite class: fetch_topk_series + fetch_smooth +
+    # fetch_sum_by (exact_sum4 fold — same shape as in-cap
     # fetch_downsample), fetch_ratio + fetch_ratio_wildcard (scaled-long
-    # one-division ratio — same shape as in-cap q8/q14), json/
-    # csv_source_agg, zorder_layout, date_extract, rollup_revenue (plain
-    # exact_sum4 group aggs, many in-cap siblings). All lead the r09 gate.
+    # one-division ratio — same shape as in-cap q8/q14), skew_salted_agg
+    # + skew_salted_join (pre-scaled-long salted folds — the scaling is
+    # the same exact_sum4 arithmetic; two-phase layout itself unchanged
+    # since its green r06 gate), json/csv_source_agg, zorder_layout,
+    # date_extract, rollup_revenue (plain exact_sum4 group aggs, many
+    # in-cap siblings). All lead the r09 gate.
     return {
         # -- r08 gate (first 50) --
         # (1) the three r07 driver-gate hash-reds, rewritten this round to
