@@ -297,6 +297,23 @@ def q_fetch_quantile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal minute-of-day baseline over the dense week fetch: per
+    series and slot-of-day, the exact mean / min / max across the seven
+    days — the "typical day" band anomaly detectors compare against.
+    Integer DIV+modulo slot math, exact integer-scaled mean, ONE groupBy
+    shuffle (query.py:series_seasonal_profile)."""
+    from kadiyadb_spark.query import series_seasonal_profile
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_seasonal_profile(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"],
+        period_slots=1440, resolution=RES,
+    )
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL histogram_quantile(0.9, ...) over le-bucketed value
     histograms per (event_type, day): first bucket whose cumulative count
@@ -3384,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": q_funnel,
         "cohort_retention": q_cohort_retention,
         "sim_hard_negatives": q_sim_hard_negatives,
+        "fetch_seasonal": q_fetch_seasonal,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -4075,6 +4093,20 @@ cnt AS (SELECT cohort, day_offset, count(*) AS active_users FROM j GROUP BY coho
 SELECT c.cohort AS cohort_day, c.day_offset, c.active_users, s.cohort_size,
        floor((CAST(c.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)) * 10000 + 0.5) / 10000 AS retention
 FROM cnt c JOIN sz s ON c.cohort = s.cohort
+"""
+
+    o["fetch_seasonal"] = f"""
+WITH base AS (
+  SELECT f1, f2, CAST((bucket // {RES}) % 1440 AS BIGINT) AS slot_of_period, total
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+)
+SELECT f1, f2, slot_of_period,
+       count(*) AS n_periods,
+       floor((sum(CAST(round(total * 10000) AS BIGINT)) / (10000.0 * count(total))) * 10000 + 0.5) / 10000 AS mean_total,
+       floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
+       floor((max(total)) * 10000 + 0.5) / 10000 AS max_total
+FROM base
+GROUP BY f1, f2, slot_of_period
 """
 
     o["histogram_quantile"] = f"""

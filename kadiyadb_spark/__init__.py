@@ -44,6 +44,7 @@ from kadiyadb_spark.query import (
     series_gaps,
     series_holt_winters,
     series_quantile_over_time,
+    series_seasonal_profile,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -72,6 +73,7 @@ __all__ = [
     "series_gaps",
     "series_holt_winters",
     "series_quantile_over_time",
+    "series_seasonal_profile",
     "get_spark",
     "spread",
 ]

@@ -1080,3 +1080,40 @@ def series_quantile_over_time(
         (F.min("_t4").over(w) / F.lit(10000.0)).alias("min_total"),
         (F.max("_t4").over(w) / F.lit(10000.0)).alias("max_total"),
     )
+
+
+def series_seasonal_profile(
+    df: DataFrame,
+    series_cols: list[str],
+    period_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Seasonal baseline: per series and slot-of-period (minute-of-day
+    with ``period_slots=1440``, hour-of-week with 168 at 1h resolution),
+    the mean/min/max of the total across every period in the frame — the
+    "typical day" profile anomaly detectors compare against and
+    dashboards draw as the shaded band. Slot-of-period is integer DIV +
+    modulo on the bucket (no calendar functions, timezone-free); the
+    mean is the exact integer-scaled fold (functions/num.py); min/max
+    are order-free. ONE groupBy shuffle keyed by
+    (series, slot_of_period) — output cardinality is series x
+    period_slots regardless of how many periods the frame spans."""
+    if period_slots < 1:
+        raise ValueError(f"need period_slots >= 1, got {period_slots}")
+    from kadiyadb_spark.functions.num import exact_avg4_expr, round4_expr
+
+    slot = F.expr(
+        f"CAST(({bucket_col} DIV {resolution}) % {period_slots} AS LONG)"
+    ).alias("slot_of_period")
+    return (
+        df.select(*series_cols, slot, F.col(total_col))
+        .groupBy(*series_cols, "slot_of_period")
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            exact_avg4_expr(F.col(total_col)).alias("mean_total"),
+            round4_expr(F.min(total_col)).alias("min_total"),
+            round4_expr(F.max(total_col)).alias("max_total"),
+        )
+    )

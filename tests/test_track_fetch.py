@@ -688,3 +688,33 @@ def test_series_quantile_over_time_type7(spark):
 
     with _pt.raises(ValueError, match="phi"):
         series_quantile_over_time(df, ["f1"], phi=1.5, window_slots=4)
+
+
+def test_series_seasonal_profile_minute_of_day(spark):
+    """Two 'days' of a 3-slot period: slot-of-period folds values from
+    both periods; exact mean, order-free min/max, census counts."""
+    from kadiyadb_spark.query import series_seasonal_profile
+
+    res = 60
+    # period = 3 slots; day 1 values 1,2,3; day 2 values 3,4,5
+    vals = [1.0, 2.0, 3.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame(
+        [("m", i * res, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    got = {
+        r.slot_of_period: r
+        for r in series_seasonal_profile(
+            df, ["f1"], period_slots=3, resolution=res
+        ).collect()
+    }
+    assert len(got) == 3
+    assert (got[0].mean_total, got[0].min_total, got[0].max_total) == (2.0, 1.0, 3.0)
+    assert (got[1].mean_total, got[1].min_total, got[1].max_total) == (3.0, 2.0, 4.0)
+    assert (got[2].mean_total, got[2].min_total, got[2].max_total) == (4.0, 3.0, 5.0)
+    assert all(got[s].n_periods == 2 for s in got)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="period_slots"):
+        series_seasonal_profile(df, ["f1"], period_slots=0)
