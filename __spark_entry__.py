@@ -1227,6 +1227,21 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel under a conversion window: every later stage must land
+    within 24h of the user's FIRST signup (fixed anchor, never
+    re-anchored — the semantics both engines implement). Same greedy
+    JVM scan vs min-filter-CTE cross-check as funnel_counts
+    (functions/analytics.py:funnel_counts(within=...))."""
+    from kadiyadb_spark.functions.analytics import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["signup", "view", "click", "purchase"], ts_col="ts",
+        within=24 * 3600 * SEC,
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users cohorted by first active day; per
     (cohort_day, day_offset <= 14) the users active again and the
@@ -3399,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_holt_winters": q_fetch_holt_winters,
         "fetch_quantile_window": q_fetch_quantile_window,
         "funnel_counts": q_funnel,
+        "funnel_windowed": q_funnel_windowed,
         "cohort_retention": q_cohort_retention,
         "sim_hard_negatives": q_sim_hard_negatives,
         "fetch_seasonal": q_fetch_seasonal,
@@ -4054,6 +4070,41 @@ u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.use
        WHERE e.event_type = 'click' AND e.ts > u2.t2 GROUP BY e.user_id),
 u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
        WHERE e.event_type = 'purchase' AND e.ts > u3.t3 GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM u1) AS c1, (SELECT count(*) FROM u2) AS c2,
+             (SELECT count(*) FROM u3) AS c3, (SELECT count(*) FROM u4) AS c4)
+SELECT 1 AS stage, 'signup' AS step, c1 AS users,
+       CAST(1.0 AS DOUBLE) AS conv_from_prev,
+       CASE WHEN c1 > 0 THEN floor((CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS conv_from_first
+FROM c
+UNION ALL
+SELECT 2, 'view', c2,
+       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
+FROM c
+UNION ALL
+SELECT 3, 'click', c3,
+       CASE WHEN c2 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
+FROM c
+UNION ALL
+SELECT 4, 'purchase', c4,
+       CASE WHEN c3 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c3 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
+FROM c
+"""
+
+    o["funnel_windowed"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+u1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+u2 AS (SELECT e.user_id, u1.t1, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'view' AND e.ts > u1.t1 AND e.ts <= u1.t1 + 86400000000000
+       GROUP BY e.user_id, u1.t1),
+u3 AS (SELECT e.user_id, u2.t1, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'click' AND e.ts > u2.t2 AND e.ts <= u2.t1 + 86400000000000
+       GROUP BY e.user_id, u2.t1),
+u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u3.t3 AND e.ts <= u3.t1 + 86400000000000
+       GROUP BY e.user_id),
 c AS (SELECT (SELECT count(*) FROM u1) AS c1, (SELECT count(*) FROM u2) AS c2,
              (SELECT count(*) FROM u3) AS c3, (SELECT count(*) FROM u4) AS c4)
 SELECT 1 AS stage, 'signup' AS step, c1 AS users,

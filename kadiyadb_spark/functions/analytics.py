@@ -42,6 +42,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts_ns",
     type_col: str = "event_type",
+    within: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion over an event frame: a user reaches
     stage i when an event of type ``steps[i]`` occurs STRICTLY after the
@@ -50,6 +51,14 @@ def funnel_counts(
     reached, ``conv_from_prev`` and ``conv_from_first`` (4dp; stage 1
     reads 1.0; an empty previous stage yields null).
 
+    ``within``: optional conversion window (same units as ``ts_col``) —
+    later stages must complete at ``ts <= t1 + within`` where t1 is the
+    user's FIRST stage-1 event. The anchor is deliberately the earliest
+    stage-1 occurrence, never re-anchored to a later one (a user whose
+    second signup would admit more stages still converts from the
+    first): fixed-anchor semantics keep the greedy scan equal to the
+    min-ts chain and are what the SQL twin computes.
+
     ``ts_col`` must be a numeric (long) timestamp — pass epoch-ns/us,
     not a TIMESTAMP, so ordering and strict-inequality are integer
     comparisons on both engines."""
@@ -57,6 +66,8 @@ def funnel_counts(
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    if within is not None and within <= 0:
+        raise ValueError(f"conversion window must be positive, got {within}")
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])
     per_user = (
@@ -71,17 +82,30 @@ def funnel_counts(
         .groupBy("_u")
         .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
     )
-    # greedy stage scan, JVM-side: state = (stage reached, ts completing it)
-    init = F.struct(F.lit(0).cast("int").alias("stage"), F.lit(-1).cast("long").alias("t"))
+    # greedy stage scan, JVM-side: state = (stage reached, ts completing
+    # it, ts of the stage-1 anchor for the conversion window)
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(-1).cast("long").alias("t"),
+        F.lit(-1).cast("long").alias("t1"),
+    )
+    in_window = (
+        F.lit(True)
+        if within is None
+        else (lambda st, e: (st["stage"] == 0) | (e["ts"] <= st["t1"] + F.lit(within)))
+    )
     fold = F.aggregate(
         F.col("_evs"),
         init,
         lambda st, e: F.when(
             (st["stage"] < F.lit(k))
             & (e["et"] == F.element_at(steps_arr, st["stage"] + F.lit(1)))
-            & (e["ts"] > st["t"]),
+            & (e["ts"] > st["t"])
+            & (in_window if within is None else in_window(st, e)),
             F.struct(
-                (st["stage"] + F.lit(1)).alias("stage"), e["ts"].alias("t")
+                (st["stage"] + F.lit(1)).alias("stage"),
+                e["ts"].alias("t"),
+                F.when(st["stage"] == 0, e["ts"]).otherwise(st["t1"]).alias("t1"),
             ),
         ).otherwise(st),
     )

@@ -92,3 +92,34 @@ def test_funnel_single_user_shuffle_plan(spark):
     first_ex = re.search(r"\(\d+\) Exchange", plan)
     assert first_ex is not None
     assert "SortMergeJoin" not in plan  # census joins stay broadcast/tiny
+
+
+def test_funnel_conversion_window_fixed_anchor(spark):
+    """within: later stages must land within W of the FIRST stage-1
+    event; the anchor never re-anchors to a later stage-1 occurrence."""
+    rows = [
+        # A converts inside the window
+        ("A", 0, "signup"), ("A", 5, "view"),
+        # B's view misses the window
+        ("B", 0, "signup"), ("B", 20, "view"),
+        # C has a second signup@30 that WOULD admit view@35, but the
+        # anchor stays at the first signup@0 -> stage 1 only
+        ("C", 0, "signup"), ("C", 30, "signup"), ("C", 35, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, event_type=e) for u, t, e in rows]
+    )
+    got = {
+        r.stage: r.users
+        for r in funnel_counts(ev, ["signup", "view"], within=10).collect()
+    }
+    assert got == {1: 3, 2: 1}
+    # without the window all three convert... except C: view@35 is after
+    # signup@0, so C converts too
+    got2 = {
+        r.stage: r.users for r in funnel_counts(ev, ["signup", "view"]).collect()
+    }
+    assert got2 == {1: 3, 2: 3}
+
+    with pytest.raises(ValueError, match="window"):
+        funnel_counts(ev, ["signup", "view"], within=0)
