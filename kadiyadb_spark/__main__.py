@@ -111,6 +111,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sparse", action="store_true")
     p.add_argument("--limit", type=int, default=1000)
 
+    p = sub.add_parser(
+        "funnel",
+        help="ordered-funnel conversion over a parquet events table "
+        "(greedy per-user scan; optional conversion window)",
+    )
+    p.add_argument("--events", required=True, help="parquet path")
+    p.add_argument("--steps", required=True, help="comma-separated event types, in order")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--type-col", default="event_type")
+    p.add_argument("--within-ns", type=int, default=None, help="conversion window")
+
+    p = sub.add_parser(
+        "cohort",
+        help="first-day cohort retention over a parquet events table",
+    )
+    p.add_argument("--events", required=True, help="parquet path")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--day-ns", type=int, default=86_400 * 10**9)
+    p.add_argument("--max-offset", type=int, default=None)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -198,6 +220,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         keys = [c for c in r.columns if c not in ("total", "cnt")]
         for row in r.orderBy(*keys).limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "funnel":
+        from kadiyadb_spark.functions.analytics import funnel_counts
+        from kadiyadb_spark.schema import normalize_ts
+
+        ev = normalize_ts(spark.read.parquet(args.events), args.ts_col)
+        r = funnel_counts(
+            ev,
+            [s for s in args.steps.split(",") if s],
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            type_col=args.type_col,
+            within=args.within_ns,
+        )
+        for row in r.orderBy("stage").collect():
+            _emit(row.asDict())
+    elif args.cmd == "cohort":
+        from kadiyadb_spark.functions.analytics import cohort_retention
+        from kadiyadb_spark.schema import normalize_ts
+
+        ev = normalize_ts(spark.read.parquet(args.events), args.ts_col)
+        r = cohort_retention(
+            ev,
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            day_ns=args.day_ns,
+            max_offset=args.max_offset,
+        )
+        for row in r.orderBy("cohort_day", "day_offset").collect():
             _emit(row.asDict())
     return 0
 

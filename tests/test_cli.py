@@ -91,3 +91,31 @@ def test_cli_route_across_tiers(spark, tmp_path, capsys):
                  "--pattern", "a,*", "--max-points", "1000", "--sparse"]) == 0
     rows = _out(capsys)
     assert rows and all(r["res_ns"] == 1 for r in rows)
+
+
+def test_cli_funnel_and_cohort(spark, tmp_path, capsys):
+    """`funnel` and `cohort` run the analytics operators over a parquet
+    events path, JSONL to stdout."""
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [
+            Row(ts=1, user_id=1, event_type="signup"),
+            Row(ts=2, user_id=1, event_type="view"),
+            Row(ts=3, user_id=2, event_type="signup"),
+        ]
+    ).write.parquet(ev)
+    assert main(["funnel", "--events", ev, "--steps", "signup,view"]) == 0
+    rows = _out(capsys)
+    assert [(r["stage"], r["users"]) for r in rows] == [(1, 2), (2, 1)]
+    # within=0 is rejected by the operator's validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        main(["funnel", "--events", ev, "--steps", "signup,view",
+              "--within-ns", "0"])
+
+    assert main(["cohort", "--events", ev, "--day-ns", "2"]) == 0
+    rows = _out(capsys)
+    # user 1 active in days 0 (ts1) and 1 (ts2); user 2 in day 1 only
+    got = {(r["cohort_day"], r["day_offset"]): r["active_users"] for r in rows}
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
