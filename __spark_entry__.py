@@ -358,6 +358,19 @@ def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general PromQL binary op (a - b here: click-minus-error
+    headroom per slot) on series_ratio's one-scan pivot shape —
+    add/sub stay entirely in exact integer arithmetic
+    (query.py:series_binop); null where either side is absent."""
+    from kadiyadb_spark.query import series_binop
+
+    return series_binop(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["click"], ["error"],
+        op="sub", resolution=RES,
+    )
+
+
 def q_fetch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series algebra (PromQL a/b): per-slot error-to-click ratio from ONE
     cube scan — conditional-sum pivot on the bucket key, no self-join, no
@@ -3418,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "sim_hard_negatives": q_sim_hard_negatives,
         "fetch_seasonal": q_fetch_seasonal,
+        "fetch_binop": q_fetch_binop,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -4248,6 +4262,18 @@ WHERE f1 = 'click' AND bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY f1, f2
 ORDER BY range_total DESC, f1 ASC, f2 ASC
 LIMIT 10
+"""
+
+    o["fetch_binop"] = f"""
+WITH {_EV_CUBE}
+SELECT bucket,
+       sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS a_total,
+       sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS b_total,
+       (sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END)
+        - sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END)) / 10000.0 AS value
+FROM cube1
+WHERE f1 IN ('click', 'error') AND bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY bucket
 """
 
     o["fetch_ratio"] = f"""

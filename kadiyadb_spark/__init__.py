@@ -45,6 +45,7 @@ from kadiyadb_spark.query import (
     series_holt_winters,
     series_quantile_over_time,
     series_seasonal_profile,
+    series_binop,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -74,6 +75,7 @@ __all__ = [
     "series_holt_winters",
     "series_quantile_over_time",
     "series_seasonal_profile",
+    "series_binop",
     "get_spark",
     "spread",
 ]

@@ -1117,3 +1117,81 @@ def series_seasonal_profile(
             round4_expr(F.max(total_col)).alias("max_total"),
         )
     )
+
+
+def series_binop(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    a_pattern: list[str],
+    b_pattern: list[str],
+    op: str = "sub",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """The general PromQL binary operation between two exact series —
+    ``a + b``, ``a - b`` (headroom: capacity minus load), ``a * b``,
+    ``a / b`` — on series_ratio's one-scan pivot shape: a single
+    pushed-down cube scan filters BOTH paths, a conditional-sum pivot
+    aligns them per slot, and the op is one expression over the two
+    aligned values. A slot where either side is absent yields null
+    (PromQL vector matching drops unmatched samples; null is the
+    frame-preserving analog — dense zero-fill only applies to fetches,
+    not to raw cube pivots).
+
+    Engine-default-free: both sides fold to exact scaled longs;
+    add/sub stay in integer arithmetic; mul is one integer product
+    (exact: |a4·b4| < 2^63 at the fixture scale) with ONE division;
+    div is one long/long division. Same validation as series_ratio
+    (exact scalar patterns, equal depth)."""
+    ops = {"add", "sub", "mul", "div"}
+    if op not in ops:
+        raise ValueError(f"op must be one of {sorted(ops)}, got {op!r}")
+    for p in (a_pattern, b_pattern):
+        d, preds = compile_pattern(p)
+        if any(isinstance(v, tuple) for _, v in preds):
+            raise ValueError("series_binop needs scalar exact patterns (no value sets)")
+        if len(preds) != d:
+            raise ValueError(f"series_binop needs exact patterns, got {p!r}")
+    if len(a_pattern) == 0 or len(a_pattern) != len(b_pattern):
+        raise ValueError("both patterns must share a depth >= 1")
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    depth = len(a_pattern)
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+
+    def _is(pattern):
+        cond = F.lit(True)
+        for i, v in enumerate(pattern, start=1):
+            cond = cond & (F.col(S.field_col(i)) == F.lit(v))
+        return cond
+
+    is_a, is_b = _is(a_pattern), _is(b_pattern)
+    base = cube.filter(
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+        & (is_a | is_b)
+    )
+    scaled = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    g = base.groupBy(S.BUCKET).agg(
+        F.sum(F.when(is_a, scaled)).alias("_a4"),
+        F.sum(F.when(is_b, scaled)).alias("_b4"),
+    )
+    a4, b4 = F.col("_a4"), F.col("_b4")
+    if op == "add":
+        val = ((a4 + b4) / F.lit(10000.0))
+    elif op == "sub":
+        val = ((a4 - b4) / F.lit(10000.0))
+    elif op == "mul":
+        val = round4_expr((a4 * b4) / F.lit(100_000_000.0))
+    else:  # div
+        val = round4_expr(F.when(b4 != 0, a4 / b4))
+    return g.select(
+        S.BUCKET,
+        (a4 / F.lit(10000.0)).alias("a_total"),
+        (b4 / F.lit(10000.0)).alias("b_total"),
+        val.alias("value"),
+    )

@@ -718,3 +718,38 @@ def test_series_seasonal_profile_minute_of_day(spark):
 
     with _pt.raises(ValueError, match="period_slots"):
         series_seasonal_profile(df, ["f1"], period_slots=0)
+
+
+def test_series_binop_all_ops(spark):
+    """add/sub exact integer; mul one scaled product; div mirrors
+    series_ratio; null where either side is absent in the slot."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_binop
+
+    ev = spark.createDataFrame(
+        [
+            # slot 0: a=4, b=2; slot 1: a=3 only; slot 2: b=5 only
+            (0, "a", 4.0), (0, "b", 2.0), (1, "a", 3.0), (2, "b", 5.0),
+        ],
+        "ts long, x string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+
+    def run(op):
+        return {
+            r.bucket: r.value
+            for r in series_binop(cube, 0, 3, ["a"], ["b"], op=op, resolution=1).collect()
+        }
+
+    assert run("add")[0] == 6.0 and run("sub")[0] == 2.0
+    assert run("mul")[0] == 8.0 and run("div")[0] == 2.0
+    for op in ("add", "sub", "mul", "div"):
+        got = run(op)
+        assert got[1] is None and got[2] is None  # unmatched slots -> null
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="op"):
+        series_binop(cube, 0, 3, ["a"], ["b"], op="pow", resolution=1)
