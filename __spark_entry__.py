@@ -2416,6 +2416,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_rules(_t(spark, sf_dir, "documents"))
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (Jelinek-Mercer, lam=0.75): per-doc
+    cross-entropy + perplexity under the corpus's own bigram model — the
+    quality rung above unigram_lm (catches shuffled-word gibberish).
+    Per-bigram surprisal quantized to 4dp BEFORE the doc mean, so the
+    average is an exact integer fold, never a partition-order log sum
+    (functions/text.py:bigram_lm_score)."""
+    from kadiyadb_spark.functions.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM scoring: per-doc cross-entropy (nats) and
     perplexity under the corpus's own unigram distribution — the cheap
@@ -3432,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hard_negatives": q_sim_hard_negatives,
         "fetch_seasonal": q_fetch_seasonal,
         "fetch_binop": q_fetch_binop,
+        "text_bigram_lm": q_text_bigram_lm,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
@@ -6109,6 +6122,37 @@ SELECT doc_id,
                   AND stop_hits >= 2
             THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM m
+"""
+
+    o["text_bigram_lm"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+doc_bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+unic AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+tot AS (SELECT count(*) AS T FROM uni),
+bgc AS (SELECT bg, count(*) AS cb FROM doc_bg GROUP BY bg),
+w1c AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS c1 FROM bgc GROUP BY 1),
+prob AS (
+  SELECT b.bg,
+         floor((-ln(0.75::DOUBLE * (CAST(b.cb AS DOUBLE) / CAST(w.c1 AS DOUBLE))
+                    + 0.25::DOUBLE * (CAST(u.cw AS DOUBLE) / CAST(tot.T AS DOUBLE)))) * 10000 + 0.5) / 10000 AS s4
+  FROM bgc b
+  JOIN w1c w ON split_part(b.bg, ' ', 1) = w.w1
+  JOIN unic u ON split_part(b.bg, ' ', 2) = u.w
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         floor((sum(CAST(round((p.s4) * 10000) AS BIGINT)) / (10000.0 * count(p.s4))) * 10000 + 0.5) / 10000 AS cross_entropy
+  FROM doc_bg d JOIN prob p ON d.bg = p.bg
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, cross_entropy,
+       floor((exp(cross_entropy)) * 10000 + 0.5) / 10000 AS perplexity
+FROM scored
 """
 
     o["unigram_lm"] = f"""

@@ -757,3 +757,94 @@ def hashed_bow(
             yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": list(mat)})
 
     return sparse.mapInPandas(densify, schema=f"{id_col} long, embedding array<double>")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the step up from
+    unigram_lm_score on the CCNet-style quality ladder: per document,
+    cross-entropy (nats/bigram) and perplexity under the corpus's own
+    interpolated bigram model
+
+        p(w2 | w1) = lam * C(w1 w2)/C(w1 ·) + (1 - lam) * C(w2)/T
+
+    (Jelinek-Mercer smoothing; ``lam`` defaults to the dyadic 0.75).
+    Repetitive boilerplate scores near zero, shuffled-word gibberish
+    scores high even when every unigram is common — the failure mode a
+    unigram model cannot see. Documents with fewer than two tokens have
+    no bigrams and are dropped (nothing to score).
+
+    Engine-default-free beyond the unigram precedent: the per-bigram
+    surprisal is QUANTIZED to 4dp first (one -log over identically
+    computed doubles, then round4), so the per-doc mean is an exact
+    integer fold (functions/num.py:exact_avg4_expr) — never a
+    partition-order sum of raw logs. Perplexity exponentiates the
+    already-rounded mean (identical input both engines).
+
+    Scale shape: one explode feeds the bigram count (map-side partial
+    agg); context counts C(w1 ·) derive from the bigram table itself
+    (second tiny agg); the unigram table reuses the token explode. The
+    per-distinct-bigram probability table is broadcast for the score
+    join (bigram vocab under Zipf is ~10x unigram vocab — still MBs at
+    corpus scale; switch to a shuffle join if a tokenizer explosion
+    breaks Zipf). The doc-keyed groupBy is the only corpus-sized
+    shuffle."""
+    if not (0.0 < lam < 1.0):
+        raise ValueError(f"interpolation weight must be in (0, 1), got {lam}")
+    from kadiyadb_spark.functions.num import exact_avg4_expr, round4_expr
+
+    toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    # bigram key "w1 w2" (tokens contain no whitespace by construction)
+    doc_bg = toks.filter(F.size("_t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+            )
+        ).alias("_bg"),
+    )
+    unigrams = toks.select(F.explode("_t").alias("_w"))
+    unic = unigrams.groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
+    total = unigrams.agg(F.count(F.lit(1)).alias("_T"))
+    bgc = doc_bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_cb"))
+    w1c = (
+        bgc.select(F.split_part(F.col("_bg"), F.lit(" "), F.lit(1)).alias("_w1"), "_cb")
+        .groupBy("_w1")
+        .agg(F.sum("_cb").alias("_c1"))
+    )
+    prob = (
+        bgc.withColumn("_w1", F.split_part(F.col("_bg"), F.lit(" "), F.lit(1)))
+        .withColumn("_w2", F.split_part(F.col("_bg"), F.lit(" "), F.lit(2)))
+        .join(w1c, "_w1")
+        .join(unic.withColumnRenamed("_w", "_w2"), "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_bg",
+            round4_expr(
+                -F.log(
+                    F.lit(lam) * (F.col("_cb").cast("double") / F.col("_c1").cast("double"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("_cw").cast("double") / F.col("_T").cast("double"))
+                )
+            ).alias("_s4"),
+        )
+    )
+    scored = (
+        doc_bg.join(F.broadcast(prob), "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            exact_avg4_expr(F.col("_s4")).alias("cross_entropy"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        "cross_entropy",
+        round4_expr(F.exp(F.col("cross_entropy"))).alias("perplexity"),
+    )

@@ -1592,3 +1592,35 @@ def test_hard_negatives_label_mask_before_prune(spark):
     # is by cosine descending
     cosines = [r.cosine for r in got]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_bigram_lm_score_properties(spark):
+    """Repetitive text scores near-zero cross-entropy; a doc whose every
+    transition is unique scores high even with common unigrams; <2-token
+    docs are dropped; n_bigrams = n_tokens - 1."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a a a a a a"),          # one transition, dominant
+            Row(doc_id=2, text="a b c d e f g h"),          # every transition unique
+            Row(doc_id=3, text="solo"),                     # no bigrams
+            Row(doc_id=4, text="a a a a b c d e"),
+        ]
+    )
+    got = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert 3 not in got
+    assert got[1].n_bigrams == 7 and got[2].n_bigrams == 7
+    # the dominant-transition doc sits well below both mixed docs (the
+    # relative order of the two mixed docs depends on shared-count detail
+    # in a 4-doc corpus — not a stable property to pin)
+    assert got[1].cross_entropy < got[4].cross_entropy
+    assert got[1].cross_entropy < got[2].cross_entropy
+    assert got[2].perplexity > got[1].perplexity >= 1.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="interpolation"):
+        bigram_lm_score(docs, lam=1.0)
