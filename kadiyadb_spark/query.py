@@ -563,14 +563,16 @@ def series_topk(
     pattern: list[str],
     k: int = 10,
     resolution: int = 60_000_000_000,
+    largest: bool = True,
 ) -> DataFrame:
     """Top-K series by total over a range (the PromQL ``topk`` over what
-    the reference stores): one pushed-down cube scan over the pattern's
-    exact depth, one series-keyed aggregation, then a global top-K —
-    Spark's TakeOrderedAndProject keeps only K rows per partition and K
-    at the driver, so the ranking never materializes the full series
-    list. Ties break on the series path (deterministic cross-engine on
-    4dp-rounded totals)."""
+    the reference stores; ``largest=False`` is ``bottomk`` — the
+    quietest series, the capacity-reclaim view): one pushed-down cube
+    scan over the pattern's exact depth, one series-keyed aggregation,
+    then a global top-K — Spark's TakeOrderedAndProject keeps only K
+    rows per partition and K at the driver, so the ranking never
+    materializes the full series list. Ties break on the series path
+    (deterministic cross-engine on 4dp-rounded totals)."""
     depth, preds = compile_pattern(pattern)
     from kadiyadb_spark.functions.num import exact_sum4_expr
 
@@ -595,7 +597,8 @@ def series_topk(
             F.sum(S.CNT).alias("range_cnt"),
         )
     )
-    return g.orderBy(F.col("range_total").desc(), *[F.col(c).asc() for c in fcols]).limit(k)
+    rank = F.col("range_total").desc() if largest else F.col("range_total").asc()
+    return g.orderBy(rank, *[F.col(c).asc() for c in fcols]).limit(k)
 
 
 def series_increase(

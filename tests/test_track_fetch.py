@@ -753,3 +753,22 @@ def test_series_binop_all_ops(spark):
 
     with _pt.raises(ValueError, match="op"):
         series_binop(cube, 0, 3, ["a"], ["b"], op="pow", resolution=1)
+
+
+def test_series_bottomk(spark):
+    """largest=False is PromQL bottomk: the quietest series, same
+    TakeOrderedAndProject shape, ties on the series path."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_topk
+
+    ev = spark.createDataFrame(
+        [(0, "a", f"u{i}", float(i + 1)) for i in range(5)],
+        "ts long, x string, y string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    lo = series_topk(cube, 0, 5, ["a", "*"], k=2, resolution=1, largest=False).collect()
+    assert [(r.f2, r.range_total) for r in lo] == [("u0", 1.0), ("u1", 2.0)]
+    hi = series_topk(cube, 0, 5, ["a", "*"], k=2, resolution=1).collect()
+    assert [r.f2 for r in hi] == ["u4", "u3"]
