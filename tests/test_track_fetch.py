@@ -772,3 +772,94 @@ def test_series_bottomk(spark):
     assert [(r.f2, r.range_total) for r in lo] == [("u0", 1.0), ("u1", 2.0)]
     hi = series_topk(cube, 0, 5, ["a", "*"], k=2, resolution=1).collect()
     assert [r.f2 for r in hi] == ["u4", "u3"]
+
+
+def test_series_agg_by_stats(spark):
+    """avg/min/max/count by kept level: depth-2 cube, keep f1 — per-slot
+    stats across the collapsed f2 series (hand-computed)."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_agg_by
+
+    ev = spark.createDataFrame(
+        [
+            # slot 0, type m: users u1=4.0, u2=2.0; type n: u1=10.0
+            (0, "m", "u1", 4.0), (0, "m", "u2", 2.0), (0, "n", "u1", 10.0),
+            # slot 1, type m: u1=6.0
+            (1, "m", "u1", 6.0),
+        ],
+        "ts long, x string, u string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x", "u"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    got = {
+        (r.f1, r.bucket): r
+        for r in series_agg_by(
+            cube, 0, 2, ["*", "*"], keep_levels=[1], resolution=1
+        ).collect()
+    }
+    m0 = got[("m", 0)]
+    assert (m0.sum_total, m0.avg_total, m0.min_total, m0.max_total) == (6.0, 3.0, 2.0, 4.0)
+    assert (m0.n_series, m0.cnt) == (2, 2.0)
+    n0 = got[("n", 0)]
+    assert (n0.sum_total, n0.avg_total, n0.min_total, n0.max_total) == (10.0, 10.0, 10.0, 10.0)
+    assert got[("m", 1)].avg_total == 6.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep_levels"):
+        series_agg_by(cube, 0, 2, ["*", "*"], keep_levels=[], resolution=1)
+
+
+def test_series_topk_per_slot_instant_ranking(spark):
+    """Instant topk: per-slot leaderboard, ties break on the series path;
+    bottomk via largest=False."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_topk_per_slot
+
+    ev = spark.createDataFrame(
+        [
+            # slot 0: a=5, b=3, c=1 ; slot 1: a=1, b=2, c=9
+            (0, "a", 5.0), (0, "b", 3.0), (0, "c", 1.0),
+            (1, "a", 1.0), (1, "b", 2.0), (1, "c", 9.0),
+        ],
+        "ts long, x string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    top = {
+        (r.bucket, r.rk): (r.f1, r.total)
+        for r in series_topk_per_slot(cube, 0, 2, ["*"], k=2, resolution=1).collect()
+    }
+    assert top == {
+        (0, 1): ("a", 5.0), (0, 2): ("b", 3.0),
+        (1, 1): ("c", 9.0), (1, 2): ("b", 2.0),
+    }
+    bottom = {
+        (r.bucket, r.rk): r.f1
+        for r in series_topk_per_slot(
+            cube, 0, 2, ["*"], k=1, resolution=1, largest=False
+        ).collect()
+    }
+    assert bottom == {(0, 1): "c", (1, 1): "a"}
+
+
+def test_series_count_values_census(spark):
+    """count_values groups on the scaled long: equal totals collapse,
+    distinct totals stay apart."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_count_values
+
+    ev = spark.createDataFrame(
+        [(0, "a", 2.0), (0, "b", 2.0), (0, "c", 7.0), (1, "a", 2.0)],
+        "ts long, x string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    got = {
+        (r.bucket, r.value): r.n_series
+        for r in series_count_values(cube, 0, 2, ["*"], resolution=1).collect()
+    }
+    assert got == {(0, 2.0): 2, (0, 7.0): 1, (1, 2.0): 1}
