@@ -341,6 +341,22 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(buckets, 0.9, ["event_type", "day"])
 
 
+def q_fetch_stddev_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL stddev/stdvar_over_time over the dense fetch: trailing
+    12-slot population volatility + window mean per slot. Exact long
+    window sums (S1, S2) then ONE double expression per output — the
+    engine-default-free windowed-variance construction
+    (query.py:series_stddev_over_time)."""
+    from kadiyadb_spark.query import series_stddev_over_time
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_stddev_over_time(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=12
+    )
+
+
 def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly detection over the dense fetch: each slot
     vs the mean/stddev of its preceding 12 slots (current excluded), flag
@@ -3537,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_topk_instant": q_fetch_topk_instant,
         "fetch_count_values": q_fetch_count_values,
         "path_transitions": q_path_transitions,
+        "fetch_stddev_window": q_fetch_stddev_window,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4394,25 +4411,68 @@ FROM base
 GROUP BY f1, f2, 3
 """
 
-    o["fetch_anomaly"] = f"""
+    # engine-default-free mirror of series_stddev_over_time: population
+    # variance over the trailing window INCLUDING the current slot
+    o["fetch_stddev_window"] = f"""
 WITH base AS (
-  SELECT f1, f2, bucket, floor(total * 10000 + 0.5) / 10000 AS total
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
   FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
 ),
 st AS (
-  SELECT f1, f2, bucket, total,
-         avg(total)         OVER w AS m,
-         stddev_samp(total) OVER w AS sd,
-         count(total)       OVER w AS n
+  SELECT f1, f2, bucket, x4,
+         CAST(sum(x4)      OVER w AS DOUBLE) AS s1,
+         CAST(sum(x4 * x4) OVER w AS DOUBLE) AS s2,
+         count(x4)         OVER w AS n
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+),
+v AS (
+  SELECT f1, f2, bucket, x4, n, s1,
+         (CAST(n AS DOUBLE) * s2 - s1 * s1)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var4
+  FROM st
+)
+SELECT f1, f2, bucket,
+       x4 / 10000.0 AS total,
+       CASE WHEN n = 12
+            THEN floor((s1 / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS win_mean,
+       CASE WHEN n = 12
+            THEN floor((var4 / 100000000.0) * 10000 + 0.5) / 10000 END AS win_stdvar,
+       CASE WHEN n = 12
+            THEN floor((sqrt(var4) / 10000.0) * 10000 + 0.5) / 10000 END AS win_stddev
+FROM v
+"""
+
+    # engine-default-free mirror of series_anomaly: exact long window sums
+    # (S1, S2) then ONE double expression — z = (x4 - S1/n)/sqrt(var4),
+    # var4 = (n*S2 - S1^2)/(n*(n-1)); the 1e4 scale cancels in z
+    o["fetch_anomaly"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+st AS (
+  SELECT f1, f2, bucket, x4,
+         CAST(sum(x4)      OVER w AS DOUBLE) AS s1,
+         CAST(sum(x4 * x4) OVER w AS DOUBLE) AS s2,
+         count(x4)         OVER w AS n
   FROM base
   WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
 ),
-z AS (
-  SELECT f1, f2, bucket, total,
-         CASE WHEN n = 12 THEN floor(m * 10000 + 0.5) / 10000 END AS baseline_mean,
-         CASE WHEN n = 12 AND sd > 1e-12
-              THEN floor(((total - m) / sd) * 10000 + 0.5) / 10000 END AS zscore
+v AS (
+  SELECT f1, f2, bucket, x4, n, s1,
+         (CAST(n AS DOUBLE) * s2 - s1 * s1)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS var4
   FROM st
+),
+z AS (
+  SELECT f1, f2, bucket,
+         x4 / 10000.0 AS total,
+         CASE WHEN n = 12
+              THEN floor((s1 / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS baseline_mean,
+         CASE WHEN n = 12 AND var4 > 0
+              THEN floor(((CAST(x4 AS DOUBLE) - s1 / CAST(n AS DOUBLE)) / sqrt(var4)) * 10000 + 0.5) / 10000 END AS zscore
+  FROM v
 )
 SELECT f1, f2, bucket, total, baseline_mean, zscore,
        coalesce(abs(zscore) >= 2.0, false) AS is_anomaly

@@ -49,6 +49,7 @@ from kadiyadb_spark.query import (
     series_agg_by,
     series_topk_per_slot,
     series_count_values,
+    series_stddev_over_time,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -82,6 +83,7 @@ __all__ = [
     "series_agg_by",
     "series_topk_per_slot",
     "series_count_values",
+    "series_stddev_over_time",
     "get_spark",
     "spread",
 ]

@@ -837,9 +837,21 @@ def series_anomaly(
     to the mean/stddev of the PRECEDING ``window_slots`` slots — current
     slot excluded, so an outlier cannot defend itself by inflating its own
     baseline. z is null (and the flag false) until a series has a full
-    baseline window, and when the baseline is flat (stddev ~ 0, where a
-    z-score is undefined). Same one series-keyed window shuffle as the
-    other fetch transforms — compose them and Spark rides one Exchange."""
+    baseline window, and when the baseline is flat (zero variance, where
+    a z-score is undefined). Same one series-keyed window shuffle as the
+    other fetch transforms — compose them and Spark rides one Exchange.
+
+    Engine-default-free (closes the last windowed-variance residue): the
+    window folds EXACT scaled longs — S1 = sum(x4), S2 = sum(x4²) with
+    x4 = round(total·1e4) — and the z-score is ONE double expression over
+    those exact operands, z = (x4 − S1/n)/sqrt(var4) with sample variance
+    var4 = (n·S2 − S1²)/(n·(n−1)) (the 1e4 scale cancels between
+    numerator and denominator). Every FP op runs on identical operands in
+    identical order in any engine, unlike avg/stddev_samp whose
+    accumulation order is an engine default. Long bound: n·max(x4)² <
+    2^63 — |total| ≤ 8.7e4/sqrt(n) at 4dp (fixture totals are ≤1e4;
+    larger scales switch the fold to decimal(38,8)). A flat baseline
+    makes n·S2 == S1² exactly, so var4 is exactly 0.0 in both engines."""
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
@@ -849,18 +861,25 @@ def series_anomaly(
         .orderBy(bucket_col)
         .rowsBetween(-window_slots, -1)
     )
-    mean = F.avg(total_col).over(w)
-    sd = F.stddev_samp(total_col).over(w)
-    n = F.count(total_col).over(w)
+    x4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    s1 = F.sum(x4).over(w).cast("double")
+    s2 = F.sum(x4 * x4).over(w).cast("double")
+    n = F.count(x4).over(w)
+    nd = n.cast("double")
+    var4 = (nd * s2 - s1 * s1) / (nd * (nd - F.lit(1.0)))
+    mean4 = s1 / nd
     z = F.when(
-        (n == window_slots) & (sd > 1e-12), (F.col(total_col) - mean) / sd
+        (n == window_slots) & (var4 > 0),
+        (x4.cast("double") - mean4) / F.sqrt(var4),
     )
     zr = round4_expr(z)
     return df.select(
         *series_cols,
         bucket_col,
-        round4_expr(F.col(total_col)).alias(total_col),
-        round4_expr(F.when(n == window_slots, mean)).alias("baseline_mean"),
+        (x4 / F.lit(10000.0)).alias(total_col),
+        round4_expr(
+            F.when(n == window_slots, mean4 / F.lit(10000.0))
+        ).alias("baseline_mean"),
         zr.alias("zscore"),
         F.coalesce(F.abs(zr) >= F.lit(z_thresh), F.lit(False)).alias("is_anomaly"),
     )
@@ -1354,4 +1373,58 @@ def series_count_values(
             (F.col("_t4") / F.lit(10000.0)).alias("value"),
             "n_series",
         )
+    )
+
+
+def series_stddev_over_time(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int = 12,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``stddev_over_time``/``stdvar_over_time``: per slot, the
+    POPULATION stddev/variance of the trailing ``window_slots`` slots
+    (current included — PromQL's range covers the lookback ending now),
+    plus the window mean. The volatility panel next to avg_over_time
+    (series_smooth). Null until the series has a full window. Same ONE
+    series-keyed window Exchange as the rest of the transform family.
+
+    Engine-default-free by the same construction as series_anomaly: the
+    window folds EXACT scaled longs (S1 = sum(x4), S2 = sum(x4²)), then
+    population variance is ONE double expression over exact operands,
+    var = (n·S2 − S1²)/n² / 1e8 — identical IEEE sequence in any engine,
+    where avg/stddev_pop would accumulate doubles in engine order. A
+    flat window gives n·S2 == S1² exactly → variance exactly 0.0. Long
+    bound: n·max(x4)² < 2^63 (|total| ≤ 8.7e4/sqrt(n) at 4dp; larger
+    scales switch to decimal(38,8))."""
+    if window_slots < 1:
+        raise ValueError(f"need window_slots >= 1, got {window_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-(window_slots - 1), 0)
+    )
+    x4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    s1 = F.sum(x4).over(w).cast("double")
+    s2 = F.sum(x4 * x4).over(w).cast("double")
+    n = F.count(x4).over(w)
+    nd = n.cast("double")
+    var4 = (nd * s2 - s1 * s1) / (nd * nd)
+    full = n == window_slots
+    return df.select(
+        *series_cols,
+        bucket_col,
+        (x4 / F.lit(10000.0)).alias(total_col),
+        round4_expr(F.when(full, s1 / nd / F.lit(10000.0))).alias("win_mean"),
+        round4_expr(
+            F.when(full, var4 / F.lit(100_000_000.0))
+        ).alias("win_stdvar"),
+        round4_expr(
+            F.when(full, F.sqrt(var4) / F.lit(10000.0))
+        ).alias("win_stddev"),
     )

@@ -863,3 +863,49 @@ def test_series_count_values_census(spark):
         for r in series_count_values(cube, 0, 2, ["*"], resolution=1).collect()
     }
     assert got == {(0, 2.0): 2, (0, 7.0): 1, (1, 2.0): 1}
+
+
+def test_series_stddev_over_time_population(spark):
+    """Hand-computed trailing population stddev (window includes current
+    slot, PromQL semantics); null until the window fills."""
+    from kadiyadb_spark.query import series_stddev_over_time
+
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])],
+        "f1 string, bucket long, total double",
+    )
+    got = {
+        r.bucket: r
+        for r in series_stddev_over_time(df, ["f1"], window_slots=3).collect()
+    }
+    assert got[0].win_stddev is None and got[1].win_stddev is None
+    assert (got[2].win_mean, got[2].win_stdvar) == (2.0, 0.6667)
+    assert got[2].win_stddev == 0.8165  # sqrt(2/3)
+    assert (got[3].win_mean, got[3].win_stdvar) == (3.0, 0.6667)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_slots"):
+        series_stddev_over_time(df, ["f1"], window_slots=0)
+
+
+def test_series_anomaly_exact_golden(spark):
+    """The exact-operand z: hand-computed sample stddev over the trailing
+    baseline (current slot excluded); flat baseline (var exactly 0)
+    yields null z and no flag."""
+    from kadiyadb_spark.query import series_anomaly
+
+    rows = [("a", i, v) for i, v in enumerate([1.0, 3.0, 1.0, 3.0, 10.0])]
+    rows += [("b", i, v) for i, v in enumerate([5.0, 5.0, 7.0])]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double")
+    got = {
+        (r.f1, r.bucket): r
+        for r in series_anomaly(df, ["f1"], window_slots=2, z_thresh=2.0).collect()
+    }
+    a2 = got[("a", 2)]  # baseline [1,3]: mean 2, sd sqrt(2)
+    assert (a2.baseline_mean, a2.zscore, a2.is_anomaly) == (2.0, -0.7071, False)
+    a4 = got[("a", 4)]  # baseline [1,3]: z = 8/sqrt(2)
+    assert (a4.zscore, a4.is_anomaly) == (5.6569, True)
+    b2 = got[("b", 2)]  # flat baseline [5,5]: variance exactly 0 -> null
+    assert b2.zscore is None and b2.is_anomaly is False
+    assert got[("a", 0)].zscore is None  # no full baseline yet
