@@ -357,6 +357,24 @@ def q_fetch_stddev_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alerting-rule evaluation over the dense DEPTH-1 fetch
+    (per-type totals across all users — the level alert rules watch):
+    activity >= 0.01 sustained for 2+ consecutive minutes -> one row per
+    firing run with pending/firing starts, half-open end, length and
+    peak. Scaled-long condition compare + integer gaps-and-islands; only
+    breaching slots shuffle (query.py:series_alerts)."""
+    from kadiyadb_spark.query import series_alerts
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click"], RES, DUR), ["total"]
+    )
+    return series_alerts(
+        r.select("f1", "bucket", "total"), ["f1"],
+        threshold=0.01, for_slots=2, resolution=RES,
+    )
+
+
 def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly detection over the dense fetch: each slot
     vs the mean/stddev of its preceding 12 slots (current excluded), flag
@@ -3554,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_count_values": q_fetch_count_values,
         "path_transitions": q_path_transitions,
         "fetch_stddev_window": q_fetch_stddev_window,
+        "fetch_alerts": q_fetch_alerts,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4409,6 +4428,32 @@ SELECT f1, f2, bucket - bucket % {10 * RES} AS bucket,
        sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_observed
 FROM base
 GROUP BY f1, f2, 3
+"""
+
+    # mirror of series_alerts: scaled-long condition + integer
+    # gaps-and-islands (slot - per-series rank constant within a run)
+    o["fetch_alerts"] = f"""
+WITH base AS (
+  SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", None, WEEK0, WEEK1, 1)}) t
+),
+br AS (
+  SELECT f1, bucket, t4, bucket // {RES} AS slot
+  FROM base WHERE t4 >= 100
+),
+r AS (
+  SELECT f1, bucket, t4,
+         slot - row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS run
+  FROM br
+)
+SELECT f1,
+       min(bucket) AS pending_start,
+       min(bucket) + {RES} AS firing_start,
+       max(bucket) + {RES} AS run_end,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       max(t4) / 10000.0 AS peak
+FROM r GROUP BY f1, run
+HAVING count(*) >= 2
 """
 
     # engine-default-free mirror of series_stddev_over_time: population

@@ -50,6 +50,7 @@ from kadiyadb_spark.query import (
     series_topk_per_slot,
     series_count_values,
     series_stddev_over_time,
+    series_alerts,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -84,6 +85,7 @@ __all__ = [
     "series_topk_per_slot",
     "series_count_values",
     "series_stddev_over_time",
+    "series_alerts",
     "get_spark",
     "spread",
 ]

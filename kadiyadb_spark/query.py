@@ -1428,3 +1428,65 @@ def series_stddev_over_time(
             F.when(full, F.sqrt(var4) / F.lit(10000.0))
         ).alias("win_stddev"),
     )
+
+
+def series_alerts(
+    df: DataFrame,
+    series_cols: list[str],
+    threshold: float,
+    for_slots: int = 1,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    resolution: int = 60_000_000_000,
+    above: bool = True,
+) -> DataFrame:
+    """Prometheus ALERTING-RULE evaluation over a dense fetch frame: the
+    condition (``total >= threshold``, or ``<=`` with ``above=False``)
+    must hold for ``for_slots`` CONSECUTIVE slots before the alert fires
+    — the pending→firing semantics of a rule's ``for:`` clause, the
+    query every APM deployment of a store like the reference runs on its
+    cubes. Output: one row per qualifying run — ``pending_start`` (first
+    slot the condition held), ``firing_start`` (the slot the alert
+    transitions to firing: pending_start + (for_slots−1)·resolution),
+    half-open ``run_end``, ``n_slots``, and the run's ``peak`` total.
+    Runs shorter than ``for_slots`` never fire and are dropped.
+
+    Engine-default-free: the condition compares SCALED LONGS
+    (round(total·1e4) vs round(threshold·1e4) — no FP comparison at the
+    boundary), and runs use series_gaps' integer gaps-and-islands (slot
+    index minus per-series rank is constant within a run). ONE exchange:
+    the condition filter precedes the series-keyed window so only
+    breaching slots shuffle (alerts are sparse by design), and the run
+    groupBy keys on (series, run) ⊇ the window partitioning — no second
+    shuffle, same plan argument as series_gaps."""
+    if for_slots < 1:
+        raise ValueError(f"need for_slots >= 1, got {for_slots}")
+    from pyspark.sql import Window
+
+    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    thr4 = round(threshold * 10000)
+    cond = (t4 >= F.lit(thr4)) if above else (t4 <= F.lit(thr4))
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    breaching = df.filter(cond).select(
+        *series_cols,
+        bucket_col,
+        t4.alias("_t4"),
+        # integer DIV: buckets are epoch-ns longs, past double's 2^53
+        F.expr(f"CAST({bucket_col} DIV {resolution} AS LONG)").alias("_slot"),
+    )
+    run = (F.col("_slot") - F.row_number().over(w).cast("long")).alias("_run")
+    return (
+        breaching.select(*series_cols, bucket_col, "_t4", "_slot", run)
+        .groupBy(*series_cols, "_run")
+        .agg(
+            F.min(bucket_col).alias("pending_start"),
+            (F.min(bucket_col) + F.lit((for_slots - 1) * resolution)).alias(
+                "firing_start"
+            ),
+            (F.max(bucket_col) + F.lit(resolution)).alias("run_end"),
+            F.count(F.lit(1)).alias("n_slots"),
+            (F.max("_t4") / F.lit(10000.0)).alias("peak"),
+        )
+        .filter(F.col("n_slots") >= for_slots)
+        .drop("_run")
+    )

@@ -605,3 +605,22 @@ def test_series_quantile_over_time_one_window_exchange(spark):
         phi=0.5, window_slots=3,
     )
     assert n_shuffles(plan_str(q)) == base + 1
+
+
+def test_series_alerts_single_exchange(spark):
+    """series_alerts matches series_gaps' shape: ONE series-keyed window
+    Exchange; the run groupBy keys on (series, run) ⊇ the partitioning so
+    Catalyst adds no second shuffle; the condition filter precedes the
+    window so only breaching slots ever shuffle."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import fetch, series_alerts
+
+    ev = spark.createDataFrame([Row(ts=i % 10, x="a", v=float(i)) for i in range(20)])
+    cube = track_batch(ev, fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=5)
+    dense = fetch(cube, 0, 10, ["a"], resolution=1, duration=5)
+    a = series_alerts(dense.select("f1", "bucket", "total"), ["f1"], threshold=1.0,
+                      for_slots=2, resolution=1)
+    base = n_shuffles(plan_str(dense))
+    assert n_shuffles(plan_str(a)) == base + 1

@@ -909,3 +909,34 @@ def test_series_anomaly_exact_golden(spark):
     b2 = got[("b", 2)]  # flat baseline [5,5]: variance exactly 0 -> null
     assert b2.zscore is None and b2.is_anomaly is False
     assert got[("a", 0)].zscore is None  # no full baseline yet
+
+
+def test_series_alerts_pending_firing(spark):
+    """Hand-computed alert runs: for_slots=3 — a 2-slot breach never
+    fires, a 4-slot breach fires at run_start + 2 slots; boundary value
+    exactly AT the threshold breaches (scaled-long >=, no FP edge)."""
+    from kadiyadb_spark.query import series_alerts
+
+    vals = [0.0, 5.0, 5.0, 0.0, 5.0, 5.0, 7.0, 5.0, 0.0]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    got = series_alerts(
+        df, ["f1"], threshold=5.0, for_slots=3, resolution=1
+    ).collect()
+    assert len(got) == 1  # the 2-slot run at buckets 1-2 never fires
+    r = got[0]
+    assert (r.pending_start, r.firing_start, r.run_end) == (4, 6, 8)
+    assert (r.n_slots, r.peak) == (4, 7.0)
+
+    # above=False: sustained quiet (<= 0.0) for 2 slots — none here
+    low = series_alerts(
+        df, ["f1"], threshold=0.0, for_slots=2, resolution=1, above=False
+    ).collect()
+    assert low == []
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="for_slots"):
+        series_alerts(df, ["f1"], threshold=1.0, for_slots=0)
