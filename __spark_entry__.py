@@ -3318,6 +3318,20 @@ def q_fetch_agg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_quantile_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile by (event_type): the INSTANT median across the
+    collapsed user series at each slot — the "median shard" panel, the
+    across-series complement of fetch_quantile_window. Dyadic phi=0.5
+    over exact scaled longs makes the type-7 interpolation bit-identical
+    cross-engine (query.py:series_quantile_by)."""
+    from kadiyadb_spark.query import series_quantile_by
+
+    return series_quantile_by(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[1],
+        phi=0.5, resolution=RES,
+    )
+
+
 def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
     EACH SLOT — fetch_topk_series ranks range totals; this is the
@@ -3573,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_transitions": q_path_transitions,
         "fetch_stddev_window": q_fetch_stddev_window,
         "fetch_alerts": q_fetch_alerts,
+        "fetch_quantile_by": q_fetch_quantile_by,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6111,18 +6126,53 @@ WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
 GROUP BY f2, bucket
 """
 
+    # stdvar/stddev mirror series_agg_by's exact-operand construction:
+    # integer S1/S2 folds, then one double expression (n*S2 - S1^2)/n^2
     o["fetch_agg_by"] = f"""
-WITH {_EV_CUBE}
+WITH {_EV_CUBE},
+g AS (
+  SELECT f1, bucket,
+         sum(CAST(round((total) * 10000) AS BIGINT)) AS s1,
+         sum(CAST(round((total) * 10000) AS BIGINT)
+             * CAST(round((total) * 10000) AS BIGINT)) AS s2,
+         min(total) AS mn, max(total) AS mx,
+         count(total) AS cn,
+         CAST(count(*) AS BIGINT) AS n_series,
+         sum(cnt) AS cnt
+  FROM cube2
+  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+  GROUP BY f1, bucket
+),
+v AS (
+  SELECT *,
+         (CAST(n_series AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n_series AS DOUBLE) * CAST(n_series AS DOUBLE)) AS var4
+  FROM g
+)
 SELECT f1, bucket,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_total,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / (10000.0 * count(total))) * 10000 + 0.5) / 10000 AS avg_total,
-       floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
-       floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
-       CAST(count(*) AS BIGINT) AS n_series,
-       sum(cnt) AS cnt
-FROM cube2
-WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY f1, bucket
+       floor((s1 / 10000.0) * 10000 + 0.5) / 10000 AS sum_total,
+       floor((s1 / (10000.0 * cn)) * 10000 + 0.5) / 10000 AS avg_total,
+       floor((mn) * 10000 + 0.5) / 10000 AS min_total,
+       floor((mx) * 10000 + 0.5) / 10000 AS max_total,
+       floor((var4 / 100000000.0) * 10000 + 0.5) / 10000 AS stdvar_total,
+       floor((sqrt(var4) / 10000.0) * 10000 + 0.5) / 10000 AS stddev_total,
+       n_series,
+       cnt
+FROM v
+"""
+
+    o["fetch_quantile_by"] = f"""
+WITH {_EV_CUBE},
+s AS (
+  SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM cube2
+  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+)
+SELECT f1, bucket,
+       quantile_cont(t4, 0.5) / 10000.0 AS quantile,
+       CAST(count(*) AS BIGINT) AS n_series
+FROM s GROUP BY f1, bucket
 """
 
     o["fetch_topk_instant"] = f"""

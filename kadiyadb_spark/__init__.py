@@ -51,6 +51,7 @@ from kadiyadb_spark.query import (
     series_count_values,
     series_stddev_over_time,
     series_alerts,
+    series_quantile_by,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -86,6 +87,7 @@ __all__ = [
     "series_count_values",
     "series_stddev_over_time",
     "series_alerts",
+    "series_quantile_by",
     "get_spark",
     "spread",
 ]

@@ -1227,18 +1227,21 @@ def series_agg_by(
     keep_levels: list[int],
     resolution: int = 60_000_000_000,
 ) -> DataFrame:
-    """PromQL ``avg/min/max/count by (labels)`` over the cube — the rest
-    of the aggregation-operator family beside ``series_sum_by`` (which
-    covers ``sum by``): per (kept levels, slot), the average, extremes
-    and membership count of the collapsed series' slot totals. Same ONE
-    pushed-down scan + ONE aggregation shape as series_sum_by — no join,
-    no second Exchange.
+    """PromQL ``avg/min/max/stddev/stdvar/count by (labels)`` over the
+    cube — the rest of the aggregation-operator family beside
+    ``series_sum_by`` (which covers ``sum by``): per (kept levels, slot),
+    the average, extremes, population spread and membership count of the
+    collapsed series' slot totals. Same ONE pushed-down scan + ONE
+    aggregation shape as series_sum_by — no join, no second Exchange.
 
     Engine-default-free: avg is the integer-scaled exact mean
     (functions/num.py:exact_avg4_expr — sum(double) partition order
     redlined this class at the r07 driver gate), min/max compare
     4dp-quantized doubles (order-free, no accumulation), counts are
-    integers."""
+    integers, and stdvar/stddev (population, PromQL semantics) use the
+    exact-operand construction from series_stddev_over_time: integer
+    folds S1 = Σx4, S2 = Σx4², then ONE double expression
+    (n·S2 − S1²)/n²/1e8 — a single-series group gives exactly 0.0."""
     depth, preds = compile_pattern(pattern)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
@@ -1262,7 +1265,8 @@ def series_agg_by(
     for col, val in preds:
         cond = cond & match_expr(col, val)
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
-    return (
+    x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    g = (
         cube.filter(cond)
         .groupBy(*keep_cols, S.BUCKET)
         .agg(
@@ -1270,9 +1274,26 @@ def series_agg_by(
             exact_avg4_expr(F.col(S.TOTAL)).alias("avg_total"),
             round4_expr(F.min(S.TOTAL)).alias("min_total"),
             round4_expr(F.max(S.TOTAL)).alias("max_total"),
+            F.sum(x4).alias("_s1"),
+            F.sum(x4 * x4).alias("_s2"),
             F.count(F.lit(1)).alias("n_series"),
             F.sum(S.CNT).alias("cnt"),
         )
+    )
+    nd = F.col("n_series").cast("double")
+    var4 = (nd * F.col("_s2").cast("double") - F.col("_s1").cast("double")
+            * F.col("_s1").cast("double")) / (nd * nd)
+    return g.select(
+        *keep_cols,
+        S.BUCKET,
+        "sum_total",
+        "avg_total",
+        "min_total",
+        "max_total",
+        round4_expr(var4 / F.lit(100_000_000.0)).alias("stdvar_total"),
+        round4_expr(F.sqrt(var4) / F.lit(10000.0)).alias("stddev_total"),
+        "n_series",
+        "cnt",
     )
 
 
@@ -1489,4 +1510,59 @@ def series_alerts(
         )
         .filter(F.col("n_slots") >= for_slots)
         .drop("_run")
+    )
+
+
+def series_quantile_by(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    keep_levels: list[int],
+    phi: float = 0.5,
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``quantile by (labels)``: the INSTANT phi-quantile ACROSS
+    the collapsed series at each slot (the "median shard" / "p90 worst
+    shard" panel) — the across-series complement of
+    ``series_quantile_over_time``'s across-time window. Same ONE
+    pushed-down scan + ONE aggregation as the agg_by family.
+
+    Engine-default-free under the dyadic-phi condition documented on
+    series_quantile_over_time: totals fold as exact scaled longs and the
+    only FP is the type-7 interpolation, whose terms are all exactly
+    representable when phi = k/2^m — any algebraic form of the formula
+    yields the bit-identical double in any engine."""
+    depth, preds = compile_pattern(pattern)
+    if not keep_levels:
+        raise ValueError("keep_levels must name at least one level")
+    if sorted(set(keep_levels)) != sorted(keep_levels) or any(
+        i < 1 or i > depth for i in keep_levels
+    ):
+        raise ValueError(
+            f"keep_levels must be distinct levels in 1..{depth}, got {keep_levels}"
+        )
+    if not (0.0 <= phi <= 1.0):
+        raise ValueError(f"phi must be in [0, 1], got {phi}")
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
+    x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    return (
+        cube.filter(cond)
+        .select(*keep_cols, S.BUCKET, x4.alias("_t4"))
+        .groupBy(*keep_cols, S.BUCKET)
+        .agg(
+            (F.percentile("_t4", F.lit(phi)) / F.lit(10000.0)).alias("quantile"),
+            F.count(F.lit(1)).alias("n_series"),
+        )
     )

@@ -801,8 +801,11 @@ def test_series_agg_by_stats(spark):
     m0 = got[("m", 0)]
     assert (m0.sum_total, m0.avg_total, m0.min_total, m0.max_total) == (6.0, 3.0, 2.0, 4.0)
     assert (m0.n_series, m0.cnt) == (2, 2.0)
+    # population spread over {4, 2}: var = 1, stddev = 1
+    assert (m0.stdvar_total, m0.stddev_total) == (1.0, 1.0)
     n0 = got[("n", 0)]
     assert (n0.sum_total, n0.avg_total, n0.min_total, n0.max_total) == (10.0, 10.0, 10.0, 10.0)
+    assert (n0.stdvar_total, n0.stddev_total) == (0.0, 0.0)  # single series: exactly 0
     assert got[("m", 1)].avg_total == 6.0
 
     import pytest as _pt
@@ -940,3 +943,35 @@ def test_series_alerts_pending_firing(spark):
 
     with _pt.raises(ValueError, match="for_slots"):
         series_alerts(df, ["f1"], threshold=1.0, for_slots=0)
+
+
+def test_series_quantile_by_instant_median(spark):
+    """Instant quantile ACROSS series per slot: median of {2,4,9} is 4;
+    dyadic phi over an even count interpolates exactly (median of {2,4}
+    is 3.0)."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_quantile_by
+
+    ev = spark.createDataFrame(
+        [
+            (0, "m", "u1", 2.0), (0, "m", "u2", 4.0), (0, "m", "u3", 9.0),
+            (1, "m", "u1", 2.0), (1, "m", "u2", 4.0),
+        ],
+        "ts long, x string, u string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x", "u"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    got = {
+        r.bucket: r
+        for r in series_quantile_by(
+            cube, 0, 2, ["*", "*"], keep_levels=[1], phi=0.5, resolution=1
+        ).collect()
+    }
+    assert (got[0].quantile, got[0].n_series) == (4.0, 3)
+    assert (got[1].quantile, got[1].n_series) == (3.0, 2)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="phi"):
+        series_quantile_by(cube, 0, 2, ["*", "*"], keep_levels=[1], phi=1.5)
