@@ -133,6 +133,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--day-ns", type=int, default=86_400 * 10**9)
     p.add_argument("--max-offset", type=int, default=None)
 
+    p = sub.add_parser(
+        "alerts",
+        help="Prometheus-style alerting-rule eval over a database fetch: "
+        "threshold held for N consecutive slots -> firing runs",
+    )
+    p.add_argument("--path", required=True)
+    p.add_argument("--from-ns", type=int, required=True)
+    p.add_argument("--to-ns", type=int, required=True)
+    p.add_argument("--pattern", required=True)
+    p.add_argument("--threshold", type=float, required=True)
+    p.add_argument("--for-slots", type=int, default=1)
+    p.add_argument("--below", action="store_true", help="fire on <= threshold instead")
+    p.add_argument("--limit", type=int, default=1000)
+
+    p = sub.add_parser(
+        "paths",
+        help="next-hop transition census (Sankey/Markov view) over a "
+        "parquet events table",
+    )
+    p.add_argument("--events", required=True, help="parquet path")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--type-col", default="event_type")
+    p.add_argument("--id-col", default="event_id")
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -220,6 +245,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         keys = [c for c in r.columns if c not in ("total", "cnt")]
         for row in r.orderBy(*keys).limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "alerts":
+        from kadiyadb_spark.query import series_alerts
+
+        db = _open(spark, args.path)
+        pat = args.pattern.split(",")
+        dense = db.fetch(args.from_ns, args.to_ns, pat)
+        series = [c for c in dense.columns if c.startswith("f")]
+        r = series_alerts(
+            dense.select(*series, "bucket", "total"),
+            series,
+            threshold=args.threshold,
+            for_slots=args.for_slots,
+            resolution=db.params.resolution,
+            above=not args.below,
+        )
+        for row in r.orderBy(*series, "pending_start").limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "paths":
+        from kadiyadb_spark.functions.analytics import path_transitions
+
+        r = path_transitions(
+            spark.read.parquet(args.events),
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            type_col=args.type_col,
+            id_col=args.id_col,
+        )
+        for row in r.orderBy(r.transitions.desc(), "from_event", "to_event").collect():
             _emit(row.asDict())
     elif args.cmd == "funnel":
         from kadiyadb_spark.functions.analytics import funnel_counts

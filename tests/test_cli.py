@@ -119,3 +119,32 @@ def test_cli_funnel_and_cohort(spark, tmp_path, capsys):
     # user 1 active in days 0 (ts1) and 1 (ts2); user 2 in day 1 only
     got = {(r["cohort_day"], r["day_offset"]): r["active_users"] for r in rows}
     assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_cli_alerts_and_paths(spark, tmp_path, capsys):
+    db = str(tmp_path / "adb")
+    ev = str(tmp_path / "aev.parquet")
+    spark.createDataFrame(
+        [Row(ts=t, x="a", value=v, user_id=u, event_id=i, event_type=e)
+         for i, (t, v, u, e) in enumerate([
+             (0, 9.0, 1, "view"), (1, 9.0, 1, "click"),
+             (2, 1.0, 2, "view"), (3, 9.0, 2, "click"),
+         ])]
+    ).write.parquet(ev)
+
+    assert main(["init", "--path", db, "--duration", "5", "--resolution", "1",
+                 "--retention", "10", "--fields", "x"]) == 0
+    capsys.readouterr()
+    assert main(["track", "--path", db, "--events", ev, "--total-col", "value"]) == 0
+    capsys.readouterr()
+
+    # threshold 5 held 2+ consecutive slots: slots 0-1 fire; slot 3 alone doesn't
+    assert main(["alerts", "--path", db, "--from-ns", "0", "--to-ns", "4",
+                 "--pattern", "a", "--threshold", "5.0", "--for-slots", "2"]) == 0
+    runs = _out(capsys)
+    assert len(runs) == 1
+    assert (runs[0]["pending_start"], runs[0]["run_end"], runs[0]["n_slots"]) == (0, 2, 2)
+
+    assert main(["paths", "--events", ev]) == 0
+    hops = {(r["from_event"], r["to_event"]): (r["transitions"], r["users"]) for r in _out(capsys)}
+    assert hops == {("view", "click"): (2, 2)}
