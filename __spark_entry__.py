@@ -375,6 +375,42 @@ def q_fetch_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous alerting: stream-ingest the events into a persisted
+    cube, re-evaluating the rule (click activity >= 0.01 for 2+
+    consecutive minutes in the week window) after every micro-batch into
+    an exactly-once manifest-committed alert-state log. The drained
+    state must equal the batch rule evaluation — gated against the SAME
+    SQL as fetch_alerts (streaming/ingest.py:stream_alerts)."""
+    import os
+    import shutil
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+    from kadiyadb_spark.streaming.ingest import read_alerts, stream_alerts
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_alerts_entry_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day,
+               fields=("event_type", "user_id")),
+    )
+    evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
+    q = stream_alerts(
+        evs, db, alerts_dir=f"{tmp}/alerts", checkpoint=f"{tmp}/ckpt",
+        pattern=["click"], threshold=0.01, from_ts=WEEK0, to_ts=WEEK1,
+        for_slots=2,
+    )
+    q.awaitTermination()
+    return read_alerts(spark, f"{tmp}/alerts")
+
+
 def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly detection over the dense fetch: each slot
     vs the mean/stddev of its preceding 12 slots (current excluded), flag
@@ -3588,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_stddev_window": q_fetch_stddev_window,
         "fetch_alerts": q_fetch_alerts,
         "fetch_quantile_by": q_fetch_quantile_by,
+        "streaming_alerts": q_streaming_alerts,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4470,6 +4507,10 @@ SELECT f1,
 FROM r GROUP BY f1, run
 HAVING count(*) >= 2
 """
+
+    # the streaming drain's final alert state must equal the batch rule
+    # evaluation — same gaps-and-islands SQL as fetch_alerts
+    o["streaming_alerts"] = o["fetch_alerts"]
 
     # engine-default-free mirror of series_stddev_over_time: population
     # variance over the trailing window INCLUDING the current slot

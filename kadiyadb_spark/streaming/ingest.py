@@ -490,3 +490,107 @@ def read_decisions(spark, decisions_dir: str, at_gen: int | None = None) -> Data
     if not refs:
         raise FileNotFoundError(f"no committed decisions at {decisions_dir}")
     return spark.read.parquet(*refs)
+
+
+def stream_alerts(
+    events: DataFrame,
+    db: Database,
+    alerts_dir: str,
+    checkpoint: str,
+    pattern: list[str],
+    threshold: float,
+    from_ts: int,
+    to_ts: int,
+    for_slots: int = 1,
+    above: bool = True,
+    ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    trigger_available_now: bool = True,
+    stream_id: str = "alerts",
+):
+    """Continuous ALERTING-RULE evaluation over streaming ingest — the
+    APM deployment mode of ``query.series_alerts``: each micro-batch is
+    merged into ``db`` (idempotently, via the track high-water mark),
+    then the rule (``threshold`` held ``for_slots`` consecutive slots
+    over ``pattern`` within the evaluation window ``[from_ts, to_ts)``)
+    is re-evaluated against the cube's NEW state and the alert-state log
+    at ``alerts_dir`` is atomically REPLACED — the log always holds the
+    rule's current firing runs, the materialized "recording rule".
+
+    Exactly-once STATE: the log is a manifest-committed GenLog whose
+    manifest references ONE state segment + the batch high-water mark in
+    a single generation swap. A replayed batch is a no-op; a crash
+    between the cube merge and the state commit replays into an
+    idempotent merge (its own hwm) and a deterministic re-evaluation of
+    identical cube state. Because every evaluation runs on the full
+    window against the committed cube, the FINAL state after a drain is
+    independent of micro-batch boundaries and equals the batch
+    ``series_alerts`` over the same data — which is exactly what the
+    cross-engine gate asserts.
+
+    Scale shape per batch: one idempotent cube merge (touched epochs
+    only) + one windowed rule evaluation (the breach filter precedes the
+    window shuffle, so only breaching slots move — series_alerts' plan).
+    Replaced state segments are GC'd under the GenLog keep-3 contract, so
+    a reader pinned at a retained generation survives the swap."""
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+    from kadiyadb_spark.query import series_alerts
+
+    def _eval(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        log = GenLog(spark, alerts_dir)
+        m = log.read()
+        if batch_id <= int(m.get("hwm", -1)):
+            return  # replay: state already reflects this batch
+        db.track_stream_batch(
+            batch, batch_id, stream_id=stream_id,
+            ts_col=ts_col, total_col=total_col, count_col=count_col,
+        )
+        dense = db.fetch(from_ts, to_ts, pattern)
+        series = [c for c in dense.columns if c[0] == "f" and c[1:].isdigit()]
+        runs = series_alerts(
+            dense.select(*series, "bucket", "total"),
+            series,
+            threshold=threshold,
+            for_slots=for_slots,
+            resolution=db.params.resolution,
+            above=above,
+        )
+        ref = f"seg-state-{batch_id:012d}"
+        runs.write.mode("overwrite").parquet(HadoopFS.join(alerts_dir, ref))
+        m["segments"] = [{"batch": batch_id, "ref": ref}]
+        m["hwm"] = batch_id
+        log.commit(m, m["gen"])
+        # GC superseded state segments not referenced by any RETAINED
+        # manifest (same contract as compact_decisions)
+        keep = set()
+        for g in log.retained():
+            keep.update(s["ref"] for s in log.read(at_gen=g).get("segments", []))
+        fs = HadoopFS(spark, alerts_dir)
+        for name in fs.listdir(alerts_dir):
+            if name.startswith("seg-") and name not in keep:
+                fs.delete(HadoopFS.join(alerts_dir, name))
+
+    writer = events.writeStream.foreachBatch(_eval).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_alerts(spark, alerts_dir: str, at_gen: int | None = None) -> DataFrame:
+    """Committed view of a ``stream_alerts`` state log: the rule's current
+    firing runs as of the last evaluated micro-batch. Staged segments from
+    in-flight or crashed batches are invisible (manifest-resolved reads).
+    ``at_gen`` pins a retained generation across a concurrent swap."""
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+
+    m = GenLog(spark, alerts_dir).read(at_gen)
+    refs = [HadoopFS.join(alerts_dir, s["ref"]) for s in m.get("segments", [])]
+    if not refs:
+        raise FileNotFoundError(f"no committed alert state at {alerts_dir}")
+    return spark.read.parquet(*refs)

@@ -621,3 +621,51 @@ def test_stream_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
         (r.eid, r.eid_r) for r in spark.sql("SELECT eid, eid_r FROM oj_out").collect()
     )
     assert got == [(2, 1), (3, None), (5, 4)]
+
+
+def test_stream_alerts_state_tracks_ingest(spark, tmp_path):
+    """Alert state after each drain reflects ALL ingested data (a run
+    extended by a later batch re-evaluates to the merged run); a drain
+    with no new data leaves the committed state untouched (replay no-op);
+    staged-but-uncommitted segments are invisible to read_alerts."""
+    from kadiyadb_spark.streaming.ingest import read_alerts, stream_alerts
+
+    src = str(tmp_path / "asrc")
+    db = Database.open(spark, str(tmp_path / "adb"), P)
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ackpt")
+
+    def drain():
+        q = stream_alerts(
+            spark.readStream.schema(SRC_SCHEMA).parquet(src), db,
+            alerts_dir=alerts, checkpoint=ckpt,
+            pattern=["click"], threshold=5.0,
+            from_ts=B0, to_ts=B0 + 10 * 60 * SEC, for_slots=2,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: slots 0 and 1 breach -> one firing run of 2 slots
+    _write_batch(spark, src, [
+        (B0 + 5 * SEC, "click", "u1", 6.0),
+        (B0 + 65 * SEC, "click", "u1", 7.0),
+    ])
+    drain()
+    s1 = read_alerts(spark, alerts).collect()
+    assert len(s1) == 1 and (s1[0].pending_start, s1[0].n_slots) == (B0, 2)
+
+    # batch 2: slot 2 breaches via accumulation (3+4 >= 5) -> run extends to 3
+    _write_batch(spark, src, [
+        (B0 + 125 * SEC, "click", "u1", 3.0),
+        (B0 + 126 * SEC, "click", "u1", 4.0),
+    ])
+    drain()
+    s2 = read_alerts(spark, alerts).collect()
+    assert len(s2) == 1
+    assert (s2[0].pending_start, s2[0].n_slots, s2[0].peak) == (B0, 3, 7.0)
+    assert s2[0].firing_start == B0 + 60 * SEC
+    assert s2[0].run_end == B0 + 3 * 60 * SEC
+
+    # drain with nothing new: state unchanged
+    drain()
+    s3 = read_alerts(spark, alerts).collect()
+    assert sorted(map(str, s3)) == sorted(map(str, s2))
