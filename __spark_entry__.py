@@ -789,6 +789,30 @@ def q_expire_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_db_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPORT: persist a cube, clone it to a second path
+    (segment copy + fresh gen-0 manifest), then read THE CLONE — the
+    backup/branch story, gated with the full cube oracle so the export
+    is proven byte-faithful end-to-end (database.py:clone)."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_clone_entry_")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/src",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    db.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
+    backup = db.clone(f"{tmp}/backup")
+    c = backup.cube().withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
 def q_cube_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-consumer read (change-data-feed over the manifest store):
     track the first half of the month, record the generation, track the
@@ -3625,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_alerts": q_fetch_alerts,
         "fetch_quantile_by": q_fetch_quantile_by,
         "streaming_alerts": q_streaming_alerts,
+        "db_clone": q_db_clone,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -3857,6 +3882,32 @@ def oracle_sql() -> dict[str, str]:
 
     o["track_cube"] = f"""
 WITH {_EV_CUBE}
+SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
+UNION ALL
+SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
+"""
+
+    # a clone must hold exactly the snapshot's cube — track_cube's oracle
+    # at the entry's DAILY epoch width
+    _DAY = 24 * 3600 * SEC
+    o["db_clone"] = f"""
+WITH ev AS (
+    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
+           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+    FROM events
+),
+cube2 AS (
+    SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1, f2,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3, 4
+),
+cube1 AS (
+    SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1,
+           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+)
 SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
 UNION ALL

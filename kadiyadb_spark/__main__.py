@@ -134,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-offset", type=int, default=None)
 
     p = sub.add_parser(
+        "clone",
+        help="consistent snapshot export (backup/branch): copy a pinned "
+        "generation's segments to a new database path",
+    )
+    p.add_argument("--path", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--at-gen", type=int, default=None)
+
+    p = sub.add_parser(
         "alerts",
         help="Prometheus-style alerting-rule eval over a database fetch: "
         "threshold held for N consecutive slots -> firing runs",
@@ -246,6 +255,10 @@ def main(argv: list[str] | None = None) -> int:
         keys = [c for c in r.columns if c not in ("total", "cnt")]
         for row in r.orderBy(*keys).limit(args.limit).collect():
             _emit(row.asDict())
+    elif args.cmd == "clone":
+        db = _open(spark, args.path)
+        dst = db.clone(args.dst, at_gen=args.at_gen)
+        _emit({"cloned": args.dst, "from_gen": args.at_gen if args.at_gen is not None else db.current_gen(), "gen": dst.current_gen()})
     elif args.cmd == "alerts":
         from kadiyadb_spark.query import series_alerts
 

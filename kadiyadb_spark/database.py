@@ -847,6 +847,38 @@ class Database:
         """No-op: segment parquet writes are durable on close and visible
         only after their manifest commits (SURVEY O12)."""
 
+    def clone(self, dst_path: str, at_gen: int | None = None) -> "Database":
+        """Consistent snapshot EXPORT (backup / branch): copy the pinned
+        generation's segments + params to ``dst_path`` and commit a fresh
+        generation-0 manifest referencing them — a fully independent
+        database holding exactly the snapshot's data. Because the source
+        manifest is resolved ONCE and only its referenced segment dirs are
+        copied, a concurrent writer on the source cannot tear the clone
+        (segments are immutable once committed; the keep-window pins them
+        for the copy's duration like any snapshot read). Data-skipping
+        stats and stream high-water marks carry over, so a restored backup
+        resumes its streams without double-applying batches.
+
+        Scale note: ``FileUtil.copy`` is a driver-side sequential copy —
+        fine for the metadata-plus-parquet sizes of a single database; a
+        petabyte fleet would distcp the segment list this method resolves.
+        """
+        m = self._manifest(at_gen)
+        dst = Database.open(self.spark, dst_path, self.params)
+        if dst._manifest_names():
+            raise ValueError(f"clone target {dst_path} already has commits")
+        for refs in m["segments"].values():
+            for ref in refs:
+                self.fs.copy(
+                    HadoopFS.join(self.cube_path, ref),
+                    HadoopFS.join(dst.cube_path, ref),
+                )
+        dst._commit_manifest(
+            {"segments": m["segments"], "hwm": m.get("hwm", {}), "stats": m.get("stats", {})},
+            prev_gen=-1,
+        )
+        return dst
+
 
 def load_all_open(spark: SparkSession, root: str) -> dict[str, Database]:
     """Open every valid database under ``root`` — the reference's

@@ -32,7 +32,8 @@ class HadoopFS:
     def __init__(self, spark: SparkSession, base: str):
         self._jvm = spark._jvm
         self._Path = self._jvm.org.apache.hadoop.fs.Path
-        self._fs = self._Path(base).getFileSystem(spark._jsc.hadoopConfiguration())
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(base).getFileSystem(self._conf)
 
     # -- path helpers --------------------------------------------------------
     @staticmethod
@@ -86,6 +87,19 @@ class HadoopFS:
         if not self._fs.exists(p):
             return False
         return bool(self._fs.delete(p, recursive))
+
+    def copy(self, src: str, dst: str) -> None:
+        """Recursive copy (file or tree), cross-filesystem capable —
+        ``FileUtil.copy`` resolves each side's FS from its own URI, so a
+        file: -> s3a: backup is the same call. Source is never deleted."""
+        sp, dp = self._p(src), self._p(dst)
+        sfs = sp.getFileSystem(self._conf)
+        dfs = dp.getFileSystem(self._conf)
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sfs, sp, dfs, dp, False, self._conf
+        )
+        if not ok:
+            raise IOError(f"copy failed: {src} -> {dst}")
 
     def rename(self, src: str, dst: str) -> bool:
         """Atomic on HDFS/POSIX when ``dst`` does not exist (see module doc).

@@ -148,3 +148,22 @@ def test_cli_alerts_and_paths(spark, tmp_path, capsys):
     assert main(["paths", "--events", ev]) == 0
     hops = {(r["from_event"], r["to_event"]): (r["transitions"], r["users"]) for r in _out(capsys)}
     assert hops == {("view", "click"): (2, 2)}
+
+
+def test_cli_clone(spark, tmp_path, capsys):
+    db = str(tmp_path / "cdb")
+    dst = str(tmp_path / "cdb_backup")
+    ev = str(tmp_path / "cev.parquet")
+    spark.createDataFrame([Row(ts=0, x="a", value=5.0)]).write.parquet(ev)
+    assert main(["init", "--path", db, "--duration", "5", "--resolution", "1",
+                 "--retention", "10", "--fields", "x"]) == 0
+    capsys.readouterr()
+    assert main(["track", "--path", db, "--events", ev, "--total-col", "value"]) == 0
+    capsys.readouterr()
+    assert main(["clone", "--path", db, "--dst", dst]) == 0
+    (out,) = _out(capsys)
+    assert out["cloned"] == dst and out["gen"] == 0
+    assert main(["fetch", "--path", dst, "--from-ns", "0", "--to-ns", "1",
+                 "--pattern", "a"]) == 0
+    rows = _out(capsys)
+    assert rows and rows[0]["total"] == 5.0

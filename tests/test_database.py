@@ -661,3 +661,51 @@ def test_select_resolution_routing_rules(spark, tmp_path):
         select_resolution([fine, bad], t0, t0 + week)
     with _pt.raises(ValueError, match="at least one"):
         select_resolution([], t0, t0 + week)
+
+
+def test_clone_snapshot_export(spark, tmp_path):
+    """clone(at_gen) exports exactly the pinned snapshot; the clone is
+    independent of later source writes; stream hwm carries over so a
+    restored backup never double-applies; a non-empty target refuses."""
+    src = Database.open(spark, str(tmp_path / "csrc"), P)
+    src.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    g1 = src.current_gen()
+    src.track(_events(spark, [(1, "a", "b", 7.0)]), total_col="v")
+
+    # full clone: both rows; pinned clone: only generation g1's row
+    full = src.clone(str(tmp_path / "cfull"))
+    assert _pts(full.fetch(0, 2, ["a", "b"], densify=False)) == _pts(
+        src.fetch(0, 2, ["a", "b"], densify=False)
+    )
+    pinned = src.clone(str(tmp_path / "cpin"), at_gen=g1)
+    assert _pts(pinned.fetch(0, 2, ["a", "b"], densify=False)) == [
+        (0, ("a", "b"), 0, 5.0, 1.0)
+    ]
+
+    # clone starts its own lineage at generation 0
+    assert full.current_gen() == 0
+
+    # independence: a later source write never appears in the clone
+    src.track(_events(spark, [(2, "a", "b", 9.0)]), total_col="v")
+    assert full.fetch(2, 3, ["a", "b"], densify=False).count() == 0
+
+    # refusal on a non-empty target
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="already has commits"):
+        src.clone(str(tmp_path / "cfull"))
+
+
+def test_clone_carries_stream_hwm(spark, tmp_path):
+    """A restored backup resuming the same stream checkpoint must see the
+    applied-batch high-water mark and no-op on replays."""
+    src = Database.open(spark, str(tmp_path / "hsrc"), P)
+    ev = _events(spark, [(0, "a", "b", 5.0)])
+    src.track_stream_batch(ev, 3, stream_id="s1", total_col="v")
+    restored = src.clone(str(tmp_path / "hdst"))
+    assert restored.applied_batch_hwm("s1") == 3
+    # replaying batch 3 into the restored db is a no-op
+    restored.track_stream_batch(ev, 3, stream_id="s1", total_col="v")
+    assert _pts(restored.fetch(0, 1, ["a", "b"], densify=False)) == [
+        (0, ("a", "b"), 0, 5.0, 1.0)
+    ]
