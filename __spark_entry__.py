@@ -3477,6 +3477,22 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.tokenize_bpe(docs, merges, carry_cols=["source"]).orderBy("source")
 
 
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> trained-vocab INTEGER ID SEQUENCES (the actual model
+    input, not just token accounting): one row per (doc, position) with
+    token string + lexicographic vocab id. Tokenization once per distinct
+    word, one doc-keyed window for positions; gated against the k-stage
+    DuckDB merge replay extended with the same vocab/position construction
+    (functions/bpe.py:encode_ids). The vocab is CORPUS-wide (ids must not
+    depend on which docs ship); the gate output is capped to doc_id < 50
+    to keep the compared row volume sane."""
+    from kadiyadb_spark.functions import bpe as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.train_bpe(docs, num_merges=_BPE_MERGES, min_freq=1)
+    return BP.encode_ids(docs, merges).filter(F.col("doc_id") < 50)
+
+
 def q_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2 pre-tokenization (Radford 2019 / tiktoken family) over the
     corpus: contractions, space-prefixed letter/number/punct runs, and the
@@ -3650,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_quantile_by": q_fetch_quantile_by,
         "streaming_alerts": q_streaming_alerts,
         "db_clone": q_db_clone,
+        "bpe_encode_ids": q_bpe_encode_ids,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6344,6 +6361,40 @@ SELECT source,
        coalesce(nw, 0) AS n_words,
        coalesce(nt, 0) AS n_tokens
 FROM (SELECT DISTINCT source FROM documents) LEFT JOIN counts USING (source)
+"""
+
+    # encode_ids mirror: corpus-wide vocab (distinct tokens of the fully
+    # merged word table, ids by lexicographic row_number), per-word token
+    # positions, doc positions by the unique (wpos, tpos) composite
+    o["bpe_encode_ids"] = f"""
+{_bpe_oracle_ctes(_BPE_MERGES)},
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token
+  FROM (SELECT DISTINCT unnest(syms) AS token FROM w{_BPE_MERGES})
+),
+wt AS (
+  SELECT word, pr.p AS tpos, pr.t AS token
+  FROM (SELECT word,
+               unnest(list_transform(range(1, len(syms) + 1),
+                      i -> {{'p': i, 't': syms[CAST(i AS INT)]}})) AS pr
+        FROM w{_BPE_MERGES})
+),
+occ AS (
+  SELECT doc_id, pr.p AS wpos, pr.w AS word
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(wa) + 1),
+                      i -> {{'p': i, 'w': wa[CAST(i AS INT)]}})) AS pr
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x != '') AS wa
+              FROM documents WHERE doc_id < 50))
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1
+            AS BIGINT) AS pos,
+       token,
+       token_id
+FROM occ JOIN wt USING (word) JOIN vocab USING (token)
 """
 
     # Same marker construction as bpe.gpt2_pretokens_expr: \x01 inserted

@@ -281,3 +281,64 @@ def load_merges(spark, path: str) -> list[tuple[str, str, int]]:
     if m.get("version") != 1 or m.get("end") != END:
         raise ValueError(f"not a BPE merges file (or incompatible version): {path}")
     return [(l, r, int(c)) for l, r, c in m["merges"]]
+
+
+def vocab_of(words_tokens: DataFrame) -> DataFrame:
+    """The trained vocabulary as (token_id, token): distinct token strings
+    of a ``tokenize_words`` frame, ids dense 0..V-1 in lexicographic token
+    order — a deterministic assignment any engine reproduces (no hash ids,
+    no insertion order). The id window is a single-partition row_number
+    over VOCAB-sized rows (alphabet + merges, thousands at most), never
+    over the corpus."""
+    from pyspark.sql import Window
+
+    toks = words_tokens.select(F.explode("tokens").alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"), "token"
+    )
+
+
+def encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pretokenize: str = "whitespace",
+) -> DataFrame:
+    """Documents encoded to trained-vocab INTEGER ID SEQUENCES — the step
+    that turns token ACCOUNTING (tokenize_bpe) into actual model input:
+    one row per (doc, position) with the token string and its vocab id.
+    Downstream ``packing.pack_sequences``/``write_shards`` consume exactly
+    this shape.
+
+    Scale shape: tokenization runs once per DISTINCT word (tokenize_words)
+    and explodes to (word, tpos, token, token_id); occurrences join that
+    map by word (broadcastable: vocab-of-words scale, not corpus scale)
+    and one doc-keyed window assigns the global position by the unique
+    (word_pos, token_pos) composite — ONE corpus-wide shuffle. Ids come
+    from ``vocab_of`` (lexicographic, engine-free)."""
+    from pyspark.sql import Window
+
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(pretokens_expr(F.col(text_col), pretokenize)).alias(
+            "_wpos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    wt = tokenize_words(occ.select("word").distinct(), merges)
+    vocab = vocab_of(wt)
+    word_ids = (
+        wt.select("word", F.posexplode("tokens").alias("_tpos", "token"))
+        .join(vocab, "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
+    return (
+        occ.join(word_ids, "word")
+        .select(
+            id_col,
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            "token",
+            "token_id",
+        )
+    )

@@ -187,3 +187,32 @@ def test_train_and_tokenize_with_gpt2_pretokenizer(spark):
     ).collect()}
     assert out[1][0] == 3 and out[2][0] == 2  # pre-token counts
     assert out[1][1] >= out[1][0]  # tokens >= words always
+
+
+def test_encode_ids_roundtrip_golden(spark):
+    """Hand-checked encode: corpus 'ab ab b' -> merge (a,b) then (ab,</w>)
+    at 2 merges; vocab lexicographic; positions span word boundaries."""
+    from kadiyadb_spark.functions.bpe import encode_ids, train_bpe, tokenize_words, vocab_of
+
+    docs = spark.createDataFrame([(0, "ab ab b"), (1, "")], "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=2, min_freq=1)
+    got = [
+        (r.doc_id, r.pos, r.token, r.token_id)
+        for r in encode_ids(docs, merges).orderBy("doc_id", "pos").collect()
+    ]
+    # merge 1: (b,</w>) count 3 (in both 'ab' and 'b') -> b</w>;
+    # merge 2: (a,b</w>) count 2 -> ab</w>. tokens: 'ab'->[ab</w>], 'b'->[b</w>]
+    toks = {
+        r.word: list(r.tokens)
+        for r in tokenize_words(
+            spark.createDataFrame([("ab",), ("b",)], "word string"), merges
+        ).collect()
+    }
+    assert toks == {"ab": ["ab</w>"], "b": ["b</w>"]}
+    vocab = {r.token: r.token_id for r in vocab_of(
+        tokenize_words(spark.createDataFrame([("ab",), ("b",)], "word string"), merges)
+    ).collect()}
+    assert vocab == {"ab</w>": 0, "b</w>": 1}  # lexicographic: 'a' < 'b'
+    assert got == [
+        (0, 0, "ab</w>", 0), (0, 1, "ab</w>", 0), (0, 2, "b</w>", 1),
+    ]  # empty doc 1 contributes no rows (id sequences, not accounting)
