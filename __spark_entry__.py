@@ -3392,6 +3392,32 @@ def q_fetch_quantile_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slot share: each event type's fraction of the slot's total
+    across all depth-1 series — the normalized stacked-area view. One
+    bucket-keyed window over exact scaled longs; the share is one
+    long/long division (query.py:series_share)."""
+    from kadiyadb_spark.query import series_share
+
+    return series_share(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*"], resolution=RES
+    )
+
+
+def q_fetch_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-migration read: click+view remapped into 'engagement' at
+    level 1, per-user slot series re-aggregated under the new naming —
+    label_replace + sum by as one operator, literal mapping (no regex,
+    engine-free). One scan + one aggregation with exact integer sums
+    (query.py:series_remap)."""
+    from kadiyadb_spark.query import series_remap
+
+    return series_remap(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], level=1,
+        mapping={"click": "engagement", "view": "engagement"}, resolution=RES,
+    )
+
+
 def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
     EACH SLOT — fetch_topk_series ranks range totals; this is the
@@ -3667,6 +3693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_alerts": q_streaming_alerts,
         "db_clone": q_db_clone,
         "bpe_encode_ids": q_bpe_encode_ids,
+        "fetch_share": q_fetch_share,
+        "fetch_remap": q_fetch_remap,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6269,6 +6297,35 @@ SELECT f1, bucket,
        n_series,
        cnt
 FROM v
+"""
+
+    o["fetch_share"] = f"""
+WITH {_EV_CUBE},
+s AS (
+  SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM cube1
+  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+),
+t AS (
+  SELECT f1, bucket, t4, sum(t4) OVER (PARTITION BY bucket) AS s4 FROM s
+)
+SELECT bucket, f1,
+       t4 / 10000.0 AS total,
+       s4 / 10000.0 AS slot_total,
+       CASE WHEN s4 != 0
+            THEN floor((CAST(t4 AS DOUBLE) / CAST(s4 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS share
+FROM t
+"""
+
+    o["fetch_remap"] = f"""
+WITH {_EV_CUBE}
+SELECT CASE WHEN f1 IN ('click', 'view') THEN 'engagement' ELSE f1 END AS f1,
+       f2, bucket,
+       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
+       sum(cnt) AS cnt
+FROM cube2
+WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY 1, 2, 3
 """
 
     o["fetch_quantile_by"] = f"""

@@ -52,6 +52,8 @@ from kadiyadb_spark.query import (
     series_stddev_over_time,
     series_alerts,
     series_quantile_by,
+    series_share,
+    series_remap,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -88,6 +90,8 @@ __all__ = [
     "series_stddev_over_time",
     "series_alerts",
     "series_quantile_by",
+    "series_share",
+    "series_remap",
     "get_spark",
     "spread",
 ]

@@ -1566,3 +1566,107 @@ def series_quantile_by(
             F.count(F.lit(1)).alias("n_series"),
         )
     )
+
+
+def series_share(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Per-slot SHARE: each matching series' fraction of the slot's total
+    across all matching series — the normalized stacked-area view ("what
+    share of this minute's traffic was shard 7"), PromQL's
+    ``x / ignoring(lbl) group_left sum(x)`` idiom as one operator. One
+    pushed-down scan + one bucket-keyed window sum — the same transpose
+    partitioning as series_topk_per_slot (per-task state = series at one
+    slot; slots spread across the cluster).
+
+    Engine-default-free: the slot total folds exact scaled longs and the
+    share is ONE long/long double division (identical IEEE result in any
+    engine), rounded at 4dp. A zero slot total yields null shares."""
+    depth, preds = compile_pattern(pattern)
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    fcols = S.field_cols(depth)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    w = Window.partitionBy(S.BUCKET)
+    base = cube.filter(cond).select(*fcols, S.BUCKET, t4.alias("_t4"))
+    s4 = F.sum("_t4").over(w)
+    return base.select(
+        S.BUCKET,
+        *fcols,
+        (F.col("_t4") / F.lit(10000.0)).alias("total"),
+        (s4 / F.lit(10000.0)).alias("slot_total"),
+        round4_expr(F.when(s4 != 0, F.col("_t4") / s4)).alias("share"),
+    )
+
+
+def series_remap(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    level: int,
+    mapping: dict[str, str],
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Label-value REMAP + re-aggregation — the topology-migration read
+    (service renamed, two event types merged into one product area, a
+    shard split healed): level ``level``'s values pass through
+    ``mapping`` (unlisted values keep themselves — identity, never
+    dropped) and the per-slot series re-aggregate under the new naming.
+    PromQL's label_replace + sum by, as one operator, without regex (a
+    literal mapping is engine-free; regex classes differ between RE2 and
+    Java and have burned cross-engine gates before — SURVEY §15.1).
+
+    One pushed-down scan + ONE aggregation keyed by the remapped path;
+    exact integer-scaled sums (functions/num.py)."""
+    depth, preds = compile_pattern(pattern)
+    if not (1 <= level <= depth):
+        raise ValueError(f"level must be in 1..{depth}, got {level}")
+    if not mapping:
+        raise ValueError("mapping must have at least one entry")
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from kadiyadb_spark.functions.num import exact_sum4_expr
+
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    lcol = S.field_col(level)
+    remapped = F.col(lcol)
+    for src, dst in sorted(mapping.items()):
+        remapped = F.when(F.col(lcol) == F.lit(src), F.lit(dst)).otherwise(remapped)
+    keys = [
+        (remapped.alias(c) if c == lcol else F.col(c)) for c in S.field_cols(depth)
+    ]
+    return (
+        cube.filter(cond)
+        .select(*keys, S.BUCKET, S.TOTAL, S.CNT)
+        .groupBy(*S.field_cols(depth), S.BUCKET)
+        .agg(
+            exact_sum4_expr(F.col(S.TOTAL)).alias("total"),
+            F.sum(S.CNT).alias("cnt"),
+        )
+    )

@@ -975,3 +975,59 @@ def test_series_quantile_by_instant_median(spark):
 
     with _pt.raises(ValueError, match="phi"):
         series_quantile_by(cube, 0, 2, ["*", "*"], keep_levels=[1], phi=1.5)
+
+
+def test_series_share_per_slot(spark):
+    """Shares sum to 1 per slot; zero slot-total yields null share."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_share
+
+    ev = spark.createDataFrame(
+        [(0, "a", 3.0), (0, "b", 1.0), (1, "a", 2.0), (2, "a", 5.0), (2, "b", -5.0)],
+        "ts long, x string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    got = {
+        (r.bucket, r.f1): (r.share, r.slot_total)
+        for r in series_share(cube, 0, 3, ["*"], resolution=1).collect()
+    }
+    assert got[(0, "a")] == (0.75, 4.0) and got[(0, "b")] == (0.25, 4.0)
+    assert got[(1, "a")] == (1.0, 2.0)
+    # slot 2 sums to zero: share undefined on both series
+    assert got[(2, "a")][0] is None and got[(2, "b")][0] is None
+
+
+def test_series_remap_merges_label_values(spark):
+    """click+view fold into 'engagement'; unlisted values pass through;
+    bad level/empty mapping refuse."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_remap
+
+    ev = spark.createDataFrame(
+        [(0, "click", 3.0), (0, "view", 1.0), (0, "error", 7.0), (1, "view", 2.0)],
+        "ts long, x string, v double",
+    )
+    cube = track_batch(
+        ev, fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=10
+    )
+    got = {
+        (r.bucket, r.f1): (r.total, r.cnt)
+        for r in series_remap(
+            cube, 0, 2, ["*"], level=1,
+            mapping={"click": "engagement", "view": "engagement"}, resolution=1,
+        ).collect()
+    }
+    assert got == {
+        (0, "engagement"): (4.0, 2.0),
+        (0, "error"): (7.0, 1.0),
+        (1, "engagement"): (2.0, 1.0),
+    }
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="level"):
+        series_remap(cube, 0, 2, ["*"], level=2, mapping={"a": "b"}, resolution=1)
+    with _pt.raises(ValueError, match="mapping"):
+        series_remap(cube, 0, 2, ["*"], level=1, mapping={}, resolution=1)
