@@ -3519,6 +3519,21 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.encode_ids(docs, merges).filter(F.col("doc_id") < 50)
 
 
+def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED packed sequences: encode_ids -> pack_ids, every token
+    id at its (shard, chunk, position) in the concat-and-chunk stream,
+    trailing partials dropped — the actual training tensors, end of the
+    tokenizer pipeline. Corpus-wide vocab; packing over the doc_id < 100
+    subset keeps gate volume sane (functions/packing.py:pack_ids)."""
+    from kadiyadb_spark.functions import bpe as BP
+    from kadiyadb_spark.functions.packing import pack_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.train_bpe(docs, num_merges=_BPE_MERGES, min_freq=1)
+    ids = BP.encode_ids(docs, merges).filter(F.col("doc_id") < 100)
+    return pack_ids(ids, seq_len=128, num_shards=4)
+
+
 def q_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2 pre-tokenization (Radford 2019 / tiktoken family) over the
     corpus: contractions, space-prefixed letter/number/punct runs, and the
@@ -3695,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ids": q_bpe_encode_ids,
         "fetch_share": q_fetch_share,
         "fetch_remap": q_fetch_remap,
+        "pack_ids": q_pack_ids,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6452,6 +6468,58 @@ SELECT doc_id,
        token,
        token_id
 FROM occ JOIN wt USING (word) JOIN vocab USING (token)
+"""
+
+    # pack_ids mirror: the encode construction (doc_id < 100), then doc
+    # lengths -> per-shard offsets -> integer chunk math, full chunks only
+    o["pack_ids"] = f"""
+{_bpe_oracle_ctes(_BPE_MERGES)},
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token
+  FROM (SELECT DISTINCT unnest(syms) AS token FROM w{_BPE_MERGES})
+),
+wt AS (
+  SELECT word, pr.p AS tpos, pr.t AS token
+  FROM (SELECT word,
+               unnest(list_transform(range(1, len(syms) + 1),
+                      i -> {{'p': i, 't': syms[CAST(i AS INT)]}})) AS pr
+        FROM w{_BPE_MERGES})
+),
+occ AS (
+  SELECT doc_id, pr.p AS wpos, pr.w AS word
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(wa) + 1),
+                      i -> {{'p': i, 'w': wa[CAST(i AS INT)]}})) AS pr
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x != '') AS wa
+              FROM documents WHERE doc_id < 100))
+),
+enc AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1
+              AS BIGINT) AS pos,
+         token_id
+  FROM occ JOIN wt USING (word) JOIN vocab USING (token)
+),
+lens AS (
+  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+         CAST(max(pos) + 1 AS BIGINT) AS n
+  FROM enc GROUP BY doc_id
+),
+offs AS (
+  SELECT doc_id, shard, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+  FROM lens
+),
+tot AS (SELECT shard, max(end_off) AS shard_total FROM offs GROUP BY shard),
+placed AS (
+  SELECT o.shard, e.doc_id, e.token_id,
+         (o.end_off - o.n + e.pos) AS g, t.shard_total
+  FROM enc e JOIN offs o USING (doc_id) JOIN tot t ON o.shard = t.shard
+)
+SELECT shard, g // 128 AS chunk_id, g % 128 AS pos_in_chunk, doc_id, token_id
+FROM placed WHERE (g // 128 + 1) * 128 <= shard_total
 """
 
     # Same marker construction as bpe.gpt2_pretokens_expr: \x01 inserted

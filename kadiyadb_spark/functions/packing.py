@@ -313,3 +313,66 @@ def pack_nosplit_bins(packed: DataFrame, seq_len: int) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         (F.lit(seq_len) - F.sum("n_tok")).cast("long").alias("padding"),
     )
+
+
+def pack_ids(
+    ids: DataFrame,
+    seq_len: int,
+    num_shards: int,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    token_id_col: str = "token_id",
+) -> DataFrame:
+    """MATERIALIZED packed training sequences from an ``bpe.encode_ids``
+    frame: every token id placed at its (shard, chunk, position) in the
+    concat-and-chunk stream — the actual model-input tensors, where
+    pack_offsets/pack_chunks only account for them. Output one row per
+    token: (shard, chunk_id, pos_in_chunk, doc_id, token_id); trailing
+    partial chunks are dropped per shard (standard pretraining practice —
+    a short tail would train on padding).
+
+    Scale shape: doc lengths reduce from the ids frame (one small agg);
+    per-shard [start, end) offsets come from a window over DOC-count
+    rows (the same deterministic doc_id%shards + per-shard-order
+    addressing as pack_offsets); the token-level placement is then a
+    broadcastable join + pure integer projection — global position =
+    doc start offset + token position, chunk = position div seq_len.
+    No corpus-sized shuffle beyond what encode_ids already did; all
+    arithmetic exact int64 (positions exceed double's 2^53 at corpus
+    scale)."""
+    if seq_len <= 0 or num_shards <= 0:
+        raise ValueError("seq_len and num_shards must be positive")
+    lens = ids.groupBy(id_col).agg((F.max(pos_col) + 1).cast("long").alias("_n"))
+    d = lens.select(
+        id_col,
+        F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
+        "_n",
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    offs = (
+        d.withColumn("_end", F.sum("_n").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+        .withColumn("_shard_total", F.max("_end").over(Window.partitionBy("shard")))
+    )
+    placed = (
+        ids.join(F.broadcast(offs.select(id_col, "shard", "_start", "_shard_total")), id_col)
+        .select(
+            "shard",
+            id_col,
+            F.col(token_id_col),
+            (F.col("_start") + F.col(pos_col)).alias("_g"),
+            "_shard_total",
+        )
+        .select(
+            "shard",
+            id_col,
+            token_id_col,
+            F.expr(f"_g div {seq_len}").alias("chunk_id"),
+            F.expr(f"_g % {seq_len}").alias("pos_in_chunk"),
+            "_g",
+            "_shard_total",
+        )
+        # full chunks only: the chunk's last position must exist in-shard
+        .filter((F.expr(f"_g div {seq_len}") + 1) * seq_len <= F.col("_shard_total"))
+    )
+    return placed.select("shard", "chunk_id", "pos_in_chunk", id_col, token_id_col)

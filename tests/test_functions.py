@@ -1624,3 +1624,28 @@ def test_bigram_lm_score_properties(spark):
 
     with _pt.raises(ValueError, match="interpolation"):
         bigram_lm_score(docs, lam=1.0)
+
+
+def test_pack_ids_materializes_full_chunks(spark):
+    """Hand-computed placement: one shard, seq_len 3, docs of 2+3+2=7
+    tokens -> chunks 0,1 full (6 tokens), trailing 1-token partial
+    dropped; positions are contiguous across doc boundaries."""
+    from kadiyadb_spark.functions.packing import pack_ids
+
+    rows = []
+    for d, n in [(0, 2), (4, 3), (8, 2)]:  # all % 4 == 0 -> one shard
+        rows += [(d, p, 100 + d + p) for p in range(n)]
+    ids = spark.createDataFrame(rows, "doc_id long, pos long, token_id long")
+    got = sorted(
+        (r.shard, r.chunk_id, r.pos_in_chunk, r.doc_id, r.token_id)
+        for r in pack_ids(ids, seq_len=3, num_shards=4).collect()
+    )
+    assert got == [
+        (0, 0, 0, 0, 100), (0, 0, 1, 0, 101), (0, 0, 2, 4, 104),
+        (0, 1, 0, 4, 105), (0, 1, 1, 4, 106), (0, 1, 2, 8, 108),
+    ]  # doc 8's second token (109) was the dropped partial
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        pack_ids(ids, seq_len=0, num_shards=1)
