@@ -3692,12 +3692,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,
         "pivot_event_matrix": q_pivot_event_matrix,
-        # -- end of the 50-entry r08 cap. The four NEW entries below were
+        # -- end of the 50-entry r08 cap. The THIRTEEN entries below were
         # added after the cap froze; they deviate from the new-entries-in-cap
         # rule DELIBERATELY: the in-cap tail above is sweep re-gates (both
         # sides rewritten this round — the exact class that redlined r07),
-        # which displacing would un-prove. Each of the four is gate-green
-        # locally at driver parallelism (ORACLE_LOCAL.md) and leads r09.
+        # which displacing would un-prove. Every one is gate-green locally
+        # at driver parallelism (ORACLE_LOCAL.md, per-tranche rows) and the
+        # thirteen lead the r09 gate in this order. fetch_anomaly also
+        # re-proves at r09 (both sides rewritten late-r08 to exact-operand
+        # windowed variance; gated green locally after the rewrite).
         "fetch_agg_by": q_fetch_agg_by,
         "fetch_topk_instant": q_fetch_topk_instant,
         "fetch_count_values": q_fetch_count_values,

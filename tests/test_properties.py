@@ -452,3 +452,76 @@ def test_p14_rollup_cascade_equals_direct_coarse_track(spark, events, cut, tmp_p
         resolution=5, duration=15,
     )
     assert _rows(dst.cube()) == _rows(direct)
+
+
+frame_strategy = st.lists(
+    st.integers(min_value=-99995, max_value=99995),  # value*1e4 as int: any 4dp double
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(vals4=frame_strategy, win=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_p11_stddev_over_time_matches_numpy(spark, vals4, win):
+    """P11: the exact-operand windowed variance equals numpy's population
+    std over the same trailing window, for ANY 4dp-quantized frame —
+    the construction behind series_stddev_over_time/series_anomaly/
+    series_agg_by's spread columns."""
+    import math
+
+    import numpy as np
+
+    from kadiyadb_spark.query import series_stddev_over_time
+
+    vals = [v / 10000.0 for v in vals4]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    got = {
+        r.bucket: (r.win_mean, r.win_stdvar, r.win_stddev)
+        for r in series_stddev_over_time(df, ["f1"], window_slots=win).collect()
+    }
+    for i in range(len(vals)):
+        if i + 1 < win:
+            assert got[i] == (None, None, None)
+            continue
+        w = np.array(vals[i - win + 1 : i + 1], dtype=np.float64)
+        exp_mean = round(math.floor((w.mean()) * 10000 + 0.5)) / 10000
+        # numpy accumulates doubles; compare at the shared 4dp contract
+        assert got[i][0] == pytest.approx(exp_mean, abs=2e-4)
+        assert got[i][1] == pytest.approx(float(w.var()), abs=2e-4)
+        assert got[i][2] == pytest.approx(float(w.std()), abs=2e-4)
+
+
+@given(vals4=frame_strategy, thr4=st.integers(min_value=-50000, max_value=50000),
+       for_slots=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_p12_alerts_match_naive_scan(spark, vals4, thr4, for_slots):
+    """P12: series_alerts equals a naive python scan of the same rule
+    (consecutive breaches >= for_slots) for ANY frame/threshold."""
+    from kadiyadb_spark.query import series_alerts
+
+    vals = [v / 10000.0 for v in vals4]
+    thr = thr4 / 10000.0
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    got = sorted(
+        (r.pending_start, r.run_end, r.n_slots, r.peak)
+        for r in series_alerts(
+            df, ["f1"], threshold=thr, for_slots=for_slots, resolution=1
+        ).collect()
+    )
+    runs, start = [], None
+    for i, v in enumerate(vals + [None]):  # sentinel closes a trailing run
+        if v is not None and round(v * 10000) >= thr4:
+            start = i if start is None else start
+        elif start is not None:
+            n = i - start
+            if n >= for_slots:
+                runs.append((start, i, n, max(vals[start:i])))
+            start = None
+    assert got == sorted(runs)
