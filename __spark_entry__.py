@@ -2357,6 +2357,17 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.decontaminate(docs, benchmark, n=5)
 
 
+def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination: remove only the 10-word spans touched by
+    a benchmark 5-gram (boundary-crossing grams contaminate every span
+    they overlap), keep the rest of the doc; fully-dirty docs stay
+    visible with empty text. Same broadcast-gram shape as
+    text_decontaminate (functions/text.py:decontaminate_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return TX.decontaminate_spans(docs, benchmark, n=5, words_per_span=10)
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination — the 100 TB form of
     text_decontaminate: a ~num_bits-bounded Bloom filter of the eval grams
@@ -3714,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_share": q_fetch_share,
         "fetch_remap": q_fetch_remap,
         "pack_ids": q_pack_ids,
+        "text_decontaminate_spans": q_text_decontaminate_spans,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -5583,6 +5595,48 @@ FROM g JOIN b USING (gram) GROUP BY g.doc_id
     # The Bloom probe is a pure prefilter (false positives die in the exact
     # verify join), so the bloom entry's truth IS the exact operator's.
     o["decontaminate_bloom"] = o["text_decontaminate"]
+
+    # decontaminate_spans mirror: positioned grams -> hit word ranges ->
+    # every overlapped 10-word span dropped -> ordered reconstruction;
+    # all docs visible (fully-dirty/token-less -> '')
+    o["text_decontaminate_spans"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+b AS (SELECT DISTINCT gram
+      FROM (SELECT unnest({_GRAMS5}) AS gram FROM t WHERE doc_id % 50 = 0)),
+g AS (
+  SELECT doc_id, pr.p - 1 AS gidx, pr.g AS gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 3),
+                      i -> {{'p': i, 'g': array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 4], ' ')}})) AS pr
+        FROM t WHERE len(toks) >= 5)
+),
+hits AS (SELECT DISTINCT doc_id, gidx FROM g JOIN b USING (gram)),
+dirty AS (
+  SELECT DISTINCT doc_id,
+         unnest(range(gidx // 10, (gidx + 4) // 10 + 1)) AS span_idx
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+         array_to_string(toks[CAST(i * 10 + 1 AS INT) : CAST(i * 10 + 10 AS INT)], ' ') AS span
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+        FROM t WHERE len(toks) > 0)
+),
+agg AS (
+  SELECT s.doc_id,
+         string_agg(CASE WHEN d.span_idx IS NULL THEN s.span END, ' ' ORDER BY s.span_idx) AS text,
+         CAST(count(CASE WHEN d.span_idx IS NULL THEN 1 END) AS BIGINT) AS n_spans_kept,
+         CAST(count(d.span_idx) AS BIGINT) AS n_spans_removed
+  FROM spans s LEFT JOIN dirty d USING (doc_id, span_idx)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       coalesce(text, '') AS text,
+       coalesce(n_spans_kept, 0) AS n_spans_kept,
+       coalesce(n_spans_removed, 0) AS n_spans_removed
+FROM (SELECT DISTINCT doc_id FROM documents) LEFT JOIN agg USING (doc_id)
+"""
 
     o["text_repetition"] = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),

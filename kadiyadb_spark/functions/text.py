@@ -848,3 +848,98 @@ def bigram_lm_score(
         "cross_entropy",
         round4_expr(F.exp(F.col("cross_entropy"))).alias("perplexity"),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    words_per_span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SURGICAL decontamination: remove only the fixed-width word spans
+    that contain (or are crossed by) a benchmark ``n``-gram, keep the
+    rest of the document — ``decontaminate`` flags whole docs, which
+    wastes data when the contamination is one quoted eval question
+    inside an otherwise-clean page.
+
+    Works on the NORMALIZED token stream (``tokens_expr``: lowercased,
+    whitespace-split — the same tokenization the gram match uses, so
+    gram positions and span boundaries align exactly); the output text
+    is the single-spaced reconstruction of the surviving spans.
+    Boundary-crossing grams are handled by construction: a hit at word
+    index g contaminates EVERY span overlapping [g, g+n), not just the
+    span containing g. Fully-contaminated (and token-less) docs stay
+    VISIBLE with empty text and n_spans_kept = 0.
+
+    Scale shape: benchmark grams broadcast (eval sets are tiny); gram
+    positions and spans are map-side projections; contaminated span ids
+    are bounded by contamination volume; ONE doc-keyed shuffle rebuilds
+    the text. The corpus is never shuffled on content."""
+    if n < 1 or words_per_span < 1:
+        raise ValueError("n and words_per_span must be positive")
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    base = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks"))
+    cnt = F.size("_toks")
+    grams = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hits = (
+        base.select(F.col(id_col), F.posexplode(grams).alias("_gidx", "gram"))
+        .join(F.broadcast(bench_grams), "gram")
+    )
+    w = words_per_span
+    dirty = hits.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.expr(f"_gidx div {w}"), F.expr(f"(_gidx + {n - 1}) div {w}")
+            )
+        ).alias("span_idx"),
+    ).distinct()
+    nspans = F.ceil(cnt / F.lit(w)).cast("int")
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nspans - 1),
+                lambda i: F.array_join(F.slice("_toks", i * w + 1, w), " "),
+            )
+        ).alias("span_idx", "span"),
+    )
+    flagged = spans.join(
+        dirty.withColumn("_dirty", F.lit(1)), [id_col, "span_idx"], "left"
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dirty").isNull(), F.struct("span_idx", "span"))
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.when(F.col("_dirty").isNull(), 1)).cast("long").alias("n_spans_kept"),
+        F.count(F.col("_dirty")).cast("long").alias("n_spans_removed"),
+    )
+    return (
+        docs.select(id_col).distinct()
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
+            F.coalesce("n_spans_removed", F.lit(0)).cast("long").alias("n_spans_removed"),
+        )
+    )

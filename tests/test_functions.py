@@ -1649,3 +1649,36 @@ def test_pack_ids_materializes_full_chunks(spark):
 
     with _pt.raises(ValueError, match="positive"):
         pack_ids(ids, seq_len=0, num_shards=1)
+
+
+def test_decontaminate_spans_surgical(spark):
+    """Only spans overlapping a benchmark gram drop: a hit crossing the
+    span boundary contaminates BOTH spans; clean docs unchanged;
+    fully-dirty docs stay visible with empty text."""
+    from kadiyadb_spark.functions.text import decontaminate_spans
+
+    w = [f"w{i}" for i in range(8)]
+    # doc 0: contaminated 3-gram at word indices 3..5 — crosses the
+    # span boundary at word 4 (words_per_span=4) -> both spans drop
+    d0 = " ".join(w)
+    # doc 1: clean
+    d1 = "clean words only here nothing to see folks"
+    # doc 2: identical to the benchmark -> fully dirty
+    bench_text = " ".join(w[3:6])
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, bench_text)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_spans_kept, r.n_spans_removed)
+        for r in decontaminate_spans(docs, bench, n=3, words_per_span=4).collect()
+    }
+    assert got[0] == ("", 0, 2)  # both 4-word spans overlapped the hit
+    assert got[1] == (d1, 2, 0)
+    assert got[2] == ("", 0, 1)
+
+    # same doc 0 with the gram fully inside span 0: span 1 survives
+    docs2 = spark.createDataFrame([(0, d0)], "doc_id long, text string")
+    bench2 = spark.createDataFrame([(99, " ".join(w[0:3]))], "doc_id long, text string")
+    got2 = decontaminate_spans(docs2, bench2, n=3, words_per_span=4).collect()[0]
+    assert (got2.text, got2.n_spans_kept, got2.n_spans_removed) == (" ".join(w[4:8]), 1, 1)
