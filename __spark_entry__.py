@@ -2357,6 +2357,21 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.decontaminate(docs, benchmark, n=5)
 
 
+def q_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate DISCOVERY: the corpus's over-frequent word bigrams
+    (frequency > 1/1024 of all gram occurrences — dyadic, exact floor in
+    any engine; a real cut: 636 of 916 distinct bigrams pass at sf0.01)
+    — pure composition of word_ngrams_expr and the two-pass Misra-Gries
+    heavy_hitters; raw grams never shuffle, only per-partition candidates
+    + the recount (functions/sketch.py:heavy_hitters)."""
+    from kadiyadb_spark.functions.sketch import heavy_hitters
+
+    grams = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.word_ngrams_expr(F.col("text"), 2)).alias("gram")
+    )
+    return heavy_hitters(grams, ["gram"], threshold_frac=1 / 1024)
+
+
 def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURGICAL decontamination: remove only the 10-word spans touched by
     a benchmark 5-gram (boundary-crossing grams contaminate every span
@@ -3726,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_remap": q_fetch_remap,
         "pack_ids": q_pack_ids,
         "text_decontaminate_spans": q_text_decontaminate_spans,
+        "ngram_heavy_hitters": q_ngram_heavy_hitters,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -5405,6 +5421,21 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
        floor((count(*) / (SELECT CAST(c AS DOUBLE) FROM n)) * 10000 + 0.5) / 10000 AS frac
 FROM events GROUP BY user_id
 HAVING count(*) > (SELECT CAST(floor(c * 0.001953125) AS BIGINT) FROM n)
+"""
+
+    # gram heavy hitters: same GROUP BY/HAVING truth over exploded grams;
+    # 1/1024 is dyadic (exact floor in any engine)
+    o["ngram_heavy_hitters"] = f"""
+WITH g AS (SELECT unnest(x) AS gram
+           FROM (SELECT list_transform(range(1, greatest(len(toks), 1)),
+                        i -> array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 1], ' ')) AS x
+                 FROM (SELECT {_TOKENS} AS toks FROM documents)
+                 WHERE len(toks) >= 2)),
+n AS (SELECT count(*) AS c FROM g)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+       floor((count(*) / (SELECT CAST(c AS DOUBLE) FROM n)) * 10000 + 0.5) / 10000 AS frac
+FROM g GROUP BY gram
+HAVING count(*) > (SELECT CAST(floor(c * 0.0009765625) AS BIGINT) FROM n)
 """
 
     o["hll_distinct_rollup"] = """
