@@ -4664,22 +4664,24 @@ WITH base AS (
 ),
 st AS (
   SELECT f1, f2, bucket, x4,
-         CAST(sum(x4)      OVER w AS DOUBLE) AS s1,
-         CAST(sum(x4 * x4) OVER w AS DOUBLE) AS s2,
-         count(x4)         OVER w AS n
+         sum(x4)      OVER w AS s1,
+         sum(x4 * x4) OVER w AS s2,
+         min(x4)      OVER w AS m,
+         count(x4)    OVER w AS n
   FROM base
   WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
 ),
 v AS (
   SELECT f1, f2, bucket, x4, n, s1,
-         (CAST(n AS DOUBLE) * s2 - s1 * s1)
+         (CAST(n AS DOUBLE) * CAST(s2 - 2 * m * s1 + n * m * m AS DOUBLE)
+          - CAST(s1 - n * m AS DOUBLE) * CAST(s1 - n * m AS DOUBLE))
            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var4
   FROM st
 )
 SELECT f1, f2, bucket,
        x4 / 10000.0 AS total,
        CASE WHEN n = 12
-            THEN floor((s1 / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS win_mean,
+            THEN floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS win_mean,
        CASE WHEN n = 12
             THEN floor((var4 / 100000000.0) * 10000 + 0.5) / 10000 END AS win_stdvar,
        CASE WHEN n = 12
@@ -4688,8 +4690,9 @@ FROM v
 """
 
     # engine-default-free mirror of series_anomaly: exact long window sums
-    # (S1, S2) then ONE double expression — z = (x4 - S1/n)/sqrt(var4),
-    # var4 = (n*S2 - S1^2)/(n*(n-1)); the 1e4 scale cancels in z
+    # (S1, S2) re-centered about the window minimum via exact long
+    # identities (flat -> exactly 0; conditioned on spread, not level),
+    # then ONE double expression — z = (x4 - S1/n)/sqrt(var4)
     o["fetch_anomaly"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
@@ -4697,15 +4700,17 @@ WITH base AS (
 ),
 st AS (
   SELECT f1, f2, bucket, x4,
-         CAST(sum(x4)      OVER w AS DOUBLE) AS s1,
-         CAST(sum(x4 * x4) OVER w AS DOUBLE) AS s2,
-         count(x4)         OVER w AS n
+         sum(x4)      OVER w AS s1,
+         sum(x4 * x4) OVER w AS s2,
+         min(x4)      OVER w AS m,
+         count(x4)    OVER w AS n
   FROM base
   WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
 ),
 v AS (
   SELECT f1, f2, bucket, x4, n, s1,
-         (CAST(n AS DOUBLE) * s2 - s1 * s1)
+         (CAST(n AS DOUBLE) * CAST(s2 - 2 * m * s1 + n * m * m AS DOUBLE)
+          - CAST(s1 - n * m AS DOUBLE) * CAST(s1 - n * m AS DOUBLE))
            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS var4
   FROM st
 ),
@@ -4713,9 +4718,9 @@ z AS (
   SELECT f1, f2, bucket,
          x4 / 10000.0 AS total,
          CASE WHEN n = 12
-              THEN floor((s1 / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS baseline_mean,
+              THEN floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS baseline_mean,
          CASE WHEN n = 12 AND var4 > 0
-              THEN floor(((CAST(x4 AS DOUBLE) - s1 / CAST(n AS DOUBLE)) / sqrt(var4)) * 10000 + 0.5) / 10000 END AS zscore
+              THEN floor(((CAST(x4 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt(var4)) * 10000 + 0.5) / 10000 END AS zscore
   FROM v
 )
 SELECT f1, f2, bucket, total, baseline_mean, zscore,
@@ -6376,6 +6381,7 @@ g AS (
          sum(CAST(round((total) * 10000) AS BIGINT)) AS s1,
          sum(CAST(round((total) * 10000) AS BIGINT)
              * CAST(round((total) * 10000) AS BIGINT)) AS s2,
+         min(CAST(round((total) * 10000) AS BIGINT)) AS m4,
          min(total) AS mn, max(total) AS mx,
          count(total) AS cn,
          CAST(count(*) AS BIGINT) AS n_series,
@@ -6386,8 +6392,8 @@ g AS (
 ),
 v AS (
   SELECT *,
-         (CAST(n_series AS DOUBLE) * CAST(s2 AS DOUBLE)
-          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         (CAST(n_series AS DOUBLE) * CAST(s2 - 2 * m4 * s1 + n_series * m4 * m4 AS DOUBLE)
+          - CAST(s1 - n_series * m4 AS DOUBLE) * CAST(s1 - n_series * m4 AS DOUBLE))
            / (CAST(n_series AS DOUBLE) * CAST(n_series AS DOUBLE)) AS var4
   FROM g
 )

@@ -261,11 +261,12 @@ def main(argv: list[str] | None = None) -> int:
         _emit({"cloned": args.dst, "from_gen": args.at_gen if args.at_gen is not None else db.current_gen(), "gen": dst.current_gen()})
     elif args.cmd == "alerts":
         from kadiyadb_spark.query import series_alerts
+        from kadiyadb_spark.schema import series_field_cols
 
         db = _open(spark, args.path)
         pat = args.pattern.split(",")
         dense = db.fetch(args.from_ns, args.to_ns, pat)
-        series = [c for c in dense.columns if c.startswith("f")]
+        series = series_field_cols(dense.columns)
         r = series_alerts(
             dense.select(*series, "bucket", "total"),
             series,

@@ -851,19 +851,37 @@ class Database:
         """Consistent snapshot EXPORT (backup / branch): copy the pinned
         generation's segments + params to ``dst_path`` and commit a fresh
         generation-0 manifest referencing them — a fully independent
-        database holding exactly the snapshot's data. Because the source
-        manifest is resolved ONCE and only its referenced segment dirs are
-        copied, a concurrent writer on the source cannot tear the clone
-        (segments are immutable once committed; the keep-window pins them
-        for the copy's duration like any snapshot read). Data-skipping
-        stats and stream high-water marks carry over, so a restored backup
-        resumes its streams without double-applying batches.
+        database holding exactly the snapshot's data. The source manifest
+        is resolved ONCE and segments are immutable once committed, so
+        concurrent TRACK/COMPACT commits cannot tear the clone — but
+        data-DELETING maintenance (expire/maintain, which commit with
+        keep=1 and GC de-referenced dirs immediately) CAN delete a
+        resolved segment mid-copy: run clone from the same single-writer
+        maintenance cadence as compact, never concurrent with expire (a
+        torn copy fails loudly with FileNotFound before anything commits
+        at the target — the target never holds a partial manifest).
+        Data-skipping stats and stream high-water marks carry over, so a
+        restored backup resumes its streams without double-applying
+        batches.
 
         Scale note: ``FileUtil.copy`` is a driver-side sequential copy —
         fine for the metadata-plus-parquet sizes of a single database; a
         petabyte fleet would distcp the segment list this method resolves.
         """
         m = self._manifest(at_gen)
+        # open(params=...) never READS a pre-existing params.json (it only
+        # writes one when absent), so compare the target's file directly: a
+        # clone under the TARGET's old params would misread every
+        # bucket/epoch grid on the next plain open
+        dfs = HadoopFS(self.spark, dst_path)
+        pj = HadoopFS.join(dst_path, "params.json")
+        if dfs.exists(pj):
+            existing = Params.from_dict(dfs.read_json(pj))
+            if existing != self.params:
+                raise ValueError(
+                    f"clone target {dst_path} has mismatched params "
+                    f"{existing.to_dict()} != {self.params.to_dict()}"
+                )
         dst = Database.open(self.spark, dst_path, self.params)
         if dst._manifest_names():
             raise ValueError(f"clone target {dst_path} already has commits")

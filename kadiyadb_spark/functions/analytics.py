@@ -80,7 +80,9 @@ def funnel_counts(
                 F.col(type_col).alias("et"),
             ).alias("_e"),
         )
-        .filter(F.col("_e.et").isin(*steps))
+        # null-ts rows (ingest artifacts / unparseable timestamps) carry no
+        # event-time and must not anchor or advance any stage
+        .filter(F.col("_e.ts").isNotNull() & F.col("_e.et").isin(*steps))
         .groupBy("_u")
         .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
     )
@@ -164,6 +166,7 @@ def cohort_retention(
     ts_ns = ts_ns_expr(events.schema[ts_col].dataType, ts_col)
     activity = (
         events.select(F.col(user_col).alias("_u"), ts_ns.alias("_tsn"))
+        .filter(F.col("_tsn").isNotNull())
         .select("_u", F.expr(f"CAST(_tsn DIV {day_ns} AS LONG)").alias("_day"))
         .distinct()
     )
@@ -232,6 +235,10 @@ def path_transitions(
         ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("_tsn"),
         F.col(id_col).alias("_id"),
         F.col(type_col).alias("to_event"),
+    ).filter(
+        # a null-ts row would sort to the head of every user's timeline
+        # and fabricate a bogus first hop
+        F.col("_tsn").isNotNull()
     )
     w = Window.partitionBy("_u").orderBy(F.col("_tsn").asc(), F.col("_id").asc())
     hops = (

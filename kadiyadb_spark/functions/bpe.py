@@ -305,6 +305,7 @@ def encode_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     pretokenize: str = "whitespace",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Documents encoded to trained-vocab INTEGER ID SEQUENCES — the step
     that turns token ACCOUNTING (tokenize_bpe) into actual model input:
@@ -316,8 +317,18 @@ def encode_ids(
     and explodes to (word, tpos, token, token_id); occurrences join that
     map by word (broadcastable: vocab-of-words scale, not corpus scale)
     and one doc-keyed window assigns the global position by the unique
-    (word_pos, token_pos) composite — ONE corpus-wide shuffle. Ids come
-    from ``vocab_of`` (lexicographic, engine-free)."""
+    (word_pos, token_pos) composite — ONE corpus-wide shuffle.
+
+    ``vocab``: the TRAINED (token_id, token) frame — pass
+    ``vocab_of(tokenize_words(training_words, merges))`` (or a persisted
+    copy) whenever more than one corpus is encoded under the same merges:
+    ids must come from the training vocabulary, or the same token gets
+    DIFFERENT ids in different batches (live-review finding — training
+    shards vs a validation batch would silently disagree). Tokens absent
+    from the supplied vocab take id -1 (the UNK sentinel; positions stay
+    intact). Default None derives the vocab from THIS corpus's own words
+    (lexicographic ``vocab_of``) — self-consistent for one-shot encodes,
+    corpus-relative by construction."""
     from pyspark.sql import Window
 
     occ = docs.select(
@@ -327,10 +338,16 @@ def encode_ids(
         ),
     ).filter(F.col("word") != "")
     wt = tokenize_words(occ.select("word").distinct(), merges)
-    vocab = vocab_of(wt)
+    if vocab is None:
+        vocab = vocab_of(wt)
+        how = "inner"  # corpus-derived: every token is in it by construction
+    else:
+        vocab = vocab.select("token", "token_id")
+        how = "left"
     word_ids = (
         wt.select("word", F.posexplode("tokens").alias("_tpos", "token"))
-        .join(vocab, "token")
+        .join(vocab, "token", how)
+        .withColumn("token_id", F.coalesce("token_id", F.lit(-1)).cast("long"))
     )
     w = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
     return (

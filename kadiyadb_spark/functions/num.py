@@ -77,3 +77,11 @@ def exact_sum4_sql(expr: str, dp: int = 4) -> str:
     """DuckDB twin of ``exact_sum4_expr`` (same scaling, same association)."""
     s = 10**dp
     return round4_sql(f"sum(CAST(round(({expr}) * {s}) AS BIGINT)) / {float(s)}")
+
+
+def scale4_expr(c: Column) -> Column:
+    """The scaled-long form of a 4dp-quantized double: round(v*1e4) as
+    long — the exact integer every engine computes identically, the
+    building block of the exact sum/avg/variance constructions above.
+    One definition instead of a per-operator copy of the idiom."""
+    return F.round(c.cast("double") * 10000).cast("long")

@@ -906,14 +906,20 @@ def decontaminate_spans(
         ).alias("span_idx"),
     ).distinct()
     nspans = F.ceil(cnt / F.lit(w)).cast("int")
+    # guard cnt == 0: sequence(0, -1) DESCENDS in Spark (default step -1),
+    # fabricating two phantom empty spans for token-less docs (caught by
+    # live review: text=' ', n_spans_kept=2) — emit no spans instead; the
+    # doc stays visible through the final left join
+    span_arr = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(0), nspans - 1),
+            lambda i: F.array_join(F.slice("_toks", i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     spans = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nspans - 1),
-                lambda i: F.array_join(F.slice("_toks", i * w + 1, w), " "),
-            )
-        ).alias("span_idx", "span"),
+        F.posexplode(span_arr).alias("span_idx", "span"),
     )
     flagged = spans.join(
         dirty.withColumn("_dirty", F.lit(1)), [id_col, "span_idx"], "left"

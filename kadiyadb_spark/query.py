@@ -464,6 +464,31 @@ def series_ratio_wildcard(
     )
 
 
+def _series_scan_cond(
+    from_ts: int, to_ts: int, pattern: list[str], resolution: int
+) -> tuple["F.Column", int]:
+    """Shared scan preamble of the series_* operator family: compile the
+    pattern, validate the half-open range, floor both ends to the slot
+    grid, and build the pushed-down (depth, bucket-range, level
+    predicates) filter. ONE definition — a fix to range flooring or
+    pattern-predicate handling must not need replicating across every
+    operator (live-review finding: the preamble had been copy-pasted
+    nine times). Returns (condition, depth)."""
+    depth, preds = compile_pattern(pattern)
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    return cond, depth
+
+
 def series_sum_by(
     cube: DataFrame,
     from_ts: int,
@@ -484,7 +509,7 @@ def series_sum_by(
     operator exists for the aggregations the prefix rollup CANNOT serve —
     keeping a non-prefix subset (``sum by (user)`` over (event_type, user)
     fans event types IN per user, which no rollup row holds)."""
-    depth, preds = compile_pattern(pattern)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
     if sorted(set(keep_levels)) != sorted(keep_levels) or any(
@@ -493,19 +518,8 @@ def series_sum_by(
         raise ValueError(
             f"keep_levels must be distinct levels in 1..{depth}, got {keep_levels}"
         )
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from kadiyadb_spark.functions.num import exact_sum4_expr
 
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
     return (
         cube.filter(cond)
@@ -573,21 +587,10 @@ def series_topk(
     rows per partition and K at the driver, so the ranking never
     materializes the full series list. Ties break on the series path
     (deterministic cross-engine on 4dp-rounded totals)."""
-    depth, preds = compile_pattern(pattern)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     from kadiyadb_spark.functions.num import exact_sum4_expr
 
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
     fcols = S.field_cols(depth)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     g = (
         cube.filter(cond)
         .groupBy(*fcols)
@@ -843,15 +846,18 @@ def series_anomaly(
 
     Engine-default-free (closes the last windowed-variance residue): the
     window folds EXACT scaled longs — S1 = sum(x4), S2 = sum(x4²) with
-    x4 = round(total·1e4) — and the z-score is ONE double expression over
-    those exact operands, z = (x4 − S1/n)/sqrt(var4) with sample variance
-    var4 = (n·S2 − S1²)/(n·(n−1)) (the 1e4 scale cancels between
-    numerator and denominator). Every FP op runs on identical operands in
-    identical order in any engine, unlike avg/stddev_samp whose
-    accumulation order is an engine default. Long bound: n·max(x4)² <
-    2^63 — |total| ≤ 8.7e4/sqrt(n) at 4dp (fixture totals are ≤1e4;
-    larger scales switch the fold to decimal(38,8)). A flat baseline
-    makes n·S2 == S1² exactly, so var4 is exactly 0.0 in both engines."""
+    x4 = round(total·1e4) — and the variance is computed about the
+    window's integer MINIMUM via the exact long identities
+    S1d = S1 − n·m and S2d = S2 − 2·m·S1 + n·m² (m = min(x4)), so a flat
+    window gives S1d = S2d = 0 EXACTLY at any magnitude, and the one
+    double expression var4 = (n·S2d − S1d²)/(n·(n−1)) is conditioned on
+    the window's SPREAD, not its level (the uncentered n·S2 − S1² form
+    cancels catastrophically past 2^53 and fabricated anomalies on flat
+    baselines at totals above ~2.7e3 — caught by live review). Every FP
+    op runs on identical operands in identical order in any engine,
+    unlike avg/stddev_samp whose accumulation order is an engine
+    default. Long bound: n·max(x4)² < 2^63 — |total| ≤ 8.7e4/sqrt(n) at
+    4dp (larger scales switch the fold to decimal(38,8))."""
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
@@ -862,12 +868,16 @@ def series_anomaly(
         .rowsBetween(-window_slots, -1)
     )
     x4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
-    s1 = F.sum(x4).over(w).cast("double")
-    s2 = F.sum(x4 * x4).over(w).cast("double")
+    s1 = F.sum(x4).over(w)
+    s2 = F.sum(x4 * x4).over(w)
+    m = F.min(x4).over(w)
     n = F.count(x4).over(w)
+    # exact long centering about the window minimum (see docstring)
+    s1d = (s1 - n * m).cast("double")
+    s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")
     nd = n.cast("double")
-    var4 = (nd * s2 - s1 * s1) / (nd * (nd - F.lit(1.0)))
-    mean4 = s1 / nd
+    var4 = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    mean4 = s1.cast("double") / nd
     z = F.when(
         (n == window_slots) & (var4 > 0),
         (x4.cast("double") - mean4) / F.sqrt(var4),
@@ -1242,7 +1252,7 @@ def series_agg_by(
     exact-operand construction from series_stddev_over_time: integer
     folds S1 = Σx4, S2 = Σx4², then ONE double expression
     (n·S2 − S1²)/n²/1e8 — a single-series group gives exactly 0.0."""
-    depth, preds = compile_pattern(pattern)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
     if sorted(set(keep_levels)) != sorted(keep_levels) or any(
@@ -1251,19 +1261,8 @@ def series_agg_by(
         raise ValueError(
             f"keep_levels must be distinct levels in 1..{depth}, got {keep_levels}"
         )
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from kadiyadb_spark.functions.num import exact_avg4_expr, exact_sum4_expr, round4_expr
 
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
     x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     g = (
@@ -1276,13 +1275,21 @@ def series_agg_by(
             round4_expr(F.max(S.TOTAL)).alias("max_total"),
             F.sum(x4).alias("_s1"),
             F.sum(x4 * x4).alias("_s2"),
+            F.min(x4).alias("_m"),
             F.count(F.lit(1)).alias("n_series"),
             F.sum(S.CNT).alias("cnt"),
         )
     )
+    # exact long centering about the group minimum — flat groups give
+    # exactly 0 at any magnitude; conditioned on spread, not level (the
+    # uncentered form cancels catastrophically past 2^53)
+    n_l = F.col("n_series")
+    s1d = (F.col("_s1") - n_l * F.col("_m")).cast("double")
+    s2d = (
+        F.col("_s2") - F.lit(2) * F.col("_m") * F.col("_s1") + n_l * F.col("_m") * F.col("_m")
+    ).cast("double")
     nd = F.col("n_series").cast("double")
-    var4 = (nd * F.col("_s2").cast("double") - F.col("_s1").cast("double")
-            * F.col("_s1").cast("double")) / (nd * nd)
+    var4 = (nd * s2d - s1d * s1d) / (nd * nd)
     return g.select(
         *keep_cols,
         S.BUCKET,
@@ -1319,23 +1326,12 @@ def series_topk_per_slot(
     Engine-default-free ranking: row_number over (scaled-long total,
     series path) — a total order both engines compute identically; no FP
     comparison, no rank-tie ambiguity."""
-    depth, preds = compile_pattern(pattern)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from pyspark.sql import Window
 
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
     fcols = S.field_cols(depth)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     rank_val = F.col("_t4").desc() if largest else F.col("_t4").asc()
     w = Window.partitionBy(S.BUCKET).orderBy(
@@ -1372,18 +1368,7 @@ def series_count_values(
     double — integer equality is the same in every engine, where
     double-keyed grouping would inherit each engine's parse/format
     quirks; the value column re-derives from the key by one division."""
-    depth, preds = compile_pattern(pattern)
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     return (
         cube.filter(cond)
@@ -1412,13 +1397,16 @@ def series_stddev_over_time(
     series-keyed window Exchange as the rest of the transform family.
 
     Engine-default-free by the same construction as series_anomaly: the
-    window folds EXACT scaled longs (S1 = sum(x4), S2 = sum(x4²)), then
-    population variance is ONE double expression over exact operands,
-    var = (n·S2 − S1²)/n² / 1e8 — identical IEEE sequence in any engine,
-    where avg/stddev_pop would accumulate doubles in engine order. A
-    flat window gives n·S2 == S1² exactly → variance exactly 0.0. Long
-    bound: n·max(x4)² < 2^63 (|total| ≤ 8.7e4/sqrt(n) at 4dp; larger
-    scales switch to decimal(38,8))."""
+    window folds EXACT scaled longs (S1 = sum(x4), S2 = sum(x4²)), the
+    moments re-center about the window's integer MINIMUM via exact long
+    identities (S1d = S1 − n·m, S2d = S2 − 2·m·S1 + n·m²: a flat window
+    is EXACTLY zero at any magnitude, and the formula conditions on the
+    spread, not the level), then population variance is ONE double
+    expression over exact operands, var = (n·S2d − S1d²)/n² / 1e8 —
+    identical IEEE sequence in any engine, where avg/stddev_pop would
+    accumulate doubles in engine order. Long bound: n·max(x4)² < 2^63
+    (|total| ≤ 8.7e4/sqrt(n) at 4dp; larger scales switch to
+    decimal(38,8))."""
     if window_slots < 1:
         raise ValueError(f"need window_slots >= 1, got {window_slots}")
     from pyspark.sql import Window
@@ -1431,17 +1419,20 @@ def series_stddev_over_time(
         .rowsBetween(-(window_slots - 1), 0)
     )
     x4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
-    s1 = F.sum(x4).over(w).cast("double")
-    s2 = F.sum(x4 * x4).over(w).cast("double")
+    s1 = F.sum(x4).over(w)
+    s2 = F.sum(x4 * x4).over(w)
+    m = F.min(x4).over(w)
     n = F.count(x4).over(w)
+    s1d = (s1 - n * m).cast("double")
+    s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")
     nd = n.cast("double")
-    var4 = (nd * s2 - s1 * s1) / (nd * nd)
+    var4 = (nd * s2d - s1d * s1d) / (nd * nd)
     full = n == window_slots
     return df.select(
         *series_cols,
         bucket_col,
         (x4 / F.lit(10000.0)).alias(total_col),
-        round4_expr(F.when(full, s1 / nd / F.lit(10000.0))).alias("win_mean"),
+        round4_expr(F.when(full, s1.cast("double") / nd / F.lit(10000.0))).alias("win_mean"),
         round4_expr(
             F.when(full, var4 / F.lit(100_000_000.0))
         ).alias("win_stdvar"),
@@ -1484,8 +1475,14 @@ def series_alerts(
         raise ValueError(f"need for_slots >= 1, got {for_slots}")
     from pyspark.sql import Window
 
+    import math
+
     t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
-    thr4 = round(threshold * 10000)
+    # HALF_UP away from zero — the same quantization F.round applies to
+    # the data; Python's round() is half-EVEN and would shift the rule by
+    # one count at an exact .5e-4 tie (live-review finding)
+    _a = abs(threshold) * 10000
+    thr4 = int(math.floor(_a + 0.5)) * (1 if threshold >= 0 else -1)
     cond = (t4 >= F.lit(thr4)) if above else (t4 <= F.lit(thr4))
     w = Window.partitionBy(*series_cols).orderBy(bucket_col)
     breaching = df.filter(cond).select(
@@ -1533,7 +1530,7 @@ def series_quantile_by(
     only FP is the type-7 interpolation, whose terms are all exactly
     representable when phi = k/2^m — any algebraic form of the formula
     yields the bit-identical double in any engine."""
-    depth, preds = compile_pattern(pattern)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
     if sorted(set(keep_levels)) != sorted(keep_levels) or any(
@@ -1544,17 +1541,6 @@ def series_quantile_by(
         )
     if not (0.0 <= phi <= 1.0):
         raise ValueError(f"phi must be in [0, 1], got {phi}")
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
     x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     return (
@@ -1586,23 +1572,12 @@ def series_share(
     Engine-default-free: the slot total folds exact scaled longs and the
     share is ONE long/long double division (identical IEEE result in any
     engine), rounded at 4dp. A zero slot total yields null shares."""
-    depth, preds = compile_pattern(pattern)
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
 
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
     fcols = S.field_cols(depth)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
     w = Window.partitionBy(S.BUCKET)
     base = cube.filter(cond).select(*fcols, S.BUCKET, t4.alias("_t4"))
@@ -1636,24 +1611,13 @@ def series_remap(
 
     One pushed-down scan + ONE aggregation keyed by the remapped path;
     exact integer-scaled sums (functions/num.py)."""
-    depth, preds = compile_pattern(pattern)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
     if not (1 <= level <= depth):
         raise ValueError(f"level must be in 1..{depth}, got {level}")
     if not mapping:
         raise ValueError("mapping must have at least one entry")
-    if to_ts < from_ts or from_ts < 0:
-        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from kadiyadb_spark.functions.num import exact_sum4_expr
 
-    from_b = from_ts - (from_ts % resolution)
-    to_b = to_ts - (to_ts % resolution)
-    cond = (
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-    for col, val in preds:
-        cond = cond & match_expr(col, val)
     lcol = S.field_col(level)
     remapped = F.col(lcol)
     for src, dst in sorted(mapping.items()):

@@ -29,6 +29,13 @@ def field_cols(n: int) -> list[str]:
     return [field_col(i) for i in range(1, n + 1)]
 
 
+def series_field_cols(columns: list[str]) -> list[str]:
+    """The series-key (f1..fN) columns present in a fetch/cube frame —
+    the ONE definition of "which columns are dimension fields" (a loose
+    startswith('f') would swallow any future column like 'flags')."""
+    return [c for c in columns if c[:1] == "f" and c[1:].isdigit()]
+
+
 def cube_schema(max_depth: int) -> T.StructType:
     fields = [
         T.StructField(EPOCH, T.LongType(), False),

@@ -549,7 +549,9 @@ def stream_alerts(
             ts_col=ts_col, total_col=total_col, count_col=count_col,
         )
         dense = db.fetch(from_ts, to_ts, pattern)
-        series = [c for c in dense.columns if c[0] == "f" and c[1:].isdigit()]
+        from kadiyadb_spark.schema import series_field_cols
+
+        series = series_field_cols(dense.columns)
         runs = series_alerts(
             dense.select(*series, "bucket", "total"),
             series,

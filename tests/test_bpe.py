@@ -216,3 +216,36 @@ def test_encode_ids_roundtrip_golden(spark):
     assert got == [
         (0, 0, "ab</w>", 0), (0, 1, "ab</w>", 0), (0, 2, "b</w>", 1),
     ]  # empty doc 1 contributes no rows (id sequences, not accounting)
+
+
+def test_encode_ids_trained_vocab_stability(spark):
+    """Regression (live-review finding): with a supplied trained vocab the
+    same token gets the SAME id in every corpus; unknown tokens take the
+    UNK sentinel -1 instead of silently reshuffling ids."""
+    from kadiyadb_spark.functions.bpe import (
+        encode_ids, tokenize_words, train_bpe, vocab_of, word_frequencies,
+    )
+
+    train = spark.createDataFrame([(0, "ab ab b cd cd")], "doc_id long, text string")
+    merges = train_bpe(train, num_merges=2, min_freq=1)
+    vocab = vocab_of(
+        tokenize_words(word_frequencies(train).select("word").distinct(), merges)
+    )
+    vmap = {r.token: r.token_id for r in vocab.collect()}
+
+    batch = spark.createDataFrame([(7, "cd b zz")], "doc_id long, text string")
+    got = {
+        (r.pos): (r.token, r.token_id)
+        for r in encode_ids(batch, merges, vocab=vocab).collect()
+    }
+    # 'cd' and 'b' tokens keep their TRAINING ids; 'zz' pieces unseen in
+    # training fall back to -1 where absent from the trained vocab
+    for pos, (token, tid) in got.items():
+        assert tid == vmap.get(token, -1)
+    assert any(tid == -1 for _, tid in got.values())  # zz produced an UNK
+    # corpus-derived (no vocab) encoding of the same batch assigns
+    # batch-relative ids that DISAGREE with the trained ones for at least
+    # one shared token — exactly the instability the vocab param fixes
+    loc = {r.token: r.token_id for r in encode_ids(batch, merges).collect()}
+    shared = {t for t, _ in got.values()} & set(vmap)
+    assert any(loc[t] != vmap[t] for t in shared)

@@ -709,3 +709,18 @@ def test_clone_carries_stream_hwm(spark, tmp_path):
     assert _pts(restored.fetch(0, 1, ["a", "b"], densify=False)) == [
         (0, ("a", "b"), 0, 5.0, 1.0)
     ]
+
+
+def test_clone_refuses_mismatched_target_params(spark, tmp_path):
+    """Regression (live-review finding): a target pre-initialized with
+    DIFFERENT params (no commits, so the commit guard passes) must refuse
+    — open() keeps the target's old params.json, which would misread the
+    cloned segments' bucket/epoch grid."""
+    src = Database.open(spark, str(tmp_path / "psrc"), P)
+    src.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    other = Params(duration=10, resolution=2, retention=20, fields=("x", "y"))
+    Database.open(spark, str(tmp_path / "pdst"), other)  # init'ed, never tracked
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mismatched params"):
+        src.clone(str(tmp_path / "pdst"))

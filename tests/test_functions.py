@@ -1682,3 +1682,17 @@ def test_decontaminate_spans_surgical(spark):
     bench2 = spark.createDataFrame([(99, " ".join(w[0:3]))], "doc_id long, text string")
     got2 = decontaminate_spans(docs2, bench2, n=3, words_per_span=4).collect()[0]
     assert (got2.text, got2.n_spans_kept, got2.n_spans_removed) == (" ".join(w[4:8]), 1, 1)
+
+
+def test_decontaminate_spans_tokenless_docs(spark):
+    """Regression (live-review repro): empty/whitespace-only docs must
+    come back with text='' and 0/0 counts, not phantom spans."""
+    from kadiyadb_spark.functions.text import decontaminate_spans
+
+    docs = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_spans_kept, r.n_spans_removed)
+        for r in decontaminate_spans(docs, bench, n=3, words_per_span=4).collect()
+    }
+    assert got == {0: ("", 0, 0), 1: ("", 0, 0)}

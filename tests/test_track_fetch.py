@@ -1031,3 +1031,41 @@ def test_series_remap_merges_label_values(spark):
         series_remap(cube, 0, 2, ["*"], level=2, mapping={"a": "b"}, resolution=1)
     with _pt.raises(ValueError, match="mapping"):
         series_remap(cube, 0, 2, ["*"], level=1, mapping={}, resolution=1)
+
+
+def test_series_anomaly_flat_baseline_large_level(spark):
+    """Regression (live-review repro): a flat baseline at a LARGE level
+    (totals ~7846 — where the uncentered n*S2 - S1^2 cancels past 2^53
+    and fabricated z=10 anomalies) must yield null z for a negligible
+    +0.001 change; the min-centered identity is exactly 0 on flat
+    windows at any magnitude."""
+    from kadiyadb_spark.query import series_anomaly, series_stddev_over_time
+
+    vals = [7846.0313] * 12 + [7846.0323]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    last = {
+        r.bucket: r
+        for r in series_anomaly(df, ["f1"], window_slots=12, z_thresh=2.0).collect()
+    }[12]
+    assert last.zscore is None and last.is_anomaly is False
+
+    sd = {
+        r.bucket: r
+        for r in series_stddev_over_time(df, ["f1"], window_slots=12).collect()
+    }
+    assert sd[11].win_stdvar == 0.0 and sd[11].win_stddev == 0.0
+
+    # a REAL jump at the same level still flags
+    vals2 = [7846.0313] * 6 + [7846.5] * 6 + [9000.0]
+    df2 = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals2)],
+        "f1 string, bucket long, total double",
+    )
+    last2 = {
+        r.bucket: r
+        for r in series_anomaly(df2, ["f1"], window_slots=12, z_thresh=2.0).collect()
+    }[12]
+    assert last2.is_anomaly is True
