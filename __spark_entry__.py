@@ -3444,6 +3444,20 @@ def q_fetch_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (the SRE-workbook alerting pattern):
+    error/click ratio over 5-slot and 60-slot trailing windows, each
+    normalized by the 1% error budget; fires only when BOTH exceed the
+    factor. Dense slot axis, exact long window folds, one division per
+    burn (query.py:series_burn_rate)."""
+    from kadiyadb_spark.query import series_burn_rate
+
+    return series_burn_rate(
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["error"], ["click"],
+        slo=0.99, short_slots=5, long_slots=60, factor=100.0, resolution=RES,
+    )
+
+
 def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
     EACH SLOT — fetch_topk_series ranks range totals; this is the
@@ -3742,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_ids": q_pack_ids,
         "text_decontaminate_spans": q_text_decontaminate_spans,
         "ngram_heavy_hitters": q_ngram_heavy_hitters,
+        "fetch_burn_rate": q_fetch_burn_rate,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6407,6 +6422,49 @@ SELECT f1, bucket,
        n_series,
        cnt
 FROM v
+"""
+
+    # burn-rate mirror: the (1 - slo) budget is the PYTHON-computed double
+    # repr'd into both engines (DuckDB would parse a bare 0.01 as DECIMAL,
+    # and 1 - 0.99 in double is not the decimal 0.01)
+    o["fetch_burn_rate"] = f"""
+WITH {_EV_CUBE},
+g AS (
+  SELECT bucket,
+         sum(CASE WHEN f1 = 'error' THEN CAST(round(total * 10000) AS BIGINT) END) AS e4,
+         sum(CASE WHEN f1 = 'click' THEN CAST(round(total * 10000) AS BIGINT) END) AS t4
+  FROM cube1
+  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+  GROUP BY bucket
+),
+axis AS (SELECT unnest(range({WEEK0}, {WEEK1}, {RES})) AS bucket),
+dense AS (
+  SELECT a.bucket, coalesce(e4, 0) AS e4, coalesce(t4, 0) AS t4
+  FROM axis a LEFT JOIN g USING (bucket)
+),
+w AS (
+  SELECT bucket, e4, t4,
+         sum(e4) OVER ws AS es, sum(t4) OVER ws AS ts, count(e4) OVER ws AS ns,
+         sum(e4) OVER wl AS el, sum(t4) OVER wl AS tl, count(e4) OVER wl AS nl
+  FROM dense
+  WINDOW ws AS (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wl AS (ORDER BY bucket ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT bucket, e4, t4,
+         CASE WHEN ns = 5 AND ts > 0
+              THEN (CAST(es AS DOUBLE) / CAST(ts AS DOUBLE)) / CAST('{1.0 - 0.99!r}' AS DOUBLE) END AS bs,
+         CASE WHEN nl = 60 AND tl > 0
+              THEN (CAST(el AS DOUBLE) / CAST(tl AS DOUBLE)) / CAST('{1.0 - 0.99!r}' AS DOUBLE) END AS bl
+  FROM w
+)
+SELECT bucket,
+       e4 / 10000.0 AS err_total,
+       t4 / 10000.0 AS req_total,
+       floor(bs * 10000 + 0.5) / 10000 AS burn_short,
+       floor(bl * 10000 + 0.5) / 10000 AS burn_long,
+       coalesce(bs >= 100.0 AND bl >= 100.0, false) AS firing
+FROM b
 """
 
     o["fetch_share"] = f"""

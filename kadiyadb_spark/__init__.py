@@ -54,6 +54,7 @@ from kadiyadb_spark.query import (
     series_quantile_by,
     series_share,
     series_remap,
+    series_burn_rate,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -92,6 +93,7 @@ __all__ = [
     "series_quantile_by",
     "series_share",
     "series_remap",
+    "series_burn_rate",
     "get_spark",
     "spread",
 ]

@@ -1634,3 +1634,112 @@ def series_remap(
             F.sum(S.CNT).alias("cnt"),
         )
     )
+
+
+def series_burn_rate(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    error_pattern: list[str],
+    total_pattern: list[str],
+    slo: float = 0.999,
+    short_slots: int = 5,
+    long_slots: int = 60,
+    factor: float = 14.4,
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """MULTI-WINDOW SLO BURN RATE (the Google SRE-workbook alerting
+    pattern): per slot, the error ratio over a SHORT and a LONG trailing
+    window, each normalized by the error budget (1 − slo); the alert
+    fires only when BOTH exceed ``factor`` — the long window keeps a
+    brief blip from paging, the short window ends the page quickly once
+    the burn stops. The canonical production query over exactly the
+    error/request counters the reference stores.
+
+    Engine-default-free: one pushed-down scan pivots the two exact paths
+    per slot (series_ratio's shape); the slot axis DENSIFIES via a
+    generated range (missing slots count 0 — a gap must not shrink the
+    window); window sums fold exact scaled longs; each burn is ONE
+    long/long division divided by the (1 − slo) literal — both engines
+    compute the identical double. The windows order a SINGLE global
+    series, so the one-partition window is bounded by the query range's
+    slot count, never by data volume. Null burns until the window fills;
+    ``firing`` false unless both burns are defined and >= factor.
+
+    Output: bucket, err_total, req_total, burn_short, burn_long,
+    firing."""
+    for p in (error_pattern, total_pattern):
+        d, preds = compile_pattern(p)
+        if any(isinstance(v, tuple) for _, v in preds):
+            raise ValueError("series_burn_rate needs scalar exact patterns")
+        if len(preds) != d:
+            raise ValueError(f"series_burn_rate needs exact patterns, got {p!r}")
+    if len(error_pattern) == 0 or len(error_pattern) != len(total_pattern):
+        raise ValueError("error and total patterns must share a depth >= 1")
+    if not (0.0 < slo < 1.0):
+        raise ValueError(f"slo must be in (0, 1), got {slo}")
+    if not (1 <= short_slots <= long_slots):
+        raise ValueError("need 1 <= short_slots <= long_slots")
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    depth = len(error_pattern)
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+
+    def _is(pattern):
+        cond = F.lit(True)
+        for i, v in enumerate(pattern, start=1):
+            cond = cond & (F.col(S.field_col(i)) == F.lit(v))
+        return cond
+
+    is_err, is_tot = _is(error_pattern), _is(total_pattern)
+    x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    g = (
+        cube.filter(
+            (F.col(S.DEPTH) == F.lit(depth))
+            & (F.col(S.BUCKET) >= F.lit(from_b))
+            & (F.col(S.BUCKET) < F.lit(to_b))
+            & (is_err | is_tot)
+        )
+        .groupBy(S.BUCKET)
+        .agg(
+            F.sum(F.when(is_err, x4)).alias("_e4"),
+            F.sum(F.when(is_tot, x4)).alias("_t4"),
+        )
+    )
+    n_slots = (to_b - from_b) // resolution
+    axis = cube.sparkSession.range(n_slots).select(
+        (F.lit(from_b) + F.col("id") * F.lit(resolution)).alias(S.BUCKET)
+    )
+    dense = axis.join(g, S.BUCKET, "left").select(
+        S.BUCKET,
+        F.coalesce("_e4", F.lit(0)).alias("_e4"),
+        F.coalesce("_t4", F.lit(0)).alias("_t4"),
+    )
+    budget = 1.0 - slo  # one Python double, embedded identically in the oracle
+
+    def _burn(slots):
+        w = Window.orderBy(S.BUCKET).rowsBetween(-(slots - 1), 0)
+        e = F.sum("_e4").over(w)
+        t = F.sum("_t4").over(w)
+        n = F.count("_e4").over(w)
+        return F.when(
+            (n == slots) & (t > 0),
+            (e.cast("double") / t.cast("double")) / F.lit(budget),
+        )
+
+    bs, bl = _burn(short_slots), _burn(long_slots)
+    return dense.select(
+        S.BUCKET,
+        (F.col("_e4") / F.lit(10000.0)).alias("err_total"),
+        (F.col("_t4") / F.lit(10000.0)).alias("req_total"),
+        round4_expr(bs).alias("burn_short"),
+        round4_expr(bl).alias("burn_long"),
+        F.coalesce(
+            (bs >= F.lit(factor)) & (bl >= F.lit(factor)), F.lit(False)
+        ).alias("firing"),
+    )

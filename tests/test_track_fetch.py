@@ -1069,3 +1069,42 @@ def test_series_anomaly_flat_baseline_large_level(spark):
         for r in series_anomaly(df2, ["f1"], window_slots=12, z_thresh=2.0).collect()
     }[12]
     assert last2.is_anomaly is True
+
+
+def test_series_burn_rate_multiwindow(spark):
+    """Hand-computed multi-window burn: errors 1/10 of requests with a
+    burst — the long window keeps a blip from firing; both windows over
+    budget fire; missing slots densify to zero and DON'T shrink windows."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_burn_rate
+
+    rows = []
+    # slots 0..5: req=10, err=0.1 (ratio .01 = exactly at a 0.01 budget -> burn 1)
+    for i in range(6):
+        rows += [(i, "click", 10.0), (i, "error", 0.1)]
+    # slots 6,7: err burst (ratio 1.0 -> burn 100); slot 8 missing entirely
+    rows += [(6, "click", 10.0), (6, "error", 10.0),
+             (7, "click", 10.0), (7, "error", 10.0),
+             (9, "click", 10.0), (9, "error", 0.1)]
+    cube = track_batch(
+        spark.createDataFrame(rows, "ts long, x string, v double"),
+        fields=["x"], ts_col="ts", total_col="v", resolution=1, duration=100,
+    )
+    got = {
+        r.bucket: r
+        for r in series_burn_rate(
+            cube, 0, 10, ["error"], ["click"], slo=0.99,
+            short_slots=2, long_slots=6, factor=10.0, resolution=1,
+        ).collect()
+    }
+    assert len(got) == 10  # dense axis incl. the empty slot 8
+    assert got[8].err_total == 0.0 and got[8].req_total == 0.0
+    # steady state: burn 1 on both windows, no firing
+    assert got[5].burn_short == 1.0 and got[5].burn_long == 1.0
+    assert got[5].firing is False
+    # first burst slot: short window hot (ratio .505 -> burn 50.5) but the
+    # long window still dilutes below factor? long over slots 1..6:
+    # err = .5 + 10, req = 60 -> ratio .175 -> burn 17.5 >= 10 -> fires
+    assert got[6].firing is True and got[6].burn_short > 10
+    # windows not yet full at range start -> null burns, no firing
+    assert got[0].burn_short is None and got[0].firing is False
