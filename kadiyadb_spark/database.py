@@ -92,6 +92,18 @@ class Database:
             fs.mkdirs(path)
             if not fs.exists(pj):
                 fs.write_text_atomic(pj, json.dumps(params.to_dict()))
+            else:
+                existing = Params.from_dict(fs.read_json(pj))
+                if existing != params:
+                    # opening an existing cube under DIFFERENT params would
+                    # write/read on the wrong bucket/epoch grid — silent
+                    # corruption, not an error, without this check (review
+                    # finding; clone() used to guard this at its own call
+                    # site only)
+                    raise ValueError(
+                        f"params mismatch at {path}: stored "
+                        f"{existing.to_dict()} != requested {params.to_dict()}"
+                    )
         return cls(spark, path, params)
 
     @property
@@ -364,6 +376,7 @@ class Database:
         to_epoch: int | None = None,
         at_gen: int | None = None,
         prune_pattern: list[str] | None = None,
+        epochs: set[int] | None = None,
     ) -> DataFrame:
         """The cube as a DataFrame, FOLDED to one row per cube key.
 
@@ -391,12 +404,18 @@ class Database:
         dereferenced by the CURRENT manifest, so pinned reads must stay
         within the retained window (``generations()``)."""
         m = self._manifest(at_gen=at_gen)
-        epochs = {
+        # `epochs` (an EXACT set) prunes sparse touch-sets that a [min, max]
+        # range cannot: compact/merge_replace rewriting epochs {1, 10000}
+        # must not hand 9 998 untouched epochs' segment dirs to the scan
+        # (each costs a footer GET on an object store — review finding)
+        want = {
             e
             for e in m["segments"]
-            if (from_epoch is None or e >= from_epoch) and (to_epoch is None or e <= to_epoch)
+            if (epochs is None or e in epochs)
+            and (from_epoch is None or e >= from_epoch)
+            and (to_epoch is None or e <= to_epoch)
         }
-        paths = self._segment_paths(m, epochs, prune_pattern=prune_pattern)
+        paths = self._segment_paths(m, want, prune_pattern=prune_pattern)
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
         if not paths:
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
@@ -580,7 +599,9 @@ class Database:
             if not touched:
                 return
             m = self._manifest()
-            existing = self.cube(min(touched), max(touched)).filter(
+            # exact epoch-set scan: only the touched epochs' segments are
+            # listed/planned (the filter stays for row-level safety)
+            existing = self.cube(epochs=set(touched)).filter(
                 F.col(S.EPOCH).isin(touched)
             )
             # NULL-safe key equality: f-columns are null for prefix rows, and
@@ -687,7 +708,7 @@ class Database:
         )
         if not fragmented:
             return []
-        folded = self.cube(min(fragmented), max(fragmented)).filter(
+        folded = self.cube(epochs=set(fragmented)).filter(
             F.col(S.EPOCH).isin(fragmented)
         )
         refs, stats = self._write_segment(folded, sort_series=sort_series, salt_files=salt_files)
@@ -869,19 +890,9 @@ class Database:
         petabyte fleet would distcp the segment list this method resolves.
         """
         m = self._manifest(at_gen)
-        # open(params=...) never READS a pre-existing params.json (it only
-        # writes one when absent), so compare the target's file directly: a
-        # clone under the TARGET's old params would misread every
-        # bucket/epoch grid on the next plain open
-        dfs = HadoopFS(self.spark, dst_path)
-        pj = HadoopFS.join(dst_path, "params.json")
-        if dfs.exists(pj):
-            existing = Params.from_dict(dfs.read_json(pj))
-            if existing != self.params:
-                raise ValueError(
-                    f"clone target {dst_path} has mismatched params "
-                    f"{existing.to_dict()} != {self.params.to_dict()}"
-                )
+        # open() itself refuses a target whose pre-existing params.json
+        # disagrees (a clone under the target's old params would misread
+        # every bucket/epoch grid)
         dst = Database.open(self.spark, dst_path, self.params)
         if dst._manifest_names():
             raise ValueError(f"clone target {dst_path} already has commits")
@@ -1012,7 +1023,14 @@ def rollup_refresh(src: Database, dst: Database, stream_id: str = "rollup") -> b
     last = dst.applied_batch_hwm(stream_id)
     if src_gen <= last:
         return False
-    delta = src.cube() if last < 0 else src.changes(last, to_gen=src_gen)
+    # PIN the full read to src_gen: an unpinned cube() re-resolves the
+    # manifest at read time, so a src commit landing between current_gen()
+    # and the scan would be INCLUDED here yet replayed by the next
+    # changes(src_gen) — a double-count (review finding). The incremental
+    # branch was always pinned on both ends.
+    delta = (
+        src.cube(at_gen=src_gen) if last < 0 else src.changes(last, to_gen=src_gen)
+    )
     res, dur = dp.resolution, dp.duration
     cb = F.col(S.BUCKET) - F.col(S.BUCKET) % F.lit(res)
     eb = cb - cb % F.lit(dur)

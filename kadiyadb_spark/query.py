@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kadiyadb_spark import schema as S
+from kadiyadb_spark.functions.num import scale4_expr
 
 WILDCARD = "*"
 
@@ -47,10 +48,9 @@ def compile_pattern(pattern: list):
     preds = []
     for i, v in enumerate(pattern, start=1):
         if isinstance(v, (list, tuple, set, frozenset)):
-            vals = sorted(set(v))
-            if not vals:
-                raise ValueError(f"empty value set at level {i}")
-            for x in vals:
+            # validate BEFORE sorting: a mixed-type set would die inside
+            # sorted() with a bare TypeError instead of this ValueError
+            for x in v:
                 if not isinstance(x, str) or x == "":
                     raise ValueError(f"illegal query field value at level {i}: {x!r}")
                 if x == WILDCARD:
@@ -58,9 +58,16 @@ def compile_pattern(pattern: list):
                         f"'*' inside a value set at level {i}: use the plain "
                         "wildcard for that level instead"
                     )
+            vals = sorted(set(v))
+            if not vals:
+                raise ValueError(f"empty value set at level {i}")
             preds.append((S.field_col(i), vals[0] if len(vals) == 1 else tuple(vals)))
             continue
-        if v is None or v == "":
+        if not isinstance(v, str) or v == "":
+            # dimensions are string columns; a non-string scalar (e.g. an
+            # int user id) previously slipped through here and died later
+            # as an opaque TypeError in the manifest-pruning layer (review
+            # finding) — enforce the same contract the set branch does
             raise ValueError(f"illegal query field value at level {i}: {v!r}")
         if v != WILDCARD:
             preds.append((S.field_col(i), v))
@@ -310,7 +317,7 @@ def series_smooth(
         .orderBy(bucket_col)
         .rowsBetween(-(window_slots - 1), 0)
     )
-    scaled = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    scaled = scale4_expr(F.col(total_col))
     mean = F.sum(scaled).over(w) / (F.lit(10000.0) * F.count(total_col).over(w))
     return df.select(
         *series_cols,
@@ -318,6 +325,31 @@ def series_smooth(
         round4_expr(F.col(total_col)).alias(total_col),
         round4_expr(mean).alias("smoothed"),
     )
+
+
+def _exact_pattern_pred(pattern: list[str]) -> "F.Column":
+    """Equality predicate of an EXACT pattern (every level a scalar
+    string) — the pivot condition of the two-pattern operator family."""
+    cond = F.lit(True)
+    for i, v in enumerate(pattern, start=1):
+        cond = cond & (F.col(S.field_col(i)) == F.lit(v))
+    return cond
+
+
+def _require_exact_pair(a: list[str], b: list[str], op: str) -> int:
+    """Shared validation of the two-pattern operators (ratio, binop,
+    burn_rate, ...): both patterns exact scalars of one shared depth —
+    ONE definition (the preamble had been copy-pasted four times).
+    Returns the depth."""
+    for p in (a, b):
+        d, preds = compile_pattern(p)
+        if any(isinstance(v, tuple) for _, v in preds):
+            raise ValueError(f"{op} needs scalar exact patterns (no value sets)")
+        if len(preds) != d:
+            raise ValueError(f"{op} needs exact patterns, got {p!r}")
+    if len(a) == 0 or len(a) != len(b):
+        raise ValueError(f"{op}: both patterns must share a depth >= 1")
+    return len(a)
 
 
 def series_ratio(
@@ -338,29 +370,15 @@ def series_ratio(
 
     Patterns must be exact (no wildcards) and the same depth — aligned
     division across wildcard fan-outs is ``series_ratio_wildcard``."""
-    for p in (num_pattern, den_pattern):
-        d, preds = compile_pattern(p)
-        if any(isinstance(v, tuple) for _, v in preds):
-            raise ValueError("series_ratio needs scalar exact patterns (no value sets)")
-        if len(preds) != d:
-            raise ValueError(f"series_ratio needs exact patterns, got {p!r}")
-    if len(num_pattern) == 0 or len(num_pattern) != len(den_pattern):
-        raise ValueError("numerator and denominator patterns must share a depth >= 1")
+    depth = _require_exact_pair(num_pattern, den_pattern, "series_ratio")
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from kadiyadb_spark.functions.num import round4_expr
 
-    depth = len(num_pattern)
     from_b = from_ts - (from_ts % resolution)
     to_b = to_ts - (to_ts % resolution)
 
-    def _is(pattern):
-        cond = F.lit(True)
-        for i, v in enumerate(pattern, start=1):
-            cond = cond & (F.col(S.field_col(i)) == F.lit(v))
-        return cond
-
-    is_num, is_den = _is(num_pattern), _is(den_pattern)
+    is_num, is_den = _exact_pattern_pred(num_pattern), _exact_pattern_pred(den_pattern)
     base = cube.filter(
         (F.col(S.DEPTH) == F.lit(depth))
         & (F.col(S.BUCKET) >= F.lit(from_b))
@@ -370,7 +388,7 @@ def series_ratio(
     # Integer-scaled exact sums (functions/num.py:exact_sum4_expr rationale):
     # the ratio divides the two LONG sums directly — one deterministic
     # division on associative inputs, never a partition-order double sum.
-    scaled = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    scaled = scale4_expr(F.col(S.TOTAL))
     g = base.groupBy(S.BUCKET).agg(
         F.sum(F.when(is_num, scaled)).alias("_n4"),
         F.sum(F.when(is_den, scaled)).alias("_d4"),
@@ -432,6 +450,8 @@ def series_ratio_wildcard(
     to_b = to_ts - (to_ts % resolution)
 
     def _is(pattern):
+        # wildcard-AWARE predicate: '*' levels match anything (the shared
+        # _exact_pattern_pred is for exact patterns only)
         cond = F.lit(True)
         for i, v in enumerate(pattern, start=1):
             if v != "*":
@@ -449,7 +469,7 @@ def series_ratio_wildcard(
     # Same integer-scaled exact-sum shape as series_ratio: long sums are
     # associative, and the ratio is ONE long/long division (identical IEEE
     # result in any engine) instead of a quotient of partition-order sums.
-    scaled = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    scaled = scale4_expr(F.col(S.TOTAL))
     g = base.groupBy(*wild_cols, S.BUCKET).agg(
         F.sum(F.when(is_num, scaled)).alias("_n4"),
         F.sum(F.when(is_den, scaled)).alias("_d4"),
@@ -626,7 +646,7 @@ def series_increase(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*series_cols).orderBy(bucket_col)
-    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(total_col))
     prev4 = F.lag(t4).over(w)
     d4 = t4 - prev4
     adj4 = F.when(prev4.isNull(), F.lit(None).cast("long")).when(d4 < 0, t4).otherwise(d4)
@@ -684,7 +704,7 @@ def series_predict_linear(
         *series_cols,
         bucket_col,
         F.col(total_col),
-        F.round(F.col(total_col).cast("double") * 10000).cast("long").alias("_y4"),
+        scale4_expr(F.col(total_col)).alias("_y4"),
         F.row_number().over(w).cast("long").alias("_rn"),
     )
     n = F.count("_y4").over(wf)
@@ -733,7 +753,11 @@ def histogram_quantile(
     - interpolate linearly inside the selected bucket from its lower
       bound (the previous le, 0 for the first bucket);
     - if the target lands in the +Inf bucket, return the highest FINITE
-      bound (no interpolation against infinity).
+      bound (no interpolation against infinity) — and NaN when no finite
+      bucket exists at all (Prometheus's answer, not a fabricated 0.0);
+    - a FIRST bucket with a non-positive upper bound returns that bound
+      directly (Prometheus: observations may be negative; interpolating
+      from a hardcoded 0 lower bound would exceed the bucket).
 
     One window Exchange keyed by the group (cumulative count is
     ``cum - cnt``-based, so no second pass); counts are integers, so
@@ -751,7 +775,10 @@ def histogram_quantile(
     cum = F.sum(cnt_col).over(w)
     tot = F.sum(cnt_col).over(wall)
     prev_cum = cum - F.col(cnt_col)
-    prev_le = F.coalesce(F.lag(le_col).over(w), F.lit(0.0))
+    # RAW lag (null on the group's first bucket): the interpolation case
+    # coalesces it to the 0 lower bound, but the +Inf and negative-bound
+    # edges must SEE the null to answer like Prometheus
+    prev_le = F.lag(le_col).over(w)
     sel = (
         df.withColumn("_cum", cum)
         .withColumn("_tot", tot)
@@ -770,13 +797,26 @@ def histogram_quantile(
     )
     # first qualifying bucket per group: the one with the smallest le
     pick = Window.partitionBy(*group_cols).orderBy(F.col(le_col).asc())
-    q = F.when(
-        F.col(le_col) == float("inf"), F.col("_prev_le")
-    ).otherwise(
-        F.col("_prev_le")
-        + (F.col(le_col) - F.col("_prev_le"))
-        * (F.lit(float(phi)) * F.col("_tot").cast("double") - F.col("_prev_cum").cast("double"))
-        / F.col(cnt_col).cast("double")
+    lo = F.coalesce(F.col("_prev_le"), F.lit(0.0))
+    q = (
+        F.when(
+            F.col(le_col) == float("inf"),
+            # highest finite bound; NaN when the +Inf bucket is the ONLY
+            # occupied ladder (Prometheus), never a fabricated 0.0
+            F.coalesce(F.col("_prev_le"), F.lit(float("nan"))),
+        )
+        .when(
+            F.col("_prev_le").isNull() & (F.col(le_col) <= 0),
+            # first bucket with a non-positive bound: return the bound
+            # (interpolating from 0 would exceed it)
+            F.col(le_col).cast("double"),
+        )
+        .otherwise(
+            lo
+            + (F.col(le_col) - lo)
+            * (F.lit(float(phi)) * F.col("_tot").cast("double") - F.col("_prev_cum").cast("double"))
+            / F.col(cnt_col).cast("double")
+        )
     )
     return (
         sel.withColumn("_rn", F.row_number().over(pick))
@@ -784,7 +824,10 @@ def histogram_quantile(
         .select(
             *group_cols,
             F.col("_tot").cast("long").alias("n_obs"),
-            round4_expr(q).alias("quantile"),
+            # NaN must bypass round4 (floor() yields a LONG, collapsing
+            # NaN to 0 — the exact fabricated answer the NaN exists to
+            # prevent)
+            F.when(F.isnan(q), q).otherwise(round4_expr(q)).alias("quantile"),
         )
     )
 
@@ -867,7 +910,7 @@ def series_anomaly(
         .orderBy(bucket_col)
         .rowsBetween(-window_slots, -1)
     )
-    x4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    x4 = scale4_expr(F.col(total_col))
     s1 = F.sum(x4).over(w)
     s2 = F.sum(x4 * x4).over(w)
     m = F.min(x4).over(w)
@@ -922,7 +965,7 @@ def series_resets_changes(
 
     w = Window.partitionBy(*series_cols).orderBy(bucket_col)
     wf = w.rowsBetween(-(window_slots - 1), 0)
-    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(total_col))
     base = df.select(
         *series_cols,
         bucket_col,
@@ -1102,7 +1145,7 @@ def series_quantile_over_time(
         .orderBy(bucket_col)
         .rowsBetween(-(window_slots - 1), 0)
     )
-    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(total_col))
     base = df.select(*series_cols, bucket_col, t4.alias("_t4"))
     return base.select(
         *series_cols,
@@ -1178,36 +1221,22 @@ def series_binop(
     ops = {"add", "sub", "mul", "div"}
     if op not in ops:
         raise ValueError(f"op must be one of {sorted(ops)}, got {op!r}")
-    for p in (a_pattern, b_pattern):
-        d, preds = compile_pattern(p)
-        if any(isinstance(v, tuple) for _, v in preds):
-            raise ValueError("series_binop needs scalar exact patterns (no value sets)")
-        if len(preds) != d:
-            raise ValueError(f"series_binop needs exact patterns, got {p!r}")
-    if len(a_pattern) == 0 or len(a_pattern) != len(b_pattern):
-        raise ValueError("both patterns must share a depth >= 1")
+    depth = _require_exact_pair(a_pattern, b_pattern, "series_binop")
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
     from kadiyadb_spark.functions.num import round4_expr
 
-    depth = len(a_pattern)
     from_b = from_ts - (from_ts % resolution)
     to_b = to_ts - (to_ts % resolution)
 
-    def _is(pattern):
-        cond = F.lit(True)
-        for i, v in enumerate(pattern, start=1):
-            cond = cond & (F.col(S.field_col(i)) == F.lit(v))
-        return cond
-
-    is_a, is_b = _is(a_pattern), _is(b_pattern)
+    is_a, is_b = _exact_pattern_pred(a_pattern), _exact_pattern_pred(b_pattern)
     base = cube.filter(
         (F.col(S.DEPTH) == F.lit(depth))
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
         & (is_a | is_b)
     )
-    scaled = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    scaled = scale4_expr(F.col(S.TOTAL))
     g = base.groupBy(S.BUCKET).agg(
         F.sum(F.when(is_a, scaled)).alias("_a4"),
         F.sum(F.when(is_b, scaled)).alias("_b4"),
@@ -1264,7 +1293,7 @@ def series_agg_by(
     from kadiyadb_spark.functions.num import exact_avg4_expr, exact_sum4_expr, round4_expr
 
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
-    x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    x4 = scale4_expr(F.col(S.TOTAL))
     g = (
         cube.filter(cond)
         .groupBy(*keep_cols, S.BUCKET)
@@ -1332,7 +1361,7 @@ def series_topk_per_slot(
     from pyspark.sql import Window
 
     fcols = S.field_cols(depth)
-    t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(S.TOTAL))
     rank_val = F.col("_t4").desc() if largest else F.col("_t4").asc()
     w = Window.partitionBy(S.BUCKET).orderBy(
         rank_val, *[F.col(c).asc() for c in fcols]
@@ -1369,7 +1398,7 @@ def series_count_values(
     double-keyed grouping would inherit each engine's parse/format
     quirks; the value column re-derives from the key by one division."""
     cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
-    t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(S.TOTAL))
     return (
         cube.filter(cond)
         .groupBy(S.BUCKET, t4.alias("_t4"))
@@ -1418,7 +1447,7 @@ def series_stddev_over_time(
         .orderBy(bucket_col)
         .rowsBetween(-(window_slots - 1), 0)
     )
-    x4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    x4 = scale4_expr(F.col(total_col))
     s1 = F.sum(x4).over(w)
     s2 = F.sum(x4 * x4).over(w)
     m = F.min(x4).over(w)
@@ -1477,7 +1506,7 @@ def series_alerts(
 
     import math
 
-    t4 = F.round(F.col(total_col).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(total_col))
     # HALF_UP away from zero — the same quantization F.round applies to
     # the data; Python's round() is half-EVEN and would shift the rule by
     # one count at an exact .5e-4 tie (live-review finding)
@@ -1542,7 +1571,7 @@ def series_quantile_by(
     if not (0.0 <= phi <= 1.0):
         raise ValueError(f"phi must be in [0, 1], got {phi}")
     keep_cols = [S.field_col(i) for i in sorted(keep_levels)]
-    x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    x4 = scale4_expr(F.col(S.TOTAL))
     return (
         cube.filter(cond)
         .select(*keep_cols, S.BUCKET, x4.alias("_t4"))
@@ -1578,7 +1607,7 @@ def series_share(
     from kadiyadb_spark.functions.num import round4_expr
 
     fcols = S.field_cols(depth)
-    t4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    t4 = scale4_expr(F.col(S.TOTAL))
     w = Window.partitionBy(S.BUCKET)
     base = cube.filter(cond).select(*fcols, S.BUCKET, t4.alias("_t4"))
     s4 = F.sum("_t4").over(w)
@@ -1668,14 +1697,7 @@ def series_burn_rate(
 
     Output: bucket, err_total, req_total, burn_short, burn_long,
     firing."""
-    for p in (error_pattern, total_pattern):
-        d, preds = compile_pattern(p)
-        if any(isinstance(v, tuple) for _, v in preds):
-            raise ValueError("series_burn_rate needs scalar exact patterns")
-        if len(preds) != d:
-            raise ValueError(f"series_burn_rate needs exact patterns, got {p!r}")
-    if len(error_pattern) == 0 or len(error_pattern) != len(total_pattern):
-        raise ValueError("error and total patterns must share a depth >= 1")
+    depth = _require_exact_pair(error_pattern, total_pattern, "series_burn_rate")
     if not (0.0 < slo < 1.0):
         raise ValueError(f"slo must be in (0, 1), got {slo}")
     if not (1 <= short_slots <= long_slots):
@@ -1686,18 +1708,11 @@ def series_burn_rate(
 
     from kadiyadb_spark.functions.num import round4_expr
 
-    depth = len(error_pattern)
     from_b = from_ts - (from_ts % resolution)
     to_b = to_ts - (to_ts % resolution)
 
-    def _is(pattern):
-        cond = F.lit(True)
-        for i, v in enumerate(pattern, start=1):
-            cond = cond & (F.col(S.field_col(i)) == F.lit(v))
-        return cond
-
-    is_err, is_tot = _is(error_pattern), _is(total_pattern)
-    x4 = F.round(F.col(S.TOTAL).cast("double") * 10000).cast("long")
+    is_err, is_tot = _exact_pattern_pred(error_pattern), _exact_pattern_pred(total_pattern)
+    x4 = scale4_expr(F.col(S.TOTAL))
     g = (
         cube.filter(
             (F.col(S.DEPTH) == F.lit(depth))

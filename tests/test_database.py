@@ -722,5 +722,9 @@ def test_clone_refuses_mismatched_target_params(spark, tmp_path):
     Database.open(spark, str(tmp_path / "pdst"), other)  # init'ed, never tracked
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="mismatched params"):
+    with _pt.raises(ValueError, match="params mismatch"):
         src.clone(str(tmp_path / "pdst"))
+    # the guard lives in open() itself now — a direct open with different
+    # params refuses too
+    with _pt.raises(ValueError, match="params mismatch"):
+        Database.open(spark, str(tmp_path / "pdst"), P)

@@ -1108,3 +1108,26 @@ def test_series_burn_rate_multiwindow(spark):
     assert got[6].firing is True and got[6].burn_short > 10
     # windows not yet full at range start -> null burns, no firing
     assert got[0].burn_short is None and got[0].firing is False
+
+
+def test_histogram_quantile_prometheus_edges(spark):
+    """Review-finding edges: an +Inf-only ladder answers NaN (never a
+    fabricated 0.0); a first bucket with a non-positive bound returns the
+    bound instead of interpolating above it."""
+    import math
+
+    from kadiyadb_spark.query import histogram_quantile
+
+    rows = [
+        # group 'a': only the +Inf bucket is occupied
+        ("a", float("inf"), 5),
+        # group 'b': negative first bucket holds the median
+        ("b", -1.0, 8), ("b", 1.0, 1), ("b", float("inf"), 1),
+        # group 'c': normal ladder (regression: unchanged behavior)
+        ("c", 1.0, 5), ("c", 2.0, 5), ("c", float("inf"), 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, le double, cnt long")
+    got = {r.g: r.quantile for r in histogram_quantile(df, 0.5, ["g"]).collect()}
+    assert math.isnan(got["a"])
+    assert got["b"] == -1.0
+    assert got["c"] == 1.0  # rank 5 of 10 lands exactly on the first bucket
