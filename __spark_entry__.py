@@ -3458,6 +3458,27 @@ def q_fetch_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup over a normalized short field (the fuzzy-match
+    mode for titles/URLs where token-set measures miss character noise):
+    pairs sharing the leading token with levenshtein(head32) <= 8. Spark
+    runs the LOSSLESS length-bucket blocking (same + adjacent bucket
+    equi-joins, thresholded banded-DP verify); the oracle brute-forces all
+    pairs within the token block — equality proves the bucket scheme
+    misses nothing (functions/dedup.py:fuzzy_near_duplicates)."""
+    from kadiyadb_spark.functions.dedup import fuzzy_near_duplicates
+
+    head = F.lower(F.substring(F.col("text"), 1, 32))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        head.alias("head"),
+        F.split_part(head, F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    return fuzzy_near_duplicates(
+        docs, text_col="head", id_col="doc_id", max_dist=8, block_cols=["w1"]
+    )
+
+
 def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
     EACH SLOT — fetch_topk_series ranks range totals; this is the
@@ -3757,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate_spans": q_text_decontaminate_spans,
         "ngram_heavy_hitters": q_ngram_heavy_hitters,
         "fetch_burn_rate": q_fetch_burn_rate,
+        "dedup_fuzzy": q_dedup_fuzzy,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6465,6 +6487,22 @@ SELECT bucket,
        floor(bl * 10000 + 0.5) / 10000 AS burn_long,
        coalesce(bs >= 100.0 AND bl >= 100.0, false) AS firing
 FROM b
+"""
+
+    # fuzzy near-dup: the oracle deliberately brute-forces every pair inside
+    # the w1 token block — Spark's same+adjacent length-bucket scheme must
+    # produce the identical pair set, proving the blocking lossless
+    o["dedup_fuzzy"] = """
+WITH k AS (
+  SELECT doc_id AS id,
+         lower(substr(text, 1, 32)) AS head,
+         split_part(lower(substr(text, 1, 32)), ' ', 1) AS w1
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.w1 = b.w1 AND a.id < b.id
+WHERE levenshtein(a.head, b.head) <= 8
 """
 
     o["fetch_share"] = f"""

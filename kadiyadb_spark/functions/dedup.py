@@ -416,6 +416,73 @@ def winnow_near_duplicates(
     )
 
 
+def fuzzy_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 4,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Near-dup pairs by EDIT DISTANCE (Levenshtein <= ``max_dist``) — the
+    fuzzy-match mode for short normalized fields (titles, URLs, product
+    names) where token-set measures (MinHash/Jaccard) are blind to
+    character-level noise (OCR errors, typos, single-word swaps).
+
+    Blocking is LOSSLESS on string length: edit distance >= |len_a -
+    len_b|, so with length buckets of width ``max_dist`` any qualifying
+    pair lands in the same or adjacent bucket — two equi-joins cover the
+    full recall, no candidate with dist <= max_dist is ever missed (unlike
+    the probabilistic LSH/SimHash blockers above). ``block_cols`` adds
+    exact-equality blocking keys on top (e.g. lang, source, or a leading
+    token) — a deliberate recall trade the caller opts into, because
+    length alone degenerates at corpus scale: most of a 100 TB corpus
+    shares a handful of length buckets, and the self-join inside one
+    bucket is quadratic. Rows with a NULL in any block col drop (equi-join
+    semantics), matching the SQL twin.
+
+    Verification stays JVM-side: Spark's thresholded ``levenshtein(a, b,
+    max_dist)`` is the banded O(max_dist * n) DP with early exit (returns
+    -1 past the threshold) — at 100 TB the verify cost is bounded by the
+    threshold, not the string length squared. The reported ``dist`` for
+    kept pairs equals the exact unthresholded distance, which is what the
+    oracle's plain ``levenshtein()`` computes.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, one row per unordered
+    candidate pair within the blocking scheme."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    width = max(max_dist, 1)
+    block_cols = list(block_cols or [])
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_k"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+    ).withColumn("_bk", F.floor(F.length("_k") / F.lit(width)).cast("long"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    eq = [F.col(f"a._b_{c}") == F.col(f"b._b_{c}") for c in block_cols]
+    # same bucket: id order dedups the unordered pair; adjacent bucket:
+    # bucket order already visits each cross-bucket pair exactly once, ids
+    # normalize with least/greatest afterwards
+    same = a.join(b, eq + [F.col("a._bk") == F.col("b._bk"), F.col("a._id") < F.col("b._id")]).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._k").alias("_ka"),
+        F.col("b._k").alias("_kb"),
+    )
+    adj = a.join(b, eq + [F.col("a._bk") + F.lit(1) == F.col("b._bk")]).select(
+        F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+        F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        F.col("a._k").alias("_ka"),
+        F.col("b._k").alias("_kb"),
+    )
+    cands = same.unionByName(adj)
+    dist = F.levenshtein(F.col("_ka"), F.col("_kb"), max_dist)
+    return (
+        cands.select("id_a", "id_b", dist.cast("long").alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
 # ---------------------------------------------------------------- clustering
 
 

@@ -152,6 +152,40 @@ def test_simhash_near_duplicates_blocking(spark):
     assert out[0].hamming == bin(sh(base) ^ sh(near)).count("1")
 
 
+def test_fuzzy_near_duplicates_golden_and_bucket_boundary(spark):
+    # kitten/sitting: the textbook dist-3 pair (same length bucket at w=3);
+    # ab/abcd: dist 2 but lengths 2 vs 4 land in ADJACENT buckets (0 and 1)
+    # — found only if the adjacent-bucket join is live (losslessness);
+    # zzzzzz is far from everything
+    docs = _docs(spark, ["kitten", "sitting", "ab", "abcd", "zzzzzz"])
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in D.fuzzy_near_duplicates(docs, max_dist=3).collect()
+    }
+    # exact pair set: everything else exceeds the threshold or the buckets
+    # (reported dist is the exact distance, never the -1 threshold sentinel)
+    assert out == {(0, 1): 3, (2, 3): 2}
+
+
+def test_fuzzy_near_duplicates_block_cols_and_validation(spark):
+    rows = [
+        Row(doc_id=0, text="hello world", lang="en"),
+        Row(doc_id=1, text="hello worl", lang="en"),
+        Row(doc_id=2, text="hello world", lang="de"),
+        Row(doc_id=3, text="hello world", lang=None),
+    ]
+    df = spark.createDataFrame(rows)
+    got = D.fuzzy_near_duplicates(df, max_dist=2, block_cols=["lang"]).collect()
+    # cross-lang identical text is NOT a pair (the documented recall trade);
+    # null block values drop under equi-join semantics
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(0, 1, 1)]
+    # max_dist=0 degenerates to exact match within the block
+    exact = D.fuzzy_near_duplicates(df, max_dist=0, block_cols=["lang"]).collect()
+    assert exact == []
+    with pytest.raises(ValueError):
+        D.fuzzy_near_duplicates(df, max_dist=-1)
+
+
 def test_embedding_near_duplicates_threshold(spark):
     emb = spark.createDataFrame(
         [
