@@ -3479,6 +3479,19 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over the corpus for a 3-term query — the lexical
+    retrieval baseline beside hashed-BoW cosine. Every score input is an
+    exact integer (tf/df/dl/N/T; dl/avgdl is ONE integer-ratio division),
+    the per-term score is one double expression quantized at 4dp, the
+    per-doc total an exact scaled-long fold, and the rank orders on that
+    long (ties on doc_id) — engine-default-free end to end
+    (functions/text.py:bm25_score)."""
+    return TX.bm25_score(
+        _t(spark, sf_dir, "documents"), ["merge", "filter", "window"], k=20
+    )
+
+
 def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
     EACH SLOT — fetch_topk_series ranks range totals; this is the
@@ -3779,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_heavy_hitters": q_ngram_heavy_hitters,
         "fetch_burn_rate": q_fetch_burn_rate,
         "dedup_fuzzy": q_dedup_fuzzy,
+        "bm25_retrieval": q_bm25_retrieval,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6503,6 +6517,44 @@ SELECT a.id AS id_a, b.id AS id_b,
        CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
 FROM k a JOIN k b ON a.w1 = b.w1 AND a.id < b.id
 WHERE levenshtein(a.head, b.head) <= 8
+"""
+
+    # BM25: per-term score mirrored as the IDENTICAL double expression over
+    # exact integer operands (dyadic k1=1.25 / b=0.75; ::DOUBLE on every
+    # literal — DuckDB parses bare decimals as DECIMAL), quantized at 4dp,
+    # exact long fold per doc, rank on the long
+    o["bm25_retrieval"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS N,
+              (SELECT CAST(count(*) AS BIGINT) FROM toks) AS T),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN ('filter', 'merge', 'window') GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         floor((ln(1.0::DOUBLE
+                   + (CAST(st.N - dfq.df AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE))
+                * (CAST(tf.tf AS DOUBLE) * 2.25::DOUBLE)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.25::DOUBLE * (0.25::DOUBLE
+                       + 0.75::DOUBLE * (CAST(dl.dl * st.N AS DOUBLE)
+                                         / CAST(st.T AS DOUBLE)))))
+               * 10000 + 0.5) / 10000 AS s4
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+               sum(CAST(round(s4 * 10000) AS BIGINT)) AS s4i
+        FROM sc GROUP BY doc_id),
+r AS (SELECT doc_id, n_matched, s4i,
+             CAST(row_number() OVER (ORDER BY s4i DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM agg)
+SELECT doc_id, n_matched, rank, floor((s4i / 10000.0) * 10000 + 0.5) / 10000 AS score
+FROM r WHERE rank <= 20
 """
 
     o["fetch_share"] = f"""

@@ -949,3 +949,101 @@ def decontaminate_spans(
             F.coalesce("n_spans_removed", F.lit(0)).cast("long").alias("n_spans_removed"),
         )
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.25,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval (Robertson/Sparck Jones, the classic
+    public formula with the +1 idf floor) over whitespace tokens — the
+    model-free ranking companion to ``hashed_bow`` cosine: score(d) =
+    sum over query terms of
+
+        ln(1 + (N - df + 0.5)/(df + 0.5))
+          * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with N = corpus size, df = docs containing the term, dl = doc token
+    count, avgdl = mean doc length. ``k1``/``b`` default to the DYADIC
+    1.25/0.75 — exactly representable doubles, so both gate engines see
+    the identical literals (the standard 1.2 would parse as DECIMAL in a
+    SQL twin and diverge at round boundaries).
+
+    Engine-default-free by the bigram-LM precedent: every input to the
+    score is an exact integer (tf, df, dl, N, total tokens T; dl/avgdl is
+    computed as the integer ratio (dl*N)/T in ONE division), the per-term
+    score is ONE double expression over those exact operands, QUANTIZED to
+    4dp immediately, and the per-doc total is an exact scaled-long fold —
+    never a partition-order double sum. Ranking orders on the scaled-long
+    total (ties fall to ``id_col``), a total order in any engine.
+
+    Scale shape: tf filters to the query's terms BEFORE its groupBy (only
+    matching (doc, term) rows shuffle — query-sized, not corpus-sized);
+    the df and corpus-stats tables are broadcast (terms x 1 rows); the one
+    corpus-sized shuffle is the doc-length groupBy the tokenization
+    already needs. Token-less docs and terms absent from the corpus score
+    zero and produce no row (nothing to rank).
+
+    Output: (id_col, n_matched, rank, score); ``k`` keeps the top-k ranks.
+    The global rank is one single-partition window over MATCHED docs only
+    (a query-selectivity bound, not corpus size); for stop-word-ish terms
+    over a 100 TB corpus, pre-filter with a score threshold or route
+    through the retrieval pattern (per-partition top-k prune, then rank
+    the surviving k x partitions rows — sim/cosine_topk's device).
+    """
+    if not query_terms:
+        raise ValueError("bm25 needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    if k is not None and k <= 0:
+        raise ValueError(f"top-k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("_term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_N"))
+    tot = toks.agg(F.count(F.lit(1)).alias("_T"))
+    stats = n_docs.crossJoin(tot)  # 1x1 scalar frame, broadcast below
+    tf = (
+        toks.filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    tfd = F.col("_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("_N") - F.col("_df")).cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (
+        (F.col("_dl") * F.col("_N")).cast("double") / F.col("_T").cast("double")
+    )
+    s4 = round4_expr(idf * (tfd * F.lit(k1 + 1.0)) / (tfd + F.lit(k1) * norm))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), s4.alias("_s4"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.round(F.col("_s4") * 10000).cast("long")).alias("_s4i"),
+        )
+    )
+    w = Window.orderBy(F.col("_s4i").desc(), F.col(id_col).asc())
+    ranked = scored.select(
+        F.col(id_col),
+        "n_matched",
+        F.row_number().over(w).cast("long").alias("rank"),
+        round4_expr(F.col("_s4i") / F.lit(10000.0)).alias("score"),
+    )
+    return ranked.filter(F.col("rank") <= k) if k is not None else ranked

@@ -1730,3 +1730,46 @@ def test_decontaminate_spans_tokenless_docs(spark):
         for r in decontaminate_spans(docs, bench, n=3, words_per_span=4).collect()
     }
     assert got == {0: ("", 0, 0), 1: ("", 0, 0)}
+
+
+def test_bm25_score_golden_vs_python(spark):
+    texts = ["apple banana apple", "banana cherry", "durian"]
+    out = TX.bm25_score(
+        _docs(spark, texts), ["apple", "banana", "missing"]
+    ).collect()
+
+    # independent python replica of the public Okapi formula with the same
+    # 4dp quantization / exact-long fold
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    toks = [t.lower().split() for t in texts]
+    N, T = len(texts), sum(len(t) for t in toks)
+    df = {"apple": 1, "banana": 2}
+    exp = {}
+    for d, tk in enumerate(toks):
+        s4i, matched = 0, 0
+        for term in sorted(df):
+            tf = tk.count(term)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (N - df[term] + 0.5) / (df[term] + 0.5))
+            norm = 0.25 + 0.75 * (len(tk) * N / T)
+            s4i += round(r4(idf * (tf * 2.25) / (tf + 1.25 * norm)) * 10000)
+        if matched:
+            exp[d] = (matched, r4(s4i / 10000.0))
+    got = {r.doc_id: (r.n_matched, r.score) for r in out}
+    assert got == exp
+    # rank is dense 1..n over the exact long totals, ties to doc_id
+    ranks = sorted((r.rank, r.doc_id) for r in out)
+    assert [r for r, _ in ranks] == list(range(1, len(out) + 1))
+    assert out and all(r.doc_id != 2 for r in out)  # no query term -> no row
+
+    top1 = TX.bm25_score(_docs(spark, texts), ["apple", "banana"], k=1).collect()
+    assert len(top1) == 1 and top1[0].rank == 1
+
+    with pytest.raises(ValueError):
+        TX.bm25_score(_docs(spark, texts), [])
+    with pytest.raises(ValueError):
+        TX.bm25_score(_docs(spark, texts), ["apple"], k=0)
