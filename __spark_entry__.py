@@ -259,6 +259,21 @@ def q_fetch_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL last_over_time + staleness: per slot, the most recent WRITTEN
+    (cnt>0) total within the trailing hour and how many slots ago it
+    landed — the gauge carry-forward + "silent for N minutes" alert. The
+    carried value is a positional ignore-nulls pick over exact scaled
+    longs (no accumulation), the age a row_number subtraction; one
+    series-keyed window Exchange (query.py:series_last_over_time)."""
+    from kadiyadb_spark.query import series_last_over_time
+
+    r = fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR)
+    return series_last_over_time(
+        r.select("f1", "f2", "bucket", "total", "cnt"), ["f1", "f2"], window_slots=60
+    )
+
+
 def q_fetch_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL holt_winters(v, 0.3, 0.1): per-series double exponential
     smoothing (level + trend) over one day of the dense fetch. The
@@ -3793,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_burn_rate": q_fetch_burn_rate,
         "dedup_fuzzy": q_dedup_fuzzy,
         "bm25_retrieval": q_bm25_retrieval,
+        "fetch_last_write": q_fetch_last_write,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4358,6 +4374,26 @@ SELECT f1, f2, bucket, t4 / 10000.0 AS total,
 FROM e
 WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+"""
+
+    o["fetch_last_write"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4, cnt,
+         CAST(row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS BIGINT) AS rn
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+c AS (
+  SELECT f1, f2, bucket, t4, rn,
+         last_value(CASE WHEN cnt > 0 THEN t4 END IGNORE NULLS) OVER wf AS l4,
+         last_value(CASE WHEN cnt > 0 THEN rn END IGNORE NULLS) OVER wf AS lrn
+  FROM base
+  WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
+                ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT f1, f2, bucket, t4 / 10000.0 AS total,
+       l4 / 10000.0 AS last_total,
+       rn - lrn AS slots_since_write
+FROM c
 """
 
     o["fetch_gaps"] = f"""

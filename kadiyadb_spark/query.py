@@ -1033,6 +1033,54 @@ def series_gaps(
     )
 
 
+def series_last_over_time(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """PromQL ``last_over_time`` + staleness over a dense fetch frame: per
+    slot, the total at the most recent WRITTEN slot (``cnt > 0``) within
+    the trailing ``window_slots`` slots, and how many slots ago that write
+    happened — the gauge carry-forward dashboards draw and the "silent
+    for N minutes" staleness alert. Dense zero-fill makes absence explicit
+    (``cnt = 0``), so "last reported value" is well-defined without
+    engine-specific gap semantics; a window with no write yields null
+    value and null age.
+
+    Engine-default-free: totals scale to exact longs, the carried value is
+    ``last(... ignore nulls)`` over an integer — a POSITIONAL pick, no
+    arithmetic accumulation at all — and the age is a subtraction of
+    row_number ranks. Same ONE series-keyed window Exchange as the rest of
+    the transform family (the rank and frame windows share partitioning
+    and ordering)."""
+    if window_slots < 1:
+        raise ValueError(f"need window_slots >= 1, got {window_slots}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    wf = w.rowsBetween(-(window_slots - 1), 0)
+    t4 = scale4_expr(F.col(total_col))
+    base = df.select(
+        *series_cols,
+        bucket_col,
+        t4.alias("_t4"),
+        F.col(cnt_col).cast("long").alias("_cnt"),
+        F.row_number().over(w).cast("long").alias("_rn"),
+    )
+    last4 = F.last(F.when(F.col("_cnt") > 0, F.col("_t4")), ignorenulls=True).over(wf)
+    last_rn = F.last(F.when(F.col("_cnt") > 0, F.col("_rn")), ignorenulls=True).over(wf)
+    return base.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_t4") / F.lit(10000.0)).alias(total_col),
+        (last4 / F.lit(10000.0)).alias("last_total"),
+        (F.col("_rn") - last_rn).alias("slots_since_write"),
+    )
+
+
 def series_holt_winters(
     df: DataFrame,
     series_cols: list[str],

@@ -475,6 +475,14 @@ def test_series_transforms_share_one_window_exchange(spark):
 
     o = series_offset(s.select("f1", "f2", "bucket", "total"), ["f1", "f2"], 2)
     assert n_shuffles(plan_str(o)) == base + 1
+    # series_last_over_time too: the rank window and the ignore-nulls frame
+    # share the same (series, bucket) partitioning/ordering — one Exchange
+    from kadiyadb_spark.query import series_last_over_time
+
+    lw = series_last_over_time(
+        dense.select("f1", "f2", "bucket", "total", "cnt"), ["f1", "f2"], 3
+    )
+    assert n_shuffles(plan_str(lw)) == base + 1
 
 
 def test_series_topk_uses_take_ordered_not_full_sort(spark):

@@ -1131,3 +1131,45 @@ def test_histogram_quantile_prometheus_edges(spark):
     assert math.isnan(got["a"])
     assert got["b"] == -1.0
     assert got["c"] == 1.0  # rank 5 of 10 lands exactly on the first bucket
+
+
+def test_series_last_over_time_carry_and_staleness(spark):
+    """last_over_time over a 3-slot frame: written slots (cnt>0) carry
+    their value forward; a never-written head yields nulls; the carried
+    value falls out once the write leaves the frame; age counts slots
+    since the write."""
+    from kadiyadb_spark.query import series_last_over_time
+
+    rows = [
+        ("m", 0, 0.0, 0),    # silent head
+        ("m", 60, 5.5, 2),   # write
+        ("m", 120, 0.0, 0),
+        ("m", 180, 0.0, 0),
+        ("m", 240, 7.0, 1),  # write
+    ]
+    df = spark.createDataFrame(
+        rows, "f1 string, bucket long, total double, cnt long"
+    )
+    got = {
+        r.bucket: r
+        for r in series_last_over_time(df, ["f1"], window_slots=3).collect()
+    }
+    assert got[0].last_total is None and got[0].slots_since_write is None
+    assert (got[60].last_total, got[60].slots_since_write) == (5.5, 0)
+    assert (got[120].last_total, got[120].slots_since_write) == (5.5, 1)
+    assert (got[180].last_total, got[180].slots_since_write) == (5.5, 2)
+    # at 240 the 5.5 write has left the 3-frame; the new write wins anyway
+    assert (got[240].last_total, got[240].slots_since_write) == (7.0, 0)
+
+    # a frame whose only content is silence: shrink window to 2 -> slot 180
+    # no longer sees the bucket-60 write
+    got2 = {
+        r.bucket: r
+        for r in series_last_over_time(df, ["f1"], window_slots=2).collect()
+    }
+    assert got2[180].last_total is None and got2[180].slots_since_write is None
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_slots"):
+        series_last_over_time(df, ["f1"], window_slots=0)
