@@ -3507,6 +3507,15 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf keyword extraction: each document's top-3 most characteristic
+    terms (smoothed ln((N+1)/(df+1)) idf). tf/df/N are exact integers, the
+    product is one double expression quantized at 4dp, and the per-doc rank
+    orders on the scaled long with term-lexicographic ties — a total order
+    in any engine (functions/text.py:keyword_terms)."""
+    return TX.keyword_terms(_t(spark, sf_dir, "documents"), top_j=3)
+
+
 def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL INSTANT topk(3): the 3 loudest (event_type, user) series AT
     EACH SLOT — fetch_topk_series ranks range totals; this is the
@@ -3809,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": q_dedup_fuzzy,
         "bm25_retrieval": q_bm25_retrieval,
         "fetch_last_write": q_fetch_last_write,
+        "text_keywords": q_text_keywords,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6591,6 +6601,30 @@ r AS (SELECT doc_id, n_matched, s4i,
       FROM agg)
 SELECT doc_id, n_matched, rank, floor((s4i / 10000.0) * 10000 + 0.5) / 10000 AS score
 FROM r WHERE rank <= 20
+"""
+
+    o["text_keywords"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+st AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(round(floor((CAST(tf.tf AS DOUBLE)
+                           * ln((CAST(st.N AS DOUBLE) + 1.0::DOUBLE)
+                                / (CAST(dfq.df AS DOUBLE) + 1.0::DOUBLE)))
+                          * 10000 + 0.5) / 10000 * 10000) AS BIGINT) AS s4i
+  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+r AS (SELECT doc_id, term, tf, s4i,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY s4i DESC, term ASC) AS BIGINT) AS rank
+      FROM sc)
+SELECT doc_id, term, tf, s4i / 10000.0 AS tfidf, rank FROM r WHERE rank <= 3
 """
 
     o["fetch_share"] = f"""

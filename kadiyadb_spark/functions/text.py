@@ -1047,3 +1047,67 @@ def bm25_score(
         round4_expr(F.col("_s4i") / F.lit(10000.0)).alias("score"),
     )
     return ranked.filter(F.col("rank") <= k) if k is not None else ranked
+
+
+def keyword_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_j: int = 5,
+) -> DataFrame:
+    """tf-idf keyword extraction: each document's ``top_j`` most
+    characteristic terms — the classic corpus-statistics summarizer used
+    for topic tagging, near-dup triage ("what are these clusters about")
+    and retrieval debugging. idf is the add-one-smoothed ``ln((N+1)/(df+1))``
+    (never a division by zero, never exactly zero for non-universal terms).
+
+    Engine-default-free on the BM25/bigram-LM pattern: tf, df, N are exact
+    integers, the tf-idf product is ONE double expression over them
+    quantized at 4dp, and the per-doc ranking orders on the SCALED LONG
+    with term-lexicographic ties — a total order in any engine.
+
+    Scale shape: one (doc, term) groupBy over the token explode (the same
+    corpus-sized shuffle every counting op pays), a vocab-sized df
+    aggregation broadcast back, and a doc-keyed ranking window whose
+    per-partition state is one doc's distinct terms. Token-less docs have
+    no terms and produce no row.
+
+    Output: (id_col, term, tf, tfidf, rank), rank 1..top_j per doc."""
+    if top_j < 1:
+        raise ValueError(f"need top_j >= 1, got {top_j}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_N"))
+    idf = F.log(
+        (F.col("_N").cast("double") + F.lit(1.0))
+        / (F.col("_df").cast("double") + F.lit(1.0))
+    )
+    s4 = round4_expr(F.col("tf").cast("double") * idf)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(s4 * 10000).cast("long").alias("_s4i"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_s4i").desc(), F.col("term").asc())
+    return (
+        scored.select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (F.col("_s4i") / F.lit(10000.0)).alias("tfidf"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= top_j)
+    )

@@ -1773,3 +1773,43 @@ def test_bm25_score_golden_vs_python(spark):
         TX.bm25_score(_docs(spark, texts), [])
     with pytest.raises(ValueError):
         TX.bm25_score(_docs(spark, texts), ["apple"], k=0)
+
+
+def test_keyword_terms_golden(spark):
+    # corpus of 3 docs; "rare" appears only in doc 0 (high idf), "common"
+    # in all three (idf near zero but still ranked by tf)
+    texts = [
+        "rare rare common shared",
+        "common shared shared",
+        "common other",
+    ]
+    out = TX.keyword_terms(_docs(spark, texts), top_j=2).collect()
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    import collections
+
+    toks = [t.split() for t in texts]
+    df = collections.Counter(w for tk in toks for w in set(tk))
+    N = len(texts)
+    exp = {}
+    for d, tk in enumerate(toks):
+        tfs = collections.Counter(tk)
+        scored = sorted(
+            ((-round(r4(tf * math.log((N + 1.0) / (df[w] + 1.0))) * 10000), w, tf)
+             for w, tf in tfs.items()),
+        )
+        exp[d] = [
+            (w, tf, -s4i / 10000.0, i + 1)
+            for i, (s4i, w, tf) in enumerate(scored[:2])
+        ]
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.term, r.tf, r.tfidf, r.rank))
+    got = {d: sorted(v, key=lambda x: x[3]) for d, v in got.items()}
+    assert got == exp
+    # doc 0's top keyword must be the doc-specific "rare", not "common"
+    assert got[0][0][0] == "rare"
+    with pytest.raises(ValueError):
+        TX.keyword_terms(_docs(spark, texts), top_j=0)
