@@ -2873,6 +2873,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST canonical selection over the near-dup clusters: per
+    MinHash cluster, the member with the highest heuristic quality score
+    survives (score quantized to a scaled long before the argmax; ties to
+    the lowest id) — the curation policy that keeps the cleanest mirror,
+    not the first-crawled one (functions/dedup.py:cluster_representatives)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, num_hashes=8, bands=4, shingle_k=8, threshold=0.1
+    )
+    clusters = D.connected_components(pairs)
+    return D.cluster_representatives(clusters, TX.quality_score(docs))
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation — the composition the LLM-pipeline
     operators exist for: exact dedup (hash groupBy, keep min id) -> MinHash
@@ -3819,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "fetch_last_write": q_fetch_last_write,
         "text_keywords": q_text_keywords,
+        "dedup_keep_best": q_dedup_keep_best,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6114,6 +6129,41 @@ dmins AS (SELECT DISTINCT doc_id, hv FROM mins)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
 FROM dmins a JOIN dmins b ON a.hv = b.hv AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+    # Keep-best over the same cluster graph: per cluster, the highest
+    # 4dp-scaled quality wins, ties to the lowest id (the same qual CTE as
+    # pipeline_curate — term order matters for FP identity)
+    o["dedup_keep_best"] = f"""
+WITH RECURSIVE {_minhash_pairs_cte},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+clus AS (SELECT n AS node, least(n, min(m)) AS cluster_id FROM reach GROUP BY n),
+tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+qual AS (
+  SELECT doc_id,
+         floor((0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+               + 0.25 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1))
+               + 0.25 * least((CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE) / greatest(len(toks), 1)) * 5.0, 1.0)
+               ) * 10000 + 0.5) / 10000 AS quality
+  FROM tq
+),
+j AS (SELECT c.cluster_id, c.node, CAST(round(q.quality * 10000) AS BIGINT) AS s4i
+      FROM clus c JOIN qual q ON q.doc_id = c.node),
+r AS (SELECT cluster_id, node, s4i,
+             CAST(row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY s4i DESC, node ASC) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+      FROM j)
+SELECT cluster_id, node AS keeper_id, n_members, s4i / 10000.0 AS quality
+FROM r WHERE rn = 1
 """
 
     # Transitive closure of the SAME pair graph: min reachable id per node.

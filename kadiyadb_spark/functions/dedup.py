@@ -683,6 +683,60 @@ def connected_components(
 # ---------------------------------------------------------------- embeddings
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    cluster_col: str = "cluster_id",
+    node_col: str = "node",
+) -> DataFrame:
+    """Keep-best canonical selection after clustering — the step between
+    "these docs are duplicates" and "this is the copy we train on": per
+    cluster, the member with the HIGHEST score survives (ties to the
+    lowest id, so the choice is a total order in any engine). The min-id
+    convention (pipeline_curate) keeps whichever copy crawled first;
+    this keeps the best-quality copy — the curation policy real corpora
+    want when mirrors differ in OCR noise or boilerplate.
+
+    Engine-default-free: the score quantizes to a scaled long BEFORE the
+    argmax, so equal-at-4dp scores tie identically cross-engine instead
+    of resolving by double ULPs. Scale shape: one cluster-keyed window
+    whose per-partition state is one duplicate group (bounded by dup
+    group size, not corpus size); docs that never clustered aren't in
+    ``clusters`` and keep themselves by definition — union them back
+    downstream if a full keeper list is needed.
+
+    Output: (cluster_col, keeper_id, n_members, score_col)."""
+    from pyspark.sql import Window
+
+    s4i = F.round(F.col(score_col).cast("double") * 10000).cast("long")
+    j = clusters.select(F.col(node_col), F.col(cluster_col)).join(
+        scores.select(F.col(id_col).alias(node_col), s4i.alias("_s4i")), node_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_s4i").desc(), F.col(node_col).asc()
+    )
+    return (
+        j.select(
+            F.col(cluster_col),
+            F.col(node_col),
+            "_s4i",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(cluster_col)).cast("long").alias(
+                "n_members"
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.col(node_col).alias("keeper_id"),
+            "n_members",
+            (F.col("_s4i") / F.lit(10000.0)).alias(score_col),
+        )
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1813,3 +1813,26 @@ def test_keyword_terms_golden(spark):
     assert got[0][0][0] == "rare"
     with pytest.raises(ValueError):
         TX.keyword_terms(_docs(spark, texts), top_j=0)
+
+
+def test_cluster_representatives_keep_best(spark):
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)], "node long, cluster_id long"
+    )
+    # cluster 0: doc 1 wins on score; cluster 5: scores tie AT 4dp
+    # (difference below the quantum) -> the LOWER id wins
+    scores = spark.createDataFrame(
+        [
+            (0, 0.5),
+            (1, 0.9),
+            (2, 0.7),
+            (5, 0.80001),
+            (6, 0.80004),
+        ],
+        "doc_id long, quality double",
+    )
+    got = {
+        r.cluster_id: (r.keeper_id, r.n_members, r.quality)
+        for r in D.cluster_representatives(clusters, scores).collect()
+    }
+    assert got == {0: (1, 3, 0.9), 5: (5, 2, 0.8)}
