@@ -1364,6 +1364,22 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between consecutive funnel stages: count, exact mean
+    and type-7 p25/p50/p75 of (t_i - t_{i-1}) in seconds for the users the
+    greedy scan advanced — deltas are exact integer ns (inside 2^53,
+    unlike absolute epoch-ns), dyadic phis make the interpolation
+    bit-identical, and the oracle derives the same deltas from the
+    min-filter CTE chain (functions/analytics.py:funnel_time_stats)."""
+    from kadiyadb_spark.functions.analytics import funnel_time_stats
+
+    return funnel_time_stats(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        ts_col="ts",
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users cohorted by first active day; per
     (cohort_day, day_offset <= 14) the users active again and the
@@ -3834,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_last_write": q_fetch_last_write,
         "text_keywords": q_text_keywords,
         "dedup_keep_best": q_dedup_keep_best,
+        "funnel_time": q_funnel_time,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4493,6 +4510,35 @@ SELECT f1, f2, bucket,
 FROM base
 WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+    # funnel time-to-convert: the SAME min-filter chain as funnel_counts,
+    # extended with per-user deltas; quantile_cont over integer-ns deltas
+    # at dyadic phis mirrors F.percentile bit-identically
+    o["funnel_time"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+u1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'view' AND e.ts > u1.t1 GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'click' AND e.ts > u2.t2 GROUP BY e.user_id),
+u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u3.t3 GROUP BY e.user_id),
+d AS (
+  SELECT 2 AS stage, 'signup' AS from_step, 'view' AS to_step, u2.t2 - u1.t1 AS d
+  FROM u2 JOIN u1 USING (user_id)
+  UNION ALL
+  SELECT 3, 'view', 'click', u3.t3 - u2.t2 FROM u3 JOIN u2 USING (user_id)
+  UNION ALL
+  SELECT 4, 'click', 'purchase', u4.t4 - u3.t3 FROM u4 JOIN u3 USING (user_id)
+)
+SELECT CAST(stage AS BIGINT) AS stage, from_step, to_step,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       floor((CAST(sum(d) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0::DOUBLE)) * 10000 + 0.5) / 10000 AS mean_s,
+       floor((quantile_cont(d, 0.25) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p25_s,
+       floor((quantile_cont(d, 0.5) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p50_s,
+       floor((quantile_cont(d, 0.75) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p75_s
+FROM d GROUP BY stage, from_step, to_step
 """
 
     o["funnel_counts"] = """

@@ -145,6 +145,124 @@ def funnel_counts(
     )
 
 
+def funnel_time_stats(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+    within: int | None = None,
+) -> DataFrame:
+    """TIME-TO-CONVERT between consecutive funnel stages — the question
+    right after funnel_counts' "how many": how LONG users take from each
+    stage to the next (median checkout latency, p75 activation lag). Uses
+    the identical greedy first-occurrence semantics as funnel_counts (the
+    fold additionally records each stage's completing timestamp; by the
+    same induction those equal the min-ts chain's t_i), so the two
+    operators always describe the same cohort.
+
+    Per stage i >= 2, over users who reached it: the count, the exact mean
+    and the type-7 p25/p50/p75 of (t_i - t_{i-1}), reported in seconds at
+    4dp. Engine-default-free: deltas are exact integer ns (hours-scale —
+    far inside double's 2^53 window, unlike absolute epoch-ns), DYADIC
+    phis make every interpolation term exactly representable (the
+    series_quantile_over_time argument), the mean folds a long sum with
+    ONE division, and /1e9 + round4 are identical IEEE ops both engines.
+
+    Scale shape: the same ONE user-keyed shuffle as funnel_counts; the
+    stage census that aggregates the deltas is k-1 groups whose per-group
+    percentile state is bounded by converted-user count.
+
+    Output: (stage, from_step, to_step, n_converted, mean_s, p25_s,
+    p50_s, p75_s), one row per stage 2..k that any user reached."""
+    if len(steps) < 2:
+        raise ValueError("time-to-convert needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    if within is not None and within <= 0:
+        raise ValueError(f"conversion window must be positive, got {within}")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                ts_ns_expr(events.schema[ts_col].dataType, ts_col).alias("ts"),
+                F.col(type_col).alias("et"),
+            ).alias("_e"),
+        )
+        .filter(F.col("_e.ts").isNotNull() & F.col("_e.et").isin(*steps))
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(-1).cast("long").alias("t"),
+        F.lit(-1).cast("long").alias("t1"),
+        F.array().cast("array<long>").alias("tss"),
+    )
+    fold = F.aggregate(
+        F.col("_evs"),
+        init,
+        lambda st, e: F.when(
+            (st["stage"] < F.lit(k))
+            & (e["et"] == F.element_at(steps_arr, st["stage"] + F.lit(1)))
+            & (e["ts"] > st["t"])
+            & (
+                F.lit(True)
+                if within is None
+                else (st["stage"] == 0) | (e["ts"] <= st["t1"] + F.lit(within))
+            ),
+            F.struct(
+                (st["stage"] + F.lit(1)).alias("stage"),
+                e["ts"].alias("t"),
+                F.when(st["stage"] == 0, e["ts"]).otherwise(st["t1"]).alias("t1"),
+                F.concat(st["tss"], F.array(e["ts"])).alias("tss"),
+            ),
+        ).otherwise(st),
+    )
+    # sequence(2, stage) DESCENDS when stage < 2 — filter first
+    deltas = (
+        per_user.select(fold.alias("_st"))
+        .filter(F.col("_st.stage") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.col("_st.stage")),
+                    lambda i: F.struct(
+                        i.cast("long").alias("stage"),
+                        (
+                            F.element_at(F.col("_st.tss"), i)
+                            - F.element_at(F.col("_st.tss"), i - F.lit(1))
+                        ).alias("d"),
+                    ),
+                )
+            ).alias("_x")
+        )
+        .select(F.col("_x.stage").alias("stage"), F.col("_x.d").alias("d"))
+    )
+    ns = F.lit(1e9)
+    agg = deltas.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        round4_expr(
+            F.sum("d").cast("double") / (F.count(F.lit(1)).cast("double") * ns)
+        ).alias("mean_s"),
+        round4_expr(F.percentile("d", F.lit(0.25)) / ns).alias("p25_s"),
+        round4_expr(F.percentile("d", F.lit(0.5)) / ns).alias("p50_s"),
+        round4_expr(F.percentile("d", F.lit(0.75)) / ns).alias("p75_s"),
+    )
+    return agg.select(
+        "stage",
+        F.element_at(steps_arr, (F.col("stage") - 1).cast("int")).alias("from_step"),
+        F.element_at(steps_arr, F.col("stage").cast("int")).alias("to_step"),
+        "n_converted",
+        "mean_s",
+        "p25_s",
+        "p50_s",
+        "p75_s",
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

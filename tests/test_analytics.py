@@ -170,3 +170,37 @@ def test_path_transitions_two_exchange_plan(spark):
         ]
     )
     assert n_shuffles(plan_str(path_transitions(ev))) == 2
+
+
+def test_funnel_time_stats_golden(spark):
+    """Three users convert signup->view at deltas 1s, 2s, 4s (ns); one
+    continues view->click at 10s. Greedy first-occurrence: the user with a
+    second, earlier-gap view pair still measures from the FIRST chain."""
+    from kadiyadb_spark.functions.analytics import funnel_time_stats
+
+    S = 10**9
+    rows = [
+        ("A", 0, "signup"), ("A", 1 * S, "view"), ("A", 11 * S, "click"),
+        ("B", 0, "signup"), ("B", 2 * S, "view"),
+        ("C", 0, "signup"), ("C", 4 * S, "view"),
+        # D views before signing up: never converts, contributes nothing
+        ("D", 0, "view"), ("D", 1 * S, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, event_type=e) for u, t, e in rows]
+    )
+    got = {
+        r.stage: r
+        for r in funnel_time_stats(ev, ["signup", "view", "click"]).collect()
+    }
+    s2 = got[2]
+    assert (s2.from_step, s2.to_step, s2.n_converted) == ("signup", "view", 3)
+    # deltas 1,2,4: mean 7/3 s, type-7 p25=1.5 p50=2 p75=3
+    assert s2.mean_s == round(7 / 3, 4)
+    assert (s2.p25_s, s2.p50_s, s2.p75_s) == (1.5, 2.0, 3.0)
+    s3 = got[3]
+    assert (s3.n_converted, s3.p50_s, s3.mean_s) == (1, 10.0, 10.0)
+    assert 4 not in got  # nobody purchased... and no stage-4 row appears
+
+    with pytest.raises(ValueError):
+        funnel_time_stats(ev, ["signup"])
