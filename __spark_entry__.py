@@ -1380,6 +1380,21 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_NOW = 1706745600 * SEC  # 2024-02-01T00:00Z, just past the fixture range
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM lifecycle segmentation: per user, integer days since last event,
+    event count, exact scaled-long spend, and deterministic ntile(5)
+    scores (every ORDER BY ends on user_id — a total order, so the
+    SQL-standard tile boundaries are identical in any engine); now is an
+    explicit parameter, never an engine clock
+    (functions/analytics.py:rfm_segments)."""
+    from kadiyadb_spark.functions.analytics import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"), now_ts=_RFM_NOW, ts_col="ts")
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users cohorted by first active day; per
     (cohort_day, day_offset <= 14) the users active again and the
@@ -3851,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords": q_text_keywords,
         "dedup_keep_best": q_dedup_keep_best,
         "funnel_time": q_funnel_time,
+        "rfm_segments": q_rfm_segments,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4539,6 +4555,28 @@ SELECT CAST(stage AS BIGINT) AS stage, from_step, to_step,
        floor((quantile_cont(d, 0.5) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p50_s,
        floor((quantile_cont(d, 0.75) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p75_s
 FROM d GROUP BY stage, from_step, to_step
+"""
+
+    o["rfm_segments"] = f"""
+WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, value FROM events
+            WHERE ts IS NOT NULL),
+pu AS (SELECT user_id, max(tsn) AS last_ts, CAST(count(*) AS BIGINT) AS frequency,
+              sum(CAST(round(value * 10000) AS BIGINT)) AS m4i
+       FROM ev GROUP BY user_id),
+s AS (SELECT user_id,
+             CAST(({_RFM_NOW} - last_ts) // {86400 * SEC} AS BIGINT) AS recency_days,
+             frequency, m4i
+      FROM pu),
+t AS (SELECT user_id, recency_days, frequency, m4i,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id DESC) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY m4i ASC, user_id ASC) AS BIGINT) AS m_score
+      FROM s)
+SELECT user_id, recency_days, frequency,
+       floor((m4i / 10000.0) * 10000 + 0.5) / 10000 AS monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS segment
+FROM t
 """
 
     o["funnel_counts"] = """

@@ -204,3 +204,40 @@ def test_funnel_time_stats_golden(spark):
 
     with pytest.raises(ValueError):
         funnel_time_stats(ev, ["signup"])
+
+
+def test_rfm_segments_golden(spark):
+    """4 users, 2 bins: ntile splits 2/2 on each total-ordered metric;
+    higher score = more recent / more frequent / higher spend."""
+    from kadiyadb_spark.functions.analytics import rfm_segments
+
+    D = 86400 * 10**9
+    rows = [
+        # user A: recent, frequent, big spender
+        ("A", 9 * D, 100.0), ("A", 9 * D + 1, 100.0), ("A", 9 * D + 2, 100.0),
+        # user B: recent-ish, 2 events, medium spend
+        ("B", 8 * D, 50.0), ("B", 8 * D + 1, 10.0),
+        # user C: stale, 2 events, small spend
+        ("C", 1 * D, 5.0), ("C", 2 * D, 5.0),
+        # user D: stale, single tiny event
+        ("D", 0, 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, value=v) for u, t, v in rows]
+    )
+    got = {
+        r.user_id: r
+        for r in rfm_segments(ev, now_ts=10 * D, n_bins=2).collect()
+    }
+    assert got["A"].recency_days == 0 and got["D"].recency_days == 10
+    assert (got["A"].frequency, got["A"].monetary) == (3, 300.0)
+    assert (got["A"].r_score, got["A"].f_score, got["A"].m_score) == (2, 2, 2)
+    assert got["A"].segment == 222
+    assert (got["B"].r_score, got["B"].m_score) == (2, 2)  # 60 > C's 10, D's 1
+    # freq ties B=C=2: ASC order (freq, id) puts D,B in tile 1 and C,A in 2
+    assert (got["C"].r_score, got["C"].f_score) == (1, 2)
+    assert got["B"].f_score == 1
+    assert got["D"].segment == 111
+
+    with pytest.raises(ValueError):
+        rfm_segments(ev, now_ts=10 * D, n_bins=1)
