@@ -58,17 +58,12 @@ from kadiyadb_spark import schema as S
 from kadiyadb_spark.catalog import Params
 from kadiyadb_spark.fs import HadoopFS
 from kadiyadb_spark.ingest import track_batch
+from kadiyadb_spark.manifest import ConcurrentWriteError, GenLog
 from kadiyadb_spark.query import fetch as fetch_df
 
 _MANIFEST_PREFIX = "MANIFEST-"
 _KEEP_MANIFESTS = 3  # old generations kept for debugging/readers-in-flight
 _STATS_MAX = 64  # distinct values recorded per (segment, epoch, dimension) for data skipping
-
-
-class ConcurrentWriteError(RuntimeError):
-    """Another writer committed this generation first (single-writer
-    deployments should never see this; it exists so a misconfigured second
-    writer fails loudly instead of corrupting the cube)."""
 
 
 class Database:
@@ -80,6 +75,12 @@ class Database:
         self.params = params
         self.fs = HadoopFS(spark, path)
         self.cube_path = HadoopFS.join(path, "cube")
+        # the ONE commit primitive (manifest.GenLog) — the cube keeps its
+        # historical MANIFEST- file spelling; this closed the "two copies
+        # of the commit protocol" debt the r08 core review deferred
+        self._genlog = GenLog(
+            spark, self.cube_path, keep=_KEEP_MANIFESTS, prefix=_MANIFEST_PREFIX
+        )
 
     # -- O13 Open ------------------------------------------------------------
     @classmethod
@@ -110,18 +111,14 @@ class Database:
     def max_depth(self) -> int:
         return len(self.params.fields)
 
-    # -- manifest protocol -----------------------------------------------------
+    # -- manifest protocol (delegates to the ONE commit primitive) -------------
     def _manifest_names(self) -> list[str]:
-        return sorted(
-            f
-            for f in self.fs.list_files(self.cube_path, suffix=".json")
-            if f.startswith(_MANIFEST_PREFIX)
-        )
+        return self._genlog._names()
 
     def generations(self) -> list[int]:
         """Retained manifest generations, oldest first — each is a readable
         snapshot (see ``cube(at_gen=...)``)."""
-        return [int(n[len(_MANIFEST_PREFIX) : -len(".json")]) for n in self._manifest_names()]
+        return self._genlog.retained()
 
     def current_gen(self) -> int:
         """Generation of the latest commit (-1 on an empty cube) — the
@@ -129,38 +126,30 @@ class Database:
         return int(self._manifest()["gen"])
 
     def _manifest(self, at_gen: int | None = None) -> dict:
-        names = self._manifest_names()
-        if not names:
-            if at_gen is not None:
-                raise ValueError(f"generation {at_gen} not retained (no manifests)")
-            return {"gen": -1, "segments": {}, "hwm": {}, "stats": {}}
         if at_gen is None:
-            pick = names[-1]  # zero-padded gen -> lexical max == numeric max
+            m = self._genlog.read()
+            if int(m.get("gen", -1)) == -1:
+                return {"gen": -1, "segments": {}, "hwm": {}, "stats": {}}
         else:
-            pick = f"{_MANIFEST_PREFIX}{at_gen:012d}.json"
-            if pick not in names:
-                raise ValueError(
-                    f"generation {at_gen} not retained (have {self.generations()})"
-                )
-        m = self.fs.read_json(HadoopFS.join(self.cube_path, pick))
+            # raises ValueError("generation N not retained ...") on an
+            # unretained pin, including the empty-cube case
+            m = self._genlog.read(at_gen=at_gen)
         m["segments"] = {int(e): list(refs) for e, refs in m["segments"].items()}
         m.setdefault("stats", {})
         return m
 
     def _commit_manifest(self, m: dict, prev_gen: int, keep: int = _KEEP_MANIFESTS) -> None:
-        """Atomically publish the next generation. The rename IS the commit:
-        before it, nothing referenced the staged segments; after it, readers
-        resolve the new generation. Rename-to-fresh-name is atomic on
-        HDFS/POSIX and all-or-nothing per object on S3A (fs.py module doc).
+        """Atomically publish the next generation via manifest.GenLog (one
+        shared commit primitive; the rename IS the commit — before it,
+        nothing referenced the staged segments). This method owns only the
+        CUBE-shaped normalization of the manifest body.
 
         ``keep`` bounds the retained snapshot window (old manifests are pure
         metadata, bytes-sized); data-DELETING commits pass keep=1 so the
         deleted data is not resurrectable through an older snapshot."""
-        gen = prev_gen + 1
         segments = {str(e): refs for e, refs in sorted(m["segments"].items()) if refs}
         live = {ref for refs in segments.values() for ref in refs}
-        m = {
-            "gen": gen,
+        body = {
             "segments": segments,
             "hwm": m.get("hwm", {}),
             # data-skipping stats ride the same atomic swap as the refs they
@@ -168,12 +157,7 @@ class Database:
             # de-referenced segments are dropped here.
             "stats": {r: v for r, v in m.get("stats", {}).items() if r in live},
         }
-        name = f"{_MANIFEST_PREFIX}{gen:012d}.json"
-        self.fs.mkdirs(self.cube_path)
-        if not self.fs.write_json_atomic(HadoopFS.join(self.cube_path, name), m):
-            raise ConcurrentWriteError(f"manifest generation {gen} already exists")
-        for old in self._manifest_names()[:-keep]:
-            self.fs.delete(HadoopFS.join(self.cube_path, old))
+        self._genlog.commit(body, prev_gen, keep=keep)
 
     def _write_segment(
         self,

@@ -34,19 +34,31 @@ from kadiyadb_spark.fs import HadoopFS
 _PREFIX = "manifest-"
 
 
-class GenLog:
-    """Latest-generation-wins manifest log over one directory."""
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this generation first (single-writer
+    deployments should never see this; it exists so a misconfigured second
+    writer fails loudly instead of corrupting the store)."""
 
-    def __init__(self, spark, path: str, keep: int = 3):
+
+class GenLog:
+    """Latest-generation-wins manifest log over one directory.
+
+    ``prefix`` names the manifest files (the cube's historical spelling is
+    ``MANIFEST-``; auxiliary stores use the default) — since late r08 this
+    class IS the one commit primitive: ``Database`` delegates its manifest
+    protocol here instead of carrying a second copy."""
+
+    def __init__(self, spark, path: str, keep: int = 3, prefix: str = _PREFIX):
         self.fs = HadoopFS(spark, path)
         self.path = path
         self.keep = keep
+        self.prefix = prefix
 
     def _names(self) -> list[str]:
         return sorted(
             f
             for f in self.fs.list_files(self.path, suffix=".json")
-            if f.startswith(_PREFIX)
+            if f.startswith(self.prefix)
         )
 
     def read(self, at_gen: int | None = None) -> dict[str, Any]:
@@ -63,7 +75,7 @@ class GenLog:
             if not names:
                 return {"gen": -1}
             return self.fs.read_json(HadoopFS.join(self.path, names[-1]))
-        name = f"{_PREFIX}{at_gen:012d}.json"
+        name = f"{self.prefix}{at_gen:012d}.json"
         if name not in names:
             raise ValueError(
                 f"generation {at_gen} not retained in {self.path} "
@@ -74,7 +86,7 @@ class GenLog:
     def retained(self) -> list[int]:
         """Generation numbers whose manifests are still on disk (ascending);
         any of them is a valid ``read(at_gen=...)`` pin."""
-        return [int(n[len(_PREFIX) : -len(".json")]) for n in self._names()]
+        return [int(n[len(self.prefix) : -len(".json")]) for n in self._names()]
 
     def live_dirs(self, key: str = "live") -> set[str]:
         """Data-dir names referenced by ANY retained manifest — the set a
@@ -88,22 +100,26 @@ class GenLog:
                 out.add(v)
         return out
 
-    def commit(self, m: dict[str, Any], prev_gen: int) -> int:
+    def commit(self, m: dict[str, Any], prev_gen: int, keep: int | None = None) -> int:
         """Atomically publish generation ``prev_gen + 1``; returns it.
 
         Raises on a lost commit race (the generation file already exists) —
         single-writer is the maintenance assumption, so a race means two
-        writers and silent last-wins would corrupt either's view."""
+        writers and silent last-wins would corrupt either's view.
+
+        ``keep`` overrides the log's retention for THIS commit: data-DELETING
+        commits pass 1 so deleted data is not resurrectable through an older
+        snapshot (the cube's expire/merge_replace contract)."""
         gen = prev_gen + 1
         m = dict(m)
         m["gen"] = gen
         self.fs.mkdirs(self.path)
-        name = f"{_PREFIX}{gen:012d}.json"
+        name = f"{self.prefix}{gen:012d}.json"
         if not self.fs.write_json_atomic(HadoopFS.join(self.path, name), m):
-            raise RuntimeError(
+            raise ConcurrentWriteError(
                 f"manifest generation {gen} already exists in {self.path} "
                 "(concurrent writer?)"
             )
-        for old in self._names()[: -self.keep]:
+        for old in self._names()[: -(self.keep if keep is None else keep)]:
             self.fs.delete(HadoopFS.join(self.path, old))
         return gen
