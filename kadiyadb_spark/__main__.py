@@ -157,6 +157,39 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=1000)
 
     p = sub.add_parser(
+        "rfm",
+        help="RFM lifecycle segmentation over a parquet events table "
+        "(recency/frequency/monetary ntile scores; --now-ns is explicit, "
+        "never a wall clock)",
+    )
+    p.add_argument("--events", required=True, help="parquet path")
+    p.add_argument("--now-ns", type=int, required=True)
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--bins", type=int, default=5)
+
+    p = sub.add_parser(
+        "keywords",
+        help="tf-idf top-j keywords per document over a parquet corpus",
+    )
+    p.add_argument("--docs", required=True, help="parquet path")
+    p.add_argument("--top", type=int, default=5)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--limit", type=int, default=1000)
+
+    p = sub.add_parser(
+        "bm25",
+        help="Okapi BM25 top-k retrieval over a parquet corpus",
+    )
+    p.add_argument("--docs", required=True, help="parquet path")
+    p.add_argument("--query", required=True, help="space-separated terms")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
+    p = sub.add_parser(
         "paths",
         help="next-hop transition census (Sankey/Markov view) over a "
         "parquet events table",
@@ -317,6 +350,44 @@ def main(argv: list[str] | None = None) -> int:
             max_offset=args.max_offset,
         )
         for row in r.orderBy("cohort_day", "day_offset").collect():
+            _emit(row.asDict())
+    elif args.cmd == "rfm":
+        from kadiyadb_spark.functions.analytics import rfm_segments
+        from kadiyadb_spark.schema import normalize_ts
+
+        ev = normalize_ts(spark.read.parquet(args.events), args.ts_col)
+        r = rfm_segments(
+            ev,
+            now_ts=args.now_ns,
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            value_col=args.value_col,
+            n_bins=args.bins,
+        )
+        for row in r.orderBy(r.segment.desc(), args.user_col).collect():
+            _emit(row.asDict())
+    elif args.cmd == "keywords":
+        from kadiyadb_spark.functions.text import keyword_terms
+
+        r = keyword_terms(
+            spark.read.parquet(args.docs),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            top_j=args.top,
+        )
+        for row in r.orderBy(args.id_col, "rank").limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "bm25":
+        from kadiyadb_spark.functions.text import bm25_score
+
+        r = bm25_score(
+            spark.read.parquet(args.docs),
+            args.query.split(),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            k=args.k,
+        )
+        for row in r.orderBy("rank").collect():
             _emit(row.asDict())
     return 0
 

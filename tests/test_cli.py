@@ -167,3 +167,36 @@ def test_cli_clone(spark, tmp_path, capsys):
                  "--pattern", "a"]) == 0
     rows = _out(capsys)
     assert rows and rows[0]["total"] == 5.0
+
+
+def test_cli_rfm_keywords_bm25(spark, tmp_path, capsys):
+    """The three late-r08 commands: rfm over events, keywords/bm25 over a
+    document corpus — JSONL to stdout, deterministic ordering."""
+    ev = str(tmp_path / "ev.parquet")
+    D = 86400 * 10**9
+    spark.createDataFrame(
+        [
+            Row(ts=9 * D, user_id=1, value=100.0),
+            Row(ts=9 * D + 1, user_id=1, value=50.0),
+            Row(ts=1 * D, user_id=2, value=1.0),
+        ]
+    ).write.parquet(ev)
+    assert main(["rfm", "--events", ev, "--now-ns", str(10 * D),
+                 "--bins", "2"]) == 0
+    rows = _out(capsys)
+    assert [(r["user_id"], r["segment"]) for r in rows] == [(1, 222), (2, 111)]
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="rare rare shared"),
+            Row(doc_id=1, text="shared other"),
+        ]
+    ).write.parquet(docs)
+    assert main(["keywords", "--docs", docs, "--top", "1"]) == 0
+    rows = _out(capsys)
+    assert [r["term"] for r in rows] == ["rare", "other"]
+
+    assert main(["bm25", "--docs", docs, "--query", "rare shared", "--k", "1"]) == 0
+    rows = _out(capsys)
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0 and rows[0]["rank"] == 1

@@ -632,3 +632,22 @@ def test_series_alerts_single_exchange(spark):
                       for_slots=2, resolution=1)
     base = n_shuffles(plan_str(dense))
     assert n_shuffles(plan_str(a)) == base + 1
+
+
+def test_fuzzy_near_duplicates_equi_joins_only(spark):
+    """The fuzzy candidate generator must stay two EQUI-joins (same +
+    adjacent length bucket, plus the block cols) — a theta-join or
+    cartesian over the corpus is the quadratic anti-pattern the bucket
+    scheme exists to avoid."""
+    from kadiyadb_spark.functions.dedup import fuzzy_near_duplicates
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"title number {i}", src=f"s{i % 2}") for i in range(30)]
+    )
+    plan = plan_str(
+        fuzzy_near_duplicates(docs, max_dist=3, block_cols=["src"])
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the levenshtein verify must carry its threshold (banded DP, not the
+    # full n^2 distance) — renders as levenshtein(a, b, Some(3))
+    assert "levenshtein" in plan and "Some(3)" in plan
