@@ -312,6 +312,26 @@ def q_fetch_quantile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly: day 7 of the dense week scored against
+    the minute-of-day profile of days 1-6 — 'is 09:30 today abnormal FOR
+    a 09:30'. Baseline folds exact scaled longs (S1/S2/min with the
+    re-centered sample variance), z is one double expression over exact
+    operands; one baseline groupBy + one same-keyed join
+    (query.py:series_seasonal_anomaly)."""
+    from kadiyadb_spark.query import series_seasonal_anomaly
+
+    cube = _cube(spark, sf_dir)
+    day6 = WEEK0 + 6 * 86400 * SEC
+    base = fetch(cube, WEEK0, day6, ["click", "*"], RES, DUR)
+    cur = fetch(cube, day6, WEEK1, ["click", "*"], RES, DUR)
+    cols = ["f1", "f2", "bucket", "total"]
+    return series_seasonal_anomaly(
+        cur.select(*cols), base.select(*cols), ["f1", "f2"],
+        period_slots=1440, resolution=RES,
+    )
+
+
 def q_fetch_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal minute-of-day baseline over the dense week fetch: per
     series and slot-of-day, the exact mean / min / max across the seven
@@ -3867,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "funnel_time": q_funnel_time,
         "rfm_segments": q_rfm_segments,
+        "fetch_seasonal_anomaly": q_fetch_seasonal_anomaly,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4662,6 +4683,50 @@ cnt AS (SELECT cohort, day_offset, count(*) AS active_users FROM j GROUP BY coho
 SELECT c.cohort AS cohort_day, c.day_offset, c.active_users, s.cohort_size,
        floor((CAST(c.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)) * 10000 + 0.5) / 10000 AS retention
 FROM cnt c JOIN sz s ON c.cohort = s.cohort
+"""
+
+    day6_sa = WEEK0 + 6 * 86400 * SEC
+    o["fetch_seasonal_anomaly"] = f"""
+WITH bl AS (
+  SELECT f1, f2, CAST((bucket // {RES}) % 1440 AS BIGINT) AS slot_of_period,
+         CAST(round(total * 10000) AS BIGINT) AS x4
+  FROM ({_fetch_oracle("click", "*", WEEK0, day6_sa, 2)}) t
+),
+prof AS (
+  SELECT f1, f2, slot_of_period,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x4) AS s1, sum(x4 * x4) AS s2, min(x4) AS m
+  FROM bl GROUP BY f1, f2, slot_of_period
+),
+cur AS (
+  SELECT f1, f2, bucket, CAST((bucket // {RES}) % 1440 AS BIGINT) AS slot_of_period,
+         CAST(round(total * 10000) AS BIGINT) AS x4
+  FROM ({_fetch_oracle("click", "*", day6_sa, WEEK1, 2)}) t
+),
+j AS (
+  SELECT c.f1, c.f2, c.bucket, c.slot_of_period, c.x4, p.n, p.s1, p.s2, p.m
+  FROM cur c LEFT JOIN prof p USING (f1, f2, slot_of_period)
+),
+e AS (
+  SELECT f1, f2, bucket, slot_of_period, x4, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean4,
+         (CAST(n AS DOUBLE) * CAST(s2 - 2 * m * s1 + n * m * m AS DOUBLE)
+          - CAST(s1 - n * m AS DOUBLE) * CAST(s1 - n * m AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)) AS var4
+  FROM j
+),
+z AS (
+  SELECT f1, f2, bucket, slot_of_period, x4, n, mean4,
+         CASE WHEN n >= 2 AND var4 > 0
+              THEN floor(((CAST(x4 AS DOUBLE) - mean4) / sqrt(var4)) * 10000 + 0.5) / 10000
+         END AS zr
+  FROM e
+)
+SELECT f1, f2, bucket, x4 / 10000.0 AS total, slot_of_period,
+       floor((CASE WHEN n >= 2 THEN mean4 / 10000.0 END) * 10000 + 0.5) / 10000 AS expected,
+       zr AS zscore,
+       coalesce(abs(zr) >= 3.0::DOUBLE, false) AS is_anomaly
+FROM z
 """
 
     o["fetch_seasonal"] = f"""

@@ -1242,6 +1242,89 @@ def series_seasonal_profile(
     )
 
 
+def series_seasonal_anomaly(
+    df: DataFrame,
+    baseline: DataFrame,
+    series_cols: list[str],
+    period_slots: int,
+    z_thresh: float = 3.0,
+    min_periods: int = 2,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: score each slot of a CURRENT
+    dense frame against the typical value of its slot-of-period in a
+    BASELINE frame — "is 09:30 today abnormal for a 09:30", the question
+    the trailing-window z-score (series_anomaly) cannot ask because a
+    daily peak always looks anomalous against the preceding quiet hours.
+    ``period_slots=1440`` at 1-minute resolution = minute-of-day; 168 at
+    1 hour = hour-of-week.
+
+    The baseline profile folds EXACT scaled longs per (series,
+    slot-of-period) — S1, S2 and the integer minimum for the same
+    re-centering that conditions series_anomaly/series_stddev_over_time
+    (a flat slot history is exactly zero variance at any magnitude) —
+    then the SAMPLE variance, mean and z are each ONE double expression
+    over exact operands: identical IEEE sequence in any engine. Slots
+    with fewer than ``min_periods`` baseline periods or zero spread
+    yield null z (coalesced to non-anomalous). Slot-of-period is integer
+    DIV + modulo — no calendar functions, timezone-free.
+
+    Scale shape: one groupBy shuffle over the baseline (output bounded
+    by series x period_slots regardless of baseline length) and one join
+    keyed the same way; the current frame never shuffles on anything
+    wider. Output: series, bucket, total, slot_of_period, expected,
+    zscore, is_anomaly."""
+    if period_slots < 1:
+        raise ValueError(f"need period_slots >= 1, got {period_slots}")
+    if min_periods < 2:
+        raise ValueError(f"sample variance needs min_periods >= 2, got {min_periods}")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    def slot(col: str) -> F.Column:
+        return F.expr(f"CAST(({col} DIV {resolution}) % {period_slots} AS LONG)")
+
+    x4b = scale4_expr(F.col(total_col))
+    prof = (
+        baseline.select(*series_cols, slot(bucket_col).alias("slot_of_period"), x4b.alias("_x4"))
+        .groupBy(*series_cols, "slot_of_period")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x4").alias("_s1"),
+            F.sum(F.col("_x4") * F.col("_x4")).alias("_s2"),
+            F.min("_x4").alias("_m"),
+        )
+    )
+    cur = df.select(
+        *series_cols,
+        F.col(bucket_col),
+        slot(bucket_col).alias("slot_of_period"),
+        scale4_expr(F.col(total_col)).alias("_x4"),
+    )
+    j = cur.join(prof, [*series_cols, "slot_of_period"], "left")
+    n, s1, s2, m = F.col("_n"), F.col("_s1"), F.col("_s2"), F.col("_m")
+    # exact long re-centering about the slot history's minimum (see
+    # series_stddev_over_time): a flat history is EXACTLY zero spread
+    s1d = (s1 - n * m).cast("double")
+    s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")
+    nd = n.cast("double")
+    var4 = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    mean4 = s1.cast("double") / nd
+    enough = n >= min_periods
+    z = F.when(enough & (var4 > 0), (F.col("_x4").cast("double") - mean4) / F.sqrt(var4))
+    zr = round4_expr(z)
+    return j.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_x4") / F.lit(10000.0)).alias(total_col),
+        "slot_of_period",
+        round4_expr(F.when(enough, mean4 / F.lit(10000.0))).alias("expected"),
+        zr.alias("zscore"),
+        F.coalesce(F.abs(zr) >= F.lit(z_thresh), F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def series_binop(
     cube: DataFrame,
     from_ts: int,

@@ -1173,3 +1173,45 @@ def test_series_last_over_time_carry_and_staleness(spark):
 
     with _pt.raises(ValueError, match="window_slots"):
         series_last_over_time(df, ["f1"], window_slots=0)
+
+
+def test_series_seasonal_anomaly_golden(spark):
+    """Slot 0 baseline history {10, 12, 14} (mean 12, sample std 2): a
+    current value of 20 scores z=4 and fires at the 3-sigma default; slot
+    1 history is FLAT {5, 5} -> exactly zero spread at any magnitude ->
+    null z, non-anomalous; slot 2 has one period -> below min_periods."""
+    from kadiyadb_spark.query import series_seasonal_anomaly
+
+    res, period = 60, 3
+    mk = lambda rows: spark.createDataFrame(
+        rows, "f1 string, bucket long, total double"
+    )
+    base = mk(
+        [("m", p * period * res + s * res, v)
+         for p, slot_vals in enumerate([
+             {0: 10.0, 1: 5.0, 2: 7.0},
+             {0: 12.0, 1: 5.0},
+             {0: 14.0},
+         ])
+         for s, v in slot_vals.items()]
+    )
+    cur = mk([("m", 9 * period * res + 0 * res, 20.0),
+              ("m", 9 * period * res + 1 * res, 5.0),
+              ("m", 9 * period * res + 2 * res, 100.0)])
+    got = {
+        r.slot_of_period: r
+        for r in series_seasonal_anomaly(
+            cur, base, ["f1"], period_slots=period, resolution=res
+        ).collect()
+    }
+    s0 = got[0]
+    assert (s0.expected, s0.zscore, s0.is_anomaly) == (12.0, 4.0, True)
+    s1 = got[1]
+    assert (s1.expected, s1.zscore, s1.is_anomaly) == (5.0, None, False)
+    s2 = got[2]
+    assert (s2.expected, s2.zscore, s2.is_anomaly) == (None, None, False)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_periods"):
+        series_seasonal_anomaly(cur, base, ["f1"], period, min_periods=1)
