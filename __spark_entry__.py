@@ -3572,6 +3572,24 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots (even vs
+    odd doc ids) over the n_chars ladder — the drift monitor between
+    crawl versions. Integer counts + add-one smoothing keep every operand
+    exact; each PSI term is one double expression quantized 4dp; the
+    total is an exact scaled-long fold
+    (functions/sketch.py:distribution_drift)."""
+    from kadiyadb_spark.functions.sketch import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        [128.0, 192.0, 256.0, 320.0, 384.0, 448.0],
+    )
+
+
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf keyword extraction: each document's top-3 most characteristic
     terms (smoothed ln((N+1)/(df+1)) idf). tf/df/N are exact integers, the
@@ -3888,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_time": q_funnel_time,
         "rfm_segments": q_rfm_segments,
         "fetch_seasonal_anomaly": q_fetch_seasonal_anomaly,
+        "drift_psi": q_drift_psi,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6800,6 +6819,49 @@ r AS (SELECT doc_id, n_matched, s4i,
       FROM agg)
 SELECT doc_id, n_matched, rank, floor((s4i / 10000.0) * 10000 + 0.5) / 10000 AS score
 FROM r WHERE rank <= 20
+"""
+
+    # PSI drift: 7 buckets (6 bounds + inf), add-one smoothing keeps every
+    # operand integral; k=7 appears in the denominators
+    o["drift_psi"] = """
+WITH led AS (
+  SELECT doc_id,
+         CASE WHEN n_chars <= 128.0 THEN 128.0 WHEN n_chars <= 192.0 THEN 192.0
+              WHEN n_chars <= 256.0 THEN 256.0 WHEN n_chars <= 320.0 THEN 320.0
+              WHEN n_chars <= 384.0 THEN 384.0 WHEN n_chars <= 448.0 THEN 448.0
+              ELSE CAST('infinity' AS DOUBLE) END AS le
+  FROM documents
+),
+axis AS (SELECT unnest([128.0, 192.0, 256.0, 320.0, 384.0, 448.0,
+                        CAST('infinity' AS DOUBLE)]) AS le),
+ha AS (SELECT le, CAST(count(*) AS BIGINT) AS cnt_a FROM led
+       WHERE doc_id % 2 = 0 GROUP BY le),
+hb AS (SELECT le, CAST(count(*) AS BIGINT) AS cnt_b FROM led
+       WHERE doc_id % 2 = 1 GROUP BY le),
+j AS (
+  SELECT a.le, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+  FROM axis a LEFT JOIN ha USING (le) LEFT JOIN hb USING (le)
+),
+t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM j),
+e AS (
+  SELECT j.le, j.cnt_a, j.cnt_b,
+         CAST(j.cnt_a + 1 AS DOUBLE) / CAST(t.na + 7 AS DOUBLE) AS p,
+         CAST(j.cnt_b + 1 AS DOUBLE) / CAST(t.nb + 7 AS DOUBLE) AS q
+  FROM j CROSS JOIN t
+),
+terms AS (
+  SELECT le, cnt_a, cnt_b,
+         floor(p * 10000 + 0.5) / 10000 AS p_a,
+         floor(q * 10000 + 0.5) / 10000 AS p_b,
+         floor(((p - q) * ln(p / q)) * 10000 + 0.5) / 10000 AS psi_term
+  FROM e
+),
+tot AS (
+  SELECT floor((sum(CAST(round(psi_term * 10000) AS BIGINT)) / 10000.0)
+               * 10000 + 0.5) / 10000 AS psi_total
+  FROM terms
+)
+SELECT terms.*, tot.psi_total FROM terms CROSS JOIN tot
 """
 
     o["text_keywords"] = r"""

@@ -187,3 +187,73 @@ def histogram_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
     at the coarse grain, so quantiles never degrade with merge depth
     (pinned by the histogram_rollup_merge gate)."""
     return df.groupBy(*group_cols, "le").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bounds: list[float],
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column over a fixed bucket ladder — the drift monitor a 100 TB
+    training pipeline runs between corpus versions ("did document lengths
+    / quality scores shift since the last crawl"; PSI > 0.25 is the
+    classic retrain trigger). Shares ``value_histogram``'s ladder
+    semantics (le-buckets + the +Inf tail).
+
+    Engine-default-free: bucket counts are integers; add-one (Laplace)
+    smoothing keeps every operand an exact integer while making zero
+    bins well-defined (no epsilon literals to disagree on); each bucket's
+    share is ONE long/double division; the PSI term
+    ``(p - q) * ln(p / q)`` is one double expression quantized at 4dp;
+    the total is an exact scaled-long fold of the quantized terms (the
+    bigram-LM device). Scale shape: two histogram aggregations (only
+    buckets x 1 rows shuffle), a bucket-axis left join so empty buckets
+    participate, and broadcast scalar totals.
+
+    Output: one row per bucket (le, cnt_a, cnt_b, p_a, p_b, psi_term)
+    plus the same ``psi_total`` on every row."""
+    if not bounds or sorted(bounds) != list(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError(f"bounds must be strictly increasing and non-empty: {bounds}")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    k = len(bounds) + 1  # ladder + the +Inf tail
+    spark = a.sparkSession
+    axis = spark.createDataFrame(
+        [(float(x),) for x in [*bounds, float("inf")]], "le double"
+    )
+    ha = value_histogram(a, value_col, [], bounds).withColumnRenamed("cnt", "cnt_a")
+    hb = value_histogram(b, value_col, [], bounds).withColumnRenamed("cnt", "cnt_b")
+    j = (
+        axis.join(ha, "le", "left")
+        .join(hb, "le", "left")
+        .select(
+            "le",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+    )
+    totals = j.agg(
+        F.sum("cnt_a").alias("_na"), F.sum("cnt_b").alias("_nb")
+    )
+    p = (F.col("cnt_a") + F.lit(1)).cast("double") / (F.col("_na") + F.lit(k)).cast(
+        "double"
+    )
+    q = (F.col("cnt_b") + F.lit(1)).cast("double") / (F.col("_nb") + F.lit(k)).cast(
+        "double"
+    )
+    terms = j.crossJoin(F.broadcast(totals)).select(
+        "le",
+        "cnt_a",
+        "cnt_b",
+        round4_expr(p).alias("p_a"),
+        round4_expr(q).alias("p_b"),
+        round4_expr((p - q) * F.log(p / q)).alias("psi_term"),
+    )
+    total = terms.agg(
+        round4_expr(
+            F.sum(F.round(F.col("psi_term") * 10000).cast("long")) / F.lit(10000.0)
+        ).alias("psi_total")
+    )
+    return terms.crossJoin(F.broadcast(total))

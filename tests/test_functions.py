@@ -1836,3 +1836,30 @@ def test_cluster_representatives_keep_best(spark):
         for r in D.cluster_representatives(clusters, scores).collect()
     }
     assert got == {0: (1, 3, 0.9), 5: (5, 2, 0.8)}
+
+
+def test_distribution_drift_psi_golden(spark):
+    """Identical snapshots -> every term 0.0, total 0.0; a shifted snapshot
+    produces the hand-computed smoothed PSI."""
+    from kadiyadb_spark.functions.sketch import distribution_drift
+
+    a = spark.createDataFrame([(v,) for v in [1.0, 1.0, 5.0, 9.0]], "x double")
+    same = distribution_drift(a, a, "x", [2.0, 6.0]).collect()
+    assert all(r.psi_term == 0.0 and r.psi_total == 0.0 for r in same)
+    assert {r.le for r in same} == {2.0, 6.0, float("inf")}
+
+    b = spark.createDataFrame([(v,) for v in [9.0, 9.0, 9.0, 9.0]], "x double")
+    out = {r.le: r for r in distribution_drift(a, b, "x", [2.0, 6.0]).collect()}
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    # counts a: {2:2, 6:1, inf:1}; b: {inf:4}; k=3, na=nb=4
+    exp_total = 0
+    for ca, cb in [(2, 0), (1, 0), (1, 4)]:
+        p, q = (ca + 1) / 7.0, (cb + 1) / 7.0
+        exp_total += round(r4((p - q) * math.log(p / q)) * 10000)
+    assert out[2.0].cnt_a == 2 and out[2.0].cnt_b == 0
+    assert out[float("inf")].psi_total == r4(exp_total / 10000.0)
+    with pytest.raises(ValueError):
+        distribution_drift(a, b, "x", [])
