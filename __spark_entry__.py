@@ -332,6 +332,21 @@ def q_fetch_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly via the modified z-score (0.6745·(x−median)/MAD,
+    cutoff 3.5): median/MAD shrug off the outliers that inflate a
+    mean/stddev baseline (one earlier spike masks the next for
+    series_anomaly). Sorted-integer-array medians at fixed positions are
+    dyadic-halves — exact in any engine; same one window Exchange
+    (query.py:series_mad_anomaly)."""
+    from kadiyadb_spark.query import series_mad_anomaly
+
+    r = fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR)
+    return series_mad_anomaly(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=60
+    )
+
+
 def q_fetch_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal minute-of-day baseline over the dense week fetch: per
     series and slot-of-day, the exact mean / min / max across the seven
@@ -3907,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "fetch_seasonal_anomaly": q_fetch_seasonal_anomaly,
         "drift_psi": q_drift_psi,
+        "fetch_mad_anomaly": q_fetch_mad_anomaly,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4745,6 +4761,42 @@ SELECT f1, f2, bucket, x4 / 10000.0 AS total, slot_of_period,
        floor((CASE WHEN n >= 2 THEN mean4 / 10000.0 END) * 10000 + 0.5) / 10000 AS expected,
        zr AS zscore,
        coalesce(abs(zr) >= 3.0::DOUBLE, false) AS is_anomaly
+FROM z
+"""
+
+    # MAD anomaly: n=60 -> middle 1-based positions 30/31; every median is
+    # (a+b)/2.0 over exact operands (dyadic-halves); 0.6745 is the same
+    # repr'd literal both engines; 3.5::DOUBLE (bare 3.5 parses DECIMAL)
+    o["fetch_mad_anomaly"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+c AS (
+  SELECT f1, f2, bucket, x4,
+         list(x4) OVER (PARTITION BY f1, f2 ORDER BY bucket
+                        ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS arr
+  FROM base
+),
+e AS (SELECT f1, f2, bucket, x4, len(arr) AS nn, list_sort(arr) AS s FROM c),
+m AS (SELECT *, CAST(s[30] + s[31] AS DOUBLE) / 2.0::DOUBLE AS med FROM e),
+d AS (SELECT *,
+             list_sort(list_transform(s, v -> abs(CAST(v AS DOUBLE) - med))) AS ds
+      FROM m),
+f AS (SELECT *, (ds[30] + ds[31]) / 2.0::DOUBLE AS mad FROM d),
+z AS (
+  SELECT *,
+         CASE WHEN nn = 60 AND mad > 0
+              THEN floor((CAST('0.6745' AS DOUBLE)
+                          * (CAST(x4 AS DOUBLE) - med) / mad) * 10000 + 0.5) / 10000
+         END AS zr
+  FROM f
+)
+SELECT f1, f2, bucket, x4 / 10000.0 AS total,
+       floor((CASE WHEN nn = 60 THEN med / 10000.0 END) * 10000 + 0.5) / 10000 AS baseline_median,
+       floor((CASE WHEN nn = 60 THEN mad / 10000.0 END) * 10000 + 0.5) / 10000 AS mad,
+       zr AS rzscore,
+       coalesce(abs(zr) >= 3.5::DOUBLE, false) AS is_anomaly
 FROM z
 """
 

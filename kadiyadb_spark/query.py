@@ -1242,6 +1242,83 @@ def series_seasonal_profile(
     )
 
 
+def series_mad_anomaly(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int = 12,
+    z_thresh: float = 3.5,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """ROBUST anomaly detection via the modified z-score (Iglewicz-Hoaglin
+    0.6745·(x − median)/MAD, classic cutoff 3.5): median/MAD shrug off the
+    very outliers that inflate a mean/stddev baseline — one earlier spike
+    in the window makes series_anomaly blind to the next one (masking);
+    the breakdown point here is 50%. Baseline = the ``window_slots`` slots
+    BEFORE the current one (the series_anomaly convention); scores are
+    null until a full window exists or when MAD is zero (a >50%-flat
+    window — spread-less, like the flat case of the variance family).
+
+    Engine-default-free: the window collects exact scaled longs; the
+    median of a sorted integer array at the FIXED even/odd positions is
+    ``(a+b)/2.0`` — a dyadic-half, exactly representable; deviations
+    ``|x − med|`` over longs and dyadic-halves are exact; the MAD is
+    again a two-position pick; the only non-dyadic constant (0.6745) is
+    the same repr'd literal in both engines, and the z is ONE double
+    expression over exact operands. Positions are compile-time constants
+    because scoring requires the full window.
+
+    Scale shape: the same ONE series-keyed window Exchange as the
+    transform family; per-row state is the window array (window_slots
+    longs — 60-slot hours, not unbounded history)."""
+    if window_slots < 2:
+        raise ValueError(f"need window_slots >= 2, got {window_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-window_slots, -1)
+    )
+    n = window_slots
+    lo, hi = (n - 1) // 2 + 1, n // 2 + 1  # 1-based middle positions
+    x4 = scale4_expr(F.col(total_col))
+    base = df.select(
+        *series_cols,
+        bucket_col,
+        x4.alias("_x4"),
+        F.collect_list(x4).over(w).alias("_arr"),
+    )
+    # try_element_at, not element_at: partial windows are SHORTER than the
+    # fixed middle positions, and ANSI mode turns out-of-bounds into an
+    # error instead of null
+    s = F.array_sort(F.col("_arr"))
+    med = (F.try_element_at(s, F.lit(lo)) + F.try_element_at(s, F.lit(hi))).cast(
+        "double"
+    ) / F.lit(2.0)
+    devs = F.array_sort(
+        F.transform(s, lambda v: F.abs(v.cast("double") - med))
+    )
+    mad = (F.try_element_at(devs, F.lit(lo)) + F.try_element_at(devs, F.lit(hi))) / F.lit(2.0)
+    full = F.size("_arr") == n
+    z = F.when(
+        full & (mad > 0),
+        F.lit(0.6745) * (F.col("_x4").cast("double") - med) / mad,
+    )
+    zr = round4_expr(z)
+    return base.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_x4") / F.lit(10000.0)).alias(total_col),
+        round4_expr(F.when(full, med / F.lit(10000.0))).alias("baseline_median"),
+        round4_expr(F.when(full, mad / F.lit(10000.0))).alias("mad"),
+        zr.alias("rzscore"),
+        F.coalesce(F.abs(zr) >= F.lit(z_thresh), F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def series_seasonal_anomaly(
     df: DataFrame,
     baseline: DataFrame,

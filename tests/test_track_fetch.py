@@ -1215,3 +1215,40 @@ def test_series_seasonal_anomaly_golden(spark):
 
     with _pt.raises(ValueError, match="min_periods"):
         series_seasonal_anomaly(cur, base, ["f1"], period, min_periods=1)
+
+
+def test_series_mad_anomaly_robust_to_baseline_spike(spark):
+    """The masking scenario MAD exists for: a window of {10.. mostly flat
+    ..one 1000 spike} keeps median/MAD small, so the NEXT spike still
+    fires — while the same window's stddev baseline would swallow it.
+    Hand-computed: baseline [10]*5 + [1000], sorted medians at n=6 ->
+    positions 3/4 -> med=10, devs sorted [0,0,0,0,0,990] -> mad=0... so
+    use a gently varying floor to keep mad > 0."""
+    from kadiyadb_spark.query import series_mad_anomaly
+
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0, 1000.0, 500.0]
+    df = spark.createDataFrame(
+        [("m", i * 60, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    got = {
+        r.bucket: r
+        for r in series_mad_anomaly(df, ["f1"], window_slots=6).collect()
+    }
+    r = got[6 * 60]  # scoring 500 against the 6-slot window incl. the 1000 spike
+    # sorted baseline [10,10,10,11,11,1000]: med=(10+11)/2=10.5
+    assert r.baseline_median == 10.5
+    # devs |x-10.5| sorted [0.5,0.5,0.5,0.5,0.5,989.5]: mad=0.5
+    assert r.mad == 0.5
+    exp_z = 0.6745 * (500.0 - 10.5) / 0.5
+    import math as _m
+
+    assert r.rzscore == _m.floor(exp_z * 10000 + 0.5) / 10000
+    assert r.is_anomaly
+    # partial windows stay null / non-anomalous
+    assert got[0].rzscore is None and not got[0].is_anomaly
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_slots"):
+        series_mad_anomaly(df, ["f1"], window_slots=1)
