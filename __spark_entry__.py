@@ -1430,6 +1430,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_t(spark, sf_dir, "events"), now_ts=_RFM_NOW, ts_col="ts")
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement census: DAU, trailing-7-day active users and the
+    DAU/WAU stickiness ratio. The sliding distinct is exact WITHOUT a
+    per-day rescan: each deduped (user, active-day) contributes coverage
+    to the 7 windows it keeps the user active in, one generated integer
+    sequence + a second distinct; integer day math, one division
+    (functions/analytics.py:active_user_stats)."""
+    from kadiyadb_spark.functions.analytics import active_user_stats
+
+    return active_user_stats(_t(spark, sf_dir, "events"), ts_col="ts")
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users cohorted by first active day; per
     (cohort_day, day_offset <= 14) the users active again and the
@@ -3923,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_seasonal_anomaly": q_fetch_seasonal_anomaly,
         "drift_psi": q_drift_psi,
         "fetch_mad_anomaly": q_fetch_mad_anomaly,
+        "active_users": q_active_users,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4611,6 +4624,24 @@ SELECT CAST(stage AS BIGINT) AS stage, from_step, to_step,
        floor((quantile_cont(d, 0.5) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p50_s,
        floor((quantile_cont(d, 0.75) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p75_s
 FROM d GROUP BY stage, from_step, to_step
+"""
+
+    o["active_users"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day),
+cov AS (
+  SELECT cday AS day, CAST(count(*) AS BIGINT) AS window_active
+  FROM (SELECT DISTINCT u, unnest(range(day, day + 7)) AS cday FROM act)
+  GROUP BY cday
+)
+SELECT dau.day, dau.dau, cov.window_active,
+       floor((CAST(dau.dau AS DOUBLE) / CAST(cov.window_active AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS stickiness
+FROM dau JOIN cov USING (day)
 """
 
     o["rfm_segments"] = f"""

@@ -466,3 +466,64 @@ def rfm_segments(
             "long"
         ),
     )
+
+
+def active_user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    window_days: int = 7,
+    day_ns: int = 86_400 * 10**9,
+) -> DataFrame:
+    """Daily engagement census: per calendar day, DAU (distinct active
+    users), the trailing-window active users (WAU at ``window_days=7``,
+    MAU at 30) and the stickiness ratio DAU/WAU — the health metric every
+    product dashboard opens with. Days are integer DIV on the normalized
+    event time (timezone-free, no calendar functions).
+
+    The sliding distinct count is computed EXACTLY without a per-day
+    re-scan: each (user, active-day) pair — already deduplicated, the
+    cohort_retention shuffle — contributes coverage to the ``window_days``
+    days it keeps the user "active", via one generated integer sequence;
+    a second distinct collapses overlapping contributions from nearby
+    active days. Engine-free throughout: integer day math, integer
+    counts, ONE division for the ratio. Cost bound: coverage explodes
+    user-days x window_days rows — linear in activity, never
+    days x users; output days are restricted to days with any activity.
+
+    Output: (day, dau, window_active, stickiness), day = epoch-day index.
+    """
+    if window_days < 1:
+        raise ValueError(f"need window_days >= 1, got {window_days}")
+    from kadiyadb_spark.functions.num import round4_expr
+
+    tsn = ts_ns_expr(events.schema[ts_col].dataType, ts_col)
+    act = (
+        events.select(F.col(user_col).alias("_u"), tsn.alias("_tsn"))
+        .filter(F.col("_tsn").isNotNull())
+        .select("_u", F.expr(f"CAST(_tsn DIV {day_ns} AS LONG)").alias("_day"))
+        .distinct()
+    )
+    dau = act.groupBy("_day").agg(F.count(F.lit(1)).alias("dau"))
+    cov = (
+        act.select(
+            "_u",
+            F.explode(
+                F.sequence(F.col("_day"), F.col("_day") + F.lit(window_days - 1))
+            ).alias("_day"),
+        )
+        .distinct()
+        .groupBy("_day")
+        .agg(F.count(F.lit(1)).alias("window_active"))
+    )
+    return (
+        dau.join(cov, "_day")
+        .select(
+            F.col("_day").alias("day"),
+            "dau",
+            "window_active",
+            round4_expr(
+                F.col("dau").cast("double") / F.col("window_active").cast("double")
+            ).alias("stickiness"),
+        )
+    )

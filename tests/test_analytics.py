@@ -241,3 +241,35 @@ def test_rfm_segments_golden(spark):
 
     with pytest.raises(ValueError):
         rfm_segments(ev, now_ts=10 * D, n_bins=1)
+
+
+def test_active_user_stats_sliding_distinct(spark):
+    """Hand-computed coverage: A active days 0 and 2, B active day 2 only
+    (two events — distinct first). With a 3-day window: WAU(0)={A},
+    WAU(1)={A}, WAU(2)={A,B} (A's day-0 coverage still live), and A's two
+    active days never double-count."""
+    from kadiyadb_spark.functions.analytics import active_user_stats
+
+    D = 86400 * 10**9
+    ev = spark.createDataFrame(
+        [
+            Row(user_id="A", ts_ns=0),
+            Row(user_id="A", ts_ns=2 * D + 5),
+            Row(user_id="B", ts_ns=2 * D),
+            Row(user_id="B", ts_ns=2 * D + 99),
+        ]
+    )
+    got = {
+        r.day: r
+        for r in active_user_stats(ev, window_days=3).collect()
+    }
+    # only days WITH activity appear (0 and 2)
+    assert set(got) == {0, 2}
+    assert (got[0].dau, got[0].window_active, got[0].stickiness) == (1, 1, 1.0)
+    assert (got[2].dau, got[2].window_active) == (2, 2)
+    assert got[2].stickiness == 1.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_days"):
+        active_user_stats(ev, window_days=0)
