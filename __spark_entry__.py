@@ -1430,6 +1430,26 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_t(spark, sf_dir, "events"), now_ts=_RFM_NOW, ts_col="ts")
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 24h lookback: each purchase
+    credits the most recent strictly-earlier touch (view/click/signup),
+    stale carries void to '(none)' — if the LAST touch is outside the
+    window, every earlier one is staler, so the single carried value
+    decides. One user-keyed window (the asof-join collapsed into the
+    timeline scan); the oracle answers with a correlated argmax — two
+    algorithms, one answer (functions/analytics.py:attribution)."""
+    from kadiyadb_spark.functions.analytics import attribution
+
+    return attribution(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "signup"],
+        "purchase",
+        model="last",
+        lookback=24 * 3600 * SEC,
+        ts_col="ts",
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily engagement census: DAU, trailing-7-day active users and the
     DAU/WAU stickiness ratio. The sliding distinct is exact WITHOUT a
@@ -3936,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "fetch_mad_anomaly": q_fetch_mad_anomaly,
         "active_users": q_active_users,
+        "attribution_last_touch": q_attribution_last_touch,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4624,6 +4645,33 @@ SELECT CAST(stage AS BIGINT) AS stage, from_step, to_step,
        floor((quantile_cont(d, 0.5) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p50_s,
        floor((quantile_cont(d, 0.75) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p75_s
 FROM d GROUP BY stage, from_step, to_step
+"""
+
+    # attribution: the oracle is a CORRELATED ARGMAX (latest qualifying
+    # touch per conversion) — a different algorithm than Spark's carried
+    # window pick; equality is a real cross-check. Predecessor order is
+    # lexicographic (tsn, event_id), mirroring the rows frame.
+    o["attribution_last_touch"] = f"""
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+            FROM events WHERE ts IS NOT NULL),
+conv AS (SELECT user_id, event_id, tsn FROM ev WHERE event_type = 'purchase'),
+cred AS (
+  SELECT c.user_id, c.event_id,
+         (SELECT t.event_type FROM ev t
+          WHERE t.user_id = c.user_id
+            AND t.event_type IN ('click', 'signup', 'view')
+            AND (t.tsn < c.tsn OR (t.tsn = c.tsn AND t.event_id < c.event_id))
+            AND c.tsn - t.tsn <= {24 * 3600 * SEC}
+          ORDER BY t.tsn DESC, t.event_id DESC LIMIT 1) AS touch
+  FROM conv c
+),
+pt AS (SELECT coalesce(touch, '(none)') AS touch,
+              CAST(count(*) AS BIGINT) AS conversions
+       FROM cred GROUP BY 1),
+t AS (SELECT sum(conversions) AS total FROM pt)
+SELECT touch, conversions,
+       floor((CAST(conversions AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000 AS share
+FROM pt CROSS JOIN t
 """
 
     o["active_users"] = """

@@ -527,3 +527,94 @@ def active_user_stats(
             ).alias("stickiness"),
         )
     )
+
+
+def attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    model: str = "last",
+    lookback: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing attribution census: credit each CONVERSION event to the
+    user's ``model="last"`` (most recent strictly-earlier) or
+    ``model="first"`` (earliest) touch event — which channel gets the
+    purchase. ``lookback`` (same units as the normalized ts; last-touch
+    only) voids credit when the carried touch is older than the window:
+    if the LAST touch is stale, every earlier one is too, so the carried
+    value is exactly the right thing to test — the identity that lets
+    last-touch-with-lookback ride the same single window. First-touch
+    means first EVER (a lookback would contradict it; combining raises).
+
+    One user-keyed window over the totally-ordered timeline (ts, then
+    ``id_col`` — equal-ts determinism, the path_transitions device) with
+    a strictly-before frame (rows up to -1): the carried touch is a
+    positional ignore-nulls pick, never a join — the asof-join shape
+    collapsed into the timeline scan. The oracle cross-checks with a
+    correlated argmax subquery: two algorithms, one answer. Conversions
+    with no prior touch credit '(none)'.
+
+    Output: (touch, conversions, share), share = one long/long division
+    at 4dp."""
+    if model not in ("last", "first"):
+        raise ValueError(f"model must be 'last' or 'first', got {model!r}")
+    if not touch_types:
+        raise ValueError("attribution needs at least one touch type")
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type must not be a touch type")
+    if lookback is not None:
+        if model != "last":
+            raise ValueError("lookback applies to last-touch only")
+        if lookback <= 0:
+            raise ValueError(f"lookback must be positive, got {lookback}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    tsn = ts_ns_expr(events.schema[ts_col].dataType, ts_col)
+    tl = events.select(
+        F.col(user_col).alias("_u"),
+        tsn.alias("_tsn"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_et"),
+    ).filter(
+        F.col("_tsn").isNotNull()
+        & F.col("_et").isin(*touch_types, conversion_type)
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy(F.col("_tsn").asc(), F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("_et").isin(*touch_types),
+        F.struct(F.col("_tsn").alias("ts"), F.col("_et").alias("et")),
+    )
+    carried = (
+        F.last(touch, ignorenulls=True).over(w)
+        if model == "last"
+        else F.first(touch, ignorenulls=True).over(w)
+    )
+    conv = tl.select("_et", "_tsn", carried.alias("_t")).filter(
+        F.col("_et") == conversion_type
+    )
+    credit = F.col("_t.et")
+    if lookback is not None:
+        credit = F.when(F.col("_tsn") - F.col("_t.ts") <= lookback, credit)
+    per_touch = (
+        conv.select(F.coalesce(credit, F.lit("(none)")).alias("touch"))
+        .groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )
+    total = per_touch.agg(F.sum("conversions").alias("_total"))
+    return per_touch.crossJoin(F.broadcast(total)).select(
+        "touch",
+        "conversions",
+        round4_expr(
+            F.col("conversions").cast("double") / F.col("_total").cast("double")
+        ).alias("share"),
+    )

@@ -273,3 +273,40 @@ def test_active_user_stats_sliding_distinct(spark):
 
     with _pt.raises(ValueError, match="window_days"):
         active_user_stats(ev, window_days=0)
+
+
+def test_attribution_last_and_first_touch(spark):
+    """Last-touch: purchase credits the most recent strictly-earlier
+    touch; equal-ts touches with a LOWER event_id still count (total
+    order); stale carries void under lookback; first-touch credits the
+    earliest ever."""
+    from kadiyadb_spark.functions.analytics import attribution
+
+    rows = [
+        # user A: view@1, click@5, purchase@6 -> last=click, first=view
+        ("A", 1, 1, "view"), ("A", 5, 2, "click"), ("A", 6, 3, "purchase"),
+        # user B: click@10 then purchase@10 with HIGHER id -> credited
+        ("B", 10, 4, "click"), ("B", 10, 5, "purchase"),
+        # user C: purchase with no prior touch -> (none)
+        ("C", 7, 6, "purchase"),
+        # user D: view@0, purchase@100 -> voided by lookback=50
+        ("D", 0, 7, "view"), ("D", 100, 8, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts_ns=t, event_id=i, event_type=e) for u, t, i, e in rows]
+    )
+    last = {
+        r.touch: (r.conversions, r.share)
+        for r in attribution(ev, ["view", "click"], "purchase", lookback=50).collect()
+    }
+    assert last == {"click": (2, 0.5), "(none)": (2, 0.5)}
+    first = {
+        r.touch: r.conversions
+        for r in attribution(ev, ["view", "click"], "purchase", model="first").collect()
+    }
+    assert first == {"view": (2), "click": 1, "(none)": 1}
+
+    with pytest.raises(ValueError, match="lookback"):
+        attribution(ev, ["view"], "purchase", model="first", lookback=5)
+    with pytest.raises(ValueError, match="touch type"):
+        attribution(ev, ["purchase"], "purchase")
