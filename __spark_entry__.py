@@ -2649,6 +2649,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_rules(_t(spark, sf_dir, "documents"))
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: top-25 word pairs by pointwise mutual
+    information with a min-count floor — the phrase detector feeding
+    tokenizer vocab candidates. All counts exact integers, PMI one double
+    expression (products in DOUBLE, no long overflow at corpus scale)
+    quantized 4dp, rank on the scaled long with lexicographic ties
+    (functions/text.py:collocations)."""
+    from kadiyadb_spark.functions.text import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5, top_k=25)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM scoring (Jelinek-Mercer, lam=0.75): per-doc
     cross-entropy + perplexity under the corpus's own bigram model — the
@@ -3957,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_mad_anomaly": q_fetch_mad_anomaly,
         "active_users": q_active_users,
         "attribution_last_touch": q_attribution_last_touch,
+        "text_collocations": q_text_collocations,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -7367,6 +7380,34 @@ SELECT doc_id,
                   AND stop_hits >= 2
             THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM m
+"""
+
+    o["text_collocations"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+doc_bg AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+unic AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+tu AS (SELECT CAST(count(*) AS BIGINT) AS Tu FROM uni),
+bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM doc_bg
+        GROUP BY bg HAVING count(*) >= 5),
+tb AS (SELECT CAST(count(*) AS BIGINT) AS Tb FROM doc_bg),
+sc AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, cb,
+         CAST(round(floor((ln(CAST(cb AS DOUBLE) * CAST(Tu AS DOUBLE) * CAST(Tu AS DOUBLE)
+                              / (CAST(Tb AS DOUBLE) * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))))
+                          * 10000 + 0.5) / 10000 * 10000) AS BIGINT) AS s4i
+  FROM bgc
+  JOIN unic u1 ON split_part(bg, ' ', 1) = u1.w
+  JOIN unic u2 ON split_part(bg, ' ', 2) = u2.w
+  CROSS JOIN tu CROSS JOIN tb
+),
+r AS (SELECT w1, w2, cb, s4i,
+             CAST(row_number() OVER (ORDER BY s4i DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+      FROM sc)
+SELECT w1, w2, cb AS n_pair, s4i / 10000.0 AS pmi, rank FROM r WHERE rank <= 25
 """
 
     o["text_bigram_lm"] = f"""

@@ -1111,3 +1111,88 @@ def keyword_terms(
         )
         .filter(F.col("rank") <= top_j)
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PMI collocation mining: the corpus's top word pairs by pointwise
+    mutual information ln(p(xy) / (p(x)·p(y))) — the classic phrase
+    detector ("new york", "machine learning") that feeds tokenizer vocab
+    candidates and phrase-aware indexing. ``min_count`` suppresses the
+    low-frequency pairs PMI notoriously over-ranks; ``top_k`` bounds the
+    output.
+
+    Engine-default-free: all counts are exact integers; the PMI is ONE
+    double expression over them — (cxy·Tu·Tu)/(Tbg·cx·cy) inside a single
+    ln, products kept in DOUBLE so corpus-scale totals cannot overflow a
+    long — quantized at 4dp; the ranking orders on the scaled long with
+    (w1, w2) lexicographic ties. One bigram-count aggregation (map-side
+    combined) + a vocab-sized unigram table joined back; the final rank
+    window sees only pairs that survived ``min_count``."""
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"need top_k >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    doc_bg = toks.filter(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+            )
+        ).alias("_bg")
+    )
+    uni = toks.select(F.explode("_t").alias("_w"))
+    unic = uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
+    tot_u = uni.agg(F.count(F.lit(1)).alias("_Tu"))
+    bgc = (
+        doc_bg.groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+        .filter(F.col("_cb") >= min_count)
+    )
+    tot_b = doc_bg.agg(F.count(F.lit(1)).alias("_Tb"))
+    d = lambda c: c.cast("double")
+    scored = (
+        bgc.withColumn("_w1", F.split_part(F.col("_bg"), F.lit(" "), F.lit(1)))
+        .withColumn("_w2", F.split_part(F.col("_bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(unic.select(F.col("_w").alias("_w1"), F.col("_cw").alias("_c1"))), "_w1")
+        .join(F.broadcast(unic.select(F.col("_w").alias("_w2"), F.col("_cw").alias("_c2"))), "_w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "_w1",
+            "_w2",
+            F.col("_cb"),
+            F.round(
+                round4_expr(
+                    F.log(
+                        d(F.col("_cb")) * d(F.col("_Tu")) * d(F.col("_Tu"))
+                        / (d(F.col("_Tb")) * d(F.col("_c1")) * d(F.col("_c2")))
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("_s4i"),
+        )
+    )
+    w = Window.orderBy(F.col("_s4i").desc(), F.col("_w1").asc(), F.col("_w2").asc())
+    return (
+        scored.select(
+            F.col("_w1").alias("w1"),
+            F.col("_w2").alias("w2"),
+            F.col("_cb").alias("n_pair"),
+            (F.col("_s4i") / F.lit(10000.0)).alias("pmi"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )

@@ -1863,3 +1863,24 @@ def test_distribution_drift_psi_golden(spark):
     assert out[float("inf")].psi_total == r4(exp_total / 10000.0)
     with pytest.raises(ValueError):
         distribution_drift(a, b, "x", [])
+
+
+def test_collocations_pmi_golden(spark):
+    """'san francisco' always co-occurs (high PMI); 'the the' pairs of the
+    commonest word rank at the bottom; min_count suppresses singletons."""
+    from kadiyadb_spark.functions.text import collocations
+
+    texts = ["san francisco is the the best", "san francisco beats the the rest"]
+    out = collocations(_docs(spark, texts), min_count=2, top_k=10).collect()
+    got = {(r.w1, r.w2): r for r in out}
+    assert ("san", "francisco") in got and got[("san", "francisco")].n_pair == 2
+    # hand-compute PMI for (san, francisco): cxy=2, Tu=12, Tb=10, cx=cy=2
+    exp = math.log((2 * 12.0 * 12.0) / (10.0 * 2 * 2))
+    assert got[("san", "francisco")].pmi == math.floor(exp * 10000 + 0.5) / 10000
+    # top rank is the tightest pair; "the the" present but ranked lower
+    top = min(out, key=lambda r: r.rank)
+    assert (got[("the", "the")].pmi < got[("san", "francisco")].pmi)
+    # singleton bigrams ('is the', 'best ...') are suppressed by min_count=2
+    assert all(r.n_pair >= 2 for r in out)
+    with pytest.raises(ValueError):
+        collocations(_docs(spark, texts), top_k=0)
