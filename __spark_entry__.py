@@ -2661,6 +2661,17 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(_t(spark, sf_dir, "documents"), min_count=5, top_k=25)
 
 
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN graph: every vector's top-5 cosine neighbors within
+    its IVF bucket (N-vs-N, the building block under graph dedup and
+    hard-negative mining). Ranks order on the 4dp-ROUNDED cosine with
+    neighbor-id ties; one centroid-keyed shuffle, numpy matmul per bucket
+    (functions/similarity.py:knn_graph)."""
+    from kadiyadb_spark.functions.similarity import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=5, num_centroids=8)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM scoring (Jelinek-Mercer, lam=0.75): per-doc
     cross-entropy + perplexity under the corpus's own bigram model — the
@@ -3970,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "attribution_last_touch": q_attribution_last_touch,
         "text_collocations": q_text_collocations,
+        "sim_knn_graph": q_sim_knn_graph,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6689,6 +6701,38 @@ ranked AS (
 )
 SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
 FROM ranked WHERE rnk <= 5
+"""
+
+    # knn graph: assignment mirrors ivf_assign (argmax -> lowest centroid id
+    # on ties); ranks order on the 4dp-ROUNDED cosine with neighbor-id ties
+    # (the PQ-ranker device), so engine-ULP cosine differences cannot flip
+    # a rank
+    o["sim_knn_graph"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, v, centroid_id FROM assign_scored WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 AS r4
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, r4,
+         CAST(row_number() OVER (PARTITION BY vec_id
+             ORDER BY r4 DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, r4 AS cosine FROM ranked WHERE rank <= 5
 """
 
     o["sim_ivf_topk"] = """

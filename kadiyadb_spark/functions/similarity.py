@@ -1518,3 +1518,64 @@ def hard_negatives(
             round4_expr(F.col("_cos")).alias("cosine"),
         )
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    centroids: "str | DataFrame" = "deterministic",
+) -> DataFrame:
+    """Blocked k-NN GRAPH: every vector's top-k cosine neighbors within
+    its IVF bucket — the all-to-all building block under graph-based
+    dedup, semantic clustering and hard-negative mining, where the query
+    set IS the corpus (cosine_topk serves a small query set; this serves
+    N-vs-N). Blocking makes it approximate by construction (a cross-
+    bucket pair is never scored — embedding_near_duplicates' recall
+    trade, tuned by ``num_centroids``); within a bucket the scoring is
+    exact at memory bandwidth (one numpy matmul per Arrow group).
+
+    Determinism for the gate: ranks order on the 4dp-ROUNDED cosine with
+    neighbor-id ties (the PQ-ranker device) — raw-double ranking would
+    tie-break on engine ULPs. One shuffle keyed by centroid; per-bucket
+    state is the bucket's vectors (raise num_centroids with corpus size).
+
+    Output: (id_col, neighbor_id, rank, cosine)."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    import numpy as np
+
+    cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+
+    def bucket_knn(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"_id": [], "neighbor_id": [], "rank": [], "cosine": []})
+        ids = pdf[id_col].to_numpy()
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        s = vn @ vn.T
+        r4 = np.floor(s * 10000 + 0.5) / 10000
+        np.fill_diagonal(r4, -np.inf)
+        out_id, out_nb, out_rk, out_cos = [], [], [], []
+        kk = min(k, n - 1)
+        for i in range(n):
+            order = np.lexsort((ids, -r4[i]))[:kk]
+            out_id.extend([ids[i]] * kk)
+            out_nb.extend(ids[order])
+            out_rk.extend(range(1, kk + 1))
+            out_cos.extend(r4[i][order])
+        return pd.DataFrame(
+            {"_id": out_id, "neighbor_id": out_nb, "rank": out_rk, "cosine": out_cos}
+        )
+
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(bucket_knn, schema="_id long, neighbor_id long, rank long, cosine double")
+        .withColumnRenamed("_id", id_col)
+    )

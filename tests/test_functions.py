@@ -1884,3 +1884,39 @@ def test_collocations_pmi_golden(spark):
     assert all(r.n_pair >= 2 for r in out)
     with pytest.raises(ValueError):
         collocations(_docs(spark, texts), top_k=0)
+
+
+def test_knn_graph_golden_single_bucket(spark):
+    """One bucket -> exact kNN. 4 vectors on known directions: each row's
+    neighbors rank by rounded cosine with id ties; k caps at n-1."""
+    from kadiyadb_spark.functions.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.999, 0.01]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[1.0, 0.0]),  # exact duplicate of 0
+        ]
+    )
+    out = knn_graph(emb, k=2, num_centroids=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for v in got.values():
+        v.sort()
+    # vec 0: exact dup 3 (cos 1.0) first; near-dup 1 (0.99995 -> 0.9999 at
+    # 4dp) second — the rounded rank separates them
+    assert got[0] == [(1, 3, 1.0), (2, 1, 0.9999)]
+    # vec 3 sees the SAME rounded scores with ids 0 < 1: tie at... no tie —
+    # 0 is its exact dup (1.0), 1 rounds 0.9999
+    assert got[3] == [(1, 0, 1.0), (2, 1, 0.9999)]
+    # vec 2 is orthogonal to everything: still gets k neighbors, low cos
+    assert len(got[2]) == 2 and got[2][0][2] <= 0.01
+    # every vector has exactly min(k, n-1) = 2 neighbors
+    assert all(len(v) == 2 for v in got.values())
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        knn_graph(emb, k=0)
