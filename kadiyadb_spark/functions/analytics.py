@@ -498,11 +498,16 @@ def active_user_stats(
     from kadiyadb_spark.functions.num import round4_expr
 
     tsn = ts_ns_expr(events.schema[ts_col].dataType, ts_col)
+    from pyspark import StorageLevel
+
+    # (user, day) feeds both the DAU census and the coverage explosion —
+    # persist so the distinct shuffle runs once
     act = (
         events.select(F.col(user_col).alias("_u"), tsn.alias("_tsn"))
         .filter(F.col("_tsn").isNotNull())
         .select("_u", F.expr(f"CAST(_tsn DIV {day_ns} AS LONG)").alias("_day"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dau = act.groupBy("_day").agg(F.count(F.lit(1)).alias("dau"))
     cov = (

@@ -1005,9 +1005,14 @@ def bm25_score(
 
     from kadiyadb_spark.functions.num import round4_expr
 
+    from pyspark import StorageLevel
+
+    # the token explode feeds THREE aggregations (doc lengths, the corpus
+    # total and the query tf) — persist it or the whole tokenization chain
+    # re-executes per consumer (the minhash_near_duplicates precedent)
     toks = docs.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("_term")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_N"))
     tot = toks.agg(F.count(F.lit(1)).alias("_T"))
@@ -1079,10 +1084,16 @@ def keyword_terms(
 
     from kadiyadb_spark.functions.num import round4_expr
 
+    from pyspark import StorageLevel
+
     toks = docs.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregation and the scoring join — persist so the
+    # corpus tokenizes once
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_N"))
     idf = F.log(
@@ -1142,7 +1153,11 @@ def collocations(
 
     from kadiyadb_spark.functions.num import round4_expr
 
+    from pyspark import StorageLevel
+
     toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    # the bigram explode feeds both the pair counts and the total — persist
+    # so the corpus tokenizes once, not per consumer
     doc_bg = toks.filter(F.size("_t") >= 2).select(
         F.explode(
             F.expr(
@@ -1150,7 +1165,7 @@ def collocations(
                 " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
             )
         ).alias("_bg")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     uni = toks.select(F.explode("_t").alias("_w"))
     unic = uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
     tot_u = uni.agg(F.count(F.lit(1)).alias("_Tu"))

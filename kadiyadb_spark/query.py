@@ -1291,24 +1291,40 @@ def series_mad_anomaly(
         x4.alias("_x4"),
         F.collect_list(x4).over(w).alias("_arr"),
     )
+    # STAGED projections, one derived column per step: higher-order
+    # functions run interpreted (no whole-stage codegen, no common-subexpr
+    # elimination), so inlining ``med`` into the per-element deviation
+    # lambda re-evaluates the array sort + picks PER ELEMENT — measured
+    # 90.7 s vs 4.7 s at sf0.1 (19x). Catalyst's CollapseProject keeps the
+    # stages because the reused producers are non-cheap.
     # try_element_at, not element_at: partial windows are SHORTER than the
     # fixed middle positions, and ANSI mode turns out-of-bounds into an
-    # error instead of null
-    s = F.array_sort(F.col("_arr"))
-    med = (F.try_element_at(s, F.lit(lo)) + F.try_element_at(s, F.lit(hi))).cast(
-        "double"
-    ) / F.lit(2.0)
-    devs = F.array_sort(
-        F.transform(s, lambda v: F.abs(v.cast("double") - med))
+    # error instead of null.
+    st = base.withColumn("_s", F.array_sort(F.col("_arr")))
+    st = st.withColumn(
+        "_med",
+        (F.try_element_at("_s", F.lit(lo)) + F.try_element_at("_s", F.lit(hi))).cast(
+            "double"
+        )
+        / F.lit(2.0),
     )
-    mad = (F.try_element_at(devs, F.lit(lo)) + F.try_element_at(devs, F.lit(hi))) / F.lit(2.0)
+    st = st.withColumn(
+        "_devs",
+        F.array_sort(F.transform("_s", lambda v: F.abs(v.cast("double") - F.col("_med")))),
+    )
+    st = st.withColumn(
+        "_mad",
+        (F.try_element_at("_devs", F.lit(lo)) + F.try_element_at("_devs", F.lit(hi)))
+        / F.lit(2.0),
+    )
     full = F.size("_arr") == n
+    mad, med = F.col("_mad"), F.col("_med")
     z = F.when(
         full & (mad > 0),
         F.lit(0.6745) * (F.col("_x4").cast("double") - med) / mad,
     )
     zr = round4_expr(z)
-    return base.select(
+    return st.select(
         *series_cols,
         bucket_col,
         (F.col("_x4") / F.lit(10000.0)).alias(total_col),
