@@ -1450,6 +1450,34 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_track_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter census of a track batch: the rows the write path drops,
+    each with its reject_reason (null/unparseable event time first, then
+    the reference's forbidden ''/'*'/null field values in field order) —
+    the observability half of row rejection at 100 TB. A deterministically
+    dirtied copy of the fixture (every 17th ts nulled, every 11th
+    event_type starred, every 13th user nulled) exercises all three
+    reasons; pure map-side filter (functions: ingest.track_rejects)."""
+    from kadiyadb_spark.ingest import track_rejects
+
+    ev = _t(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("*"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    return track_rejects(dirty, ["event_type", "user_id"], ts_col="ts").select(
+        "event_id", "reject_reason"
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily engagement census: DAU, trailing-7-day active users and the
     DAU/WAU stickiness ratio. The sliding distinct is exact WITHOUT a
@@ -3982,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "text_collocations": q_text_collocations,
         "sim_knn_graph": q_sim_knn_graph,
+        "track_rejects": q_track_rejects,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4697,6 +4726,26 @@ t AS (SELECT sum(conversions) AS total FROM pt)
 SELECT touch, conversions,
        floor((CAST(conversions AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000 AS share
 FROM pt CROSS JOIN t
+"""
+
+    o["track_rejects"] = """
+WITH dirty AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE epoch_ns(ts) END AS tsn,
+         CASE WHEN event_id % 11 = 0 THEN '*' ELSE event_type END AS f1,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(user_id AS VARCHAR) END AS f2
+  FROM events
+),
+r AS (
+  SELECT event_id,
+         CASE WHEN tsn IS NULL THEN 'null_ts'
+              WHEN f1 IS NULL OR f1 IN ('', '*') THEN 'illegal_field:event_type'
+              WHEN f2 IS NULL OR f2 IN ('', '*') THEN 'illegal_field:user_id'
+         END AS reject_reason
+  FROM dirty
+)
+SELECT event_id, reject_reason FROM r WHERE reject_reason IS NOT NULL
 """
 
     o["active_users"] = """

@@ -155,3 +155,39 @@ def merge_increment(existing: DataFrame, delta: DataFrame, max_depth: int) -> Da
         .groupBy(*keys)
         .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
     )
+
+
+def track_rejects(
+    df: DataFrame,
+    fields: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DEAD-LETTER view of a track batch: exactly the rows ``track_batch``
+    would silently drop, each with a ``reject_reason`` — the observability
+    half of the row-rejection policy (at 100 TB a pipeline must SEE what
+    it lost; "skip" without a census is how a feed dies quietly). Reasons,
+    first match wins (deterministic order: the event-time check, then
+    fields in the caller's order):
+
+      - ``null_ts``           null / unparseable event time (ts_ns_expr
+                              normalizes bad ISO strings to null)
+      - ``illegal_field:<f>`` the reference's forbidden stored values
+                              (""/"*", index/node.go:200-214) or null
+
+    The complement invariant — rejects + rows track_batch aggregates =
+    the input, with no overlap — is pytest-pinned. Pure map-side filter:
+    no shuffle, streams at scan speed; write the result next to the cube
+    commit for a crash-safe quarantine feed."""
+    n = len(fields)
+    if n == 0:
+        raise ValueError("need at least one field column")
+    tsn = S.ts_ns_expr(df.schema[ts_col].dataType, ts_col)
+    reason = F.when(tsn.isNull(), F.lit("null_ts"))
+    for f in fields:
+        c = F.col(f).cast("string")
+        reason = reason.when(
+            c.isNull() | c.isin(*ILLEGAL_FIELD_VALUES), F.lit(f"illegal_field:{f}")
+        )
+    return df.withColumn("reject_reason", reason).filter(
+        F.col("reject_reason").isNotNull()
+    )

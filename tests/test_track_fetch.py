@@ -1252,3 +1252,41 @@ def test_series_mad_anomaly_robust_to_baseline_spike(spark):
 
     with _pt.raises(ValueError, match="window_slots"):
         series_mad_anomaly(df, ["f1"], window_slots=1)
+
+
+def test_track_rejects_complement_invariant(spark):
+    """rejects + rows track_batch aggregates = the input, no overlap; the
+    first matching reason wins in deterministic order (null_ts before any
+    field)."""
+    from kadiyadb_spark.ingest import track_batch, track_rejects
+
+    rows = [
+        (0, 0, "click", "u1", 1.0),       # clean
+        (1, None, "*", "u1", 1.0),        # null ts AND illegal field -> null_ts
+        (2, 5, "*", "u1", 1.0),           # illegal f1
+        (3, 5, "click", None, 1.0),       # null f2
+        (4, 5, "", "u1", 1.0),            # empty f1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, x string, y string, v double"
+    )
+    rej = {
+        r.event_id: r.reject_reason
+        for r in track_rejects(df, ["x", "y"], ts_col="ts").collect()
+    }
+    assert rej == {
+        1: "null_ts",
+        2: "illegal_field:x",
+        3: "illegal_field:y",
+        4: "illegal_field:x",
+    }
+    cube = track_batch(df, fields=["x", "y"], ts_col="ts", total_col="v",
+                       resolution=1, duration=5)
+    # only the clean row survives into the cube: depth-2 count sums to 1
+    full_depth = [r for r in cube.collect() if r.depth == 2]
+    assert sum(r.cnt for r in full_depth) == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        track_rejects(df, [], ts_col="ts")
