@@ -7,4 +7,14 @@ scale-minded (built-in functions, no row-at-a-time Python in hot paths,
 blocking/LSH instead of quadratic self-joins).
 """
 
-from kadiyadb_spark.functions import dedup, multimodal, similarity, skew, text, timeops  # noqa: F401
+from kadiyadb_spark.functions import (  # noqa: F401
+    analytics,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    sketch,
+    skew,
+    text,
+    timeops,
+)
