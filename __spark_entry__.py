@@ -3022,6 +3022,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-overlap (containment) pairs over rare-shingle profiles —
+    the doc-in-doc detector symmetric Jaccard is blind to. Inverted-index
+    blocking on the shingles themselves (the blocking join IS the
+    intersection count); max_df=10 stoplists boilerplate shingles and
+    bounds pairs per shingle (functions/dedup.py:containment_pairs)."""
+    from kadiyadb_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), max_df=10, threshold=0.5
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-BEST canonical selection over the near-dup clusters: per
     MinHash cluster, the member with the highest heuristic quality score
@@ -4011,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "sim_knn_graph": q_sim_knn_graph,
         "track_rejects": q_track_rejects,
+        "dedup_containment": q_dedup_containment,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -6502,6 +6516,33 @@ dmins AS (SELECT DISTINCT doc_id, hv FROM mins)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
 FROM dmins a JOIN dmins b ON a.hv = b.hv AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+    # containment: shingle STRINGS join directly (no hash needed); the
+    # max_df stoplist defines the profile on BOTH engines; threshold
+    # compares the FLOORED 4dp ratios (0.5 dyadic -> exact)
+    o["dedup_containment"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+e AS (
+  SELECT doc_id, unnest(list_distinct(
+           [substr(norm, i, 8) for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS sh
+  FROM d
+),
+freq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
+rare AS (SELECT e.doc_id, e.sh FROM e JOIN freq USING (sh) WHERE df <= 10),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT id_a, id_b, n_shared, sa.n AS size_a, sb.n AS size_b,
+         floor((CAST(n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE)) * 10000 + 0.5) / 10000 AS cont_a,
+         floor((CAST(n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE)) * 10000 + 0.5) / 10000 AS cont_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
+SELECT * FROM c WHERE greatest(cont_a, cont_b) >= 0.5::DOUBLE
 """
 
     # Keep-best over the same cluster graph: per cluster, the highest

@@ -253,6 +253,78 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    max_df: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC overlap (containment) pairs: |A∩B|/|A| and |A∩B|/|B|
+    over rare-shingle profiles — the doc-IN-doc detector (quotes, nested
+    mirrors, a benchmark embedded in a crawl page) that symmetric Jaccard
+    is structurally blind to: a small doc inside a huge one has near-zero
+    Jaccard, so MinHash-LSH bands under-recall exactly the pairs this op
+    exists for. Blocking is therefore an INVERTED INDEX on the shingles
+    themselves: docs sharing any rare shingle become candidates, and the
+    join that blocks also COUNTS the intersection — one pass.
+
+    ``max_df`` is the scale valve and the semantics in one knob: shingles
+    appearing in more than ``max_df`` docs are stoplisted (boilerplate
+    n-grams carry no containment signal and would go quadratic — a capped
+    shingle joins at most max_df docs, bounding pairs per shingle at
+    max_df²/2). Sizes and intersections are computed over the SAME
+    filtered profile on both engines, so the ratios are well-defined and
+    gate-exact (integer counts, one division each, round4).
+
+    Scale shape: one shingle-keyed frequency aggregation, the inverted
+    self-join (bounded by Σ df² over rare shingles), one pair groupBy.
+    Output: (id_a, id_b, n_shared, size_a, size_b, cont_a, cont_b) with
+    id_a < id_b, kept when max(cont_a, cont_b) >= threshold."""
+    if max_df < 1:
+        raise ValueError(f"need max_df >= 1, got {max_df}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark import StorageLevel
+
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("_sh"),
+    )
+    freq = e.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    rare = (
+        e.join(freq.filter(F.col("_df") <= max_df), "_sh")
+        .select("_id", "_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes AND both join sides
+    )
+    sz = rare.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        inter.join(sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("size_a")), "id_a")
+        .join(sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            round4_expr(
+                F.col("n_shared").cast("double") / F.col("size_a").cast("double")
+            ).alias("cont_a"),
+            round4_expr(
+                F.col("n_shared").cast("double") / F.col("size_b").cast("double")
+            ).alias("cont_b"),
+        )
+    )
+    return out.filter(F.greatest("cont_a", "cont_b") >= threshold)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

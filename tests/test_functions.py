@@ -1920,3 +1920,29 @@ def test_knn_graph_golden_single_bucket(spark):
 
     with _pt.raises(ValueError):
         knn_graph(emb, k=0)
+
+
+def test_containment_pairs_doc_in_doc(spark):
+    """A short doc fully inside a long one: containment of the SMALL side
+    is 1.0 while Jaccard is low — the asymmetric case the op exists for.
+    max_df stoplists a boilerplate shingle shared by everything."""
+    inner = "quick brown foxes jumping high"
+    outer = inner + " and then a very long tail of extra words follows here"
+    texts = [inner, outer, "completely different content entirely", outer]
+    out = D.containment_pairs(
+        _docs(spark, texts), max_df=3, threshold=0.9
+    ).collect()
+    got = {(r.id_a, r.id_b): r for r in out}
+    r = got[(0, 1)]
+    # every rare shingle of the inner doc appears in the outer
+    assert r.cont_a == 1.0 and r.cont_b < 0.6
+    assert r.n_shared == r.size_a
+    # the two identical outers contain each other fully
+    assert got[(1, 3)].cont_a == 1.0 and got[(1, 3)].cont_b == 1.0
+    # doc 2 shares nothing rare above threshold
+    assert all(2 not in p for p in got)
+
+    with pytest.raises(ValueError):
+        D.containment_pairs(_docs(spark, texts), max_df=0)
+    with pytest.raises(ValueError):
+        D.containment_pairs(_docs(spark, texts), threshold=0.0)
