@@ -3683,6 +3683,20 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson over lineitem's numeric columns with exact
+    DECIMAL(38,0) folds over min-recentered 4dp scaled longs (price-scale
+    squares overflow int64 in thousands of rows; engine corr() accumulates
+    doubles in partition order — the r07 flake class). One aggregation
+    pass for every pair (functions/profile.py:column_correlations)."""
+    from kadiyadb_spark.functions.profile import column_correlations
+
+    return column_correlations(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two corpus snapshots (even vs
     odd doc ids) over the n_chars ladder — the drift monitor between
@@ -4025,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": q_sim_knn_graph,
         "track_rejects": q_track_rejects,
         "dedup_containment": q_dedup_containment,
+        "profile_correlations": q_profile_correlations,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -7097,6 +7112,52 @@ r AS (SELECT doc_id, n_matched, s4i,
       FROM agg)
 SELECT doc_id, n_matched, rank, floor((s4i / 10000.0) * 10000 + 0.5) / 10000 AS score
 FROM r WHERE rank <= 20
+"""
+
+    # correlations: HUGEINT sums mirror Spark's DECIMAL(38,0) folds (both
+    # exact integers; the ->DOUBLE cast is correctly rounded in both
+    # engines), min-recentering mirrors the long subtraction
+    _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+    _corr_pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    _corr_sel = ", ".join(
+        f"CAST(round({c} * 10000) AS BIGINT) - m.m_{c} AS d_{c}" for c in _CORR_COLS
+    )
+    _corr_mins = ", ".join(
+        f"min(CAST(round({c} * 10000) AS BIGINT)) AS m_{c}" for c in _CORR_COLS
+    )
+    _corr_aggs = ", ".join(
+        f"CAST(count(*) AS BIGINT) AS n_{a}__{b}, "
+        f"sum(CAST(d_{a} AS HUGEINT)) AS sx_{a}__{b}, "
+        f"sum(CAST(d_{b} AS HUGEINT)) AS sy_{a}__{b}, "
+        f"sum(CAST(d_{a} * d_{a} AS HUGEINT)) AS sxx_{a}__{b}, "
+        f"sum(CAST(d_{b} * d_{b} AS HUGEINT)) AS syy_{a}__{b}, "
+        f"sum(CAST(d_{a} * d_{b} AS HUGEINT)) AS sxy_{a}__{b}"
+        for a, b in _corr_pairs
+    )
+    _corr_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n_{a}__{b} AS n,
+       CASE WHEN n_{a}__{b} >= 2
+             AND CAST(n_{a}__{b} AS DOUBLE) * CAST(sxx_{a}__{b} AS DOUBLE)
+                 - CAST(sx_{a}__{b} AS DOUBLE) * CAST(sx_{a}__{b} AS DOUBLE) > 0
+             AND CAST(n_{a}__{b} AS DOUBLE) * CAST(syy_{a}__{b} AS DOUBLE)
+                 - CAST(sy_{a}__{b} AS DOUBLE) * CAST(sy_{a}__{b} AS DOUBLE) > 0
+            THEN floor(((CAST(n_{a}__{b} AS DOUBLE) * CAST(sxy_{a}__{b} AS DOUBLE)
+                         - CAST(sx_{a}__{b} AS DOUBLE) * CAST(sy_{a}__{b} AS DOUBLE))
+                        / (sqrt(CAST(n_{a}__{b} AS DOUBLE) * CAST(sxx_{a}__{b} AS DOUBLE)
+                                - CAST(sx_{a}__{b} AS DOUBLE) * CAST(sx_{a}__{b} AS DOUBLE))
+                           * sqrt(CAST(n_{a}__{b} AS DOUBLE) * CAST(syy_{a}__{b} AS DOUBLE)
+                                  - CAST(sy_{a}__{b} AS DOUBLE) * CAST(sy_{a}__{b} AS DOUBLE))))
+                       * 10000 + 0.5) / 10000 END AS corr
+FROM s"""
+        for a, b in _corr_pairs
+    )
+    o["profile_correlations"] = f"""
+WITH m AS (SELECT {_corr_mins} FROM lineitem),
+b AS (SELECT {_corr_sel} FROM lineitem CROSS JOIN m),
+s AS (SELECT {_corr_aggs} FROM b)
+{_corr_rows}
 """
 
     # PSI drift: 7 buckets (6 bounds + inf), add-one smoothing keeps every

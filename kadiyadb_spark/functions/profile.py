@@ -52,3 +52,90 @@ def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> Dat
         "min_val",
         "max_val",
     )
+
+
+def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise PEARSON correlation over numeric columns — the profiling
+    census that catches redundant features and broken joins (a corr that
+    jumps between corpus versions is a schema drift alarm; pair with
+    sketch.distribution_drift per column). Nulls in either column drop
+    per pair (pairwise deletion, the SQL ``corr`` convention).
+
+    Engine-default-free where ``F.corr`` is not: every input quantizes to
+    a 4dp scaled long RE-CENTERED about the column minimum (exact long
+    subtraction; the conditioning lesson of the variance family), the
+    five pair sums (n, Sx, Sy, Sxx, Syy, Sxy) fold as DECIMAL(38,0) —
+    exact integers at any parallelism, far past int64 (price-scale d²
+    sums overflow a long in thousands of rows) — and the correlation is
+    ONE double expression over those exact operands: the decimal->double
+    cast is correctly rounded in both engines, so both see identical
+    IEEE inputs. Spark/DuckDB's own ``corr`` accumulates doubles in
+    partition order — the class the r07 gate redlined.
+
+    Scale shape: ONE aggregation pass computes every pair's sums
+    (c + 3·c(c-1)/2 decimal aggregates over one scan) after a 1-row
+    min/max broadcast; the unpivot runs on one row. Precision bound:
+    |d4| <= 1e9 over ~1e20 rows stays inside 38 digits for Sxx; past
+    that, raise the fold to decimal(38,0) chunked or drop to the
+    documented approximate ``F.corr``. Zero-variance columns yield null.
+
+    Output: (col_a, col_b, n, corr) for each unordered pair, col_a <
+    col_b by the caller's list order."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns to correlate")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"columns must be distinct, got {cols}")
+    mins = df.agg(
+        *[F.min(F.round(F.col(c).cast("double") * 10000).cast("long")).alias(f"_m_{c}") for c in cols]
+    )
+    base = df.crossJoin(F.broadcast(mins)).select(
+        *[
+            (
+                F.round(F.col(c).cast("double") * 10000).cast("long") - F.col(f"_m_{c}")
+            ).alias(f"_d_{c}")
+            for c in cols
+        ]
+    )
+    dec = "decimal(38,0)"
+    aggs = []
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    for a, b in pairs:
+        da, db = F.col(f"_d_{a}"), F.col(f"_d_{b}")
+        both = da.isNotNull() & db.isNotNull()
+        da_, db_ = F.when(both, da), F.when(both, db)
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(da_).alias(f"_n_{tag}"),
+            F.sum(da_.cast(dec)).alias(f"_sx_{tag}"),
+            F.sum(db_.cast(dec)).alias(f"_sy_{tag}"),
+            F.sum((da_ * da).cast(dec)).alias(f"_sxx_{tag}"),
+            F.sum((db_ * db).cast(dec)).alias(f"_syy_{tag}"),
+            F.sum((da_ * db).cast(dec)).alias(f"_sxy_{tag}"),
+        ]
+    wide = base.agg(*aggs)
+    from kadiyadb_spark.functions.num import round4_expr
+
+    rows = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        nd = F.col(f"_n_{tag}").cast("double")
+        sx = F.col(f"_sx_{tag}").cast("double")
+        sy = F.col(f"_sy_{tag}").cast("double")
+        sxx = F.col(f"_sxx_{tag}").cast("double")
+        syy = F.col(f"_syy_{tag}").cast("double")
+        sxy = F.col(f"_sxy_{tag}").cast("double")
+        vx = nd * sxx - sx * sx
+        vy = nd * syy - sy * sy
+        corr = F.when(
+            (F.col(f"_n_{tag}") >= 2) & (vx > 0) & (vy > 0),
+            (nd * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_n_{tag}").alias("n"),
+                round4_expr(corr).alias("corr"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

@@ -1946,3 +1946,31 @@ def test_containment_pairs_doc_in_doc(spark):
         D.containment_pairs(_docs(spark, texts), max_df=0)
     with pytest.raises(ValueError):
         D.containment_pairs(_docs(spark, texts), threshold=0.0)
+
+
+def test_column_correlations_golden(spark):
+    """Perfect positive (y = 2x), perfect negative (z = -x + 10) and a
+    null row dropped pairwise; zero-variance column yields null."""
+    from kadiyadb_spark.functions.profile import column_correlations
+
+    rows = [
+        (1.0, 2.0, 9.0, 5.0),
+        (2.0, 4.0, 8.0, 5.0),
+        (3.0, 6.0, 7.0, 5.0),
+        (4.0, None, 6.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, k double")
+    got = {
+        (r.col_a, r.col_b): (r.n, r.corr)
+        for r in column_correlations(df, ["x", "y", "z", "k"]).collect()
+    }
+    assert got[("x", "y")] == (3, 1.0)   # null row dropped for this pair only
+    assert got[("x", "z")] == (4, -1.0)
+    assert got[("x", "k")] == (4, None)  # zero variance -> null
+    assert got[("y", "z")] == (3, -1.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        column_correlations(df, ["x"])
+    with _pt.raises(ValueError):
+        column_correlations(df, ["x", "x"])
