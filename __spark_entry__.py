@@ -557,6 +557,48 @@ def q_rollup_read_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(r, ["total"])
 
 
+def q_streaming_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING dead-letter quarantine: the same deterministically
+    dirtied fixture flows through a Structured Stream into a database
+    with rejects_dir set; each micro-batch's dropped rows land under an
+    idempotent per-batch overwrite directory. The drained quarantine must
+    equal the batch track_rejects census — gated against the IDENTICAL
+    SQL (streaming/ingest.py:stream_track_raw + read_stream_rejects)."""
+    import os
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+    from kadiyadb_spark.streaming.ingest import read_stream_rejects, stream_track_raw
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_stream_rejects_")
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dirty = raw.select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(F.col("ts")).alias("ts"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("*")).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long")).otherwise(F.col("user_id")).alias("user_id"),
+        "value",
+    )
+    dirty.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    evs = _events_stream(spark, f"{tmp}/events", f"{tmp}/events")
+    q = stream_track_raw(
+        evs, db, checkpoint=f"{tmp}/ckpt", rejects_dir=f"{tmp}/rejects"
+    )
+    q.awaitTermination()
+    return read_stream_rejects(spark, f"{tmp}/rejects").select(
+        "event_id", "reject_reason"
+    )
+
+
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 streaming form, end-to-end: file-source Structured Stream ->
     foreachBatch merge-increment into a persisted epoch-partitioned cube ->
@@ -4040,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_rejects": q_track_rejects,
         "dedup_containment": q_dedup_containment,
         "profile_correlations": q_profile_correlations,
+        "streaming_rejects": q_streaming_rejects,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4776,6 +4819,10 @@ r AS (
 )
 SELECT event_id, reject_reason FROM r WHERE reject_reason IS NOT NULL
 """
+
+    # the streaming quarantine must equal the batch dead-letter census:
+    # same dirty construction, same SQL
+    o["streaming_rejects"] = o["track_rejects"]
 
     o["active_users"] = """
 WITH act AS (

@@ -43,6 +43,7 @@ def stream_track_raw(
     count_col: str | None = None,
     trigger_available_now: bool = True,
     stream_id: str = "raw",
+    rejects_dir: str | None = None,
 ) -> StreamingQuery:
     """Increment-merge every micro-batch of raw events into ``db``.
 
@@ -50,9 +51,24 @@ def stream_track_raw(
     applied-batch high-water mark beside the cube, so a batch re-run after a
     sink failure or checkpoint restart is a no-op instead of a double-count.
     ``stream_id`` names the mark; use distinct ids for distinct streams into
-    the same database."""
+    the same database.
+
+    ``rejects_dir``: optional DEAD-LETTER quarantine — each micro-batch's
+    dropped rows (ingest.track_rejects: null/unparseable event time,
+    forbidden field values) land under ``rejects_dir/batch=<id>`` with the
+    batch id stamped, OVERWRITE mode per batch directory, so a replayed
+    batch rewrites identical content instead of duplicating it (the
+    side-feed analog of the hwm idempotence; read the feed with
+    ``read_stream_rejects``). At 100 TB "skip" without a census is how a
+    feed dies quietly — this is the streaming half of that census."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        if rejects_dir is not None:
+            from kadiyadb_spark.ingest import track_rejects
+
+            track_rejects(batch, list(db.params.fields), ts_col=ts_col).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("overwrite").parquet(f"{rejects_dir}/batch={batch_id}")
         db.track_stream_batch(
             batch, batch_id, stream_id=stream_id, ts_col=ts_col, total_col=total_col, count_col=count_col
         )
@@ -596,3 +612,11 @@ def read_alerts(spark, alerts_dir: str, at_gen: int | None = None) -> DataFrame:
     if not refs:
         raise FileNotFoundError(f"no committed alert state at {alerts_dir}")
     return spark.read.parquet(*refs)
+
+
+def read_stream_rejects(spark, rejects_dir: str) -> DataFrame:
+    """Read the dead-letter quarantine ``stream_track_raw(rejects_dir=...)``
+    maintains: every rejected row across batches with its ``reject_reason``
+    and ``batch_id`` (a column, not a partition key — the per-batch
+    directories exist only for idempotent overwrite)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(rejects_dir)

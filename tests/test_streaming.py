@@ -669,3 +669,39 @@ def test_stream_alerts_state_tracks_ingest(spark, tmp_path):
     drain()
     s3 = read_alerts(spark, alerts).collect()
     assert sorted(map(str, s3)) == sorted(map(str, s2))
+
+
+def test_stream_rejects_quarantine_idempotent(spark, tmp_path):
+    """The dead-letter side feed: rejected rows land per batch; a REPLAYED
+    batch id overwrites its directory instead of duplicating (the side-feed
+    analog of the hwm idempotence)."""
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+    from kadiyadb_spark.ingest import track_rejects
+    from kadiyadb_spark.streaming.ingest import read_stream_rejects
+    from pyspark.sql import functions as F
+
+    db = Database.open(
+        spark, str(tmp_path / "db"),
+        Params(duration=10, resolution=1, retention=100, fields=("x", "y")),
+    )
+    batch = spark.createDataFrame(
+        [(0, 5, "a", "u"), (1, None, "a", "u"), (2, 6, "*", "u")],
+        "event_id long, ts long, x string, y string",
+    ).withColumn("value", F.lit(1.0))
+    rejects_dir = str(tmp_path / "rej")
+
+    def merge(b, bid):
+        track_rejects(b, ["x", "y"], ts_col="ts").withColumn(
+            "batch_id", F.lit(bid).cast("long")
+        ).write.mode("overwrite").parquet(f"{rejects_dir}/batch={bid}")
+        db.track_stream_batch(b, bid, ts_col="ts", total_col="value")
+
+    merge(batch, 0)
+    merge(batch, 0)  # replay: same batch id, overwrite not duplicate
+    merge(batch, 1)
+    out = read_stream_rejects(spark, rejects_dir).collect()
+    assert sorted((r.batch_id, r.event_id, r.reject_reason) for r in out) == [
+        (0, 1, "null_ts"), (0, 2, "illegal_field:x"),
+        (1, 1, "null_ts"), (1, 2, "illegal_field:x"),
+    ]
