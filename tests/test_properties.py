@@ -525,3 +525,95 @@ def test_p12_alerts_match_naive_scan(spark, vals4, thr4, for_slots):
                 runs.append((start, i, n, max(vals[start:i])))
             start = None
     assert got == sorted(runs)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=12), min_size=2, max_size=12
+    ),
+    max_dist=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_p13_fuzzy_length_blocking_is_lossless(spark, texts, max_dist):
+    """P13: fuzzy_near_duplicates' same+adjacent length-bucket blocking
+    finds EXACTLY the brute-force pair set {(a, b): lev(a, b) <= d} — the
+    losslessness claim (edit distance >= length delta) as a property, not
+    an example."""
+    from kadiyadb_spark.functions.dedup import fuzzy_near_duplicates
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_near_duplicates(docs, max_dist=max_dist).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = lev(texts[i], texts[j])
+            if d <= max_dist:
+                exp[(i, j)] = d
+    assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=8, max_size=40),
+        min_size=2,
+        max_size=8,
+    ),
+    max_df=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_p14_containment_matches_python_set_arithmetic(spark, texts, max_df):
+    """P14: containment_pairs equals python set arithmetic over the same
+    rare-shingle profiles (inverted-index blocking introduces and loses
+    nothing; the max_df stoplist defines the profile on both sides)."""
+    from collections import Counter
+
+    from kadiyadb_spark.functions.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.size_a, r.size_b)
+        for r in containment_pairs(
+            docs, max_df=max_df, threshold=0.0001
+        ).collect()
+    }
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def shingles(t):
+        # mirror shingles_expr exactly: sequence(1, greatest(n-7, 1)) means
+        # even an EMPTY normalized text emits one (empty) shingle
+        n = norm(t)
+        if len(n) <= 8:
+            return {n[:8]}
+        return {n[i : i + 8] for i in range(len(n) - 7)}
+
+    profs = [shingles(t) for t in texts]
+    df_ct = Counter(sh for p in profs for sh in p)
+    rare = [{sh for sh in p if df_ct[sh] <= max_df} for p in profs]
+    exp = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(rare[i] & rare[j])
+            if inter:
+                exp[(i, j)] = (inter, len(rare[i]), len(rare[j]))
+    assert got == exp
