@@ -447,3 +447,58 @@ def video_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
 
     return media.mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)
+
+
+def _ahash_kernel(payload: bytes) -> dict:
+    """Real perceptual average-hash: decode (PNG/BMP/JPEG via codecs) ->
+    integer grayscale -> 8x8 nearest-neighbor downsample -> bit k set iff
+    pixel_k * 64 > sum(pixels) (the strict-integer form of 'above the
+    mean' — no FP mean, no rounding mode). Returned as two 32-bit halves
+    so the 64-bit hash never touches the sign bit."""
+    import numpy as np
+
+    from kadiyadb_spark.functions import codecs
+
+    img = codecs.decode_image(payload)
+    # integer grayscale: floor mean of channels (uint16 sum stays exact)
+    gray = img.astype("uint32").sum(axis=2) // img.shape[2]
+    small = codecs.resize_nearest(gray[:, :, None].astype("uint8"), 8, 8)[:, :, 0]
+    flat = small.astype("int64").reshape(-1)
+    tot = int(flat.sum())
+    bits = (flat * 64 > tot).astype("int64")
+    lo = int((bits[:32] << np.arange(32, dtype="int64")).sum())
+    hi = int((bits[32:] << np.arange(32, dtype="int64")).sum())
+    return {"ahash_lo": lo, "ahash_hi": hi}
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual average-hash per image asset — the content-identity key
+    for IMAGE dedup that byte-md5 cannot be: the same pixels re-encoded
+    (PNG <-> BMP, different compressors) hash identically, and uniform
+    brightness shifts cancel (every pixel moves WITH the mean) — both
+    pytest-pinned. Group on (ahash_lo, ahash_hi) for exact perceptual
+    dup groups; near-dups via hamming distance
+    bit_count(xor(lo)) + bit_count(xor(hi)) with SimHash-style chunk
+    blocking (dedup.simhash_near_duplicates' device).
+
+    Map-only Arrow kernel over the shared skip loop (corrupt payloads
+    drop under ``on_error='skip'``, the crawl posture); emits two 32-bit
+    halves so the 64-bit hash stays sign-free in any engine."""
+    src = media.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("ahash_lo", T.LongType()),
+            T.StructField("ahash_hi", T.LongType()),
+        ]
+    )
+    return _skip_kernel(src, _ahash_kernel, schema, on_error).withColumnRenamed(
+        "asset_id", id_col
+    )

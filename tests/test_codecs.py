@@ -361,3 +361,38 @@ def test_video_frames_sampling_and_skip(spark):
     # max_frames caps the fan-out
     capped = M.video_frames(media, every_n=1, max_frames=2, on_error="skip").collect()
     assert sorted(r.frame_idx for r in capped) == [0, 1]
+
+
+def test_image_ahash_reencode_and_brightness_invariance(spark):
+    """The perceptual-dup contract: PNG and BMP encodings of the SAME
+    pixels hash identically (byte md5 cannot do this); a uniform
+    brightness shift cancels exactly (strict-integer mean form); a
+    different image diverges; corrupt payloads drop under skip."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions import codecs
+    from kadiyadb_spark.functions.multimodal import image_ahash
+
+    rng = np.arange(64 * 48 * 3, dtype=np.uint8).reshape(48, 64, 3)
+    img = (rng * 7 % 200).astype(np.uint8)          # textured, no clipping room issues
+    other = (255 - img[::-1, ::-1])                  # a genuinely different image
+    rows = [
+        Row(asset_id=0, payload=bytearray(codecs.encode_png(img))),
+        Row(asset_id=1, payload=bytearray(codecs.encode_bmp(img))),
+        Row(asset_id=2, payload=bytearray(codecs.encode_png((img + 10).astype(np.uint8)))),
+        Row(asset_id=3, payload=bytearray(codecs.encode_png(other))),
+        Row(asset_id=4, payload=bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.asset_id: (r.ahash_lo, r.ahash_hi)
+        for r in image_ahash(df, on_error="skip").collect()
+    }
+    assert 4 not in got and len(got) == 4
+    assert got[0] == got[1]          # container-independent
+    assert got[0] == got[2]          # brightness-shift invariant
+    assert got[0] != got[3]
+    h = got[0]
+    dist = bin(h[0] ^ got[3][0]).count("1") + bin(h[1] ^ got[3][1]).count("1")
+    assert dist > 8                   # far apart, not a near-tie
