@@ -332,6 +332,20 @@ def q_fetch_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences over the trailing hour: Q1/Q3, Q1-1.5*IQR /
+    Q3+1.5*IQR and the breach flag — the distribution-free outlier band.
+    Dyadic phis over integer frames make the quartiles multiples of 1/4
+    and the fences of 1/8: bit-identical in any engine
+    (query.py:series_outlier_fences)."""
+    from kadiyadb_spark.query import series_outlier_fences
+
+    r = fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR)
+    return series_outlier_fences(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], window_slots=60
+    )
+
+
 def q_fetch_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST anomaly via the modified z-score (0.6745·(x−median)/MAD,
     cutoff 3.5): median/MAD shrug off the outliers that inflate a
@@ -4083,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "profile_correlations": q_profile_correlations,
         "streaming_rejects": q_streaming_rejects,
+        "fetch_outlier_fences": q_fetch_outlier_fences,
         "cube_grouping": q_cube_grouping,
         # (3c) sweep re-gates: sources/layout/skew/streaming sums:
         "streaming_dedup": q_streaming_dedup,
@@ -4991,6 +5006,35 @@ SELECT f1, f2, bucket, x4 / 10000.0 AS total, slot_of_period,
        zr AS zscore,
        coalesce(abs(zr) >= 3.0::DOUBLE, false) AS is_anomaly
 FROM z
+"""
+
+    o["fetch_outlier_fences"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+c AS (
+  SELECT f1, f2, bucket, x4,
+         quantile_cont(x4, 0.25) OVER wf AS q1,
+         quantile_cont(x4, 0.75) OVER wf AS q3,
+         count(x4) OVER wf AS n
+  FROM base
+  WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
+                ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+),
+e AS (
+  SELECT f1, f2, bucket, x4, q1, q3,
+         CASE WHEN n = 60 THEN q1 - 1.5::DOUBLE * (q3 - q1) END AS lo,
+         CASE WHEN n = 60 THEN q3 + 1.5::DOUBLE * (q3 - q1) END AS hi
+  FROM c
+)
+SELECT f1, f2, bucket, x4 / 10000.0 AS total,
+       floor((q1 / 10000.0) * 10000 + 0.5) / 10000 AS q1,
+       floor((q3 / 10000.0) * 10000 + 0.5) / 10000 AS q3,
+       floor((lo / 10000.0) * 10000 + 0.5) / 10000 AS lo_fence,
+       floor((hi / 10000.0) * 10000 + 0.5) / 10000 AS hi_fence,
+       coalesce(CAST(x4 AS DOUBLE) < lo OR CAST(x4 AS DOUBLE) > hi, false) AS is_outlier
+FROM e
 """
 
     # MAD anomaly: n=60 -> middle 1-based positions 30/31; every median is

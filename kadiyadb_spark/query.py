@@ -1335,6 +1335,64 @@ def series_mad_anomaly(
     )
 
 
+def series_outlier_fences(
+    df: DataFrame,
+    series_cols: list[str],
+    window_slots: int = 60,
+    k: float = 1.5,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """Tukey boxplot fences over the trailing window: per slot, Q1/Q3 of
+    the last ``window_slots`` totals, the fences Q1 − k·IQR / Q3 + k·IQR,
+    and whether the CURRENT value breaches them — the box-and-whisker
+    band dashboards shade and the distribution-free outlier flag that
+    needs no normality assumption (the z-score detectors' blind spot on
+    skewed latencies). Slots without a full window yield null fences and
+    a false flag.
+
+    Every term is EXACT: totals scale to longs; the type-7 quartiles at
+    dyadic phis over an integer frame are multiples of 1/4; IQR is their
+    difference; the default k=1.5 (dyadic) makes the fences multiples of
+    1/8 — bit-identical doubles in any engine, every comparison exact.
+    Same ONE series-keyed window Exchange as the transform family."""
+    if window_slots < 1:
+        raise ValueError(f"need window_slots >= 1, got {window_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-window_slots, -1)
+    )
+    x4 = scale4_expr(F.col(total_col))
+    base = df.select(
+        *series_cols,
+        bucket_col,
+        x4.alias("_x4"),
+        F.percentile(x4, F.lit(0.25)).over(w).alias("_q1"),
+        F.percentile(x4, F.lit(0.75)).over(w).alias("_q3"),
+        F.count(x4).over(w).alias("_n"),
+    )
+    full = F.col("_n") == window_slots
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.when(full, F.col("_q1") - F.lit(k) * iqr)
+    hi = F.when(full, F.col("_q3") + F.lit(k) * iqr)
+    xd = F.col("_x4").cast("double")
+    return base.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_x4") / F.lit(10000.0)).alias(total_col),
+        round4_expr(F.col("_q1") / F.lit(10000.0)).alias("q1"),
+        round4_expr(F.col("_q3") / F.lit(10000.0)).alias("q3"),
+        round4_expr(lo / F.lit(10000.0)).alias("lo_fence"),
+        round4_expr(hi / F.lit(10000.0)).alias("hi_fence"),
+        F.coalesce((xd < lo) | (xd > hi), F.lit(False)).alias("is_outlier"),
+    )
+
+
 def series_seasonal_anomaly(
     df: DataFrame,
     baseline: DataFrame,

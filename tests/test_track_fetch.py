@@ -1290,3 +1290,33 @@ def test_track_rejects_complement_invariant(spark):
 
     with _pt.raises(ValueError):
         track_rejects(df, [], ts_col="ts")
+
+
+def test_series_outlier_fences_golden(spark):
+    """4-slot baseline [10,12,14,16]: type-7 Q1=11.5, Q3=14.5, IQR=3 ->
+    fences 7.0 / 19.0; a 20 breaches, a 15 does not; partial windows stay
+    null/false."""
+    from kadiyadb_spark.query import series_outlier_fences
+
+    vals = [10.0, 12.0, 14.0, 16.0, 20.0, 15.0]
+    df = spark.createDataFrame(
+        [("m", i * 60, v) for i, v in enumerate(vals)],
+        "f1 string, bucket long, total double",
+    )
+    got = {
+        r.bucket: r
+        for r in series_outlier_fences(df, ["f1"], window_slots=4).collect()
+    }
+    r4 = got[4 * 60]  # scoring 20 against [10,12,14,16]
+    assert (r4.q1, r4.q3, r4.lo_fence, r4.hi_fence) == (11.5, 14.5, 7.0, 19.0)
+    assert r4.is_outlier
+    r5 = got[5 * 60]  # scoring 15 against [12,14,16,20]: Q1=13.5 Q3=17 iqr=3.5
+    assert (r5.q1, r5.q3) == (13.5, 17.0)
+    assert (r5.lo_fence, r5.hi_fence) == (8.25, 22.25)
+    assert not r5.is_outlier
+    assert got[0].lo_fence is None and not got[0].is_outlier
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_slots"):
+        series_outlier_fences(df, ["f1"], window_slots=0)
