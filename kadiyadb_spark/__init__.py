@@ -55,6 +55,10 @@ from kadiyadb_spark.query import (
     series_share,
     series_remap,
     series_burn_rate,
+    series_last_over_time,
+    series_seasonal_anomaly,
+    series_mad_anomaly,
+    series_outlier_fences,
 )
 from kadiyadb_spark.session import get_spark, spread
 
@@ -94,6 +98,10 @@ __all__ = [
     "series_share",
     "series_remap",
     "series_burn_rate",
+    "series_last_over_time",
+    "series_seasonal_anomaly",
+    "series_mad_anomaly",
+    "series_outlier_fences",
     "get_spark",
     "spread",
 ]

@@ -190,6 +190,38 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
 
     p = sub.add_parser(
+        "drift",
+        help="PSI distribution drift of a numeric column between two "
+        "parquet snapshots over a bucket ladder",
+    )
+    p.add_argument("--a", required=True, help="baseline parquet path")
+    p.add_argument("--b", required=True, help="candidate parquet path")
+    p.add_argument("--col", required=True)
+    p.add_argument("--bounds", required=True, help="comma-separated ascending bounds")
+
+    p = sub.add_parser(
+        "containment",
+        help="asymmetric doc-in-doc overlap pairs over rare-shingle profiles",
+    )
+    p.add_argument("--docs", required=True, help="parquet path")
+    p.add_argument("--max-df", type=int, default=10)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--limit", type=int, default=1000)
+
+    p = sub.add_parser(
+        "knn",
+        help="blocked k-NN graph over an embedding parquet (IVF buckets)",
+    )
+    p.add_argument("--emb", required=True, help="parquet path")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--centroids", type=int, default=8)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--limit", type=int, default=1000)
+
+    p = sub.add_parser(
         "paths",
         help="next-hop transition census (Sankey/Markov view) over a "
         "parquet events table",
@@ -350,6 +382,41 @@ def main(argv: list[str] | None = None) -> int:
             max_offset=args.max_offset,
         )
         for row in r.orderBy("cohort_day", "day_offset").collect():
+            _emit(row.asDict())
+    elif args.cmd == "drift":
+        from kadiyadb_spark.functions.sketch import distribution_drift
+
+        r = distribution_drift(
+            spark.read.parquet(args.a),
+            spark.read.parquet(args.b),
+            args.col,
+            [float(x) for x in args.bounds.split(",") if x],
+        )
+        for row in r.orderBy("le").collect():
+            _emit(row.asDict())
+    elif args.cmd == "containment":
+        from kadiyadb_spark.functions.dedup import containment_pairs
+
+        r = containment_pairs(
+            spark.read.parquet(args.docs),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            max_df=args.max_df,
+            threshold=args.threshold,
+        )
+        for row in r.orderBy("id_a", "id_b").limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "knn":
+        from kadiyadb_spark.functions.similarity import knn_graph
+
+        r = knn_graph(
+            spark.read.parquet(args.emb),
+            k=args.k,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            num_centroids=args.centroids,
+        )
+        for row in r.orderBy(args.id_col, "rank").limit(args.limit).collect():
             _emit(row.asDict())
     elif args.cmd == "rfm":
         from kadiyadb_spark.functions.analytics import rfm_segments

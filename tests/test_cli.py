@@ -200,3 +200,34 @@ def test_cli_rfm_keywords_bm25(spark, tmp_path, capsys):
     assert main(["bm25", "--docs", docs, "--query", "rare shared", "--k", "1"]) == 0
     rows = _out(capsys)
     assert len(rows) == 1 and rows[0]["doc_id"] == 0 and rows[0]["rank"] == 1
+
+
+def test_cli_drift_containment_knn(spark, tmp_path, capsys):
+    """The tail-r08 commands: drift between two snapshots, containment over
+    a corpus, knn over embeddings."""
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1.0,), (5.0,)], "x double").write.parquet(a)
+    spark.createDataFrame([(9.0,), (9.0,)], "x double").write.parquet(b)
+    assert main(["drift", "--a", a, "--b", b, "--col", "x",
+                 "--bounds", "2.0,6.0"]) == 0
+    rows = _out(capsys)
+    assert len(rows) == 3 and all("psi_total" in r for r in rows)
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma delta"),
+         Row(doc_id=1, text="alpha beta gamma delta epsilon zeta")],
+    ).write.parquet(docs)
+    assert main(["containment", "--docs", docs, "--max-df", "5",
+                 "--threshold", "0.9"]) == 0
+    rows = _out(capsys)
+    assert rows and rows[0]["cont_a"] == 1.0
+
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3), 1.0]) for i in range(6)]
+    ).write.parquet(emb)
+    assert main(["knn", "--emb", emb, "--k", "2", "--centroids", "1"]) == 0
+    rows = _out(capsys)
+    assert len(rows) == 12 and all(r["rank"] in (1, 2) for r in rows)
