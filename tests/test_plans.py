@@ -651,3 +651,44 @@ def test_fuzzy_near_duplicates_equi_joins_only(spark):
     # the levenshtein verify must carry its threshold (banded DP, not the
     # full n^2 distance) — renders as levenshtein(a, b, Some(3))
     assert "levenshtein" in plan and "Some(3)" in plan
+
+
+def test_attribution_single_corpus_exchange(spark):
+    """attribution's wide data crosses exactly one Exchange (the user-keyed
+    timeline window); the census + total are tiny broadcast/scalar joins —
+    never a corpus-sized sort-merge."""
+    from kadiyadb_spark.functions.analytics import attribution
+
+    ev = spark.createDataFrame(
+        [Row(user_id=f"u{i % 5}", ts_ns=i, event_id=i,
+             event_type=("view", "purchase")[i % 3 == 0]) for i in range(40)]
+    )
+    plan = plan_str(attribution(ev, ["view"], "purchase", lookback=100))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_containment_inverted_join_is_equi(spark):
+    """containment_pairs' inverted-index self-join must stay an equi-join
+    on the shingle — a theta/cartesian plan means the blocking
+    degenerated."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some shared text body number {i % 3}") for i in range(12)]
+    )
+    plan = plan_str(D.containment_pairs(docs, max_df=5, threshold=0.1))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_anomaly_profile_join_no_cartesian(spark):
+    """series_seasonal_anomaly: the profile joins the current frame on
+    (series, slot_of_period) — an equi-join, with the baseline groupBy the
+    only aggregation over baseline volume."""
+    from kadiyadb_spark.query import series_seasonal_anomaly
+
+    mk = lambda n0, n1: spark.createDataFrame(
+        [("m", i * 60, float(i % 7)) for i in range(n0, n1)],
+        "f1 string, bucket long, total double",
+    )
+    plan = plan_str(
+        series_seasonal_anomaly(mk(12, 18), mk(0, 12), ["f1"], period_slots=6)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
