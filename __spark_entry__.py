@@ -3969,100 +3969,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the safety net for whatever the cap skips (log kept in ORACLE_LOCAL.md).
     # Rotation history: r02 relational/core; r03 text/dedup/sim/multimodal;
     # r04 the relational entries r03 skipped; r05 the 31 entries r04 skipped
-    # plus new operators (r04 union r05 covered 100/105); r06 the 5
-    # never-gated entries + the full r04-gated block; r07 the r05-deferred
-    # map-only entries + the rewritten-average class + every never-gated r06
-    # entry + the nine new r07 entries (45 green, 2 rows-only, 3 hash-red).
-    # r08 (this one) leads with the three r07 hash-reds — now rewritten to
-    # engine-default-free arithmetic (exact integer-scaled sums, epoch-us
-    # date subtraction, explicit cast rounding) — then the three deferred
-    # map-only entries, then the FIFTEEN new r08 entries (new entries go
-    # inside the cap), then as many exactness-sweep rewrites as fit (both
-    # Spark code and oracle changed, so each re-proves at the driver).
-    # Displaced by the late-round additions (final shape), proven by
-    # in-cap proxies of the identical rewrite class: fetch_topk_series +
-    # fetch_smooth + fetch_sum_by (exact_sum4 fold — same shape as
-    # in-cap fetch_downsample), fetch_ratio + fetch_ratio_wildcard
-    # (scaled-long one-division ratio — same shape as in-cap q8/q14 AND
-    # the in-cap fetch_binop, which exercises the identical pivot),
-    # skew_salted_agg + skew_salted_join (pre-scaled-long salted folds;
-    # two-phase layout unchanged since its green r06 gate),
-    # cube_grouping + streaming_dedup + orc_source_agg + bucketed_join
-    # (re-verified green locally at driver parallelism THIS round before
-    # displacement), json/csv_source_agg, zorder_layout, date_extract,
-    # rollup_revenue (plain exact_sum4 group aggs, many in-cap
-    # siblings). All lead the r09 gate; every displaced entry has a
-    # green local driver-replica row this round (ORACLE_LOCAL.md).
+    # plus new operators; r06 the 5 never-gated + the r04-gated block; r07
+    # the r05-deferred map-only + rewritten-average class + never-gated r06
+    # + nine new (45 green, 2 rows-only, 3 hash-red); r08 the three r07
+    # reds + new entries + the exactness-sweep re-gates (47 green, the SAME
+    # three red — judge-root-caused to HUGEINT oracle outputs, not the
+    # arithmetic). r09 (this one): the three CAST-fixed reds lead, then the
+    # THIRTY-FIVE entries that have never seen a driver row (the whole r08
+    # post-cap backlog, incl. pack_ids whose HUGEINT oracle was fixed
+    # pre-gate), then fetch_anomaly (late-r08 rewrite re-proof), the five
+    # displaced sweep re-gates, and six r05-aged entries to fill 50. This
+    # restores the every-entry-within-two-rounds rule; membership is
+    # asserted by tests/test_entry_rotation.py against this plan.
     return {
-        # -- r08 gate (first 50) --
-        # (1) the three r07 driver-gate hash-reds, rewritten this round to
-        #     engine-default-free arithmetic (lead the gate per VERDICT r07):
+        # -- r09 gate (first 50) --
+        # (1) the three r08 driver-gate hash-reds, root-caused by the r08
+        #     judge to HUGEINT oracle outputs (DuckDB sum(int) -> int128;
+        #     the driver hash canonicalizes it differently from Spark's
+        #     BIGINT) and fixed this round with CAST(... AS BIGINT); the
+        #     class is now locally visible via check_oracle.py's
+        #     DESCRIBE-fail (all 199 oracle schemas scanned clean):
         "q12_shipmode": q12_shipmode,
         "q20_potential_promotion": q20_potential_promotion,
         "fetch_downsample": q_fetch_downsample,
-        # (2) the three r05-gated map-only entries deferred from r07
-        #     (SURVEY §14 gate note):
-        "topk_users": q_topk_users,
-        "text_token_stats": q_text_token_stats,
-        "text_language_id": q_text_language_id,
-        # (2b) NEW in r08 (new entries go inside the cap per rotation rule):
-        "multimodal_jpeg_real": q_multimodal_jpeg_real,
-        "bpe_gpt2_pretok": q_bpe_gpt2_pretok,
-        "multimodal_decode_stats": q_multimodal_decode_stats,
-        "fetch_increase": q_fetch_increase,
-        "histogram_quantile": q_histogram_quantile,
-        "multimodal_avi_real": q_multimodal_avi_real,
-        "fetch_routed": q_fetch_routed,
-        "heavy_hitters": q_heavy_hitters,
-        "fetch_predict_linear": q_fetch_predict_linear,
-        "fetch_resets": q_fetch_resets,
-        "fetch_gaps": q_fetch_gaps,
-        "fetch_holt_winters": q_fetch_holt_winters,
-        "fetch_quantile_window": q_fetch_quantile_window,
-        "funnel_counts": q_funnel,
-        "funnel_windowed": q_funnel_windowed,
-        "cohort_retention": q_cohort_retention,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "fetch_seasonal": q_fetch_seasonal,
-        "fetch_binop": q_fetch_binop,
-        "text_bigram_lm": q_text_bigram_lm,
-        "pack_nosplit": q_pack_nosplit,
-        "histogram_rollup_merge": q_histogram_rollup_merge,
-        # (3) the exact-sum/epoch-date sweep: every entry whose Spark code
-        #     AND oracle were rewritten this round must re-prove green at the
-        #     driver (integer-scaled sums/ratios, epoch-us date arithmetic):
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q4_order_priority": q4_order_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_selective_scan": q6_selective_scan,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q19_disjunctive": q19_disjunctive,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_waiting_customers": q22_waiting_customers,
-        # (3b) sweep re-gates: SQL-surface entries:
-        "correlated_subquery": q_correlated_subquery,
-        "exists_subquery": q_exists_subquery,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        "topk_per_group": q_topk_per_group,
-        "window_daily_running": q_window_daily_running,
-        "window_frames": q_window_frames,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        # -- end of the 50-entry r08 cap. The THIRTEEN entries below were
-        # added after the cap froze; they deviate from the new-entries-in-cap
-        # rule DELIBERATELY: the in-cap tail above is sweep re-gates (both
-        # sides rewritten this round — the exact class that redlined r07),
-        # which displacing would un-prove. Every one is gate-green locally
-        # at driver parallelism (ORACLE_LOCAL.md, per-tranche rows) and the
-        # thirteen lead the r09 gate in this order. fetch_anomaly also
-        # re-proves at r09 (both sides rewritten late-r08 to exact-operand
-        # windowed variance; gated green locally after the rewrite).
+        # (2) the THIRTY-FIVE never-driver-gated entries (SURVEY §15.5
+        #     rotation: every entry gets a driver row within two rounds).
+        #     pack_ids is in here — its oracle also carried two HUGEINT
+        #     columns (chunk_id/pos_in_chunk from a window sum) and was
+        #     CAST-fixed this round before its first gate:
         "fetch_agg_by": q_fetch_agg_by,
         "fetch_topk_instant": q_fetch_topk_instant,
         "fetch_count_values": q_fetch_count_values,
@@ -4098,44 +4032,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_correlations": q_profile_correlations,
         "streaming_rejects": q_streaming_rejects,
         "fetch_outlier_fences": q_fetch_outlier_fences,
-        "cube_grouping": q_cube_grouping,
-        # (3c) sweep re-gates: sources/layout/skew/streaming sums:
-        "streaming_dedup": q_streaming_dedup,
-        "orc_source_agg": q_orc_source_agg,
-        "bucketed_join": q_bucketed_join,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        # (3d) sweep re-gates: the fetch family whose series operators
-        #     (sum_by/topk/ratio/smooth/downsample) now fold scaled longs:
-        "fetch_sum_by": q_fetch_sum_by,
-        "fetch_topk_series": q_fetch_topk_series,
-        "fetch_ratio": q_fetch_ratio,
-        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
-        "fetch_smooth": q_fetch_smooth,
-        # ---- 50-entry gate cap lands here (fetch_smooth closes it):
-        # 3 reds + 3 deferred + 11 NEW r08 entries + 33 sweep re-gates.
-        # json/csv_source_agg, zorder_layout, date_extract and
-        # rollup_revenue are the displaced sweep re-gates, each proven by
-        # proxy: the source aggs share the IDENTICAL oracle text/code path
-        # with the gated orc_source_agg; the others rewrote to the same
-        # exact_sum4 shape the gated event/order/grouping-set aggregations
-        # prove. All five plus the r05-gated never-since entries below are
-        # covered by this round's all-entry local run and lead the r09
-        # rotation ---
+        # (3) fetch_anomaly re-proves: both sides rewritten late-r08 to
+        #     exact-operand windowed variance, never driver-gated since:
+        "fetch_anomaly": q_fetch_anomaly,
+        # (4) the five sweep re-gates displaced by the r08 cap reshuffle:
         "json_source_agg": q_json_source_agg,
         "csv_source_agg": q_csv_source_agg,
         "zorder_layout": q_zorder_layout,
         "date_extract": q_date_extract,
         "rollup_revenue": q_rollup_revenue,
+        # (5) oldest driver rows (r05), filling the cap to 50:
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # Displaced r07-gated entries (green last round, unchanged since) and
-        # the rest, covered by this round's all-entry local oracle run at
-        # driver parallelism (ORACLE_LOCAL.md):
+        # -- end of the 50-entry r09 cap (text_fingerprint closes it).
+        # Everything below is driver-green in r04-r08 rows and re-checked
+        # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
+        # NEW entries added this round go INSIDE the cap, displacing the
+        # (5) block tail first (those six have r05 driver greens).
+        "topk_users": q_topk_users,
+        "text_token_stats": q_text_token_stats,
+        "text_language_id": q_text_language_id,
+        "multimodal_jpeg_real": q_multimodal_jpeg_real,
+        "bpe_gpt2_pretok": q_bpe_gpt2_pretok,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
+        "fetch_increase": q_fetch_increase,
+        "histogram_quantile": q_histogram_quantile,
+        "multimodal_avi_real": q_multimodal_avi_real,
+        "fetch_routed": q_fetch_routed,
+        "heavy_hitters": q_heavy_hitters,
+        "fetch_predict_linear": q_fetch_predict_linear,
+        "fetch_resets": q_fetch_resets,
+        "fetch_gaps": q_fetch_gaps,
+        "fetch_holt_winters": q_fetch_holt_winters,
+        "fetch_quantile_window": q_fetch_quantile_window,
+        "funnel_counts": q_funnel,
+        "funnel_windowed": q_funnel_windowed,
+        "cohort_retention": q_cohort_retention,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "fetch_seasonal": q_fetch_seasonal,
+        "fetch_binop": q_fetch_binop,
+        "text_bigram_lm": q_text_bigram_lm,
+        "pack_nosplit": q_pack_nosplit,
+        "histogram_rollup_merge": q_histogram_rollup_merge,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_selective_scan": q6_selective_scan,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q19_disjunctive": q19_disjunctive,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_waiting_customers": q22_waiting_customers,
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "topk_per_group": q_topk_per_group,
+        "window_daily_running": q_window_daily_running,
+        "window_frames": q_window_frames,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "cube_grouping": q_cube_grouping,
+        "streaming_dedup": q_streaming_dedup,
+        "orc_source_agg": q_orc_source_agg,
+        "bucketed_join": q_bucketed_join,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "fetch_sum_by": q_fetch_sum_by,
+        "fetch_topk_series": q_fetch_topk_series,
+        "fetch_ratio": q_fetch_ratio,
+        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
+        "fetch_smooth": q_fetch_smooth,
         "string_funcs": q_string_funcs,
         "set_ops": q_set_ops,
         "array_collect": q_array_collect,
@@ -4157,7 +4132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q16_supplier_relation": q16_supplier_relation,
         "streaming_join": q_streaming_join,
-        "fetch_anomaly": q_fetch_anomaly,
         "rollup_cascade": q_rollup_cascade,
         "multimodal_png_real": q_multimodal_png_real,
         "multimodal_wav_real": q_multimodal_wav_real,
@@ -5225,7 +5199,7 @@ SELECT f1, f2, bucket - bucket % {10 * RES} AS bucket,
        floor((sum(CAST(round((cnt) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS cnt,
        floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
        floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
-       sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_observed
+       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_observed
 FROM base
 GROUP BY f1, f2, 3
 """
@@ -5785,8 +5759,8 @@ SELECT CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) - CAST(epoch_us(o_orderdat
             WHEN CAST(epoch_us(l_shipdate) AS BIGINT) - CAST(epoch_us(o_orderdate) AS BIGINT)
                  > 30 * 86400000000 THEN 'MEDIUM'
             ELSE 'FAST' END AS ship_class,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
@@ -5803,7 +5777,7 @@ GROUP BY p_brand, p_type, p_size
 
     o["q20_potential_promotion"] = """
 WITH per AS (
-  SELECT l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+  SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_name LIKE 'small %'
     AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -7521,7 +7495,8 @@ placed AS (
          (o.end_off - o.n + e.pos) AS g, t.shard_total
   FROM enc e JOIN offs o USING (doc_id) JOIN tot t ON o.shard = t.shard
 )
-SELECT shard, g // 128 AS chunk_id, g % 128 AS pos_in_chunk, doc_id, token_id
+SELECT shard, CAST(g // 128 AS BIGINT) AS chunk_id,
+       CAST(g % 128 AS BIGINT) AS pos_in_chunk, doc_id, token_id
 FROM placed WHERE (g // 128 + 1) * 128 <= shard_total
 """
 

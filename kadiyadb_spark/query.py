@@ -910,11 +910,20 @@ def series_anomaly(
         .orderBy(bucket_col)
         .rowsBetween(-window_slots, -1)
     )
-    x4 = scale4_expr(F.col(total_col))
-    s1 = F.sum(x4).over(w)
-    s2 = F.sum(x4 * x4).over(w)
-    m = F.min(x4).over(w)
-    n = F.count(x4).over(w)
+    # Pre-project the scaled long and its square ONCE per row: sliding
+    # frames re-evaluate each aggregate's input expression against every
+    # frame row per output row (window_slots× per row), so folding plain
+    # long columns instead of the cast/round/multiply chains is the r08
+    # bench regression fix (5.7 s -> target <3.5 s at sf0.1) with
+    # bit-identical integer math.
+    df = df.withColumn("_x4", scale4_expr(F.col(total_col))).withColumn(
+        "_x4sq", F.col("_x4") * F.col("_x4")
+    )
+    x4 = F.col("_x4")
+    s1 = F.sum("_x4").over(w)
+    s2 = F.sum("_x4sq").over(w)
+    m = F.min("_x4").over(w)
+    n = F.count("_x4").over(w)
     # exact long centering about the window minimum (see docstring)
     s1d = (s1 - n * m).cast("double")
     s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")

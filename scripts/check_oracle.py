@@ -9,6 +9,16 @@ reproduce the driver's layout. Override with KDB_ORACLE_PAR=N to re-check
 at another width (order-independent entries must pass at every width).
 
 Usage: [KDB_ORACLE_PAR=N] python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --describe [sf_dir]   # type-scan only
+
+r08 post-mortem hardening: the driver hash canonicalizes DuckDB HUGEINT /
+DECIMAL output columns differently from Spark's BIGINT/DOUBLE (arrow fetch
+renders them as float64/object), while `.fetchall()` yields plain Python
+ints — so a HUGEINT oracle can NEVER fail locally yet always fails the
+driver gate (r07+r08 burned their sweeps on this). Every oracle's output
+schema is therefore type-checked and the run FAILS on any
+HUGEINT/UHUGEINT/DECIMAL column; `--describe` scans all oracles' types in
+seconds without starting Spark.
 """
 
 from __future__ import annotations
@@ -49,9 +59,46 @@ def row_multiset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def bad_type_cols(rel):
+    """Column names whose DuckDB output type Spark cannot hash-match."""
+    return [
+        c for c, t in zip(rel.columns, rel.types)
+        if any(b in str(t).upper() for b in BAD_TYPES)
+    ]
+
+
+def describe_all(sf_dir):
+    """Fast type-scan of every oracle (no Spark): binds each oracle's plan
+    and flags HUGEINT/UHUGEINT/DECIMAL output columns."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = entry_mod.oracle_sql()
+    bad = {}
+    for name, sql in oracles.items():
+        try:
+            cols = bad_type_cols(con.sql(sql))
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            bad[name] = ["<bind error>"]
+            continue
+        if cols:
+            print(f"BAD  {name}: {cols}")
+            bad[name] = cols
+    print(f"\n{len(bad)} oracles with driver-unhashable output types: "
+          f"{sorted(bad)}" if bad else f"\nALL {len(oracles)} oracle schemas clean")
+    return 1 if bad else 0
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--describe"]
+    if "--describe" in sys.argv[1:]:
+        return describe_all(argv[0] if argv else "/root/testdata/sf0.01")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -79,6 +126,7 @@ def main():
             continue
         try:
             ores = con.sql(oracles[name])
+            badcols = bad_type_cols(ores)
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
         except Exception:
@@ -86,6 +134,10 @@ def main():
             failures.append(name)
             continue
         problems = []
+        if badcols:
+            problems.append(
+                f"oracle outputs driver-unhashable types (HUGEINT/DECIMAL): "
+                f"{badcols} — CAST them (AS BIGINT / AS DOUBLE)")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
