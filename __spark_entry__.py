@@ -4219,12 +4219,12 @@ _EV_CUBE = f"""
   ),
   cube2 AS (
     SELECT (bucket // {DUR}) * {DUR} AS epoch, bucket, f1, f2,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3, 4
   ),
   cube1 AS (
     SELECT (bucket // {DUR}) * {DUR} AS epoch, bucket, f1,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3
   )
 """
@@ -4322,12 +4322,12 @@ WITH ev AS (
 ),
 cube2 AS (
     SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1, f2,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3, 4
 ),
 cube1 AS (
     SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3
 )
 SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
@@ -4350,12 +4350,12 @@ ev AS (
 ),
 cube2 AS (
     SELECT (bucket // {day_ns0}) * {day_ns0} AS epoch, bucket, f1, f2,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3, 4
 ),
 cube1 AS (
     SELECT (bucket // {day_ns0}) * {day_ns0} AS epoch, bucket, f1,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3
 )"""
     o["streaming_ingest"] = f"""
@@ -4453,12 +4453,12 @@ WITH ev AS (
 ),
 cube2 AS (
     SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1, f2,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3, 4
 ),
 cube1 AS (
     SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3
 )
 SELECT * FROM (
@@ -4481,12 +4481,12 @@ WITH ev AS (
 ),
 cube2 AS (
     SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1, f2,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3, 4
 ),
 cube1 AS (
     SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1,
-           sum(value) AS total, CAST(count(*) AS DOUBLE) AS cnt
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
     FROM ev GROUP BY 1, 2, 3
 )
 SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
@@ -5114,7 +5114,7 @@ WITH ev10 AS (
   WHERE event_type = 'click'
 )
 SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS total,
+       floor(((CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0)) * 10000 + 0.5) / 10000 AS total,
        CAST(count(*) AS DOUBLE) AS cnt
 FROM ev10
 WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
@@ -5131,7 +5131,7 @@ WITH ev10 AS (
   WHERE event_type = 'click'
 )
 SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS total,
+       floor(((CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0)) * 10000 + 0.5) / 10000 AS total,
        CAST(count(*) AS DOUBLE) AS cnt,
        CAST({10 * RES} AS BIGINT) AS res_ns
 FROM ev10

