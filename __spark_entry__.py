@@ -2896,10 +2896,28 @@ def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual distribution — finer reconstruction at the same m x ksub
     budget. Numpy-k-means training makes this non-SQL-expressible, so there
     is deliberately no oracle_sql twin (rows-only driver check); the recall
-    improvement over raw coding is pinned by tests/test_ivf_recall.py."""
+    improvement over raw coding is pinned by tests/test_ivf_recall.py.
+    The det-codebook twin ``sim_ivfpq_residual_det`` carries the full
+    value-hash oracle for the residual ADC math."""
     base, queries = _queries_vs_base(spark, sf_dir)
     return SIM.ivfpq_topk(
-        base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8, residual=True
+        base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8, residual=True,
+        codebooks="kmeans",
+    )
+
+
+def q_sim_ivfpq_residual_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-coded IVF-PQ, oracle-gated: deterministic residual
+    codebooks (subspace slices of the first-ksub residuals,
+    similarity.pq_codebooks_residual_det) make every stage SQL-replayable —
+    centroid assignment, residual encoding, the ADC cross-term tables
+    (dot(q, centroid) + per-subspace lookups) and the reconstruction norm
+    |centroid + decode(codes)| — so the residual scoring path itself gets a
+    value-hash gate, not just the rows-only check of the trained variant."""
+    base, queries = _queries_vs_base(spark, sf_dir)
+    return SIM.ivfpq_topk(
+        base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8, residual=True,
+        codebooks="deterministic",
     )
 
 
@@ -4041,14 +4059,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "date_extract": q_date_extract,
         "rollup_revenue": q_rollup_revenue,
-        # (5) oldest driver rows (r05), filling the cap to 50:
+        # (4b) NEW r09 entries (rotation rule: new entries gate in their
+        #      birth round, displacing aged fillers):
+        "sim_ivfpq_residual_det": q_sim_ivfpq_residual_det,
+        # (5) oldest driver rows (r05), filling the cap to 50
+        #     (text_fingerprint displaced by the r09 additions above):
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (text_fingerprint closes it).
+        # -- end of the 50-entry r09 cap (text_quality closes it).
         # Everything below is driver-green in r04-r08 rows and re-checked
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the
@@ -7922,6 +7944,120 @@ FROM ranked WHERE rnk <= 5
     # the persisted index path is gated by the SAME truth: identical
     # centroids/codebooks/tie-breaks as the one-shot operator
     o["sim_ivfpq_search"] = o["sim_ivfpq_topk"]
+
+    # RESIDUAL-coded IVF-PQ with deterministic codebooks: same centroid /
+    # probe / ranking scaffolding as sim_ivfpq_topk, but codes quantize the
+    # RESIDUAL v - centroid(v) under codebooks that are subspace slices of
+    # the first-8 residuals, and the ADC score carries the residual cross
+    # terms: adot = sum_j T[j,code_j] + dot(q, centroid_b) and
+    # |reconstruction|^2 = |centroid|^2 + 2*sum_j dot(centroid_sub_j,
+    # cb[j,code_j]) + sum_j |cb[j,code_j]|^2 (similarity.ivfpq_topk's
+    # residual branch, lookup-table form). 2.0::DOUBLE guards the DuckDB
+    # bare-decimal DECIMAL trap; greatest(..., 1e-300) mirrors the
+    # kernel's zero-norm clamp.
+    o["sim_ivfpq_residual_det"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id, cents.cv,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, centroid_id, cv FROM assign_scored WHERE rn = 1),
+cb_src AS (
+  SELECT list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r,
+         CAST(row_number() OVER (ORDER BY b.vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8) b
+  JOIN assigned a ON a.vec_id = b.vec_id
+),
+subspaces AS (SELECT unnest(range(4)) AS m),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.r, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),
+resid AS (
+  SELECT b.vec_id, a.centroid_id,
+         list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r
+  FROM base b JOIN assigned a ON a.vec_id = b.vec_id
+),
+dists AS (
+  SELECT rr.vec_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(rr.r, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM resid rr CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+probe_scored AS (
+  SELECT q.query_id, cents.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, centroid_id FROM probe_scored WHERE rn <= 2),
+qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+tables AS (
+  SELECT q.query_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS t,
+         list_sum(list_transform(c.cent, x -> x*x)) AS n2
+  FROM q CROSS JOIN cb c
+),
+btab AS (
+  SELECT ct.centroid_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(ct.cv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS b
+  FROM cents ct CROSS JOIN cb c
+),
+cn2 AS (SELECT centroid_id, list_sum(list_transform(cv, x -> x*x)) AS cnorm2 FROM cents),
+qc AS (
+  SELECT q.query_id, ct.centroid_id,
+         list_sum(list_transform(list_zip(q.qv, ct.cv), x -> x[1] * x[2])) AS qcdot
+  FROM q CROSS JOIN cents ct
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.centroid_id
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+),
+scored AS (
+  SELECT cd.vec_id, cd.query_id,
+         sum(tb.t) + any_value(qq.qcdot) AS adot,
+         sqrt(greatest(any_value(c2.cnorm2) + 2.0::DOUBLE * sum(bt.b) + sum(tb.n2),
+                       1e-300)) AS rnorm
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
+  JOIN btab bt ON bt.centroid_id = cd.centroid_id AND bt.m = co.m AND bt.code = co.code
+  JOIN cn2 c2 ON c2.centroid_id = cd.centroid_id
+  JOIN qc qq ON qq.query_id = cd.query_id AND qq.centroid_id = cd.centroid_id
+  GROUP BY cd.vec_id, cd.query_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
+                      s.vec_id ASC) AS rnk
+  FROM scored s JOIN qn USING (query_id)
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
+FROM ranked WHERE rnk <= 5
+"""
 
 
     # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8

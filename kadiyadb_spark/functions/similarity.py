@@ -848,6 +848,46 @@ def pq_codebooks_residual(
     return _lloyd_subspaces(r, m, ksub, iters), r.shape[1]
 
 
+def pq_codebooks_residual_det(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """DETERMINISTIC residual PQ codebooks — the residual-coding analog of
+    ``pq_codebooks``: codebook ``j``'s entries are subspace-``j`` slices of
+    the residuals v - centroid(v) of the ``ksub`` LOWEST-ID vectors (cosine
+    assignment, the ivf_assign rule). No training iterations, no RNG —
+    every step (ORDER BY id LIMIT ksub, argmax-cosine assignment, vector
+    subtraction, slicing) is replayable as plain SQL, which is what lets a
+    residual-coded IVFPQ entry carry a full value-hash oracle instead of a
+    rows-only check. Quantizes more coarsely than the Lloyd-trained
+    ``pq_codebooks_residual`` (the recall path, pinned in
+    tests/test_ivf_recall.py) but still centers codes on the bucket's
+    residual distribution. Returns (codebook [m, ksub, dsub], dim)."""
+    import numpy as np
+
+    _s_ids, v = _collect_matrix(
+        emb.orderBy(F.col(id_col).asc()).limit(ksub), id_col, vec_col
+    )
+    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
+    order = np.argsort(c_ids)
+    craw = craw[order]
+    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    nearest = np.argmax(vn @ cn.T, axis=1)
+    r = v - craw[nearest]
+    dim = r.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    if len(r) < ksub:  # degenerate tiny base: pad by repetition like pq_codebooks
+        r = np.resize(r, (ksub, dim))
+    return r.reshape(ksub, m, dsub).transpose(1, 0, 2).copy(), dim
+
+
 def pq_assign(
     emb: DataFrame,
     codebooks,
@@ -1036,7 +1076,16 @@ def ivfpq_topk(
         ]
     )  # (queries, centroids) bool
     if residual:
-        C, dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+        # Residual codebook strategy mirrors raw mode's: "kmeans" = Lloyd-
+        # trained on the residual distribution (the FAISS recall path),
+        # "deterministic" = first-ksub residual slices (SQL-replayable, the
+        # oracle-gated shape), anything else = caller-provided arrays.
+        if codebooks == "kmeans":
+            C, dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+        elif codebooks == "deterministic":
+            C, dim = pq_codebooks_residual_det(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+        else:
+            C, dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
         cid2, craw = _collect_matrix(cents, "centroid_id", "centroid_vec")
         craw = craw[np.argsort(cid2)]  # id-ascending, same order as cn
         dsub = dim // m
@@ -1258,7 +1307,12 @@ class IVFPQIndex:
         cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
         if residual:
-            C, _dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+            if codebooks == "kmeans":
+                C, _dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+            elif codebooks == "deterministic":
+                C, _dim = pq_codebooks_residual_det(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+            else:
+                C, _dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
         else:
             C, _dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
         cb_rows = pd.DataFrame(

@@ -41,7 +41,11 @@ R09_NEVER_GATED = [
     "sim_knn_graph", "track_rejects", "dedup_containment",
     "profile_correlations", "streaming_rejects", "fetch_outlier_fences",
 ]
-R09_REQUIRED_IN_CAP = set(R09_REDS) | set(R09_NEVER_GATED) | {"fetch_anomaly"}
+# New r09 entries gate in their birth round (displacing aged fillers):
+R09_NEW = ["sim_ivfpq_residual_det"]
+R09_REQUIRED_IN_CAP = (
+    set(R09_REDS) | set(R09_NEVER_GATED) | set(R09_NEW) | {"fetch_anomaly"}
+)
 R09_DISPLACED_REGATES = {
     "json_source_agg", "csv_source_agg", "zorder_layout", "date_extract",
     "rollup_revenue",

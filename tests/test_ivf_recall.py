@@ -110,7 +110,7 @@ def test_residual_pq_improves_ivfpq_recall(spark):
 
     kw = dict(k=5, num_centroids=N_CLUSTERS, nprobe=1, m=4, ksub=8, centroids="kmeans")
     raw = SIM.ivfpq_topk(emb, qs, **kw)
-    res = SIM.ivfpq_topk(emb, qs, residual=True, **kw)
+    res = SIM.ivfpq_topk(emb, qs, residual=True, codebooks="kmeans", **kw)
     r_raw = _recall_at_k(raw, exact, k=5)
     r_res = _recall_at_k(res, exact, k=5)
     assert r_res > r_raw, f"residual {r_res} vs raw {r_raw}"
@@ -122,7 +122,7 @@ def test_residual_pq_improves_ivfpq_recall(spark):
     assert r_res >= 0.55, f"residual recall@5 {r_res}"
 
     # determinism: residual training has no RNG -> identical reruns
-    res2 = SIM.ivfpq_topk(emb, qs, residual=True, **kw)
+    res2 = SIM.ivfpq_topk(emb, qs, residual=True, codebooks="kmeans", **kw)
     a = sorted(tuple(r) for r in res.collect())
     b = sorted(tuple(r) for r in res2.collect())
     assert a == b
