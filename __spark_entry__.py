@@ -3328,6 +3328,27 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding column (symmetric absmax —
+    the 4x float32->int8 storage cut an ANN serving tier takes): per
+    vector, amax, the code CHECKSUMS (plain and absolute long sums — exact
+    integers, array-free gate columns) and the max reconstruction error.
+    Every step is elementwise double math on identical operands
+    (similarity.quantize_int8), so the oracle replays it bit-for-bit."""
+    q = SIM.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        round4_expr(F.col("amax")).alias("amax4"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("codes_sum"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+        ).alias("codes_abs_sum"),
+        round4_expr(F.col("max_abs_err")).alias("max_err4"),
+    )
+
+
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per query, the 5 most-similar base vectors
     with a DIFFERENT label — the contrastive-training sampler. The label
@@ -4062,15 +4083,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (4b) NEW r09 entries (rotation rule: new entries gate in their
         #      birth round, displacing aged fillers):
         "sim_ivfpq_residual_det": q_sim_ivfpq_residual_det,
+        "embedding_quantize": q_embedding_quantize,
         # (5) oldest driver rows (r05), filling the cap to 50
-        #     (text_fingerprint displaced by the r09 additions above):
+        #     (text_quality/text_fingerprint displaced by the r09
+        #     additions above):
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (text_quality closes it).
+        # -- end of the 50-entry r09 cap (distinct_users closes it).
         # Everything below is driver-green in r04-r08 rows and re-checked
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the
@@ -7944,6 +7967,31 @@ FROM ranked WHERE rnk <= 5
     # the persisted index path is gated by the SAME truth: identical
     # centroids/codebooks/tie-breaks as the one-shot operator
     o["sim_ivfpq_search"] = o["sim_ivfpq_topk"]
+
+    # INT8 scalar quantization: symmetric absmax, codes =
+    # floor(x/(amax/127) + 0.5) — every step elementwise double math on
+    # identical operands, replayed exactly. Checksums CAST to BIGINT
+    # (DuckDB list_sum widens); arithmetic literals ::DOUBLE (bare
+    # decimals parse as DECIMAL and flip floor(+0.5) boundaries).
+    o["embedding_quantize"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+a AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS amax FROM v),
+q AS (
+  SELECT vec_id, x, amax,
+    CASE WHEN amax = 0
+      THEN list_transform(x, e -> CAST(0 AS BIGINT))
+      ELSE list_transform(x, e -> CAST(floor(e / (amax / 127.0::DOUBLE) + 0.5::DOUBLE) AS BIGINT))
+    END AS codes
+  FROM a
+)
+SELECT vec_id,
+  floor(amax * 10000 + 0.5) / 10000 AS amax4,
+  CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS codes_abs_sum,
+  floor(list_max(list_transform(list_zip(x, codes),
+        p -> abs(p[1] - p[2] * (amax / 127.0::DOUBLE)))) * 10000 + 0.5) / 10000 AS max_err4
+FROM q
+"""
 
     # RESIDUAL-coded IVF-PQ with deterministic codebooks: same centroid /
     # probe / ranking scaffolding as sim_ivfpq_topk, but codes quantize the

@@ -1493,6 +1493,50 @@ class IVFPQIndex:
         )
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INT8 scalar quantization of an embedding column — symmetric absmax,
+    the standard 4x storage cut (float32 -> int8) an ANN serving tier takes
+    before ADC/rescoring: per vector, scale = amax/127 with
+    amax = max_i |x_i|, code_i = floor(x_i/scale + 0.5) (half-toward-+inf,
+    the engine-portable rounding; codes are mathematically bounded in
+    [-127, 127] because |x_i| <= amax). The all-zero vector quantizes to
+    all-zero codes with amax 0 and zero error rather than dividing by zero.
+
+    Pure JVM array expressions — amax via array_max, codes via transform,
+    the reconstruction error |x_i - code_i*scale| via zip_with — no UDF, no
+    shuffle: quantization streams at scan speed and the output is the
+    (id, amax, codes, max_abs_err) artifact a 100 TB pipeline persists
+    next to (or instead of) the raw vectors. Every step is elementwise
+    double arithmetic on identical operands in any engine, so the whole
+    operator SQL-twins exactly (entry ``embedding_quantize``).
+
+    Output: id, ``amax`` (unrounded), ``codes`` array<long>,
+    ``max_abs_err`` (unrounded; round at presentation)."""
+    x = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(x, lambda e: F.abs(e)))
+    df = emb.select(F.col(id_col), x.alias("_x"), amax.alias("amax"))
+    scale = F.col("amax") / F.lit(127.0)
+    codes = F.when(
+        F.col("amax") == 0,
+        F.transform(F.col("_x"), lambda e: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("_x"), lambda e: F.floor(e / scale + F.lit(0.5)).cast("long"))
+    )
+    df = df.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            F.col("_x"),
+            F.col("codes"),
+            lambda e, c: F.abs(e - c.cast("double") * scale),
+        )
+    )
+    return df.select(id_col, "amax", "codes", err.alias("max_abs_err"))
+
+
 def hard_negatives(
     base: DataFrame,
     queries: DataFrame,
