@@ -25,13 +25,18 @@ from kadiyadb_spark.functions import text as TX
 from kadiyadb_spark.schema import normalize_ts
 from kadiyadb_spark.session import ensure_engine_confs, spread
 
-SEC = 1_000_000_000
-RES = 60 * SEC  # 1 minute slots
-DUR = 3600 * SEC  # 1 hour epochs
-T0 = 1_704_067_200 * SEC  # 2024-01-01T00:00:00Z
-T_END = T0 + 31 * 24 * 3600 * SEC
-WEEK0 = T0 + 4 * 24 * 3600 * SEC  # 2024-01-05
-WEEK1 = WEEK0 + 7 * 24 * 3600 * SEC
+from kadiyadb_spark.oracles import all_oracles
+from kadiyadb_spark.oracles.fragments import (  # the oracle SQL builds from the SAME constants
+    _BPE_MERGES,
+    _RFM_NOW,
+    DUR,
+    RES,
+    SEC,
+    T0,
+    T_END,
+    WEEK0,
+    WEEK1,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1471,7 +1476,6 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RFM_NOW = 1706745600 * SEC  # 2024-02-01T00:00Z, just past the fixture range
 
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2538,6 +2542,15 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (text.py:char_entropy): per-doc
+    Shannon entropy with per-character terms quantized to exact longs, so
+    the sum is order-free and both engines replay identical integers; the
+    Spark side is a shuffle-free run-length fold over the sorted char
+    array (no (doc,char) explode)."""
+    return TX.char_entropy(_t(spark, sf_dir, "documents"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3866,7 +3879,6 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_token_budget(_t(spark, sf_dir, "documents"), budget_tokens=800)
 
 
-_BPE_MERGES = 8
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3947,47 +3959,6 @@ def q_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.functions import bpe as BP
 
     return BP.word_frequencies(_t(spark, sf_dir, "documents"), pretokenize="gpt2")
-
-
-def _bpe_oracle_ctes(k: int) -> str:
-    """The k-stage DuckDB replay of train_bpe: w0 = word/freq/symbol table,
-    then per merge i: pair counts p{i} -> argmax b{i} (count desc, lex asc)
-    -> folded word table w{i} (list_reduce, non-overlapping left-to-right,
-    same as the Spark aggregate())."""
-    parts = [r"""
-w0 AS (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         list_concat(list_transform(range(1, length(word) + 1),
-                                    i -> substr(word, CAST(i AS INT), 1)),
-                     ['</w>']) AS syms
-  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-                                  x -> x != '')) AS word
-        FROM documents)
-  GROUP BY word
-)"""]
-    for i in range(1, k + 1):
-        p = i - 1
-        parts.append(f"""
-p{i} AS (
-  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM (SELECT freq,
-               unnest(list_transform(range(1, len(syms)),
-                      j -> {{'l': syms[CAST(j AS INT)],
-                             'r': syms[CAST(j AS INT) + 1]}})) AS pr
-        FROM w{p})
-  GROUP BY pr.l, pr.r
-),
-b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-w{i} AS (
-  SELECT word, freq,
-         list_reduce(list_transform(w{p}.syms, x -> [x]),
-           (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{i}.l AND s[1] = b{i}.r
-                       THEN list_append(acc[1:-2], b{i}.l || b{i}.r)
-                       ELSE list_concat(acc, s) END) AS syms
-  FROM w{p} CROSS JOIN b{i}
-)""")
-    return "WITH " + ",".join(parts)
-
 
 # --------------------------------------------------------------------------
 # contract functions
@@ -4084,16 +4055,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      birth round, displacing aged fillers):
         "sim_ivfpq_residual_det": q_sim_ivfpq_residual_det,
         "embedding_quantize": q_embedding_quantize,
+        "text_char_entropy": q_text_char_entropy,
         # (5) oldest driver rows (r05), filling the cap to 50
-        #     (text_quality/text_fingerprint displaced by the r09
-        #     additions above):
+        #     (distinct_users/text_quality/text_fingerprint displaced by
+        #     the r09 additions above):
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (distinct_users closes it).
+        # -- end of the 50-entry r09 cap (approx_quantile closes it).
         # Everything below is driver-green in r04-r08 rows and re-checked
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the
@@ -4252,3919 +4224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# --------------------------------------------------------------------------
-# DuckDB oracles. Shared SQL fragments keep the two sides in lockstep.
-# --------------------------------------------------------------------------
-
-_EV_CUBE = f"""
-  ev AS (
-    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
-           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-    FROM events
-  ),
-  cube2 AS (
-    SELECT (bucket // {DUR}) * {DUR} AS epoch, bucket, f1, f2,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3, 4
-  ),
-  cube1 AS (
-    SELECT (bucket // {DUR}) * {DUR} AS epoch, bucket, f1,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3
-  )
-"""
-
-
-def _fetch_oracle(pattern_f1, f2: str | None, from_ns: int, to_ns: int, depth: int) -> str:
-    """Dense zero-filled fetch oracle with per-epoch series membership.
-    f2=None -> depth-1 prefix; f2='*' -> wildcard; else exact. pattern_f1
-    may be a LIST of values (the IN matcher)."""
-    e_from = (from_ns // DUR) * DUR
-    e_to = ((to_ns - RES) // DUR) * DUR
-    if isinstance(pattern_f1, (list, tuple)):
-        f1_cond = "f1 IN (" + ", ".join(f"'{v}'" for v in pattern_f1) + ")"
-    else:
-        f1_cond = f"f1 = '{pattern_f1}'"
-    if depth == 1:
-        src = f"SELECT epoch, bucket, f1, total, cnt FROM cube1 WHERE {f1_cond}"
-        keycols = "f1"
-        joink = "c.f1 = m.f1"
-    else:
-        cond = f1_cond + ("" if f2 == "*" else f" AND f2 = '{f2}'")
-        src = f"SELECT epoch, bucket, f1, f2, total, cnt FROM cube2 WHERE {cond}"
-        keycols = "f1, f2"
-        joink = "c.f1 = m.f1 AND c.f2 = m.f2"
-    return f"""
-WITH {_EV_CUBE},
-src AS ({src}),
-members AS (
-  SELECT DISTINCT epoch, {keycols} FROM src
-  WHERE epoch >= {e_from} AND epoch <= {e_to}
-),
-axis AS (
-  SELECT b AS bucket, (b // {DUR}) * {DUR} AS epoch
-  FROM (SELECT unnest(range({from_ns}, {to_ns}, {RES})) AS b)
-),
-dense AS (
-  SELECT m.epoch, {', '.join('m.' + k for k in keycols.split(', '))}, a.bucket,
-         coalesce(c.total, 0.0) AS total, coalesce(c.cnt, 0.0) AS cnt
-  FROM members m
-  JOIN axis a ON a.epoch = m.epoch
-  LEFT JOIN src c ON {joink} AND c.bucket = a.bucket
-)
-SELECT epoch, {keycols}, bucket, floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM dense
-"""
-
-
-_SHINGLES8 = (
-    "list_distinct([substr(norm, i, 8) for i in range(1, greatest(len(norm) - 7, 1) + 1)])"
-)
-
-_DOC_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
-
-# Same universal-hash family as dedup.minhash_signature: one md5 base hash
-# per shingle, h_i = (A[i]*base + B[i]) % P in exact int64 arithmetic.
-_MINHASH_SIG = ", ".join(
-    f"list_min([({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P} for h in hs]) AS m{i}"
-    for i in range(8)
-)
-
-_LANG_SCORES = {
-    lang: f"len(list_intersect(toks, {words!r}))".replace("'", "'")
-    for lang, words in TX.LANG_MARKERS.items()
-}
-
-
-def _lang_case() -> str:
-    cases = " ".join(
-        f"WHEN score_{c} = mx THEN '{c}'" for c in TX.LANG_PRIORITY
-    )
-    return f"CASE WHEN mx <= 0 THEN 'und' {cases} END"
 
 
 def oracle_sql() -> dict[str, str]:
-    o: dict[str, str] = {}
-
-    o["track_cube"] = f"""
-WITH {_EV_CUBE}
-SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
-UNION ALL
-SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
-"""
-
-    # a clone must hold exactly the snapshot's cube — track_cube's oracle
-    # at the entry's DAILY epoch width
-    _DAY = 24 * 3600 * SEC
-    o["db_clone"] = f"""
-WITH ev AS (
-    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
-           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-    FROM events
-),
-cube2 AS (
-    SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1, f2,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3, 4
-),
-cube1 AS (
-    SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3
-)
-SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
-UNION ALL
-SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
-"""
-
-    # Streaming ingestion must land on exactly the batch-track values —
-    # both strategies (raw increment-merge and watermarked agg replace-merge).
-    # The streaming entries persist with DAILY epochs (layout, not values):
-    # same cube, day-floored epoch column.
-    day_ns0 = 24 * 3600 * SEC
-    _day_cube = f"""
-ev AS (
-    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
-           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-    FROM events
-),
-cube2 AS (
-    SELECT (bucket // {day_ns0}) * {day_ns0} AS epoch, bucket, f1, f2,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3, 4
-),
-cube1 AS (
-    SELECT (bucket // {day_ns0}) * {day_ns0} AS epoch, bucket, f1,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3
-)"""
-    o["streaming_ingest"] = f"""
-WITH {_day_cube}
-SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
-UNION ALL
-SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
-"""
-    o["streaming_agg"] = o["streaming_ingest"]
-
-    # Strategy 3 (append mode): only windows the FINAL watermark closed are
-    # emitted — watermark = max event time (delay 0, ms precision), a window
-    # is final when its end <= watermark. The tail windows stay in state.
-    _wm_ms_ns = "(SELECT (max(epoch_ns(ts)) // 1000000) * 1000000 FROM events)"
-    o["streaming_agg_append"] = f"""
-WITH {_day_cube}
-SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
- WHERE bucket + {RES} <= {_wm_ms_ns}
-UNION ALL
-SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
- WHERE bucket + {RES} <= {_wm_ms_ns}
-"""
-
-    # Exactly-once under double delivery: the aggregate of what survives the
-    # streaming dedup must equal the aggregate of the ORIGINAL table.
-    o["streaming_dedup"] = """
-SELECT event_type, count(*) AS n_events,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
-       min(event_id) AS first_event
-FROM events GROUP BY event_type
-"""
-
-    # Compare at integer MICROSECONDS: the operator's interval condition
-    # runs on ts_us_expr-truncated event times, so a pair exactly at the
-    # lookback boundary with sub-us ns components must resolve identically
-    # here (ns-typed TIMESTAMP comparison could flip it).
-    o["streaming_join"] = f"""
-SELECT l.user_id, count(*) AS n_pairs,
-       count(DISTINCT l.event_id) AS n_purchases,
-       count(DISTINCT r.event_id) AS n_clicks
-FROM events l
-JOIN events r ON l.user_id = r.user_id
-            AND epoch_ns(r.ts) // 1000 >= epoch_ns(l.ts) // 1000 - {30 * 60 * 1000000}
-            AND epoch_ns(r.ts) // 1000 <= epoch_ns(l.ts) // 1000
-WHERE l.event_type = 'purchase' AND r.event_type = 'click'
-GROUP BY l.user_id
-"""
-
-    # Closed sessions only: the batch gaps-and-islands sessionization minus
-    # each user's LAST island (still open in state when the source drains).
-    # The kernel sorts by ts alone; ts ties land in one session either way,
-    # so no event_id tiebreak is needed for any output column.
-    gap = 30 * 60 * SEC
-    o["streaming_sessionize"] = f"""
-WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events),
-flagged AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {gap}
-              THEN 1 ELSE 0 END AS nf
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-sess AS (
-  SELECT user_id, ts, value,
-         sum(nf) OVER (PARTITION BY user_id ORDER BY ts) AS sid
-  FROM flagged
-),
-agg AS (
-  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
-         count(*) AS n_events, sum(value) AS vsum
-  FROM sess GROUP BY user_id, sid
-),
-last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id),
-mx AS (SELECT max(ts) AS max_ts FROM ev)
-SELECT a.user_id, a.session_start, a.session_end, a.n_events,
-       floor(a.vsum * 10000 + 0.5) / 10000 AS value_sum
-FROM agg a JOIN last l ON a.user_id = l.user_id, mx
-WHERE a.sid < l.last_sid
-   OR (a.session_end + {gap}) // 1000000 < mx.max_ts // 1000000
-"""
-
-    # O11: only rows in epochs >= the cutoff survive an expire. The entry
-    # uses DAILY epochs (see q_expire_retention), so the epoch floor here is
-    # a day, not _EV_CUBE's hour.
-    day_ns = 24 * 3600 * SEC
-    cutoff = T0 + 15 * day_ns
-    o["expire_retention"] = f"""
-WITH ev AS (
-    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
-           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-    FROM events
-),
-cube2 AS (
-    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1, f2,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3, 4
-),
-cube1 AS (
-    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3
-)
-SELECT * FROM (
-  SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
-         floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
-  UNION ALL
-  SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
-         floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
-) WHERE epoch >= {cutoff}
-"""
-
-    # Changes = the cube aggregation over ONLY the second batch's events
-    # (daily epochs, same shape as expire_retention's oracle).
-    changes_cut = T0 + 15 * day_ns
-    o["cube_changes"] = f"""
-WITH ev AS (
-    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
-           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-    FROM events WHERE epoch_ns(ts) >= {changes_cut}
-),
-cube2 AS (
-    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1, f2,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3, 4
-),
-cube1 AS (
-    SELECT (bucket // {day_ns}) * {day_ns} AS epoch, bucket, f1,
-           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
-    FROM ev GROUP BY 1, 2, 3
-)
-SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
-UNION ALL
-SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
-"""
-
-    # O13: statically expected catalog after skipping the invalid databases.
-    o["catalog_load"] = f"""
-SELECT * FROM (VALUES
-  ('metrics_1h', CAST({3600 * SEC} AS BIGINT), CAST({60 * SEC} AS BIGINT),
-   CAST({720 * 3600 * SEC} AS BIGINT), CAST(60 AS BIGINT), CAST(2 AS BIGINT)),
-  ('metrics_1s', CAST({60 * SEC} AS BIGINT), CAST({SEC} AS BIGINT),
-   CAST({3600 * SEC} AS BIGINT), CAST(60 AS BIGINT), CAST(1 AS BIGINT))
-) AS t(db_name, duration, resolution, retention, rsize, n_fields)
-"""
-
-    # Read-time rollup of depth-2 series == write-time depth-1 records.
-    o["rollup_read_equivalence"] = f"""
-WITH {_EV_CUBE}
-SELECT epoch, bucket, f1,
-       floor((total) * 10000 + 0.5) / 10000 AS total, cnt
-FROM cube1
-"""
-
-    o["fetch_exact"] = _fetch_oracle("click", "7", T0, T_END, 2)
-    o["fetch_wildcard"] = _fetch_oracle("click", "*", WEEK0, WEEK1, 2)
-    o["fetch_rollup_prefix"] = _fetch_oracle("purchase", None, WEEK0, WEEK1, 1)
-    o["fetch_rate"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-d AS (
-  SELECT f1, f2, bucket, total,
-         total - lag(total) OVER (PARTITION BY f1, f2 ORDER BY bucket) AS delta
-  FROM base
-)
-SELECT f1, f2, bucket, total,
-       floor((delta) * 10000 + 0.5) / 10000 AS delta,
-       floor((delta / 60.0) * 10000 + 0.5) / 10000 AS rate_per_sec
-FROM d
-"""
-    o["fetch_in"] = _fetch_oracle(["click", "error"], "*", WEEK0, WEEK1, 2)
-
-    o["fetch_offset"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-)
-SELECT f1, f2, bucket, total,
-       floor((lag(total, 1440) OVER w) * 10000 + 0.5) / 10000 AS baseline,
-       floor((total - lag(total, 1440) OVER w) * 10000 + 0.5) / 10000 AS offset_delta,
-       floor((CASE WHEN lag(total, 1440) OVER w != 0
-              THEN total / lag(total, 1440) OVER w END) * 10000 + 0.5) / 10000 AS offset_ratio
-FROM base
-WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
-"""
-
-    o["fetch_increase"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-d AS (
-  SELECT f1, f2, bucket, t4,
-         lag(t4) OVER w AS prev4,
-         t4 - lag(t4) OVER w AS d4
-  FROM base
-  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
-),
-adj AS (
-  SELECT f1, f2, bucket, t4, prev4,
-         CASE WHEN prev4 IS NULL THEN NULL
-              WHEN d4 < 0 THEN t4 ELSE d4 END AS adj4,
-         prev4 IS NOT NULL AND d4 < 0 AS reset
-  FROM d
-)
-SELECT f1, f2, bucket,
-       t4 / 10000.0 AS total,
-       adj4 / 10000.0 AS increase,
-       sum(coalesce(adj4, 0)) OVER (PARTITION BY f1, f2 ORDER BY bucket) / 10000.0 AS cum_increase,
-       reset
-FROM adj
-"""
-
-    o["fetch_predict_linear"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, total, CAST(round(total * 10000) AS BIGINT) AS y4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-r0 AS (
-  SELECT f1, f2, bucket, total, y4,
-         CAST(row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS BIGINT) AS rn
-  FROM base
-),
-r1 AS (
-  SELECT f1, f2, bucket, total, rn,
-         count(y4) OVER wf AS n,
-         sum(y4) OVER wf AS sy,
-         sum(rn * y4) OVER wf AS srny
-  FROM r0
-  WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
-                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-),
-c AS (
-  SELECT f1, f2, bucket, total, n, sy,
-         srny - (rn - (n - 1)) * sy AS sxy,
-         n * (n - 1) / 2 AS sx,
-         n * (n - 1) * (2 * n - 1) / 6 AS sxx
-  FROM r1
-),
-s AS (
-  SELECT f1, f2, bucket, total, n, sy, sx,
-         CASE WHEN n = 30 AND (n * sxx - sx * sx) != 0
-              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-                   / (n * sxx - sx * sx) END AS slope4
-  FROM c
-)
-SELECT f1, f2, bucket,
-       floor(total * 10000 + 0.5) / 10000 AS total,
-       floor((slope4 / 600000.0) * 10000 + 0.5) / 10000 AS deriv_per_sec,
-       floor(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-               + slope4 * ((CAST(n - 1 AS DOUBLE) + 60.0) - sx / CAST(n AS DOUBLE)))
-              / 10000.0) * 10000 + 0.5) / 10000 AS predicted
-FROM s
-"""
-
-    o["fetch_resets"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-d AS (
-  SELECT f1, f2, bucket, t4, lag(t4) OVER w AS prev4
-  FROM base
-  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
-),
-e AS (
-  SELECT f1, f2, bucket, t4,
-         CASE WHEN prev4 IS NOT NULL AND t4 < prev4 THEN 1 ELSE 0 END AS is_reset,
-         CASE WHEN prev4 IS NOT NULL AND t4 != prev4 THEN 1 ELSE 0 END AS is_change
-  FROM d
-)
-SELECT f1, f2, bucket, t4 / 10000.0 AS total,
-       CAST(sum(is_reset) OVER wf AS BIGINT) AS resets,
-       CAST(sum(is_change) OVER wf AS BIGINT) AS changes
-FROM e
-WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
-              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
-"""
-
-    o["fetch_last_write"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4, cnt,
-         CAST(row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS BIGINT) AS rn
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-c AS (
-  SELECT f1, f2, bucket, t4, rn,
-         last_value(CASE WHEN cnt > 0 THEN t4 END IGNORE NULLS) OVER wf AS l4,
-         last_value(CASE WHEN cnt > 0 THEN rn END IGNORE NULLS) OVER wf AS lrn
-  FROM base
-  WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
-                ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
-)
-SELECT f1, f2, bucket, t4 / 10000.0 AS total,
-       l4 / 10000.0 AS last_total,
-       rn - lrn AS slots_since_write
-FROM c
-"""
-
-    o["fetch_gaps"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(bucket // {RES} AS BIGINT) AS slot
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-  WHERE cnt = 0
-),
-r AS (
-  SELECT f1, f2, bucket, slot,
-         slot - row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS run
-  FROM base
-)
-SELECT f1, f2,
-       min(bucket) AS gap_start,
-       max(bucket) + {RES} AS gap_end,
-       CAST(count(*) AS BIGINT) AS n_slots
-FROM r
-GROUP BY f1, f2, run
-"""
-
-    day1_hw = WEEK0 + 24 * 3600 * SEC
-    o["fetch_holt_winters"] = f"""
-WITH RECURSIVE base AS (
-  SELECT f1, f2, bucket,
-         CAST(floor(total * 10000 + 0.5) AS BIGINT) AS y4,
-         CAST(row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS BIGINT) AS rn
-  FROM ({_fetch_oracle("click", "*", WEEK0, day1_hw, 2)}) t
-),
-rec AS (
-  SELECT b.f1, b.f2, b.rn, b.bucket, b.y4,
-         b.y4 AS s4,
-         coalesce(b2.y4 - b.y4, 0) AS b4
-  FROM base b
-  LEFT JOIN base b2 ON b2.f1 = b.f1 AND b2.f2 = b.f2 AND b2.rn = 2
-  WHERE b.rn = 1
-  UNION ALL
-  -- every literal cast to DOUBLE: bare decimal literals are DECIMAL in
-  -- DuckDB, whose exact arithmetic diverges from the kernel's float64 at
-  -- floor(+0.5) boundaries
-  SELECT f1, f2, rn, bucket, y4, s4_new,
-         CAST(floor(0.1::DOUBLE * (s4_new - s4_prev)
-                    + (1.0::DOUBLE - 0.1::DOUBLE) * b4_prev
-                    + 0.5::DOUBLE) AS BIGINT) AS b4
-  FROM (
-    SELECT nb.f1, nb.f2, nb.rn, nb.bucket, nb.y4,
-           r.s4 AS s4_prev, r.b4 AS b4_prev,
-           CAST(floor(0.3::DOUBLE * nb.y4
-                      + (1.0::DOUBLE - 0.3::DOUBLE) * (r.s4 + r.b4)
-                      + 0.5::DOUBLE) AS BIGINT) AS s4_new
-    FROM rec r
-    JOIN base nb ON nb.f1 = r.f1 AND nb.f2 = r.f2 AND nb.rn = r.rn + 1
-  ) step
-)
-SELECT f1, f2, bucket,
-       y4 / 10000.0 AS total,
-       s4 / 10000.0 AS smoothed,
-       b4 / 10000.0 AS trend
-FROM rec
-"""
-
-    o["fetch_quantile_window"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-)
-SELECT f1, f2, bucket,
-       t4 / 10000.0 AS total,
-       quantile_cont(t4, 0.75) OVER wf / 10000.0 AS quantile,
-       min(t4) OVER wf / 10000.0 AS min_total,
-       max(t4) OVER wf / 10000.0 AS max_total
-FROM base
-WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
-              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-"""
-
-    # funnel time-to-convert: the SAME min-filter chain as funnel_counts,
-    # extended with per-user deltas; quantile_cont over integer-ns deltas
-    # at dyadic phis mirrors F.percentile bit-identically
-    o["funnel_time"] = """
-WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
-u1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
-u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
-       WHERE e.event_type = 'view' AND e.ts > u1.t1 GROUP BY e.user_id),
-u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.user_id
-       WHERE e.event_type = 'click' AND e.ts > u2.t2 GROUP BY e.user_id),
-u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
-       WHERE e.event_type = 'purchase' AND e.ts > u3.t3 GROUP BY e.user_id),
-d AS (
-  SELECT 2 AS stage, 'signup' AS from_step, 'view' AS to_step, u2.t2 - u1.t1 AS d
-  FROM u2 JOIN u1 USING (user_id)
-  UNION ALL
-  SELECT 3, 'view', 'click', u3.t3 - u2.t2 FROM u3 JOIN u2 USING (user_id)
-  UNION ALL
-  SELECT 4, 'click', 'purchase', u4.t4 - u3.t3 FROM u4 JOIN u3 USING (user_id)
-)
-SELECT CAST(stage AS BIGINT) AS stage, from_step, to_step,
-       CAST(count(*) AS BIGINT) AS n_converted,
-       floor((CAST(sum(d) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0::DOUBLE)) * 10000 + 0.5) / 10000 AS mean_s,
-       floor((quantile_cont(d, 0.25) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p25_s,
-       floor((quantile_cont(d, 0.5) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p50_s,
-       floor((quantile_cont(d, 0.75) / 1000000000.0::DOUBLE) * 10000 + 0.5) / 10000 AS p75_s
-FROM d GROUP BY stage, from_step, to_step
-"""
-
-    # attribution: the oracle is a CORRELATED ARGMAX (latest qualifying
-    # touch per conversion) — a different algorithm than Spark's carried
-    # window pick; equality is a real cross-check. Predecessor order is
-    # lexicographic (tsn, event_id), mirroring the rows frame.
-    o["attribution_last_touch"] = f"""
-WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
-            FROM events WHERE ts IS NOT NULL),
-conv AS (SELECT user_id, event_id, tsn FROM ev WHERE event_type = 'purchase'),
-cred AS (
-  SELECT c.user_id, c.event_id,
-         (SELECT t.event_type FROM ev t
-          WHERE t.user_id = c.user_id
-            AND t.event_type IN ('click', 'signup', 'view')
-            AND (t.tsn < c.tsn OR (t.tsn = c.tsn AND t.event_id < c.event_id))
-            AND c.tsn - t.tsn <= {24 * 3600 * SEC}
-          ORDER BY t.tsn DESC, t.event_id DESC LIMIT 1) AS touch
-  FROM conv c
-),
-pt AS (SELECT coalesce(touch, '(none)') AS touch,
-              CAST(count(*) AS BIGINT) AS conversions
-       FROM cred GROUP BY 1),
-t AS (SELECT sum(conversions) AS total FROM pt)
-SELECT touch, conversions,
-       floor((CAST(conversions AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000 AS share
-FROM pt CROSS JOIN t
-"""
-
-    o["track_rejects"] = """
-WITH dirty AS (
-  SELECT event_id,
-         CASE WHEN event_id % 17 = 0 THEN NULL ELSE epoch_ns(ts) END AS tsn,
-         CASE WHEN event_id % 11 = 0 THEN '*' ELSE event_type END AS f1,
-         CASE WHEN event_id % 13 = 0 THEN NULL
-              ELSE CAST(user_id AS VARCHAR) END AS f2
-  FROM events
-),
-r AS (
-  SELECT event_id,
-         CASE WHEN tsn IS NULL THEN 'null_ts'
-              WHEN f1 IS NULL OR f1 IN ('', '*') THEN 'illegal_field:event_type'
-              WHEN f2 IS NULL OR f2 IN ('', '*') THEN 'illegal_field:user_id'
-         END AS reject_reason
-  FROM dirty
-)
-SELECT event_id, reject_reason FROM r WHERE reject_reason IS NOT NULL
-"""
-
-    # the streaming quarantine must equal the batch dead-letter census:
-    # same dirty construction, same SQL
-    o["streaming_rejects"] = o["track_rejects"]
-
-    o["active_users"] = """
-WITH act AS (
-  SELECT DISTINCT user_id AS u,
-         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
-  FROM events WHERE ts IS NOT NULL
-),
-dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day),
-cov AS (
-  SELECT cday AS day, CAST(count(*) AS BIGINT) AS window_active
-  FROM (SELECT DISTINCT u, unnest(range(day, day + 7)) AS cday FROM act)
-  GROUP BY cday
-)
-SELECT dau.day, dau.dau, cov.window_active,
-       floor((CAST(dau.dau AS DOUBLE) / CAST(cov.window_active AS DOUBLE))
-             * 10000 + 0.5) / 10000 AS stickiness
-FROM dau JOIN cov USING (day)
-"""
-
-    o["rfm_segments"] = f"""
-WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, value FROM events
-            WHERE ts IS NOT NULL),
-pu AS (SELECT user_id, max(tsn) AS last_ts, CAST(count(*) AS BIGINT) AS frequency,
-              sum(CAST(round(value * 10000) AS BIGINT)) AS m4i
-       FROM ev GROUP BY user_id),
-s AS (SELECT user_id,
-             CAST(({_RFM_NOW} - last_ts) // {86400 * SEC} AS BIGINT) AS recency_days,
-             frequency, m4i
-      FROM pu),
-t AS (SELECT user_id, recency_days, frequency, m4i,
-             CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id DESC) AS BIGINT) AS r_score,
-             CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS BIGINT) AS f_score,
-             CAST(ntile(5) OVER (ORDER BY m4i ASC, user_id ASC) AS BIGINT) AS m_score
-      FROM s)
-SELECT user_id, recency_days, frequency,
-       floor((m4i / 10000.0) * 10000 + 0.5) / 10000 AS monetary,
-       r_score, f_score, m_score,
-       r_score * 100 + f_score * 10 + m_score AS segment
-FROM t
-"""
-
-    o["funnel_counts"] = """
-WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
-u1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
-u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
-       WHERE e.event_type = 'view' AND e.ts > u1.t1 GROUP BY e.user_id),
-u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.user_id
-       WHERE e.event_type = 'click' AND e.ts > u2.t2 GROUP BY e.user_id),
-u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
-       WHERE e.event_type = 'purchase' AND e.ts > u3.t3 GROUP BY e.user_id),
-c AS (SELECT (SELECT count(*) FROM u1) AS c1, (SELECT count(*) FROM u2) AS c2,
-             (SELECT count(*) FROM u3) AS c3, (SELECT count(*) FROM u4) AS c4)
-SELECT 1 AS stage, 'signup' AS step, c1 AS users,
-       CAST(1.0 AS DOUBLE) AS conv_from_prev,
-       CASE WHEN c1 > 0 THEN floor((CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS conv_from_first
-FROM c
-UNION ALL
-SELECT 2, 'view', c2,
-       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
-       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
-FROM c
-UNION ALL
-SELECT 3, 'click', c3,
-       CASE WHEN c2 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
-       CASE WHEN c1 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
-FROM c
-UNION ALL
-SELECT 4, 'purchase', c4,
-       CASE WHEN c3 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c3 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
-       CASE WHEN c1 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
-FROM c
-"""
-
-    o["funnel_windowed"] = """
-WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
-u1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
-u2 AS (SELECT e.user_id, u1.t1, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
-       WHERE e.event_type = 'view' AND e.ts > u1.t1 AND e.ts <= u1.t1 + 86400000000000
-       GROUP BY e.user_id, u1.t1),
-u3 AS (SELECT e.user_id, u2.t1, min(e.ts) AS t3 FROM ev e JOIN u2 ON e.user_id = u2.user_id
-       WHERE e.event_type = 'click' AND e.ts > u2.t2 AND e.ts <= u2.t1 + 86400000000000
-       GROUP BY e.user_id, u2.t1),
-u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN u3 ON e.user_id = u3.user_id
-       WHERE e.event_type = 'purchase' AND e.ts > u3.t3 AND e.ts <= u3.t1 + 86400000000000
-       GROUP BY e.user_id),
-c AS (SELECT (SELECT count(*) FROM u1) AS c1, (SELECT count(*) FROM u2) AS c2,
-             (SELECT count(*) FROM u3) AS c3, (SELECT count(*) FROM u4) AS c4)
-SELECT 1 AS stage, 'signup' AS step, c1 AS users,
-       CAST(1.0 AS DOUBLE) AS conv_from_prev,
-       CASE WHEN c1 > 0 THEN floor((CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS conv_from_first
-FROM c
-UNION ALL
-SELECT 2, 'view', c2,
-       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
-       CASE WHEN c1 > 0 THEN floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
-FROM c
-UNION ALL
-SELECT 3, 'click', c3,
-       CASE WHEN c2 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
-       CASE WHEN c1 > 0 THEN floor((CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
-FROM c
-UNION ALL
-SELECT 4, 'purchase', c4,
-       CASE WHEN c3 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c3 AS DOUBLE)) * 10000 + 0.5) / 10000 END,
-       CASE WHEN c1 > 0 THEN floor((CAST(c4 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 10000 + 0.5) / 10000 END
-FROM c
-"""
-
-    o["cohort_retention"] = """
-WITH act AS (
-  SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
-  FROM events
-),
-fc AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id),
-sz AS (SELECT cohort, count(*) AS cohort_size FROM fc GROUP BY cohort),
-j AS (
-  SELECT f.cohort, a.day - f.cohort AS day_offset, a.user_id
-  FROM act a JOIN fc f ON a.user_id = f.user_id
-  WHERE a.day - f.cohort <= 14
-),
-cnt AS (SELECT cohort, day_offset, count(*) AS active_users FROM j GROUP BY cohort, day_offset)
-SELECT c.cohort AS cohort_day, c.day_offset, c.active_users, s.cohort_size,
-       floor((CAST(c.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)) * 10000 + 0.5) / 10000 AS retention
-FROM cnt c JOIN sz s ON c.cohort = s.cohort
-"""
-
-    day6_sa = WEEK0 + 6 * 86400 * SEC
-    o["fetch_seasonal_anomaly"] = f"""
-WITH bl AS (
-  SELECT f1, f2, CAST((bucket // {RES}) % 1440 AS BIGINT) AS slot_of_period,
-         CAST(round(total * 10000) AS BIGINT) AS x4
-  FROM ({_fetch_oracle("click", "*", WEEK0, day6_sa, 2)}) t
-),
-prof AS (
-  SELECT f1, f2, slot_of_period,
-         CAST(count(*) AS BIGINT) AS n,
-         sum(x4) AS s1, sum(x4 * x4) AS s2, min(x4) AS m
-  FROM bl GROUP BY f1, f2, slot_of_period
-),
-cur AS (
-  SELECT f1, f2, bucket, CAST((bucket // {RES}) % 1440 AS BIGINT) AS slot_of_period,
-         CAST(round(total * 10000) AS BIGINT) AS x4
-  FROM ({_fetch_oracle("click", "*", day6_sa, WEEK1, 2)}) t
-),
-j AS (
-  SELECT c.f1, c.f2, c.bucket, c.slot_of_period, c.x4, p.n, p.s1, p.s2, p.m
-  FROM cur c LEFT JOIN prof p USING (f1, f2, slot_of_period)
-),
-e AS (
-  SELECT f1, f2, bucket, slot_of_period, x4, n,
-         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean4,
-         (CAST(n AS DOUBLE) * CAST(s2 - 2 * m * s1 + n * m * m AS DOUBLE)
-          - CAST(s1 - n * m AS DOUBLE) * CAST(s1 - n * m AS DOUBLE))
-           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)) AS var4
-  FROM j
-),
-z AS (
-  SELECT f1, f2, bucket, slot_of_period, x4, n, mean4,
-         CASE WHEN n >= 2 AND var4 > 0
-              THEN floor(((CAST(x4 AS DOUBLE) - mean4) / sqrt(var4)) * 10000 + 0.5) / 10000
-         END AS zr
-  FROM e
-)
-SELECT f1, f2, bucket, x4 / 10000.0 AS total, slot_of_period,
-       floor((CASE WHEN n >= 2 THEN mean4 / 10000.0 END) * 10000 + 0.5) / 10000 AS expected,
-       zr AS zscore,
-       coalesce(abs(zr) >= 3.0::DOUBLE, false) AS is_anomaly
-FROM z
-"""
-
-    o["fetch_outlier_fences"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-c AS (
-  SELECT f1, f2, bucket, x4,
-         quantile_cont(x4, 0.25) OVER wf AS q1,
-         quantile_cont(x4, 0.75) OVER wf AS q3,
-         count(x4) OVER wf AS n
-  FROM base
-  WINDOW wf AS (PARTITION BY f1, f2 ORDER BY bucket
-                ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
-),
-e AS (
-  SELECT f1, f2, bucket, x4, q1, q3,
-         CASE WHEN n = 60 THEN q1 - 1.5::DOUBLE * (q3 - q1) END AS lo,
-         CASE WHEN n = 60 THEN q3 + 1.5::DOUBLE * (q3 - q1) END AS hi
-  FROM c
-)
-SELECT f1, f2, bucket, x4 / 10000.0 AS total,
-       floor((q1 / 10000.0) * 10000 + 0.5) / 10000 AS q1,
-       floor((q3 / 10000.0) * 10000 + 0.5) / 10000 AS q3,
-       floor((lo / 10000.0) * 10000 + 0.5) / 10000 AS lo_fence,
-       floor((hi / 10000.0) * 10000 + 0.5) / 10000 AS hi_fence,
-       coalesce(CAST(x4 AS DOUBLE) < lo OR CAST(x4 AS DOUBLE) > hi, false) AS is_outlier
-FROM e
-"""
-
-    # MAD anomaly: n=60 -> middle 1-based positions 30/31; every median is
-    # (a+b)/2.0 over exact operands (dyadic-halves); 0.6745 is the same
-    # repr'd literal both engines; 3.5::DOUBLE (bare 3.5 parses DECIMAL)
-    o["fetch_mad_anomaly"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-c AS (
-  SELECT f1, f2, bucket, x4,
-         list(x4) OVER (PARTITION BY f1, f2 ORDER BY bucket
-                        ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS arr
-  FROM base
-),
-e AS (SELECT f1, f2, bucket, x4, len(arr) AS nn, list_sort(arr) AS s FROM c),
-m AS (SELECT *, CAST(s[30] + s[31] AS DOUBLE) / 2.0::DOUBLE AS med FROM e),
-d AS (SELECT *,
-             list_sort(list_transform(s, v -> abs(CAST(v AS DOUBLE) - med))) AS ds
-      FROM m),
-f AS (SELECT *, (ds[30] + ds[31]) / 2.0::DOUBLE AS mad FROM d),
-z AS (
-  SELECT *,
-         CASE WHEN nn = 60 AND mad > 0
-              THEN floor((CAST('0.6745' AS DOUBLE)
-                          * (CAST(x4 AS DOUBLE) - med) / mad) * 10000 + 0.5) / 10000
-         END AS zr
-  FROM f
-)
-SELECT f1, f2, bucket, x4 / 10000.0 AS total,
-       floor((CASE WHEN nn = 60 THEN med / 10000.0 END) * 10000 + 0.5) / 10000 AS baseline_median,
-       floor((CASE WHEN nn = 60 THEN mad / 10000.0 END) * 10000 + 0.5) / 10000 AS mad,
-       zr AS rzscore,
-       coalesce(abs(zr) >= 3.5::DOUBLE, false) AS is_anomaly
-FROM z
-"""
-
-    o["fetch_seasonal"] = f"""
-WITH base AS (
-  SELECT f1, f2, CAST((bucket // {RES}) % 1440 AS BIGINT) AS slot_of_period, total
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-)
-SELECT f1, f2, slot_of_period,
-       count(*) AS n_periods,
-       floor((sum(CAST(round(total * 10000) AS BIGINT)) / (10000.0 * count(total))) * 10000 + 0.5) / 10000 AS mean_total,
-       floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
-       floor((max(total)) * 10000 + 0.5) / 10000 AS max_total
-FROM base
-GROUP BY f1, f2, slot_of_period
-"""
-
-    o["histogram_quantile"] = f"""
-WITH b AS (
-  SELECT event_type, (epoch_ns(ts) // {24 * 3600 * SEC}) * {24 * 3600 * SEC} AS day,
-         CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
-              WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
-              WHEN value <= 100.0 THEN 100.0
-              ELSE CAST('infinity' AS DOUBLE) END AS le,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2, 3
-),
-w AS (
-  SELECT event_type, day, le, cnt,
-         sum(cnt) OVER (PARTITION BY event_type, day ORDER BY le) AS cum,
-         sum(cnt) OVER (PARTITION BY event_type, day) AS tot,
-         coalesce(lag(le) OVER (PARTITION BY event_type, day ORDER BY le), 0.0) AS prev_le
-  FROM b
-),
-sel AS (
-  SELECT event_type, day, le, cnt, tot, prev_le, cum - cnt AS prev_cum,
-         row_number() OVER (PARTITION BY event_type, day ORDER BY le ASC) AS rn
-  FROM w
-  WHERE tot > 0 AND CAST(cum AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE)
-    AND cnt > 0
-)
-SELECT event_type, day, CAST(tot AS BIGINT) AS n_obs,
-       floor((CASE WHEN isinf(le) THEN prev_le
-              ELSE prev_le + (le - prev_le)
-                   * (CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE) - CAST(prev_cum AS DOUBLE))
-                   / CAST(cnt AS DOUBLE) END) * 10000 + 0.5) / 10000 AS quantile
-FROM sel WHERE rn = 1
-"""
-
-    o["fetch_smooth"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-)
-SELECT f1, f2, bucket, total,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) OVER w
-              / (10000.0 * count(total) OVER w)) * 10000 + 0.5) / 10000 AS smoothed
-FROM base
-WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-"""
-
-    day_ns = 24 * 3600 * SEC
-    o["rollup_cascade"] = f"""
-WITH ev10 AS (
-  SELECT (epoch_ns(ts) // {10 * RES}) * {10 * RES} AS bucket,
-         event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-  FROM events
-  WHERE event_type = 'click'
-)
-SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
-       floor(((CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0)) * 10000 + 0.5) / 10000 AS total,
-       CAST(count(*) AS DOUBLE) AS cnt
-FROM ev10
-WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY 1, 2, 3, 4
-"""
-
-    # Same coarse aggregation as rollup_cascade plus the router's stamped
-    # grid: the week at max_points=2000 must land on the 10m tier.
-    o["fetch_routed"] = f"""
-WITH ev10 AS (
-  SELECT (epoch_ns(ts) // {10 * RES}) * {10 * RES} AS bucket,
-         event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
-  FROM events
-  WHERE event_type = 'click'
-)
-SELECT (bucket // {day_ns}) * {day_ns} AS epoch, f1, f2, bucket,
-       floor(((CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0)) * 10000 + 0.5) / 10000 AS total,
-       CAST(count(*) AS DOUBLE) AS cnt,
-       CAST({10 * RES} AS BIGINT) AS res_ns
-FROM ev10
-WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY 1, 2, 3, 4
-"""
-
-    o["fetch_topk_series"] = f"""
-WITH {_EV_CUBE}
-SELECT f1, f2,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS range_total,
-       sum(cnt) AS range_cnt
-FROM cube2
-WHERE f1 = 'click' AND bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY f1, f2
-ORDER BY range_total DESC, f1 ASC, f2 ASC
-LIMIT 10
-"""
-
-    o["fetch_binop"] = f"""
-WITH {_EV_CUBE}
-SELECT bucket,
-       sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS a_total,
-       sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS b_total,
-       (sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END)
-        - sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END)) / 10000.0 AS value
-FROM cube1
-WHERE f1 IN ('click', 'error') AND bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY bucket
-"""
-
-    o["fetch_ratio"] = f"""
-WITH {_EV_CUBE}
-SELECT bucket,
-       sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS num_total,
-       sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS den_total,
-       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) != 0
-              THEN sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END)
-                   / sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) END) * 10000 + 0.5) / 10000 AS ratio
-FROM cube1
-WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY bucket
-"""
-
-    o["fetch_ratio_wildcard"] = f"""
-WITH {_EV_CUBE}
-SELECT f2, bucket,
-       sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS num_total,
-       sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) / 10000.0 AS den_total,
-       floor((CASE WHEN sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) != 0
-              THEN sum(CASE WHEN f1 = 'error' THEN CAST(round((total) * 10000) AS BIGINT) END)
-                   / sum(CASE WHEN f1 = 'click' THEN CAST(round((total) * 10000) AS BIGINT) END) END) * 10000 + 0.5) / 10000 AS ratio
-FROM cube2
-WHERE f1 IN ('error', 'click') AND bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY f2, bucket
-"""
-
-    o["fetch_downsample"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, floor(total * 10000 + 0.5) / 10000 AS total, cnt
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-)
-SELECT f1, f2, bucket - bucket % {10 * RES} AS bucket,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
-       floor((sum(CAST(round((cnt) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS cnt,
-       floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
-       floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
-       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_observed
-FROM base
-GROUP BY f1, f2, 3
-"""
-
-    # mirror of series_alerts: scaled-long condition + integer
-    # gaps-and-islands (slot - per-series rank constant within a run)
-    o["fetch_alerts"] = f"""
-WITH base AS (
-  SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM ({_fetch_oracle("click", None, WEEK0, WEEK1, 1)}) t
-),
-br AS (
-  SELECT f1, bucket, t4, bucket // {RES} AS slot
-  FROM base WHERE t4 >= 100
-),
-r AS (
-  SELECT f1, bucket, t4,
-         slot - row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS run
-  FROM br
-)
-SELECT f1,
-       min(bucket) AS pending_start,
-       min(bucket) + {RES} AS firing_start,
-       max(bucket) + {RES} AS run_end,
-       CAST(count(*) AS BIGINT) AS n_slots,
-       max(t4) / 10000.0 AS peak
-FROM r GROUP BY f1, run
-HAVING count(*) >= 2
-"""
-
-    # the streaming drain's final alert state must equal the batch rule
-    # evaluation — same gaps-and-islands SQL as fetch_alerts
-    o["streaming_alerts"] = o["fetch_alerts"]
-
-    # engine-default-free mirror of series_stddev_over_time: population
-    # variance over the trailing window INCLUDING the current slot
-    o["fetch_stddev_window"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-st AS (
-  SELECT f1, f2, bucket, x4,
-         sum(x4)      OVER w AS s1,
-         sum(x4 * x4) OVER w AS s2,
-         min(x4)      OVER w AS m,
-         count(x4)    OVER w AS n
-  FROM base
-  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
-),
-v AS (
-  SELECT f1, f2, bucket, x4, n, s1,
-         (CAST(n AS DOUBLE) * CAST(s2 - 2 * m * s1 + n * m * m AS DOUBLE)
-          - CAST(s1 - n * m AS DOUBLE) * CAST(s1 - n * m AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var4
-  FROM st
-)
-SELECT f1, f2, bucket,
-       x4 / 10000.0 AS total,
-       CASE WHEN n = 12
-            THEN floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS win_mean,
-       CASE WHEN n = 12
-            THEN floor((var4 / 100000000.0) * 10000 + 0.5) / 10000 END AS win_stdvar,
-       CASE WHEN n = 12
-            THEN floor((sqrt(var4) / 10000.0) * 10000 + 0.5) / 10000 END AS win_stddev
-FROM v
-"""
-
-    # engine-default-free mirror of series_anomaly: exact long window sums
-    # (S1, S2) re-centered about the window minimum via exact long
-    # identities (flat -> exactly 0; conditioned on spread, not level),
-    # then ONE double expression — z = (x4 - S1/n)/sqrt(var4)
-    o["fetch_anomaly"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
-  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-st AS (
-  SELECT f1, f2, bucket, x4,
-         sum(x4)      OVER w AS s1,
-         sum(x4 * x4) OVER w AS s2,
-         min(x4)      OVER w AS m,
-         count(x4)    OVER w AS n
-  FROM base
-  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
-),
-v AS (
-  SELECT f1, f2, bucket, x4, n, s1,
-         (CAST(n AS DOUBLE) * CAST(s2 - 2 * m * s1 + n * m * m AS DOUBLE)
-          - CAST(s1 - n * m AS DOUBLE) * CAST(s1 - n * m AS DOUBLE))
-           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS var4
-  FROM st
-),
-z AS (
-  SELECT f1, f2, bucket,
-         x4 / 10000.0 AS total,
-         CASE WHEN n = 12
-              THEN floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000 END AS baseline_mean,
-         CASE WHEN n = 12 AND var4 > 0
-              THEN floor(((CAST(x4 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt(var4)) * 10000 + 0.5) / 10000 END AS zscore
-  FROM v
-)
-SELECT f1, f2, bucket, total, baseline_mean, zscore,
-       coalesce(abs(zscore) >= 2.0, false) AS is_anomaly
-FROM z
-"""
-
-    o["fetch_interpolate"] = f"""
-WITH base AS (
-  SELECT f1, f2, bucket, total, cnt FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
-),
-anch AS (
-  SELECT f1, f2, bucket, cnt, total,
-         last_value(CASE WHEN cnt > 0 THEN bucket END IGNORE NULLS)
-           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
-         last_value(CASE WHEN cnt > 0 THEN total END IGNORE NULLS)
-           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-         first_value(CASE WHEN cnt > 0 THEN bucket END IGNORE NULLS)
-           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
-         first_value(CASE WHEN cnt > 0 THEN total END IGNORE NULLS)
-           OVER (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
-  FROM base
-)
-SELECT f1, f2, bucket, cnt,
-       floor((total) * 10000 + 0.5) / 10000 AS total,
-       floor((CASE WHEN cnt > 0 THEN total
-                   WHEN pb IS NOT NULL AND nb IS NOT NULL
-                        THEN pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
-                   ELSE total END) * 10000 + 0.5) / 10000 AS interpolated,
-       (cnt = 0) AS was_gap
-FROM anch
-"""
-    b = T0 + 3600 * SEC
-    o["fetch_boundary"] = _fetch_oracle("click", "*", b - RES, b + RES, 2)
-
-    o["q1_pricing_summary"] = """
-SELECT l_returnflag, l_linestatus,
-       floor((sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_qty,
-       floor((sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_base_price,
-       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS sum_disc_price,
-       floor((sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / 1000000.0) * 10000 + 0.5) / 10000 AS sum_charge,
-       floor((sum(CAST(round(l_quantity * 10000) AS BIGINT))
-              / (10000.0 * count(l_quantity))) * 10000 + 0.5) / 10000 AS avg_qty,
-       floor((sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-              / (10000.0 * count(l_extendedprice))) * 10000 + 0.5) / 10000 AS avg_price,
-       floor((sum(CAST(round(l_discount * 10000) AS BIGINT))
-              / (10000.0 * count(l_discount))) * 10000 + 0.5) / 10000 AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-    o["q3_top_revenue_orders"] = """
-SELECT o_orderkey,
-       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       strftime(any_value(o_orderdate), '%Y-%m-%d') AS orderdate
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY o_orderkey
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
-"""
-
-    o["q5_local_supplier_volume"] = """
-SELECT n_name,
-       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY n_name
-"""
-
-    o["semi_join"] = """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-"""
-
-    o["anti_join"] = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01')
-"""
-
-    day1 = T0 + 24 * 3600 * SEC
-    o["set_ops"] = f"""
-WITH d1 AS (SELECT user_id, event_type FROM events
-            WHERE epoch_ns(ts) >= {T0} AND epoch_ns(ts) < {day1})
-(SELECT user_id FROM d1 WHERE event_type = 'click'
- INTERSECT
- SELECT user_id FROM d1 WHERE event_type = 'purchase')
-EXCEPT
-SELECT user_id FROM d1 WHERE event_type = 'error'
-"""
-
-    o["topk_users"] = """
-SELECT user_id,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
-       count(*) AS n_events
-FROM events GROUP BY user_id
-ORDER BY total_value DESC, user_id ASC LIMIT 20
-"""
-
-    day_ns = 24 * 3600 * SEC
-    o["window_daily_running"] = f"""
-WITH daily AS (
-  SELECT user_id, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
-         sum(CAST(round((value) * 10000) AS BIGINT)) AS dv4
-  FROM events GROUP BY 1, 2
-)
-SELECT user_id, day, dv4 / 10000.0 AS day_value,
-       sum(dv4) OVER (PARTITION BY user_id ORDER BY day) / 10000.0 AS running_value,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS day_rank
-FROM daily
-"""
-
-    # Tolerance oracle: the GK percentile sketch must land inside the exact
-    # [p45, p55] value band (flag computed Spark-side, pinned TRUE here).
-    o["approx_quantile"] = """
-SELECT l_returnflag,
-       floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50_exact,
-       TRUE AS within_band
-FROM lineitem GROUP BY l_returnflag
-"""
-
-    # Tolerance oracle: asserts the HLL++ estimate landed within 3*rsd of the
-    # exact count (the flag is computed Spark-side; the oracle pins it TRUE).
-    o["approx_distinct"] = """
-SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS within_tol
-FROM events GROUP BY event_type
-"""
-
-    o["distinct_users"] = """
-SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, count(*) AS n_events
-FROM events GROUP BY event_type
-"""
-
-    o["rollup_revenue"] = """
-SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       count(*) AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-"""
-
-    o["asof_join"] = f"""
-WITH tl AS (
-  SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type,
-         max(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
-           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
-  FROM events WHERE event_type IN ('purchase', 'view')
-)
-SELECT event_id, user_id, ts, last_view_ts,
-       CAST((ts - last_view_ts) // {SEC} AS BIGINT) AS gap_s
-FROM tl WHERE event_type = 'purchase'
-"""
-
-    o["json_extract"] = """
-SELECT event_type,
-       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-       floor((sum(json_extract(props, '$.k')::BIGINT)
-              / count(json_extract(props, '$.k')::BIGINT)) * 10000 + 0.5) / 10000 AS avg_k,
-       max(json_extract(props, '$.k')::BIGINT) AS max_k
-FROM events GROUP BY event_type
-"""
-
-    gap_ns = 30 * 60 * SEC
-    o["sessionize"] = f"""
-WITH t AS (
-  SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events
-),
-flagged AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {gap_ns}
-              THEN 1 ELSE 0 END AS new_f
-  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts,
-         CAST(sum(new_f) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-  FROM flagged
-)
-SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start,
-       CAST((max(ts) - min(ts)) // {SEC} AS BIGINT) AS duration_s
-FROM sess GROUP BY user_id, session_id
-"""
-
-    o["percentiles"] = """
-SELECT l_returnflag,
-       floor((quantile_cont(l_extendedprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
-       floor((quantile_cont(l_extendedprice, 0.50)) * 10000 + 0.5) / 10000 AS p50,
-       floor((quantile_cont(l_extendedprice, 0.75)) * 10000 + 0.5) / 10000 AS p75,
-       count(*) AS n
-FROM lineitem GROUP BY l_returnflag
-"""
-
-    o["date_extract"] = """
-SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-       CAST(month(o_orderdate) AS BIGINT) AS mo,
-       count(*) AS n_orders,
-       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       min(o_orderkey) AS first_orderkey
-FROM orders GROUP BY 1, 2
-"""
-
-    o["topk_per_group"] = """
-WITH per AS (
-  SELECT event_type, user_id, sum(CAST(round((value) * 10000) AS BIGINT)) AS v4
-  FROM events GROUP BY event_type, user_id
-),
-ranked AS (
-  SELECT event_type, user_id, v4,
-         row_number() OVER (PARTITION BY event_type ORDER BY v4 DESC, user_id ASC) AS rnk
-  FROM per
-)
-SELECT event_type, user_id, CAST(rnk AS BIGINT) AS rnk,
-       v4 / 10000.0 AS total_value
-FROM ranked WHERE rnk <= 3
-"""
-
-    o["null_semantics"] = """
-WITH d AS (
-  SELECT event_type,
-         nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 0) AS n
-  FROM events
-)
-SELECT event_type,
-       count(*) AS n_rows,
-       count(n) AS n_nonnull,
-       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       CAST(sum(coalesce(n, -1)) AS BIGINT) AS sum_coalesced,
-       CAST(sum(CASE WHEN n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
-FROM d GROUP BY event_type
-"""
-
-    o["q6_selective_scan"] = """
-SELECT floor((sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       count(*) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
-"""
-
-    o["q14_promo_ratio"] = """
-SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
-                               THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
-                               ELSE 0 END)
-              / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))) * 10000 + 0.5) / 10000 AS promo_pct,
-       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS total_revenue,
-       count(*) AS n_rows
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
-"""
-
-    o["q18_large_orders"] = """
-WITH big AS (
-  SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
-  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
-)
-SELECT c_name, c_custkey, o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice,
-       floor(sq * 10000 + 0.5) / 10000 AS sum_qty
-FROM big JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
-"""
-
-    o["q19_disjunctive"] = """
-SELECT floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       count(*) AS n_rows
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
-"""
-
-    o["q7_nation_volume"] = """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       CAST(year(l_shipdate) AS BIGINT) AS yr,
-       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       count(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n1 ON s_nationkey = n1.n_nationkey
-JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
-GROUP BY 1, 2, 3
-"""
-
-    o["q10_returned_items"] = """
-SELECT c_custkey, c_name,
-       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue,
-       floor(c_acctbal * 10000 + 0.5) / 10000 AS acctbal,
-       n_name
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) DESC, c_custkey ASC
-LIMIT 20
-"""
-
-    o["q8_market_share"] = """
-SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-       floor((sum(CASE WHEN n2.n_name = 'NATION_3'
-                       THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
-                       ELSE 0 END)
-              / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))) * 10000 + 0.5) / 10000 AS mkt_share,
-       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS total_vol
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n1 ON c_nationkey = n1.n_nationkey
-JOIN region ON n1.n_regionkey = r_regionkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation n2 ON s_nationkey = n2.n_nationkey
-WHERE p_type = 'PROMO' AND r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY 1
-"""
-
-    o["q13_order_distribution"] = """
-WITH per_cust AS (
-  SELECT c_custkey, count(o_orderkey) AS c_count
-  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-  GROUP BY c_custkey
-)
-SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
-"""
-
-    o["q15_top_supplier"] = """
-WITH rev AS (
-  SELECT l_suppkey,
-         floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_rev
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, total_rev
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-WHERE total_rev = (SELECT max(total_rev) FROM rev)
-"""
-
-    o["q17_small_quantity"] = """
-WITH lp AS (
-  SELECT l_partkey, l_quantity, l_extendedprice
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#23'
-),
-thresh AS (
-  SELECT l_partkey AS ak,
-         floor((sum(CAST(round(l_quantity * 10000) AS BIGINT))
-                / (10000.0 * count(l_quantity)) * 0.2) * 10000 + 0.5) / 10000 AS q_thresh
-  FROM lp GROUP BY l_partkey
-)
-SELECT floor((sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 70000.0) * 10000 + 0.5) / 10000 AS avg_yearly
-FROM lp JOIN thresh ON l_partkey = ak
-WHERE l_quantity < q_thresh
-"""
-
-    o["q22_waiting_customers"] = """
-WITH ab AS (
-  SELECT floor((sum(CAST(round(c_acctbal * 10000) AS BIGINT))
-                / (10000.0 * count(c_acctbal))) * 10000 + 0.5) / 10000 AS ab
-  FROM customer WHERE c_acctbal > 0.0
-)
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS numcust,
-       floor((sum(CAST(round((c_acctbal) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS totacctbal
-FROM customer, ab
-WHERE c_acctbal > ab
-  AND NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '1999-01-01')
-GROUP BY 1
-"""
-
-    o["q2_min_cost_supplier"] = """
-WITH cost AS (
-  SELECT p_partkey, l_suppkey,
-         floor((min(l_extendedprice / l_quantity)) * 10000 + 0.5) / 10000 AS unit_cost
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
-  GROUP BY p_partkey, l_suppkey
-)
-SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
-FROM cost c
-JOIN supplier ON c.l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-WHERE unit_cost = (SELECT min(unit_cost) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-LIMIT 100
-"""
-
-    o["q4_order_priority"] = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders o
-WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND CAST(epoch_us(l.l_shipdate) AS BIGINT)
-                    - CAST(epoch_us(o.o_orderdate) AS BIGINT) >= 30 * 86400000000)
-GROUP BY o_orderpriority
-"""
-
-    o["q9_product_profit"] = """
-SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       floor((sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity)
-                             * 10000) AS BIGINT)) / 10000.0)
-             * 10000 + 0.5) / 10000 AS sum_profit
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN orders ON l_orderkey = o_orderkey
-WHERE p_name LIKE '%gear%'
-GROUP BY n_name, year(o_orderdate)
-"""
-
-    o["q11_important_stock"] = """
-WITH per AS (
-  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS _cents
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
-  GROUP BY l_partkey
-)
-SELECT l_partkey, _cents / 100.0 AS value
-FROM per
-WHERE _cents * 1000 > (SELECT sum(_cents) FROM per)
-"""
-
-    o["q12_shipmode"] = """
-SELECT CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) - CAST(epoch_us(o_orderdate) AS BIGINT)
-                 > 90 * 86400000000 THEN 'SLOW'
-            WHEN CAST(epoch_us(l_shipdate) AS BIGINT) - CAST(epoch_us(o_orderdate) AS BIGINT)
-                 > 30 * 86400000000 THEN 'MEDIUM'
-            ELSE 'FAST' END AS ship_class,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-GROUP BY 1
-"""
-
-    o["q16_supplier_relation"] = """
-SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
-  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY p_brand, p_type, p_size
-"""
-
-    o["q20_potential_promotion"] = """
-WITH per AS (
-  SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_name LIKE 'small %'
-    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-  GROUP BY l_suppkey
-)
-SELECT s_name, n_name, sum_qty
-FROM per
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-WHERE 2 * sum_qty * (SELECT count(*) FROM per) > 3 * (SELECT sum(sum_qty) FROM per)
-"""
-
-    o["q21_waiting_suppliers"] = """
-WITH late AS (
-  SELECT l_orderkey, l_suppkey
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE o_orderstatus = 'F'
-    AND CAST(epoch_us(l_shipdate) AS BIGINT)
-        - CAST(epoch_us(o_orderdate) AS BIGINT) >= 60 * 86400000000
-)
-SELECT s_name, count(*) AS numwait
-FROM late l1
-JOIN supplier ON l1.l_suppkey = s_suppkey
-WHERE EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM late l3
-                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
-GROUP BY s_name
-ORDER BY numwait DESC, s_name ASC
-LIMIT 20
-"""
-
-    o["correlated_subquery"] = """
-SELECT o_orderkey, o_custkey,
-       floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
-FROM orders o
-WHERE o_totalprice > 1.5 * (
-    SELECT sum(CAST(round(o2.o_totalprice * 10000) AS BIGINT))
-           / (10000.0 * count(o2.o_totalprice))
-    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-"""
-
-    o["grouping_sets_mixed"] = """
-SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
-       count(*) AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY GROUPING SETS ((r_name), (n_name), ())
-"""
-
-    o["exists_subquery"] = """
-SELECT o_orderpriority, count(*) AS n_orders
-FROM orders o
-WHERE EXISTS (
-    SELECT 1 FROM lineitem l
-    WHERE l.l_orderkey = o.o_orderkey
-      AND CAST(epoch_us(l.l_shipdate) AS BIGINT)
-          - CAST(epoch_us(o.o_orderdate) AS BIGINT) > 60 * 86400000000)
-GROUP BY o_orderpriority
-"""
-
-    week_ns = 7 * 24 * 3600 * SEC
-    o["cube_grouping"] = f"""
-SELECT coalesce(event_type, 'ALL') AS event_type,
-       coalesce(dow, -1) AS dow,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
-       count(*) AS n_events
-FROM (SELECT event_type, (epoch_ns(ts) % {week_ns}) // {day_ns} AS dow, value FROM events)
-GROUP BY CUBE (event_type, dow)
-"""
-
-    _pv = ",\n       ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN CAST(round((value) * 10000) AS BIGINT) END)"
-        f" / 10000.0 AS {t}"
-        for t in ["click", "error", "purchase", "signup", "view"]
-    )
-    o["pivot_event_matrix"] = f"""
-SELECT (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
-       {_pv}
-FROM events GROUP BY 1
-"""
-
-    o["window_frames"] = f"""
-WITH daily AS (
-  SELECT event_type, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
-         sum(CAST(round((value) * 10000) AS BIGINT)) AS dv4
-  FROM events GROUP BY 1, 2
-)
-SELECT event_type, day,
-       dv4 / 10000.0 AS day_value,
-       floor((sum(dv4) OVER wma / (10000.0 * count(dv4) OVER wma)) * 10000 + 0.5) / 10000 AS ma3,
-       (dv4 - lag(dv4, 1, 0) OVER w) / 10000.0 AS delta_prev,
-       lead(dv4, 1, 0) OVER w / 10000.0 AS next_value,
-       CAST(ntile(4) OVER w AS BIGINT) AS quartile
-FROM daily
-WINDOW w AS (PARTITION BY event_type ORDER BY day),
-       wma AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-"""
-
-    o["explode_tokens"] = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id < 50)
-SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token FROM t
-"""
-
-    o["array_collect"] = """
-WITH per_user AS (
-  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
-  FROM events GROUP BY user_id
-)
-SELECT user_id,
-       array_to_string(types, ',') AS types_csv,
-       CAST(len(types) AS BIGINT) AS n_types,
-       types[1] AS first_type,
-       list_contains(types, 'purchase') AS has_purchase
-FROM per_user
-"""
-
-    o["string_funcs"] = """
-SELECT c_custkey,
-       upper(c_name) AS name_upper,
-       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
-       substr(c_mktsegment, 1, 3) AS seg3,
-       translate(c_name, '0123456789', '##########') AS masked,
-       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
-       CAST(length(c_name) AS BIGINT) AS name_len,
-       lower(c_mktsegment) || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
-FROM customer
-"""
-
-    o["range_join_counts"] = f"""
-WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events),
-err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
-clk AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
-SELECT e.event_id, e.user_id,
-       CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
-FROM err e LEFT JOIN clk c
-  ON e.user_id = c.user_id
- AND c.ts >= e.ts - {5 * 60 * SEC} AND c.ts < e.ts
-GROUP BY e.event_id, e.user_id
-"""
-
-    # Source round-trips: the oracle reads the ORIGINAL parquet — any value
-    # drift introduced by the JSON/CSV writer+reader fails the hash.
-    _src_agg_sql = """
-SELECT event_type, count(*) AS n_events,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
-       min(event_id) AS first_event
-FROM events GROUP BY event_type
-"""
-    o["json_source_agg"] = _src_agg_sql
-    o["csv_source_agg"] = _src_agg_sql
-    o["orc_source_agg"] = _src_agg_sql
-
-    # Tolerance oracle (approx_distinct pattern): exact values + a flag the
-    # sketch estimate must satisfy; the oracle asserts the flag TRUE.
-    # Recursive replay of next-fit decreasing: rn orders each shard's docs
-    # (tokens DESC, id ASC); the recursion threads (bin_idx, used) through
-    # rn+1 joins — linear per shard, parallel across shards.
-    o["pack_nosplit"] = f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, doc_id % 8 AS shard, CAST(len({_TOKENS}) AS BIGINT) AS n_tok
-  FROM documents
-),
-f AS (
-  SELECT doc_id, shard, n_tok,
-         CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id ASC) AS BIGINT) AS rn
-  FROM t WHERE n_tok > 0 AND n_tok <= 512
-),
-r AS (
-  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_idx, n_tok AS used
-  FROM f WHERE rn = 1
-  UNION ALL
-  SELECT f.shard, f.rn, f.doc_id, f.n_tok,
-         CASE WHEN r.used + f.n_tok <= 512 THEN r.bin_idx ELSE r.bin_idx + 1 END,
-         CASE WHEN r.used + f.n_tok <= 512 THEN r.used + f.n_tok ELSE f.n_tok END
-  FROM r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1
-)
-SELECT CAST(shard AS BIGINT) AS shard, bin_idx,
-       count(*) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       CAST(512 - sum(n_tok) AS BIGINT) AS padding
-FROM r GROUP BY shard, bin_idx
-"""
-
-    # Direct computation at the same ladder — equality with the Spark
-    # side's day->type merge path proves the histogram merge is lossless.
-    o["histogram_rollup_merge"] = """
-WITH b AS (
-  SELECT event_type,
-         CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
-              WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
-              WHEN value <= 100.0 THEN 100.0
-              ELSE CAST('infinity' AS DOUBLE) END AS le,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
-),
-w AS (
-  SELECT event_type, le, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS cum,
-         sum(cnt) OVER (PARTITION BY event_type) AS tot,
-         coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le), 0.0) AS prev_le
-  FROM b
-),
-sel AS (
-  SELECT event_type, le, cnt, tot, prev_le, cum - cnt AS prev_cum,
-         row_number() OVER (PARTITION BY event_type ORDER BY le ASC) AS rn
-  FROM w
-  WHERE tot > 0 AND CAST(cum AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE)
-    AND cnt > 0
-)
-SELECT event_type, CAST(tot AS BIGINT) AS n_obs,
-       floor((CASE WHEN isinf(le) THEN prev_le
-              ELSE prev_le + (le - prev_le)
-                   * (CAST(0.9 AS DOUBLE) * CAST(tot AS DOUBLE) - CAST(prev_cum AS DOUBLE))
-                   / CAST(cnt AS DOUBLE) END) * 10000 + 0.5) / 10000 AS quantile
-FROM sel WHERE rn = 1
-"""
-
-    o["heavy_hitters"] = """
-WITH n AS (SELECT count(*) AS c FROM events)
-SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
-       floor((count(*) / (SELECT CAST(c AS DOUBLE) FROM n)) * 10000 + 0.5) / 10000 AS frac
-FROM events GROUP BY user_id
-HAVING count(*) > (SELECT CAST(floor(c * 0.001953125) AS BIGINT) FROM n)
-"""
-
-    # gram heavy hitters: same GROUP BY/HAVING truth over exploded grams;
-    # 1/1024 is dyadic (exact floor in any engine)
-    o["ngram_heavy_hitters"] = f"""
-WITH g AS (SELECT unnest(x) AS gram
-           FROM (SELECT list_transform(range(1, greatest(len(toks), 1)),
-                        i -> array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 1], ' ')) AS x
-                 FROM (SELECT {_TOKENS} AS toks FROM documents)
-                 WHERE len(toks) >= 2)),
-n AS (SELECT count(*) AS c FROM g)
-SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
-       floor((count(*) / (SELECT CAST(c AS DOUBLE) FROM n)) * 10000 + 0.5) / 10000 AS frac
-FROM g GROUP BY gram
-HAVING count(*) > (SELECT CAST(floor(c * 0.0009765625) AS BIGINT) FROM n)
-"""
-
-    o["hll_distinct_rollup"] = """
-SELECT event_type,
-       count(DISTINCT user_id) AS exact_users,
-       count(DISTINCT (epoch_ns(ts) // 86400000000000)) AS n_days,
-       true AS within_tol
-FROM events
-GROUP BY event_type
-"""
-
-    # Layout change only — values must round-trip bit-exactly.
-    o["zorder_layout"] = """
-SELECT event_type, count(*) AS n_events,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value
-FROM events GROUP BY event_type
-"""
-
-    # Bucketed re-layout is content-preserving: oracle joins the originals.
-    o["bucketed_join"] = """
-SELECT c_mktsegment, count(*) AS n_orders,
-       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_price
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-    # Concat-and-chunk packing: shard-partitioned cumsum offsets, chunk ids
-    # by integer division, per-chunk token accounting via interval overlap —
-    # the WHERE filters zero-token docs BEFORE the window, like the Spark
-    # side (functions/packing.py).
-    o["pack_sequences"] = f"""
-WITH t AS (
-  SELECT doc_id, doc_id % 8 AS shard,
-         CAST(len({_TOKENS}) AS BIGINT) AS n_tok
-  FROM documents
-),
-c AS (
-  SELECT doc_id, shard, n_tok,
-         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
-  FROM t WHERE n_tok > 0
-),
-e AS (
-  SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off, end_off,
-         unnest(generate_series(CAST((end_off - n_tok) // 512 AS BIGINT),
-                                CAST((end_off - 1) // 512 AS BIGINT))) AS chunk_id
-  FROM c
-)
-SELECT CAST(shard AS BIGINT) AS shard, chunk_id,
-       count(*) AS n_docs,
-       CAST(sum(least(end_off, (chunk_id + 1) * 512)
-                - greatest(start_off, chunk_id * 512)) AS BIGINT) AS n_tokens,
-       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM e GROUP BY shard, chunk_id
-"""
-
-    # Split boundaries partition [0, 10000) in SORTED split-name order
-    # (test < 500, train < 9500, val = rest) — sampling.split_assign.
-    o["dataset_split"] = """
-WITH b AS (
-  SELECT doc_id, n_chars,
-         CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
-  FROM documents)
-SELECT CASE WHEN bucket < 500 THEN 'test'
-            WHEN bucket < 9500 THEN 'train'
-            ELSE 'val' END AS split,
-       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM b GROUP BY 1
-"""
-
-    # Hash-rank quota sample: same 60-bit key family as corpus_shuffle,
-    # salt 'spg' (sampling.sample_per_group).
-    o["sample_per_source"] = """
-WITH r AS (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY CAST(('0x' || substr(md5('spg' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
-                    doc_id
-         ) AS rn
-  FROM documents)
-SELECT doc_id, source FROM r WHERE rn <= 5
-"""
-
-    # Same 60-bit md5 key arithmetic as sampling.shuffle_key_expr (15 hex
-    # chars: 16 would overflow signed int64).
-    o["corpus_shuffle"] = """
-WITH k AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
-  FROM documents
-)
-SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
-       CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
-FROM k
-"""
-
-    o["shard_writer"] = """
-WITH k AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
-  FROM documents
-)
-SELECT CAST(skey % 8 AS BIGINT) AS shard, count(*) AS n_rows
-FROM k GROUP BY 1
-"""
-
-    o["skew_salted_agg"] = """
-SELECT event_type,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
-       count(*) AS cnt
-FROM events GROUP BY event_type
-"""
-
-    o["skew_salted_join"] = """
-SELECT c_mktsegment,
-       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
-       count(*) AS n_events
-FROM events JOIN customer ON user_id = c_custkey
-GROUP BY c_mktsegment
-"""
-
-    # ---- text ----
-    o["text_token_stats"] = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks, text FROM documents)
-SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
-       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subwords,
-       floor((CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS avg_token_len
-FROM t
-"""
-
-    score_exprs = ", ".join(
-        f"CAST(len(list_intersect(toks, {TX.LANG_MARKERS[c]!r})) AS BIGINT) AS score_{c}"
-        for c in TX.LANG_PRIORITY
-    )
-    mx = "greatest(" + ", ".join(f"score_{c}" for c in TX.LANG_PRIORITY) + ")"
-    o["text_language_id"] = f"""
-WITH t AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents),
-s AS (SELECT doc_id, {score_exprs} FROM t),
-m AS (SELECT *, {mx} AS mx FROM s)
-SELECT doc_id, {_lang_case()} AS lang_pred,
-       score_en, score_de, score_es, score_fr
-FROM m
-"""
-
-    stop = TX.EN_STOPWORDS
-    o["text_quality"] = f"""
-WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
-c AS (
-  SELECT doc_id,
-         len(toks) AS n,
-         CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE)
-           / greatest(len(toks), 1) AS stop_ratio,
-         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS uniq_ratio,
-         CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / greatest(len(text), 1) AS alpha_ratio,
-         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score
-  FROM t
-)
-SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       floor((stop_ratio) * 10000 + 0.5) / 10000 AS stopword_ratio,
-       floor((uniq_ratio) * 10000 + 0.5) / 10000 AS unique_ratio,
-       floor((alpha_ratio) * 10000 + 0.5) / 10000 AS alpha_ratio,
-       floor((0.25 * len_score + 0.25 * uniq_ratio + 0.25 * alpha_ratio
-             + 0.25 * least(stop_ratio * 5.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
-FROM c
-"""
-
-    o["text_fingerprint"] = f"""
-SELECT doc_id, md5({_DOC_NORM}) AS fp FROM documents
-"""
-
-    # Word 5-grams as a DuckDB list comprehension over the shared token
-    # fragment; docs with < 5 tokens yield an empty gram list (mirrors
-    # word_ngrams_expr's short-doc guard).
-    _GRAMS5 = (
-        "[array_to_string(toks[i : i + 4], ' ') for i in range(1, greatest(len(toks) - 3, 1))]"
-    )
-    o["text_decontaminate"] = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
-g AS (SELECT DISTINCT doc_id, unnest({_GRAMS5}) AS gram FROM t),
-b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
-SELECT g.doc_id, count(*) AS n_hits
-FROM g JOIN b USING (gram) GROUP BY g.doc_id
-"""
-
-    # The Bloom probe is a pure prefilter (false positives die in the exact
-    # verify join), so the bloom entry's truth IS the exact operator's.
-    o["decontaminate_bloom"] = o["text_decontaminate"]
-
-    # decontaminate_spans mirror: positioned grams -> hit word ranges ->
-    # every overlapped 10-word span dropped -> ordered reconstruction;
-    # all docs visible (fully-dirty/token-less -> '')
-    o["text_decontaminate_spans"] = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
-b AS (SELECT DISTINCT gram
-      FROM (SELECT unnest({_GRAMS5}) AS gram FROM t WHERE doc_id % 50 = 0)),
-g AS (
-  SELECT doc_id, pr.p - 1 AS gidx, pr.g AS gram
-  FROM (SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - 3),
-                      i -> {{'p': i, 'g': array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 4], ' ')}})) AS pr
-        FROM t WHERE len(toks) >= 5)
-),
-hits AS (SELECT DISTINCT doc_id, gidx FROM g JOIN b USING (gram)),
-dirty AS (
-  SELECT DISTINCT doc_id,
-         unnest(range(gidx // 10, (gidx + 4) // 10 + 1)) AS span_idx
-  FROM hits
-),
-spans AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
-         array_to_string(toks[CAST(i * 10 + 1 AS INT) : CAST(i * 10 + 10 AS INT)], ' ') AS span
-  FROM (SELECT doc_id, toks,
-               unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
-        FROM t WHERE len(toks) > 0)
-),
-agg AS (
-  SELECT s.doc_id,
-         string_agg(CASE WHEN d.span_idx IS NULL THEN s.span END, ' ' ORDER BY s.span_idx) AS text,
-         CAST(count(CASE WHEN d.span_idx IS NULL THEN 1 END) AS BIGINT) AS n_spans_kept,
-         CAST(count(d.span_idx) AS BIGINT) AS n_spans_removed
-  FROM spans s LEFT JOIN dirty d USING (doc_id, span_idx)
-  GROUP BY s.doc_id
-)
-SELECT doc_id,
-       coalesce(text, '') AS text,
-       coalesce(n_spans_kept, 0) AS n_spans_kept,
-       coalesce(n_spans_removed, 0) AS n_spans_removed
-FROM (SELECT DISTINCT doc_id FROM documents) LEFT JOIN agg USING (doc_id)
-"""
-
-    o["text_repetition"] = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
-base AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         CASE WHEN len(toks) > 0
-              THEN floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000
-              ELSE 0.0 END AS dup_token_frac,
-         CASE WHEN len(g) > 0
-              THEN floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000 + 0.5) / 10000
-              ELSE 0.0 END AS dup_bigram_frac
-  FROM (SELECT doc_id, toks,
-               [array_to_string(toks[i : i + 1], ' ') for i in range(1, greatest(len(toks), 1))] AS g
-        FROM t)
-),
-cnt AS (SELECT doc_id, tok, count(*) AS c
-        FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
-top AS (SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS top_token_frac
-        FROM cnt GROUP BY doc_id)
-SELECT base.doc_id, n_tokens, dup_token_frac,
-       coalesce(top_token_frac, 0.0) AS top_token_frac, dup_bigram_frac
-FROM base LEFT JOIN top USING (doc_id)
-"""
-
-    # Corpus span dedup: a span survives only at its globally-first
-    # (doc_id, span_idx); docs rebuilt from survivors in span order.
-    o["text_span_dedup"] = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-spans AS (
-  SELECT doc_id, CAST(i AS INT) AS span_idx,
-         array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS span
-  FROM toks, unnest(range(CAST(ceil(len(tk)/10.0) AS BIGINT))) AS t(i)
-),
-ranked AS (
-  SELECT doc_id, span_idx, span,
-         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
-  FROM spans
-)
-SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
-       count(*) AS n_spans_kept
-FROM ranked WHERE rn = 1 GROUP BY doc_id
-"""
-
-    o["text_chunk"] = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-c AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-         tk[(i*12+1):(i*12+16)] AS w
-  FROM toks, unnest(range(CAST(greatest(1, ceil(len(tk)/12.0)) AS BIGINT))) AS t(i)
-  WHERE i*12 < len(tk) AND (i = 0 OR (i-1)*12 + 16 < len(tk))
-)
-SELECT doc_id, chunk_idx, array_to_string(w, ' ') AS chunk,
-       CAST(len(w) AS BIGINT) AS n_tokens
-FROM c
-"""
-
-    o["rag_hashed_retrieval"] = """
-WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id >= 10),
-chunks AS (
-  SELECT doc_id*1000 + CAST(i AS BIGINT) AS vec_id,
-         array_to_string(tk[(i*12+1):(i*12+16)], ' ') AS chunk
-  FROM toks0, unnest(range(CAST(greatest(1, ceil(len(tk)/12.0)) AS BIGINT))) AS t(i)
-  WHERE i*12 < len(tk) AND (i = 0 OR (i-1)*12 + 16 < len(tk))
-),
-cb AS (
-  SELECT vec_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
-         CAST(count(*) AS DOUBLE) AS c
-  FROM (SELECT vec_id, unnest(string_split(lower(chunk), ' ')) AS tok FROM chunks)
-  WHERE tok <> '' GROUP BY 1, 2
-),
-qb AS (
-  SELECT doc_id AS query_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
-         CAST(count(*) AS DOUBLE) AS c
-  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        FROM documents WHERE doc_id < 3)
-  WHERE tok <> '' GROUP BY 1, 2
-),
-cn AS (SELECT vec_id, sqrt(sum(c*c)) AS n FROM cb GROUP BY vec_id),
-qn AS (SELECT query_id, sqrt(sum(c*c)) AS n FROM qb GROUP BY query_id),
-dots AS (
-  SELECT q.query_id, v.vec_id, sum(q.c * v.c) AS d
-  FROM qb q JOIN cb v ON q.b = v.b GROUP BY 1, 2
-),
-allpairs AS (
-  SELECT q.query_id, v.vec_id
-  FROM (SELECT DISTINCT query_id FROM qb) q CROSS JOIN (SELECT DISTINCT vec_id FROM cb) v
-),
-cosd AS (
-  SELECT a.query_id, a.vec_id,
-         floor((COALESCE(d.d, 0) / (qn.n * cn.n)) * 10000 + 0.5) / 10000 AS cosine
-  FROM allpairs a
-  LEFT JOIN dots d ON a.query_id = d.query_id AND a.vec_id = d.vec_id
-  JOIN qn ON a.query_id = qn.query_id JOIN cn ON a.vec_id = cn.vec_id
-)
-SELECT query_id, vec_id,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
-       cosine
-FROM cosd
-QUALIFY rank <= 5
-"""
-
-    o["text_boilerplate"] = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-spans AS (
-  SELECT doc_id, CAST(i AS INT) AS span_idx,
-         array_to_string(tk[(i*3+1):(i*3+3)], ' ') AS span
-  FROM toks, unnest(range(CAST(ceil(len(tk)/3.0) AS BIGINT))) AS t(i)
-),
-f AS (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
-SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text,
-       count(*) AS n_spans_kept
-FROM spans JOIN f USING (span)
-WHERE f.nd < 2 GROUP BY doc_id
-"""
-
-    o["pii_redact"] = """
-WITH salted AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 000 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
-         AS text
-  FROM documents),
-r AS (
-  SELECT doc_id, text AS t0,
-         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-  FROM salted),
-r2 AS (SELECT *, regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,14}[0-9]', '<PHONE>', 'g') AS t2 FROM r),
-r3 AS (SELECT *, regexp_replace(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS t3 FROM r2)
-SELECT doc_id, t3 AS redacted,
-       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{6,14}[0-9]')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
-FROM r3
-"""
-
-    o["mixture_sample"] = """
-WITH b AS (
-  SELECT doc_id, source,
-         CAST(('0x' || substr(md5('kdb' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
-  FROM documents)
-SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM b
-WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
-                           WHEN 'src2' THEN 2500 ELSE 0 END
-GROUP BY source
-"""
-
-    o["text_vocab"] = f"""
-WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
-SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, count(*) AS coll_freq
-FROM t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 50
-"""
-
-    o["text_tfidf"] = f"""
-WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
-dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
-tf AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE doc_id < 20 GROUP BY 1, 2),
-scored AS (
-  SELECT tf.doc_id, tf.token,
-         tf.tf * ln((n.nd + 1.0) / (dfx.df + 1.0)) AS tfidf
-  FROM tf CROSS JOIN n JOIN dfx ON tf.token = dfx.token
-),
-ranked AS (
-  SELECT doc_id, token, tfidf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
-  FROM scored
-)
-SELECT doc_id, token, CAST(rnk AS BIGINT) AS rnk,
-       floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
-FROM ranked WHERE rnk <= 3
-"""
-
-    o["text_winnow"] = f"""
-WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
-h AS (SELECT doc_id,
-        list_sort(list_distinct(
-          [CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)
-           for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS hs
-      FROM d)
-SELECT doc_id, hs[1] AS min0, hs[2] AS min1, hs[3] AS min2, hs[4] AS min3 FROM h
-"""
-
-    # ---- dedup ----
-    o["dedup_exact"] = f"""
-SELECT md5({_DOC_NORM}) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
-FROM documents GROUP BY 1 HAVING count(*) >= 2
-"""
-
-    band_keys = ", ".join(
-        f"CAST(m{2 * b} AS VARCHAR) || '|' || CAST(m{2 * b + 1} AS VARCHAR) AS bk{b}"
-        for b in range(4)
-    )
-    band_union = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM sigs" for b in range(4)
-    )
-    def _mh_cte(src: str) -> str:
-        return f"""d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM {src}),
-sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
-hsx AS (SELECT doc_id, sh, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
-mh AS (SELECT doc_id, sh, {_MINHASH_SIG} FROM hsx),
-sigs AS (SELECT doc_id, {band_keys} FROM mh),
-banded AS ({band_union}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-jac AS (
-  SELECT c.id_a, c.id_b,
-         floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5) / 10000 AS jaccard
-  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-)"""
-
-    _minhash_pairs_cte = f"""d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
-hsx AS (SELECT doc_id, sh, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
-mh AS (SELECT doc_id, sh, {_MINHASH_SIG} FROM hsx),
-sigs AS (SELECT doc_id, {band_keys} FROM mh),
-banded AS ({band_union}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-jac AS (
-  SELECT c.id_a, c.id_b,
-         floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5) / 10000 AS jaccard
-  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-)"""
-    o["dedup_minhash_lsh"] = f"""
-WITH {_minhash_pairs_cte}
-SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1
-"""
-
-    o["cross_source_dups"] = f"""
-WITH {_minhash_pairs_cte},
-p2 AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
-src AS (SELECT doc_id, source FROM documents),
-resolved AS (
-  SELECT least(sa.source, sb.source) AS source_a,
-         greatest(sa.source, sb.source) AS source_b
-  FROM p2 JOIN src sa ON p2.id_a = sa.doc_id
-          JOIN src sb ON p2.id_b = sb.doc_id
-)
-SELECT source_a, source_b, count(*) AS n_pairs
-FROM resolved GROUP BY source_a, source_b
-"""
-
-    # Incremental index probe: corpus = doc_id < 400, batch = doc_id >= 400;
-    # candidates from band collision, scored by signature agreement (the
-    # MinHash Jaccard estimator — the index stores signatures, not shingles).
-    _sig_eq_sum = " + ".join(f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(8))
-    o["dedup_index_query"] = f"""
-WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
-hsx AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
-mh AS (SELECT doc_id, {_MINHASH_SIG} FROM hsx),
-sigs AS (SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, {band_keys} FROM mh),
-banded AS ({band_union}),
-cand AS (
-  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS index_id
-  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-  WHERE a.doc_id < 400 AND b.doc_id >= 400
-),
-est AS (
-  SELECT c.new_id, c.index_id,
-         floor((({_sig_eq_sum}) / 8.0) * 10000 + 0.5) / 10000 AS est_jaccard
-  FROM cand c JOIN sigs x ON c.new_id = x.doc_id JOIN sigs y ON c.index_id = y.doc_id
-)
-SELECT new_id, index_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
-"""
-
-    # Incremental ADD: the Spark side builds on <300, appends 300-399, then
-    # probes >=400 — the oracle is the very same one-shot corpus<400 query,
-    # asserting build+add is indistinguishable from indexing up front.
-    o["dedup_index_add"] = o["dedup_index_query"]
-
-    # Streaming two-batch acceptance cascade: batch 1 ([166,332)) is checked
-    # against the seeded index (<166, all accepted); batch 2 (>=332) against
-    # the seed PLUS batch 1's survivors. Same banding + signature-agreement
-    # estimate >= 0.5 as the index itself.
-    o["streaming_index_dedup"] = f"""
-WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM d),
-hsx AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs FROM sh),
-mh AS (SELECT doc_id, {_MINHASH_SIG} FROM hsx),
-sigs AS (SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, {band_keys} FROM mh),
-banded AS ({band_union}),
-grp AS (SELECT doc_id,
-               CASE WHEN doc_id < 166 THEN 0 WHEN doc_id < 332 THEN 1 ELSE 2 END AS g
-        FROM d),
-cand AS (
-  SELECT DISTINCT a.doc_id AS idx_id, b.doc_id AS new_id
-  FROM banded a
-  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-  JOIN grp ga ON ga.doc_id = a.doc_id
-  JOIN grp gb ON gb.doc_id = b.doc_id
-  WHERE ga.g < gb.g
-),
-mtch AS (
-  SELECT c.idx_id, c.new_id
-  FROM cand c JOIN sigs x ON c.new_id = x.doc_id JOIN sigs y ON c.idx_id = y.doc_id
-  WHERE floor((({_sig_eq_sum}) / 8.0) * 10000 + 0.5) / 10000 >= 0.5
-),
-m1 AS (
-  SELECT new_id, count(*) AS n_dups FROM mtch
-  WHERE new_id >= 166 AND new_id < 332 AND idx_id < 166
-  GROUP BY new_id
-),
-a1 AS (
-  SELECT doc_id FROM grp
-  WHERE g = 1 AND doc_id NOT IN (SELECT new_id FROM m1)
-),
-m2 AS (
-  SELECT new_id, count(*) AS n_dups FROM mtch
-  WHERE new_id >= 332
-    AND (idx_id < 166 OR idx_id IN (SELECT doc_id FROM a1))
-  GROUP BY new_id
-),
-allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
-SELECT g.doc_id,
-       CAST(CASE WHEN allm.new_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS accepted,
-       CAST(coalesce(allm.n_dups, 0) AS BIGINT) AS n_dups
-FROM grp g LEFT JOIN allm ON allm.new_id = g.doc_id
-WHERE g.g >= 1
-"""
-
-    o["dedup_winnow_pairs"] = f"""
-WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
-h AS (SELECT doc_id,
-        list_sort(list_distinct(
-          [CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)
-           for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS hs
-      FROM d),
-mins AS (SELECT doc_id, unnest([hs[1], hs[2], hs[3], hs[4]]) AS hv FROM h),
-dmins AS (SELECT DISTINCT doc_id, hv FROM mins)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-FROM dmins a JOIN dmins b ON a.hv = b.hv AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 2
-"""
-
-    # containment: shingle STRINGS join directly (no hash needed); the
-    # max_df stoplist defines the profile on BOTH engines; threshold
-    # compares the FLOORED 4dp ratios (0.5 dyadic -> exact)
-    o["dedup_containment"] = f"""
-WITH d AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
-e AS (
-  SELECT doc_id, unnest(list_distinct(
-           [substr(norm, i, 8) for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS sh
-  FROM d
-),
-freq AS (SELECT sh, count(*) AS df FROM e GROUP BY sh),
-rare AS (SELECT e.doc_id, e.sh FROM e JOIN freq USING (sh) WHERE df <= 10),
-sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
-  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-c AS (
-  SELECT id_a, id_b, n_shared, sa.n AS size_a, sb.n AS size_b,
-         floor((CAST(n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE)) * 10000 + 0.5) / 10000 AS cont_a,
-         floor((CAST(n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE)) * 10000 + 0.5) / 10000 AS cont_b
-  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-)
-SELECT * FROM c WHERE greatest(cont_a, cont_b) >= 0.5::DOUBLE
-"""
-
-    # Keep-best over the same cluster graph: per cluster, the highest
-    # 4dp-scaled quality wins, ties to the lowest id (the same qual CTE as
-    # pipeline_curate — term order matters for FP identity)
-    o["dedup_keep_best"] = f"""
-WITH RECURSIVE {_minhash_pairs_cte},
-pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach(n, m) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
-),
-clus AS (SELECT n AS node, least(n, min(m)) AS cluster_id FROM reach GROUP BY n),
-tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
-qual AS (
-  SELECT doc_id,
-         floor((0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
-               + 0.25 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1))
-               + 0.25 * least((CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE) / greatest(len(toks), 1)) * 5.0, 1.0)
-               ) * 10000 + 0.5) / 10000 AS quality
-  FROM tq
-),
-j AS (SELECT c.cluster_id, c.node, CAST(round(q.quality * 10000) AS BIGINT) AS s4i
-      FROM clus c JOIN qual q ON q.doc_id = c.node),
-r AS (SELECT cluster_id, node, s4i,
-             CAST(row_number() OVER (PARTITION BY cluster_id
-                 ORDER BY s4i DESC, node ASC) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
-      FROM j)
-SELECT cluster_id, node AS keeper_id, n_members, s4i / 10000.0 AS quality
-FROM r WHERE rn = 1
-"""
-
-    # Transitive closure of the SAME pair graph: min reachable id per node.
-    # UNION (distinct) terminates the recursion on cycles.
-    o["dedup_clusters"] = f"""
-WITH RECURSIVE {_minhash_pairs_cte},
-pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach(n, m) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
-)
-SELECT n AS node, least(n, min(m)) AS cluster_id FROM reach GROUP BY n
-"""
-
-    # Full curation pipeline: exact dedup -> near-dup cluster reps (the same
-    # minhash CTE, over the exact-dedup survivors) -> quality filter ->
-    # per-source token budget. Term order in the quality sum matches the
-    # Spark expression exactly (FP addition is order-sensitive).
-    o["pipeline_curate"] = f"""
-WITH RECURSIVE
-fp0 AS (SELECT doc_id, md5({_DOC_NORM}) AS f FROM documents),
-kept_exact AS (SELECT min(doc_id) AS doc_id FROM fp0 GROUP BY f),
-dd AS (SELECT d0.* FROM documents d0 JOIN kept_exact USING (doc_id)),
-{_mh_cte('dd')},
-p2 AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.1),
-edges AS (SELECT id_a AS s, id_b AS d FROM p2 UNION SELECT id_b, id_a FROM p2),
-reach(n, m) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
-),
-clusters AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n),
-reps AS (
-  SELECT dd.doc_id, dd.source FROM dd LEFT JOIN clusters c USING (doc_id)
-  WHERE c.cluster_id IS NULL OR c.cluster_id = dd.doc_id
-),
-tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
-qual AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         floor((0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
-               + 0.25 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1))
-               + 0.25 * least((CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE) / greatest(len(toks), 1)) * 5.0, 1.0)
-               ) * 10000 + 0.5) / 10000 AS quality
-  FROM tq
-),
-final AS (
-  SELECT r.source, q.n_tokens, q.quality
-  FROM reps r JOIN qual q USING (doc_id)
-  WHERE q.quality >= 0.5
-)
-SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       floor((sum(CAST(round(quality * 10000) AS BIGINT)) / (10000.0 * count(*))) * 10000 + 0.5) / 10000 AS avg_quality
-FROM final GROUP BY source
-"""
-
-    # Exact dedup + quality floor + concat-and-chunk packing: the fp0/qual
-    # fragments mirror pipeline_curate's, the packing CTEs pack_sequences'.
-    o["pipeline_pack"] = f"""
-WITH fp0 AS (SELECT doc_id, md5({_DOC_NORM}) AS f FROM documents),
-kept_exact AS (SELECT min(doc_id) AS doc_id FROM fp0 GROUP BY f),
-tq AS (
-  SELECT d.doc_id, d.text, {_TOKENS} AS toks
-  FROM documents d JOIN kept_exact USING (doc_id)
-),
-qual AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
-         floor((0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
-               + 0.25 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1))
-               + 0.25 * least((CAST(len(list_filter(toks, x -> list_contains({stop!r}, x))) AS DOUBLE) / greatest(len(toks), 1)) * 5.0, 1.0)
-               ) * 10000 + 0.5) / 10000 AS quality
-  FROM tq
-),
-c AS (
-  SELECT doc_id, doc_id % 8 AS shard, n_tok,
-         sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS end_off
-  FROM qual WHERE quality >= 0.5 AND n_tok > 0
-),
-e AS (
-  SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off, end_off,
-         unnest(generate_series(CAST((end_off - n_tok) // 512 AS BIGINT),
-                                CAST((end_off - 1) // 512 AS BIGINT))) AS chunk_id
-  FROM c
-)
-SELECT CAST(shard AS BIGINT) AS shard, chunk_id,
-       count(*) AS n_docs,
-       CAST(sum(least(end_off, (chunk_id + 1) * 512)
-                - greatest(start_off, chunk_id * 512)) AS BIGINT) AS n_tokens,
-       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM e GROUP BY shard, chunk_id
-"""
-
-    bit_sum = " + ".join(
-        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(32)
-    )
-    o["text_simhash"] = f"""
-WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents),
-h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM t)
-SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM h GROUP BY doc_id
-"""
-
-    chunk_union = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS chunk_idx, (simhash >> {i * 8}) & 255 AS chunk_val FROM sh"
-        for i in range(4)
-    )
-    o["dedup_simhash_pairs"] = f"""
-WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents),
-hh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM t),
-sh AS (SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM hh GROUP BY doc_id),
-chunked AS ({chunk_union}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
-  FROM chunked a JOIN chunked b
-    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 6
-"""
-
-    o["dedup_ngram_jaccard"] = f"""
-WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
-g AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+2], ' ')
-                        for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
-  FROM t
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
-  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
-)
-SELECT id_a, id_b,
-       floor((CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa, sb)))) * 10000 + 0.5) / 10000 AS jaccard
-FROM pairs
-"""
-
-    # Mirrors the engine's IVF centroid blocking: assign each vector to its
-    # nearest of the 8 lowest-id centroids (ties -> lowest centroid id), then
-    # score pairs only WITHIN a bucket.
-    o["dedup_embedding"] = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, e AS cv FROM v ORDER BY vec_id ASC LIMIT 8),
-assign_scored AS (
-  SELECT v.vec_id, v.e, cents.centroid_id,
-         row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY list_cosine_similarity(v.e, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM v CROSS JOIN cents
-),
-assigned AS (SELECT vec_id, e, centroid_id FROM assign_scored WHERE rn = 1)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       floor((list_cosine_similarity(a.e, b.e)) * 10000 + 0.5) / 10000 AS cosine
-FROM assigned a JOIN assigned b
-  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.35
-"""
-
-    # ---- similarity ----
-    o["embedding_stats"] = """
-WITH n AS (
-  SELECT label,
-         floor(sqrt(list_sum([x * x for x in embedding::DOUBLE[]]))
-               * 10000 + 0.5) / 10000 AS nn
-  FROM embeddings
-)
-SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
-       floor((sum(CAST(round(nn * 10000) AS BIGINT))
-              / (10000.0 * count(nn))) * 10000 + 0.5) / 10000 AS avg_norm,
-       min(nn) AS min_norm,
-       max(nn) AS max_norm
-FROM n GROUP BY label
-"""
-
-    o["sim_hard_negatives"] = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
-           FROM embeddings WHERE vec_id < 5),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-         FROM embeddings WHERE vec_id >= 5),
-scored AS (
-  SELECT q.query_id, base.vec_id, base.label,
-         list_cosine_similarity(q.qv, base.v) AS cos
-  FROM q CROSS JOIN base
-  WHERE base.label != q.ql
-),
-ranked AS (
-  SELECT query_id, vec_id, label, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, vec_id, CAST(label AS BIGINT) AS label,
-       CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
-FROM ranked WHERE rnk <= 5
-"""
-
-    o["sim_cosine_topk"] = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
-scored AS (
-  SELECT q.query_id, base.vec_id, list_cosine_similarity(q.qv, base.v) AS cos
-  FROM q CROSS JOIN base
-),
-ranked AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
-FROM ranked WHERE rnk <= 5
-"""
-
-    # knn graph: assignment mirrors ivf_assign (argmax -> lowest centroid id
-    # on ties); ranks order on the 4dp-ROUNDED cosine with neighbor-id ties
-    # (the PQ-ranker device), so engine-ULP cosine differences cannot flip
-    # a rank
-    o["sim_knn_graph"] = """
-WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-  FROM embeddings ORDER BY vec_id ASC LIMIT 8
-),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-assign_scored AS (
-  SELECT base.vec_id, base.v, cents.centroid_id,
-         row_number() OVER (PARTITION BY base.vec_id
-             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM base CROSS JOIN cents
-),
-assigned AS (SELECT vec_id, v, centroid_id FROM assign_scored WHERE rn = 1),
-pairs AS (
-  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 AS r4
-  FROM assigned a JOIN assigned b
-    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
-),
-ranked AS (
-  SELECT vec_id, neighbor_id, r4,
-         CAST(row_number() OVER (PARTITION BY vec_id
-             ORDER BY r4 DESC, neighbor_id ASC) AS BIGINT) AS rank
-  FROM pairs
-)
-SELECT vec_id, neighbor_id, rank, r4 AS cosine FROM ranked WHERE rank <= 5
-"""
-
-    o["sim_ivf_topk"] = """
-WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
-),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
-assign_scored AS (
-  SELECT base.vec_id, base.v, cents.centroid_id,
-         row_number() OVER (PARTITION BY base.vec_id
-             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM base CROSS JOIN cents
-),
-assigned AS (SELECT vec_id, v, centroid_id FROM assign_scored WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-probe_scored AS (
-  SELECT q.query_id, q.qv, cents.centroid_id,
-         row_number() OVER (PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM q CROSS JOIN cents
-),
-probes AS (SELECT query_id, qv, centroid_id FROM probe_scored WHERE rn <= 2),
-scored AS (
-  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
-  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
-),
-ranked AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
-FROM ranked WHERE rnk <= 5
-"""
-
-    # Mirrors lsh_topk: hyperplanes = the 6 lowest-id base vectors; bucket =
-    # sign bits of the inner products (bit j from the j-th lowest hyperplane
-    # id); each query probes its bucket and every single-bit flip.
-    o["sim_ivf_index"] = o["sim_ivf_topk"]
-    # build(<300) + add(>=300) + compact must equal the one-shot index: the
-    # deterministic centroids (8 lowest base ids) live in the build subset.
-    o["sim_ivf_add"] = o["sim_ivf_topk"]
-
-    o["sim_lsh_topk"] = """
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
-hyper AS (SELECT vec_id AS hid, v AS hv FROM base ORDER BY vec_id ASC LIMIT 6),
-hb AS (SELECT hid, hv, row_number() OVER (ORDER BY hid ASC) - 1 AS bit FROM hyper),
-vb AS (
-  SELECT b.vec_id, b.v,
-         CAST(sum(CASE WHEN list_inner_product(b.v, hb.hv) >= 0 THEN (1 << hb.bit) ELSE 0 END) AS BIGINT) AS bkt
-  FROM base b CROSS JOIN hb GROUP BY b.vec_id, b.v
-),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-qb AS (
-  SELECT q.query_id, q.qv,
-         CAST(sum(CASE WHEN list_inner_product(q.qv, hb.hv) >= 0 THEN (1 << hb.bit) ELSE 0 END) AS BIGINT) AS bkt
-  FROM q CROSS JOIN hb GROUP BY q.query_id, q.qv
-),
-probes AS (
-  SELECT query_id, qv, bkt AS pb FROM qb
-  UNION ALL
-  SELECT qb.query_id, qb.qv, xor(qb.bkt, CAST(1 << hb.bit AS BIGINT)) FROM qb CROSS JOIN hb
-),
-scored AS (
-  SELECT p.query_id, vb.vec_id, list_cosine_similarity(p.qv, vb.v) AS cos
-  FROM probes p JOIN vb ON vb.bkt = p.pb
-),
-ranked AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
-FROM ranked WHERE rnk <= 5
-"""
-
-    # ---- multimodal (deterministic fake decode; text is ASCII so byte sums
-    # equal codepoint sums) ----
-    o["multimodal_decode"] = """
-SELECT doc_id AS asset_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-       CAST(list_sum([ord(substr(text, i, 1)) for i in range(1, len(text) + 1)]) % 1000003 AS BIGINT) AS byte_sum_mod,
-       CAST((list_sum([ord(substr(text, i, 1)) for i in range(1, len(text) + 1)]) % 1000003) % 64 + 1 AS BIGINT) AS width,
-       CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS height
-FROM documents
-"""
-
-    # 8x8 nearest-neighbor sample over the fake-decoded w x h grid: the 64
-    # sampled positions are generated here as explicit SQL terms (w/h are
-    # per-row columns, so each term's arithmetic stays in SQL).
-    _bsum = f"list_sum([ord(substr(text, i, 1)) for i in range(1, len(text) + 1)])"
-    _pix_terms = " + ".join(
-        f"(CASE WHEN (({j} * h) // 8) * w + (({i} * w) // 8) + 1 <= n "
-        f"THEN ord(substr(text, CAST((({j} * h) // 8) * w + (({i} * w) // 8) + 1 AS INT), 1)) ELSE 0 END)"
-        for j in range(8)
-        for i in range(8)
-    )
-    o["multimodal_resize"] = f"""
-WITH dims AS (
-  SELECT doc_id, text, len(text) AS n,
-         ({_bsum} % 1000003) % 64 + 1 AS w,
-         octet_length(encode(text)) % 64 + 1 AS h
-  FROM documents
-)
-SELECT doc_id AS asset_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
-       CAST(({_pix_terms}) % 1000003 AS BIGINT) AS pix_checksum
-FROM dims
-"""
-
-    o["multimodal_frames"] = """
-WITH f AS (
-  SELECT doc_id,
-         unnest(range(0, least(octet_length(encode(text)) // 64, 7) + 1)) AS i,
-         text
-  FROM documents
-),
-s AS (
-  SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS sub FROM f
-)
-SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
-       CAST(len(sub) AS BIGINT) AS frame_len, md5(sub) AS frame_md5
-FROM s WHERE len(sub) > 0
-"""
-
-    # Byte-centered fake PCM: sample = ord(char) - 128 (fixtures are ASCII,
-    # so char position == byte position); full 64-wide windows at stride 32.
-    _bpe_union = "\nUNION ALL\n".join(
-        f'SELECT CAST({i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS freq FROM b{i}'
-        for i in range(1, _BPE_MERGES + 1)
-    )
-    o["fetch_sum_by"] = f"""
-WITH {_EV_CUBE}
-SELECT f2, bucket,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
-       sum(cnt) AS cnt
-FROM cube2
-WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY f2, bucket
-"""
-
-    # stdvar/stddev mirror series_agg_by's exact-operand construction:
-    # integer S1/S2 folds, then one double expression (n*S2 - S1^2)/n^2
-    o["fetch_agg_by"] = f"""
-WITH {_EV_CUBE},
-g AS (
-  SELECT f1, bucket,
-         sum(CAST(round((total) * 10000) AS BIGINT)) AS s1,
-         sum(CAST(round((total) * 10000) AS BIGINT)
-             * CAST(round((total) * 10000) AS BIGINT)) AS s2,
-         min(CAST(round((total) * 10000) AS BIGINT)) AS m4,
-         min(total) AS mn, max(total) AS mx,
-         count(total) AS cn,
-         CAST(count(*) AS BIGINT) AS n_series,
-         sum(cnt) AS cnt
-  FROM cube2
-  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-  GROUP BY f1, bucket
-),
-v AS (
-  SELECT *,
-         (CAST(n_series AS DOUBLE) * CAST(s2 - 2 * m4 * s1 + n_series * m4 * m4 AS DOUBLE)
-          - CAST(s1 - n_series * m4 AS DOUBLE) * CAST(s1 - n_series * m4 AS DOUBLE))
-           / (CAST(n_series AS DOUBLE) * CAST(n_series AS DOUBLE)) AS var4
-  FROM g
-)
-SELECT f1, bucket,
-       floor((s1 / 10000.0) * 10000 + 0.5) / 10000 AS sum_total,
-       floor((s1 / (10000.0 * cn)) * 10000 + 0.5) / 10000 AS avg_total,
-       floor((mn) * 10000 + 0.5) / 10000 AS min_total,
-       floor((mx) * 10000 + 0.5) / 10000 AS max_total,
-       floor((var4 / 100000000.0) * 10000 + 0.5) / 10000 AS stdvar_total,
-       floor((sqrt(var4) / 10000.0) * 10000 + 0.5) / 10000 AS stddev_total,
-       n_series,
-       cnt
-FROM v
-"""
-
-    # burn-rate mirror: the (1 - slo) budget is the PYTHON-computed double
-    # repr'd into both engines (DuckDB would parse a bare 0.01 as DECIMAL,
-    # and 1 - 0.99 in double is not the decimal 0.01)
-    o["fetch_burn_rate"] = f"""
-WITH {_EV_CUBE},
-g AS (
-  SELECT bucket,
-         sum(CASE WHEN f1 = 'error' THEN CAST(round(total * 10000) AS BIGINT) END) AS e4,
-         sum(CASE WHEN f1 = 'click' THEN CAST(round(total * 10000) AS BIGINT) END) AS t4
-  FROM cube1
-  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-  GROUP BY bucket
-),
-axis AS (SELECT unnest(range({WEEK0}, {WEEK1}, {RES})) AS bucket),
-dense AS (
-  SELECT a.bucket, coalesce(e4, 0) AS e4, coalesce(t4, 0) AS t4
-  FROM axis a LEFT JOIN g USING (bucket)
-),
-w AS (
-  SELECT bucket, e4, t4,
-         sum(e4) OVER ws AS es, sum(t4) OVER ws AS ts, count(e4) OVER ws AS ns,
-         sum(e4) OVER wl AS el, sum(t4) OVER wl AS tl, count(e4) OVER wl AS nl
-  FROM dense
-  WINDOW ws AS (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-         wl AS (ORDER BY bucket ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
-),
-b AS (
-  SELECT bucket, e4, t4,
-         CASE WHEN ns = 5 AND ts > 0
-              THEN (CAST(es AS DOUBLE) / CAST(ts AS DOUBLE)) / CAST('{1.0 - 0.99!r}' AS DOUBLE) END AS bs,
-         CASE WHEN nl = 60 AND tl > 0
-              THEN (CAST(el AS DOUBLE) / CAST(tl AS DOUBLE)) / CAST('{1.0 - 0.99!r}' AS DOUBLE) END AS bl
-  FROM w
-)
-SELECT bucket,
-       e4 / 10000.0 AS err_total,
-       t4 / 10000.0 AS req_total,
-       floor(bs * 10000 + 0.5) / 10000 AS burn_short,
-       floor(bl * 10000 + 0.5) / 10000 AS burn_long,
-       coalesce(bs >= 100.0 AND bl >= 100.0, false) AS firing
-FROM b
-"""
-
-    # fuzzy near-dup: the oracle deliberately brute-forces every pair inside
-    # the w1 token block — Spark's same+adjacent length-bucket scheme must
-    # produce the identical pair set, proving the blocking lossless
-    o["dedup_fuzzy"] = """
-WITH k AS (
-  SELECT doc_id AS id,
-         lower(substr(text, 1, 32)) AS head,
-         split_part(lower(substr(text, 1, 32)), ' ', 1) AS w1
-  FROM documents
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-FROM k a JOIN k b ON a.w1 = b.w1 AND a.id < b.id
-WHERE levenshtein(a.head, b.head) <= 8
-"""
-
-    # BM25: per-term score mirrored as the IDENTICAL double expression over
-    # exact integer operands (dyadic k1=1.25 / b=0.75; ::DOUBLE on every
-    # literal — DuckDB parses bare decimals as DECIMAL), quantized at 4dp,
-    # exact long fold per doc, rank on the long
-    o["bm25_retrieval"] = r"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                            x -> x != '')) AS term
-  FROM documents),
-dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
-st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS N,
-              (SELECT CAST(count(*) AS BIGINT) FROM toks) AS T),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-       WHERE term IN ('filter', 'merge', 'window') GROUP BY doc_id, term),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-sc AS (
-  SELECT tf.doc_id,
-         floor((ln(1.0::DOUBLE
-                   + (CAST(st.N - dfq.df AS DOUBLE) + 0.5::DOUBLE)
-                     / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE))
-                * (CAST(tf.tf AS DOUBLE) * 2.25::DOUBLE)
-                / (CAST(tf.tf AS DOUBLE)
-                   + 1.25::DOUBLE * (0.25::DOUBLE
-                       + 0.75::DOUBLE * (CAST(dl.dl * st.N AS DOUBLE)
-                                         / CAST(st.T AS DOUBLE)))))
-               * 10000 + 0.5) / 10000 AS s4
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
-               sum(CAST(round(s4 * 10000) AS BIGINT)) AS s4i
-        FROM sc GROUP BY doc_id),
-r AS (SELECT doc_id, n_matched, s4i,
-             CAST(row_number() OVER (ORDER BY s4i DESC, doc_id ASC) AS BIGINT) AS rank
-      FROM agg)
-SELECT doc_id, n_matched, rank, floor((s4i / 10000.0) * 10000 + 0.5) / 10000 AS score
-FROM r WHERE rank <= 20
-"""
-
-    # correlations: HUGEINT sums mirror Spark's DECIMAL(38,0) folds (both
-    # exact integers; the ->DOUBLE cast is correctly rounded in both
-    # engines), min-recentering mirrors the long subtraction
-    _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
-    _corr_pairs = [
-        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
-    ]
-    _corr_sel = ", ".join(
-        f"CAST(round({c} * 10000) AS BIGINT) - m.m_{c} AS d_{c}" for c in _CORR_COLS
-    )
-    _corr_mins = ", ".join(
-        f"min(CAST(round({c} * 10000) AS BIGINT)) AS m_{c}" for c in _CORR_COLS
-    )
-    _corr_aggs = ", ".join(
-        f"CAST(count(*) AS BIGINT) AS n_{a}__{b}, "
-        f"sum(CAST(d_{a} AS HUGEINT)) AS sx_{a}__{b}, "
-        f"sum(CAST(d_{b} AS HUGEINT)) AS sy_{a}__{b}, "
-        f"sum(CAST(d_{a} * d_{a} AS HUGEINT)) AS sxx_{a}__{b}, "
-        f"sum(CAST(d_{b} * d_{b} AS HUGEINT)) AS syy_{a}__{b}, "
-        f"sum(CAST(d_{a} * d_{b} AS HUGEINT)) AS sxy_{a}__{b}"
-        for a, b in _corr_pairs
-    )
-    _corr_rows = "\nUNION ALL\n".join(
-        f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n_{a}__{b} AS n,
-       CASE WHEN n_{a}__{b} >= 2
-             AND CAST(n_{a}__{b} AS DOUBLE) * CAST(sxx_{a}__{b} AS DOUBLE)
-                 - CAST(sx_{a}__{b} AS DOUBLE) * CAST(sx_{a}__{b} AS DOUBLE) > 0
-             AND CAST(n_{a}__{b} AS DOUBLE) * CAST(syy_{a}__{b} AS DOUBLE)
-                 - CAST(sy_{a}__{b} AS DOUBLE) * CAST(sy_{a}__{b} AS DOUBLE) > 0
-            THEN floor(((CAST(n_{a}__{b} AS DOUBLE) * CAST(sxy_{a}__{b} AS DOUBLE)
-                         - CAST(sx_{a}__{b} AS DOUBLE) * CAST(sy_{a}__{b} AS DOUBLE))
-                        / (sqrt(CAST(n_{a}__{b} AS DOUBLE) * CAST(sxx_{a}__{b} AS DOUBLE)
-                                - CAST(sx_{a}__{b} AS DOUBLE) * CAST(sx_{a}__{b} AS DOUBLE))
-                           * sqrt(CAST(n_{a}__{b} AS DOUBLE) * CAST(syy_{a}__{b} AS DOUBLE)
-                                  - CAST(sy_{a}__{b} AS DOUBLE) * CAST(sy_{a}__{b} AS DOUBLE))))
-                       * 10000 + 0.5) / 10000 END AS corr
-FROM s"""
-        for a, b in _corr_pairs
-    )
-    o["profile_correlations"] = f"""
-WITH m AS (SELECT {_corr_mins} FROM lineitem),
-b AS (SELECT {_corr_sel} FROM lineitem CROSS JOIN m),
-s AS (SELECT {_corr_aggs} FROM b)
-{_corr_rows}
-"""
-
-    # PSI drift: 7 buckets (6 bounds + inf), add-one smoothing keeps every
-    # operand integral; k=7 appears in the denominators
-    o["drift_psi"] = """
-WITH led AS (
-  SELECT doc_id,
-         CASE WHEN n_chars <= 128.0 THEN 128.0 WHEN n_chars <= 192.0 THEN 192.0
-              WHEN n_chars <= 256.0 THEN 256.0 WHEN n_chars <= 320.0 THEN 320.0
-              WHEN n_chars <= 384.0 THEN 384.0 WHEN n_chars <= 448.0 THEN 448.0
-              ELSE CAST('infinity' AS DOUBLE) END AS le
-  FROM documents
-),
-axis AS (SELECT unnest([128.0, 192.0, 256.0, 320.0, 384.0, 448.0,
-                        CAST('infinity' AS DOUBLE)]) AS le),
-ha AS (SELECT le, CAST(count(*) AS BIGINT) AS cnt_a FROM led
-       WHERE doc_id % 2 = 0 GROUP BY le),
-hb AS (SELECT le, CAST(count(*) AS BIGINT) AS cnt_b FROM led
-       WHERE doc_id % 2 = 1 GROUP BY le),
-j AS (
-  SELECT a.le, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
-  FROM axis a LEFT JOIN ha USING (le) LEFT JOIN hb USING (le)
-),
-t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM j),
-e AS (
-  SELECT j.le, j.cnt_a, j.cnt_b,
-         CAST(j.cnt_a + 1 AS DOUBLE) / CAST(t.na + 7 AS DOUBLE) AS p,
-         CAST(j.cnt_b + 1 AS DOUBLE) / CAST(t.nb + 7 AS DOUBLE) AS q
-  FROM j CROSS JOIN t
-),
-terms AS (
-  SELECT le, cnt_a, cnt_b,
-         floor(p * 10000 + 0.5) / 10000 AS p_a,
-         floor(q * 10000 + 0.5) / 10000 AS p_b,
-         floor(((p - q) * ln(p / q)) * 10000 + 0.5) / 10000 AS psi_term
-  FROM e
-),
-tot AS (
-  SELECT floor((sum(CAST(round(psi_term * 10000) AS BIGINT)) / 10000.0)
-               * 10000 + 0.5) / 10000 AS psi_total
-  FROM terms
-)
-SELECT terms.*, tot.psi_total FROM terms CROSS JOIN tot
-"""
-
-    o["text_keywords"] = r"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                            x -> x != '')) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-       GROUP BY doc_id, term),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-st AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
-sc AS (
-  SELECT tf.doc_id, tf.term, tf.tf,
-         CAST(round(floor((CAST(tf.tf AS DOUBLE)
-                           * ln((CAST(st.N AS DOUBLE) + 1.0::DOUBLE)
-                                / (CAST(dfq.df AS DOUBLE) + 1.0::DOUBLE)))
-                          * 10000 + 0.5) / 10000 * 10000) AS BIGINT) AS s4i
-  FROM tf JOIN dfq USING (term) CROSS JOIN st),
-r AS (SELECT doc_id, term, tf, s4i,
-             CAST(row_number() OVER (PARTITION BY doc_id
-                 ORDER BY s4i DESC, term ASC) AS BIGINT) AS rank
-      FROM sc)
-SELECT doc_id, term, tf, s4i / 10000.0 AS tfidf, rank FROM r WHERE rank <= 3
-"""
-
-    o["fetch_share"] = f"""
-WITH {_EV_CUBE},
-s AS (
-  SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM cube1
-  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-),
-t AS (
-  SELECT f1, bucket, t4, sum(t4) OVER (PARTITION BY bucket) AS s4 FROM s
-)
-SELECT bucket, f1,
-       t4 / 10000.0 AS total,
-       s4 / 10000.0 AS slot_total,
-       CASE WHEN s4 != 0
-            THEN floor((CAST(t4 AS DOUBLE) / CAST(s4 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS share
-FROM t
-"""
-
-    o["fetch_remap"] = f"""
-WITH {_EV_CUBE}
-SELECT CASE WHEN f1 IN ('click', 'view') THEN 'engagement' ELSE f1 END AS f1,
-       f2, bucket,
-       floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
-       sum(cnt) AS cnt
-FROM cube2
-WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-GROUP BY 1, 2, 3
-"""
-
-    o["fetch_quantile_by"] = f"""
-WITH {_EV_CUBE},
-s AS (
-  SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM cube2
-  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-)
-SELECT f1, bucket,
-       quantile_cont(t4, 0.5) / 10000.0 AS quantile,
-       CAST(count(*) AS BIGINT) AS n_series
-FROM s GROUP BY f1, bucket
-"""
-
-    o["fetch_topk_instant"] = f"""
-WITH {_EV_CUBE},
-s AS (
-  SELECT bucket, f1, f2, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM cube2
-  WHERE bucket >= {WEEK0} AND bucket < {WEEK0 + 6 * 3600 * SEC}
-),
-r AS (
-  SELECT bucket, f1, f2, t4,
-         row_number() OVER (PARTITION BY bucket ORDER BY t4 DESC, f1 ASC, f2 ASC) AS rk
-  FROM s
-)
-SELECT bucket, CAST(rk AS BIGINT) AS rk, f1, f2, t4 / 10000.0 AS total
-FROM r WHERE rk <= 3
-"""
-
-    o["fetch_count_values"] = f"""
-WITH {_EV_CUBE},
-s AS (
-  SELECT bucket, CAST(round(total * 10000) AS BIGINT) AS t4
-  FROM cube1
-  WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
-)
-SELECT bucket, t4 / 10000.0 AS value, CAST(count(*) AS BIGINT) AS n_series
-FROM s GROUP BY bucket, t4
-"""
-
-    o["path_transitions"] = """
-WITH h AS (
-  SELECT user_id AS u, event_type AS to_event,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_event
-  FROM events
-)
-SELECT from_event, to_event,
-       CAST(count(*) AS BIGINT) AS transitions,
-       CAST(count(DISTINCT u) AS BIGINT) AS users
-FROM h WHERE from_event IS NOT NULL
-GROUP BY from_event, to_event
-"""
-
-    o["sample_token_budget"] = r"""
-WITH t AS (
-  SELECT source, doc_id,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                              x -> x != '')) AS BIGINT) AS n_tokens,
-         md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM documents),
-c AS (
-  SELECT source, doc_id, n_tokens,
-         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-  FROM t)
-SELECT source, doc_id, n_tokens FROM c WHERE before < 800
-"""
-
-    o["bpe_train"] = f"""
-{_bpe_oracle_ctes(_BPE_MERGES)}
-SELECT * FROM ({_bpe_union})
-"""
-
-    o["bpe_tokenize"] = f"""
-{_bpe_oracle_ctes(_BPE_MERGES)},
-tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM w{_BPE_MERGES}),
-occ AS (SELECT source,
-               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-                                  x -> x != '')) AS word
-        FROM documents),
-counts AS (
-  SELECT source,
-         CAST(count(*) AS BIGINT) AS nw,
-         CAST(sum(n_tok) AS BIGINT) AS nt
-  FROM occ JOIN tok USING (word)
-  GROUP BY source)
-SELECT source,
-       coalesce(nw, 0) AS n_words,
-       coalesce(nt, 0) AS n_tokens
-FROM (SELECT DISTINCT source FROM documents) LEFT JOIN counts USING (source)
-"""
-
-    # encode_ids mirror: corpus-wide vocab (distinct tokens of the fully
-    # merged word table, ids by lexicographic row_number), per-word token
-    # positions, doc positions by the unique (wpos, tpos) composite
-    o["bpe_encode_ids"] = f"""
-{_bpe_oracle_ctes(_BPE_MERGES)},
-vocab AS (
-  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token
-  FROM (SELECT DISTINCT unnest(syms) AS token FROM w{_BPE_MERGES})
-),
-wt AS (
-  SELECT word, pr.p AS tpos, pr.t AS token
-  FROM (SELECT word,
-               unnest(list_transform(range(1, len(syms) + 1),
-                      i -> {{'p': i, 't': syms[CAST(i AS INT)]}})) AS pr
-        FROM w{_BPE_MERGES})
-),
-occ AS (
-  SELECT doc_id, pr.p AS wpos, pr.w AS word
-  FROM (SELECT doc_id,
-               unnest(list_transform(range(1, len(wa) + 1),
-                      i -> {{'p': i, 'w': wa[CAST(i AS INT)]}})) AS pr
-        FROM (SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\\s+'),
-                                 x -> x != '') AS wa
-              FROM documents WHERE doc_id < 50))
-)
-SELECT doc_id,
-       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1
-            AS BIGINT) AS pos,
-       token,
-       token_id
-FROM occ JOIN wt USING (word) JOIN vocab USING (token)
-"""
-
-    # pack_ids mirror: the encode construction (doc_id < 100), then doc
-    # lengths -> per-shard offsets -> integer chunk math, full chunks only
-    o["pack_ids"] = f"""
-{_bpe_oracle_ctes(_BPE_MERGES)},
-vocab AS (
-  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token
-  FROM (SELECT DISTINCT unnest(syms) AS token FROM w{_BPE_MERGES})
-),
-wt AS (
-  SELECT word, pr.p AS tpos, pr.t AS token
-  FROM (SELECT word,
-               unnest(list_transform(range(1, len(syms) + 1),
-                      i -> {{'p': i, 't': syms[CAST(i AS INT)]}})) AS pr
-        FROM w{_BPE_MERGES})
-),
-occ AS (
-  SELECT doc_id, pr.p AS wpos, pr.w AS word
-  FROM (SELECT doc_id,
-               unnest(list_transform(range(1, len(wa) + 1),
-                      i -> {{'p': i, 'w': wa[CAST(i AS INT)]}})) AS pr
-        FROM (SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\\s+'),
-                                 x -> x != '') AS wa
-              FROM documents WHERE doc_id < 100))
-),
-enc AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1
-              AS BIGINT) AS pos,
-         token_id
-  FROM occ JOIN wt USING (word) JOIN vocab USING (token)
-),
-lens AS (
-  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
-         CAST(max(pos) + 1 AS BIGINT) AS n
-  FROM enc GROUP BY doc_id
-),
-offs AS (
-  SELECT doc_id, shard, n,
-         sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
-  FROM lens
-),
-tot AS (SELECT shard, max(end_off) AS shard_total FROM offs GROUP BY shard),
-placed AS (
-  SELECT o.shard, e.doc_id, e.token_id,
-         (o.end_off - o.n + e.pos) AS g, t.shard_total
-  FROM enc e JOIN offs o USING (doc_id) JOIN tot t ON o.shard = t.shard
-)
-SELECT shard, CAST(g // 128 AS BIGINT) AS chunk_id,
-       CAST(g % 128 AS BIGINT) AS pos_in_chunk, doc_id, token_id
-FROM placed WHERE (g // 128 + 1) * 128 <= shard_total
-"""
-
-    # Same marker construction as bpe.gpt2_pretokens_expr: \x01 inserted
-    # before the last space of every whitespace->nonspace boundary, then a
-    # lookahead-free extract whose classes exclude the marker.
-    o["bpe_gpt2_pretok"] = r"""
-SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
-FROM (
-  SELECT unnest(regexp_extract_all(
-    regexp_replace(text, '(\s)(\S)', chr(1) || '\1\2', 'g'),
-    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}\x01]+|\s+')) AS t
-  FROM documents)
-WHERE t != ''
-GROUP BY t
-"""
-
-    o["multimodal_png_real"] = """
-WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
-SELECT doc_id,
-       CAST(8 AS BIGINT) AS width,
-       CAST(8 AS BIGINT) AS height,
-       CAST(6 * list_sum(list_transform(range(1, 33),
-                                        i -> ord(substr(hx, CAST(i AS INT), 1))))
-            % 1000003 AS BIGINT) AS pix_sum
-FROM h
-"""
-
-    # The decodability of each payload class is BY CONSTRUCTION (hex-derived
-    # PNG/flat-JPEG/WAV always decode; raw text bytes never sniff as any
-    # container), so the census is pure doc_id % 4 arithmetic in SQL.
-    o["multimodal_decode_stats"] = """
-SELECT CASE WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'image' END AS media_type,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                       WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
-       count(*) AS n_assets,
-       CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
-       CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
-FROM documents GROUP BY 1, 2
-"""
-
-    # Frame 0 = the 192 hex bytes (sum = 6 * S); frame 1 = bytes + 1
-    # (sum = 6 * (S + 32)); uncompressed DIB frames round-trip exactly.
-    o["multimodal_avi_real"] = """
-WITH h AS (
-  SELECT doc_id,
-         list_sum(list_transform(range(1, 33),
-                                 i -> ord(substr(md5(text), CAST(i AS INT), 1)))) AS s
-  FROM documents)
-SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-       CAST((6 * (s + 32 * f)) % 1000003 AS BIGINT) AS pix_sum
-FROM h, (SELECT unnest([0, 1]) AS f) frames
-"""
-
-    # Four flat 8x8 blocks, value_j = sum(hex chars 8j..8j+7) % 256; the
-    # quality-100 JPEG roundtrip is bit-exact on flat blocks, so the decoded
-    # pixel sum is 64 * sum(values) — pure hex arithmetic in SQL.
-    o["multimodal_jpeg_real"] = """
-WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
-b AS (
-  SELECT doc_id,
-         list_transform(range(0, 4),
-           j -> list_sum(list_transform(range(1, 9),
-                  i -> ord(substr(hx, CAST(j * 8 + i AS INT), 1)))) % 256) AS vs
-  FROM h)
-SELECT doc_id,
-       CAST(16 AS BIGINT) AS width,
-       CAST(16 AS BIGINT) AS height,
-       CAST((64 * (vs[1] + vs[2] + vs[3] + vs[4])) % 1000003 AS BIGINT) AS pix_sum
-FROM b
-"""
-
-    o["multimodal_wav_real"] = """
-WITH h AS (
-  SELECT doc_id,
-         list_sum(list_transform(range(1, 33),
-             i -> (ord(substr(md5(text), CAST(i AS INT), 1)) - 128)
-                  * (ord(substr(md5(text), CAST(i AS INT), 1)) - 128))) AS e
-  FROM documents)
-SELECT doc_id,
-       CAST(6 AS BIGINT) AS n_windows,
-       CAST(6 * e AS BIGINT) AS total_energy,
-       CAST(0 AS BIGINT) AS total_zc,
-       CAST(e AS BIGINT) AS peak_energy
-FROM h
-"""
-
-    o["multimodal_audio"] = """
-WITH w AS (
-  SELECT doc_id, text,
-         unnest(range(0, greatest((octet_length(encode(text)) - 64) // 32 + 1, 0))) AS k
-  FROM documents
-  WHERE octet_length(encode(text)) >= 64
-),
-feat AS (
-  SELECT doc_id, k,
-         list_sum([(ord(substr(text, CAST(k * 32 + i AS INT), 1)) - 128)
-                   * (ord(substr(text, CAST(k * 32 + i AS INT), 1)) - 128)
-                   for i in range(1, 65)]) AS energy,
-         list_sum([CASE WHEN (ord(substr(text, CAST(k * 32 + i AS INT), 1)) >= 128)
-                          != (ord(substr(text, CAST(k * 32 + i + 1 AS INT), 1)) >= 128)
-                        THEN 1 ELSE 0 END
-                   for i in range(1, 64)]) AS zc
-  FROM w
-)
-SELECT doc_id AS asset_id,
-       count(*) AS n_windows,
-       CAST(sum(energy) AS BIGINT) AS total_energy,
-       CAST(sum(zc) AS BIGINT) AS total_zc,
-       CAST(max(energy) AS BIGINT) AS peak_energy
-FROM feat
-GROUP BY doc_id
-"""
-
-    o["quality_gopher"] = f"""
-WITH t AS (
-  SELECT doc_id, {_TOKENS} AS toks, text FROM documents
-),
-m AS (
-  SELECT doc_id,
-         len(toks) AS n,
-         greatest(len(toks), 1)::DOUBLE AS n_d,
-         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
-         (len(regexp_extract_all(text, '#'))
-          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
-         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
-         len(list_intersect(list_distinct(toks),
-             ['the','be','to','of','and','that','have','with'])) AS stop_hits
-  FROM t
-)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_tokens,
-       floor((tot_len / n_d) * 10000 + 0.5) / 10000 AS avg_word_len,
-       floor((n_symbols / n_d) * 10000 + 0.5) / 10000 AS symbol_ratio,
-       floor((n_alpha / n_d) * 10000 + 0.5) / 10000 AS alpha_word_frac,
-       CAST(stop_hits AS BIGINT) AS stopword_hits,
-       CAST(CASE WHEN n >= 50 AND n <= 100000
-                  AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
-                  AND n_symbols / n_d <= 0.1
-                  AND n_alpha / n_d >= 0.80
-                  AND stop_hits >= 2
-            THEN 1 ELSE 0 END AS BIGINT) AS passes
-FROM m
-"""
-
-    o["text_collocations"] = f"""
-WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-doc_bg AS (
-  SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
-  FROM toks WHERE len(t) >= 2
-),
-uni AS (SELECT unnest(t) AS w FROM toks),
-unic AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY w),
-tu AS (SELECT CAST(count(*) AS BIGINT) AS Tu FROM uni),
-bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM doc_bg
-        GROUP BY bg HAVING count(*) >= 5),
-tb AS (SELECT CAST(count(*) AS BIGINT) AS Tb FROM doc_bg),
-sc AS (
-  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, cb,
-         CAST(round(floor((ln(CAST(cb AS DOUBLE) * CAST(Tu AS DOUBLE) * CAST(Tu AS DOUBLE)
-                              / (CAST(Tb AS DOUBLE) * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))))
-                          * 10000 + 0.5) / 10000 * 10000) AS BIGINT) AS s4i
-  FROM bgc
-  JOIN unic u1 ON split_part(bg, ' ', 1) = u1.w
-  JOIN unic u2 ON split_part(bg, ' ', 2) = u2.w
-  CROSS JOIN tu CROSS JOIN tb
-),
-r AS (SELECT w1, w2, cb, s4i,
-             CAST(row_number() OVER (ORDER BY s4i DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
-      FROM sc)
-SELECT w1, w2, cb AS n_pair, s4i / 10000.0 AS pmi, rank FROM r WHERE rank <= 25
-"""
-
-    o["text_bigram_lm"] = f"""
-WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-doc_bg AS (
-  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
-  FROM toks WHERE len(t) >= 2
-),
-uni AS (SELECT unnest(t) AS w FROM toks),
-unic AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
-tot AS (SELECT count(*) AS T FROM uni),
-bgc AS (SELECT bg, count(*) AS cb FROM doc_bg GROUP BY bg),
-w1c AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS c1 FROM bgc GROUP BY 1),
-prob AS (
-  SELECT b.bg,
-         floor((-ln(0.75::DOUBLE * (CAST(b.cb AS DOUBLE) / CAST(w.c1 AS DOUBLE))
-                    + 0.25::DOUBLE * (CAST(u.cw AS DOUBLE) / CAST(tot.T AS DOUBLE)))) * 10000 + 0.5) / 10000 AS s4
-  FROM bgc b
-  JOIN w1c w ON split_part(b.bg, ' ', 1) = w.w1
-  JOIN unic u ON split_part(b.bg, ' ', 2) = u.w
-  CROSS JOIN tot
-),
-scored AS (
-  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         floor((sum(CAST(round((p.s4) * 10000) AS BIGINT)) / (10000.0 * count(p.s4))) * 10000 + 0.5) / 10000 AS cross_entropy
-  FROM doc_bg d JOIN prob p ON d.bg = p.bg
-  GROUP BY d.doc_id
-)
-SELECT doc_id, n_bigrams, cross_entropy,
-       floor((exp(cross_entropy)) * 10000 + 0.5) / 10000 AS perplexity
-FROM scored
-"""
-
-    o["unigram_lm"] = f"""
-WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
-f AS (SELECT token, count(*)::DOUBLE AS cnt FROM t GROUP BY token),
-tot AS (SELECT sum(cnt) AS total FROM f),
-lp AS (SELECT token, ln(cnt / total) AS logp FROM f, tot),
-d AS (
-  SELECT t.doc_id, count(*) AS n_tokens, avg(-lp.logp) AS ce
-  FROM t JOIN lp USING (token) GROUP BY t.doc_id
-)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       floor(ce * 10000 + 0.5) / 10000 AS cross_entropy,
-       floor(exp(ce) * 10000 + 0.5) / 10000 AS perplexity
-FROM d
-"""
-
-    _prof = """
-SELECT '{c}' AS col_name, count(*) AS n_rows,
-       count(*) - count({e}) AS n_nulls,
-       CAST(count(DISTINCT {e}) AS BIGINT) AS n_distinct,
-       CAST(min({e}) AS VARCHAR) AS min_val,
-       CAST(max({e}) AS VARCHAR) AS max_val
-FROM lineitem"""
-    o["profile_columns"] = "\nUNION ALL\n".join(
-        _prof.format(c=c, e=e)
-        for c, e in [
-            ("l_orderkey", "l_orderkey"),
-            ("l_linenumber", "l_linenumber"),
-            ("l_returnflag", "l_returnflag"),
-            ("l_linestatus", "l_linestatus"),
-            ("l_shipdate", "CAST(l_shipdate AS DATE)"),
-        ]
-    )
-
-    o["pipeline_quality"] = f"""
-WITH t0 AS (SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents),
-m AS (
-  SELECT doc_id, source, toks,
-         len(toks) AS n,
-         greatest(len(toks), 1)::DOUBLE AS n_d,
-         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
-         (len(regexp_extract_all(text, '#'))
-          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
-         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
-         len(list_intersect(list_distinct(toks),
-             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-         CASE WHEN len(toks) > 0
-              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
-              ELSE 0.0 END AS dupfrac
-  FROM t0
-),
-surv AS (
-  SELECT doc_id, source, toks FROM m
-  WHERE n >= 30 AND n <= 100000
-    AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
-    AND n_symbols / n_d <= 0.1
-    AND n_alpha / n_d >= 0.80
-    AND stop_hits >= 1
-    AND dupfrac <= 0.8
-),
-tok AS (SELECT doc_id, source, unnest(toks) AS token FROM surv),
-f AS (SELECT token, count(*)::DOUBLE AS cnt FROM tok GROUP BY token),
-tot AS (SELECT sum(cnt) AS total FROM f),
-lp AS (SELECT token, ln(cnt / total) AS logp FROM f, tot),
-d AS (
-  SELECT tok.doc_id, tok.source, count(*) AS n_tokens, avg(-lp.logp) AS ce
-  FROM tok JOIN lp USING (token) GROUP BY tok.doc_id, tok.source
-),
-dr AS (SELECT source, n_tokens, floor(exp(ce) * 10000 + 0.5) / 10000 AS ppl FROM d)
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       floor((sum(CAST(round(ppl * 10000) AS BIGINT))
-              / (10000.0 * count(ppl))) * 10000 + 0.5) / 10000 AS avg_ppl
-FROM dr GROUP BY source
-"""
-
-    o["pipeline_mix"] = f"""
-WITH t0 AS (SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents),
-m AS (
-  SELECT doc_id, source, toks,
-         len(toks) AS n,
-         greatest(len(toks), 1)::DOUBLE AS n_d,
-         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
-         (len(regexp_extract_all(text, '#'))
-          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
-         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
-         len(list_intersect(list_distinct(toks),
-             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-         CASE WHEN len(toks) > 0
-              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
-              ELSE 0.0 END AS dupfrac
-  FROM t0
-),
-surv AS (
-  SELECT doc_id, source, toks FROM m
-  WHERE n >= 30 AND n <= 100000
-    AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
-    AND n_symbols / n_d <= 0.1
-    AND n_alpha / n_d >= 0.80
-    AND stop_hits >= 1
-    AND dupfrac <= 0.8
-),
-per AS (SELECT source, sum(len(toks)) AS n_tokens FROM surv GROUP BY source),
-tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
-wp AS (SELECT per.source, n_tokens / total AS p FROM per, tot),
-ws AS (SELECT sum(pow(p, 0.5)) AS wsum FROM wp),
-bo AS (SELECT source,
-              floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 AS boost
-       FROM wp, ws),
-mx AS (SELECT max(boost) AS mb FROM bo),
-th AS (SELECT source, CAST(floor(boost / mb * 10000 + 0.5) AS BIGINT) AS thr FROM bo, mx),
-b AS (
-  SELECT s.doc_id, s.source,
-         CAST(('0x' || substr(md5('kdb' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-           % 10000 AS bucket
-  FROM surv s
-)
-SELECT b.source, count(*) AS n_kept, min(b.doc_id) AS first_doc, max(b.doc_id) AS last_doc
-FROM b JOIN th ON b.source = th.source
-WHERE b.bucket < th.thr
-GROUP BY b.source
-"""
-
-    o["mixture_temperature"] = f"""
-WITH per AS (
-  SELECT source, count(*) AS n_docs, sum(len({_TOKENS})) AS n_tokens
-  FROM documents GROUP BY source
-),
-tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
-wp AS (SELECT per.*, n_tokens / total AS p FROM per, tot),
-ws AS (SELECT sum(pow(p, 0.5)) AS wsum FROM wp)
-SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-       floor(p * 10000 + 0.5) / 10000 AS p,
-       floor((pow(p, 0.5) / wsum) * 10000 + 0.5) / 10000 AS weight,
-       floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 AS boost
-FROM wp, ws
-"""
-
-    # IVF-PQ composition: sim_ivf_topk's bucket assignment + probe sets
-    # select the candidates; sim_pq_topk's codes + lookup tables score them.
-    o["sim_ivfpq_topk"] = """
-WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
-),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
-assign_scored AS (
-  SELECT base.vec_id, base.v, cents.centroid_id,
-         row_number() OVER (PARTITION BY base.vec_id
-             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM base CROSS JOIN cents
-),
-assigned AS (SELECT vec_id, centroid_id FROM assign_scored WHERE rn = 1),
-cb_src AS (
-  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1 AS code
-  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8)
-),
-subspaces AS (SELECT unnest(range(4)) AS m),
-cb AS (
-  SELECT s.m, c.code, list_slice(c.v, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
-  FROM subspaces s CROSS JOIN cb_src c
-),
-dists AS (
-  SELECT b.vec_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(b.v, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
-  FROM base b CROSS JOIN cb c
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
-    FROM dists) WHERE rn = 1
-),
-q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
-),
-probe_scored AS (
-  SELECT q.query_id, cents.centroid_id,
-         row_number() OVER (PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM q CROSS JOIN cents
-),
-probes AS (SELECT query_id, centroid_id FROM probe_scored WHERE rn <= 2),
-qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
-tables AS (
-  SELECT q.query_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> x[1] * x[2])) AS t,
-         list_sum(list_transform(c.cent, x -> x*x)) AS n2
-  FROM q CROSS JOIN cb c
-),
-cand AS (
-  SELECT p.query_id, a.vec_id
-  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
-),
-scored AS (
-  SELECT cd.vec_id, cd.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
-  FROM cand cd
-  JOIN codes co ON co.vec_id = cd.vec_id
-  JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
-  GROUP BY cd.vec_id, cd.query_id
-),
-ranked AS (
-  SELECT s.query_id, s.vec_id,
-         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
-         row_number() OVER (PARTITION BY s.query_id
-             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
-                      s.vec_id ASC) AS rnk
-  FROM scored s JOIN qn USING (query_id)
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
-       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
-FROM ranked WHERE rnk <= 5
-"""
-
-    # the persisted index path is gated by the SAME truth: identical
-    # centroids/codebooks/tie-breaks as the one-shot operator
-    o["sim_ivfpq_search"] = o["sim_ivfpq_topk"]
-
-    # INT8 scalar quantization: symmetric absmax, codes =
-    # floor(x/(amax/127) + 0.5) — every step elementwise double math on
-    # identical operands, replayed exactly. Checksums CAST to BIGINT
-    # (DuckDB list_sum widens); arithmetic literals ::DOUBLE (bare
-    # decimals parse as DECIMAL and flip floor(+0.5) boundaries).
-    o["embedding_quantize"] = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-a AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS amax FROM v),
-q AS (
-  SELECT vec_id, x, amax,
-    CASE WHEN amax = 0
-      THEN list_transform(x, e -> CAST(0 AS BIGINT))
-      ELSE list_transform(x, e -> CAST(floor(e / (amax / 127.0::DOUBLE) + 0.5::DOUBLE) AS BIGINT))
-    END AS codes
-  FROM a
-)
-SELECT vec_id,
-  floor(amax * 10000 + 0.5) / 10000 AS amax4,
-  CAST(list_sum(codes) AS BIGINT) AS codes_sum,
-  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS codes_abs_sum,
-  floor(list_max(list_transform(list_zip(x, codes),
-        p -> abs(p[1] - p[2] * (amax / 127.0::DOUBLE)))) * 10000 + 0.5) / 10000 AS max_err4
-FROM q
-"""
-
-    # RESIDUAL-coded IVF-PQ with deterministic codebooks: same centroid /
-    # probe / ranking scaffolding as sim_ivfpq_topk, but codes quantize the
-    # RESIDUAL v - centroid(v) under codebooks that are subspace slices of
-    # the first-8 residuals, and the ADC score carries the residual cross
-    # terms: adot = sum_j T[j,code_j] + dot(q, centroid_b) and
-    # |reconstruction|^2 = |centroid|^2 + 2*sum_j dot(centroid_sub_j,
-    # cb[j,code_j]) + sum_j |cb[j,code_j]|^2 (similarity.ivfpq_topk's
-    # residual branch, lookup-table form). 2.0::DOUBLE guards the DuckDB
-    # bare-decimal DECIMAL trap; greatest(..., 1e-300) mirrors the
-    # kernel's zero-norm clamp.
-    o["sim_ivfpq_residual_det"] = """
-WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
-),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
-assign_scored AS (
-  SELECT base.vec_id, base.v, cents.centroid_id, cents.cv,
-         row_number() OVER (PARTITION BY base.vec_id
-             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM base CROSS JOIN cents
-),
-assigned AS (SELECT vec_id, centroid_id, cv FROM assign_scored WHERE rn = 1),
-cb_src AS (
-  SELECT list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r,
-         CAST(row_number() OVER (ORDER BY b.vec_id ASC) AS BIGINT) - 1 AS code
-  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8) b
-  JOIN assigned a ON a.vec_id = b.vec_id
-),
-subspaces AS (SELECT unnest(range(4)) AS m),
-cb AS (
-  SELECT s.m, c.code, list_slice(c.r, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
-  FROM subspaces s CROSS JOIN cb_src c
-),
-resid AS (
-  SELECT b.vec_id, a.centroid_id,
-         list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r
-  FROM base b JOIN assigned a ON a.vec_id = b.vec_id
-),
-dists AS (
-  SELECT rr.vec_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(rr.r, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
-  FROM resid rr CROSS JOIN cb c
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
-    FROM dists) WHERE rn = 1
-),
-q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
-),
-probe_scored AS (
-  SELECT q.query_id, cents.centroid_id,
-         row_number() OVER (PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
-  FROM q CROSS JOIN cents
-),
-probes AS (SELECT query_id, centroid_id FROM probe_scored WHERE rn <= 2),
-qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
-tables AS (
-  SELECT q.query_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> x[1] * x[2])) AS t,
-         list_sum(list_transform(c.cent, x -> x*x)) AS n2
-  FROM q CROSS JOIN cb c
-),
-btab AS (
-  SELECT ct.centroid_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(ct.cv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> x[1] * x[2])) AS b
-  FROM cents ct CROSS JOIN cb c
-),
-cn2 AS (SELECT centroid_id, list_sum(list_transform(cv, x -> x*x)) AS cnorm2 FROM cents),
-qc AS (
-  SELECT q.query_id, ct.centroid_id,
-         list_sum(list_transform(list_zip(q.qv, ct.cv), x -> x[1] * x[2])) AS qcdot
-  FROM q CROSS JOIN cents ct
-),
-cand AS (
-  SELECT p.query_id, a.vec_id, a.centroid_id
-  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
-),
-scored AS (
-  SELECT cd.vec_id, cd.query_id,
-         sum(tb.t) + any_value(qq.qcdot) AS adot,
-         sqrt(greatest(any_value(c2.cnorm2) + 2.0::DOUBLE * sum(bt.b) + sum(tb.n2),
-                       1e-300)) AS rnorm
-  FROM cand cd
-  JOIN codes co ON co.vec_id = cd.vec_id
-  JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
-  JOIN btab bt ON bt.centroid_id = cd.centroid_id AND bt.m = co.m AND bt.code = co.code
-  JOIN cn2 c2 ON c2.centroid_id = cd.centroid_id
-  JOIN qc qq ON qq.query_id = cd.query_id AND qq.centroid_id = cd.centroid_id
-  GROUP BY cd.vec_id, cd.query_id
-),
-ranked AS (
-  SELECT s.query_id, s.vec_id,
-         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
-         row_number() OVER (PARTITION BY s.query_id
-             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
-                      s.vec_id ASC) AS rnk
-  FROM scored s JOIN qn USING (query_id)
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
-       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
-FROM ranked WHERE rnk <= 5
-"""
-
-
-    # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8
-    # lowest BASE ids), same L2 assignment (ties -> lowest code), same
-    # cos(q, reconstruction) score, same (score desc, vec_id asc) ranking.
-    o["sim_pq_topk"] = """
-WITH base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
-),
-cb_src AS (
-  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1 AS code
-  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8)
-),
-subspaces AS (SELECT unnest(range(4)) AS m),
-cb AS (
-  SELECT s.m, c.code, list_slice(c.v, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
-  FROM subspaces s CROSS JOIN cb_src c
-),
-dists AS (
-  SELECT b.vec_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(b.v, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
-  FROM base b CROSS JOIN cb c
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
-    FROM dists) WHERE rn = 1
-),
-q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
-),
-qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
-tables AS (
-  SELECT q.query_id, c.m, c.code,
-         list_sum(list_transform(
-           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
-           x -> x[1] * x[2])) AS t,
-         list_sum(list_transform(c.cent, x -> x*x)) AS n2
-  FROM q CROSS JOIN cb c
-),
-scored AS (
-  SELECT co.vec_id, tb.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
-  FROM codes co JOIN tables tb ON co.m = tb.m AND co.code = tb.code
-  GROUP BY co.vec_id, tb.query_id
-),
-ranked AS (
-  SELECT s.query_id, s.vec_id,
-         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
-         row_number() OVER (PARTITION BY s.query_id
-             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
-                      s.vec_id ASC) AS rnk
-  FROM scored s JOIN qn USING (query_id)
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
-       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
-FROM ranked WHERE rnk <= 5
-"""
-
-    return o
+    """DuckDB ANSI-SQL twin for every gated queries() entry (driver runs
+    both sides at sf0.01 and compares rows/schema/value-hash). The corpus
+    lives in kadiyadb_spark/oracles/ split per family; see
+    kadiyadb_spark/oracles/__init__.py."""
+    return all_oracles()

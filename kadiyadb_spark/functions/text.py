@@ -107,6 +107,73 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/encoding-junk/repetition quality signal (low-entropy docs are
+    looping or boilerplate; implausibly high-entropy docs are base64 blobs,
+    minified code or ciphertext — both standard pretraining-corpus cuts).
+
+    Deterministic at any parallelism: each distinct character's entropy
+    term is quantized ONCE to an exact long, ``term4(c) = floor(c·log2(c)
+    ·1e4 + 0.5)``, and the per-document total is a LONG sum — associative,
+    order-free — with one final double expression
+    ``H = log2(n) − (Σterm4/1e4)/n`` rounded to 4dp (same construction as
+    the scaled-long cube folds; a raw double Σ p·log2 p would depend on
+    partition/accumulation order). The quantization defines the op: both
+    engines replay the identical integers.
+
+    Shape: ENTIRELY shuffle-free — the run-length fold over the sorted
+    char array computes every distinct character's count without an
+    explode + groupBy (equal chars group adjacently), so the whole signal
+    streams at scan speed in the documents scan's own partitions; at
+    100 TB there is no (doc, char)-keyed shuffle to pay. Empty documents
+    are dropped (no distribution to measure).
+
+    Returns (id_col, n_chars, n_distinct_chars, char_entropy)."""
+    chars = F.expr(
+        f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))"
+    )
+
+    def term4(run: Column) -> Column:
+        rd = run.cast("double")
+        return F.when(
+            run > 1, F.floor(rd * F.log2(rd) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    # run-length fold over the sorted chars: on char change, flush the
+    # finished run's quantized entropy term into the exact long total
+    ent4 = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc4"),
+        ),
+        lambda acc, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(ch.eqNullSafe(acc["prev"]), acc["acc4"])
+            .otherwise(acc["acc4"] + term4(acc["run"]))
+            .alias("acc4"),
+        ),
+        lambda acc: acc["acc4"] + term4(acc["run"]),
+    )
+    n = F.length(F.col(text_col)).cast("long")
+    nd = n.cast("double")
+    return df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
+        round4_expr(
+            F.log2(nd) - (ent4.cast("double") / F.lit(10000.0)) / nd
+        ).alias("char_entropy"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text (exact
     content identity modulo case/whitespace)."""

@@ -1,0 +1,265 @@
+"""DuckDB oracle SQL for the driver correctness gate — relational engine surface: joins, subqueries, grouping sets, sources, skew.
+
+Split out of __spark_entry__.py (r09, VERDICT r08 item 6): same strings,
+byte-for-byte — the gate dict is asserted identical to the pre-split
+snapshot in tests/test_entry_rotation.py.
+"""
+from __future__ import annotations
+
+from kadiyadb_spark.oracles.fragments import (
+    SEC,
+    T0,
+    _TOKENS,
+)
+
+
+def oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    day_ns = 24 * 3600 * SEC
+
+    o["semi_join"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+    o["anti_join"] = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01')
+"""
+
+    day1 = T0 + 24 * 3600 * SEC
+    o["set_ops"] = f"""
+WITH d1 AS (SELECT user_id, event_type FROM events
+            WHERE epoch_ns(ts) >= {T0} AND epoch_ns(ts) < {day1})
+(SELECT user_id FROM d1 WHERE event_type = 'click'
+ INTERSECT
+ SELECT user_id FROM d1 WHERE event_type = 'purchase')
+EXCEPT
+SELECT user_id FROM d1 WHERE event_type = 'error'
+"""
+
+    o["rollup_revenue"] = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+    o["asof_join"] = f"""
+WITH tl AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type,
+         max(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events WHERE event_type IN ('purchase', 'view')
+)
+SELECT event_id, user_id, ts, last_view_ts,
+       CAST((ts - last_view_ts) // {SEC} AS BIGINT) AS gap_s
+FROM tl WHERE event_type = 'purchase'
+"""
+
+    o["json_extract"] = """
+SELECT event_type,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       floor((sum(json_extract(props, '$.k')::BIGINT)
+              / count(json_extract(props, '$.k')::BIGINT)) * 10000 + 0.5) / 10000 AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+    o["percentiles"] = """
+SELECT l_returnflag,
+       floor((quantile_cont(l_extendedprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+       floor((quantile_cont(l_extendedprice, 0.50)) * 10000 + 0.5) / 10000 AS p50,
+       floor((quantile_cont(l_extendedprice, 0.75)) * 10000 + 0.5) / 10000 AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    o["date_extract"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       count(*) AS n_orders,
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
+       min(o_orderkey) AS first_orderkey
+FROM orders GROUP BY 1, 2
+"""
+
+    o["topk_per_group"] = """
+WITH per AS (
+  SELECT event_type, user_id, sum(CAST(round((value) * 10000) AS BIGINT)) AS v4
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, v4,
+         row_number() OVER (PARTITION BY event_type ORDER BY v4 DESC, user_id ASC) AS rnk
+  FROM per
+)
+SELECT event_type, user_id, CAST(rnk AS BIGINT) AS rnk,
+       v4 / 10000.0 AS total_value
+FROM ranked WHERE rnk <= 3
+"""
+
+    o["null_semantics"] = """
+WITH d AS (
+  SELECT event_type,
+         nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 0) AS n
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(n) AS n_nonnull,
+       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(coalesce(n, -1)) AS BIGINT) AS sum_coalesced,
+       CAST(sum(CASE WHEN n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
+FROM d GROUP BY event_type
+"""
+
+    o["correlated_subquery"] = """
+SELECT o_orderkey, o_custkey,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT sum(CAST(round(o2.o_totalprice * 10000) AS BIGINT))
+           / (10000.0 * count(o2.o_totalprice))
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+    o["grouping_sets_mixed"] = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+"""
+
+    o["exists_subquery"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(epoch_us(l.l_shipdate) AS BIGINT)
+          - CAST(epoch_us(o.o_orderdate) AS BIGINT) > 60 * 86400000000)
+GROUP BY o_orderpriority
+"""
+
+    week_ns = 7 * 24 * 3600 * SEC
+    o["cube_grouping"] = f"""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1) AS dow,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
+       count(*) AS n_events
+FROM (SELECT event_type, (epoch_ns(ts) % {week_ns}) // {day_ns} AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+    o["window_frames"] = f"""
+WITH daily AS (
+  SELECT event_type, (epoch_ns(ts) // {day_ns}) * {day_ns} AS day,
+         sum(CAST(round((value) * 10000) AS BIGINT)) AS dv4
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       dv4 / 10000.0 AS day_value,
+       floor((sum(dv4) OVER wma / (10000.0 * count(dv4) OVER wma)) * 10000 + 0.5) / 10000 AS ma3,
+       (dv4 - lag(dv4, 1, 0) OVER w) / 10000.0 AS delta_prev,
+       lead(dv4, 1, 0) OVER w / 10000.0 AS next_value,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day),
+       wma AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+    o["explode_tokens"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id < 50)
+SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token FROM t
+"""
+
+    o["array_collect"] = """
+WITH per_user AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(types, ',') AS types_csv,
+       CAST(len(types) AS BIGINT) AS n_types,
+       types[1] AS first_type,
+       list_contains(types, 'purchase') AS has_purchase
+FROM per_user
+"""
+
+    o["string_funcs"] = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
+       substr(c_mktsegment, 1, 3) AS seg3,
+       translate(c_name, '0123456789', '##########') AS masked,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lower(c_mktsegment) || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
+FROM customer
+"""
+
+    o["range_join_counts"] = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts FROM events),
+err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - {5 * 60 * SEC} AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+    # Source round-trips: the oracle reads the ORIGINAL parquet — any value
+    # drift introduced by the JSON/CSV writer+reader fails the hash.
+    _src_agg_sql = """
+SELECT event_type, count(*) AS n_events,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
+       min(event_id) AS first_event
+FROM events GROUP BY event_type
+"""
+    o["json_source_agg"] = _src_agg_sql
+    o["csv_source_agg"] = _src_agg_sql
+    o["orc_source_agg"] = _src_agg_sql
+
+    # Layout change only — values must round-trip bit-exactly.
+    o["zorder_layout"] = """
+SELECT event_type, count(*) AS n_events,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value
+FROM events GROUP BY event_type
+"""
+
+    # Bucketed re-layout is content-preserving: oracle joins the originals.
+    o["bucketed_join"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       floor((sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+    o["skew_salted_agg"] = """
+SELECT event_type,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
+       count(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+    o["skew_salted_join"] = """
+SELECT c_mktsegment,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value,
+       count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+    return o

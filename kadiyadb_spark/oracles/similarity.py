@@ -1,0 +1,476 @@
+"""DuckDB oracle SQL for the driver correctness gate — embedding similarity: brute-force, IVF, PQ, IVFPQ, quantization.
+
+Split out of __spark_entry__.py (r09, VERDICT r08 item 6): same strings,
+byte-for-byte — the gate dict is asserted identical to the pre-split
+snapshot in tests/test_entry_rotation.py.
+"""
+from __future__ import annotations
+
+
+
+def oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    # Mirrors the engine's IVF centroid blocking: assign each vector to its
+    # nearest of the 8 lowest-id centroids (ties -> lowest centroid id), then
+    # score pairs only WITHIN a bucket.
+    o["dedup_embedding"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, e AS cv FROM v ORDER BY vec_id ASC LIMIT 8),
+assign_scored AS (
+  SELECT v.vec_id, v.e, cents.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM v CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, e, centroid_id FROM assign_scored WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_cosine_similarity(a.e, b.e)) * 10000 + 0.5) / 10000 AS cosine
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+"""
+
+    # ---- similarity ----
+    o["embedding_stats"] = """
+WITH n AS (
+  SELECT label,
+         floor(sqrt(list_sum([x * x for x in embedding::DOUBLE[]]))
+               * 10000 + 0.5) / 10000 AS nn
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+       floor((sum(CAST(round(nn * 10000) AS BIGINT))
+              / (10000.0 * count(nn))) * 10000 + 0.5) / 10000 AS avg_norm,
+       min(nn) AS min_norm,
+       max(nn) AS max_norm
+FROM n GROUP BY label
+"""
+
+    o["sim_hard_negatives"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+         FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, base.vec_id, base.label,
+         list_cosine_similarity(q.qv, base.v) AS cos
+  FROM q CROSS JOIN base
+  WHERE base.label != q.ql
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(label AS BIGINT) AS label,
+       CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+    o["sim_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, base.vec_id, list_cosine_similarity(q.qv, base.v) AS cos
+  FROM q CROSS JOIN base
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+    # knn graph: assignment mirrors ivf_assign (argmax -> lowest centroid id
+    # on ties); ranks order on the 4dp-ROUNDED cosine with neighbor-id ties
+    # (the PQ-ranker device), so engine-ULP cosine differences cannot flip
+    # a rank
+    o["sim_knn_graph"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, v, centroid_id FROM assign_scored WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 AS r4
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, r4,
+         CAST(row_number() OVER (PARTITION BY vec_id
+             ORDER BY r4 DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, r4 AS cosine FROM ranked WHERE rank <= 5
+"""
+
+    o["sim_ivf_topk"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, v, centroid_id FROM assign_scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+probe_scored AS (
+  SELECT q.query_id, q.qv, cents.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, qv, centroid_id FROM probe_scored WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+    # Mirrors lsh_topk: hyperplanes = the 6 lowest-id base vectors; bucket =
+    # sign bits of the inner products (bit j from the j-th lowest hyperplane
+    # id); each query probes its bucket and every single-bit flip.
+    o["sim_ivf_index"] = o["sim_ivf_topk"]
+    # build(<300) + add(>=300) + compact must equal the one-shot index: the
+    # deterministic centroids (8 lowest base ids) live in the build subset.
+    o["sim_ivf_add"] = o["sim_ivf_topk"]
+
+    o["sim_lsh_topk"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+hyper AS (SELECT vec_id AS hid, v AS hv FROM base ORDER BY vec_id ASC LIMIT 6),
+hb AS (SELECT hid, hv, row_number() OVER (ORDER BY hid ASC) - 1 AS bit FROM hyper),
+vb AS (
+  SELECT b.vec_id, b.v,
+         CAST(sum(CASE WHEN list_inner_product(b.v, hb.hv) >= 0 THEN (1 << hb.bit) ELSE 0 END) AS BIGINT) AS bkt
+  FROM base b CROSS JOIN hb GROUP BY b.vec_id, b.v
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qb AS (
+  SELECT q.query_id, q.qv,
+         CAST(sum(CASE WHEN list_inner_product(q.qv, hb.hv) >= 0 THEN (1 << hb.bit) ELSE 0 END) AS BIGINT) AS bkt
+  FROM q CROSS JOIN hb GROUP BY q.query_id, q.qv
+),
+probes AS (
+  SELECT query_id, qv, bkt AS pb FROM qb
+  UNION ALL
+  SELECT qb.query_id, qb.qv, xor(qb.bkt, CAST(1 << hb.bit AS BIGINT)) FROM qb CROSS JOIN hb
+),
+scored AS (
+  SELECT p.query_id, vb.vec_id, list_cosine_similarity(p.qv, vb.v) AS cos
+  FROM probes p JOIN vb ON vb.bkt = p.pb
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, floor((cos) * 10000 + 0.5) / 10000 AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+    # IVF-PQ composition: sim_ivf_topk's bucket assignment + probe sets
+    # select the candidates; sim_pq_topk's codes + lookup tables score them.
+    o["sim_ivfpq_topk"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, centroid_id FROM assign_scored WHERE rn = 1),
+cb_src AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8)
+),
+subspaces AS (SELECT unnest(range(4)) AS m),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.v, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),
+dists AS (
+  SELECT b.vec_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(b.v, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM base b CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+probe_scored AS (
+  SELECT q.query_id, cents.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, centroid_id FROM probe_scored WHERE rn <= 2),
+qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+tables AS (
+  SELECT q.query_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS t,
+         list_sum(list_transform(c.cent, x -> x*x)) AS n2
+  FROM q CROSS JOIN cb c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+),
+scored AS (
+  SELECT cd.vec_id, cd.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
+  GROUP BY cd.vec_id, cd.query_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
+                      s.vec_id ASC) AS rnk
+  FROM scored s JOIN qn USING (query_id)
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
+FROM ranked WHERE rnk <= 5
+"""
+
+    # the persisted index path is gated by the SAME truth: identical
+    # centroids/codebooks/tie-breaks as the one-shot operator
+    o["sim_ivfpq_search"] = o["sim_ivfpq_topk"]
+
+    # INT8 scalar quantization: symmetric absmax, codes =
+    # floor(x/(amax/127) + 0.5) — every step elementwise double math on
+    # identical operands, replayed exactly. Checksums CAST to BIGINT
+    # (DuckDB list_sum widens); arithmetic literals ::DOUBLE (bare
+    # decimals parse as DECIMAL and flip floor(+0.5) boundaries).
+    o["embedding_quantize"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+a AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS amax FROM v),
+q AS (
+  SELECT vec_id, x, amax,
+    CASE WHEN amax = 0
+      THEN list_transform(x, e -> CAST(0 AS BIGINT))
+      ELSE list_transform(x, e -> CAST(floor(e / (amax / 127.0::DOUBLE) + 0.5::DOUBLE) AS BIGINT))
+    END AS codes
+  FROM a
+)
+SELECT vec_id,
+  floor(amax * 10000 + 0.5) / 10000 AS amax4,
+  CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS codes_abs_sum,
+  floor(list_max(list_transform(list_zip(x, codes),
+        p -> abs(p[1] - p[2] * (amax / 127.0::DOUBLE)))) * 10000 + 0.5) / 10000 AS max_err4
+FROM q
+"""
+
+    # RESIDUAL-coded IVF-PQ with deterministic codebooks: same centroid /
+    # probe / ranking scaffolding as sim_ivfpq_topk, but codes quantize the
+    # RESIDUAL v - centroid(v) under codebooks that are subspace slices of
+    # the first-8 residuals, and the ADC score carries the residual cross
+    # terms: adot = sum_j T[j,code_j] + dot(q, centroid_b) and
+    # |reconstruction|^2 = |centroid|^2 + 2*sum_j dot(centroid_sub_j,
+    # cb[j,code_j]) + sum_j |cb[j,code_j]|^2 (similarity.ivfpq_topk's
+    # residual branch, lookup-table form). 2.0::DOUBLE guards the DuckDB
+    # bare-decimal DECIMAL trap; greatest(..., 1e-300) mirrors the
+    # kernel's zero-norm clamp.
+    o["sim_ivfpq_residual_det"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+assign_scored AS (
+  SELECT base.vec_id, base.v, cents.centroid_id, cents.cv,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, centroid_id, cv FROM assign_scored WHERE rn = 1),
+cb_src AS (
+  SELECT list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r,
+         CAST(row_number() OVER (ORDER BY b.vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8) b
+  JOIN assigned a ON a.vec_id = b.vec_id
+),
+subspaces AS (SELECT unnest(range(4)) AS m),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.r, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),
+resid AS (
+  SELECT b.vec_id, a.centroid_id,
+         list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r
+  FROM base b JOIN assigned a ON a.vec_id = b.vec_id
+),
+dists AS (
+  SELECT rr.vec_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(rr.r, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM resid rr CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+probe_scored AS (
+  SELECT q.query_id, cents.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, centroid_id FROM probe_scored WHERE rn <= 2),
+qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+tables AS (
+  SELECT q.query_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS t,
+         list_sum(list_transform(c.cent, x -> x*x)) AS n2
+  FROM q CROSS JOIN cb c
+),
+btab AS (
+  SELECT ct.centroid_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(ct.cv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS b
+  FROM cents ct CROSS JOIN cb c
+),
+cn2 AS (SELECT centroid_id, list_sum(list_transform(cv, x -> x*x)) AS cnorm2 FROM cents),
+qc AS (
+  SELECT q.query_id, ct.centroid_id,
+         list_sum(list_transform(list_zip(q.qv, ct.cv), x -> x[1] * x[2])) AS qcdot
+  FROM q CROSS JOIN cents ct
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.centroid_id
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+),
+scored AS (
+  SELECT cd.vec_id, cd.query_id,
+         sum(tb.t) + any_value(qq.qcdot) AS adot,
+         sqrt(greatest(any_value(c2.cnorm2) + 2.0::DOUBLE * sum(bt.b) + sum(tb.n2),
+                       1e-300)) AS rnorm
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
+  JOIN btab bt ON bt.centroid_id = cd.centroid_id AND bt.m = co.m AND bt.code = co.code
+  JOIN cn2 c2 ON c2.centroid_id = cd.centroid_id
+  JOIN qc qq ON qq.query_id = cd.query_id AND qq.centroid_id = cd.centroid_id
+  GROUP BY cd.vec_id, cd.query_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
+                      s.vec_id ASC) AS rnk
+  FROM scored s JOIN qn USING (query_id)
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
+FROM ranked WHERE rnk <= 5
+"""
+
+
+    # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8
+    # lowest BASE ids), same L2 assignment (ties -> lowest code), same
+    # cos(q, reconstruction) score, same (score desc, vec_id asc) ranking.
+    o["sim_pq_topk"] = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
+),
+cb_src AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8)
+),
+subspaces AS (SELECT unnest(range(4)) AS m),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.v, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),
+dists AS (
+  SELECT b.vec_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(b.v, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM base b CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+qn AS (SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+tables AS (
+  SELECT q.query_id, c.m, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(q.qv, CAST(c.m*16 + 1 AS INT), CAST(c.m*16 + 16 AS INT)), c.cent),
+           x -> x[1] * x[2])) AS t,
+         list_sum(list_transform(c.cent, x -> x*x)) AS n2
+  FROM q CROSS JOIN cb c
+),
+scored AS (
+  SELECT co.vec_id, tb.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
+  FROM codes co JOIN tables tb ON co.m = tb.m AND co.code = tb.code
+  GROUP BY co.vec_id, tb.query_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 AS ac,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
+                      s.vec_id ASC) AS rnk
+  FROM scored s JOIN qn USING (query_id)
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+       floor(ac * 10000 + 0.5) / 10000 AS approx_cos
+FROM ranked WHERE rnk <= 5
+"""
+    return o

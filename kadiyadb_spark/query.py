@@ -896,41 +896,55 @@ def series_anomaly(
 
     Engine-default-free (closes the last windowed-variance residue): the
     window folds EXACT scaled longs — S1 = sum(x4), S2 = sum(x4²) with
-    x4 = round(total·1e4) — and the variance is computed about the
-    window's integer MINIMUM via the exact long identities
-    S1d = S1 − n·m and S2d = S2 − 2·m·S1 + n·m² (m = min(x4)), so a flat
-    window gives S1d = S2d = 0 EXACTLY at any magnitude, and the one
-    double expression var4 = (n·S2d − S1d²)/(n·(n−1)) is conditioned on
-    the window's SPREAD, not its level (the uncentered n·S2 − S1² form
-    cancels catastrophically past 2^53 and fabricated anomalies on flat
-    baselines at totals above ~2.7e3 — caught by live review). Every FP
-    op runs on identical operands in identical order in any engine,
-    unlike avg/stddev_samp whose accumulation order is an engine
-    default. Long bound: n·max(x4)² < 2^63 — |total| ≤ 8.7e4/sqrt(n) at
-    4dp (larger scales switch the fold to decimal(38,8))."""
+    x4 = round(total·1e4) — and the variance is computed about an
+    in-window integer reference via the exact long identities
+    S1d = S1 − n·m and S2d = S2 − 2·m·S1 + n·m² (m = the OLDEST in-frame
+    value), so a flat window gives S1d = S2d = 0 EXACTLY at any
+    magnitude, and the one double expression
+    var4 = (n·S2d − S1d²)/(n·(n−1)) — an m-invariant identity for
+    n·Σ(x−x̄)² — is conditioned on the window's SPREAD, not its level
+    (the uncentered n·S2 − S1² form cancels catastrophically past 2^53
+    and fabricated anomalies on flat baselines at totals above ~2.7e3 —
+    caught by live review). Every FP op runs on identical operands in
+    identical order in any engine, unlike avg/stddev_samp whose
+    accumulation order is an engine default.
+
+    Physical shape (the r09 rewrite of the r08 bench regression): Spark
+    re-aggregates BOUNDED sliding frames from scratch for every output
+    row — the four ``ROWS BETWEEN -w AND -1`` folds cost O(w) per row
+    each. The window sums are instead taken as differences of two
+    cumulative sums per measure (frames ``(-∞, -1)`` and
+    ``(-∞, -(w+1))``, both incrementally maintained, O(1)/row), the
+    count from ``row_number`` and the centering reference from
+    ``lag(x4, w)`` (offset frames, O(1)/row) — same integers, one sort,
+    ~w× less window compute. The cumulative folds run in decimal(38,0),
+    so the partition-length running total has 10^38 headroom instead of
+    2^63 (per-row bound unchanged: x4² must fit a long, |total| ≤ 8.7e4
+    at 4dp; the window-difference S1/S2 are longs again by construction).
+    """
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
 
-    w = (
-        Window.partitionBy(*series_cols)
-        .orderBy(bucket_col)
-        .rowsBetween(-window_slots, -1)
-    )
-    # Pre-project the scaled long and its square ONCE per row: sliding
-    # frames re-evaluate each aggregate's input expression against every
-    # frame row per output row (window_slots× per row), so folding plain
-    # long columns instead of the cast/round/multiply chains is the r08
-    # bench regression fix (5.7 s -> target <3.5 s at sf0.1) with
-    # bit-identical integer math.
+    w_ord = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    cum_hi = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    cum_lo = w_ord.rowsBetween(Window.unboundedPreceding, -(window_slots + 1))
     df = df.withColumn("_x4", scale4_expr(F.col(total_col))).withColumn(
         "_x4sq", F.col("_x4") * F.col("_x4")
     )
+    dec1 = F.col("_x4").cast("decimal(38,0)")
+    dec2 = F.col("_x4sq").cast("decimal(38,0)")
     x4 = F.col("_x4")
-    s1 = F.sum("_x4").over(w)
-    s2 = F.sum("_x4sq").over(w)
-    m = F.min("_x4").over(w)
-    n = F.count("_x4").over(w)
+    s1 = (
+        F.sum(dec1).over(cum_hi) - F.coalesce(F.sum(dec1).over(cum_lo), F.lit(0))
+    ).cast("long")
+    s2 = (
+        F.sum(dec2).over(cum_hi) - F.coalesce(F.sum(dec2).over(cum_lo), F.lit(0))
+    ).cast("long")
+    m = F.lag("_x4", window_slots).over(w_ord)
+    n = F.least(F.row_number().over(w_ord) - F.lit(1), F.lit(window_slots)).cast(
+        "long"
+    )
     # exact long centering about the window minimum (see docstring)
     s1d = (s1 - n * m).cast("double")
     s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")

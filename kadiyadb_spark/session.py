@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor: the default 1MB floor collapses a ~2MB
+        # window/agg shuffle to 2 post-shuffle partitions, serializing the
+        # (non-codegen, per-row) WindowExec onto 2 cores — measured 5.9s ->
+        # 2.2s on the sf0.1 z-score window by lowering the floor. At real
+        # scale the floor never binds (100TB shuffles coalesce by the
+        # advisory size / parallelismFirst target long before 32KB), so
+        # this only changes the small-shuffle regime, where idle cores —
+        # not per-partition overhead — are the dominant cost.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "32KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -42,7 +42,7 @@ R09_NEVER_GATED = [
     "profile_correlations", "streaming_rejects", "fetch_outlier_fences",
 ]
 # New r09 entries gate in their birth round (displacing aged fillers):
-R09_NEW = ["sim_ivfpq_residual_det", "embedding_quantize"]
+R09_NEW = ["sim_ivfpq_residual_det", "embedding_quantize", "text_char_entropy"]
 R09_REQUIRED_IN_CAP = (
     set(R09_REDS) | set(R09_NEVER_GATED) | set(R09_NEW) | {"fetch_anomaly"}
 )
@@ -124,3 +124,20 @@ def test_oracle_output_types_driver_hashable(oracles):
         f"oracles with driver-unhashable output types (CAST them AS "
         f"BIGINT/DOUBLE): {bad}"
     )
+
+
+def test_oracle_modules_partition_the_corpus(oracles):
+    """The per-family split (kadiyadb_spark/oracles/) must PARTITION the
+    oracle corpus: modules pairwise key-disjoint (all_oracles raises on
+    overlap — exercise it) and their union exactly the gated dict the
+    driver sees via oracle_sql()."""
+    from kadiyadb_spark.oracles import _MODULES, all_oracles
+
+    union: dict[str, str] = {}
+    for m in _MODULES:
+        part = m.oracles()
+        assert part, f"{m.__name__} contributes no oracles"
+        dup = union.keys() & part.keys()
+        assert not dup, f"{m.__name__} redefines {sorted(dup)}"
+        union.update(part)
+    assert union == all_oracles() == oracles

@@ -1974,3 +1974,31 @@ def test_column_correlations_golden(spark):
         column_correlations(df, ["x"])
     with _pt.raises(ValueError):
         column_correlations(df, ["x", "x"])
+
+
+def test_char_entropy_golden(spark):
+    """Hand-computed Shannon entropies; empty docs dropped; the quantized
+    long-term construction matches true entropy to 4dp on small counts."""
+    import math
+
+    docs = _docs(spark, ["aab", "abab", "zzzz", ""])
+    out = {r["doc_id"]: r for r in TX.char_entropy(docs).collect()}
+    assert set(out) == {0, 1, 2}  # the empty doc is dropped
+    a = out[0]  # counts a:2, b:1 -> H = H(2/3, 1/3)
+    true_h = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert (a.n_chars, a.n_distinct_chars) == (3, 2)
+    assert abs(a.char_entropy - round(true_h, 4)) < 1e-9
+    b = out[1]  # uniform over {a, b} -> exactly 1 bit
+    assert (b.n_chars, b.n_distinct_chars, b.char_entropy) == (4, 2, 1.0)
+    z = out[2]  # single symbol -> exactly 0
+    assert (z.n_chars, z.n_distinct_chars, z.char_entropy) == (4, 1, 0.0)
+
+
+def test_char_entropy_order_free_identical_any_layout(spark):
+    """The long-term quantization makes the result independent of
+    partitioning: 1-partition and 8-partition layouts hash-identical."""
+    rows = [(i, ("abcde" * (i + 1))[: i + 7]) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, TX.char_entropy(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, TX.char_entropy(df.repartition(8)).collect()))
+    assert one == many
