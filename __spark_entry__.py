@@ -3523,6 +3523,15 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     f0 = buf.reshape(8, 8, 3)
                     f1 = (buf + 1).astype(np.uint8).reshape(8, 8, 3)
                     payloads.append(codecs.encode_avi(np.stack([f0, f1]), fps=10))
+                elif kind == "gif":
+                    # <= 64 distinct hex-char triples -> GIF-paletteable;
+                    # LZW is lossless so SQL predicts the decoded pixels.
+                    # Interlace every other doc to gate BOTH row layouts.
+                    payloads.append(
+                        codecs.encode_gif(
+                            buf.reshape(8, 8, 3), interlace=bool(len(payloads) % 2)
+                        )
+                    )
                 else:
                     payloads.append(
                         codecs.encode_wav(buf.astype(np.int16) - 128, rate=16000, bits=8)
@@ -3546,6 +3555,23 @@ def q_multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfilter per the W3C spec); the oracle recomputes true width/height
     and the decoded-pixel sum from md5() hex arithmetic in SQL."""
     feats = M.decode_images(_hex_media(spark, sf_dir, "png"), fake=False)
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("byte_sum_mod").cast("long").alias("pix_sum"),
+    )
+
+
+def q_multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec end to end: per-doc payloads are LZW-compressed by
+    codecs.encode_gif (palette from the <=64 distinct hex-char triples;
+    every other doc interlaced) and decoded back by the spec-complete
+    variable-width LZW decoder inside decode_images(fake=False). LZW is
+    lossless, so the oracle predicts decoded width/height/pixel-sum from
+    md5() hex arithmetic alone — same contract as multimodal_png_real,
+    reached through an entirely different wire format."""
+    feats = M.decode_images(_hex_media(spark, sf_dir, "gif"), fake=False)
     return feats.select(
         F.col("asset_id").alias("doc_id"),
         F.col("width").cast("long").alias("width"),
@@ -4056,16 +4082,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_residual_det": q_sim_ivfpq_residual_det,
         "embedding_quantize": q_embedding_quantize,
         "text_char_entropy": q_text_char_entropy,
+        "multimodal_gif_real": q_multimodal_gif_real,
         # (5) oldest driver rows (r05), filling the cap to 50
-        #     (distinct_users/text_quality/text_fingerprint displaced by
-        #     the r09 additions above):
+        #     (approx_quantile/distinct_users/text_quality/text_fingerprint
+        #     displaced by the r09 additions above):
         "anti_join": q_anti_join,
         "approx_distinct": q_approx_distinct,
         "approx_quantile": q_approx_quantile,
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (approx_quantile closes it).
+        # -- end of the 50-entry r09 cap (approx_distinct closes it).
         # Everything below is driver-green in r04-r08 rows and re-checked
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the

@@ -17,6 +17,9 @@ a fake answer):
 - WAV  (RIFF PCM): 8-bit unsigned or 16-bit signed LE, any channel count.
 - AVI  (RIFF, uncompressed 24bpp DIB video stream): the video leg of the
   multimodal contract — frame extraction over real container bytes.
+- GIF  (GIF87a/89a): global/local color tables, variable-width LZW
+  (3..12-bit codes, CLEAR/EOI, deferred clear), interlacing — real
+  dictionary compression both directions, first frame decoded.
 
 Encoders for the same subset ship alongside so pipelines (and tests) can
 synthesize payloads deterministically; PNG encoding writes filter-0 rows
@@ -44,7 +47,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff(payload: bytes) -> str | None:
     """Container format by magic bytes:
-    'png' | 'jpeg' | 'bmp' | 'wav' | 'avi' | None."""
+    'png' | 'jpeg' | 'bmp' | 'wav' | 'avi' | 'gif' | None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -55,6 +58,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -287,6 +292,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             return decode_jpeg(payload)
         if kind == "bmp":
             return decode_bmp(payload)
+        if kind == "gif":
+            return decode_gif(payload)
     except ValueError:
         raise
     except Exception as e:  # struct.error, zlib.error, numpy reshape, ...
@@ -432,3 +439,228 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# -- GIF ----------------------------------------------------------------------
+# GIF87a/89a (CompuServe spec, public): logical screen descriptor, global /
+# local color tables, LZW-compressed index streams in 255-byte sub-blocks,
+# optional interlacing. Variable-width LZW (3..12 bit codes, LSB-first bit
+# packing, CLEAR/EOI control codes, deferred-clear allowed) implemented from
+# the spec in both directions.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LZW of the GIF flavor -> uint8 index array."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"gif: LZW code {code} out of range")
+        out += entry
+        prev = entry
+        # widen when the NEXT code could name the table's next slot
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("gif: pixel data ends early")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (real dictionary compression, not the
+    uncompressed-literal trick): CLEAR up front and on table overflow."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    run = b""
+    for ix in indices.tolist():
+        cand = run + bytes([ix])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # the decoder widens when ITS table reaches 2^width; mirror it
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([ix])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step) rows
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF -> (h, w, 3) uint8 RGB, FIRST image frame (animation control
+    extensions are skipped; the image contract is a still). Handles global
+    and local color tables, interlacing, deferred clear, and raises
+    ValueError on truncation or spec violations."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
+    packed = payload[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("gif: truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated image descriptor")
+        w, h = struct.unpack("<HH", payload[pos + 4 : pos + 8])
+        ipack = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+            if pal.size != 3 * n:
+                raise ValueError("gif: truncated local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image has no color table")
+        if w == 0 or h == 0:
+            raise ValueError("gif: empty image")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"gif: bad LZW min code size {min_code_size}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += payload[pos : pos + ln]
+            pos += ln
+        idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("gif: pixel index outside color table")
+        img = pal[idx].reshape(h, w, 3)
+        if ipack & 0x40:  # interlaced: rows were stored in pass order
+            order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+            deinter = np.empty_like(img)
+            deinter[order] = img
+            img = deinter
+        return img.copy()
+    raise ValueError("gif: no image descriptor before trailer")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> GIF89a bytes (global palette built from the
+    image's distinct colors — must be <= 256 — real LZW compression; the
+    deterministic payload producer, like the other encoders)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("GIF encoder takes (h, w, 3) RGB")
+    h, w, _ = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    flat = a.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if pal.shape[0] > 256:
+        raise ValueError(f"GIF encoder needs <= 256 distinct colors, got {pal.shape[0]}")
+    bits = max(2, int(pal.shape[0] - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: pal.shape[0]] = pal
+    idx = idx.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+        rows = idx[order]
+    else:
+        rows = idx
+    lzw = _gif_lzw_encode(rows.reshape(-1), bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x40 if interlace else 0x00)])
+    out += bytes([bits])
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)

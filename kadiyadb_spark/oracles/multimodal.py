@@ -71,6 +71,21 @@ SELECT doc_id,
 FROM h
 """
 
+    # GIF is lossless (palette + LZW), so the decoded pixels equal the hex
+    # construction exactly — same arithmetic as the PNG twin, reached
+    # through a completely different wire format (and half the payloads
+    # interlaced, which only permutes row STORAGE order, not pixel values).
+    o["multimodal_gif_real"] = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(6 * list_sum(list_transform(range(1, 33),
+                                        i -> ord(substr(hx, CAST(i AS INT), 1))))
+            % 1000003 AS BIGINT) AS pix_sum
+FROM h
+"""
+
     # The decodability of each payload class is BY CONSTRUCTION (hex-derived
     # PNG/flat-JPEG/WAV always decode; raw text bytes never sniff as any
     # container), so the census is pure doc_id % 4 arithmetic in SQL.

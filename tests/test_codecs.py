@@ -396,3 +396,81 @@ def test_image_ahash_reencode_and_brightness_invariance(spark):
     h = got[0]
     dist = bin(h[0] ^ got[3][0]).count("1") + bin(h[1] ^ got[3][1]).count("1")
     assert dist > 8                   # far apart, not a near-tie
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_hand_built_spec_vector():
+    """Decode a GIF assembled byte-by-byte from the spec (not our encoder):
+    2x2, 4-entry global table, 2-bit LZW. Pins the wire format
+    independently of the encoder."""
+    # pixels (row major): red, green, blue, red -> indices 0 1 2 0
+    # LZW min code size 2: CLEAR=4 EOI=5, width starts at 3
+    # codes: 4(clear) 0 1 2 0 5(eoi) -> LSB-first bit packing
+    codes = [(4, 3), (0, 3), (1, 3), (2, 3), (0, 4), (5, 4)]
+    # width widens to 4 after the decoder's table reaches 8 entries:
+    # roots 0..3 + clear/eoi = 6, +1 after '1', +1 after '2' -> 8, so the
+    # codes for the final pixel and EOI are 4 bits wide
+    acc = nbits = 0
+    data = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # GCT, 4 entries (2^(1+1))
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # R G B filler
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2, len(data)]) + bytes(data) + b"\x00\x3b"
+    )
+    img = C.decode_gif(gif)
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], np.uint8
+    )
+    assert (img == exp).all()
+    assert C.sniff(gif) == "gif"
+    assert (C.decode_image(gif) == exp).all()
+
+
+@pytest.mark.parametrize("inter", [False, True])
+def test_gif_roundtrip_shapes_and_palettes(inter):
+    rng = np.random.default_rng(11)
+    for h, w, ncol in [(1, 1, 1), (2, 3, 2), (13, 5, 7), (16, 16, 256), (33, 7, 100)]:
+        pal = np.unique(rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8), axis=0)
+        img = pal[rng.integers(0, pal.shape[0], size=(h, w))]
+        out = C.decode_gif(C.encode_gif(img, interlace=inter))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_gif_lzw_table_overflow_clear_and_compression():
+    """128x128 uniform noise forces table growth to 4096 + mid-stream
+    CLEAR; a flat image must compress massively (real LZW, not the
+    uncompressed-literal trick)."""
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(128, 128), dtype=np.uint8)
+    img = np.stack([g] * 3, axis=-1)
+    assert (C.decode_gif(C.encode_gif(img)) == img).all()
+    flat = np.full((64, 64, 3), 7, np.uint8)
+    b = C.encode_gif(flat)
+    assert (C.decode_gif(b) == flat).all()
+    assert len(b) < 200  # 12288 raw pixels -> ~100 bytes
+
+
+def test_gif_rejects_corrupt_and_over_palette():
+    img = np.array([[[255, 0, 0]], [[0, 255, 0]]], np.uint8)
+    b = C.encode_gif(img)
+    for cut in (5, 11, len(b) - 2):
+        with pytest.raises(ValueError):
+            C.decode_gif(b[:cut])
+    with pytest.raises(ValueError):
+        C.decode_gif(b"NOTAGIF00000")
+    with pytest.raises(ValueError):  # >256 distinct colors cannot be GIF-encoded
+        rng = np.random.default_rng(0)
+        C.encode_gif(rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8))

@@ -42,7 +42,10 @@ R09_NEVER_GATED = [
     "profile_correlations", "streaming_rejects", "fetch_outlier_fences",
 ]
 # New r09 entries gate in their birth round (displacing aged fillers):
-R09_NEW = ["sim_ivfpq_residual_det", "embedding_quantize", "text_char_entropy"]
+R09_NEW = [
+    "sim_ivfpq_residual_det", "embedding_quantize", "text_char_entropy",
+    "multimodal_gif_real",
+]
 R09_REQUIRED_IN_CAP = (
     set(R09_REDS) | set(R09_NEVER_GATED) | set(R09_NEW) | {"fetch_anomaly"}
 )

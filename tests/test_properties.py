@@ -617,3 +617,53 @@ def test_p14_containment_matches_python_set_arithmetic(spark, texts, max_df):
             if inter:
                 exp[(i, j)] = (inter, len(rare[i]), len(rare[j]))
     assert got == exp
+
+
+@given(
+    vals4=frame_strategy,
+    win=st.integers(min_value=2, max_value=6),
+    series=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_p15_anomaly_cumsum_window_matches_bruteforce(spark, vals4, win, series):
+    """P15: series_anomaly's cumulative-sum window construction (r09:
+    sliding sums replaced by differences of running decimal folds +
+    lag-centered exact variance) equals a brute-force python replay of
+    the documented semantics for ANY 4dp frame, any window, multiple
+    series — incl. the flat-baseline (var exactly 0 -> null z) and
+    not-enough-history cases."""
+    import math
+
+    rows = [
+        (f"s{j}", i, v / 10000.0)
+        for j in range(series)
+        for i, v in enumerate(vals4)
+    ]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double")
+    from kadiyadb_spark.query import series_anomaly
+
+    got = {
+        (r.f1, r.bucket): (r.baseline_mean, r.zscore, r.is_anomaly)
+        for r in series_anomaly(df, ["f1"], window_slots=win, z_thresh=2.0).collect()
+    }
+    for j in range(series):
+        for i in range(len(vals4)):
+            mean, z, flag = got[(f"s{j}", i)]
+            w = vals4[max(0, i - win) : i]
+            if len(w) < win:
+                assert (mean, z, flag) == (None, None, False)
+                continue
+            s1, s2, m = sum(w), sum(x * x for x in w), w[0]
+            n = win
+            var4 = (n * (s2 - 2 * m * s1 + n * m * m) - (s1 - n * m) ** 2) / (
+                n * (n - 1.0)
+            )
+            exp_mean = math.floor((s1 / n / 10000.0) * 10000 + 0.5) / 10000
+            assert mean == exp_mean
+            if var4 <= 0:
+                assert z is None and flag is False
+            else:
+                exp_z = (vals4[i] - s1 / n) / math.sqrt(var4)
+                exp_z4 = math.floor(exp_z * 10000 + 0.5) / 10000
+                assert z == exp_z4
+                assert flag == (abs(exp_z4) >= 2.0)
