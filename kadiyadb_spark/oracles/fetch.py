@@ -513,7 +513,7 @@ st AS (
   SELECT f1, f2, bucket, x4,
          sum(x4)      OVER w AS s1,
          sum(x4 * x4) OVER w AS s2,
-         min(x4)      OVER w AS m,
+         lag(x4, 11)  OVER (PARTITION BY f1, f2 ORDER BY bucket) AS m,
          count(x4)    OVER w AS n
   FROM base
   WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)

@@ -1739,31 +1739,44 @@ def series_stddev_over_time(
 
     Engine-default-free by the same construction as series_anomaly: the
     window folds EXACT scaled longs (S1 = sum(x4), S2 = sum(x4²)), the
-    moments re-center about the window's integer MINIMUM via exact long
-    identities (S1d = S1 − n·m, S2d = S2 − 2·m·S1 + n·m²: a flat window
-    is EXACTLY zero at any magnitude, and the formula conditions on the
-    spread, not the level), then population variance is ONE double
+    moments re-center about an in-window integer reference via exact long
+    identities (S1d = S1 − n·m, S2d = S2 − 2·m·S1 + n·m², m = the OLDEST
+    in-frame value: a flat window is EXACTLY zero at any magnitude, and
+    the n·S2d − S1d² form — invariant to the reference — conditions on
+    the spread, not the level), then population variance is ONE double
     expression over exact operands, var = (n·S2d − S1d²)/n² / 1e8 —
     identical IEEE sequence in any engine, where avg/stddev_pop would
-    accumulate doubles in engine order. Long bound: n·max(x4)² < 2^63
-    (|total| ≤ 8.7e4/sqrt(n) at 4dp; larger scales switch to
-    decimal(38,8))."""
+    accumulate doubles in engine order.
+
+    Physical shape (r09, same as series_anomaly): bounded sliding frames
+    re-aggregate O(w) per output row, so the window sums are differences
+    of two O(1)/row cumulative decimal(38,0) folds (10^38 running-total
+    headroom; per-row bound unchanged: x4² must fit a long), the count is
+    ``row_number`` and the reference ``lag(x4, w−1)`` — same integers,
+    one sort, ~w× less window compute."""
     if window_slots < 1:
         raise ValueError(f"need window_slots >= 1, got {window_slots}")
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
 
-    w = (
-        Window.partitionBy(*series_cols)
-        .orderBy(bucket_col)
-        .rowsBetween(-(window_slots - 1), 0)
+    w_ord = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    cum_hi = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    cum_lo = w_ord.rowsBetween(Window.unboundedPreceding, -window_slots)
+    df = df.withColumn("_x4", scale4_expr(F.col(total_col))).withColumn(
+        "_x4sq", F.col("_x4") * F.col("_x4")
     )
-    x4 = scale4_expr(F.col(total_col))
-    s1 = F.sum(x4).over(w)
-    s2 = F.sum(x4 * x4).over(w)
-    m = F.min(x4).over(w)
-    n = F.count(x4).over(w)
+    dec1 = F.col("_x4").cast("decimal(38,0)")
+    dec2 = F.col("_x4sq").cast("decimal(38,0)")
+    x4 = F.col("_x4")
+    s1 = (
+        F.sum(dec1).over(cum_hi) - F.coalesce(F.sum(dec1).over(cum_lo), F.lit(0))
+    ).cast("long")
+    s2 = (
+        F.sum(dec2).over(cum_hi) - F.coalesce(F.sum(dec2).over(cum_lo), F.lit(0))
+    ).cast("long")
+    m = F.lag("_x4", window_slots - 1).over(w_ord) if window_slots > 1 else x4
+    n = F.least(F.row_number().over(w_ord), F.lit(window_slots)).cast("long")
     s1d = (s1 - n * m).cast("double")
     s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")
     nd = n.cast("double")
