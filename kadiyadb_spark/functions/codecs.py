@@ -601,6 +601,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("gif: image has no color table")
         if w == 0 or h == 0:
             raise ValueError("gif: empty image")
+        if pos >= len(payload):
+            raise ValueError("gif: truncated before LZW min code size")
         min_code_size = payload[pos]
         pos += 1
         if not 2 <= min_code_size <= 11:

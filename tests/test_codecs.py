@@ -474,3 +474,29 @@ def test_gif_rejects_corrupt_and_over_palette():
     with pytest.raises(ValueError):  # >256 distinct colors cannot be GIF-encoded
         rng = np.random.default_rng(0)
         C.encode_gif(rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_decoder_mutation_fuzz_never_leaks():
+    """Adversarial-byte robustness (the skip contract depends on it): any
+    single-byte mutation or truncation of a valid GIF either still decodes
+    to SOME correctly-shaped image or raises ValueError — never IndexError/
+    struct.error/numpy exceptions leaking out of decode_gif."""
+    rng = np.random.default_rng(42)
+    pal = np.unique(rng.integers(0, 256, size=(9, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, pal.shape[0], size=(11, 7))]
+    good = bytearray(C.encode_gif(img, interlace=True))
+    for trial in range(400):
+        b = bytearray(good)
+        mode = trial % 3
+        if mode == 0:
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            b = b[: rng.integers(0, len(b))]
+        else:
+            for _ in range(4):
+                b[rng.integers(0, len(b))] = int(rng.integers(0, 256))
+        try:
+            out = C.decode_gif(bytes(b))
+            assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+        except ValueError:
+            pass
