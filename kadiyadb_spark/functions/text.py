@@ -142,32 +142,47 @@ def char_entropy(
             run > 1, F.floor(rd * F.log2(rd) * F.lit(10000.0) + F.lit(0.5)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
 
-    # run-length fold over the sorted chars: on char change, flush the
-    # finished run's quantized entropy term into the exact long total
-    ent4 = F.aggregate(
-        F.array_sort(chars),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("acc4"),
-        ),
-        lambda acc, ch: F.struct(
-            ch.alias("prev"),
-            F.when(ch.eqNullSafe(acc["prev"]), acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(ch.eqNullSafe(acc["prev"]), acc["acc4"])
-            .otherwise(acc["acc4"] + term4(acc["run"]))
-            .alias("acc4"),
-        ),
-        lambda acc: acc["acc4"] + term4(acc["run"]),
-    )
+    # Run lengths via boundary positions over the SORTED chars: the only
+    # O(n_chars) higher-order step is the boundary filter (one neighbor
+    # comparison per char); everything after runs over the <=|alphabet|
+    # starts array. Each intermediate array is MATERIALIZED as a projected
+    # column before reuse — a lambda that closes over another higher-order
+    # expression re-evaluates it per element (O(n^2): the first draft of
+    # this hung at sf0.1), and interpreted HOF steps are the whole cost
+    # (a struct-accumulating fold was ~2x slower than the filter form).
+    # Same integers as the group-by oracle replay.
     n = F.length(F.col(text_col)).cast("long")
+    staged = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .withColumn("_sc", F.array_sort(chars))
+        .withColumn(
+            "_starts",
+            F.filter(
+                F.sequence(F.lit(1), F.size(F.col("_sc"))),
+                lambda i: (i == 1)
+                | (F.element_at(F.col("_sc"), i) != F.element_at(F.col("_sc"), i - 1)),
+            ),
+        )
+        .withColumn(
+            "_runs",
+            F.zip_with(
+                F.concat(
+                    F.slice(F.col("_starts"), 2, F.greatest(F.size(F.col("_starts")) - 1, F.lit(0))),
+                    F.array(F.size(F.col("_sc")) + 1),
+                ),
+                F.col("_starts"),
+                lambda nxt, s: nxt.cast("long") - s.cast("long"),
+            ),
+        )
+    )
+    ent4 = F.aggregate(
+        F.col("_runs"), F.lit(0).cast("long"), lambda acc, r: acc + term4(r)
+    )
     nd = n.cast("double")
-    return df.filter(F.length(F.col(text_col)) > 0).select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_chars"),
-        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
+        F.size(F.col("_starts")).cast("long").alias("n_distinct_chars"),
         round4_expr(
             F.log2(nd) - (ent4.cast("double") / F.lit(10000.0)) / nd
         ).alias("char_entropy"),
