@@ -41,6 +41,15 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard shared by every dimensioned decoder (PNG zlib,
+# GIF LZW, JPEG plane allocation): output size derives from HEADER fields,
+# so a kilobyte of adversarial crawl bytes could otherwise demand gigabytes
+# BEFORE any size check fires and OOM the executor — at corpus scale that is
+# a denial-of-service on the decode stage, not a data-quality problem. 2^26
+# pixels (67 MP, ~201 MB RGB) is far above any legitimate training-data
+# asset; payloads past it raise the same ValueError the skip path drops.
+MAX_PIXELS = 1 << 26
+
 # color type -> channels
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -112,9 +121,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.extend(data)
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"PNG {w}x{h} exceeds the {MAX_PIXELS}-pixel decoder limit")
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: never allocate past the header-implied size +1 (the
+    # +1 detects an over-long stream as a mismatch instead of inflating it)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG decompressed size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = raw[:, 0]
@@ -601,6 +615,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("gif: image has no color table")
         if w == 0 or h == 0:
             raise ValueError("gif: empty image")
+        if w * h > MAX_PIXELS:
+            raise ValueError(f"gif: {w}x{h} exceeds the {MAX_PIXELS}-pixel decoder limit")
         if pos >= len(payload):
             raise ValueError("gif: truncated before LZW min code size")
         min_code_size = payload[pos]

@@ -308,6 +308,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc} (1 or 3)")
+            # decompression-bomb guard (codecs.MAX_PIXELS): the float64
+            # planes are allocated from these HEADER fields — a forged
+            # 65535x65535 SOF0 in a kilobyte payload would demand ~100GB
+            # before any scan data is read
+            from kadiyadb_spark.functions.codecs import MAX_PIXELS
+
+            if w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG {w}x{h} exceeds the {MAX_PIXELS}-pixel decoder limit"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]

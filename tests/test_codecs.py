@@ -500,3 +500,41 @@ def test_gif_decoder_mutation_fuzz_never_leaks():
             assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
         except ValueError:
             pass
+
+
+def test_decompression_bomb_guards():
+    """A kilobyte of adversarial bytes must never demand gigabytes: forged
+    header dimensions hit MAX_PIXELS before any allocation, and a PNG
+    whose zlib stream inflates past the header-implied size is rejected
+    by the BOUNDED inflate (never fully decompressed)."""
+    # PNG: forged IHDR dims over the cap
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    png = C.PNG_SIG + C._png_chunk(b"IHDR", ihdr) + C._png_chunk(b"IDAT", b"x")
+    with pytest.raises(ValueError, match="pixel decoder limit"):
+        C.decode_png(png + C._png_chunk(b"IEND", b""))
+    # PNG: sane dims, but the stream is a bomb (inflates way past expected)
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~50 KB -> 50 MB
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (
+        C.PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", bomb)
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        C.decode_png(png)
+    # GIF: forged logical-screen + descriptor dims over the cap
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0x80, 0, 0)
+        + bytes(6)  # 2-entry GCT
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000) + b"\x00"
+    )
+    with pytest.raises(ValueError, match="pixel decoder limit"):
+        C.decode_gif(gif)
+    # JPEG: forged SOF0 dims over the cap
+    from kadiyadb_spark.functions import jpeg as J
+
+    sof = struct.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+    jpg = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(ValueError, match="pixel decoder limit"):
+        J.decode_jpeg(jpg + b"\xff\xd9")
