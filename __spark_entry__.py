@@ -2544,6 +2544,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys over md5-derived dyadic uniforms,
+    sampling.py:weighted_sample): 40 documents drawn proportional to
+    n_chars. TakeOrderedAndProject selection — k rows per partition, no
+    global sort; the oracle replays the identical key arithmetic."""
+    from kadiyadb_spark.functions.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), k=40, weight_col="n_chars"
+    )
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal (text.py:char_entropy): per-doc
     Shannon entropy with per-character terms quantized to exact longs, so
@@ -4083,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "text_char_entropy": q_text_char_entropy,
         "multimodal_gif_real": q_multimodal_gif_real,
+        "sample_weighted": q_sample_weighted,
         # (5) oldest driver rows (r05), filling the cap to 50
         #     (approx_quantile/distinct_users/text_quality/text_fingerprint
         #     displaced by the r09 additions above):
@@ -4092,7 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (approx_distinct closes it).
+        # -- end of the 50-entry r09 cap (anti_join closes it).
         # Everything below is driver-green in r04-r08 rows and re-checked
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the

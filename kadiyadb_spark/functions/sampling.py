@@ -269,3 +269,48 @@ def sample_token_budget(
         .where(F.col("_before") < F.lit(int(budget_tokens)))
         .select(group_col, id_col, F.col("_n_tok").alias("n_tokens"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws a stable uniform u from md5(salt||id)
+    and the k smallest exponential keys ``-ln(u)/w`` win — exactly the
+    distribution of sequentially drawing k rows with probability
+    proportional to ``weight_col``, but as ONE stateless expression. The
+    pipeline use: "keep 1M documents sampled by quality score" with a
+    result that is reproducible across runs AND engines (u is the first
+    52 md5 bits + 0.5, an exact dyadic, so both engines compute the same
+    IEEE key; the DuckDB twin is one ln()).
+
+    Scale shape: the keep-decision is map-only; the global smallest-k is
+    ``ORDER BY key LIMIT k`` which Spark plans as TakeOrderedAndProject —
+    k rows per partition, k at the driver, NO global sort of the corpus.
+    Non-positive weights are excluded (they have zero selection
+    probability by definition).
+
+    Returns the sampled rows (id_col, weight_col)."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    c = F.col(id_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(id_col, weight_col, key.alias("_key"))
+        .orderBy("_key")
+        .limit(k)
+        .drop("_key")
+    )

@@ -221,4 +221,18 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_t
        floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 AS boost
 FROM wp, ws
 """
+    # weighted sampling: the exponential-key selection replayed verbatim —
+    # u is an exact dyadic (52 md5 bits + 0.5), so both engines compute the
+    # same IEEE keys; output columns carry no floats (ids + long weights)
+    o["sample_weighted"] = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              + 0.5::DOUBLE) / 4503599627370496.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM keyed ORDER BY key LIMIT 40
+"""
+
     return o

@@ -2002,3 +2002,28 @@ def test_char_entropy_order_free_identical_any_layout(spark):
     one = sorted(map(tuple, TX.char_entropy(df.coalesce(1)).collect()))
     many = sorted(map(tuple, TX.char_entropy(df.repartition(8)).collect()))
     assert one == many
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """Efraimidis-Spirakis selection replayed in pure python (hashlib md5 +
+    math.log): identical winning set and invariance to partition layout;
+    non-positive weights never selected; k >= n returns everything."""
+    import hashlib
+    import math
+
+    rows = [(i, float(w)) for i, w in enumerate([5, 1, 100, 3, 0, 42, 7, 2, -1, 60])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    from kadiyadb_spark.functions.sampling import weighted_sample
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws{i}".encode()).hexdigest()[:13], 16)
+        return -math.log((h + 0.5) / float(1 << 52)) / w
+
+    eligible = [(i, w) for i, w in rows if w > 0]
+    exp4 = {i for i, _ in sorted(eligible, key=lambda t: key(*t))[:4]}
+    got4 = {r.doc_id for r in weighted_sample(df, 4, "n_chars").collect()}
+    assert got4 == exp4
+    got4b = {r.doc_id for r in weighted_sample(df.repartition(7), 4, "n_chars").collect()}
+    assert got4b == exp4
+    alln = {r.doc_id for r in weighted_sample(df, 99, "n_chars").collect()}
+    assert alln == {i for i, _ in eligible}
