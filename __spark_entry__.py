@@ -2901,6 +2901,18 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8)
 
 
+def q_sim_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + exact refine (FAISS IndexRefineFlat): the ADC code scan
+    shortlists 15 candidates per query, then ONLY those ids are re-scored
+    against full vectors with exact cosine and re-ranked on the 4dp-rounded
+    value (similarity.py:ivfpq_refined_topk). Recall approaches exact
+    search while the heavy pass still reads codes, not vectors."""
+    base, queries = _queries_vs_base(spark, sf_dir)
+    return SIM.ivfpq_refined_topk(
+        base, queries, k=5, rerank=3, num_centroids=8, nprobe=2, m=4, ksub=8
+    )
+
+
 def q_sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED IVF-PQ serving index: build once (codes partitioned by
     centroid bucket — the ~50x-compressed scan body), search by reading
@@ -4097,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": q_text_char_entropy,
         "multimodal_gif_real": q_multimodal_gif_real,
         "sample_weighted": q_sample_weighted,
+        "sim_ivfpq_refined": q_sim_ivfpq_refined,
         # (5) oldest driver rows (r05), filling the cap to 50
         #     (approx_quantile/distinct_users/text_quality/text_fingerprint
         #     displaced by the r09 additions above):
@@ -4106,7 +4119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (anti_join closes it).
+        # -- end of the 50-entry r09 cap (text_char_entropy..sim_ivfpq_refined
+        # displaced every (5) filler; the cap now ends exactly at the new block).
         # Everything below is driver-green in r04-r08 rows and re-checked
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the

@@ -1171,6 +1171,65 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_refined_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 3,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: "str | DataFrame" = "deterministic",
+    residual: bool = False,
+    codebooks="deterministic",
+) -> DataFrame:
+    """IVFPQ + exact refine (the FAISS ``IndexRefineFlat`` deployment): the
+    ADC scan shortlists ``k*rerank`` candidates per query from CODES alone,
+    then ONLY those ids are re-scored against their full vectors with exact
+    cosine and re-ranked. Recall of the refined top-k approaches exact
+    search while the base scan still never touches a vector — at 100 TB the
+    heavy pass reads the ~50x-compressed probed code partitions, and the
+    refine touches k*rerank vectors per query: a broadcast semi-join
+    against one more scan here, a bucket-pruned id fetch with the persisted
+    IVFPQIndex layout.
+
+    Determinism: the final rank orders on the 4dp-ROUNDED exact cosine with
+    id tie-break (the sim_knn_graph device), so engine-ULP differences in
+    the cosine cannot flip a rank."""
+    cand = ivfpq_topk(
+        emb, queries, k=k * rerank, num_centroids=num_centroids, nprobe=nprobe,
+        m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        centroids=centroids, residual=residual, codebooks=codebooks,
+    ).select(query_id_col, id_col)
+    shortlist = emb.select(id_col, vec_col).join(
+        F.broadcast(cand.select(id_col).distinct()), id_col
+    )
+    scored = cosine_scores_pandas(
+        shortlist, queries, id_col, vec_col, query_id_col, query_vec_col
+    )
+    # keep each query's OWN shortlist only (a candidate of query A is not
+    # rescored for query B)
+    own = scored.join(F.broadcast(cand), [query_id_col, id_col])
+    c4 = round4_expr(F.col("_cos"))
+    w = Window.partitionBy(query_id_col).orderBy(c4.desc(), F.col(id_col).asc())
+    return (
+        own.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            c4.alias("cosine"),
+        )
+    )
+
+
 class IVFPQIndex:
     """The PERSISTED IVF-PQ serving index — ivfpq_topk's one-shot fused scan
     materialized the way FAISS deploys it at billion scale:

@@ -193,7 +193,11 @@ FROM ranked WHERE rnk <= 5
 
     # IVF-PQ composition: sim_ivf_topk's bucket assignment + probe sets
     # select the candidates; sim_pq_topk's codes + lookup tables score them.
-    o["sim_ivfpq_topk"] = """
+        # shared IVFPQ pipeline (centroids -> codes -> probes -> ADC ranking);
+    # sim_ivfpq_topk emits the ADC top-5, sim_ivfpq_refined extends it with
+    # the exact-cosine re-rank of the 15-candidate shortlist (rank on the
+    # 4dp-ROUNDED cosine + id tie so engine-ULP noise cannot flip ranks)
+    _ivfpq_with = """
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
   FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
@@ -265,10 +269,30 @@ ranked AS (
              ORDER BY floor(s.adot / (qn.qnorm * s.rnorm) * 10000 + 0.5) / 10000 DESC,
                       s.vec_id ASC) AS rnk
   FROM scored s JOIN qn USING (query_id)
-)
+)"""
+
+    o["sim_ivfpq_topk"] = _ivfpq_with + """
 SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
        floor(ac * 10000 + 0.5) / 10000 AS approx_cos
 FROM ranked WHERE rnk <= 5
+"""
+
+    o["sim_ivfpq_refined"] = _ivfpq_with + """,
+shortlist AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 15),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         floor(list_cosine_similarity(q.qv, b.v) * 10000 + 0.5) / 10000 AS cos4
+  FROM shortlist s
+  JOIN q ON q.query_id = s.query_id
+  JOIN base b ON b.vec_id = s.vec_id
+),
+reranked AS (
+  SELECT query_id, vec_id, cos4,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, vec_id ASC) AS rnk
+  FROM rescored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cos4 AS cosine
+FROM reranked WHERE rnk <= 5
 """
 
     # the persisted index path is gated by the SAME truth: identical

@@ -44,7 +44,7 @@ R09_NEVER_GATED = [
 # New r09 entries gate in their birth round (displacing aged fillers):
 R09_NEW = [
     "sim_ivfpq_residual_det", "embedding_quantize", "text_char_entropy",
-    "multimodal_gif_real", "sample_weighted",
+    "multimodal_gif_real", "sample_weighted", "sim_ivfpq_refined",
 ]
 R09_REQUIRED_IN_CAP = (
     set(R09_REDS) | set(R09_NEVER_GATED) | set(R09_NEW) | {"fetch_anomaly"}

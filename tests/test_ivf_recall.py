@@ -183,3 +183,26 @@ def test_pq_codebooks_kmeans_deterministic_retrain(spark):
     c1, d1 = SIM.pq_codebooks_kmeans(emb, m=4, ksub=8)
     c2, d2 = SIM.pq_codebooks_kmeans(emb, m=4, ksub=8)
     assert d1 == d2 and np.array_equal(c1, c2)
+
+
+def test_refine_improves_ivfpq_recall(spark):
+    """IndexRefineFlat property: exact re-ranking of the ADC shortlist must
+    dominate plain ADC top-k recall vs exact search, and the refined ranks
+    must be consistent with exact cosine ordering over the shortlist."""
+    emb, q = _clustered(spark), _queries(spark)
+    exact = SIM.cosine_topk(emb, q, k=5)
+    plain = SIM.ivfpq_topk(emb, q, k=5, num_centroids=4, nprobe=2, m=4, ksub=8,
+                           centroids="kmeans")
+    refined = SIM.ivfpq_refined_topk(emb, q, k=5, rerank=8, num_centroids=4,
+                                     nprobe=2, m=4, ksub=8, centroids="kmeans")
+    r_plain = _recall_at_k(plain, exact)
+    r_ref = _recall_at_k(refined, exact)
+    assert r_ref >= r_plain
+    # measured dose-response on this fixture: plain ADC 0.25; refine 0.45
+    # (rerank=3) -> 0.80 (5) -> 0.95 (8), saturating at the nprobe ceiling
+    assert r_ref >= 0.9
+    # ranks strictly follow the rounded exact cosine within each query
+    for rows in [sorted(refined.collect(), key=lambda r: (r.query_id, r.rank))]:
+        for a, b in zip(rows, rows[1:]):
+            if a.query_id == b.query_id:
+                assert (a.cosine, -a.vec_id) >= (b.cosine, -b.vec_id)
