@@ -1207,7 +1207,28 @@ def ivfpq_refined_topk(
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         centroids=centroids, residual=residual, codebooks=codebooks,
     ).select(query_id_col, id_col)
-    shortlist = emb.select(id_col, vec_col).join(
+    return exact_rerank(
+        cand, emb, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
+def exact_rerank(
+    cand: DataFrame,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, id) candidate table against a
+    vector store — the refine stage shared by ivfpq_refined_topk and
+    IVFPQIndex.refined_search, usable standalone to rescore ANY ANN
+    shortlist (LSH buckets, hybrid retrievers). The candidate table is
+    broadcast-small by construction (k·rerank per query); only those
+    vectors are pulled from the store."""
+    shortlist = base.select(id_col, vec_col).join(
         F.broadcast(cand.select(id_col).distinct()), id_col
     )
     scored = cosine_scores_pandas(
@@ -1549,6 +1570,34 @@ class IVFPQIndex:
                 F.col("rank").cast("long").alias("rank"),
                 round4_expr(F.col("_cos")).alias("approx_cos"),
             )
+        )
+
+
+    def refined_search(
+        self,
+        queries: DataFrame,
+        base: DataFrame,
+        k: int = 5,
+        rerank: int = 3,
+        nprobe: int = 2,
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        at_gen: int | None = None,
+    ) -> DataFrame:
+        """ADC search + exact refine over the persisted index: the probed
+        code partitions shortlist k*rerank candidates, then only those ids
+        are rescored against ``base`` — the caller's vector store, which
+        the index deliberately does NOT duplicate (FAISS IndexRefineFlat
+        keeps the flat vectors alongside for the same reason; here the
+        id-keyed vector parquet the index was built from plays that role).
+        Same ranking contract as ivfpq_refined_topk."""
+        cand = self.search(
+            queries, k=k * rerank, nprobe=nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col, at_gen=at_gen,
+        ).select(query_id_col, self.id_col)
+        return exact_rerank(
+            cand, base, queries, k, self.id_col, vec_col, query_id_col, query_vec_col
         )
 
 

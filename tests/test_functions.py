@@ -2027,3 +2027,34 @@ def test_weighted_sample_matches_python_replay(spark):
     assert got4b == exp4
     alln = {r.doc_id for r in weighted_sample(df, 99, "n_chars").collect()}
     assert alln == {i for i, _ in eligible}
+
+
+def test_ivfpq_refined_search_matches_one_shot_refine(spark, tmp_path):
+    """IVFPQIndex.refined_search (persisted codes + the caller's vector
+    store) must reproduce ivfpq_refined_topk exactly, and exact_rerank must
+    rescore an arbitrary shortlist with true cosines."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float(i % 3), 1.0, float(i % 2)])
+         for i in range(60)]
+    )
+    qs = spark.createDataFrame([Row(query_id=1, query_vec=[1.0, 0.0, 0.5, 0.0]),
+                                Row(query_id=2, query_vec=[0.0, 1.0, 0.0, 1.0])])
+    idx = SIM.IVFPQIndex.build(emb, str(tmp_path / "pq"), num_centroids=4, m=2, ksub=8)
+    got = [tuple(r) for r in idx.refined_search(qs, emb, k=5, rerank=3, nprobe=2)
+           .orderBy("query_id", "rank").collect()]
+    want = [tuple(r) for r in SIM.ivfpq_refined_topk(
+        emb, qs, k=5, rerank=3, num_centroids=4, nprobe=2, m=2, ksub=8
+    ).orderBy("query_id", "rank").collect()]
+    assert got == want
+    # standalone rerank of a hand-picked shortlist: true cosine, 4dp, id ties
+    import math
+
+    import numpy as np
+
+    cand = spark.createDataFrame([Row(query_id=1, vec_id=v) for v in (3, 9, 14)])
+    out = {r.vec_id: r for r in SIM.exact_rerank(cand, emb, qs, k=3).collect()}
+    base = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    qv = np.array([1.0, 0.0, 0.5, 0.0])
+    for v in (3, 9, 14):
+        true = float(base[v] @ qv / (np.linalg.norm(base[v]) * np.linalg.norm(qv)))
+        assert out[v].cosine == math.floor(true * 1e4 + 0.5) / 1e4
