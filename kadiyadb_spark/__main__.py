@@ -232,6 +232,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type-col", default="event_type")
     p.add_argument("--id-col", default="event_id")
 
+    p = sub.add_parser(
+        "entropy",
+        help="character-entropy quality signal per document (gibberish / "
+        "base64 / looping-text cut) over a parquet corpus",
+    )
+    p.add_argument("--docs", required=True, help="parquet path")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--limit", type=int, default=1000)
+
+    p = sub.add_parser(
+        "wsample",
+        help="deterministic weighted sampling without replacement "
+        "(Efraimidis-Spirakis keys): keep k rows ~ --weight-col",
+    )
+    p.add_argument("--docs", required=True, help="parquet path")
+    p.add_argument("--k", type=int, required=True)
+    p.add_argument("--weight-col", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="ws")
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -455,6 +476,26 @@ def main(argv: list[str] | None = None) -> int:
             k=args.k,
         )
         for row in r.orderBy("rank").collect():
+            _emit(row.asDict())
+    elif args.cmd == "entropy":
+        from kadiyadb_spark.functions.text import char_entropy
+
+        r = char_entropy(
+            spark.read.parquet(args.docs), text_col=args.text_col, id_col=args.id_col
+        )
+        for row in r.orderBy(args.id_col).limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "wsample":
+        from kadiyadb_spark.functions.sampling import weighted_sample
+
+        r = weighted_sample(
+            spark.read.parquet(args.docs),
+            k=args.k,
+            weight_col=args.weight_col,
+            id_col=args.id_col,
+            salt=args.salt,
+        )
+        for row in r.orderBy(args.id_col).collect():
             _emit(row.asDict())
     return 0
 

@@ -231,3 +231,34 @@ def test_cli_drift_containment_knn(spark, tmp_path, capsys):
     assert main(["knn", "--emb", emb, "--k", "2", "--centroids", "1"]) == 0
     rows = _out(capsys)
     assert len(rows) == 12 and all(r["rank"] in (1, 2) for r in rows)
+
+
+def test_cli_entropy_and_wsample(spark, tmp_path, capsys):
+    """The r09 commands: char-entropy quality signal and weighted sampling
+    without replacement — JSONL to stdout, deterministic."""
+    docs = str(tmp_path / "edocs.parquet")
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="abab", n=10.0),
+            Row(doc_id=1, text="zzzz", n=1.0),
+            Row(doc_id=2, text="aab", n=5.0),
+        ]
+    ).write.parquet(docs)
+    assert main(["entropy", "--docs", docs]) == 0
+    rows = _out(capsys)
+    assert [(r["doc_id"], r["char_entropy"]) for r in rows] == [
+        (0, 1.0), (1, 0.0), (2, 0.9183)
+    ]
+
+    assert main(["wsample", "--docs", docs, "--k", "2", "--weight-col", "n"]) == 0
+    rows = _out(capsys)
+    # replay the Efraimidis-Spirakis keys in pure python
+    import hashlib
+    import math
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws{i}".encode()).hexdigest()[:13], 16)
+        return -math.log((h + 0.5) / float(1 << 52)) / w
+
+    exp = sorted(sorted([(0, 10.0), (1, 1.0), (2, 5.0)], key=lambda t: key(*t))[:2])
+    assert [(r["doc_id"], r["n"]) for r in rows] == exp
