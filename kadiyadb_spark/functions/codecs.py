@@ -19,7 +19,10 @@ a fake answer):
   multimodal contract — frame extraction over real container bytes.
 - GIF  (GIF87a/89a): global/local color tables, variable-width LZW
   (3..12-bit codes, CLEAR/EOI, deferred clear), interlacing — real
-  dictionary compression both directions, first frame decoded.
+  dictionary compression both directions; decode_gif = first frame
+  (image contract), decode_gif_frames = the full animation composited
+  on the logical screen (partial frames at offsets, transparent index,
+  disposal-to-background, fps from the GCE delay).
 
 Encoders for the same subset ship alongside so pipelines (and tests) can
 synthesize payloads deterministically; PNG encoding writes filter-0 rows
@@ -401,17 +404,21 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
 
 
 def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
-    """Sniff + decode a video payload (AVI) — same ValueError
-    normalization contract as decode_image (every corrupt-payload failure
-    surfaces as ValueError so the skip kernels key on one type)."""
-    if sniff(payload) != "avi":
+    """Sniff + decode a video payload (AVI, or animated GIF composited on
+    its logical screen) — same ValueError normalization contract as
+    decode_image (every corrupt-payload failure surfaces as ValueError so
+    the skip kernels key on one type)."""
+    kind = sniff(payload)
+    if kind not in ("avi", "gif"):
         raise ValueError(f"undecodable video payload (magic={payload[:4]!r})")
     try:
+        if kind == "gif":
+            return decode_gif_frames(payload)
         return decode_avi(payload)
     except ValueError:
         raise
     except Exception as e:  # struct.error, numpy reshape, ...
-        raise ValueError(f"corrupt avi payload: {e}") from e
+        raise ValueError(f"corrupt {kind} payload: {e}") from e
 
 
 def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
@@ -681,4 +688,164 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
         block = lzw[i : i + 255]
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> "tuple[np.ndarray, float]":
+    """Animated GIF -> ((n, H, W, 3) uint8 frames on the LOGICAL SCREEN,
+    fps). The video leg of the GIF surface: every image block is LZW-
+    decoded and composited onto the running canvas at its (left, top)
+    offset per the GIF89a animation model — disposal 2 restores the
+    backdrop after the frame, any other disposal leaves the canvas
+    (method 1/unspecified), and a Graphic Control Extension's transparent
+    index leaves the underlying canvas visible through those pixels. fps
+    comes from the first nonzero GCE delay (centiseconds), default 10."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
+    W, H = struct.unpack("<HH", payload[6:10])
+    if W == 0 or H == 0:
+        raise ValueError("gif: empty logical screen")
+    if W * H > MAX_PIXELS:
+        raise ValueError(f"gif: {W}x{H} exceeds the {MAX_PIXELS}-pixel decoder limit")
+    packed = payload[10]
+    bg_index = payload[11]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("gif: truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    backdrop = np.zeros((H, W, 3), dtype=np.uint8)
+    if gct is not None and bg_index < gct.shape[0]:
+        backdrop[:, :] = gct[bg_index]
+    canvas = backdrop.copy()
+    frames: list[np.ndarray] = []
+    fps = 0.0
+    gce = None  # pending (disposal, transparent_index or None)
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated extension")
+            label = payload[pos]
+            pos += 1
+            blocks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                blocks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                flags, delay_cs = blocks[0][0], struct.unpack("<H", blocks[0][1:3])[0]
+                trans = blocks[0][3] if flags & 0x01 else None
+                gce = ((flags >> 2) & 0x07, trans)
+                if fps == 0.0 and delay_cs > 0:
+                    fps = 100.0 / delay_cs
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated image descriptor")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+        ipack = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+            if pal.size != 3 * n:
+                raise ValueError("gif: truncated local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image has no color table")
+        if w == 0 or h == 0 or left + w > W or top + h > H:
+            raise ValueError("gif: image block outside the logical screen")
+        if pos >= len(payload):
+            raise ValueError("gif: truncated before LZW min code size")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"gif: bad LZW min code size {min_code_size}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += payload[pos : pos + ln]
+            pos += ln
+        idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("gif: pixel index outside color table")
+        idx = idx.reshape(h, w)
+        if ipack & 0x40:
+            order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        disposal, trans = gce if gce is not None else (0, None)
+        region = canvas[top : top + h, left : left + w]
+        block = pal[idx]
+        if trans is not None:
+            mask = idx != trans
+            region[mask] = block[mask]
+        else:
+            region[:, :] = block
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background in the frame's region
+            canvas[top : top + h, left : left + w] = backdrop[
+                top : top + h, left : left + w
+            ]
+        gce = None
+    if not frames:
+        raise ValueError("gif: no image blocks before trailer")
+    return np.stack(frames), (fps or 10.0)
+
+
+def encode_gif_frames(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> animated GIF89a (full-canvas frames, one
+    Graphic Control Extension per frame carrying the delay; global palette
+    from the union of distinct colors, <= 256)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError("GIF animation encoder takes (n, h, w, 3) RGB")
+    n_frames, h, w, _ = a.shape
+    if n_frames == 0 or h == 0 or w == 0:
+        raise ValueError("cannot encode an empty animation")
+    flat = a.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if pal.shape[0] > 256:
+        raise ValueError(
+            f"GIF encoder needs <= 256 distinct colors, got {pal.shape[0]}"
+        )
+    bits = max(2, int(pal.shape[0] - 1).bit_length())
+    nc = 1 << bits
+    table = np.zeros((nc, 3), dtype=np.uint8)
+    table[: pal.shape[0]] = pal
+    idx = idx.astype(np.uint8).reshape(n_frames, h, w)
+    delay_cs = max(1, round(100.0 / fps))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([bits])
+        lzw = _gif_lzw_encode(idx[f].reshape(-1), bits)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

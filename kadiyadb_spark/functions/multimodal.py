@@ -400,8 +400,9 @@ def video_frames(
     max_frames: int = 64,
     on_error: str = "raise",
 ) -> DataFrame:
-    """REAL video frame sampling: decode each payload's AVI container
-    (codecs.decode_avi — uncompressed 24bpp DIB streams), keep every
+    """REAL video frame sampling: decode each payload's container — AVI
+    (codecs.decode_avi, uncompressed 24bpp DIB streams) or animated GIF
+    (codecs.decode_gif_frames, composited on the logical screen) — keep every
     ``every_n``-th frame up to ``max_frames``, and emit per-frame stats
     (true width/height, decoded-pixel checksum, stream fps). One row per
     SAMPLED frame — the row-explosion shape a training pipeline's

@@ -538,3 +538,60 @@ def test_decompression_bomb_guards():
     jpg = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     with pytest.raises(ValueError, match="pixel decoder limit"):
         J.decode_jpeg(jpg + b"\xff\xd9")
+
+
+def test_gif_animation_roundtrip_and_video_dispatch():
+    """Multi-frame GIF: encode_gif_frames -> decode_gif_frames identity
+    (full-canvas frames), fps from the GCE delay, decode_video dispatch,
+    and decode_gif (image contract) still returns frame 0."""
+    rng = np.random.default_rng(5)
+    pal = np.unique(rng.integers(0, 256, size=(30, 3), dtype=np.uint8), axis=0)
+    frames = pal[rng.integers(0, pal.shape[0], size=(4, 9, 7))]
+    b = C.encode_gif_frames(frames, fps=25)
+    out, fps = C.decode_gif_frames(b)
+    assert out.shape == frames.shape and (out == frames).all() and fps == 25.0
+    out2, fps2 = C.decode_video(b)
+    assert (out2 == frames).all() and fps2 == 25.0
+    assert (C.decode_gif(b) == frames[0]).all()
+
+
+def _gif_image_block(left, top, w, h, idx, gce=None):
+    out = b""
+    if gce is not None:
+        disposal, trans = gce
+        flags = (disposal << 2) | (1 if trans is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([flags]) + struct.pack("<H", 10)
+                + bytes([trans if trans is not None else 0]) + b"\x00")
+    data = C._gif_lzw_encode(np.array(idx, dtype=np.uint8), 2)
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00" + bytes([2])
+    for i in range(0, len(data), 255):
+        out += bytes([len(data[i : i + 255])]) + data[i : i + 255]
+    return out + b"\x00"
+
+
+def test_gif_animation_partial_frames_transparency_disposal():
+    """The GIF89a animation model, hand-assembled: a partial frame
+    composites at its (left, top) offset, a transparent index leaves the
+    canvas visible, and disposal 2 restores the backdrop region after the
+    frame (so frame 3 sees background, not frame 2's pixels)."""
+    # screen 4x2, GCT [black, red, green, blue], background index 0
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 2, 0x81, 0, 0) + bytes(
+        [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+    )
+    gif = (
+        hdr
+        + _gif_image_block(0, 0, 4, 2, [1] * 8)                      # all red
+        + _gif_image_block(1, 0, 2, 1, [2, 0], gce=(2, 0))           # green + transparent, dispose->bg
+        + _gif_image_block(0, 1, 1, 1, [3])                          # blue bottom-left
+        + b"\x3b"
+    )
+    fr, fps = C.decode_gif_frames(gif)
+    assert fr.shape == (3, 2, 4, 3) and fps == 10.0
+    assert (fr[0] == [255, 0, 0]).all()
+    # frame 2: green composited at (0,1); transparent at (0,2) -> red below
+    assert (fr[1][0, 1] == [0, 255, 0]).all()
+    assert (fr[1][0, 2] == [255, 0, 0]).all()
+    # frame 3: disposal 2 restored (0,1)-(0,2) to the BLACK background
+    assert (fr[2][0, 1] == [0, 0, 0]).all() and (fr[2][0, 2] == [0, 0, 0]).all()
+    assert (fr[2][1, 0] == [0, 0, 255]).all()
+    assert (fr[2][0, 0] == [255, 0, 0]).all()  # untouched canvas persists
