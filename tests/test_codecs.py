@@ -595,3 +595,40 @@ def test_gif_animation_partial_frames_transparency_disposal():
     assert (fr[2][0, 1] == [0, 0, 0]).all() and (fr[2][0, 2] == [0, 0, 0]).all()
     assert (fr[2][1, 0] == [0, 0, 255]).all()
     assert (fr[2][0, 0] == [255, 0, 0]).all()  # untouched canvas persists
+
+
+def test_public_decode_boundary_valueerror_only():
+    """The skip contract at the PUBLIC boundary: mutations/truncations of
+    every container type through decode_image / decode_audio /
+    decode_video either decode or raise ValueError — nothing else leaks
+    (struct.error, zlib.error, numpy exceptions, IndexError)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 200, size=(6, 5, 3), dtype=np.uint8)
+    pal = np.unique(img.reshape(-1, 3), axis=0)
+    gif_img = pal[rng.integers(0, pal.shape[0], size=(6, 5))]
+    payloads = {
+        "image": [
+            C.encode_png(img),
+            C.encode_bmp(img),
+            C.encode_gif(gif_img, interlace=True),
+        ],
+        "audio": [C.encode_wav(np.arange(-40, 40, dtype=np.int16), bits=16)],
+        "video": [
+            C.encode_avi(np.stack([img, img]), fps=10),
+            C.encode_gif_frames(np.stack([gif_img, gif_img]), fps=10),
+        ],
+    }
+    fns = {"image": C.decode_image, "audio": C.decode_audio, "video": C.decode_video}
+    for kind, goods in payloads.items():
+        fn = fns[kind]
+        for good in goods:
+            for trial in range(120):
+                b = bytearray(good)
+                if trial % 2:
+                    b = b[: rng.integers(0, len(b))]
+                else:
+                    b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+                try:
+                    fn(bytes(b))
+                except ValueError:
+                    pass
