@@ -497,6 +497,26 @@ def q_fetch_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM changepoint detection over the dense fetch
+    (query.py:series_cusum): the first 12 slots set each series' reference
+    mean, then the two-sided cumulative-deviation statistic flags
+    sustained level shifts the point-anomaly family is blind to. Executed
+    recurrence-free via the running-minimum identity (two O(1)/row window
+    folds); exact scaled-integer deviations, so both engines replay the
+    identical values. Born r09 post-cap -> leads the r10 gate (SURVEY
+    16.8); locally gate-green (ORACLE_LOCAL r09 addendum)."""
+    from kadiyadb_spark.query import series_cusum
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_cusum(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"],
+        baseline_slots=12, threshold=5.0, drift=0.0,
+    )
+
+
 def q_fetch_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The general PromQL binary op (a - b here: click-minus-error
     headroom per slot) on series_ratio's one-scan pivot shape —
@@ -4125,6 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
         # NEW entries added this round go INSIDE the cap, displacing the
         # (5) block tail first (those six have r05 driver greens).
+        "fetch_cusum": q_fetch_cusum,  # born r09 post-cap; leads the r10 gate
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,

@@ -58,6 +58,7 @@ from kadiyadb_spark.query import (
     series_last_over_time,
     series_seasonal_anomaly,
     series_mad_anomaly,
+    series_cusum,
     series_outlier_fences,
 )
 from kadiyadb_spark.session import get_spark, spread
@@ -101,6 +102,7 @@ __all__ = [
     "series_last_over_time",
     "series_seasonal_anomaly",
     "series_mad_anomaly",
+    "series_cusum",
     "series_outlier_fences",
     "get_spark",
     "spread",

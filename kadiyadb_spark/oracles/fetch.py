@@ -540,6 +540,45 @@ FROM v
     # (S1, S2) re-centered about the window minimum via exact long
     # identities (flat -> exactly 0; conditioned on spread, not level),
     # then ONE double expression — z = (x4 - S1/n)/sqrt(var4)
+    # CUSUM replay: same integers via the running-minimum identity —
+    # HUGEINT window folds, q-scaled deviations (mu0 never a float), ONE
+    # ::DOUBLE division at the end (bare-literal DECIMAL trap)
+    o["fetch_cusum"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+st AS (
+  SELECT f1, f2, bucket, x4,
+         row_number() OVER w AS rn,
+         sum(x4) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+),
+sb AS (
+  SELECT *, max(CASE WHEN rn = 12 THEN c1 END) OVER (PARTITION BY f1, f2) AS s1b
+  FROM st
+),
+cp AS (
+  SELECT f1, f2, bucket, x4, rn,
+         CASE WHEN rn > 12 THEN 12 * (c1 - s1b) - (rn - 12) * s1b END AS cpos,
+         CASE WHEN rn > 12 THEN -(12 * (c1 - s1b) - (rn - 12) * s1b) END AS cneg
+  FROM sb
+),
+s AS (
+  SELECT f1, f2, bucket, x4,
+         cpos - least(0, min(cpos) OVER w) AS sp,
+         cneg - least(0, min(cneg) OVER w) AS sn
+  FROM cp
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT f1, f2, bucket, x4 / 10000.0 AS total,
+       floor((CAST(sp AS DOUBLE) / 120000.0::DOUBLE) * 10000 + 0.5) / 10000 AS cusum_pos,
+       floor((CAST(sn AS DOUBLE) / 120000.0::DOUBLE) * 10000 + 0.5) / 10000 AS cusum_neg,
+       coalesce(sp > {12 * 50000} OR sn > {12 * 50000}, false) AS is_change
+FROM s
+"""
+
     o["fetch_anomaly"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS x4

@@ -1365,6 +1365,81 @@ def series_mad_anomaly(
     )
 
 
+def series_cusum(
+    df: DataFrame,
+    series_cols: list[str],
+    baseline_slots: int = 12,
+    threshold: float = 5.0,
+    drift: float = 0.0,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """Tabular CUSUM changepoint detection (Page 1954; the NIST/SPC
+    two-sided form): the first ``baseline_slots`` slots of each series set
+    the reference mean mu0, then the classic recursions
+    S+_t = max(0, S+_{t-1} + x_t - mu0 - drift) and
+    S-_t = max(0, S-_{t-1} - x_t + mu0 - drift) accumulate evidence of a
+    sustained LEVEL SHIFT; a slot fires when either side exceeds
+    ``threshold``. Complements the point-anomaly family (z-score / MAD /
+    Tukey fences catch spikes; CUSUM catches small persistent shifts they
+    are blind to). Warmup slots (the baseline itself) emit nulls.
+
+    NO recurrence is executed: by the running-minimum identity,
+    S+_t = C_t - min_{j<=t} C_j for the drift-adjusted cumulative
+    deviation C, so both sides are differences of an O(1)/row cumulative
+    sum and an O(1)/row running min/max over ONE series-keyed sort — the
+    same physical shape as series_anomaly's r09 rewrite, embarrassingly
+    parallel across series.
+
+    Engine-default-free: deviations are scaled through q = baseline_slots
+    so mu0 = S1b/q never becomes a float — C'_t = q*(c1_t - S1b) -
+    (t-q)*S1b -/+ (t-q)*q*drift4 is an exact integer (decimal(38,0)
+    folds), the threshold compare is integer (S' > q*h4), and ONE double
+    division scales the reported statistic. Any engine replays the same
+    integers in any partition layout."""
+    if baseline_slots < 1:
+        raise ValueError(f"need baseline_slots >= 1, got {baseline_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    q = baseline_slots
+    drift4 = int(round(drift * 10000))
+    h4 = int(round(threshold * 10000))
+    w_ord = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df = df.withColumn("_x4", scale4_expr(F.col(total_col)))
+    rn = F.row_number().over(w_ord)
+    c1 = F.sum(F.col("_x4").cast("decimal(38,0)")).over(cum)
+    st = df.select(
+        *series_cols, bucket_col, "_x4",
+        rn.alias("_rn"), c1.alias("_c1"),
+    ).withColumn(
+        # the baseline sum S1b = the cumulative sum at row q, as a
+        # per-series constant (whole-partition frame, same sort)
+        "_s1b",
+        F.max(F.when(F.col("_rn") == q, F.col("_c1"))).over(full),
+    )
+    t_off = (F.col("_rn") - F.lit(q)).cast("decimal(38,0)")
+    base = F.lit(q) * (F.col("_c1") - F.col("_s1b")) - t_off * F.col("_s1b")
+    cpos = F.when(F.col("_rn") > q, base - t_off * F.lit(q * drift4))
+    cneg = F.when(F.col("_rn") > q, -base - t_off * F.lit(q * drift4))
+    # S = C - min(0, running min of C): the j = q origin contributes the 0
+    sp = cpos - F.least(F.lit(0).cast("decimal(38,0)"), F.min(cpos).over(cum))
+    sn = cneg - F.least(F.lit(0).cast("decimal(38,0)"), F.min(cneg).over(cum))
+    scale = F.lit(float(q) * 10000.0)
+    fire = (sp > F.lit(q * h4)) | (sn > F.lit(q * h4))
+    return st.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_x4") / F.lit(10000.0)).alias(total_col),
+        round4_expr(sp.cast("double") / scale).alias("cusum_pos"),
+        round4_expr(sn.cast("double") / scale).alias("cusum_neg"),
+        F.coalesce(fire, F.lit(False)).alias("is_change"),
+    )
+
+
 def series_outlier_fences(
     df: DataFrame,
     series_cols: list[str],

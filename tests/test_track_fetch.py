@@ -1320,3 +1320,39 @@ def test_series_outlier_fences_golden(spark):
 
     with _pt.raises(ValueError, match="window_slots"):
         series_outlier_fences(df, ["f1"], window_slots=0)
+
+
+def test_series_cusum_matches_recursive_definition(spark):
+    """The running-minimum identity vs the textbook recursion
+    S+_t = max(0, S+_{t-1} + x - mu0 - k), S-_t = max(0, S-_{t-1} - x +
+    mu0 - k), replayed in pure python over a shift + a spike; warmup
+    slots null; integer scaling keeps every engine on the same values."""
+    from kadiyadb_spark.query import series_cusum
+
+    vals = [10.0, 10.2, 9.8, 10.0, 10.1, 9.9,          # baseline (q=6), mu0=10
+            10.4, 10.5, 10.6, 10.4, 10.5,              # sustained +0.5 shift
+            3.0, 10.0]                                  # one down spike, recover
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)], "f1 string, bucket long, total double"
+    )
+    got = {r.bucket: r for r in series_cusum(
+        df, ["f1"], baseline_slots=6, threshold=1.0, drift=0.1
+    ).collect()}
+    q, mu0, k = 6, 10.0, 0.1
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        r = got[i]
+        if i < q:
+            assert r.cusum_pos is None and r.cusum_neg is None and r.is_change is False
+            continue
+        sp = max(0.0, sp + v - mu0 - k)
+        sn = max(0.0, sn - v + mu0 - k)
+        assert r.cusum_pos == pytest.approx(sp, abs=1e-9), i
+        assert r.cusum_neg == pytest.approx(sn, abs=1e-9), i
+        assert r.is_change == (sp > 1.0 or sn > 1.0), i
+    # the sustained shift fires; the baseline never does
+    assert any(got[i].is_change for i in range(6, 11))
+    # layout invariance: 1 vs 8 partitions identical
+    a = sorted(map(tuple, series_cusum(df.coalesce(1), ["f1"], 6, 1.0, 0.1).collect()))
+    b = sorted(map(tuple, series_cusum(df.repartition(8), ["f1"], 6, 1.0, 0.1).collect()))
+    assert a == b
