@@ -1149,18 +1149,23 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag the oracle pins TRUE. At 100 TB the sketch is the only option —
     exact percentile_cont needs a full sort; GK merges partial sketches
     map-side."""
+    from kadiyadb_spark.functions.profile import exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
-    eps = 0.01
-    exact = F.expr("percentile(l_extendedprice, 0.5D)")
     approx = F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)")
+    # The hashed p50 is the exact scaled-long interpolation (residue (c)
+    # closed — no engine percentile() in a hashed output); the band stays an
+    # engine aggregate because it only feeds the boolean tolerance flag.
+    ex = exact_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], probs=((1, 2),), names=["p50_exact"]
+    ).select("l_returnflag", "p50_exact")
     r = li.groupBy("l_returnflag").agg(
-        round4_expr(exact).alias("p50_exact"),
         approx.alias("_approx"),
         F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))").alias("_band"),
     )
     # GK guarantee: rank error <= eps*n, so the estimate must lie within the
     # [p45, p55] value band (eps=0.01 << 0.05 margin).
-    return r.select(
+    return ex.join(r, "l_returnflag").select(
         "l_returnflag",
         "p50_exact",
         (
@@ -1583,15 +1588,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) of extended price per flag."""
+    """Exact percentiles (linear interpolation) of extended price per flag.
+
+    Residue (c) closed: the value no longer comes out of an engine
+    ``percentile()`` aggregate (whose interpolation runs in that engine's
+    own double arithmetic) — ``profile.exact_quantiles`` replays the
+    (n-1)*p rank definition in exact scaled-long integer arithmetic with
+    ONE final double division, so the hashed doubles are identical in any
+    engine at any parallelism. The oracle is the same construction in SQL."""
+    from kadiyadb_spark.functions.profile import exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
-    pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
-    return li.groupBy("l_returnflag").agg(
-        round4_expr(F.element_at(pct, 1)).alias("p25"),
-        round4_expr(F.element_at(pct, 2)).alias("p50"),
-        round4_expr(F.element_at(pct, 3)).alias("p75"),
-        F.count("*").alias("n"),
-    )
+    return exact_quantiles(li, "l_extendedprice", ["l_returnflag"])
 
 
 def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

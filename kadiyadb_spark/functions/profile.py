@@ -139,3 +139,57 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: "list[tuple[int, int]]" = ((1, 4), (1, 2), (3, 4)),
+    names: "list[str] | None" = None,
+) -> DataFrame:
+    """Exact linear-interpolated quantiles WITHOUT the engine's
+    ``percentile()`` — the last engine-semantics dependency on the gated
+    surface (SURVEY residue (c)): engines agree on the (n-1)*p rank
+    definition, but the value is computed inside their aggregate in their
+    own double arithmetic. Here the definition is replayed explicitly in
+    EXACT integer arithmetic: probs are rationals (num, den), the rank
+    splits as pos = (n-1)*num, k = pos div den, rem = pos mod den (all
+    longs), the order statistics at ranks k+1 / k+2 come off one
+    series-sorted window, and the interpolated value is the exact
+    integer ((den-rem)*lo4 + rem*hi4) with ONE final double division by
+    den*1e4 — identical in any engine at any parallelism.
+
+    Shape: one sort-shuffle per group column set (the unavoidable cost of
+    an exact quantile; the 100 TB scheduled form is the GK sketch in
+    functions/sketch.py), then the groups collapse to one row each.
+
+    Returns group_cols + one column per prob (default p25/p50/p75) + n."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr, scale4_expr
+
+    if names is None:
+        names = [f"p{int(100 * num / den)}" for num, den in probs]
+    # values are 4dp-quantized by scale4 (lossless for <=4dp data like the
+    # 2dp prices); ties in _x4 are interchangeable for order statistics
+    w = Window.partitionBy(*group_cols).orderBy("_x4")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    st = df.select(*group_cols, scale4_expr(F.col(value_col)).alias("_x4"))
+    st = st.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wfull)
+    )
+    aggs = []
+    for (num, den), name in zip(probs, names):
+        pos = (F.col("_n") - F.lit(1)) * F.lit(num)
+        k = F.expr(f"(( _n - 1 ) * {num}) div {den}")
+        rem = pos % F.lit(den)
+        lo = F.max(F.when(F.col("_rn") == k + 1, F.col("_x4")))
+        hi = F.max(F.when(F.col("_rn") == k + 2, F.col("_x4")))
+        r = F.max(F.when(F.col("_rn") == 1, rem))  # per-group constant
+        val = (
+            ((F.lit(den) - r) * lo + r * F.coalesce(hi, lo)).cast("double")
+            / F.lit(float(den) * 10000.0)
+        )
+        aggs.append(round4_expr(val).alias(name))
+    return st.groupBy(*group_cols).agg(*aggs, F.count("*").alias("n"))

@@ -19,11 +19,28 @@ def oracles() -> dict[str, str]:
 
     # Tolerance oracle: the GK percentile sketch must land inside the exact
     # [p45, p55] value band (flag computed Spark-side, pinned TRUE here).
+    # p50_exact is the exact scaled-long interpolation (residue (c) closed):
+    # pos=(n-1), k=pos//2, rem=pos%2 — same construction as
+    # functions/profile.py:exact_quantiles.
     o["approx_quantile"] = """
+WITH rk AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS x4,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(round(l_extendedprice * 10000) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+ag AS (
+  SELECT l_returnflag, max(n) AS n,
+         max(CASE WHEN rn = (n-1) // 2 + 1 THEN x4 END) AS lo50,
+         max(CASE WHEN rn = (n-1) // 2 + 2 THEN x4 END) AS hi50
+  FROM rk GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50_exact,
+       floor((CAST((2 - (n-1) % 2) * lo50 + ((n-1) % 2) * coalesce(hi50, lo50) AS DOUBLE) / 20000.0) * 10000 + 0.5) / 10000 AS p50_exact,
        TRUE AS within_band
-FROM lineitem GROUP BY l_returnflag
+FROM ag
 """
 
     # Tolerance oracle: asserts the HLL++ estimate landed within 3*rsd of the

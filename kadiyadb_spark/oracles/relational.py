@@ -72,13 +72,37 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+    # Residue (c) closed: no quantile_cont — the (n-1)*p rank definition is
+    # replayed in exact scaled-long integer arithmetic (pos=(n-1)*num,
+    # k=pos//den, rem=pos%den; order statistics at ranks k+1/k+2; the
+    # interpolated value is the exact integer (den-rem)*lo + rem*hi with ONE
+    # double division by den*1e4) — the same construction as
+    # functions/profile.py:exact_quantiles on the Spark side.
     o["percentiles"] = """
+WITH rk AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS x4,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(round(l_extendedprice * 10000) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+ag AS (
+  SELECT l_returnflag, max(n) AS n,
+         max(CASE WHEN rn = ((n-1)*1) // 4 + 1 THEN x4 END) AS lo25,
+         max(CASE WHEN rn = ((n-1)*1) // 4 + 2 THEN x4 END) AS hi25,
+         max(CASE WHEN rn = ((n-1)*1) // 2 + 1 THEN x4 END) AS lo50,
+         max(CASE WHEN rn = ((n-1)*1) // 2 + 2 THEN x4 END) AS hi50,
+         max(CASE WHEN rn = ((n-1)*3) // 4 + 1 THEN x4 END) AS lo75,
+         max(CASE WHEN rn = ((n-1)*3) // 4 + 2 THEN x4 END) AS hi75
+  FROM rk GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       floor((quantile_cont(l_extendedprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
-       floor((quantile_cont(l_extendedprice, 0.50)) * 10000 + 0.5) / 10000 AS p50,
-       floor((quantile_cont(l_extendedprice, 0.75)) * 10000 + 0.5) / 10000 AS p75,
-       count(*) AS n
-FROM lineitem GROUP BY l_returnflag
+       floor((CAST((4 - ((n-1)*1) % 4) * lo25 + (((n-1)*1) % 4) * coalesce(hi25, lo25) AS DOUBLE) / 40000.0) * 10000 + 0.5) / 10000 AS p25,
+       floor((CAST((2 - ((n-1)*1) % 2) * lo50 + (((n-1)*1) % 2) * coalesce(hi50, lo50) AS DOUBLE) / 20000.0) * 10000 + 0.5) / 10000 AS p50,
+       floor((CAST((4 - ((n-1)*3) % 4) * lo75 + (((n-1)*3) % 4) * coalesce(hi75, lo75) AS DOUBLE) / 40000.0) * 10000 + 0.5) / 10000 AS p75,
+       CAST(n AS BIGINT) AS n
+FROM ag
 """
 
     o["date_extract"] = """

@@ -1976,6 +1976,30 @@ def test_column_correlations_golden(spark):
         column_correlations(df, ["x", "x"])
 
 
+def test_exact_quantiles_matches_numpy_linear(spark):
+    """exact_quantiles replays the (n-1)*p linear-interpolation rank
+    definition in scaled-long integer arithmetic (residue (c) closure);
+    it must agree with numpy's 'linear' percentile (round4) on 4dp data,
+    including a 1-row group where the k+2 order statistic falls off the
+    end (hi is null -> coalesce to lo)."""
+    import math
+
+    import numpy as np
+
+    from kadiyadb_spark.functions.profile import exact_quantiles
+
+    vals_a = [3.5, 1.25, 7.0, 2.0004, 9.99, 4.4444, 4.4444]  # ties included
+    vals_b = [0.0001]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    got = {r["g"]: r for r in exact_quantiles(df, "v", ["g"]).collect()}
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        for name, p in (("p25", 25), ("p50", 50), ("p75", 75)):
+            want = math.floor(float(np.percentile(vals, p)) * 10000 + 0.5) / 10000
+            assert abs(got[g][name] - want) < 1e-9, (g, name, got[g][name], want)
+        assert got[g]["n"] == len(vals)
+
+
 def test_char_entropy_golden(spark):
     """Hand-computed Shannon entropies; empty docs dropped; the quantized
     long-term construction matches true entropy to 4dp on small counts."""
