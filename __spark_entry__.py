@@ -1283,6 +1283,42 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) distinct sketches with SET-OPERATION estimates — the
+    distinct sketch HLL cannot be: "estimated distinct users in click AND
+    purchase" per event-type pair (functions/sketch.py:kmv_sketch). The
+    build keeps a bounded per-group min-k inside Arrow batches (only
+    partitions x groups x k hashes shuffle, a lossless superset of the
+    global min-k), and because min-k over the cross-engine md5 hash is a
+    pure order statistic, the sketch AND every estimate are deterministic
+    — the oracle replays the full construction and value-hash gates it,
+    no tolerance flag. Born r09 post-cap -> leads the r10 gate."""
+    from kadiyadb_spark.functions.sketch import (
+        kmv_estimate_expr,
+        kmv_setop_exprs,
+        kmv_sketch,
+    )
+
+    K = 64
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=K)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("_sa"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("_sb"))
+    # 5x5 sketch rows: the pair join is a broadcast nested loop over KBs
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ops = kmv_setop_exprs(F.col("_sa"), F.col("_sb"), K)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        round4_expr(kmv_estimate_expr(F.col("_sa"), K)).alias("est_a"),
+        round4_expr(kmv_estimate_expr(F.col("_sb"), K)).alias("est_b"),
+        round4_expr(ops["union"]).alias("est_union"),
+        round4_expr(ops["intersect"]).alias("est_intersect"),
+        round4_expr(ops["jaccard"]).alias("est_jaccard"),
+        ops["matches"].cast("long").alias("matches"),
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     r = (
@@ -4154,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW entries added this round go INSIDE the cap, displacing the
         # (5) block tail first (those six have r05 driver greens).
         "fetch_cusum": q_fetch_cusum,  # born r09 post-cap; leads the r10 gate
+        "sketch_kmv_setops": q_sketch_kmv_setops,  # born r09 post-cap; r10 gate
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,

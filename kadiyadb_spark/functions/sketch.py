@@ -257,3 +257,142 @@ def distribution_drift(
         ).alias("psi_total")
     )
     return terms.crossJoin(F.broadcast(total))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 128,
+    salt: str = "kmv",
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """K-MINIMUM-VALUES (theta) distinct sketch per group: the k smallest
+    DISTINCT 60-bit md5 hashes of ``key_col``. The mergeable distinct
+    sketch that — unlike HLL's register maxima — supports INTERSECTION
+    estimates, because the bottom-k hashes are a uniform θ-sample of the
+    key space under multiset operations (Beyer et al., SIGMOD 2007, "On
+    synopses for distinct value estimation under multiset operations";
+    the DataSketches "theta sketch" deployment shape).
+
+    Deterministic end to end: the hash is the established cross-engine
+    md5 form (sampling.shuffle_key_expr — 60 bits keeps int64 positive in
+    both engines), min-k is a pure order statistic, and every estimate
+    derived from the sketch is one IEEE division of exact integers — so
+    sketches AND estimates are SQL-replayable and value-hash gateable
+    with NO tolerance flag (accuracy is pinned separately in pytest
+    against exact counts).
+
+    Scale shape (the heavy_hitters two-pass doctrine): pass 1 keeps a
+    bounded per-group min-k inside Arrow batches (memory: groups × k
+    int64), so only partitions × groups × k candidate hashes ever
+    shuffle — never the raw keys; pass 2 merges candidates with built-in
+    array ops. The union of per-partition min-k sets is a guaranteed
+    SUPERSET of the global min-k (any global bottom-k hash is in its own
+    partition's bottom-k — pigeonhole), so the reduction is lossless:
+    the result is EXACTLY the sketch a single-node pass would build,
+    which is what the SQL oracle replays. Returns group_cols +
+    ``sketch_col`` (ascending array<long>, size <= k; size < k means the
+    group's EXACT distinct hash set)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not group_cols:
+        raise ValueError("kmv_sketch needs at least one group column")
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kadiyadb_spark.functions.sampling import shuffle_key_expr
+
+    hashed = df.select(*group_cols, shuffle_key_expr(key_col, salt).alias("_h"))
+    out_schema = T.StructType(
+        list(hashed.select(*group_cols).schema.fields)
+        + [T.StructField("_cand", T.ArrayType(T.LongType()), False)]
+    )
+
+    def _mink(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        acc: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(group_cols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                hs = np.unique(sub["_h"].to_numpy(dtype=np.int64))[:k]
+                prev = acc.get(key)
+                acc[key] = hs if prev is None else np.union1d(prev, hs)[:k]
+        if acc:
+            yield pd.DataFrame(
+                [
+                    {**dict(zip(group_cols, key)), "_cand": arr.tolist()}
+                    for key, arr in acc.items()
+                ],
+                columns=[*group_cols, "_cand"],
+            )
+
+    cand = hashed.mapInPandas(_mink, schema=out_schema)
+    return cand.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_cand")))),
+            1,
+            k,
+        ).alias(sketch_col)
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Union KMV sketches up a hierarchy (day→month, type→all): min-k of
+    the merged hash sets. Min-k union is a SEMILATTICE (associative,
+    commutative, idempotent), so partial merges at any tree shape yield
+    the identical sketch — pytest pins merge(per-day) == sketch(whole
+    range) EXACTLY, a stronger contract than HLL's estimate-level
+    losslessness. Only ≤ k longs per input row reach the shuffle."""
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return grouped.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+            1,
+            k,
+        ).alias(sketch_col)
+    )
+
+
+def kmv_estimate_expr(sketch: Column, k: int) -> Column:
+    """Distinct estimate off a KMV sketch column: EXACT |sketch| when the
+    group never saturated k (the sketch is the whole hash set); else the
+    bottom-k estimator (k-1)/θ with θ = h_k / 2^60 — computed as the
+    exactly-representable double (k-1)·2^60 divided by h_k, ONE IEEE
+    division identical in any engine at any parallelism."""
+    num = float((k - 1) * (1 << 60))  # (k-1) has << 53 bits: product is exact
+    return F.when(
+        F.size(sketch) >= k, F.lit(num) / F.element_at(sketch, k).cast("double")
+    ).otherwise(F.size(sketch).cast("double"))
+
+
+def kmv_setop_exprs(a: Column, b: Column, k: int) -> "dict[str, Column]":
+    """Union / intersection / Jaccard estimates from two KMV sketches.
+
+    The min-k of the concatenated hash sets is a valid KMV of the union;
+    every merged hash is ≤ min(θ_a, θ_b), so its membership in each input
+    SKETCH decides true membership in each input SET — matches/K is the
+    intersection fraction of a uniform bottom-θ sample (Beyer et al.
+    2007). est_intersect = matches·est_union/K, est_jaccard = matches/K.
+    Every output is a deterministic function of the two integer arrays:
+    same multiplication/division order on both engines → identical
+    doubles. Returns exprs keyed union/intersect/jaccard/matches."""
+    merged = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    km = F.size(merged)
+    est_u = kmv_estimate_expr(merged, k)
+    matches = F.size(F.array_intersect(F.array_intersect(merged, a), b))
+    est_i = F.when(
+        km > 0, matches.cast("double") * est_u / km.cast("double")
+    ).otherwise(F.lit(0.0))
+    jac = F.when(km > 0, matches.cast("double") / km.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return {"union": est_u, "intersect": est_i, "jaccard": jac, "matches": matches}

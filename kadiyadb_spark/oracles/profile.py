@@ -51,6 +51,57 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
 FROM events GROUP BY event_type
 """
 
+    # KMV set-op replay: min-k of the cross-engine md5 hash is a pure
+    # order statistic, so the FULL construction (sketches, union merge,
+    # bottom-k estimator (k-1)*2^60/h_k, intersection fraction) is
+    # deterministic — replayed here verbatim; the estimator numerator is
+    # the exactly-representable double 63*2^60 on both engines.
+    _kmv_est = (
+        "CASE WHEN len({s}) >= 64 THEN "
+        "(63.0::DOUBLE * 1152921504606846976.0::DOUBLE) / CAST({s}[64] AS DOUBLE) "
+        "ELSE CAST(len({s}) AS DOUBLE) END"
+    )
+    o["sketch_kmv_setops"] = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+mk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+sk AS (
+  SELECT event_type, list(h ORDER BY h) AS s
+  FROM mk WHERE rn <= 64 GROUP BY event_type
+),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.s AS sa, b.s AS sb,
+         list_sort(list_distinct(list_concat(a.s, b.s)))[1:64] AS m
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+e AS (
+  SELECT type_a, type_b,
+         len(m) AS km,
+         len(list_intersect(list_intersect(m, sa), sb)) AS matches,
+         {_kmv_est.format(s="sa")} AS est_a,
+         {_kmv_est.format(s="sb")} AS est_b,
+         {_kmv_est.format(s="m")} AS est_union
+  FROM pr
+)
+SELECT type_a, type_b,
+       floor(est_a * 10000 + 0.5) / 10000 AS est_a,
+       floor(est_b * 10000 + 0.5) / 10000 AS est_b,
+       floor(est_union * 10000 + 0.5) / 10000 AS est_union,
+       floor((CASE WHEN km > 0 THEN CAST(matches AS DOUBLE) * est_union / CAST(km AS DOUBLE)
+                   ELSE 0.0::DOUBLE END) * 10000 + 0.5) / 10000 AS est_intersect,
+       floor((CASE WHEN km > 0 THEN CAST(matches AS DOUBLE) / CAST(km AS DOUBLE)
+                   ELSE 0.0::DOUBLE END) * 10000 + 0.5) / 10000 AS est_jaccard,
+       CAST(matches AS BIGINT) AS matches
+FROM e
+"""
+
     # Direct computation at the same ladder — equality with the Spark
     # side's day->type merge path proves the histogram merge is lossless.
     o["histogram_rollup_merge"] = """

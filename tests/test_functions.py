@@ -1568,6 +1568,64 @@ def test_pack_nosplit_invariants_and_determinism(spark):
     assert again == sorted((r.shard, r.bin_idx, r.doc_id, r.offset) for r in packed)
 
 
+def test_kmv_sketch_layout_merge_and_estimates(spark):
+    """KMV contract: (1) the bounded Arrow candidate pass is lossless —
+    the sketch is identical at 1 and 16 partitions; (2) min-k union is a
+    semilattice — merge(per-day sketches) EQUALS sketch(whole range),
+    array for array; (3) a sub-k group's estimate is its EXACT distinct
+    count; (4) saturated estimates land near exact; (5) the set-op
+    estimates track a known 1/3-Jaccard overlap."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.functions.sketch import (
+        kmv_estimate_expr,
+        kmv_merge,
+        kmv_setop_exprs,
+        kmv_sketch,
+    )
+
+    K = 64
+    rows = (
+        [("a", i, i % 3) for i in range(1000)]          # 1000 distinct
+        + [("b", 500 + i, i % 3) for i in range(1000)]  # 1000 distinct, 500 shared
+        + [("tiny", i, 0) for i in range(7)] * 3        # 7 distinct, repeated
+    )
+    df = spark.createDataFrame(rows, "g string, uid long, day int")
+
+    sk1 = {r["g"]: r["kmv"] for r in kmv_sketch(df.repartition(1), "uid", ["g"], k=K).collect()}
+    sk16 = {r["g"]: r["kmv"] for r in kmv_sketch(df.repartition(16), "uid", ["g"], k=K).collect()}
+    assert sk1 == sk16  # lossless candidate reduction at any layout
+    assert sorted(sk1["tiny"]) == sk1["tiny"] and len(sk1["tiny"]) == 7
+    assert len(sk1["a"]) == K
+
+    daily = kmv_sketch(df, "uid", ["g", "day"], k=K)
+    merged = {r["g"]: r["kmv"] for r in kmv_merge(daily, ["g"], k=K).collect()}
+    assert merged == sk1  # semilattice: any merge tree -> identical sketch
+
+    sk = kmv_sketch(df, "uid", ["g"], k=K)
+    est = {r["g"]: r["est"] for r in sk.select("g", kmv_estimate_expr(F.col("kmv"), K).alias("est")).collect()}
+    assert est["tiny"] == 7.0  # sub-k: exact
+    assert abs(est["a"] - 1000) < 0.4 * 1000  # saturated: ~1/sqrt(k-2) rse
+    assert abs(est["b"] - 1000) < 0.4 * 1000
+
+    a = sk.filter(F.col("g") == "a").select(F.col("kmv").alias("sa"))
+    b = sk.filter(F.col("g") == "b").select(F.col("kmv").alias("sb"))
+    ops = kmv_setop_exprs(F.col("sa"), F.col("sb"), K)
+    r = a.crossJoin(F.broadcast(b)).select(
+        ops["union"].alias("u"), ops["intersect"].alias("i"), ops["jaccard"].alias("j")
+    ).collect()[0]
+    assert abs(r["u"] - 1500) < 0.4 * 1500
+    assert abs(r["i"] - 500) < 0.5 * 500
+    assert abs(r["j"] - 1 / 3) < 0.2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmv_sketch(df, "uid", ["g"], k=1)
+    with _pt.raises(ValueError):
+        kmv_sketch(df, "uid", [], k=K)
+
+
 def test_value_histogram_merge_lossless(spark):
     """Bucket counts are decomposable: merging per-day histograms equals
     the histogram computed directly at the coarse grain, bucket by bucket;
