@@ -253,6 +253,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--salt", default="ws")
 
+    p = sub.add_parser(
+        "kmv",
+        help="KMV (theta) distinct sketches per group with pairwise "
+        "union/intersection/Jaccard estimates (the set ops HLL cannot do)",
+    )
+    p.add_argument("--events", required=True, help="parquet path")
+    p.add_argument("--key-col", default="user_id")
+    p.add_argument("--group-col", default="event_type")
+    p.add_argument("--k", type=int, default=128)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -496,6 +506,33 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.salt,
         )
         for row in r.orderBy(args.id_col).collect():
+            _emit(row.asDict())
+    elif args.cmd == "kmv":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.num import round4_expr
+        from kadiyadb_spark.functions.sketch import (
+            kmv_estimate_expr,
+            kmv_setop_exprs,
+            kmv_sketch,
+        )
+
+        sk = kmv_sketch(
+            spark.read.parquet(args.events), args.key_col, [args.group_col], k=args.k
+        )
+        a = sk.select(F.col(args.group_col).alias("group_a"), F.col("kmv").alias("_sa"))
+        b = sk.select(F.col(args.group_col).alias("group_b"), F.col("kmv").alias("_sb"))
+        ops = kmv_setop_exprs(F.col("_sa"), F.col("_sb"), args.k)
+        r = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b")).select(
+            "group_a",
+            "group_b",
+            round4_expr(kmv_estimate_expr(F.col("_sa"), args.k)).alias("est_a"),
+            round4_expr(kmv_estimate_expr(F.col("_sb"), args.k)).alias("est_b"),
+            round4_expr(ops["union"]).alias("est_union"),
+            round4_expr(ops["intersect"]).alias("est_intersect"),
+            round4_expr(ops["jaccard"]).alias("est_jaccard"),
+        )
+        for row in r.orderBy("group_a", "group_b").collect():
             _emit(row.asDict())
     return 0
 

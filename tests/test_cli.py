@@ -262,3 +262,23 @@ def test_cli_entropy_and_wsample(spark, tmp_path, capsys):
 
     exp = sorted(sorted([(0, 10.0), (1, 1.0), (2, 5.0)], key=lambda t: key(*t))[:2])
     assert [(r["doc_id"], r["n"]) for r in rows] == exp
+
+
+def test_cli_kmv(spark, tmp_path, capsys):
+    """KMV set-op command: pairwise distinct/union/intersect estimates;
+    sub-k groups are exact, so the tiny fixture's numbers are exact
+    distinct counts."""
+    ev = str(tmp_path / "kmv_ev.parquet")
+    rows = [Row(event_type="a", user_id=i) for i in range(8)] + [
+        Row(event_type="b", user_id=i + 4) for i in range(8)
+    ]
+    spark.createDataFrame(rows * 2).write.parquet(ev)  # duplicates collapse
+    assert main(["kmv", "--events", ev, "--k", "64"]) == 0
+    out = _out(capsys)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    # both groups < k: the sketches are the full hash sets -> exact
+    assert r["est_a"] == 8.0 and r["est_b"] == 8.0
+    assert r["est_union"] == 12.0 and r["est_intersect"] == 4.0
+    assert r["est_jaccard"] == 0.3333  # round4(1/3)

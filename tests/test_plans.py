@@ -692,3 +692,21 @@ def test_seasonal_anomaly_profile_join_no_cartesian(spark):
         series_seasonal_anomaly(mk(12, 18), mk(0, 12), ["f1"], period_slots=6)
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_one_shuffle_of_candidates_only(spark):
+    """The KMV build's only Exchange is the candidate merge groupBy —
+    the raw keys never shuffle (the Arrow min-k pass reduces each
+    partition to <= groups x k hashes first)."""
+    from kadiyadb_spark.functions.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [Row(g="a", uid=i) for i in range(100)]
+    )
+    plan = plan_str(kmv_sketch(df, "uid", ["g"], k=16))
+    assert n_shuffles(plan) == 1
+    # the reduction sits BELOW the exchange (formatted explain numbers
+    # nodes bottom-up: deeper = smaller)
+    mip = int(re.search(r"\((\d+)\) MapInPandas", plan).group(1))
+    exc = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+    assert mip < exc
