@@ -3793,6 +3793,22 @@ def q_fetch_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE regex matcher (PromQL {event=~"cl.*|sign.*"}): the Re pattern
+    level compiles to an anchored Catalyst RLIKE — metacharacter matching
+    the exact/IN forms cannot express (query.py:Re). Manifest stats still
+    prune segments on positive evidence (the regex is evaluated against
+    the recorded value sets, refusing to act on escape-bearing patterns so
+    a dialect divergence can only cost a full read). The DuckDB twin is
+    regexp_full_match. Born r09 post-cap -> leads the r10 gate."""
+    from kadiyadb_spark.query import Re
+
+    return _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, [Re("cl.*|sign.*"), "*"], RES, DUR),
+        ["total"],
+    )
+
+
 def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL sum by (user): per-user per-slot totals summed ACROSS event
     types — the non-prefix aggregation the write-time rollup cannot hold
@@ -4191,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5) block tail first (those six have r05 driver greens).
         "fetch_cusum": q_fetch_cusum,  # born r09 post-cap; leads the r10 gate
         "sketch_kmv_setops": q_sketch_kmv_setops,  # born r09 post-cap; r10 gate
+        "fetch_regex": q_fetch_regex,  # born r09 post-cap; r10 gate
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,

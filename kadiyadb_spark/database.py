@@ -277,15 +277,27 @@ class Database:
         an early-round list-form entry missing the level is never skipped —
         skipping only ever acts on positive evidence, so stale or missing
         stats degrade to a full read, not a wrong one."""
+        from kadiyadb_spark.query import Re
+
         stats = m.get("stats", {})
-        preds: list[tuple[str, str]] = []
+        preds: list = []
         if prune_pattern:
             # value-set levels (the IN matcher) prune too: a segment is
-            # skippable only when its stats exclude EVERY listed value
+            # skippable only when its stats exclude EVERY listed value.
+            # Re levels prune on positive evidence as well — UNLESS the
+            # pattern contains a backslash escape (the one construct class
+            # where the JVM rlike and Python re dialects could diverge:
+            # pruning must never skip a segment the filter would match, so
+            # those degrade to a full read).
             preds = [
-                (S.field_col(i), v if isinstance(v, str) else tuple(sorted(set(v))))
+                (
+                    S.field_col(i),
+                    v
+                    if isinstance(v, (str, Re))
+                    else tuple(sorted(set(v))),
+                )
                 for i, v in enumerate(prune_pattern, start=1)
-                if isinstance(v, (list, tuple, set, frozenset)) or v != "*"
+                if isinstance(v, (list, tuple, set, frozenset, Re)) or v != "*"
             ]
 
         def _keep(ref: str) -> bool:
@@ -297,6 +309,15 @@ class Database:
             for col, val in preds:
                 vals = st.get(col)
                 if isinstance(vals, list):
+                    if isinstance(val, Re):
+                        if "\\" in val.pattern:
+                            continue  # dialect-safe: never skip on escapes
+                        import re as _re
+
+                        rx = _re.compile(val.pattern)
+                        if not any(rx.fullmatch(x) for x in vals):
+                            return False
+                        continue
                     want = val if isinstance(val, tuple) else (val,)
                     if not any(x in vals for x in want):
                         return False

@@ -39,6 +39,8 @@ SELECT f1, f2, bucket, total,
 FROM d
 """
     o["fetch_in"] = _fetch_oracle(["click", "error"], "*", WEEK0, WEEK1, 2)
+    # anchored Re matcher: regexp_full_match twins Spark's ^(?:…)$ rlike
+    o["fetch_regex"] = _fetch_oracle({"re": "cl.*|sign.*"}, "*", WEEK0, WEEK1, 2)
 
     o["fetch_offset"] = f"""
 WITH base AS (

@@ -93,10 +93,13 @@ _EV_CUBE = f"""
 def _fetch_oracle(pattern_f1, f2: str | None, from_ns: int, to_ns: int, depth: int) -> str:
     """Dense zero-filled fetch oracle with per-epoch series membership.
     f2=None -> depth-1 prefix; f2='*' -> wildcard; else exact. pattern_f1
-    may be a LIST of values (the IN matcher)."""
+    may be a LIST of values (the IN matcher) or {"re": pattern} (the
+    anchored Re matcher — regexp_full_match twins Spark's ^(?:…)$ rlike)."""
     e_from = (from_ns // DUR) * DUR
     e_to = ((to_ns - RES) // DUR) * DUR
-    if isinstance(pattern_f1, (list, tuple)):
+    if isinstance(pattern_f1, dict):
+        f1_cond = f"regexp_full_match(f1, '{pattern_f1['re']}')"
+    elif isinstance(pattern_f1, (list, tuple)):
         f1_cond = "f1 IN (" + ", ".join(f"'{v}'" for v in pattern_f1) + ")"
     else:
         f1_cond = f"f1 = '{pattern_f1}'"

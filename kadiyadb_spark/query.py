@@ -34,15 +34,54 @@ class InvalidTimeRange(ValueError):
     """Reference ErrInvTime / ErrRange (database.go:156-158, 176-199)."""
 
 
+class Re:
+    """PromQL ``=~`` regex matcher for ONE pattern level:
+    ``fetch(cube, a, b, [Re("cl.*|sign.*"), "*"])``. FULLY ANCHORED like
+    PromQL (the engine wraps ``^(?:…)$``), so ``Re("click")`` matches
+    exactly the string ``click`` — a plain value is always the safer form
+    when no metacharacter is needed. The pattern must compile under
+    Python ``re`` (fail-fast here); evaluation is Spark's JVM ``rlike``,
+    whose semantics agree with Python's for the practical construct set —
+    manifest-stats segment pruning additionally refuses to act on any
+    pattern containing a backslash escape so a dialect divergence can
+    only ever cost a full read, never a wrong skip
+    (database.py:_segment_paths)."""
+
+    __slots__ = ("pattern",)
+
+    def __init__(self, pattern: str):
+        if not isinstance(pattern, str) or pattern == "":
+            raise ValueError(f"illegal regex pattern: {pattern!r}")
+        import re as _re
+
+        try:
+            _re.compile(pattern)
+        except _re.error as e:
+            raise ValueError(f"bad regex pattern {pattern!r}: {e}") from e
+        self.pattern = pattern
+
+    def __repr__(self) -> str:  # error messages / plan debugging
+        return f"Re({self.pattern!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Re) and other.pattern == self.pattern
+
+    def __hash__(self) -> int:
+        return hash(("Re", self.pattern))
+
+
 def compile_pattern(pattern: list):
     """Validate a query pattern and return (depth, [(col, value), ...]) of
     predicates ("*" levels contribute none). A level is an exact string, a
-    ``"*"`` wildcard, or a LIST/SET of strings — the PromQL value-set
+    ``"*"`` wildcard, a LIST/SET of strings — the PromQL value-set
     matcher (``{event=~"click|view"}``) compiled to one IN predicate, still
-    a single pushed-down scan. Multi-value levels normalize to a sorted
-    tuple (order-independent, deterministic). "" is illegal in queries
-    (index/node.go:138-147), inside sets too; so is "*" inside a set (a set
-    containing the wildcard IS the wildcard — say so)."""
+    a single pushed-down scan — or a ``Re`` regex matcher (PromQL ``=~``
+    with true metacharacters; a Catalyst RLIKE filter: cheap map-side, but
+    unlike exact/IN it cannot reach parquet PushedFilters — prefer value
+    sets when the value list is enumerable). Multi-value levels normalize
+    to a sorted tuple (order-independent, deterministic). "" is illegal in
+    queries (index/node.go:138-147), inside sets too; so is "*" inside a
+    set (a set containing the wildcard IS the wildcard — say so)."""
     if not pattern:
         raise ValueError("empty query pattern")
     preds = []
@@ -63,6 +102,9 @@ def compile_pattern(pattern: list):
                 raise ValueError(f"empty value set at level {i}")
             preds.append((S.field_col(i), vals[0] if len(vals) == 1 else tuple(vals)))
             continue
+        if isinstance(v, Re):
+            preds.append((S.field_col(i), v))
+            continue
         if not isinstance(v, str) or v == "":
             # dimensions are string columns; a non-string scalar (e.g. an
             # int user id) previously slipped through here and died later
@@ -76,7 +118,10 @@ def compile_pattern(pattern: list):
 
 def match_expr(col: str, val) -> "F.Column":
     """The Catalyst predicate of one compiled pattern entry: equality for a
-    scalar, IN for a value-set tuple — both reach PushedFilters."""
+    scalar, IN for a value-set tuple (both reach PushedFilters), anchored
+    RLIKE for a ``Re`` matcher (map-side filter only)."""
+    if isinstance(val, Re):
+        return F.col(col).rlike(f"^(?:{val.pattern})$")
     if isinstance(val, tuple):
         return F.col(col).isin(*val)
     return F.col(col) == F.lit(val)

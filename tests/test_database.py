@@ -428,6 +428,16 @@ def test_f1_stats_prune_segments_on_exact_fetch(spark, tmp_path):
         (0, ("click", "u2"), 0, 0.0, 0.0),
         (0, ("click", "u2"), 1, 2.0, 1.0),
     ]
+    # Re matcher pruning: positive evidence only, full-anchored like the
+    # filter; a backslash escape refuses to prune (dialect safety) but
+    # still filters correctly
+    from kadiyadb_spark.query import Re
+
+    assert len(db._segment_paths(m, {0}, prune_pattern=[Re("cl.*"), "*"])) == 1
+    assert db._segment_paths(m, {0}, prune_pattern=[Re("nope|lick"), "*"]) == []
+    assert len(db._segment_paths(m, {0}, prune_pattern=[Re("\\w+"), "*"])) == 2
+    assert _pts(db.fetch(0, 2, [Re("cl.*"), "*"])) == got
+    assert _pts(db.fetch(0, 2, [Re("\\w+ick"), "*"])) == got
 
 
 def test_f1_stats_overflow_disables_pruning_not_correctness(spark, tmp_path, monkeypatch):

@@ -1356,3 +1356,29 @@ def test_series_cusum_matches_recursive_definition(spark):
     a = sorted(map(tuple, series_cusum(df.coalesce(1), ["f1"], 6, 1.0, 0.1).collect()))
     b = sorted(map(tuple, series_cusum(df.repartition(8), ["f1"], 6, 1.0, 0.1).collect()))
     assert a == b
+
+
+def test_regex_matcher_semantics(spark, rollup_cube):
+    """PromQL =~ (Re) matcher: fully anchored, equivalent to the exact /
+    IN forms it generalizes, illegal patterns fail fast."""
+    from kadiyadb_spark.query import Re
+
+    # anchored single match == the exact form
+    exact = _points(fetch(rollup_cube, 0, 5, ["a", "b", "*"], RES, DUR))
+    rex = _points(fetch(rollup_cube, 0, 5, ["a", Re("b"), "*"], RES, DUR))
+    assert rex == exact
+    # alternation == the IN form
+    inn = _points(fetch(rollup_cube, 0, 5, ["a", ["b", "c"], "*"], RES, DUR))
+    alt = _points(fetch(rollup_cube, 0, 5, ["a", Re("b|c"), "*"], RES, DUR))
+    assert alt == inn
+    # true metacharacters: prefix class nothing else can express
+    pre = _points(fetch(rollup_cube, 0, 5, ["a", "*", Re("[cd]")], RES, DUR))
+    assert set(pre) == {("a", "b", "c"), ("a", "b", "d")}
+    # anchoring: a substring does NOT match
+    assert fetch(rollup_cube, 0, 5, ["a", Re("b|c"), Re("x")], RES, DUR, densify=False).count() == 0
+    with pytest.raises(ValueError):
+        Re("")
+    with pytest.raises(ValueError):
+        Re("(")
+    with pytest.raises(ValueError):
+        Re(3)  # type: ignore[arg-type]
