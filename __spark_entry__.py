@@ -3809,6 +3809,33 @@ def q_fetch_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-evaluation batch (query.py:fetch_multi): THREE patterns —
+    exact, exact, regex — answered by ONE shared scan of the cube; each
+    row is tagged with the array of queries it matches and exploded, so
+    a row matching two queries appears once per query and non-matching
+    rows never leave the scan. Sparse (densify=False) semantics with a
+    leading query label; the oracle is the UNION ALL of per-pattern
+    selects. Born r09 post-cap -> leads the r10 gate."""
+    from kadiyadb_spark.query import Re, fetch_multi
+
+    return _round_doubles(
+        fetch_multi(
+            _cube(spark, sf_dir),
+            WEEK0,
+            WEEK1,
+            {
+                "clicks": ["click", "*"],
+                "errs": ["error", "*"],
+                "c_or_s": [Re("c.*|sign.*"), "*"],
+            },
+            RES,
+            DUR,
+        ),
+        ["total"],
+    )
+
+
 def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL sum by (user): per-user per-slot totals summed ACROSS event
     types — the non-prefix aggregation the write-time rollup cannot hold
@@ -4208,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_cusum": q_fetch_cusum,  # born r09 post-cap; leads the r10 gate
         "sketch_kmv_setops": q_sketch_kmv_setops,  # born r09 post-cap; r10 gate
         "fetch_regex": q_fetch_regex,  # born r09 post-cap; r10 gate
+        "fetch_multi": q_fetch_multi,  # born r09 post-cap; r10 gate
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,

@@ -42,6 +42,23 @@ FROM d
     # anchored Re matcher: regexp_full_match twins Spark's ^(?:…)$ rlike
     o["fetch_regex"] = _fetch_oracle({"re": "cl.*|sign.*"}, "*", WEEK0, WEEK1, 2)
 
+    # rule-evaluation batch: sparse per-pattern selects UNION ALL'd with a
+    # query label — the Spark side answers all three from ONE shared scan
+    _mq = (
+        "SELECT '{name}' AS query, epoch, f1, f2, bucket,"
+        " floor(total * 10000 + 0.5) / 10000 AS total, cnt"
+        " FROM cube2 WHERE {cond}"
+        f" AND bucket >= {WEEK0} AND bucket < {WEEK1}"
+    )
+    o["fetch_multi"] = f"""
+WITH {_EV_CUBE}
+{_mq.format(name="clicks", cond="f1 = 'click'")}
+UNION ALL
+{_mq.format(name="errs", cond="f1 = 'error'")}
+UNION ALL
+{_mq.format(name="c_or_s", cond="regexp_full_match(f1, 'c.*|sign.*')")}
+"""
+
     o["fetch_offset"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

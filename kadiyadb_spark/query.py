@@ -2203,3 +2203,87 @@ def series_burn_rate(
             (bs >= F.lit(factor)) & (bl >= F.lit(factor)), F.lit(False)
         ).alias("firing"),
     )
+
+
+def fetch_multi(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    patterns: "dict[str, list]",
+    resolution: int = 60_000_000_000,
+    duration: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Evaluate a BATCH of same-depth patterns in ONE shared scan — the
+    Prometheus rule-evaluation-group shape: a dashboard or alert batch
+    runs tens of queries over the same range, and at 100 TB the scan, not
+    the per-query filter, is the cost. One pass reads the cube ONCE under
+    the OR of every pattern's predicate (each disjunct is plain
+    equality/IN/rlike, so the pushable parts still reach the scan), tags
+    each row with the array of query names whose pattern it matches, and
+    explodes — fan-out equals the number of matches, rows matching
+    nothing never leave the scan.
+
+    Patterns share one depth (a batch over one resolution's series set;
+    mixed depths would make the output schema ragged — run two batches).
+    Output is the SPARSE frame (``fetch(densify=False)`` semantics) with
+    a leading ``query`` label: (query, epoch, f1..fD, bucket, total,
+    cnt). Batches that need zero-fill densify per query downstream —
+    densification is per-query series membership, which no longer shares
+    work. Row order unspecified (fine-print #8)."""
+    if not patterns:
+        raise ValueError("empty pattern batch")
+    if from_ts < 0 or to_ts < 0:
+        raise InvalidTimeRange("timestamps must be non-negative")
+    if to_ts < from_ts:
+        raise InvalidTimeRange(f"invalid range: to={to_ts} < from={from_ts}")
+    compiled = {name: compile_pattern(p) for name, p in patterns.items()}
+    depths = {d for d, _ in compiled.values()}
+    if len(depths) != 1:
+        raise ValueError(
+            f"fetch_multi patterns must share one depth, got {sorted(depths)}"
+        )
+    depth = depths.pop()
+    fcols = S.field_cols(depth)
+
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    spark = cube.sparkSession
+    if from_b == to_b:
+        return spark.createDataFrame(
+            [],
+            schema="query string, epoch long, "
+            + ", ".join(f"{c} string" for c in fcols)
+            + ", bucket long, total double, cnt double",
+        )
+    e_from = from_b - (from_b % duration)
+    e_to = (to_b - resolution) - ((to_b - resolution) % duration)
+
+    def _pred(preds) -> "F.Column":
+        cond = F.lit(True)
+        for col, val in preds:
+            cond = cond & match_expr(col, val)
+        return cond
+
+    any_match = F.lit(False)
+    for _, preds in compiled.values():
+        any_match = any_match | _pred(preds)
+    scanned = cube.filter(
+        (F.col(S.DEPTH) == F.lit(depth))
+        & (F.col(S.EPOCH) >= F.lit(e_from))
+        & (F.col(S.EPOCH) <= F.lit(e_to))
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+        & any_match
+    )
+    # deterministic label order; array_compact drops the non-matches
+    labels = F.array_compact(
+        F.array(
+            *[
+                F.when(_pred(preds), F.lit(name))
+                for name, (_, preds) in sorted(compiled.items())
+            ]
+        )
+    )
+    return scanned.select(
+        F.explode(labels).alias("query"), S.EPOCH, *fcols, S.BUCKET, S.TOTAL, S.CNT
+    )

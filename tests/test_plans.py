@@ -710,3 +710,23 @@ def test_kmv_sketch_one_shuffle_of_candidates_only(spark):
     mip = int(re.search(r"\((\d+)\) MapInPandas", plan).group(1))
     exc = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
     assert mip < exc
+
+
+def test_fetch_multi_is_one_scan(spark, tmp_path):
+    """The rule-evaluation batch reads the cube ONCE however many patterns
+    it answers — the scan count is the plan property that makes the
+    operator worth having at 100 TB."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import Re, fetch_multi
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 5, x=t, y="u", v=1.0) for i, t in enumerate(["a", "b", "c"] * 5)]
+    )
+    path = str(tmp_path / "cube")
+    track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5).write.parquet(path)
+    cube = spark.read.parquet(path)
+    plan = plan_str(
+        fetch_multi(cube, 0, 5, {"a": ["a", "*"], "b": ["b", "*"], "re": [Re("a|c"), "*"]}, 1, 5)
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert n_shuffles(plan) == 0  # filter + explode: map-only over the scan

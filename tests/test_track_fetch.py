@@ -1382,3 +1382,35 @@ def test_regex_matcher_semantics(spark, rollup_cube):
         Re("(")
     with pytest.raises(ValueError):
         Re(3)  # type: ignore[arg-type]
+
+
+def test_fetch_multi_shared_scan_semantics(spark, rollup_cube):
+    """The rule-evaluation batch: each query's rows equal its standalone
+    sparse fetch; a row matching two patterns appears once per query;
+    mixed depths and empty batches raise."""
+    from kadiyadb_spark.query import Re, fetch_multi
+
+    pats = {"ab": ["a", "b", "*"], "ace": ["a", "c", "e"], "bc": ["a", Re("b|c"), "*"]}
+    got = fetch_multi(rollup_cube, 0, 5, pats, RES, DUR)
+    by_q = {}
+    for r in got.collect():
+        d = r.asDict()
+        by_q.setdefault(d.pop("query"), []).append(tuple(sorted(d.items())))
+    for name, p in pats.items():
+        solo = [
+            tuple(sorted(r.asDict().items()))
+            for r in fetch(rollup_cube, 0, 5, p, RES, DUR, densify=False).collect()
+        ]
+        assert sorted(by_q[name]) == sorted(solo), name
+    # overlap: every 'ab' row is also a 'bc' row (b matches b|c)
+    assert set(by_q["ab"]) <= set(by_q["bc"])
+
+    with pytest.raises(ValueError):
+        fetch_multi(rollup_cube, 0, 5, {}, RES, DUR)
+    with pytest.raises(ValueError):
+        fetch_multi(rollup_cube, 0, 5, {"a": ["a", "b", "*"], "b": ["a"]}, RES, DUR)
+    with pytest.raises(InvalidTimeRange):
+        fetch_multi(rollup_cube, 5, 0, pats, RES, DUR)
+    # from == to -> empty frame with the labeled schema (fine-print #4)
+    empty = fetch_multi(rollup_cube, 3, 3, pats, RES, DUR)
+    assert empty.count() == 0 and empty.columns[0] == "query"
