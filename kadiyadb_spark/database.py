@@ -263,7 +263,11 @@ class Database:
         return out
 
     def _segment_paths(
-        self, m: dict, epochs: set[int] | None = None, prune_pattern: list[str] | None = None
+        self,
+        m: dict,
+        epochs: set[int] | None = None,
+        prune_pattern: list[str] | None = None,
+        prune_any: "list[list] | None" = None,
     ) -> list[str]:
         """Resolve manifest refs to scan paths, applying manifest-level data
         skipping: epoch pruning, then dimension-value pruning against the
@@ -280,32 +284,31 @@ class Database:
         from kadiyadb_spark.query import Re
 
         stats = m.get("stats", {})
-        preds: list = []
-        if prune_pattern:
-            # value-set levels (the IN matcher) prune too: a segment is
-            # skippable only when its stats exclude EVERY listed value.
-            # Re levels prune on positive evidence as well — UNLESS the
-            # pattern contains a backslash escape (the one construct class
-            # where the JVM rlike and Python re dialects could diverge:
-            # pruning must never skip a segment the filter would match, so
-            # those degrade to a full read).
-            preds = [
+        # value-set levels (the IN matcher) prune too: a segment is
+        # skippable only when its stats exclude EVERY listed value.
+        # Re levels prune on positive evidence as well — UNLESS the
+        # pattern contains a backslash escape (the one construct class
+        # where the JVM rlike and Python re dialects could diverge:
+        # pruning must never skip a segment the filter would match, so
+        # those degrade to a full read). ``prune_any`` is the batch form
+        # (fetch_multi): a segment is kept when ANY pattern keeps it.
+        def _preds(pat: list) -> list:
+            return [
                 (
                     S.field_col(i),
-                    v
-                    if isinstance(v, (str, Re))
-                    else tuple(sorted(set(v))),
+                    v if isinstance(v, (str, Re)) else tuple(sorted(set(v))),
                 )
-                for i, v in enumerate(prune_pattern, start=1)
+                for i, v in enumerate(pat, start=1)
                 if isinstance(v, (list, tuple, set, frozenset, Re)) or v != "*"
             ]
 
-        def _keep(ref: str) -> bool:
-            st = stats.get(ref)
-            if st is None:
-                return True
-            if isinstance(st, list):  # early round-6 format: f1 values only
-                st = {S.field_col(1): st}
+        pred_sets: list[list] = []
+        if prune_pattern:
+            pred_sets = [_preds(prune_pattern)]
+        elif prune_any:
+            pred_sets = [_preds(p) for p in prune_any]
+
+        def _keep_one(st: dict, preds: list) -> bool:
             for col, val in preds:
                 vals = st.get(col)
                 if isinstance(vals, list):
@@ -323,12 +326,20 @@ class Database:
                         return False
             return True
 
+        def _keep(ref: str) -> bool:
+            st = stats.get(ref)
+            if st is None:
+                return True
+            if isinstance(st, list):  # early round-6 format: f1 values only
+                st = {S.field_col(1): st}
+            return any(_keep_one(st, preds) for preds in pred_sets)
+
         return [
             HadoopFS.join(self.cube_path, ref)
             for e, refs in sorted(m["segments"].items())
             if epochs is None or e in epochs
             for ref in refs
-            if not preds or _keep(ref)
+            if not pred_sets or _keep(ref)
         ]
 
     def _live_refs(self) -> set[str]:
@@ -382,6 +393,7 @@ class Database:
         at_gen: int | None = None,
         prune_pattern: list[str] | None = None,
         epochs: set[int] | None = None,
+        prune_patterns: "list[list] | None" = None,
     ) -> DataFrame:
         """The cube as a DataFrame, FOLDED to one row per cube key.
 
@@ -420,7 +432,9 @@ class Database:
             and (from_epoch is None or e >= from_epoch)
             and (to_epoch is None or e <= to_epoch)
         }
-        paths = self._segment_paths(m, want, prune_pattern=prune_pattern)
+        paths = self._segment_paths(
+            m, want, prune_pattern=prune_pattern, prune_any=prune_patterns
+        )
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
         if not paths:
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
@@ -658,6 +672,37 @@ class Database:
             resolution=res,
             duration=dur,
             densify=densify,
+        )
+
+    def fetch_multi(
+        self,
+        from_ts: int,
+        to_ts: int,
+        patterns: "dict[str, list]",
+        at_gen: int | None = None,
+    ) -> DataFrame:
+        """The rule-evaluation batch over the persisted store: every
+        pattern answered from ONE shared scan (query.py:fetch_multi), with
+        manifest-level data skipping in UNION form — a segment is read iff
+        at least one pattern's stats evidence keeps it, so the batch scans
+        exactly the segments the individual fetches would have touched,
+        once. Sparse output with a leading ``query`` label."""
+        from kadiyadb_spark.query import fetch_multi as fetch_multi_df
+
+        res, dur = self.params.resolution, self.params.duration
+        from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
+        to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
+        e_from = from_b - (from_b % dur)
+        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        return fetch_multi_df(
+            self.cube(
+                e_from, e_to, at_gen=at_gen, prune_patterns=list(patterns.values())
+            ),
+            from_ts,
+            to_ts,
+            patterns,
+            resolution=res,
+            duration=dur,
         )
 
     # -- O11 Expire ----------------------------------------------------------

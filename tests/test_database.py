@@ -438,6 +438,21 @@ def test_f1_stats_prune_segments_on_exact_fetch(spark, tmp_path):
     assert len(db._segment_paths(m, {0}, prune_pattern=[Re("\\w+"), "*"])) == 2
     assert _pts(db.fetch(0, 2, [Re("cl.*"), "*"])) == got
     assert _pts(db.fetch(0, 2, [Re("\\w+ick"), "*"])) == got
+    # batch (fetch_multi) pruning is the UNION of per-pattern evidence
+    assert len(db._segment_paths(m, {0}, prune_any=[["click", "*"], ["nope", "*"]])) == 1
+    assert len(db._segment_paths(m, {0}, prune_any=[["click", "*"], ["view", "*"]])) == 2
+    assert db._segment_paths(m, {0}, prune_any=[["no1", "*"], ["no2", "*"]]) == []
+    multi = db.fetch_multi(0, 2, {"c": ["click", "*"], "v": ["view", "*"]})
+    by_q = {}
+    for r in multi.collect():
+        d = r.asDict()
+        by_q.setdefault(d.pop("query"), []).append(d)
+    solo = lambda p: [  # noqa: E731
+        r.asDict() for r in db.fetch(0, 2, p, densify=False).collect()
+    ]
+    key = lambda d: tuple(sorted(d.items()))  # noqa: E731
+    assert sorted(map(key, by_q["c"])) == sorted(map(key, solo(["click", "*"])))
+    assert sorted(map(key, by_q["v"])) == sorted(map(key, solo(["view", "*"])))
 
 
 def test_f1_stats_overflow_disables_pruning_not_correctness(spark, tmp_path, monkeypatch):
