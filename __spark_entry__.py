@@ -4090,6 +4090,23 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.encode_ids(docs, merges).filter(F.col("doc_id") < 50)
 
 
+def q_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_ids is encode_ids' exact inverse (functions/bpe.py): the
+    Spark side runs the FULL train -> encode -> decode machine and emits
+    the reconstructed text; the oracle is INDEPENDENT — plain whitespace
+    normalization of the source documents, no merge replay at all — so
+    the hash passes only if the entire tokenizer pipeline is lossless
+    (the round-trip theorem: under the whitespace pre-tokenizer,
+    decode(encode(x)) == single-space-normalized x). Born r09 post-cap ->
+    leads the r10 gate."""
+    from kadiyadb_spark.functions import bpe as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.train_bpe(docs, num_merges=_BPE_MERGES, min_freq=1)
+    enc = BP.encode_ids(docs, merges).filter(F.col("doc_id") < 50)
+    return BP.decode_ids(enc).select("doc_id", "text")
+
+
 def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZED packed sequences: encode_ids -> pack_ids, every token
     id at its (shard, chunk, position) in the concat-and-chunk stream,
@@ -4236,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_setops": q_sketch_kmv_setops,  # born r09 post-cap; r10 gate
         "fetch_regex": q_fetch_regex,  # born r09 post-cap; r10 gate
         "fetch_multi": q_fetch_multi,  # born r09 post-cap; r10 gate
+        "bpe_decode_roundtrip": q_bpe_decode_roundtrip,  # born r09 post-cap; r10
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,

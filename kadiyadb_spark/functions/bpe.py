@@ -359,3 +359,51 @@ def encode_ids(
             "token_id",
         )
     )
+
+
+def decode_ids(
+    encoded: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    pretokenize: str = "whitespace",
+) -> DataFrame:
+    """Inverse of ``encode_ids``: (doc, pos, token_id [, token]) back to
+    text — the detokenizer every tokenizer ships, and the cheapest deep
+    check of the whole train→encode pipeline (pytest pins the round-trip
+    THEOREM: under 'whitespace' ``decode(encode(x))`` equals
+    whitespace-NORMALIZED x, under 'gpt2' it is x byte-for-byte, because
+    gpt2 pre-tokens carry their own spacing).
+
+    With ``vocab`` given, tokens come from joining ``token_id`` (ids
+    absent from the vocab decode to U+FFFD — the read-side mirror of
+    encode_ids' -1 UNK contract); otherwise the frame's own ``token``
+    column is trusted. Assembly is ONE doc-keyed shuffle: sort the
+    (pos, token) structs, concatenate, then invert the pre-tokenizer —
+    'whitespace' turns each ``</w>`` into one space and trims, 'gpt2'
+    strips the markers. All built-ins, no Python per row.
+
+    Returns (id_col, text, n_tokens)."""
+    if pretokenize not in ("whitespace", "gpt2"):
+        raise ValueError(f"unknown pretokenize strategy: {pretokenize!r}")
+    src = encoded
+    if vocab is not None:
+        src = (
+            encoded.select(id_col, "pos", "token_id")
+            .join(vocab.select("token_id", "token"), "token_id", "left")
+            .withColumn("token", F.coalesce("token", F.lit("�")))
+        )
+    joined = src.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("_raw"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    if pretokenize == "whitespace":
+        text = F.trim(F.regexp_replace(F.col("_raw"), END, " "))
+    else:
+        text = F.regexp_replace(F.col("_raw"), END, "")
+    return joined.select(id_col, text.alias("text"), "n_tokens")

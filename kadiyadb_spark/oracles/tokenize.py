@@ -80,6 +80,15 @@ SELECT doc_id,
 FROM occ JOIN wt USING (word) JOIN vocab USING (token)
 """
 
+    # INDEPENDENT oracle — no merge replay: decode(encode(x)) must equal
+    # whitespace-normalized x (the round-trip theorem), so the twin is
+    # plain normalization of the source text. Any defect anywhere in the
+    # train -> encode -> decode machine breaks the hash.
+    o["bpe_decode_roundtrip"] = r"""
+SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+FROM documents WHERE doc_id < 50 AND trim(text) != ''
+"""
+
     # Same marker construction as bpe.gpt2_pretokens_expr: \x01 inserted
     # before the last space of every whitespace->nonspace boundary, then a
     # lookahead-free extract whose classes exclude the marker.

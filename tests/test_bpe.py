@@ -249,3 +249,56 @@ def test_encode_ids_trained_vocab_stability(spark):
     loc = {r.token: r.token_id for r in encode_ids(batch, merges).collect()}
     shared = {t for t, _ in got.values()} & set(vmap)
     assert any(loc[t] != vmap[t] for t in shared)
+
+
+def test_decode_ids_roundtrip(spark):
+    """The inverse theorem: under 'whitespace', decode(encode(x)) equals
+    single-space-NORMALIZED x; under 'gpt2' it is x BYTE-FOR-BYTE
+    (pre-tokens carry their own spacing). Vocab-joined decode agrees with
+    token-column decode; ids absent from the vocab decode to U+FFFD."""
+    from pyspark.sql import Row
+
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.functions.bpe import (
+        decode_ids,
+        encode_ids,
+        tokenize_words,
+        train_bpe,
+        vocab_of,
+        word_frequencies,
+    )
+
+    texts = ["hello  world \n hello hello", "the cat  sat on the cat", "zz"]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+    merges = train_bpe(docs, num_merges=6, min_freq=1, checkpoint=False)
+    enc = encode_ids(docs, merges)
+    dec = {r["doc_id"]: r["text"] for r in decode_ids(enc).collect()}
+    for i, t in enumerate(texts):
+        assert dec[i] == " ".join(t.split()), i  # normalized round-trip
+
+    # vocab-joined decode path agrees with the token-column path
+    vocab = vocab_of(
+        tokenize_words(word_frequencies(docs).select("word"), merges)
+    )
+    dec_v = {r["doc_id"]: r["text"] for r in decode_ids(enc, vocab=vocab).collect()}
+    assert dec_v == dec
+    # an id outside the vocab decodes to the replacement char
+    broken = enc.withColumn(
+        "token_id", F.when(F.col("pos") == 0, F.lit(10**9)).otherwise(F.col("token_id"))
+    )
+    first = {r["doc_id"]: r["text"] for r in decode_ids(broken, vocab=vocab).collect()}
+    assert all("�" in t for t in first.values())
+
+    # gpt2: exact byte round-trip, double spaces and newlines included
+    merges_g = train_bpe(docs, num_merges=6, min_freq=1, checkpoint=False, pretokenize="gpt2")
+    enc_g = encode_ids(docs, merges_g, pretokenize="gpt2")
+    dec_g = {r["doc_id"]: r["text"] for r in decode_ids(enc_g, pretokenize="gpt2").collect()}
+    for i, t in enumerate(texts):
+        assert dec_g[i] == t, i
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_ids(enc, pretokenize="nope")
