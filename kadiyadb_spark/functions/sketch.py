@@ -307,7 +307,11 @@ def kmv_sketch(
 
     from kadiyadb_spark.functions.sampling import shuffle_key_expr
 
-    hashed = df.select(*group_cols, shuffle_key_expr(key_col, salt).alias("_h"))
+    # null KEYS drop (COUNT(DISTINCT) semantics — and a null md5 would
+    # reach the int64 kernel as NaN); null GROUPS are kept as groups
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        *group_cols, shuffle_key_expr(key_col, salt).alias("_h")
+    )
     out_schema = T.StructType(
         list(hashed.select(*group_cols).schema.fields)
         + [T.StructField("_cand", T.ArrayType(T.LongType()), False)]
@@ -316,7 +320,9 @@ def kmv_sketch(
     def _mink(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         acc: dict[tuple, np.ndarray] = {}
         for pdf in batches:
-            for key, sub in pdf.groupby(group_cols, sort=False):
+            # dropna=False: a null group key is a GROUP (Spark groupBy and
+            # SQL GROUP BY semantics) — pandas' default silently drops it
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 hs = np.unique(sub["_h"].to_numpy(dtype=np.int64))[:k]
                 prev = acc.get(key)

@@ -1589,6 +1589,7 @@ def test_kmv_sketch_layout_merge_and_estimates(spark):
         [("a", i, i % 3) for i in range(1000)]          # 1000 distinct
         + [("b", 500 + i, i % 3) for i in range(1000)]  # 1000 distinct, 500 shared
         + [("tiny", i, 0) for i in range(7)] * 3        # 7 distinct, repeated
+        + [(None, i, 0) for i in range(5)]              # null group IS a group
     )
     df = spark.createDataFrame(rows, "g string, uid long, day int")
 
@@ -1597,6 +1598,7 @@ def test_kmv_sketch_layout_merge_and_estimates(spark):
     assert sk1 == sk16  # lossless candidate reduction at any layout
     assert sorted(sk1["tiny"]) == sk1["tiny"] and len(sk1["tiny"]) == 7
     assert len(sk1["a"]) == K
+    assert len(sk1[None]) == 5  # null key kept (pandas dropna would eat it)
 
     daily = kmv_sketch(df, "uid", ["g", "day"], k=K)
     merged = {r["g"]: r["kmv"] for r in kmv_merge(daily, ["g"], k=K).collect()}
