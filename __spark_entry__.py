@@ -2846,6 +2846,20 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(_t(spark, sf_dir, "embeddings"), k=5, num_centroids=8)
 
 
+def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier census (similarity.py:embedding_outliers): flag
+    vectors whose cosine to their OWN centroid falls in the bucket's
+    exact bottom decile — the "drop mis-embedded docs" curation pass.
+    Assignment + cosine in one map-side numpy kernel; the per-bucket
+    tail cut is the exact scaled-long rank interpolation; the flag is a
+    PURE INTEGER inequality (10*cos4 < (10-rem)*lo4 + rem*hi4), so the
+    outlier decision is engine- and layout-free. Born r09 post-cap ->
+    leads the r10 gate."""
+    from kadiyadb_spark.functions.similarity import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"), num_centroids=8)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM scoring (Jelinek-Mercer, lam=0.75): per-doc
     cross-entropy + perplexity under the corpus's own bigram model — the
@@ -4254,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_regex": q_fetch_regex,  # born r09 post-cap; r10 gate
         "fetch_multi": q_fetch_multi,  # born r09 post-cap; r10 gate
         "bpe_decode_roundtrip": q_bpe_decode_roundtrip,  # born r09 post-cap; r10
+        "sim_outliers": q_sim_outliers,  # born r09 post-cap; r10 gate
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,

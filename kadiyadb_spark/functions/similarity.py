@@ -1785,3 +1785,91 @@ def knn_graph(
         .applyInPandas(bucket_knn, schema="_id long, neighbor_id long, rank long, cosine double")
         .withColumnRenamed("_id", id_col)
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    tail: "tuple[int, int]" = (1, 10),
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-cleaning OUTLIER CENSUS: flag vectors whose cosine to their
+    own centroid falls in the bucket's exact lower ``tail`` (a rational
+    num/den, default the bottom decile) — the "drop embedding outliers"
+    curation pass (mis-embedded docs, garbage inputs, wrong-language
+    strays sit far from every cluster's core).
+
+    Three stages, each with the family's established engine-free shape:
+    (1) assignment + own-centroid cosine in ONE map-side numpy kernel
+    (broadcast normalized centroid matrix, argmax ties to lowest id —
+    ``ivf_assign``'s kernel, extended to emit the max cosine); (2) the
+    per-centroid tail cut at rank (n-1)*num/den via the exact scaled-long
+    interpolation (``profile.exact_quantiles``' construction as window
+    aggregates — ONE centroid-keyed sort Exchange); (3) the flag as a
+    PURE INTEGER inequality — den*cos4 < (den-rem)*lo4 + rem*hi4 — so
+    the outlier decision is identical in any engine at any parallelism
+    even where a double compare could straddle a rounding boundary.
+
+    ``centroids`` defaults to the deterministic lowest-id frame (the
+    SQL-replayable gate shape); pass ``kmeans_centroids(...)`` for the
+    recall path on clustered data. Returns (id_col, centroid_id, cosine,
+    cut, is_outlier); cosine/cut are round4 doubles for display — the
+    flag never reads them."""
+    import numpy as np
+
+    num, den = tail
+    if not (0 < num < den):
+        raise ValueError(f"tail must be a rational in (0, 1), got {tail}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    spark = emb.sparkSession
+    if centroids is None:
+        centroids = deterministic_centroids(emb, num_centroids, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(_centroid_arrays(centroids))
+
+    def assign_cos(batches):
+        c_ids, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ cn.T
+            nearest = np.argmax(sims, axis=1)  # first max -> lowest id
+            out = pdf[[id_col]].copy()
+            out["centroid_id"] = c_ids[nearest]
+            out["_cos"] = sims[np.arange(len(v)), nearest]
+            yield out
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        assign_cos, schema=f"{id_col} long, centroid_id long, _cos double"
+    )
+    w = Window.partitionBy("centroid_id").orderBy("_c4", id_col)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rk = scored.select(
+        id_col,
+        "centroid_id",
+        F.round(F.col("_cos") * 10000).cast("long").alias("_c4"),
+    ).select(
+        id_col,
+        "centroid_id",
+        "_c4",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count("*").over(wfull).alias("_n"),
+    )
+    k = F.expr(f"((_n - 1) * {num}) div {den}")
+    rem = (F.col("_n") - F.lit(1)) * F.lit(num) % F.lit(den)
+    lo = F.max(F.when(F.col("_rn") == k + 1, F.col("_c4"))).over(wfull)
+    hi = F.max(F.when(F.col("_rn") == k + 2, F.col("_c4"))).over(wfull)
+    cut_num = (F.lit(den) - rem) * lo + rem * F.coalesce(hi, lo)
+    return rk.select(
+        id_col,
+        "centroid_id",
+        (F.col("_c4") / F.lit(10000.0)).alias("cosine"),
+        round4_expr(cut_num.cast("double") / F.lit(float(den) * 10000.0)).alias("cut"),
+        (F.lit(den) * F.col("_c4") < cut_num).alias("is_outlier"),
+    )

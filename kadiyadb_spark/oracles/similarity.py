@@ -116,6 +116,43 @@ ranked AS (
 SELECT vec_id, neighbor_id, rank, r4 AS cosine FROM ranked WHERE rank <= 5
 """
 
+    # embedding_outliers replay: assignment (ties -> lowest centroid id),
+    # cos4 = round(cos*1e4), per-centroid exact decile cut at rank
+    # (n-1)//10 (+ rem interpolation), flag as the INTEGER inequality
+    # 10*c4 < (10-rem)*lo + rem*hi — no double ever decides the flag.
+    o["sim_outliers"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT base.vec_id, cents.centroid_id,
+         CAST(round(list_cosine_similarity(base.v, cents.cv) * 10000) AS BIGINT) AS c4,
+         row_number() OVER (PARTITION BY base.vec_id
+             ORDER BY list_cosine_similarity(base.v, cents.cv) DESC, cents.centroid_id ASC) AS rn
+  FROM base CROSS JOIN cents
+),
+a AS (SELECT vec_id, centroid_id, c4 FROM asg WHERE rn = 1),
+rk AS (
+  SELECT vec_id, centroid_id, c4,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY c4, vec_id) AS rn,
+         count(*) OVER (PARTITION BY centroid_id) AS n
+  FROM a
+),
+cut AS (
+  SELECT centroid_id, max(n) AS n,
+         max(CASE WHEN rn = (n-1) // 10 + 1 THEN c4 END) AS lo,
+         max(CASE WHEN rn = (n-1) // 10 + 2 THEN c4 END) AS hi
+  FROM rk GROUP BY centroid_id
+)
+SELECT r.vec_id, r.centroid_id,
+       r.c4 / 10000.0 AS cosine,
+       floor((CAST((10 - (c.n-1) % 10) * c.lo + ((c.n-1) % 10) * coalesce(c.hi, c.lo) AS DOUBLE) / 100000.0) * 10000 + 0.5) / 10000 AS cut,
+       10 * r.c4 < (10 - (c.n-1) % 10) * c.lo + ((c.n-1) % 10) * coalesce(c.hi, c.lo) AS is_outlier
+FROM rk r JOIN cut c USING (centroid_id)
+"""
+
     o["sim_ivf_topk"] = """
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv

@@ -2142,3 +2142,57 @@ def test_ivfpq_refined_search_matches_one_shot_refine(spark, tmp_path):
     for v in (3, 9, 14):
         true = float(base[v] @ qv / (np.linalg.norm(base[v]) * np.linalg.norm(qv)))
         assert out[v].cosine == math.floor(true * 1e4 + 0.5) / 1e4
+
+
+def test_embedding_outliers_tail_semantics(spark):
+    """The exact-decile flag: with 10 vectors per bucket at distinct
+    cosines, exactly the single lowest-cosine vector per bucket flags
+    (rank cut at (n-1)/10 = 0.9 interpolated between ranks 1 and 2 —
+    strictly-below test passes only rank 1); the planted far-away vector
+    is among them; layout-invariant."""
+    import math
+
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.similarity import embedding_outliers
+
+    rows = []
+    # two clean clusters along axes 0 and 1, 9 members each near the core
+    for b, axis in ((0, 0), (1, 1)):
+        for i in range(9):
+            v = [0.0, 0.0, 0.0]
+            v[axis] = 1.0
+            v[2] = 0.05 * (i % 3)  # slight spread, cosine ~1
+            rows.append(Row(vec_id=b * 100 + i + 2, embedding=v))
+    # one planted outlier per cluster: large off-axis component
+    rows.append(Row(vec_id=90, embedding=[1.0, 0.0, 2.0]))
+    rows.append(Row(vec_id=190, embedding=[0.0, 1.0, -2.0]))
+    # centroids = two lowest ids -> make them the cluster cores
+    rows.append(Row(vec_id=0, embedding=[1.0, 0.0, 0.0]))
+    rows.append(Row(vec_id=1, embedding=[0.0, 1.0, 0.0]))
+    df = spark.createDataFrame(rows)
+
+    out = {r["vec_id"]: r for r in embedding_outliers(df, num_centroids=2).collect()}
+    flagged = sorted(k for k, r in out.items() if r["is_outlier"])
+    assert 90 in flagged and 190 in flagged
+    # every flagged vector's cosine is strictly below its bucket's cut
+    for k in flagged:
+        assert out[k]["cosine"] < out[k]["cut"]
+    # cut is a 4dp-displayed double; cosine of the planted outlier ~ 1/sqrt(5)
+    assert abs(out[90]["cosine"] - math.floor(1 / 5**0.5 * 10000 + 0.5) / 10000) < 1e-9
+
+    again = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"], r["cut"], r["is_outlier"])
+        for r in embedding_outliers(df.repartition(7), num_centroids=2).collect()
+    }
+    assert again == {
+        k: (r["centroid_id"], r["cosine"], r["cut"], r["is_outlier"])
+        for k, r in out.items()
+    }
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        embedding_outliers(df, tail=(0, 10))
+    with _pt.raises(ValueError):
+        embedding_outliers(df, tail=(10, 10))
