@@ -667,3 +667,98 @@ def test_p15_anomaly_cumsum_window_matches_bruteforce(spark, vals4, win, series)
                 exp_z4 = math.floor(exp_z * 10000 + 0.5) / 10000
                 assert z == exp_z4
                 assert flag == (abs(exp_z4) >= 2.0)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-(10**6), max_value=10**6),  # 4dp scaled
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_p16_exact_quantiles_match_numpy(spark, vals):
+    """P16: exact_quantiles on ARBITRARY 4dp data — every group size, tie
+    layout and sign, including 1-row groups (residue (c) closure). EXACT
+    equality against a pure-python integer replay of the construction
+    (this is the cross-engine guarantee: identical integers, one shared
+    IEEE division), plus numpy's 'linear' percentile within one round4
+    step (the SEMANTIC check — numpy's different interpolation op order
+    can land one ulp across an exact .00005 boundary, e.g. 204519/20000,
+    which is precisely why the construction exists)."""
+    import math
+
+    import numpy as np
+
+    from kadiyadb_spark.functions.profile import exact_quantiles
+
+    rows = [(g, x4 / 10000.0) for g, x4 in vals]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    got = {r["g"]: r for r in exact_quantiles(df, "v", ["g"]).collect()}
+    by_g: dict = {}
+    for g, x4 in vals:
+        by_g.setdefault(g, []).append(x4)
+
+    def replay(xs4, num, den):
+        s = sorted(xs4)
+        n = len(s)
+        pos = (n - 1) * num
+        k, rem = pos // den, pos % den
+        lo = s[k]
+        hi = s[k + 1] if k + 1 < n else s[k]
+        v = ((den - rem) * lo + rem * hi) / (den * 10000.0)
+        return math.floor(v * 10000 + 0.5) / 10000
+
+    for g, xs4 in by_g.items():
+        for name, (num, den), p in (
+            ("p25", (1, 4), 25),
+            ("p50", (1, 2), 50),
+            ("p75", (3, 4), 75),
+        ):
+            assert got[g][name] == replay(xs4, num, den), (g, name)
+            want = float(np.percentile([x / 10000.0 for x in xs4], p))
+            assert abs(got[g][name] - want) < 1.1e-4, (g, name, got[g][name], want)
+        assert got[g]["n"] == len(xs4)
+
+
+@given(
+    ids=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(min_value=0, max_value=500)),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+@SETTINGS
+def test_p17_kmv_equals_python_min_k_replay(spark, ids, k):
+    """P17: the distributed KMV build (bounded Arrow candidate pass +
+    array-op merge) equals a pure-python min-k over md5 — for any key
+    multiset, group layout and k; estimates are exact below saturation."""
+    import hashlib
+
+    from kadiyadb_spark.functions.sketch import kmv_estimate_expr, kmv_sketch
+
+    df = spark.createDataFrame(ids, "g string, uid long").repartition(6)
+    got = {r["g"]: r["kmv"] for r in kmv_sketch(df, "uid", ["g"], k=k).collect()}
+
+    def h(u):
+        return int(hashlib.md5(f"kmv{u}".encode()).hexdigest()[:15], 16)
+
+    by_g: dict = {}
+    for g, u in ids:
+        by_g.setdefault(g, set()).add(u)
+    for g, us in by_g.items():
+        want = sorted(h(u) for u in us)[:k]
+        assert got[g] == want, (g, k)
+    est = {
+        r["g"]: r["est"]
+        for r in kmv_sketch(df, "uid", ["g"], k=k)
+        .select("g", kmv_estimate_expr(F.col("kmv"), k).alias("est"))
+        .collect()
+    }
+    for g, us in by_g.items():
+        if len(us) < k:
+            assert est[g] == float(len(us))
