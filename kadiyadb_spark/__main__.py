@@ -263,6 +263,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--group-col", default="event_type")
     p.add_argument("--k", type=int, default=128)
 
+    p = sub.add_parser(
+        "quantiles",
+        help="exact p25/p50/p75 per group via engine-free scaled-long "
+        "rank interpolation (identical result on any engine/layout)",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--value-col", required=True)
+    p.add_argument("--group-col", required=True)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -533,6 +542,14 @@ def main(argv: list[str] | None = None) -> int:
             round4_expr(ops["jaccard"]).alias("est_jaccard"),
         )
         for row in r.orderBy("group_a", "group_b").collect():
+            _emit(row.asDict())
+    elif args.cmd == "quantiles":
+        from kadiyadb_spark.functions.profile import exact_quantiles
+
+        r = exact_quantiles(
+            spark.read.parquet(args.table), args.value_col, [args.group_col]
+        )
+        for row in r.orderBy(args.group_col).collect():
             _emit(row.asDict())
     return 0
 

@@ -282,3 +282,19 @@ def test_cli_kmv(spark, tmp_path, capsys):
     assert r["est_a"] == 8.0 and r["est_b"] == 8.0
     assert r["est_union"] == 12.0 and r["est_intersect"] == 4.0
     assert r["est_jaccard"] == 0.3333  # round4(1/3)
+
+
+def test_cli_quantiles(spark, tmp_path, capsys):
+    """Exact-quantile command: 5 values per group -> dyadic ranks land on
+    exact order statistics and midpoints."""
+    t = str(tmp_path / "q.parquet")
+    rows = [Row(g="a", v=float(i)) for i in (1, 2, 3, 4, 5)] + [
+        Row(g="b", v=2.5)
+    ]
+    spark.createDataFrame(rows).write.parquet(t)
+    assert main(["quantiles", "--table", t, "--value-col", "v",
+                 "--group-col", "g"]) == 0
+    out = {r["g"]: r for r in _out(capsys)}
+    assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"]) == (2.0, 3.0, 4.0)
+    assert out["a"]["n"] == 5
+    assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p75"]) == (2.5, 2.5, 2.5)
