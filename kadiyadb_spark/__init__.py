@@ -26,7 +26,9 @@ from kadiyadb_spark.catalog import Params, load_all
 from kadiyadb_spark.database import Database, load_all_open, rollup_refresh
 from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import (
+    Re,
     fetch,
+    fetch_multi,
     histogram_quantile,
     series_predict_linear,
     interpolate_series,
@@ -61,6 +63,15 @@ from kadiyadb_spark.query import (
     series_cusum,
     series_outlier_fences,
 )
+from kadiyadb_spark.functions.bpe import decode_ids, encode_ids
+from kadiyadb_spark.functions.profile import exact_quantiles
+from kadiyadb_spark.functions.similarity import embedding_outliers
+from kadiyadb_spark.functions.sketch import (
+    kmv_estimate_expr,
+    kmv_merge,
+    kmv_setop_exprs,
+    kmv_sketch,
+)
 from kadiyadb_spark.session import get_spark, spread
 
 __all__ = [
@@ -71,6 +82,8 @@ __all__ = [
     "rollup_refresh",
     "track_batch",
     "fetch",
+    "fetch_multi",
+    "Re",
     "series_delta",
     "interpolate_series",
     "series_smooth",
@@ -104,6 +117,14 @@ __all__ = [
     "series_mad_anomaly",
     "series_cusum",
     "series_outlier_fences",
+    "exact_quantiles",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate_expr",
+    "kmv_setop_exprs",
+    "embedding_outliers",
+    "encode_ids",
+    "decode_ids",
     "get_spark",
     "spread",
 ]
