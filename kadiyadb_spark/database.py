@@ -65,6 +65,50 @@ _MANIFEST_PREFIX = "MANIFEST-"
 _KEEP_MANIFESTS = 3  # old generations kept for debugging/readers-in-flight
 _STATS_MAX = 64  # distinct values recorded per (segment, epoch, dimension) for data skipping
 
+# Characters a Re pattern may use OUTSIDE character classes for manifest
+# pruning to act on it (see _re_prune_safe).
+_RE_SAFE_META = set("_|.*+?()^${},:/ -=!<>@#%'\";~")
+
+
+def _re_prune_safe(pattern: str) -> bool:
+    """True only when Java regex (the rlike filter) and Python re (the
+    manifest-stats prune replay) are known to interpret ``pattern``
+    identically, so a Python no-match can never skip a segment the JVM
+    filter would keep.
+
+    Blacklisting backslashes alone is NOT enough (ADVICE r09): dialects
+    also diverge on backslash-free constructs — Java character-class
+    intersection ``[a-z&&[aeiou]]`` and nested classes ``[a[bc]]`` parse
+    as literals in Python, and inline flags like ``(?i)`` fold different
+    character sets. This is a conservative WHITELIST: literals
+    (alphanumerics + common punctuation), alternation, anchors,
+    quantifiers (* + ? {m,n}), plain ``(?:`` groups, and simple character
+    classes with no ``&&``/nesting. Anything else degrades to a full
+    read — a divergence can then only cost a scan, never a wrong skip."""
+    if "\\" in pattern or "&" in pattern:
+        return False
+    in_class = False
+    for i, ch in enumerate(pattern):
+        if in_class:
+            if ch == "[":
+                return False  # Java nests classes; Python reads '[' literally
+            if ch == "]":
+                in_class = False
+            continue
+        if ch == "[":
+            in_class = True
+            continue
+        if ch == "?" and i > 0 and pattern[i - 1] == "(":
+            # group modifiers: only plain non-capturing '(?:' is whitelisted
+            # (inline flags '(?i)', lookarounds '(?=', named groups differ
+            # or fold differently across dialects)
+            if i + 1 >= len(pattern) or pattern[i + 1] != ":":
+                return False
+            continue
+        if not (ch.isalnum() or ch in _RE_SAFE_META):
+            return False
+    return not in_class
+
 
 class Database:
     """Open/Track/Fetch/Expire on a persisted manifest-committed cube."""
@@ -286,12 +330,13 @@ class Database:
         stats = m.get("stats", {})
         # value-set levels (the IN matcher) prune too: a segment is
         # skippable only when its stats exclude EVERY listed value.
-        # Re levels prune on positive evidence as well — UNLESS the
-        # pattern contains a backslash escape (the one construct class
-        # where the JVM rlike and Python re dialects could diverge:
-        # pruning must never skip a segment the filter would match, so
-        # those degrade to a full read). ``prune_any`` is the batch form
-        # (fetch_multi): a segment is kept when ANY pattern keeps it.
+        # Re levels prune on positive evidence as well — ONLY for
+        # patterns inside the _re_prune_safe whitelist (constructs the
+        # JVM rlike and Python re dialects provably share: pruning must
+        # never skip a segment the filter would match, so escapes, class
+        # intersection/nesting, inline flags etc. degrade to a full
+        # read). ``prune_any`` is the batch form (fetch_multi): a
+        # segment is kept when ANY pattern keeps it.
         def _preds(pat: list) -> list:
             return [
                 (
@@ -313,8 +358,8 @@ class Database:
                 vals = st.get(col)
                 if isinstance(vals, list):
                     if isinstance(val, Re):
-                        if "\\" in val.pattern:
-                            continue  # dialect-safe: never skip on escapes
+                        if not _re_prune_safe(val.pattern):
+                            continue  # dialect-safe: never skip outside the whitelist
                         import re as _re
 
                         rx = _re.compile(val.pattern)

@@ -752,6 +752,16 @@ def decode_gif_frames(payload: bytes) -> "tuple[np.ndarray, float]":
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        # Bound TOTAL decoded output, not just per-frame pixels: each image
+        # block appends a full H*W*3 canvas copy, so a few-KB payload with a
+        # near-limit screen and many ~20-byte image blocks could otherwise
+        # demand tens of GB (ADVICE r09) — the same OOM class MAX_PIXELS
+        # exists to close, applied here to n_frames * W * H.
+        if (len(frames) + 1) * W * H > MAX_PIXELS:
+            raise ValueError(
+                f"gif: {len(frames) + 1} frames of {W}x{H} exceed the "
+                f"{MAX_PIXELS}-pixel total decoder limit"
+            )
         if pos + 9 > len(payload):
             raise ValueError("gif: truncated image descriptor")
         left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])

@@ -308,15 +308,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc} (1 or 3)")
-            # decompression-bomb guard (codecs.MAX_PIXELS): the float64
-            # planes are allocated from these HEADER fields — a forged
-            # 65535x65535 SOF0 in a kilobyte payload would demand ~100GB
-            # before any scan data is read
+            # decompression-bomb guard: the float64 planes are allocated
+            # from these HEADER fields — a forged 65535x65535 SOF0 in a
+            # kilobyte payload would demand ~100GB before any scan data is
+            # read. The JPEG cap is MAX_PIXELS >> 3 (2^23 px, 8 MP): this
+            # decoder works in float64 planes (8 B/px/comp) plus upsampling
+            # intermediates, so the shared uint8-sized MAX_PIXELS would
+            # still admit ~1.6 GB allocations (ADVICE r09); 8 MP bounds the
+            # worst case near ~200 MB, matching the guard's stated intent.
             from kadiyadb_spark.functions.codecs import MAX_PIXELS
 
-            if w * h > MAX_PIXELS:
+            max_jpeg_pixels = MAX_PIXELS >> 3
+            if w * h > max_jpeg_pixels:
                 raise ValueError(
-                    f"JPEG {w}x{h} exceeds the {MAX_PIXELS}-pixel decoder limit"
+                    f"JPEG {w}x{h} exceeds the {max_jpeg_pixels}-pixel decoder limit"
                 )
             comps = []
             for i in range(nc):

@@ -175,7 +175,13 @@ def exact_quantiles(
     # 2dp prices); ties in _x4 are interchangeable for order statistics
     w = Window.partitionBy(*group_cols).orderBy("_x4")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    st = df.select(*group_cols, scale4_expr(F.col(value_col)).alias("_x4"))
+    # NULLs are excluded BEFORE ranking: engine percentile()/quantile_cont
+    # ignore nulls, but Spark's window ordering sorts them FIRST and
+    # count(*) includes them — without this filter any null row silently
+    # shifts every rank (ADVICE r09). n counts non-null values only.
+    st = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, scale4_expr(F.col(value_col)).alias("_x4")
+    )
     st = st.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count("*").over(wfull)
     )

@@ -312,31 +312,45 @@ def kmv_sketch(
     hashed = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols, shuffle_key_expr(key_col, salt).alias("_h")
     )
+    # Group values cross the Arrow boundary as ONE lossless JSON token,
+    # never as raw columns: Arrow→pandas turns a nullable long group
+    # column into float64 with NaN (mangling values past 2^53 and
+    # breaking the cast back to the declared LongType on output —
+    # ADVICE r09). The token is a plain non-null string in pandas
+    # (ignoreNullFields=false keeps null group values as JSON nulls),
+    # and from_json restores the original types exactly after the
+    # kernel. NaN/Infinity double group keys remain out of contract.
+    gstruct = T.StructType([hashed.schema[c] for c in group_cols])
+    tokenized = hashed.select(
+        F.to_json(F.struct(*group_cols), {"ignoreNullFields": "false"}).alias(
+            "_gk"
+        ),
+        "_h",
+    )
     out_schema = T.StructType(
-        list(hashed.select(*group_cols).schema.fields)
-        + [T.StructField("_cand", T.ArrayType(T.LongType()), False)]
+        [
+            T.StructField("_gk", T.StringType(), False),
+            T.StructField("_cand", T.ArrayType(T.LongType()), False),
+        ]
     )
 
     def _mink(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        acc: dict[tuple, np.ndarray] = {}
+        acc: dict[str, np.ndarray] = {}
         for pdf in batches:
-            # dropna=False: a null group key is a GROUP (Spark groupBy and
-            # SQL GROUP BY semantics) — pandas' default silently drops it
-            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
-                key = key if isinstance(key, tuple) else (key,)
+            for key, sub in pdf.groupby("_gk", sort=False):
                 hs = np.unique(sub["_h"].to_numpy(dtype=np.int64))[:k]
                 prev = acc.get(key)
                 acc[key] = hs if prev is None else np.union1d(prev, hs)[:k]
         if acc:
             yield pd.DataFrame(
-                [
-                    {**dict(zip(group_cols, key)), "_cand": arr.tolist()}
-                    for key, arr in acc.items()
-                ],
-                columns=[*group_cols, "_cand"],
+                {"_gk": list(acc), "_cand": [a.tolist() for a in acc.values()]}
             )
 
-    cand = hashed.mapInPandas(_mink, schema=out_schema)
+    cand = (
+        tokenized.mapInPandas(_mink, schema=out_schema)
+        .select(F.from_json("_gk", gstruct).alias("_g"), "_cand")
+        .select(F.col("_g.*"), "_cand")
+    )
     return cand.groupBy(*group_cols).agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_cand")))),

@@ -540,6 +540,24 @@ def test_decompression_bomb_guards():
         J.decode_jpeg(jpg + b"\xff\xd9")
 
 
+def test_gif_frame_count_bomb_guard(monkeypatch):
+    """decode_gif_frames bounds TOTAL output (n_frames * W * H), not just
+    the per-frame pixel count: each image block appends a full canvas
+    copy, so a small payload with many tiny image blocks must raise once
+    the cumulative output would pass MAX_PIXELS (ADVICE r09). The cap is
+    shrunk via monkeypatch so the boundary is exercised cheaply."""
+    frames = np.zeros((5, 4, 4, 3), dtype=np.uint8)
+    frames[:, 0, 0, 0] = np.arange(5)  # distinct frames, tiny palette
+    payload = C.encode_gif_frames(frames, fps=10)
+    # 4x4 screen = 16 px/frame; cap at 4 frames' worth of output
+    monkeypatch.setattr(C, "MAX_PIXELS", 4 * 16)
+    with pytest.raises(ValueError, match="total decoder limit"):
+        C.decode_gif_frames(payload)
+    # exactly at the cap: 4 frames decode fine
+    out, _ = C.decode_gif_frames(C.encode_gif_frames(frames[:4], fps=10))
+    assert out.shape == (4, 4, 4, 3)
+
+
 def test_gif_animation_roundtrip_and_video_dispatch():
     """Multi-frame GIF: encode_gif_frames -> decode_gif_frames identity
     (full-canvas frames), fps from the GCE delay, decode_video dispatch,

@@ -436,6 +436,15 @@ def test_f1_stats_prune_segments_on_exact_fetch(spark, tmp_path):
     assert len(db._segment_paths(m, {0}, prune_pattern=[Re("cl.*"), "*"])) == 1
     assert db._segment_paths(m, {0}, prune_pattern=[Re("nope|lick"), "*"]) == []
     assert len(db._segment_paths(m, {0}, prune_pattern=[Re("\\w+"), "*"])) == 2
+    # whitelist (ADVICE r09): dialect-divergent constructs refuse to prune
+    # even without a backslash — Java class intersection '[a-z&&[aeiou]]'
+    # and nested classes '[a[bc]]' parse as literals in Python, and '(?i)'
+    # folds different character sets; all degrade to a full read
+    for pat in ("[a-z&&[aeiou]]+", "cl[a[bc]]ck", "(?i)CLICK"):
+        assert len(db._segment_paths(m, {0}, prune_pattern=[Re(pat), "*"])) == 2
+    # shared constructs still prune: classes, quantifiers, '(?:' groups
+    assert len(db._segment_paths(m, {0}, prune_pattern=[Re("cl[i-k]ck"), "*"])) == 1
+    assert len(db._segment_paths(m, {0}, prune_pattern=[Re("(?:cl|fl)ick"), "*"])) == 1
     assert _pts(db.fetch(0, 2, [Re("cl.*"), "*"])) == got
     assert _pts(db.fetch(0, 2, [Re("\\w+ick"), "*"])) == got
     # batch (fetch_multi) pruning is the UNION of per-pattern evidence

@@ -1628,6 +1628,28 @@ def test_kmv_sketch_layout_merge_and_estimates(spark):
         kmv_sketch(df, "uid", [], k=K)
 
 
+def test_kmv_sketch_nullable_long_group_exact(spark):
+    """Non-string group columns with nulls round-trip EXACTLY through the
+    Arrow kernel (ADVICE r09): group values cross as a lossless JSON
+    token, so a nullable long group column keeps (a) the null group, (b)
+    values past 2^53 that pandas' float64-with-NaN conversion would
+    mangle, and (c) the declared LongType on output."""
+    from kadiyadb_spark.functions.sketch import kmv_sketch
+
+    big = (1 << 60) + 7  # NOT representable in float64
+    rows = (
+        [(big, i) for i in range(20)]
+        + [(big + 1, 100 + i) for i in range(5)]  # float64 would merge w/ big
+        + [(None, 200 + i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g long, uid long")
+    out = kmv_sketch(df.repartition(8), "uid", ["g"], k=16)
+    assert dict(out.dtypes)["g"] == "bigint"
+    got = {r["g"]: r["kmv"] for r in out.collect()}
+    assert set(got) == {big, big + 1, None}
+    assert len(got[big]) == 16 and len(got[big + 1]) == 5 and len(got[None]) == 3
+
+
 def test_value_histogram_merge_lossless(spark):
     """Bucket counts are decomposable: merging per-day histograms equals
     the histogram computed directly at the coarse grain, bucket by bucket;
@@ -2058,6 +2080,36 @@ def test_exact_quantiles_matches_numpy_linear(spark):
             want = math.floor(float(np.percentile(vals, p)) * 10000 + 0.5) / 10000
             assert abs(got[g][name] - want) < 1e-9, (g, name, got[g][name], want)
         assert got[g]["n"] == len(vals)
+
+
+def test_exact_quantiles_ignores_nulls(spark):
+    """NULL values must not shift ranks or count toward n (engine
+    percentile()/quantile_cont semantics, ADVICE r09): a group salted
+    with nulls yields the same quantiles as the null-free group, and an
+    all-null group disappears (no row, matching engine aggregates that
+    return NULL only via outer grouping, which we don't emit)."""
+    import math
+
+    import numpy as np
+
+    from kadiyadb_spark.functions.profile import exact_quantiles
+
+    vals = [3.5, 1.25, 7.0, 2.0004, 9.99]
+    rows = (
+        [("clean", v) for v in vals]
+        + [("salted", v) for v in vals]
+        + [("salted", None)] * 3
+        + [("allnull", None)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    got = {r["g"]: r for r in exact_quantiles(df, "v", ["g"]).collect()}
+    assert set(got) == {"clean", "salted"}
+    for g in ("clean", "salted"):
+        assert got[g]["n"] == len(vals)
+        for name, p in (("p25", 25), ("p50", 50), ("p75", 75)):
+            want = math.floor(float(np.percentile(vals, p)) * 10000 + 0.5) / 10000
+            assert abs(got[g][name] - want) < 1e-9, (g, name)
+    assert got["clean"]["p50"] == got["salted"]["p50"]
 
 
 def test_char_entropy_golden(spark):
