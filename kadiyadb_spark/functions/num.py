@@ -87,22 +87,67 @@ def scale4_expr(c: Column) -> Column:
     return F.round(c.cast("double") * 10000).cast("long")
 
 
+# Stored cube totals are doubles holding exact dp-multiples; past 2^53 a
+# double can no longer represent the scaled integer, so a re-fold would
+# silently drift. Every guarded fold asserts the SCALED total stays within
+# this bound (the reference's fatomic float64 adds lose precision but never
+# change semantics class, block/blockrw.go:74-75 — ours must not wrap).
+FOLD_EXACT_BOUND = 1 << 53
+
+
+def guarded_scaled_sum(c: Column, dp: int) -> Column:
+    """Sum a SCALED-LONG column with runtime overflow protection: the
+    accumulation runs in decimal(38,0) (10^38 headroom — a hot group can
+    never wrap the way sum(long) silently wraps past 2^63), and the final
+    total is asserted within ±2^53 before it is handed back as a long for
+    the one double division. Past the bound the job FAILS with the dp and
+    the offending magnitude instead of storing a drifted total (VERDICT
+    r09 item 3). The guard is one comparison on the post-merge aggregate
+    value — partial aggregation and AQE shapes are unaffected."""
+    total = F.sum(c.cast("decimal(38,0)"))
+    bound = F.lit(FOLD_EXACT_BOUND).cast("decimal(38,0)")
+    return (
+        F.when(
+            F.abs(total) > bound,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"scaled-long fold overflow at value_dp={dp}: |total| "
+                    ),
+                    total.cast("string"),
+                    F.lit(
+                        f" exceeds 2^53 — the stored double can no longer hold "
+                        f"the exact {dp}dp multiple; lower value_dp or split "
+                        f"the group"
+                    ),
+                )
+            ).cast("decimal(38,0)"),
+        )
+        .otherwise(total)
+        .cast("long")
+    )
+
+
 def exact_fold_expr(c: Column, dp: int = 4) -> Column:
     """Order-independent fold of a ``dp``-decimal-quantized double column
     back to a double that IS the exact dp-multiple: scale each value to its
-    exact integer, sum longs (associative — identical at any parallelism
-    and in any engine), divide ONCE. Unlike ``exact_sum4_expr`` there is no
+    exact integer, sum (associative — identical at any parallelism and in
+    any engine), divide ONCE. Unlike ``exact_sum4_expr`` there is no
     outer round4: the single long/10^dp division already yields the nearest
     double to the exact total deterministically, so the result can be
     stored (cube ingest) and re-folded later via the same scaling without
-    accumulating error. Long bound: |v| <= 1e5 at dp=4 leaves ~9e9 rows per
-    group; segment re-folds are bounded by 2^53/10^dp on the stored total.
-    ``exact_fold_sql`` is the DuckDB twin.
+    accumulating error. The accumulation is RUNTIME-GUARDED
+    (``guarded_scaled_sum``): decimal(38,0) so the sum itself can never
+    wrap, and a hard error once the total passes 2^53/10^dp — the point
+    past which the stored double would silently stop being exact.
+    ``exact_fold_sql`` is the DuckDB twin (DuckDB sums BIGINT into HUGEINT,
+    so it never wraps either; in-bound totals collapse back identically).
     """
     s = 10**dp
-    return (F.sum(F.round(c.cast("double") * s).cast("long")) / F.lit(float(s))).cast(
-        "double"
-    )
+    return (
+        guarded_scaled_sum(F.round(c.cast("double") * s).cast("long"), dp)
+        / F.lit(float(s))
+    ).cast("double")
 
 
 def exact_fold_sql(expr: str, dp: int = 4) -> str:

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kadiyadb_spark import schema as S
+from kadiyadb_spark.functions.num import guarded_scaled_sum
 
 # Values the reference forbids as stored field values (index/node.go:200-214).
 ILLEGAL_FIELD_VALUES = ("", "*")
@@ -168,15 +169,24 @@ def track_batch(
                 [F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)]
                 if value_dp is None
                 else [
-                    (F.sum("_t") / F.lit(float(10**value_dp)))
+                    # guarded: decimal(38,0) accumulation (no 2^63 wrap) +
+                    # hard error past 2^53, where the stored double would
+                    # silently stop being an exact dp-multiple
+                    (
+                        guarded_scaled_sum(F.col("_t"), value_dp)
+                        / F.lit(float(10**value_dp))
+                    )
                     .cast("double")
                     .alias(S.TOTAL),
                     # count_col=None pre-scales _c to plain long 1s; scaled
                     # counts divide back like totals.
                     (
-                        F.sum("_c").cast("double")
+                        guarded_scaled_sum(F.col("_c"), 0).cast("double")
                         if count_col is None
-                        else (F.sum("_c") / F.lit(float(10**value_dp))).cast("double")
+                        else (
+                            guarded_scaled_sum(F.col("_c"), value_dp)
+                            / F.lit(float(10**value_dp))
+                        ).cast("double")
                     ).alias(S.CNT),
                 ]
             )

@@ -1414,3 +1414,47 @@ def test_fetch_multi_shared_scan_semantics(spark, rollup_cube):
     # from == to -> empty frame with the labeled schema (fine-print #4)
     empty = fetch_multi(rollup_cube, 3, 3, pats, RES, DUR)
     assert empty.count() == 0 and empty.columns[0] == "query"
+
+
+def test_scaled_fold_overflow_guard(spark):
+    """VERDICT r09 item 3: the scaled-long cube fold is runtime-guarded.
+    (a) A near-bound ingest stays EXACT — a total whose scaled form sits
+    just under 2^53 folds to the precise dp-multiple; (b) past the bound
+    the job FAILS (raise_error) instead of silently storing a drifted
+    total; (c) a segment re-fold through fold_aggs is guarded the same
+    way."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark import schema as S
+    from kadiyadb_spark.functions.num import FOLD_EXACT_BOUND
+    from kadiyadb_spark.ingest import fold_aggs
+
+    # (a) near-bound: 2 rows of 4.5e11 at dp=4 -> scaled total 9.0e15,
+    # just inside 2^53 (~9.007e15); the stored double is the exact value
+    rows = [(0, "a", "b", "c", 4.5e11, 1), (1, "a", "b", "c", 4.5e11, 1)]
+    cube = _cube(spark, rows, rollup=False)
+    got = cube.filter(F.col(S.DEPTH) == 3).agg(F.sum(S.TOTAL)).collect()[0][0]
+    assert got == 9.0e11  # exact: 9e15 scaled units, representable
+    assert 2 * round(4.5e11 * 10**4) <= FOLD_EXACT_BOUND
+
+    # (b) past-bound ingest: 2 rows of 4.6e11 -> scaled 9.2e15 > 2^53
+    bad = _cube(spark, [(0, "a", "b", "c", 4.6e11, 1), (0, "a", "b", "c", 4.6e11, 1)],
+                rollup=False)
+    with pytest.raises(Exception, match="fold overflow at value_dp=4"):
+        bad.collect()
+
+    # (c) the shared re-fold (segment merge / compact / read fold) guards too
+    seg = spark.createDataFrame(
+        [(0, 0, "a", None, None, 1, 4.6e11, 1.0), (0, 0, "a", None, None, 1, 4.6e11, 1.0)],
+        f"{S.EPOCH} long, {S.BUCKET} long, f1 string, f2 string, f3 string, "
+        f"{S.DEPTH} int, {S.TOTAL} double, {S.CNT} double",
+    )
+    refold = seg.groupBy(S.EPOCH, S.BUCKET, "f1", "f2", "f3", S.DEPTH).agg(
+        *fold_aggs(4)
+    )
+    with pytest.raises(Exception, match="fold overflow at value_dp=4"):
+        refold.collect()
+    ok = seg.withColumn(S.TOTAL, F.lit(4.5e11)).groupBy(
+        S.EPOCH, S.BUCKET, "f1", "f2", "f3", S.DEPTH
+    ).agg(*fold_aggs(4))
+    assert ok.collect()[0][S.TOTAL] == 9.0e11
