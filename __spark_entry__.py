@@ -3850,6 +3850,34 @@ def q_fetch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_multi_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-DEPTH rule-evaluation batch (VERDICT r09 item 7): a depth-1
+    rollup query, a depth-2 wildcard and a depth-2 exact answered by ONE
+    shared scan — the output carries field columns to the batch's max
+    depth and the depth-1 query's rows leave f2 NULL, exactly how the
+    cube stores rollup rows, so real Prometheus rule groups (which mix
+    aggregation levels) evaluate in one call. Oracle: UNION ALL of a
+    cube1 select (f2 NULL-cast) and cube2 selects. Born r10 -> gates
+    inside the r10 cap."""
+    from kadiyadb_spark.query import fetch_multi
+
+    return _round_doubles(
+        fetch_multi(
+            _cube(spark, sf_dir),
+            WEEK0,
+            WEEK1,
+            {
+                "all_clicks": ["click"],
+                "clicks_by_user": ["click", "*"],
+                "err_user_7": ["error", "7"],
+            },
+            RES,
+            DUR,
+        ),
+        ["total"],
+    )
+
+
 def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL sum by (user): per-user per-slot totals summed ACROSS event
     types — the non-prefix aggregation the write-time rollup cannot hold
@@ -4173,102 +4201,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + nine new (45 green, 2 rows-only, 3 hash-red); r08 the three r07
     # reds + new entries + the exactness-sweep re-gates (47 green, the SAME
     # three red — judge-root-caused to HUGEINT oracle outputs, not the
-    # arithmetic). r09 (this one): the three CAST-fixed reds lead, then the
-    # THIRTY-FIVE entries that have never seen a driver row (the whole r08
-    # post-cap backlog, incl. pack_ids whose HUGEINT oracle was fixed
-    # pre-gate), then fetch_anomaly (late-r08 rewrite re-proof), the five
-    # displaced sweep re-gates, and six r05-aged entries to fill 50. This
-    # restores the every-entry-within-two-rounds rule; membership is
-    # asserted by tests/test_entry_rotation.py against this plan.
+    # arithmetic); r09 the CAST-fixed reds + the 35-entry never-gated
+    # backlog + fetch_anomaly + 5 re-gates + 6 r09-born (50/50 ALL PASS —
+    # the first fully clean round). r10 (this one), per SURVEY §16.8's cap
+    # math and VERDICT r09 item 1: the SIX r09-born entries lead (none has
+    # ever had a driver row), then the 43-entry head of the r08-cap backlog
+    # (last driver row r08) in the §16.8 listed order, then the r10-born
+    # entries (birth-round rule). The four documented spills + the r05-aged
+    # six sit immediately after the cap so they LEAD r11. At 214 entries a
+    # 50-cap is a ~4.3-round rotation; the staleness LEDGER (derived from
+    # CORRECTNESS_r0*.json by tests/test_entry_rotation.py, committed as
+    # STALENESS.md) replaces the mathematically-dead two-round claim
+    # (VERDICT r09 item 4).
     return {
-        # -- r09 gate (first 50) --
-        # (1) the three r08 driver-gate hash-reds, root-caused by the r08
-        #     judge to HUGEINT oracle outputs (DuckDB sum(int) -> int128;
-        #     the driver hash canonicalizes it differently from Spark's
-        #     BIGINT) and fixed this round with CAST(... AS BIGINT); the
-        #     class is now locally visible via check_oracle.py's
-        #     DESCRIBE-fail (all 199 oracle schemas scanned clean):
-        "q12_shipmode": q12_shipmode,
-        "q20_potential_promotion": q20_potential_promotion,
-        "fetch_downsample": q_fetch_downsample,
-        # (2) the THIRTY-FIVE never-driver-gated entries (SURVEY §15.5
-        #     rotation: every entry gets a driver row within two rounds).
-        #     pack_ids is in here — its oracle also carried two HUGEINT
-        #     columns (chunk_id/pos_in_chunk from a window sum) and was
-        #     CAST-fixed this round before its first gate:
-        "fetch_agg_by": q_fetch_agg_by,
-        "fetch_topk_instant": q_fetch_topk_instant,
-        "fetch_count_values": q_fetch_count_values,
-        "path_transitions": q_path_transitions,
-        "fetch_stddev_window": q_fetch_stddev_window,
-        "fetch_alerts": q_fetch_alerts,
-        "fetch_quantile_by": q_fetch_quantile_by,
-        "streaming_alerts": q_streaming_alerts,
-        "db_clone": q_db_clone,
-        "bpe_encode_ids": q_bpe_encode_ids,
-        "fetch_share": q_fetch_share,
-        "fetch_remap": q_fetch_remap,
-        "pack_ids": q_pack_ids,
-        "text_decontaminate_spans": q_text_decontaminate_spans,
-        "ngram_heavy_hitters": q_ngram_heavy_hitters,
-        "fetch_burn_rate": q_fetch_burn_rate,
-        "dedup_fuzzy": q_dedup_fuzzy,
-        "bm25_retrieval": q_bm25_retrieval,
-        "fetch_last_write": q_fetch_last_write,
-        "text_keywords": q_text_keywords,
-        "dedup_keep_best": q_dedup_keep_best,
-        "funnel_time": q_funnel_time,
-        "rfm_segments": q_rfm_segments,
-        "fetch_seasonal_anomaly": q_fetch_seasonal_anomaly,
-        "drift_psi": q_drift_psi,
-        "fetch_mad_anomaly": q_fetch_mad_anomaly,
-        "active_users": q_active_users,
-        "attribution_last_touch": q_attribution_last_touch,
-        "text_collocations": q_text_collocations,
-        "sim_knn_graph": q_sim_knn_graph,
-        "track_rejects": q_track_rejects,
-        "dedup_containment": q_dedup_containment,
-        "profile_correlations": q_profile_correlations,
-        "streaming_rejects": q_streaming_rejects,
-        "fetch_outlier_fences": q_fetch_outlier_fences,
-        # (3) fetch_anomaly re-proves: both sides rewritten late-r08 to
-        #     exact-operand windowed variance, never driver-gated since:
-        "fetch_anomaly": q_fetch_anomaly,
-        # (4) the five sweep re-gates displaced by the r08 cap reshuffle:
-        "json_source_agg": q_json_source_agg,
-        "csv_source_agg": q_csv_source_agg,
-        "zorder_layout": q_zorder_layout,
-        "date_extract": q_date_extract,
-        "rollup_revenue": q_rollup_revenue,
-        # (4b) NEW r09 entries (rotation rule: new entries gate in their
-        #      birth round, displacing aged fillers):
-        "sim_ivfpq_residual_det": q_sim_ivfpq_residual_det,
-        "embedding_quantize": q_embedding_quantize,
-        "text_char_entropy": q_text_char_entropy,
-        "multimodal_gif_real": q_multimodal_gif_real,
-        "sample_weighted": q_sample_weighted,
-        "sim_ivfpq_refined": q_sim_ivfpq_refined,
-        # (5) oldest driver rows (r05), filling the cap to 50
-        #     (approx_quantile/distinct_users/text_quality/text_fingerprint
-        #     displaced by the r09 additions above):
-        "anti_join": q_anti_join,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "distinct_users": q_distinct_users,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        # -- end of the 50-entry r09 cap (text_char_entropy..sim_ivfpq_refined
-        # displaced every (5) filler; the cap now ends exactly at the new block).
-        # Everything below is driver-green in r04-r08 rows and re-checked
-        # by this round's all-entry local check_oracle run (ORACLE_LOCAL.md).
-        # NEW entries added this round go INSIDE the cap, displacing the
-        # (5) block tail first (those six have r05 driver greens).
-        "fetch_cusum": q_fetch_cusum,  # born r09 post-cap; leads the r10 gate
-        "sketch_kmv_setops": q_sketch_kmv_setops,  # born r09 post-cap; r10 gate
-        "fetch_regex": q_fetch_regex,  # born r09 post-cap; r10 gate
-        "fetch_multi": q_fetch_multi,  # born r09 post-cap; r10 gate
-        "bpe_decode_roundtrip": q_bpe_decode_roundtrip,  # born r09 post-cap; r10
-        "sim_outliers": q_sim_outliers,  # born r09 post-cap; r10 gate
+        # -- r10 gate (first 50) --
+        # (1) the six r09-born entries: never driver-gated, locally
+        #     gate-green at local[32] AND local[8] since birth:
+        "fetch_cusum": q_fetch_cusum,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "fetch_regex": q_fetch_regex,
+        "fetch_multi": q_fetch_multi,
+        "bpe_decode_roundtrip": q_bpe_decode_roundtrip,
+        "sim_outliers": q_sim_outliers,
+        # (2) the 43-entry head of the r08-cap backlog (every entry below
+        #     has a driver-green r08 row; §16.8 listed order):
         "topk_users": q_topk_users,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
@@ -4312,93 +4268,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
-        "topk_per_group": q_topk_per_group,
-        "window_daily_running": q_window_daily_running,
-        "window_frames": q_window_frames,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "cube_grouping": q_cube_grouping,
-        "streaming_dedup": q_streaming_dedup,
-        "orc_source_agg": q_orc_source_agg,
+        # (3) r10-born entries gate in their birth round:
+        "fetch_multi_mixed": q_fetch_multi_mixed,
+        # -- end of the 50-entry r10 cap --
+        # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
+        # ordered OLDEST driver-green round first (ledger derived from
+        # CORRECTNESS_r0*.json; committed as STALENESS.md and asserted by
+        # tests/test_entry_rotation.py), so each future cap simply takes
+        # new borns + the queue head — worst-case re-gate latency is
+        # ceil(N/cap) = 5 rounds at 214 entries, and the r05-aged block
+        # (40 entries incl. the six VERDICT names) leads the r11 gate.
+        # -- last driver-green r05 --
+        "anti_join": q_anti_join,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
         "bucketed_join": q_bucketed_join,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "fetch_sum_by": q_fetch_sum_by,
-        "fetch_topk_series": q_fetch_topk_series,
-        "fetch_ratio": q_fetch_ratio,
-        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
-        "fetch_smooth": q_fetch_smooth,
-        "string_funcs": q_string_funcs,
-        "set_ops": q_set_ops,
-        "array_collect": q_array_collect,
-        "explode_tokens": q_explode_tokens,
-        "pipeline_quality": q_pipeline_quality,
-        "json_extract": q_json_extract,
-        "embedding_stats": q_embedding_stats,
-        "sim_ivfpq_residual": q_sim_ivfpq_residual,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "cross_source_dups": q_cross_source_dups,
-        "text_boilerplate": q_text_boilerplate,
-        "text_chunk": q_text_chunk,
-        "sim_ivfpq_search": q_sim_ivfpq_search,
-        "shard_writer": q_shard_writer,
-        "rag_hashed_retrieval": q_rag_hashed_retrieval,
-        "fetch_rate": q_fetch_rate,
-        "fetch_interpolate": q_fetch_interpolate,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_relation": q16_supplier_relation,
-        "streaming_join": q_streaming_join,
-        "rollup_cascade": q_rollup_cascade,
-        "multimodal_png_real": q_multimodal_png_real,
-        "multimodal_wav_real": q_multimodal_wav_real,
-        "bpe_train": q_bpe_train,
-        "bpe_tokenize": q_bpe_tokenize,
-        "sample_token_budget": q_sample_token_budget,
-        "fetch_offset": q_fetch_offset,
-        "fetch_in": q_fetch_in,
-        "hll_distinct_rollup": q_hll_distinct_rollup,
-        "pipeline_mix": q_pipeline_mix,
-        "multimodal_audio": q_multimodal_audio,
-        "quality_model": q_quality_model,
-        "text_winnow": q_text_winnow,
-        "text_vocab": q_text_vocab,
-        "text_tfidf": q_text_tfidf,
-        "text_simhash": q_text_simhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "corpus_shuffle": q_corpus_shuffle,
+        "cube_changes": q_cube_changes,
+        "dataset_split": q_dataset_split,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "pipeline_curate": q_pipeline_curate,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_index": q_sim_ivf_index,
-        "sim_lsh_topk": q_sim_lsh_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_index_add": q_dedup_index_add,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "distinct_users": q_distinct_users,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        "dedup_index_add": q_dedup_index_add,
-        "sim_ivf_add": q_sim_ivf_add,
-        "streaming_agg_append": q_streaming_agg_append,
-        "text_span_dedup": q_text_span_dedup,
         "pack_sequences": q_pack_sequences,
-        "corpus_shuffle": q_corpus_shuffle,
+        "pipeline_curate": q_pipeline_curate,
         "pipeline_pack": q_pipeline_pack,
-        "dataset_split": q_dataset_split,
-        "sample_per_source": q_sample_per_source,
-        "cube_changes": q_cube_changes,
         "q13_order_distribution": q13_order_distribution,
         "quality_gopher": q_quality_gopher,
-        "unigram_lm": q_unigram_lm,
+        "sample_per_source": q_sample_per_source,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_add": q_sim_ivf_add,
+        "sim_ivf_index": q_sim_ivf_index,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
         "sim_pq_topk": q_sim_pq_topk,
-        "profile_columns": q_profile_columns,
-        "streaming_index_dedup": q_streaming_index_dedup,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "mixture_temperature": q_mixture_temperature,
+        "streaming_agg_append": q_streaming_agg_append,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "text_simhash": q_text_simhash,
+        "text_span_dedup": q_text_span_dedup,
+        "text_tfidf": q_text_tfidf,
+        "text_vocab": q_text_vocab,
+        "text_winnow": q_text_winnow,
+        "unigram_lm": q_unigram_lm,
+        # -- last driver-green r06 --
         "asof_join": q_asof_join,
         "catalog_load": q_catalog_load,
+        "cube_grouping": q_cube_grouping,
         "dedup_index_query": q_dedup_index_query,
         "expire_retention": q_expire_retention,
         "fetch_boundary": q_fetch_boundary,
@@ -4406,20 +4330,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_rollup_prefix": q_fetch_rollup_prefix,
         "fetch_wildcard": q_fetch_wildcard,
         "mixture_sample": q_mixture_sample,
+        "mixture_temperature": q_mixture_temperature,
         "null_semantics": q_null_semantics,
         "percentiles": q_percentiles,
         "pii_redact": q_pii_redact,
+        "profile_columns": q_profile_columns,
         "q18_large_orders": q18_large_orders,
         "range_join_counts": q_range_join_counts,
         "rollup_read_equivalence": q_rollup_read_equivalence,
         "semi_join": q_semi_join,
         "sessionize": q_sessionize,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
         "streaming_agg": q_streaming_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_index_dedup": q_streaming_index_dedup,
         "streaming_ingest": q_streaming_ingest,
         "streaming_sessionize": q_streaming_sessionize,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "track_cube": q_track_cube,
+        # -- last driver-green r07 --
+        "array_collect": q_array_collect,
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_train": q_bpe_train,
+        "cross_source_dups": q_cross_source_dups,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "embedding_stats": q_embedding_stats,
+        "explode_tokens": q_explode_tokens,
+        "fetch_in": q_fetch_in,
+        "fetch_interpolate": q_fetch_interpolate,
+        "fetch_offset": q_fetch_offset,
+        "fetch_rate": q_fetch_rate,
+        "fetch_ratio": q_fetch_ratio,
+        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
+        "fetch_smooth": q_fetch_smooth,
+        "fetch_sum_by": q_fetch_sum_by,
+        "fetch_topk_series": q_fetch_topk_series,
+        "hll_distinct_rollup": q_hll_distinct_rollup,
+        "json_extract": q_json_extract,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_png_real": q_multimodal_png_real,
+        "multimodal_wav_real": q_multimodal_wav_real,
+        "orc_source_agg": q_orc_source_agg,
+        "pipeline_mix": q_pipeline_mix,
+        "pipeline_quality": q_pipeline_quality,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_relation": q16_supplier_relation,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "quality_model": q_quality_model,
+        "rag_hashed_retrieval": q_rag_hashed_retrieval,
+        "rollup_cascade": q_rollup_cascade,
+        "sample_token_budget": q_sample_token_budget,
+        "set_ops": q_set_ops,
+        "shard_writer": q_shard_writer,
+        "sim_ivfpq_residual": q_sim_ivfpq_residual,
+        "sim_ivfpq_search": q_sim_ivfpq_search,
+        "streaming_join": q_streaming_join,
+        "string_funcs": q_string_funcs,
+        "text_boilerplate": q_text_boilerplate,
+        "text_chunk": q_text_chunk,
+        # -- last driver-green r08 --
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "topk_per_group": q_topk_per_group,
+        "window_daily_running": q_window_daily_running,
+        "window_frames": q_window_frames,
+        # -- last driver-green r09 --
+        "active_users": q_active_users,
+        "attribution_last_touch": q_attribution_last_touch,
+        "bm25_retrieval": q_bm25_retrieval,
+        "bpe_encode_ids": q_bpe_encode_ids,
+        "csv_source_agg": q_csv_source_agg,
+        "date_extract": q_date_extract,
+        "db_clone": q_db_clone,
+        "dedup_containment": q_dedup_containment,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "dedup_keep_best": q_dedup_keep_best,
+        "drift_psi": q_drift_psi,
+        "embedding_quantize": q_embedding_quantize,
+        "fetch_agg_by": q_fetch_agg_by,
+        "fetch_alerts": q_fetch_alerts,
+        "fetch_anomaly": q_fetch_anomaly,
+        "fetch_burn_rate": q_fetch_burn_rate,
+        "fetch_count_values": q_fetch_count_values,
+        "fetch_downsample": q_fetch_downsample,
+        "fetch_last_write": q_fetch_last_write,
+        "fetch_mad_anomaly": q_fetch_mad_anomaly,
+        "fetch_outlier_fences": q_fetch_outlier_fences,
+        "fetch_quantile_by": q_fetch_quantile_by,
+        "fetch_remap": q_fetch_remap,
+        "fetch_seasonal_anomaly": q_fetch_seasonal_anomaly,
+        "fetch_share": q_fetch_share,
+        "fetch_stddev_window": q_fetch_stddev_window,
+        "fetch_topk_instant": q_fetch_topk_instant,
+        "funnel_time": q_funnel_time,
+        "json_source_agg": q_json_source_agg,
+        "multimodal_gif_real": q_multimodal_gif_real,
+        "ngram_heavy_hitters": q_ngram_heavy_hitters,
+        "pack_ids": q_pack_ids,
+        "path_transitions": q_path_transitions,
+        "profile_correlations": q_profile_correlations,
+        "q12_shipmode": q12_shipmode,
+        "q20_potential_promotion": q20_potential_promotion,
+        "rfm_segments": q_rfm_segments,
+        "rollup_revenue": q_rollup_revenue,
+        "sample_weighted": q_sample_weighted,
+        "sim_ivfpq_refined": q_sim_ivfpq_refined,
+        "sim_ivfpq_residual_det": q_sim_ivfpq_residual_det,
+        "sim_knn_graph": q_sim_knn_graph,
+        "streaming_alerts": q_streaming_alerts,
+        "streaming_rejects": q_streaming_rejects,
+        "text_char_entropy": q_text_char_entropy,
+        "text_collocations": q_text_collocations,
+        "text_decontaminate_spans": q_text_decontaminate_spans,
+        "text_keywords": q_text_keywords,
+        "track_rejects": q_track_rejects,
+        "zorder_layout": q_zorder_layout,
     }
 
 

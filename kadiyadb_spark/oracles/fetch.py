@@ -59,6 +59,23 @@ UNION ALL
 {_mq.format(name="c_or_s", cond="regexp_full_match(f1, 'c.*|sign.*')")}
 """
 
+    # mixed-depth batch (VERDICT r09 item 7): the depth-1 query reads
+    # cube1 with f2 NULL-cast — rectangular schema at the batch max depth
+    _mq1 = (
+        "SELECT '{name}' AS query, epoch, f1, CAST(NULL AS VARCHAR) AS f2,"
+        " bucket, floor(total * 10000 + 0.5) / 10000 AS total, cnt"
+        " FROM cube1 WHERE {cond}"
+        f" AND bucket >= {WEEK0} AND bucket < {WEEK1}"
+    )
+    o["fetch_multi_mixed"] = f"""
+WITH {_EV_CUBE}
+{_mq1.format(name="all_clicks", cond="f1 = 'click'")}
+UNION ALL
+{_mq.format(name="clicks_by_user", cond="f1 = 'click'")}
+UNION ALL
+{_mq.format(name="err_user_7", cond="f1 = 'error' AND f2 = '7'")}
+"""
+
     o["fetch_offset"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

@@ -2213,23 +2213,28 @@ def fetch_multi(
     resolution: int = 60_000_000_000,
     duration: int = 3_600_000_000_000,
 ) -> DataFrame:
-    """Evaluate a BATCH of same-depth patterns in ONE shared scan — the
-    Prometheus rule-evaluation-group shape: a dashboard or alert batch
-    runs tens of queries over the same range, and at 100 TB the scan, not
-    the per-query filter, is the cost. One pass reads the cube ONCE under
-    the OR of every pattern's predicate (each disjunct is plain
-    equality/IN/rlike, so the pushable parts still reach the scan), tags
-    each row with the array of query names whose pattern it matches, and
-    explodes — fan-out equals the number of matches, rows matching
-    nothing never leave the scan.
+    """Evaluate a BATCH of patterns in ONE shared scan — the Prometheus
+    rule-evaluation-group shape: a dashboard or alert batch runs tens of
+    queries over the same range, and at 100 TB the scan, not the
+    per-query filter, is the cost. One pass reads the cube ONCE under
+    the OR of every pattern's (depth, predicate) conjunction (each
+    disjunct is plain equality/IN/rlike, so the pushable parts still
+    reach the scan), tags each row with the array of query names whose
+    pattern it matches, and explodes — fan-out equals the number of
+    matches, rows matching nothing never leave the scan.
 
-    Patterns share one depth (a batch over one resolution's series set;
-    mixed depths would make the output schema ragged — run two batches).
-    Output is the SPARSE frame (``fetch(densify=False)`` semantics) with
-    a leading ``query`` label: (query, epoch, f1..fD, bucket, total,
-    cnt). Batches that need zero-fill densify per query downstream —
-    densification is per-query series membership, which no longer shares
-    work. Row order unspecified (fine-print #8)."""
+    Depths may MIX (real Prometheus rule groups do — VERDICT r09 item 7):
+    the output carries field columns to the batch's MAXIMUM depth, and a
+    shallower query's rows leave the deeper columns NULL — exactly how
+    the cube itself stores rollup rows, so the schema stays rectangular
+    and the plan stays ONE scan for the whole batch (each pattern
+    matches only rows at ITS depth; tests/test_plans.py pins one Scan
+    node and zero shuffles). Output is the SPARSE frame
+    (``fetch(densify=False)`` semantics) with a leading ``query`` label:
+    (query, epoch, f1..fDmax, bucket, total, cnt). Batches that need
+    zero-fill densify per query downstream — densification is per-query
+    series membership, which no longer shares work. Row order
+    unspecified (fine-print #8)."""
     if not patterns:
         raise ValueError("empty pattern batch")
     if from_ts < 0 or to_ts < 0:
@@ -2237,13 +2242,8 @@ def fetch_multi(
     if to_ts < from_ts:
         raise InvalidTimeRange(f"invalid range: to={to_ts} < from={from_ts}")
     compiled = {name: compile_pattern(p) for name, p in patterns.items()}
-    depths = {d for d, _ in compiled.values()}
-    if len(depths) != 1:
-        raise ValueError(
-            f"fetch_multi patterns must share one depth, got {sorted(depths)}"
-        )
-    depth = depths.pop()
-    fcols = S.field_cols(depth)
+    max_depth = max(d for d, _ in compiled.values())
+    fcols = S.field_cols(max_depth)
 
     from_b = from_ts - (from_ts % resolution)
     to_b = to_ts - (to_ts % resolution)
@@ -2258,18 +2258,18 @@ def fetch_multi(
     e_from = from_b - (from_b % duration)
     e_to = (to_b - resolution) - ((to_b - resolution) % duration)
 
-    def _pred(preds) -> "F.Column":
-        cond = F.lit(True)
+    def _pred(item) -> "F.Column":
+        depth, preds = item
+        cond = F.col(S.DEPTH) == F.lit(depth)
         for col, val in preds:
             cond = cond & match_expr(col, val)
         return cond
 
     any_match = F.lit(False)
-    for _, preds in compiled.values():
-        any_match = any_match | _pred(preds)
+    for item in compiled.values():
+        any_match = any_match | _pred(item)
     scanned = cube.filter(
-        (F.col(S.DEPTH) == F.lit(depth))
-        & (F.col(S.EPOCH) >= F.lit(e_from))
+        (F.col(S.EPOCH) >= F.lit(e_from))
         & (F.col(S.EPOCH) <= F.lit(e_to))
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
@@ -2279,8 +2279,8 @@ def fetch_multi(
     labels = F.array_compact(
         F.array(
             *[
-                F.when(_pred(preds), F.lit(name))
-                for name, (_, preds) in sorted(compiled.items())
+                F.when(_pred(item), F.lit(name))
+                for name, item in sorted(compiled.items())
             ]
         )
     )

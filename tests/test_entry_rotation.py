@@ -2,11 +2,14 @@
 
 The driver's correctness gate evaluates the FIRST 50 entries of the
 queries() dict each round, so the dict's ORDER is load-bearing: a stray
-reorder silently un-gates entries. These tests pin the r09 cap membership
-to the plan in SURVEY §15.5 / VERDICT r08 item 3, and keep the structural
-invariants (every entry resolves, oracle twins exist, no oracle output
-type the driver hash cannot canonicalize) cheap enough for every pytest
-run — no SparkSession needed.
+reorder silently un-gates entries. These tests pin the r10 cap membership
+(SURVEY §16.8 cap math / VERDICT r09 item 1), assert the post-cap section
+is the OLDEST-FIRST staleness queue (VERDICT r09 item 4 — the executable
+replacement for the dead two-round claim), check the committed STALENESS.md
+ledger matches its derivation, and keep the structural invariants (every
+entry resolves, oracle twins exist, no oracle output type the driver hash
+cannot canonicalize) cheap enough for every pytest run — no SparkSession
+needed.
 """
 
 from __future__ import annotations
@@ -19,44 +22,24 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod
+from scripts.staleness_ledger import ROWS_ONLY, last_green_rounds
 
 CAP = 50
 
-# The r09 gate plan (SURVEY §15.5): 3 CAST-fixed r08 hash-reds, the 35
-# never-driver-gated entries, the late-r08 fetch_anomaly rewrite re-proof,
-# the 5 displaced sweep re-gates, 6 r05-aged fillers. New entries added
-# during r09 go inside the cap displacing the aged fillers (keep this set
-# in sync when that happens).
-R09_REDS = ["q12_shipmode", "q20_potential_promotion", "fetch_downsample"]
-R09_NEVER_GATED = [
-    "fetch_agg_by", "fetch_topk_instant", "fetch_count_values",
-    "path_transitions", "fetch_stddev_window", "fetch_alerts",
-    "fetch_quantile_by", "streaming_alerts", "db_clone", "bpe_encode_ids",
-    "fetch_share", "fetch_remap", "pack_ids", "text_decontaminate_spans",
-    "ngram_heavy_hitters", "fetch_burn_rate", "dedup_fuzzy",
-    "bm25_retrieval", "fetch_last_write", "text_keywords",
-    "dedup_keep_best", "funnel_time", "rfm_segments",
-    "fetch_seasonal_anomaly", "drift_psi", "fetch_mad_anomaly",
-    "active_users", "attribution_last_touch", "text_collocations",
-    "sim_knn_graph", "track_rejects", "dedup_containment",
-    "profile_correlations", "streaming_rejects", "fetch_outlier_fences",
+# The r10 gate plan: the six r09-born entries lead (none has ever had a
+# driver row), then the 43-entry head of the r08-cap backlog, then entries
+# born in r10 (birth-round rule). Keep in sync when adding entries.
+R10_BORN_LEADS = [
+    "fetch_cusum", "sketch_kmv_setops", "fetch_regex", "fetch_multi",
+    "bpe_decode_roundtrip", "sim_outliers",
 ]
-# New r09 entries gate in their birth round (displacing aged fillers):
-R09_NEW = [
-    "sim_ivfpq_residual_det", "embedding_quantize", "text_char_entropy",
-    "multimodal_gif_real", "sample_weighted", "sim_ivfpq_refined",
-]
-R09_REQUIRED_IN_CAP = (
-    set(R09_REDS) | set(R09_NEVER_GATED) | set(R09_NEW) | {"fetch_anomaly"}
-)
-R09_DISPLACED_REGATES = {
-    "json_source_agg", "csv_source_agg", "zorder_layout", "date_extract",
-    "rollup_revenue",
+R10_NEW = ["fetch_multi_mixed"]
+# The four §16.8 spills: stable r08 greens displaced by the birth-round
+# rule; they re-gate via the staleness queue (r08 block), not the cap.
+R10_DOCUMENTED_SPILL = {
+    "topk_per_group", "window_daily_running", "window_frames",
+    "pivot_event_matrix",
 }
-
-# Entries that are rows-only BY DESIGN (no SQL-expressible oracle); the
-# driver records a weaker rows-only check for these and the judge sees it.
-ROWS_ONLY = {"sim_ivfpq_residual", "quality_model"}
 
 
 @pytest.fixture(scope="module")
@@ -69,23 +52,85 @@ def oracles():
     return entry_mod.oracle_sql()
 
 
-def test_cap_leads_with_r09_plan(qs):
+@pytest.fixture(scope="module")
+def ledger():
+    return last_green_rounds()
+
+
+def test_cap_leads_with_r10_plan(qs, ledger):
     head = list(qs)[:CAP]
-    missing = R09_REQUIRED_IN_CAP - set(head)
-    assert not missing, (
-        f"r09 gate plan violated: {sorted(missing)} fell out of the "
-        f"first-{CAP} cap (SURVEY §15.5: reds + never-gated + "
-        f"fetch_anomaly must all gate this round)"
+    # the six never-gated r09 borns lead so a first-gate red is visible
+    # immediately
+    assert head[: len(R10_BORN_LEADS)] == R10_BORN_LEADS
+    # every r10-born entry gates in its birth round
+    missing_new = set(R10_NEW) - set(head)
+    assert not missing_new, f"r10-born entries outside the cap: {missing_new}"
+    # every never-driver-gated entry (except documented rows-only) is in
+    # the cap — nothing can be born and silently never gated
+    never = {q for q in qs if q not in ledger} - ROWS_ONLY
+    assert never <= set(head), f"never-gated entries outside the cap: {never - set(head)}"
+    # the backlog fill is exclusively r08-green entries (the §16.8 order):
+    # nothing fresher than r08 may occupy a cap slot this round
+    for q in head[len(R10_BORN_LEADS):]:
+        if q in ledger:
+            assert ledger[q] == 8, (
+                f"cap slot wasted on {q} (last green r{ledger[q]:02d}; the "
+                f"r10 cap admits only never-gated and r08-green entries)"
+            )
+
+
+def test_post_cap_is_oldest_first_staleness_queue(qs, ledger):
+    """VERDICT r09 item 4: beyond the cap, entries are ordered by their
+    last driver-green round ASCENDING (ties by name), so every future cap
+    takes new borns + the queue head and worst-case re-gate latency is
+    bounded by ceil(N/cap) rounds BY CONSTRUCTION. The r05-aged block —
+    including the six the verdict names — therefore leads the r11 gate."""
+    tail = list(qs)[CAP:]
+    rounds = [ledger[q] for q in tail if q in ledger]
+    assert all(q in ledger for q in tail), (
+        f"non-gated entries must live inside the cap, found in queue: "
+        f"{[q for q in tail if q not in ledger]}"
     )
-    # the reds lead the gate so a recurrence is visible immediately
-    assert head[:3] == R09_REDS
+    assert rounds == sorted(rounds), "staleness queue is not oldest-first"
+    within_round = {}
+    for q in tail:
+        within_round.setdefault(ledger[q], []).append(q)
+    for rnd, names in within_round.items():
+        assert names == sorted(names), f"r{rnd:02d} block not name-sorted"
+    # the verdict-named r05-aged six sit inside the next round's cap window
+    aged_six = {"anti_join", "approx_distinct", "distinct_users",
+                "text_quality", "text_fingerprint", "bucketed_join"}
+    assert aged_six <= set(tail[:CAP]), (
+        "the r05-aged six must lead the r11 gate (first CAP queue slots)"
+    )
+    # the documented spill four are in the queue (they re-gate from the
+    # r08 block), not lost
+    assert R10_DOCUMENTED_SPILL <= set(tail)
 
 
-def test_cap_regates_displaced_entries(qs):
-    head = set(list(qs)[:CAP])
-    missing = R09_DISPLACED_REGATES - head
-    assert not missing, (
-        f"displaced r08 sweep re-gates missing from the cap: {sorted(missing)}"
+def test_staleness_ledger_artifact_current():
+    """STALENESS.md is the committed ledger; it must match what the
+    derivation produces from the CORRECTNESS artifacts on disk."""
+    import os
+
+    from scripts.staleness_ledger import REPO, render
+
+    path = os.path.join(REPO, "STALENESS.md")
+    assert os.path.exists(path), "run scripts/staleness_ledger.py"
+    assert open(path).read() == render(), (
+        "STALENESS.md out of date — re-run scripts/staleness_ledger.py"
+    )
+
+
+def test_worst_case_regate_latency_bound(qs):
+    """The documented bound: at the current census and a 50-entry cap the
+    oldest-first queue re-gates every entry within ceil(N/50) rounds. This
+    pins the CLAIM to the census so growing the corpus updates the docs."""
+    n = len(qs)
+    bound = -(-n // CAP)
+    assert bound <= 5, (
+        f"census {n} pushes worst-case re-gate latency to {bound} rounds; "
+        f"update STALENESS.md's documented bound and this test together"
     )
 
 

@@ -730,3 +730,10 @@ def test_fetch_multi_is_one_scan(spark, tmp_path):
     )
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert n_shuffles(plan) == 0  # filter + explode: map-only over the scan
+    # MIXED depths (VERDICT r09 item 7) keep the same plan shape: still ONE
+    # scan and zero shuffles for a depth-1 + depth-2 batch
+    plan_mixed = plan_str(
+        fetch_multi(cube, 0, 5, {"roll_a": ["a"], "ab": ["a", "*"], "re": [Re("a|c"), "u"]}, 1, 5)
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan_mixed)) == 1
+    assert n_shuffles(plan_mixed) == 0

@@ -1387,7 +1387,7 @@ def test_regex_matcher_semantics(spark, rollup_cube):
 def test_fetch_multi_shared_scan_semantics(spark, rollup_cube):
     """The rule-evaluation batch: each query's rows equal its standalone
     sparse fetch; a row matching two patterns appears once per query;
-    mixed depths and empty batches raise."""
+    empty batches raise."""
     from kadiyadb_spark.query import Re, fetch_multi
 
     pats = {"ab": ["a", "b", "*"], "ace": ["a", "c", "e"], "bc": ["a", Re("b|c"), "*"]}
@@ -1407,13 +1407,46 @@ def test_fetch_multi_shared_scan_semantics(spark, rollup_cube):
 
     with pytest.raises(ValueError):
         fetch_multi(rollup_cube, 0, 5, {}, RES, DUR)
-    with pytest.raises(ValueError):
-        fetch_multi(rollup_cube, 0, 5, {"a": ["a", "b", "*"], "b": ["a"]}, RES, DUR)
     with pytest.raises(InvalidTimeRange):
         fetch_multi(rollup_cube, 5, 0, pats, RES, DUR)
     # from == to -> empty frame with the labeled schema (fine-print #4)
     empty = fetch_multi(rollup_cube, 3, 3, pats, RES, DUR)
     assert empty.count() == 0 and empty.columns[0] == "query"
+
+
+def test_fetch_multi_mixed_depths(spark, rollup_cube):
+    """Mixed-depth batches (VERDICT r09 item 7 — real Prometheus rule
+    groups mix depths): every query's rows equal its standalone sparse
+    fetch null-padded to the batch's max depth, the schema is
+    rectangular (f1..fDmax), and a depth-1 pattern matches ONLY depth-1
+    rollup rows — never deep rows re-labeled."""
+    from kadiyadb_spark.query import Re, fetch_multi
+
+    pats = {
+        "all_a": ["a"],                      # depth 1 (rollup row)
+        "ab": ["a", "b"],                    # depth 2
+        "abc": ["a", "b", "c"],              # depth 3
+        "bc_re": ["a", Re("b|c")],           # depth 2, regex
+    }
+    got = fetch_multi(rollup_cube, 0, 5, pats, RES, DUR)
+    assert got.columns == ["query", "epoch", "f1", "f2", "f3", "bucket", "total", "cnt"]
+    by_q = {}
+    for r in got.collect():
+        d = r.asDict()
+        by_q.setdefault(d.pop("query"), []).append(tuple(sorted(d.items())))
+    for name, p in pats.items():
+        solo = []
+        for r in fetch(rollup_cube, 0, 5, p, RES, DUR, densify=False).collect():
+            d = r.asDict()
+            for c in ("f1", "f2", "f3"):     # null-pad to the batch max depth
+                d.setdefault(c, None)
+            solo.append(tuple(sorted(d.items())))
+        assert sorted(by_q[name]) == sorted(solo), name
+    # the depth-1 query returns exactly the depth-1 rollup (one series,
+    # totals = 1+2+3 per slot), with f2/f3 null
+    a_rows = [dict(t) for t in by_q["all_a"]]
+    assert all(r["f2"] is None and r["f3"] is None for r in a_rows)
+    assert sorted(r["total"] for r in a_rows) == [6.0] * 5
 
 
 def test_scaled_fold_overflow_guard(spark):
