@@ -3611,7 +3611,7 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 
         for pdf in batches:
             payloads = []
-            for hx in pdf["hx"]:
+            for did, hx in zip(pdf["doc_id"], pdf["hx"]):
                 buf = np.frombuffer((hx * 6).encode("ascii"), dtype=np.uint8)
                 if kind == "png":
                     payloads.append(codecs.encode_png(buf.reshape(8, 8, 3)))
@@ -3635,6 +3635,16 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                             buf.reshape(8, 8, 3), interlace=bool(len(payloads) % 2)
                         )
                     )
+                elif kind == "gif_anim":
+                    # ANIMATED GIF: 3..5 full-canvas frames, frame k = hex
+                    # bytes + k (hex chars <= 'f' = 102, +4 never wraps), so
+                    # frame k's pixel sum is 6*S + 192*k — SQL-predictable.
+                    # Distinct colors <= 32 triples x 5 shifts = 160 <= 256.
+                    nf = 3 + int(did) % 3
+                    fr = np.stack(
+                        [(buf + k).astype(np.uint8).reshape(8, 8, 3) for k in range(nf)]
+                    )
+                    payloads.append(codecs.encode_gif_frames(fr, fps=20))
                 else:
                     payloads.append(
                         codecs.encode_wav(buf.astype(np.int16) - 128, rate=16000, bits=8)
@@ -3642,7 +3652,8 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "media_type": {"wav": "audio", "avi": "video"}.get(kind, "image"),
+                    "media_type": {"wav": "audio", "avi": "video",
+                                   "gif_anim": "video"}.get(kind, "image"),
                     "payload": payloads,
                     "n_bytes": [len(p) for p in payloads],
                 }
@@ -3680,6 +3691,26 @@ def q_multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("byte_sum_mod").cast("long").alias("pix_sum"),
+    )
+
+
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY-NTH-FRAME sampling over ANIMATED GIF containers (VERDICT r09
+    item 8 — the video-sampling leg): per-doc 3..5-frame animations
+    (frame k = hex bytes + k) are decoded and composited by
+    codecs.decode_gif_frames inside video_frames(every_n=2), emitting one
+    row per SAMPLED frame — the frame-extraction stage of a video
+    training pipeline, with only KB-scale stats rows leaving the Arrow
+    kernel. LZW is lossless and full-canvas frames composit to
+    themselves, so the oracle predicts each sampled frame's pixel sum as
+    (6*S + 192*k) % 1000003 from md5 hex arithmetic alone."""
+    media = _hex_media(spark, sf_dir, "gif_anim")
+    return M.video_frames(media, every_n=2).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("pix_sum_mod").cast("long").alias("pix_sum"),
     )
 
 
@@ -4267,9 +4298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_waiting_customers": q22_waiting_customers,
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        # (3) r10-born entries gate in their birth round:
+        # (3) r10-born entries gate in their birth round (displacing the
+        #     backlog tail into the staleness queue — grouping_sets_mixed,
+        #     r08-green, re-gates from the queue's r08 block):
         "fetch_multi_mixed": q_fetch_multi_mixed,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4392,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_chunk": q_text_chunk,
         # -- last driver-green r08 --
+        "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,

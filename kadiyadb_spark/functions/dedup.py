@@ -222,26 +222,36 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 8,
     sh: DataFrame | None = None,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs. Pass a persisted
     ``sh`` (from shingle_table) to avoid recomputing shingles per join side.
 
-    The candidate frame is BROADCAST on both joins: |candidates| << |docs| by
-    LSH construction, and without the hint Catalyst can't estimate the
-    self-join's output so it sort-merge-joins — shuffling the full shingle
-    table (the corpus's dominant payload) TWICE just to pick out a handful
-    of pairs. Measured 6s -> 0.5s at sf0.1. At a scale where the candidate
-    set itself outgrows a broadcast, verify within band buckets instead
-    (the bucket join already co-locates candidate docs)."""
+    ``broadcast_pairs=True`` broadcasts the candidate frame on both joins:
+    |candidates| << |docs| by LSH construction, and without the hint
+    Catalyst can't estimate the self-join's output so it sort-merge-joins —
+    shuffling the full shingle table (the corpus's dominant payload) TWICE
+    just to pick out a handful of pairs. Measured 6s -> 0.5s at sf0.1.
+
+    BUT the candidate set is data-dependent: on a mirror-heavy corpus a
+    hot band bucket goes quadratic and the broadcast build (collected to
+    the driver) blows spark.driver.maxResultSize — found EMPIRICALLY by
+    the r10 sf1 rehearsal (10x replicated docs -> >1 GiB of candidate
+    rows -> dedup_keep_best/pipeline_curate dead at the collect). Callers
+    that cannot bound |candidates| a priori must measure and pass
+    ``broadcast_pairs=False`` (minhash_near_duplicates now does) — the
+    joins then shuffle on the id keys, which AQE sizes; slower, never
+    driver-fatal."""
     if sh is None:
         sh = shingle_table(docs, text_col, id_col, shingle_k)
+    hint = F.broadcast if broadcast_pairs else (lambda d: d)
     a = sh.alias("sa")
     b = sh.alias("sb")
-    half = a.join(F.broadcast(pairs), pairs["id_a"] == F.col(f"sa.{id_col}")).select(
+    half = a.join(hint(pairs), pairs["id_a"] == F.col(f"sa.{id_col}")).select(
         "id_a", "id_b", F.col("sa.sh").alias("sh_a")
     )
     return (
-        b.join(F.broadcast(half), F.col("id_b") == F.col(f"sb.{id_col}"))
+        b.join(hint(half), F.col("id_b") == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",
@@ -343,16 +353,34 @@ def minhash_near_duplicates(
     The shingle table is computed ONCE and persisted (memory-and-disk):
     the LSH self-join and the two Jaccard join sides would otherwise each
     recompute the whole normalize+shingle+md5 chain — ~5 full passes over
-    the corpus instead of one."""
+    the corpus instead of one.
+
+    The exact-Jaccard verify join is SIZE-ADAPTIVE (r10 sf1 rehearsal
+    finding): the candidate set is persisted and COUNTED before the
+    verify plan is built — at or below ``broadcast_cands`` rows it is
+    broadcast (the sf0.1-measured 12x win), above it the verify joins
+    shuffle on the id keys, because a mirror-heavy corpus can push a hot
+    band bucket quadratic and a blind broadcast then dies collecting
+    >1 GiB to the driver (spark.driver.maxResultSize). The count is one
+    job over the already-persisted signatures; on a 100 TB corpus the
+    candidate count is a number the pipeline should be recording anyway
+    (it IS the dup-rate observability metric)."""
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
+    broadcast_cands = 2_000_000  # ~tens of MB serialized; far under 1 GiB
     sh = shingle_table(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signature_from_shingles(sh, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidates(sigs, id_col, bands, rows_per_band, max_bucket=max_bucket)
-    jac = jaccard_pairs(df, cands, text_col, id_col, shingle_k, sh=sh)
+    cands = lsh_candidates(sigs, id_col, bands, rows_per_band, max_bucket=max_bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_cands = cands.count()
+    jac = jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k, sh=sh,
+        broadcast_pairs=n_cands <= broadcast_cands,
+    )
     return jac.filter(F.col("jaccard") >= threshold)
 
 

@@ -86,6 +86,23 @@ SELECT doc_id,
 FROM h
 """
 
+    # Animated GIF frame sampling (every_n=2): doc k has 3 + doc_id % 3
+    # full-canvas frames, frame k = hex bytes + k, so the sampled frames
+    # are the EVEN indices below n_frames and frame k's pixel sum is
+    # 6*S + 192*k (192 bytes each shifted by k) — all md5 hex arithmetic.
+    o["multimodal_gif_frames"] = """
+WITH h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, 33),
+                                 i -> ord(substr(md5(text), CAST(i AS INT), 1)))) AS s
+  FROM documents),
+f AS (SELECT doc_id, s, unnest(range(0, 3 + doc_id % 3)) AS k FROM h)
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST((6 * s + 192 * k) % 1000003 AS BIGINT) AS pix_sum
+FROM f WHERE k % 2 = 0
+"""
+
     # The decodability of each payload class is BY CONSTRUCTION (hex-derived
     # PNG/flat-JPEG/WAV always decode; raw text bytes never sniff as any
     # container), so the census is pure doc_id % 4 arithmetic in SQL.
