@@ -3838,6 +3838,21 @@ def q_fetch_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL absent() (query.py:fetch_absent): one row per slot in a
+    1-day window where user 7 recorded NO error event — the
+    alert-on-missing-data primitive (a dead feed trips no threshold
+    alert; absence is the signal). One pruned scan collapsed to distinct
+    present buckets, anti-joined against a map-side generated slot spine.
+    Born r10 -> gates inside the r10 cap."""
+    from kadiyadb_spark.query import fetch_absent
+
+    return fetch_absent(
+        _cube(spark, sf_dir), WEEK0, WEEK0 + 24 * 3600 * SEC,
+        ["error", "7"], RES, DUR,
+    )
+
+
 def q_fetch_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE regex matcher (PromQL {event=~"cl.*|sign.*"}): the Re pattern
     level compiles to an anchored Catalyst RLIKE — metacharacter matching
@@ -4297,12 +4312,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
         "correlated_subquery": q_correlated_subquery,
-        "exists_subquery": q_exists_subquery,
         # (3) r10-born entries gate in their birth round (displacing the
-        #     backlog tail into the staleness queue — grouping_sets_mixed,
-        #     r08-green, re-gates from the queue's r08 block):
+        #     backlog tail into the staleness queue — exists_subquery and
+        #     grouping_sets_mixed, both r08-green, re-gate from the
+        #     queue's r08 block):
         "fetch_multi_mixed": q_fetch_multi_mixed,
         "multimodal_gif_frames": q_multimodal_gif_frames,
+        "fetch_absent": q_fetch_absent,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4425,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_chunk": q_text_chunk,
         # -- last driver-green r08 --
+        "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
         "topk_per_group": q_topk_per_group,

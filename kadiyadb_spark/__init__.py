@@ -28,6 +28,7 @@ from kadiyadb_spark.ingest import track_batch
 from kadiyadb_spark.query import (
     Re,
     fetch,
+    fetch_absent,
     fetch_multi,
     histogram_quantile,
     series_predict_linear,
@@ -82,6 +83,7 @@ __all__ = [
     "rollup_refresh",
     "track_batch",
     "fetch",
+    "fetch_absent",
     "fetch_multi",
     "Re",
     "series_delta",

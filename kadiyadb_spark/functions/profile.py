@@ -27,7 +27,15 @@ def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> Dat
     """Per-column profile of ``cols``: (col_name, n_rows, n_nulls,
     n_distinct, min_val, max_val) with min/max rendered as strings (profile
     output is heterogeneous by nature; values are computed in the native
-    type first, so ordering is numeric/temporal, not lexical)."""
+    type first, so ordering is numeric/temporal, not lexical).
+
+    For quantile columns in a profile, prefer ``exact_quantiles`` (below)
+    when group sizes are bounded — it replays the (n-1)*p linear
+    interpolation in exact integer arithmetic, identical in any engine at
+    any parallelism, where an engine-native percentile aggregate can
+    legitimately round either way at a 4dp boundary (SURVEY §16.12). The
+    GK sketch (functions/sketch.py) remains the scheduled form when a
+    single group spans the corpus."""
     nd = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:

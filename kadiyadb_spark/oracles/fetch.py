@@ -39,6 +39,21 @@ SELECT f1, f2, bucket, total,
 FROM d
 """
     o["fetch_in"] = _fetch_oracle(["click", "error"], "*", WEEK0, WEEK1, 2)
+
+    # PromQL absent(): slots in the 1-day window where (error, user 7) has
+    # no point — dense generated spine anti-joined against present buckets
+    _abs_to = WEEK0 + 24 * 3600 * SEC
+    o["fetch_absent"] = f"""
+WITH present AS (
+  SELECT DISTINCT (epoch_ns(ts) // {RES}) * {RES} AS bucket
+  FROM events
+  WHERE event_type = 'error' AND CAST(user_id AS VARCHAR) = '7'
+    AND epoch_ns(ts) >= {WEEK0} AND epoch_ns(ts) < {_abs_to}
+)
+SELECT CAST(g AS BIGINT) AS bucket, CAST(1 AS INT) AS absent
+FROM generate_series({WEEK0}, {_abs_to - RES}, {RES}) t(g)
+WHERE g NOT IN (SELECT bucket FROM present)
+"""
     # anchored Re matcher: regexp_full_match twins Spark's ^(?:…)$ rlike
     o["fetch_regex"] = _fetch_oracle({"re": "cl.*|sign.*"}, "*", WEEK0, WEEK1, 2)
 

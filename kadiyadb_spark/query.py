@@ -2287,3 +2287,59 @@ def fetch_multi(
     return scanned.select(
         F.explode(labels).alias("query"), S.EPOCH, *fcols, S.BUCKET, S.TOTAL, S.CNT
     )
+
+
+def fetch_absent(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    pattern: list,
+    resolution: int = 60_000_000_000,
+    duration: int = 3_600_000_000_000,
+) -> DataFrame:
+    """PromQL ``absent()``: one row per slot in [from_ts, to_ts) where NO
+    series matching ``pattern`` recorded a point — the
+    alert-on-missing-data primitive (a feed that stops emitting trips no
+    threshold alert; absence itself must be the signal). Returns
+    (bucket, absent=1) for exactly the empty slots; matching slots yield
+    no row, per Prometheus semantics.
+
+    Plan shape: the matched buckets come off ONE filtered scan (the same
+    pushdown predicates as ``fetch``) collapsed to distinct buckets —
+    cardinality <= slots in range, tiny — and a dense slot spine is
+    generated MAP-SIDE (explode(sequence()) over a literal range, no axis
+    table) and LEFT-ANTI joined against them. At 100 TB the cost is the
+    pruned scan; the anti-join sides are both O(range/resolution) rows."""
+    if from_ts < 0 or to_ts < 0:
+        raise InvalidTimeRange("timestamps must be non-negative")
+    if to_ts < from_ts:
+        raise InvalidTimeRange(f"invalid range: to={to_ts} < from={from_ts}")
+    compile_pattern(pattern)  # validates depth/values
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    spark = cube.sparkSession
+    if from_b == to_b:
+        return spark.createDataFrame([], schema="bucket long, absent int")
+    e_from = from_b - (from_b % duration)
+    e_to = (to_b - resolution) - ((to_b - resolution) % duration)
+    present = (
+        pattern_filter(cube, pattern)
+        .filter(
+            (F.col(S.EPOCH) >= F.lit(e_from))
+            & (F.col(S.EPOCH) <= F.lit(e_to))
+            & (F.col(S.BUCKET) >= F.lit(from_b))
+            & (F.col(S.BUCKET) < F.lit(to_b))
+        )
+        .select(S.BUCKET)
+        .distinct()
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(from_b), F.lit(to_b - resolution), F.lit(resolution)
+            )
+        ).alias(S.BUCKET)
+    )
+    return spine.join(present, on=S.BUCKET, how="left_anti").select(
+        S.BUCKET, F.lit(1).alias("absent")
+    )

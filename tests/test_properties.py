@@ -762,3 +762,41 @@ def test_p17_kmv_equals_python_min_k_replay(spark, ids, k):
     for g, us in by_g.items():
         if len(us) < k:
             assert est[g] == float(len(us))
+
+
+@given(data=st.data())
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_p18_re_prune_whitelist_dialect_agreement(spark, data):
+    """P18 (ADVICE r09): for every pattern the _re_prune_safe WHITELIST
+    admits, Python re.fullmatch (the manifest-prune replay) and the JVM's
+    anchored rlike (the actual filter) must agree on every value — the
+    invariant that makes a Python no-match a safe segment skip. Patterns
+    are built from the whitelisted constructs; values from the dim-value
+    alphabet plus adversarial near-misses."""
+    import re as _re
+
+    from kadiyadb_spark.database import _re_prune_safe
+
+    atom = st.one_of(
+        st.text(alphabet="abcxyz019", min_size=1, max_size=3),
+        st.sampled_from(["[a-c]", "[xy]", "[^z]", ".", "a+", "b?", "c*",
+                         "(?:ab|cd)", "a{1,2}", "x|y"]),
+    )
+    pat = "".join(data.draw(st.lists(atom, min_size=1, max_size=4)))
+    try:
+        _re.compile(pat)
+    except _re.error:
+        return  # Re() would refuse it at construction
+    if not _re_prune_safe(pat):
+        return  # outside the whitelist: pruning never acts on it
+    vals = data.draw(st.lists(
+        st.text(alphabet="abcxyz019|.?*", min_size=0, max_size=6),
+        min_size=1, max_size=8,
+    ))
+    rx = _re.compile(f"(?:{pat})\\Z")
+    python_side = [bool(rx.fullmatch(v)) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    jvm = [r["m"] for r in df.select(
+        F.col("v").rlike(f"^(?:{pat})$").alias("m")).collect()]
+    assert python_side == jvm, (pat, vals, python_side, jvm)

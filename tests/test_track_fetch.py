@@ -1491,3 +1491,29 @@ def test_scaled_fold_overflow_guard(spark):
         S.EPOCH, S.BUCKET, "f1", "f2", "f3", S.DEPTH
     ).agg(*fold_aggs(4))
     assert ok.collect()[0][S.TOTAL] == 9.0e11
+
+
+def test_fetch_absent_semantics(spark, rollup_cube):
+    """absent(): exactly the empty slots, Prometheus-style. The fixture
+    tracks abc/abd/ace at slots 0..4, so a matching pattern yields no
+    rows over [0,5); a never-tracked pattern yields every slot; a series
+    tracked only at some slots yields the complement; boundary fine
+    print matches fetch (floor both ends, from==to empty)."""
+    from kadiyadb_spark.query import Re, fetch_absent
+
+    full = fetch_absent(rollup_cube, 0, 5, ["a", "b", "c"], RES, DUR)
+    assert full.count() == 0  # present in every slot
+    none = fetch_absent(rollup_cube, 0, 5, ["zzz", "*", "*"], RES, DUR)
+    assert sorted(r["bucket"] for r in none.collect()) == [0, 1, 2, 3, 4]
+    assert none.collect()[0]["absent"] == 1
+    # partial presence: track an extra series at slots 1 and 3 only
+    part = _cube(spark, [(1, "p", "q", "r", 1, 1), (3, "p", "q", "r", 1, 1)])
+    got = fetch_absent(part, 0, 5, ["p", "*", "*"], RES, DUR)
+    assert sorted(r["bucket"] for r in got.collect()) == [0, 2, 4]
+    # regex patterns work (matcher family shared with fetch)
+    got_re = fetch_absent(part, 0, 5, [Re("p|nope"), "*", "*"], RES, DUR)
+    assert sorted(r["bucket"] for r in got_re.collect()) == [0, 2, 4]
+    # from == to -> empty frame; reversed range raises
+    assert fetch_absent(rollup_cube, 3, 3, ["a", "b", "c"], RES, DUR).count() == 0
+    with pytest.raises(InvalidTimeRange):
+        fetch_absent(rollup_cube, 5, 0, ["a", "b", "c"], RES, DUR)
