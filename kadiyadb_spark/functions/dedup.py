@@ -639,11 +639,15 @@ def cross_source_matrix(
     # The pair list is broadcast TWICE (directly, then inside with_a's
     # plan); without a persist the whole upstream pair computation — a
     # full LSH pass over the corpus — re-executes per broadcast. The
-    # cached frame is pair-sized (broadcastable by assumption), so this
-    # trades KBs-to-MBs of executor memory for a second corpus-wide job.
+    # persist also makes the SIZE-ADAPTIVE check below one cheap job:
+    # like minhash_near_duplicates (r10 sf1 rehearsal finding), the pair
+    # volume is data-dependent — a mirror-heavy corpus can push it past
+    # what a driver-collected broadcast build survives — so past 2M pairs
+    # the resolve joins shuffle on the id keys instead.
     pairs = pairs.select("id_a", "id_b").persist()
     try:
-        out = _cross_source_plan(side, pairs, id_col, source_col)
+        bcast = pairs.count() <= 2_000_000
+        out = _cross_source_plan(side, pairs, id_col, source_col, bcast)
         # Materialize the (source-pair-sized) matrix eagerly so the cached
         # pair partitions release HERE instead of living for the session
         # (the result is ~ |sources|^2 rows, trivially small).
@@ -654,17 +658,21 @@ def cross_source_matrix(
 
 
 def _cross_source_plan(
-    side: DataFrame, pairs: DataFrame, id_col: str, source_col: str
+    side: DataFrame, pairs: DataFrame, id_col: str, source_col: str,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
-    """The lazy plan under cross_source_matrix: two pair-side broadcast
-    resolve joins + one source-pair groupBy (plan-asserted in
-    tests/test_plans.py — the corpus projection never shuffles)."""
+    """The lazy plan under cross_source_matrix: two pair-side resolve
+    joins (broadcast when the measured pair count allows — plan-asserted
+    in tests/test_plans.py — shuffled-on-id past the cap) + one
+    source-pair groupBy; the corpus projection never shuffles in the
+    broadcast regime."""
+    hint = F.broadcast if broadcast_pairs else (lambda d: d)
     with_a = (
-        side.join(F.broadcast(pairs), side[id_col] == F.col("id_a"))
+        side.join(hint(pairs), side[id_col] == F.col("id_a"))
         .select("id_a", "id_b", F.col(source_col).alias("_sa"))
     )
     with_b = (
-        side.join(F.broadcast(with_a), side[id_col] == F.col("id_b"))
+        side.join(hint(with_a), side[id_col] == F.col("id_b"))
         .select("_sa", F.col(source_col).alias("_sb"))
     )
     return (
