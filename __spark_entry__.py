@@ -3465,6 +3465,33 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation to 16 of 64 dims + L2 renorm
+    (similarity.matryoshka_truncate) — the serving-tier cut a
+    Matryoshka-trained model supports without re-encoding, the standard
+    step before int8 quantization in a tiered ANN layout. Gate columns
+    are array-free exact projections (the embedding_quantize device):
+    4dp prefix norm and the plain/absolute long checksums of the
+    4dp-quantized renormalized components — every step elementwise
+    double math the oracle replays with DuckDB list ops (the sequential
+    aggregate fold matches list_reduce's association; 0.0 + x == x for
+    the squares). Born r10 -> gates inside the r10 cap."""
+    m = SIM.matryoshka_truncate(_t(spark, sf_dir, "embeddings"), dims=16)
+    c4 = F.transform(
+        F.col("vec"), lambda e: F.floor(e * 10000 + F.lit(0.5)).cast("long")
+    )
+    return m.select(
+        "vec_id",
+        round4_expr(F.col("prefix_norm")).alias("norm4"),
+        F.aggregate(c4, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.aggregate(
+            c4, F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+        ).alias("code_abs_sum"),
+    )
+
+
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per query, the 5 most-similar base vectors
     with a DIFFERENT label — the contrastive-training sampler. The label
@@ -4311,14 +4338,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
-        "correlated_subquery": q_correlated_subquery,
         # (3) r10-born entries gate in their birth round (displacing the
-        #     backlog tail into the staleness queue — exists_subquery and
-        #     grouping_sets_mixed, both r08-green, re-gate from the
-        #     queue's r08 block):
+        #     backlog tail into the staleness queue — correlated_subquery,
+        #     exists_subquery and grouping_sets_mixed, all r08-green,
+        #     re-gate from the queue's r08 block):
         "fetch_multi_mixed": q_fetch_multi_mixed,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "fetch_absent": q_fetch_absent,
+        "embedding_matryoshka": q_embedding_matryoshka,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4441,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_chunk": q_text_chunk,
         # -- last driver-green r08 --
+        "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,

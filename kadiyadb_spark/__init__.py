@@ -66,7 +66,7 @@ from kadiyadb_spark.query import (
 )
 from kadiyadb_spark.functions.bpe import decode_ids, encode_ids
 from kadiyadb_spark.functions.profile import exact_quantiles
-from kadiyadb_spark.functions.similarity import embedding_outliers
+from kadiyadb_spark.functions.similarity import embedding_outliers, matryoshka_truncate
 from kadiyadb_spark.functions.sketch import (
     kmv_estimate_expr,
     kmv_merge,
@@ -125,6 +125,7 @@ __all__ = [
     "kmv_estimate_expr",
     "kmv_setop_exprs",
     "embedding_outliers",
+    "matryoshka_truncate",
     "encode_ids",
     "decode_ids",
     "get_spark",

@@ -1645,6 +1645,49 @@ def quantize_int8(
     return df.select(id_col, "amax", "codes", err.alias("max_abs_err"))
 
 
+def matryoshka_truncate(
+    emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka (MRL) truncation: keep the first ``dims`` components of
+    each embedding and L2-renormalize the prefix — the serving-tier cut a
+    Matryoshka-trained model family supports (Kusupati et al., 2022: the
+    prefix IS a valid lower-dim embedding), trading recall for a
+    dims/full_dim storage and ADC cost reduction WITHOUT re-encoding the
+    corpus. The standard first step before int8 quantization
+    (``quantize_int8``) in a tiered ANN layout.
+
+    Pure JVM array expressions, no UDF, no shuffle — streams at scan
+    speed: slice for the prefix, the sequential aggregate fold for the
+    prefix norm (same association DuckDB's list fold replays, the
+    embedding_stats device), transform for the division. The all-zero
+    prefix keeps zero components with norm 0 rather than dividing by
+    zero. Output: id, ``prefix_norm`` (unrounded; round at
+    presentation), ``vec`` (array<double>, renormalized unless
+    ``renormalize=False``)."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    x = F.slice(F.col(vec_col).cast("array<double>"), 1, dims)
+    df = emb.select(F.col(id_col), x.alias("_x"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_x"), lambda e: e * e),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    df = df.withColumn("prefix_norm", norm)
+    vec = F.col("_x") if not renormalize else F.when(
+        F.col("prefix_norm") == 0, F.col("_x")
+    ).otherwise(
+        F.transform(F.col("_x"), lambda e: e / F.col("prefix_norm"))
+    )
+    return df.select(id_col, "prefix_norm", vec.alias("vec"))
+
+
 def hard_negatives(
     base: DataFrame,
     queries: DataFrame,

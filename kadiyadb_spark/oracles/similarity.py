@@ -341,6 +341,31 @@ FROM reranked WHERE rnk <= 5
     # identical operands, replayed exactly. Checksums CAST to BIGINT
     # (DuckDB list_sum widens); arithmetic literals ::DOUBLE (bare
     # decimals parse as DECIMAL and flip floor(+0.5) boundaries).
+    # Matryoshka truncation: 16-dim prefix, sequential-fold norm (Spark's
+    # aggregate starts at 0.0; 0.0 + x == x for non-negative squares, so
+    # list_reduce's first-element seed folds identically), elementwise
+    # renorm divisions on identical operands, 4dp-quantized checksums.
+    o["embedding_matryoshka"] = """
+WITH t AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS x FROM embeddings),
+n AS (
+  SELECT vec_id, x,
+         sqrt(list_reduce(list_transform(x, e -> e * e), (a, b) -> a + b)) AS nrm
+  FROM t),
+r AS (
+  SELECT vec_id, nrm,
+         CASE WHEN nrm = 0 THEN x
+              ELSE list_transform(x, e -> e / nrm) END AS v
+  FROM n)
+SELECT vec_id,
+       floor(nrm * 10000 + 0.5) / 10000 AS norm4,
+       CAST(list_sum(list_transform(v,
+            e -> CAST(floor(e * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(v,
+            e -> abs(CAST(floor(e * 10000 + 0.5) AS BIGINT)))) AS BIGINT) AS code_abs_sum
+FROM r
+"""
+
     o["embedding_quantize"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
 a AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS amax FROM v),

@@ -33,7 +33,8 @@ R10_BORN_LEADS = [
     "fetch_cusum", "sketch_kmv_setops", "fetch_regex", "fetch_multi",
     "bpe_decode_roundtrip", "sim_outliers",
 ]
-R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent"]
+R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
+           "embedding_matryoshka"]
 # The four §16.8 spills: stable r08 greens displaced by the birth-round
 # rule; they re-gate via the staleness queue (r08 block), not the cap.
 R10_DOCUMENTED_SPILL = {

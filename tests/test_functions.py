@@ -2248,3 +2248,38 @@ def test_embedding_outliers_tail_semantics(spark):
         embedding_outliers(df, tail=(0, 10))
     with _pt.raises(ValueError):
         embedding_outliers(df, tail=(10, 10))
+
+
+def test_matryoshka_truncate_semantics(spark):
+    """MRL truncation: prefix norm matches numpy on the 16-dim slice, the
+    renormalized vector is unit-length, cosine between two vectors'
+    truncations equals the numpy prefix cosine, zero prefixes keep zero
+    components (no NaN), and renormalize=False returns the raw slice."""
+    import numpy as np
+
+    from kadiyadb_spark.functions.similarity import matryoshka_truncate
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(6, 32)).astype(np.float64)
+    vecs[3, :16] = 0.0  # zero PREFIX, nonzero tail
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in matryoshka_truncate(df, dims=16).collect()}
+    for i in range(len(vecs)):
+        want = float(np.linalg.norm(vecs[i, :16]))
+        assert abs(out[i]["prefix_norm"] - want) < 1e-12, i
+        got = np.array(out[i]["vec"])
+        assert got.shape == (16,)
+        if want == 0:
+            assert (got == 0).all() and not np.isnan(got).any()
+        else:
+            assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-12
+            ref = vecs[i, :16] / want
+            assert np.abs(got - ref).max() < 1e-12
+    raw = {r["vec_id"]: r for r in matryoshka_truncate(df, dims=16, renormalize=False).collect()}
+    assert np.abs(np.array(raw[0]["vec"]) - vecs[0, :16]).max() < 1e-12
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        matryoshka_truncate(df, dims=0)
