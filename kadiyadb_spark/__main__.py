@@ -73,6 +73,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sparse", action="store_true", help="skip dense zero-fill")
     p.add_argument("--limit", type=int, default=1000)
 
+    p = sub.add_parser(
+        "absent", help="PromQL absent(): slots where no matching series has a point"
+    )
+    p.add_argument("--path", required=True)
+    p.add_argument("--from-ns", type=int, required=True)
+    p.add_argument("--to-ns", type=int, required=True)
+    p.add_argument("--pattern", required=True, help="comma-separated, '*' for wildcard levels")
+    p.add_argument("--limit", type=int, default=1000)
+
     p = sub.add_parser("expire", help="drop epochs older than a cutoff")
     p.add_argument("--path", required=True)
     p.add_argument("--before-ns", type=int, required=True)
@@ -320,6 +329,26 @@ def main(argv: list[str] | None = None) -> int:
         # would emit different rows. Order by the series key + bucket.
         keys = [c for c in r.columns if c not in ("total", "cnt")]
         for row in r.orderBy(*keys).limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "absent":
+        from kadiyadb_spark.query import fetch_absent
+
+        db = _open(spark, args.path)
+        pat = args.pattern.split(",")
+        res, dur = db.params.resolution, db.params.duration
+        from_b = max(args.from_ns, 0) - (max(args.from_ns, 0) % res)
+        to_b = max(args.to_ns, 0) - (max(args.to_ns, 0) % res)
+        e_from = from_b - (from_b % dur)
+        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        r = fetch_absent(
+            db.cube(e_from, e_to, prune_pattern=pat),
+            args.from_ns,
+            args.to_ns,
+            pat,
+            resolution=res,
+            duration=dur,
+        )
+        for row in r.orderBy("bucket").limit(args.limit).collect():
             _emit(row.asDict())
     elif args.cmd == "expire":
         _emit({"dropped_epochs": _open(spark, args.path).expire(args.before_ns)})

@@ -298,3 +298,24 @@ def test_cli_quantiles(spark, tmp_path, capsys):
     assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"]) == (2.0, 3.0, 4.0)
     assert out["a"]["n"] == 5
     assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p75"]) == (2.5, 2.5, 2.5)
+
+
+def test_cli_absent(spark, tmp_path, capsys):
+    """absent command: points at slots 0 and 3 over [0, 5) -> absent
+    slots 1, 2, 4; a never-tracked pattern is absent everywhere."""
+    db = str(tmp_path / "dba")
+    ev = str(tmp_path / "eva.parquet")
+    spark.createDataFrame(
+        [Row(ts=0, x="a", y="b", value=1.0), Row(ts=3, x="a", y="b", value=1.0)]
+    ).write.parquet(ev)
+    assert main(["init", "--path", db, "--duration", "5", "--resolution", "1",
+                 "--retention", "10", "--fields", "x,y"]) == 0
+    _out(capsys)
+    assert main(["track", "--path", db, "--events", ev, "--total-col", "value"]) == 0
+    _out(capsys)
+    assert main(["absent", "--path", db, "--from-ns", "0", "--to-ns", "5",
+                 "--pattern", "a,b"]) == 0
+    assert [r["bucket"] for r in _out(capsys)] == [1, 2, 4]
+    assert main(["absent", "--path", db, "--from-ns", "0", "--to-ns", "5",
+                 "--pattern", "zzz,*"]) == 0
+    assert [r["bucket"] for r in _out(capsys)] == [0, 1, 2, 3, 4]
