@@ -1319,6 +1319,81 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN frequency sketch (Cormode & Muthukrishnan 2005) — the
+    point-frequency sibling of the family's distinct sketches
+    (functions/sketch.py:cm_sketch): per event type, a 4x32 counter
+    matrix over user_id built from per-DAY sketches and element-wise
+    MERGED up (counters are a monoid), so the gate itself proves merge ==
+    direct-build: the oracle constructs the whole-range matrix in SQL and
+    the order-weighted checksum must agree counter for counter. The 10
+    globally-hottest users are then point-queried off the merged sketch —
+    estimates are exact longs (min over 4 md5-bucket counters) with the
+    one-sided never-undercount bound pinned as a gated flag. Shape at
+    100 TB: each row fans to 4 (j,bucket) cells map-side and partial
+    aggregation bounds the shuffle at groups x 128 counter rows per
+    partition — raw keys never shuffle; probe selection is
+    TakeOrderedAndProject (k per partition, k at the driver). Born r10 ->
+    gates inside the r10 cap."""
+    from kadiyadb_spark.functions.sketch import (
+        cm_estimate_expr,
+        cm_merge,
+        cm_sketch,
+    )
+
+    W, D = 32, 4
+    ev = normalize_ts(_t(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    # the per-day split only feeds the merge path — any deterministic
+    # partition of the rows proves the monoid fold; ts is long ns here
+    byday = cm_sketch(
+        ev.withColumn("day", (F.col("ts") / F.lit(86_400_000_000_000)).cast("long")),
+        "user_id",
+        ["event_type", "day"],
+        width=W,
+        depth=D,
+    )
+    sk = cm_merge(byday, ["event_type"]).withColumn(
+        "sketch_checksum",
+        F.aggregate(
+            F.zip_with(
+                "cm",
+                F.sequence(F.lit(1), F.lit(D * W)),
+                lambda c, i: c * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+    )
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "user_id")
+        .limit(10)
+        .select("user_id")
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_exact")
+    )
+    # 10 probes x |types| sketch rows: KB-sized broadcast nested loop
+    pairs = probes.crossJoin(F.broadcast(sk))
+    est = cm_estimate_expr(F.col("cm"), F.col("user_id"), W, D)
+    return (
+        pairs.join(exact, ["event_type", "user_id"], "left")
+        .select(
+            "event_type",
+            "user_id",
+            est.alias("est_cnt"),
+            F.coalesce("_exact", F.lit(0).cast("long")).alias("exact_cnt"),
+            (est >= F.coalesce("_exact", F.lit(0).cast("long"))).alias(
+                "never_under"
+            ),
+            "sketch_checksum",
+        )
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     r = (
@@ -4337,7 +4412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_waiting_customers": q22_waiting_customers,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4346,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "fetch_absent": q_fetch_absent,
         "embedding_matryoshka": q_embedding_matryoshka,
+        "sketch_countmin": q_sketch_countmin,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4472,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q22_waiting_customers": q22_waiting_customers,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,

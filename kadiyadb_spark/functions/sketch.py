@@ -416,3 +416,140 @@ def kmv_setop_exprs(a: Column, b: Column, k: int) -> "dict[str, Column]":
         F.lit(0.0)
     )
     return {"union": est_u, "intersect": est_i, "jaccard": jac, "matches": matches}
+
+
+def _cm_bucket_expr(key: Column, j: int, width: int, salt: str) -> Column:
+    """Row-j Count-Min bucket of ``key``: the established cross-engine
+    60-bit md5 key (sampling.shuffle_key_expr form, salted per hash row)
+    mod ``width``. Both operands are non-negative, so Spark ``pmod`` and
+    DuckDB ``%`` agree. DuckDB twin:
+    ``CAST(('0x' || substr(md5('<salt>' || '<j>' || ':' || CAST(key AS
+    VARCHAR)), 1, 15)) AS BIGINT) % width``."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}{j}:"), key.cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    width: int = 64,
+    depth: int = 4,
+    salt: str = "cm",
+    sketch_col: str = "cm",
+) -> DataFrame:
+    """COUNT-MIN sketch per group (Cormode & Muthukrishnan, J.Alg 2005):
+    a depth×width counter matrix answering "how often did key x occur?"
+    in O(depth) lookups with a one-sided guarantee — the estimate NEVER
+    undercounts and overcounts by ≤ εN (ε = e/width) with probability
+    1−e^−depth. The frequency sibling of the family's distinct sketches
+    (HLL counts distinct, KMV intersects, Misra-Gries finds the top — CM
+    answers POINT frequency queries for keys chosen after the scan, the
+    per-key rate-limit / feature-frequency shape a training pipeline
+    asks at serving time).
+
+    Spark-first and exact-integer end to end — NO Python kernel: each
+    row fans to ``depth`` (j, bucket) increments map-side (the bucket is
+    the established cross-engine md5, so the whole matrix is
+    SQL-replayable and value-hash gateable), ONE groupBy folds them with
+    map-side partial aggregation — at most groups × depth × width
+    counter rows leave any partition, never raw keys — and a second
+    groups-sized aggregation densifies to the array layout. Returns
+    group_cols + ``sketch_col``: array<long> of length depth·width,
+    counts[j·width + b] = row-j bucket-b counter. Null keys drop
+    (COUNT(x) semantics). Row sums are each exactly N(group) — the
+    invariant pytest pins alongside merge==whole and layout invariance."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1 (got {width}x{depth})")
+    if not group_cols:
+        raise ValueError("cm_sketch needs at least one group column")
+    key = F.col(key_col)
+    cells = df.filter(key.isNotNull()).select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(j * width) + _cm_bucket_expr(key, j, width, salt))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    )
+    counts = cells.groupBy(*group_cols, "_cell").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # densify: collect the sparse cells into a map per group (bounded at
+    # depth*width entries), then one map lookup over the full cell range;
+    # absent cells are 0
+    sparse = counts.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_cell", "_cnt"))).alias("_m")
+    )
+    return sparse.select(
+        *group_cols,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth * width - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+            ),
+        ).alias(sketch_col),
+    )
+
+
+def cm_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "cm",
+) -> DataFrame:
+    """Fold Count-Min sketches up a hierarchy (day→month, type→all) by
+    element-wise addition — counters are a commutative MONOID, so any
+    merge tree yields byte-identical arrays to the direct whole-range
+    build (the gated entry exercises exactly this: Spark merges per-day
+    sketches, the oracle builds the whole range directly, and the
+    value-hash agrees). Only one array per input row reaches the
+    shuffle."""
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    merged = grouped.agg(F.collect_list(sketch_col).alias("_parts"))
+    return merged.select(
+        *group_cols,
+        F.aggregate(
+            F.slice(F.col("_parts"), F.lit(2), F.size("_parts") - 1),
+            F.element_at("_parts", 1),
+            lambda acc, s: F.zip_with(acc, s, lambda x, y: x + y),
+        ).alias(sketch_col),
+    )
+
+
+def cm_estimate_expr(
+    sketch: Column,
+    key: Column,
+    width: int,
+    depth: int,
+    salt: str = "cm",
+) -> Column:
+    """Point-frequency estimate for ``key`` off a Count-Min sketch
+    column: min over the depth row counters the key hashes to — exact
+    longs, identical in any engine at any parallelism (the ≥-truth
+    one-sided bound is pinned in pytest against exact counts)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.element_at(
+                    sketch,
+                    (F.lit(j * width + 1) + _cm_bucket_expr(key, j, width, salt)).cast("int"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )

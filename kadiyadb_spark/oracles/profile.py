@@ -102,6 +102,56 @@ SELECT type_a, type_b,
 FROM e
 """
 
+    # Count-Min replay: the bucket hash is the established cross-engine
+    # 60-bit md5 (positive, so % == pmod), counters are exact longs, and
+    # the order-weighted checksum gates the FULL 4x32 matrix counter for
+    # counter. Spark builds per-day and merges (monoid fold); this oracle
+    # builds the whole range directly — hash equality proves the merge
+    # lossless, the same device as histogram_rollup_merge.
+    o["sketch_countmin"] = """
+WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT event_type, js.j,
+         CAST(('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS b,
+         count(*) AS c
+  FROM events CROSS JOIN js
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+chk AS (
+  SELECT event_type, CAST(sum(c * (j * 32 + b + 1)) AS BIGINT) AS sketch_checksum
+  FROM cells GROUP BY event_type
+),
+probes AS (
+  SELECT user_id FROM (
+    SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+  ) WHERE rn <= 10
+),
+pj AS (
+  SELECT p.user_id, t.event_type
+  FROM probes p CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+est AS (
+  SELECT pj.event_type, pj.user_id, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_cnt
+  FROM pj CROSS JOIN js
+  LEFT JOIN cells c ON c.event_type = pj.event_type AND c.j = js.j
+    AND c.b = CAST(('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) || ':' || CAST(pj.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT event_type, user_id, count(*) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT e.event_type, e.user_id, e.est_cnt,
+       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+       e.est_cnt >= coalesce(x.exact_cnt, 0) AS never_under,
+       k.sketch_checksum
+FROM est e
+LEFT JOIN ex x ON x.event_type = e.event_type AND x.user_id = e.user_id
+JOIN chk k ON k.event_type = e.event_type
+"""
+
     # Direct computation at the same ladder — equality with the Spark
     # side's day->type merge path proves the histogram merge is lossless.
     o["histogram_rollup_merge"] = """

@@ -2283,3 +2283,68 @@ def test_matryoshka_truncate_semantics(spark):
 
     with _pt.raises(ValueError):
         matryoshka_truncate(df, dims=0)
+
+
+def test_cm_sketch_layout_merge_and_bounds(spark):
+    """Count-Min contract: (1) the build is layout-invariant (1 vs 16
+    partitions — it is one deterministic groupBy); (2) element-wise
+    merge(per-day) EQUALS the direct whole-range build, counter for
+    counter (counters are a monoid); (3) every depth row sums to exactly
+    N(group); (4) estimates NEVER undercount and are exact when width
+    comfortably exceeds the distinct-key count; (5) the bucket hash is
+    the documented md5 form — pinned by a pure-python replay."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.functions.sketch import (
+        cm_estimate_expr,
+        cm_merge,
+        cm_sketch,
+    )
+
+    W, D = 32, 4
+    rows = (
+        [("a", i % 7, i % 3) for i in range(700)]   # 7 keys x 100 each
+        + [("b", i, i % 3) for i in range(50)]      # 50 singletons
+        + [("a", None, 0)] * 5                      # null keys drop
+    )
+    df = spark.createDataFrame(rows, "g string, uid long, day int")
+
+    sk1 = {r["g"]: r["cm"] for r in cm_sketch(df.repartition(1), "uid", ["g"], width=W, depth=D).collect()}
+    sk16 = {r["g"]: r["cm"] for r in cm_sketch(df.repartition(16), "uid", ["g"], width=W, depth=D).collect()}
+    assert sk1 == sk16
+    assert all(len(v) == W * D for v in sk1.values())
+    # (3) row sums: null keys dropped -> N("a") = 700
+    for g, n in (("a", 700), ("b", 50)):
+        for j in range(D):
+            assert sum(sk1[g][j * W:(j + 1) * W]) == n
+
+    daily = cm_sketch(df, "uid", ["g", "day"], width=W, depth=D)
+    merged = {r["g"]: r["cm"] for r in cm_merge(daily, ["g"]).collect()}
+    assert merged == sk1
+
+    # (4) one-sided bound, exactness in the sparse regime ("a": 7 keys)
+    sk = cm_sketch(df, "uid", ["g"], width=W, depth=D)
+    exact = df.filter(F.col("uid").isNotNull()).groupBy("g", "uid").count()
+    est = exact.join(sk, "g").select(
+        "g", "uid", "count",
+        cm_estimate_expr(F.col("cm"), F.col("uid"), W, D).alias("est"),
+    ).collect()
+    assert all(r["est"] >= r["count"] for r in est)
+    assert all(r["est"] == 100 for r in est if r["g"] == "a")
+
+    # (5) python replay of the bucket hash for one key
+    uid = 3
+    cells = {
+        j * W + int(hashlib.md5(f"cm{j}:{uid}".encode()).hexdigest()[:15], 16) % W
+        for j in range(D)
+    }
+    assert all(sk1["a"][c] >= 100 for c in cells)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cm_sketch(df, "uid", ["g"], width=1)
+    with _pt.raises(ValueError):
+        cm_sketch(df, "uid", [], width=W)
