@@ -1394,6 +1394,44 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority scoring (functions/graph.py:pagerank) — the
+    RefinedWeb/CCNet-style domain-reputation prior, run over the TPC-H
+    trade graph: nation -> nation edges weighted by lineitem volume
+    (supplier nation ships to customer nation), 3 damped iterations.
+    Every update is integer arithmetic on scaled longs (quantized edge
+    shares, `div` folds), so the final rank vector is a pure integer
+    function of the edge list — the oracle unrolls the same 3 updates as
+    CTEs and value-hash gates the longs. Scale shape: ranks and edges
+    stay DataFrames (no driver collect); one iteration = one src-keyed
+    join + one dst-keyed fold, the canonical distributed-PageRank plan;
+    the edge derivation is the usual broadcast-dimension TPC-H join
+    tree. Born r10 -> gates inside the r10 cap."""
+    from kadiyadb_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("src")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("_snk"))
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("_cnk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, weight="w", iters=3)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     r = (
@@ -4411,7 +4449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4421,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_absent": q_fetch_absent,
         "embedding_matryoshka": q_embedding_matryoshka,
         "sketch_countmin": q_sketch_countmin,
+        "graph_pagerank": q_graph_pagerank,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4547,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,

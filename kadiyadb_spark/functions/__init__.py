@@ -10,6 +10,7 @@ blocking/LSH instead of quadratic self-joins).
 from kadiyadb_spark.functions import (  # noqa: F401
     analytics,
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,

@@ -18,6 +18,43 @@ def oracles() -> dict[str, str]:
 
     day_ns = 24 * 3600 * SEC
 
+    # PageRank replay: ranks are scaled longs and every update is integer
+    # arithmetic (quantized edge shares w*10^4 // W_out, contributions
+    # r*share4 // 10^4, damping base + 85*sum // 100), so the 3 damped
+    # iterations unroll as CTEs and the final vector value-hash gates.
+    # DuckDB sum(BIGINT) is HUGEINT — every fold is CAST back.
+    _pr_iter = """
+it{k} AS (
+  SELECT n.node, 150000 + (CAST(coalesce(s.i, 0) AS BIGINT) * 85) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e4.dst AS node, CAST(sum((p.r * e4.share4) // 10000) AS BIGINT) AS i
+    FROM it{km1} p JOIN e4 ON p.node = e4.src GROUP BY e4.dst
+  ) s ON n.node = s.node
+)"""
+    o["graph_pagerank"] = f"""
+WITH e AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+),
+e4 AS (
+  SELECT src, dst,
+         (w * 10000) // CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS share4
+  FROM e
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{_pr_iter.format(k=1, km1=0)},
+{_pr_iter.format(k=2, km1=1)},
+{_pr_iter.format(k=3, km1=2)}
+SELECT node, CAST(r AS BIGINT) AS rank FROM it3
+"""
+
     o["semi_join"] = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)

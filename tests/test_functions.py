@@ -2348,3 +2348,52 @@ def test_cm_sketch_layout_merge_and_bounds(spark):
         cm_sketch(df, "uid", ["g"], width=1)
     with _pt.raises(ValueError):
         cm_sketch(df, "uid", [], width=W)
+
+
+def test_pagerank_integer_replay_and_shape(spark):
+    """PageRank contract: (1) the rank vector equals a pure-python
+    integer replay of the documented construction (quantized shares,
+    div folds) — no engine FP anywhere; (2) layout-invariant (1 vs 16
+    partitions); (3) a dangling node keeps the base rank and emits no
+    mass; (4) unweighted input means weight 1 per row with parallel
+    edges folding to their count; (5) parameter validation."""
+    import collections
+
+    import pytest as _pt
+
+    from kadiyadb_spark.functions.graph import pagerank
+
+    raw = [("a", "b"), ("a", "c"), ("a", "b"), ("b", "c"), ("c", "a"),
+           ("d", "a")]  # d is a source-only node; parallel a->b folds to w=2
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    out16 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(16), iters=3).collect()
+    }
+    assert out == out16
+
+    E = collections.Counter(raw)
+    W = collections.Counter()
+    for (s, d), w in E.items():
+        W[s] += w
+    share = {(s, d): (w * 10000) // W[s] for (s, d), w in E.items()}
+    nodes = {x for e in raw for x in e}
+    r = {n: 10**6 for n in nodes}
+    for _ in range(3):
+        inc = collections.Counter()
+        for (s, d), sh in share.items():
+            inc[d] += (r[s] * sh) // 10000
+        r = {n: 150000 + (inc[n] * 85) // 100 for n in nodes}
+    assert out == r
+    # d receives nothing: base rank at every iteration
+    assert out["d"] == 150000
+    # a sink-free cycle member outranks the dangling source
+    assert out["c"] > out["a"] > out["d"]
+
+    with _pt.raises(ValueError):
+        pagerank(edges, iters=0)
+    with _pt.raises(ValueError):
+        pagerank(edges, damping_num=100)
+    with _pt.raises(ValueError):
+        pagerank(edges, scale=10**6 + 1)
