@@ -281,6 +281,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--value-col", required=True)
     p.add_argument("--group-col", required=True)
 
+    p = sub.add_parser(
+        "cmsketch",
+        help="Count-Min point-frequency estimates per group for the "
+        "hottest keys (never undercounts; raw keys never shuffle)",
+    )
+    p.add_argument("--events", required=True, help="parquet path")
+    p.add_argument("--key-col", default="user_id")
+    p.add_argument("--group-col", default="event_type")
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--topn", type=int, default=10)
+
+    p = sub.add_parser(
+        "pagerank",
+        help="deterministic weighted PageRank over an edge parquet "
+        "(integer scaled-long updates — identical on any layout)",
+    )
+    p.add_argument("--edges", required=True, help="parquet path")
+    p.add_argument("--src-col", default="src")
+    p.add_argument("--dst-col", default="dst")
+    p.add_argument("--weight-col", default=None)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--limit", type=int, default=100)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -579,6 +603,52 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.table), args.value_col, [args.group_col]
         )
         for row in r.orderBy(args.group_col).collect():
+            _emit(row.asDict())
+    elif args.cmd == "cmsketch":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.sketch import (
+            cm_estimate_expr,
+            cm_sketch,
+        )
+
+        ev = spark.read.parquet(args.events).filter(
+            F.col(args.key_col).isNotNull()
+        )
+        sk = cm_sketch(
+            ev, args.key_col, [args.group_col], width=args.width, depth=args.depth
+        )
+        probes = (
+            ev.groupBy(args.key_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), args.key_col)
+            .limit(args.topn)
+            .select(args.key_col)
+        )
+        r = probes.crossJoin(F.broadcast(sk)).select(
+            args.group_col,
+            args.key_col,
+            cm_estimate_expr(
+                F.col("cm"), F.col(args.key_col), args.width, args.depth
+            ).alias("est_cnt"),
+        )
+        for row in r.orderBy(args.group_col, args.key_col).collect():
+            _emit(row.asDict())
+    elif args.cmd == "pagerank":
+        from kadiyadb_spark.functions.graph import pagerank
+
+        r = pagerank(
+            spark.read.parquet(args.edges),
+            src=args.src_col,
+            dst=args.dst_col,
+            weight=args.weight_col,
+            iters=args.iters,
+        )
+        from pyspark.sql import functions as F
+
+        for row in (
+            r.orderBy(F.col("rank").desc(), "node").limit(args.limit).collect()
+        ):
             _emit(row.asDict())
     return 0
 

@@ -319,3 +319,34 @@ def test_cli_absent(spark, tmp_path, capsys):
     assert main(["absent", "--path", db, "--from-ns", "0", "--to-ns", "5",
                  "--pattern", "zzz,*"]) == 0
     assert [r["bucket"] for r in _out(capsys)] == [0, 1, 2, 3, 4]
+
+
+def test_cli_cmsketch(spark, tmp_path, capsys):
+    """Count-Min command: in the sparse regime (distinct keys << width)
+    estimates equal exact counts; the hottest key leads the probe set."""
+    ev = str(tmp_path / "cm_ev.parquet")
+    rows = [Row(event_type="a", user_id=7)] * 5 + [
+        Row(event_type="a", user_id=9)
+    ] * 2 + [Row(event_type="b", user_id=7)] * 3
+    spark.createDataFrame(rows).write.parquet(ev)
+    assert main(["cmsketch", "--events", ev, "--width", "32", "--topn", "2"]) == 0
+    out = _out(capsys)
+    got = {(r["event_type"], r["user_id"]): r["est_cnt"] for r in out}
+    assert got[("a", 7)] == 5 and got[("a", 9)] == 2 and got[("b", 7)] == 3
+    # user 9 never hit type b: min over rows is 0 in the sparse regime
+    assert got[("b", 9)] == 0
+
+
+def test_cli_pagerank(spark, tmp_path, capsys):
+    """pagerank command: hub-and-spoke graph — the hub every node links
+    to outranks the spokes; ranks are the documented scaled longs."""
+    e = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [Row(src=s, dst="hub") for s in ("a", "b", "c")]
+        + [Row(src="hub", dst="a")]
+    ).write.parquet(e)
+    assert main(["pagerank", "--edges", e, "--iters", "3"]) == 0
+    out = _out(capsys)
+    assert out[0]["node"] == "hub"  # sorted rank desc
+    ranks = {r["node"]: r["rank"] for r in out}
+    assert ranks["hub"] > ranks["a"] > ranks["b"] == ranks["c"] == 150000
