@@ -213,6 +213,27 @@ def q_fetch_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_increase(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
 
 
+def q_fetch_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL SUBQUERY — max_over_time(increase(m[1m])[1h:5m]): the
+    "worst 5-minute burst in the trailing hour" alerting composition
+    (query.py:series_subquery). Reset-adjusted fine increases fold to 5m
+    steps (telescoping sum), a trailing 12-step window takes the max —
+    every stage exact scaled longs, one /1e4 per output. Plan: one
+    series-keyed window Exchange + one (series, step) fold + one step
+    window. Born r10 -> gates inside the r10 cap."""
+    from kadiyadb_spark.query import series_subquery
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_subquery(
+        r.select("f1", "f2", "bucket", "total"),
+        ["f1", "f2"],
+        step_slots=5,
+        range_steps=12,
+    )
+
+
 def q_fetch_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL deriv()/predict_linear(): per slot, the least-squares line
     through the trailing 30 totals, as slope per second and the value one
@@ -4448,7 +4469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_ratio": q14_promo_ratio,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
-        "q19_disjunctive": q19_disjunctive,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4459,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_matryoshka": q_embedding_matryoshka,
         "sketch_countmin": q_sketch_countmin,
         "graph_pagerank": q_graph_pagerank,
+        "fetch_subquery": q_fetch_subquery,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4585,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
         "topk_per_group": q_topk_per_group,

@@ -104,6 +104,39 @@ FROM base
 WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
 """
 
+    # Subquery replay: same reset-adjusted increase CTEs as
+    # fetch_increase (baseline-less first slot folds as 0), step fold by
+    # integer bucket arithmetic, trailing-window max over exact longs.
+    o["fetch_subquery"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+d AS (
+  SELECT f1, f2, bucket, t4, lag(t4) OVER w AS prev4
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+),
+adj AS (
+  SELECT f1, f2, bucket,
+         CASE WHEN prev4 IS NULL THEN 0
+              WHEN t4 - prev4 < 0 THEN t4 ELSE t4 - prev4 END AS adj4
+  FROM d
+),
+st AS (
+  SELECT f1, f2, bucket - bucket % {5 * RES} AS step,
+         CAST(sum(adj4) AS BIGINT) AS inc4
+  FROM adj GROUP BY 1, 2, 3
+)
+SELECT f1, f2, step AS bucket,
+       inc4 / 10000.0 AS step_increase,
+       max(inc4) OVER wr / 10000.0 AS subquery_max,
+       CAST(count(*) OVER wr AS BIGINT) AS steps_in_range
+FROM st
+WINDOW wr AS (PARTITION BY f1, f2 ORDER BY step
+              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+"""
+
     o["fetch_increase"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4

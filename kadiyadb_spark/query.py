@@ -2343,3 +2343,80 @@ def fetch_absent(
     return spine.join(present, on=S.BUCKET, how="left_anti").select(
         S.BUCKET, F.lit(1).alias("absent")
     )
+
+
+def series_subquery(
+    df: DataFrame,
+    series_cols: list[str],
+    step_slots: int,
+    range_steps: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    resolution: int = 60_000_000_000,
+    outer: str = "max",
+) -> DataFrame:
+    """PromQL SUBQUERY evaluation — ``max_over_time(increase(m[res])
+    [range:step])``, the alerting composition Prometheus users write for
+    "worst step-burst inside the trailing range" (each output slot needs
+    an inner range function re-evaluated at every step of an outer
+    window; recording rules exist precisely because engines find this
+    expensive — here it is two window passes over one frame).
+
+    Semantics over a dense fetch frame: (1) the inner function is
+    reset-adjusted ``increase`` per fine slot (series_increase's rule;
+    each series' baseline-less first slot contributes 0, documented);
+    (2) fine increases FOLD to ``step_slots``-sized step buckets — sum
+    of per-slot increases IS increase over the step (telescoping, up to
+    resets which are already absorbed per slot); (3) ``outer``
+    (max/min/sum) aggregates the trailing ``range_steps`` step values,
+    emitted at every step. All three stages are exact scaled-long
+    arithmetic with ONE final /1e4 per output column — engine- and
+    layout-free; max/min/sum are order-free folds.
+
+    Plan shape: one series-keyed window Exchange (the lag), one
+    (series, step) aggregation, one series-keyed window over steps —
+    the second window reuses the aggregation's clustering. Steps per
+    series is range-bounded, so no skew. ``steps_in_range`` counts the
+    steps actually inside each trailing window (< range_steps during
+    warm-up) so consumers can gate on full windows."""
+    if step_slots < 1:
+        raise ValueError(f"step_slots must be >= 1, got {step_slots}")
+    if range_steps < 1:
+        raise ValueError(f"range_steps must be >= 1, got {range_steps}")
+    if outer not in ("max", "min", "sum"):
+        raise ValueError(f"outer must be max/min/sum, got {outer!r}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import scale4_expr
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    t4 = scale4_expr(F.col(total_col))
+    prev4 = F.lag(t4).over(w)
+    d4 = t4 - prev4
+    adj4 = (
+        F.when(prev4.isNull(), F.lit(0).cast("long"))
+        .when(d4 < 0, t4)
+        .otherwise(d4)
+    )
+    step_ns = step_slots * resolution
+    fine = df.select(
+        *series_cols,
+        (F.col(bucket_col) - F.col(bucket_col) % F.lit(step_ns)).alias("_step"),
+        adj4.alias("_adj4"),
+    )
+    steps = fine.groupBy(*series_cols, "_step").agg(
+        F.sum("_adj4").alias("_inc4")
+    )
+    wr = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_step")
+        .rowsBetween(-(range_steps - 1), 0)
+    )
+    agg = {"max": F.max, "min": F.min, "sum": F.sum}[outer]
+    return steps.select(
+        *series_cols,
+        F.col("_step").alias(bucket_col),
+        (F.col("_inc4") / F.lit(10000.0)).alias("step_increase"),
+        (agg("_inc4").over(wr) / F.lit(10000.0)).alias(f"subquery_{outer}"),
+        F.count(F.lit(1)).over(wr).alias("steps_in_range"),
+    )

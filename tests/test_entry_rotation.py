@@ -34,12 +34,14 @@ R10_BORN_LEADS = [
     "bpe_decode_roundtrip", "sim_outliers",
 ]
 R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
-           "embedding_matryoshka", "sketch_countmin", "graph_pagerank"]
+           "embedding_matryoshka", "sketch_countmin", "graph_pagerank",
+           "fetch_subquery"]
 # The §16.8 spills: stable r08 greens displaced by the birth-round
 # rule; they re-gate via the staleness queue (r08 block), not the cap.
 R10_DOCUMENTED_SPILL = {
     "topk_per_group", "window_daily_running", "window_frames",
-    "pivot_event_matrix", "q21_waiting_suppliers", "q22_waiting_customers",
+    "pivot_event_matrix", "q19_disjunctive", "q21_waiting_suppliers",
+    "q22_waiting_customers",
 }
 
 

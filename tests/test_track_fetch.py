@@ -1517,3 +1517,65 @@ def test_fetch_absent_semantics(spark, rollup_cube):
     assert fetch_absent(rollup_cube, 3, 3, ["a", "b", "c"], RES, DUR).count() == 0
     with pytest.raises(InvalidTimeRange):
         fetch_absent(rollup_cube, 5, 0, ["a", "b", "c"], RES, DUR)
+
+
+def test_series_subquery_python_replay(spark):
+    """PromQL subquery contract: step sums telescope the reset-adjusted
+    increases, the trailing window max matches a pure-python replay
+    (including warm-up windows shorter than range_steps), and results
+    are layout-invariant. Series: counter 0,2,5,1(reset),4,6 at 1ns
+    resolution, steps of 2 slots, range of 2 steps."""
+    import pytest as _pt
+
+    from kadiyadb_spark.query import series_subquery
+
+    vals = [0.0, 2.0, 5.0, 1.0, 4.0, 6.0]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double")
+
+    def replay(outer):
+        t4 = [round(v * 10000) for v in vals]
+        adj = [0] + [
+            t4[i] if t4[i] - t4[i - 1] < 0 else t4[i] - t4[i - 1]
+            for i in range(1, len(t4))
+        ]
+        steps = {}
+        for i, a in enumerate(adj):
+            steps.setdefault(i - i % 2, []).append(a)
+        ks = sorted(steps)
+        inc = {k: sum(v) for k, v in steps.items()}
+        f = {"max": max, "min": min, "sum": sum}[outer]
+        return {
+            k: (
+                inc[k] / 10000.0,
+                f(inc[j] for j in ks[max(0, i - 1): i + 1]) / 10000.0,
+                len(ks[max(0, i - 1): i + 1]),
+            )
+            for i, k in enumerate(ks)
+        }
+
+    for outer in ("max", "min", "sum"):
+        got = {
+            r["bucket"]: (
+                r["step_increase"],
+                r[f"subquery_{outer}"],
+                r["steps_in_range"],
+            )
+            for r in series_subquery(
+                df, ["f1"], 2, 2, resolution=1, outer=outer
+            ).collect()
+        }
+        assert got == replay(outer), outer
+
+    one = series_subquery(df, ["f1"], 2, 2, resolution=1).collect()
+    sixteen = series_subquery(
+        df.repartition(16), ["f1"], 2, 2, resolution=1
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, sixteen))
+
+    with _pt.raises(ValueError):
+        series_subquery(df, ["f1"], 0, 2, resolution=1)
+    with _pt.raises(ValueError):
+        series_subquery(df, ["f1"], 2, 0, resolution=1)
+    with _pt.raises(ValueError):
+        series_subquery(df, ["f1"], 2, 2, resolution=1, outer="avg")
