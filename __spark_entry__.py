@@ -3559,6 +3559,24 @@ def _queries_vs_base(spark: SparkSession, sf_dir: str):
     return base, queries
 
 
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction top-k (similarity.py:maxsim_topk):
+    queries and docs are MULTI-vector (8 consecutive fixture embeddings
+    per token bag, ids div 8), score = per-query-token max cosine summed
+    — with each max quantized to a 4dp scaled long BEFORE the sum, so
+    ranking is an exact-integer order the oracle replays with list ops.
+    One doc-keyed shuffle + broadcast query matrix + per-batch local
+    top-k. Born r10 -> gates inside the r10 cap."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < 16).select(
+        F.expr("vec_id div 8").alias("query_id"), "embedding"
+    )
+    dt = emb.filter(F.col("vec_id") >= 16).select(
+        F.expr("vec_id div 8").alias("doc_id"), "embedding"
+    )
+    return SIM.maxsim_topk(dt, qt, k=5)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column analytics: per-label vector counts and norm
     statistics — the sanity table a pipeline checks before indexing (zero
@@ -4468,7 +4486,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_ratio": q14_promo_ratio,
         "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4480,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": q_sketch_countmin,
         "graph_pagerank": q_graph_pagerank,
         "fetch_subquery": q_fetch_subquery,
+        "sim_maxsim": q_sim_maxsim,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4606,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,

@@ -1916,3 +1916,100 @@ def embedding_outliers(
         round4_expr(cut_num.cast("double") / F.lit(float(den) * 10000.0)).alias("cut"),
         (F.lit(den) * F.col("_c4") < cut_num).alias("is_outlier"),
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia,
+    SIGIR 2020): documents and queries are MULTI-vector (one embedding
+    per token), and score(q, d) = Σ over q's tokens of the max cosine
+    against any of d's tokens — the MaxSim operator. Single-vector
+    cosine (cosine_topk) collapses a document to one point; MaxSim keeps
+    token-level matching, the shape modern retrieval stacks deploy
+    between bi-encoders and full cross-encoders.
+
+    Determinism device: each per-query-token maximum quantizes to a 4dp
+    scaled long BEFORE the per-query sum, so the score is an order-free
+    integer fold and ranking (score desc, doc_id asc) cannot be flipped
+    by engine/layout FP — the same device as the PQ rankers.
+
+    Scale shape: the query token matrix is broadcast (a query batch is
+    bounded); doc tokens fold to per-doc arrays with ONE doc-keyed
+    shuffle (tokens-per-doc is model-bounded, ~10^2); each Arrow batch
+    scores ALL its docs in one matmul + segment-max
+    (np.maximum.reduceat) and emits only its local top-k per query — the
+    global top-k over per-batch top-ks is exact, so the ranking shuffle
+    carries k × batches × |queries| rows, never |docs| × |queries|."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = doc_tokens.sparkSession
+    q_ids, q = _collect_matrix(query_tokens, query_id_col, query_vec_col)
+    if len(q_ids) == 0:
+        raise ValueError("query_tokens is empty")
+    order = np.argsort(q_ids, kind="stable")
+    q_ids, q = q_ids[order], q[order]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    uq, qidx = np.unique(q_ids, return_inverse=True)
+    bc = spark.sparkContext.broadcast((uq, qidx, qn))
+
+    grouped = doc_tokens.groupBy(doc_id_col).agg(
+        F.collect_list(vec_col).alias("_toks")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        u, qi, qmat = bc.value
+        nq = len(u)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf["_toks"].tolist()
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            flat = np.array(
+                [v for t in toks for v in t], dtype=np.float64
+            )
+            flat /= np.linalg.norm(flat, axis=1, keepdims=True)
+            s = qmat @ flat.T  # (q tokens, all doc tokens in batch)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m = np.maximum.reduceat(s, offs, axis=1)  # (q tokens, docs)
+            m4 = np.floor(m * 10000 + 0.5).astype(np.int64)
+            s4 = np.zeros((nq, m4.shape[1]), dtype=np.int64)
+            np.add.at(s4, qi, m4)  # per-query integer fold
+            ids = pdf[doc_id_col].to_numpy()
+            parts = []
+            for j in range(nq):
+                # same total order as the final window: s4 desc, id asc
+                o = np.lexsort((ids, -s4[j]))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {query_id_col: u[j], doc_id_col: ids[o], "_s4": s4[j][o]}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = grouped.mapInPandas(
+        score, schema=f"{query_id_col} long, {doc_id_col} long, _s4 long"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_s4").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            doc_id_col,
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("_s4") / F.lit(10000.0)).alias("maxsim"),
+        )
+    )

@@ -68,6 +68,37 @@ SELECT query_id, vec_id, CAST(label AS BIGINT) AS label,
 FROM ranked WHERE rnk <= 5
 """
 
+    # MaxSim replay: per (query token, doc) max cosine rounds to a 4dp
+    # scaled long BEFORE the per-query sum (order-free integer fold), so
+    # ranking on (s4 desc, doc_id asc) is engine- and layout-exact.
+    o["sim_maxsim"] = """
+WITH qt AS (
+  SELECT vec_id // 8 AS query_id, vec_id AS qtid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 16
+),
+dt AS (
+  SELECT vec_id // 8 AS doc_id, embedding::DOUBLE[] AS dv
+  FROM embeddings WHERE vec_id >= 16
+),
+pertok AS (
+  SELECT qt.query_id, qt.qtid, dt.doc_id,
+         CAST(floor(max(list_cosine_similarity(qt.qv, dt.dv)) * 10000 + 0.5) AS BIGINT) AS m4
+  FROM qt CROSS JOIN dt
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT query_id, doc_id, CAST(sum(m4) AS BIGINT) AS s4
+  FROM pertok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, s4,
+         row_number() OVER (PARTITION BY query_id ORDER BY s4 DESC, doc_id ASC) AS rnk
+  FROM score
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, s4 / 10000.0 AS maxsim
+FROM ranked WHERE rnk <= 5
+"""
+
     o["sim_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),

@@ -2397,3 +2397,65 @@ def test_pagerank_integer_replay_and_shape(spark):
         pagerank(edges, damping_num=100)
     with _pt.raises(ValueError):
         pagerank(edges, scale=10**6 + 1)
+
+
+def test_maxsim_topk_replay_and_pruning(spark):
+    """MaxSim contract: (1) score equals a pure-python replay of the
+    documented construction (per-query-token max cosine -> round4 scaled
+    long -> per-query integer sum); (2) token-level matching beats
+    single-vector pooling — a doc matching each query token exactly
+    outranks a doc matching their mean; (3) per-batch local top-k
+    pruning is lossless (16-partition run == 1-partition run); (4)
+    validation."""
+    import math
+
+    import pytest as _pt
+
+    from kadiyadb_spark.functions.similarity import maxsim_topk
+
+    # query 0: two orthogonal tokens e0, e1
+    qt = [(0, [1.0, 0.0, 0.0]), (0, [0.0, 1.0, 0.0])]
+    # doc 10 matches each token exactly; doc 11 is the pooled mean
+    # (cos ~0.707 per token); docs 12.. are noise
+    dt = (
+        [(10, [1.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0])]
+        + [(11, [1.0, 1.0, 0.0]), (11, [1.0, 1.0, 0.0])]
+        + [(12 + i, [0.1 * (i + 1), 0.2, 5.0]) for i in range(6)]
+    )
+    qdf = spark.createDataFrame(qt, "query_id long, embedding array<double>")
+    ddf = spark.createDataFrame(dt, "doc_id long, embedding array<double>")
+
+    got = maxsim_topk(ddf, qdf, k=3).collect()
+    by_rank = {r["rank"]: (r["doc_id"], r["maxsim"]) for r in got}
+    assert by_rank[1] == (10, 2.0)  # exact match on both tokens
+
+    def replay():
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        docs = {}
+        for d, v in dt:
+            docs.setdefault(d, []).append(v)
+        s = {
+            d: sum(
+                math.floor(max(cos(q, v) for v in toks) * 10000 + 0.5)
+                for _, q in qt
+            )
+            for d, toks in docs.items()
+        }
+        return sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    assert [(d, s / 10000.0) for d, s in replay()] == [
+        (r["doc_id"], r["maxsim"]) for r in sorted(got, key=lambda r: r["rank"])
+    ]
+
+    one = sorted(map(tuple, maxsim_topk(ddf.coalesce(1), qdf, k=3).collect()))
+    many = sorted(map(tuple, maxsim_topk(ddf.repartition(16), qdf, k=3).collect()))
+    assert one == many
+
+    with _pt.raises(ValueError):
+        maxsim_topk(ddf, qdf, k=0)
+    with _pt.raises(ValueError):
+        maxsim_topk(ddf, qdf.filter("query_id < 0"), k=3)
