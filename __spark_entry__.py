@@ -213,6 +213,24 @@ def q_fetch_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_increase(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
 
 
+def q_fetch_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate()/idelta() — the INSTANT rate between the last two
+    OBSERVED slots with reset handling and true gap-time denominators
+    (query.py:series_irate): zero-filled gap slots don't participate, so
+    after a 10-slot gap the denominator is 10 slots. Sparse output per
+    observed slot; idelta exact scaled-long, irate one fixed-order
+    double expression rounded 4dp; gap_slots exposes staleness. Born
+    r10 -> gates inside the r10 cap."""
+    from kadiyadb_spark.query import series_irate
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_irate(
+        r.select("f1", "f2", "bucket", "total", "cnt"), ["f1", "f2"]
+    )
+
+
 def q_fetch_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL SUBQUERY — max_over_time(increase(m[1m])[1h:5m]): the
     "worst 5-minute burst in the trailing hour" alerting composition
@@ -4485,7 +4503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
         "q14_promo_ratio": q14_promo_ratio,
-        "q15_top_supplier": q15_top_supplier,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4498,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "fetch_subquery": q_fetch_subquery,
         "sim_maxsim": q_sim_maxsim,
+        "fetch_irate": q_fetch_irate,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4624,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,

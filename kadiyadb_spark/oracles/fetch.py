@@ -104,6 +104,37 @@ FROM base
 WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
 """
 
+    # irate replay: OBSERVED slots only (cnt > 0), reset-adjusted delta
+    # against the previous observed slot, one fixed-order double division
+    # chain (adj4/1e4 then /gap_sec) rounded 4dp; gap_slots by integer div.
+    o["fetch_irate"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+  WHERE cnt > 0
+),
+d AS (
+  SELECT f1, f2, bucket, t4,
+         lag(t4) OVER w AS prev4, lag(bucket) OVER w AS pb
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+),
+adj AS (
+  SELECT f1, f2, bucket, t4, pb,
+         CASE WHEN prev4 IS NULL THEN NULL
+              WHEN t4 - prev4 < 0 THEN t4 ELSE t4 - prev4 END AS adj4
+  FROM d
+)
+SELECT f1, f2, bucket,
+       t4 / 10000.0 AS total,
+       adj4 / 10000.0 AS idelta,
+       floor((CAST(adj4 AS DOUBLE) / 10000.0
+              / (CAST(bucket - pb AS DOUBLE) / 1000000000.0)) * 10000 + 0.5) / 10000
+         AS irate_per_sec,
+       (bucket - pb) // {RES} AS gap_slots
+FROM adj
+"""
+
     # Subquery replay: same reset-adjusted increase CTEs as
     # fetch_increase (baseline-less first slot folds as 0), step fold by
     # integer bucket arithmetic, trailing-window max over exact longs.

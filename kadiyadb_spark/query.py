@@ -2420,3 +2420,62 @@ def series_subquery(
         (agg("_inc4").over(wr) / F.lit(10000.0)).alias(f"subquery_{outer}"),
         F.count(F.lit(1)).over(wr).alias("steps_in_range"),
     )
+
+
+def series_irate(
+    df: DataFrame,
+    series_cols: list[str],
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+    cnt_col: str = "cnt",
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL ``irate()``/``idelta()``: the INSTANT rate — delta between
+    the last two OBSERVED points, divided by their actual time distance
+    — where ``rate()`` averages over the whole window. The fast-moving
+    counter view for dashboards; distinct from series_delta because
+    zero-filled gap slots do not participate: after a 10-slot gap the
+    rate denominator is 10 slots, not 1.
+
+    Semantics over a dense fetch frame: observed slots are ``cnt > 0``;
+    per series, idelta is the reset-adjusted difference against the
+    PREVIOUS OBSERVED slot (series_increase's reset rule), and
+    irate_per_sec divides by the true gap seconds. Output is SPARSE (one
+    row per observed slot; the first observed slot of a series has no
+    baseline: nulls). idelta is an exact scaled-long /1e4; irate is one
+    fixed-order double expression over exact operands (adj4/1e4 then
+    /gap_sec), rounded 4dp — identical IEEE in any engine. ``gap_slots``
+    exposes the distance so consumers can cap staleness (Prometheus's
+    lookback-window role). ONE series-keyed window Exchange, and the
+    observed-only filter runs BEFORE it — gappy series shuffle only
+    their observed rows."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr, scale4_expr
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    t4 = scale4_expr(F.col(total_col))
+    lagged = df.filter(F.col(cnt_col) > 0).select(
+        *series_cols,
+        bucket_col,
+        t4.alias("_t4"),
+        F.lag(t4).over(w).alias("_prev4"),
+        F.lag(F.col(bucket_col)).over(w).alias("_pb"),
+    )
+    d4 = F.col("_t4") - F.col("_prev4")
+    adj4 = (
+        F.when(F.col("_prev4").isNull(), F.lit(None).cast("long"))
+        .when(d4 < 0, F.col("_t4"))
+        .otherwise(d4)
+    )
+    gap_sec = (F.col(bucket_col) - F.col("_pb")).cast("double") / F.lit(1e9)
+    return lagged.select(
+        *series_cols,
+        bucket_col,
+        (F.col("_t4") / F.lit(10000.0)).alias(total_col),
+        (adj4 / F.lit(10000.0)).alias("idelta"),
+        round4_expr(adj4.cast("double") / F.lit(10000.0) / gap_sec).alias(
+            "irate_per_sec"
+        ),
+        F.expr(f"({bucket_col} - _pb) div {resolution}").alias("gap_slots"),
+    )

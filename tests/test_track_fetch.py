@@ -1579,3 +1579,34 @@ def test_series_subquery_python_replay(spark):
         series_subquery(df, ["f1"], 2, 0, resolution=1)
     with _pt.raises(ValueError):
         series_subquery(df, ["f1"], 2, 2, resolution=1, outer="avg")
+
+
+def test_series_irate_observed_gaps_and_resets(spark):
+    """irate contract: only observed (cnt>0) slots participate; the
+    delta is reset-adjusted against the previous OBSERVED slot; the rate
+    denominator is the true gap time (2-slot gap -> /2s at 1ns*1e9...);
+    first observed slot is all-null baseline; layout-invariant."""
+    from kadiyadb_spark.query import series_irate
+
+    RES = 1_000_000_000  # 1s slots in ns
+    rows = [
+        ("s", 0 * RES, 10.0, 1.0),
+        ("s", 1 * RES, 0.0, 0.0),   # gap (zero-filled)
+        ("s", 2 * RES, 16.0, 2.0),  # +6 over 2 slots -> irate 3/s
+        ("s", 3 * RES, 4.0, 1.0),   # reset: irate = 4/s
+    ]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double, cnt double")
+    got = {
+        r["bucket"] // RES: (
+            r["idelta"], r["irate_per_sec"], r["gap_slots"]
+        )
+        for r in series_irate(df, ["f1"], resolution=RES).collect()
+    }
+    assert set(got) == {0, 2, 3}  # sparse: the gap slot emits nothing
+    assert got[0] == (None, None, None)
+    assert got[2] == (6.0, 3.0, 2)
+    assert got[3] == (4.0, 4.0, 1)
+
+    one = sorted(map(tuple, series_irate(df.coalesce(1), ["f1"], resolution=RES).collect()))
+    many = sorted(map(tuple, series_irate(df.repartition(16), ["f1"], resolution=RES).collect()))
+    assert one == many
