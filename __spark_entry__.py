@@ -213,6 +213,25 @@ def q_fetch_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_increase(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
 
 
+def q_fetch_rule_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus rule-group evaluation END TO END in one scan
+    (query.py:fetch_rule_group): three alerting rules — two depth-2
+    (per-user clicks >= 50, purchases >= 100) and one depth-1 rollup
+    (view volume >= 60 for 2 consecutive slots) — share one
+    fetch_multi scan, then each rule's pending->firing runs evaluate
+    with series_alerts' integer gaps-and-islands. Per-rule constants
+    ride a map-side when-chain on the query label; one window Exchange
+    after the breach filter. Born r10 -> gates inside the r10 cap."""
+    from kadiyadb_spark.query import fetch_rule_group
+
+    rules = {
+        "hot_clicks": {"pattern": ["click", "*"], "threshold": 50.0, "for_slots": 1},
+        "hot_purchase": {"pattern": ["purchase", "*"], "threshold": 100.0, "for_slots": 1},
+        "view_surge": {"pattern": ["view"], "threshold": 60.0, "for_slots": 2},
+    }
+    return fetch_rule_group(_cube(spark, sf_dir), WEEK0, WEEK1, rules)
+
+
 def q_fetch_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL irate()/idelta() — the INSTANT rate between the last two
     OBSERVED slots with reset handling and true gap-time denominators
@@ -4502,7 +4521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4516,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_subquery": q_fetch_subquery,
         "sim_maxsim": q_sim_maxsim,
         "fetch_irate": q_fetch_irate,
+        "fetch_rule_group": q_fetch_rule_group,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4642,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q14_promo_ratio": q14_promo_ratio,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,

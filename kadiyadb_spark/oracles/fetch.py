@@ -91,6 +91,51 @@ UNION ALL
 {_mq.format(name="err_user_7", cond="f1 = 'error' AND f2 = '7'")}
 """
 
+    # Rule-group replay: one islands CTE per rule over its sparse cube
+    # slice (absent slots cannot breach an above-threshold rule, so run
+    # consecutiveness over observed buckets equals the dense evaluation),
+    # UNION ALL'd with the rule name as the query label.
+    _rg2 = """
+SELECT '{name}' AS query, f1, f2,
+       min(bucket) AS pending_start,
+       min(bucket) + {fm1} * {res} AS firing_start,
+       max(bucket) + {res} AS run_end,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       max(t4) / 10000.0 AS peak
+FROM (
+  SELECT f1, f2, bucket, t4,
+         bucket // {res} - row_number() OVER (PARTITION BY f1, f2 ORDER BY bucket) AS run
+  FROM (
+    SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+    FROM cube2
+    WHERE {cond} AND bucket >= {lo} AND bucket < {hi}
+  ) WHERE t4 >= {thr4}
+) GROUP BY f1, f2, run HAVING count(*) >= {fs}"""
+    _rg1 = """
+SELECT '{name}' AS query, f1, CAST(NULL AS VARCHAR) AS f2,
+       min(bucket) AS pending_start,
+       min(bucket) + {fm1} * {res} AS firing_start,
+       max(bucket) + {res} AS run_end,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       max(t4) / 10000.0 AS peak
+FROM (
+  SELECT f1, bucket, t4,
+         bucket // {res} - row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS run
+  FROM (
+    SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+    FROM cube1
+    WHERE {cond} AND bucket >= {lo} AND bucket < {hi}
+  ) WHERE t4 >= {thr4}
+) GROUP BY f1, run HAVING count(*) >= {fs}"""
+    o["fetch_rule_group"] = f"""
+WITH {_EV_CUBE}
+{_rg2.format(name="hot_clicks", cond="f1 = 'click'", thr4=500000, fs=1, fm1=0, res=RES, lo=WEEK0, hi=WEEK1)}
+UNION ALL
+{_rg2.format(name="hot_purchase", cond="f1 = 'purchase'", thr4=1000000, fs=1, fm1=0, res=RES, lo=WEEK0, hi=WEEK1)}
+UNION ALL
+{_rg1.format(name="view_surge", cond="f1 = 'view'", thr4=600000, fs=2, fm1=1, res=RES, lo=WEEK0, hi=WEEK1)}
+"""
+
     o["fetch_offset"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

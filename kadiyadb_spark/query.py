@@ -2479,3 +2479,93 @@ def series_irate(
         ),
         F.expr(f"({bucket_col} - _pb) div {resolution}").alias("gap_slots"),
     )
+
+
+def fetch_rule_group(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    rules: "dict[str, dict]",
+    resolution: int = 60_000_000_000,
+    duration: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Prometheus RULE-GROUP evaluation end to end in ONE scan: every
+    rule is {pattern, threshold, for_slots}, the batch reads the cube
+    once through :func:`fetch_multi` (the OR-of-patterns scan; depths
+    may mix), and each rule's pending→firing runs are evaluated with
+    series_alerts' semantics — the deployment shape the batch fetch
+    exists for (a rule group is evaluated every interval; at 100 TB the
+    scan is the cost, so N rules must not mean N scans).
+
+    Restricted to ABOVE-threshold rules with threshold > 0: on the
+    sparse frame an absent slot cannot breach, so run consecutiveness
+    over observed buckets (integer gaps-and-islands on slot − rank)
+    equals the dense evaluation — documented contract, validated at
+    construction. Per-rule constants ride a literal when-chain on the
+    ``query`` label (map-side; a rule batch is bounded). Thresholds
+    compare as scaled longs; one window Exchange keyed (query, series)
+    AFTER the breach filter — only breaching slots shuffle; the run
+    groupBy keys are a superset of the window partitioning (no second
+    shuffle). Output: (query, f1..fDmax, pending_start, firing_start,
+    run_end, n_slots, peak)."""
+    import math
+
+    from pyspark.sql import Window
+
+    if not rules:
+        raise ValueError("empty rule group")
+    patterns = {}
+    thr4s: dict[str, int] = {}
+    fors: dict[str, int] = {}
+    for name, r in rules.items():
+        thr = r["threshold"]
+        fs = int(r.get("for_slots", 1))
+        if thr <= 0:
+            raise ValueError(
+                f"rule {name!r}: only above-threshold rules with threshold "
+                f"> 0 evaluate on the sparse batch frame (got {thr})"
+            )
+        if fs < 1:
+            raise ValueError(f"rule {name!r}: need for_slots >= 1, got {fs}")
+        patterns[name] = r["pattern"]
+        thr4s[name] = int(math.floor(thr * 10000 + 0.5))
+        fors[name] = fs
+    sparse = fetch_multi(cube, from_ts, to_ts, patterns, resolution, duration)
+    fcols = [c for c in sparse.columns if c not in ("query", S.EPOCH, S.BUCKET, S.TOTAL, S.CNT)]
+
+    thr_c = None
+    for_c = None
+    for name in sorted(rules):
+        cnd = F.col("query") == F.lit(name)
+        thr_c = (F.when if thr_c is None else thr_c.when)(cnd, F.lit(thr4s[name]).cast("long"))
+        for_c = (F.when if for_c is None else for_c.when)(cnd, F.lit(fors[name]).cast("long"))
+
+    t4 = scale4_expr(F.col(S.TOTAL))
+    br = sparse.select(
+        "query",
+        *fcols,
+        S.BUCKET,
+        t4.alias("_t4"),
+        thr_c.alias("_thr4"),
+        for_c.alias("_for"),
+        F.expr(f"CAST({S.BUCKET} DIV {resolution} AS LONG)").alias("_slot"),
+    ).filter(F.col("_t4") >= F.col("_thr4"))
+    w = Window.partitionBy("query", *fcols).orderBy(S.BUCKET)
+    run = (F.col("_slot") - F.row_number().over(w).cast("long")).alias("_run")
+    return (
+        br.select("query", *fcols, S.BUCKET, "_t4", "_for", run)
+        .groupBy("query", *fcols, "_run")
+        .agg(
+            F.min(S.BUCKET).alias("pending_start"),
+            (
+                F.min(S.BUCKET)
+                + (F.min("_for") - F.lit(1).cast("long")) * F.lit(resolution)
+            ).alias("firing_start"),
+            (F.max(S.BUCKET) + F.lit(resolution)).alias("run_end"),
+            F.count(F.lit(1)).alias("n_slots"),
+            (F.max("_t4") / F.lit(10000.0)).alias("peak"),
+            F.min("_for").alias("_fs"),
+        )
+        .filter(F.col("n_slots") >= F.col("_fs"))
+        .drop("_run", "_fs")
+    )

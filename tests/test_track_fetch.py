@@ -1610,3 +1610,60 @@ def test_series_irate_observed_gaps_and_resets(spark):
     one = sorted(map(tuple, series_irate(df.coalesce(1), ["f1"], resolution=RES).collect()))
     many = sorted(map(tuple, series_irate(df.repartition(16), ["f1"], resolution=RES).collect()))
     assert one == many
+
+
+def test_fetch_rule_group_matches_per_rule_alerts(spark):
+    """Rule-group contract: the one-scan batch evaluation equals running
+    series_alerts rule by rule over each pattern's dense fetch (above-
+    threshold rules only, where sparse == dense), and validation rejects
+    non-positive thresholds, bad for_slots and empty groups."""
+    import pytest as _pt
+
+    from kadiyadb_spark.query import fetch, fetch_rule_group, series_alerts
+
+    res, dur, lo, hi = 1, 5, 0, 10
+    rows = [
+        ("a", "u", t, v)
+        for t, v in ((0, 3.0), (1, 4.0), (2, 1.0), (3, 5.0), (4, 6.0), (5, 2.5), (6, 7.0))
+    ] + [("b", "w", t, 1.5) for t in (2, 3, 7)]
+    df = spark.createDataFrame(rows, "x string, y string, ts long, v double")
+    cube = track_batch(
+        df, fields=["x", "y"], ts_col="ts", total_col="v",
+        resolution=res, duration=dur,
+    )
+    rules = {
+        "a_hot": {"pattern": ["a", "*"], "threshold": 2.0, "for_slots": 2},
+        "b_any": {"pattern": ["b", "*"], "threshold": 1.0, "for_slots": 1},
+    }
+    got = fetch_rule_group(cube, lo, hi, rules, resolution=res, duration=dur)
+    grows = {
+        (r["query"], r["f1"], r["f2"], r["pending_start"], r["firing_start"],
+         r["run_end"], r["n_slots"], r["peak"])
+        for r in got.collect()
+    }
+    exp = set()
+    for name, r in rules.items():
+        dense = fetch(cube, lo, hi, r["pattern"], res, dur)
+        al = series_alerts(
+            dense, ["f1", "f2"], r["threshold"], for_slots=r["for_slots"],
+            resolution=res,
+        )
+        for x in al.collect():
+            exp.add((name, x["f1"], x["f2"], x["pending_start"],
+                     x["firing_start"], x["run_end"], x["n_slots"], x["peak"]))
+    assert grows == exp and grows
+
+    with _pt.raises(ValueError):
+        fetch_rule_group(cube, lo, hi, {}, resolution=res, duration=dur)
+    with _pt.raises(ValueError):
+        fetch_rule_group(
+            cube, lo, hi,
+            {"bad": {"pattern": ["a", "*"], "threshold": 0.0}},
+            resolution=res, duration=dur,
+        )
+    with _pt.raises(ValueError):
+        fetch_rule_group(
+            cube, lo, hi,
+            {"bad": {"pattern": ["a", "*"], "threshold": 1.0, "for_slots": 0}},
+            resolution=res, duration=dur,
+        )
