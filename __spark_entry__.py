@@ -1490,6 +1490,56 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="w", iters=3)
 
 
+def q_sketch_cm_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY estimation from Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2; sketch.py:cm_inner_product_expr) — the
+    query-optimizer primitive: |A ⋈ B| on user_id per event-type pair,
+    estimated as min over depth rows of the bucket-counter inner product,
+    WITHOUT touching either relation again. One-sided like the point
+    estimates (never under the true join size — gated flag). Exact side
+    for comparison: sum of per-user count products via one user-keyed
+    self-join. All longs; the oracle replays sketch AND estimate over a
+    pair x depth grid (a depth row with no shared buckets contributes a
+    zero dot). Born r10 -> gates inside the r10 cap."""
+    from kadiyadb_spark.functions.sketch import (
+        cm_inner_product_expr,
+        cm_sketch,
+    )
+
+    W, D = 64, 4
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = cm_sketch(ev, "user_id", ["event_type"], width=W, depth=D)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("cm").alias("_ca"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("cm").alias("_cb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    cnts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ex = (
+        cnts.alias("x")
+        .join(cnts.alias("y"), on="user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.sum(F.col("x._n") * F.col("y._n")).alias("_exact"))
+    )
+    est = cm_inner_product_expr(F.col("_ca"), F.col("_cb"), W, D)
+    return (
+        pairs.join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            est.alias("est_join"),
+            F.coalesce("_exact", F.lit(0).cast("long")).alias("exact_join"),
+            (est >= F.coalesce("_exact", F.lit(0).cast("long"))).alias(
+                "never_under"
+            ),
+        )
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     r = (
@@ -4520,7 +4570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4535,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_maxsim": q_sim_maxsim,
         "fetch_irate": q_fetch_irate,
         "fetch_rule_group": q_fetch_rule_group,
+        "sketch_cm_joinsize": q_sketch_cm_joinsize,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4661,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "pivot_event_matrix": q_pivot_event_matrix,
+        "q10_returned_items": q10_returned_items,
         "q14_promo_ratio": q14_promo_ratio,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,

@@ -553,3 +553,35 @@ def cm_estimate_expr(
             ]
         )
     )
+
+
+def cm_inner_product_expr(
+    a: Column,
+    b: Column,
+    width: int,
+    depth: int,
+) -> Column:
+    """JOIN-SIZE estimate from two Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2): |A ⋈ B| on the sketched key equals the
+    inner product Σ_key fA(key)·fB(key), and min over the depth rows of
+    Σ_bucket a[j,b]·b[j,b] estimates it with the same one-sided
+    guarantee — NEVER an underestimate, within εN·M with probability
+    1−e^−depth. This is the query-optimizer primitive: estimate a join's
+    output cardinality from two per-relation sketches without touching
+    either table. Exact integer arithmetic (products and sums of longs),
+    so estimates value-hash gate with no tolerance flag. Overflow: row
+    sums are the relation sizes, so each term ≤ N·M — longs hold to
+    N·M < 9.2e18."""
+    row_dots = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.slice(a, j * width + 1, width),
+                F.slice(b, j * width + 1, width),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.array_min(row_dots)

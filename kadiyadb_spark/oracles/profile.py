@@ -152,6 +152,54 @@ LEFT JOIN ex x ON x.event_type = e.event_type AND x.user_id = e.user_id
 JOIN chk k ON k.event_type = e.event_type
 """
 
+    # CM join-size replay: per (pair, depth-row) bucket-counter dot
+    # products over a pair x j GRID (a row with no shared buckets is a
+    # zero dot — min must see it), min over rows = the estimate; exact
+    # side is the per-user count-product fold. All exact longs.
+    o["sketch_cm_joinsize"] = """
+WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT event_type, js.j,
+         CAST(('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events CROSS JOIN js
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+tpairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+),
+dots AS (
+  SELECT p.type_a, p.type_b, js.j,
+         CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS dot
+  FROM tpairs p CROSS JOIN js
+  LEFT JOIN cells ca ON ca.event_type = p.type_a AND ca.j = js.j
+  LEFT JOIN cells cb ON cb.event_type = p.type_b AND cb.j = ca.j AND cb.b = ca.b
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT type_a, type_b, min(dot) AS est_join FROM dots GROUP BY 1, 2
+),
+cnts AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+ex AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(sum(x.n * y.n) AS BIGINT) AS exact_join
+  FROM cnts x JOIN cnts y ON x.user_id = y.user_id
+  WHERE x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b, e.est_join,
+       CAST(coalesce(x.exact_join, 0) AS BIGINT) AS exact_join,
+       e.est_join >= coalesce(x.exact_join, 0) AS never_under
+FROM est e
+LEFT JOIN ex x ON x.type_a = e.type_a AND x.type_b = e.type_b
+"""
+
     # Direct computation at the same ladder — equality with the Spark
     # side's day->type merge path proves the histogram merge is lossless.
     o["histogram_rollup_merge"] = """
