@@ -737,3 +737,45 @@ def test_fetch_multi_is_one_scan(spark, tmp_path):
     )
     assert len(re.findall(r"\(\d+\) Scan parquet", plan_mixed)) == 1
     assert n_shuffles(plan_mixed) == 0
+
+
+def test_fetch_rule_group_is_one_scan_one_exchange(spark, tmp_path):
+    """The rule group inherits fetch_multi's one-scan property and adds
+    exactly ONE shuffle Exchange (the post-breach-filter window; the run
+    groupBy keys are a superset of the window partitioning)."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import fetch_rule_group
+
+    ev = spark.createDataFrame(
+        [Row(ts=i % 5, x=t, y="u", v=3.0) for i, t in enumerate(["a", "b"] * 6)]
+    )
+    path = str(tmp_path / "cube_rg")
+    track_batch(ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5).write.parquet(path)
+    cube = spark.read.parquet(path)
+    plan = plan_str(
+        fetch_rule_group(
+            cube, 0, 5,
+            {
+                "a_hot": {"pattern": ["a", "*"], "threshold": 2.0, "for_slots": 2},
+                "b_roll": {"pattern": ["b"], "threshold": 1.0, "for_slots": 1},
+            },
+            resolution=1, duration=5,
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert n_shuffles(plan) == 1
+
+
+def test_pagerank_broadcasts_nothing_and_keys_iterations(spark):
+    """PageRank's plan: no CartesianProduct, no driver-side collect of
+    ranks — every iteration is a key-shuffled join + fold, so the node
+    count is unbounded by design."""
+    from kadiyadb_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 20}") for i in range(40)]
+    )
+    plan = plan_str(pagerank(edges, iters=2))
+    assert "CartesianProduct" not in plan
+    # the rank vector is never collected: no LocalTableScan of ranks
+    assert plan.count("LocalTableScan") == 0
