@@ -213,6 +213,18 @@ def q_fetch_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_increase(r.select("f1", "f2", "bucket", "total"), ["f1", "f2"])
 
 
+def q_fetch_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL group_left against the WRITE-TIME rollup
+    (query.py:series_group_share): each (click, user) series' per-slot
+    share of its f1 group, with the denominator read from the STORED
+    depth-1 row — one scan over both depths, one (f1, bucket) window, no
+    join, no recomputed aggregate. Born r10 -> gates inside the r10
+    cap."""
+    from kadiyadb_spark.query import series_group_share
+
+    return series_group_share(_cube(spark, sf_dir), WEEK0, WEEK1, "click")
+
+
 def q_fetch_rule_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus rule-group evaluation END TO END in one scan
     (query.py:fetch_rule_group): three alerting rules — two depth-2
@@ -4569,7 +4581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_selective_scan": q6_selective_scan,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4585,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_irate": q_fetch_irate,
         "fetch_rule_group": q_fetch_rule_group,
         "sketch_cm_joinsize": q_sketch_cm_joinsize,
+        "fetch_group_share": q_fetch_group_share,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4718,6 +4730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
+        "q9_product_profit": q9_product_profit,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,

@@ -149,6 +149,23 @@ FROM base
 WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
 """
 
+    # group_left replay: depth-2 rows join their STORED depth-1 rollup
+    # row on (f1, bucket) — write-time rollup exactness means the
+    # denominator equals sum(children) exactly; one long/long division.
+    o["fetch_group_share"] = f"""
+WITH {_EV_CUBE}
+SELECT c2.f1, c2.f2, c2.bucket,
+       CAST(round(c2.total * 10000) AS BIGINT) / 10000.0 AS total,
+       CAST(round(c1.total * 10000) AS BIGINT) / 10000.0 AS group_total,
+       CASE WHEN CAST(round(c1.total * 10000) AS BIGINT) != 0 THEN
+         floor((CAST(round(c2.total * 10000) AS BIGINT)
+                / CAST(round(c1.total * 10000) AS BIGINT)::DOUBLE) * 10000 + 0.5) / 10000
+       END AS group_share
+FROM cube2 c2
+JOIN cube1 c1 ON c1.f1 = c2.f1 AND c1.bucket = c2.bucket
+WHERE c2.f1 = 'click' AND c2.bucket >= {WEEK0} AND c2.bucket < {WEEK1}
+"""
+
     # irate replay: OBSERVED slots only (cnt > 0), reset-adjusted delta
     # against the previous observed slot, one fixed-order double division
     # chain (adj4/1e4 then /gap_sec) rounded 4dp; gap_slots by integer div.

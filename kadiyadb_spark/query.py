@@ -2569,3 +2569,68 @@ def fetch_rule_group(
         .filter(F.col("n_slots") >= F.col("_fs"))
         .drop("_run", "_fs")
     )
+
+
+def series_group_share(
+    cube: DataFrame,
+    from_ts: int,
+    to_ts: int,
+    f1_pattern,
+    resolution: int = 60_000_000_000,
+) -> DataFrame:
+    """PromQL many-to-one vector matching — ``x / on(f1) group_left
+    sum by (f1)(x)`` — answered from the cube's WRITE-TIME rollup: the
+    denominator is the STORED depth-1 row (reference O1 writes every
+    prefix at track time, database.go:66-101 / SURVEY §1.1), never a
+    recomputed aggregate. Where series_share normalizes across all
+    matching series per slot (one recomputed window sum), this gives
+    each depth-2 series its share of its OWN f1 group — "user 7's
+    fraction of click traffic this minute" — and the group total costs
+    zero compute because the cube already materialized it.
+
+    Physical shape: ONE scan pulls both depths under the f1 predicate
+    (depth IN (1,2) + bucket range, all pushed down), one (f1, bucket)-
+    keyed window lifts each slot's rollup total onto its depth-2 rows —
+    no join, no second scan. Sparse semantics (observed rows only; a
+    densified variant is fetch + this window). Exact: both totals are
+    scaled longs; the share is ONE long/long double division rounded
+    4dp. Write-time-rollup exactness guarantees group_total ==
+    sum(children) — pinned in pytest, and the oracle replays via a
+    cube1 ⋈ cube2 join."""
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    if to_ts < from_ts or from_ts < 0:
+        raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
+    # f1-level predicate only: exact / value-set / Re / "*"
+    _, preds = compile_pattern([f1_pattern])
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    cond = (
+        F.col(S.DEPTH).isin(1, 2)
+        & (F.col(S.BUCKET) >= F.lit(from_b))
+        & (F.col(S.BUCKET) < F.lit(to_b))
+    )
+    for col, val in preds:
+        cond = cond & match_expr(col, val)
+    t4 = scale4_expr(F.col(S.TOTAL))
+    base = cube.filter(cond).select(
+        S.DEPTH, "f1", "f2", S.BUCKET, t4.alias("_t4")
+    )
+    w = Window.partitionBy("f1", S.BUCKET)
+    g4 = F.max(F.when(F.col(S.DEPTH) == 1, F.col("_t4"))).over(w)
+    return (
+        base.withColumn("_g4", g4)
+        .filter(F.col(S.DEPTH) == 2)
+        .select(
+            "f1",
+            "f2",
+            S.BUCKET,
+            (F.col("_t4") / F.lit(10000.0)).alias("total"),
+            (F.col("_g4") / F.lit(10000.0)).alias("group_total"),
+            round4_expr(
+                F.when(F.col("_g4") != 0, F.col("_t4") / F.col("_g4"))
+            ).alias("group_share"),
+        )
+    )

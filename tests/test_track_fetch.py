@@ -1667,3 +1667,35 @@ def test_fetch_rule_group_matches_per_rule_alerts(spark):
             {"bad": {"pattern": ["a", "*"], "threshold": 1.0, "for_slots": 0}},
             resolution=res, duration=dur,
         )
+
+
+def test_series_group_share_reads_stored_rollup(spark):
+    """group_left contract: the denominator is the STORED depth-1 rollup
+    row, which write-time exactness makes equal to the sum of children —
+    so shares within an (f1, bucket) group sum to 1 exactly (all
+    children observed); sparse semantics; layout invariance."""
+    from kadiyadb_spark.query import series_group_share
+
+    rows = [
+        ("a", "u", 0, 2.0), ("a", "v", 0, 6.0),   # shares .25/.75
+        ("a", "u", 1, 5.0),                        # single child: share 1
+        ("b", "w", 0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "x string, y string, ts long, v double")
+    cube = track_batch(
+        df, fields=["x", "y"], ts_col="ts", total_col="v",
+        resolution=1, duration=5,
+    )
+    got = {
+        (r["f1"], r["f2"], r["bucket"]): (r["total"], r["group_total"], r["group_share"])
+        for r in series_group_share(cube, 0, 5, "*", resolution=1).collect()
+    }
+    assert got[("a", "u", 0)] == (2.0, 8.0, 0.25)
+    assert got[("a", "v", 0)] == (6.0, 8.0, 0.75)
+    assert got[("a", "u", 1)] == (5.0, 5.0, 1.0)
+    assert got[("b", "w", 0)] == (3.0, 3.0, 1.0)
+    assert len(got) == 4  # sparse: unobserved slots emit nothing
+
+    one = sorted(map(tuple, series_group_share(cube.coalesce(1), 0, 5, "*", resolution=1).collect()))
+    many = sorted(map(tuple, series_group_share(cube.repartition(16), 0, 5, "*", resolution=1).collect()))
+    assert one == many
