@@ -1014,6 +1014,41 @@ def q_db_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_sql_over_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain SQL over the store (database.py:create_view): register the
+    manifest-pinned cube as a temp view and answer an analytics question
+    with one spark.sql string — the Spark-native API surface a BI tool /
+    notebook needs (the reference only offers a Go client). The view
+    wraps the same manifest-consistent fold as every read, so the SQL
+    result is gate-identical to the API path; aggregates fold exact
+    scaled longs inside the SQL itself. Born r10 -> gates inside the r10
+    cap."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_sqlview_entry_")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    db.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
+    v = db.create_view("kdb_sql_entry_cube")
+    return spark.sql(f"""
+        SELECT f1,
+               SUM(CAST(round(total * 10000) AS BIGINT)) / 10000.0D AS total,
+               CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS points,
+               COUNT(DISTINCT f2) AS n_users
+        FROM {v}
+        WHERE depth = 2 AND bucket >= {WEEK0} AND bucket < {WEEK1}
+        GROUP BY f1
+    """)
+
+
 def q_cube_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-consumer read (change-data-feed over the manifest store):
     track the first half of the month, record the generation, track the
@@ -4580,7 +4615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_selective_scan": q6_selective_scan,
         "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery and grouping_sets_mixed, all r08-green,
@@ -4597,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_rule_group": q_fetch_rule_group,
         "sketch_cm_joinsize": q_sketch_cm_joinsize,
         "fetch_group_share": q_fetch_group_share,
+        "sql_over_cube": q_sql_over_cube,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4730,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
+        "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,

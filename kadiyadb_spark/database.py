@@ -488,6 +488,29 @@ class Database:
         keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
         return df.groupBy(*keys).agg(*fold_aggs(self.params.value_dp)).select(*cols)
 
+    def create_view(
+        self,
+        name: str,
+        at_gen: int | None = None,
+        from_epoch: int | None = None,
+        to_epoch: int | None = None,
+    ) -> str:
+        """Register the cube as a TEMP VIEW so plain ``spark.sql`` works
+        against the store — the Spark-native API surface the reference's
+        Go client can't offer: any BI tool / notebook / SQL string reads
+        the cube with full Catalyst pushdown through the view.
+
+        The view wraps :meth:`cube` (manifest-consistent fold): it is
+        PINNED to the manifest resolved NOW (``at_gen`` or current), so a
+        long-running SQL session sees one point-in-time snapshot, never a
+        torn mix across commits — re-register after new commits to see
+        them (the same contract as any pinned read). Returns the name."""
+        gen = self.current_gen() if at_gen is None else at_gen
+        self.cube(
+            at_gen=gen, from_epoch=from_epoch, to_epoch=to_epoch
+        ).createOrReplaceTempView(name)
+        return name
+
     def changes(self, since_gen: int, to_gen: int | None = None) -> DataFrame:
         """Cube rows ADDED after generation ``since_gen`` (exclusive), up to
         ``to_gen`` (inclusive; default the current generation) — the

@@ -54,6 +54,31 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
 
+    # SQL-view read: the temp view wraps the same manifest-consistent
+    # fold, so one GROUP BY over the depth-2 slice must equal the event
+    # aggregation directly; the long-sum/one-division pattern mirrors the
+    # entry's SQL string token for token.
+    o["sql_over_cube"] = f"""
+WITH ev AS (
+    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
+           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+    FROM events
+),
+cube2 AS (
+    SELECT bucket, f1, f2,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS t4,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+)
+SELECT f1,
+       CAST(SUM(t4) AS BIGINT) / 10000.0 AS total,
+       CAST(SUM(cnt) AS BIGINT) AS points,
+       CAST(COUNT(DISTINCT f2) AS BIGINT) AS n_users
+FROM cube2
+WHERE bucket >= {WEEK0} AND bucket < {WEEK1}
+GROUP BY f1
+"""
+
     # Streaming ingestion must land on exactly the batch-track values —
     # both strategies (raw increment-merge and watermarked agg replace-merge).
     # The streaming entries persist with DAILY epochs (layout, not values):

@@ -762,3 +762,32 @@ def test_clone_refuses_mismatched_target_params(spark, tmp_path):
     # params refuses too
     with _pt.raises(ValueError, match="params mismatch"):
         Database.open(spark, str(tmp_path / "pdst"), P)
+
+
+def test_create_view_is_manifest_pinned(spark, tmp_path):
+    """The SQL view wraps the manifest resolved at registration: rows
+    visible through spark.sql equal the API cube at that generation, and
+    a commit AFTER registration stays invisible until re-registered."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    db = Database.open(
+        spark, str(tmp_path / "dbv"),
+        Params(duration=10, resolution=1, retention=100, fields=("x", "y")),
+    )
+    db.track(spark.createDataFrame([Row(ts=1, x="a", y="u", value=2.0)]))
+    db.create_view("kdb_view_t")
+    assert spark.sql(
+        "SELECT sum(total) AS s FROM kdb_view_t WHERE depth = 2"
+    ).collect()[0]["s"] == 2.0
+    db.track(spark.createDataFrame([Row(ts=2, x="a", y="u", value=5.0)]))
+    # pinned: the new commit is invisible through the old view
+    assert spark.sql(
+        "SELECT sum(total) AS s FROM kdb_view_t WHERE depth = 2"
+    ).collect()[0]["s"] == 2.0
+    db.create_view("kdb_view_t")  # re-register -> current generation
+    assert spark.sql(
+        "SELECT sum(total) AS s FROM kdb_view_t WHERE depth = 2"
+    ).collect()[0]["s"] == 7.0

@@ -36,14 +36,16 @@ R10_BORN_LEADS = [
 R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
            "embedding_matryoshka", "sketch_countmin", "graph_pagerank",
            "fetch_subquery", "sim_maxsim", "fetch_irate",
-           "fetch_rule_group", "sketch_cm_joinsize", "fetch_group_share"]
+           "fetch_rule_group", "sketch_cm_joinsize", "fetch_group_share",
+           "sql_over_cube"]
 # The §16.8 spills: stable r08 greens displaced by the birth-round
 # rule; they re-gate via the staleness queue (r08 block), not the cap.
 R10_DOCUMENTED_SPILL = {
     "topk_per_group", "window_daily_running", "window_frames",
     "pivot_event_matrix", "q10_returned_items", "q14_promo_ratio",
     "q15_top_supplier", "q17_small_quantity", "q19_disjunctive",
-    "q21_waiting_suppliers", "q22_waiting_customers", "q9_product_profit",
+    "q21_waiting_suppliers", "q22_waiting_customers", "q8_market_share",
+    "q9_product_profit",
 }
 
 
