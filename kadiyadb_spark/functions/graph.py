@@ -71,6 +71,20 @@ def pagerank(
     e = edges.groupBy(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).agg(F.sum(w).alias("_w"))
+    # runtime guard: a non-positive folded weight makes the share
+    # construction meaningless (and _wout could reach 0) — fail loudly at
+    # the executor rather than emit silent nulls
+    e = e.withColumn(
+        "_w",
+        F.when(F.col("_w") > 0, F.col("_w")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pagerank: non-positive edge weight for src="),
+                    F.col("_src").cast("string"),
+                )
+            )
+        ),
+    )
     # quantized out-share: share4 = w * 10^4 // W_out  (exact integers;
     # a zero share — w < W_out/10^4 — is a defined drop, like dangling)
     tot = e.groupBy("_src").agg(F.sum("_w").alias("_wout"))

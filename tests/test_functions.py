@@ -2507,3 +2507,15 @@ def test_cm_inner_product_join_size(spark):
         sum(ma[j * W + t] * mb[j * W + t] for t in range(W)) for j in range(D)
     )
     assert est == replay
+
+
+def test_pagerank_rejects_nonpositive_weights(spark):
+    from kadiyadb_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", -1)], "src string, dst string, w long"
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="non-positive edge weight"):
+        pagerank(edges, weight="w", iters=1).collect()
