@@ -4350,6 +4350,130 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, fused: BM25 top-20 (lexical exact-match) and
+    hashed-BoW cosine top-20 (soft bag-of-words — the model-free dense
+    stand-in) for the same 3-term query, combined with Reciprocal Rank
+    Fusion (functions/text.py:rrf_fuse). Integer-exact: each contribution
+    is ONE integer division 1e6 div (60+rank) — only RANKS enter the
+    fusion, so no score calibration across sources and no doubles in the
+    fused output; n_sources exposes the agreement signal. Scale: both
+    retrievals are the gated corpus-linear operators (local_topk bounds
+    the cosine ranking shuffle); the fuse itself touches <= 40 rows."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = TX.bm25_score(docs, ["merge", "filter", "window"], k=20).select(
+        "doc_id", "rank"
+    )
+    base = TX.hashed_bow(docs, dim=64)
+    qv = TX.hashed_bow(
+        spark.createDataFrame(
+            [(0, "merge filter window")], "query_id long, text string"
+        ),
+        dim=64,
+        id_col="query_id",
+    ).select("query_id", F.col("embedding").alias("query_vec"))
+    scored = SIM.cosine_scores_pandas(base, qv, id_col="doc_id", local_topk=20)
+    w = Window.orderBy(round4_expr(F.col("_cos")).desc(), F.col("doc_id").asc())
+    dense = scored.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 20)
+    return TX.rrf_fuse([lex, dense], k=10)
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction: a selective orders filter
+    (1-URGENT, 1997-Q1) folds into an m-bit bitset (one JVM bit_or groupBy,
+    shuffle bounded by m/64 words, no driver collect), lineitem is probed
+    MAP-SIDE before any shuffle, and only survivors enter the real join.
+    No false negatives => result == the plain join the oracle runs; false
+    positives are removed by the join and cost only shuffle rows. The
+    explicit form of Spark's runtime-filter/DPP idea, as a composable
+    operator (functions/runtime_filter.py)."""
+    from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    bloom = bloom_build(orders, "o_orderkey", m_bits=1 << 17, n_hashes=5)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_probe(li, "l_orderkey", bloom, m_bits=1 << 17, n_hashes=5)
+    j = pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+    return j.groupBy(F.month("o_orderdate").cast("long").alias("o_month")).agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum4_expr(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-stage text normalization (functions/text.py:normalize_text):
+    control-char strip -> unicode punctuation unification -> whitespace
+    collapse -> trim, all JVM regexp/replace (no UDF, map-side only). The
+    fixture text is ASCII-clean, so each doc is salted with deterministic
+    curly quotes / NBSP / em-dash / bell-control / doubled spaces derived
+    from doc_id — the oracle rebuilds the identical salt with chr() and
+    replays the identical chain."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" “quoted”")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" café menu")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("—dash…\x07  double  spaced"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.normalize_text(salted)
+
+
+def q_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation domain census (functions/web.py): deterministic URLs
+    salted from doc_id (4 hosts across 3 registrable domains, odd ids
+    carry a query string), parsed with dialect-shared regexes, grouped by
+    the registrable domain — the domain-prior/quota table a crawl pipeline
+    joins back onto documents. Pure map-side parsing; ONE domain-keyed
+    groupBy is the only Exchange."""
+    from kadiyadb_spark.functions.web import domain_census
+
+    hosts = F.array(
+        F.lit("news.example.com"),
+        F.lit("cdn.example.org"),
+        F.lit("blog.sample.net"),
+        F.lit("www.example.com"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (F.col("doc_id") % 4).cast("int") + 1),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("?ref=rss")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return domain_census(docs, size_col="n_chars")
+
+
 def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson over lineitem's numeric columns with exact
     DECIMAL(38,0) folds over min-recentered 4dp scaled longs (price-scale
@@ -4611,14 +4735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_rollup_merge": q_histogram_rollup_merge,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q4_order_priority": q4_order_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_selective_scan": q6_selective_scan,
-        "q7_nation_volume": q7_nation_volume,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
-        #     exists_subquery and grouping_sets_mixed, all r08-green,
-        #     re-gate from the queue's r08 block):
+        #     exists_subquery, grouping_sets_mixed and session-3's
+        #     q4/q5/q6/q7 displacements, all r08-green, re-gate from the
+        #     queue's r08 block):
         "fetch_multi_mixed": q_fetch_multi_mixed,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "fetch_absent": q_fetch_absent,
@@ -4632,6 +4753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cm_joinsize": q_sketch_cm_joinsize,
         "fetch_group_share": q_fetch_group_share,
         "sql_over_cube": q_sql_over_cube,
+        # (4) r10 session-3 borns (same birth-round rule):
+        "rag_rrf_fusion": q_rag_rrf_fusion,
+        "bloom_join_prune": q_bloom_join_prune,
+        "text_normalize": q_text_normalize,
+        "url_domain_census": q_url_domain_census,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4765,6 +4891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_selective_scan": q6_selective_scan,
+        "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "topk_per_group": q_topk_per_group,

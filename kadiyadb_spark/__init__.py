@@ -66,6 +66,9 @@ from kadiyadb_spark.query import (
 )
 from kadiyadb_spark.functions.bpe import decode_ids, encode_ids
 from kadiyadb_spark.functions.profile import exact_quantiles
+from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
+from kadiyadb_spark.functions.text import normalize_text, rrf_fuse
+from kadiyadb_spark.functions.web import domain_census, url_components
 from kadiyadb_spark.functions.similarity import embedding_outliers, matryoshka_truncate
 from kadiyadb_spark.functions.sketch import (
     kmv_estimate_expr,
@@ -127,6 +130,12 @@ __all__ = [
     "embedding_outliers",
     "matryoshka_truncate",
     "encode_ids",
+    "bloom_build",
+    "bloom_probe",
+    "rrf_fuse",
+    "normalize_text",
+    "url_components",
+    "domain_census",
     "decode_ids",
     "get_spark",
     "spread",

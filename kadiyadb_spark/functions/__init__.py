@@ -12,10 +12,12 @@ from kadiyadb_spark.functions import (  # noqa: F401
     dedup,
     graph,
     multimodal,
+    runtime_filter,
     sampling,
     similarity,
     sketch,
     skew,
     text,
     timeops,
+    web,
 )

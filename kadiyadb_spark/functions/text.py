@@ -1293,3 +1293,128 @@ def collocations(
         )
         .filter(F.col("rank") <= top_k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    kconst: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse N retrieval rankings of the same id space into one list by
+    summing per-source ``1/(kconst + rank)`` — the standard hybrid-search
+    combiner (BM25 + dense, multi-field, multi-query) because it needs no
+    score calibration across sources: only RANKS enter the fusion, so a
+    cosine in [0,1] and a BM25 in [0,30] fuse without normalization.
+
+    Integer-exact end to end (stronger than the usual float RRF): each
+    contribution quantizes as ``1_000_000 div (kconst + rank)`` — ONE
+    integer division, a defined construction both gate engines replay
+    bit-for-bit — the fused score is an exact long sum of those, and the
+    final ranking orders on (rrf_micros desc, id asc), a total order in
+    any engine. No doubles anywhere.
+
+    Contract: every input frame is a RANKING — (id_col, rank_col) with
+    ranks >= 1 and at most one row per id (enforce upstream via top-k
+    retrieval, e.g. bm25_score / cosine ranks). Ids absent from a source
+    simply contribute nothing, so n_sources records how many lists an id
+    appeared in (the agreement signal).
+
+    Scale shape: inputs are already top-k-bounded by their retrievals, so
+    the union carries <= sum(k_i) rows per query; the fuse is one tiny
+    groupBy and the final row_number window ranks <= sum(k_i) rows — all
+    the corpus-sized work happened upstream in the retrievals themselves.
+    (For a per-query batch shape, partition the window by the query id
+    upstream and fuse each query's lists; this single-list form is the
+    per-query kernel.)
+
+    Output: (id_col, n_sources, rrf_micros, rank), rank 1-based; ``k``
+    keeps the top-k fused rows.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if kconst < 1:
+        raise ValueError(f"kconst must be >= 1, got {kconst}")
+    if k is not None and k <= 0:
+        raise ValueError(f"top-k must be positive, got {k}")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contrib = F.expr(
+        f"1000000L div ({int(kconst)} + cast({rank_col} as long))"
+    ).alias("_c")
+    parts = [r.select(F.col(id_col), contrib) for r in rankings]
+    fused = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum("_c").alias("rrf_micros"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_micros").desc(), F.col(id_col).asc())
+    out = fused.select(
+        id_col,
+        "n_sources",
+        "rrf_micros",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return out.filter(F.col("rank") <= k) if k is not None else out
+
+
+# Unicode-punctuation unification map for normalize_text: curly quotes,
+# en/em dashes, NBSP and ellipsis — the mojibake-adjacent characters a
+# crawl corpus carries that tokenizers/dedup want folded to ASCII. Each
+# target is a plain replace() (both gate engines replace all occurrences).
+_NORM_MAP = [
+    ("‘", "'"),
+    ("’", "'"),
+    ("“", '"'),
+    ("”", '"'),
+    ("–", "-"),
+    ("—", "-"),
+    (" ", " "),
+    ("…", "..."),
+]
+# C0 controls (minus \t \n \r, which the whitespace collapse handles) + DEL.
+_CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text cleanup — the first stage of every curation
+    pipeline (before tokenization, hashing, dedup: two docs differing only
+    in curly quotes or doubled spaces should fingerprint identically).
+
+    Fixed normalization order (the contract): (1) strip C0 control chars +
+    DEL (keeping tab/newline/CR for the collapse), (2) unify unicode
+    punctuation to ASCII (curly quotes, dashes, NBSP, ellipsis —
+    ``_NORM_MAP``), (3) collapse runs of [space tab CR LF] to one space —
+    an EXPLICIT class, never ``\\s``, whose membership differs between
+    Java regex (ASCII \\x0B included) and RE2 (not) — then (4) trim.
+
+    Everything is JVM-side (``regexp_replace`` + ``replace``): no UDF, no
+    Python in the hot path; the op is embarrassingly map-parallel and
+    pushes nothing into a shuffle. Char counts use ``length()`` — equal to
+    code-point counts on both engines for BMP text (Java UTF-16 units ==
+    code points below U+10000).
+
+    Output: (id_col, text_col normalized, n_chars_raw, n_chars_norm).
+    """
+    raw_len = F.length(F.col(text_col)).cast("long").alias("n_chars_raw")
+    t = F.regexp_replace(F.col(text_col), _CONTROL_CLASS, "")
+    for a, b in _NORM_MAP:
+        t = F.replace(t, F.lit(a), F.lit(b))
+    t = F.trim(F.regexp_replace(t, "[ \\t\\r\\n]+", " "))
+    return df.select(
+        F.col(id_col),
+        t.alias(text_col),
+        raw_len,
+        F.length(t).cast("long").alias("n_chars_norm"),
+    )

@@ -1,0 +1,82 @@
+"""URL parsing for web-curation pipelines — pure JVM string expressions.
+
+A crawl-scale corpus is grouped, deduplicated, filtered and weighted BY
+DOMAIN (CCNet/RefinedWeb: per-domain quotas, domain reputation priors,
+robots/blocklist joins), so the engine needs a deterministic URL parser
+that both gate engines replay exactly. Everything here is regexp_extract
+over a dialect-shared pattern subset (no backslash escapes, no classes
+with ``&&`` — the same conservative whitelist the manifest Re-pruning
+uses), evaluated map-side: parsing never shuffles, and the census groupBy
+is the only Exchange, keyed on the registrable domain.
+
+``registrable_domain`` uses the simplified last-two-labels rule — correct
+for .com/.org/.net-style TLDs. A production public-suffix-list resolver
+is a broadcast dim join against the PSL table (the list is ~15k rows);
+the rule here is the deterministic, dependency-free default and the
+census key contract is the same either way.
+
+Reference parity: the reference has no string/URL functions at all; this
+belongs to the north-star curation surface (SURVEY.md north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Dialect-shared patterns (Java regex and RE2 agree on every construct
+# used: anchors, literal classes, negated classes, '*'/'+' quantifiers).
+_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def url_components(
+    df: DataFrame,
+    url_col: str = "url",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Split ``url_col`` into (scheme, host, registrable_domain, path,
+    has_query) columns, appended to ``keep`` (default: every other input
+    column). Unparseable URLs (no scheme://host) yield empty-string
+    components and has_query from a plain substring test — never NULL, so
+    downstream group keys stay total. has_query is 0/1 long (the driver
+    gate's hashable-type contract excludes booleans)."""
+    scheme = F.regexp_extract(F.col(url_col), _SCHEME_RE, 1)
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    labels = F.split(host, "[.]")
+    reg = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    base = df.columns if keep is None else keep
+    return df.select(
+        *base,
+        scheme.alias("scheme"),
+        host.alias("host"),
+        reg.alias("registrable_domain"),
+        path.alias("path"),
+        F.col(url_col).contains("?").cast("long").alias("has_query"),
+    )
+
+
+def domain_census(
+    df: DataFrame,
+    url_col: str = "url",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-registrable-domain corpus census: doc count, distinct hosts,
+    query-URL count and (optionally) total ``size_col`` — the table a
+    curation pipeline joins back as its domain prior / quota base. One
+    domain-keyed groupBy (partial map-side combine); output is one row per
+    domain, orders of magnitude smaller than the corpus."""
+    parts = url_components(df, url_col=url_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("has_query").alias("n_query_urls"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col)).cast("long").alias("total_" + size_col))
+    return parts.groupBy("registrable_domain").agg(*aggs)

@@ -323,4 +323,18 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
+
+    # The Bloom pre-filter is invisible to the result (no false negatives;
+    # false positives die in the real join), so the oracle is the PLAIN
+    # join — the gate proves the reduction is lossless.
+    o["bloom_join_prune"] = """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       count(*) AS n_items,
+       floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY 1
+"""
     return o

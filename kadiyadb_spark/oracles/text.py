@@ -360,6 +360,70 @@ SELECT doc_id, n_matched, rank, floor((s4i / 10000.0) * 10000 + 0.5) / 10000 AS 
 FROM r WHERE rank <= 20
 """
 
+    # RRF hybrid fusion: the BM25 CTE chain is the bm25_retrieval oracle
+    # verbatim; the cosine chain is the rag_hashed_retrieval device with
+    # the query as a literal token list; both rankings fuse with the
+    # integer contribution 1000000 // (60 + rank) — no doubles survive
+    # into the fused output (HUGEINT folds cast back per the r08 doctrine)
+    o["rag_rrf_fusion"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS N,
+              (SELECT CAST(count(*) AS BIGINT) FROM toks) AS T),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN ('filter', 'merge', 'window') GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         floor((ln(1.0::DOUBLE
+                   + (CAST(st.N - dfq.df AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE))
+                * (CAST(tf.tf AS DOUBLE) * 2.25::DOUBLE)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.25::DOUBLE * (0.25::DOUBLE
+                       + 0.75::DOUBLE * (CAST(dl.dl * st.N AS DOUBLE)
+                                         / CAST(st.T AS DOUBLE)))))
+               * 10000 + 0.5) / 10000 AS s4
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+lexagg AS (SELECT doc_id, sum(CAST(round(s4 * 10000) AS BIGINT)) AS s4i
+           FROM sc GROUP BY doc_id),
+lexr AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY s4i DESC, doc_id ASC) AS BIGINT) AS rank
+         FROM lexagg QUALIFY rank <= 20),
+cb AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY 1, 2),
+qb AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(['merge', 'filter', 'window']) AS tok) GROUP BY 1),
+cn AS (SELECT doc_id, sqrt(sum(c*c)) AS n FROM cb GROUP BY doc_id),
+qn AS (SELECT sqrt(sum(c*c)) AS n FROM qb),
+dots AS (
+  SELECT v.doc_id, sum(q.c * v.c) AS d
+  FROM qb q JOIN cb v ON q.b = v.b GROUP BY 1),
+cosd AS (
+  SELECT cn.doc_id,
+         floor((COALESCE(d.d, 0) / (qn.n * cn.n)) * 10000 + 0.5) / 10000 AS cosine
+  FROM cn LEFT JOIN dots d ON cn.doc_id = d.doc_id CROSS JOIN qn),
+denser AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM cosd QUALIFY rank <= 20),
+u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM lexr
+      UNION ALL SELECT doc_id, 1000000 // (60 + rank) AS c FROM denser),
+f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(c) AS BIGINT) AS rrf_micros
+      FROM u GROUP BY doc_id)
+SELECT doc_id, n_sources, rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC) AS BIGINT) AS rank
+FROM f QUALIFY rank <= 10
+"""
+
     o["text_keywords"] = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -487,5 +551,61 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        floor(ce * 10000 + 0.5) / 10000 AS cross_entropy,
        floor(exp(ce) * 10000 + 0.5) / 10000 AS perplexity
 FROM d
+"""
+    # text_normalize: the salt is rebuilt with chr() (DuckDB quoted strings
+    # do not interpret \\u escapes), then the IDENTICAL chain: control-strip
+    # regex, the _NORM_MAP replaces in order, the explicit whitespace class
+    # (never \\s — Java and RE2 disagree on \\x0B), trim.
+    o["text_normalize"] = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(8220) || 'quoted' || chr(8221) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) || chr(160) || 'menu' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(8212) || 'dash' || chr(8230) || chr(7) || '  double  spaced' ELSE '' END
+         AS text
+  FROM documents),
+c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+             regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t
+      FROM salted),
+r AS (SELECT doc_id, n_chars_raw,
+             replace(replace(replace(replace(replace(replace(replace(replace(t,
+               chr(8216), ''''), chr(8217), ''''), chr(8220), '"'), chr(8221), '"'),
+               chr(8211), '-'), chr(8212), '-'), chr(160), ' '), chr(8230), '...') AS t
+      FROM c),
+w AS (SELECT doc_id, n_chars_raw,
+             trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS text
+      FROM r)
+SELECT doc_id, text, n_chars_raw, CAST(length(text) AS BIGINT) AS n_chars_norm FROM w
+"""
+
+    # url_domain_census: identical salt construction (list literal indexed
+    # by doc_id % 4), dialect-shared parse regexes, last-two-labels
+    # registrable rule via negative list indexing.
+    o["url_domain_census"] = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://'
+         || (['news.example.com', 'cdn.example.org', 'blog.sample.net', 'www.example.com'])[CAST(doc_id % 4 AS INT) + 1]
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 1 THEN '?ref=rss' ELSE '' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, n_chars, url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS has_query
+  FROM u),
+d AS (
+  SELECT doc_id, n_chars, host, has_query,
+         CASE WHEN len(string_split(host, '.')) >= 2
+              THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              ELSE host END AS registrable_domain
+  FROM p)
+SELECT registrable_domain,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(has_query) AS BIGINT) AS n_query_urls,
+       CAST(sum(n_chars) AS BIGINT) AS total_n_chars
+FROM d GROUP BY registrable_domain
 """
     return o

@@ -37,7 +37,10 @@ R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
            "embedding_matryoshka", "sketch_countmin", "graph_pagerank",
            "fetch_subquery", "sim_maxsim", "fetch_irate",
            "fetch_rule_group", "sketch_cm_joinsize", "fetch_group_share",
-           "sql_over_cube"]
+           "sql_over_cube",
+           # session 3 borns:
+           "rag_rrf_fusion", "bloom_join_prune", "text_normalize",
+           "url_domain_census"]
 # The §16.8 spills: stable r08 greens displaced by the birth-round
 # rule; they re-gate via the staleness queue (r08 block), not the cap.
 R10_DOCUMENTED_SPILL = {
@@ -46,6 +49,9 @@ R10_DOCUMENTED_SPILL = {
     "q15_top_supplier", "q17_small_quantity", "q19_disjunctive",
     "q21_waiting_suppliers", "q22_waiting_customers", "q8_market_share",
     "q9_product_profit",
+    # session-3 displacements (four borns entered the cap):
+    "q4_order_priority", "q5_local_supplier_volume", "q6_selective_scan",
+    "q7_nation_volume",
 }
 
 
