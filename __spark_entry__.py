@@ -4474,6 +4474,54 @@ def q_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_census(docs, size_col="n_chars")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build over the event stream: each user's
+    event_type timeline collapsed into validity intervals [valid_from,
+    valid_to) with a 1-based version — the value-change islands problem
+    (sessionize is the time-gap variant), the warehouse primitive an as-of
+    dimension join consumes. ONE user-keyed window Exchange; the run fold
+    and interval-closing lead() reuse the same distribution
+    (functions/analytics.py:scd2_intervals). Micros-truncated ts for
+    oracle comparability (the asof_join device)."""
+    from kadiyadb_spark.functions.analytics import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts") - F.col("ts") % F.lit(1000)
+    )
+    return scd2_intervals(ev, "user_id", "event_type", "ts", order_cols=["event_id"])
+
+
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO as a frame operator: a change set derived from
+    1997 orders (latest order per customer wins; keys on a 23-cycle insert
+    as brand-new customers, keys on a 17-cycle delete; the rest update
+    c_acctbal to the order total) applied onto the customer snapshot —
+    insert/update/delete in one pass (functions/cdc.py:merge_apply: one
+    row_number dedup inside the change side's partitioning + one
+    full-outer key join). The oracle replays the same relational
+    decomposition; unknown ops raise_error rather than silently drop."""
+    from kadiyadb_spark.functions.cdc import merge_apply
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("long")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    k = F.when(
+        F.col("o_custkey") % 23 == 0, F.col("o_custkey") + 1000000
+    ).otherwise(F.col("o_custkey"))
+    changes = orders.select(
+        k.alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(k % 17 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    merged = merge_apply(cust, changes, "c_custkey", "seq")
+    return merged.withColumn("c_acctbal", round4_expr(F.col("c_acctbal")))
+
+
 def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson over lineitem's numeric columns with exact
     DECIMAL(38,0) folds over min-recentered 4dp scaled longs (price-scale
@@ -4733,8 +4781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "pack_nosplit": q_pack_nosplit,
         "histogram_rollup_merge": q_histogram_rollup_merge,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery, grouping_sets_mixed and session-3's
@@ -4758,6 +4804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_prune": q_bloom_join_prune,
         "text_normalize": q_text_normalize,
         "url_domain_census": q_url_domain_census,
+        "scd2_history": q_scd2_history,
+        "cdc_merge_apply": q_cdc_merge_apply,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4889,8 +4937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,
+        "q1_pricing_summary": q1_pricing_summary,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_waiting_customers": q22_waiting_customers,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
         "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_selective_scan": q6_selective_scan,

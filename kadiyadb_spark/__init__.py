@@ -66,6 +66,8 @@ from kadiyadb_spark.query import (
 )
 from kadiyadb_spark.functions.bpe import decode_ids, encode_ids
 from kadiyadb_spark.functions.profile import exact_quantiles
+from kadiyadb_spark.functions.analytics import scd2_intervals
+from kadiyadb_spark.functions.cdc import merge_apply
 from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
 from kadiyadb_spark.functions.text import normalize_text, rrf_fuse
 from kadiyadb_spark.functions.web import domain_census, url_components
@@ -131,6 +133,8 @@ __all__ = [
     "matryoshka_truncate",
     "encode_ids",
     "bloom_build",
+    "scd2_intervals",
+    "merge_apply",
     "bloom_probe",
     "rrf_fuse",
     "normalize_text",

@@ -9,6 +9,7 @@ blocking/LSH instead of quadratic self-joins).
 
 from kadiyadb_spark.functions import (  # noqa: F401
     analytics,
+    cdc,
     dedup,
     graph,
     multimodal,

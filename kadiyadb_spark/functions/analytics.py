@@ -623,3 +623,62 @@ def attribution(
             F.col("conversions").cast("double") / F.col("_total").cast("double")
         ).alias("share"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each key's
+    timeline into validity intervals over ``attr_col`` — one row per
+    consecutive RUN of the same attribute value, carrying
+    ``[valid_from, valid_to)`` and a 1-based ``version``; the current run
+    has ``valid_to`` NULL. The warehouse primitive that turns an event/CDC
+    stream into a dimension history you can as-of join against.
+
+    This is the VALUE-CHANGE islands problem (sessionize is the TIME-GAP
+    variant): change flag = attr differs from lag(attr), version = running
+    sum of flags, then one fold per (key, version) and lead(valid_from)
+    closes each interval. Ties in ``ts_col`` order break on
+    ``order_cols`` (give the event id; a non-total order would make runs
+    engine-dependent).
+
+    Scale shape: ONE key-partitioned window Exchange; the (key, version)
+    groupBy and the closing lead() window are both sub-partitionings of
+    the same key distribution, so Catalyst adds no further shuffle
+    (HashPartitioning(key) satisfies their clustering). Per-key window
+    state is O(1)/row (lag + running sum). Output is runs, not rows —
+    at most the input size, typically far smaller.
+
+    Output: (key_col, attr_col, version, valid_from, valid_to, n_rows).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    chg = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("long")
+    runs = (
+        df.withColumn("_chg", chg)
+        .withColumn("version", F.sum("_chg").over(w).cast("long"))
+        .groupBy(key_col, "version")
+        .agg(
+            F.min(attr_col).alias(attr_col),  # constant within a run
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return runs.select(
+        key_col,
+        attr_col,
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_rows",
+    )

@@ -268,4 +268,33 @@ SELECT from_event, to_event,
 FROM h WHERE from_event IS NOT NULL
 GROUP BY from_event, to_event
 """
+
+    # SCD2: value-change islands (IS DISTINCT FROM == Spark's
+    # isNull-or-!= for never-null event_type); running sum cast back to
+    # BIGINT per the HUGEINT doctrine. epoch_ns(ts) is already micros-
+    # precise, matching the entry's % 1000 truncation.
+    o["scd2_history"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id FROM events),
+f AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+v AS (
+  SELECT user_id, event_type, ts,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM f
+),
+g AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_rows
+  FROM v GROUP BY user_id, version
+)
+SELECT user_id, event_type, version, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       n_rows
+FROM g
+"""
     return o

@@ -337,4 +337,32 @@ WHERE o_orderpriority = '1-URGENT'
   AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
 GROUP BY 1
 """
+
+    # MERGE INTO replay: same change-set construction, same latest-wins
+    # dedup, same full-outer resolution (I/U overwrite, D drop).
+    o["cdc_merge_apply"] = """
+WITH ch AS (
+  SELECT CASE WHEN o_custkey % 23 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS k,
+         o_orderkey AS seq,
+         CASE WHEN (CASE WHEN o_custkey % 23 = 0 THEN o_custkey + 1000000 ELSE o_custkey END) % 17 = 0
+              THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS acct
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+latest AS (
+  SELECT k, op, acct FROM (
+    SELECT ch.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch)
+  WHERE rn = 1),
+m AS (
+  SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+         c.c_name,
+         CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+         CASE WHEN l.op IS NOT NULL THEN l.acct ELSE c.c_acctbal END AS c_acctbal,
+         c.c_mktsegment, l.op
+  FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k)
+SELECT c_custkey, c_name, c_nationkey,
+       floor(c_acctbal * 10000 + 0.5) / 10000 AS c_acctbal,
+       c_mktsegment
+FROM m WHERE op IS NULL OR op <> 'D'
+"""
     return o

@@ -310,3 +310,50 @@ def test_attribution_last_and_first_touch(spark):
         attribution(ev, ["view"], "purchase", model="first", lookback=5)
     with pytest.raises(ValueError, match="touch type"):
         attribution(ev, ["purchase"], "purchase")
+
+
+def test_scd2_intervals_golden(spark):
+    from kadiyadb_spark.functions.analytics import scd2_intervals
+
+    rows = [
+        # user 1: A A B A  -> 3 runs
+        (1, 10, "A", 100), (1, 11, "A", 200), (1, 12, "B", 300), (1, 13, "A", 400),
+        # user 2: single run, stays current
+        (2, 20, "X", 150), (2, 21, "X", 250),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, attr string, ts long")
+    got = {
+        (r["user_id"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+        for r in scd2_intervals(df, "user_id", "attr", "ts", order_cols=["event_id"]).collect()
+    }
+    assert got[(1, 1)] == ("A", 100, 300, 2)
+    assert got[(1, 2)] == ("B", 300, 400, 1)
+    assert got[(1, 3)] == ("A", 400, None, 1)   # current run: open interval
+    assert got[(2, 1)] == ("X", 150, None, 2)
+    assert len(got) == 4
+
+
+def test_scd2_intervals_tie_break_total_order(spark):
+    from kadiyadb_spark.functions.analytics import scd2_intervals
+
+    # same ts: event_id orders the run boundaries deterministically
+    rows = [(1, 2, "B", 100), (1, 1, "A", 100), (1, 3, "A", 100)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, attr string, ts long")
+    out = scd2_intervals(df, "user_id", "attr", "ts", order_cols=["event_id"]).collect()
+    seq = [(r["version"], r["attr"], r["n_rows"]) for r in sorted(out, key=lambda r: r["version"])]
+    assert seq == [(1, "A", 1), (2, "B", 1), (3, "A", 1)]
+
+
+def test_scd2_single_exchange_plan(spark):
+    from kadiyadb_spark.functions.analytics import scd2_intervals
+
+    df = spark.createDataFrame([(1, 1, "A", 1)], "user_id long, event_id long, attr string, ts long")
+    plan = (
+        scd2_intervals(df, "user_id", "attr", "ts", order_cols=["event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the run fold and interval-closing window reuse the user_id
+    # distribution: exactly ONE hash-partition Exchange in the plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -2678,3 +2678,51 @@ def test_url_components_golden(spark):
     assert got[1]["has_query"] == 0
     assert got[2]["scheme"] == "" and got[2]["host"] == ""
     assert got[3]["registrable_domain"] == "b.co"
+
+
+def test_merge_apply_insert_update_delete(spark):
+    from kadiyadb_spark.functions.cdc import merge_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 100, "U", 11.0),   # stale update...
+            (1, 101, "U", 12.0),   # ...latest wins
+            (2, 200, "D", 0.0),    # delete
+            (9, 300, "I", 99.0),   # brand-new key
+            (8, 400, "D", 0.0),    # delete of absent key: no-op
+        ],
+        "k long, seq long, op string, bal double",
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in merge_apply(base, changes, "k", "seq").collect()}
+    assert got == {1: ("a", 12.0), 3: ("c", 30.0), 9: (None, 99.0)}
+
+
+def test_merge_apply_unknown_op_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from kadiyadb_spark.functions.cdc import merge_apply
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    changes = spark.createDataFrame([(1, 10, "X", 2.0)], "k long, seq long, op string, bal double")
+    import pytest as _pt
+
+    with _pt.raises(Exception) as ei:
+        merge_apply(base, changes, "k", "seq").collect()
+    assert "unknown op" in str(ei.value)
+    with _pt.raises(ValueError):
+        merge_apply(base, changes, "k", "seq", set_cols=["nope"])
+
+
+def test_merge_apply_latest_wins_is_seq_ordered_not_layout(spark):
+    from kadiyadb_spark.functions.cdc import merge_apply
+
+    base = spark.createDataFrame([(1, 0.0)], "k long, bal double")
+    rows = [(1, s, "U", float(s)) for s in range(1, 50)]
+    for parts in (1, 7):
+        ch = spark.createDataFrame(rows, "k long, seq long, op string, bal double").repartition(parts)
+        out = merge_apply(base, ch, "k", "seq").collect()
+        assert out[0]["bal"] == 49.0
