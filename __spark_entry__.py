@@ -480,6 +480,45 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(buckets, 0.9, ["event_type", "day"])
 
 
+def q_fetch_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction([5, 50]) over the same le-bucket ladder as
+    histogram_quantile — the CDF-side inverse (PromQL ships it for native
+    histograms; this is the classic-bucket analog). Per-bucket overlap
+    contributions quantize at 4dp and fold as scaled longs; the +Inf
+    bucket counts toward the total but contributes no in-range mass
+    (query.py:histogram_fraction)."""
+    from kadiyadb_spark.query import histogram_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 24 * 3600 * SEC
+    le = (
+        F.when(F.col("value") <= 1.0, F.lit(1.0))
+        .when(F.col("value") <= 5.0, F.lit(5.0))
+        .when(F.col("value") <= 10.0, F.lit(10.0))
+        .when(F.col("value") <= 50.0, F.lit(50.0))
+        .when(F.col("value") <= 100.0, F.lit(100.0))
+        .otherwise(F.lit(float("inf")))
+    )
+    buckets = (
+        ev.withColumn("day", (F.col("ts") - F.col("ts") % F.lit(day_ns)).cast("long"))
+        .groupBy("event_type", "day", le.alias("le"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return histogram_fraction(buckets, 5.0, 50.0, ["event_type", "day"])
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 3 rounds of
+    integer-exact power iteration (the pagerank device applied to linear
+    algebra): 4dp-quantized vectors, exact long/decimal folds per round,
+    renormalization against the exact integer norm^2 — so the oracle
+    unrolls the identical rounds as CTEs and the 64-row direction
+    value-hash-gates with no tolerance
+    (functions/similarity.py:power_iteration_top_pc)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.power_iteration_top_pc(emb, iters=3)
+
+
 def q_fetch_stddev_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL stddev/stdvar_over_time over the dense fetch: trailing
     12-slot population volatility + window mean per slot. Exact long
@@ -4779,8 +4818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_seasonal": q_fetch_seasonal,
         "fetch_binop": q_fetch_binop,
         "text_bigram_lm": q_text_bigram_lm,
-        "pack_nosplit": q_pack_nosplit,
-        "histogram_rollup_merge": q_histogram_rollup_merge,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery, grouping_sets_mixed and session-3's
@@ -4806,6 +4843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_census": q_url_domain_census,
         "scd2_history": q_scd2_history,
         "cdc_merge_apply": q_cdc_merge_apply,
+        "fetch_histogram_fraction": q_fetch_histogram_fraction,
+        "embedding_pca": q_embedding_pca,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4931,6 +4970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "grouping_sets_mixed": q_grouping_sets_mixed,
+        "histogram_rollup_merge": q_histogram_rollup_merge,
+        "pack_nosplit": q_pack_nosplit,
         "pivot_event_matrix": q_pivot_event_matrix,
         "q10_returned_items": q10_returned_items,
         "q14_promo_ratio": q14_promo_ratio,

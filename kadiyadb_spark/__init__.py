@@ -31,6 +31,7 @@ from kadiyadb_spark.query import (
     fetch_absent,
     fetch_multi,
     histogram_quantile,
+    histogram_fraction,
     series_predict_linear,
     interpolate_series,
     series_anomaly,
@@ -71,7 +72,11 @@ from kadiyadb_spark.functions.cdc import merge_apply
 from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
 from kadiyadb_spark.functions.text import normalize_text, rrf_fuse
 from kadiyadb_spark.functions.web import domain_census, url_components
-from kadiyadb_spark.functions.similarity import embedding_outliers, matryoshka_truncate
+from kadiyadb_spark.functions.similarity import (
+    embedding_outliers,
+    matryoshka_truncate,
+    power_iteration_top_pc,
+)
 from kadiyadb_spark.functions.sketch import (
     kmv_estimate_expr,
     kmv_merge,
@@ -104,6 +109,7 @@ __all__ = [
     "series_increase",
     "series_predict_linear",
     "histogram_quantile",
+    "histogram_fraction",
     "series_resets_changes",
     "series_gaps",
     "series_holt_winters",
@@ -131,6 +137,7 @@ __all__ = [
     "kmv_setop_exprs",
     "embedding_outliers",
     "matryoshka_truncate",
+    "power_iteration_top_pc",
     "encode_ids",
     "bloom_build",
     "scd2_intervals",

@@ -2013,3 +2013,96 @@ def maxsim_topk(
             (F.col("_s4") / F.lit(10000.0)).alias("maxsim"),
         )
     )
+
+
+def power_iteration_top_pc(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus by deterministic
+    power iteration on the (uncentered) Gram matrix — the
+    dimensionality-reduction primitive behind spectral corpus diagnostics
+    (dominant-direction removal a la all-but-the-top, Mu & Viswanath,
+    ICLR 2018) and PCA-before-ANN. Plain power iteration:
+    ``w <- normalize(E^T (E w))``, which Spark expresses as two corpus
+    folds per round — no matrix library, no driver-side O(n) work.
+
+    Integer-exact iteration (the pagerank device, applied to linear
+    algebra): vectors quantize ONCE to 4dp scaled longs
+    (``floor(x*1e4 + 0.5)`` — the portable rounding); the start vector is
+    all-ones at 4dp (deterministic, never orthogonal to the top
+    eigenvector of a Gram matrix since entries are nonnegative-dominant);
+    each per-row dot ``e4 . w4`` is an exact long fold; the per-dimension
+    fold ``sum(e4_j * dot)`` accumulates in DECIMAL(38,0) (corpus-scale
+    sums pass 2^63 long before they pass 38 digits); renormalization
+    divides by the IEEE-double norm of the EXACT integer fold and
+    requantizes at 4dp. Iteration k's vector is therefore a pure integer
+    function of the corpus — the SQL oracle unrolls the same rounds as
+    CTEs and the output value-hash-gates with no tolerance.
+
+    Scale shape: the quantized exploded (id, dim, v) frame persists once;
+    each round is one id-keyed fold (the dots) + one dim-keyed fold (d
+    rows out of every partition after partial aggregation) + ONE d-row
+    driver collect to renormalize (the bounded-frame collect contract:
+    d is the model dimension, never corpus-sized). Rounds are sequential
+    by nature (Krylov); each is a full corpus pass — at 100 TB you run
+    2-4 rounds, which is exactly what top-PC extraction needs.
+
+    Output: (dim, pc4) — the unit top direction at 4dp as scaled longs,
+    ``d`` rows.
+    """
+    import math
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from pyspark.sql import Window  # noqa: F401  (parity with module style)
+
+    spark = emb.sparkSession
+    from pyspark import StorageLevel
+
+    x = F.col(vec_col).cast("array<double>")
+    e4 = F.transform(x, lambda e: F.floor(e * F.lit(10000.0) + F.lit(0.5)).cast("long"))
+    ek = (
+        emb.select(F.col(id_col).alias("_id"), F.posexplode(e4).alias("dim", "_v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dim = len(emb.select(vec_col).first()[0])
+    w4 = [10000] * dim
+    for _ in range(iters):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [(j, int(w4[j])) for j in range(dim)], "dim int, _w long"
+            )
+        )
+        dots = (
+            ek.join(wdf, "dim")
+            .groupBy("_id")
+            .agg(F.sum(F.col("_v") * F.col("_w")).alias("_dot"))
+        )
+        s = (
+            ek.join(dots, "_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("_v").cast("decimal(38,0)") * F.col("_dot").cast("decimal(38,0)")
+                ).alias("_s")
+            )
+        )
+        srows = {r["dim"]: int(r["_s"]) for r in s.collect()}
+        sv = [srows.get(j, 0) for j in range(dim)]
+        # norm^2 as an EXACT integer (python bigint == DuckDB HUGEINT), so
+        # the only FP ops are int->double + sqrt + one divide + the floor
+        # quantize — each correctly rounded and identical in any engine;
+        # a float sum-of-squares here would be summation-order-dependent.
+        n2 = sum(v * v for v in sv)
+        if n2 == 0:
+            raise ValueError("power iteration collapsed: zero fold (empty corpus?)")
+        norm = math.sqrt(float(n2))
+        w4 = [math.floor(float(v) / norm * 10000.0 + 0.5) for v in sv]
+    ek.unpersist()
+    out = spark.createDataFrame(
+        [(j, int(w4[j])) for j in range(dim)], "dim long, pc4 long"
+    )
+    return out

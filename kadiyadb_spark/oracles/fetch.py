@@ -572,6 +572,40 @@ SELECT event_type, day, CAST(tot AS BIGINT) AS n_obs,
 FROM sel WHERE rn = 1
 """
 
+    # histogram_fraction: per-bucket overlap contribution, one double
+    # expression over exact counts quantized at 4dp, scaled-long fold,
+    # one final division — mirrors query.histogram_fraction exactly
+    o["fetch_histogram_fraction"] = f"""
+WITH b AS (
+  SELECT event_type, (epoch_ns(ts) // {24 * 3600 * SEC}) * {24 * 3600 * SEC} AS day,
+         CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+              WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+              WHEN value <= 100.0 THEN 100.0
+              ELSE CAST('infinity' AS DOUBLE) END AS le,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type, day, le, cnt,
+         coalesce(lag(le) OVER (PARTITION BY event_type, day ORDER BY le), 0.0) AS lower
+  FROM b
+),
+c AS (
+  SELECT event_type, day, cnt,
+         CASE WHEN NOT isinf(le) AND le - lower > 0
+              THEN CAST(floor(CAST(cnt AS DOUBLE)
+                    * (greatest(0.0::DOUBLE,
+                                least(50.0::DOUBLE, le) - greatest(5.0::DOUBLE, lower))
+                       / (le - lower))
+                    * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+              ELSE 0 END AS c4
+  FROM w
+)
+SELECT event_type, day, CAST(sum(cnt) AS BIGINT) AS n_obs,
+       floor(((CAST(sum(c4) AS BIGINT) / 10000.0) / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000 AS fraction
+FROM c GROUP BY 1, 2 HAVING sum(cnt) > 0
+"""
+
     o["fetch_smooth"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

@@ -590,4 +590,33 @@ SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
        floor(ac * 10000 + 0.5) / 10000 AS approx_cos
 FROM ranked WHERE rnk <= 5
 """
+    # embedding_pca: 3 unrolled power-iteration rounds, each an exact
+    # integer fold (HUGEINT internally, cast at the boundaries) with the
+    # renormalize quantize floor(s/n*1e4+0.5) — mirrors
+    # similarity.power_iteration_top_pc's python-driver arithmetic
+    # operation for operation (int->double conversions are correctly
+    # rounded in both runtimes).
+    pca_iters = "".join(
+        f""",
+d{i} AS (SELECT vec_id, CAST(sum(v * w) AS BIGINT) AS dot
+         FROM ek JOIN w{i} USING (dim) GROUP BY vec_id),
+s{i} AS (SELECT dim, sum(CAST(v AS HUGEINT) * dot) AS s
+         FROM ek JOIN d{i} USING (vec_id) GROUP BY dim),
+n{i} AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS n FROM s{i}),
+w{i + 1} AS (SELECT dim, CAST(floor(CAST(s AS DOUBLE) / n * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS w
+             FROM s{i}, n{i})"""
+        for i in range(1, 4)
+    )
+    o["embedding_pca"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS e4
+  FROM embeddings),
+ek AS (
+  SELECT vec_id, CAST(k AS INT) AS dim, e4[CAST(k AS INT) + 1] AS v
+  FROM e, unnest(range(64)) AS t(k)),
+w1 AS (SELECT CAST(k AS INT) AS dim, CAST(10000 AS BIGINT) AS w FROM range(64) t(k)){pca_iters}
+SELECT CAST(dim AS BIGINT) AS dim, w AS pc4 FROM w4
+"""
     return o

@@ -21,6 +21,8 @@ once). The only wide operations are the ``distinct`` over matched series
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -881,6 +883,73 @@ def histogram_quantile(
             # prevent)
             F.when(F.isnan(q), q).otherwise(round4_expr(q)).alias("quantile"),
         )
+    )
+
+
+def histogram_fraction(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    group_cols: list[str],
+    le_col: str = "le",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Estimated fraction of observations in ``[lo, hi]`` per group from
+    le-bucketed counts — the CDF-side inverse of ``histogram_quantile``
+    (PromQL ships histogram_fraction() for native histograms; this is the
+    classic-bucket analog, interpolating uniformly inside each bucket
+    exactly as histogram_quantile interpolates the quantile).
+
+    Per finite bucket (lower bound = previous le, 0 for the first — the
+    same convention as histogram_quantile): its contribution is
+    ``cnt * overlap([lo,hi], (lower,le]) / width``; the +Inf bucket counts
+    toward the total but contributes no in-range mass (its observations
+    have no locatable position; ``hi`` must be finite). Per-bucket
+    contributions quantize at 4dp (floor(x*1e4+0.5) of ONE double
+    expression over exact counts and shared literals) and fold as scaled
+    longs — the engine-exact device — then ONE division by the total.
+
+    One group-keyed window Exchange (the lag for lower bounds); the group
+    fold reuses the same distribution. Zero-total groups yield no row.
+
+    Output: (group_cols..., n_obs, fraction).
+    """
+    if not (lo < hi):
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    if math.isinf(lo) or math.isinf(hi):
+        raise ValueError("lo/hi must be finite (the +Inf bucket has no positions)")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import round4_expr
+
+    w = Window.partitionBy(*group_cols).orderBy(le_col)
+    lower = F.coalesce(F.lag(le_col).over(w), F.lit(0.0))
+    width = F.col(le_col) - lower
+    ov = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(float(hi)), F.col(le_col)) - F.greatest(F.lit(float(lo)), lower),
+    )
+    c4 = F.when(
+        (F.col(le_col) != float("inf")) & (width > 0),
+        F.floor(F.col(cnt_col).cast("double") * (ov / width) * F.lit(10000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    folded = (
+        df.withColumn("_c4", c4)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(cnt_col).cast("long").alias("n_obs"),
+            F.sum("_c4").alias("_in4"),
+        )
+        .filter(F.col("n_obs") > 0)
+    )
+    return folded.select(
+        *group_cols,
+        "n_obs",
+        round4_expr(
+            (F.col("_in4") / F.lit(10000.0)) / F.col("n_obs").cast("double")
+        ).alias("fraction"),
     )
 
 

@@ -2726,3 +2726,74 @@ def test_merge_apply_latest_wins_is_seq_ordered_not_layout(spark):
         ch = spark.createDataFrame(rows, "k long, seq long, op string, bal double").repartition(parts)
         out = merge_apply(base, ch, "k", "seq").collect()
         assert out[0]["bal"] == 49.0
+
+
+def test_histogram_fraction_golden_and_edges(spark):
+    from kadiyadb_spark.query import histogram_fraction
+
+    rows = [
+        # group g1: 10 obs in (0,10], 10 in (10,20], 5 in +Inf
+        ("g1", 10.0, 10), ("g1", 20.0, 10), ("g1", float("inf"), 5),
+        # group g2: all mass in one bucket
+        ("g2", 10.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, le double, cnt long")
+    got = {r["g"]: r for r in histogram_fraction(df, 5.0, 15.0, ["g"]).collect()}
+    # g1: (10-5)/10 * 10 + (15-10)/10 * 10 = 5 + 5 = 10 of 25 total
+    assert got["g1"]["n_obs"] == 25
+    assert got["g1"]["fraction"] == 0.4
+    # g2: (10-5)/10 * 4 = 2 of 4
+    assert got["g2"]["fraction"] == 0.5
+    # full range [0, 20] covers everything finite: 20 of 25
+    full = {r["g"]: r["fraction"] for r in histogram_fraction(df, 0.0, 20.0, ["g"]).collect()}
+    assert full["g1"] == 0.8 and full["g2"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        histogram_fraction(df, 5.0, 5.0, ["g"])
+    with _pt.raises(ValueError):
+        histogram_fraction(df, 0.0, float("inf"), ["g"])
+
+
+def test_histogram_fraction_disjoint_range_zero(spark):
+    from kadiyadb_spark.query import histogram_fraction
+
+    df = spark.createDataFrame([("g", 10.0, 7)], "g string, le double, cnt long")
+    out = histogram_fraction(df, 100.0, 200.0, ["g"]).collect()
+    assert out[0]["fraction"] == 0.0 and out[0]["n_obs"] == 7
+
+
+def test_power_iteration_matches_numpy_direction(spark):
+    import numpy as np
+
+    from kadiyadb_spark.functions.similarity import power_iteration_top_pc
+
+    rng = [(i, [((i * 31 + j * 17) % 19 - 9) / 10.0 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = power_iteration_top_pc(df, iters=3).collect()
+    w = np.array([r["pc4"] for r in sorted(got, key=lambda r: r["dim"])], dtype=np.float64) / 1e4
+    # reference: numpy power iteration from the same all-ones start on the
+    # quantized matrix (3 rounds) — directions agree to quantization error
+    E = np.array([[np.floor(v * 1e4 + 0.5) for v in row] for _, row in rng])
+    ref = np.ones(8)
+    for _ in range(3):
+        ref = E.T @ (E @ ref)
+        ref = ref / np.linalg.norm(ref)
+    cos = abs(float(w @ ref) / (np.linalg.norm(w) * np.linalg.norm(ref)))
+    assert cos > 0.999, cos
+    # unit norm at 4dp quantization
+    assert abs(np.linalg.norm(w) - 1.0) < 1e-3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        power_iteration_top_pc(df, iters=0)
+
+
+def test_power_iteration_layout_invariant(spark):
+    from kadiyadb_spark.functions.similarity import power_iteration_top_pc
+
+    rows = [(i, [((i + j) % 7 - 3) / 4.0 for j in range(6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted((r["dim"], r["pc4"]) for r in power_iteration_top_pc(df.repartition(1), iters=2).collect())
+    b = sorted((r["dim"], r["pc4"]) for r in power_iteration_top_pc(df.repartition(7), iters=2).collect())
+    assert a == b

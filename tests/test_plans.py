@@ -779,3 +779,22 @@ def test_pagerank_broadcasts_nothing_and_keys_iterations(spark):
     assert "CartesianProduct" not in plan
     # the rank vector is never collected: no LocalTableScan of ranks
     assert plan.count("LocalTableScan") == 0
+
+
+def test_bloom_join_prune_probe_is_mapside_prejoin(spark):
+    """The entry's contract at scale: the Bloom probe must be evaluated on
+    the fact side BEFORE any hash Exchange — here as the condition of the
+    one-broadcast-row BroadcastNestedLoopJoin — and the selective orders
+    predicates must reach the parquet scan."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = plan_str(E.q_bloom_join_prune(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "getbit" in plan  # the probe bits, JVM-side
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushdown reached scan
+    assert "SortMergeJoin" not in plan  # tiny dim side broadcasts
+    # the fact scan itself reads only the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
