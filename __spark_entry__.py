@@ -4561,6 +4561,94 @@ def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("c_acctbal", round4_expr(F.col("c_acctbal")))
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class merge_asof (pandas semantics: backward + tolerance):
+    each purchase picks the user's most recent view within 1h — nearest
+    match or NULL, never fall-through to an older row. The union-timeline
+    window form (ONE user-keyed shuffle, no pairwise range expansion);
+    right side pre-folded unique per (user, ts) per the operator contract
+    (functions/timeops.py:merge_asof). The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — an independent implementation of the same
+    semantics, the strongest gate shape."""
+    from kadiyadb_spark.functions.timeops import merge_asof
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts") - F.col("ts") % F.lit(1000)
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = merge_asof(
+        purchases,
+        views,
+        ts_col="ts",
+        by_cols=["user_id"],
+        right_cols=["view_value"],
+        tolerance=3600 * SEC,
+        direction="backward",
+        left_order_col="event_id",
+    )
+    return _round_doubles(out, ["value", "view_value"])
+
+
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization — the cheapest, highest-
+    yield crawl dedup lever: mixed-case scheme/host, tracking params
+    (utm_*/ref), param order and trailing slashes are all presentation,
+    not identity. Salted URLs (4 surface variants per doc-id-div-4
+    group) canonicalize via functions/web.py:url_canonicalize (JVM
+    regexp + array filter/sort, map-side); the census keeps groups with
+    >= 2 docs and the min-id representative."""
+    from kadiyadb_spark.functions.web import url_canonicalize
+
+    d = F.col("doc_id")
+    host = F.when(d % 3 == 0, F.lit("News.Example.com")).otherwise(
+        F.lit("news.example.com")
+    )
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://"))
+    tail = (
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&id=7"))
+        .when(d % 4 == 1, F.lit("/?id=7&utm_medium=x"))
+        .when(d % 4 == 2, F.lit("?id=7"))
+        .otherwise(F.lit("?ref=rss"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            scheme, host, F.lit("/p/"), F.expr("doc_id div 4"), tail
+        ).alias("url"),
+    )
+    return (
+        url_canonicalize(docs)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural privacy census: every customer row annotated with its
+    (nation x segment) quasi-identifier group size and the k=10
+    suppression flag — the governance pass a metadata release runs AFTER
+    text-level PII redaction (functions/privacy.py:k_anonymity). One
+    quasi-keyed window Exchange; the flag is an integer inequality,
+    layout-proof."""
+    from kadiyadb_spark.functions.privacy import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
 def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson over lineitem's numeric columns with exact
     DECIMAL(38,0) folds over min-recentered 4dp scaled longs (price-scale
@@ -4815,9 +4903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "cohort_retention": q_cohort_retention,
         "sim_hard_negatives": q_sim_hard_negatives,
-        "fetch_seasonal": q_fetch_seasonal,
-        "fetch_binop": q_fetch_binop,
-        "text_bigram_lm": q_text_bigram_lm,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery, grouping_sets_mixed and session-3's
@@ -4845,6 +4930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_apply": q_cdc_merge_apply,
         "fetch_histogram_fraction": q_fetch_histogram_fraction,
         "embedding_pca": q_embedding_pca,
+        "asof_tolerance": q_asof_tolerance,
+        "dedup_url_canonical": q_dedup_url_canonical,
+        "privacy_k_anonymity": q_privacy_k_anonymity,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -4969,6 +5057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- last driver-green r08 --
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
+        "fetch_binop": q_fetch_binop,
+        "fetch_seasonal": q_fetch_seasonal,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         "pack_nosplit": q_pack_nosplit,
@@ -4988,6 +5078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
+        "text_bigram_lm": q_text_bigram_lm,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,
         "window_frames": q_window_frames,

@@ -69,9 +69,11 @@ from kadiyadb_spark.functions.bpe import decode_ids, encode_ids
 from kadiyadb_spark.functions.profile import exact_quantiles
 from kadiyadb_spark.functions.analytics import scd2_intervals
 from kadiyadb_spark.functions.cdc import merge_apply
+from kadiyadb_spark.functions.privacy import k_anonymity
+from kadiyadb_spark.functions.timeops import merge_asof
 from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
 from kadiyadb_spark.functions.text import normalize_text, rrf_fuse
-from kadiyadb_spark.functions.web import domain_census, url_components
+from kadiyadb_spark.functions.web import domain_census, url_canonicalize, url_components
 from kadiyadb_spark.functions.similarity import (
     embedding_outliers,
     matryoshka_truncate,
@@ -142,6 +144,9 @@ __all__ = [
     "bloom_build",
     "scd2_intervals",
     "merge_apply",
+    "merge_asof",
+    "k_anonymity",
+    "url_canonicalize",
     "bloom_probe",
     "rrf_fuse",
     "normalize_text",

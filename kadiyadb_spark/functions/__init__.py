@@ -13,6 +13,7 @@ from kadiyadb_spark.functions import (  # noqa: F401
     dedup,
     graph,
     multimodal,
+    privacy,
     runtime_filter,
     sampling,
     similarity,

@@ -1,0 +1,48 @@
+"""Structural privacy governance over tabular frames.
+
+Regex PII redaction (text.redact_pii) scrubs free text; this module covers
+the STRUCTURED side: k-anonymity — a row is re-identifiable when its
+quasi-identifier combination (nation x segment x age band ...) is shared
+by fewer than k rows, no matter how well the free text was scrubbed
+(Sweeney 2002). A training-data pipeline runs this census before
+releasing joined metadata columns alongside documents.
+
+Reference parity: no analog in the reference (single-metric cube store);
+north-star governance surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Annotate every row with its quasi-identifier group size and a
+    ``suppressed`` flag (1 where the group has < k rows — the rows a
+    k-anonymous release must drop or generalize). Flags are 0/1 longs
+    (driver-hashable), the census is exact, and the decision is a pure
+    integer inequality — layout-proof in any engine.
+
+    ONE quasi-keyed window Exchange (count over the full partition, O(1)
+    state); callers filter ``suppressed == 0`` for the release view or
+    aggregate the annotated frame for the governance report. NULL quasi
+    values form their own group (SQL window partitioning semantics —
+    nulls compare equal there), which is the conservative choice: a
+    shared "unknown" bucket is usually large, never a singleton leak.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi-identifier column")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    size = F.count(F.lit(1)).over(w).cast("long")
+    return df.withColumn("k_group_size", size).withColumn(
+        "suppressed", (F.col("k_group_size") < k).cast("long")
+    )

@@ -73,3 +73,108 @@ def range_join_bucketed(
         F.col(right_ts) < F.col(left_ts) + F.lit(upper)
     )
     return lb.join(rb, on=[*on, "_bucket"], how="inner").filter(residual).drop("_bucket")
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: list[str],
+    right_cols: list[str],
+    tolerance: int | None = None,
+    direction: str = "backward",
+    left_order_col: str | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof`` semantics as a Spark operator (Spark has no
+    native as-of join): for every left row, attach the ``right_cols`` of
+    the single right row with the largest ts <= left.ts (``backward``) or
+    smallest ts >= left.ts (``forward``) within the same ``by_cols``
+    group, optionally within ``tolerance`` (same units as ``ts_col``).
+    The time-series enrichment primitive: trades x quotes, events x
+    most-recent model score, metrics x last deploy.
+
+    Shape — the union-timeline trick, NOT a range join: tag both inputs,
+    union them, and run ONE by-keyed window ordered by (ts, side): a
+    last_value(ignorenulls) over the preceding frame carries the most
+    recent right payload onto each left row (forward mirrors it with a
+    following frame). One shuffle total, O(1)/row window state, no
+    pairwise expansion — a range join here would be |left| x |right|
+    within group before filtering. Left rows tie-break AFTER right rows
+    at equal ts (asof takes a simultaneous quote), deterministically via
+    the side tag; ``left_order_col`` keeps the left side itself a total
+    order for engine-exact layouts.
+
+    Tolerance is applied by also carrying the matched right ts and
+    null-ing the payload where the gap exceeds it — the match is still
+    the nearest one (pandas semantics: a too-far nearest match yields
+    NaN, it does not fall through to an older row).
+
+    Contract: the right side is UNIQUE per (by_cols, ts) — at a duplicate
+    right timestamp "the" as-of row is undefined and any engine would
+    pick by layout; pre-fold duplicates (e.g. max_by) upstream. Output:
+    every left column + ``right_cols`` (null where no match) +
+    ``asof_ts`` (the matched right row's ts, null where none).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
+    from pyspark.sql import Window
+
+    lt = left.withColumn("_side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *by_cols,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt.select(lt.columns))
+    # backward: right rows (side 0) sort BEFORE left rows at equal ts, so
+    # the preceding frame includes simultaneous quotes; forward mirrors.
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if left_order_col is not None:
+        order.append(F.col(left_order_col).asc_nulls_first())
+    w = Window.partitionBy(*by_cols).orderBy(*order)
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, -1)
+        pick = lambda c: F.last(c, ignorenulls=True).over(frame)  # noqa: E731
+    else:
+        order = [F.col(ts_col).desc(), F.col("_side").asc()]
+        if left_order_col is not None:
+            order.append(F.col(left_order_col).asc_nulls_first())
+        w = Window.partitionBy(*by_cols).orderBy(*order)
+        frame = w.rowsBetween(Window.unboundedPreceding, -1)
+        pick = lambda c: F.last(c, ignorenulls=True).over(frame)  # noqa: E731
+    rts = F.when(F.col("_side") == 0, F.col(ts_col))
+    matched = u.withColumn("_asof_ts", pick(rts))
+    for c in right_cols:
+        matched = matched.withColumn(
+            "_m_" + c, pick(F.when(F.col("_side") == 0, F.col(c)))
+        )
+    gap_ok = (
+        F.lit(True)
+        if tolerance is None
+        else (
+            F.abs(F.col(ts_col) - F.col("_asof_ts")) <= F.lit(int(tolerance))
+        )
+    )
+    out = matched.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[
+            F.when(F.col("_asof_ts").isNotNull() & gap_ok, F.col("_m_" + c))
+            .alias(c)
+            for c in right_cols
+        ],
+        F.when(F.col("_asof_ts").isNotNull() & gap_ok, F.col("_asof_ts")).alias(
+            "asof_ts"
+        ),
+    )
+    return out

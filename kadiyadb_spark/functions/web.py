@@ -80,3 +80,65 @@ def domain_census(
     if size_col is not None:
         aggs.append(F.sum(F.col(size_col)).cast("long").alias("total_" + size_col))
     return parts.groupBy("registrable_domain").agg(*aggs)
+
+
+# Tracking parameters stripped by default — the industry-standard set a
+# crawl canonicalizer removes before URL-level dedup.
+DEFAULT_STRIP_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "ref", "fbclid", "gclid",
+)
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    strip_params: tuple[str, ...] = DEFAULT_STRIP_PARAMS,
+) -> DataFrame:
+    """Canonical URL for dedup: lowercase scheme+host, drop the fragment,
+    strip tracking query parameters (``strip_params``), SORT the
+    surviving parameters (param order is presentation, not identity),
+    and trim one trailing slash from a non-root path. URL-level exact
+    dedup is the cheapest, highest-yield dedup lever a crawl pipeline
+    has, and it only works after canonicalization — `/p/1?utm_source=x`
+    and `/p/1` are the same document.
+
+    All JVM expressions (regexp_extract + array filter/sort, the
+    dialect-shared pattern subset), map-side only. Unparseable URLs
+    canonicalize to the lowercased input (still a deterministic dedup
+    key). Appends ``canonical_url`` to the frame.
+    """
+    u = F.col(url_col)
+    # case-TOLERANT parse patterns (scheme/host case is presentation and
+    # gets lowercased; path/query case is identity and is preserved)
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(
+        path.endswith("/") & (F.length(path) > 1),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(u, "[?]([^#]*)", 1)
+    strip_arr = F.array(*[F.lit(p) for p in strip_params])
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "[&]"),
+            lambda p: (p != "")
+            & ~F.array_contains(strip_arr, F.split_part(p, F.lit("="), F.lit(1))),
+        )
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn(
+        "canonical_url",
+        F.when(host != "", canon).otherwise(F.lower(u)),
+    )

@@ -269,6 +269,31 @@ FROM h WHERE from_event IS NOT NULL
 GROUP BY from_event, to_event
 """
 
+    # merge_asof gate: DuckDB's NATIVE ASOF JOIN (independent
+    # implementation of the backward semantics), tolerance applied as the
+    # pandas nearest-or-null rule on top.
+    o["asof_tolerance"] = f"""
+WITH v AS (
+  SELECT user_id, epoch_ns(ts) AS ts, arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value, v.view_value, v.ts AS asof_ts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT event_id, user_id, ts,
+       floor(value * 10000 + 0.5) / 10000 AS value,
+       CASE WHEN asof_ts IS NOT NULL AND ts - asof_ts <= {3600 * SEC}
+            THEN floor(view_value * 10000 + 0.5) / 10000 END AS view_value,
+       CASE WHEN asof_ts IS NOT NULL AND ts - asof_ts <= {3600 * SEC}
+            THEN asof_ts END AS asof_ts
+FROM j
+"""
+
     # SCD2: value-change islands (IS DISTINCT FROM == Spark's
     # isNull-or-!= for never-null event_type); running sum cast back to
     # BIGINT per the HUGEINT doctrine. epoch_ns(ts) is already micros-

@@ -365,4 +365,14 @@ SELECT c_custkey, c_name, c_nationkey,
        c_mktsegment
 FROM m WHERE op IS NULL OR op <> 'D'
 """
+
+    o["privacy_k_anonymity"] = """
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_mktsegment,
+       CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS k_group_size,
+       CASE WHEN count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) < 10
+            THEN 1 ELSE 0 END AS suppressed
+FROM customer
+"""
     return o

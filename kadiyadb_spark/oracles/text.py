@@ -608,4 +608,43 @@ SELECT registrable_domain,
        CAST(sum(n_chars) AS BIGINT) AS total_n_chars
 FROM d GROUP BY registrable_domain
 """
+    # dedup_url_canonical: identical salt construction, identical
+    # canonicalization chain (lower scheme/host, strip tracking params,
+    # sort survivors, trim one trailing slash) in DuckDB list ops.
+    o["dedup_url_canonical"] = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'News.Example.com' ELSE 'news.example.com' END)
+         || '/p/' || CAST(doc_id // 4 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=7'
+                  WHEN doc_id % 4 = 1 THEN '/?id=7&utm_medium=x'
+                  WHEN doc_id % 4 = 2 THEN '?id=7'
+                  ELSE '?ref=rss' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(url, '[?]([^#]*)', 1) AS q
+  FROM u),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || (CASE WHEN path0 LIKE '%/' AND length(path0) > 1
+                  THEN substr(path0, 1, length(path0) - 1) ELSE path0 END)
+         || (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END)
+         AS canonical_url
+  FROM (
+    SELECT doc_id, scheme, host, path0,
+           list_sort(list_filter(string_split(q, '&'),
+             p -> p != '' AND NOT list_contains(
+               ['utm_source','utm_medium','utm_campaign','utm_term','utm_content',
+                'ref','fbclid','gclid'], split_part(p, '=', 1)))) AS ps
+    FROM parts))
+SELECT canonical_url, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+"""
     return o

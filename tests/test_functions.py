@@ -2797,3 +2797,95 @@ def test_power_iteration_layout_invariant(spark):
     a = sorted((r["dim"], r["pc4"]) for r in power_iteration_top_pc(df.repartition(1), iters=2).collect())
     b = sorted((r["dim"], r["pc4"]) for r in power_iteration_top_pc(df.repartition(7), iters=2).collect())
     assert a == b
+
+
+def test_merge_asof_backward_forward_tolerance(spark):
+    from kadiyadb_spark.functions.timeops import merge_asof
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 1, 500), (4, 2, 50)],
+        "event_id long, u long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 200, 2.0), (1, 205, 5.0), (2, 60, 6.0)],
+        "u long, ts long, val double",
+    )
+    back = {
+        r["event_id"]: (r["val"], r["asof_ts"])
+        for r in merge_asof(
+            left, right, "ts", ["u"], ["val"], direction="backward",
+            left_order_col="event_id",
+        ).collect()
+    }
+    # 100 -> right@90; 205 -> the SIMULTANEOUS right@205; 500 -> right@205
+    assert back[1] == (9.0, 90)
+    assert back[2] == (5.0, 205)
+    assert back[3] == (5.0, 205)
+    assert back[4] == (None, None)  # no right row at/before 50
+    fwd = {
+        r["event_id"]: (r["val"], r["asof_ts"])
+        for r in merge_asof(
+            left, right, "ts", ["u"], ["val"], direction="forward",
+            left_order_col="event_id",
+        ).collect()
+    }
+    assert fwd[1] == (2.0, 200)
+    assert fwd[2] == (5.0, 205)
+    assert fwd[3] == (None, None)
+    assert fwd[4] == (6.0, 60)
+    # tolerance: nearest-or-null, never fall through to an older match
+    tol = {
+        r["event_id"]: (r["val"], r["asof_ts"])
+        for r in merge_asof(
+            left, right, "ts", ["u"], ["val"], tolerance=10,
+            direction="backward", left_order_col="event_id",
+        ).collect()
+    }
+    assert tol[1] == (9.0, 90)
+    assert tol[3] == (None, None)  # nearest is 295 away: null, not right@90
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        merge_asof(left, right, "ts", ["u"], ["val"], direction="nearest")
+    with _pt.raises(ValueError):
+        merge_asof(left, right, "ts", ["u"], ["val"], tolerance=-1)
+    with _pt.raises(ValueError):
+        merge_asof(left, right.withColumnRenamed("val", "ts2"), "ts", ["u"], ["ts"])
+
+
+def test_url_canonicalize_golden(spark):
+    from kadiyadb_spark.functions.web import url_canonicalize
+
+    rows = [
+        (0, "HTTPS://News.Example.com/p/1?utm_source=x&id=7"),
+        (1, "https://news.example.com/p/1/?id=7&utm_medium=y"),
+        (2, "https://news.example.com/p/1?id=7"),
+        (3, "https://news.example.com/p/1?b=2&a=1"),
+        (4, "https://host.com/"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in url_canonicalize(df).collect()}
+    # 0, 1, 2 collapse to one canonical form
+    assert got[0] == got[1] == got[2] == "https://news.example.com/p/1?id=7"
+    assert got[3] == "https://news.example.com/p/1?a=1&b=2"  # params sorted
+    assert got[4] == "https://host.com/"  # root slash preserved
+    assert got[5] == "not a url"  # unparseable: lowercased passthrough
+
+
+def test_k_anonymity_flags_and_validation(spark):
+    from kadiyadb_spark.functions.privacy import k_anonymity
+
+    rows = [(i, "A" if i < 5 else "B", "x") for i in range(7)]
+    df = spark.createDataFrame(rows, "id long, nat string, seg string")
+    got = {r["id"]: (r["k_group_size"], r["suppressed"]) for r in k_anonymity(df, ["nat", "seg"], k=3).collect()}
+    for i in range(5):
+        assert got[i] == (5, 0)
+    for i in (5, 6):
+        assert got[i] == (2, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_anonymity(df, [], 3)
+    with _pt.raises(ValueError):
+        k_anonymity(df, ["nat"], 0)
