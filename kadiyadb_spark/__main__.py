@@ -305,6 +305,40 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--limit", type=int, default=100)
 
+    p = sub.add_parser(
+        "urlcanon",
+        help="canonicalize a URL column (lowercase scheme/host, strip "
+        "tracking params, sort survivors, trim trailing slash) and "
+        "print the duplicate-URL census",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-dups", type=int, default=2)
+
+    p = sub.add_parser(
+        "kanon",
+        help="k-anonymity census over quasi-identifier columns: group "
+        "sizes + rows a k-anonymous release must suppress",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--quasi-cols", required=True, help="comma-separated")
+    p.add_argument("--k", type=int, required=True)
+
+    p = sub.add_parser(
+        "asof",
+        help="merge_asof two parquet tables (pandas semantics: backward/"
+        "forward + tolerance) on a shared ts column within by-groups",
+    )
+    p.add_argument("--left", required=True, help="parquet path")
+    p.add_argument("--right", required=True, help="parquet path")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--by-cols", required=True, help="comma-separated")
+    p.add_argument("--right-cols", required=True, help="comma-separated")
+    p.add_argument("--tolerance", type=int, default=None)
+    p.add_argument("--direction", default="backward")
+    p.add_argument("--limit", type=int, default=100)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -649,6 +683,49 @@ def main(argv: list[str] | None = None) -> int:
         for row in (
             r.orderBy(F.col("rank").desc(), "node").limit(args.limit).collect()
         ):
+            _emit(row.asDict())
+    elif args.cmd == "urlcanon":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.web import url_canonicalize
+
+        r = (
+            url_canonicalize(spark.read.parquet(args.table), url_col=args.url_col)
+            .groupBy("canonical_url")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(args.id_col).alias("keep_" + args.id_col),
+            )
+            .filter(F.col("n_docs") >= args.min_dups)
+        )
+        for row in r.orderBy(F.col("n_docs").desc(), "canonical_url").collect():
+            _emit(row.asDict())
+    elif args.cmd == "kanon":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.privacy import k_anonymity
+
+        quasi = args.quasi_cols.split(",")
+        ann = k_anonymity(spark.read.parquet(args.table), quasi, args.k)
+        r = ann.groupBy(*quasi).agg(
+            F.min("k_group_size").alias("group_size"),
+            F.min("suppressed").alias("suppressed"),
+        )
+        for row in r.orderBy("group_size", *quasi).collect():
+            _emit(row.asDict())
+    elif args.cmd == "asof":
+        from kadiyadb_spark.functions.timeops import merge_asof
+
+        r = merge_asof(
+            spark.read.parquet(args.left),
+            spark.read.parquet(args.right),
+            ts_col=args.ts_col,
+            by_cols=args.by_cols.split(","),
+            right_cols=args.right_cols.split(","),
+            tolerance=args.tolerance,
+            direction=args.direction,
+        )
+        for row in r.limit(args.limit).collect():
             _emit(row.asDict())
     return 0
 

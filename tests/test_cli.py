@@ -350,3 +350,34 @@ def test_cli_pagerank(spark, tmp_path, capsys):
     assert out[0]["node"] == "hub"  # sorted rank desc
     ranks = {r["node"]: r["rank"] for r in out}
     assert ranks["hub"] > ranks["a"] > ranks["b"] == ranks["c"] == 150000
+
+
+def test_cli_urlcanon_kanon_asof(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, url="HTTPS://A.B.com/x?utm_source=q&k=1"),
+            Row(doc_id=1, url="https://a.b.com/x/?k=1"),
+            Row(doc_id=2, url="https://a.b.com/y"),
+        ]
+    ).write.parquet(docs)
+    assert main(["urlcanon", "--table", docs]) == 0
+    (row,) = _out(capsys)
+    assert row["canonical_url"] == "https://a.b.com/x?k=1"
+    assert row["n_docs"] == 2 and row["keep_doc_id"] == 0
+
+    tbl = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [Row(id=i, nat="A" if i < 4 else "B", seg="x") for i in range(5)]
+    ).write.parquet(tbl)
+    assert main(["kanon", "--table", tbl, "--quasi-cols", "nat,seg", "--k", "3"]) == 0
+    rows = {r["nat"]: r for r in _out(capsys)}
+    assert rows["A"]["suppressed"] == 0 and rows["B"]["suppressed"] == 1
+
+    lt, rt = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    spark.createDataFrame([Row(u=1, ts=100, oid=7)]).write.parquet(lt)
+    spark.createDataFrame([Row(u=1, ts=90, px=1.5)]).write.parquet(rt)
+    assert main(["asof", "--left", lt, "--right", rt, "--by-cols", "u",
+                 "--right-cols", "px"]) == 0
+    (row,) = _out(capsys)
+    assert row["px"] == 1.5 and row["asof_ts"] == 90
