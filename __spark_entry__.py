@@ -1053,6 +1053,60 @@ def q_db_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def q_db_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten at the STORE level (database.py:forget):
+    track the month, forget user 7 across every event type (full-depth
+    pattern ['*','7']), read the cube back. The affected epochs' rollup
+    prefixes re-fold from surviving leaves, so the gate is the full cube
+    oracle over events EXCLUDING user 7 — 'as if never tracked', at
+    every depth, through the same atomic manifest swap as compact. The
+    identity-deletion companion to expire's age-deletion."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_forget_entry_")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    db.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
+    res = db.forget(["*", "7"])
+    assert res["forgotten_rows"] > 0, "fixture must contain user 7"
+    c = db.cube().withColumn("depth", F.col("depth").cast("long"))
+    return _round_doubles(c, ["total"])
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation triangle counts over the undirected TPC-H trade
+    graph (functions/graph.py:triangle_count) — the clustering-structure
+    primitive beside connected components and PageRank. Degree
+    orientation bounds wedge generation at m^1.5 regardless of hub skew;
+    the closing check is an equi-semi-join against the normalized edge
+    set. All integer; the oracle replays the identical normalization,
+    orientation and joins in SQL."""
+    from kadiyadb_spark.functions.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            s["s_nationkey"].cast("long").alias("src"),
+            c["c_nationkey"].cast("long").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
 def q_sql_over_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain SQL over the store (database.py:create_view): register the
     manifest-pinned cube as a temp view and answer an analytics question
@@ -4901,8 +4955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_quantile_window": q_fetch_quantile_window,
         "funnel_counts": q_funnel,
         "funnel_windowed": q_funnel_windowed,
-        "cohort_retention": q_cohort_retention,
-        "sim_hard_negatives": q_sim_hard_negatives,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery, grouping_sets_mixed and session-3's
@@ -4933,6 +4985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "dedup_url_canonical": q_dedup_url_canonical,
         "privacy_k_anonymity": q_privacy_k_anonymity,
+        "db_forget": q_db_forget,
+        "graph_triangles": q_graph_triangles,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -5055,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_chunk": q_text_chunk,
         # -- last driver-green r08 --
+        "cohort_retention": q_cohort_retention,
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "fetch_binop": q_fetch_binop,
@@ -5078,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
+        "sim_hard_negatives": q_sim_hard_negatives,
         "text_bigram_lm": q_text_bigram_lm,
         "topk_per_group": q_topk_per_group,
         "window_daily_running": q_window_daily_running,

@@ -986,6 +986,98 @@ class Database:
         """No-op: segment parquet writes are durable on close and visible
         only after their manifest commits (SURVEY O12)."""
 
+    def forget(self, pattern: list) -> dict:
+        """Right-to-be-forgotten: delete every FULL-DEPTH series matching
+        ``pattern`` (the fetch pattern language — exact values, '*', value
+        sets, Re) and RE-FOLD the affected epochs' write-time rollup
+        prefixes from the surviving leaves, so the rollup invariant
+        (depth-d row == fold of its depth-(d+1) children) holds after the
+        deletion exactly as if the forgotten series had never been
+        tracked. The GDPR/compliance companion to ``expire`` (which
+        deletes by AGE; this deletes by IDENTITY).
+
+        The pattern must address full-depth series: a shallower pattern
+        would ambiguously target rollup rows whose children survive.
+        Wildcards are fine ('*' at a level forgets across that level).
+
+        Cost and atomicity: only epochs CONTAINING matching leaves are
+        rewritten (their full prefix set re-folds from surviving leaves —
+        exact, because stored totals are dp-multiples and the re-fold
+        uses the same guarded scaled-long machinery as ingest); the
+        re-point is one atomic manifest swap, so readers see the old
+        state until the commit instant and a crash leaves only
+        unreferenced staging for ``vacuum``. Snapshot reads of RETAINED
+        generations can still see the data until those manifests age out
+        (keep=_KEEP_MANIFESTS) — run ``maintain`` after a compliance
+        forget to retire them promptly.
+
+        Returns {"epochs": [...], "forgotten_rows": n} (n = leaf cube
+        rows removed; run from the single-writer maintenance cadence like
+        compact).
+        """
+        from kadiyadb_spark.query import compile_pattern, match_expr
+
+        n = self.max_depth
+        depth, preds = compile_pattern(pattern)
+        if depth != n:
+            raise ValueError(
+                f"forget pattern must address full-depth series (depth {n}), "
+                f"got depth {depth}: a shallower pattern would target rollup "
+                f"rows whose children survive"
+            )
+        sel = F.lit(True)
+        for col, val in preds:
+            sel = sel & match_expr(col, val)
+        m = self._manifest()
+        cube = self.cube()
+        leaf = F.col(S.DEPTH) == n
+        hits = (
+            cube.filter(leaf & sel)
+            .groupBy(S.EPOCH)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        if not hits:
+            return {"epochs": [], "forgotten_rows": 0}
+        affected = sorted(int(r[S.EPOCH]) for r in hits)
+        forgotten = int(sum(r["_n"] for r in hits))
+        survivors = self.cube(epochs=set(affected)).filter(leaf & ~sel)
+        fcols = S.field_cols(n)
+        parts = []
+        for d in range(1, n + 1):
+            parts.append(
+                survivors.select(
+                    S.EPOCH,
+                    S.BUCKET,
+                    *[
+                        (F.col(fcols[j]) if j < d else F.lit(None).cast("string")).alias(
+                            fcols[j]
+                        )
+                        for j in range(n)
+                    ],
+                    F.lit(d).cast("int").alias(S.DEPTH),
+                    S.TOTAL,
+                    S.CNT,
+                )
+            )
+        from functools import reduce
+
+        rebuilt = (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy(S.EPOCH, S.BUCKET, *fcols, S.DEPTH)
+            .agg(*fold_aggs(self.params.value_dp))
+        )
+        refs, stats = self._write_segment(rebuilt, sort_series=True)
+        old = [ref for e in affected for ref in m["segments"].get(e, [])]
+        for e in affected:
+            m["segments"][e] = []
+        for e, ref in refs.items():
+            m["segments"].setdefault(e, []).append(ref)
+        m["stats"].update(stats)
+        self._commit_manifest(m, m["gen"])
+        self._gc(old)
+        return {"epochs": affected, "forgotten_rows": forgotten}
+
     def clone(self, dst_path: str, at_gen: int | None = None) -> "Database":
         """Consistent snapshot EXPORT (backup / branch): copy the pinned
         generation's segments + params to ``dst_path`` and commit a fresh

@@ -121,3 +121,68 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("_r").alias(rank_col))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected simple graph —
+    the clustering-structure primitive beside connected components
+    (community detection, spam-farm detection in link graphs, graph
+    health metrics). Input is an edge list in any form: direction,
+    duplicates and self-loops are normalized away first.
+
+    Algorithm: degree orientation (the MapReduce-standard trick — Suri &
+    Vassilvitskii, WWW 2011): orient each undirected edge from its
+    lower-(degree, id) endpoint to the higher one; every triangle then
+    has EXACTLY one vertex with two out-edges in it, so counting
+    (u->v, u->w) wedges closed by an oriented v->w edge counts each
+    triangle once. Out-degrees under this orientation are O(sqrt(m)), so
+    the wedge join generates at most m^(3/2) candidates REGARDLESS of
+    skew — a hub of degree 10^6 contributes no wedges because its edges
+    all point INTO it. Two equi-joins, both on edge keys; all integer.
+
+    Output: (node, n_triangles) for every node in >= 1 triangle.
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionByName(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    # orient from the lower-(degree, id) endpoint to the higher one
+    j = und.join(da, "_a").join(db, "_b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oriented = j.select(
+        F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+    )
+    e1 = oriented.select(F.col("_u"), F.col("_v").alias("_x"))
+    e2 = oriented.select(F.col("_u"), F.col("_v").alias("_y"))
+    wedges = e1.join(e2, "_u").filter(F.col("_x") < F.col("_y"))
+    # close the wedge against the UNDIRECTED edge set (already normalized
+    # least/greatest, and wedges have _x < _y) — a pure EQUI-join on the
+    # edge key, never a BNLJ
+    tri = wedges.join(
+        und,
+        (F.col("_a") == F.col("_x")) & (F.col("_b") == F.col("_y")),
+        "left_semi",
+    ).select("_u", "_x", "_y")
+    nodes = (
+        tri.select(F.col("_u").alias("node"))
+        .unionByName(tri.select(F.col("_x").alias("node")))
+        .unionByName(tri.select(F.col("_y").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -54,6 +54,31 @@ SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
        floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
 """
 
+    # forget = the clone oracle over events EXCLUDING the forgotten user:
+    # 'as if never tracked' at every depth (rollups re-fold from survivors)
+    o["db_forget"] = f"""
+WITH ev AS (
+    SELECT (epoch_ns(ts) // {RES}) * {RES} AS bucket,
+           event_type AS f1, CAST(user_id AS VARCHAR) AS f2, value
+    FROM events WHERE CAST(user_id AS VARCHAR) <> '7'
+),
+cube2 AS (
+    SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1, f2,
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3, 4
+),
+cube1 AS (
+    SELECT (bucket // {_DAY}) * {_DAY} AS epoch, bucket, f1,
+           (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0) AS total, CAST(count(*) AS DOUBLE) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+)
+SELECT epoch, bucket, f1, CAST(NULL AS VARCHAR) AS f2, CAST(1 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube1
+UNION ALL
+SELECT epoch, bucket, f1, f2, CAST(2 AS BIGINT) AS depth,
+       floor((total) * 10000 + 0.5) / 10000 AS total, cnt FROM cube2
+"""
+
     # SQL-view read: the temp view wraps the same manifest-consistent
     # fold, so one GROUP BY over the depth-2 slice must equal the event
     # aggregation directly; the long-sum/one-division pattern mirrors the

@@ -366,6 +366,44 @@ SELECT c_custkey, c_name, c_nationkey,
 FROM m WHERE op IS NULL OR op <> 'D'
 """
 
+    # triangle_count: identical normalization (least/greatest distinct,
+    # no loops), identical (degree, id) orientation, wedge join + closing
+    # edge semi-join — all exact integers
+    o["graph_triangles"] = """
+WITH raw AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) GROUP BY n
+),
+oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v
+  FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+),
+wedges AS (
+  SELECT e1.u, e1.v AS x, e2.v AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+tri AS (
+  SELECT w.u, w.x, w.y FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und WHERE a = w.x AND b = w.y)
+),
+nodes AS (
+  SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+"""
+
     o["privacy_k_anonymity"] = """
 SELECT c_custkey,
        CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -791,3 +791,52 @@ def test_create_view_is_manifest_pinned(spark, tmp_path):
     assert spark.sql(
         "SELECT sum(total) AS s FROM kdb_view_t WHERE depth = 2"
     ).collect()[0]["s"] == 7.0
+
+
+def test_forget_removes_series_and_refolds_rollups(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "f1"), P)
+    db.track(_events(spark, [(0, "a", "u1", 5), (1, "a", "u2", 3),
+                             (2, "b", "u1", 7), (6, "a", "u1", 2)]),
+             total_col="v")
+    res = db.forget(["*", "u1"])
+    assert res["forgotten_rows"] == 3 and res["epochs"] == [0, 5]
+    rows = _pts(db.cube())
+    # no u1 anywhere, at any depth
+    assert not any("u1" in k for _, k, *_ in rows)
+    # depth-1 rollups re-folded from survivors: only a@1 (u2) remains in
+    # epoch 0, and epoch 5's a-rollup is gone entirely
+    assert rows == sorted([
+        (0, ("a",), 1, 3.0, 1.0),
+        (0, ("a", "u2"), 1, 3.0, 1.0),
+    ])
+    # fetch still answers (zero-filled) over the forgotten series
+    assert db.fetch(0, 3, ["a", "u1"]).filter("cnt > 0").count() == 0
+
+
+def test_forget_full_epoch_and_noop_and_validation(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "f2"), P)
+    db.track(_events(spark, [(0, "a", "u1", 5)]), total_col="v")
+    # unknown series: clean no-op, no commit
+    g0 = db.current_gen()
+    assert db.forget(["zzz", "*"]) == {"epochs": [], "forgotten_rows": 0}
+    assert db.current_gen() == g0
+    # shallow pattern refused
+    with pytest.raises(ValueError):
+        db.forget(["a"])
+    # forgetting the only series empties the epoch but keeps it addressable
+    res = db.forget(["a", "*"])
+    assert res["forgotten_rows"] == 1
+    assert db.cube().count() == 0
+    assert db.fetch(0, 2, ["a", "u1"]).filter("cnt > 0").count() == 0
+
+
+def test_forget_is_atomic_snapshot_swap(spark, tmp_path):
+    db = Database.open(spark, str(tmp_path / "f3"), P)
+    db.track(_events(spark, [(0, "a", "u1", 5), (0, "a", "u2", 3)]), total_col="v")
+    g_before = db.current_gen()
+    db.forget(["*", "u1"])
+    # pinned read of the retained pre-forget generation still sees u1
+    old = db.cube(at_gen=g_before)
+    assert old.filter("f2 = 'u1'").count() == 1
+    new = db.cube()
+    assert new.filter("f2 = 'u1'").count() == 0

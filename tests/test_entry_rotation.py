@@ -42,7 +42,8 @@ R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
            "rag_rrf_fusion", "bloom_join_prune", "text_normalize",
            "url_domain_census", "scd2_history", "cdc_merge_apply",
            "fetch_histogram_fraction", "embedding_pca",
-           "asof_tolerance", "dedup_url_canonical", "privacy_k_anonymity"]
+           "asof_tolerance", "dedup_url_canonical", "privacy_k_anonymity",
+           "db_forget", "graph_triangles"]
 # The §16.8 spills: stable r08 greens displaced by the birth-round
 # rule; they re-gate via the staleness queue (r08 block), not the cap.
 R10_DOCUMENTED_SPILL = {
@@ -55,7 +56,8 @@ R10_DOCUMENTED_SPILL = {
     "q4_order_priority", "q5_local_supplier_volume", "q6_selective_scan",
     "q7_nation_volume", "q1_pricing_summary", "q3_top_revenue_orders",
     "histogram_rollup_merge", "pack_nosplit", "fetch_binop",
-    "fetch_seasonal", "text_bigram_lm",
+    "fetch_seasonal", "text_bigram_lm", "cohort_retention",
+    "sim_hard_negatives",
 }
 
 

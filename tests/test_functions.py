@@ -2889,3 +2889,35 @@ def test_k_anonymity_flags_and_validation(spark):
         k_anonymity(df, [], 3)
     with _pt.raises(ValueError):
         k_anonymity(df, ["nat"], 0)
+
+
+def test_triangle_count_golden_and_normalization(spark):
+    from kadiyadb_spark.functions.graph import triangle_count
+
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; edges fed as a
+    # noisy multigraph (duplicates, reversed direction, a self-loop)
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # a path graph has no triangles -> empty result
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).count() == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    from kadiyadb_spark.functions.graph import triangle_count
+
+    # deterministic pseudo-random graph on 12 nodes
+    edges = [(i, (i * 5 + j) % 12) for i in range(12) for j in (1, 2, 4)]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    expect = {}
+    for a, b, c in itertools.combinations(range(12), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == expect
