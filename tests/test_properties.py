@@ -800,3 +800,91 @@ def test_p18_re_prune_whitelist_dialect_agreement(spark, data):
     jvm = [r["m"] for r in df.select(
         F.col("v").rlike(f"^(?:{pat})$").alias("m")).collect()]
     assert python_side == jvm, (pat, vals, python_side, jvm)
+
+
+@SETTINGS
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)), min_size=1, max_size=25
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 60)),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_p19_merge_asof_matches_pandas(spark, lrows, rrows, tol, direction):
+    """timeops.merge_asof vs pandas.merge_asof itself — an INDEPENDENT
+    implementation of the contract semantics (by-group, both directions,
+    tolerance as nearest-or-null)."""
+    import pandas as pd
+
+    from kadiyadb_spark.functions.timeops import merge_asof
+
+    # contract: right unique per (by, ts)
+    rdict = {}
+    for g, ts, v in rrows:
+        rdict[(g, ts)] = v
+    runique = [(g, ts, float(v)) for (g, ts), v in rdict.items()]
+    left = spark.createDataFrame(
+        [(i, g, ts) for i, (g, ts) in enumerate(lrows)], "lid long, g long, ts long"
+    )
+    right = spark.createDataFrame(runique, "g long, ts long, val double")
+    got = {
+        r["lid"]: r["val"]
+        for r in merge_asof(
+            left, right, "ts", ["g"], ["val"], tolerance=tol,
+            direction=direction, left_order_col="lid",
+        ).collect()
+    }
+    lpd = pd.DataFrame([(i, g, ts) for i, (g, ts) in enumerate(lrows)],
+                       columns=["lid", "g", "ts"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(runique, columns=["g", "ts", "val"]).sort_values("ts", kind="stable")
+    exp_df = pd.merge_asof(
+        lpd, rpd, on="ts", by="g", direction=direction,
+        tolerance=tol if tol is None else tol,
+        allow_exact_matches=True,
+    )
+    exp = {int(r.lid): (None if pd.isna(r.val) else float(r.val))
+           for r in exp_df.itertuples()}
+    assert got == exp
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_p20_scd2_matches_python_replay(spark, rows):
+    """scd2_intervals vs a pure-python run-length replay over the same
+    (ts, order) total order."""
+    from kadiyadb_spark.functions.analytics import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(k, i, a, ts) for i, (k, ts, a) in enumerate(rows)],
+        "k long, oid long, attr string, ts long",
+    )
+    got = sorted(
+        (r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+        for r in scd2_intervals(df, "k", "attr", "ts", order_cols=["oid"]).collect()
+    )
+    bykey = {}
+    for i, (k, ts, a) in enumerate(rows):
+        bykey.setdefault(k, []).append((ts, i, a))
+    exp = []
+    for k, items in bykey.items():
+        items.sort()
+        runs = []
+        for ts, _, a in items:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, ts, 0])
+            runs[-1][2] += 1
+        for v, (a, ts, n) in enumerate(runs, 1):
+            nxt = runs[v][1] if v < len(runs) else None
+            exp.append((k, v, a, ts, nxt, n))
+    assert got == sorted(exp)
