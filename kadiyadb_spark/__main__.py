@@ -339,6 +339,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--direction", default="backward")
     p.add_argument("--limit", type=int, default=100)
 
+    p = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten: delete full-depth series matching a "
+        "pattern and re-fold affected epochs' rollups (atomic swap)",
+    )
+    p.add_argument("--path", required=True)
+    p.add_argument("--pattern", required=True,
+                   help="comma-separated full-depth pattern, '*' wildcards ok")
+
+    p = sub.add_parser(
+        "triangles",
+        help="exact per-node triangle counts over an edge parquet "
+        "(degree orientation: wedge work bounded m^1.5 under any skew)",
+    )
+    p.add_argument("--edges", required=True, help="parquet path")
+    p.add_argument("--src-col", default="src")
+    p.add_argument("--dst-col", default="dst")
+    p.add_argument("--limit", type=int, default=100)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -726,6 +745,21 @@ def main(argv: list[str] | None = None) -> int:
             direction=args.direction,
         )
         for row in r.limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "forget":
+        from kadiyadb_spark.database import Database
+
+        db = Database.open(spark, args.path)
+        _emit(db.forget(args.pattern.split(",")))
+    elif args.cmd == "triangles":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.graph import triangle_count
+
+        r = triangle_count(
+            spark.read.parquet(args.edges), src_col=args.src_col, dst_col=args.dst_col
+        )
+        for row in r.orderBy(F.col("n_triangles").desc(), "node").limit(args.limit).collect():
             _emit(row.asDict())
     return 0
 

@@ -381,3 +381,30 @@ def test_cli_urlcanon_kanon_asof(spark, tmp_path, capsys):
                  "--right-cols", "px"]) == 0
     (row,) = _out(capsys)
     assert row["px"] == 1.5 and row["asof_ts"] == 90
+
+
+def test_cli_forget_and_triangles(spark, tmp_path, capsys):
+    db = str(tmp_path / "fdb")
+    ev = str(tmp_path / "fev.parquet")
+    spark.createDataFrame(
+        [Row(ts=0, x="a", y="u1", value=5.0), Row(ts=0, x="a", y="u2", value=3.0)]
+    ).write.parquet(ev)
+    assert main(["init", "--path", db, "--duration", "5", "--resolution", "1",
+                 "--retention", "10", "--fields", "x,y"]) == 0
+    _out(capsys)
+    assert main(["track", "--path", db, "--events", ev, "--total-col", "value"]) == 0
+    _out(capsys)
+    assert main(["forget", "--path", db, "--pattern", "*,u1"]) == 0
+    (res,) = _out(capsys)
+    assert res["forgotten_rows"] == 1
+    assert main(["fetch", "--path", db, "--from-ns", "0", "--to-ns", "1",
+                 "--pattern", "a,*"]) == 0
+    rows = _out(capsys)
+    assert rows[0]["total"] == 3.0
+
+    edges = str(tmp_path / "tedges.parquet")
+    spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3), Row(src=1, dst=3)]).write.parquet(edges)
+    assert main(["triangles", "--edges", edges]) == 0
+    rows = _out(capsys)
+    assert {r["node"] for r in rows} == {1, 2, 3}
+    assert all(r["n_triangles"] == 1 for r in rows)
