@@ -4041,6 +4041,21 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                             buf.reshape(8, 8, 3), interlace=bool(len(payloads) % 2)
                         )
                     )
+                elif kind == "gif_scene":
+                    # scene-cut fixture: frame k = hex bytes + OFF[k], a
+                    # UNIFORM shift, so the mean abs diff of a transition
+                    # is exactly |OFF[k+1]-OFF[k]| — SQL-predictable with
+                    # no pixel math ('f'=102 + 90 never wraps a byte).
+                    # Deltas 2/38/3/47 straddle any threshold in (3, 38).
+                    off = [0, 2, 40, 43, 90]
+                    nf = 3 + int(did) % 3
+                    fr = np.stack(
+                        [
+                            (buf + off[k]).astype(np.uint8).reshape(8, 8, 3)
+                            for k in range(nf)
+                        ]
+                    )
+                    payloads.append(codecs.encode_gif_frames(fr, fps=20))
                 elif kind == "gif_anim":
                     # ANIMATED GIF: 3..5 full-canvas frames, frame k = hex
                     # bytes + k (hex chars <= 'f' = 102, +4 never wraps), so
@@ -4058,8 +4073,8 @@ def _hex_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "media_type": {"wav": "audio", "avi": "video",
-                                   "gif_anim": "video"}.get(kind, "image"),
+                    "media_type": {"wav": "audio", "avi": "video", "gif_anim": "video",
+                                   "gif_scene": "video"}.get(kind, "image"),
                     "payload": payloads,
                     "n_bytes": [len(p) for p in payloads],
                 }
@@ -4117,6 +4132,25 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("pix_sum_mod").cast("long").alias("pix_sum"),
+    )
+
+
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation over animated-GIF containers — the clip-boundary
+    stage of a video pipeline (multimodal.py:scene_cuts): per consecutive
+    frame transition, the integer-exact mean absolute pixel diff and a
+    cut flag. The gif_scene fixture shifts every frame UNIFORMLY
+    (frame k = hex bytes + OFF[k], deltas 2/38/3/47 straddling the 10.0
+    threshold), so the oracle predicts each transition's mad as
+    |OFF[k+1]-OFF[k]| with no pixel math — LZW losslessness carries the
+    prediction through the real codec."""
+    media = _hex_media(spark, sf_dir, "gif_scene")
+    return M.scene_cuts(media, threshold=10.0).select(
+        F.col("asset_id").alias("doc_id"),
+        "from_idx",
+        "to_idx",
+        "mad",
+        "is_cut",
     )
 
 
@@ -4954,7 +4988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_holt_winters": q_fetch_holt_winters,
         "fetch_quantile_window": q_fetch_quantile_window,
         "funnel_counts": q_funnel,
-        "funnel_windowed": q_funnel_windowed,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery, grouping_sets_mixed and session-3's
@@ -4987,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": q_privacy_k_anonymity,
         "db_forget": q_db_forget,
         "graph_triangles": q_graph_triangles,
+        "multimodal_scene_cuts": q_multimodal_scene_cuts,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -5114,6 +5148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "fetch_binop": q_fetch_binop,
         "fetch_seasonal": q_fetch_seasonal,
+        "funnel_windowed": q_funnel_windowed,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "histogram_rollup_merge": q_histogram_rollup_merge,
         "pack_nosplit": q_pack_nosplit,

