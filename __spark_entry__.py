@@ -4737,6 +4737,23 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
 
 
+def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of event identifiers
+    (functions/privacy.py:pseudonymize): user_id replaced by a 16-hex
+    salted-hash token — joins/group-bys still work under the same salt,
+    raw ids are unrecoverable without it. Map-side JVM md5; the census
+    groupBy proves token-level aggregation equals raw-id aggregation
+    (pseudonymization preserves analysis, the whole point)."""
+    from kadiyadb_spark.functions.privacy import pseudonymize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    tok = pseudonymize(ev, ["user_id"], salt="r10")
+    return tok.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum4_expr(F.col("value")).alias("total_value"),
+    )
+
+
 def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson over lineitem's numeric columns with exact
     DECIMAL(38,0) folds over min-recentered 4dp scaled longs (price-scale
@@ -4987,7 +5004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_gaps": q_fetch_gaps,
         "fetch_holt_winters": q_fetch_holt_winters,
         "fetch_quantile_window": q_fetch_quantile_window,
-        "funnel_counts": q_funnel,
         # (3) r10-born entries gate in their birth round (displacing the
         #     backlog tail into the staleness queue — correlated_subquery,
         #     exists_subquery, grouping_sets_mixed and session-3's
@@ -5021,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "db_forget": q_db_forget,
         "graph_triangles": q_graph_triangles,
         "multimodal_scene_cuts": q_multimodal_scene_cuts,
+        "privacy_pseudonymize": q_privacy_pseudonymize,
         # -- end of the 50-entry r10 cap --
         # Everything below is the STALENESS QUEUE (VERDICT r09 item 4):
         # ordered OLDEST driver-green round first (ledger derived from
@@ -5148,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "fetch_binop": q_fetch_binop,
         "fetch_seasonal": q_fetch_seasonal,
+        "funnel_counts": q_funnel,
         "funnel_windowed": q_funnel_windowed,
         "grouping_sets_mixed": q_grouping_sets_mixed,
         "histogram_rollup_merge": q_histogram_rollup_merge,

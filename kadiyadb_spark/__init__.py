@@ -71,7 +71,7 @@ from kadiyadb_spark.functions.analytics import scd2_intervals
 from kadiyadb_spark.functions.cdc import merge_apply
 from kadiyadb_spark.functions.graph import triangle_count
 from kadiyadb_spark.functions.multimodal import scene_cuts
-from kadiyadb_spark.functions.privacy import k_anonymity
+from kadiyadb_spark.functions.privacy import k_anonymity, pseudonymize
 from kadiyadb_spark.functions.timeops import merge_asof
 from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
 from kadiyadb_spark.functions.text import normalize_text, rrf_fuse
@@ -148,6 +148,7 @@ __all__ = [
     "merge_apply",
     "merge_asof",
     "k_anonymity",
+    "pseudonymize",
     "triangle_count",
     "scene_cuts",
     "url_canonicalize",

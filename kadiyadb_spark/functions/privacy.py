@@ -46,3 +46,47 @@ def k_anonymity(
     return df.withColumn("k_group_size", size).withColumn(
         "suppressed", (F.col("k_group_size") < k).cast("long")
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    token_len: int = 16,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization of identifier columns — the
+    GDPR-article-4(5) middle ground between keeping raw ids and dropping
+    them: every value is replaced by a salted-hash token, so joins,
+    group-bys and frequency analyses still work across tables
+    pseudonymized with the SAME salt, but the raw identifier is not
+    recoverable without it (rotate the salt to break linkage).
+
+    Token = first ``token_len`` hex chars of md5(salt || ':' || value) —
+    map-side JVM expression, no UDF, engine-reproducible (the same
+    cross-engine md5 device as every hash in this codebase: a SQL twin
+    replays it with DuckDB's md5()). NULLs stay NULL (a missing id is
+    not an identity to protect, and tokenizing it would conflate all
+    missing values into one hot pseudo-identity).
+
+    Choose ``token_len`` for the collision budget: 16 hex chars = 64
+    bits, birthday-safe to ~2^32 distinct identities.
+    """
+    if not cols:
+        raise ValueError("pseudonymize needs at least one column")
+    if not salt:
+        raise ValueError("an empty salt defeats pseudonymization")
+    if not (4 <= token_len <= 32):
+        raise ValueError(f"token_len must be in [4, 32], got {token_len}")
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            token_len,
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out

@@ -413,4 +413,13 @@ SELECT c_custkey,
             THEN 1 ELSE 0 END AS suppressed
 FROM customer
 """
+
+    o["privacy_pseudonymize"] = """
+SELECT substr(md5('r10:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_id,
+       event_type,
+       count(*) AS n_events,
+       floor((sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
     return o

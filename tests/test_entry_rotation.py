@@ -43,7 +43,8 @@ R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
            "url_domain_census", "scd2_history", "cdc_merge_apply",
            "fetch_histogram_fraction", "embedding_pca",
            "asof_tolerance", "dedup_url_canonical", "privacy_k_anonymity",
-           "db_forget", "graph_triangles", "multimodal_scene_cuts"]
+           "db_forget", "graph_triangles", "multimodal_scene_cuts",
+           "privacy_pseudonymize"]
 # The §16.8 spills: stable r08 greens displaced by the birth-round
 # rule; they re-gate via the staleness queue (r08 block), not the cap.
 R10_DOCUMENTED_SPILL = {
@@ -57,7 +58,7 @@ R10_DOCUMENTED_SPILL = {
     "q7_nation_volume", "q1_pricing_summary", "q3_top_revenue_orders",
     "histogram_rollup_merge", "pack_nosplit", "fetch_binop",
     "fetch_seasonal", "text_bigram_lm", "cohort_retention",
-    "sim_hard_negatives", "funnel_windowed",
+    "sim_hard_negatives", "funnel_windowed", "funnel_counts",
 }
 
 

@@ -2921,3 +2921,27 @@ def test_triangle_count_matches_bruteforce(spark):
     df = spark.createDataFrame(list(edges), "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == expect
+
+
+def test_pseudonymize_deterministic_joinable_and_nulls(spark):
+    import hashlib
+
+    from kadiyadb_spark.functions.privacy import pseudonymize
+
+    df = spark.createDataFrame([(7, "a"), (7, "b"), (None, "c")], "uid long, x string")
+    out = pseudonymize(df, ["uid"], salt="s1").collect()
+    toks = {r["x"]: r["uid"] for r in out}
+    exp = hashlib.md5(b"s1:7").hexdigest()[:16]
+    assert toks["a"] == toks["b"] == exp  # same id + salt -> same token (joinable)
+    assert toks["c"] is None              # nulls stay null
+    # different salt breaks linkage
+    out2 = {r["x"]: r["uid"] for r in pseudonymize(df, ["uid"], salt="s2").collect()}
+    assert out2["a"] != exp
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pseudonymize(df, [], "s")
+    with _pt.raises(ValueError):
+        pseudonymize(df, ["uid"], "")
+    with _pt.raises(ValueError):
+        pseudonymize(df, ["uid"], "s", token_len=2)
