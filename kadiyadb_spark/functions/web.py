@@ -116,10 +116,12 @@ def url_canonicalize(
         F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
     path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    path = F.when(
-        path.endswith("/") & (F.length(path) > 1),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
+    # trim ALL trailing slashes (an all-slash path collapses to the root
+    # '/'): trimming just one is not idempotent — '/q//' -> '/q/' -> '/q'
+    # would split a dedup group on a re-run (hypothesis P22 found this)
+    path = F.when(path.rlike("^/+$"), F.lit("/")).otherwise(
+        F.regexp_replace(path, "/+$", "")
+    )
     query = F.regexp_extract(u, "[?]([^#]*)", 1)
     strip_arr = F.array(*[F.lit(p) for p in strip_params])
     params = F.array_sort(

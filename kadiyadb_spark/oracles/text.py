@@ -632,8 +632,8 @@ parts AS (
 canon AS (
   SELECT doc_id,
          scheme || '://' || host
-         || (CASE WHEN path0 LIKE '%/' AND length(path0) > 1
-                  THEN substr(path0, 1, length(path0) - 1) ELSE path0 END)
+         || (CASE WHEN regexp_matches(path0, '^/+$') THEN '/'
+                  ELSE regexp_replace(path0, '/+$', '') END)
          || (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END)
          AS canonical_url
   FROM (

@@ -798,3 +798,15 @@ def test_bloom_join_prune_probe_is_mapside_prejoin(spark):
     assert "SortMergeJoin" not in plan  # tiny dim side broadcasts
     # the fact scan itself reads only the 3 needed columns
     assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_merge_asof_single_exchange(spark):
+    """merge_asof's union-timeline form: ONE by-keyed hash Exchange total
+    (plus the union inputs), never a range-join expansion."""
+    from kadiyadb_spark.functions.timeops import merge_asof
+
+    left = spark.createDataFrame([(1, 1, 100)], "lid long, g long, ts long")
+    right = spark.createDataFrame([(1, 90, 1.0)], "g long, ts long, v double")
+    plan = plan_str(merge_asof(left, right, "ts", ["g"], ["v"]))
+    assert n_shuffles(plan) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

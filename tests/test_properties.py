@@ -888,3 +888,46 @@ def test_p20_scd2_matches_python_replay(spark, rows):
             nxt = runs[v][1] if v < len(runs) else None
             exp.append((k, v, a, ts, nxt, n))
     assert got == sorted(exp)
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=40, unique=True),
+    probes=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60),
+)
+def test_p21_bloom_never_drops_a_member(spark, keys, probes):
+    """The Bloom contract the lossless join reduction rests on: NO false
+    negatives, for any key set and any probe set."""
+    from kadiyadb_spark.functions.runtime_filter import bloom_build, bloom_probe
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = bloom_build(kdf, "k", m_bits=512, n_hashes=3)
+    pdf = spark.createDataFrame([(p,) for p in set(probes) | set(keys)], "k long")
+    kept = {
+        r["k"]
+        for r in bloom_probe(pdf, "k", bloom, m_bits=512, n_hashes=3).collect()
+    }
+    assert set(keys) <= kept
+
+
+@SETTINGS
+@given(
+    host=st.sampled_from(["A.Example.COM", "x.y.z.org", "localhost"]),
+    path=st.sampled_from(["", "/", "/p/1", "/a/b/", "/q//"]),
+    params=st.lists(
+        st.sampled_from(["id=7", "utm_source=x", "b=2", "a=1", "ref=r", "z="]),
+        max_size=4,
+    ),
+    scheme=st.sampled_from(["https", "HTTPS", "http"]),
+)
+def test_p22_url_canonicalize_is_idempotent(spark, host, path, params, scheme):
+    """canon(canon(u)) == canon(u): the canonical form is a fixed point,
+    so re-running the cleanup stage can never split a dedup group."""
+    from kadiyadb_spark.functions.web import url_canonicalize
+
+    url = f"{scheme}://{host}{path}" + ("?" + "&".join(params) if params else "")
+    df = spark.createDataFrame([(0, url)], "doc_id long, url string")
+    once = url_canonicalize(df).collect()[0]["canonical_url"]
+    df2 = spark.createDataFrame([(0, once)], "doc_id long, url string")
+    twice = url_canonicalize(df2).collect()[0]["canonical_url"]
+    assert twice == once
