@@ -25,13 +25,35 @@ sys.path.insert(0, REPO)
 ROWS_ONLY = {"sim_ivfpq_residual", "quality_model"}
 
 
+def _tracked_artifacts() -> "list[str]":
+    """Git-TRACKED CORRECTNESS_r*.json only (VERDICT r10 item 1): the driver
+    drops each round's artifact AFTER the builder's final commit, so an
+    untracked artifact must not change the derivation mid-round — otherwise
+    the committed STALENESS.md and the cap-order assertion go red at every
+    round boundary by construction. The builder commits the new artifact and
+    re-runs this script as the FIRST act of the next round. Falls back to a
+    plain glob when git is unavailable (e.g. an exported tree)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+        if out:
+            return sorted(os.path.join(REPO, f) for f in out)
+    except Exception:
+        pass
+    return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
 def last_green_rounds() -> "dict[str, int]":
     """entry -> highest round with a driver-green row. Green means
     rows+schema+hash all matched with no error; for the documented
     rows-only entries (no SQL oracle by design) a recorded spark_rows
     counts — that IS the driver's weaker check for them."""
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for f in _tracked_artifacts():
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         for name, rec in json.load(open(f)).items():
             if not isinstance(rec, dict):
@@ -77,7 +99,8 @@ def render() -> str:
     ]
     for rnd in sorted(by_round, key=lambda r: (r is None, r)):
         names = by_round[rnd]
-        tag = f"r{rnd:02d}" if rnd else "never (born post-cap / rows-only)"
+        tag = (f"r{rnd:02d}" if rnd
+               else "never (new borns; evidence = local all-entry oracle run)")
         lines.append(f"| {tag} | {len(names)} | {', '.join(sorted(names))} |")
     lines.append("")
     return "\n".join(lines)

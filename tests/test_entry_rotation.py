@@ -2,14 +2,17 @@
 
 The driver's correctness gate evaluates the FIRST 50 entries of the
 queries() dict each round, so the dict's ORDER is load-bearing: a stray
-reorder silently un-gates entries. These tests pin the r10 cap membership
-(SURVEY §16.8 cap math / VERDICT r09 item 1), assert the post-cap section
-is the OLDEST-FIRST staleness queue (VERDICT r09 item 4 — the executable
-replacement for the dead two-round claim), check the committed STALENESS.md
-ledger matches its derivation, and keep the structural invariants (every
-entry resolves, oracle twins exist, no oracle output type the driver hash
-cannot canonicalize) cheap enough for every pytest run — no SparkSession
-needed.
+reorder silently un-gates entries. Since r11 (VERDICT r10 item 1) the
+contract is ROUND-AGNOSTIC: the whole dict must equal the order derived
+from the staleness ledger — (last driver-green round ASC, name ASC), with
+never-driver-gated borns LAST (their evidence, the current round's local
+all-entry oracle run, is the freshest there is; the stalest DRIVER evidence
+gates first). No per-round constants: these tests stay green when the
+driver drops a new CORRECTNESS artifact (the derivation reads git-TRACKED
+artifacts only) and when a new round's builder commits it and re-runs
+scripts/staleness_ledger.py. Structural invariants (oracle twins, DuckDB
+output types the driver can hash, corpus partition) are cheap enough for
+every pytest run — no SparkSession needed.
 """
 
 from __future__ import annotations
@@ -25,41 +28,7 @@ import __spark_entry__ as entry_mod
 from scripts.staleness_ledger import ROWS_ONLY, last_green_rounds
 
 CAP = 50
-
-# The r10 gate plan: the six r09-born entries lead (none has ever had a
-# driver row), then the 43-entry head of the r08-cap backlog, then entries
-# born in r10 (birth-round rule). Keep in sync when adding entries.
-R10_BORN_LEADS = [
-    "fetch_cusum", "sketch_kmv_setops", "fetch_regex", "fetch_multi",
-    "bpe_decode_roundtrip", "sim_outliers",
-]
-R10_NEW = ["fetch_multi_mixed", "multimodal_gif_frames", "fetch_absent",
-           "embedding_matryoshka", "sketch_countmin", "graph_pagerank",
-           "fetch_subquery", "sim_maxsim", "fetch_irate",
-           "fetch_rule_group", "sketch_cm_joinsize", "fetch_group_share",
-           "sql_over_cube",
-           # session 3 borns:
-           "rag_rrf_fusion", "bloom_join_prune", "text_normalize",
-           "url_domain_census", "scd2_history", "cdc_merge_apply",
-           "fetch_histogram_fraction", "embedding_pca",
-           "asof_tolerance", "dedup_url_canonical", "privacy_k_anonymity",
-           "db_forget", "graph_triangles", "multimodal_scene_cuts",
-           "privacy_pseudonymize"]
-# The §16.8 spills: stable r08 greens displaced by the birth-round
-# rule; they re-gate via the staleness queue (r08 block), not the cap.
-R10_DOCUMENTED_SPILL = {
-    "topk_per_group", "window_daily_running", "window_frames",
-    "pivot_event_matrix", "q10_returned_items", "q14_promo_ratio",
-    "q15_top_supplier", "q17_small_quantity", "q19_disjunctive",
-    "q21_waiting_suppliers", "q22_waiting_customers", "q8_market_share",
-    "q9_product_profit",
-    # session-3 displacements (four borns entered the cap):
-    "q4_order_priority", "q5_local_supplier_volume", "q6_selective_scan",
-    "q7_nation_volume", "q1_pricing_summary", "q3_top_revenue_orders",
-    "histogram_rollup_merge", "pack_nosplit", "fetch_binop",
-    "fetch_seasonal", "text_bigram_lm", "cohort_retention",
-    "sim_hard_negatives", "funnel_windowed", "funnel_counts",
-}
+NEVER = 10**9  # borns sort last; any real round is far below this
 
 
 @pytest.fixture(scope="module")
@@ -77,60 +46,51 @@ def ledger():
     return last_green_rounds()
 
 
-def test_cap_leads_with_r10_plan(qs, ledger):
-    head = list(qs)[:CAP]
-    # the six never-gated r09 borns lead so a first-gate red is visible
-    # immediately
-    assert head[: len(R10_BORN_LEADS)] == R10_BORN_LEADS
-    # every r10-born entry gates in its birth round
-    missing_new = set(R10_NEW) - set(head)
-    assert not missing_new, f"r10-born entries outside the cap: {missing_new}"
-    # every never-driver-gated entry (except documented rows-only) is in
-    # the cap — nothing can be born and silently never gated
-    never = {q for q in qs if q not in ledger} - ROWS_ONLY
-    assert never <= set(head), f"never-gated entries outside the cap: {never - set(head)}"
-    # the backlog fill is exclusively r08-green entries (the §16.8 order):
-    # nothing fresher than r08 may occupy a cap slot this round
-    for q in head[len(R10_BORN_LEADS):]:
-        if q in ledger:
-            assert ledger[q] == 8, (
-                f"cap slot wasted on {q} (last green r{ledger[q]:02d}; the "
-                f"r10 cap admits only never-gated and r08-green entries)"
-            )
+def test_order_is_pure_function_of_ledger(qs, ledger):
+    """The ENTIRE queries() order equals the ledger-derived queue: oldest
+    driver evidence first (ties name-sorted), never-gated borns last. The
+    cap (first 50) is therefore exactly the stalest-50 by construction —
+    no entry can be starved, no born can silently skip the queue, and the
+    worst-case re-gate latency bound below holds without any hand-curated
+    plan constants."""
+    expected = sorted(qs, key=lambda q: (ledger.get(q, NEVER), q))
+    assert list(qs) == expected, (
+        "queries() order diverges from the ledger-derived queue; first "
+        "mismatch: "
+        + next(
+            f"pos {i}: have {a!r}, want {b!r}"
+            for i, (a, b) in enumerate(zip(qs, expected))
+            if a != b
+        )
+    )
 
 
-def test_post_cap_is_oldest_first_staleness_queue(qs, ledger):
-    """VERDICT r09 item 4: beyond the cap, entries are ordered by their
-    last driver-green round ASCENDING (ties by name), so every future cap
-    takes new borns + the queue head and worst-case re-gate latency is
-    bounded by ceil(N/cap) rounds BY CONSTRUCTION. The r05-aged block —
-    including the six the verdict names — therefore leads the r11 gate."""
-    tail = list(qs)[CAP:]
-    rounds = [ledger[q] for q in tail if q in ledger]
-    assert all(q in ledger for q in tail), (
-        f"non-gated entries must live inside the cap, found in queue: "
-        f"{[q for q in tail if q not in ledger]}"
-    )
-    assert rounds == sorted(rounds), "staleness queue is not oldest-first"
-    within_round = {}
-    for q in tail:
-        within_round.setdefault(ledger[q], []).append(q)
-    for rnd, names in within_round.items():
-        assert names == sorted(names), f"r{rnd:02d} block not name-sorted"
-    # the verdict-named r05-aged six sit inside the next round's cap window
-    aged_six = {"anti_join", "approx_distinct", "distinct_users",
-                "text_quality", "text_fingerprint", "bucketed_join"}
-    assert aged_six <= set(tail[:CAP]), (
-        "the r05-aged six must lead the r11 gate (first CAP queue slots)"
-    )
-    # the documented spill four are in the queue (they re-gate from the
-    # r08 block), not lost
-    assert R10_DOCUMENTED_SPILL <= set(tail)
+def test_cap_is_the_stalest_window(qs, ledger):
+    """Every gated entry inside the cap is at least as stale as every gated
+    entry outside it (boundary-round ties broken by name, which the full
+    order test already pins). Redundant with the full-order test but states
+    the driver-facing property directly."""
+    head, tail = list(qs)[:CAP], list(qs)[CAP:]
+    gated_head = [ledger[q] for q in head if q in ledger]
+    gated_tail = [ledger[q] for q in tail if q in ledger]
+    if gated_head and gated_tail:
+        assert max(gated_head) <= min(gated_tail)
+    # a born entry may appear in the cap only by reaching the queue head
+    # (i.e. when every gated entry is fresher) — with any gated backlog
+    # present, borns live in the tail:
+    borns_in_head = [q for q in head if q not in ledger]
+    if gated_tail:
+        assert not borns_in_head, (
+            f"never-gated entries jumped the queue: {borns_in_head}"
+        )
 
 
 def test_staleness_ledger_artifact_current():
     """STALENESS.md is the committed ledger; it must match what the
-    derivation produces from the CORRECTNESS artifacts on disk."""
+    derivation produces from the git-TRACKED CORRECTNESS artifacts. An
+    untracked artifact freshly dropped by the driver does NOT invalidate
+    this (VERDICT r10 item 1) — the next round's builder commits it and
+    re-runs scripts/staleness_ledger.py as its first act."""
     import os
 
     from scripts.staleness_ledger import REPO, render
@@ -148,7 +108,7 @@ def test_worst_case_regate_latency_bound(qs):
     pins the CLAIM to the census so growing the corpus updates the docs."""
     n = len(qs)
     bound = -(-n // CAP)
-    assert bound <= 5, (
+    assert bound <= 6, (
         f"census {n} pushes worst-case re-gate latency to {bound} rounds; "
         f"update STALENESS.md's documented bound and this test together"
     )
@@ -209,3 +169,25 @@ def test_oracle_modules_partition_the_corpus(oracles):
         assert not dup, f"{m.__name__} redefines {sorted(dup)}"
         union.update(part)
     assert union == all_oracles() == oracles
+
+
+def test_derivation_ignores_untracked_artifacts(tmp_path, monkeypatch):
+    """VERDICT r10 item 1's Done criterion, executable: drop a synthetic
+    CORRECTNESS artifact for a FUTURE round into the repo (untracked) and
+    assert the ledger derivation does not move — so the suite stays green
+    across the driver's post-session artifact drop."""
+    import json
+    import os
+
+    from scripts.staleness_ledger import REPO
+
+    before = last_green_rounds()
+    fake = os.path.join(REPO, "CORRECTNESS_r98.json")
+    assert not os.path.exists(fake)
+    try:
+        with open(fake, "w") as f:
+            json.dump({"anti_join": {"rows_match": True, "schema_match": True,
+                                     "hash_match": True}}, f)
+        assert last_green_rounds() == before
+    finally:
+        os.remove(fake)
