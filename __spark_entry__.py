@@ -4574,11 +4574,14 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-curation domain census (functions/web.py): deterministic URLs
-    salted from doc_id (4 hosts across 3 registrable domains, odd ids
-    carry a query string), parsed with dialect-shared regexes, grouped by
-    the registrable domain — the domain-prior/quota table a crawl pipeline
-    joins back onto documents. Pure map-side parsing; ONE domain-keyed
-    groupBy is the only Exchange."""
+    salted from doc_id (5 hosts across 4 registrable domains — one a
+    co.uk host exercising the PSL rule, r11; odd ids carry a query
+    string), parsed with dialect-shared regexes, grouped by the
+    registrable domain — the domain-prior/quota table a crawl pipeline
+    joins back onto documents. The registrable rule is the vendored
+    public-suffix subset (functions/psl.py) folded into the parse
+    projection. Pure map-side parsing; ONE domain-keyed groupBy is the
+    only Exchange."""
     from kadiyadb_spark.functions.web import domain_census
 
     hosts = F.array(
@@ -4586,13 +4589,14 @@ def q_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cdn.example.org"),
         F.lit("blog.sample.net"),
         F.lit("www.example.com"),
+        F.lit("shop.example.co.uk"),
     )
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         F.concat(
             F.lit("https://"),
-            F.element_at(hosts, (F.col("doc_id") % 4).cast("int") + 1),
+            F.element_at(hosts, (F.col("doc_id") % 5).cast("int") + 1),
             F.lit("/p/"),
             F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 2 == 1, F.lit("?ref=rss")).otherwise(F.lit("")),

@@ -659,9 +659,16 @@ def scd2_intervals(
 
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # NULL-SAFE change test (r10 ADVICE): `lag.isNull() | (lag != attr)` is
+    # NULL->0 when attr goes non-null -> NULL, silently merging NULL-attr
+    # rows into the preceding run while NULL -> value DOES open one —
+    # asymmetric and diverging from the oracle's IS DISTINCT FROM. A run is
+    # now any maximal stretch of eqNullSafe-equal attrs (all-NULL runs are
+    # first-class versions); row 1 opens its run explicitly since
+    # eqNullSafe(NULL lag, NULL attr) would otherwise swallow it.
     chg = (
-        F.lag(attr_col).over(w).isNull()
-        | (F.lag(attr_col).over(w) != F.col(attr_col))
+        (F.row_number().over(w) == 1)
+        | ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))
     ).cast("long")
     runs = (
         df.withColumn("_chg", chg)

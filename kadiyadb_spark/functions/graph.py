@@ -146,7 +146,11 @@ def triangle_count(
 
     Output: (node, n_triangles) for every node in >= 1 triangle.
     """
-    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    # Node ids keep their NATIVE type (r10 ADVICE): least/greatest, the
+    # orientation tie-break and every join below only need a total order,
+    # which any Spark atomic type has — a cast("long") here turned string
+    # ids into NULLs and silently emptied the result instead of failing.
+    a, b = F.col(src_col), F.col(dst_col)
     und = (
         edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))

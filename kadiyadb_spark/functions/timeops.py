@@ -122,6 +122,17 @@ def merge_asof(
     overlap = set(right_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
+    # the operator's internal scratch columns and the 'asof_ts' output are
+    # RESERVED: a left frame already carrying one would be silently
+    # overwritten by withColumn, corrupting the side tag / match payload
+    # (r10 ADVICE — mirrors the right_cols overlap check above)
+    reserved = {"_side", "_asof_ts", "asof_ts"} | {f"_m_{c}" for c in right_cols}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"input columns collide with merge_asof reserved names: "
+            f"{sorted(clash)} (rename them upstream)"
+        )
     from pyspark.sql import Window
 
     lt = left.withColumn("_side", F.lit(1))

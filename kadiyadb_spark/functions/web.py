@@ -9,11 +9,13 @@ with ``&&`` — the same conservative whitelist the manifest Re-pruning
 uses), evaluated map-side: parsing never shuffles, and the census groupBy
 is the only Exchange, keyed on the registrable domain.
 
-``registrable_domain`` uses the simplified last-two-labels rule — correct
-for .com/.org/.net-style TLDs. A production public-suffix-list resolver
-is a broadcast dim join against the PSL table (the list is ~15k rows);
-the rule here is the deterministic, dependency-free default and the
-census key contract is the same either way.
+``registrable_domain`` resolves through the vendored public-suffix subset
+(functions/psl.py, r11): a co.uk/com.au-class host censuses under
+<label>.co.uk, not co.uk — the membership test is a literal-array
+expression in the same projection (still no join, no shuffle). Unknown
+TLDs keep the last-two-labels fallback; a full publicsuffix.org snapshot
+plugs into ``psl.registrable_domain_psl`` (broadcast joins, map-side)
+with the same census key contract.
 
 Reference parity: the reference has no string/URL functions at all; this
 belongs to the north-star curation surface (SURVEY.md north-star ops).
@@ -23,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.psl import registrable_domain_expr
 
 # Dialect-shared patterns (Java regex and RE2 agree on every construct
 # used: anchors, literal classes, negated classes, '*'/'+' quantifiers).
@@ -43,13 +47,22 @@ def url_components(
     downstream group keys stay total. has_query is 0/1 long (the driver
     gate's hashable-type contract excludes booleans)."""
     scheme = F.regexp_extract(F.col(url_col), _SCHEME_RE, 1)
-    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    # authority -> host: strip userinfo ('user:pw@') and port (':8080') so
+    # census keys never split one domain across bogus variants
+    # (r10 ADVICE: 'user@example.com:8080' must census as example.com)
+    host = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(F.col(url_col), _HOST_RE, 1), "^.*@", ""),
+        ":[0-9]+$",
+        "",
+    )
     path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
-    labels = F.split(host, "[.]")
-    reg = F.when(
-        F.size(labels) >= 2,
-        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
-    ).otherwise(host)
+    # PSL-aware registrable domain (VERDICT r10 item 4): co.uk-class hosts
+    # resolve to <label>.co.uk via the vendored public-suffix subset — one
+    # literal-array membership test in the same projection, still zero
+    # joins/shuffles; unknown TLDs keep the last-two-labels fallback. A
+    # full 15k-rule snapshot resolves through psl.registrable_domain_psl
+    # (broadcast joins, also map-side).
+    reg = registrable_domain_expr(host)
     base = df.columns if keep is None else keep
     return df.select(
         *base,
@@ -57,7 +70,12 @@ def url_components(
         host.alias("host"),
         reg.alias("registrable_domain"),
         path.alias("path"),
-        F.col(url_col).contains("?").cast("long").alias("has_query"),
+        # query test on the PRE-FRAGMENT prefix: a '?' occurring only inside
+        # the fragment ('https://h/p#sec?x=1') is fragment text, not a query
+        F.split_part(F.col(url_col), F.lit("#"), F.lit(1))
+        .contains("?")
+        .cast("long")
+        .alias("has_query"),
     )
 
 
@@ -122,7 +140,13 @@ def url_canonicalize(
     path = F.when(path.rlike("^/+$"), F.lit("/")).otherwise(
         F.regexp_replace(path, "/+$", "")
     )
-    query = F.regexp_extract(u, "[?]([^#]*)", 1)
+    # query = everything after the first '?' of the PRE-FRAGMENT prefix; a
+    # '?' only inside the fragment must not leak params into the canonical
+    # form (r10 ADVICE). Note host:port is PRESERVED here (a different port
+    # is a different resource — canonical identity, unlike the census key).
+    query = F.regexp_extract(
+        F.split_part(u, F.lit("#"), F.lit(1)), "[?](.*)$", 1
+    )
     strip_arr = F.array(*[F.lit(p) for p in strip_params])
     params = F.array_sort(
         F.filter(

@@ -580,24 +580,35 @@ SELECT doc_id, text, n_chars_raw, CAST(length(text) AS BIGINT) AS n_chars_norm F
 """
 
     # url_domain_census: identical salt construction (list literal indexed
-    # by doc_id % 4), dialect-shared parse regexes, last-two-labels
-    # registrable rule via negative list indexing.
-    o["url_domain_census"] = """
+    # by doc_id % 5 — includes a co.uk host since r11), dialect-shared
+    # parse regexes, PSL registrable rule mirrored via the SAME vendored
+    # suffix subset (imported from functions/psl.py — single source of
+    # truth) as a list_contains over the last two labels.
+    from kadiyadb_spark.functions.psl import PSL_TWO_LEVEL
+
+    psl_list = ", ".join(f"'{s}'" for s in PSL_TWO_LEVEL)
+    o["url_domain_census"] = f"""
 WITH u AS (
   SELECT doc_id, n_chars,
          'https://'
-         || (['news.example.com', 'cdn.example.org', 'blog.sample.net', 'www.example.com'])[CAST(doc_id % 4 AS INT) + 1]
+         || (['news.example.com', 'cdn.example.org', 'blog.sample.net', 'www.example.com', 'shop.example.co.uk'])[CAST(doc_id % 5 AS INT) + 1]
          || '/p/' || CAST(doc_id AS VARCHAR)
          || CASE WHEN doc_id % 2 = 1 THEN '?ref=rss' ELSE '' END AS url
   FROM documents),
 p AS (
   SELECT doc_id, n_chars, url,
-         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
-         CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS has_query
+         regexp_replace(regexp_replace(
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+             '^.*@', ''), ':[0-9]+$', '') AS host,
+         CASE WHEN contains(split_part(url, '#', 1), '?') THEN 1 ELSE 0 END AS has_query
   FROM u),
 d AS (
   SELECT doc_id, n_chars, host, has_query,
-         CASE WHEN len(string_split(host, '.')) >= 2
+         CASE WHEN len(string_split(host, '.')) >= 3
+                   AND list_contains([{psl_list}],
+                       string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+              THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              WHEN len(string_split(host, '.')) >= 2
               THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
               ELSE host END AS registrable_domain
   FROM p)
@@ -627,7 +638,7 @@ parts AS (
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
-         regexp_extract(url, '[?]([^#]*)', 1) AS q
+         regexp_extract(split_part(url, '#', 1), '[?](.*)$', 1) AS q
   FROM u),
 canon AS (
   SELECT doc_id,

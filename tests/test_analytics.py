@@ -357,3 +357,27 @@ def test_scd2_single_exchange_plan(spark):
     # the run fold and interval-closing window reuse the user_id
     # distribution: exactly ONE hash-partition Exchange in the plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_intervals_null_attr_runs_null_safe(spark):
+    """r10 ADVICE: NULL-attr rows form first-class runs under eqNullSafe
+    semantics — value -> NULL opens a run (previously swallowed) and
+    NULL -> value opens one, symmetrically; an all-NULL leading run
+    survives as version 1 with attr NULL."""
+    from kadiyadb_spark.functions.analytics import scd2_intervals
+
+    rows = [
+        (1, 10, "A", 100), (1, 11, None, 200), (1, 12, None, 300), (1, 13, "A", 400),
+        (2, 20, None, 150), (2, 21, "X", 250),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, attr string, ts long")
+    got = {
+        (r["user_id"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+        for r in scd2_intervals(df, "user_id", "attr", "ts", order_cols=["event_id"]).collect()
+    }
+    assert got[(1, 1)] == ("A", 100, 200, 1)
+    assert got[(1, 2)] == (None, 200, 400, 2)   # NULL run is its own version
+    assert got[(1, 3)] == ("A", 400, None, 1)
+    assert got[(2, 1)] == (None, 150, 250, 1)   # leading NULL run = version 1
+    assert got[(2, 2)] == ("X", 250, None, 1)
+    assert len(got) == 5

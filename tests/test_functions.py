@@ -2945,3 +2945,162 @@ def test_pseudonymize_deterministic_joinable_and_nulls(spark):
         pseudonymize(df, ["uid"], "")
     with _pt.raises(ValueError):
         pseudonymize(df, ["uid"], "s", token_len=2)
+
+
+def test_url_components_strips_userinfo_port_and_fragment_query(spark):
+    """r10 ADVICE: authority userinfo/port must not split census keys, and
+    a '?' living only in the fragment is not a query."""
+    from kadiyadb_spark.functions.web import url_components
+
+    rows = [
+        (0, "https://user@example.com:8080/x"),
+        (1, "https://user:pw@sub.example.com/x?q=1"),
+        (2, "https://example.com/p#sec?x=1"),
+        (3, "https://example.com/p?a=1#frag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in url_components(df).collect()}
+    assert got[0]["host"] == "example.com"
+    assert got[0]["registrable_domain"] == "example.com"
+    assert got[1]["host"] == "sub.example.com"
+    assert got[1]["registrable_domain"] == "example.com"
+    assert got[1]["has_query"] == 1
+    assert got[2]["has_query"] == 0  # '?' only inside the fragment
+    assert got[3]["has_query"] == 1
+
+
+def test_url_canonicalize_fragment_query_and_port_identity(spark):
+    """Fragment text must not leak into canonical params; host:port is
+    canonical identity (a different port is a different resource)."""
+    from kadiyadb_spark.functions.web import url_canonicalize
+
+    rows = [
+        (0, "https://h.com/p#sec?utm_source=x"),
+        (1, "https://h.com/p"),
+        (2, "https://h.com:8080/p"),
+        (3, "https://h.com/p?a=1#frag?b=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in url_canonicalize(df).collect()}
+    assert got[0] == "https://h.com/p"          # fragment-? leaked no params
+    assert got[0] == got[1]
+    assert got[2] == "https://h.com:8080/p"     # port preserved
+    assert got[3] == "https://h.com/p?a=1"      # only the real query survives
+
+
+def test_triangle_count_native_string_node_ids(spark):
+    """r10 ADVICE: non-numeric node ids must count, not silently empty the
+    result via a lossy cast."""
+    from kadiyadb_spark.functions.graph import triangle_count
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+    assert triangle_count(df).schema["node"].dataType.typeName() == "string"
+
+
+def test_merge_asof_reserved_name_collision_raises(spark):
+    """r10 ADVICE: a left frame already carrying _side/_asof_ts/asof_ts or
+    _m_<col> must be rejected loudly, not silently overwritten."""
+    import pytest as _pt
+
+    from kadiyadb_spark.functions.timeops import merge_asof
+
+    left = spark.createDataFrame([(1, 10)], "u long, ts long")
+    right = spark.createDataFrame([(1, 9, 5.0)], "u long, ts long, val double")
+    for bad in ("_side", "asof_ts", "_asof_ts", "_m_val"):
+        with _pt.raises(ValueError, match="reserved"):
+            merge_asof(
+                left.withColumn(bad, F.lit(1)), right, "ts", ["u"], ["val"]
+            )
+    # clean inputs still work
+    assert merge_asof(left, right, "ts", ["u"], ["val"]).count() == 1
+
+
+def test_re_pattern_set_class_warning_free():
+    """VERDICT r10 item 6: a '[..&&..]' class (Java set-intersection
+    syntax, refused by segment pruning but legal for rlike) must not leak
+    Python's FutureWarning into the suite — the Python compile is a syntax
+    fail-fast only."""
+    import warnings
+
+    from kadiyadb_spark.query import Re
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        Re("cl[ab&&cd]x.*")  # would raise FutureWarning without the filter
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Re("(unclosed")
+
+
+def test_registrable_domain_psl_subset_expr(spark):
+    """PSL upgrade (r11): co.uk-class hosts resolve to label.co.uk via the
+    vendored suffix subset; unknown TLDs keep last-two-labels; single
+    labels are their own domain."""
+    from kadiyadb_spark.functions.web import url_components
+
+    rows = [
+        (0, "https://shop.example.co.uk/x"),
+        (1, "https://a.b.example.com.au/x"),
+        (2, "https://example.co.uk/x"),       # exactly label+suffix
+        (3, "https://co.uk/x"),               # bare public suffix
+        (4, "https://deep.sub.example.com/x"),
+        (5, "https://localhost/x"),
+        (6, "https://foo.unknowntld/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["registrable_domain"] for r in url_components(df).collect()}
+    assert got[0] == "example.co.uk"
+    assert got[1] == "example.com.au"
+    assert got[2] == "example.co.uk"
+    assert got[3] == "co.uk"          # n<3: falls back to the suffix itself
+    assert got[4] == "example.com"
+    assert got[5] == "localhost"
+    assert got[6] == "foo.unknowntld"
+
+
+def test_registrable_domain_psl_full_join_path(spark):
+    """Full-snapshot path: exact, wildcard and exception rules per the PSL
+    algorithm, resolved via broadcast joins only (plan asserted)."""
+    from kadiyadb_spark.functions.psl import psl_table, registrable_domain_psl
+
+    psl = psl_table(spark, [
+        "// comment line", "", "com", "co.uk", "*.ck", "!www.ck", "uk",
+    ])
+    rows = [
+        (0, "shop.example.co.uk"),
+        (1, "example.com"),
+        (2, "a.b.example.com"),
+        (3, "foo.bar.ck"),       # *.ck: bar.ck is public -> foo.bar.ck
+        (4, "www.ck"),           # exception: www.ck itself registrable
+        (5, "sub.www.ck"),       # under the exception name
+        (6, "nomatch.zz"),       # PSL default rule: last two labels
+        (7, "single"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    out = registrable_domain_psl(df, "host", psl)
+    got = {r["id"]: r["registrable_domain"] for r in out.collect()}
+    assert got[0] == "example.co.uk"
+    assert got[1] == "example.com"
+    assert got[2] == "example.com"
+    assert got[3] == "foo.bar.ck"
+    assert got[4] == "www.ck"
+    assert got[5] == "www.ck"
+    assert got[6] == "nomatch.zz"
+    assert got[7] == "single"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        registrable_domain_psl(df, "host", psl, max_depth=0)
+    with _pt.raises(ValueError):
+        registrable_domain_psl(
+            df.withColumn("registrable_domain", F.lit("x")), "host", psl
+        )
+    with _pt.raises(ValueError):
+        psl_table(spark, ["// only comments"])
