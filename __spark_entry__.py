@@ -4949,6 +4949,117 @@ def q_bpe_gpt2_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (functions/dq.py): six row-level
+    expectations over orders compiled into ONE aggregation over ONE scan
+    (each check is a sum((NOT cond)::long) column — adding a check never
+    adds a pass), plus a referential-integrity expectation (every
+    o_custkey exists in customer) as an aggregate-only left-anti join.
+    Violation rates 4dp-floored. The batch-ingest gate a warehouse /
+    training-data pipeline runs before accepting data."""
+    from kadiyadb_spark.functions.dq import expect, expect_ref
+
+    o = _t(spark, sf_dir, "orders")
+    audit = expect(o, {
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        "date_in_range": (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01")),
+        "totalprice_under_cap": F.col("o_totalprice") <= 300000.0,
+    })
+    ri = expect_ref(o, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey")
+    return audit.unionByName(ri)
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-corpus Lloyd k-means (functions/cluster.py) — the
+    SemDeDup clustering stage: k=4 from the 4 lowest-id vectors, 2 exact
+    iterations, final (cluster_id, n_vecs, inertia). Assignment is
+    map-side (centroids are plan literals), the update's
+    groupBy(cluster, dim) partial-combines to k*d rows per partition, and
+    every fold is integer-exact (quantized terms) so the result is
+    layout-proof at any parallelism; the driver only ever holds k*d
+    doubles. The oracle replays the identical quantized recursion in
+    DuckDB list ops."""
+    from kadiyadb_spark.functions.cluster import kmeans_lloyd
+
+    return kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+def q_fetch_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL clamp()/clamp_min()/clamp_max() over the dense week fetch
+    (query.py:series_clamp): totals clamped into [2, 50] with 0/1
+    per-bound flags — the recording-rule guard before ratio dashboards.
+    Exact scaled-long comparisons; pure projection, NO Exchange beyond
+    the fetch itself."""
+    from kadiyadb_spark.query import series_clamp
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_clamp(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], lo=2.0, hi=50.0
+    )
+
+
+def q_privacy_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card governance (functions/privacy.py:luhn_audit):
+    deterministic 16-digit candidates salted into documents (doc_id-keyed;
+    one third of docs carry none), detected with a dialect-shared digit-run
+    regex and validated with the Luhn fold — a pure JVM aggregate over the
+    digit positions, no UDF. Per-source counts of candidates vs
+    Luhn-valid (the real leaks) vs invalid; the only Exchange is the tiny
+    source-keyed count fold."""
+    from kadiyadb_spark.functions.privacy import luhn_audit
+
+    d = F.col("doc_id")
+    num = F.concat(
+        F.lpad((d * 37 % F.lit(10 ** 15)).cast("string"), 15, "0"),
+        (d % 10).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(d % 3 == 0, F.concat(F.lit("order ref "), num, F.lit(" thanks")))
+        .when(d % 3 == 1, F.concat(F.lit("card "), num, F.lit(" on file")))
+        .otherwise(F.lit("no digits here"))
+        .alias("text"),
+    )
+    return luhn_audit(docs, group_cols=["source"])
+
+
+def q_text_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition census (functions/text.py:script_census)
+    — the language-mix / mojibake detector before language-ID: docs salted
+    with Cyrillic/Greek/CJK runs (doc_id-keyed, literal code points shared
+    with the oracle), per-script character counts via regexp_count with
+    LITERAL code-point ranges (the construct Java regex and RE2 read
+    identically), dominant script by fixed priority. Counting happens in
+    the scan projection; the (source, dominant) fold is the only
+    Exchange."""
+    from kadiyadb_spark.functions.text import script_census
+
+    cyr = "".join(chr(c) for c in (1087, 1088, 1080, 1084, 1077, 1088))
+    grk = "".join(chr(c) for c in (955, 972, 947, 959, 962))
+    cjk = "".join(chr(c) for c in (20013, 25991, 23383))
+    d = F.col("doc_id")
+    salt = (
+        F.when(d % 4 == 1, F.lit(" " + (cyr + " ") * 10))
+        .when(d % 4 == 2, F.lit(" " + (grk + " ") * 10))
+        .when(d % 4 == 3, F.lit(" " + (cjk + " ") * 15))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(F.substring(F.col("text"), 1, 40), salt).alias("text"),
+    )
+    return script_census(docs, group_cols=["source"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wildcard fetch over the tracked cube at sf0.001."""
     return q_fetch_wildcard(spark, "/root/testdata/sf0.001")
@@ -5221,6 +5332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "topk_users": q_topk_users,
         "url_domain_census": q_url_domain_census,
+        # -- never driver-gated (r11 borns; evidence = this round's local
+        #    all-entry oracle run) --
+        "dq_expectations": q_dq_expectations,
+        "embedding_kmeans": q_embedding_kmeans,
+        "fetch_clamp": q_fetch_clamp,
+        "privacy_luhn": q_privacy_luhn,
+        "text_script_census": q_text_script_census,
     }
 
 

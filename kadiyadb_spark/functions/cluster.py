@@ -1,0 +1,122 @@
+"""Distributed k-means (Lloyd) over embedding columns — integer-exact.
+
+The clustering primitive behind semantic dedup (SemDeDup: cluster, then
+dedup within clusters), corpus topic balancing, and IVF coarse quantizer
+training at full-corpus scale (similarity.py's PQ codebooks train on a
+bounded driver SAMPLE; this trains on EVERY vector, distributed).
+
+Determinism is the hard part: naive float sums make both the assignment
+(argmin ties) and the centroid update partition-order-dependent — the
+exact class of bug the r06 driver gate redlined. Every fold here is
+integer-exact instead:
+
+- distances: each squared term quantizes to a scaled long
+  (floor(t*1e8+0.5)) BEFORE summation — the per-vector distance is an
+  exact integer, identical at any parallelism, and argmin ties resolve to
+  the lowest centroid id via first-match array_position;
+- centroid update: components quantize to scaled longs (1e6) and fold as
+  exact integer sums; the new component is ONE double division
+  (sum/(1e6*n)) — identical IEEE on both gate engines;
+- inertia: the exact long distance sum, one double division + 4dp floor
+  at output.
+
+Scale shape per iteration: assignment is FULLY map-side (centroids ride
+the plan as literals — k x d doubles, no join, no shuffle); the update is
+posexplode + groupBy(cluster, dim) whose partial map-side combine emits at
+most k*d rows PER PARTITION — the shuffle is KBs regardless of corpus
+size; the driver holds k*d doubles (a bounded collect, documented like
+similarity._collect_matrix). Long-sum headroom: |component| <= ~1e3
+quantized at 1e6 gives 1e9/row — exact past 1e9 rows per cluster; raise
+on wider values rather than overflow silently.
+
+Reference parity: none (the reference has no vector ops); north-star
+LLM-pipeline surface (SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DQ = 1e8  # squared-term quantum (distance grid)
+_CQ = 1e6  # component quantum (centroid-update grid)
+
+
+def _dist_q(vec_dbl: Column, centroid: "list[float]") -> Column:
+    """Exact quantized squared L2 distance to one literal centroid."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    terms = F.zip_with(
+        vec_dbl,
+        lit,
+        lambda x, y: F.floor((x - y) * (x - y) * F.lit(_DQ) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def _assign_cols(vec_dbl: Column, centroids: "list[list[float]]"):
+    dists = F.array(*[_dist_q(vec_dbl, c) for c in centroids])
+    # first-match position = lowest cluster id on exact-integer ties
+    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    return cid, F.array_min(dists)
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from a deterministic init (the ``k``
+    lowest-``id_col`` vectors), then report the final assignment:
+    (cluster_id, n_vecs, inertia) with inertia = 4dp-rounded exact sum of
+    quantized squared distances. Empty clusters keep their previous
+    centroid (both gate engines implement the same rule)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("_id"), vec_dbl.alias("_v"))
+
+    init_rows = base.orderBy(F.col("_id").asc()).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need >= {k} vectors to init k-means, got {len(init_rows)}")
+    centroids = [[float(x) for x in r["_v"]] for r in init_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iters):
+        cid, _ = _assign_cols(F.col("_v"), centroids)
+        sums = (
+            base.select(cid.alias("_cid"), F.posexplode(F.col("_v")).alias("_dim", "_val"))
+            .groupBy("_cid", "_dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_val") * F.lit(_CQ) + F.lit(0.5)).cast("long")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()  # bounded: exactly k*dim rows, independent of corpus size
+        )
+        nxt = [list(c) for c in centroids]  # empty cluster -> keep previous
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(r["_cid"], [None] * dim)[r["_dim"]] = (
+                float(r["_s"]) / (_CQ * r["_n"])
+            )
+        for c, comps in acc.items():
+            nxt[c] = comps
+        centroids = nxt
+
+    cid, dq = _assign_cols(F.col("_v"), centroids)
+    return (
+        base.select(cid.alias("cluster_id"), dq.alias("_dq"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # exact long sum; ONE double division + 4dp floor at output
+            F.expr("floor(sum(_dq) / 1e4 + 0.5) / 1e4").alias("inertia"),
+        )
+    )

@@ -1418,3 +1418,63 @@ def normalize_text(
         raw_len,
         F.length(t).cast("long").alias("n_chars_norm"),
     )
+
+
+def script_census(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Unicode-script composition census — the language-mix / mojibake
+    detector a multilingual curation pipeline runs before language-ID:
+    per document, how many characters are Latin letters, Cyrillic, Greek,
+    CJK ideographs, digits, and which script DOMINATES (most letters;
+    ties resolve Latin > Cyrillic > Greek > CJK — the fixed-priority
+    order, stated, not engine luck). Grouped census per ``group_cols``
+    (default: by dominant script alone).
+
+    Every counter is one regexp_count with a LITERAL code-point range
+    (no \\u escapes — the raw characters are embedded in the pattern, the
+    construct Java regex and RE2 interpret identically), evaluated in the
+    scan projection: zero joins, the group fold is the only Exchange.
+    """
+    t = F.col(text_col)
+    ranges = {
+        "n_latin": "[A-Za-z]",
+        "n_cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+        "n_greek": f"[{chr(0x0370)}-{chr(0x03FF)}]",
+        "n_cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",
+        "n_digit": "[0-9]",
+    }
+    counted = df.select(
+        *(group_cols or []),
+        *[F.regexp_count(t, F.lit(p)).cast("long").alias(n) for n, p in ranges.items()],
+    )
+    dom = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_greek"))
+            & (F.col("n_latin") >= F.col("n_cjk")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_greek"))
+            & (F.col("n_cyrillic") >= F.col("n_cjk")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_greek") >= F.col("n_cjk"), F.lit("greek"))
+        .otherwise(F.lit("cjk"))
+    )
+    keys = [*(group_cols or []), "dominant_script"]
+    return (
+        counted.withColumn("dominant_script", dom)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_latin").alias("n_latin"),
+            F.sum("n_cyrillic").alias("n_cyrillic"),
+            F.sum("n_greek").alias("n_greek"),
+            F.sum("n_cjk").alias("n_cjk"),
+            F.sum("n_digit").alias("n_digit"),
+        )
+    )

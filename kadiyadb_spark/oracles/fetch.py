@@ -1010,4 +1010,18 @@ s AS (
 SELECT bucket, t4 / 10000.0 AS value, CAST(count(*) AS BIGINT) AS n_series
 FROM s GROUP BY bucket, t4
 """
+
+    # fetch_clamp: exact scaled-long least/greatest + per-bound flags,
+    # mirroring series_clamp (lo=2.0 -> 20000, hi=50.0 -> 500000)
+    o["fetch_clamp"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+)
+SELECT f1, f2, bucket, t4 / 10000.0 AS total,
+       least(greatest(t4, 20000), 500000) / 10000.0 AS clamped,
+       CAST(CASE WHEN t4 < 20000 THEN 1 ELSE 0 END AS BIGINT) AS clamped_low,
+       CAST(CASE WHEN t4 > 500000 THEN 1 ELSE 0 END AS BIGINT) AS clamped_high
+FROM base
+"""
     return o

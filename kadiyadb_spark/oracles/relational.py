@@ -422,4 +422,37 @@ SELECT substr(md5('r10:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_id,
 FROM events
 GROUP BY 1, 2
 """
+
+    # dq_expectations: the same six row-level checks folded in ONE scan
+    # (NULL condition = violation, the conservative reading) + the RI
+    # check as a NOT EXISTS count; rates 4dp-floored like the engine.
+    o["dq_expectations"] = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN COALESCE(o_custkey IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS custkey_not_null,
+         sum(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS totalprice_positive,
+         sum(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS status_in_domain,
+         sum(CASE WHEN COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 0 ELSE 1 END) AS priority_format,
+         sum(CASE WHEN COALESCE(o_orderdate >= TIMESTAMP '1995-01-01'
+                            AND o_orderdate <  TIMESTAMP '2000-01-01', FALSE) THEN 0 ELSE 1 END) AS date_in_range,
+         sum(CASE WHEN COALESCE(o_totalprice <= 300000.0::DOUBLE, FALSE) THEN 0 ELSE 1 END) AS totalprice_under_cap
+  FROM orders),
+rows_checks AS (
+  SELECT 'custkey_not_null' AS "check", CAST(custkey_not_null AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_rows FROM agg
+  UNION ALL SELECT 'totalprice_positive', CAST(totalprice_positive AS BIGINT), CAST(n AS BIGINT) FROM agg
+  UNION ALL SELECT 'status_in_domain', CAST(status_in_domain AS BIGINT), CAST(n AS BIGINT) FROM agg
+  UNION ALL SELECT 'priority_format', CAST(priority_format AS BIGINT), CAST(n AS BIGINT) FROM agg
+  UNION ALL SELECT 'date_in_range', CAST(date_in_range AS BIGINT), CAST(n AS BIGINT) FROM agg
+  UNION ALL SELECT 'totalprice_under_cap', CAST(totalprice_under_cap AS BIGINT), CAST(n AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 'o_custkey_in_c_custkey',
+         CAST((SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT))
+SELECT "check", n_violations, n_rows,
+       CASE WHEN n_rows = 0 THEN 0.0::DOUBLE
+            ELSE floor(n_violations * 1e4 / n_rows + 0.5) / 1e4 END AS violation_rate
+FROM rows_checks
+"""
     return o

@@ -619,4 +619,75 @@ ek AS (
 w1 AS (SELECT CAST(k AS INT) AS dim, CAST(10000 AS BIGINT) AS w FROM range(64) t(k)){pca_iters}
 SELECT CAST(dim AS BIGINT) AS dim, w AS pc4 FROM w4
 """
+
+    # embedding_kmeans: the IDENTICAL quantized Lloyd recursion in
+    # DuckDB list ops — init = 4 lowest vec_ids, every distance term
+    # floor-quantized to a scaled BIGINT before summation, centroid
+    # updates as exact integer sums with ONE double division, empty
+    # clusters keep the previous centroid, final assignment reported.
+    o["embedding_kmeans"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+init AS (
+  SELECT cid, c FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS c,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM e) WHERE rn <= 4),
+d1 AS (
+  SELECT e.vec_id, e.v, i.cid,
+         list_sum(list_transform(range(1, 65), j -> CAST(floor((e.v[j] - i.c[j]) * (e.v[j] - i.c[j]) * 1e8 + 0.5) AS BIGINT))) AS dq
+  FROM e e CROSS JOIN init i),
+a1 AS (
+  SELECT vec_id, v, cid, dq FROM (
+    SELECT vec_id, v, cid, dq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dq ASC, cid ASC) AS rn
+    FROM d1)
+  WHERE rn = 1),
+s1 AS (
+  SELECT cid, dim,
+         CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a1)
+  GROUP BY cid, dim),
+u1 AS (
+  SELECT cid, list(s / (1e6 * n) ORDER BY dim) AS c FROM s1 GROUP BY cid),
+cent1 AS (
+  SELECT p.cid, COALESCE(u1.c, p.c) AS c
+  FROM init p LEFT JOIN u1 USING (cid)),
+d2 AS (
+  SELECT e.vec_id, e.v, i.cid,
+         list_sum(list_transform(range(1, 65), j -> CAST(floor((e.v[j] - i.c[j]) * (e.v[j] - i.c[j]) * 1e8 + 0.5) AS BIGINT))) AS dq
+  FROM e e CROSS JOIN cent1 i),
+a2 AS (
+  SELECT vec_id, v, cid, dq FROM (
+    SELECT vec_id, v, cid, dq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dq ASC, cid ASC) AS rn
+    FROM d2)
+  WHERE rn = 1),
+s2 AS (
+  SELECT cid, dim,
+         CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a2)
+  GROUP BY cid, dim),
+u2 AS (
+  SELECT cid, list(s / (1e6 * n) ORDER BY dim) AS c FROM s2 GROUP BY cid),
+cent2 AS (
+  SELECT p.cid, COALESCE(u2.c, p.c) AS c
+  FROM cent1 p LEFT JOIN u2 USING (cid)),
+d3 AS (
+  SELECT e.vec_id, e.v, i.cid,
+         list_sum(list_transform(range(1, 65), j -> CAST(floor((e.v[j] - i.c[j]) * (e.v[j] - i.c[j]) * 1e8 + 0.5) AS BIGINT))) AS dq
+  FROM e e CROSS JOIN cent2 i),
+a3 AS (
+  SELECT vec_id, v, cid, dq FROM (
+    SELECT vec_id, v, cid, dq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dq ASC, cid ASC) AS rn
+    FROM d3)
+  WHERE rn = 1)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(CAST(sum(dq) AS BIGINT) / 1e4 + 0.5) / 1e4 AS inertia
+FROM a3 GROUP BY cid
+"""
     return o

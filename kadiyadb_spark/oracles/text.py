@@ -658,4 +658,71 @@ SELECT canonical_url, count(*) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id
 FROM canon GROUP BY canonical_url HAVING count(*) >= 2
 """
+
+    # privacy_luhn: identical salt construction and the identical
+    # Luhn fold (reverse -> positional doubled-digit table -> mod 10)
+    # as a DuckDB list_transform over the digit positions.
+    o["privacy_luhn"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         lpad(CAST(doc_id * 37 % 1000000000000000 AS VARCHAR), 15, '0')
+         || CAST(doc_id % 10 AS VARCHAR) AS num
+  FROM documents),
+t AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN 'order ref ' || num || ' thanks'
+              WHEN doc_id % 3 = 1 THEN 'card ' || num || ' on file'
+              ELSE 'no digits here' END AS text
+  FROM u),
+c AS (
+  SELECT source, regexp_extract(text, '([0-9]{13,19})', 1) AS cand FROM t),
+v AS (
+  SELECT source,
+         CASE WHEN cand != '' THEN 1 ELSE 0 END AS has_cand,
+         CASE WHEN cand != '' AND (list_sum(list_transform(range(1, length(cand) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN (ascii(substring(reverse(cand), i, 1)) - 48) * 2 > 9 THEN (ascii(substring(reverse(cand), i, 1)) - 48) * 2 - 9 ELSE (ascii(substring(reverse(cand), i, 1)) - 48) * 2 END ELSE ascii(substring(reverse(cand), i, 1)) - 48 END))) % 10 = 0 THEN 1 ELSE 0 END AS valid
+  FROM c)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(has_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(valid) AS BIGINT) AS n_luhn_valid,
+       CAST(sum(has_cand) - sum(valid) AS BIGINT) AS n_luhn_invalid
+FROM v GROUP BY source
+"""
+
+    # text_script_census: identical salts (literal code points) and
+    # LITERAL code-point ranges via len(regexp_extract_all(..)) —
+    # the construct RE2 and Java regex read identically.
+    o["text_script_census"] = """
+WITH s AS (
+  SELECT doc_id, source,
+         substring(text, 1, 40)
+         || CASE WHEN doc_id % 4 = 1 THEN ' ' || repeat('пример ', 10)
+                 WHEN doc_id % 4 = 2 THEN ' ' || repeat('λόγος ', 10)
+                 WHEN doc_id % 4 = 3 THEN ' ' || repeat('中文字 ', 15)
+                 ELSE '' END AS text
+  FROM documents),
+c AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM s),
+d AS (
+  SELECT *,
+         CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk THEN 'latin'
+              WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk THEN 'cyrillic'
+              WHEN n_greek >= n_cjk THEN 'greek'
+              ELSE 'cjk' END AS dominant_script
+  FROM c)
+SELECT source, dominant_script,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_latin) AS BIGINT) AS n_latin,
+       CAST(sum(n_cyrillic) AS BIGINT) AS n_cyrillic,
+       CAST(sum(n_greek) AS BIGINT) AS n_greek,
+       CAST(sum(n_cjk) AS BIGINT) AS n_cjk,
+       CAST(sum(n_digit) AS BIGINT) AS n_digit
+FROM d GROUP BY source, dominant_script
+"""
     return o

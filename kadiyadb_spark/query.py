@@ -2714,3 +2714,56 @@ def series_group_share(
             ).alias("group_share"),
         )
     )
+
+
+def series_clamp(
+    df: DataFrame,
+    series_cols: list[str],
+    lo: float | None = None,
+    hi: float | None = None,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """PromQL ``clamp()`` / ``clamp_min()`` / ``clamp_max()`` over a fetch
+    frame: per slot, the total clamped into [lo, hi] plus a 0/1 flag per
+    bound — the recording-rule guard that caps runaway gauges before a
+    dashboard divides by them. Omit a bound for the one-sided forms; like
+    PromQL, lo > hi yields an empty result rather than crossed clamps.
+
+    Engine-default-free: totals and bounds scale to exact longs
+    (scale4_expr) so least/greatest compare integers, identical at any
+    parallelism; pure per-row projection — NO new Exchange on top of the
+    fetch."""
+    if lo is None and hi is None:
+        raise ValueError("series_clamp needs at least one of lo/hi")
+    if lo is not None and hi is not None and lo > hi:
+        return df.select(
+            *series_cols,
+            F.col(bucket_col),
+            F.col(total_col),
+            F.col(total_col).alias("clamped"),
+            F.lit(0).cast("long").alias("clamped_low"),
+            F.lit(0).cast("long").alias("clamped_high"),
+        ).limit(0)
+    t4 = scale4_expr(F.col(total_col))
+    c4 = t4
+    lo4 = int(lo * 10000 + (0.5 if lo >= 0 else -0.5)) if lo is not None else None
+    hi4 = int(hi * 10000 + (0.5 if hi >= 0 else -0.5)) if hi is not None else None
+    if lo4 is not None:
+        c4 = F.greatest(c4, F.lit(lo4).cast("long"))
+    if hi4 is not None:
+        c4 = F.least(c4, F.lit(hi4).cast("long"))
+    return df.select(
+        *series_cols,
+        F.col(bucket_col),
+        F.col(total_col),
+        (c4 / F.lit(10000.0)).alias("clamped"),
+        (
+            (t4 < F.lit(lo4)).cast("long") if lo4 is not None
+            else F.lit(0).cast("long")
+        ).alias("clamped_low"),
+        (
+            (t4 > F.lit(hi4)).cast("long") if hi4 is not None
+            else F.lit(0).cast("long")
+        ).alias("clamped_high"),
+    )

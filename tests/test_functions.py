@@ -3104,3 +3104,143 @@ def test_registrable_domain_psl_full_join_path(spark):
         )
     with _pt.raises(ValueError):
         psl_table(spark, ["// only comments"])
+
+
+def test_kmeans_lloyd_matches_bruteforce(spark):
+    """Exact quantized Lloyd vs an independent numpy replay (same
+    quantization, same tie rule) on a deterministic blob mixture."""
+    import numpy as np
+
+    from kadiyadb_spark.functions.cluster import kmeans_lloyd
+
+    rng = [(i, [float((i * 7 + j * 3) % 11) / 11.0 + (i % 3) * 5.0
+                for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = {r["cluster_id"]: (r["n_vecs"], r["inertia"])
+           for r in kmeans_lloyd(df, k=3, iters=2).collect()}
+
+    X = np.array([v for _, v in rng], dtype=np.float64)
+    C = X[:3].copy()
+    def dq(X, C):
+        t = np.floor((X[:, None, :] - C[None, :, :]) ** 2 * 1e8 + 0.5)
+        return t.sum(axis=2)
+    for _ in range(2):
+        a = dq(X, C).argmin(axis=1)  # argmin = first min = lowest cid
+        for c in range(3):
+            m = X[a == c]
+            if len(m):
+                s = np.floor(m * 1e6 + 0.5).sum(axis=0)
+                C[c] = s / (1e6 * len(m))
+    d = dq(X, C)
+    a = d.argmin(axis=1)
+    exp = {}
+    for c in range(3):
+        m = a == c
+        if m.any():
+            exp[c] = (int(m.sum()),
+                      float(np.floor(d[m, c].sum() / 1e4 + 0.5) / 1e4))
+    assert got == exp
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmeans_lloyd(df, k=0)
+    with _pt.raises(ValueError):
+        kmeans_lloyd(df.limit(2), k=3)
+
+
+def test_luhn_known_numbers(spark):
+    """Real Luhn test vectors pin the fold's semantics."""
+    from kadiyadb_spark.functions.privacy import luhn_valid_expr
+
+    rows = [
+        (0, "4111111111111111", 1),   # classic Visa test number
+        (1, "4242424242424242", 1),   # Stripe test number
+        (2, "79927398713", 1),        # the canonical Luhn example
+        (3, "79927398710", 0),
+        (4, "1234567890123456", 0),
+        (5, "", 0),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows], "id long, digits string")
+    got = {r["id"]: r["v"] for r in df.select("id", luhn_valid_expr(F.col("digits")).alias("v")).collect()}
+    assert got == {i: v for i, _, v in rows}
+
+
+def test_luhn_audit_golden(spark):
+    from kadiyadb_spark.functions.privacy import luhn_audit
+
+    rows = [
+        (0, "a", "pay 4111111111111111 now"),   # valid
+        (1, "a", "ref 1234567890123456 x"),     # candidate, invalid
+        (2, "a", "no digits"),
+        (3, "b", "num 79927398713 short ok"),   # 11 digits: NOT a candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: (r["n_docs"], r["n_candidates"], r["n_luhn_valid"], r["n_luhn_invalid"])
+           for r in luhn_audit(df, group_cols=["source"]).collect()}
+    assert got["a"] == (3, 2, 1, 1)
+    assert got["b"] == (1, 0, 0, 0)
+
+
+def test_series_clamp_golden(spark):
+    from kadiyadb_spark.query import series_clamp
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 60, 25.0), ("s", 120, 99.0)],
+        "f1 string, bucket long, total double",
+    )
+    got = {r["bucket"]: (r["clamped"], r["clamped_low"], r["clamped_high"])
+           for r in series_clamp(df, ["f1"], lo=2.0, hi=50.0).collect()}
+    assert got[0] == (2.0, 1, 0)
+    assert got[60] == (25.0, 0, 0)
+    assert got[120] == (50.0, 0, 1)
+    # one-sided forms
+    lo_only = {r["bucket"]: r["clamped"] for r in series_clamp(df, ["f1"], lo=10.0).collect()}
+    assert lo_only == {0: 10.0, 60: 25.0, 120: 99.0}
+    # crossed bounds -> empty (PromQL clamp semantics)
+    assert series_clamp(df, ["f1"], lo=9.0, hi=1.0).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        series_clamp(df, ["f1"])
+
+
+def test_dq_expect_golden(spark):
+    from kadiyadb_spark.functions.dq import expect, expect_ref
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (None, 5.0), (4, None)],
+        "k long, v double",
+    )
+    out = {r["check"]: (r["n_violations"], r["n_rows"], r["violation_rate"])
+           for r in expect(df, {
+               "k_not_null": F.col("k").isNotNull(),
+               "v_positive": F.col("v") > 0,   # NULL v counts as violation
+           }).collect()}
+    assert out["k_not_null"] == (1, 4, 0.25)
+    assert out["v_positive"] == (2, 4, 0.5)
+    dim = spark.createDataFrame([(1,), (2,)], "d long")
+    ri = expect_ref(df, "k", dim, "d").collect()[0]
+    assert (ri["check"], ri["n_violations"], ri["n_rows"]) == ("k_in_d", 1, 4)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        expect(df, {})
+
+
+def test_script_census_golden(spark):
+    from kadiyadb_spark.functions.text import script_census
+
+    rows = [
+        (0, "hello world 42"),
+        (1, "привет ab"),      # cyrillic dominant
+        (2, "λόγος"),                # greek
+        (3, "中文字中"),                      # cjk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["dominant_script"]: (r["n_docs"], r["n_latin"], r["n_cyrillic"],
+                                  r["n_greek"], r["n_cjk"], r["n_digit"])
+           for r in script_census(df).collect()}
+    assert got["latin"] == (1, 10, 0, 0, 0, 2)
+    assert got["cyrillic"] == (1, 2, 6, 0, 0, 0)
+    assert got["greek"] == (1, 0, 0, 5, 0, 0)
+    assert got["cjk"] == (1, 0, 0, 0, 4, 0)
