@@ -39,6 +39,27 @@ from kadiyadb_spark.oracles.fragments import (  # the oracle SQL builds from the
 )
 
 
+def _stage_stream_events(sf_dir: str, tmp: str, tag: str = "evt") -> None:
+    """Stage the events fixture as a streaming file-source directory.
+
+    The driver fixtures ship events.parquet as a single FILE; derived
+    fixtures (scripts/build_sf1.py) are Spark-written DIRECTORIES of part
+    files. The file source needs a flat directory either way (it neither
+    accepts a bare file nor recurses into nested dirs — verify SKILL
+    gotchas), so copy the file, or each part file, flat into tmp/events."""
+    import glob as _glob
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    if os.path.isdir(src):
+        for i, p in enumerate(sorted(_glob.glob(f"{src}/part-*"))):
+            shutil.copy(p, f"{tmp}/events/{tag}-{i:05d}.parquet")
+    else:
+        shutil.copy(src, f"{tmp}/events/{tag}.parquet")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -570,8 +591,7 @@ def q_streaming_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_alerts_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    _stage_stream_events(sf_dir, tmp)
     day = 24 * 3600 * SEC
     db = Database.open(
         spark,
@@ -763,8 +783,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_stream_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    _stage_stream_events(sf_dir, tmp)
     # Daily epochs: hourly epochs over a month mean 720 tiny partition dirs
     # per cube write (see q_expire_retention).
     day = 24 * 3600 * SEC
@@ -799,8 +818,7 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_stream_agg_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    _stage_stream_events(sf_dir, tmp)
     day = 24 * 3600 * SEC
     db = Database.open(
         spark,
@@ -832,8 +850,7 @@ def q_streaming_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_stream_app_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    _stage_stream_events(sf_dir, tmp)
     day = 24 * 3600 * SEC
     db = Database.open(
         spark,
@@ -866,8 +883,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sess_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/evt.parquet")
+    _stage_stream_events(sf_dir, tmp)
     evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
     # µs precision for oracle comparability (see q_asof_join)
     evs = evs.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
@@ -910,9 +926,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sdedup_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/copy_a.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/copy_b.parquet")
+    _stage_stream_events(sf_dir, tmp, tag="copy_a")
+    _stage_stream_events(sf_dir, tmp, tag="copy_b")
     actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     evs = (
         spark.readStream.schema(actual)
@@ -968,8 +983,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sjoin_entry_")
-    os.makedirs(f"{tmp}/events", exist_ok=True)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events/events.parquet")
+    _stage_stream_events(sf_dir, tmp, tag="events")
     actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     left = (
         spark.readStream.schema(actual)
