@@ -810,3 +810,71 @@ def test_merge_asof_single_exchange(spark):
     plan = plan_str(merge_asof(left, right, "ts", ["g"], ["v"]))
     assert n_shuffles(plan) == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_mapside_update_one_shuffle(spark):
+    """embedding_kmeans scale contract: the final assignment + per-cluster
+    fold is ONE shuffle (the cluster groupBy) with NO join of any kind —
+    centroids ride the plan as literals. The iteration's update groupBy
+    partial-combines map-side (HashAggregate before its Exchange)."""
+    from kadiyadb_spark.functions.cluster import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_str(kmeans_lloyd(df, k=2, iters=1))
+    assert n_shuffles(plan) == 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct", "BatchEvalPython", "ArrowEval"):
+        assert bad not in plan, bad
+
+
+def test_luhn_audit_no_udf_one_shuffle(spark):
+    """The Luhn fold is a JVM aggregate expression: no Python eval node in
+    the plan, one group-fold Exchange."""
+    from kadiyadb_spark.functions.privacy import luhn_audit
+
+    df = spark.createDataFrame(
+        [(1, "a", "x 4111111111111111 y")], "doc_id long, source string, text string"
+    )
+    plan = plan_str(luhn_audit(df, group_cols=["source"]))
+    assert n_shuffles(plan) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_script_census_one_shuffle_no_udf(spark):
+    from kadiyadb_spark.functions.text import script_census
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = plan_str(script_census(df))
+    assert n_shuffles(plan) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_dq_expect_is_one_aggregation(spark):
+    """Six checks, one scan: the row-level audit plans as a single global
+    aggregate (one SinglePartition Exchange), never one pass per check."""
+    from kadiyadb_spark.functions.dq import expect
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    plan = plan_str(expect(df, {
+        "a": F.col("k").isNotNull(),
+        "b": F.col("v") > 0,
+        "c": F.col("v") < 10,
+    }))
+    assert n_shuffles(plan) == 1
+
+
+def test_psl_expr_census_stays_join_free(spark):
+    """The vendored-subset registrable rule must not introduce a join into
+    the census plan: one domain-keyed Exchange, zero joins."""
+    from kadiyadb_spark.functions.web import domain_census
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.co.uk/x")], "doc_id long, url string"
+    )
+    plan = plan_str(domain_census(df))
+    assert n_shuffles(plan) <= 2  # partial+final distinct-host fold
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
