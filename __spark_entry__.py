@@ -5074,6 +5074,29 @@ def q_text_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_census(docs, group_cols=["source"])
 
 
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL rank-family windows the engine had not yet gated: each
+    customer's orders ranked by price under a deterministic TOTAL order
+    (price desc, orderkey asc — ties never engine luck): ntile(4)
+    quartile, percent_rank, cume_dist (both 4dp-floored). ONE
+    customer-keyed window Exchange; all three functions share the same
+    sort. Standard-SQL semantics on both gate engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        round4_expr(F.percent_rank().over(w)).alias("pct_rank"),
+        round4_expr(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wildcard fetch over the tracked cube at sf0.001."""
     return q_fetch_wildcard(spark, "/root/testdata/sf0.001")
@@ -5353,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_clamp": q_fetch_clamp,
         "privacy_luhn": q_privacy_luhn,
         "text_script_census": q_text_script_census,
+        "window_ranks": q_window_ranks,
     }
 
 

@@ -358,6 +358,56 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dst-col", default="dst")
     p.add_argument("--limit", type=int, default=100)
 
+    p = sub.add_parser(
+        "kmeans",
+        help="distributed full-corpus Lloyd k-means over an embedding "
+        "column (integer-exact folds; map-side assignment)",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+
+    p = sub.add_parser(
+        "luhn",
+        help="payment-card governance: detect 13-19 digit runs in a text "
+        "column and Luhn-validate them (pure JVM fold, no UDF)",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--group-cols", default="", help="comma-separated")
+
+    p = sub.add_parser(
+        "dqaudit",
+        help="declarative data-quality audit: named SQL boolean "
+        "expectations folded in ONE scan + optional referential checks",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument(
+        "--check",
+        action="append",
+        default=[],
+        metavar="NAME=SQL_EXPR",
+        help="row-level expectation, e.g. price_pos='price > 0' (repeat)",
+    )
+    p.add_argument(
+        "--ref",
+        action="append",
+        default=[],
+        metavar="FACT_COL:DIM_PARQUET:DIM_COL",
+        help="referential expectation (repeat)",
+    )
+
+    p = sub.add_parser(
+        "scriptcensus",
+        help="unicode-script composition census over a text column "
+        "(language-mix / mojibake detection before language-ID)",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--group-cols", default="", help="comma-separated")
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -760,6 +810,66 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.edges), src_col=args.src_col, dst_col=args.dst_col
         )
         for row in r.orderBy(F.col("n_triangles").desc(), "node").limit(args.limit).collect():
+            _emit(row.asDict())
+    elif args.cmd == "kmeans":
+        from kadiyadb_spark.functions.cluster import kmeans_lloyd
+
+        r = kmeans_lloyd(
+            spark.read.parquet(args.table),
+            k=args.k,
+            iters=args.iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        for row in r.orderBy("cluster_id").collect():
+            _emit(row.asDict())
+    elif args.cmd == "luhn":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.privacy import luhn_audit
+
+        gcols = [c for c in args.group_cols.split(",") if c]
+        r = luhn_audit(
+            spark.read.parquet(args.table), text_col=args.text_col,
+            group_cols=gcols or None,
+        )
+        for row in r.orderBy(*(gcols or [F.lit(1)])).collect():
+            _emit(row.asDict())
+    elif args.cmd == "dqaudit":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.dq import expect, expect_ref
+
+        fact = spark.read.parquet(args.table)
+        checks = {}
+        for spec in args.check:
+            name, _, expr = spec.partition("=")
+            if not name or not expr:
+                raise SystemExit(f"bad --check (want NAME=SQL_EXPR): {spec!r}")
+            checks[name] = F.expr(expr)
+        out = expect(fact, checks) if checks else None
+        for spec in args.ref:
+            try:
+                fact_col, dim_path, dim_col = spec.split(":")
+            except ValueError:
+                raise SystemExit(
+                    f"bad --ref (want FACT_COL:DIM_PARQUET:DIM_COL): {spec!r}"
+                ) from None
+            ri = expect_ref(fact, fact_col, spark.read.parquet(dim_path), dim_col)
+            out = ri if out is None else out.unionByName(ri)
+        if out is None:
+            raise SystemExit("dqaudit needs at least one --check or --ref")
+        for row in out.orderBy("check").collect():
+            _emit(row.asDict())
+    elif args.cmd == "scriptcensus":
+        from kadiyadb_spark.functions.text import script_census
+
+        gcols = [c for c in args.group_cols.split(",") if c]
+        r = script_census(
+            spark.read.parquet(args.table), text_col=args.text_col,
+            group_cols=gcols or None,
+        )
+        for row in r.orderBy(*(gcols + ["dominant_script"])).collect():
             _emit(row.asDict())
     return 0
 

@@ -455,4 +455,15 @@ SELECT "check", n_violations, n_rows,
             ELSE floor(n_violations * 1e4 / n_rows + 0.5) / 1e4 END AS violation_rate
 FROM rows_checks
 """
+
+    # window_ranks: standard-SQL rank family under the identical total
+    # order; 4dp floors mirror round4_expr.
+    o["window_ranks"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+       floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
     return o

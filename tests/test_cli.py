@@ -408,3 +408,39 @@ def test_cli_forget_and_triangles(spark, tmp_path, capsys):
     rows = _out(capsys)
     assert {r["node"] for r in rows} == {1, 2, 3}
     assert all(r["n_triangles"] == 1 for r in rows)
+
+
+def test_cli_kmeans_luhn_dqaudit_scriptcensus(spark, tmp_path, capsys):
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 2)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+    assert main(["kmeans", "--table", emb, "--k", "2", "--iters", "1"]) == 0
+    rows = _out(capsys)
+    assert sum(r["n_vecs"] for r in rows) == 12
+    assert all(r["inertia"] >= 0 for r in rows)
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "a", "pay 4111111111111111 ok"), (1, "a", "no digits"),
+         (2, "b", "ref 1234567890123456")],
+        "doc_id long, source string, text string",
+    ).write.parquet(docs)
+    assert main(["luhn", "--table", docs, "--group-cols", "source"]) == 0
+    got = {r["source"]: (r["n_candidates"], r["n_luhn_valid"]) for r in _out(capsys)}
+    assert got == {"a": (1, 1), "b": (1, 0)}
+
+    assert main([
+        "dqaudit", "--table", docs,
+        "--check", "id_nonneg=doc_id >= 0",
+        "--check", "text_nonempty=length(text) > 0",
+        "--ref", f"source:{docs}:source",
+    ]) == 0
+    audit = {r["check"]: r["n_violations"] for r in _out(capsys)}
+    assert audit == {"id_nonneg": 0, "text_nonempty": 0, "source_in_source": 0}
+
+    assert main(["scriptcensus", "--table", docs, "--group-cols", "source"]) == 0
+    rows = _out(capsys)
+    assert sum(r["n_docs"] for r in rows) == 3
+    assert all(r["dominant_script"] == "latin" for r in rows)
