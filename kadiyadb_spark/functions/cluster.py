@@ -25,9 +25,10 @@ the plan as literals — k x d doubles, no join, no shuffle); the update is
 posexplode + groupBy(cluster, dim) whose partial map-side combine emits at
 most k*d rows PER PARTITION — the shuffle is KBs regardless of corpus
 size; the driver holds k*d doubles (a bounded collect, documented like
-similarity._collect_matrix). Long-sum headroom: |component| <= ~1e3
-quantized at 1e6 gives 1e9/row — exact past 1e9 rows per cluster; raise
-on wider values rather than overflow silently.
+similarity._collect_matrix). Both sums are RUNTIME-GUARDED
+(num.py:guarded_scaled_sum — decimal(38,0) accumulation asserted within
+2^53 before the one double division): a corpus wide enough to overflow
+fails loudly instead of drifting.
 
 Reference parity: none (the reference has no vector ops); north-star
 LLM-pipeline surface (SURVEY.md).
@@ -37,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from kadiyadb_spark.functions.num import guarded_scaled_sum
 
 _DQ = 1e8  # squared-term quantum (distance grid)
 _CQ = 1e6  # component quantum (centroid-update grid)
@@ -93,8 +96,12 @@ def kmeans_lloyd(
             base.select(cid.alias("_cid"), F.posexplode(F.col("_v")).alias("_dim", "_val"))
             .groupBy("_cid", "_dim")
             .agg(
-                F.sum(
-                    F.floor(F.col("_val") * F.lit(_CQ) + F.lit(0.5)).cast("long")
+                # decimal(38,0) accumulation + 2^53 assert: the sum feeds ONE
+                # double division, so it must stay an exact double — raise
+                # loudly instead of drifting (num.py:guarded_scaled_sum)
+                guarded_scaled_sum(
+                    F.floor(F.col("_val") * F.lit(_CQ) + F.lit(0.5)).cast("long"),
+                    dp=6,
                 ).alias("_s"),
                 F.count(F.lit(1)).alias("_n"),
             )
@@ -116,7 +123,12 @@ def kmeans_lloyd(
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            # exact long sum; ONE double division + 4dp floor at output
-            F.expr("floor(sum(_dq) / 1e4 + 0.5) / 1e4").alias("inertia"),
+            # exact guarded long sum; ONE double division + 4dp floor
+            (
+                F.floor(
+                    guarded_scaled_sum(F.col("_dq"), dp=8) / F.lit(1e4) + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("inertia"),
         )
     )
