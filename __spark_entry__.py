@@ -5097,6 +5097,38 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two keyed snapshots
+    (functions/cdc.py:snapshot_diff): the 1996 order book vs a derived
+    next snapshot (13-cycle keys deleted, 7-cycle totals bumped +100,
+    1997-January orders inserted) — one full-outer key join, per-column
+    null-safe change detection (no hashes, NULL transitions register),
+    change-sized output. The replication-drift / audit primitive beside
+    cdc_merge_apply (which APPLIES changes; this RECOVERS them)."""
+    from kadiyadb_spark.functions.cdc import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    kept = old.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01"))
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return snapshot_diff(
+        old, kept.unionByName(added), ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wildcard fetch over the tracked cube at sf0.001."""
     return q_fetch_wildcard(spark, "/root/testdata/sf0.001")
@@ -5375,6 +5407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "fetch_clamp": q_fetch_clamp,
         "privacy_luhn": q_privacy_luhn,
+        "snapshot_diff": q_snapshot_diff,
         "text_script_census": q_text_script_census,
         "window_ranks": q_window_ranks,
     }

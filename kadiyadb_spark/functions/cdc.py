@@ -101,3 +101,68 @@ def merge_apply(
     return joined.filter(
         F.col(f"l.{op_col}").isNull() | (F.col(f"l.{op_col}") != "D")
     ).select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Diff two keyed snapshots — the change-data-FEED shape (Delta CDF /
+    audit diff / replication drift check): one row per key that was
+    ``added``, ``removed`` or ``changed``, with the compared columns from
+    both sides (``old_<c>`` / ``new_<c>``). Unchanged keys are absent, so
+    the output is change-sized, not table-sized.
+
+    Shape: ONE full-outer equi-join on the key (both sides shuffle once;
+    bucket both snapshots by the key for the zero-shuffle form at 100 TB).
+    Change detection is per-column null-safe equality folded into one
+    boolean — no hashing, so NULL->value and value->NULL both register and
+    a false "changed" can never come from hash collisions. Keys must be
+    unique per snapshot (the snapshot contract; duplicate keys make "the"
+    old row undefined) — violations surface as duplicated diff rows rather
+    than silently picking one.
+
+    Output: key_cols + change ('added'|'removed'|'changed') +
+    old_/new_<compare_cols>.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+    cmp_cols = (
+        [c for c in new.columns if c not in key_cols]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    missing = [c for c in cmp_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns missing from a side: {missing}")
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *key_cols,
+            "change",
+            *[f"old_{c}" for c in cmp_cols],
+            *[f"new_{c}" for c in cmp_cols],
+        )
+    )

@@ -466,4 +466,39 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """
+
+    # snapshot_diff: identical derived snapshots; full-outer key join +
+    # per-column IS NOT DISTINCT FROM change test (null-safe, no hashes).
+    o["snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+kept AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0::DOUBLE
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM old WHERE o_orderkey % 13 != 0),
+added AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'),
+new AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_totalprice AS old_o_totalprice, o.o_orderstatus AS old_o_orderstatus,
+         n.o_totalprice AS new_o_totalprice, n.o_orderstatus AS new_o_orderstatus
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change,
+       old_o_totalprice, old_o_orderstatus,
+       new_o_totalprice, new_o_orderstatus
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR NOT (old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+           AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus)
+"""
     return o

@@ -3244,3 +3244,33 @@ def test_script_census_golden(spark):
     assert got["cyrillic"] == (1, 2, 6, 0, 0, 0)
     assert got["greek"] == (1, 0, 0, 5, 0, 0)
     assert got["cjk"] == (1, 0, 0, 0, 4, 0)
+
+
+def test_snapshot_diff_golden_and_null_transitions(spark):
+    from kadiyadb_spark.functions.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),      # unchanged -> absent from the diff
+         (2, 21.0, "b"),      # changed value
+         (3, 30.0, "c"),      # NULL -> value registers as changed
+         (5, 50.0, "e")],     # added; 4 removed
+        "k long, v double, s string",
+    )
+    got = {r["k"]: (r["change"], r["old_v"], r["new_v"])
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("changed", 20.0, 21.0),
+        3: ("changed", None, 30.0),
+        4: ("removed", 40.0, None),
+        5: ("added", None, 50.0),
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new, ["k"], ["nope"])
