@@ -5129,6 +5129,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_fetch_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-model backtest over the dense week fetch
+    (query.py:series_backtest): per series, one-step-ahead MAE of naive
+    carry-forward vs seasonal-naive (period = 1440 one-minute slots — a
+    day), winner by exact integer comparison over the identical eval
+    set. The evaluation rung under fetch_seasonal_anomaly: measure the
+    seasonal model before alerting on its residuals. One series-keyed
+    window Exchange; the fold reuses the clustering."""
+    from kadiyadb_spark.query import series_backtest
+
+    r = _round_doubles(
+        fetch(_cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], RES, DUR), ["total"]
+    )
+    return series_backtest(
+        r.select("f1", "f2", "bucket", "total"), ["f1", "f2"], period_slots=60
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wildcard fetch over the tracked cube at sf0.001."""
     return q_fetch_wildcard(spark, "/root/testdata/sf0.001")
@@ -5405,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    all-entry oracle run) --
         "dq_expectations": q_dq_expectations,
         "embedding_kmeans": q_embedding_kmeans,
+        "fetch_backtest": q_fetch_backtest,
         "fetch_clamp": q_fetch_clamp,
         "privacy_luhn": q_privacy_luhn,
         "snapshot_diff": q_snapshot_diff,

@@ -1024,4 +1024,31 @@ SELECT f1, f2, bucket, t4 / 10000.0 AS total,
        CAST(CASE WHEN t4 > 500000 THEN 1 ELSE 0 END AS BIGINT) AS clamped_high
 FROM base
 """
+
+    # fetch_backtest: identical lag construction; MAEs as floor(sum/n+0.5)
+    # on exact BIGINT error sums; winner by integer sum comparison.
+    o["fetch_backtest"] = f"""
+WITH base AS (
+  SELECT f1, f2, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+  FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t
+),
+lags AS (
+  SELECT f1, f2, t4,
+         lag(t4, 1) OVER w AS l1,
+         lag(t4, 60) OVER w AS lp
+  FROM base
+  WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
+),
+ev AS (SELECT * FROM lags WHERE l1 IS NOT NULL AND lp IS NOT NULL),
+agg AS (
+  SELECT f1, f2, CAST(count(*) AS BIGINT) AS n_evals,
+         CAST(sum(abs(t4 - l1)) AS BIGINT) AS e1,
+         CAST(sum(abs(t4 - lp)) AS BIGINT) AS ep
+  FROM ev GROUP BY f1, f2)
+SELECT f1, f2, n_evals,
+       floor(e1 / CAST(n_evals AS DOUBLE) + 0.5) / 1e4 AS mae_naive,
+       floor(ep / CAST(n_evals AS DOUBLE) + 0.5) / 1e4 AS mae_seasonal,
+       CASE WHEN ep < e1 THEN 'seasonal_naive' ELSE 'naive' END AS best_model
+FROM agg
+"""
     return o

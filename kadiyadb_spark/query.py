@@ -2767,3 +2767,61 @@ def series_clamp(
             else F.lit(0).cast("long")
         ).alias("clamped_high"),
     )
+
+
+def series_backtest(
+    df: DataFrame,
+    series_cols: list[str],
+    period_slots: int,
+    bucket_col: str = "bucket",
+    total_col: str = "total",
+) -> DataFrame:
+    """Rolling-origin one-step-ahead forecast BACKTEST per series: every
+    slot is predicted by (a) naive carry-forward (y[t-1]) and (b)
+    seasonal-naive (y[t-period]), errors folded to per-series MAE — the
+    evaluation harness that tells you whether the seasonal model earns
+    its keep BEFORE you alert on its residuals (pairs with
+    series_seasonal_anomaly, which assumes the answer is yes).
+
+    Exact by construction: totals scale to longs, absolute errors are
+    integer |t4 - lag4|, each MAE is floor(sum/n + 0.5) on an exact
+    guarded long sum with ONE double division at output, and the winner
+    is the INTEGER comparison of the two error sums over the identical
+    eval set (ties -> 'naive', the simpler model — stated, not layout
+    luck). Slots without both lags (the first period) are excluded from
+    BOTH models' sums, so the comparison is apples-to-apples.
+
+    Shape: one series-keyed window Exchange; the per-series fold reuses
+    the same clustering (no second shuffle)."""
+    if period_slots < 2:
+        raise ValueError(f"need period_slots >= 2, got {period_slots}")
+    from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import guarded_scaled_sum, scale4_expr
+
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    t4 = scale4_expr(F.col(total_col))
+    base = df.select(
+        *series_cols,
+        t4.alias("_t4"),
+        F.lag(t4, 1).over(w).alias("_l1"),
+        F.lag(t4, period_slots).over(w).alias("_lp"),
+    ).filter(F.col("_l1").isNotNull() & F.col("_lp").isNotNull())
+    agg = base.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        guarded_scaled_sum(F.abs(F.col("_t4") - F.col("_l1")), dp=4).alias("_e1"),
+        guarded_scaled_sum(F.abs(F.col("_t4") - F.col("_lp")), dp=4).alias("_ep"),
+    )
+    return agg.select(
+        *series_cols,
+        "n_evals",
+        (F.floor(F.col("_e1") / F.col("n_evals") + F.lit(0.5)) / F.lit(1e4)).alias(
+            "mae_naive"
+        ),
+        (F.floor(F.col("_ep") / F.col("n_evals") + F.lit(0.5)) / F.lit(1e4)).alias(
+            "mae_seasonal"
+        ),
+        F.when(F.col("_ep") < F.col("_e1"), F.lit("seasonal_naive"))
+        .otherwise(F.lit("naive"))
+        .alias("best_model"),
+    )

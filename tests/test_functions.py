@@ -3274,3 +3274,22 @@ def test_snapshot_diff_golden_and_null_transitions(spark):
         snapshot_diff(old, new, [])
     with _pt.raises(ValueError):
         snapshot_diff(old, new, ["k"], ["nope"])
+
+
+def test_series_backtest_golden(spark):
+    from kadiyadb_spark.query import series_backtest
+
+    vals = [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 1.0, 2.0, 4.0]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "f1 string, bucket long, total double")
+    (r,) = series_backtest(df, ["f1"], period_slots=3).collect()
+    # evals at t=3..8 (both lags defined): naive errs |y_t - y_{t-1}| =
+    # 2,1,1,2,1,2 -> sum 9; seasonal errs |y_t - y_{t-3}| = 0,0,0,0,0,1 -> 1
+    assert r["n_evals"] == 6
+    assert r["mae_naive"] == 1.5
+    assert r["mae_seasonal"] == 0.1667  # floor(10000/6 + 0.5)/1e4
+    assert r["best_model"] == "seasonal_naive"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        series_backtest(df, ["f1"], period_slots=1)
