@@ -931,3 +931,106 @@ def test_p22_url_canonicalize_is_idempotent(spark, host, path, params, scheme):
     df2 = spark.createDataFrame([(0, once)], "doc_id long, url string")
     twice = url_canonicalize(df2).collect()[0]["canonical_url"]
     assert twice == once
+
+
+@given(
+    labels=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=5
+    ),
+    suffix=st.sampled_from(["co.uk", "com.au", "co.jp", "com", "org", "unknowntld"]),
+)
+@SETTINGS
+def test_p23_registrable_domain_is_host_suffix_with_rule_depth(spark, labels, suffix):
+    """P23: for any host, registrable_domain(host) is a dot-suffix of the
+    host, and its label depth follows the PSL rule exactly: 3 when the
+    last two labels are a vendored public suffix (and the host has >= 3
+    labels), else min(2, n_labels)."""
+    from kadiyadb_spark.functions.psl import PSL_TWO_LEVEL
+    from kadiyadb_spark.functions.web import url_components
+
+    host = ".".join(labels + [suffix])
+    df = spark.createDataFrame([(0, f"https://{host}/p")], "doc_id long, url string")
+    reg = url_components(df).collect()[0]["registrable_domain"]
+    assert host == reg or host.endswith("." + reg)
+    n = host.count(".") + 1
+    last2 = ".".join(host.split(".")[-2:])
+    want_depth = 3 if (n >= 3 and last2 in PSL_TWO_LEVEL) else min(2, n)
+    assert reg.count(".") + 1 == want_depth
+
+
+@given(
+    body=st.text(alphabet="0123456789", min_size=12, max_size=18),
+    flip_pos=st.integers(min_value=0, max_value=17),
+    flip_delta=st.integers(min_value=1, max_value=9),
+)
+@SETTINGS
+def test_p24_luhn_check_digit_roundtrip_and_single_digit_detection(
+    spark, body, flip_pos, flip_delta
+):
+    """P24: appending the computed Luhn check digit always validates, and
+    corrupting any single digit always invalidates (the property Luhn was
+    designed for — detects every single-digit error)."""
+    from kadiyadb_spark.functions.privacy import luhn_valid_expr
+
+    # compute the check digit in pure Python (independent replay)
+    def luhn_sum(digits: str) -> int:
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = ord(ch) - 48
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total
+
+    check = (10 - luhn_sum(body + "0") % 10) % 10
+    good = body + str(check)
+    pos = flip_pos % len(good)
+    bad = good[:pos] + str((int(good[pos]) + flip_delta) % 10) + good[pos + 1:]
+    df = spark.createDataFrame([(0, good), (1, bad)], "id long, digits string")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", luhn_valid_expr(F.col("digits")).alias("v")
+        ).collect()
+    }
+    assert got[0] == 1
+    assert got[1] == 0
+
+
+@given(
+    old_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-3, max_value=3) | st.none(),
+        max_size=8,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-3, max_value=3) | st.none(),
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_p25_snapshot_diff_matches_dict_diff(spark, old_rows, new_rows):
+    """P25: snapshot_diff over keyed frames equals the plain dict diff —
+    including NULL-valued rows on either side (null-safe change test)."""
+    from kadiyadb_spark.functions.cdc import snapshot_diff
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(list(old_rows.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    new = spark.createDataFrame(list(new_rows.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = "added"
+        elif k not in new_rows:
+            want[k] = "removed"
+        elif old_rows[k] != new_rows[k]:
+            want[k] = "changed"
+    assert got == want
