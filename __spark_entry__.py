@@ -5148,6 +5148,38 @@ def q_fetch_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_url_psl_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-SNAPSHOT PSL resolution path driver-gated
+    (functions/psl.py:registrable_domain_psl): hosts salted across six
+    shapes exercising exact rules at two depths, a wildcard rule (*.ck),
+    an exception rule (!www.ck) and the default rule, resolved via
+    broadcast joins only (plan-pinned by test_plans), then censused by
+    registrable domain. The oracle is the HAND-DERIVED PSL-algorithm
+    ground truth per host shape — an independent spec replay, not a
+    code mirror."""
+    from kadiyadb_spark.functions.psl import psl_table, registrable_domain_psl
+
+    hosts = F.array(
+        F.lit("shop.example.co.uk"),   # exact depth-2 rule -> example.co.uk
+        F.lit("a.b.example.com"),      # exact depth-1 rule -> example.com
+        F.lit("foo.bar.ck"),           # wildcard *.ck -> foo.bar.ck
+        F.lit("www.ck"),               # exception !www.ck -> www.ck
+        F.lit("sub.www.ck"),           # under the exception name -> www.ck
+        F.lit("nomatch.zz"),           # default rule -> nomatch.zz
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(hosts, (F.col("doc_id") % 6).cast("int") + 1).alias("host"),
+    )
+    psl = psl_table(spark, ["com", "co.uk", "*.ck", "!www.ck", "uk"])
+    out = registrable_domain_psl(docs, "host", psl)
+    return out.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wildcard fetch over the tracked cube at sf0.001."""
     return q_fetch_wildcard(spark, "/root/testdata/sf0.001")
@@ -5429,6 +5461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_luhn": q_privacy_luhn,
         "snapshot_diff": q_snapshot_diff,
         "text_script_census": q_text_script_census,
+        "url_psl_census": q_url_psl_census,
         "window_ranks": q_window_ranks,
     }
 

@@ -725,4 +725,36 @@ SELECT source, dominant_script,
        CAST(sum(n_digit) AS BIGINT) AS n_digit
 FROM d GROUP BY source, dominant_script
 """
+
+    # url_psl_census: HAND-DERIVED PSL-algorithm ground truth per host
+    # shape (rules: com, co.uk, *.ck, !www.ck, uk). Derivations:
+    #  shop.example.co.uk: longest public suffix co.uk -> example.co.uk
+    #  a.b.example.com:    suffix com                 -> example.com
+    #  foo.bar.ck:         wildcard *.ck makes bar.ck public -> foo.bar.ck
+    #  www.ck:             exception !www.ck IS registrable  -> www.ck
+    #  sub.www.ck:         public suffix www.ck? exception names are NOT
+    #                      public suffixes; *.ck matches www.ck but the
+    #                      exception overrides -> registrable www.ck
+    #  nomatch.zz:         default rule (TLD public)  -> nomatch.zz
+    o["url_psl_census"] = """
+WITH m AS (
+  SELECT doc_id,
+         (['shop.example.co.uk', 'a.b.example.com', 'foo.bar.ck',
+           'www.ck', 'sub.www.ck', 'nomatch.zz'])[CAST(doc_id % 6 AS INT) + 1] AS host
+  FROM documents),
+r AS (
+  SELECT doc_id, host,
+         CASE host
+           WHEN 'shop.example.co.uk' THEN 'example.co.uk'
+           WHEN 'a.b.example.com'    THEN 'example.com'
+           WHEN 'foo.bar.ck'         THEN 'foo.bar.ck'
+           WHEN 'www.ck'             THEN 'www.ck'
+           WHEN 'sub.www.ck'         THEN 'www.ck'
+           ELSE 'nomatch.zz' END AS registrable_domain
+  FROM m)
+SELECT registrable_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM r GROUP BY registrable_domain
+"""
     return o
