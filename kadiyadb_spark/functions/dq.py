@@ -36,10 +36,17 @@ def expect(df: DataFrame, checks: "dict[str, Column]") -> DataFrame:
     (check, n_violations, n_rows, violation_rate 4dp)."""
     if not checks:
         raise ValueError("expect() needs at least one check")
+    import re
+
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in checks.items():
         if name in _OUT:
             raise ValueError(f"check name {name!r} collides with output column")
+        # names are interpolated into the stack() expression below — keep
+        # them identifier-shaped so a quote/backtick can't break (or worse,
+        # rewrite) the SQL string
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"check name must be identifier-shaped: {name!r}")
         aggs.append(
             F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(name)
         )

@@ -3293,3 +3293,17 @@ def test_series_backtest_golden(spark):
 
     with _pt.raises(ValueError):
         series_backtest(df, ["f1"], period_slots=1)
+
+
+def test_dq_expect_rejects_non_identifier_check_names(spark):
+    from kadiyadb_spark.functions.dq import expect
+
+    df = spark.createDataFrame([(1,)], "k long")
+    import pytest as _pt
+
+    for bad in ("has space", "quo'te", "back`tick", "1leading", ""):
+        with _pt.raises(ValueError):
+            expect(df, {bad: F.col("k").isNotNull()})
+    for reserved in ("check", "n_rows"):
+        with _pt.raises(ValueError):
+            expect(df, {reserved: F.col("k").isNotNull()})
