@@ -5201,62 +5201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so a freshly-dropped untracked artifact cannot redden the suite) and
     # tests/test_entry_rotation.py asserts list(queries()) equals it with
     # ZERO per-round constants. Rotation history r02-r10: see git log of
-    # this docstring; r11 cap = the 40 r05-aged entries + the r06 head,
-    # exactly VERDICT r10 item 2.
+    # this docstring; r12 cap = the 21 r06-aged entries + the r07 head,
+    # exactly VERDICT r11 item 2.
     return {
-        # -- last driver-green r05 --
-        "anti_join": q_anti_join,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "bucketed_join": q_bucketed_join,
-        "corpus_shuffle": q_corpus_shuffle,
-        "cube_changes": q_cube_changes,
-        "dataset_split": q_dataset_split,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_exact": q_dedup_exact,
-        "dedup_index_add": q_dedup_index_add,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "distinct_users": q_distinct_users,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "pack_sequences": q_pack_sequences,
-        "pipeline_curate": q_pipeline_curate,
-        "pipeline_pack": q_pipeline_pack,
-        "q13_order_distribution": q13_order_distribution,
-        "quality_gopher": q_quality_gopher,
-        "sample_per_source": q_sample_per_source,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_add": q_sim_ivf_add,
-        "sim_ivf_index": q_sim_ivf_index,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sim_pq_topk": q_sim_pq_topk,
-        "streaming_agg_append": q_streaming_agg_append,
-        "text_fingerprint": q_text_fingerprint,
-        "text_quality": q_text_quality,
-        "text_simhash": q_text_simhash,
-        "text_span_dedup": q_text_span_dedup,
-        "text_tfidf": q_text_tfidf,
-        "text_vocab": q_text_vocab,
-        "text_winnow": q_text_winnow,
-        "unigram_lm": q_unigram_lm,
         # -- last driver-green r06 --
-        "asof_join": q_asof_join,
-        "catalog_load": q_catalog_load,
-        "cube_grouping": q_cube_grouping,
-        "dedup_index_query": q_dedup_index_query,
-        "expire_retention": q_expire_retention,
-        "fetch_boundary": q_fetch_boundary,
-        "fetch_exact": q_fetch_exact,
-        "fetch_rollup_prefix": q_fetch_rollup_prefix,
-        "fetch_wildcard": q_fetch_wildcard,
-        "mixture_sample": q_mixture_sample,
-        # -- end of the 50-entry r11 cap; staleness queue below --
         "mixture_temperature": q_mixture_temperature,
         "null_semantics": q_null_semantics,
         "percentiles": q_percentiles,
@@ -5308,6 +5256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "quality_model": q_quality_model,
         "rag_hashed_retrieval": q_rag_hashed_retrieval,
+        # -- end of the 50-entry r12 cap; staleness queue below --
         "rollup_cascade": q_rollup_cascade,
         "sample_token_budget": q_sample_token_budget,
         "set_ops": q_set_ops,
@@ -5452,8 +5401,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "topk_users": q_topk_users,
         "url_domain_census": q_url_domain_census,
-        # -- never driver-gated (r11 borns; evidence = this round's local
-        #    all-entry oracle run) --
+        # -- last driver-green r11 --
+        "anti_join": q_anti_join,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
+        "asof_join": q_asof_join,
+        "bucketed_join": q_bucketed_join,
+        "catalog_load": q_catalog_load,
+        "corpus_shuffle": q_corpus_shuffle,
+        "cube_changes": q_cube_changes,
+        "cube_grouping": q_cube_grouping,
+        "dataset_split": q_dataset_split,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
+        "dedup_index_add": q_dedup_index_add,
+        "dedup_index_query": q_dedup_index_query,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "distinct_users": q_distinct_users,
+        "expire_retention": q_expire_retention,
+        "fetch_boundary": q_fetch_boundary,
+        "fetch_exact": q_fetch_exact,
+        "fetch_rollup_prefix": q_fetch_rollup_prefix,
+        "fetch_wildcard": q_fetch_wildcard,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "pack_sequences": q_pack_sequences,
+        "pipeline_curate": q_pipeline_curate,
+        "pipeline_pack": q_pipeline_pack,
+        "q13_order_distribution": q13_order_distribution,
+        "quality_gopher": q_quality_gopher,
+        "sample_per_source": q_sample_per_source,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_add": q_sim_ivf_add,
+        "sim_ivf_index": q_sim_ivf_index,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_pq_topk": q_sim_pq_topk,
+        "streaming_agg_append": q_streaming_agg_append,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "text_simhash": q_text_simhash,
+        "text_span_dedup": q_text_span_dedup,
+        "text_tfidf": q_text_tfidf,
+        "text_vocab": q_text_vocab,
+        "text_winnow": q_text_winnow,
+        "unigram_lm": q_unigram_lm,
+        # -- never driver-gated (borns; evidence = local all-entry oracle runs) --
         "dq_expectations": q_dq_expectations,
         "embedding_kmeans": q_embedding_kmeans,
         "fetch_backtest": q_fetch_backtest,
