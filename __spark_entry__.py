@@ -5021,12 +5021,17 @@ def q_fetch_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_privacy_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payment-card governance (functions/privacy.py:luhn_audit):
-    deterministic 16-digit candidates salted into documents (doc_id-keyed;
-    one third of docs carry none), detected with a dialect-shared digit-run
-    regex and validated with the Luhn fold — a pure JVM aggregate over the
-    digit positions, no UDF. Per-source counts of candidates vs
-    Luhn-valid (the real leaks) vs invalid; the only Exchange is the tiny
-    source-keyed count fold."""
+    deterministic 16-digit candidates salted into documents (doc_id-keyed),
+    detected as MAXIMAL 13-19 digit runs — ALL runs per doc, not just the
+    first (VERDICT r11 item 3) — and validated with the Luhn fold, a pure
+    JVM aggregate over the digit positions, no UDF. The mod-4 salting pins
+    the two failure modes the r11 fix closed: variant 2 is a multi-run doc
+    whose FIRST run is an invalid order id but whose second is a valid
+    card (must count as a leak), and variant 3 carries a 24-digit tracking
+    run that boundary-guarded extraction must exclude entirely rather than
+    truncate to 19 digits. Per-source counts of candidates vs Luhn-valid
+    (the real leaks) vs invalid; the only Exchange is the tiny source-keyed
+    count fold."""
     from kadiyadb_spark.functions.privacy import luhn_audit
 
     d = F.col("doc_id")
@@ -5037,9 +5042,10 @@ def q_privacy_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.when(d % 3 == 0, F.concat(F.lit("order ref "), num, F.lit(" thanks")))
-        .when(d % 3 == 1, F.concat(F.lit("card "), num, F.lit(" on file")))
-        .otherwise(F.lit("no digits here"))
+        F.when(d % 4 == 0, F.concat(F.lit("order ref "), num, F.lit(" thanks")))
+        .when(d % 4 == 1, F.concat(F.lit("card "), num, F.lit(" on file")))
+        .when(d % 4 == 2, F.lit("ids 1234567890123456 then 4111111111111111 end"))
+        .otherwise(F.lit("track 123456789012345678901234 no card"))
         .alias("text"),
     )
     return luhn_audit(docs, group_cols=["source"])
@@ -5133,10 +5139,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fetch_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-model backtest over the dense week fetch
     (query.py:series_backtest): per series, one-step-ahead MAE of naive
-    carry-forward vs seasonal-naive (period = 1440 one-minute slots — a
-    day), winner by exact integer comparison over the identical eval
-    set. The evaluation rung under fetch_seasonal_anomaly: measure the
-    seasonal model before alerting on its residuals. One series-keyed
+    carry-forward vs seasonal-naive (period = 60 one-minute slots — an
+    hour, matching the oracle's lag(t4, 60); VERDICT r11 item 5 aligned
+    this doc with the code), winner by exact integer comparison over the
+    identical eval set; a series too short for the period surfaces as an
+    n_evals=0 'insufficient_history' diagnostic row rather than silently
+    vanishing. The evaluation rung under fetch_seasonal_anomaly: measure
+    the seasonal model before alerting on its residuals. One series-keyed
     window Exchange; the fold reuses the clustering."""
     from kadiyadb_spark.query import series_backtest
 

@@ -40,7 +40,10 @@ def expect(df: DataFrame, checks: "dict[str, Column]") -> DataFrame:
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in checks.items():
-        if name in _OUT:
+        # "_n" is the internal count alias in the 1-row agg below — a check
+        # with that literal name would duplicate the column and surface as
+        # an ambiguous-reference AnalysisException instead of this error
+        if name in _OUT or name == "_n":
             raise ValueError(f"check name {name!r} collides with output column")
         # names are interpolated into the stack() expression below — keep
         # them identifier-shaped so a quote/backtick can't break (or worse,

@@ -128,15 +128,28 @@ def luhn_audit(
     """Scan free text for 13-19 digit runs and validate them with Luhn:
     per group (default: whole corpus), the number of documents carrying a
     candidate, a Luhn-VALID number (the real leaks), and an invalid one.
-    Detection + validation are one map-side projection (regexp_extract +
-    the integer fold above); the only Exchange is the tiny group-keyed
-    count fold."""
-    cand = F.regexp_extract(F.col(text_col), "([0-9]{13,19})", 1)
-    valid = luhn_valid_expr(cand)
+
+    ALL maximal digit runs per document are scanned (VERDICT r11 item 3):
+    a doc whose first run is an order id but whose second is a valid card
+    counts as Luhn-valid — exactly the leak the operator exists to catch.
+    Candidates are MAXIMAL runs of 13-19 digits: extracting every `[0-9]+`
+    run and length-filtering gives digit-boundary semantics (a 20+-digit
+    tracking number is excluded entirely, never truncated to its first 19
+    digits — ADVICE r11) using only constructs Java regex and RE2 read
+    identically (RE2, the DuckDB twin's engine, has no lookarounds).
+    Detection + validation stay one map-side projection (regexp_extract_all
+    + exists() over the integer fold above, all JVM, no UDF); the only
+    Exchange is the tiny group-keyed count fold."""
+    runs = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), 0),
+        lambda r: (F.length(r) >= 13) & (F.length(r) <= 19),
+    )
+    has_cand = F.size(runs) > 0
+    valid = F.exists(runs, lambda r: luhn_valid_expr(r) == 1)
     flags = df.select(
         *(group_cols or []),
-        (cand != "").cast("long").alias("_has_cand"),
-        valid.alias("_valid"),
+        has_cand.cast("long").alias("_has_cand"),
+        (has_cand & valid).cast("long").alias("_valid"),
     )
     keys = group_cols or []
     agg = flags.groupBy(*keys).agg(

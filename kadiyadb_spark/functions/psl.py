@@ -209,7 +209,16 @@ def registrable_domain_psl(
     """
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    reserved = {out_col} | {f"_sfx{d}" for d in range(1, max_depth + 1)}
+    # the FULL scratch-column family is reserved (ADVICE r11): cleanup at
+    # the end drops exactly these names, so an input column named e.g.
+    # "_hit2" or "_w3" would either corrupt the join bookkeeping or be
+    # silently dropped — reject it up front like merge_asof does
+    scratch = {
+        f"{p}{d}"
+        for d in range(1, max_depth + 1)
+        for p in ("_sfx", "_hit", "_exc", "_w", "_whit")
+    }
+    reserved = {out_col} | scratch
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
@@ -266,5 +275,6 @@ def registrable_domain_psl(
         F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
     ).otherwise(F.col(host_col))
     out = out.withColumn(out_col, F.coalesce(result, fallback))
-    drop = [c for c in out.columns if c.startswith(("_sfx", "_hit", "_exc", "_w"))]
-    return out.drop(*drop)
+    # drop exactly the scratch names this function added (reserved above) —
+    # never a prefix sweep that could eat caller columns
+    return out.drop(*[c for c in out.columns if c in scratch])

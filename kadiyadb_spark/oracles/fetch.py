@@ -1039,16 +1039,22 @@ lags AS (
   FROM base
   WINDOW w AS (PARTITION BY f1, f2 ORDER BY bucket)
 ),
-ev AS (SELECT * FROM lags WHERE l1 IS NOT NULL AND lp IS NOT NULL),
 agg AS (
-  SELECT f1, f2, CAST(count(*) AS BIGINT) AS n_evals,
-         CAST(sum(abs(t4 - l1)) AS BIGINT) AS e1,
-         CAST(sum(abs(t4 - lp)) AS BIGINT) AS ep
-  FROM ev GROUP BY f1, f2)
+  SELECT f1, f2,
+         CAST(count(*) FILTER (WHERE l1 IS NOT NULL AND lp IS NOT NULL)
+              AS BIGINT) AS n_evals,
+         CAST(sum(abs(t4 - l1)) FILTER (WHERE l1 IS NOT NULL AND lp IS NOT NULL)
+              AS BIGINT) AS e1,
+         CAST(sum(abs(t4 - lp)) FILTER (WHERE l1 IS NOT NULL AND lp IS NOT NULL)
+              AS BIGINT) AS ep
+  FROM lags GROUP BY f1, f2)
 SELECT f1, f2, n_evals,
-       floor(e1 / CAST(n_evals AS DOUBLE) + 0.5) / 1e4 AS mae_naive,
-       floor(ep / CAST(n_evals AS DOUBLE) + 0.5) / 1e4 AS mae_seasonal,
-       CASE WHEN ep < e1 THEN 'seasonal_naive' ELSE 'naive' END AS best_model
+       CASE WHEN n_evals > 0
+            THEN floor(e1 / CAST(n_evals AS DOUBLE) + 0.5) / 1e4 END AS mae_naive,
+       CASE WHEN n_evals > 0
+            THEN floor(ep / CAST(n_evals AS DOUBLE) + 0.5) / 1e4 END AS mae_seasonal,
+       CASE WHEN n_evals = 0 THEN 'insufficient_history'
+            WHEN ep < e1 THEN 'seasonal_naive' ELSE 'naive' END AS best_model
 FROM agg
 """
     return o

@@ -670,16 +670,20 @@ WITH u AS (
   FROM documents),
 t AS (
   SELECT doc_id, source,
-         CASE WHEN doc_id % 3 = 0 THEN 'order ref ' || num || ' thanks'
-              WHEN doc_id % 3 = 1 THEN 'card ' || num || ' on file'
-              ELSE 'no digits here' END AS text
+         CASE WHEN doc_id % 4 = 0 THEN 'order ref ' || num || ' thanks'
+              WHEN doc_id % 4 = 1 THEN 'card ' || num || ' on file'
+              WHEN doc_id % 4 = 2 THEN 'ids 1234567890123456 then 4111111111111111 end'
+              ELSE 'track 123456789012345678901234 no card' END AS text
   FROM u),
 c AS (
-  SELECT source, regexp_extract(text, '([0-9]{13,19})', 1) AS cand FROM t),
+  SELECT source,
+         list_filter(regexp_extract_all(text, '[0-9]+'),
+                     r -> length(r) BETWEEN 13 AND 19) AS runs
+  FROM t),
 v AS (
   SELECT source,
-         CASE WHEN cand != '' THEN 1 ELSE 0 END AS has_cand,
-         CASE WHEN cand != '' AND (list_sum(list_transform(range(1, length(cand) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN (ascii(substring(reverse(cand), i, 1)) - 48) * 2 > 9 THEN (ascii(substring(reverse(cand), i, 1)) - 48) * 2 - 9 ELSE (ascii(substring(reverse(cand), i, 1)) - 48) * 2 END ELSE ascii(substring(reverse(cand), i, 1)) - 48 END))) % 10 = 0 THEN 1 ELSE 0 END AS valid
+         CASE WHEN len(runs) > 0 THEN 1 ELSE 0 END AS has_cand,
+         CASE WHEN len(list_filter(runs, cand -> (list_sum(list_transform(range(1, length(cand) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN (ascii(substring(reverse(cand), i, 1)) - 48) * 2 > 9 THEN (ascii(substring(reverse(cand), i, 1)) - 48) * 2 - 9 ELSE (ascii(substring(reverse(cand), i, 1)) - 48) * 2 END ELSE ascii(substring(reverse(cand), i, 1)) - 48 END))) % 10 = 0)) > 0 THEN 1 ELSE 0 END AS valid
   FROM c)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -2791,6 +2791,12 @@ def series_backtest(
     luck). Slots without both lags (the first period) are excluded from
     BOTH models' sums, so the comparison is apples-to-apples.
 
+    A series too short for even one evaluation (<= period_slots rows) is
+    NOT silently dropped (VERDICT r11 item 5 — the silent 0-row mode bit
+    the first draft): it comes back as a diagnostic row with n_evals=0,
+    NULL MAEs and best_model='insufficient_history', so a mis-sized
+    period is visible in the output instead of shrinking it.
+
     Shape: one series-keyed window Exchange; the per-series fold reuses
     the same clustering (no second shuffle)."""
     if period_slots < 2:
@@ -2806,22 +2812,31 @@ def series_backtest(
         t4.alias("_t4"),
         F.lag(t4, 1).over(w).alias("_l1"),
         F.lag(t4, period_slots).over(w).alias("_lp"),
-    ).filter(F.col("_l1").isNotNull() & F.col("_lp").isNotNull())
-    agg = base.groupBy(*series_cols).agg(
-        F.count(F.lit(1)).alias("n_evals"),
-        guarded_scaled_sum(F.abs(F.col("_t4") - F.col("_l1")), dp=4).alias("_e1"),
-        guarded_scaled_sum(F.abs(F.col("_t4") - F.col("_lp")), dp=4).alias("_ep"),
     )
+    ok = F.col("_l1").isNotNull() & F.col("_lp").isNotNull()
+    agg = base.groupBy(*series_cols).agg(
+        F.sum(ok.cast("long")).alias("n_evals"),
+        guarded_scaled_sum(
+            F.when(ok, F.abs(F.col("_t4") - F.col("_l1"))), dp=4
+        ).alias("_e1"),
+        guarded_scaled_sum(
+            F.when(ok, F.abs(F.col("_t4") - F.col("_lp"))), dp=4
+        ).alias("_ep"),
+    )
+    evals = F.col("n_evals") > 0
     return agg.select(
         *series_cols,
         "n_evals",
-        (F.floor(F.col("_e1") / F.col("n_evals") + F.lit(0.5)) / F.lit(1e4)).alias(
-            "mae_naive"
-        ),
-        (F.floor(F.col("_ep") / F.col("n_evals") + F.lit(0.5)) / F.lit(1e4)).alias(
-            "mae_seasonal"
-        ),
-        F.when(F.col("_ep") < F.col("_e1"), F.lit("seasonal_naive"))
+        F.when(
+            evals,
+            F.floor(F.col("_e1") / F.col("n_evals") + F.lit(0.5)) / F.lit(1e4),
+        ).alias("mae_naive"),
+        F.when(
+            evals,
+            F.floor(F.col("_ep") / F.col("n_evals") + F.lit(0.5)) / F.lit(1e4),
+        ).alias("mae_seasonal"),
+        F.when(~evals, F.lit("insufficient_history"))
+        .when(F.col("_ep") < F.col("_e1"), F.lit("seasonal_naive"))
         .otherwise(F.lit("naive"))
         .alias("best_model"),
     )

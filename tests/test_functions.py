@@ -3102,6 +3102,20 @@ def test_registrable_domain_psl_full_join_path(spark):
         registrable_domain_psl(
             df.withColumn("registrable_domain", F.lit("x")), "host", psl
         )
+    # the FULL scratch family is reserved (ADVICE r11): an input column
+    # like _hit2 / _w3 / _whit4 must raise, not silently vanish or corrupt
+    # the join bookkeeping
+    for scratch in ("_hit2", "_w3", "_whit4", "_exc1", "_sfx2"):
+        with _pt.raises(ValueError, match="reserved"):
+            registrable_domain_psl(
+                df.withColumn(scratch, F.lit("x")), "host", psl
+            )
+    # but a merely LOOK-ALIKE prefixed column outside the family survives
+    # untouched (the old cleanup prefix-swept anything starting _w/_sfx/...)
+    kept = registrable_domain_psl(
+        df.withColumn("_weight", F.lit(1.5)), "host", psl
+    )
+    assert "_weight" in kept.columns
     with _pt.raises(ValueError):
         psl_table(spark, ["// only comments"])
 
@@ -3173,12 +3187,26 @@ def test_luhn_audit_golden(spark):
         (1, "a", "ref 1234567890123456 x"),     # candidate, invalid
         (2, "a", "no digits"),
         (3, "b", "num 79927398713 short ok"),   # 11 digits: NOT a candidate
+        # first run is an invalid order id, SECOND is a valid card — the
+        # r11 first-candidate-only bug counted this doc invalid (VERDICT
+        # r11 item 3); all-runs scanning must flag it as a real leak.
+        (4, "c", "order 1234567890123456 card 4242424242424242 end"),
+        # 24-digit tracking run: maximal-run boundary semantics exclude it
+        # entirely — truncating regexes would count its 19-digit prefix as
+        # a candidate (ADVICE r11).
+        (5, "c", "track 123456789012345678901234 ok"),
+        # a valid card embedded in a longer digit run is NOT a candidate
+        # (no digit boundary): 4111111111111111 + trailing 99 = 18-digit
+        # run that fails Luhn.
+        (6, "d", "blob 411111111111111199 x"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     got = {r["source"]: (r["n_docs"], r["n_candidates"], r["n_luhn_valid"], r["n_luhn_invalid"])
            for r in luhn_audit(df, group_cols=["source"]).collect()}
     assert got["a"] == (3, 2, 1, 1)
     assert got["b"] == (1, 0, 0, 0)
+    assert got["c"] == (2, 1, 1, 0)
+    assert got["d"] == (1, 1, 0, 1)
 
 
 def test_series_clamp_golden(spark):
@@ -3293,6 +3321,21 @@ def test_series_backtest_golden(spark):
 
     with _pt.raises(ValueError):
         series_backtest(df, ["f1"], period_slots=1)
+    # a series too short for the period is a DIAGNOSTIC row, not a silent
+    # drop (VERDICT r11 item 5 — the 0-row mode that bit the first draft):
+    # series "t" has 2 rows < period_slots=3 -> zero eval slots.
+    short = df.union(
+        spark.createDataFrame(
+            [("t", 0, 5.0), ("t", 1, 6.0)], "f1 string, bucket long, total double"
+        )
+    )
+    got = {r["f1"]: r for r in series_backtest(short, ["f1"], period_slots=3).collect()}
+    assert set(got) == {"s", "t"}
+    assert got["s"]["best_model"] == "seasonal_naive"
+    t = got["t"]
+    assert (t["n_evals"], t["mae_naive"], t["mae_seasonal"], t["best_model"]) == (
+        0, None, None, "insufficient_history",
+    )
 
 
 def test_dq_expect_rejects_non_identifier_check_names(spark):
@@ -3304,6 +3347,6 @@ def test_dq_expect_rejects_non_identifier_check_names(spark):
     for bad in ("has space", "quo'te", "back`tick", "1leading", ""):
         with _pt.raises(ValueError):
             expect(df, {bad: F.col("k").isNotNull()})
-    for reserved in ("check", "n_rows"):
+    for reserved in ("check", "n_rows", "_n"):
         with _pt.raises(ValueError):
             expect(df, {reserved: F.col("k").isNotNull()})
