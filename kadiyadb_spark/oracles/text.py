@@ -580,18 +580,19 @@ SELECT doc_id, text, n_chars_raw, CAST(length(text) AS BIGINT) AS n_chars_norm F
 """
 
     # url_domain_census: identical salt construction (list literal indexed
-    # by doc_id % 5 — includes a co.uk host since r11), dialect-shared
-    # parse regexes, PSL registrable rule mirrored via the SAME vendored
-    # suffix subset (imported from functions/psl.py — single source of
-    # truth) as a list_contains over the last two labels.
-    from kadiyadb_spark.functions.psl import PSL_TWO_LEVEL
-
-    psl_list = ", ".join(f"'{s}'" for s in PSL_TWO_LEVEL)
-    o["url_domain_census"] = f"""
+    # by doc_id % 7), dialect-shared parse regexes. The registrable domain
+    # is a HAND-DERIVED per-host PSL-algorithm ground truth (r12, like
+    # url_psl_census) — an independent spec replay of the full-snapshot
+    # default path, NOT a code mirror: shop.example.co.uk -> example.co.uk
+    # (exact depth-2 rule), www.pref.aichi.jp -> pref.aichi.jp (jp
+    # prefecture rule: aichi.jp is public, three-label registrable),
+    # foo.bar.ck -> foo.bar.ck (*.ck wildcard: bar.ck is public), and the
+    # gTLD hosts resolve by the default last-two-labels rule.
+    o["url_domain_census"] = """
 WITH u AS (
   SELECT doc_id, n_chars,
          'https://'
-         || (['news.example.com', 'cdn.example.org', 'blog.sample.net', 'www.example.com', 'shop.example.co.uk'])[CAST(doc_id % 5 AS INT) + 1]
+         || (['news.example.com', 'cdn.example.org', 'blog.sample.net', 'www.example.com', 'shop.example.co.uk', 'www.pref.aichi.jp', 'foo.bar.ck'])[CAST(doc_id % 7 AS INT) + 1]
          || '/p/' || CAST(doc_id AS VARCHAR)
          || CASE WHEN doc_id % 2 = 1 THEN '?ref=rss' ELSE '' END AS url
   FROM documents),
@@ -604,13 +605,15 @@ p AS (
   FROM u),
 d AS (
   SELECT doc_id, n_chars, host, has_query,
-         CASE WHEN len(string_split(host, '.')) >= 3
-                   AND list_contains([{psl_list}],
-                       string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
-              THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-              WHEN len(string_split(host, '.')) >= 2
-              THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-              ELSE host END AS registrable_domain
+         CASE host
+              WHEN 'news.example.com' THEN 'example.com'
+              WHEN 'cdn.example.org' THEN 'example.org'
+              WHEN 'blog.sample.net' THEN 'sample.net'
+              WHEN 'www.example.com' THEN 'example.com'
+              WHEN 'shop.example.co.uk' THEN 'example.co.uk'
+              WHEN 'www.pref.aichi.jp' THEN 'pref.aichi.jp'
+              WHEN 'foo.bar.ck' THEN 'foo.bar.ck'
+         END AS registrable_domain
   FROM p)
 SELECT registrable_domain,
        count(*) AS n_docs,

@@ -3037,9 +3037,11 @@ def test_re_pattern_set_class_warning_free():
 
 
 def test_registrable_domain_psl_subset_expr(spark):
-    """PSL upgrade (r11): co.uk-class hosts resolve to label.co.uk via the
-    vendored suffix subset; unknown TLDs keep last-two-labels; single
-    labels are their own domain."""
+    """PSL fallback path (psl=None): co.uk-class hosts resolve to
+    label.co.uk via the vendored two-label subset expression; unknown TLDs
+    keep last-two-labels; single labels are their own domain. (The DEFAULT
+    is the full-snapshot join path since r12 — covered below and by
+    test_url_components_default_snapshot_path.)"""
     from kadiyadb_spark.functions.web import url_components
 
     rows = [
@@ -3052,7 +3054,13 @@ def test_registrable_domain_psl_subset_expr(spark):
         (6, "https://foo.unknowntld/x"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
-    got = {r["doc_id"]: r["registrable_domain"] for r in url_components(df).collect()}
+    got = {r["doc_id"]: r["registrable_domain"]
+           for r in url_components(df, psl=None).collect()}
+    # the default snapshot path must agree on every two-label-subset shape
+    # (strict monotone upgrade)
+    got_default = {r["doc_id"]: r["registrable_domain"]
+                   for r in url_components(df).collect()}
+    assert got_default == got
     assert got[0] == "example.co.uk"
     assert got[1] == "example.com.au"
     assert got[2] == "example.co.uk"
@@ -3060,6 +3068,37 @@ def test_registrable_domain_psl_subset_expr(spark):
     assert got[4] == "example.com"
     assert got[5] == "localhost"
     assert got[6] == "foo.unknowntld"
+
+
+def test_url_components_default_snapshot_path(spark):
+    """The DEFAULT registrable-domain resolution is the vendored
+    full-snapshot PSL join path (r12, VERDICT r11 item 4): three-label
+    registrables, wildcard and exception rules resolve without the caller
+    opting in."""
+    from kadiyadb_spark.functions.web import url_components
+
+    rows = [
+        (0, "https://www.pref.aichi.jp/x"),    # jp prefecture: 3-label reg
+        (1, "https://www.city.nagoya.jp/x"),   # !city.nagoya.jp exception
+        (2, "https://ward.w.nagoya.jp/x"),     # *.nagoya.jp wildcard
+        (3, "https://www.k12.ca.us/x"),        # k12.<state>.us registry
+        (4, "https://x.myschool.sch.uk/x"),    # *.sch.uk wildcard
+        (5, "https://foo.bar.ck/x"),           # *.ck wildcard
+        (6, "https://www.ck/x"),               # !www.ck exception
+        (7, "https://shop.example.co.uk/x"),   # two-label subset carries
+        (8, "https://deep.sub.example.com/x"), # default rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["registrable_domain"] for r in url_components(df).collect()}
+    assert got[0] == "pref.aichi.jp"
+    assert got[1] == "city.nagoya.jp"
+    assert got[2] == "ward.w.nagoya.jp"
+    assert got[3] == "www.k12.ca.us"
+    assert got[4] == "x.myschool.sch.uk"
+    assert got[5] == "foo.bar.ck"
+    assert got[6] == "www.ck"
+    assert got[7] == "example.co.uk"
+    assert got[8] == "example.com"
 
 
 def test_registrable_domain_psl_full_join_path(spark):

@@ -867,14 +867,32 @@ def test_dq_expect_is_one_aggregation(spark):
 
 
 def test_psl_expr_census_stays_join_free(spark):
-    """The vendored-subset registrable rule must not introduce a join into
-    the census plan: one domain-keyed Exchange, zero joins."""
+    """The psl=None fallback (vendored-subset expression rule) must not
+    introduce a join into the census plan: one domain-keyed Exchange,
+    zero joins."""
     from kadiyadb_spark.functions.web import domain_census
 
     df = spark.createDataFrame(
         [(1, "https://a.example.co.uk/x")], "doc_id long, url string"
     )
-    plan = plan_str(domain_census(df))
+    plan = plan_str(domain_census(df, psl=None))
     assert n_shuffles(plan) <= 2  # partial+final distinct-host fold
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_psl_default_census_is_broadcast_only(spark):
+    """The DEFAULT census path (full-snapshot PSL, r12) resolves through
+    BroadcastHashJoins only — the rule table is never shuffled, and the
+    domain-keyed groupBy remains the census's only data Exchange."""
+    from kadiyadb_spark.functions.web import domain_census
+
+    df = spark.createDataFrame(
+        [(1, "https://www.pref.aichi.jp/x")], "doc_id long, url string"
+    )
+    plan = plan_str(domain_census(df))
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in plan, bad
+    assert n_shuffles(plan) <= 2  # partial+final distinct-host fold only
