@@ -12,6 +12,30 @@ per replica); nation/region are dimensions and copy once, so e.g. the
 nation trade graph keeps 25 nodes with 10x edge weights. Embedding
 QUERIES (vec_id < 16) exist only in replica 0 — 10x docs, same queries.
 
+Document TEXT is PERTURBED per replica (r12, VERDICT r11 item 1): the
+r11 mirror fixture put 10 IDENTICAL copies of every text in the corpus,
+so every LSH/simhash/winnow bucket grew 10x and candidate pairs ~100x —
+a quadratic blowup no real 10x crawl has, which made the dedup family's
+sf1 ratios (14-33x) fixture artifacts that would MASK a genuine plan
+regression. The verdict's suggested 2-5% word-substitution rate was
+MEASURED INSUFFICIENT for this engine's parameters (char-8-gram
+shingles + bands=4/r=2: one word edit breaks only ~13 of ~290 shingles,
+so 3% edits leave median J=0.88 and band-collision P=0.997 — still a
+candidate AND still a true near-dup at the entries' threshold=0.1; at
+50% substitution median J=0.13, P(candidate)=0.067). Rates per replica,
+positions/replacements keyed by xxhash64(doc_id, i, idx) — fully
+deterministic, no RNG; every replica appends a tag token so no
+cross-replica EXACT mirror survives:
+  - replica 1: 3% edits — a genuine cross-replica NEAR-DUP cohort (a
+    real crawl does contain some lightly-edited reposts), ~2x pairs for
+    those families;
+  - replicas 2-9: 50%..78% edits — same-vocabulary but genuinely
+    different text, below LSH candidate range, like the mostly-unrelated
+    new documents of a real 10x corpus.
+Within-replica near-dup structure (the sf0.1 corpus's own families) is
+preserved exactly, once per replica, so total pairs and bucket sizes
+grow ~linearly (~10-12x). n_chars is recomputed.
+
 Usage: python scripts/build_sf1.py [src_sf_dir] [dst_dir]
        (defaults /root/testdata/sf0.1 -> /root/repo/.scratch/sf1)
 """
@@ -42,6 +66,31 @@ SHIFTS = {
 }
 
 
+def perturbed_text(i: int):
+    """Replica-i text: substitute words at xxhash64-chosen positions with
+    synthetic vocab tokens, then append a replica tag so no cross-replica
+    pair is ever an EXACT mirror. Replica 1 is a light-edit near-dup
+    cohort; replicas 2-9 are heavy rewrites (rates derived empirically —
+    see module docstring). Pure JVM expressions — deterministic across
+    runs."""
+    rate = 30 if i == 1 else 500 + 40 * (i - 2)  # permille: 3%; 50..78%
+    words = F.split(F.col("text"), " ")
+    edited = F.transform(
+        words,
+        lambda w, idx: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), idx), 1000) < rate,
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("doc_id"), F.lit(i), idx, F.lit("sub")),
+                    50000,
+                ).cast("string"),
+            ),
+        ).otherwise(w),
+    )
+    return F.concat(F.array_join(edited, " "), F.lit(f" r{i}"))
+
+
 def main(src: str, dst: str) -> None:
     spark = get_spark()
     ensure_engine_confs(spark)
@@ -53,6 +102,10 @@ def main(src: str, dst: str) -> None:
                 p = df
                 for k in keys:
                     p = p.withColumn(k, F.col(k) + F.lit(i * OFF))
+                if table == "documents" and i > 0:
+                    p = p.withColumn("text", perturbed_text(i)).withColumn(
+                        "n_chars", F.length("text")
+                    )
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
