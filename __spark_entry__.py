@@ -1156,6 +1156,47 @@ def q_sql_over_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_rule_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL fetch family on the BI/JDBC path (VERDICT r11 item 8;
+    database.py:create_rule_group_view): the same three alerting rules as
+    fetch_rule_group evaluate over the persisted manifest store — ONE
+    shared scan with epoch-range + UNION-form dimension-stats pruning —
+    and the pending/firing runs are REGISTERED AS A TEMP VIEW, then a
+    plain spark.sql string computes the dashboard summary on top (runs,
+    breaching slots and peak per rule and series family). The view is
+    pinned to the manifest generation at registration, so a dashboard
+    never reads a torn mix across commits. Oracle: the identical rule
+    fragments wrapped in the same outer GROUP BY. Born r12."""
+    import tempfile
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="kdb_sqlrg_entry_")
+    day = 24 * 3600 * SEC
+    db = Database.open(
+        spark,
+        f"{tmp}/db",
+        Params(duration=day, resolution=RES, retention=30 * day, fields=("event_type", "user_id")),
+    )
+    db.track(_t(spark, sf_dir, "events"), ts_col="ts", total_col="value")
+    rules = {
+        "hot_clicks": {"pattern": ["click", "*"], "threshold": 50.0, "for_slots": 1},
+        "hot_purchase": {"pattern": ["purchase", "*"], "threshold": 100.0, "for_slots": 1},
+        "view_surge": {"pattern": ["view"], "threshold": 60.0, "for_slots": 2},
+    }
+    v = db.create_rule_group_view("kdb_sql_rg_view", WEEK0, WEEK1, rules)
+    return spark.sql(f"""
+        SELECT query, f1,
+               CAST(COUNT(*) AS LONG) AS n_runs,
+               CAST(SUM(n_slots) AS LONG) AS total_slots,
+               MAX(peak) AS max_peak
+        FROM {v}
+        GROUP BY query, f1
+    """)
+
+
 def q_cube_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-consumer read (change-data-feed over the manifest store):
     track the first half of the month, record the generation, track the
@@ -5475,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_clamp": q_fetch_clamp,
         "privacy_luhn": q_privacy_luhn,
         "snapshot_diff": q_snapshot_diff,
+        "sql_rule_group": q_sql_rule_group,
         "text_script_census": q_text_script_census,
         "url_psl_census": q_url_psl_census,
         "window_ranks": q_window_ranks,

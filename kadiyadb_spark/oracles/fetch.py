@@ -136,6 +136,25 @@ UNION ALL
 {_rg1.format(name="view_surge", cond="f1 = 'view'", thr4=600000, fs=2, fm1=1, res=RES, lo=WEEK0, hi=WEEK1)}
 """
 
+    # sql_rule_group: the SAME rule-group evaluation (identical fragments)
+    # wrapped in the BI-style per-(query, f1) summary the SQL-view entry
+    # computes on top of the registered view.
+    o["sql_rule_group"] = f"""
+WITH {_EV_CUBE},
+rg AS (
+{_rg2.format(name="hot_clicks", cond="f1 = 'click'", thr4=500000, fs=1, fm1=0, res=RES, lo=WEEK0, hi=WEEK1)}
+UNION ALL
+{_rg2.format(name="hot_purchase", cond="f1 = 'purchase'", thr4=1000000, fs=1, fm1=0, res=RES, lo=WEEK0, hi=WEEK1)}
+UNION ALL
+{_rg1.format(name="view_surge", cond="f1 = 'view'", thr4=600000, fs=2, fm1=1, res=RES, lo=WEEK0, hi=WEEK1)}
+)
+SELECT query, f1,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(n_slots) AS BIGINT) AS total_slots,
+       max(peak) AS max_peak
+FROM rg GROUP BY query, f1
+"""
+
     o["fetch_offset"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

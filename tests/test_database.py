@@ -793,6 +793,45 @@ def test_create_view_is_manifest_pinned(spark, tmp_path):
     ).collect()[0]["s"] == 7.0
 
 
+def test_rule_group_view_evaluates_and_is_pinned(spark, tmp_path):
+    """db.rule_group evaluates the group over the pruned store scan, and
+    create_rule_group_view registers it manifest-pinned: a commit after
+    registration stays invisible until re-registered (VERDICT r11 item 8
+    — the BI/JDBC path to the PromQL family)."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    db = Database.open(
+        spark, str(tmp_path / "dbrg"),
+        Params(duration=100, resolution=1, retention=1000, fields=("x", "y")),
+    )
+    # series (a,u): breaches >= 3.0 at ts 1,2 (consecutive) and 5
+    db.track(spark.createDataFrame([
+        Row(ts=1, x="a", y="u", value=4.0),
+        Row(ts=2, x="a", y="u", value=3.0),
+        Row(ts=3, x="a", y="u", value=1.0),
+        Row(ts=5, x="a", y="u", value=9.0),
+        Row(ts=2, x="b", y="v", value=8.0),
+    ]))
+    rules = {"hot_a": {"pattern": ["a", "*"], "threshold": 3.0, "for_slots": 2}}
+    runs = {(r["pending_start"], r["n_slots"])
+            for r in db.rule_group(0, 10, rules).collect()}
+    assert runs == {(1, 2)}  # the 2-slot run fires; the lone ts=5 breach doesn't
+    db.create_rule_group_view("kdb_rg_t", 0, 10, rules)
+    assert spark.sql("SELECT count(*) AS n FROM kdb_rg_t").collect()[0]["n"] == 1
+    # a new breach pair committed AFTER registration is invisible (pinned)
+    db.track(spark.createDataFrame([
+        Row(ts=7, x="a", y="u", value=5.0), Row(ts=8, x="a", y="u", value=5.0),
+    ]))
+    assert spark.sql("SELECT count(*) AS n FROM kdb_rg_t").collect()[0]["n"] == 1
+    db.create_rule_group_view("kdb_rg_t", 0, 10, rules)
+    got = {(r["pending_start"], r["n_slots"], r["peak"])
+           for r in spark.sql("SELECT * FROM kdb_rg_t").collect()}
+    assert got == {(1, 2, 4.0), (7, 2, 5.0)}
+
+
 def test_forget_removes_series_and_refolds_rollups(spark, tmp_path):
     db = Database.open(spark, str(tmp_path / "f1"), P)
     db.track(_events(spark, [(0, "a", "u1", 5), (1, "a", "u2", 3),
