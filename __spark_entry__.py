@@ -5051,6 +5051,29 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (functions/cluster.py:semdedup_prune; Abbas et al. 2023):
+    k-means-cluster the embeddings with the exact quantized Lloyd
+    recursion (k=4, 2 iterations — the same clustering embedding_kmeans
+    gates), then score cosine pairs WITHIN clusters only and keep the
+    lowest id of each duplicate pair; per-cluster census of kept vs
+    dropped. Threshold 0.35 sits in a measured 7e-5-wide empty band of
+    the fixture's pair-cosine distribution (no FP-boundary flips between
+    numpy and DuckDB). Clustering bounds the quadratic — ONE cluster-keyed
+    shuffle, per-bucket numpy matmul; assignment is exact-integer, so
+    bucket membership is layout-proof. Born r12."""
+    from kadiyadb_spark.functions.cluster import semdedup_prune
+
+    flags = semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.35
+    )
+    return flags.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("kept").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).alias("n_dropped"),
+    )
+
+
 def q_fetch_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL clamp()/clamp_min()/clamp_max() over the dense week fetch
     (query.py:series_clamp): totals clamped into [2, 50] with 0/1
@@ -5515,6 +5538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_backtest": q_fetch_backtest,
         "fetch_clamp": q_fetch_clamp,
         "privacy_luhn": q_privacy_luhn,
+        "semdedup": q_semdedup,
         "snapshot_diff": q_snapshot_diff,
         "sql_rule_group": q_sql_rule_group,
         "text_script_census": q_text_script_census,

@@ -65,25 +65,19 @@ def _assign_cols(vec_dbl: Column, centroids: "list[list[float]]"):
     return cid, F.array_min(dists)
 
 
-def kmeans_lloyd(
-    emb: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations from a deterministic init (the ``k``
-    lowest-``id_col`` vectors), then report the final assignment:
-    (cluster_id, n_vecs, inertia) with inertia = 4dp-rounded exact sum of
-    quantized squared distances. Empty clusters keep their previous
-    centroid (both gate engines implement the same rule)."""
+def _base_frame(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(F.col(id_col).alias("_id"), vec_dbl.alias("_v"))
+
+
+def _lloyd(base: DataFrame, k: int, iters: int) -> "list[list[float]]":
+    """The shared Lloyd recursion: deterministic init (k lowest ids), then
+    ``iters`` exact quantized assignment+update rounds. Returns the final
+    centroid list (k x d Python floats — the only driver state)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("_id"), vec_dbl.alias("_v"))
-
     init_rows = base.orderBy(F.col("_id").asc()).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"need >= {k} vectors to init k-means, got {len(init_rows)}")
@@ -116,6 +110,44 @@ def kmeans_lloyd(
         for c, comps in acc.items():
             nxt[c] = comps
         centroids = nxt
+    return centroids
+
+
+def lloyd_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained Lloyd centroids as the (centroid_id, centroid_vec)
+    frame ivf_assign / resolve_centroids consume — unlike Spark ML's
+    KMeans|| (similarity.kmeans_centroids), this recursion is
+    integer-exact, so a SQL oracle replays the centroids bit-identically
+    (sum/(1e6*n) is one IEEE division of exact integers on both
+    engines)."""
+    base = _base_frame(emb, id_col, vec_col)
+    cents = _lloyd(base, k, iters)
+    return emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        schema="centroid_id long, centroid_vec array<double>",
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from a deterministic init (the ``k``
+    lowest-``id_col`` vectors), then report the final assignment:
+    (cluster_id, n_vecs, inertia) with inertia = 4dp-rounded exact sum of
+    quantized squared distances. Empty clusters keep their previous
+    centroid (both gate engines implement the same rule)."""
+    base = _base_frame(emb, id_col, vec_col)
+    centroids = _lloyd(base, k, iters)
 
     cid, dq = _assign_cols(F.col("_v"), centroids)
     return (
@@ -132,3 +164,68 @@ def kmeans_lloyd(
             ).alias("inertia"),
         )
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    k-means-cluster the embedding space, then score cosine similarity
+    only WITHIN clusters and drop every vector that has a semantic
+    duplicate keeping a deterministic representative. Clustering bounds
+    the quadratic: pairs are per-bucket, never corpus-wide — the same
+    scale valve as embedding_near_duplicates, with buckets that follow
+    the embedding distribution instead of arbitrary low-id seeds.
+
+    Determinism/gate design: clustering + assignment use the exact
+    quantized Lloyd recursion above (assignment distances are exact
+    integers — no FP tie risk, and a SQL oracle replays centroid and
+    assignment bit-identically). The keeper per duplicate pair is the
+    LOWEST id (the paper keeps the vector closest to the centroid; the
+    id rule is the layout-proof stand-in both gate engines replay —
+    documented deviation). Output: (id, cluster_id, kept 0/1) for EVERY
+    input vector.
+
+    Scale shape: ONE shuffle keyed cluster_id; per-bucket upper-triangle
+    numpy matmul at memory bandwidth (per-pair JVM array expressions
+    measured ~6us/pair — see embedding_near_duplicates). Raise ``k``
+    with corpus size so bucket sizes stay bounded."""
+    if not (-1.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (-1, 1], got {threshold}")
+    import numpy as np
+
+    base = _base_frame(emb, id_col, vec_col)
+    centroids = _lloyd(base, k, iters)
+    cid, _ = _assign_cols(F.col("_v"), centroids)
+    assigned = base.select("_id", "_v", cid.alias("cluster_id"))
+
+    def bucket_flags(pdf):
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id": ids, "cluster_id": pdf["cluster_id"], "kept": [1] * len(pdf)}
+            )
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        s = vn @ vn.T
+        # dominated: some OTHER member with a LOWER id is >= threshold
+        dominated = ((s >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster_id": pdf["cluster_id"],
+                "kept": (~dominated).astype("int64"),
+            }
+        )
+
+    out = assigned.groupBy("cluster_id").applyInPandas(
+        bucket_flags, schema="id long, cluster_id long, kept long"
+    )
+    return out.select(F.col("id").alias(id_col), "cluster_id", "kept")

@@ -625,7 +625,7 @@ SELECT CAST(dim AS BIGINT) AS dim, w AS pc4 FROM w4
     # floor-quantized to a scaled BIGINT before summation, centroid
     # updates as exact integer sums with ONE double division, empty
     # clusters keep the previous centroid, final assignment reported.
-    o["embedding_kmeans"] = """
+    _kmeans_ctes = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 init AS (
@@ -684,10 +684,30 @@ a3 AS (
     SELECT vec_id, v, cid, dq,
            row_number() OVER (PARTITION BY vec_id ORDER BY dq ASC, cid ASC) AS rn
     FROM d3)
-  WHERE rn = 1)
+  WHERE rn = 1)"""
+
+    o["embedding_kmeans"] = _kmeans_ctes + """
 SELECT cid AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_vecs,
        floor(CAST(sum(dq) AS BIGINT) / 1e4 + 0.5) / 1e4 AS inertia
 FROM a3 GROUP BY cid
+"""
+
+    # semdedup: the SAME exact quantized Lloyd recursion (shared CTEs — a3
+    # is the final assignment vs cent2, identical to the engine's), then
+    # within-cluster cosine pairs and the deterministic lowest-id keeper.
+    o["semdedup"] = _kmeans_ctes + """,
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+counts AS (
+  SELECT a.cid AS cluster_id,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_kept
+  FROM a3 a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+  GROUP BY a.cid)
+SELECT cluster_id, n_vecs, n_kept, n_vecs - n_kept AS n_dropped
+FROM counts
 """
     return o

@@ -3201,6 +3201,34 @@ def test_kmeans_lloyd_matches_bruteforce(spark):
         kmeans_lloyd(df.limit(2), k=3)
 
 
+def test_semdedup_prune_golden(spark):
+    """SemDeDup keep-lowest-id within clusters: two tight duplicate
+    groups in opposite orthants + one singleton — the duplicates drop to
+    their lowest id, cross-cluster near-parallels are never scored."""
+    from kadiyadb_spark.functions.cluster import lloyd_centroids, semdedup_prune
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),   # dup of 0 (cos ~ 1)
+        (2, [0.998, -0.002, 0.0, 0.0]),  # dup of 0
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.997, 0.003]),   # dup of 3
+        (5, [0.0, 1.0, 0.0, 0.0]),       # singleton direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["kept"]
+           for r in semdedup_prune(df, k=3, iters=2, threshold=0.95).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 1, 4: 0, 5: 1}
+    # lloyd_centroids exposes the same recursion as the frame ivf paths eat
+    cents = lloyd_centroids(df, k=3, iters=2)
+    assert cents.columns == ["centroid_id", "centroid_vec"]
+    assert cents.count() == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        semdedup_prune(df, threshold=1.5)
+
+
 def test_luhn_known_numbers(spark):
     """Real Luhn test vectors pin the fold's semantics."""
     from kadiyadb_spark.functions.privacy import luhn_valid_expr
