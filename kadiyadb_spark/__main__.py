@@ -408,6 +408,40 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--group-cols", default="", help="comma-separated")
 
+    p = sub.add_parser(
+        "semdedup",
+        help="SemDeDup: k-means-cluster embeddings (exact Lloyd), drop "
+        "cosine near-duplicates within clusters (keep lowest id)",
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument(
+        "--per-vector", action="store_true",
+        help="emit one row per vector (id, cluster_id, kept) instead of "
+        "the per-cluster census",
+    )
+
+    p = sub.add_parser(
+        "rulegroup",
+        help="evaluate a Prometheus-style rule group over the store in "
+        "ONE scan; emits pending/firing runs",
+    )
+    p.add_argument("--path", required=True, help="database root")
+    p.add_argument("--from-ns", type=int, required=True)
+    p.add_argument("--to-ns", type=int, required=True)
+    p.add_argument(
+        "--rule",
+        action="append",
+        default=[],
+        metavar="NAME=PATTERN:THRESHOLD[:FOR_SLOTS]",
+        help="e.g. hot_clicks=click,*:50:1 (pattern levels comma-separated; "
+        "repeat per rule)",
+    )
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -870,6 +904,52 @@ def main(argv: list[str] | None = None) -> int:
             group_cols=gcols or None,
         )
         for row in r.orderBy(*(gcols + ["dominant_script"])).collect():
+            _emit(row.asDict())
+    elif args.cmd == "semdedup":
+        from pyspark.sql import functions as F
+
+        from kadiyadb_spark.functions.cluster import semdedup_prune
+
+        flags = semdedup_prune(
+            spark.read.parquet(args.table),
+            k=args.k,
+            iters=args.iters,
+            threshold=args.threshold,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        if args.per_vector:
+            for row in flags.orderBy(args.id_col).collect():
+                _emit(row.asDict())
+        else:
+            census = flags.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("kept").alias("n_kept"),
+            )
+            for row in census.orderBy("cluster_id").collect():
+                d = row.asDict()
+                d["n_dropped"] = d["n_vecs"] - d["n_kept"]
+                _emit(d)
+    elif args.cmd == "rulegroup":
+        rules = {}
+        for spec in args.rule:
+            if "=" not in spec:
+                raise SystemExit(f"bad --rule (need NAME=PATTERN:THR[:FOR]): {spec}")
+            name, rhs = spec.split("=", 1)
+            parts = rhs.split(":")
+            if len(parts) not in (2, 3):
+                raise SystemExit(f"bad --rule (need NAME=PATTERN:THR[:FOR]): {spec}")
+            rules[name] = {
+                "pattern": parts[0].split(","),
+                "threshold": float(parts[1]),
+                "for_slots": int(parts[2]) if len(parts) == 3 else 1,
+            }
+        if not rules:
+            raise SystemExit("rulegroup needs at least one --rule")
+        db = _open(spark, args.path)
+        r = db.rule_group(args.from_ns, args.to_ns, rules)
+        keys = [c for c in r.columns if c in ("query",) or c.startswith("f")]
+        for row in r.orderBy(*keys, "pending_start").collect():
             _emit(row.asDict())
     return 0
 

@@ -444,3 +444,47 @@ def test_cli_kmeans_luhn_dqaudit_scriptcensus(spark, tmp_path, capsys):
     rows = _out(capsys)
     assert sum(r["n_docs"] for r in rows) == 3
     assert all(r["dominant_script"] == "latin" for r in rows)
+
+
+def test_cli_semdedup_and_rulegroup(spark, tmp_path, capsys):
+    from pyspark.sql import Row
+
+    emb = str(tmp_path / "sd.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0]),
+         (3, [0.001, 0.999]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+    assert main(["semdedup", "--table", emb, "--k", "2", "--iters", "1",
+                 "--threshold", "0.95"]) == 0
+    rows = _out(capsys)
+    assert sum(r["n_vecs"] for r in rows) == 5
+    assert sum(r["n_dropped"] for r in rows) == 2  # 1 dups 0, 3 dups 2
+    assert main(["semdedup", "--table", emb, "--k", "2", "--iters", "1",
+                 "--threshold", "0.95", "--per-vector"]) == 0
+    kept = {r["vec_id"]: r["kept"] for r in _out(capsys)}
+    assert kept == {0: 1, 1: 0, 2: 1, 3: 0, 4: 1}
+
+    db = str(tmp_path / "rgdb")
+    assert main(["init", "--path", db, "--duration", "100",
+                 "--resolution", "1", "--retention", "1000",
+                 "--fields", "x,y"]) == 0
+    _out(capsys)
+    ev = str(tmp_path / "rgev.parquet")
+    spark.createDataFrame([
+        Row(ts=1, x="a", y="u", value=4.0), Row(ts=2, x="a", y="u", value=3.0),
+        Row(ts=3, x="a", y="u", value=1.0), Row(ts=5, x="a", y="u", value=9.0),
+    ]).write.parquet(ev)
+    assert main(["track", "--path", db, "--events", ev]) == 0
+    _out(capsys)
+    assert main(["rulegroup", "--path", db, "--from-ns", "0", "--to-ns", "10",
+                 "--rule", "hot_a=a,*:3:2"]) == 0
+    runs = _out(capsys)
+    assert [(r["pending_start"], r["n_slots"]) for r in runs] == [(1, 2)]
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        main(["rulegroup", "--path", db, "--from-ns", "0", "--to-ns", "10",
+              "--rule", "badspec"])
+    with _pt.raises(SystemExit):
+        main(["rulegroup", "--path", db, "--from-ns", "0", "--to-ns", "10"])
