@@ -931,6 +931,8 @@ def main(argv: list[str] | None = None) -> int:
                 d["n_dropped"] = d["n_vecs"] - d["n_kept"]
                 _emit(d)
     elif args.cmd == "rulegroup":
+        import re as _re
+
         rules = {}
         for spec in args.rule:
             if "=" not in spec:
@@ -939,16 +941,28 @@ def main(argv: list[str] | None = None) -> int:
             parts = rhs.split(":")
             if len(parts) not in (2, 3):
                 raise SystemExit(f"bad --rule (need NAME=PATTERN:THR[:FOR]): {spec}")
+            if name in rules:
+                raise SystemExit(f"duplicate rule name: {name!r}")
+            try:
+                thr = float(parts[1])
+                fs = int(parts[2]) if len(parts) == 3 else 1
+            except ValueError:
+                raise SystemExit(
+                    f"bad --rule (THRESHOLD must be a number, FOR_SLOTS an "
+                    f"integer): {spec}"
+                )
             rules[name] = {
                 "pattern": parts[0].split(","),
-                "threshold": float(parts[1]),
-                "for_slots": int(parts[2]) if len(parts) == 3 else 1,
+                "threshold": thr,
+                "for_slots": fs,
             }
         if not rules:
             raise SystemExit("rulegroup needs at least one --rule")
         db = _open(spark, args.path)
         r = db.rule_group(args.from_ns, args.to_ns, rules)
-        keys = [c for c in r.columns if c in ("query",) or c.startswith("f")]
+        # series key = the query label + the f1..fD field columns ONLY
+        # ('firing_start' also starts with 'f' — match the exact shape)
+        keys = ["query"] + [c for c in r.columns if _re.fullmatch(r"f\d+", c)]
         for row in r.orderBy(*keys, "pending_start").collect():
             _emit(row.asDict())
     return 0

@@ -712,6 +712,17 @@ class Database:
             delta.unpersist()
 
     # -- O2 Fetch ------------------------------------------------------------
+    def _epoch_bounds(self, from_ts: int, to_ts: int) -> "tuple[int, int]":
+        """[e_from, e_to] epoch range covering the half-open bucket window
+        of [from_ts, to_ts) — the single source of the flooring math all
+        three read paths (fetch / fetch_multi / rule_group) prune with."""
+        res, dur = self.params.resolution, self.params.duration
+        from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
+        to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
+        e_from = from_b - (from_b % dur)
+        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        return e_from, e_to
+
     def fetch(
         self,
         from_ts: int,
@@ -728,10 +739,7 @@ class Database:
         as metadata). ``at_gen`` pins the read to a retained snapshot (see
         ``cube``)."""
         res, dur = self.params.resolution, self.params.duration
-        from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
-        to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
-        e_from = from_b - (from_b % dur)
-        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        e_from, e_to = self._epoch_bounds(from_ts, to_ts)
         return fetch_df(
             self.cube(e_from, e_to, at_gen=at_gen, prune_pattern=pattern),
             from_ts,
@@ -758,10 +766,7 @@ class Database:
         from kadiyadb_spark.query import fetch_multi as fetch_multi_df
 
         res, dur = self.params.resolution, self.params.duration
-        from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
-        to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
-        e_from = from_b - (from_b % dur)
-        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        e_from, e_to = self._epoch_bounds(from_ts, to_ts)
         return fetch_multi_df(
             self.cube(
                 e_from, e_to, at_gen=at_gen, prune_patterns=list(patterns.values())
@@ -789,10 +794,7 @@ class Database:
         from kadiyadb_spark.query import fetch_rule_group
 
         res, dur = self.params.resolution, self.params.duration
-        from_b = max(from_ts, 0) - (max(from_ts, 0) % res)
-        to_b = max(to_ts, 0) - (max(to_ts, 0) % res)
-        e_from = from_b - (from_b % dur)
-        e_to = (to_b - res) - ((to_b - res) % dur) if to_b > from_b else e_from
+        e_from, e_to = self._epoch_bounds(from_ts, to_ts)
         return fetch_rule_group(
             self.cube(
                 e_from,

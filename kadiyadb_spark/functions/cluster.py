@@ -213,7 +213,12 @@ def semdedup_prune(
                 {"id": ids, "cluster_id": pdf["cluster_id"], "kept": [1] * len(pdf)}
             )
         v = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        # zero-norm guard (code-review r12): an all-zero embedding must not
+        # poison the bucket with NaN rows (NaN >= t is False, silently
+        # exempting it from dedup) — normalize by 1 instead, giving it
+        # cosine 0 against everything: kept, deterministically, no warning
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        vn = v / np.where(norms == 0.0, 1.0, norms)
         s = vn @ vn.T
         # dominated: some OTHER member with a LOWER id is >= threshold
         dominated = ((s >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)

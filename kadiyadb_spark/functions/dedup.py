@@ -882,7 +882,10 @@ def embedding_near_duplicates(
             return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
         ids = pdf[id_col].to_numpy()
         v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        # zero-norm guard (code-review r12): all-zero vectors get cosine 0
+        # against everything instead of NaN rows (never near-dup, no warning)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        vn = v / np.where(norms == 0.0, 1.0, norms)
         s = vn @ vn.T
         hit_r, hit_c = np.where((s >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"id_a": ids[hit_r], "id_b": ids[hit_c], "_cos": s[hit_r, hit_c]})

@@ -67,6 +67,24 @@ def url_components(
     wildcard/exception rules); pass a ``psl_table`` DataFrame for a
     complete publicsuffix.org snapshot; pass ``None`` for the
     dependency-free two-label expression fallback (zero joins)."""
+    # output names are reserved in BOTH paths (code-review r12): a kept
+    # input column named e.g. 'host' would duplicate the output column —
+    # an AMBIGUOUS_REFERENCE AnalysisException inside the join path and a
+    # silently ambiguous frame in the expression path; raise loudly like
+    # merge_asof / registrable_domain_psl do
+    base = df.columns if keep is None else keep
+    clash = {"scheme", "host", "registrable_domain", "path", "has_query"} & set(base)
+    if clash:
+        raise ValueError(
+            f"input columns collide with url_components output names: "
+            f"{sorted(clash)} (rename or pass keep= without them)"
+        )
+    if isinstance(psl, str) and psl != _DEFAULT_PSL:
+        raise ValueError(
+            f"psl must be the default sentinel, None, or a psl_table "
+            f"DataFrame — got the string {psl!r} (to use a snapshot file, "
+            f"load it: psl_table(spark, open(path).read().splitlines()))"
+        )
     scheme = F.regexp_extract(F.col(url_col), _SCHEME_RE, 1)
     # authority -> host: strip userinfo ('user:pw@') and port (':8080') so
     # census keys never split one domain across bogus variants
@@ -77,7 +95,6 @@ def url_components(
         "",
     )
     path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
-    base = df.columns if keep is None else keep
     has_query = (
         # query test on the PRE-FRAGMENT prefix: a '?' occurring only inside
         # the fragment ('https://h/p#sec?x=1') is fragment text, not a query

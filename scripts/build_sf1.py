@@ -36,6 +36,16 @@ Within-replica near-dup structure (the sf0.1 corpus's own families) is
 preserved exactly, once per replica, so total pairs and bucket sizes
 grow ~linearly (~10-12x). n_chars is recomputed.
 
+EMBEDDINGS are perturbed the same way (code-review r12: text-only
+perturbation left every vector mirrored 10x with cosine exactly 1.0 —
+the identical artifact for the embedding-dedup family): replica i>0
+blends each vector with xxhash64-keyed uniform noise scaled to the
+fixture's component std (unit-norm 64-dim, comp std 0.125). Replica 1
+uses blend a=0.05 (cos ~ 0.999 — a true semantic-dup cohort); replicas
+2-9 use a=0.80..0.94 (median cos ~ 0.27 -> 0.1, below the entries' 0.35
+near-dup range). Embedding QUERY vectors (vec_id < 16) still exist only
+in replica 0.
+
 Usage: python scripts/build_sf1.py [src_sf_dir] [dst_dir]
        (defaults /root/testdata/sf0.1 -> /root/repo/.scratch/sf1)
 """
@@ -91,6 +101,23 @@ def perturbed_text(i: int):
     return F.concat(F.array_join(edited, " "), F.lit(f" r{i}"))
 
 
+def perturbed_embedding(i: int):
+    """Replica-i embedding: v*(1-a) + a*r with r = xxhash64-keyed uniform
+    noise matched to the fixture's component std (0.125) — deterministic,
+    no RNG; cosine(v, v') calibrated per the module docstring."""
+    a = 0.05 if i == 1 else 0.80 + 0.02 * (i - 2)
+    return F.transform(
+        F.col("embedding"),
+        lambda x, j: x * F.lit(1.0 - a)
+        + F.lit(a * 0.433)
+        * (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i), j), 1000).cast("double")
+            / F.lit(1000.0)
+            - F.lit(0.5)
+        ),
+    ).cast("array<float>")
+
+
 def main(src: str, dst: str) -> None:
     spark = get_spark()
     ensure_engine_confs(spark)
@@ -106,6 +133,8 @@ def main(src: str, dst: str) -> None:
                     p = p.withColumn("text", perturbed_text(i)).withColumn(
                         "n_chars", F.length("text")
                     )
+                if table == "embeddings" and i > 0:
+                    p = p.withColumn("embedding", perturbed_embedding(i))
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
