@@ -3099,6 +3099,19 @@ def test_url_components_default_snapshot_path(spark):
     assert got[6] == "www.ck"
     assert got[7] == "example.co.uk"
     assert got[8] == "example.com"
+    import pytest as _pt
+
+    # output names are reserved in both paths (code-review r12): a kept
+    # 'host' input column used to crash the join path with an
+    # AMBIGUOUS_REFERENCE at plan time
+    clash = df.withColumnRenamed("doc_id", "host")
+    for psl_arg in (None, "default"):
+        with _pt.raises(ValueError, match="collide"):
+            url_components(clash, psl=psl_arg)
+    # only the sentinel string is accepted — a snapshot PATH must be loaded
+    # through psl_table, not passed as a string
+    with _pt.raises(ValueError, match="psl_table"):
+        url_components(df, psl="/tmp/public_suffix_list.dat")
 
 
 def test_registrable_domain_psl_full_join_path(spark):
@@ -3227,6 +3240,15 @@ def test_semdedup_prune_golden(spark):
 
     with _pt.raises(ValueError):
         semdedup_prune(df, threshold=1.5)
+    # zero-norm guard: two identical all-zero vectors are BOTH kept
+    # (cosine 0 against everything, never NaN-exempted silently)
+    zdf = spark.createDataFrame(
+        rows + [(6, [0.0, 0.0, 0.0, 0.0]), (7, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    zgot = {r["vec_id"]: r["kept"]
+            for r in semdedup_prune(zdf, k=3, iters=2, threshold=0.95).collect()}
+    assert zgot[6] == 1 and zgot[7] == 1
 
 
 def test_luhn_known_numbers(spark):
