@@ -896,3 +896,52 @@ def test_psl_default_census_is_broadcast_only(spark):
                 "CartesianProduct"):
         assert bad not in plan, bad
     assert n_shuffles(plan) <= 2  # partial+final distinct-host fold only
+
+
+def test_semdedup_one_cluster_shuffle_no_joins(spark):
+    """semdedup scale contract: exact-integer assignment rides the plan as
+    literals (no join, no Cartesian), the bucket kernel is the single
+    FlatMapGroupsInPandas over ONE cluster-keyed Exchange, and the entry's
+    census fold adds at most one more."""
+    from pyspark.sql import functions as F
+
+    from kadiyadb_spark.functions.cluster import semdedup_prune
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    flags = semdedup_prune(df, k=2, iters=1, threshold=0.95)
+    plan = plan_str(flags)
+    assert n_shuffles(plan) == 1  # the cluster_id groupBy feeding the kernel
+    assert plan.count("FlatMapGroupsInPandas") >= 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in plan, bad
+    census = flags.groupBy("cluster_id").agg(F.sum("kept").alias("n_kept"))
+    assert n_shuffles(plan_str(census)) <= 2
+
+
+def test_rule_group_store_plan_no_joins_one_window_exchange(spark, tmp_path):
+    """db.rule_group over the persisted store: rule constants ride a
+    when-chain (no join against a rules table), and the run evaluation is
+    the one series-keyed window Exchange after the breach filter plus the
+    run-groupBy that reuses its clustering."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.catalog import Params
+    from kadiyadb_spark.database import Database
+
+    db = Database.open(
+        spark, str(tmp_path / "dbrgp"),
+        Params(duration=100, resolution=1, retention=1000, fields=("x", "y")),
+    )
+    db.track(spark.createDataFrame([Row(ts=1, x="a", y="u", value=4.0)]))
+    plan = plan_str(db.rule_group(0, 10, {
+        "r1": {"pattern": ["a", "*"], "threshold": 1.0, "for_slots": 1},
+        "r2": {"pattern": ["b"], "threshold": 2.0, "for_slots": 2},
+    }))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct", "BatchEvalPython", "ArrowEval"):
+        assert bad not in plan, bad
+    assert "Window" in plan
