@@ -1037,3 +1037,74 @@ def test_p25_snapshot_diff_matches_dict_diff(spark, old_rows, new_rows):
         elif old_rows[k] != new_rows[k]:
             want[k] = "changed"
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+        min_size=3,
+        max_size=14,
+    ),
+    thr=st.sampled_from([0.7, 0.9, 0.97]),
+)
+@SETTINGS
+def test_p26_semdedup_matches_greedy_by_id_replay(spark, vecs, thr):
+    """P26: semdedup_prune's kept set equals an independent numpy replay of
+    the spec — quantized-Lloyd assignment, then within each cluster a
+    vector is dropped iff SOME lower-id member has cosine >= threshold
+    (zero-norm vectors never match anything)."""
+    import numpy as np
+
+    from kadiyadb_spark.functions.cluster import semdedup_prune
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    k = 2
+    got = {r["vec_id"]: (r["cluster_id"], r["kept"])
+           for r in semdedup_prune(
+               spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+               k=k, iters=1, threshold=thr).collect()}
+
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    C = X[:k].copy()
+    def assign(X, C):
+        t = np.floor((X[:, None, :] - C[None, :, :]) ** 2 * 1e8 + 0.5)
+        return t.sum(axis=2).argmin(axis=1)
+    a = assign(X, C)
+    for c in range(k):
+        m = X[a == c]
+        if len(m):
+            C[c] = np.floor(m * 1e6 + 0.5).sum(axis=0) / (1e6 * len(m))
+    a = assign(X, C)
+    norms = np.linalg.norm(X, axis=1)
+    vn = X / np.where(norms == 0.0, 1.0, norms)[:, None]
+    want = {}
+    for i in range(len(rows)):
+        dom = any(
+            a[j] == a[i] and float(vn[j] @ vn[i]) >= thr
+            for j in range(i)
+        )
+        want[i] = (int(a[i]), 0 if dom else 1)
+    assert got == want
+
+
+@given(
+    labels=st.lists(
+        st.sampled_from(["www", "shop", "a", "b2", "x-y"]), min_size=0, max_size=3
+    ),
+    suffix=st.sampled_from(
+        ["co.uk", "com.au", "co.jp", "com", "org", "io", "unknowntld"]
+    ),
+)
+@SETTINGS
+def test_p27_default_psl_path_is_monotone_over_subset_shapes(spark, labels, suffix):
+    """P27 (monotone-upgrade contract): for any host whose labels touch
+    only two-label-subset rules (no jp-geographic / wildcard / exception /
+    us-locality shapes), the full-snapshot DEFAULT path and the psl=None
+    expression fallback resolve the identical registrable domain."""
+    from kadiyadb_spark.functions.web import url_components
+
+    host = ".".join(labels + [suffix])
+    df = spark.createDataFrame([(0, f"https://{host}/p")], "doc_id long, url string")
+    exp = url_components(df, psl=None).collect()[0]["registrable_domain"]
+    got = url_components(df).collect()[0]["registrable_domain"]
+    assert got == exp
