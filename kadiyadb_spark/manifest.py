@@ -74,6 +74,21 @@ class GenLog:
         if at_gen is None:
             if not names:
                 return {"gen": -1}
+            # list-then-read race (code-review r12): a concurrent commit
+            # with keep=1 (expire: data deletion collapses retention) can
+            # delete names[-1] between the listing and the read even though
+            # a valid NEWER head exists — re-list and retry instead of
+            # surfacing a spurious FileNotFound. Bounded: each retry only
+            # happens when the head ADVANCED, and a vanished head with no
+            # replacement re-raises.
+            for _ in range(5):
+                try:
+                    return self.fs.read_json(HadoopFS.join(self.path, names[-1]))
+                except Exception:
+                    newer = self._names()
+                    if not newer or newer[-1] == names[-1]:
+                        raise
+                    names = newer
             return self.fs.read_json(HadoopFS.join(self.path, names[-1]))
         name = f"{self.prefix}{at_gen:012d}.json"
         if name not in names:

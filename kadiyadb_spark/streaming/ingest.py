@@ -66,9 +66,13 @@ def stream_track_raw(
         if rejects_dir is not None:
             from kadiyadb_spark.ingest import track_rejects
 
+            from kadiyadb_spark.fs import HadoopFS as _HFS
+
             track_rejects(batch, list(db.params.fields), ts_col=ts_col).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
-            ).write.mode("overwrite").parquet(f"{rejects_dir}/batch={batch_id}")
+            ).write.mode("overwrite").parquet(
+                _HFS.join(rejects_dir, f"batch={batch_id}")
+            )
         db.track_stream_batch(
             batch, batch_id, stream_id=stream_id, ts_col=ts_col, total_col=total_col, count_col=count_col
         )
@@ -194,6 +198,15 @@ def _windowed_cube_delta(
     # (index/node.go:200-214); null/unparseable event time dropped on the
     # CONVERTED expression like track_batch.
     events = validate_fields_df(events, list(p.fields)).filter(ts.isNotNull())
+    # ErrInvTime guard, same as batch track_batch (code-review r12): a
+    # negative ts here would silently land in a misaligned epoch (Spark's %
+    # rounds toward zero) that fetch's >= 0 clamp never reads — abort the
+    # query loudly instead, exactly like the batch path (a bad clock is a
+    # pipeline bug). assert_true is NULL on pass; the coalesce keeps codegen.
+    ts_ok = F.assert_true(
+        ts >= 0, F.concat(F.lit("ErrInvTime: negative timestamp "), ts.cast("string"))
+    ).cast("long")
+    ts = ts + F.coalesce(ts_ok, F.lit(0))
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (resolution >= 1us).
     evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))
@@ -250,13 +263,23 @@ def _windowed_cube_delta(
     if vdp is None:
         folds = [F.sum("_t").alias(S.TOTAL), F.sum("_c").alias(S.CNT)]
     else:
+        # SAME guarded fold as batch track_batch (code-review r12): plain
+        # sum(long) would silently stop being an exact dp-multiple past
+        # 2^53 where the batch path hard-errors — stream/batch exactness
+        # parity is the whole point of the scaled-long design
+        from kadiyadb_spark.functions.num import guarded_scaled_sum
+
         sd = float(10**vdp)
         folds = [
-            (F.sum("_t") / F.lit(sd)).cast("double").alias(S.TOTAL),
+            (guarded_scaled_sum(F.col("_t"), vdp) / F.lit(sd))
+            .cast("double")
+            .alias(S.TOTAL),
             (
-                F.sum("_c").cast("double")
+                guarded_scaled_sum(F.col("_c"), 0).cast("double")
                 if count_col is None
-                else (F.sum("_c") / F.lit(sd)).cast("double")
+                else (guarded_scaled_sum(F.col("_c"), vdp) / F.lit(sd)).cast(
+                    "double"
+                )
             ).alias(S.CNT),
         ]
     agg = exploded.groupBy(win.alias("_w"), *fcols, S.DEPTH).agg(*folds)
@@ -420,6 +443,8 @@ def stream_index_dedup(
         if batch_id <= add_hwm:
             return  # fully applied: replay is a no-op
         banded = index.banded_of(batch, text_col=text_col).persist()
+        decided = None  # bound before the try: a recovery-path failure must
+        # surface ITS error, not an UnboundLocalError from the finally
         try:
             if batch_id <= hwm:
                 # decisions committed, index feedback not marked: re-derive
@@ -454,7 +479,7 @@ def stream_index_dedup(
             m2["add_hwm"] = batch_id
             log.commit(m2, m2["gen"])
         finally:
-            if decided.is_cached:
+            if decided is not None and decided.is_cached:
                 decided.unpersist()
             banded.unpersist()
 
@@ -512,8 +537,21 @@ def compact_decisions(spark, decisions_dir: str) -> None:
         keep.update(s["ref"] for s in log.read(at_gen=g).get("segments", []))
     fs = HadoopFS(spark, decisions_dir)
     for name in fs.listdir(decisions_dir):
-        if name.startswith("seg-") and name not in keep:
-            fs.delete(HadoopFS.join(decisions_dir, name))
+        if not name.startswith("seg-") or name in keep:
+            continue
+        # Per-batch segments: GC ONLY those the fold actually covered
+        # (batch <= hi). A LIVE stream may have STAGED seg-<batch> for
+        # hwm+1 without committing yet — the quiescence check above cannot
+        # see pre-commit staging, and deleting it would lose that batch's
+        # audit record the moment its manifest commit lands (code-review
+        # r12). Old folded segments (seg-folded-*) have no staging race —
+        # folds only exist at commit time — so unreferenced ones delete as
+        # before; other unparseable seg- names are left alone.
+        if not name.startswith("seg-folded-"):
+            tail = name[len("seg-"):]
+            if not tail.isdigit() or int(tail) > hi:
+                continue
+        fs.delete(HadoopFS.join(decisions_dir, name))
 
 
 def read_decisions(spark, decisions_dir: str, at_gen: int | None = None) -> DataFrame:

@@ -90,9 +90,18 @@ def _session_fn(gap_ns: int):
             if n > 0 and ts - last > gap_ns:
                 closed.append((start, last, n, vsum))
                 start, n, vsum = ts, 0, 0.0
+            # an in-watermark straggler from a LATER micro-batch may predate
+            # the open session's first seen event — session_start must move
+            # down with it (code-review r12; within-batch rows are sorted,
+            # so this only fires across batches)
+            start = min(start, ts)
             last = max(last, ts)
             n += 1
-            vsum += float(value)
+            # SQL sum semantics: a NULL value contributes nothing (it must
+            # not NaN-poison the running sum) while n_events still counts
+            # the row — matches the batch path's F.sum/F.count split
+            if pd.notna(value):
+                vsum += float(value)
         state.update((start, last, n, vsum))
         # Event-time closure for the open session: fire when the watermark
         # passes session_end + gap. Spark requires the timeout to sit above

@@ -115,3 +115,104 @@ def test_stream_sessionize_drops_late_events(spark, tmp_path):
         # user 9's first session closed by its second event (data path)
         (9, BASE + 100 * SEC): (BASE + 100 * SEC, 1, 1.0),
     }
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the session kernel directly
+    (the kernel is pure python+pandas — cross-batch shapes that are awkward
+    to stage through real micro-batches pin deterministically here)."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def test_session_kernel_in_watermark_straggler_lowers_start_and_skips_null_values():
+    """code-review r12 regressions: (a) an in-watermark event from a LATER
+    micro-batch that predates the open session's first seen event must
+    lower session_start; (b) a NULL value must not NaN-poison value_sum
+    (SQL sum semantics) while n_events still counts the row."""
+    import pandas as pd
+
+    from kadiyadb_spark.streaming.stateful import _session_fn
+
+    fn = _session_fn(gap_ns=100)
+    # batch 1: event at ts=1000
+    st = _FakeState()
+    list(fn((7,), iter([pd.DataFrame({"ts": [1000], "value": [2.0]})]), st))
+    assert st.get == (1000, 1000, 1, 2.0)
+    # batch 2: straggler at ts=950 (within watermark, in-gap) + a NULL value
+    list(
+        fn(
+            (7,),
+            iter([pd.DataFrame({"ts": [950, 1050], "value": [3.0, None]})]),
+            st,
+        )
+    )
+    start, last, n, vsum = st.get
+    assert start == 950          # lowered by the straggler (was stuck at 1000)
+    assert last == 1050
+    assert n == 3
+    assert vsum == 5.0           # 2.0 + 3.0; the NULL contributed nothing
+    assert vsum == vsum          # not NaN
+
+
+def test_compact_decisions_spares_staged_uncommitted_segment(spark, tmp_path):
+    """code-review r12: a LIVE stream may have STAGED seg-<batch> for the
+    next batch without committing its manifest yet — compaction's GC must
+    spare it (quiescence checks can't see pre-commit staging), while still
+    folding and GC'ing the committed per-batch segments."""
+    from kadiyadb_spark.fs import HadoopFS
+    from kadiyadb_spark.manifest import GenLog
+    from kadiyadb_spark.streaming.ingest import compact_decisions, read_decisions
+
+    d = str(tmp_path / "dec")
+    log = GenLog(spark, d)
+    for b in (0, 1):
+        ref = f"seg-{b:012d}"
+        spark.createDataFrame(
+            [(b * 10, 1, b)], "doc_id long, accepted long, batch_id long"
+        ).write.mode("overwrite").parquet(HadoopFS.join(d, ref))
+        m = log.read()
+        m["segments"] = [*m.get("segments", []), {"batch": b, "ref": ref}]
+        m["hwm"] = b
+        m["add_hwm"] = b
+        log.commit(m, m["gen"])
+    # a crashed/in-flight batch 2: staged, NOT in any manifest
+    staged = "seg-000000000002"
+    spark.createDataFrame(
+        [(99, 1, 2)], "doc_id long, accepted long, batch_id long"
+    ).write.mode("overwrite").parquet(HadoopFS.join(d, staged))
+
+    compact_decisions(spark, d)
+
+    fs = HadoopFS(spark, d)
+    names = set(fs.listdir(d))
+    assert staged in names, "staged (uncommitted) segment must survive GC"
+    # (seg-0/seg-1 remain on disk here: GenLog keep=3 retains the pre-fold
+    # manifests that still reference them — the pinned-read contract)
+    # committed view folds to the 2 committed rows; staged stays invisible
+    assert read_decisions(spark, d).count() == 2
