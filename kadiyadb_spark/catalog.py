@@ -89,6 +89,14 @@ class Params:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Params":
+        # a non-object top level (list/string) passes `n in d` by substring/
+        # element membership and then dies in d[n] with a TypeError that
+        # escapes load_all's skip-with-warning net (code-review r12)
+        if not isinstance(d, dict):
+            raise ValueError(
+                f"params must be a JSON object, got {type(d).__name__}"
+            )
+
         def pick(*names, default=None):
             for n in names:
                 if n in d:

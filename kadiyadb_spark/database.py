@@ -174,6 +174,13 @@ class Database:
             m = self._genlog.read()
             if int(m.get("gen", -1)) == -1:
                 return {"gen": -1, "segments": {}, "hwm": {}, "stats": {}}
+        elif at_gen == -1:
+            # -1 IS the empty-cube generation current_gen() hands out, and
+            # consumers feed it back (changes(gen0), create_view /
+            # create_rule_group_view on a fresh store) — resolve it to the
+            # empty manifest instead of a spurious not-retained ValueError
+            # (code-review r12)
+            return {"gen": -1, "segments": {}, "hwm": {}, "stats": {}}
         else:
             # raises ValueError("generation N not retained ...") on an
             # unretained pin, including the empty-cube case
@@ -201,7 +208,32 @@ class Database:
             # de-referenced segments are dropped here.
             "stats": {r: v for r, v in m.get("stats", {}).items() if r in live},
         }
+        # Rotation GC (code-review r12): _gc keeps any ref a RETAINED
+        # manifest still references, and GenLog rotation deletes only the
+        # JSON — so a segment de-referenced at commit g used to stay on
+        # disk FOREVER once manifests g-1/g-2 rotated out (only vacuum()
+        # reclaimed it; an update-mode merge_replace-per-batch stream would
+        # leak unboundedly). Collect the refs whose LAST retaining
+        # manifests rotate out at THIS commit, then delete the subset no
+        # surviving manifest references. A crash between the commit and the
+        # deletes leaves orphans — vacuum's job — never dangling refs.
+        doomed: set[str] = set()
+        retained = self._genlog.retained()
+        n_keep_old = max(keep - 1, 0)
+        drop = retained if n_keep_old == 0 else retained[:-n_keep_old]
+        for g in drop:
+            try:
+                old = self._genlog.read(at_gen=g)
+            except ValueError:
+                continue
+            doomed.update(
+                r for refs in old.get("segments", {}).values() for r in refs
+            )
         self._genlog.commit(body, prev_gen, keep=keep)
+        if doomed:
+            still_live = self._live_refs() | live
+            for ref in doomed - still_live:
+                self.fs.delete(HadoopFS.join(self.cube_path, ref))
 
     def _write_segment(
         self,
@@ -363,7 +395,24 @@ class Database:
                         import re as _re
 
                         rx = _re.compile(val.pattern)
-                        if not any(rx.fullmatch(x) for x in vals):
+
+                        def _jmatch(x: str) -> bool:
+                            # mirror Java's anchored rlike exactly: its '$'
+                            # ALSO matches just before one FINAL line
+                            # terminator, which re.fullmatch does not — a
+                            # divergence that would wrongly SKIP a segment
+                            # the JVM filter matches (code-review r12)
+                            if rx.fullmatch(x):
+                                return True
+                            if x.endswith("\r\n") and rx.fullmatch(x[:-2]):
+                                return True
+                            return bool(
+                                x
+                                and x[-1] in "\n\r\x85\u2028\u2029"
+                                and rx.fullmatch(x[:-1])
+                            )
+
+                        if not any(_jmatch(x) for x in vals):
                             return False
                         continue
                     want = val if isinstance(val, tuple) else (val,)
@@ -480,6 +529,13 @@ class Database:
         paths = self._segment_paths(
             m, want, prune_pattern=prune_pattern, prune_any=prune_patterns
         )
+        return self._read_fold(paths)
+
+    def _read_fold(self, paths: "list[str]") -> DataFrame:
+        """Read segment paths and fold to one row per cube key — the single
+        source of the cast/fold contract shared by ``cube`` and ``changes``
+        (the 'cube(g0) plus changes(g0) equals cube()' invariant depends on
+        both using the identical fold; code-review r12)."""
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
         if not paths:
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
@@ -543,19 +599,7 @@ class Database:
                 "incremental read unavailable — refresh from cube()"
             )
         added = sorted(new_refs - old_refs)
-        cols = [f.name for f in S.cube_schema(self.max_depth).fields]
-        if not added:
-            return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
-        df = self.spark.read.parquet(*[HadoopFS.join(self.cube_path, r) for r in added])
-        df = df.select(
-            *[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))]
-        )
-        keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
-        return (
-            df.groupBy(*keys)
-            .agg(*fold_aggs(self.params.value_dp))
-            .select(*cols)
-        )
+        return self._read_fold([HadoopFS.join(self.cube_path, r) for r in added])
 
     # -- O1 Track (micro-batch) ---------------------------------------------
     def track(self, events: DataFrame, ts_col: str = "ts", total_col: str = "value", count_col: str | None = None) -> None:
@@ -738,6 +782,12 @@ class Database:
         reference's index Find narrowing the read to matching series, done
         as metadata). ``at_gen`` pins the read to a retained snapshot (see
         ``cube``)."""
+        from kadiyadb_spark.query import compile_pattern
+
+        # validate BEFORE manifest pruning touches the pattern: an illegal
+        # level must raise compile_pattern's descriptive error, not an
+        # opaque TypeError from _preds (code-review r12)
+        compile_pattern(pattern)
         res, dur = self.params.resolution, self.params.duration
         e_from, e_to = self._epoch_bounds(from_ts, to_ts)
         return fetch_df(
@@ -763,8 +813,11 @@ class Database:
         at least one pattern's stats evidence keeps it, so the batch scans
         exactly the segments the individual fetches would have touched,
         once. Sparse output with a leading ``query`` label."""
+        from kadiyadb_spark.query import compile_pattern
         from kadiyadb_spark.query import fetch_multi as fetch_multi_df
 
+        for p in patterns.values():  # validate before pruning (see fetch)
+            compile_pattern(p)
         res, dur = self.params.resolution, self.params.duration
         e_from, e_to = self._epoch_bounds(from_ts, to_ts)
         return fetch_multi_df(
@@ -791,8 +844,10 @@ class Database:
         epoch range from [from_ts, to_ts) plus UNION-form dimension-stats
         skipping across the rules' patterns (a segment is read iff at
         least one rule's evidence keeps it)."""
-        from kadiyadb_spark.query import fetch_rule_group
+        from kadiyadb_spark.query import compile_pattern, fetch_rule_group
 
+        for r in rules.values():  # validate before pruning (see fetch)
+            compile_pattern(r["pattern"])
         res, dur = self.params.resolution, self.params.duration
         e_from, e_to = self._epoch_bounds(from_ts, to_ts)
         return fetch_rule_group(
@@ -1164,6 +1219,19 @@ class Database:
         dst = Database.open(self.spark, dst_path, self.params)
         if dst._manifest_names():
             raise ValueError(f"clone target {dst_path} already has commits")
+        # a PRIOR clone that crashed mid-copy leaves segment dirs with no
+        # manifest; retrying over them silently NESTS directories
+        # (FileUtil.copy copies INTO an existing destination dir:
+        # epoch_p=E/epoch_p=E) and then commits a manifest over the corrupt
+        # layout — refuse loudly instead (code-review r12)
+        segs_root = HadoopFS.join(dst.cube_path, "segs")
+        leftover = dst.fs.listdir(segs_root) if dst.fs.exists(segs_root) else []
+        if leftover:
+            raise ValueError(
+                f"clone target {dst_path} holds {len(leftover)} segment "
+                f"dir(s) but no manifest — a prior clone crashed mid-copy; "
+                f"delete the target and retry"
+            )
         for refs in m["segments"].values():
             for ref in refs:
                 self.fs.copy(

@@ -879,3 +879,97 @@ def test_forget_is_atomic_snapshot_swap(spark, tmp_path):
     assert old.filter("f2 = 'u1'").count() == 1
     new = db.cube()
     assert new.filter("f2 = 'u1'").count() == 0
+
+
+def test_empty_db_gen_minus_one_paths(spark, tmp_path):
+    """code-review r12: current_gen() hands out -1 on an empty cube and
+    consumers feed it back — create_view / create_rule_group_view on a
+    fresh store and changes(-1) must resolve to the EMPTY manifest, not a
+    'generation -1 not retained' ValueError."""
+    db = Database.open(spark, str(tmp_path / "empty"), P)
+    assert db.current_gen() == -1
+    db.create_view("kdb_empty_v")
+    assert spark.sql("SELECT count(*) n FROM kdb_empty_v").collect()[0]["n"] == 0
+    db.create_rule_group_view(
+        "kdb_empty_rg", 0, 10, {"r": {"pattern": ["a", "*"], "threshold": 1.0}}
+    )
+    assert spark.sql("SELECT count(*) n FROM kdb_empty_rg").collect()[0]["n"] == 0
+    g0 = db.current_gen()
+    db.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    # the consumer recorded gen=-1 before the first ingest: changes(-1) is
+    # exactly the first batch
+    delta = db.changes(g0)
+    assert delta.filter("depth = 2").count() == 1
+
+
+def test_fetch_illegal_pattern_raises_before_pruning(spark, tmp_path):
+    """code-review r12: pattern validation must run BEFORE manifest
+    pruning — an illegal level raises the descriptive ValueError, never
+    _preds' opaque TypeError."""
+    db = Database.open(spark, str(tmp_path / "valf"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    with pytest.raises(ValueError, match="illegal query field value"):
+        db.fetch(0, 10, ["a", 42])
+    with pytest.raises(ValueError, match="illegal query field value"):
+        db.fetch_multi(0, 10, {"q": ["a", 42]})
+    with pytest.raises(ValueError, match="illegal query field value"):
+        db.rule_group(0, 10, {"r": {"pattern": ["a", 42], "threshold": 1.0}})
+
+
+def test_clone_refuses_partial_target(spark, tmp_path):
+    """code-review r12: a prior clone that crashed mid-copy left segment
+    dirs with no manifest; retrying over them would NEST directories
+    (FileUtil.copy copies INTO an existing dst) — the retry must refuse."""
+    src = Database.open(spark, str(tmp_path / "csrc"), P)
+    src.track(_events(spark, [(0, "a", "b", 5.0)]), total_col="v")
+    dst_path = str(tmp_path / "cdst")
+    # simulate the torn first attempt: params + one copied segment dir,
+    # no manifest
+    ref = next(iter(src._manifest()["segments"].values()))[0]
+    dst_stub = Database.open(spark, dst_path, P)
+    src.fs.copy(
+        HadoopFS.join(src.cube_path, ref), HadoopFS.join(dst_stub.cube_path, ref)
+    )
+    with pytest.raises(ValueError, match="crashed mid-copy"):
+        src.clone(dst_path)
+
+
+def test_rotation_gc_reclaims_dereferenced_segments(spark, tmp_path):
+    """code-review r12: a segment de-referenced by compact stays on disk
+    while retained manifests reference it (pinned reads), and is DELETED
+    once its last retaining manifest rotates out — previously nothing but
+    vacuum() ever reclaimed it (unbounded leak under per-batch
+    merge_replace/compact cadences)."""
+    db = Database.open(spark, str(tmp_path / "rot"), P)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    old_refs = [r for refs in db._manifest()["segments"].values() for r in refs]
+    db.track(_events(spark, [(1, "a", "b", 2.0)]), total_col="v")
+    db.compact()  # folds, de-references the two track segments
+    for r in old_refs:  # retained manifests still pin them
+        assert db.fs.exists(HadoopFS.join(db.cube_path, r)), r
+    # two more commits rotate the pre-compact manifests out (keep=3)
+    db.track(_events(spark, [(2, "a", "b", 3.0)]), total_col="v")
+    db.track(_events(spark, [(3, "a", "b", 4.0)]), total_col="v")
+    for r in old_refs:
+        assert not db.fs.exists(HadoopFS.join(db.cube_path, r)), (
+            f"{r} leaked past its last retaining manifest"
+        )
+    # the data itself is intact through the folds
+    assert _pts(db.fetch(0, 5, ["a", "b"], densify=False)) == [
+        (0, ("a", "b"), 0, 1.0, 1.0),
+        (0, ("a", "b"), 1, 2.0, 1.0),
+        (0, ("a", "b"), 2, 3.0, 1.0),
+        (0, ("a", "b"), 3, 4.0, 1.0),
+    ]
+
+
+def test_re_prune_matches_java_line_terminator_dollar(spark, tmp_path):
+    """code-review r12: Java's anchored rlike '$' also matches just before
+    one FINAL line terminator; the Python stats-prune replay must not skip
+    a segment the JVM filter would keep for a value like 'abc\\n'."""
+    from kadiyadb_spark.query import Re
+
+    db = Database.open(spark, str(tmp_path / "relt"), P)
+    db.track(_events(spark, [(0, "abc\n", "u", 7.0)]), total_col="v")
+    got = db.fetch(0, 5, [Re("abc"), "*"], densify=False).collect()
+    assert len(got) >= 1 and got[0]["total"] == 7.0
