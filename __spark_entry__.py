@@ -2009,6 +2009,8 @@ def q_track_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long"))
         .otherwise(F.col("user_id"))
         .alias("user_id"),
+        "value",  # clean in the fixture; r12's illegal_value reasons fire
+        # only on poison rows (pytest-pinned separately)
     )
     return track_rejects(dirty, ["event_type", "user_id"], ts_col="ts").select(
         "event_id", "reject_reason"

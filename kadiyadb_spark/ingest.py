@@ -39,14 +39,36 @@ def epoch_expr(bucket: Column, duration: int) -> Column:
     return (bucket - (bucket % F.lit(duration))).cast("long")
 
 
+def field_illegal(c: Column) -> Column:
+    """THE per-field legality rule (null / "" / "*", index/node.go:200-214)
+    — single source shared by the drop path (validate_fields_df) and its
+    observability twin (track_rejects), so the pytest-pinned complement
+    invariant cannot drift between two hand-inverted copies (code-review
+    r12)."""
+    return c.isNull() | c.isin(*ILLEGAL_FIELD_VALUES)
+
+
+def value_illegal(c: Column, value_dp: int | None) -> Column:
+    """Poison-value rule for total/count columns (code-review r12): NULL
+    (would half-count — cnt increments, total contributes nothing, and an
+    all-null group stores a schema-violating NULL total), NaN/±Inf (under
+    ANSI the scaled cast ABORTS the whole job — one poison row must not
+    kill a 100 TB ingest), and, on the scaled-long grid, magnitudes whose
+    scaled form cannot fit a long (same abort)."""
+    c = c.cast("double")
+    bad = c.isNull() | F.isnan(c) | (F.abs(c) == float("inf"))
+    if value_dp is not None:
+        bad = bad | (F.abs(c) > F.lit(9.2e18 / 10**value_dp))
+    return bad
+
+
 def validate_fields_df(df: DataFrame, fields: list[str]) -> DataFrame:
     """Reject rows carrying illegal stored field values ("" / "*" / null),
     mirroring index/node.go:200-214. Returns the filtered DataFrame; callers
     that want hard failure can compare counts."""
     cond = F.lit(True)
     for f in fields:
-        c = F.col(f).cast("string")
-        cond = cond & c.isNotNull() & ~c.isin(*ILLEGAL_FIELD_VALUES)
+        cond = cond & ~field_illegal(F.col(f).cast("string"))
     return df.filter(cond)
 
 
@@ -100,6 +122,12 @@ def track_batch(
         raise ValueError("need at least one field column")
     if validate:
         df = validate_fields_df(df, fields)
+        # poison-value rows reject like illegal fields (code-review r12):
+        # NULL half-counts, NaN/Inf/out-of-grid aborts the scaled cast —
+        # track_rejects surfaces them with per-reason labels
+        df = df.filter(~value_illegal(F.col(total_col), value_dp))
+        if count_col is not None:
+            df = df.filter(~value_illegal(F.col(count_col), value_dp))
 
     # Event-time boundary: accept long-ns, TIMESTAMP, TIMESTAMP_NTZ, DATE or
     # ISO string input and emit long-ns (schema.ts_ns_expr) — the engine
@@ -234,6 +262,10 @@ def track_rejects(
     df: DataFrame,
     fields: list[str],
     ts_col: str = "ts",
+    total_col: str = "value",
+    count_col: str | None = None,
+    value_dp: int | None = 4,
+    validate: bool = True,
 ) -> DataFrame:
     """DEAD-LETTER view of a track batch: exactly the rows ``track_batch``
     would silently drop, each with a ``reject_reason`` — the observability
@@ -246,6 +278,17 @@ def track_rejects(
                               normalizes bad ISO strings to null)
       - ``illegal_field:<f>`` the reference's forbidden stored values
                               (""/"*", index/node.go:200-214) or null
+      - ``illegal_value:<c>`` poison total/count: NULL (would half-count),
+                              NaN/±Inf, or off the scaled-long grid
+                              (would abort the ANSI cast) — code-review
+                              r12, same rule as track_batch's filter
+
+    ``validate``/``total_col``/``count_col``/``value_dp`` MUST mirror the
+    ``track_batch`` call this feed shadows: with ``validate=False``
+    track_batch aggregates illegal-field and poison-value rows instead of
+    dropping them, so only ``null_ts`` rows reject — passing the caller's
+    flag keeps the complement exact (previously a validate=False pipeline
+    double-counted every illegal row into BOTH feeds).
 
     The complement invariant — rejects + rows track_batch aggregates =
     the input, with no overlap — is pytest-pinned. Pure map-side filter:
@@ -254,13 +297,27 @@ def track_rejects(
     n = len(fields)
     if n == 0:
         raise ValueError("need at least one field column")
+    if validate and total_col not in df.columns:
+        raise ValueError(
+            f"track_rejects needs the {total_col!r} column its track_batch "
+            f"twin aggregates (pass total_col=, or validate=False)"
+        )
     tsn = S.ts_ns_expr(df.schema[ts_col].dataType, ts_col)
     reason = F.when(tsn.isNull(), F.lit("null_ts"))
-    for f in fields:
-        c = F.col(f).cast("string")
+    if validate:
+        for f in fields:
+            reason = reason.when(
+                field_illegal(F.col(f).cast("string")), F.lit(f"illegal_field:{f}")
+            )
         reason = reason.when(
-            c.isNull() | c.isin(*ILLEGAL_FIELD_VALUES), F.lit(f"illegal_field:{f}")
+            value_illegal(F.col(total_col), value_dp),
+            F.lit(f"illegal_value:{total_col}"),
         )
+        if count_col is not None:
+            reason = reason.when(
+                value_illegal(F.col(count_col), value_dp),
+                F.lit(f"illegal_value:{count_col}"),
+            )
     return df.withColumn("reject_reason", reason).filter(
         F.col("reject_reason").isNotNull()
     )

@@ -153,6 +153,30 @@ def ts_range_pred(
 
         lo_lit = None if lo_ns is None else us_lit(lo_ns)
         hi_lit = None if hi_ns is None else us_lit(hi_ns)
+    elif isinstance(dtype, T.DateType):
+        # normalized DATE = UTC midnight -> ns = days * 86400e9; ns in
+        # [lo, hi) is days in [ceil(lo/day), ceil(hi/day)) — exact day
+        # literals, still a bare pushdown comparison (code-review r12:
+        # DATE ingests through ts_ns_expr, so fetches must not crash on it)
+        day_ns = 86_400 * 10**9
+
+        def day_lit(ns: int) -> Column:
+            return F.date_from_unix_date(F.lit(-(-int(ns) // day_ns)))
+
+        lo_lit = None if lo_ns is None else day_lit(lo_ns)
+        hi_lit = None if hi_ns is None else day_lit(hi_ns)
+    elif isinstance(dtype, T.StringType):
+        # ISO strings have no comparable typed literal — degrade to the
+        # CORRECT non-pushdown predicate on the converted expression (a
+        # full scan beats the previous hard TypeError on a source type
+        # ts_ns_expr advertises as ingestable; code-review r12)
+        conv = ts_ns_expr(dtype, c)
+        pred = F.lit(True)
+        if lo_ns is not None:
+            pred = pred & (conv >= F.lit(int(lo_ns)))
+        if hi_ns is not None:
+            pred = pred & (conv < F.lit(int(hi_ns)))
+        return pred
     else:
         raise TypeError(
             f"cannot build a pushdown time-range over type {dtype.simpleString()}"

@@ -68,7 +68,14 @@ def stream_track_raw(
 
             from kadiyadb_spark.fs import HadoopFS as _HFS
 
-            track_rejects(batch, list(db.params.fields), ts_col=ts_col).withColumn(
+            track_rejects(
+                batch,
+                list(db.params.fields),
+                ts_col=ts_col,
+                total_col=total_col,
+                count_col=count_col,
+                value_dp=db.params.value_dp,
+            ).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
             ).write.mode("overwrite").parquet(
                 _HFS.join(rejects_dir, f"batch={batch_id}")
@@ -198,6 +205,13 @@ def _windowed_cube_delta(
     # (index/node.go:200-214); null/unparseable event time dropped on the
     # CONVERTED expression like track_batch.
     events = validate_fields_df(events, list(p.fields)).filter(ts.isNotNull())
+    # poison-value rows reject exactly like the batch path (code-review
+    # r12): NULL half-counts, NaN/Inf/off-grid aborts the scaled cast
+    from kadiyadb_spark.ingest import value_illegal
+
+    events = events.filter(~value_illegal(F.col(total_col), p.value_dp))
+    if count_col is not None:
+        events = events.filter(~value_illegal(F.col(count_col), p.value_dp))
     # ErrInvTime guard, same as batch track_batch (code-review r12): a
     # negative ts here would silently land in a misaligned epoch (Spark's %
     # rounds toward zero) that fetch's >= 0 clamp never reads — abort the

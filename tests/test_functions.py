@@ -3439,3 +3439,30 @@ def test_dq_expect_rejects_non_identifier_check_names(spark):
     for reserved in ("check", "n_rows", "_n"):
         with _pt.raises(ValueError):
             expect(df, {reserved: F.col("k").isNotNull()})
+
+
+def test_ts_range_pred_date_and_string_sources(spark):
+    """code-review r12: DATE gets exact day-literal pushdown bounds and
+    ISO strings degrade to a correct (non-pushdown) converted predicate —
+    both were hard TypeErrors on source types ts_ns_expr ingests."""
+    import datetime
+
+    from kadiyadb_spark.schema import ts_range_pred
+
+    DAY = 86_400 * 10**9
+    ddf = spark.createDataFrame(
+        [(0, datetime.date(1970, 1, 1)), (1, datetime.date(1970, 1, 2)),
+         (2, datetime.date(1970, 1, 3))],
+        "id long, ts date",
+    )
+    pred = ts_range_pred(ddf.schema["ts"].dataType, "ts", DAY, 3 * DAY)
+    assert {r["id"] for r in ddf.filter(pred).collect()} == {1, 2}
+    # mid-day lower bound: day 0 excluded (its midnight < lo), day 1 in
+    pred2 = ts_range_pred(ddf.schema["ts"].dataType, "ts", DAY // 2, None)
+    assert {r["id"] for r in ddf.filter(pred2).collect()} == {1, 2}
+    sdf = spark.createDataFrame(
+        [(0, "1970-01-01T00:00:00"), (1, "1970-01-02T00:00:00")],
+        "id long, ts string",
+    )
+    spred = ts_range_pred(sdf.schema["ts"].dataType, "ts", DAY, None)
+    assert {r["id"] for r in sdf.filter(spred).collect()} == {1}

@@ -1266,30 +1266,56 @@ def test_track_rejects_complement_invariant(spark):
         (2, 5, "*", "u1", 1.0),           # illegal f1
         (3, 5, "click", None, 1.0),       # null f2
         (4, 5, "", "u1", 1.0),            # empty f1
+        # poison values (code-review r12): each must REJECT, never
+        # half-count (NULL) or abort the ANSI scaled cast (NaN/Inf/huge)
+        (5, 5, "click", "u1", None),      # null value
+        (6, 5, "click", "u1", float("nan")),
+        (7, 5, "click", "u1", float("inf")),
+        (8, 5, "click", "u1", 1e18),      # off the dp=4 scaled-long grid
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts long, x string, y string, v double"
     )
     rej = {
         r.event_id: r.reject_reason
-        for r in track_rejects(df, ["x", "y"], ts_col="ts").collect()
+        for r in track_rejects(df, ["x", "y"], ts_col="ts", total_col="v").collect()
     }
     assert rej == {
         1: "null_ts",
         2: "illegal_field:x",
         3: "illegal_field:y",
         4: "illegal_field:x",
+        5: "illegal_value:v",
+        6: "illegal_value:v",
+        7: "illegal_value:v",
+        8: "illegal_value:v",
     }
     cube = track_batch(df, fields=["x", "y"], ts_col="ts", total_col="v",
                        resolution=1, duration=5)
     # only the clean row survives into the cube: depth-2 count sums to 1
+    # (the NaN row would previously have KILLED this job; the null-value
+    # row would have half-counted into cnt)
     full_depth = [r for r in cube.collect() if r.depth == 2]
     assert sum(r.cnt for r in full_depth) == 1
+    assert sum(r.total for r in full_depth) == 1.0
 
     import pytest as _pt
 
     with _pt.raises(ValueError):
         track_rejects(df, [], ts_col="ts")
+    # the shadow must see the column its track_batch twin aggregates
+    with _pt.raises(ValueError, match="total_col"):
+        track_rejects(df.drop("v"), ["x", "y"], ts_col="ts", total_col="v")
+    # validate=False mirrors track_batch(validate=False): only null_ts
+    # rejects — illegal fields/values are (wrongly but consistently)
+    # aggregated, so they must NOT double-count into the dead-letter feed
+    rej_nv = {
+        r.event_id: r.reject_reason
+        for r in track_rejects(
+            df, ["x", "y"], ts_col="ts", total_col="v", validate=False
+        ).collect()
+    }
+    assert rej_nv == {1: "null_ts"}
 
 
 def test_series_outlier_fences_golden(spark):
