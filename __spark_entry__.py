@@ -5283,62 +5283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so a freshly-dropped untracked artifact cannot redden the suite) and
     # tests/test_entry_rotation.py asserts list(queries()) equals it with
     # ZERO per-round constants. Rotation history r02-r10: see git log of
-    # this docstring; r12 cap = the 21 r06-aged entries + the r07 head,
-    # exactly VERDICT r11 item 2.
+    # this docstring; r13 cap = the 10 remaining r07 entries + the 31-entry
+    # r08 block + the r09 head, exactly VERDICT r12 item 3.
     return {
-        # -- last driver-green r06 --
-        "mixture_temperature": q_mixture_temperature,
-        "null_semantics": q_null_semantics,
-        "percentiles": q_percentiles,
-        "pii_redact": q_pii_redact,
-        "profile_columns": q_profile_columns,
-        "q18_large_orders": q18_large_orders,
-        "range_join_counts": q_range_join_counts,
-        "rollup_read_equivalence": q_rollup_read_equivalence,
-        "semi_join": q_semi_join,
-        "sessionize": q_sessionize,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "streaming_agg": q_streaming_agg,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_index_dedup": q_streaming_index_dedup,
-        "streaming_ingest": q_streaming_ingest,
-        "streaming_sessionize": q_streaming_sessionize,
-        "text_decontaminate": q_text_decontaminate,
-        "text_repetition": q_text_repetition,
-        "track_cube": q_track_cube,
         # -- last driver-green r07 --
-        "array_collect": q_array_collect,
-        "bpe_tokenize": q_bpe_tokenize,
-        "bpe_train": q_bpe_train,
-        "cross_source_dups": q_cross_source_dups,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "embedding_stats": q_embedding_stats,
-        "explode_tokens": q_explode_tokens,
-        "fetch_in": q_fetch_in,
-        "fetch_interpolate": q_fetch_interpolate,
-        "fetch_offset": q_fetch_offset,
-        "fetch_rate": q_fetch_rate,
-        "fetch_ratio": q_fetch_ratio,
-        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
-        "fetch_smooth": q_fetch_smooth,
-        "fetch_sum_by": q_fetch_sum_by,
-        "fetch_topk_series": q_fetch_topk_series,
-        "hll_distinct_rollup": q_hll_distinct_rollup,
-        "json_extract": q_json_extract,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_png_real": q_multimodal_png_real,
-        "multimodal_wav_real": q_multimodal_wav_real,
-        "orc_source_agg": q_orc_source_agg,
-        "pipeline_mix": q_pipeline_mix,
-        "pipeline_quality": q_pipeline_quality,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_relation": q16_supplier_relation,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "quality_model": q_quality_model,
-        "rag_hashed_retrieval": q_rag_hashed_retrieval,
-        # -- end of the 50-entry r12 cap; staleness queue below --
         "rollup_cascade": q_rollup_cascade,
         "sample_token_budget": q_sample_token_budget,
         "set_ops": q_set_ops,
@@ -5534,7 +5482,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_winnow": q_text_winnow,
         "unigram_lm": q_unigram_lm,
-        # -- never driver-gated (borns; evidence = local all-entry oracle runs) --
+        # -- last driver-green r12 --
+        "array_collect": q_array_collect,
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_train": q_bpe_train,
+        "cross_source_dups": q_cross_source_dups,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "embedding_stats": q_embedding_stats,
+        "explode_tokens": q_explode_tokens,
+        "fetch_in": q_fetch_in,
+        "fetch_interpolate": q_fetch_interpolate,
+        "fetch_offset": q_fetch_offset,
+        "fetch_rate": q_fetch_rate,
+        "fetch_ratio": q_fetch_ratio,
+        "fetch_ratio_wildcard": q_fetch_ratio_wildcard,
+        "fetch_smooth": q_fetch_smooth,
+        "fetch_sum_by": q_fetch_sum_by,
+        "fetch_topk_series": q_fetch_topk_series,
+        "hll_distinct_rollup": q_hll_distinct_rollup,
+        "json_extract": q_json_extract,
+        "mixture_temperature": q_mixture_temperature,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_png_real": q_multimodal_png_real,
+        "multimodal_wav_real": q_multimodal_wav_real,
+        "null_semantics": q_null_semantics,
+        "orc_source_agg": q_orc_source_agg,
+        "percentiles": q_percentiles,
+        "pii_redact": q_pii_redact,
+        "pipeline_mix": q_pipeline_mix,
+        "pipeline_quality": q_pipeline_quality,
+        "profile_columns": q_profile_columns,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_relation": q16_supplier_relation,
+        "q18_large_orders": q18_large_orders,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "quality_model": q_quality_model,
+        "rag_hashed_retrieval": q_rag_hashed_retrieval,
+        "range_join_counts": q_range_join_counts,
+        "rollup_read_equivalence": q_rollup_read_equivalence,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "streaming_agg": q_streaming_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_index_dedup": q_streaming_index_dedup,
+        "streaming_ingest": q_streaming_ingest,
+        "streaming_sessionize": q_streaming_sessionize,
+        "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
+        "track_cube": q_track_cube,
+        # -- born (never driver-gated) --
         "dq_expectations": q_dq_expectations,
         "embedding_kmeans": q_embedding_kmeans,
         "fetch_backtest": q_fetch_backtest,
