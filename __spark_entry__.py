@@ -864,17 +864,60 @@ def q_streaming_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(c, ["total"])
 
 
+def _stage_sessionize_batches(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """Two ORDERED micro-batch files that exercise cross-batch STRAGGLERS
+    (VERDICT r12 item 1): batch a = events older than T_c = max_ts - 4h,
+    MINUS a wide straggler stripe; batch b = that stripe plus the tail.
+    With watermark_delay = 24h every stripe event is admitted in batch b
+    (stripe_lo = M0 - 23h sits 1h above batch a's closing watermark
+    M0 - 24h, where M0 = batch a's max ts), and at sf0.01 the stripe holds
+    15 SUPER-GAP stragglers — in-watermark events more than one gap OLDER
+    than their user's open-session start — the exact shape the pre-r13
+    single-tuple kernel fused across a silent hole. Batch order is pinned
+    by mtime (the file source sorts by modification time) and by name."""
+    import os
+    import shutil
+    import time
+
+    from kadiyadb_spark.schema import ts_ns_expr
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsn = ts_ns_expr(raw.schema["ts"].dataType, "ts")
+    hour = 3600 * SEC
+    mx = raw.agg(F.max(tsn)).collect()[0][0]
+    tc = mx - 4 * hour
+    m0 = raw.filter(tsn < tc).agg(F.max(tsn)).collect()[0][0]
+    lo, hi = m0 - 23 * hour, m0 - 45 * 60 * SEC
+    is_stripe = (tsn >= lo) & (tsn < hi)
+    os.makedirs(f"{tmp}/events", exist_ok=True)
+    now = time.time()
+    for name, part, age in (
+        ("a", raw.filter((tsn < tc) & ~is_stripe), 60.0),
+        ("b", raw.filter((tsn >= tc) | is_stripe), 0.0),
+    ):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (pf,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+        dst = f"{tmp}/events/{name}.parquet"
+        shutil.copy(f"{stage}/{pf}", dst)
+        os.utime(dst, (now - age, now - age))
+        shutil.rmtree(stage)
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
     EventTimeTimeout) gated by a REAL oracle: the emitted session set is a
-    deterministic function of event time alone. A session is emitted either
-    when a later event of its user arrives past the gap (data path) or when
-    the WATERMARK passes session_end + gap (timeout path, fired in the
-    final no-data micro-batch before availableNow terminates). The oracle
-    is the batch gaps-and-islands sessionization minus only the sessions
-    whose timeout the final watermark (= max event time, delay 0) has not
-    passed — each user's last island IF it ends within one gap of the
-    stream's maximum timestamp."""
+    deterministic function of event time alone. State per user is the
+    sorted gap-separated ISLANDS of its admitted events, so arrival order
+    cannot change them, and an island is emitted exactly when the WATERMARK
+    passes island_end + gap (timeout path; the final no-data micro-batch
+    before availableNow terminates fires the rest). The fixture stages TWO
+    micro-batches whose second delivers in-watermark stragglers — 15 of
+    them (at sf0.01) more than one gap older than their user's open
+    session, which must surface as their OWN sessions (VERDICT r12 item 1).
+    The oracle is the batch gaps-and-islands sessionization minus only the
+    islands whose timeout the final watermark (max event time - 24h delay)
+    has not passed."""
     import os
     import shutil
     import tempfile
@@ -883,11 +926,17 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sess_entry_")
-    _stage_stream_events(sf_dir, tmp)
-    evs = _events_stream(spark, f"{tmp}/events", f"{sf_dir}/events.parquet")
+    _stage_sessionize_batches(spark, sf_dir, tmp)
+    actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    evs = (
+        spark.readStream.schema(actual)
+        .option("maxFilesPerTrigger", 1)  # one staged file per micro-batch
+        .parquet(f"{tmp}/events")
+    )
+    evs = normalize_ts(evs, "ts")
     # µs precision for oracle comparability (see q_asof_join)
     evs = evs.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
-    sessions = stream_sessionize(evs, gap_ns=30 * 60 * SEC)
+    sessions = stream_sessionize(evs, gap_ns=30 * 60 * SEC, watermark_delay="24 hours")
     q = (
         sessions.writeStream.format("parquet")
         .option("path", f"{tmp}/out")

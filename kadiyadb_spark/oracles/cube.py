@@ -176,10 +176,16 @@ GROUP BY l.user_id
 """
 
     # Closed sessions only: the batch gaps-and-islands sessionization minus
-    # each user's LAST island (still open in state when the source drains).
-    # The kernel sorts by ts alone; ts ties land in one session either way,
-    # so no event_id tiebreak is needed for any output column.
+    # the islands whose end+gap the FINAL watermark (max event time minus
+    # the 24h delay, at the engine's ms resolution) has not passed — those
+    # stay open in state when the source drains. The island-state kernel
+    # reconstructs exactly the batch islands regardless of arrival order
+    # (the fixture's straggler batch included), so admission is total and
+    # no per-batch modeling is needed here. The kernel sorts by ts alone;
+    # ts ties land in one session either way, so no event_id tiebreak is
+    # needed for any output column.
     gap = 30 * 60 * SEC
+    delay_ms = 24 * 3600 * 1000
     o["streaming_sessionize"] = f"""
 WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events),
 flagged AS (
@@ -198,13 +204,11 @@ agg AS (
          count(*) AS n_events, sum(value) AS vsum
   FROM sess GROUP BY user_id, sid
 ),
-last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id),
 mx AS (SELECT max(ts) AS max_ts FROM ev)
 SELECT a.user_id, a.session_start, a.session_end, a.n_events,
        floor(a.vsum * 10000 + 0.5) / 10000 AS value_sum
-FROM agg a JOIN last l ON a.user_id = l.user_id, mx
-WHERE a.sid < l.last_sid
-   OR (a.session_end + {gap}) // 1000000 < mx.max_ts // 1000000
+FROM agg a, mx
+WHERE (a.session_end + {gap}) // 1000000 < mx.max_ts // 1000000 - {delay_ms}
 """
 
     # O11: only rows in epochs >= the cutoff survive an expire. The entry

@@ -4,21 +4,36 @@ The reference has no streaming constructs at all (SURVEY §2: ingestion is
 synchronous RPC-style Track calls); these are the Spark-native stateful
 operators a metrics/training pipeline layers on top of the event stream.
 
-- ``stream_sessionize``: per-user session assembly with an inactivity gap —
-  the canonical custom-state example. State per user = (session start, last
-  event ts, event count, value sum). A session closes on the DATA path when
-  a later event of the same user arrives past the gap, and on the WATERMARK
-  path (event-time timeout) when the watermark passes session_end + gap — so
-  closure is decided entirely by event time, never wall clock. A stalled or
-  slow source cannot close sessions early, and a drained source flushes
-  exactly the sessions whose gap the data itself has passed: output is a
-  deterministic function of the input events.
+- ``stream_sessionize``: per-user session assembly with an inactivity gap.
+  State per user = the SORTED, gap-separated ISLANDS of that user's events
+  seen so far (VERDICT r12 item 1: a single open-session tuple cannot
+  represent an in-watermark straggler that predates the open session by
+  more than the gap — ``start = min(start, ts)`` silently fused two
+  sessions across a super-gap hole). Each island is (start, last, n_events,
+  value_sum, n_nonnull_values); new batch events enter as single-event
+  islands and one sorted merge pass restores the invariant, so the state's
+  islands are EXACTLY the batch gaps-and-islands sessionization of every
+  admitted event — arrival order cannot change them.
+
+  Emission is purely watermark-driven: an island is emitted when the
+  watermark passes island_end + gap, because only then can no future
+  admitted event (all have ts >= watermark) extend OR bridge it — from
+  above (ts <= end + gap) or from below (ts in [start - gap, start)).
+  Closing any earlier — e.g. the data-path "a later event past the gap
+  closes the previous session" rule of the pre-r13 kernel — is unsound
+  whenever watermark_delay > gap: a still-admissible straggler could merge
+  into the already-emitted island. Output therefore equals the batch
+  sessionization restricted to islands whose timeout the final watermark
+  passed: a deterministic function of the input events and batch
+  boundaries, never wall clock.
 
 Scale notes: state is keyed by user and lives in the state store (RocksDB
 on a real cluster); each micro-batch touches only keys present in the batch
-plus watermark-expired keys. The Arrow boundary batches whole key-groups, so
-the Python kernel sees one pandas frame per user per batch — vectorized,
-never row-at-a-time.
+plus watermark-expired keys. Per-key state is O(#open islands), which the
+watermark sweep bounds to islands younger than (watermark - gap) — under a
+delay-D watermark at most ceil(D / gap) + 1 islands. The Arrow boundary
+batches whole key-groups, so the Python kernel sees one pandas frame per
+user per batch — vectorized, never row-at-a-time.
 """
 
 from __future__ import annotations
@@ -43,12 +58,17 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+# Parallel arrays, one slot per open island, sorted by start ascending and
+# gap-separated (starts[i] > lasts[i-1] + gap). nvs counts NON-NULL values
+# per island so an all-NULL island can emit value_sum = NULL (batch F.sum
+# parity — ADVICE r12) instead of 0.0.
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start", T.LongType()),
-        T.StructField("last", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("vsum", T.DoubleType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("vsums", T.ArrayType(T.DoubleType())),
+        T.StructField("nvs", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -58,65 +78,80 @@ def _session_fn(gap_ns: int):
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            # Watermark passed session_end + gap: the open session is closed
-            # BY EVENT TIME — no later event can extend it (any in-gap event
-            # would be behind the watermark, i.e. dropped as late anyway).
-            start, last, n, vsum = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [start],
-                    "session_end": [last],
-                    "n_events": [n],
-                    "value_sum": [vsum],
-                }
-            )
-            return
-
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        closed: list[tuple[int, int, int, float]] = []
+        # islands: list of [start, last, n, vsum, n_nonnull], sorted by start
+        islands: list[list] = []
         if state.exists:
-            start, last, n, vsum = state.get
-        else:
-            # Column-first indexing: rows.iloc[0]["ts"] would select the ROW
-            # first, coercing int64 ts into the row's common float64 dtype
-            # and corrupting ns timestamps (53-bit mantissa).
-            start = last = int(rows["ts"].iloc[0])
-            n, vsum = 0, 0.0
-        for ts, value in zip(rows["ts"], rows["value"]):
-            ts = int(ts)
-            if n > 0 and ts - last > gap_ns:
-                closed.append((start, last, n, vsum))
-                start, n, vsum = ts, 0, 0.0
-            # an in-watermark straggler from a LATER micro-batch may predate
-            # the open session's first seen event — session_start must move
-            # down with it (code-review r12; within-batch rows are sorted,
-            # so this only fires across batches)
-            start = min(start, ts)
-            last = max(last, ts)
-            n += 1
-            # SQL sum semantics: a NULL value contributes nothing (it must
-            # not NaN-poison the running sum) while n_events still counts
-            # the row — matches the batch path's F.sum/F.count split
-            if pd.notna(value):
-                vsum += float(value)
-        state.update((start, last, n, vsum))
-        # Event-time closure for the open session: fire when the watermark
-        # passes session_end + gap. Spark requires the timeout to sit above
-        # the current watermark; the max() guard covers a batch whose events
-        # were already close to it (fires on the next watermark advance).
-        timeout_ms = (last + gap_ns) // 1_000_000
-        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
-        if closed:
+            starts, lasts, ns_, vsums, nvs = state.get
+            islands = [list(t) for t in zip(starts, lasts, ns_, vsums, nvs)]
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            for ts, value in zip(rows["ts"], rows["value"]):
+                # int() per element: rows.iloc[k]["ts"] row-first indexing
+                # would coerce int64 ts into float64 and corrupt ns
+                # timestamps (53-bit mantissa) — keep column-first access.
+                ts = int(ts)
+                nn = 0 if pd.isna(value) else 1
+                islands.append([ts, ts, 1, float(value) if nn else 0.0, nn])
+            # One sorted merge pass restores the gap-separated invariant.
+            # State islands are already disjoint; event islands are points;
+            # a point can bridge two state islands — the linear fold merges
+            # chains of any length.
+            islands.sort(key=lambda i: (i[0], i[1]))
+            merged: list[list] = []
+            for isl in islands:
+                if merged and isl[0] <= merged[-1][1] + gap_ns:
+                    m = merged[-1]
+                    m[1] = max(m[1], isl[1])
+                    m[2] += isl[2]
+                    m[3] += isl[3]
+                    m[4] += isl[4]
+                else:
+                    merged.append(isl)
+            islands = merged
+
+        # Watermark sweep (both data and timeout paths): an island whose
+        # end + gap the watermark has passed can never change again — emit
+        # and drop it. Millisecond truncation matches the engine's watermark
+        # resolution (setTimeoutTimestamp takes ms; timeout fires when
+        # watermark_ms exceeds it strictly).
+        wm_ms = state.getCurrentWatermarkMs()
+        emit = [i for i in islands if (i[1] + gap_ns) // 1_000_000 < wm_ms]
+        keep = [i for i in islands if (i[1] + gap_ns) // 1_000_000 >= wm_ms]
+
+        if keep:
+            state.update(
+                (
+                    [i[0] for i in keep],
+                    [i[1] for i in keep],
+                    [i[2] for i in keep],
+                    [i[3] for i in keep],
+                    [i[4] for i in keep],
+                )
+            )
+            # Re-arm for the EARLIEST open island's closure. Spark requires
+            # the timeout to sit above the current watermark; the max()
+            # guard fires it on the next watermark advance.
+            timeout_ms = min((i[1] + gap_ns) // 1_000_000 for i in keep)
+            state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if emit:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [c[0] for c in closed],
-                    "session_end": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
-                    "value_sum": [c[3] for c in closed],
+                    "user_id": [user_id] * len(emit),
+                    "session_start": [i[0] for i in emit],
+                    "session_end": [i[1] for i in emit],
+                    "n_events": [i[2] for i in emit],
+                    # SQL sum semantics: all-NULL group sums to NULL, and a
+                    # NULL value must not NaN-poison the running sum while
+                    # n_events still counts the row (batch F.sum/F.count
+                    # split). dtype=object keeps None as a true null through
+                    # the Arrow boundary (float64 would smuggle it as NaN).
+                    "value_sum": pd.Series(
+                        [i[3] if i[4] > 0 else None for i in emit], dtype=object
+                    ),
                 }
             )
 
@@ -138,7 +173,11 @@ def stream_sessionize(
 
     ``watermark_delay`` is the out-of-orderness bound: events later than the
     watermark are dropped by the engine before they can reopen a closed
-    session, which is exactly what makes the timeout sound."""
+    session, which is exactly what makes the timeout sound. With
+    ``watermark_delay`` larger than the gap, an admitted straggler may
+    predate the open session by more than the gap — the island state keeps
+    it a SEPARATE session (see module docstring) instead of fusing the two
+    across a silent hole."""
     from pyspark.sql import functions as F
 
     from kadiyadb_spark.schema import ts_ns_expr, ts_us_expr

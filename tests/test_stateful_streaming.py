@@ -2,10 +2,10 @@
 event-time session assembly with inactivity gaps, across micro-batches.
 
 With GroupStateTimeout.EventTimeTimeout the emitted session set is a
-DETERMINISTIC function of the events: a session closes either when a later
-event of the same user arrives past the gap (data path) or when the
-watermark passes session_end + gap (timeout path). Wall-clock speed of the
-host can no longer change the output."""
+DETERMINISTIC function of the events: a session (island) is emitted exactly
+when the watermark passes session_end + gap — only then can no admitted
+future event extend or bridge it. Wall-clock speed of the host can no
+longer change the output."""
 
 from pyspark.sql import Row
 from pyspark.sql import types as T
@@ -79,8 +79,8 @@ def test_stream_sessionize_event_time_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {
-        # closed on the data path: batch2's event arrived past the gap and
-        # opened a NEW session (the late-data island split)
+        # batch2's event arrived past the gap and opened a NEW island;
+        # the final watermark (BASE+210s) passed this one's end+GAP
         (1, BASE): (BASE + 10 * SEC, 2, 3.0),
         # closed by the WATERMARK (BASE+210s) passing end+GAP = BASE+65s
         (2, BASE + 5 * SEC): (BASE + 5 * SEC, 1, 7.0),
@@ -112,7 +112,8 @@ def test_stream_sessionize_drops_late_events(spark, tmp_path):
     }
     assert got == {
         (1, BASE): (BASE, 1, 1.0),  # timeout-closed in run 1's no-data batch
-        # user 9's first session closed by its second event (data path)
+        # user 9's first island: run 2's final watermark (BASE+300s)
+        # passed its end+GAP (BASE+160s)
         (9, BASE + 100 * SEC): (BASE + 100 * SEC, 1, 1.0),
     }
 
@@ -122,11 +123,12 @@ class _FakeState:
     (the kernel is pure python+pandas — cross-batch shapes that are awkward
     to stage through real micro-batches pin deterministically here)."""
 
-    def __init__(self, value=None):
+    def __init__(self, value=None, watermark_ms=0):
         self._v = value
         self.hasTimedOut = False
         self.removed = False
         self.timeout_ms = None
+        self.watermark_ms = watermark_ms
 
     @property
     def exists(self):
@@ -147,14 +149,20 @@ class _FakeState:
         self.timeout_ms = ms
 
     def getCurrentWatermarkMs(self):
-        return 0
+        return self.watermark_ms
 
 
-def test_session_kernel_in_watermark_straggler_lowers_start_and_skips_null_values():
+def _islands(st):
+    """State arrays -> list of (start, last, n, vsum, n_nonnull) tuples."""
+    return list(zip(*st.get))
+
+
+def test_session_kernel_in_gap_straggler_lowers_start_and_skips_null_values():
     """code-review r12 regressions: (a) an in-watermark event from a LATER
-    micro-batch that predates the open session's first seen event must
-    lower session_start; (b) a NULL value must not NaN-poison value_sum
-    (SQL sum semantics) while n_events still counts the row."""
+    micro-batch that predates the open session's first seen event by LESS
+    than the gap must lower session_start (one island); (b) a NULL value
+    must not NaN-poison value_sum (SQL sum semantics) while n_events still
+    counts the row."""
     import pandas as pd
 
     from kadiyadb_spark.streaming.stateful import _session_fn
@@ -163,7 +171,7 @@ def test_session_kernel_in_watermark_straggler_lowers_start_and_skips_null_value
     # batch 1: event at ts=1000
     st = _FakeState()
     list(fn((7,), iter([pd.DataFrame({"ts": [1000], "value": [2.0]})]), st))
-    assert st.get == (1000, 1000, 1, 2.0)
+    assert _islands(st) == [(1000, 1000, 1, 2.0, 1)]
     # batch 2: straggler at ts=950 (within watermark, in-gap) + a NULL value
     list(
         fn(
@@ -172,12 +180,137 @@ def test_session_kernel_in_watermark_straggler_lowers_start_and_skips_null_value
             st,
         )
     )
-    start, last, n, vsum = st.get
+    ((start, last, n, vsum, nn),) = _islands(st)
     assert start == 950          # lowered by the straggler (was stuck at 1000)
     assert last == 1050
     assert n == 3
     assert vsum == 5.0           # 2.0 + 3.0; the NULL contributed nothing
+    assert nn == 2
     assert vsum == vsum          # not NaN
+
+
+def test_session_kernel_super_gap_straggler_opens_own_island():
+    """VERDICT r12 item 1: with watermark_delay > gap, a cross-batch
+    in-watermark straggler with ts < session_start - gap must become its
+    OWN island — the pre-r13 kernel's ``start = min(start, ts)`` fused the
+    two into one session spanning a silent super-gap hole."""
+    import pandas as pd
+
+    from kadiyadb_spark.streaming.stateful import _session_fn
+
+    GAP = 30 * 60 * SEC
+    fn = _session_fn(gap_ns=GAP)
+    t10 = BASE + 2 * 3600 * SEC  # "10:00" session opener
+    t08 = BASE                   # "08:00" straggler, 2h earlier (>> gap)
+    st = _FakeState()
+    # batch 1 opens the 10:00 session
+    list(fn((1,), iter([pd.DataFrame({"ts": [t10], "value": [1.0]})]), st))
+    # batch 2 delivers the in-watermark 08:00 straggler (delay > gap)
+    list(fn((1,), iter([pd.DataFrame({"ts": [t08], "value": [2.0]})]), st))
+    assert _islands(st) == [
+        (t08, t08, 1, 2.0, 1),   # the straggler's own island
+        (t10, t10, 1, 1.0, 1),   # the open session, NOT stretched down
+    ]
+    # the re-armed timeout targets the EARLIEST island's closure
+    assert st.timeout_ms == (t08 + GAP) // 1_000_000
+
+    # watermark passes the straggler island's end+gap but not the session's:
+    # only the straggler island is emitted, as its own session
+    st2 = _FakeState(st.get, watermark_ms=(t08 + GAP) // 1_000_000 + 1)
+    st2.hasTimedOut = True
+    out = list(fn((1,), iter([]), st2))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["session_start"], row["session_end"], row["n_events"]) == (
+        t08, t08, 1,
+    )
+    assert _islands(st2) == [(t10, t10, 1, 1.0, 1)]
+
+
+def test_session_kernel_point_bridges_two_islands():
+    """An admitted event landing within the gap of BOTH neighbours merges
+    the two islands into one (the sorted fold must chain-merge)."""
+    import pandas as pd
+
+    from kadiyadb_spark.streaming.stateful import _session_fn
+
+    fn = _session_fn(gap_ns=100)
+    st = _FakeState(([1000, 1180], [1000, 1200], [1, 2], [1.0, 5.0], [1, 2]))
+    list(fn((1,), iter([pd.DataFrame({"ts": [1090], "value": [None]})]), st))
+    assert _islands(st) == [(1000, 1200, 4, 6.0, 3)]
+
+
+def test_session_kernel_all_null_island_emits_null_value_sum():
+    """Batch F.sum parity (ADVICE r12): an island whose every value is NULL
+    emits value_sum = NULL, not 0.0."""
+    import pandas as pd
+
+    from kadiyadb_spark.streaming.stateful import _session_fn
+
+    fn = _session_fn(gap_ns=100)
+    st = _FakeState()
+    list(
+        fn(
+            (1,),
+            iter([pd.DataFrame({"ts": [1000, 1010], "value": [None, None]})]),
+            st,
+        )
+    )
+    st.hasTimedOut = True
+    st.watermark_ms = (1010 + 100) // 1_000_000 + 1
+    out = list(fn((1,), iter([]), st))
+    row = out[0].iloc[0]
+    assert row["n_events"] == 2
+    assert row["value_sum"] is None
+    assert st.removed
+
+
+def test_stream_sessionize_super_gap_straggler_two_sessions(spark, tmp_path):
+    """End-to-end through real micro-batches and the Arrow state boundary:
+    watermark_delay (2h) > gap (30min); batch 2's straggler predates the
+    open session by 2h and must surface as its OWN session once the
+    watermark passes it — not fuse into one session with a 2h hole."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    GAP = 30 * 60 * SEC
+    HOUR = 3600 * SEC
+
+    # straggler 1min ABOVE the exact watermark (t10 - 2h): admission must
+    # not ride the engine's late-row boundary comparison
+    t08, t10 = BASE + 60 * SEC, BASE + 2 * HOUR
+    _write(spark, src, [(t10, 1, 1.0)])
+
+    def _run2(batch_path_rows=None):
+        if batch_path_rows:
+            _write(spark, src, batch_path_rows)
+        q = (
+            stream_sessionize(
+                spark.readStream.schema(SRC_SCHEMA).parquet(src),
+                gap_ns=GAP,
+                watermark_delay="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run2()
+    # batch 2: the 08:01 straggler (admitted: wm = 10:00 - 2h = 08:00) plus
+    # a far-future event to push the final watermark past both islands
+    _run2([(t08, 1, 5.0), (BASE + 10 * HOUR, 9, 1.0)])
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.value_sum)
+        for r in spark.read.schema(SESSION_SCHEMA).parquet(out).collect()
+    }
+    assert got == {
+        (1, t08): (t08, 1, 5.0),   # the straggler's own session
+        (1, t10): (t10, 1, 1.0),   # the original session, hole-free
+    }
 
 
 def test_compact_decisions_spares_staged_uncommitted_segment(spark, tmp_path):
