@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kadiyadb_spark import schema as S
-from kadiyadb_spark.functions.num import guarded_scaled_sum
+from kadiyadb_spark.functions.num import FOLD_EXACT_BOUND, guarded_scaled_sum
 
 # Values the reference forbids as stored field values (index/node.go:200-214).
 ILLEGAL_FIELD_VALUES = ("", "*")
@@ -54,11 +54,18 @@ def value_illegal(c: Column, value_dp: int | None) -> Column:
     all-null group stores a schema-violating NULL total), NaN/±Inf (under
     ANSI the scaled cast ABORTS the whole job — one poison row must not
     kill a 100 TB ingest), and, on the scaled-long grid, magnitudes whose
-    scaled form cannot fit a long (same abort)."""
+    scaled form exceeds the EXACT-FOLD bound 2^53 (VERDICT r12 item 2: the
+    r12 bound was long-cast safety, 9.2e18/10^dp, which left a ~1000x band
+    of values that validated cleanly and then aborted the whole job inside
+    ``guarded_scaled_sum`` — the exact one-poison-row failure this rule
+    exists to close). A single validated row now survives every exact fold
+    by construction; only a GROUP whose combined total passes 2^53 can
+    still abort, which is the documented fold-overflow contract (split the
+    group or lower value_dp), not a data-quality case."""
     c = c.cast("double")
     bad = c.isNull() | F.isnan(c) | (F.abs(c) == float("inf"))
     if value_dp is not None:
-        bad = bad | (F.abs(c) > F.lit(9.2e18 / 10**value_dp))
+        bad = bad | (F.abs(c) > F.lit(FOLD_EXACT_BOUND / 10**value_dp))
     return bad
 
 
@@ -103,9 +110,11 @@ def track_batch(
     round4'd total (the r06 ``pipeline_quality`` gate class). Inputs with
     MORE than ``dp`` true decimals are quantized at ingest — pass
     ``value_dp=None`` for the reference's raw float64 accumulation
-    (epoch/epoch.go:66-80 semantics, order-dependent). Long bound at dp=4:
-    |v| <= 1e5 leaves ~9e9 rows per (series, slot) before overflow; beyond
-    that scale, switch the callsite to decimal(38, dp).
+    (epoch/epoch.go:66-80 semantics, order-dependent). Counts quantize and
+    fold at dp=0 (integers, like the reference's Point.Count) — the full
+    2^53 exact-fold headroom. Exact-fold bound at dp=4: |v| <= 1e5 leaves
+    ~9e6 rows per (series, slot) before the 2^53 guard trips; beyond that
+    scale, lower value_dp or switch the callsite to decimal(38, dp).
 
     ``validate=True`` (the default, matching the reference's UNCONDITIONAL
     write-path rejection of ""/"*" values, index/node.go:200-214) drops rows
@@ -127,7 +136,11 @@ def track_batch(
         # track_rejects surfaces them with per-reason labels
         df = df.filter(~value_illegal(F.col(total_col), value_dp))
         if count_col is not None:
-            df = df.filter(~value_illegal(F.col(count_col), value_dp))
+            # counts are INTEGERS (reference Point.Count, block/blockrw.go)
+            # and fold at dp=0, so their grid bound is 2^53 flat
+            df = df.filter(
+                ~value_illegal(F.col(count_col), 0 if value_dp is not None else None)
+            )
 
     # Event-time boundary: accept long-ns, TIMESTAMP, TIMESTAMP_NTZ, DATE or
     # ISO string input and emit long-ns (schema.ts_ns_expr) — the engine
@@ -154,10 +167,15 @@ def track_batch(
     else:
         s = 10**value_dp
         total = F.round(F.col(total_col).cast("double") * s).cast("long")
+        # counts quantize at dp=0 (integers, like the reference's
+        # Point.Count) — VERDICT r12 item 2: scaling them by 10^dp burned
+        # 10^dp of the 2^53 exact-fold headroom for nothing, so a group
+        # with cnt past 2^53/10^dp ingested cleanly and aborted at its
+        # first compact/merge re-fold
         cnt = (
             F.lit(1).cast("long")
             if count_col is None
-            else F.round(F.col(count_col).cast("double") * s).cast("long")
+            else F.round(F.col(count_col).cast("double")).cast("long")
         )
 
     src = [F.col(f).cast("string") for f in fields]
@@ -206,16 +224,10 @@ def track_batch(
                     )
                     .cast("double")
                     .alias(S.TOTAL),
-                    # count_col=None pre-scales _c to plain long 1s; scaled
-                    # counts divide back like totals.
-                    (
-                        guarded_scaled_sum(F.col("_c"), 0).cast("double")
-                        if count_col is None
-                        else (
-                            guarded_scaled_sum(F.col("_c"), value_dp)
-                            / F.lit(float(10**value_dp))
-                        ).cast("double")
-                    ).alias(S.CNT),
+                    # counts are plain longs at dp=0 either way (1s for
+                    # count_col=None, round(count) otherwise) — full 2^53
+                    # headroom, no divide-back
+                    guarded_scaled_sum(F.col("_c"), 0).cast("double").alias(S.CNT),
                 ]
             )
         )
@@ -235,7 +247,11 @@ def fold_aggs(value_dp: int | None):
 
     return [
         exact_fold_expr(F.col(S.TOTAL), value_dp).alias(S.TOTAL),
-        exact_fold_expr(F.col(S.CNT), value_dp).alias(S.CNT),
+        # counts are INTEGER doubles (ingest quantizes at dp=0), so they
+        # re-fold at dp=0 — re-folding at value_dp burned 10^dp of the 2^53
+        # guard headroom, aborting compact/merge for groups whose cnt had
+        # ingested cleanly (VERDICT r12 item 2 / SURVEY §19.4 defer)
+        exact_fold_expr(F.col(S.CNT), 0).alias(S.CNT),
     ]
 
 
@@ -314,8 +330,9 @@ def track_rejects(
             F.lit(f"illegal_value:{total_col}"),
         )
         if count_col is not None:
+            # same dp=0 count bound as track_batch's filter
             reason = reason.when(
-                value_illegal(F.col(count_col), value_dp),
+                value_illegal(F.col(count_col), 0 if value_dp is not None else None),
                 F.lit(f"illegal_value:{count_col}"),
             )
     return df.withColumn("reject_reason", reason).filter(

@@ -694,7 +694,7 @@ WITH base AS (
 )
 SELECT f1, f2, bucket - bucket % {10 * RES} AS bucket,
        floor((sum(CAST(round((total) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS total,
-       floor((sum(CAST(round((cnt) * 10000) AS BIGINT)) / 10000.0) * 10000 + 0.5) / 10000 AS cnt,
+       floor((CAST(sum(CAST(round(cnt) AS BIGINT)) AS BIGINT) / 1.0) * 10000 + 0.5) / 10000 AS cnt,
        floor((min(total)) * 10000 + 0.5) / 10000 AS min_total,
        floor((max(total)) * 10000 + 0.5) / 10000 AS max_total,
        CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_observed

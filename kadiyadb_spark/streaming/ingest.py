@@ -211,7 +211,10 @@ def _windowed_cube_delta(
 
     events = events.filter(~value_illegal(F.col(total_col), p.value_dp))
     if count_col is not None:
-        events = events.filter(~value_illegal(F.col(count_col), p.value_dp))
+        # counts validate at dp=0, mirroring the batch path (integers)
+        events = events.filter(
+            ~value_illegal(F.col(count_col), 0 if p.value_dp is not None else None)
+        )
     # ErrInvTime guard, same as batch track_batch (code-review r12): a
     # negative ts here would silently land in a misaligned epoch (Spark's %
     # rounds toward zero) that fetch's >= 0 clamp never reads — abort the
@@ -246,10 +249,12 @@ def _windowed_cube_delta(
     else:
         s = 10**vdp
         tot = F.round(F.col(total_col).cast("double") * s).cast("long")
+        # counts quantize at dp=0 like the batch path (integers; full 2^53
+        # fold headroom) — VERDICT r12 item 2
         cnt = (
             F.lit(1).cast("long")
             if count_col is None
-            else F.round(F.col(count_col).cast("double") * s).cast("long")
+            else F.round(F.col(count_col).cast("double")).cast("long")
         )
     src = [F.col(f).cast("string") for f in p.fields]
 
@@ -288,13 +293,8 @@ def _windowed_cube_delta(
             (guarded_scaled_sum(F.col("_t"), vdp) / F.lit(sd))
             .cast("double")
             .alias(S.TOTAL),
-            (
-                guarded_scaled_sum(F.col("_c"), 0).cast("double")
-                if count_col is None
-                else (guarded_scaled_sum(F.col("_c"), vdp) / F.lit(sd)).cast(
-                    "double"
-                )
-            ).alias(S.CNT),
+            # counts fold at dp=0 either way (batch-path parity)
+            guarded_scaled_sum(F.col("_c"), 0).cast("double").alias(S.CNT),
         ]
     agg = exploded.groupBy(win.alias("_w"), *fcols, S.DEPTH).agg(*folds)
     return agg.select(

@@ -1318,6 +1318,61 @@ def test_track_rejects_complement_invariant(spark):
     assert rej_nv == {1: "null_ts"}
 
 
+def test_poison_band_closed_and_high_cnt_refolds(spark):
+    """VERDICT r12 item 2 — the guard-vs-fold bound mismatch, both halves.
+
+    (a) value_illegal's grid bound is now the EXACT-FOLD bound 2^53/10^dp,
+    not long-cast safety 9.2e18/10^dp: a single row in the old ~1000x band
+    (validates, then aborts guarded_scaled_sum) must land in track_rejects
+    and be dropped by track_batch — never abort the job. A row just below
+    the bound must still ingest exactly.
+
+    (b) counts quantize AND re-fold at dp=0: a group whose cnt sits in
+    (2^53/10^4, 2^53) — impossible to exceed via count_col=None in a test,
+    so staged directly as a stored-cube row — must round-trip a
+    merge_increment re-fold instead of aborting, and a large count_col
+    ingests cleanly."""
+    from kadiyadb_spark.ingest import merge_increment, track_batch, track_rejects
+
+    BOUND = (1 << 53) / 10**4  # 900_719_925_474.0992
+
+    rows = [
+        (0, 0, "click", 1.0),      # clean
+        (1, 1, "click", 9.0e11),   # below the exact-fold bound: ingests
+        (2, 2, "click", 9.2e14),   # OLD band: validated, then fold-aborted
+        (3, 3, "click", 9.1e11),   # just past the new bound: rejected
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts long, x string, v double")
+    rej = {
+        r.event_id: r.reject_reason
+        for r in track_rejects(df, ["x"], ts_col="ts", total_col="v").collect()
+    }
+    assert rej == {2: "illegal_value:v", 3: "illegal_value:v"}
+    cube = track_batch(df, fields=["x"], ts_col="ts", total_col="v",
+                       resolution=1, duration=10)
+    got = {r.bucket: (r.total, r.cnt) for r in cube.collect()}
+    # the one-poison-row job abort is gone; in-bound rows are exact
+    assert got == {0: (1.0, 1.0), 1: (9.0e11, 1.0)}
+    assert 9.0e11 < BOUND < 9.1e11
+
+    # (b) stored cnt in the old abort band re-folds exactly at dp=0
+    cube_hi = spark.createDataFrame(
+        [(0, 0, "click", 1, 5.0, 1.0e12), (0, 0, "click", 1, 7.0, 2.0e12)],
+        "epoch long, bucket long, f1 string, depth long, total double, cnt double",
+    )
+    merged = merge_increment(cube_hi, cube_hi.limit(0), max_depth=1).collect()
+    assert [(r.total, r.cnt) for r in merged] == [(12.0, 3.0e12)]
+
+    # a large integer count_col ingests at dp=0 (old: x10^4 scaling tripped
+    # the 2^53 guard at ingest)
+    big = spark.createDataFrame(
+        [(0, "click", 2.0, 3.0e12)], "ts long, x string, v double, c double"
+    )
+    c = track_batch(big, fields=["x"], ts_col="ts", total_col="v",
+                    count_col="c", resolution=1, duration=10).collect()
+    assert [(r.total, r.cnt) for r in c] == [(2.0, 3.0e12)]
+
+
 def test_series_outlier_fences_golden(spark):
     """4-slot baseline [10,12,14,16]: type-7 Q1=11.5, Q3=14.5, IQR=3 ->
     fences 7.0 / 19.0; a 20 breaches, a 15 does not; partial windows stay
