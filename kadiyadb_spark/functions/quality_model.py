@@ -103,6 +103,138 @@ def score_quality(
     )
 
 
+def train_quality_centroid(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 512,
+) -> dict:
+    """CLOSED-FORM centroid quality model (Rocchio/nearest-centroid over
+    hashed-BOW counts): the class-1 and class-0 "centroids" are the exact
+    INTEGER per-bucket token-count sums over each class's documents — no
+    iterations, no RNG, no FP accumulation, so the whole fit is replayable
+    bit-for-bit by a SQL engine (two grouped integer sums). This is the
+    value-hash-certifiable sibling of ``train_quality_model`` (VERDICT r12
+    item 4): the LBFGS trainer stays the production scorer (smooth
+    probabilities for threshold sweeps), while this fit carries the
+    driver's cross-engine oracle gate for the distillation pipeline shape.
+
+    Scale: ONE (label, bucket)-keyed integer aggregation over the train
+    split (map-side combined), then a driver collect of <= 2*dim longs —
+    KBs. Exactness bound: per-bucket sums and their squares stay exact
+    integers in the engines' 64-bit/HUGEINT aggregates; the norm conversion
+    int->double is correctly rounded identically everywhere.
+
+    Returns {"s1": [int]*dim, "s0": [int]*dim, "dim": dim}."""
+    from kadiyadb_spark.functions.text import hashed_counts
+
+    counts = hashed_counts(docs, dim=dim, text_col=text_col, id_col=id_col)
+    sums = (
+        counts.join(
+            docs.select(id_col, F.col(label_col).cast("int").alias("_y")), on=id_col
+        )
+        .groupBy("_y", "_b")
+        .agg(F.sum("_c").alias("_s"))
+        .collect()  # bounded: <= 2*dim rows (dim=512 -> ~1024 longs)
+    )
+    s = {1: [0] * dim, 0: [0] * dim}
+    for r in sums:
+        s[int(r["_y"])][int(r["_b"])] = int(r["_s"])
+    return {"s1": s[1], "s0": s[0], "dim": dim}
+
+
+def score_quality_centroid(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a centroid quality model: the margin
+    cos(x, s1) - cos(x, s0) of the doc's integer hashed-count vector
+    against the two class-sum centroids, pass = margin > 0.
+
+    Every arithmetic step is cross-engine deterministic: dot products and
+    squared norms are EXACT integer sums; sqrt/division/subtraction are
+    IEEE-correctly-rounded on identical operands, evaluated in the same
+    tree shape the SQL twin spells out (d / (sqrt(xx) * norm_c)). The
+    reported score quantizes on the floor(x*1e4+0.5) grid; the pass
+    threshold tests the RAW margin (deterministic, so no boundary risk).
+    Zero-token docs and an absent class score 0 / fail.
+
+    Map-side after hashed_counts' one shuffle: centroids ride the plan as
+    literal arrays (KBs), one (id)-keyed sum, no join against a model
+    table."""
+    from kadiyadb_spark.functions.text import hashed_counts
+
+    dim = int(model["dim"])
+    if dim <= 0:
+        raise ValueError(f"invalid model dim: {model['dim']}")
+    s1, s0 = list(model["s1"]), list(model["s0"])
+    import math
+
+    norm1 = math.sqrt(float(sum(v * v for v in s1)))
+    norm0 = math.sqrt(float(sum(v * v for v in s0)))
+    a1 = F.array(*[F.lit(int(v)) for v in s1])
+    a0 = F.array(*[F.lit(int(v)) for v in s0])
+    counts = hashed_counts(docs, dim=dim, text_col=text_col, id_col=id_col)
+    dots = counts.groupBy(id_col).agg(
+        F.sum(F.col("_c") * F.element_at(a1, F.col("_b").cast("int") + 1)).alias("_d1"),
+        F.sum(F.col("_c") * F.element_at(a0, F.col("_b").cast("int") + 1)).alias("_d0"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_xx"),
+    )
+    base = docs.select(id_col).join(dots, on=id_col, how="left")
+    xn = F.sqrt(F.col("_xx").cast("double"))
+    t1 = (
+        (F.col("_d1").cast("double") / (xn * F.lit(norm1)))
+        if norm1 > 0.0
+        else F.lit(0.0)
+    )
+    t0 = (
+        (F.col("_d0").cast("double") / (xn * F.lit(norm0)))
+        if norm0 > 0.0
+        else F.lit(0.0)
+    )
+    margin = F.when(F.col("_xx").isNull() | (F.col("_xx") == 0), F.lit(0.0)).otherwise(
+        t1 - t0
+    )
+    return base.select(
+        id_col,
+        round4_expr(margin).alias("quality_score"),
+        (margin > 0).cast("long").alias("quality_pass"),
+    )
+
+
+def distill_heuristic_gate_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 512,
+    holdout_mod: int = 5,
+) -> tuple[dict, DataFrame]:
+    """``distill_heuristic_gate`` with the closed-form centroid fit: weak-
+    label with the Gopher gate, train the centroid model on the
+    md5(id) % holdout_mod != 0 split, score ALL docs. Every stage — gate,
+    split, integer class sums, cosine margins — has an exact SQL twin, so
+    the entry built on this carries a full value-hash oracle (VERDICT r12
+    item 4) instead of the rows-only check the LBFGS variant needs."""
+    from kadiyadb_spark.functions.text import gopher_rules
+
+    labeled = gopher_rules(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("passes").cast("int").alias("label")
+    )
+    base = docs.select(id_col, text_col).join(labeled, on=id_col)
+    split = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(holdout_mod),
+    )
+    train = base.filter(split != 0)
+    model = train_quality_centroid(
+        train, label_col="label", text_col=text_col, id_col=id_col, dim=dim
+    )
+    return model, score_quality_centroid(docs, model, text_col=text_col, id_col=id_col)
+
+
 def save_model(spark, model: dict, path: str) -> None:
     """Persist a trained model atomically on any Hadoop filesystem (the
     deployment writes it next to the corpus manifest; tomorrow's crawl is

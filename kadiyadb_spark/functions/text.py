@@ -778,6 +778,32 @@ def span_dedup(
     )
 
 
+def hashed_counts(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse INTEGER hashed-BOW counts: (id, _b bucket, _c long count) —
+    the pre-normalization stage of ``hashed_bow``, exposed because exact
+    integer counts are cross-engine reproducible (md5 bucket hash, long
+    counts) where the L2-normalized doubles are only reproducible through
+    IEEE-exact op chains. The closed-form quality-centroid path builds on
+    this directly. Docs with no tokens emit NO rows (callers left-join).
+    One explode + one (id, bucket)-keyed count — map-side combined."""
+    toks = tokens_expr(F.col(text_col))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .select(id_col, bucket.alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+
+
 def hashed_bow(
     df: DataFrame,
     dim: int = 64,
@@ -806,16 +832,8 @@ def hashed_bow(
     measured seconds at sf0.1 where the scatter is milliseconds."""
     import numpy as np
 
-    toks = tokens_expr(F.col(text_col))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10).cast("long"),
-        F.lit(dim),
-    )
-    counts = (
-        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
-        .select(id_col, bucket.alias("_b"))
-        .groupBy(id_col, "_b")
-        .agg(F.count("*").cast("double").alias("_c"))
+    counts = hashed_counts(df, dim=dim, text_col=text_col, id_col=id_col).select(
+        id_col, "_b", F.col("_c").cast("double").alias("_c")
     )
     sparse = counts.groupBy(id_col).agg(
         F.collect_list("_b").alias("_bs"), F.collect_list("_c").alias("_cs")

@@ -479,6 +479,82 @@ SELECT doc_id,
 FROM m
 """
 
+    # quality_model: full replay of the closed-form centroid distillation
+    # (VERDICT r12 item 4) — Gopher gate labels, md5(id)%5 holdout split,
+    # EXACT integer class-sum centroids over md5-hashed token buckets, then
+    # cosine margins with the same IEEE op tree the Spark side evaluates:
+    # d / (sqrt(xx) * norm). Integer sums are exact in both engines; sqrt/
+    # division/subtraction are correctly rounded on identical operands, so
+    # the doubles match bit-for-bit before the floor(x*1e4+0.5) grid.
+    o["quality_model"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks, text FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         greatest(len(toks), 1)::DOUBLE AS n_d,
+         coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE AS tot_len,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS n_symbols,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM t
+),
+gate AS (
+  SELECT doc_id,
+         CASE WHEN n >= 50 AND n <= 100000
+               AND tot_len / n_d >= 3.0 AND tot_len / n_d <= 10.0
+               AND n_symbols / n_d <= 0.1
+               AND n_alpha / n_d >= 0.80
+               AND stop_hits >= 2
+         THEN 1 ELSE 0 END AS label
+  FROM m
+),
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+cb AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 512 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+),
+split AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS sp
+  FROM documents
+),
+cent AS (
+  SELECT g.label AS y, cb.b, CAST(sum(cb.c) AS BIGINT) AS s
+  FROM cb JOIN gate g USING (doc_id) JOIN split USING (doc_id)
+  WHERE sp != 0 GROUP BY 1, 2
+),
+nrm AS (SELECT y, sqrt(CAST(sum(s * s) AS DOUBLE)) AS nv FROM cent GROUP BY y),
+dots AS (
+  SELECT cb.doc_id,
+         CAST(sum(cb.c * coalesce(c1.s, 0)) AS BIGINT) AS d1,
+         CAST(sum(cb.c * coalesce(c0.s, 0)) AS BIGINT) AS d0,
+         CAST(sum(cb.c * cb.c) AS BIGINT) AS xx
+  FROM cb
+  LEFT JOIN (SELECT b, s FROM cent WHERE y = 1) c1 USING (b)
+  LEFT JOIN (SELECT b, s FROM cent WHERE y = 0) c0 USING (b)
+  GROUP BY 1
+),
+n1 AS (SELECT coalesce((SELECT nv FROM nrm WHERE y = 1), 0.0::DOUBLE) AS v),
+n0 AS (SELECT coalesce((SELECT nv FROM nrm WHERE y = 0), 0.0::DOUBLE) AS v),
+sc AS (
+  SELECT d.doc_id,
+         CASE WHEN dd.xx IS NULL OR dd.xx = 0 THEN 0.0::DOUBLE
+              ELSE (CASE WHEN n1.v > 0 THEN CAST(dd.d1 AS DOUBLE) / (sqrt(CAST(dd.xx AS DOUBLE)) * n1.v) ELSE 0.0::DOUBLE END)
+                 - (CASE WHEN n0.v > 0 THEN CAST(dd.d0 AS DOUBLE) / (sqrt(CAST(dd.xx AS DOUBLE)) * n0.v) ELSE 0.0::DOUBLE END)
+         END AS margin
+  FROM documents d LEFT JOIN dots dd ON d.doc_id = dd.doc_id, n1, n0
+)
+SELECT doc_id,
+       floor(margin * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0 AS quality_score,
+       CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+FROM sc
+"""
+
     o["text_collocations"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
 doc_bg AS (

@@ -22,6 +22,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Entries whose DRIVER HISTORY contains rows-only records (err: no_oracle).
+# The ledger must keep counting those PAST records as green even after an
+# entry gains a full SQL oracle (quality_model got one in r13 — the
+# closed-form centroid distillation), or its last-green round would
+# silently rewind and reorder the rotation queue.
 ROWS_ONLY = {"sim_ivfpq_residual", "quality_model"}
 
 

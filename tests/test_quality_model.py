@@ -100,3 +100,58 @@ def test_model_save_bare_filename(spark):
         assert load_model(spark, name)["dim"] == 4
     finally:
         fs.delete(name)
+
+
+def test_centroid_model_separates_and_is_deterministic(spark):
+    """The closed-form centroid fit (r13, the value-hash-certifiable
+    sibling of the LBFGS trainer): separability on the synthetic good/junk
+    corpus, and bit-identical scores across two independent fits (no RNG,
+    no FP accumulation — exact integer class sums)."""
+    from kadiyadb_spark.functions.quality_model import (
+        score_quality_centroid,
+        train_quality_centroid,
+    )
+
+    docs = _docs(spark)
+    model = train_quality_centroid(docs, dim=128)
+    assert len(model["s1"]) == 128 and len(model["s0"]) == 128
+    assert all(isinstance(v, int) for v in model["s1"])
+    scored = score_quality_centroid(docs, model)
+    j = scored.join(docs.select("doc_id", "label"), "doc_id")
+    acc = j.select(
+        F.avg((F.col("quality_pass") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc >= 0.95
+    # determinism: a second fit + score is value-identical
+    model2 = train_quality_centroid(docs, dim=128)
+    assert model2 == model
+    a = {r["doc_id"]: (r["quality_score"], r["quality_pass"])
+         for r in scored.collect()}
+    b = {r["doc_id"]: (r["quality_score"], r["quality_pass"])
+         for r in score_quality_centroid(docs, model2).collect()}
+    assert a == b
+
+
+def test_centroid_model_zero_token_and_missing_class_guards(spark):
+    """Zero-token docs score 0/fail; an absent class contributes a zero
+    term rather than a NaN/div-by-zero."""
+    from pyspark.sql import Row
+
+    from kadiyadb_spark.functions.quality_model import (
+        score_quality_centroid,
+        train_quality_centroid,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="all good words here", label=1),
+            Row(doc_id=1, text="more fine words too", label=1),
+            Row(doc_id=2, text="", label=1),  # zero tokens
+        ]
+    )
+    model = train_quality_centroid(docs, dim=32)  # class 0 absent
+    got = {r["doc_id"]: (r["quality_score"], r["quality_pass"])
+           for r in score_quality_centroid(docs, model).collect()}
+    assert got[2] == (0.0, 0)          # zero-token doc: score 0, fail
+    assert got[0][0] > 0 and got[0][1] == 1   # cos to own class-sum > 0
+    assert all(v[0] == v[0] for v in got.values())  # no NaN anywhere
