@@ -5108,18 +5108,23 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (functions/cluster.py:semdedup_prune; Abbas et al. 2023):
     k-means-cluster the embeddings with the exact quantized Lloyd
-    recursion (k=4, 2 iterations — the same clustering embedding_kmeans
+    recursion (2 iterations — the same clustering embedding_kmeans
     gates), then score cosine pairs WITHIN clusters only and keep the
     lowest id of each duplicate pair; per-cluster census of kept vs
     dropped. Threshold 0.35 sits in a measured 7e-5-wide empty band of
     the fixture's pair-cosine distribution (no FP-boundary flips between
     numpy and DuckDB). Clustering bounds the quadratic — ONE cluster-keyed
     shuffle, per-bucket numpy matmul; assignment is exact-integer, so
-    bucket membership is layout-proof. Born r12."""
+    bucket membership is layout-proof. r13 (VERDICT r12 item 6): k is now
+    AUTO-DERIVED as max(4, ceil(n/125)) so buckets stay ~125-bounded as
+    the corpus grows (k=4 at the sf0.01 gate — unchanged values; k=16 at
+    sf0.1); the oracle replays the same integer ceil from its own count.
+    Born r12."""
     from kadiyadb_spark.functions.cluster import semdedup_prune
 
     flags = semdedup_prune(
-        _t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.35
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.35,
+        target_bucket=125,
     )
     return flags.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),

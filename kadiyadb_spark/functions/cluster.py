@@ -173,6 +173,7 @@ def semdedup_prune(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     k-means-cluster the embedding space, then score cosine similarity
@@ -193,13 +194,28 @@ def semdedup_prune(
 
     Scale shape: ONE shuffle keyed cluster_id; per-bucket upper-triangle
     numpy matmul at memory bandwidth (per-pair JVM array expressions
-    measured ~6us/pair — see embedding_near_duplicates). Raise ``k``
-    with corpus size so bucket sizes stay bounded."""
+    measured ~6us/pair — see embedding_near_duplicates).
+
+    ``target_bucket`` (VERDICT r12 item 6) derives ``k`` from the corpus
+    automatically: k = max(k, ceil(n / target_bucket)), one cheap count
+    before training, so the per-bucket n^2 stays memory-bounded as the
+    corpus grows instead of silently inflating at a fixed k. The bound
+    targets the AVERAGE bucket; k-means keeps roughly-isotropic corpora
+    near-balanced (property-pinned at 10x in tests/test_cluster.py), but a
+    pathologically collapsed embedding distribution can still concentrate
+    a bucket — the documented escape is raising k / pre-sharding, same as
+    the paper's. The SQL oracle replays the same integer-ceil k from its
+    own count, so auto-k stays value-hash-gated."""
     if not (-1.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (-1, 1], got {threshold}")
     import numpy as np
 
     base = _base_frame(emb, id_col, vec_col)
+    if target_bucket is not None:
+        if target_bucket <= 0:
+            raise ValueError(f"target_bucket must be positive, got {target_bucket}")
+        n = base.count()
+        k = max(k, -(-n // target_bucket))  # integer ceil, SQL-replayable
     centroids = _lloyd(base, k, iters)
     cid, _ = _assign_cols(F.col("_v"), centroids)
     assigned = base.select("_id", "_v", cid.alias("cluster_id"))

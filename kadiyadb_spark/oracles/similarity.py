@@ -620,19 +620,22 @@ w1 AS (SELECT CAST(k AS INT) AS dim, CAST(10000 AS BIGINT) AS w FROM range(64) t
 SELECT CAST(dim AS BIGINT) AS dim, w AS pc4 FROM w4
 """
 
-    # embedding_kmeans: the IDENTICAL quantized Lloyd recursion in
-    # DuckDB list ops — init = 4 lowest vec_ids, every distance term
+    # embedding_kmeans/semdedup: the IDENTICAL quantized Lloyd recursion
+    # in DuckDB list ops — init = the k lowest vec_ids (k_sql is a SQL
+    # expression so semdedup can replay auto-k = max(4, ceil(n/125)) from
+    # its own count, VERDICT r12 item 6), every distance term
     # floor-quantized to a scaled BIGINT before summation, centroid
     # updates as exact integer sums with ONE double division, empty
     # clusters keep the previous centroid, final assignment reported.
-    _kmeans_ctes = """
+    def _kmeans_ctes(k_sql="4"):
+        return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 init AS (
   SELECT cid, c FROM (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS c,
            row_number() OVER (ORDER BY vec_id) AS rn
-    FROM e) WHERE rn <= 4),
+    FROM e) WHERE rn <= ({k_sql})),
 d1 AS (
   SELECT e.vec_id, e.v, i.cid,
          list_sum(list_transform(range(1, 65), j -> CAST(floor((e.v[j] - i.c[j]) * (e.v[j] - i.c[j]) * 1e8 + 0.5) AS BIGINT))) AS dq
@@ -686,7 +689,7 @@ a3 AS (
     FROM d3)
   WHERE rn = 1)"""
 
-    o["embedding_kmeans"] = _kmeans_ctes + """
+    o["embedding_kmeans"] = _kmeans_ctes() + """
 SELECT cid AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_vecs,
        floor(CAST(sum(dq) AS BIGINT) / 1e4 + 0.5) / 1e4 AS inertia
@@ -696,7 +699,11 @@ FROM a3 GROUP BY cid
     # semdedup: the SAME exact quantized Lloyd recursion (shared CTEs — a3
     # is the final assignment vs cent2, identical to the engine's), then
     # within-cluster cosine pairs and the deterministic lowest-id keeper.
-    o["semdedup"] = _kmeans_ctes + """,
+    # auto-k (VERDICT r12 item 6): the engine derives k = max(4,
+    # ceil(n/125)) from its own count; the replay computes the identical
+    # integer ceil from the table
+    _semdedup_k = "greatest(4, (CAST((SELECT count(*) FROM e) AS BIGINT) + 124) // 125)"
+    o["semdedup"] = _kmeans_ctes(_semdedup_k) + """,
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id

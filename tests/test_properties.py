@@ -1087,6 +1087,37 @@ def test_p26_semdedup_matches_greedy_by_id_replay(spark, vecs, thr):
     assert got == want
 
 
+def test_p28_semdedup_auto_k_bounds_buckets_at_10x(spark):
+    """P28 (VERDICT r12 item 6): with target_bucket set, a 10x corpus must
+    NOT inflate semdedup's per-bucket n^2 — auto-k grows k with n so the
+    max bucket stays within a constant factor of the target instead of
+    scaling with the corpus. Deterministic synthetic corpus (seeded
+    uniform, the roughly-isotropic case the docstring's balance claim is
+    scoped to); measured max buckets: 61 at n=300, 75 at n=3000 for
+    target 50."""
+    import random
+
+    from kadiyadb_spark.functions.cluster import semdedup_prune
+
+    rng = random.Random(13)
+    B = 50
+    for n in (300, 3000):
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        flags = semdedup_prune(df, k=2, iters=2, threshold=0.99, target_bucket=B)
+        sizes = [
+            r["c"]
+            for r in flags.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        assert len(sizes) == max(2, -(-n // B))  # auto-k took effect
+        assert sum(sizes) == n
+        assert max(sizes) <= 2 * B, (
+            f"n={n}: max bucket {max(sizes)} breaches 2x the {B} target"
+        )
+
+
 @given(
     labels=st.lists(
         st.sampled_from(["www", "shop", "a", "b2", "x-y"]), min_size=0, max_size=3
