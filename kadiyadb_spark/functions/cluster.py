@@ -186,11 +186,16 @@ def semdedup_prune(
     Determinism/gate design: clustering + assignment use the exact
     quantized Lloyd recursion above (assignment distances are exact
     integers — no FP tie risk, and a SQL oracle replays centroid and
-    assignment bit-identically). The keeper per duplicate pair is the
-    LOWEST id (the paper keeps the vector closest to the centroid; the
-    id rule is the layout-proof stand-in both gate engines replay —
-    documented deviation). Output: (id, cluster_id, kept 0/1) for EVERY
-    input vector.
+    assignment bit-identically). Keeper rule (r13, ADVICE r12): ITERATIVE
+    GREEDY per cluster in id order — keep the lowest id, drop its
+    duplicates, repeat on the survivors. Unlike the r12 "dominated by ANY
+    lower id" rule this is transitivity-safe: a vector whose only
+    dominator was itself dropped stays KEPT, so non-duplicates are never
+    silently discarded (SemDeDup's keep-one-per-group intent; the paper
+    keeps the vector closest to the centroid — the id order is the
+    layout-proof stand-in, documented deviation). Still deterministic and
+    SQL-replayable (recursive CTE). Output: (id, cluster_id, kept 0/1)
+    for EVERY input vector.
 
     Scale shape: ONE shuffle keyed cluster_id; per-bucket upper-triangle
     numpy matmul at memory bandwidth (per-pair JVM array expressions
@@ -236,13 +241,22 @@ def semdedup_prune(
         norms = np.linalg.norm(v, axis=1, keepdims=True)
         vn = v / np.where(norms == 0.0, 1.0, norms)
         s = vn @ vn.T
-        # dominated: some OTHER member with a LOWER id is >= threshold
-        dominated = ((s >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+        # iterative greedy in id order: each time the scan reaches an
+        # undropped member it is KEPT and its duplicates drop — one s-row
+        # sweep per kept member, O(#kept * bucket), far below the matmul
+        order = np.argsort(ids, kind="stable")
+        dropped = np.zeros(len(ids), dtype=bool)
+        kept = np.zeros(len(ids), dtype=bool)
+        for i in order:
+            if dropped[i]:
+                continue
+            kept[i] = True
+            dropped |= (s[i] >= threshold) & ~kept
         return pd.DataFrame(
             {
                 "id": ids,
                 "cluster_id": pdf["cluster_id"],
-                "kept": (~dominated).astype("int64"),
+                "kept": kept.astype("int64"),
             }
         )
 

@@ -627,9 +627,11 @@ SELECT CAST(dim AS BIGINT) AS dim, w AS pc4 FROM w4
     # floor-quantized to a scaled BIGINT before summation, centroid
     # updates as exact integer sums with ONE double division, empty
     # clusters keep the previous centroid, final assignment reported.
-    def _kmeans_ctes(k_sql="4"):
+    def _kmeans_ctes(k_sql="4", recursive=False):
+        # recursive=True emits WITH RECURSIVE so callers can append a
+        # recursive CTE (semdedup's greedy-keeper replay)
         return f"""
-WITH e AS (
+WITH {"RECURSIVE " if recursive else ""}e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 init AS (
   SELECT cid, c FROM (
@@ -701,18 +703,37 @@ FROM a3 GROUP BY cid
     # within-cluster cosine pairs and the deterministic lowest-id keeper.
     # auto-k (VERDICT r12 item 6): the engine derives k = max(4,
     # ceil(n/125)) from its own count; the replay computes the identical
-    # integer ceil from the table
+    # integer ceil from the table. Keeper (r13, ADVICE r12): ITERATIVE
+    # GREEDY in id order, replayed as a recursive CTE stepping one member
+    # per cluster per level and carrying the kept set as a list — a member
+    # is kept iff no ALREADY-KEPT member scores >= threshold against it
+    # (transitivity-safe, unlike the r12 any-lower-id dominance).
     _semdedup_k = "greatest(4, (CAST((SELECT count(*) FROM e) AS BIGINT) + 124) // 125)"
-    o["semdedup"] = _kmeans_ctes(_semdedup_k) + """,
-dropped AS (
-  SELECT DISTINCT b.vec_id
-  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+    o["semdedup"] = _kmeans_ctes(_semdedup_k, recursive=True) + """,
+mem AS (
+  SELECT cid, vec_id, v,
+         row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+  FROM a3),
+nmax AS (SELECT cid, max(rn) AS mx FROM mem GROUP BY cid),
+g AS (
+  SELECT cid, rn, [struct_pack(id := vec_id, v := v)] AS kept
+  FROM mem WHERE rn = 1
+  UNION ALL
+  SELECT m.cid, m.rn,
+         CASE WHEN len(list_filter(g.kept,
+                x -> list_cosine_similarity(x.v, m.v) >= 0.35)) > 0
+              THEN g.kept
+              ELSE list_append(g.kept, struct_pack(id := m.vec_id, v := m.v))
+         END
+  FROM g JOIN mem m ON m.cid = g.cid AND m.rn = g.rn + 1),
+keptids AS (
+  SELECT g.cid, unnest(list_transform(g.kept, x -> x.id)) AS vec_id
+  FROM g JOIN nmax ON g.cid = nmax.cid AND g.rn = nmax.mx),
 counts AS (
   SELECT a.cid AS cluster_id,
          CAST(count(*) AS BIGINT) AS n_vecs,
-         CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_kept
-  FROM a3 a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         CAST(count(k.vec_id) AS BIGINT) AS n_kept
+  FROM a3 a LEFT JOIN keptids k ON k.cid = a.cid AND k.vec_id = a.vec_id
   GROUP BY a.cid)
 SELECT cluster_id, n_vecs, n_kept, n_vecs - n_kept AS n_dropped
 FROM counts

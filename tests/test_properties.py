@@ -1050,9 +1050,11 @@ def test_p25_snapshot_diff_matches_dict_diff(spark, old_rows, new_rows):
 @SETTINGS
 def test_p26_semdedup_matches_greedy_by_id_replay(spark, vecs, thr):
     """P26: semdedup_prune's kept set equals an independent numpy replay of
-    the spec — quantized-Lloyd assignment, then within each cluster a
-    vector is dropped iff SOME lower-id member has cosine >= threshold
-    (zero-norm vectors never match anything)."""
+    the spec — quantized-Lloyd assignment, then within each cluster the
+    ITERATIVE GREEDY keeper in id order (r13): a vector is kept iff no
+    ALREADY-KEPT lower-id member has cosine >= threshold. Unlike the r12
+    any-lower-id dominance, a vector whose only dominator was itself
+    dropped stays kept (zero-norm vectors never match anything)."""
     import numpy as np
 
     from kadiyadb_spark.functions.cluster import semdedup_prune
@@ -1078,11 +1080,14 @@ def test_p26_semdedup_matches_greedy_by_id_replay(spark, vecs, thr):
     norms = np.linalg.norm(X, axis=1)
     vn = X / np.where(norms == 0.0, 1.0, norms)[:, None]
     want = {}
-    for i in range(len(rows)):
+    kept_by_cluster: dict[int, list[int]] = {}
+    for i in range(len(rows)):  # ids are 0..n-1 in order
         dom = any(
-            a[j] == a[i] and float(vn[j] @ vn[i]) >= thr
-            for j in range(i)
+            float(vn[j] @ vn[i]) >= thr
+            for j in kept_by_cluster.get(int(a[i]), [])
         )
+        if not dom:
+            kept_by_cluster.setdefault(int(a[i]), []).append(i)
         want[i] = (int(a[i]), 0 if dom else 1)
     assert got == want
 
