@@ -705,3 +705,111 @@ def test_stream_rejects_quarantine_idempotent(spark, tmp_path):
         (0, 1, "null_ts"), (0, 2, "illegal_field:x"),
         (1, 1, "null_ts"), (1, 2, "illegal_field:x"),
     ]
+
+
+def test_stream_dedup_before_start_stragglers(spark, tmp_path):
+    """VERDICT r12 item 7 (asymmetric-edge audit): in-watermark stragglers
+    OLDER than everything previously seen must behave correctly on the
+    earlier edge too — a redelivery whose ts is EARLIER than its first
+    occurrence is still dropped (key state, not ts equality), and a NEW
+    key arriving out of order within the watermark is kept."""
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.LongType()),
+            T2.StructField("eid", T2.StringType()),
+            T2.StructField("value", T2.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    HOUR = 3600 * SEC
+    batch1 = [(B0 + 2 * HOUR, "e1", 5.0), (B0 + 2 * HOUR, "e2", 1.0)]
+    batch2 = [
+        # duplicate of e1 delivered with an EARLIER (in-watermark) ts
+        (B0 + 1 * HOUR, "e1", 5.0),
+        # brand-new key, 90 min older than everything seen: kept
+        (B0 + 30 * 60 * SEC, "e9", 2.0),
+    ]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(
+            [Row(ts=r[0], eid=r[1], value=r[2]) for r in rows], schema
+        ).write.mode("append").parquet(src)
+
+    events = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_dedup(events, ["eid"], watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_straggler_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.eid, r.ts) for r in spark.sql("SELECT eid, ts FROM dedup_straggler_out").collect()
+    )
+    assert got == [
+        ("e1", B0 + 2 * HOUR),           # first occurrence only
+        ("e2", B0 + 2 * HOUR),
+        ("e9", B0 + 30 * 60 * SEC),      # straggler NEW key survives
+    ]
+
+
+def test_stream_interval_join_right_side_straggler(spark, tmp_path):
+    """VERDICT r12 item 7: a RIGHT-side event arriving a batch LATER with a
+    ts BEFORE the already-buffered left event (in-watermark, within
+    lookback) must still produce the pair — the earlier-edge mirror of the
+    cross-batch test, exercising the engine's left-state retention against
+    a straggler rather than forward matching."""
+    from pyspark.sql import types as T2
+
+    from kadiyadb_spark.streaming.ingest import stream_interval_join
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.LongType()),
+            T2.StructField("uid", T2.StringType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("eid", T2.LongType()),
+        ]
+    )
+    MIN = 60 * SEC
+    src = str(tmp_path / "src")
+    batch1 = [(B0 + 100 * SEC, "u5", "purchase", 1), (B0 + 100 * SEC, "u6", "purchase", 2)]
+    batch2 = [
+        (B0 + 40 * SEC, "u5", "click", 3),            # straggler: 60s BEFORE the purchase
+        (B0 + 100 * SEC - 31 * MIN, "u6", "click", 4),  # straggler past lookback: no pair
+        (B0 + 40 * MIN, "u7", "purchase", 5),         # advances watermark
+    ]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(
+            [Row(ts=r[0], uid=r[1], kind=r[2], eid=r[3]) for r in rows], schema
+        ).write.mode("append").parquet(src)
+
+    def stream(kind):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(f"kind = '{kind}'")
+        )
+
+    pairs = stream_interval_join(
+        stream("purchase"), stream("click"), ["uid"], lookback="30 minutes", watermark="2 hours"
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("join_straggler_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.eid, r.eid_r)
+        for r in spark.sql("SELECT eid, eid_r FROM join_straggler_out").collect()
+    )
+    assert got == [(1, 3)]  # the straggler click pairs; past-lookback one does not
