@@ -113,10 +113,21 @@ def _re_prune_safe(pattern: str) -> bool:
 class Database:
     """Open/Track/Fetch/Expire on a persisted manifest-committed cube."""
 
-    def __init__(self, spark: SparkSession, path: str, params: Params):
+    def __init__(
+        self, spark: SparkSession, path: str, params: Params, rotation_gc: bool = True
+    ):
         self.spark = spark
         self.path = path
         self.params = params
+        # Rotation GC trade (ADVICE r12): with it ON (default), a segment
+        # de-referenced at commit g is deleted once its last retaining
+        # manifest rotates out — under GenLog keep=3 a reader pinned via
+        # at_gen has ~(keep-1) commits of grace, which a fast-committing
+        # stream can burn in seconds. Deployments with long analytic reads
+        # over streaming writers should open with rotation_gc=False: data
+        # then survives until an explicit maintenance vacuum(), the pre-r12
+        # lifetime.
+        self.rotation_gc = rotation_gc
         self.fs = HadoopFS(spark, path)
         self.cube_path = HadoopFS.join(path, "cube")
         # the ONE commit primitive (manifest.GenLog) — the cube keeps its
@@ -128,7 +139,13 @@ class Database:
 
     # -- O13 Open ------------------------------------------------------------
     @classmethod
-    def open(cls, spark: SparkSession, path: str, params: Params | None = None) -> "Database":
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        params: Params | None = None,
+        rotation_gc: bool = True,
+    ) -> "Database":
         fs = HadoopFS(spark, path)
         pj = HadoopFS.join(path, "params.json")
         if params is None:
@@ -149,7 +166,7 @@ class Database:
                         f"params mismatch at {path}: stored "
                         f"{existing.to_dict()} != requested {params.to_dict()}"
                     )
-        return cls(spark, path, params)
+        return cls(spark, path, params, rotation_gc=rotation_gc)
 
     @property
     def max_depth(self) -> int:
@@ -218,7 +235,7 @@ class Database:
         # surviving manifest references. A crash between the commit and the
         # deletes leaves orphans — vacuum's job — never dangling refs.
         doomed: set[str] = set()
-        retained = self._genlog.retained()
+        retained = self._genlog.retained() if self.rotation_gc else []
         n_keep_old = max(keep - 1, 0)
         drop = retained if n_keep_old == 0 else retained[:-n_keep_old]
         for g in drop:

@@ -278,7 +278,7 @@ def track_rejects(
     df: DataFrame,
     fields: list[str],
     ts_col: str = "ts",
-    total_col: str = "value",
+    total_col: str | None = "value",
     count_col: str | None = None,
     value_dp: int | None = 4,
     validate: bool = True,
@@ -306,6 +306,13 @@ def track_rejects(
     flag keeps the complement exact (previously a validate=False pipeline
     double-counted every illegal row into BOTH feeds).
 
+    BREAKING since r12 (ADVICE r12 — called out in README "Changelog
+    notes"): ``validate=True`` + ``total_col="value"`` are the defaults,
+    so a legacy field-only reject feed whose frame lacks a 'value' column
+    now raises. Pass ``total_col=None`` to opt out of value validation
+    (field + ts reasons only) for such feeds, or ``validate=False`` to
+    mirror a non-validating track_batch.
+
     The complement invariant — rejects + rows track_batch aggregates =
     the input, with no overlap — is pytest-pinned. Pure map-side filter:
     no shuffle, streams at scan speed; write the result next to the cube
@@ -313,10 +320,11 @@ def track_rejects(
     n = len(fields)
     if n == 0:
         raise ValueError("need at least one field column")
-    if validate and total_col not in df.columns:
+    if validate and total_col is not None and total_col not in df.columns:
         raise ValueError(
             f"track_rejects needs the {total_col!r} column its track_batch "
-            f"twin aggregates (pass total_col=, or validate=False)"
+            f"twin aggregates (pass total_col=, total_col=None for a "
+            f"field-only feed, or validate=False)"
         )
     tsn = S.ts_ns_expr(df.schema[ts_col].dataType, ts_col)
     reason = F.when(tsn.isNull(), F.lit("null_ts"))
@@ -325,10 +333,11 @@ def track_rejects(
             reason = reason.when(
                 field_illegal(F.col(f).cast("string")), F.lit(f"illegal_field:{f}")
             )
-        reason = reason.when(
-            value_illegal(F.col(total_col), value_dp),
-            F.lit(f"illegal_value:{total_col}"),
-        )
+        if total_col is not None:
+            reason = reason.when(
+                value_illegal(F.col(total_col), value_dp),
+                F.lit(f"illegal_value:{total_col}"),
+            )
         if count_col is not None:
             # same dp=0 count bound as track_batch's filter
             reason = reason.when(

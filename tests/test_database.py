@@ -963,6 +963,27 @@ def test_rotation_gc_reclaims_dereferenced_segments(spark, tmp_path):
     ]
 
 
+def test_rotation_gc_off_preserves_until_vacuum(spark, tmp_path):
+    """ADVICE r12: rotation GC narrows the read-pin lifetime to ~(keep-1)
+    commits, which a fast-committing stream can burn under a long analytic
+    read. rotation_gc=False restores the pre-r12 lifetime — de-referenced
+    segments survive any number of commits until an explicit vacuum()."""
+    db = Database.open(spark, str(tmp_path / "rotoff"), P, rotation_gc=False)
+    db.track(_events(spark, [(0, "a", "b", 1.0)]), total_col="v")
+    old_refs = [r for refs in db._manifest()["segments"].values() for r in refs]
+    db.track(_events(spark, [(1, "a", "b", 2.0)]), total_col="v")
+    db.compact()
+    for _ in range(3):  # enough commits to rotate every pre-compact manifest out
+        db.track(_events(spark, [(2, "a", "b", 1.0)]), total_col="v")
+    for r in old_refs:
+        assert db.fs.exists(HadoopFS.join(db.cube_path, r)), (
+            f"{r} deleted despite rotation_gc=False"
+        )
+    db.vacuum()
+    for r in old_refs:
+        assert not db.fs.exists(HadoopFS.join(db.cube_path, r)), r
+
+
 def test_re_prune_matches_java_line_terminator_dollar(spark, tmp_path):
     """code-review r12: Java's anchored rlike '$' also matches just before
     one FINAL line terminator; the Python stats-prune replay must not skip
