@@ -265,6 +265,28 @@ def q_fetch_rule_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_rule_group(_cube(spark, sf_dir), WEEK0, WEEK1, rules)
 
 
+def q_fetch_rule_group_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-group evaluation beyond above-threshold (VERDICT r12 item 8
+    stretch): a BELOW rule — view volume <= 40 for 2 consecutive slots,
+    evaluated on the DENSE frame so missing slots zero-fill and breach
+    (the reference's O2 zero-fill read semantics) — and an ABSENT rule —
+    PromQL absent(): >= 3 consecutive slots with no click from user 7 at
+    all (series columns and peak NULL). Same one-scan fetch_multi core as
+    fetch_rule_group; the below subset adds one (query, series, bucket)
+    Exchange for its grid join. Born r13."""
+    from kadiyadb_spark.query import fetch_rule_group
+
+    rules = {
+        "quiet_views": {
+            "pattern": ["view"], "threshold": 40.0, "for_slots": 2, "above": False,
+        },
+        "missing_user7_clicks": {
+            "pattern": ["click", "7"], "absent": True, "for_slots": 3,
+        },
+    }
+    return fetch_rule_group(_cube(spark, sf_dir), WEEK0, WEEK1, rules)
+
+
 def q_fetch_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL irate()/idelta() — the INSTANT rate between the last two
     OBSERVED slots with reset handling and true gap-time denominators
@@ -5595,6 +5617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "fetch_backtest": q_fetch_backtest,
         "fetch_clamp": q_fetch_clamp,
+        "fetch_rule_group_low": q_fetch_rule_group_low,
         "privacy_luhn": q_privacy_luhn,
         "semdedup": q_semdedup,
         "snapshot_diff": q_snapshot_diff,

@@ -155,6 +155,47 @@ SELECT query, f1,
 FROM rg GROUP BY query, f1
 """
 
+    # fetch_rule_group_low: the below + absent rule kinds (r13). Below
+    # evaluates on the DENSE grid (zero-fill breaches t4 <= thr4); absent
+    # fires where NO series matched the pattern (NULL series/peak).
+    o["fetch_rule_group_low"] = f"""
+WITH {_EV_CUBE}
+SELECT 'quiet_views' AS query, f1, CAST(NULL AS VARCHAR) AS f2,
+       min(bucket) AS pending_start,
+       min(bucket) + 1 * {RES} AS firing_start,
+       max(bucket) + {RES} AS run_end,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       max(t4) / 10000.0 AS peak
+FROM (
+  SELECT f1, bucket, t4,
+         bucket // {RES} - row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS run
+  FROM (
+    SELECT s.f1 AS f1, g.b AS bucket, coalesce(c.t4, 0) AS t4
+    FROM (SELECT DISTINCT f1 FROM cube1
+          WHERE f1 = 'view' AND bucket >= {WEEK0} AND bucket < {WEEK1}) s
+    CROSS JOIN (SELECT unnest(range({WEEK0}, {WEEK1}, {RES})) AS b) g
+    LEFT JOIN (SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
+               FROM cube1
+               WHERE f1 = 'view' AND bucket >= {WEEK0} AND bucket < {WEEK1}) c
+      ON c.f1 = s.f1 AND c.bucket = g.b
+  ) WHERE t4 <= 400000
+) GROUP BY f1, run HAVING count(*) >= 2
+UNION ALL
+SELECT 'missing_user7_clicks' AS query,
+       CAST(NULL AS VARCHAR) AS f1, CAST(NULL AS VARCHAR) AS f2,
+       min(b) AS pending_start,
+       min(b) + 2 * {RES} AS firing_start,
+       max(b) + {RES} AS run_end,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(NULL AS DOUBLE) AS peak
+FROM (
+  SELECT b, b // {RES} - row_number() OVER (ORDER BY b) AS run
+  FROM (SELECT unnest(range({WEEK0}, {WEEK1}, {RES})) AS b) g
+  WHERE NOT EXISTS (SELECT 1 FROM cube2
+                    WHERE f1 = 'click' AND f2 = '7' AND bucket = g.b)
+) GROUP BY run HAVING count(*) >= 3
+"""
+
     o["fetch_offset"] = f"""
 WITH base AS (
   SELECT f1, f2, bucket, total FROM ({_fetch_oracle("click", "*", WEEK0, WEEK1, 2)}) t

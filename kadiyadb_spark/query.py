@@ -2577,17 +2577,31 @@ def fetch_rule_group(
     exists for (a rule group is evaluated every interval; at 100 TB the
     scan is the cost, so N rules must not mean N scans).
 
-    Restricted to ABOVE-threshold rules with threshold > 0: on the
-    sparse frame an absent slot cannot breach, so run consecutiveness
-    over observed buckets (integer gaps-and-islands on slot − rank)
-    equals the dense evaluation — documented contract, validated at
-    construction. Per-rule constants ride a literal when-chain on the
-    ``query`` label (map-side; a rule batch is bounded). Thresholds
-    compare as scaled longs; one window Exchange keyed (query, series)
-    AFTER the breach filter — only breaching slots shuffle; the run
-    groupBy keys are a superset of the window partitioning (no second
-    shuffle). Output: (query, f1..fDmax, pending_start, firing_start,
-    run_end, n_slots, peak)."""
+    Rule kinds (r13, VERDICT r12 item 8 — previously above-only):
+
+    - ABOVE (default): ``{pattern, threshold > 0, for_slots}``. Evaluates
+      on the SPARSE frame: an absent slot zero-fills below any positive
+      threshold, so run consecutiveness over observed buckets (integer
+      gaps-and-islands on slot − rank) equals the dense evaluation —
+      validated at construction. Above-only groups keep the r12 plan:
+      one window Exchange AFTER the breach filter, nothing else.
+    - BELOW: ``{pattern, threshold, for_slots, above: False}``. Needs the
+      DENSE frame — a missing slot reads as the reference's zero-fill
+      (O2) and 0 <= threshold breaches — so the rule's matched series
+      densify over the slot grid (map-side sequence explode) and
+      left-join their observed totals: ONE extra (query, series, bucket)
+      Exchange for the below subset only.
+    - ABSENT: ``{pattern, absent: True, for_slots}`` — PromQL absent():
+      fires on runs of slots where NO series matched the pattern at all
+      (peak is NULL, series columns NULL). Grid anti-join against the
+      rule's distinct observed buckets.
+
+    All kinds share the ONE fetch_multi scan (at 100 TB the scan is the
+    cost, so N rules must not mean N scans) and one final window +
+    run-groupBy. Per-rule constants ride a literal when-chain on the
+    ``query`` label (map-side; a rule batch is bounded); thresholds
+    compare as scaled longs. Output: (query, f1..fDmax, pending_start,
+    firing_start, run_end, n_slots, peak)."""
     import math
 
     from pyspark.sql import Window
@@ -2597,18 +2611,28 @@ def fetch_rule_group(
     patterns = {}
     thr4s: dict[str, int] = {}
     fors: dict[str, int] = {}
+    kinds: dict[str, str] = {}
     for name, r in rules.items():
-        thr = r["threshold"]
         fs = int(r.get("for_slots", 1))
-        if thr <= 0:
-            raise ValueError(
-                f"rule {name!r}: only above-threshold rules with threshold "
-                f"> 0 evaluate on the sparse batch frame (got {thr})"
-            )
         if fs < 1:
             raise ValueError(f"rule {name!r}: need for_slots >= 1, got {fs}")
+        if r.get("absent", False):
+            kinds[name] = "absent"
+            thr4s[name] = 0  # unused; keeps the when-chain total
+        elif r.get("above", True):
+            thr = r["threshold"]
+            if thr <= 0:
+                raise ValueError(
+                    f"rule {name!r}: above-threshold rules need threshold "
+                    f"> 0 (sparse-frame contract; got {thr}) — pass "
+                    f"above=False for a below rule"
+                )
+            kinds[name] = "above"
+            thr4s[name] = int(math.floor(thr * 10000 + 0.5))
+        else:
+            kinds[name] = "below"
+            thr4s[name] = int(math.floor(r["threshold"] * 10000 + 0.5))
         patterns[name] = r["pattern"]
-        thr4s[name] = int(math.floor(thr * 10000 + 0.5))
         fors[name] = fs
     sparse = fetch_multi(cube, from_ts, to_ts, patterns, resolution, duration)
     fcols = [c for c in sparse.columns if c not in ("query", S.EPOCH, S.BUCKET, S.TOTAL, S.CNT)]
@@ -2620,16 +2644,74 @@ def fetch_rule_group(
         thr_c = (F.when if thr_c is None else thr_c.when)(cnd, F.lit(thr4s[name]).cast("long"))
         for_c = (F.when if for_c is None else for_c.when)(cnd, F.lit(fors[name]).cast("long"))
 
+    from_b = from_ts - (from_ts % resolution)
+    to_b = to_ts - (to_ts % resolution)
+    slot_grid = F.explode(
+        F.sequence(F.lit(from_b), F.lit(to_b - resolution), F.lit(resolution))
+    ).alias(S.BUCKET)
+    by_kind = {k: sorted(n for n in rules if kinds[n] == k) for k in ("above", "below", "absent")}
+
     t4 = scale4_expr(F.col(S.TOTAL))
-    br = sparse.select(
+    sp = sparse.select("query", *fcols, S.BUCKET, t4.alias("_t4"))
+    branches = []
+    if by_kind["above"]:
+        branches.append(
+            sp.filter(F.col("query").isin(by_kind["above"]))
+            .withColumn("_thr4", thr_c)
+            .filter(F.col("_t4") >= F.col("_thr4"))
+            .drop("_thr4")
+        )
+    if by_kind["below"]:
+        bs = sp.filter(F.col("query").isin(by_kind["below"])).alias("bs")
+        grid = (
+            bs.select("query", *fcols).distinct().select("*", slot_grid).alias("gr")
+        )
+        cond = (F.col("gr.query") == F.col("bs.query")) & (
+            F.col(f"gr.{S.BUCKET}") == F.col(f"bs.{S.BUCKET}")
+        )
+        for c in fcols:
+            # null-safe: depth-1 series carry NULL deeper field columns
+            cond = cond & F.col(f"gr.{c}").eqNullSafe(F.col(f"bs.{c}"))
+        dense = grid.join(bs, cond, "left").select(
+            F.col("gr.query").alias("query"),
+            *[F.col(f"gr.{c}").alias(c) for c in fcols],
+            F.col(f"gr.{S.BUCKET}").alias(S.BUCKET),
+            F.coalesce(F.col("bs._t4"), F.lit(0).cast("long")).alias("_t4"),
+        )
+        branches.append(
+            dense.withColumn("_thr4", thr_c)
+            .filter(F.col("_t4") <= F.col("_thr4"))
+            .drop("_thr4")
+        )
+    if by_kind["absent"]:
+        qdf = cube.sparkSession.createDataFrame(
+            [(n,) for n in by_kind["absent"]], "query string"
+        )
+        agrid = qdf.select("query", slot_grid)
+        obs = (
+            sparse.filter(F.col("query").isin(by_kind["absent"]))
+            .select("query", S.BUCKET)
+            .distinct()
+        )
+        branches.append(
+            agrid.join(obs, ["query", S.BUCKET], "left_anti").select(
+                "query",
+                *[F.lit(None).cast("string").alias(c) for c in fcols],
+                S.BUCKET,
+                F.lit(None).cast("long").alias("_t4"),
+            )
+        )
+    br = branches[0]
+    for b in branches[1:]:
+        br = br.unionByName(b)
+    br = br.select(
         "query",
         *fcols,
         S.BUCKET,
-        t4.alias("_t4"),
-        thr_c.alias("_thr4"),
+        "_t4",
         for_c.alias("_for"),
         F.expr(f"CAST({S.BUCKET} DIV {resolution} AS LONG)").alias("_slot"),
-    ).filter(F.col("_t4") >= F.col("_thr4"))
+    )
     w = Window.partitionBy("query", *fcols).orderBy(S.BUCKET)
     run = (F.col("_slot") - F.row_number().over(w).cast("long")).alias("_run")
     return (

@@ -1750,6 +1750,52 @@ def test_fetch_rule_group_matches_per_rule_alerts(spark):
         )
 
 
+def test_fetch_rule_group_below_and_absent_kinds(spark):
+    """r13 (VERDICT r12 item 8): BELOW rules evaluate on the dense frame
+    (a missing slot zero-fills and 0 <= threshold breaches), ABSENT rules
+    fire on runs of slots with no matching series at all (NULL series
+    columns, NULL peak), and both compose with an above rule in one group.
+
+    Fixture: series ('a','u') observed at slots 0,1,4,5 of [0,10) with
+    values 3,4,5,1 — below rule thr 2 for 2: slots 2,3 (zero-fill) and
+    5 breach -> one run [2,4) of length 2 (slot 5 is a singleton run cut
+    by slot 4's 5.0 and for_slots=2 drops it... slot 5 value 1.0 breaches
+    but 6..9 zero-fill also breach -> run [5,10) length 5). Absent rule on
+    ('b','w') observed at 2,3,7: absent runs [0,2) len 2, [4,7) len 3,
+    [8,10) len 2 -> with for_slots 3 only [4,7) fires."""
+    from kadiyadb_spark.query import fetch_rule_group
+
+    res, dur, lo, hi = 1, 5, 0, 10
+    rows = [("a", "u", 0, 3.0), ("a", "u", 1, 4.0), ("a", "u", 4, 5.0),
+            ("a", "u", 5, 1.0)] + [("b", "w", t, 1.5) for t in (2, 3, 7)]
+    df = spark.createDataFrame(rows, "x string, y string, ts long, v double")
+    cube = track_batch(
+        df, fields=["x", "y"], ts_col="ts", total_col="v",
+        resolution=res, duration=dur,
+    )
+    rules = {
+        "a_quiet": {"pattern": ["a", "*"], "threshold": 2.0, "for_slots": 2,
+                    "above": False},
+        "b_missing": {"pattern": ["b", "*"], "absent": True, "for_slots": 3},
+        "a_hot": {"pattern": ["a", "*"], "threshold": 3.0, "for_slots": 2},
+    }
+    got = {
+        (r["query"], r["f1"], r["f2"], r["pending_start"], r["run_end"],
+         r["n_slots"], r["peak"])
+        for r in fetch_rule_group(cube, lo, hi, rules,
+                                  resolution=res, duration=dur).collect()
+    }
+    assert got == {
+        # below: zero-filled slots 2,3 breach; observed 1.0 at 5 + 6..9
+        ("a_quiet", "a", "u", 2, 4, 2, 0.0),          # peak = max(0,0) = 0
+        ("a_quiet", "a", "u", 5, 10, 5, 1.0),
+        # absent: the single >=3-slot hole, series cols and peak NULL
+        ("b_missing", None, None, 4, 7, 3, None),
+        # above rule unchanged alongside
+        ("a_hot", "a", "u", 0, 2, 2, 4.0),
+    }
+
+
 def test_series_group_share_reads_stored_rollup(spark):
     """group_left contract: the denominator is the STORED depth-1 rollup
     row, which write-time exactness makes equal to the sum of children —
