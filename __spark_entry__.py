@@ -3500,17 +3500,20 @@ def q_sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with RESIDUAL coding (Jégou et al. 2011 §IV, the FAISS
-    default): codes quantize v - centroid(v) under codebooks trained on the
+    default): codes quantize v - centroid(v) under codebooks TRAINED on the
     residual distribution — finer reconstruction at the same m x ksub
-    budget. Numpy-k-means training makes this non-SQL-expressible, so there
-    is deliberately no oracle_sql twin (rows-only driver check); the recall
-    improvement over raw coding is pinned by tests/test_ivf_recall.py.
-    The det-codebook twin ``sim_ivfpq_residual_det`` carries the full
-    value-hash oracle for the residual ADC math."""
+    budget. r13 (VERDICT r12 item 2): training is the QUANTIZED per-subspace
+    Lloyd (similarity.pq_codebooks_residual_lloyd — greedy maximin init + 3
+    iterations on exact-integer quantized arithmetic, the same device as
+    cluster._lloyd), so the oracle replays the trainer bit-for-bit and this
+    entry carries a FULL value-hash gate instead of the float-k-means
+    variant's rows-only check. Trained-vs-det recall stays pinned by
+    tests/test_ivf_recall.py; the det-codebook twin ``sim_ivfpq_residual_det``
+    gates the no-training ADC math."""
     base, queries = _queries_vs_base(spark, sf_dir)
     return SIM.ivfpq_topk(
         base, queries, k=5, num_centroids=8, nprobe=2, m=4, ksub=8, residual=True,
-        codebooks="kmeans",
+        codebooks="lloyd",
     )
 
 

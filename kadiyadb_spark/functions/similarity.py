@@ -848,6 +848,86 @@ def pq_codebooks_residual(
     return _lloyd_subspaces(r, m, ksub, iters), r.shape[1]
 
 
+def _lloyd_subspaces_q(x: "np.ndarray", m: int, ksub: int, iters: int) -> "np.ndarray":
+    """QUANTIZED per-subspace deterministic Lloyd — the cross-engine-exact
+    sibling of ``_lloyd_subspaces`` (VERDICT r12 item 4): every distance is
+    the exact integer sum of floor((a-b)^2 * 1e8 + 0.5) terms and every
+    centroid update is exact integer sums of floor(v * 1e6 + 0.5) with ONE
+    double division — the same device as cluster._lloyd, so a SQL engine
+    replays init, assignment and updates bit-identically. Greedy maximin
+    init on the quantized distances (first-max ties = lowest sample row),
+    argmin-first assignment ties, empty clusters keep their center."""
+    import numpy as np
+
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = x.reshape(len(x), m, dsub)
+
+    def dq(xs, c):
+        # exact int64: inputs are bit-identical doubles in both engines
+        return np.floor((xs - c[None, :]) ** 2 * 1e8 + 0.5).astype(np.int64).sum(axis=1)
+
+    C = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xs = sub[:, j, :]
+        k_eff = min(ksub, len(xs))
+        cent = np.empty((k_eff, dsub))
+        cent[0] = xs[0]
+        mind = dq(xs, cent[0])
+        for i in range(1, k_eff):
+            cent[i] = xs[int(np.argmax(mind))]  # first max wins
+            mind = np.minimum(mind, dq(xs, cent[i]))
+        if k_eff < ksub:  # degenerate tiny sample: pad by repetition
+            cent = np.resize(cent, (ksub, dsub))
+        for _ in range(iters):
+            d = np.stack([dq(xs, cent[kk]) for kk in range(ksub)], axis=1)
+            a = np.argmin(d, axis=1)  # ties -> lowest code
+            for kk in range(ksub):
+                hit = a == kk
+                if hit.any():
+                    s = np.floor(xs[hit] * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+                    cent[kk] = s / (1e6 * int(hit.sum()))
+        C[j] = cent
+    return C
+
+
+def pq_codebooks_residual_lloyd(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    sample: int = 1024,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """TRAINED residual PQ codebooks whose training a SQL engine replays
+    EXACTLY (VERDICT r12 item 4): same sample/residual construction as
+    ``pq_codebooks_residual`` but fitted with the quantized Lloyd
+    (``_lloyd_subspaces_q``) — greedy maximin init and every iteration on
+    exact-integer quantized arithmetic, so the ivfpq residual entry can
+    carry a full value-hash oracle instead of the rows-only check the
+    float-Lloyd variant needs. Quantization of the TRAINER (1e-8-scaled
+    distances, 1e-6-scaled center sums) is far below residual scale —
+    recall vs the float trainer is pinned adjacent in
+    tests/test_ivf_recall.py. Returns (codebook [m, ksub, dsub], dim)."""
+    import numpy as np
+
+    s_ids, v = _collect_matrix(
+        emb.orderBy(F.col(id_col).asc()).limit(sample), id_col, vec_col
+    )
+    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
+    order = np.argsort(c_ids)
+    craw = craw[order]
+    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    nearest = np.argmax(vn @ cn.T, axis=1)  # same assignment rule as ivf_assign
+    r = v - craw[nearest]
+    return _lloyd_subspaces_q(r, m, ksub, iters), r.shape[1]
+
+
 def pq_codebooks_residual_det(
     emb: DataFrame,
     centroids: DataFrame,
@@ -1082,6 +1162,12 @@ def ivfpq_topk(
         # oracle-gated shape), anything else = caller-provided arrays.
         if codebooks == "kmeans":
             C, dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+        elif codebooks == "lloyd":
+            # quantized-Lloyd trainer: trained recall with an exact SQL
+            # replay (VERDICT r12 item 4)
+            C, dim = pq_codebooks_residual_lloyd(
+                emb, cents, m, ksub, id_col=id_col, vec_col=vec_col
+            )
         elif codebooks == "deterministic":
             C, dim = pq_codebooks_residual_det(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
         else:

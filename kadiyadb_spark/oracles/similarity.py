@@ -417,17 +417,18 @@ SELECT vec_id,
 FROM q
 """
 
-    # RESIDUAL-coded IVF-PQ with deterministic codebooks: same centroid /
-    # probe / ranking scaffolding as sim_ivfpq_topk, but codes quantize the
-    # RESIDUAL v - centroid(v) under codebooks that are subspace slices of
-    # the first-8 residuals, and the ADC score carries the residual cross
-    # terms: adot = sum_j T[j,code_j] + dot(q, centroid_b) and
+    # RESIDUAL-coded IVF-PQ: shared scaffolding for the det- and
+    # Lloyd-trained-codebook twins — same centroid / probe / ranking shape
+    # as sim_ivfpq_topk, but codes quantize the RESIDUAL v - centroid(v)
+    # and the ADC score carries the residual cross terms:
+    # adot = sum_j T[j,code_j] + dot(q, centroid_b) and
     # |reconstruction|^2 = |centroid|^2 + 2*sum_j dot(centroid_sub_j,
     # cb[j,code_j]) + sum_j |cb[j,code_j]|^2 (similarity.ivfpq_topk's
     # residual branch, lookup-table form). 2.0::DOUBLE guards the DuckDB
     # bare-decimal DECIMAL trap; greatest(..., 1e-300) mirrors the
-    # kernel's zero-norm clamp.
-    o["sim_ivfpq_residual_det"] = """
+    # kernel's zero-norm clamp. The two entries differ ONLY in the CTE
+    # that yields cb(m, code, cent).
+    _res_head = """
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
   FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id ASC LIMIT 8
@@ -440,17 +441,9 @@ assign_scored AS (
   FROM base CROSS JOIN cents
 ),
 assigned AS (SELECT vec_id, centroid_id, cv FROM assign_scored WHERE rn = 1),
-cb_src AS (
-  SELECT list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r,
-         CAST(row_number() OVER (ORDER BY b.vec_id ASC) AS BIGINT) - 1 AS code
-  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8) b
-  JOIN assigned a ON a.vec_id = b.vec_id
-),
 subspaces AS (SELECT unnest(range(4)) AS m),
-cb AS (
-  SELECT s.m, c.code, list_slice(c.r, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
-  FROM subspaces s CROSS JOIN cb_src c
-),
+"""
+    _res_tail = """
 resid AS (
   SELECT b.vec_id, a.centroid_id,
          list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r
@@ -530,6 +523,81 @@ SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank,
        floor(ac * 10000 + 0.5) / 10000 AS approx_cos
 FROM ranked WHERE rnk <= 5
 """
+
+    # det codebooks: subspace slices of the first-8 residuals (engine:
+    # similarity.pq_codebooks_residual_det) — no training, pure SQL.
+    o["sim_ivfpq_residual_det"] = _res_head + """cb_src AS (
+  SELECT list_transform(list_zip(b.v, a.cv), x -> x[1] - x[2]) AS r,
+         CAST(row_number() OVER (ORDER BY b.vec_id ASC) AS BIGINT) - 1 AS code
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 8) b
+  JOIN assigned a ON a.vec_id = b.vec_id
+),
+cb AS (
+  SELECT s.m, c.code, list_slice(c.r, CAST(s.m*16 + 1 AS INT), CAST(s.m*16 + 16 AS INT)) AS cent
+  FROM subspaces s CROSS JOIN cb_src c
+),""" + _res_tail
+
+    # TRAINED codebooks (sim_ivfpq_residual, VERDICT r12 item 2): replay
+    # similarity._lloyd_subspaces_q's quantized per-subspace Lloyd EXACTLY —
+    # sample = the 1024 lowest base ids, residuals vs their (cosine-argmax)
+    # centroid, then per subspace a greedy maximin init (cent0 = the lowest
+    # sample row; cent_i = the row with the MAX running min quantized
+    # distance, first-max ties -> lowest row) and 3 Lloyd iterations. Every
+    # distance is the exact integer sum of floor((a-b)^2*1e8+0.5) terms and
+    # every centroid update is exact integer sums of floor(v*1e6+0.5) with
+    # ONE double division (s / (1e6 * n)) — the same cross-engine-exact
+    # device as _kmeans_ctes, so init, assignment and updates are
+    # bit-identical in numpy and DuckDB. Empty codes keep their center
+    # (COALESCE). Generated programmatically like the PCA iterations.
+    def _dqq(x: str, c: str) -> str:
+        # exact-int quantized squared L2 over one dsub=16 subvector
+        return (
+            "list_sum(list_transform(range(1, 17), j -> "
+            f"CAST(floor(({x}[j] - {c}[j]) * ({x}[j] - {c}[j]) * 1e8 + 0.5) AS BIGINT)))"
+        )
+
+    _lloyd_cb = """samp AS MATERIALIZED (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) AS srn
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id ASC LIMIT 1024)),
+sres AS (
+  SELECT s.srn, list_transform(list_zip(s.v, a.cv), x -> x[1] - x[2]) AS r
+  FROM samp s JOIN assigned a ON a.vec_id = s.vec_id),
+sub AS MATERIALIZED (
+  SELECT sr.srn, ss.m, list_slice(sr.r, CAST(ss.m*16 + 1 AS INT), CAST(ss.m*16 + 16 AS INT)) AS x
+  FROM sres sr CROSS JOIN subspaces ss),
+ic0 AS (SELECT m, x AS c FROM sub WHERE srn = 1),
+imd0 AS MATERIALIZED (SELECT s.srn, s.m, {d0} AS mind FROM sub s JOIN ic0 c ON c.m = s.m),
+""".format(d0=_dqq("s.x", "c.c"))
+    for i in range(1, 8):
+        _lloyd_cb += """ic{i} AS MATERIALIZED (SELECT m, x AS c FROM (
+  SELECT s.m, s.x, row_number() OVER (PARTITION BY s.m ORDER BY d.mind DESC, s.srn ASC) AS pk
+  FROM sub s JOIN imd{p} d ON d.srn = s.srn AND d.m = s.m) WHERE pk = 1),
+""".format(i=i, p=i - 1)
+        if i < 7:  # the running min is never read after the last pick
+            _lloyd_cb += """imd{i} AS MATERIALIZED (SELECT s.srn, s.m, least(d.mind, {dq}) AS mind
+  FROM sub s JOIN imd{p} d ON d.srn = s.srn AND d.m = s.m JOIN ic{i} c ON c.m = s.m),
+""".format(i=i, p=i - 1, dq=_dqq("s.x", "c.c"))
+    _lloyd_cb += "cb0 AS MATERIALIZED (" + "\n  UNION ALL ".join(
+        f"SELECT m, CAST({i} AS BIGINT) AS code, c FROM ic{i}" for i in range(8)
+    ) + "),\n"
+    for t in range(1, 4):
+        _lloyd_cb += """ld{t} AS (SELECT s.srn, s.m, cb.code, {dq} AS d
+  FROM sub s JOIN cb{p} cb ON cb.m = s.m),
+la{t} AS (SELECT srn, m, code FROM (
+  SELECT srn, m, code, row_number() OVER (PARTITION BY srn, m ORDER BY d ASC, code ASC) AS pk
+  FROM ld{t}) WHERE pk = 1),
+ls{t} AS (SELECT m, code, dim,
+  CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sm,
+  CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT a.m, a.code, unnest(s.x) AS val, generate_subscripts(s.x, 1) AS dim
+        FROM la{t} a JOIN sub s ON s.srn = a.srn AND s.m = a.m)
+  GROUP BY m, code, dim),
+lu{t} AS (SELECT m, code, list(sm / (1e6 * n) ORDER BY dim) AS c FROM ls{t} GROUP BY m, code),
+cb{t} AS MATERIALIZED (SELECT p.m, p.code, COALESCE(u.c, p.c) AS c
+  FROM cb{p} p LEFT JOIN lu{t} u ON u.m = p.m AND u.code = p.code),
+""".format(t=t, p=t - 1, dq=_dqq("s.x", "cb.c"))
+    _lloyd_cb += "cb AS (SELECT m, code, c AS cent FROM cb3),"
+    o["sim_ivfpq_residual"] = _res_head + _lloyd_cb + _res_tail
 
 
     # PQ/ADC mirror: same deterministic codebooks (subvectors of the 8

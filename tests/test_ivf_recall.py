@@ -128,6 +128,72 @@ def test_residual_pq_improves_ivfpq_recall(spark):
     assert a == b
 
 
+def test_lloyd_residual_codebooks_match_float_trainer_recall(spark):
+    """codebooks='lloyd' (the quantized-Lloyd trainer whose training the
+    SQL oracle replays bit-for-bit — sim_ivfpq_residual's r13 gate) must
+    keep the TRAINED variant's recall claim: beat raw coding at equal
+    budget, and sit adjacent to the float-Lloyd trainer (quantization of
+    the trainer — 1e-8-scaled distances, 1e-6-scaled center sums — is far
+    below residual scale). Greedy maximin init differs from the float
+    trainer's first-ksub init, so exact equality is not expected."""
+    emb = _clustered(spark).cache()
+    qs = _queries(spark)
+    exact = SIM.cosine_topk(emb, qs, k=5)
+
+    kw = dict(k=5, num_centroids=N_CLUSTERS, nprobe=1, m=4, ksub=8, centroids="kmeans")
+    raw = SIM.ivfpq_topk(emb, qs, **kw)
+    fl = SIM.ivfpq_topk(emb, qs, residual=True, codebooks="kmeans", **kw)
+    ql = SIM.ivfpq_topk(emb, qs, residual=True, codebooks="lloyd", **kw)
+    r_raw = _recall_at_k(raw, exact, k=5)
+    r_fl = _recall_at_k(fl, exact, k=5)
+    r_ql = _recall_at_k(ql, exact, k=5)
+    assert r_ql > r_raw, f"lloyd residual {r_ql} vs raw {r_raw}"
+    assert r_ql >= r_fl - 0.1, f"lloyd {r_ql} vs float trainer {r_fl}"
+    assert r_ql >= 0.55, f"lloyd residual recall@5 {r_ql}"
+
+    # no RNG anywhere in the quantized trainer: reruns are bit-identical
+    ql2 = SIM.ivfpq_topk(emb, qs, residual=True, codebooks="lloyd", **kw)
+    assert sorted(map(tuple, ql.collect())) == sorted(map(tuple, ql2.collect()))
+
+
+def test_lloyd_subspaces_q_spec_replay():
+    """_lloyd_subspaces_q against an independent step-by-step scalar spec
+    (the numpy kernel is vectorized; the spec loops) — greedy maximin init
+    with first-max ties, quantized distances, exact-integer center sums,
+    empty clusters keep their center."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(0, 0.7, (40, 8))
+    m, ksub, iters, dsub = 2, 4, 3, 4
+    got = SIM._lloyd_subspaces_q(x, m, ksub, iters)
+
+    def dq1(a, b):
+        return int(sum(int(np.floor((a[t] - b[t]) ** 2 * 1e8 + 0.5)) for t in range(dsub)))
+
+    exp = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xs = x.reshape(len(x), m, dsub)[:, j, :]
+        cent = [xs[0].copy()]
+        mind = [dq1(r, cent[0]) for r in xs]
+        for _ in range(1, ksub):
+            pick = max(range(len(xs)), key=lambda i: (mind[i], -i))
+            cent.append(xs[pick].copy())
+            mind = [min(mind[i], dq1(xs[i], cent[-1])) for i in range(len(xs))]
+        for _ in range(iters):
+            a = [min(range(ksub), key=lambda kk: (dq1(r, cent[kk]), kk)) for r in xs]
+            for kk in range(ksub):
+                hit = [i for i in range(len(xs)) if a[i] == kk]
+                if hit:
+                    s = np.array([
+                        sum(int(np.floor(xs[i][t] * 1e6 + 0.5)) for i in hit)
+                        for t in range(dsub)
+                    ], dtype=np.int64)
+                    cent[kk] = s / (1e6 * len(hit))
+        exp[j] = np.stack(cent)
+    assert np.array_equal(got, exp)
+
+
 def test_kmeans_pq_codebooks_improve_pq_recall(spark):
     """Raw-PQ analogue of the centroid test: deterministic codebooks are the
     lowest-id vectors' subvectors — here all from ONE cluster, so other
