@@ -205,6 +205,27 @@ def score_quality_centroid(
     )
 
 
+def _weak_label_split(
+    docs: DataFrame, text_col: str, id_col: str, holdout_mod: int
+) -> DataFrame:
+    """Shared distillation scaffold: Gopher weak labels + the
+    md5(id) % holdout_mod != 0 TRAIN split. One definition so the exact
+    (centroid) entry's oracle and the production LBFGS path can never
+    drift on the split rule — both distill_* recipes train on exactly
+    this frame."""
+    from kadiyadb_spark.functions.text import gopher_rules
+
+    labeled = gopher_rules(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("passes").cast("int").alias("label")
+    )
+    base = docs.select(id_col, text_col).join(labeled, on=id_col)
+    split = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(holdout_mod),
+    )
+    return base.filter(split != 0)
+
+
 def distill_heuristic_gate_exact(
     docs: DataFrame,
     text_col: str = "text",
@@ -218,17 +239,7 @@ def distill_heuristic_gate_exact(
     split, integer class sums, cosine margins — has an exact SQL twin, so
     the entry built on this carries a full value-hash oracle (VERDICT r12
     item 4) instead of the rows-only check the LBFGS variant needs."""
-    from kadiyadb_spark.functions.text import gopher_rules
-
-    labeled = gopher_rules(docs, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("passes").cast("int").alias("label")
-    )
-    base = docs.select(id_col, text_col).join(labeled, on=id_col)
-    split = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
-        F.lit(holdout_mod),
-    )
-    train = base.filter(split != 0)
+    train = _weak_label_split(docs, text_col, id_col, holdout_mod)
     model = train_quality_centroid(
         train, label_col="label", text_col=text_col, id_col=id_col, dim=dim
     )
@@ -254,10 +265,13 @@ def save_model(spark, model: dict, path: str) -> None:
 
 
 def load_model(spark, path: str) -> dict:
+    """Either trained shape round-trips: the LBFGS model
+    ({weights, bias, dim} -> score_quality) and the centroid model
+    ({s1, s0, dim} -> score_quality_centroid)."""
     from kadiyadb_spark.fs import HadoopFS
 
     m = HadoopFS(spark, path).read_json(path)
-    if not {"weights", "bias", "dim"} <= set(m):
+    if not ({"weights", "bias", "dim"} <= set(m) or {"s1", "s0", "dim"} <= set(m)):
         raise ValueError(f"not a quality model file: {path}")
     return m
 
@@ -276,17 +290,7 @@ def distill_heuristic_gate(
     (md5(id) % holdout_mod == 0) never influences the fit, so evaluating
     the gate/score agreement on it measures generalization, not recall of
     the training answers."""
-    from kadiyadb_spark.functions.text import gopher_rules
-
-    labeled = gopher_rules(docs, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("passes").cast("int").alias("label")
-    )
-    base = docs.select(id_col, text_col).join(labeled, on=id_col)
-    split = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
-        F.lit(holdout_mod),
-    )
-    train = base.filter(split != 0)
+    train = _weak_label_split(docs, text_col, id_col, holdout_mod)
     model = train_quality_model(
         train, label_col="label", text_col=text_col, id_col=id_col, dim=dim, max_iter=max_iter
     )

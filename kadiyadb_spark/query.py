@@ -2590,7 +2590,13 @@ def fetch_rule_group(
       (O2) and 0 <= threshold breaches — so the rule's matched series
       densify over the slot grid (map-side sequence explode) and
       left-join their observed totals: ONE extra (query, series, bucket)
-      Exchange for the below subset only.
+      Exchange for the below subset only. Fine print (PromQL parity): the
+      series universe is the series OBSERVED in the window — a series
+      with ZERO rows in [from_ts, to_ts) contributes no grid rows and
+      cannot fire, exactly as a Prometheus ``<`` rule never sees a series
+      with no samples in range (per-selector total silence is what ABSENT
+      detects; per-series presence tracking would need a registry scan,
+      not a window scan). Pinned in tests/test_track_fetch.py.
     - ABSENT: ``{pattern, absent: True, for_slots}`` — PromQL absent():
       fires on runs of slots where NO series matched the pattern at all
       (peak is NULL, series columns NULL). Grid anti-join against the
@@ -2650,6 +2656,10 @@ def fetch_rule_group(
         F.sequence(F.lit(from_b), F.lit(to_b - resolution), F.lit(resolution))
     ).alias(S.BUCKET)
     by_kind = {k: sorted(n for n in rules if kinds[n] == k) for k in ("above", "below", "absent")}
+    # Sub-slot window (no complete slot): the grid sequence would have
+    # start > stop and raise at action time; fetch_multi already returns
+    # the empty frame, and no rule kind can fire over zero slots.
+    grid_ok = to_b - resolution >= from_b
 
     t4 = scale4_expr(F.col(S.TOTAL))
     sp = sparse.select("query", *fcols, S.BUCKET, t4.alias("_t4"))
@@ -2661,7 +2671,7 @@ def fetch_rule_group(
             .filter(F.col("_t4") >= F.col("_thr4"))
             .drop("_thr4")
         )
-    if by_kind["below"]:
+    if by_kind["below"] and grid_ok:
         bs = sp.filter(F.col("query").isin(by_kind["below"])).alias("bs")
         grid = (
             bs.select("query", *fcols).distinct().select("*", slot_grid).alias("gr")
@@ -2683,7 +2693,7 @@ def fetch_rule_group(
             .filter(F.col("_t4") <= F.col("_thr4"))
             .drop("_thr4")
         )
-    if by_kind["absent"]:
+    if by_kind["absent"] and grid_ok:
         qdf = cube.sparkSession.createDataFrame(
             [(n,) for n in by_kind["absent"]], "query string"
         )
@@ -2701,6 +2711,8 @@ def fetch_rule_group(
                 F.lit(None).cast("long").alias("_t4"),
             )
         )
+    if not branches:  # only grid-driven rules over a sub-slot window
+        branches.append(sp.limit(0))
     br = branches[0]
     for b in branches[1:]:
         br = br.unionByName(b)

@@ -1796,6 +1796,64 @@ def test_fetch_rule_group_below_and_absent_kinds(spark):
     }
 
 
+def test_fetch_rule_group_silent_series_and_subslot_window(spark):
+    """Two r13 fine-print pins. (1) PromQL parity of BELOW rules: the
+    series universe is the series OBSERVED in the window — ('a','v'),
+    active only BEFORE the window, contributes no grid rows and cannot
+    fire even though its in-window volume is 0 (and ABSENT stays quiet
+    because sibling ('a','u') still matches the pattern); a Prometheus
+    ``<`` rule over a range behaves identically. (2) A sub-slot window
+    (from_b == to_b) returns the EMPTY frame for every rule kind instead
+    of raising from an inverted grid sequence (pre-fix: SparkRuntime
+    'Illegal sequence boundaries' for absent/below groups)."""
+    from kadiyadb_spark.query import fetch_rule_group
+
+    res, dur = 1, 5
+    rows = [("a", "v", 0, 9.0), ("a", "v", 1, 9.0)] + [
+        ("a", "u", t, 9.0) for t in (4, 5, 6, 7)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string, ts long, v double")
+    cube = track_batch(
+        df, fields=["x", "y"], ts_col="ts", total_col="v",
+        resolution=res, duration=dur,
+    )
+    rules = {
+        "quiet": {"pattern": ["a", "*"], "threshold": 2.0, "for_slots": 2,
+                  "above": False},
+        "gone": {"pattern": ["a", "*"], "absent": True, "for_slots": 2},
+    }
+    got = fetch_rule_group(cube, 4, 8, rules, resolution=res, duration=dur)
+    # ('a','u') is loud in [4,8) -> below never breaches; ('a','v') is
+    # fully silent in-window -> invisible to the below rule (PromQL
+    # parity), and absent stays quiet because 'a_u' matched every slot.
+    assert got.collect() == []
+
+    sub = fetch_rule_group(cube, 4, 4, rules, resolution=res, duration=dur)
+    assert sub.collect() == []
+    assert {"query", "pending_start", "firing_start", "run_end",
+            "n_slots", "peak"} <= set(sub.columns)
+
+
+def test_quality_model_centroid_save_load_roundtrip(spark, tmp_path):
+    """load_model accepts BOTH trained shapes: the LBFGS
+    {weights, bias, dim} and the r13 centroid {s1, s0, dim} — the
+    save/load pair exists so tomorrow's crawl is scored with yesterday's
+    model, for either trainer."""
+    from kadiyadb_spark.functions.quality_model import (
+        load_model,
+        save_model,
+        score_quality_centroid,
+    )
+
+    model = {"s1": [3, 0, 1], "s0": [0, 2, 0], "dim": 3}
+    path = str(tmp_path / "m" / "centroid.json")
+    save_model(spark, model, path)
+    back = load_model(spark, path)
+    assert back == model
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    assert score_quality_centroid(docs, back).count() == 1
+
+
 def test_series_group_share_reads_stored_rollup(spark):
     """group_left contract: the denominator is the STORED depth-1 rollup
     row, which write-time exactness makes equal to the sum of children —
