@@ -243,7 +243,9 @@ def q_fetch_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap."""
     from kadiyadb_spark.query import series_group_share
 
-    return series_group_share(_cube(spark, sf_dir), WEEK0, WEEK1, "click")
+    return series_group_share(
+        _cube(spark, sf_dir), WEEK0, WEEK1, "click", duration=DUR
+    )
 
 
 def q_fetch_rule_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,7 +679,7 @@ def q_fetch_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return series_binop(
         _cube(spark, sf_dir), WEEK0, WEEK1, ["click"], ["error"],
-        op="sub", resolution=RES,
+        op="sub", resolution=RES, duration=DUR,
     )
 
 
@@ -689,7 +691,8 @@ def q_fetch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_ratio
 
     return series_ratio(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["error"], ["click"], resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["error"], ["click"],
+        resolution=RES, duration=DUR,
     )
 
 
@@ -702,7 +705,8 @@ def q_fetch_ratio_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_ratio_wildcard
 
     return series_ratio_wildcard(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["error", "*"], ["click", "*"], resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["error", "*"], ["click", "*"],
+        resolution=RES, duration=DUR,
     )
 
 
@@ -714,7 +718,8 @@ def q_fetch_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_topk
 
     return series_topk(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], k=10, resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["click", "*"], k=10,
+        resolution=RES, duration=DUR,
     )
 
 
@@ -4506,7 +4511,8 @@ def q_fetch_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_sum_by
 
     return series_sum_by(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[2], resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[2],
+        resolution=RES, duration=DUR,
     )
 
 
@@ -4519,7 +4525,8 @@ def q_fetch_agg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_agg_by
 
     return series_agg_by(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[1], resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[1],
+        resolution=RES, duration=DUR,
     )
 
 
@@ -4533,7 +4540,7 @@ def q_fetch_quantile_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return series_quantile_by(
         _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], keep_levels=[1],
-        phi=0.5, resolution=RES,
+        phi=0.5, resolution=RES, duration=DUR,
     )
 
 
@@ -4545,7 +4552,7 @@ def q_fetch_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_share
 
     return series_share(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["*"], resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*"], resolution=RES, duration=DUR
     )
 
 
@@ -4559,7 +4566,8 @@ def q_fetch_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return series_remap(
         _cube(spark, sf_dir), WEEK0, WEEK1, ["*", "*"], level=1,
-        mapping={"click": "engagement", "view": "engagement"}, resolution=RES,
+        mapping={"click": "engagement", "view": "engagement"},
+        resolution=RES, duration=DUR,
     )
 
 
@@ -4573,7 +4581,8 @@ def q_fetch_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return series_burn_rate(
         _cube(spark, sf_dir), WEEK0, WEEK1, ["error"], ["click"],
-        slo=0.99, short_slots=5, long_slots=60, factor=100.0, resolution=RES,
+        slo=0.99, short_slots=5, long_slots=60, factor=100.0,
+        resolution=RES, duration=DUR,
     )
 
 
@@ -4950,7 +4959,7 @@ def q_fetch_topk_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return series_topk_per_slot(
         _cube(spark, sf_dir), WEEK0, WEEK0 + 6 * 3600 * SEC, ["*", "*"], k=3,
-        resolution=RES,
+        resolution=RES, duration=DUR,
     )
 
 
@@ -4962,7 +4971,7 @@ def q_fetch_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.query import series_count_values
 
     return series_count_values(
-        _cube(spark, sf_dir), WEEK0, WEEK1, ["*"], resolution=RES
+        _cube(spark, sf_dir), WEEK0, WEEK1, ["*"], resolution=RES, duration=DUR
     )
 
 

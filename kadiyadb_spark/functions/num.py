@@ -50,6 +50,19 @@ def exact_avg4_sql(expr: str) -> str:
     )
 
 
+def quantize4(x: float) -> int:
+    """Driver-side scalar twin of ``scale4_expr``: HALF_UP away from zero,
+    floor(|x|*1e4 + 0.5) with the sign restored. Python's ``round()`` is
+    half-EVEN and a bare floor(x*1e4 + 0.5) rounds toward +inf on
+    negatives — either shifts a threshold rule by one scaled count at an
+    exact .5e-4 tie against the F.round-quantized data (series_alerts
+    live-review finding). One definition instead of per-operator copies."""
+    import math
+
+    a = int(math.floor(abs(x) * 10000 + 0.5))
+    return a if x >= 0 else -a
+
+
 def exact_sum4_expr(c: Column, dp: int = 4) -> Column:
     """Order-independent 4dp sum of a ``dp``-decimal-QUANTIZED double column.
 

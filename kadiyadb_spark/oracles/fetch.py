@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from kadiyadb_spark.oracles.fragments import (
     SEC,
+    DUR,
     RES,
     T0,
     T_END,
@@ -170,14 +171,17 @@ FROM (
   SELECT f1, bucket, t4,
          bucket // {RES} - row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS run
   FROM (
-    SELECT s.f1 AS f1, g.b AS bucket, coalesce(c.t4, 0) AS t4
-    FROM (SELECT DISTINCT f1 FROM cube1
-          WHERE f1 = 'view' AND bucket >= {WEEK0} AND bucket < {WEEK1}) s
-    CROSS JOIN (SELECT unnest(range({WEEK0}, {WEEK1}, {RES})) AS b) g
+    -- per-EPOCH membership, fetch's densify rule (O2): a series
+    -- zero-fills only over epochs where it was tracked
+    SELECT g.f1 AS f1, g.b AS bucket, coalesce(c.t4, 0) AS t4
+    FROM (SELECT f1, unnest(range(greatest(epoch, {WEEK0}),
+                                  least(epoch + {DUR}, {WEEK1}), {RES})) AS b
+          FROM (SELECT DISTINCT f1, epoch FROM cube1
+                WHERE f1 = 'view' AND bucket >= {WEEK0} AND bucket < {WEEK1}) m) g
     LEFT JOIN (SELECT f1, bucket, CAST(round(total * 10000) AS BIGINT) AS t4
                FROM cube1
                WHERE f1 = 'view' AND bucket >= {WEEK0} AND bucket < {WEEK1}) c
-      ON c.f1 = s.f1 AND c.bucket = g.b
+      ON c.f1 = g.f1 AND c.bucket = g.b
   ) WHERE t4 <= 400000
 ) GROUP BY f1, run HAVING count(*) >= 2
 UNION ALL
@@ -647,12 +651,19 @@ WITH b AS (
 ),
 w AS (
   SELECT event_type, day, le, cnt,
+         lag(le) OVER (PARTITION BY event_type, day ORDER BY le) AS prev_le,
          coalesce(lag(le) OVER (PARTITION BY event_type, day ORDER BY le), 0.0) AS lower
   FROM b
 ),
 c AS (
   SELECT event_type, day, cnt,
-         CASE WHEN NOT isinf(le) AND le - lower > 0
+         CASE WHEN prev_le IS NULL AND le <= 0
+              -- point mass at le (histogram_quantile's non-positive-first
+              -- rule; the 0-lower width would be negative)
+              THEN CASE WHEN le >= 5.0::DOUBLE AND le <= 50.0::DOUBLE
+                        THEN CAST(floor(CAST(cnt AS DOUBLE) * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+                        ELSE 0 END
+              WHEN NOT isinf(le) AND le - lower > 0
               THEN CAST(floor(CAST(cnt AS DOUBLE)
                     * (greatest(0.0::DOUBLE,
                                 least(50.0::DOUBLE, le) - greatest(5.0::DOUBLE, lower))

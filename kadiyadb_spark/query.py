@@ -410,6 +410,11 @@ def _require_exact_pair(a: list[str], b: list[str], op: str) -> int:
         d, preds = compile_pattern(p)
         if any(isinstance(v, tuple) for _, v in preds):
             raise ValueError(f"{op} needs scalar exact patterns (no value sets)")
+        if any(not isinstance(v, str) for _, v in preds):
+            # Re matchers compile to one pred per level, so the len check
+            # below passes them — without this they die much later in
+            # F.lit(Re(...)) with an opaque literal error (review finding)
+            raise ValueError(f"{op} needs scalar exact patterns (no regex matchers)")
         if len(preds) != d:
             raise ValueError(f"{op} needs exact patterns, got {p!r}")
     if len(a) == 0 or len(a) != len(b):
@@ -424,6 +429,7 @@ def series_ratio(
     num_pattern: list[str],
     den_pattern: list[str],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """Aligned binary operation over two exact series (the PromQL
     ``a / b`` — error rate = errors/clicks per slot): ONE cube scan
@@ -446,6 +452,7 @@ def series_ratio(
     is_num, is_den = _exact_pattern_pred(num_pattern), _exact_pattern_pred(den_pattern)
     base = cube.filter(
         (F.col(S.DEPTH) == F.lit(depth))
+        & _epoch_bounds_pred(from_b, to_b, resolution, duration)
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
         & (is_num | is_den)
@@ -474,6 +481,7 @@ def series_ratio_wildcard(
     num_pattern: list[str],
     den_pattern: list[str],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """Aligned binary operation across WILDCARD fan-outs — the PromQL
     ``errors{*} / requests{*}`` a monitoring user writes on day one: both
@@ -502,9 +510,10 @@ def series_ratio_wildcard(
         raise ValueError("no wildcard level; use series_ratio for exact patterns")
     for p in (num_pattern, den_pattern):
         _, _preds = compile_pattern(p)  # validates '' / illegal values
-        if any(isinstance(v, tuple) for _, v in _preds):
+        if any(not isinstance(v, str) for _, v in _preds):
             raise ValueError(
-                "series_ratio_wildcard needs scalar exact levels (no value sets)"
+                "series_ratio_wildcard needs scalar exact levels "
+                "(no value sets or regex matchers)"
             )
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
@@ -527,6 +536,7 @@ def series_ratio_wildcard(
     wild_cols = [S.field_col(i) for i in wild]
     base = cube.filter(
         (F.col(S.DEPTH) == F.lit(depth))
+        & _epoch_bounds_pred(from_b, to_b, resolution, duration)
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
         & (is_num | is_den)
@@ -549,16 +559,42 @@ def series_ratio_wildcard(
     )
 
 
+def _epoch_bounds_pred(
+    from_b: int, to_b: int, resolution: int, duration: "int | None"
+) -> "F.Column":
+    """Explicit epoch-partition bounds for a bucket-range scan. Catalyst
+    cannot derive epoch bounds from the bucket range through the floor
+    arithmetic (fetch's own preamble states them for this reason), so
+    without them an epoch-PARTITIONED 100 TB cube lists and scans every
+    partition for a one-hour query (review finding — the whole series_*
+    family scanned unpruned). The upper bound (an epoch starts at or
+    before its last bucket) holds for ANY duration; passing the cube's
+    ``duration`` adds the exact lower bound too. Degenerate empty ranges
+    (to_b <= from_b) skip the pred — callers return empty anyway."""
+    if to_b <= from_b:
+        return F.lit(True)
+    cond = F.col(S.EPOCH) <= F.lit(to_b - resolution)
+    if duration is not None:
+        cond = cond & (F.col(S.EPOCH) >= F.lit(from_b - (from_b % duration)))
+    return cond
+
+
 def _series_scan_cond(
-    from_ts: int, to_ts: int, pattern: list[str], resolution: int
+    from_ts: int,
+    to_ts: int,
+    pattern: list[str],
+    resolution: int,
+    duration: "int | None" = None,
 ) -> tuple["F.Column", int]:
     """Shared scan preamble of the series_* operator family: compile the
     pattern, validate the half-open range, floor both ends to the slot
-    grid, and build the pushed-down (depth, bucket-range, level
-    predicates) filter. ONE definition — a fix to range flooring or
+    grid, and build the pushed-down (depth, epoch-bounds, bucket-range,
+    level predicates) filter. ONE definition — a fix to range flooring or
     pattern-predicate handling must not need replicating across every
     operator (live-review finding: the preamble had been copy-pasted
-    nine times). Returns (condition, depth)."""
+    nine times). ``duration``: the cube's epoch length — pass it to
+    partition-prune the epoch lower bound (see _epoch_bounds_pred).
+    Returns (condition, depth)."""
     depth, preds = compile_pattern(pattern)
     if to_ts < from_ts or from_ts < 0:
         raise InvalidTimeRange(f"invalid range [{from_ts}, {to_ts})")
@@ -566,6 +602,7 @@ def _series_scan_cond(
     to_b = to_ts - (to_ts % resolution)
     cond = (
         (F.col(S.DEPTH) == F.lit(depth))
+        & _epoch_bounds_pred(from_b, to_b, resolution, duration)
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
     )
@@ -581,6 +618,7 @@ def series_sum_by(
     pattern: list[str],
     keep_levels: list[int],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """PromQL ``sum by (labels)`` over the cube: per-slot totals summed
     across every level NOT in ``keep_levels`` (1-based). One pushed-down
@@ -594,7 +632,7 @@ def series_sum_by(
     operator exists for the aggregations the prefix rollup CANNOT serve —
     keeping a non-prefix subset (``sum by (user)`` over (event_type, user)
     fans event types IN per user, which no rollup row holds)."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
     if sorted(set(keep_levels)) != sorted(keep_levels) or any(
@@ -662,6 +700,7 @@ def series_topk(
     pattern: list[str],
     k: int = 10,
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
     largest: bool = True,
 ) -> DataFrame:
     """Top-K series by total over a range (the PromQL ``topk`` over what
@@ -672,7 +711,7 @@ def series_topk(
     rows per partition and K at the driver, so the ranking never
     materializes the full series list. Ties break on the series path
     (deterministic cross-engine on 4dp-rounded totals)."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     from kadiyadb_spark.functions.num import exact_sum4_expr
 
     fcols = S.field_cols(depth)
@@ -749,9 +788,11 @@ def series_predict_linear(
     ``sum((rn - rn_start) * y) = sum(rn*y) - rn_start * sum(y)`` so every
     regression sum is an ASSOCIATIVE integer window fold, and the slope /
     prediction are single double expressions over exact operands —
-    identical IEEE in any engine. Overflow bounds: rn in-frame <= W,
-    y4 <= ~1e9 at the fixture value scale -> n*Sxy <= W^2 * max|y4| * W;
-    W <= 1440 (a day of minutes) keeps every intermediate under 2^63.
+    identical IEEE in any engine. The rn*y fold and the rn_start*sum(y)
+    cross term carry the GLOBAL per-series row number, which grows with
+    series length, not the window — a multi-year dense series wraps a
+    plain long fold (review finding) — so both run in decimal(38,0)
+    (10^38 headroom; identical values, one cast at the double boundary).
     Same ONE series-keyed window Exchange as the transform family."""
     if window_slots < 2:
         raise ValueError(f"need window_slots >= 2, got {window_slots}")
@@ -773,10 +814,10 @@ def series_predict_linear(
         F.row_number().over(w).cast("long").alias("_rn"),
     )
     n = F.count("_y4").over(wf)
-    sy = F.sum("_y4").over(wf)
-    srny = F.sum(F.col("_rn") * F.col("_y4")).over(wf)
+    sy = F.sum(F.col("_y4").cast("decimal(38,0)")).over(wf)
+    srny = F.sum(F.col("_rn").cast("decimal(38,0)") * F.col("_y4")).over(wf)
     # in-frame x: x_rel = rn - rn_start, rn_start = rn - (n - 1)
-    rn_start = F.col("_rn") - (n - F.lit(1))
+    rn_start = (F.col("_rn") - (n - F.lit(1))).cast("decimal(38,0)")
     sxy = srny - rn_start * sy  # = sum(x_rel * y4), exact integer fold
     # closed forms over x_rel = 0..n-1: sum x = n(n-1)/2, sum x^2 = n(n-1)(2n-1)/6
     sx = n * (n - F.lit(1)) / F.lit(2)
@@ -915,10 +956,14 @@ def histogram_fraction(
     same convention as histogram_quantile): its contribution is
     ``cnt * overlap([lo,hi], (lower,le]) / width``; the +Inf bucket counts
     toward the total but contributes no in-range mass (its observations
-    have no locatable position; ``hi`` must be finite). Per-bucket
-    contributions quantize at 4dp (floor(x*1e4+0.5) of ONE double
-    expression over exact counts and shared literals) and fold as scaled
-    longs — the engine-exact device — then ONE division by the total.
+    have no locatable position; ``hi`` must be finite). A FIRST bucket
+    with a non-positive bound is a point mass AT its bound — the exact
+    fraction twin of histogram_quantile's "return the bound" rule (the
+    0-lower convention would make its width negative and silently drop
+    all its mass — review finding). Per-bucket contributions quantize at
+    4dp (floor(x*1e4+0.5) of ONE double expression over exact counts and
+    shared literals) and fold as scaled longs — the engine-exact device —
+    then ONE division by the total.
 
     One group-keyed window Exchange (the lag for lower bounds); the group
     fold reuses the same distribution. Zero-total groups yield no row.
@@ -934,18 +979,31 @@ def histogram_fraction(
     from kadiyadb_spark.functions.num import round4_expr
 
     w = Window.partitionBy(*group_cols).orderBy(le_col)
-    lower = F.coalesce(F.lag(le_col).over(w), F.lit(0.0))
+    prev_le = F.lag(le_col).over(w)
+    lower = F.coalesce(prev_le, F.lit(0.0))
     width = F.col(le_col) - lower
     ov = F.greatest(
         F.lit(0.0),
         F.least(F.lit(float(hi)), F.col(le_col)) - F.greatest(F.lit(float(lo)), lower),
     )
-    c4 = F.when(
-        (F.col(le_col) != float("inf")) & (width > 0),
-        F.floor(F.col(cnt_col).cast("double") * (ov / width) * F.lit(10000.0) + F.lit(0.5)).cast(
-            "long"
-        ),
-    ).otherwise(F.lit(0).cast("long"))
+    first_nonpos = prev_le.isNull() & (F.col(le_col) <= 0)
+    c4 = (
+        F.when(
+            first_nonpos,
+            # point mass at le (histogram_quantile's non-positive-first rule)
+            F.when(
+                (F.col(le_col) >= F.lit(float(lo))) & (F.col(le_col) <= F.lit(float(hi))),
+                F.floor(F.col(cnt_col).cast("double") * F.lit(10000.0) + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .when(
+            (F.col(le_col) != float("inf")) & (width > 0),
+            F.floor(
+                F.col(cnt_col).cast("double") * (ov / width) * F.lit(10000.0) + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
     folded = (
         df.withColumn("_c4", c4)
         .groupBy(*group_cols)
@@ -995,7 +1053,11 @@ def series_downsample(
         df.groupBy(*series_cols, cb.alias(bucket_col))
         .agg(
             exact_sum4_expr(F.col(total_col)).alias(total_col),
-            exact_sum4_expr(F.col(cnt_col)).alias(cnt_col),
+            # cnt is integer-valued (ingest quantizes counts at dp=0) —
+            # folding at dp=0 keeps the full 2^53 headroom instead of
+            # burning 1e4 of it on decimals cnt never has (fold_aggs'
+            # r13 convention)
+            exact_sum4_expr(F.col(cnt_col), dp=0).alias(cnt_col),
             round4_expr(F.min(total_col)).alias("min_total"),
             round4_expr(F.max(total_col)).alias("max_total"),
             F.sum((F.col(cnt_col) > 0).cast("long")).alias("n_observed"),
@@ -1526,11 +1588,11 @@ def series_cusum(
         raise ValueError(f"need baseline_slots >= 1, got {baseline_slots}")
     from pyspark.sql import Window
 
-    from kadiyadb_spark.functions.num import round4_expr
+    from kadiyadb_spark.functions.num import quantize4, round4_expr
 
     q = baseline_slots
-    drift4 = int(round(drift * 10000))
-    h4 = int(round(threshold * 10000))
+    drift4 = quantize4(drift)
+    h4 = quantize4(threshold)
     w_ord = Window.partitionBy(*series_cols).orderBy(bucket_col)
     cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1667,13 +1729,17 @@ def series_seasonal_anomaly(
         return F.expr(f"CAST(({col} DIV {resolution}) % {period_slots} AS LONG)")
 
     x4b = scale4_expr(F.col(total_col))
+    # decimal(38,0) folds: sum(x4^2) in plain long wraps past ~37 baseline
+    # periods at totals ~5e4 — the overflow class the r09 rewrite moved
+    # series_anomaly/stddev_over_time to decimal for (review finding)
+    x4d = F.col("_x4").cast("decimal(38,0)")
     prof = (
         baseline.select(*series_cols, slot(bucket_col).alias("slot_of_period"), x4b.alias("_x4"))
         .groupBy(*series_cols, "slot_of_period")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.sum("_x4").alias("_s1"),
-            F.sum(F.col("_x4") * F.col("_x4")).alias("_s2"),
+            F.sum(x4d).alias("_s1"),
+            F.sum(x4d * x4d).alias("_s2"),
             F.min("_x4").alias("_m"),
         )
     )
@@ -1684,11 +1750,14 @@ def series_seasonal_anomaly(
         scale4_expr(F.col(total_col)).alias("_x4"),
     )
     j = cur.join(prof, [*series_cols, "slot_of_period"], "left")
-    n, s1, s2, m = F.col("_n"), F.col("_s1"), F.col("_s2"), F.col("_m")
-    # exact long re-centering about the slot history's minimum (see
-    # series_stddev_over_time): a flat history is EXACTLY zero spread
-    s1d = (s1 - n * m).cast("double")
-    s2d = (s2 - F.lit(2) * m * s1 + n * m * m).cast("double")
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    m = F.col("_m").cast("decimal(38,0)")
+    nd38 = F.col("_n").cast("decimal(38,0)")
+    # exact re-centering about the slot history's minimum (decimal: the
+    # cross terms m*s1 and n*m*m wrap long too): a flat history is
+    # EXACTLY zero spread
+    s1d = (s1 - nd38 * m).cast("double")
+    s2d = (s2 - F.lit(2) * m * s1 + nd38 * m * m).cast("double")
     nd = n.cast("double")
     var4 = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
     mean4 = s1.cast("double") / nd
@@ -1714,6 +1783,7 @@ def series_binop(
     b_pattern: list[str],
     op: str = "sub",
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """The general PromQL binary operation between two exact series —
     ``a + b``, ``a - b`` (headroom: capacity minus load), ``a * b``,
@@ -1744,6 +1814,7 @@ def series_binop(
     is_a, is_b = _exact_pattern_pred(a_pattern), _exact_pattern_pred(b_pattern)
     base = cube.filter(
         (F.col(S.DEPTH) == F.lit(depth))
+        & _epoch_bounds_pred(from_b, to_b, resolution, duration)
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
         & (is_a | is_b)
@@ -1777,6 +1848,7 @@ def series_agg_by(
     pattern: list[str],
     keep_levels: list[int],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """PromQL ``avg/min/max/stddev/stdvar/count by (labels)`` over the
     cube — the rest of the aggregation-operator family beside
@@ -1793,7 +1865,7 @@ def series_agg_by(
     exact-operand construction from series_stddev_over_time: integer
     folds S1 = Σx4, S2 = Σx4², then ONE double expression
     (n·S2 − S1²)/n²/1e8 — a single-series group gives exactly 0.0."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
     if sorted(set(keep_levels)) != sorted(keep_levels) or any(
@@ -1814,8 +1886,10 @@ def series_agg_by(
             exact_avg4_expr(F.col(S.TOTAL)).alias("avg_total"),
             round4_expr(F.min(S.TOTAL)).alias("min_total"),
             round4_expr(F.max(S.TOTAL)).alias("max_total"),
-            F.sum(x4).alias("_s1"),
-            F.sum(x4 * x4).alias("_s2"),
+            F.sum(x4.cast("decimal(38,0)")).alias("_s1"),
+            # decimal fold: a 37-series group at totals ~5e4 wraps a plain
+            # long sum(x4^2) (review finding; same class as above)
+            F.sum(x4.cast("decimal(38,0)") * x4.cast("decimal(38,0)")).alias("_s2"),
             F.min(x4).alias("_m"),
             F.count(F.lit(1)).alias("n_series"),
             F.sum(S.CNT).alias("cnt"),
@@ -1824,10 +1898,11 @@ def series_agg_by(
     # exact long centering about the group minimum — flat groups give
     # exactly 0 at any magnitude; conditioned on spread, not level (the
     # uncentered form cancels catastrophically past 2^53)
-    n_l = F.col("n_series")
-    s1d = (F.col("_s1") - n_l * F.col("_m")).cast("double")
+    n_l = F.col("n_series").cast("decimal(38,0)")
+    m38 = F.col("_m").cast("decimal(38,0)")
+    s1d = (F.col("_s1") - n_l * m38).cast("double")
     s2d = (
-        F.col("_s2") - F.lit(2) * F.col("_m") * F.col("_s1") + n_l * F.col("_m") * F.col("_m")
+        F.col("_s2") - F.lit(2) * m38 * F.col("_s1") + n_l * m38 * m38
     ).cast("double")
     nd = F.col("n_series").cast("double")
     var4 = (nd * s2d - s1d * s1d) / (nd * nd)
@@ -1852,6 +1927,7 @@ def series_topk_per_slot(
     pattern: list[str],
     k: int = 3,
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
     largest: bool = True,
 ) -> DataFrame:
     """PromQL INSTANT ``topk``/``bottomk``: the k highest (lowest) series
@@ -1867,7 +1943,7 @@ def series_topk_per_slot(
     Engine-default-free ranking: row_number over (scaled-long total,
     series path) — a total order both engines compute identically; no FP
     comparison, no rank-tie ambiguity."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     from pyspark.sql import Window
@@ -1898,6 +1974,7 @@ def series_count_values(
     to_ts: int,
     pattern: list[str],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """PromQL ``count_values``: per slot, how many series report each
     distinct value — the value-census view (how many shards sit at
@@ -1909,7 +1986,7 @@ def series_count_values(
     double — integer equality is the same in every engine, where
     double-keyed grouping would inherit each engine's parse/format
     quirks; the value column re-derives from the key by one division."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     t4 = scale4_expr(F.col(S.TOTAL))
     return (
         cube.filter(cond)
@@ -2029,14 +2106,12 @@ def series_alerts(
         raise ValueError(f"need for_slots >= 1, got {for_slots}")
     from pyspark.sql import Window
 
-    import math
+    from kadiyadb_spark.functions.num import quantize4
 
     t4 = scale4_expr(F.col(total_col))
     # HALF_UP away from zero — the same quantization F.round applies to
-    # the data; Python's round() is half-EVEN and would shift the rule by
-    # one count at an exact .5e-4 tie (live-review finding)
-    _a = abs(threshold) * 10000
-    thr4 = int(math.floor(_a + 0.5)) * (1 if threshold >= 0 else -1)
+    # the data (quantize4 docstring has the tie fine print)
+    thr4 = quantize4(threshold)
     cond = (t4 >= F.lit(thr4)) if above else (t4 <= F.lit(thr4))
     w = Window.partitionBy(*series_cols).orderBy(bucket_col)
     breaching = df.filter(cond).select(
@@ -2072,6 +2147,7 @@ def series_quantile_by(
     keep_levels: list[int],
     phi: float = 0.5,
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """PromQL ``quantile by (labels)``: the INSTANT phi-quantile ACROSS
     the collapsed series at each slot (the "median shard" / "p90 worst
@@ -2084,7 +2160,7 @@ def series_quantile_by(
     only FP is the type-7 interpolation, whose terms are all exactly
     representable when phi = k/2^m — any algebraic form of the formula
     yields the bit-identical double in any engine."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     if not keep_levels:
         raise ValueError("keep_levels must name at least one level")
     if sorted(set(keep_levels)) != sorted(keep_levels) or any(
@@ -2114,6 +2190,7 @@ def series_share(
     to_ts: int,
     pattern: list[str],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """Per-slot SHARE: each matching series' fraction of the slot's total
     across all matching series — the normalized stacked-area view ("what
@@ -2126,7 +2203,7 @@ def series_share(
     Engine-default-free: the slot total folds exact scaled longs and the
     share is ONE long/long double division (identical IEEE result in any
     engine), rounded at 4dp. A zero slot total yields null shares."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     from pyspark.sql import Window
 
     from kadiyadb_spark.functions.num import round4_expr
@@ -2153,6 +2230,7 @@ def series_remap(
     level: int,
     mapping: dict[str, str],
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """Label-value REMAP + re-aggregation — the topology-migration read
     (service renamed, two event types merged into one product area, a
@@ -2165,7 +2243,7 @@ def series_remap(
 
     One pushed-down scan + ONE aggregation keyed by the remapped path;
     exact integer-scaled sums (functions/num.py)."""
-    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution)
+    cond, depth = _series_scan_cond(from_ts, to_ts, pattern, resolution, duration)
     if not (1 <= level <= depth):
         raise ValueError(f"level must be in 1..{depth}, got {level}")
     if not mapping:
@@ -2201,6 +2279,7 @@ def series_burn_rate(
     long_slots: int = 60,
     factor: float = 14.4,
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """MULTI-WINDOW SLO BURN RATE (the Google SRE-workbook alerting
     pattern): per slot, the error ratio over a SHORT and a LONG trailing
@@ -2241,6 +2320,7 @@ def series_burn_rate(
     g = (
         cube.filter(
             (F.col(S.DEPTH) == F.lit(depth))
+            & _epoch_bounds_pred(from_b, to_b, resolution, duration)
             & (F.col(S.BUCKET) >= F.lit(from_b))
             & (F.col(S.BUCKET) < F.lit(to_b))
             & (is_err | is_tot)
@@ -2588,9 +2668,10 @@ def fetch_rule_group(
     - BELOW: ``{pattern, threshold, for_slots, above: False}``. Needs the
       DENSE frame — a missing slot reads as the reference's zero-fill
       (O2) and 0 <= threshold breaches — so the rule's matched series
-      densify over the slot grid (map-side sequence explode) and
-      left-join their observed totals: ONE extra (query, series, bucket)
-      Exchange for the below subset only. Fine print (PromQL parity): the
+      densify over the slot grid (map-side per-epoch sequence explode,
+      fetch's exact membership rule: a series zero-fills only over epochs
+      where it was tracked) and left-join their observed totals: ONE
+      extra (query, series, bucket) Exchange for the below subset only. Fine print (PromQL parity): the
       series universe is the series OBSERVED in the window — a series
       with ZERO rows in [from_ts, to_ts) contributes no grid rows and
       cannot fire, exactly as a Prometheus ``<`` rule never sees a series
@@ -2608,9 +2689,9 @@ def fetch_rule_group(
     ``query`` label (map-side; a rule batch is bounded); thresholds
     compare as scaled longs. Output: (query, f1..fDmax, pending_start,
     firing_start, run_end, n_slots, peak)."""
-    import math
-
     from pyspark.sql import Window
+
+    from kadiyadb_spark.functions.num import quantize4
 
     if not rules:
         raise ValueError("empty rule group")
@@ -2634,14 +2715,17 @@ def fetch_rule_group(
                     f"above=False for a below rule"
                 )
             kinds[name] = "above"
-            thr4s[name] = int(math.floor(thr * 10000 + 0.5))
+            thr4s[name] = quantize4(thr)
         else:
+            # quantize4, not floor(x*1e4+0.5): a NEGATIVE below threshold
+            # must round away from zero like the F.round-scaled data
+            # (review finding — bare floor rounds toward +inf at -.5 ties)
             kinds[name] = "below"
-            thr4s[name] = int(math.floor(r["threshold"] * 10000 + 0.5))
+            thr4s[name] = quantize4(r["threshold"])
         patterns[name] = r["pattern"]
         fors[name] = fs
     sparse = fetch_multi(cube, from_ts, to_ts, patterns, resolution, duration)
-    fcols = [c for c in sparse.columns if c not in ("query", S.EPOCH, S.BUCKET, S.TOTAL, S.CNT)]
+    fcols = S.series_field_cols(sparse.columns)  # the ONE field-col definition
 
     thr_c = None
     for_c = None
@@ -2673,9 +2757,24 @@ def fetch_rule_group(
         )
     if by_kind["below"] and grid_ok:
         bs = sp.filter(F.col("query").isin(by_kind["below"])).alias("bs")
-        grid = (
-            bs.select("query", *fcols).distinct().select("*", slot_grid).alias("gr")
+        # Membership is per-EPOCH, exactly fetch's densify rule (O2): a
+        # series zero-fills only over epochs where it was tracked, and
+        # contributes nothing for epochs it never existed in — the
+        # full-window grid fired long runs across epochs a decommissioned
+        # series never reached (review finding; fetch+series_alerts
+        # produce no rows there).
+        mem = (
+            sparse.filter(F.col("query").isin(by_kind["below"]))
+            .select("query", *fcols, S.EPOCH)
+            .distinct()
         )
+        grid = mem.select(
+            "query",
+            *fcols,
+            F.explode(
+                _epoch_slots_expr(from_b, to_b, resolution, duration)
+            ).alias(S.BUCKET),
+        ).alias("gr")
         cond = (F.col("gr.query") == F.col("bs.query")) & (
             F.col(f"gr.{S.BUCKET}") == F.col(f"bs.{S.BUCKET}")
         )
@@ -2751,6 +2850,7 @@ def series_group_share(
     to_ts: int,
     f1_pattern,
     resolution: int = 60_000_000_000,
+    duration: "int | None" = None,
 ) -> DataFrame:
     """PromQL many-to-one vector matching — ``x / on(f1) group_left
     sum by (f1)(x)`` — answered from the cube's WRITE-TIME rollup: the
@@ -2783,6 +2883,7 @@ def series_group_share(
     to_b = to_ts - (to_ts % resolution)
     cond = (
         F.col(S.DEPTH).isin(1, 2)
+        & _epoch_bounds_pred(from_b, to_b, resolution, duration)
         & (F.col(S.BUCKET) >= F.lit(from_b))
         & (F.col(S.BUCKET) < F.lit(to_b))
     )

@@ -2755,6 +2755,28 @@ def test_histogram_fraction_golden_and_edges(spark):
         histogram_fraction(df, 0.0, float("inf"), ["g"])
 
 
+def test_histogram_fraction_negative_first_bucket_point_mass(spark):
+    """A FIRST bucket with a non-positive bound is a point mass at its
+    bound — the fraction twin of histogram_quantile's 'return the bound'
+    rule. Pre-fix the 0-coalesced lower made its width negative and its
+    whole count silently contributed 0 while still inflating n_obs."""
+    from kadiyadb_spark.query import histogram_fraction
+
+    rows = [("g", -5.0, 10), ("g", 0.0, 0), ("g", float("inf"), 0),
+            ("h", -5.0, 4), ("h", 2.0, 4)]
+    df = spark.createDataFrame(rows, "g string, le double, cnt long")
+    got = {r["g"]: r for r in histogram_fraction(df, -10.0, 0.0, ["g"]).collect()}
+    # g: all 10 obs sit at the -5.0 point mass inside [-10, 0]
+    assert got["g"]["n_obs"] == 10 and got["g"]["fraction"] == 1.0
+    # h: 4 at -5.0 (in range) + bucket (-5,2] overlapping [-5,0] for
+    # 5/7 of its 4 obs -> (4 + 4*5/7)/8
+    assert got["h"]["fraction"] == round((4 + 4 * 5 / 7) / 8, 4)
+    # point mass OUTSIDE the range contributes nothing
+    out = {r["g"]: r for r in histogram_fraction(df, 1.0, 2.0, ["g"]).collect()}
+    assert out["g"]["fraction"] == 0.0
+    assert out["h"]["fraction"] == round((4 * 1 / 7) / 8, 4)
+
+
 def test_histogram_fraction_disjoint_range_zero(spark):
     from kadiyadb_spark.query import histogram_fraction
 

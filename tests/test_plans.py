@@ -766,6 +766,46 @@ def test_fetch_rule_group_is_one_scan_one_exchange(spark, tmp_path):
     assert n_shuffles(plan) == 1
 
 
+def test_series_family_epoch_bounds_reach_scan(spark, tmp_path):
+    """r13 (review finding): the series_* family's shared scan preamble
+    states explicit EPOCH bounds — Catalyst can't derive them from the
+    bucket range through the floor arithmetic, so without them an
+    epoch-partitioned cube scans every partition. With the cube's
+    duration passed, both bounds reach PushedFilters (the partition-prune
+    class fetch always had); without it, the universally-valid upper
+    bound still pushes."""
+    from kadiyadb_spark.ingest import track_batch
+    from kadiyadb_spark.query import series_agg_by, series_sum_by
+
+    ev = spark.createDataFrame(
+        [Row(ts=i, x=t, y="u", v=3.0) for i, t in enumerate(["a", "b"] * 8)]
+    )
+    path = str(tmp_path / "cube_eb")
+    track_batch(
+        ev, fields=["x", "y"], ts_col="ts", total_col="v", resolution=1, duration=5
+    ).write.parquet(path)
+    cube = spark.read.parquet(path)
+
+    plan = plan_str(
+        series_sum_by(cube, 7, 12, ["*", "*"], keep_levels=[1], resolution=1, duration=5)
+    )
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "GreaterThanOrEqual(epoch,5)" in pushed  # floor(7/5)*5
+    assert "LessThanOrEqual(epoch,11)" in pushed  # to_b - resolution
+    # without duration: upper bound only (valid for ANY epoch length)
+    plan2 = plan_str(
+        series_agg_by(cube, 7, 12, ["*", "*"], keep_levels=[1], resolution=1)
+    )
+    pushed2 = plan2.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "LessThanOrEqual(epoch,11)" in pushed2
+    # results are unchanged by the bounds (they are implied by the data)
+    a = sorted(map(tuple, series_sum_by(cube, 7, 12, ["*", "*"], keep_levels=[1],
+                                        resolution=1, duration=5).collect()))
+    b = sorted(map(tuple, series_sum_by(cube, 7, 12, ["*", "*"], keep_levels=[1],
+                                        resolution=1).collect()))
+    assert a == b and a
+
+
 def test_pagerank_broadcasts_nothing_and_keys_iterations(spark):
     """PageRank's plan: no CartesianProduct, no driver-side collect of
     ranks — every iteration is a key-shuffled join + fold, so the node

@@ -1834,6 +1834,43 @@ def test_fetch_rule_group_silent_series_and_subslot_window(spark):
             "n_slots", "peak"} <= set(sub.columns)
 
 
+def test_fetch_rule_group_below_membership_is_per_epoch(spark):
+    """Below-rule densification follows fetch's per-EPOCH membership (O2):
+    a series tracked only in epoch [0,5) zero-fills only that epoch's
+    slots — it must NOT fire a run across epoch [5,10) where it never
+    existed (pre-fix the full-window grid fired [2,10); fetch(densify)
+    + series_alerts(above=False) produce no rows there). The rule-group
+    result must equal the per-rule composition exactly."""
+    from kadiyadb_spark.query import fetch, fetch_rule_group, series_alerts
+
+    res, dur = 1, 5
+    rows = [("a", "u", 0, 9.0), ("a", "u", 1, 9.0)] + [
+        ("b", "w", t, 9.0) for t in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string, ts long, v double")
+    cube = track_batch(
+        df, fields=["x", "y"], ts_col="ts", total_col="v",
+        resolution=res, duration=dur,
+    )
+    rules = {"a_quiet": {"pattern": ["a", "*"], "threshold": 2.0,
+                         "for_slots": 2, "above": False}}
+    got = {
+        (r["query"], r["f1"], r["f2"], r["pending_start"], r["run_end"], r["n_slots"])
+        for r in fetch_rule_group(cube, 0, 10, rules,
+                                  resolution=res, duration=dur).collect()
+    }
+    # only epoch-0's zero-filled slots 2..4 breach: one run [2,5) len 3
+    assert got == {("a_quiet", "a", "u", 2, 5, 3)}
+    # and that equals the dense-fetch + series_alerts composition
+    dense = fetch(cube, 0, 10, ["a", "*"], res, dur)
+    al = series_alerts(dense, ["f1", "f2"], 2.0, for_slots=2,
+                       above=False, resolution=res)
+    assert {
+        (r["f1"], r["f2"], r["pending_start"], r["run_end"], r["n_slots"])
+        for r in al.collect()
+    } == {("a", "u", 2, 5, 3)}
+
+
 def test_quality_model_centroid_save_load_roundtrip(spark, tmp_path):
     """load_model accepts BOTH trained shapes: the LBFGS
     {weights, bias, dim} and the r13 centroid {s1, s0, dim} — the
