@@ -3878,7 +3878,13 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
+    """SimHash near-dup pairs at hamming <= 3 over the 4-chunk blocking —
+    a SOUND pigeonhole geometry (max_hamming < chunks, validated r13).
+    The born-r11 call asked hamming <= 6 over 4 chunks, which silently
+    missed every pair whose differing bits spread across all chunks AND,
+    once blocked soundly, matches ~40% of ALL pairs on this fixture —
+    not a dedup threshold at 32 bits. 3/32 is; recall at it is exact."""
+    return D.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,10 +23,23 @@ from kadiyadb_spark.functions.text import normalize_expr, tokens_expr
 # ---------------------------------------------------------------- exact
 
 
+def _content_fp(text_col: str, id_col: str) -> Column:
+    """Content fingerprint with the NULL rule: a NULL-text doc gets a
+    per-row UNIQUE fingerprint — its content is unknown, not known-equal,
+    so grouping all NULLs under md5(NULL)=NULL silently deleted every
+    missing-text doc but one (review finding). One expression, one pass;
+    the DuckDB twins replay the same CASE."""
+    return F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    ).otherwise(F.md5(normalize_expr(F.col(text_col)).cast("binary")))
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per duplicate *group*
-    (n_copies >= 2), keeper = min id. One shuffle keyed by the hash."""
-    fp = F.md5(normalize_expr(F.col(text_col)).cast("binary"))
+    (n_copies >= 2), keeper = min id. One shuffle keyed by the hash.
+    NULL-text docs are never duplicates (see _content_fp)."""
+    fp = _content_fp(text_col, id_col)
     return (
         df.select(fp.alias("fp"), F.col(id_col))
         .groupBy("fp")
@@ -36,8 +49,9 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one doc (min id) per distinct normalized content."""
-    fp = F.md5(normalize_expr(F.col(text_col)).cast("binary"))
+    """Keep exactly one doc (min id) per distinct normalized content.
+    NULL-text docs pass through untouched (see _content_fp)."""
+    fp = _content_fp(text_col, id_col)
     keep = (
         df.select(fp.alias("fp"), F.col(id_col))
         .groupBy("fp")
@@ -59,12 +73,18 @@ def shingles_expr(text: Column, k: int = 8) -> Column:
 
 
 def word_shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles."""
+    """Distinct word k-gram shingles; a document with fewer than ``k``
+    tokens yields the EMPTY set (text.word_ngrams_expr's guard — the
+    unguarded greatest(n-k, 0) index still read element_at past the token
+    array, an ANSI-mode job-killing crash on any short doc)."""
     toks = tokens_expr(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -74,9 +94,13 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
 # Universal-hash family for minhash: h_i(s) = (A[i]*base(s) + B[i]) mod P,
 # base(s) = first 32 bits of md5(s). One md5 per shingle (not one per hash
 # function — 8x less hashing); A[i] < 2^20 keeps A*base < 2^52, exact in
-# int64 in any engine. Constants are arbitrary fixed primes.
+# int64 in any engine AND representable in a double-only engine (the
+# portability bound the invariant exists for — entries 11-15 used to
+# violate it at up to 2^57, review finding; signatures for num_hashes
+# >= 12 change, no gated caller uses more than 8). Constants are
+# arbitrary fixed primes.
 MINHASH_P = 4_294_967_311  # prime > 2^32
-MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869, 3145739, 6291469, 12582917, 25165843]
+MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1048517, 1048549, 1048559, 1048571, 1048573]
 MINHASH_B = [378551, 63689, 458798, 262144, 104729, 99991, 65537, 524287, 131071, 8191, 6700417, 2147483647, 999983, 101111, 333667, 15485863]
 
 
@@ -241,23 +265,35 @@ def jaccard_pairs(
     that cannot bound |candidates| a priori must measure and pass
     ``broadcast_pairs=False`` (minhash_near_duplicates now does) — the
     joins then shuffle on the id keys, which AQE sizes; slower, never
-    driver-fatal."""
+    driver-fatal.
+
+    r13 shape fix (review finding): the broadcast only ever carries the
+    BARE (id_a, id_b) frame. The old shape broadcast the intermediate
+    pairs-with-sh_a frame, whose per-row shingle arrays (~100 KB for a
+    10 KB doc) re-entered the driver-collect failure far below the row
+    guard. Now both shingle lookups are map-side scans against the tiny
+    pair list, and the arrays meet in ONE pair-keyed shuffle bounded by
+    |candidates| — never a driver payload."""
     if sh is None:
         sh = shingle_table(docs, text_col, id_col, shingle_k)
     hint = F.broadcast if broadcast_pairs else (lambda d: d)
+    bare = pairs.select("id_a", "id_b")
     a = sh.alias("sa")
     b = sh.alias("sb")
-    half = a.join(hint(pairs), pairs["id_a"] == F.col(f"sa.{id_col}")).select(
+    side_a = a.join(hint(bare), F.col("id_a") == F.col(f"sa.{id_col}")).select(
         "id_a", "id_b", F.col("sa.sh").alias("sh_a")
     )
+    side_b = b.join(hint(bare), F.col("id_b") == F.col(f"sb.{id_col}")).select(
+        "id_a", "id_b", F.col("sb.sh").alias("sh_b")
+    )
     return (
-        b.join(hint(half), F.col("id_b") == F.col(f"sb.{id_col}"))
+        side_a.join(side_b, ["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             round4_expr(
-                F.size(F.array_intersect("sh_a", "sb.sh")).cast("double")
-                / F.size(F.array_union("sh_a", "sb.sh")).cast("double")
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -296,8 +332,6 @@ def containment_pairs(
         raise ValueError(f"need max_df >= 1, got {max_df}")
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark import StorageLevel
-
     e = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles_expr(F.col(text_col), shingle_k)).alias("_sh"),
@@ -306,7 +340,14 @@ def containment_pairs(
     rare = (
         e.join(freq.filter(F.col("_df") <= max_df), "_sh")
         .select("_id", "_sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes AND both join sides
+        # feeds sizes AND both join sides. localCheckpoint, NOT persist:
+        # a persisted frame registers in the CacheManager forever (the
+        # caller can't unpersist what it never saw — review finding; the
+        # leak evicted useful caches across a long curation session),
+        # while a checkpointed RDD is context-cleaned once the returned
+        # frame is dropped. On multi-node prefer setCheckpointDir +
+        # checkpoint() (same note as connected_components).
+        .localCheckpoint(eager=False)
     )
     sz = rare.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = rare.alias("a"), rare.alias("b")
@@ -333,6 +374,20 @@ def containment_pairs(
         )
     )
     return out.filter(F.greatest("cont_a", "cont_b") >= threshold)
+
+
+def _lsh_geometry(num_hashes: int, bands: int) -> int:
+    """rows_per_band, validated: bands must divide num_hashes evenly.
+    num_hashes < bands gives rows_per_band = 0 — every band_key is the
+    EMPTY string, ALL docs collide in every band and the self-join goes
+    full cross-product (the exact quadratic blowup LSH exists to avoid);
+    a nonzero remainder silently drops hashes, changing the documented
+    S-curve (review finding, confirmed live)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
+    return num_hashes // bands
 
 
 def minhash_near_duplicates(
@@ -367,7 +422,7 @@ def minhash_near_duplicates(
     (it IS the dup-rate observability metric)."""
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // bands
+    rows_per_band = _lsh_geometry(num_hashes, bands)
     broadcast_cands = 2_000_000  # ~tens of MB serialized; far under 1 GiB
     sh = shingle_table(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signature_from_shingles(sh, id_col, num_hashes).persist(
@@ -431,8 +486,24 @@ def simhash_near_duplicates(
     ``chunks`` pieces; by pigeonhole, any pair within hamming distance
     < chunks must agree on >= 1 chunk — join on (chunk_idx, chunk_value),
     then verify exact hamming distance via bit_count(xor). The fingerprint
-    frame is persisted: both self-join sides read it."""
+    frame is persisted: both self-join sides read it.
+
+    The pigeonhole guarantee REQUIRES max_hamming < chunks — validated
+    (review finding: max_hamming=6 over 4 chunks silently lost every pair
+    whose 4-6 differing bits spread across all 4 chunks, and the blocking
+    oracle replays the same blindness). Bits not covered when chunks does
+    not divide bits evenly cost no recall: differing bits there never
+    break chunk agreement, they only count toward the verified hamming."""
     from pyspark import StorageLevel
+
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < chunks, got "
+            f"max_hamming={max_hamming}, chunks={chunks} — raise chunks "
+            f"(recall), not max_hamming"
+        )
+    if bits // chunks < 1:
+        raise ValueError(f"chunks ({chunks}) exceeds bits ({bits})")
 
     sh = simhash(df, text_col, id_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     w = bits // chunks
@@ -729,6 +800,42 @@ def connected_components(
     since |pairs| tracks duplicate count, not corpus size. Past the
     threshold (pathological dup-heavy corpora) the star loop takes over;
     results are identical (min-id labeling) either way."""
+    from pyspark.sql import types as T
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(pairs.schema[src_col].dataType, int_types):
+        # Non-integer ids (URL/UUID-keyed corpora): the long cast crashed
+        # under ANSI and silently emptied the graph without it (review
+        # finding, confirmed live). Map ids to dense longs deterministically
+        # (sorted zipWithIndex — distributed, no single-partition window),
+        # run the integer machinery, map back. Dense rank preserves id
+        # order, so min-dense = min-id and the cluster_id contract
+        # ("smallest id in the component") carries over exactly. The
+        # vertex set is the DUP GRAPH's (~|pairs|), not the corpus's.
+        spark = pairs.sparkSession
+        verts = (
+            pairs.select(F.col(src_col).alias("id"))
+            .union(pairs.select(F.col(dst_col).alias("id")))
+            .distinct()
+        )
+        mapping = spark.createDataFrame(
+            verts.orderBy("id").rdd.map(lambda r: r[0]).zipWithIndex(),
+            schema=T.StructType(
+                [verts.schema["id"], T.StructField("dense", T.LongType())]
+            ),
+        ).localCheckpoint()  # freeze: zipWithIndex must not re-derive mid-plan
+        e_long = (
+            pairs.join(mapping.select(F.col("id").alias(src_col), F.col("dense").alias("_u")), src_col)
+            .join(mapping.select(F.col("id").alias(dst_col), F.col("dense").alias("_v")), dst_col)
+            .select(F.col("_u").alias("id_a"), F.col("_v").alias("id_b"))
+        )
+        labeled = connected_components(e_long, "id_a", "id_b", max_iter, local_threshold)
+        return (
+            labeled.join(mapping.select(F.col("dense").alias("node"), F.col("id").alias("_n")), "node")
+            .join(mapping.select(F.col("dense").alias("cluster_id"), F.col("id").alias("_c")), "cluster_id")
+            .select(F.col("_n").alias("node"), F.col("_c").alias("cluster_id"))
+        )
+
     edges = (
         pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -738,6 +845,7 @@ def connected_components(
     if edges.count() <= local_threshold:
         return _local_components(edges)
     prev_sig = None
+    converged = False
     for it in range(max_iter):
         bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: every neighbor v > u re-points to min(N(u) ∪ {u})
@@ -778,8 +886,18 @@ def connected_components(
             continue
         sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # The star-unpacking below is only valid AT the fixpoint — on a
+        # non-converged edge set it would emit non-minimum labels and
+        # split components silently (review finding). O(log^2 n) bounds
+        # say max_iter=30 covers any real graph; failing loudly beats a
+        # wrong clustering.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} star rounds"
+        )
     # fixpoint edge set is the star {(x, min_C) : x ∈ C, x != min_C}
     return (
         edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
@@ -815,15 +933,27 @@ def cluster_representatives(
     ``clusters`` and keep themselves by definition — union them back
     downstream if a full keeper list is needed.
 
-    Output: (cluster_col, keeper_id, n_members, score_col)."""
+    Members MISSING from ``scores`` (token-based scorers drop zero-token
+    docs) still count in n_members and can still keep (NULL score ranks
+    LAST, ties to lowest id) — the old inner join silently excluded them
+    from both the argmax and the member count, and a fully-unscored
+    cluster vanished with no keeper at all (review finding).
+
+    Output: (cluster_col, keeper_id, n_members, score_col — NULL when the
+    keeper itself is unscored)."""
     from pyspark.sql import Window
 
     s4i = F.round(F.col(score_col).cast("double") * 10000).cast("long")
     j = clusters.select(F.col(node_col), F.col(cluster_col)).join(
-        scores.select(F.col(id_col).alias(node_col), s4i.alias("_s4i")), node_col
+        scores.select(F.col(id_col).alias(node_col), s4i.alias("_s4i")),
+        node_col,
+        "left",
     )
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col("_s4i").desc(), F.col(node_col).asc()
+        # desc_nulls_last EXPLICITLY: Spark's desc default happens to be
+        # nulls-last but DuckDB's is nulls-first — the oracle twin states
+        # NULLS LAST, so the engine states it too
+        F.col("_s4i").desc_nulls_last(), F.col(node_col).asc()
     )
     return (
         j.select(
@@ -969,7 +1099,7 @@ class MinHashIndex:
         bands: int = 4,
         shingle_k: int = 8,
     ) -> "MinHashIndex":
-        rows_per_band = num_hashes // bands
+        rows_per_band = _lsh_geometry(num_hashes, bands)
         sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k)
         banded = banded_signatures(sigs, id_col, bands, rows_per_band, keep_signature=True)
         idx = MinHashIndex(docs.sparkSession, path, id_col, num_hashes, bands, shingle_k)
@@ -1101,7 +1231,7 @@ class MinHashIndex:
         caller that both probes and ingests one batch (the streaming gate)
         can compute signatures ONCE, persist, and feed both paths instead
         of re-shingling the text per call."""
-        rows_per_band = self.num_hashes // self.bands
+        rows_per_band = _lsh_geometry(self.num_hashes, self.bands)
         sigs = minhash_signature(docs, text_col, self.id_col, self.num_hashes, self.shingle_k)
         return banded_signatures(sigs, self.id_col, self.bands, rows_per_band, keep_signature=True)
 

@@ -24,8 +24,11 @@ def oracles() -> dict[str, str]:
     stop = TX.EN_STOPWORDS
 
     # ---- dedup ----
+    # NULL rule twin (_content_fp): a NULL-text doc fingerprints uniquely
     o["dedup_exact"] = f"""
-SELECT md5({_DOC_NORM}) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+SELECT CASE WHEN text IS NULL THEN '__null__' || CAST(doc_id AS VARCHAR)
+       ELSE md5({_DOC_NORM}) END AS fp,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
 
@@ -218,10 +221,10 @@ qual AS (
   FROM tq
 ),
 j AS (SELECT c.cluster_id, c.node, CAST(round(q.quality * 10000) AS BIGINT) AS s4i
-      FROM clus c JOIN qual q ON q.doc_id = c.node),
+      FROM clus c LEFT JOIN qual q ON q.doc_id = c.node),
 r AS (SELECT cluster_id, node, s4i,
              CAST(row_number() OVER (PARTITION BY cluster_id
-                 ORDER BY s4i DESC, node ASC) AS BIGINT) AS rn,
+                 ORDER BY s4i DESC NULLS LAST, node ASC) AS BIGINT) AS rn,
              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
       FROM j)
 SELECT cluster_id, node AS keeper_id, n_members, s4i / 10000.0 AS quality
@@ -253,6 +256,9 @@ h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM 
 SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM h GROUP BY doc_id
 """
 
+    # 4 chunks of 8 bits — sound for max_hamming 3 < 4 (r13: the entry
+    # dropped from the unsound hamming<=6-over-4-chunks ask; see
+    # q_dedup_simhash_pairs)
     chunk_union = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {i} AS chunk_idx, (simhash >> {i * 8}) & 255 AS chunk_val FROM sh"
         for i in range(4)
@@ -268,15 +274,17 @@ cand AS (
     ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
     o["dedup_ngram_jaccard"] = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
 g AS (
   SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+2], ' ')
-                        for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 2 + 1)])
+              ELSE [] END AS sh
   FROM t
 ),
 pairs AS (

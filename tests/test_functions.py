@@ -137,7 +137,10 @@ def test_simhash_matches_python(spark):
 def test_simhash_near_duplicates_blocking(spark):
     base = "one two three four five six seven eight nine ten eleven twelve"
     near = base + " thirteen"
-    out = D.simhash_near_duplicates(_docs(spark, [base, near]), max_hamming=8).collect()
+    # chunks=9 > max_hamming=8: the r13 pigeonhole validation
+    out = D.simhash_near_duplicates(
+        _docs(spark, [base, near]), max_hamming=8, chunks=9
+    ).collect()
     assert len(out) == 1 and (out[0].id_a, out[0].id_b) == (0, 1)
     # verify the reported hamming against python
     def sh(text):
@@ -227,6 +230,93 @@ def test_connected_components_handles_cycles_and_order(spark):
     )
     out = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
     assert out == {5: 5, 7: 5, 9: 5}
+
+
+def test_connected_components_string_ids(spark):
+    """r13 (review finding, confirmed live): non-integer ids crashed the
+    long cast under ANSI (and silently emptied the graph without it).
+    String-keyed corpora (URL/UUID ids) now label through a deterministic
+    dense mapping; cluster_id stays the SMALLEST id (lexicographic for
+    strings), both tiers."""
+    pairs = spark.createDataFrame(
+        [Row(id_a="urlB", id_b="urlA"), Row(id_a="urlB", id_b="urlC"),
+         Row(id_a="x", id_b="y")]
+    )
+    exp = {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA", "x": "x", "y": "x"}
+    out = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == exp
+    dist = {
+        r.node: r.cluster_id
+        for r in D.connected_components(pairs, local_threshold=0).collect()
+    }
+    assert dist == exp
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """The star-unpacking is only valid AT the fixpoint; exhausting
+    max_iter must fail loudly, not emit a silent wrong clustering."""
+    import pytest as _pt
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(40)])
+    with _pt.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=1, local_threshold=0).collect()
+
+
+def test_word_shingles_short_doc_and_null_text_rules(spark):
+    """r13 review closures: (1) word_shingles_expr yields the EMPTY set
+    for docs with fewer than k tokens instead of an ANSI out-of-bounds
+    crash; (2) dedup_exact passes NULL-text docs through untouched and
+    exact_duplicates never groups them (content unknown != content
+    equal — the old md5(NULL) fingerprint deleted all but one)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="one two"), Row(doc_id=2, text="a b c d"),
+         Row(doc_id=3, text=None), Row(doc_id=4, text=None),
+         Row(doc_id=5, text="a b c d")]
+    )
+    sh = {
+        r.doc_id: list(r.s)
+        for r in docs.select(
+            "doc_id", D.word_shingles_expr(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    assert sh[1] == [] and sh[2] == ["a b c", "b c d"]
+    kept = sorted(r.doc_id for r in D.dedup_exact(docs).collect())
+    assert kept == [1, 2, 3, 4]  # both NULL docs survive; 5 deduped to 2
+    groups = D.exact_duplicates(docs).collect()
+    assert [(g.keeper_id, g.n_copies) for g in groups] == [(2, 2)]
+
+
+def test_lsh_geometry_and_simhash_pigeonhole_validation(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world " * 5)])
+    with _pt.raises(ValueError, match="evenly divide"):
+        D.minhash_near_duplicates(docs, num_hashes=4, bands=8)
+    with _pt.raises(ValueError, match="evenly divide"):
+        D.minhash_near_duplicates(docs, num_hashes=10, bands=4)
+    with _pt.raises(ValueError, match="max_hamming < chunks"):
+        D.simhash_near_duplicates(docs, max_hamming=6, chunks=4)
+    with _pt.raises(ValueError, match="exceeds bits"):
+        D.simhash_near_duplicates(docs, bits=32, chunks=64, max_hamming=3)
+
+
+def test_cluster_representatives_unscored_members(spark):
+    """Unscored members count in n_members and a fully-unscored cluster
+    still elects a keeper (NULL score, lowest id) — the old inner join
+    dropped both (review finding)."""
+    clusters = spark.createDataFrame(
+        [Row(node=1, cluster_id=1), Row(node=2, cluster_id=1),
+         Row(node=3, cluster_id=1), Row(node=7, cluster_id=7),
+         Row(node=8, cluster_id=7)]
+    )
+    scores = spark.createDataFrame(
+        [Row(doc_id=1, quality=0.2), Row(doc_id=3, quality=0.9)]
+    )
+    got = {r.cluster_id: r for r in D.cluster_representatives(clusters, scores).collect()}
+    assert got[1].keeper_id == 3 and got[1].n_members == 3
+    assert got[1].quality == 0.9
+    assert got[7].keeper_id == 7 and got[7].n_members == 2
+    assert got[7].quality is None
 
 
 def test_connected_components_distributed_path_matches_local(spark):

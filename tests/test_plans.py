@@ -62,12 +62,19 @@ def test_fetch_prunes_partitions_and_pushes_filters(spark, tmp_path):
 
 
 def test_jaccard_verify_broadcasts_candidates(spark):
+    """r13 shape: BOTH shingle lookups are map-side broadcast joins of the
+    BARE (id_a, id_b) pair list (the broadcast never carries shingle
+    arrays — the old pairs-with-sh_a broadcast re-entered the driver
+    collect blowup), and the arrays meet in exactly ONE pair-keyed
+    shuffle join bounded by |candidates|."""
     docs = spark.createDataFrame([Row(doc_id=i, text=f"doc number {i} " * 10) for i in range(20)])
     pairs = spark.createDataFrame([Row(id_a=0, id_b=1), Row(id_a=2, id_b=3)])
     plan = plan_str(D.jaccard_pairs(docs, pairs))
-    # the shingle table must stream map-side, never shuffle for a sort-merge
-    assert "SortMergeJoin" not in plan
+    # the corpus-scale shingle table streams map-side on both lookups
     assert n_broadcast_joins(plan) == 2
+    # one join remains for the pair-keyed array meet (shuffle, not
+    # broadcast — it carries the arrays; SMJ or shuffled-hash both fine)
+    assert plan.count("Join") >= 3
 
 
 def test_ivf_topk_single_shuffle(spark):
