@@ -425,11 +425,20 @@ def stream_index_dedup(
     harmless (query's candidate distinct; compact drops them physically) —
     while the decisions stay exactly-once. Periodically ``index.compact()``
     to fold the appended files.
-    """
-    from pyspark.sql import functions as F
 
+    ``id_col`` must equal the index's own id column: the probe and the
+    feedback join key on ``index.id_col``, so a mismatch would silently
+    accept everything with an audit trail claiming it was checked
+    (review finding) — validated here instead.
+    """
     from kadiyadb_spark.fs import HadoopFS
     from kadiyadb_spark.manifest import GenLog
+
+    if id_col != index.id_col:
+        raise ValueError(
+            f"id_col {id_col!r} must match the index's id column "
+            f"{index.id_col!r} — the probe and feedback joins key on it"
+        )
 
     def _decisions_of(banded_batch: DataFrame, ids: DataFrame) -> DataFrame:
         matches = index.query_banded(banded_batch, min_est=min_est)
@@ -601,6 +610,7 @@ def stream_alerts(
     count_col: str | None = None,
     trigger_available_now: bool = True,
     stream_id: str = "alerts",
+    ingest: bool = True,
 ):
     """Continuous ALERTING-RULE evaluation over streaming ingest — the
     APM deployment mode of ``query.series_alerts``: each micro-batch is
@@ -626,7 +636,19 @@ def stream_alerts(
     only) + one windowed rule evaluation (the breach filter precedes the
     window shuffle, so only breaching slots move — series_alerts' plan).
     Replaced state segments are GC'd under the GenLog keep-3 contract, so
-    a reader pinned at a retained generation survives the swap."""
+    a reader pinned at a retained generation survives the swap.
+
+    MULTIPLE RULES over one Database (review finding): exactly ONE stream
+    may ingest. Two default-``stream_id`` ingesting rules collide on one
+    cube high-water mark (whichever commits batch N first silently
+    no-ops the other's merge), and two distinct-``stream_id`` ingesting
+    rules each merge the full event stream (every total double-counts).
+    Deploy rule #2..N with ``ingest=False`` (each still needs its OWN
+    ``alerts_dir``/``checkpoint``): the batch is NOT merged, only
+    evaluated against the cube's committed state. An evaluate-only rule
+    can lag the ingesting stream within a drain; its state converges on
+    its next evaluation after the final merge (re-trigger for an exact
+    final snapshot)."""
     from kadiyadb_spark.fs import HadoopFS
     from kadiyadb_spark.manifest import GenLog
     from kadiyadb_spark.query import series_alerts
@@ -637,10 +659,11 @@ def stream_alerts(
         m = log.read()
         if batch_id <= int(m.get("hwm", -1)):
             return  # replay: state already reflects this batch
-        db.track_stream_batch(
-            batch, batch_id, stream_id=stream_id,
-            ts_col=ts_col, total_col=total_col, count_col=count_col,
-        )
+        if ingest:
+            db.track_stream_batch(
+                batch, batch_id, stream_id=stream_id,
+                ts_col=ts_col, total_col=total_col, count_col=count_col,
+            )
         dense = db.fetch(from_ts, to_ts, pattern)
         from kadiyadb_spark.schema import series_field_cols
 

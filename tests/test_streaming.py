@@ -671,6 +671,64 @@ def test_stream_alerts_state_tracks_ingest(spark, tmp_path):
     assert sorted(map(str, s3)) == sorted(map(str, s2))
 
 
+def test_stream_alerts_evaluate_only_second_rule(spark, tmp_path):
+    """Multi-rule deployment (r13 review closure): rule #2 runs with
+    ingest=False — it evaluates against the cube's committed state
+    without merging, so totals never double-count (two ingesting rules
+    with distinct stream_ids would each merge the full stream). Its
+    state equals the batch series_alerts over the same data once it
+    evaluates after the final merge."""
+    from kadiyadb_spark.streaming.ingest import read_alerts, stream_alerts
+
+    src = str(tmp_path / "asrc")
+    db = Database.open(spark, str(tmp_path / "adb"), P)
+    a1, a2 = str(tmp_path / "al1"), str(tmp_path / "al2")
+
+    _write_batch(spark, src, [
+        (B0 + 5 * SEC, "click", "u1", 6.0),
+        (B0 + 65 * SEC, "click", "u1", 7.0),
+    ])
+    kw = dict(pattern=["click"], from_ts=B0, to_ts=B0 + 10 * 60 * SEC)
+    q = stream_alerts(
+        spark.readStream.schema(SRC_SCHEMA).parquet(src), db,
+        alerts_dir=a1, checkpoint=str(tmp_path / "ck1"),
+        threshold=5.0, for_slots=2, **kw,
+    )
+    q.awaitTermination(120)
+    # rule #2 (different threshold), evaluate-only, AFTER the merge
+    q2 = stream_alerts(
+        spark.readStream.schema(SRC_SCHEMA).parquet(src), db,
+        alerts_dir=a2, checkpoint=str(tmp_path / "ck2"),
+        threshold=6.5, for_slots=1, ingest=False, **kw,
+    )
+    q2.awaitTermination(120)
+    s2 = read_alerts(spark, a2).collect()
+    # only the 7.0 slot breaches 6.5 — and the 6.0 slot was NOT
+    # double-merged into 12.0 by the second stream
+    assert len(s2) == 1 and (s2[0].pending_start, s2[0].peak) == (B0 + 60 * SEC, 7.0)
+    s1 = read_alerts(spark, a1).collect()
+    assert len(s1) == 1 and s1[0].peak == 7.0
+
+
+def test_stream_index_dedup_id_col_mismatch_raises(spark, tmp_path):
+    """A caller id_col differing from the index's silently disabled the
+    whole gate pre-r13 (probe and feedback join on index.id_col) — now a
+    ValueError at wiring time."""
+    import pytest as _pt
+
+    from kadiyadb_spark.functions.dedup import MinHashIndex
+    from kadiyadb_spark.streaming.ingest import stream_index_dedup
+
+    corpus = spark.createDataFrame([(1, "seed doc text " * 4)], "doc_id long, text string")
+    idx = MinHashIndex.build(corpus, str(tmp_path / "idx"))
+    (tmp_path / "s").mkdir()  # the file source checks the dir eagerly
+    with _pt.raises(ValueError, match="must match the index's id column"):
+        stream_index_dedup(
+            spark.readStream.schema("id long, text string").parquet(str(tmp_path / "s")),
+            idx, str(tmp_path / "dec"), str(tmp_path / "ck"), id_col="id",
+        )
+
+
 def test_stream_rejects_quarantine_idempotent(spark, tmp_path):
     """The dead-letter side feed: rejected rows land per batch; a REPLAYED
     batch id overwrites its directory instead of duplicating (the side-feed
