@@ -265,20 +265,30 @@ class IVFIndex:
         straggler."""
         spark = emb.sparkSession
         cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
-        cents.write.mode("overwrite").parquet(f"{path}/centroids")
         idx = IVFIndex(spark, path, id_col, vec_col)
         log = idx._log()
         m = log.read()
-        live = f"assigned-g{m['gen'] + 1:06d}"
+        gen = m["gen"] + 1
+        # centroids are generation-named + manifest-referenced like the
+        # assignment dir (review finding: the in-place overwrite broke the
+        # crash contract on rebuild and fed at_gen-pinned searches NEW
+        # centroids against an OLD assignment)
+        cdir = f"centroids-g{gen:06d}"
+        live = f"assigned-g{gen:06d}"
+        cents.write.mode("overwrite").parquet(f"{path}/{cdir}")
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         assigned.repartition(num_centroids, "centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(f"{path}/{live}")
         log.commit(
-            {"live": live, "params": {"id_col": id_col, "vec_col": vec_col}},
+            {
+                "live": live,
+                "centroids": cdir,
+                "params": {"id_col": id_col, "vec_col": vec_col},
+            },
             m["gen"],
         )
-        idx._gc_data_dirs(keep=live)
+        idx._gc_data_dirs(keep={live, cdir})
         return idx
 
     @classmethod
@@ -309,16 +319,23 @@ class IVFIndex:
             raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
         return f"{self.path}/{m['live']}"
 
-    def _gc_data_dirs(self, keep: str) -> None:
+    def _gc_data_dirs(self, keep) -> None:
         """Keeps every dir a RETAINED manifest references — generation-pinned
         searches (``search(at_gen=...)``) stay serviceable across a
         concurrent compact's swap (same contract as MinHashIndex)."""
         from kadiyadb_spark.fs import HadoopFS
 
         fs = HadoopFS(self.spark, self.path)
-        keep_set = self._log().live_dirs() | {keep}
+        log = self._log()
+        keep_set = (
+            log.live_dirs()
+            | log.live_dirs("centroids")
+            | ({keep} if isinstance(keep, str) else set(keep))
+        )
         for name in fs.listdir(self.path):
-            if name.startswith("assigned") and name not in keep_set:
+            if (
+                name.startswith("assigned") or name.startswith("centroids-")
+            ) and name not in keep_set:
                 fs.delete(HadoopFS.join(self.path, name))
 
     def generations(self) -> list[int]:
@@ -328,8 +345,9 @@ class IVFIndex:
     def assigned(self, at_gen: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self._live(at_gen))
 
-    def centroids(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/centroids")
+    def centroids(self, at_gen: int | None = None) -> DataFrame:
+        mdir = self._log().read(at_gen).get("centroids", "centroids")
+        return self.spark.read.parquet(f"{self.path}/{mdir}")
 
     def add(self, emb: DataFrame) -> None:
         """APPEND a batch of vectors to the index against the EXISTING
@@ -341,16 +359,31 @@ class IVFIndex:
         bucket membership of already-indexed vectors must stay stable or
         the partition layout lies; retrain+rebuild is a full build().
         Frequent adds fragment buckets into small files — ``compact`` folds
-        them back."""
-        cents = self.centroids()
-        n = cents.count()  # tiny frame: C rows
-        assigned = ivf_assign(emb, cents, self.id_col, self.vec_col)
-        (
-            assigned.repartition(int(n), "centroid_id")
-            .write.mode("append")
-            .partitionBy("centroid_id")
-            .parquet(self._live())
-        )
+        them back. Fenced by a same-manifest bump commit (see
+        IVFPQIndex.add): a compact that swapped mid-append makes the bump
+        collide and the add retries against the new live dir instead of
+        losing the batch with the superseded dir's GC."""
+        from kadiyadb_spark.manifest import ConcurrentWriteError
+
+        for attempt in (0, 1):
+            log = self._log()
+            m = log.read()
+            live = self._live()
+            cents = self.centroids()
+            n = cents.count()  # tiny frame: C rows
+            assigned = ivf_assign(emb, cents, self.id_col, self.vec_col)
+            (
+                assigned.repartition(int(n), "centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(live)
+            )
+            try:
+                log.commit(dict(m), m["gen"])  # fence vs concurrent compact
+                return
+            except ConcurrentWriteError:
+                if attempt:
+                    raise
 
     def compact(self) -> None:
         """Fold appended batches: rewrite the assignment table clustered by
@@ -360,7 +393,9 @@ class IVFIndex:
         ``assigned-g<N+1>`` dir, atomically publish the manifest pointing
         at it, GC the old dir — the previous generation stays fully
         readable through any crash (the old delete-then-rename swap had a
-        no-index window). Single-writer maintenance op."""
+        no-index window). Single-writer maintenance op; raises
+        ConcurrentWriteError if an add's fence commit lands mid-compact
+        (retry)."""
         log = self._log()
         m = log.read()
         live = self._live()
@@ -393,7 +428,7 @@ class IVFIndex:
         import numpy as np
         import pandas as pd
 
-        c_ids, cn = _centroid_arrays(self.centroids())
+        c_ids, cn = _centroid_arrays(self.centroids(at_gen))
         q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         qc = qn @ cn.T
@@ -477,6 +512,10 @@ def lsh_topk(
     )
     h_ids, hmat = _collect_matrix(hyper, "centroid_id", "centroid_vec")
     hmat = hmat[np.argsort(h_ids)]  # bit j = lowest-id hyperplane first
+    # a base smaller than nbits yields fewer hyperplanes — derive the real
+    # bit count from the matrix (review finding: the driver-side bucketing
+    # hardcoded nbits and crashed on shape mismatch)
+    nbits = hmat.shape[0]
     q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
@@ -708,11 +747,15 @@ def pq_codebooks(
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_codebooks: empty base table")
     mat = np.array([list(r[0]) for r in rows], dtype=np.float64)  # ksub x dim
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if len(mat) < ksub:  # degenerate tiny base: pad by repetition (review
+        mat = np.resize(mat, (ksub, dim))  # finding — siblings already did)
     # [m, ksub, dsub]: subspace-major view of the ksub chosen vectors
     return mat.reshape(ksub, m, dsub).transpose(1, 0, 2).copy(), dim
 
@@ -809,6 +852,27 @@ def resolve_pq_codebooks(
     raise ValueError(f"unknown PQ codebook strategy: {codebooks!r}")
 
 
+def _residual_sample(
+    emb: DataFrame, centroids: DataFrame, n: int, id_col: str, vec_col: str
+) -> "np.ndarray":
+    """Residual matrix of the ``n`` LOWEST-ID vectors vs their cosine-argmax
+    centroid (ivf_assign's rule) — the ONE sample/residual construction
+    shared by all three residual-codebook trainers (was copy-pasted three
+    times; a tie-break or assignment fix must hit every trainer and the
+    SQL oracle at once — review finding)."""
+    import numpy as np
+
+    _ids, v = _collect_matrix(
+        emb.orderBy(F.col(id_col).asc()).limit(n), id_col, vec_col
+    )
+    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
+    craw = craw[np.argsort(c_ids)]
+    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    nearest = np.argmax(vn @ cn.T, axis=1)  # same assignment rule as ivf_assign
+    return v - craw[nearest]
+
+
 def pq_codebooks_residual(
     emb: DataFrame,
     centroids: DataFrame,
@@ -833,18 +897,7 @@ def pq_codebooks_residual(
     (see _lloyd_subspaces). Empty clusters keep their previous center.
 
     Returns (codebook [m, ksub, dsub], dim)."""
-    import numpy as np
-
-    s_ids, v = _collect_matrix(
-        emb.orderBy(F.col(id_col).asc()).limit(sample), id_col, vec_col
-    )
-    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
-    order = np.argsort(c_ids)
-    craw = craw[order]
-    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
-    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-    nearest = np.argmax(vn @ cn.T, axis=1)  # same assignment rule as ivf_assign
-    r = v - craw[nearest]
+    r = _residual_sample(emb, centroids, sample, id_col, vec_col)
     return _lloyd_subspaces(r, m, ksub, iters), r.shape[1]
 
 
@@ -913,18 +966,7 @@ def pq_codebooks_residual_lloyd(
     distances, 1e-6-scaled center sums) is far below residual scale —
     recall vs the float trainer is pinned adjacent in
     tests/test_ivf_recall.py. Returns (codebook [m, ksub, dsub], dim)."""
-    import numpy as np
-
-    s_ids, v = _collect_matrix(
-        emb.orderBy(F.col(id_col).asc()).limit(sample), id_col, vec_col
-    )
-    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
-    order = np.argsort(c_ids)
-    craw = craw[order]
-    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
-    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-    nearest = np.argmax(vn @ cn.T, axis=1)  # same assignment rule as ivf_assign
-    r = v - craw[nearest]
+    r = _residual_sample(emb, centroids, sample, id_col, vec_col)
     return _lloyd_subspaces_q(r, m, ksub, iters), r.shape[1]
 
 
@@ -949,16 +991,7 @@ def pq_codebooks_residual_det(
     residual distribution. Returns (codebook [m, ksub, dsub], dim)."""
     import numpy as np
 
-    _s_ids, v = _collect_matrix(
-        emb.orderBy(F.col(id_col).asc()).limit(ksub), id_col, vec_col
-    )
-    c_ids, craw = _collect_matrix(centroids, "centroid_id", "centroid_vec")
-    order = np.argsort(c_ids)
-    craw = craw[order]
-    cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
-    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-    nearest = np.argmax(vn @ cn.T, axis=1)
-    r = v - craw[nearest]
+    r = _residual_sample(emb, centroids, ksub, id_col, vec_col)
     dim = r.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -966,6 +999,30 @@ def pq_codebooks_residual_det(
     if len(r) < ksub:  # degenerate tiny base: pad by repetition like pq_codebooks
         r = np.resize(r, (ksub, dim))
     return r.reshape(ksub, m, dsub).transpose(1, 0, 2).copy(), dim
+
+
+def resolve_residual_codebooks(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int,
+    ksub: int,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Residual codebook strategy switch shared by ivfpq_topk and
+    IVFPQIndex.build (review finding: build was missing the 'lloyd'
+    branch, so the SQL-replayable trained path could not be persisted):
+    "kmeans" = float-Lloyd trained (FAISS recall path), "lloyd" =
+    quantized-Lloyd trained (exact SQL replay), "deterministic" =
+    first-ksub residual slices, anything else = caller-provided arrays."""
+    if codebooks == "kmeans":
+        return pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+    if codebooks == "lloyd":
+        return pq_codebooks_residual_lloyd(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+    if codebooks == "deterministic":
+        return pq_codebooks_residual_det(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
+    return resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
 
 
 def pq_assign(
@@ -1065,7 +1122,9 @@ def pq_topk(
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # [b, m]
             ids = pdf[id_col].to_numpy()
-            rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))  # [b]
+            # zero-reconstruction clamp (same as residual mode): an all-zero
+            # codeword set would score inf/NaN and rank first (review finding)
+            rnorm = np.sqrt(np.maximum(nn2[cols, codes].sum(axis=1), 1e-300))  # [b]
             parts = []
             for j in range(nq):
                 adot = Tt[j][cols, codes].sum(axis=1)  # m lookups per vector
@@ -1156,22 +1215,7 @@ def ivfpq_topk(
         ]
     )  # (queries, centroids) bool
     if residual:
-        # Residual codebook strategy mirrors raw mode's: "kmeans" = Lloyd-
-        # trained on the residual distribution (the FAISS recall path),
-        # "deterministic" = first-ksub residual slices (SQL-replayable, the
-        # oracle-gated shape), anything else = caller-provided arrays.
-        if codebooks == "kmeans":
-            C, dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
-        elif codebooks == "lloyd":
-            # quantized-Lloyd trainer: trained recall with an exact SQL
-            # replay (VERDICT r12 item 4)
-            C, dim = pq_codebooks_residual_lloyd(
-                emb, cents, m, ksub, id_col=id_col, vec_col=vec_col
-            )
-        elif codebooks == "deterministic":
-            C, dim = pq_codebooks_residual_det(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
-        else:
-            C, dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
+        C, dim = resolve_residual_codebooks(emb, cents, m, ksub, codebooks, id_col, vec_col)
         cid2, craw = _collect_matrix(cents, "centroid_id", "centroid_vec")
         craw = craw[np.argsort(cid2)]  # id-ascending, same order as cn
         dsub = dim // m
@@ -1220,7 +1264,7 @@ def ivfpq_topk(
                 )
                 rnorm = np.sqrt(np.maximum(rn2, 1e-300))
             else:
-                rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))
+                rnorm = np.sqrt(np.maximum(nn2[cols, codes].sum(axis=1), 1e-300))
             ids = pdf[id_col].to_numpy()
             parts = []
             for j in range(len(qi)):
@@ -1322,7 +1366,13 @@ def exact_rerank(
     )
     # keep each query's OWN shortlist only (a candidate of query A is not
     # rescored for query B)
-    own = scored.join(F.broadcast(cand), [query_id_col, id_col])
+    # DISTINCT pairs: a hybrid retriever can emit (q, id) twice, and a
+    # duplicated join row would take two ranks and evict a true top-k
+    # neighbor (review finding)
+    own = scored.join(
+        F.broadcast(cand.select(query_id_col, id_col).distinct()),
+        [query_id_col, id_col],
+    )
     c4 = round4_expr(F.col("_cos"))
     w = Window.partitionBy(query_id_col).orderBy(c4.desc(), F.col(id_col).asc())
     return (
@@ -1391,20 +1441,33 @@ class IVFPQIndex:
         from kadiyadb_spark.fs import HadoopFS
 
         fs = HadoopFS(self.spark, self.path)
-        keep_set = self._log().live_dirs() | {keep}
+        log = self._log()
+        keep_set = (
+            log.live_dirs()
+            | log.live_dirs("centroids")
+            | log.live_dirs("codebooks")
+            | ({keep} if isinstance(keep, str) else set(keep))
+        )
         for name in fs.listdir(self.path):
-            if name.startswith("codes") and name not in keep_set:
+            if (
+                name.startswith("codes")
+                or name.startswith("centroids-")
+                or name.startswith("codebooks-")
+            ) and name not in keep_set:
                 fs.delete(HadoopFS.join(self.path, name))
 
     def generations(self) -> list[int]:
         """Retained (pinnable) generation numbers, ascending."""
         return self._log().retained()
 
-    def _codebooks(self):
-        """[m, ksub, dsub] ndarray from the persisted codebook rows."""
+    def _codebooks(self, at_gen: int | None = None):
+        """[m, ksub, dsub] ndarray from the persisted codebook rows (the
+        generation's own dir; legacy indexes fall back to the unversioned
+        path)."""
         import numpy as np
 
-        rows = self.spark.read.parquet(f"{self.path}/codebooks").collect()
+        mdir = self._log().read(at_gen).get("codebooks", "codebooks")
+        rows = self.spark.read.parquet(f"{self.path}/{mdir}").collect()
         dsub = len(rows[0]["center_vec"])
         C = np.zeros((self.m, self.ksub, dsub))
         for r in rows:
@@ -1471,16 +1534,26 @@ class IVFPQIndex:
 
         spark = emb.sparkSession
         cents = resolve_centroids(emb, num_centroids, centroids, id_col, vec_col)
-        cents.write.mode("overwrite").parquet(f"{path}/centroids")
         if residual:
-            if codebooks == "kmeans":
-                C, _dim = pq_codebooks_residual(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
-            elif codebooks == "deterministic":
-                C, _dim = pq_codebooks_residual_det(emb, cents, m, ksub, id_col=id_col, vec_col=vec_col)
-            else:
-                C, _dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
+            C, _dim = resolve_residual_codebooks(
+                emb, cents, m, ksub, codebooks, id_col, vec_col
+            )
         else:
             C, _dim = resolve_pq_codebooks(emb, m, ksub, codebooks, id_col, vec_col)
+
+        from kadiyadb_spark.manifest import GenLog
+
+        log = GenLog(spark, path)
+        mm = log.read()
+        gen = mm["gen"] + 1
+        # centroids/codebooks are GENERATION-NAMED and manifest-referenced
+        # like the codes dir (review finding: in-place overwrite broke the
+        # crash contract on rebuild and fed at_gen-pinned searches NEW
+        # centroids against OLD codes)
+        cdir = f"centroids-g{gen:06d}"
+        cbdir = f"codebooks-g{gen:06d}"
+        live = f"codes-g{gen:06d}"
+        cents.write.mode("overwrite").parquet(f"{path}/{cdir}")
         cb_rows = pd.DataFrame(
             [
                 {"subspace": j, "code": kk, "center_vec": [float(x) for x in C[j, kk]]}
@@ -1490,13 +1563,7 @@ class IVFPQIndex:
         )
         spark.createDataFrame(
             cb_rows, schema="subspace long, code long, center_vec array<double>"
-        ).write.mode("overwrite").parquet(f"{path}/codebooks")
-
-        from kadiyadb_spark.manifest import GenLog
-
-        log = GenLog(spark, path)
-        mm = log.read()
-        live = f"codes-g{mm['gen'] + 1:06d}"
+        ).write.mode("overwrite").parquet(f"{path}/{cbdir}")
         coded = IVFPQIndex._encode(emb, cents, C, id_col, vec_col, residual)
         (
             coded.repartition(num_centroids, "centroid_id")
@@ -1507,6 +1574,8 @@ class IVFPQIndex:
         log.commit(
             {
                 "live": live,
+                "centroids": cdir,
+                "codebooks": cbdir,
                 "params": {
                     "id_col": id_col,
                     "vec_col": vec_col,
@@ -1518,11 +1587,12 @@ class IVFPQIndex:
             mm["gen"],
         )
         idx = IVFPQIndex(spark, path)
-        idx._gc_data_dirs(keep=live)
+        idx._gc_data_dirs(keep={live, cdir, cbdir})
         return idx
 
-    def centroids(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/centroids")
+    def centroids(self, at_gen: int | None = None) -> DataFrame:
+        mdir = self._log().read(at_gen).get("centroids", "centroids")
+        return self.spark.read.parquet(f"{self.path}/{mdir}")
 
     def codes(self, at_gen: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self._live(at_gen))
@@ -1531,20 +1601,39 @@ class IVFPQIndex:
         """LSM append against the FROZEN centroids + codebooks (bucket
         membership and code meaning must stay stable; retrain = rebuild).
         Cost ∝ batch; compact folds the small files and drops replayed
-        duplicates."""
-        cents = self.centroids()
-        n = cents.count()
-        coded = IVFPQIndex._encode(
-            emb, cents, self._codebooks(), self.id_col, self.vec_col, self.residual
-        )
-        (
-            coded.repartition(int(n), "centroid_id")
-            .write.mode("append")
-            .partitionBy("centroid_id")
-            .parquet(self._live())
-        )
+        duplicates. The append is FENCED by a same-manifest bump commit:
+        a compact that swapped generations mid-append makes the bump
+        collide (review finding — the rows would land in a superseded dir
+        and die with its GC), in which case the add retries once against
+        the new live dir; the abandoned rows are harmless duplicates in a
+        dir already scheduled for GC."""
+        from kadiyadb_spark.manifest import ConcurrentWriteError
+
+        for attempt in (0, 1):
+            log = self._log()
+            m = log.read()
+            live = self._live()
+            cents = self.centroids()
+            n = cents.count()
+            coded = IVFPQIndex._encode(
+                emb, cents, self._codebooks(), self.id_col, self.vec_col, self.residual
+            )
+            (
+                coded.repartition(int(n), "centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(live)
+            )
+            try:
+                log.commit(dict(m), m["gen"])  # fence vs concurrent compact
+                return
+            except ConcurrentWriteError:
+                if attempt:
+                    raise
 
     def compact(self) -> None:
+        """Single-writer maintenance op; raises ConcurrentWriteError if an
+        add's fence commit lands mid-compact (retry)."""
         log = self._log()
         m = log.read()
         live = self._live()
@@ -1578,9 +1667,10 @@ class IVFPQIndex:
         import numpy as np
         import pandas as pd
 
-        C = self._codebooks()
-        c_ids, cn = _centroid_arrays(self.centroids())
-        cid2, craw = _collect_matrix(self.centroids(), "centroid_id", "centroid_vec")
+        C = self._codebooks(at_gen)
+        cents_df = self.centroids(at_gen)
+        c_ids, cn = _centroid_arrays(cents_df)
+        cid2, craw = _collect_matrix(cents_df, "centroid_id", "centroid_vec")
         craw = craw[np.argsort(cid2)]
         q_ids, q = _collect_matrix(queries, query_id_col, query_vec_col)
         qn_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -1624,7 +1714,7 @@ class IVFPQIndex:
                     )
                     rnorm = np.sqrt(np.maximum(rn2, 1e-300))
                 else:
-                    rnorm = np.sqrt(nn2[cols, codes].sum(axis=1))
+                    rnorm = np.sqrt(np.maximum(nn2[cols, codes].sum(axis=1), 1e-300))
                 parts = []
                 for j in range(len(qi)):
                     hit = np.isin(buckets, list(probes[j]))
@@ -1951,10 +2041,6 @@ def embedding_outliers(
     num, den = tail
     if not (0 < num < den):
         raise ValueError(f"tail must be a rational in (0, 1), got {tail}")
-    from pyspark.sql import Window
-
-    from kadiyadb_spark.functions.num import round4_expr
-
     spark = emb.sparkSession
     if centroids is None:
         centroids = deterministic_centroids(emb, num_centroids, id_col, vec_col)
@@ -2154,7 +2240,9 @@ def power_iteration_top_pc(
         emb.select(F.col(id_col).alias("_id"), F.posexplode(e4).alias("dim", "_v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dim = len(emb.select(vec_col).first()[0])
+    dim = infer_dim(emb, vec_col)
+    if dim is None:
+        raise ValueError("power iteration: empty corpus")
     w4 = [10000] * dim
     for _ in range(iters):
         wdf = F.broadcast(

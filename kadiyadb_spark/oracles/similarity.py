@@ -324,7 +324,7 @@ cand AS (
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
 ),
 scored AS (
-  SELECT cd.vec_id, cd.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
+  SELECT cd.vec_id, cd.query_id, sum(tb.t) AS adot, sqrt(greatest(sum(tb.n2), 1e-300)) AS rnorm
   FROM cand cd
   JOIN codes co ON co.vec_id = cd.vec_id
   JOIN tables tb ON tb.query_id = cd.query_id AND co.m = tb.m AND co.code = tb.code
@@ -642,7 +642,7 @@ tables AS (
   FROM q CROSS JOIN cb c
 ),
 scored AS (
-  SELECT co.vec_id, tb.query_id, sum(tb.t) AS adot, sqrt(sum(tb.n2)) AS rnorm
+  SELECT co.vec_id, tb.query_id, sum(tb.t) AS adot, sqrt(greatest(sum(tb.n2), 1e-300)) AS rnorm
   FROM codes co JOIN tables tb ON co.m = tb.m AND co.code = tb.code
   GROUP BY co.vec_id, tb.query_id
 ),

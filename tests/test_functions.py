@@ -944,6 +944,78 @@ def test_ivf_index_pinned_generation_survives_compact(spark, tmp_path):
         idx.search(queries, at_gen=g0 + 9)
 
 
+def test_index_rebuild_keeps_pinned_generation_consistent(spark, tmp_path):
+    """r13 (review finding): centroids/codebooks are generation-named and
+    manifest-referenced like the data dirs, so REBUILDING an index over
+    different data no longer clobbers them in place — a search pinned at
+    the pre-rebuild generation reads its own centroids+codes (the in-place
+    overwrite silently probed NEW centroids against OLD codes), and the
+    quantized-Lloyd trained codebooks ('lloyd') are buildable as a
+    persisted index, matching the one-shot operator exactly."""
+    import random
+
+    random.seed(11)
+    emb1 = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[random.random() for _ in range(8)]) for i in range(24)]
+    )
+    emb2 = spark.createDataFrame(
+        [Row(vec_id=200 + i, embedding=[random.random() for _ in range(8)]) for i in range(24)]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, query_vec=[0.6] * 8)])
+    path = str(tmp_path / "pq_rebuild")
+    kw = dict(num_centroids=4, m=4, ksub=4, residual=True, codebooks="lloyd")
+
+    idx1 = SIM.IVFPQIndex.build(emb1, path, **kw)
+    g1 = idx1.generations()[-1]
+    v1 = [(r.vec_id, r.rank) for r in idx1.search(queries, k=3, nprobe=4).collect()]
+    one_shot = [
+        (r.vec_id, r.rank)
+        for r in SIM.ivfpq_topk(emb1, queries, k=3, nprobe=4, num_centroids=4,
+                                m=4, ksub=4, residual=True, codebooks="lloyd").collect()
+    ]
+    assert v1 == one_shot  # 'lloyd' persists identically to the operator
+
+    idx2 = SIM.IVFPQIndex.build(emb2, path, **kw)  # REBUILD, new corpus
+    v2 = [(r.vec_id, r.rank) for r in idx2.search(queries, k=3, nprobe=4).collect()]
+    assert all(vid >= 200 for vid, _ in v2)
+    pinned = [(r.vec_id, r.rank) for r in idx2.search(queries, k=3, nprobe=4, at_gen=g1).collect()]
+    assert pinned == v1  # old gen = old centroids + old codebooks + old codes
+
+
+def test_ivf_index_add_fenced_against_concurrent_compact(spark, tmp_path):
+    """The add fence (r13): add bump-commits the unchanged manifest, so a
+    compact that swapped generations mid-append collides and add retries
+    against the new live dir instead of losing the batch to the
+    superseded dir's GC. Simulated by compacting between add's manifest
+    read and its commit via a wrapped GenLog."""
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 5), 1.0]) for i in range(10)]
+    )
+    idx = SIM.IVFIndex.build(emb, str(tmp_path / "fenced"), num_centroids=2)
+
+    real_log = idx._log
+    state = {"fired": False}
+
+    class Hooked:
+        def __getattr__(self, a):
+            return getattr(real_log(), a)
+
+        def commit(self, m, prev_gen, keep=None):
+            if not state["fired"]:
+                state["fired"] = True
+                idx2 = SIM.IVFIndex(spark, idx.path, idx.id_col, idx.vec_col)
+                idx2.compact()  # swaps the generation first
+            return real_log().commit(m, prev_gen, keep)
+
+    idx._log = lambda: Hooked()
+    late = spark.createDataFrame([Row(vec_id=100, embedding=[9.0, 1.0])])
+    idx.add(late)  # first commit collides; retry lands in the new live dir
+    idx._log = real_log
+    q = spark.createDataFrame([Row(query_id=0, query_vec=[9.0, 1.0])])
+    got = {r.vec_id for r in idx.search(q, k=1, nprobe=2).collect()}
+    assert got == {100}
+
+
 def test_span_dedup_keeps_first_global_occurrence(spark):
     """C4-style duplicate-span removal: a repeated span survives only at
     its lowest (doc_id, span_idx); docs rebuild in span order; fully-
