@@ -95,7 +95,8 @@ def score_quality(
             p = 1.0 / (1.0 + np.exp(-z))
             yield pd.DataFrame({id_col: pdf[id_col], "_p": p})
 
-    scored = feats.mapInPandas(score, schema=f"{id_col} long, _p double")
+    idt = docs.schema[id_col].dataType.simpleString()  # generic id type
+    scored = feats.mapInPandas(score, schema=f"{id_col} {idt}, _p double")
     return scored.select(
         id_col,
         round4_expr(F.col("_p")).alias("quality_score"),

@@ -25,19 +25,27 @@ LANG_PRIORITY = ["en", "de", "es", "fr"]
 
 EN_STOPWORDS = LANG_MARKERS["en"]
 
+# THE whitespace class, stated explicitly on both engines (review finding:
+# Java \s includes \x0B, RE2's does not — the exact trap normalize_text's
+# docstring warns about; these predate that learning). Spark semantics are
+# unchanged (this IS Java's ASCII \s); the DuckDB twins now match on
+# \x0B-bearing input too.
+WS_CLASS = "[ \t\n\x0B\f\r]"
+
 # BPE-ish subword proxy: alternating letter/digit runs + single punctuation,
-# the classic pre-tokenizer split. Same regex works in DuckDB.
-BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# the classic pre-tokenizer split. Same regex works in DuckDB (with the
+# explicit whitespace class on both sides).
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokens of lowercased text, empties removed."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(text), WS_CLASS + "+"), lambda t: t != "")
 
 
 def normalize_expr(text: Column) -> Column:
     """Canonical form for fingerprint/dedup: lowercase, collapse whitespace."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), WS_CLASS + "+", " "))
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -132,8 +140,10 @@ def char_entropy(
     are dropped (no distribution to measure).
 
     Returns (id_col, n_chars, n_distinct_chars, char_entropy)."""
+    # backtick-quoted: raw interpolation breaks on column names needing
+    # quoting, unlike the F.col() every sibling uses (review finding)
     chars = F.expr(
-        f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))"
+        f"transform(sequence(1, length(`{text_col}`)), i -> substring(`{text_col}`, i, 1))"
     )
 
     def term4(run: Column) -> Column:
@@ -213,7 +223,14 @@ def winnow_fingerprint(
     md5 fingerprint, two documents sharing most content share most window
     hashes, so their min-sets collide — the selection step of
     winnowing/MOSS-style local fingerprinting. Shuffle-free map transform;
-    the identical arithmetic runs in the DuckDB oracle."""
+    the identical arithmetic runs in the DuckDB oracle.
+
+    A doc with fewer than ``num_mins`` DISTINCT window hashes (short or
+    single-repeated-char text) pads its min-set by CYCLING the available
+    hashes — deterministic, replayed by the oracle; the unpadded form
+    emitted NULL min columns that silently never joined in
+    winnow_near_duplicates (and raised under ANSI element_at) for exactly
+    the most repetitive docs the dedup targets (review finding)."""
     norm = normalize_expr(F.col(text_col))
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -221,7 +238,12 @@ def winnow_fingerprint(
         idx,
         lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k).cast("binary")), 1, 8), 16, 10).cast("long"),
     )
-    mins = F.slice(F.array_sort(F.array_distinct(hashes)), 1, num_mins)
+    distinct_sorted = F.array_sort(F.array_distinct(hashes))
+    sz = F.size(distinct_sorted)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.lit(num_mins)),
+        lambda j: F.element_at(distinct_sorted, ((j - 1) % sz + 1).cast("int")),
+    )
     return df.select(
         F.col(id_col),
         *[F.element_at(mins, j + 1).alias(f"min{j}") for j in range(num_mins)],
@@ -349,7 +371,8 @@ def bloom_decontaminate(
             hit = b[pos].all(axis=1)
             yield pdf.loc[hit, [id_col, "gram"]]
 
-    survivors = doc_grams.mapInPandas(probe, schema=f"{id_col} long, gram string")
+    idt = docs.schema[id_col].dataType.simpleString()  # generic id type
+    survivors = doc_grams.mapInPandas(probe, schema=f"{id_col} {idt}, gram string")
     return (
         survivors.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
@@ -508,15 +531,19 @@ def gopher_rules(
             F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
         )
     )
-    passes = gopher_pass_expr(
-        text,
-        min_tokens=min_tokens,
-        max_tokens=max_tokens,
-        min_avg_len=min_avg_len,
-        max_avg_len=max_avg_len,
-        max_symbol_ratio=max_symbol_ratio,
-        min_alpha_word_frac=min_alpha_word_frac,
-        min_stopword_hits=min_stopword_hits,
+    # the verdict conjunction over the ALREADY-BUILT local expressions —
+    # calling gopher_pass_expr here rebuilt every aggregate/filter lambda
+    # and regexp_count a second time per row, and Catalyst does not dedupe
+    # interpreted higher-order subexpressions (review finding); identical
+    # output, half the projection cost
+    passes = (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (avg_len >= min_avg_len)
+        & (avg_len <= max_avg_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
     )
     return df.select(
         F.col(id_col),
@@ -557,24 +584,31 @@ def unigram_lm_score(
     carry = list(carry_cols or [])
     toks = docs.select(
         F.col(id_col), *carry, F.explode(tokens_expr(F.col(text_col))).alias("token")
-    )
+    ).localCheckpoint(eager=False)  # feeds the freq table AND the score join
     freq = toks.groupBy("token").agg(F.count("*").cast("double").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
+    # per-token surprisal quantizes to 4dp BEFORE the mean, and the mean
+    # is the exact scaled-long fold — avg(double) sums in partition order
+    # and flipped the 4th decimal across layouts (the class exact_avg4's
+    # docstring documents; bigram_lm_score was built on quantized folds
+    # for exactly this reason — review finding)
+    from kadiyadb_spark.functions.num import exact_avg4_expr
+
     logp = freq.crossJoin(F.broadcast(total)).select(
-        "token", F.log(F.col("cnt") / F.col("total")).alias("logp")
+        "token", round4_expr(-F.log(F.col("cnt") / F.col("total"))).alias("_nlp4")
     )
     return (
         toks.join(F.broadcast(logp), "token")
         .groupBy(id_col, *carry)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.avg(-F.col("logp")).alias("_ce"),
+            exact_avg4_expr(F.col("_nlp4")).alias("_ce"),
         )
         .select(
             F.col(id_col),
             *carry,
             "n_tokens",
-            round4_expr(F.col("_ce")).alias("cross_entropy"),
+            F.col("_ce").alias("cross_entropy"),
             round4_expr(F.exp(F.col("_ce"))).alias("perplexity"),
         )
     )
@@ -620,7 +654,9 @@ def split_fixed_spans(
     (doc_id, span_idx, span). The fixed-span analog of C4's three-sentence
     units for corpora without sentence/line structure; map-side only (array
     slicing inside the projection, then one posexplode)."""
-    toks = F.split(F.col(text_col), " ")
+    # true whitespace tokens (review finding: the literal single-space
+    # split collapsed newline/tab-separated text into mega-tokens)
+    toks = F.filter(F.split(F.col(text_col), WS_CLASS + "+"), lambda t: t != "")
     nspans = F.ceil(F.size(toks) / F.lit(words_per_span)).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), nspans - 1),
@@ -652,7 +688,7 @@ def chunk_documents(
     (sim_* operators) downstream."""
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
-    toks = F.split(F.col(text_col), " ")
+    toks = F.filter(F.split(F.col(text_col), WS_CLASS + "+"), lambda t: t != "")
     # windows start at 0, stride, 2*stride, ... while start < n_tokens
     nchunks = F.greatest(
         F.lit(1), F.ceil(F.size(toks) / F.lit(stride)).cast("int")
@@ -835,8 +871,24 @@ def hashed_bow(
     counts = hashed_counts(df, dim=dim, text_col=text_col, id_col=id_col).select(
         id_col, "_b", F.col("_c").cast("double").alias("_c")
     )
-    sparse = counts.groupBy(id_col).agg(
-        F.collect_list("_b").alias("_bs"), F.collect_list("_c").alias("_cs")
+    # LEFT join back to the doc ids: a token-less doc emits no count rows
+    # and would otherwise VANISH from the output — the docstring's
+    # zero-vector contract was dead code and score_quality silently
+    # returned no verdict for empty docs (review finding)
+    sparse = (
+        df.select(id_col)
+        .join(
+            counts.groupBy(id_col).agg(
+                F.collect_list("_b").alias("_bs"), F.collect_list("_c").alias("_cs")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("_bs"), F.array().cast("array<long>")).alias("_bs"),
+            F.coalesce(F.col("_cs"), F.array().cast("array<double>")).alias("_cs"),
+        )
     )
 
     def densify(batches):
@@ -856,7 +908,8 @@ def hashed_bow(
             mat /= norms[:, None]
             yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": list(mat)})
 
-    return sparse.mapInPandas(densify, schema=f"{id_col} long, embedding array<double>")
+    idt = df.schema[id_col].dataType.simpleString()  # generic id type
+    return sparse.mapInPandas(densify, schema=f"{id_col} {idt}, embedding array<double>")
 
 
 def bigram_lm_score(
@@ -897,7 +950,12 @@ def bigram_lm_score(
         raise ValueError(f"interpolation weight must be in (0, 1), got {lam}")
     from kadiyadb_spark.functions.num import exact_avg4_expr, round4_expr
 
-    toks = docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    # materialize the tokenization ONCE (localCheckpoint, context-cleaned
+    # when the result is dropped — review finding: doc_bg/unigrams each
+    # re-ran the full tokenize chain per consumer, ~4 corpus scans)
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_t")
+    ).localCheckpoint(eager=False)
     # bigram key "w1 w2" (tokens contain no whitespace by construction)
     doc_bg = toks.filter(F.size("_t") >= 2).select(
         F.col(id_col),
@@ -908,6 +966,7 @@ def bigram_lm_score(
             )
         ).alias("_bg"),
     )
+    doc_bg = doc_bg.localCheckpoint(eager=False)  # feeds bgc AND the score join
     unigrams = toks.select(F.explode("_t").alias("_w"))
     unic = unigrams.groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
     total = unigrams.agg(F.count(F.lit(1)).alias("_T"))
@@ -1362,7 +1421,7 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     contrib = F.expr(
-        f"1000000L div ({int(kconst)} + cast({rank_col} as long))"
+        f"1000000L div ({int(kconst)} + cast(`{rank_col}` as long))"
     ).alias("_c")
     parts = [r.select(F.col(id_col), contrib) for r in rankings]
     fused = (
@@ -1466,10 +1525,22 @@ def script_census(
     }
     counted = df.select(
         *(group_cols or []),
+        t.isNull().alias("_tnull"),
         *[F.regexp_count(t, F.lit(p)).cast("long").alias(n) for n, p in ranges.items()],
     )
     dom = (
+        # degenerate docs get their OWN label (review finding): null text
+        # made every comparison null and fell through to 'cjk'; a
+        # letter-less doc (digits/punctuation only) tied at 0 as 'latin'
         F.when(
+            F.col("_tnull")
+            | (
+                (F.col("n_latin") + F.col("n_cyrillic") + F.col("n_greek") + F.col("n_cjk"))
+                == 0
+            ),
+            F.lit("none"),
+        )
+        .when(
             (F.col("n_latin") >= F.col("n_cyrillic"))
             & (F.col("n_latin") >= F.col("n_greek"))
             & (F.col("n_latin") >= F.col("n_cjk")),
@@ -1486,6 +1557,7 @@ def script_census(
     keys = [*(group_cols or []), "dominant_script"]
     return (
         counted.withColumn("dominant_script", dom)
+        .drop("_tnull")
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -162,7 +162,8 @@ h AS (SELECT doc_id,
           [CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)
            for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS hs
       FROM d),
-mins AS (SELECT doc_id, unnest([hs[1], hs[2], hs[3], hs[4]]) AS hv FROM h),
+mins AS (SELECT doc_id, unnest([hs[1 + (0 % len(hs))], hs[1 + (1 % len(hs))],
+                                hs[1 + (2 % len(hs))], hs[1 + (3 % len(hs))]]) AS hv FROM h),
 dmins AS (SELECT DISTINCT doc_id, hv FROM mins)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
 FROM dmins a JOIN dmins b ON a.hv = b.hv AND a.doc_id < b.doc_id

@@ -138,9 +138,12 @@ _SHINGLES8 = (
     "list_distinct([substr(norm, i, 8) for i in range(1, greatest(len(norm) - 7, 1) + 1)])"
 )
 
-_DOC_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# explicit whitespace class (RE2 \s lacks \x0B; \v == \x0B) — twins
+# functions/text.py WS_CLASS
+_WS = "[ \\t\\n\\v\\f\\r]"
+_DOC_NORM = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
 
-_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+_TOKENS = f"list_filter(regexp_split_to_array(lower(text), '{_WS}+'), t -> t != '')"
 
 # Same universal-hash family as dedup.minhash_signature: one md5 base hash
 # per shingle, h_i = (A[i]*base + B[i]) % P in exact int64 arithmetic.

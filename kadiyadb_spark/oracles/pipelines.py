@@ -157,9 +157,11 @@ surv AS (
 tok AS (SELECT doc_id, source, unnest(toks) AS token FROM surv),
 f AS (SELECT token, count(*)::DOUBLE AS cnt FROM tok GROUP BY token),
 tot AS (SELECT sum(cnt) AS total FROM f),
-lp AS (SELECT token, ln(cnt / total) AS logp FROM f, tot),
+lp AS (SELECT token, floor((-ln(cnt / total)) * 10000 + 0.5) / 10000 AS nlp4 FROM f, tot),
 d AS (
-  SELECT tok.doc_id, tok.source, count(*) AS n_tokens, avg(-lp.logp) AS ce
+  SELECT tok.doc_id, tok.source, count(*) AS n_tokens,
+         floor((sum(CAST(round(lp.nlp4 * 10000) AS BIGINT))
+                / (10000.0 * count(*))) * 10000 + 0.5) / 10000 AS ce
   FROM tok JOIN lp USING (token) GROUP BY tok.doc_id, tok.source
 ),
 dr AS (SELECT source, n_tokens, floor(exp(ce) * 10000 + 0.5) / 10000 AS ppl FROM d)

@@ -23,7 +23,7 @@ WITH t AS (SELECT doc_id, {_TOKENS} AS toks, text FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
-       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subwords,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS n_subwords,
        floor((CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS avg_token_len
 FROM t
 """
@@ -176,7 +176,7 @@ FROM base LEFT JOIN top USING (doc_id)
     # Corpus span dedup: a span survives only at its globally-first
     # (doc_id, span_idx); docs rebuilt from survivors in span order.
     o["text_span_dedup"] = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), t -> t != '') AS tk FROM documents),
 spans AS (
   SELECT doc_id, CAST(i AS INT) AS span_idx,
          array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS span
@@ -193,7 +193,7 @@ FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
     o["text_chunk"] = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), t -> t != '') AS tk FROM documents),
 c AS (
   SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
          tk[(i*12+1):(i*12+16)] AS w
@@ -206,7 +206,7 @@ FROM c
 """
 
     o["rag_hashed_retrieval"] = """
-WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id >= 10),
+WITH toks0 AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), t -> t != '') AS tk FROM documents WHERE doc_id >= 10),
 chunks AS (
   SELECT doc_id*1000 + CAST(i AS BIGINT) AS vec_id,
          array_to_string(tk[(i*12+1):(i*12+16)], ' ') AS chunk
@@ -222,7 +222,7 @@ cb AS (
 qb AS (
   SELECT doc_id AS query_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
          CAST(count(*) AS DOUBLE) AS c
-  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t != '')) AS tok
         FROM documents WHERE doc_id < 3)
   WHERE tok <> '' GROUP BY 1, 2
 ),
@@ -251,7 +251,7 @@ QUALIFY rank <= 5
 """
 
     o["text_boilerplate"] = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), t -> t != '') AS tk FROM documents),
 spans AS (
   SELECT doc_id, CAST(i AS INT) AS span_idx,
          array_to_string(tk[(i*3+1):(i*3+3)], ' ') AS span
@@ -319,7 +319,9 @@ h AS (SELECT doc_id,
           [CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 8)) AS BIGINT)
            for i in range(1, greatest(len(norm) - 7, 1) + 1)])) AS hs
       FROM d)
-SELECT doc_id, hs[1] AS min0, hs[2] AS min1, hs[3] AS min2, hs[4] AS min3 FROM h
+SELECT doc_id,
+       hs[1 + (0 % len(hs))] AS min0, hs[1 + (1 % len(hs))] AS min1,
+       hs[1 + (2 % len(hs))] AS min2, hs[1 + (3 % len(hs))] AS min3 FROM h
 """
 
     # BM25: per-term score mirrored as the IDENTICAL double expression over
@@ -618,13 +620,15 @@ FROM scored
 WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
 f AS (SELECT token, count(*)::DOUBLE AS cnt FROM t GROUP BY token),
 tot AS (SELECT sum(cnt) AS total FROM f),
-lp AS (SELECT token, ln(cnt / total) AS logp FROM f, tot),
+lp AS (SELECT token, floor((-ln(cnt / total)) * 10000 + 0.5) / 10000 AS nlp4 FROM f, tot),
 d AS (
-  SELECT t.doc_id, count(*) AS n_tokens, avg(-lp.logp) AS ce
+  SELECT t.doc_id, count(*) AS n_tokens,
+         floor((sum(CAST(round(lp.nlp4 * 10000) AS BIGINT))
+                / (10000.0 * count(*))) * 10000 + 0.5) / 10000 AS ce
   FROM t JOIN lp USING (token) GROUP BY t.doc_id
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       floor(ce * 10000 + 0.5) / 10000 AS cross_entropy,
+       ce AS cross_entropy,
        floor(exp(ce) * 10000 + 0.5) / 10000 AS perplexity
 FROM d
 """
@@ -794,7 +798,8 @@ c AS (
   FROM s),
 d AS (
   SELECT *,
-         CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk THEN 'latin'
+         CASE WHEN n_latin IS NULL OR n_latin + n_cyrillic + n_greek + n_cjk = 0 THEN 'none'
+              WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk THEN 'latin'
               WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk THEN 'cyrillic'
               WHEN n_greek >= n_cjk THEN 'greek'
               ELSE 'cjk' END AS dominant_script

@@ -3528,6 +3528,53 @@ def test_dq_expect_golden(spark):
         expect(df, {})
 
 
+def test_text_degenerate_doc_rules_r13(spark):
+    """r13 review closures across the text family on degenerate docs:
+    (1) hashed_bow emits the promised ZERO vector for token-less docs
+    (they vanished; score_quality then returned no verdict), and
+    score_quality covers every doc; (2) winnow_fingerprint cycle-pads a
+    doc with fewer distinct window hashes than num_mins (NULL mins never
+    joined, and ANSI element_at raised); (3) script_census labels
+    null-text and letter-less docs 'none' (was 'cjk'/'latin');
+    (4) hashed_bow/score_quality/bloom_decontaminate accept non-long
+    ids (schemas hardcoded 'long')."""
+    from kadiyadb_spark.functions import text as TX
+    from kadiyadb_spark.functions.quality_model import score_quality
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="real words here"), Row(doc_id=2, text="   "),
+         Row(doc_id=3, text=None)]
+    )
+    bow = {r.doc_id: list(r.embedding) for r in TX.hashed_bow(docs, dim=8).collect()}
+    assert set(bow) == {1, 2, 3}
+    assert bow[2] == [0.0] * 8 and bow[3] == [0.0] * 8
+    model = {"weights": [0.5] * 8, "bias": -1.0, "dim": 8}
+    verdicts = {r.doc_id: r.quality_pass for r in score_quality(docs, model).collect()}
+    assert set(verdicts) == {1, 2, 3} and verdicts[2] is False
+
+    fp = TX.winnow_fingerprint(
+        spark.createDataFrame([Row(doc_id=1, text="aaaaaaaaaaaa")]), k=8, num_mins=4
+    ).collect()[0]
+    mins = [fp.min0, fp.min1, fp.min2, fp.min3]
+    assert all(m is not None for m in mins)
+    assert len(set(mins)) < 4  # cycled padding repeats the available hashes
+
+    cen = {r.dominant_script: r.n_docs for r in TX.script_census(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="12345 !!"),
+             Row(doc_id=3, text=None)]
+        )
+    ).collect()}
+    assert cen == {"latin": 1, "none": 2}
+
+    sdocs = spark.createDataFrame([Row(doc_id="u-1", text="alpha beta gamma")])
+    sbow = TX.hashed_bow(sdocs, dim=8).collect()
+    assert sbow[0].doc_id == "u-1"
+    bench = spark.createDataFrame([Row(doc_id="b", text="alpha beta gamma delta eps")])
+    out = TX.bloom_decontaminate(sdocs, bench, n=3)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+
+
 def test_script_census_golden(spark):
     from kadiyadb_spark.functions.text import script_census
 
