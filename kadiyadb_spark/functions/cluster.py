@@ -43,6 +43,12 @@ from kadiyadb_spark.functions.num import guarded_scaled_sum
 
 _DQ = 1e8  # squared-term quantum (distance grid)
 _CQ = 1e6  # component quantum (centroid-update grid)
+# Plan-literal assignment ceiling: centroids ride the plan as k*d literal
+# Columns, which is the whole exactness device — past this k the Catalyst
+# tree itself becomes the bottleneck (review finding: auto-k at corpus
+# scale would build millions of literals and hang/OOM the DRIVER before
+# any executor work). Fail loudly with guidance instead.
+_MAX_PLAN_K = 512
 
 
 def _dist_q(vec_dbl: Column, centroid: "list[float]") -> Column:
@@ -67,7 +73,13 @@ def _assign_cols(vec_dbl: Column, centroids: "list[list[float]]"):
 
 def _base_frame(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return emb.select(F.col(id_col).alias("_id"), vec_dbl.alias("_v"))
+    # materialize ONCE: every consumer makes iters+2..3 full passes (init
+    # collect, per-iteration update jobs, final assignment) — without this
+    # each pass re-scans and re-casts the source (review finding); the
+    # checkpointed RDD is context-cleaned when the result is dropped
+    return emb.select(F.col(id_col).alias("_id"), vec_dbl.alias("_v")).localCheckpoint(
+        eager=False
+    )
 
 
 def _lloyd(base: DataFrame, k: int, iters: int) -> "list[list[float]]":
@@ -78,11 +90,48 @@ def _lloyd(base: DataFrame, k: int, iters: int) -> "list[list[float]]":
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if k > _MAX_PLAN_K:
+        raise ValueError(
+            f"k={k} exceeds the plan-literal assignment ceiling "
+            f"({_MAX_PLAN_K}): the exact-replay device embeds k*d literal "
+            "columns in the plan. For larger k use the sampled trainers "
+            "(similarity.kmeans_centroids / pq_codebooks) whose assignment "
+            "runs as a broadcast numpy kernel."
+        )
     init_rows = base.orderBy(F.col("_id").asc()).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"need >= {k} vectors to init k-means, got {len(init_rows)}")
     centroids = [[float(x) for x in r["_v"]] for r in init_rows]
     dim = len(centroids[0])
+    # One validation pass over the (checkpointed) base: ragged vectors
+    # otherwise surface as driver IndexError/None-cid TypeError mid-run,
+    # and components past the quantization grid silently lose per-term
+    # exactness / can wrap the long distance fold (review finding — the
+    # centroid sums are runtime-guarded, the distance fold was not).
+    import math
+
+    chk = base.agg(
+        F.min(F.size("_v")).alias("_mn"),
+        F.max(F.size("_v")).alias("_mx"),
+        F.max(
+            F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+        ).alias("_amax"),
+    ).collect()[0]
+    if chk["_mn"] != dim or chk["_mx"] != dim:
+        raise ValueError(
+            f"ragged embedding column: sizes {chk['_mn']}..{chk['_mx']} "
+            f"vs init dim {dim}"
+        )
+    grid_max = min(
+        math.sqrt(float(1 << 53) / _DQ) / 2.0,
+        math.sqrt(float(1 << 63) / (_DQ * max(dim, 1))) / 2.0,
+    )
+    if chk["_amax"] is not None and chk["_amax"] > grid_max:
+        raise ValueError(
+            f"component magnitude {chk['_amax']:.3g} exceeds the exact "
+            f"distance grid bound {grid_max:.3g} at dim {dim} — scale the "
+            "vectors (the quantized fold would silently lose exactness)"
+        )
 
     for _ in range(iters):
         cid, _ = _assign_cols(F.col("_v"), centroids)
@@ -251,7 +300,12 @@ def semdedup_prune(
             if dropped[i]:
                 continue
             kept[i] = True
-            dropped |= (s[i] >= threshold) & ~kept
+            # STRICTLY greater id only: equal-id rows never dominate each
+            # other, so the outcome is layout-proof even with duplicate
+            # ids (review finding — the stable argsort alone fell back to
+            # partition-arrival order on ties; the SQL replay's kept
+            # filter states the same x.id < m.id rule)
+            dropped |= (s[i] >= threshold) & ~kept & (ids > ids[i])
         return pd.DataFrame(
             {
                 "id": ids,
@@ -260,7 +314,8 @@ def semdedup_prune(
             }
         )
 
+    idt = emb.schema[id_col].dataType.simpleString()  # generic id type
     out = assigned.groupBy("cluster_id").applyInPandas(
-        bucket_flags, schema="id long, cluster_id long, kept long"
+        bucket_flags, schema=f"id {idt}, cluster_id long, kept long"
     )
     return out.select(F.col("id").alias(id_col), "cluster_id", "kept")

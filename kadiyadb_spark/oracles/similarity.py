@@ -789,7 +789,8 @@ g AS (
   UNION ALL
   SELECT m.cid, m.rn,
          CASE WHEN len(list_filter(g.kept,
-                x -> list_cosine_similarity(x.v, m.v) >= 0.35)) > 0
+                x -> x.id < m.vec_id
+                     AND list_cosine_similarity(x.v, m.v) >= 0.35)) > 0
               THEN g.kept
               ELSE list_append(g.kept, struct_pack(id := m.vec_id, v := m.v))
          END

@@ -232,6 +232,37 @@ def test_connected_components_handles_cycles_and_order(spark):
     assert out == {5: 5, 7: 5, 9: 5}
 
 
+def test_cluster_validation_and_generic_ids_r13(spark):
+    """r13 cluster review closures: ragged vectors and grid-exceeding
+    magnitudes raise a NAMED error instead of an obscure driver crash /
+    silent exactness loss; k past the plan-literal ceiling fails with
+    guidance instead of building a million-literal Catalyst tree;
+    semdedup_prune accepts non-long ids."""
+    import pytest as _pt
+
+    from kadiyadb_spark.functions import cluster as CL
+
+    ragged = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 2.0]), Row(vec_id=2, embedding=[1.0])]
+    )
+    with _pt.raises(ValueError, match="ragged embedding"):
+        CL.kmeans_lloyd(ragged, k=1, iters=1).collect()
+    big = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0e7, 0.0]) for i in range(4)]
+    )
+    with _pt.raises(ValueError, match="exact .*grid bound|grid bound"):
+        CL.kmeans_lloyd(big, k=2, iters=1).collect()
+    with _pt.raises(ValueError, match="plan-literal"):
+        CL.kmeans_lloyd(big, k=10_000, iters=1)
+
+    sdocs = spark.createDataFrame(
+        [Row(vec_id=f"v{i}", embedding=[float(i % 3), 1.0]) for i in range(6)]
+    )
+    out = CL.semdedup_prune(sdocs, k=2, iters=1, threshold=0.999)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert out.count() == 6
+
+
 def test_connected_components_string_ids(spark):
     """r13 (review finding, confirmed live): non-integer ids crashed the
     long cast under ANSI (and silently emptied the graph without it).
