@@ -49,6 +49,12 @@ GPT2_PRETOK_RE = (
     "'s|'t|'re|'ve|'m|'ll|'d"
     "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}\\x01]+|\\s+"
 )
+# Known divergence vs the real GPT-2/tiktoken pattern (documented, not a
+# cross-engine issue): Java/RE2 \s is ASCII-only, so non-ASCII Unicode
+# whitespace (NBSP, ideographic space, U+2028/29) lands in the punctuation
+# class here where tiktoken's Unicode \s treats it as whitespace —
+# token COUNTS on such text differ from tiktoken's; Spark and DuckDB still
+# agree with each other on every input.
 
 
 def gpt2_pretokens_expr(text: Column) -> Column:
@@ -91,11 +97,27 @@ def word_frequencies(
 def sym_init_expr(word: Column) -> Column:
     """Initial symbol sequence: characters + the end-of-word marker.
     Explicit substring transform (not split-on-empty) so Spark and the SQL
-    oracle agree on every input."""
+    oracle agree on every input.
+
+    Two r13 guards (review findings): a word CONTAINING the literal marker
+    fails loudly — the concatenated decode stream cannot distinguish it
+    from real word boundaries, so encode would silently corrupt the
+    round-trip; and the empty word yields just [marker] — bare
+    sequence(1, 0) DESCENDS and produced ['', '', marker]."""
+    checked = F.when(
+        word.contains(END),
+        F.raise_error(
+            F.concat(
+                F.lit(f"input word contains the reserved BPE marker {END!r}: "), word
+            )
+        ),
+    ).otherwise(word)
     chars = F.transform(
-        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+        F.sequence(F.lit(1), F.length(checked)), lambda i: checked.substr(i, F.lit(1))
     )
-    return F.concat(chars, F.array(F.lit(END)))
+    return F.when(F.length(word) == F.lit(0), F.array(F.lit(END))).otherwise(
+        F.concat(chars, F.array(F.lit(END)))
+    )
 
 
 def apply_merge_expr(syms: Column, left: str, right: str) -> Column:
@@ -179,17 +201,82 @@ def merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     )
 
 
-def tokenize_words(words: DataFrame, merges: list[tuple[str, str, int]],
-                   word_col: str = "word") -> DataFrame:
+# Expression-path ceiling: each merge nests one more F.aggregate around the
+# symbol column, and Catalyst's recursive analysis of a num_merges-deep tree
+# hits multi-minute planning / StackOverflow at a few thousand merges
+# (review finding — train_bpe truncates lineage per iteration for exactly
+# this reason; the APPLY path had no mitigation). Past the ceiling the
+# kernel path replays the identical in-rank-order merge loop in an
+# Arrow-batched python kernel: same output, bounded plan.
+_MAX_EXPR_MERGES = 64
+
+
+def tokenize_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    word_col: str = "word",
+    engine: str = "auto",
+) -> DataFrame:
     """Tokenize the DISTINCT-word frame by replaying merges in rank order
     (exactly the greedy lowest-rank tokenization, per the standard BPE
-    equivalence) — adds ``tokens array<string>``. The fold chain is JVM
-    expressions end to end; tokenizing unique words instead of occurrences
-    is the corpus-scale win (join back on the word column)."""
-    syms = sym_init_expr(F.col(word_col))
-    for left, right, _ in merges:
-        syms = apply_merge_expr(syms, left, right)
-    return words.withColumn("tokens", syms)
+    equivalence) — adds ``tokens array<string>``. Tokenizing unique words
+    instead of occurrences is the corpus-scale win (join back on the word
+    column).
+
+    ``engine``: 'expr' (nested JVM fold — the SQL-replayable gate path,
+    plan depth grows with the merge count), 'kernel' (Arrow-batched python
+    replay of the SAME left-to-right non-overlapping merge loop —
+    identical tokens, O(1) plan depth, the realistic-vocab scale path;
+    equality is pytest-pinned), or 'auto' (expr up to 64
+    merges, kernel beyond)."""
+    if engine == "auto":
+        engine = "expr" if len(merges) <= _MAX_EXPR_MERGES else "kernel"
+    if engine == "expr":
+        syms = sym_init_expr(F.col(word_col))
+        for left, right, _ in merges:
+            syms = apply_merge_expr(syms, left, right)
+        return words.withColumn("tokens", syms)
+    if engine != "kernel":
+        raise ValueError(f"unknown tokenize engine: {engine!r}")
+
+    pairs = [(l, r) for l, r, _ in merges]
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words.schema.fields
+    )
+
+    def tok(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for w in pdf[word_col]:
+                toks = cache.get(w)
+                if toks is None:
+                    if END in w:
+                        raise ValueError(
+                            f"input word contains the reserved BPE marker {END!r}: {w!r}"
+                        )
+                    syms = list(w) + [END]
+                    for lft, rgt in pairs:
+                        merged, i, nxt = lft + rgt, 0, []
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == lft
+                                and syms[i + 1] == rgt
+                            ):
+                                nxt.append(merged)
+                                i += 2
+                            else:
+                                nxt.append(syms[i])
+                                i += 1
+                        syms = nxt
+                    cache[w] = toks = syms
+                out.append(toks)
+            yield pdf.assign(tokens=out)
+
+    return words.mapInPandas(tok, schema=f"{in_schema}, tokens array<string>")
 
 
 def tokenize_bpe(
@@ -213,6 +300,10 @@ def tokenize_bpe(
             *carry, F.explode(pretokens_expr(F.col(text_col), pretokenize)).alias("word")
         )
         .filter(F.col("word") != "")
+        # feeds the distinct-word vocab subtree AND the occurrence join —
+        # without this the pre-tokenize+explode scan runs twice (review
+        # finding; train_bpe truncates lineage for the same reason)
+        .localCheckpoint(eager=False)
     )
     vocab = tokenize_words(occ.select("word").distinct(), merges).select(
         "word", F.size("tokens").alias("_n_tok")
@@ -233,14 +324,27 @@ def tokenize_bpe(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     base = docs.select(*carry).distinct()
-    return base.join(counts, carry, "left").select(
-        *carry,
+    # NULL-SAFE join keys (review finding): USING equality never matches a
+    # NULL carry value, so a NULL-keyed group's real counts were dropped
+    # and the group reported (0, 0) — on BOTH engines identically, which
+    # is exactly why the gate could not catch it
+    cond = None
+    for c in carry:
+        e = base[c].eqNullSafe(counts[c])
+        cond = e if cond is None else cond & e
+    return base.join(counts, cond, "left").select(
+        *[base[c] for c in carry],
         F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
     )
 
 
-def save_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+def save_merges(
+    spark,
+    merges: list[tuple[str, str, int]],
+    path: str,
+    pretokenize: str = "whitespace",
+) -> None:
     """Persist a trained merge table as one atomic JSON file (fs.HadoopFS —
     file:/hdfs:/s3a:). The artifact is KBs; atomic write means readers see
     the old tokenizer or the new one, never a torn file."""
@@ -261,25 +365,58 @@ def save_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
         if not fs.rename(path, old):
             raise RuntimeError(f"could not park existing merges at {old}")
     if not fs.write_json_atomic(
-        path, {"version": 1, "end": END, "merges": [[l, r, c] for l, r, c in merges]}
+        path,
+        {
+            "version": 1,
+            "end": END,
+            # the pre-tokenizer is as load-bearing as the merges: a
+            # gpt2-trained table applied under 'whitespace' silently never
+            # fires its space-prefixed merges (review finding) — persist it
+            # so load can refuse a mismatched application
+            "pretokenize": pretokenize,
+            "merges": [[l, r, c] for l, r, c in merges],
+        },
     ):
         raise RuntimeError(f"could not commit merges to {path} (concurrent writer?)")
     fs.delete(old)
 
 
-def load_merges(spark, path: str) -> list[tuple[str, str, int]]:
+def load_merges(
+    spark, path: str, pretokenize: "str | None" = None
+) -> list[tuple[str, str, int]]:
     """Reload a merge table saved by ``save_merges`` (rank order preserved —
     rank IS the list position, the only thing application depends on).
     Falls back to the ``.old`` parked copy if a crashed re-save left no
-    live file."""
+    live file. Pass the ``pretokenize`` you will APPLY with to have the
+    load refuse a tokenizer trained under the other pre-tokenizer (None
+    skips the check; pre-r13 artifacts carry no field and load freely)."""
     from kadiyadb_spark.fs import HadoopFS
 
     fs = HadoopFS(spark, path)
+    primary = path
     if not fs.exists(path) and fs.exists(path + ".old"):
         path = path + ".old"
-    m = fs.read_json(path)
+    try:
+        m = fs.read_json(path)
+    except Exception:
+        # .old race (review finding): a concurrent save_merges deletes the
+        # parked copy as its LAST step, after committing the new primary —
+        # so if the fallback read fails, the primary exists again
+        if path == primary:
+            raise
+        m = fs.read_json(primary)
     if m.get("version") != 1 or m.get("end") != END:
         raise ValueError(f"not a BPE merges file (or incompatible version): {path}")
+    if (
+        pretokenize is not None
+        and "pretokenize" in m
+        and m["pretokenize"] != pretokenize
+    ):
+        raise ValueError(
+            f"merges at {path} were trained with pretokenize="
+            f"{m['pretokenize']!r}, but the caller will apply them with "
+            f"{pretokenize!r} — the merges would silently never fire"
+        )
     return [(l, r, int(c)) for l, r, c in m["merges"]]
 
 
@@ -336,7 +473,7 @@ def encode_ids(
         F.posexplode(pretokens_expr(F.col(text_col), pretokenize)).alias(
             "_wpos", "word"
         ),
-    ).filter(F.col("word") != "")
+    ).filter(F.col("word") != "").localCheckpoint(eager=False)  # 2 consumers
     wt = tokenize_words(occ.select("word").distinct(), merges)
     if vocab is None:
         vocab = vocab_of(wt)

@@ -40,10 +40,11 @@ counts AS (
          CAST(sum(n_tok) AS BIGINT) AS nt
   FROM occ JOIN tok USING (word)
   GROUP BY source)
-SELECT source,
+SELECT b.source AS source,
        coalesce(nw, 0) AS n_words,
        coalesce(nt, 0) AS n_tokens
-FROM (SELECT DISTINCT source FROM documents) LEFT JOIN counts USING (source)
+FROM (SELECT DISTINCT source FROM documents) b
+LEFT JOIN counts c ON b.source IS NOT DISTINCT FROM c.source
 """
 
     # encode_ids mirror: corpus-wide vocab (distinct tokens of the fully

@@ -112,6 +112,71 @@ def test_tokenize_bpe_counts_per_group(spark):
     assert got == {"a": (3, want_a), "b": (1, want_b)}
 
 
+def test_tokenize_words_kernel_engine_equals_expr(spark):
+    """r13: the Arrow-kernel merge replay (the bounded-plan path for
+    realistic merge counts — the nested-expression tree blows up Catalyst
+    past a few thousand merges) produces IDENTICAL tokens to the
+    SQL-replayable expression fold, and 'auto' switches on merge count."""
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    merges = B.train_bpe(docs, num_merges=8, checkpoint=False)
+    wdf = spark.createDataFrame(
+        [Row(word=w) for w in ["lowest", "newest", "unseen", "low", "x"]]
+    )
+    ex = {r["word"]: list(r["tokens"])
+          for r in B.tokenize_words(wdf, merges, engine="expr").collect()}
+    ke = {r["word"]: list(r["tokens"])
+          for r in B.tokenize_words(wdf, merges, engine="kernel").collect()}
+    assert ex == ke
+    with pytest.raises(ValueError, match="engine"):
+        B.tokenize_words(wdf, merges, engine="nope")
+
+
+def test_bpe_degenerate_inputs_r13(spark):
+    """r13 review closures: a NULL carry group keeps its REAL counts
+    (USING-equality dropped them to (0,0) on both engines); a word
+    containing the literal end-of-word marker fails loudly instead of
+    silently corrupting the decode round-trip; the empty word tokenizes
+    to just the marker (sequence(1,0) descended and minted '' symbols)."""
+    merges = B.train_bpe(
+        spark.createDataFrame([Row(text=t) for t in CORPUS]), 4, checkpoint=False
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, src=None, text="low low"), Row(doc_id=1, src="b", text="low")]
+    )
+    got = {r["src"]: (r["n_words"], r["n_tokens"])
+           for r in B.tokenize_bpe(docs, merges, carry_cols=["src"]).collect()}
+    assert got[None][0] == 2 and got[None][1] > 0
+    assert got["b"] == (1, got[None][1] // 2)
+
+    bad = spark.createDataFrame([Row(word=f"x{B.END}y")])
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="reserved BPE marker"):
+        try:
+            B.tokenize_words(bad, merges, engine="expr").collect()
+        except Py4JJavaError as e:  # Spark wraps raise_error
+            raise RuntimeError(str(e)) from e
+    with pytest.raises(Exception, match="reserved BPE marker"):
+        B.tokenize_words(bad, merges, engine="kernel").collect()
+
+    empty = spark.createDataFrame([Row(word="")])
+    assert list(B.tokenize_words(empty, merges).collect()[0]["tokens"]) == [B.END]
+
+
+def test_save_load_merges_pretokenize_contract(spark, tmp_path):
+    """r13: the artifact persists the pre-tokenizer; loading for a
+    mismatched application refuses loudly (a gpt2-trained table under
+    'whitespace' silently never fires its space-prefixed merges)."""
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    merges = B.train_bpe(docs, num_merges=3, checkpoint=False, pretokenize="gpt2")
+    path = str(tmp_path / "g" / "merges.json")
+    B.save_merges(spark, merges, path, pretokenize="gpt2")
+    assert B.load_merges(spark, path, pretokenize="gpt2") == merges
+    assert B.load_merges(spark, path) == merges  # None skips the check
+    with pytest.raises(ValueError, match="pretokenize"):
+        B.load_merges(spark, path, pretokenize="whitespace")
+
+
 def test_train_bpe_rejects_bad_args(spark):
     docs = spark.createDataFrame([Row(text="a b")])
     with pytest.raises(ValueError, match="num_merges"):
