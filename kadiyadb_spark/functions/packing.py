@@ -61,7 +61,11 @@ def pack_offsets(
         F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
         n_tok.alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    w = Window.partitionBy("shard").orderBy(id_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # ROWS: duplicate ids must tile, not RANGE-share, the stream
     d = d.withColumn("end_off", F.sum("n_tokens").over(w))
     d = d.withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
     return d.select(
@@ -125,18 +129,14 @@ def pack_chunks(
     exact accounting that a writer materializing real token ids would
     reproduce byte-for-byte.
     """
-    offs = pack_offsets(df, seq_len, num_shards, text_col=text_col, id_col=id_col)
-    cov = offs.withColumn(
-        "chunk_id", F.explode(F.sequence("start_chunk", "end_chunk"))
-    )
-    lo = F.col("chunk_id") * seq_len
-    hi = lo + seq_len
-    contrib = F.least(F.col("end_off"), hi) - F.greatest(F.col("start_off"), lo)
+    # aggregate OVER pack_assignments instead of re-deriving the chunk
+    # window arithmetic (review finding: the geometry lived in two places)
+    asg = pack_assignments(df, seq_len, num_shards, text_col=text_col, id_col=id_col)
     return (
-        cov.groupBy("shard", "chunk_id")
+        asg.groupBy("shard", "chunk_id")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(contrib).alias("n_tokens"),
+            F.sum("slice_len").alias("n_tokens"),
             F.min(id_col).alias("first_doc"),
             F.max(id_col).alias("last_doc"),
         )
@@ -159,16 +159,13 @@ def write_shards(
 
     Storage contract (same GenLog protocol as the indexes/cube): data
     stages invisibly under ``shard-data-g<N>/shard=S/``, then ONE manifest
-    commit publishes the generation together with per-shard row/token
-    counts — a crashed write leaves the previous generation fully
+    commit publishes the generation together with per-shard ROW counts — a crashed write leaves the previous generation fully
     readable, and the recorded stats can never disagree with the data they
     describe. One shuffle total (repartition by shard + sortWithinPartitions
     rides it).
 
     Returns the committed per-shard stats as a list of dicts
     (shard, n_rows). Use ``read_shards`` for the data."""
-    from pyspark.sql import functions as F
-
     from kadiyadb_spark.fs import HadoopFS
     from kadiyadb_spark.functions.sampling import deterministic_shuffle
     from kadiyadb_spark.manifest import GenLog
@@ -178,30 +175,55 @@ def write_shards(
     m = log.read()
     live = f"shard-data-g{m['gen'] + 1:06d}"
     addressed = deterministic_shuffle(df, num_shards, id_col=id_col, salt=salt)
+    if addressed.rdd.isEmpty():
+        # an empty partitioned write leaves an un-readable staged dir and
+        # the re-read below dies on schema inference (review finding) —
+        # refuse up front with a real message
+        raise ValueError("write_shards: input has no rows (nothing to shard)")
+    # Stage under a UNIQUE name, then take the generation name by RENAME:
+    # two racing writers used to stage at the same g<N+1> dir, so the
+    # loser's overwrite clobbered the winner's already-committed bytes
+    # BEFORE its manifest commit failed (review finding). The rename is
+    # the lock — it fails for the loser without touching the winner's dir.
+    import uuid
+
+    from kadiyadb_spark.manifest import ConcurrentWriteError
+
+    staged = f"{live}.stage-{uuid.uuid4().hex[:8]}"
     (
         addressed.repartition(num_shards, "shard")
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(HadoopFS.join(path, live))
+        .parquet(HadoopFS.join(path, staged))
     )
     # stats from the STAGED data (what will be committed), tiny: one row
     # per shard
     stats = [
         {"shard": int(r["shard"]), "n_rows": int(r["n"])}
-        for r in spark.read.parquet(HadoopFS.join(path, live))
+        for r in spark.read.parquet(HadoopFS.join(path, staged))
         .groupBy("shard")
         .agg(F.count("*").alias("n"))
         .collect()
     ]
     stats.sort(key=lambda s: s["shard"])
+    fs = HadoopFS(spark, path)
+    if not fs.rename(HadoopFS.join(path, staged), HadoopFS.join(path, live)):
+        fs.delete(HadoopFS.join(path, staged))
+        raise ConcurrentWriteError(
+            f"shard generation {live} already staged by a concurrent writer"
+        )
     log.commit(
         {"live": live, "num_shards": num_shards, "salt": salt, "shards": stats},
         m["gen"],
     )
-    fs = HadoopFS(spark, path)
+    # GC keeps every dir a RETAINED manifest references (review finding:
+    # the delete-all-but-live sweep broke the pinned-generation contract
+    # every other GenLog store honors — a reader mid-stream on the prior
+    # generation lost its files two commits early)
+    keep = log.live_dirs() | {live}
     for name in fs.listdir(path):
-        if name.startswith("shard-data") and name != live:
+        if name.startswith("shard-data") and name not in keep:
             fs.delete(HadoopFS.join(path, name))
     return stats
 
@@ -209,8 +231,6 @@ def write_shards(
 def read_shards(spark, path: str, shard: int | None = None):
     """Committed view of a shard store; ``shard`` filters to one shard's
     directory (partition-pruned)."""
-    from pyspark.sql import functions as F
-
     from kadiyadb_spark.fs import HadoopFS
     from kadiyadb_spark.manifest import GenLog
 
@@ -261,13 +281,13 @@ def pack_nosplit(
     writer emits."""
     if seq_len <= 0 or num_shards <= 0:
         raise ValueError("seq_len and num_shards must be positive")
-    from kadiyadb_spark.functions.text import tokens_expr
-
     n_tok = F.size(tokens_expr(F.col(text_col))).cast("long")
     d = (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            (F.col(id_col) % num_shards).cast("long").alias("shard"),
+            # pmod like pack_offsets/pack_ids (review finding: % is
+            # sign-of-dividend — negative ids minted shard=-1)
+            F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
             n_tok.alias("n_tok"),
         )
         .filter((F.col("n_tok") > 0) & (F.col("n_tok") <= seq_len))
@@ -348,14 +368,25 @@ def pack_ids(
         F.pmod(F.col(id_col), F.lit(num_shards)).cast("long").alias("shard"),
         "_n",
     )
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # rowsBetween, not the default RANGE frame: duplicate doc ids are
+    # RANGE-peers and would silently claim overlapping stream spans
+    # (review finding) — with a ROWS frame duplicates still tile the
+    # stream deterministically
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     offs = (
         d.withColumn("_end", F.sum("_n").over(w))
         .withColumn("_start", F.col("_end") - F.col("_n"))
         .withColumn("_shard_total", F.max("_end").over(Window.partitionBy("shard")))
     )
     placed = (
-        ids.join(F.broadcast(offs.select(id_col, "shard", "_start", "_shard_total")), id_col)
+        # NO broadcast hint (review finding): offs is one row PER DOCUMENT
+        # — forcing it driver-side OOMs at exactly the corpus scale this
+        # function targets; AQE picks broadcast itself when it fits
+        ids.join(offs.select(id_col, "shard", "_start", "_shard_total"), id_col)
         .select(
             "shard",
             id_col,
