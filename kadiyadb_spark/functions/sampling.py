@@ -25,30 +25,34 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000  # rate resolution 0.01%
 
 
-def sample_bucket_expr(id_col: Column | str, salt: str = "kdb") -> Column:
-    """Stable bucket in [0, BUCKETS): first 32 md5 bits of salt||id, mod
-    BUCKETS. Same arithmetic as the dedup base hash so the DuckDB twin is
-    the established `CAST(('0x' || substr(md5(..),1,8)) AS BIGINT)` form."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 8),
+def md5_prefix_long(c: Column, salt: str, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars of md5(salt||value) as a long — THE salted
+    hash-addressing device behind bucket / shuffle / weighted-sample keys.
+    One definition (review finding: three hand-rolled near-copies had to
+    stay bit-identical for the DuckDB twins' established
+    `CAST(('0x' || substr(md5(..),1,n)) AS BIGINT)` form to hold)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, n_hex
+        ),
         16,
         10,
     ).cast("long")
-    return h % F.lit(BUCKETS)
+
+
+def sample_bucket_expr(id_col: Column | str, salt: str = "kdb") -> Column:
+    """Stable bucket in [0, BUCKETS): first 32 md5 bits of salt||id, mod
+    BUCKETS."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_prefix_long(c, salt, 8) % F.lit(BUCKETS)
 
 
 def shuffle_key_expr(id_col: Column | str, salt: str = "shuf") -> Column:
     """Stable 60-bit shuffle key: first 15 hex chars of md5(salt||id) (15,
     not 16 — 16 hex digits can overflow SIGNED int64; 60 bits keep the key
-    positive on both engines). DuckDB twin:
-    ``CAST(('0x' || substr(md5('<salt>' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)``."""
+    positive on both engines)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    return md5_prefix_long(c, salt, 15)
 
 
 def deterministic_shuffle(
@@ -107,7 +111,16 @@ def split_assign(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = sample_bucket_expr(id_col, salt)
+    bucket = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "split_assign: NULL id has no stable split address — the "
+                "split would silently be NULL and the row lost from every "
+                "split (disjoint+exhaustive contract)"
+            )
+        ).cast("long"),
+    ).otherwise(sample_bucket_expr(id_col, salt))
     expr = None
     hi = 0
     names = sorted(fractions)
@@ -143,7 +156,11 @@ def sample_per_group(
     key = shuffle_key_expr(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("_rank", F.row_number().over(w))
+        # NULL ids hash to a NULL key, and ascending sort is NULLS FIRST —
+        # they would unconditionally occupy the k slots (review finding);
+        # an id-addressed sample cannot address them: excluded, documented
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
@@ -160,6 +177,11 @@ def stratified_hash_sample(
     Strata absent from ``rates`` are dropped (rate 0). Expected kept fraction
     per stratum is the configured rate (exact in distribution over ids, not
     per-stratum quota — quota sampling needs a sort; this needs nothing)."""
+    if not rates:
+        raise ValueError(
+            "stratified_hash_sample: empty rates would silently drop every "
+            "row (strata absent from rates sample at 0)"
+        )
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
@@ -197,8 +219,14 @@ def temperature_weights(
         F.sum(F.size(tokens_expr(F.col(text_col)))).cast("long").alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").cast("double").alias("_total"))
+    # zero-token sources (and an all-empty corpus) must not DIVIDE_BY_ZERO
+    # under ANSI (review finding, confirmed live): p = 0 for them, and the
+    # boost below is NULL where p = 0 (no meaningful up/down factor)
     with_p = per.crossJoin(F.broadcast(total)).withColumn(
-        "_p", F.col("n_tokens") / F.col("_total")
+        "_p",
+        F.when(F.col("_total") > 0, F.col("n_tokens") / F.col("_total")).otherwise(
+            F.lit(0.0)
+        ),
     )
     wsum = with_p.agg(F.sum(F.pow(F.col("_p"), F.lit(alpha))).alias("_wsum"))
     from kadiyadb_spark.functions.num import round4_expr
@@ -212,7 +240,10 @@ def temperature_weights(
             round4_expr(F.col("_p")).alias("p"),
             round4_expr(F.pow(F.col("_p"), F.lit(alpha)) / F.col("_wsum")).alias("weight"),
             round4_expr(
-                (F.pow(F.col("_p"), F.lit(alpha)) / F.col("_wsum")) / F.col("_p")
+                F.when(
+                    F.col("_p") > 0,
+                    (F.pow(F.col("_p"), F.lit(alpha)) / F.col("_wsum")) / F.col("_p"),
+                )
             ).alias("boost"),
         )
     )
@@ -225,12 +256,15 @@ def sample_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count_col: str | None = None,
+    salt: str = "",
 ) -> DataFrame:
     """Deterministic per-group TOKEN-budget sampling — mixture quotas the
     way a trainer actually budgets them (tokens, not rows; the C4/Pile
     recipe step "take N tokens of source X"). Docs are ordered inside each
-    group by (md5(id), id) — the same reproducible shuffle addressing as
-    corpus_shuffle — and a doc is kept while the running token total of
+    group by (md5(salt||id) HEX-STRING order, id) — reproducible, and
+    ``salt`` yields independent re-draws like every other sampler (note:
+    this is hex-string order, not shuffle_key_expr's numeric 60-bit key;
+    the DuckDB twin replays the hex form) — and a doc is kept while the running token total of
     everything BEFORE it is under the budget; the first doc to cross keeps
     the budget reachable for every nonempty group (budget overshoot is at
     most one document, deterministic). Re-running on a grown corpus keeps
@@ -247,16 +281,23 @@ def sample_token_budget(
 
     from kadiyadb_spark.functions.text import tokens_expr
 
-    n_tok = (
-        F.col(token_count_col)
-        if token_count_col
-        else F.size(tokens_expr(F.col(text_col)))
-    ).cast("long")
+    # NULL token counts (null text / null count col) coalesce to 0 so such
+    # docs behave exactly like empty docs — kept while under budget,
+    # consuming nothing — instead of passing the window predicate forever
+    # while summing as nothing (unbounded overshoot, review finding)
+    n_tok = F.coalesce(
+        (
+            F.col(token_count_col)
+            if token_count_col
+            else F.size(tokens_expr(F.col(text_col)))
+        ).cast("long"),
+        F.lit(0),
+    )
     slim = docs.select(
         group_col,
         F.col(id_col),
         n_tok.alias("_n_tok"),
-        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
     )
     w = (
         Window.partitionBy(group_col)
@@ -297,20 +338,18 @@ def weighted_sample(
     Returns the sampled rows (id_col, weight_col)."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
-    c = F.col(id_col)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 13
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = md5_prefix_long(F.col(id_col), salt, 13)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
+        # null ids have no stable draw (NULL key sorts FIRST and would
+        # unconditionally occupy the sample — review finding, confirmed
+        # live); the id tiebreak makes key ties at the k boundary
+        # layout-proof like every other sampler here
         df.filter(F.col(weight_col) > 0)
+        .filter(F.col(id_col).isNotNull())
         .select(id_col, weight_col, key.alias("_key"))
-        .orderBy("_key")
+        .orderBy("_key", id_col)
         .limit(k)
         .drop("_key")
     )

@@ -213,12 +213,14 @@ WITH per AS (
   FROM documents GROUP BY source
 ),
 tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
-wp AS (SELECT per.*, n_tokens / total AS p FROM per, tot),
+wp AS (SELECT per.*, CASE WHEN total > 0 THEN n_tokens / total ELSE 0.0 END AS p
+       FROM per, tot),
 ws AS (SELECT sum(pow(p, 0.5)) AS wsum FROM wp)
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        floor(p * 10000 + 0.5) / 10000 AS p,
        floor((pow(p, 0.5) / wsum) * 10000 + 0.5) / 10000 AS weight,
-       floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 AS boost
+       CASE WHEN p > 0
+            THEN floor(((pow(p, 0.5) / wsum) / p) * 10000 + 0.5) / 10000 END AS boost
 FROM wp, ws
 """
     # weighted sampling: the exponential-key selection replayed verbatim —
@@ -230,9 +232,9 @@ WITH keyed AS (
          -ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
               + 0.5::DOUBLE) / 4503599627370496.0)
            / CAST(n_chars AS DOUBLE) AS key
-  FROM documents WHERE n_chars > 0
+  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL
 )
-SELECT doc_id, n_chars FROM keyed ORDER BY key LIMIT 40
+SELECT doc_id, n_chars FROM keyed ORDER BY key, doc_id LIMIT 40
 """
 
     return o
