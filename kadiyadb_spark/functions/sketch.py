@@ -49,11 +49,14 @@ def hll_merge(
     df: DataFrame,
     group_cols: list[str],
     sketch_col: str = "sketch",
-    lgk: int = 12,
 ) -> DataFrame:
     """Union persisted sketches up a hierarchy (day→month, type→all):
     lossless — the merged sketch equals the sketch of the unioned inputs,
-    so rollup estimates never degrade with the number of merge levels."""
+    so rollup estimates never degrade with the number of merge levels.
+    Precision note: the union downgrades to the MINIMUM lgConfigK of the
+    inputs (allowDifferentLgConfigK) — it is set at hll_sketch time, not
+    here (an lgk parameter used to sit unused in this signature implying
+    otherwise — review finding)."""
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     return grouped.agg(
         F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias(sketch_col),
@@ -101,27 +104,44 @@ def heavy_hitters(
         raise ValueError(f"threshold_frac must be in (0, 1), got {threshold_frac}")
     if not key_cols:
         raise ValueError("heavy_hitters needs at least one key column")
-    if k is None:
-        import math
+    import math
 
+    min_k = math.ceil(1.0 / threshold_frac)
+    if k is None:
         kk = max(2, math.ceil(2.0 / threshold_frac))
     else:
         kk = int(k)
-    if kk < 1:
-        raise ValueError(f"k must be >= 1, got {kk}")
+        if kk < min_k:
+            # below 1/frac counters the MG superset guarantee is VOID and
+            # true heavy hitters silently vanish from EXACT-labelled
+            # output (review finding)
+            raise ValueError(
+                f"k={kk} < ceil(1/threshold_frac)={min_k}: the Misra-Gries "
+                "superset guarantee needs at least 1/frac counters"
+            )
 
     from collections.abc import Iterator
 
     import pandas as pd
 
-    keyed = df.select(*key_cols)
-    schema = keyed.schema
+    # Keys cross the Arrow boundary AS STRINGS: a nullable long column
+    # arrives in pandas as float64, mangling keys past 2^53 so the semi
+    # join matched nothing (review finding — the class ADVICE-r09 fixed
+    # for kmv group cols). NULL keys survive the cast as NULL, count as a
+    # key like the SQL GROUP BY does, and join back null-safely.
+    keyed = df.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols]
+    )
+    cols = list(key_cols)
 
     def _mg(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        # one Misra-Gries summary across ALL batches of this partition
+        # one Misra-Gries summary across ALL batches of this partition,
+        # plus the partition's ROW COUNT (rides as _rows on a sentinel
+        # row, so the exact total needs no third full scan)
         counters: dict[tuple, int] = {}
-        cols = list(schema.fieldNames())
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for tup in zip(*(pdf[c] for c in cols)):
                 t = tuple(tup)
                 if t in counters:
@@ -134,16 +154,24 @@ def heavy_hitters(
                         counters[key] -= 1
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame(
-            [dict(zip(cols, key)) for key in counters], columns=cols
-        )
+        rows = [{**dict(zip(cols, key)), "_rows": 0} for key in counters]
+        rows.append({**{c: None for c in cols}, "_rows": n_part})
+        yield pd.DataFrame(rows, columns=[*cols, "_rows"])
 
-    candidates = keyed.mapInPandas(_mg, schema=schema).distinct()
-    n = df.count()
+    out_schema = ", ".join(f"{c} string" for c in cols) + ", _rows long"
+    summary = keyed.mapInPandas(_mg, schema=out_schema).localCheckpoint(
+        eager=False
+    )  # candidates + the total read it once
+    n = int(summary.agg(F.sum("_rows")).collect()[0][0] or 0)
+    candidates = summary.filter(F.col("_rows") == 0).select(*key_cols).distinct()
     floor_thresh = int(threshold_frac * n)
+    cond = None
+    for c in key_cols:
+        e = df[c].cast("string").eqNullSafe(candidates[c])
+        cond = e if cond is None else cond & e
     exact = (
-        df.join(F.broadcast(candidates), on=key_cols, how="left_semi")
-        .groupBy(*key_cols)
+        df.join(F.broadcast(candidates), on=cond, how="left_semi")
+        .groupBy(*[df[c] for c in key_cols])
         .agg(F.count("*").cast("long").alias("cnt"))
         .filter(F.col("cnt") > floor_thresh)
     )
@@ -176,8 +204,13 @@ def value_histogram(
     le = F.lit(float("inf"))
     for b in reversed(bounds):  # innermost WHEN = smallest bound
         le = F.when(F.col(value_col) <= float(b), F.lit(float(b))).otherwise(le)
-    return df.groupBy(*group_cols, le.alias("le")).agg(
-        F.count("*").cast("long").alias("cnt")
+    # NULL/NaN are NOT observations (review finding: the when-chain's NULL
+    # comparison fell through to the +Inf bucket, inflating n_obs and
+    # shifting every quantile — exact_quantiles already excludes them)
+    return (
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
+        .groupBy(*group_cols, le.alias("le"))
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
 
 
@@ -521,12 +554,28 @@ def cm_merge(
     shuffle."""
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     merged = grouped.agg(F.collect_list(sketch_col).alias("_parts"))
+    # degenerate guards (review finding): collect_list DROPS null sketches,
+    # so an all-null group yields an empty _parts — slice(len-1=-1) and
+    # element_at(1) then die under ANSI with an opaque error; and
+    # mixed-shape sketches zip-pad with nulls, silently corrupting
+    # counters. Fail with real messages instead.
+    bad_empty = F.size("_parts") == 0
+    bad_shape = F.size(F.array_distinct(F.transform("_parts", F.size))) > 1
+    checked = F.when(
+        bad_empty,
+        F.raise_error(F.lit("cm_merge: group has no non-null sketches")),
+    ).when(
+        bad_shape,
+        F.raise_error(
+            F.lit("cm_merge: sketches in one group have different widths/depths")
+        ),
+    ).otherwise(F.col("_parts"))
     return merged.select(
         *group_cols,
         F.aggregate(
-            F.slice(F.col("_parts"), F.lit(2), F.size("_parts") - 1),
-            F.element_at("_parts", 1),
-            lambda acc, s: F.zip_with(acc, s, lambda x, y: x + y),
+            F.slice(checked, F.lit(2), F.greatest(F.size(checked) - 1, F.lit(0))),
+            F.element_at(checked, 1),
+            lambda acc, sk: F.zip_with(acc, sk, lambda x, y: x + y),
         ).alias(sketch_col),
     )
 
