@@ -373,7 +373,11 @@ def test_cross_source_matrix_broadcasts_pair_side(spark):
     assert n_shuffles(plan) == 1
     cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert D2.cross_source_matrix(docs, pairs).count() == 2
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
+    # <=, not ==: the ContextCleaner may concurrently collect UNRELATED
+    # localCheckpoint RDDs from earlier tests (r13 added several such
+    # sites), shrinking the set mid-call; the contract under test is only
+    # that THIS call leaves no new cached RDDs behind
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= cached_before
 
 
 def test_bloom_decontaminate_single_doc_shuffle(spark):
