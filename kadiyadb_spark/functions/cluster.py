@@ -71,6 +71,75 @@ def _assign_cols(vec_dbl: Column, centroids: "list[list[float]]"):
     return cid, F.array_min(dists)
 
 
+def _assign_map(
+    base: DataFrame,
+    centroids: "list[list[float]]",
+    with_id: bool = False,
+    with_vec: bool = False,
+    with_dq: bool = False,
+) -> DataFrame:
+    """Vectorized twin of ``_assign_cols``: the SAME quantized-integer
+    distances and first-minimum argmin, computed by a numpy kernel over
+    Arrow batches instead of a k*d-literal Catalyst tree.
+
+    Why (r13 optimization, guide §4.2/§1.2): the plan-literal form embeds
+    k x d literal columns per distance — at semdedup's sf0.1 auto-k
+    (k=16, d=64) that is 1024 literals inside nested zip_with/aggregate
+    lambdas, and Catalyst analysis + whole-stage codegen of that tree
+    measured SECONDS per iteration (three distinct plans per run: each
+    iteration's centroid values differ, so nothing is cache-shared) while
+    the arithmetic itself is microseconds. The kernel keeps the exactness
+    device bit-for-bit: float64 ``(x-y)*(x-y)*1e8 + 0.5`` and ``floor``
+    are the same IEEE-754 operations Catalyst evaluates, each quantized
+    term is an exact integer under ``_lloyd``'s grid guard, the int64 term
+    sum matches the JVM long fold, and ``np.argmin`` returns the FIRST
+    minimum — the ``array_position`` lowest-centroid-id tie rule. No
+    shuffle is introduced (mapInPandas is map-side), so the one-shuffle
+    plan contracts of kmeans/semdedup hold unchanged.
+
+    Output columns (in order): ``_id`` (if ``with_id``), ``_v`` (if
+    ``with_vec``), ``_cid``, ``_dq`` (if ``with_dq``). Only the needed
+    input columns cross the Python boundary (guide §4.1)."""
+    cents = [[float(x) for x in c] for c in centroids]
+    in_cols = (["_id"] if with_id else []) + ["_v"]
+    fields = []
+    if with_id:
+        fields.append("_id " + base.schema["_id"].dataType.simpleString())
+    if with_vec:
+        fields.append("_v array<double>")
+    fields.append("_cid long")
+    if with_dq:
+        fields.append("_dq long")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)  # k x d, built once per task
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.array(pdf["_v"].tolist(), dtype=np.float64)  # n x d
+            dists = np.empty((n, C.shape[0]), dtype=np.int64)
+            for j in range(C.shape[0]):  # k passes of n x d keeps memory O(n*d)
+                d = v - C[j]
+                # same evaluation order as _dist_q: ((x-y)*(x-y))*_DQ + 0.5
+                dists[:, j] = np.floor(d * d * _DQ + 0.5).astype(np.int64).sum(axis=1)
+            cid = dists.argmin(axis=1).astype("int64")  # first min = lowest id
+            out = {}
+            if with_id:
+                out["_id"] = pdf["_id"]
+            if with_vec:
+                out["_v"] = pdf["_v"]
+            out["_cid"] = cid
+            if with_dq:
+                out["_dq"] = dists[np.arange(n), cid]
+            yield pd.DataFrame(out)
+
+    return base.select(*in_cols).mapInPandas(kernel, schema=", ".join(fields))
+
+
 def _base_frame(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # materialize ONCE: every consumer makes iters+2..3 full passes (init
@@ -134,9 +203,9 @@ def _lloyd(base: DataFrame, k: int, iters: int) -> "list[list[float]]":
         )
 
     for _ in range(iters):
-        cid, _ = _assign_cols(F.col("_v"), centroids)
         sums = (
-            base.select(cid.alias("_cid"), F.posexplode(F.col("_v")).alias("_dim", "_val"))
+            _assign_map(base, centroids, with_vec=True)
+            .select("_cid", F.posexplode(F.col("_v")).alias("_dim", "_val"))
             .groupBy("_cid", "_dim")
             .agg(
                 # decimal(38,0) accumulation + 2^53 assert: the sum feeds ONE
@@ -198,9 +267,9 @@ def kmeans_lloyd(
     base = _base_frame(emb, id_col, vec_col)
     centroids = _lloyd(base, k, iters)
 
-    cid, dq = _assign_cols(F.col("_v"), centroids)
     return (
-        base.select(cid.alias("cluster_id"), dq.alias("_dq"))
+        _assign_map(base, centroids, with_dq=True)
+        .select(F.col("_cid").alias("cluster_id"), "_dq")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -271,8 +340,9 @@ def semdedup_prune(
         n = base.count()
         k = max(k, -(-n // target_bucket))  # integer ceil, SQL-replayable
     centroids = _lloyd(base, k, iters)
-    cid, _ = _assign_cols(F.col("_v"), centroids)
-    assigned = base.select("_id", "_v", cid.alias("cluster_id"))
+    assigned = _assign_map(base, centroids, with_id=True, with_vec=True).select(
+        "_id", "_v", F.col("_cid").alias("cluster_id")
+    )
 
     def bucket_flags(pdf):
         import pandas as pd

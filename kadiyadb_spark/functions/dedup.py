@@ -671,7 +671,14 @@ def _local_components(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in edges.select("u", "v").toLocalIterator():
+    # ONE collect job, not toLocalIterator: the caller only routes here at or
+    # below local_threshold edges (<= ~16 MB of longs — inside the documented
+    # few-hundred-MB driver trade), while toLocalIterator runs ONE JOB PER
+    # PARTITION — measured 32 sequential ~0.25 s jobs (~8 s of pure scheduling
+    # latency) on a 32-partition edge frame at sf0.1 (guide §5: the driver
+    # should do almost no data work, but a bounded collect beats 32 round
+    # trips for the same bytes).
+    for u, v in edges.select("u", "v").collect():
         if u not in parent:
             parent[u] = u
         if v not in parent:

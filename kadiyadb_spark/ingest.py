@@ -155,11 +155,29 @@ def track_batch(
     df = df.filter(ts.isNotNull())
     # ErrInvTime guard (database.go:156-158, 190-193): negative ts would
     # silently floor into negative buckets; raise at execution instead.
-    # assert_true is NULL on pass, so the coalesce adds 0 and stays codegen.
-    ts_ok = F.assert_true(
-        ts >= 0, F.concat(F.lit("ErrInvTime: negative timestamp "), ts.cast("string"))
-    ).cast("long")
-    ts = ts + F.coalesce(ts_ok, F.lit(0))
+    # r13 optimization (guide §1.2 per-task work): the guard is a FILTER
+    # conjunct, not a wrapper on the ts VALUE. The old form
+    # ``ts + coalesce(assert_true(...), 0)`` was inlined by project
+    # collapse into every downstream bucket/epoch/range expression — the
+    # fetch entries' plans carried ~14 copies of the full
+    # raise_error/coalesce tree per Filter, bloating optimizer time,
+    # generated code and per-row work. As a filter it is evaluated once
+    # per row; coalesce(ts >= 0, true) keeps it null-safe so optimizer
+    # conjunct reordering can never make a null-ts row (dropped by the
+    # filter above) trip the assert. assert_true is NULL on pass, so
+    # coalesce(.., true) is the pass-through; a negative ts still aborts
+    # the job with the same ErrInvTime message.
+    df = df.filter(
+        F.coalesce(
+            F.assert_true(
+                F.coalesce(ts >= 0, F.lit(True)),
+                F.concat(
+                    F.lit("ErrInvTime: negative timestamp "), ts.cast("string")
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
     bucket = bucket_expr(ts, resolution)
     if value_dp is None:
         total = F.col(total_col).cast("double")

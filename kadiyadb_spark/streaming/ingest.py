@@ -219,11 +219,21 @@ def _windowed_cube_delta(
     # negative ts here would silently land in a misaligned epoch (Spark's %
     # rounds toward zero) that fetch's >= 0 clamp never reads — abort the
     # query loudly instead, exactly like the batch path (a bad clock is a
-    # pipeline bug). assert_true is NULL on pass; the coalesce keeps codegen.
-    ts_ok = F.assert_true(
-        ts >= 0, F.concat(F.lit("ErrInvTime: negative timestamp "), ts.cast("string"))
-    ).cast("long")
-    ts = ts + F.coalesce(ts_ok, F.lit(0))
+    # pipeline bug). r13: a FILTER conjunct, not a wrapper on the ts value —
+    # the wrapped form was inlined into every downstream window/bucket
+    # expression (see ingest.track_batch for the full rationale); the
+    # null-safe coalesce keeps dropped null-ts rows from tripping it.
+    events = events.filter(
+        F.coalesce(
+            F.assert_true(
+                F.coalesce(ts >= 0, F.lit(True)),
+                F.concat(
+                    F.lit("ErrInvTime: negative timestamp "), ts.cast("string")
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
     # Watermarks need a TimestampType column; ns -> micros loses nothing at
     # our resolutions (resolution >= 1us).
     evt = events.withColumn("_event_time", F.timestamp_micros(S.ts_us_expr(ts)))
