@@ -173,8 +173,13 @@ def train_bpe(
     wf = word_frequencies(docs, text_col, pretokenize).withColumn(
         "syms", sym_init_expr(F.col("word"))
     ).select("freq", "syms")
+    # LAZY checkpoints (r13, guide §1.2): the next iteration's pair-count
+    # job materializes the checkpoint as it computes — eager=True ran a
+    # separate materialization job per merge (2 jobs/merge -> 1), pure
+    # scheduling latency on the latency-bound training loop. Lineage is
+    # still truncated at each materialization.
     if checkpoint:
-        wf = wf.localCheckpoint(eager=True)
+        wf = wf.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         best = (
@@ -188,7 +193,7 @@ def train_bpe(
         merges.append((left, right, int(best["cnt"])))
         wf = wf.withColumn("syms", apply_merge_expr(F.col("syms"), left, right))
         if checkpoint:
-            wf = wf.localCheckpoint(eager=True)
+            wf = wf.localCheckpoint(eager=False)
     return merges
 
 

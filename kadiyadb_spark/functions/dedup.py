@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kadiyadb_spark.functions.num import round4_expr
+from kadiyadb_spark.functions.num import bind1, round4_expr
 from kadiyadb_spark.functions.text import normalize_expr, tokens_expr
 
 # ---------------------------------------------------------------- exact
@@ -64,28 +64,39 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_expr(text: Column, k: int = 8) -> Column:
-    """Distinct character k-grams of normalized text. Whole-stage-codegen
-    transform over a generated index sequence — no UDF."""
-    norm = normalize_expr(text)
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+    """Distinct character k-grams of normalized text — no UDF, no shuffle.
+    The normalized text is let-bound (num.bind1) so the per-window slice
+    lambda references a lambda variable, not the regex-normalize tree:
+    interpreted HOFs re-evaluate captured outer expressions per element,
+    which made this O(n²) per document (r13 measurement: 4x)."""
+
+    def body(norm: Column) -> Column:
+        n = F.length(norm)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+    return bind1(normalize_expr(text), body)
 
 
 def word_shingles_expr(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles; a document with fewer than ``k``
     tokens yields the EMPTY set (text.word_ngrams_expr's guard — the
     unguarded greatest(n-k, 0) index still read element_at past the token
-    array, an ANSI-mode job-killing crash on any short doc)."""
-    toks = tokens_expr(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    array, an ANSI-mode job-killing crash on any short doc). Tokens are
+    let-bound (num.bind1): the slice lambda otherwise re-splits the whole
+    text per gram (r13)."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind1(tokens_expr(text), body)
 
 
 # ---------------------------------------------------------------- minhash

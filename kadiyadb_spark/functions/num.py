@@ -20,6 +20,26 @@ def round4_expr(c: Column) -> Column:
     return F.floor(c.cast("double") * 10000 + F.lit(0.5)) / 10000
 
 
+def bind1(val: Column, body) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``val`` ONCE per row
+    and hand it to ``body`` as a bound lambda variable.
+
+    Why (r13 optimization, guide §1.2 per-task work): higher-order
+    functions are interpreted (CodegenFallback) and do NO subexpression
+    elimination inside their lambdas — an outer expression referenced in a
+    lambda body is re-evaluated PER ELEMENT. A character-shingle transform
+    whose lambda sliced ``normalize_expr(text)`` re-ran the whole-document
+    regex normalize once per window position: O(n²) per document (measured
+    4x on the shingle path, 20x on winnow_fingerprint at sf0.1, identical
+    values). Wrapping the expensive value as the single element of an array
+    and ``transform``-ing over it binds it to a NamedLambdaVariable — a
+    leaf the inner lambdas reference for free.
+
+    ``body`` receives the bound Column and returns the result Column; the
+    wrapper unwraps the 1-element result array."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def round4_sql(expr: str) -> str:
     """The identical computation as ANSI/DuckDB SQL text."""
     return f"floor(({expr}) * 10000 + 0.5) / 10000"

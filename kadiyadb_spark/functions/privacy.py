@@ -140,13 +140,18 @@ def luhn_audit(
     Detection + validation stay one map-side projection (regexp_extract_all
     + exists() over the integer fold above, all JVM, no UDF); the only
     Exchange is the tiny group-keyed count fold."""
-    runs = F.filter(
-        F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), 0),
-        lambda r: (F.length(r) >= 13) & (F.length(r) <= 19),
+    # candidate runs staged once (r13): the three flag references otherwise
+    # re-ran the full-text regexp_extract_all per reference (no HOF CSE)
+    staged = df.select(
+        *(group_cols or []),
+        F.filter(
+            F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), 0),
+            lambda r: (F.length(r) >= 13) & (F.length(r) <= 19),
+        ).alias("_runs"),
     )
-    has_cand = F.size(runs) > 0
-    valid = F.exists(runs, lambda r: luhn_valid_expr(r) == 1)
-    flags = df.select(
+    has_cand = F.size(F.col("_runs")) > 0
+    valid = F.exists(F.col("_runs"), lambda r: luhn_valid_expr(r) == 1)
+    flags = staged.select(
         *(group_cols or []),
         has_cand.cast("long").alias("_has_cand"),
         (has_cand & valid).cast("long").alias("_valid"),

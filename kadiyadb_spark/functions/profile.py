@@ -37,15 +37,26 @@ def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> Dat
     GK sketch (functions/sketch.py) remains the scheduled form when a
     single group spans the corpus."""
     nd = F.approx_count_distinct if approx else F.countDistinct
-    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    # r13 (guide §1.2/§7.2): min/max run in a SEPARATE global aggregation.
+    # min/max over string/date columns have immutable aggregation buffers,
+    # so mixing them into the multi-distinct Expand plan forced the WHOLE
+    # 6x-expanded row set through SortAggregate with two full sorts
+    # (measured 8 s of the entry's 8.8 s at sf0.1). Split, the distinct
+    # phase hash-aggregates the Expand and the min/max phase is a global
+    # (grouping-free — no sort inserted) partial-agg scan; the two 1-row
+    # results cross-join for free. Values are the identical aggregates.
+    cnt_aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    mm_aggs = []
     for c in cols:
-        aggs += [
+        cnt_aggs += [
             F.count(F.col(c)).alias(f"_nn_{c}"),
             nd(F.col(c)).alias(f"_nd_{c}"),
+        ]
+        mm_aggs += [
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
-    wide = df.agg(*aggs)
+    wide = df.agg(*cnt_aggs).crossJoin(df.agg(*mm_aggs))
     stacked = ", ".join(
         f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kadiyadb_spark.functions.num import round4_expr
+from kadiyadb_spark.functions.num import bind1, round4_expr
 
 # Marker stopwords per language for the n-gram/stopword language-ID
 # heuristic. Deterministic priority order breaks ties.
@@ -51,12 +51,19 @@ def normalize_expr(text: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, BPE-ish subword
     count, average token length."""
-    toks = tokens_expr(F.col(text_col))
-    return df.select(
+    # tokenize once into a staged column (r13): four references in one
+    # projection re-split the text four times (no interpreted-HOF CSE)
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens_expr(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    return staged.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long").alias("n_subwords"),
+        F.regexp_count(F.col("_text"), F.lit(BPE_TOKEN_RE)).cast("long").alias("n_subwords"),
         round4_expr(
             F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
             / F.greatest(F.size(toks), F.lit(1))
@@ -68,17 +75,27 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Stopword-marker language ID: score = |distinct tokens ∩ markers(lang)|,
     argmax with fixed priority-order tiebreak; 'und' (undetermined) if all
     scores are zero."""
-    toks = F.array_distinct(tokens_expr(F.col(text_col)))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_MARKERS.items()
-    }
+    # distinct tokens staged once (r13): each language's intersect —
+    # plus every argmax comparison — otherwise re-tokenized the text
+    staged = df.select(
+        F.col(id_col), F.array_distinct(tokens_expr(F.col(text_col))).alias("_toks")
+    )
+    scored = staged.select(
+        F.col(id_col),
+        *[
+            F.size(
+                F.array_intersect(F.col("_toks"), F.array(*[F.lit(w) for w in words]))
+            ).alias(f"_s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_MARKERS}
     # priority-ordered argmax: first lang whose score equals the max and > 0
     mx = F.greatest(*scores.values())
     lang = F.when(mx <= 0, F.lit("und"))
     for code in LANG_PRIORITY:
         lang = lang.when(scores[code] == mx, F.lit(code))
-    out = df.select(
+    out = scored.select(
         F.col(id_col),
         lang.alias("lang_pred"),
         *[scores[c].cast("long").alias(f"score_{c}") for c in LANG_PRIORITY],
@@ -90,7 +107,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Heuristic document quality: length band, stopword ratio, alphabetic
     ratio, repetition. Rounded to 4dp for cross-engine comparability."""
     text = F.col(text_col)
-    toks = tokens_expr(text)
+    # tokenize ONCE into a staged column (r13): the token split is a HOF
+    # (no codegen CSE), so referencing it from five output expressions in
+    # one projection re-split the text five times per row
+    staged = df.select(F.col(id_col), text.alias("_text"), tokens_expr(text).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     n_d = F.greatest(n, F.lit(1)).cast("double")
     stop_ratio = (
@@ -98,14 +119,14 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_d
     alpha_ratio = (
-        F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")).cast("double")
-        / F.greatest(F.length(text), F.lit(1)).cast("double")
+        F.length(F.regexp_replace(F.col("_text"), r"[^a-zA-Z]", "")).cast("double")
+        / F.greatest(F.length(F.col("_text")), F.lit(1)).cast("double")
     )
     len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
     score = 0.25 * len_score + 0.25 * uniq_ratio + 0.25 * alpha_ratio + 0.25 * F.least(
         stop_ratio * 5.0, F.lit(1.0)
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         round4_expr(stop_ratio).alias("stopword_ratio"),
@@ -231,37 +252,56 @@ def winnow_fingerprint(
     emitted NULL min columns that silently never joined in
     winnow_near_duplicates (and raised under ANSI element_at) for exactly
     the most repetitive docs the dedup targets (review finding)."""
-    norm = normalize_expr(F.col(text_col))
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    hashes = F.transform(
-        idx,
-        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k).cast("binary")), 1, 8), 16, 10).cast("long"),
+    # r13 (guide §1.2 per-task work): every expensive intermediate is
+    # let-bound (num.bind1) and the min-set array is materialized ONCE in
+    # its own projection. The previous single-expression form captured
+    # ``norm`` inside the window lambda (whole-document regex normalize
+    # re-run per window position — O(n²)) and ``distinct_sorted`` (the
+    # full window-hash chain) inside the cycling lambda AND once per
+    # output column — measured 20x end-to-end at sf0.1, identical values.
+    def mins_of(norm: Column) -> Column:
+        n = F.length(norm)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        hashes = F.transform(
+            idx,
+            lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k).cast("binary")), 1, 8), 16, 10).cast("long"),
+        )
+
+        def cycle(ds: Column) -> Column:
+            sz = F.size(ds)
+            return F.transform(
+                F.sequence(F.lit(1), F.lit(num_mins)),
+                lambda j: F.element_at(ds, ((j - 1) % sz + 1).cast("int")),
+            )
+
+        return bind1(F.array_sort(F.array_distinct(hashes)), cycle)
+
+    staged = df.select(
+        F.col(id_col), bind1(normalize_expr(F.col(text_col)), mins_of).alias("_mins")
     )
-    distinct_sorted = F.array_sort(F.array_distinct(hashes))
-    sz = F.size(distinct_sorted)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.lit(num_mins)),
-        lambda j: F.element_at(distinct_sorted, ((j - 1) % sz + 1).cast("int")),
-    )
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        *[F.element_at(mins, j + 1).alias(f"min{j}") for j in range(num_mins)],
+        *[F.element_at(F.col("_mins"), j + 1).alias(f"min{j}") for j in range(num_mins)],
     )
 
 
 def word_ngrams_expr(text: Column, n: int) -> Column:
     """Space-joined word n-grams of the whitespace tokens; a document with
-    fewer than ``n`` tokens yields an empty array. Whole-stage-codegen
-    transform over a generated index sequence — no UDF, no shuffle."""
-    toks = tokens_expr(text)
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # sequence(1, stop) DESCENDS when stop < 1 — guard short docs explicitly.
-    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+    fewer than ``n`` tokens yields an empty array. Map-side transform over
+    a generated index sequence — no UDF, no shuffle. Tokens are let-bound
+    (num.bind1): the slice lambda otherwise re-splits the whole text per
+    gram (r13 HOF-capture fix)."""
+
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        # sequence(1, stop) DESCENDS when stop < 1 — guard short docs explicitly.
+        return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return bind1(tokens_expr(text), body)
 
 
 def decontaminate(
@@ -394,8 +434,15 @@ def repetition_score(
     exploded formulation shuffles corpus-sized (doc, token) pairs twice plus
     a join; this version never leaves the scan's partitions
     (plan-asserted in tests/test_plans.py)."""
-    toks = tokens_expr(F.col(text_col))
-    grams2 = word_ngrams_expr(F.col(text_col), 2)
+    # tokens and bigrams staged once (r13): the seven references across the
+    # metric expressions re-ran the split/gram HOFs per reference
+    df = df.select(
+        F.col(id_col),
+        tokens_expr(F.col(text_col)).alias("_toks"),
+        word_ngrams_expr(F.col(text_col), 2).alias("_grams2"),
+    )
+    toks = F.col("_toks")
+    grams2 = F.col("_grams2")
     # max run length of equal adjacent elements in the sorted array:
     # state = (prev token, current run, best run)
     top_cnt = F.aggregate(
@@ -456,39 +503,48 @@ def gopher_pass_expr(
     """The Gopher verdict as ONE boolean column expression — usable directly
     in a filter() so a pipeline gates map-side with no join against a
     metrics frame (gopher_rules reports the per-metric breakdown; this is
-    the decision alone)."""
-    toks = tokens_expr(text)
-    n = F.size(toks)
-    n_d = F.greatest(n, F.lit(1)).cast("double")
-    avg_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d
-    symbol_ratio = (
-        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
-    ).cast("double") / n_d
-    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_d
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    the decision alone). Tokens are let-bound (num.bind1, r13): the seven
+    rule comparisons otherwise re-tokenized the text per reference."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        n_d = F.greatest(n, F.lit(1)).cast("double")
+        avg_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d
+        symbol_ratio = (
+            F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+        ).cast("double") / n_d
+        alpha_frac = (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_d
         )
-    )
-    return (
-        (n >= min_tokens)
-        & (n <= max_tokens)
-        & (avg_len >= min_avg_len)
-        & (avg_len <= max_avg_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (stop_hits >= min_stopword_hits)
-    )
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        )
+        return (
+            (n >= min_tokens)
+            & (n <= max_tokens)
+            & (avg_len >= min_avg_len)
+            & (avg_len <= max_avg_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (stop_hits >= min_stopword_hits)
+        )
+
+    return bind1(tokens_expr(text), body)
 
 
 def dup_token_frac_expr(text: Column) -> Column:
     """Duplicate-token fraction (repetition_score's first metric) as a bare
-    expression for map-side gating."""
-    toks = tokens_expr(text)
-    return F.when(
-        F.size(toks) > 0,
-        1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-    ).otherwise(F.lit(0.0))
+    expression for map-side gating. Tokens let-bound (num.bind1, r13)."""
+
+    def body(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) > 0,
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        ).otherwise(F.lit(0.0))
+
+    return bind1(tokens_expr(text), body)
 
 
 def gopher_rules(
@@ -513,45 +569,49 @@ def gopher_rules(
     a bandwidth-bound scan, and the verdict column means the downstream
     filter prunes before any shuffle ever sees the rejected rows."""
     text = F.col(text_col)
-    toks = tokens_expr(text)
+    # r13 staging: tokenize once, then compute each UNROUNDED metric once —
+    # the single-projection form re-evaluated every HOF metric 2-3x per row
+    # (output column + each `passes` comparison; no interpreted-HOF CSE)
+    staged = df.select(F.col(id_col), text.alias("_text"), tokens_expr(text).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     n_d = F.greatest(n, F.lit(1)).cast("double")
-    avg_len = (
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d
-    )
     n_symbols = (
-        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+        F.regexp_count(F.col("_text"), F.lit(r"#"))
+        + F.regexp_count(F.col("_text"), F.lit(r"\.\.\."))
     )
-    symbol_ratio = n_symbols.cast("double") / n_d
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_d
-    )
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-        )
-    )
-    # the verdict conjunction over the ALREADY-BUILT local expressions —
-    # calling gopher_pass_expr here rebuilt every aggregate/filter lambda
-    # and regexp_count a second time per row, and Catalyst does not dedupe
-    # interpreted higher-order subexpressions (review finding); identical
-    # output, half the projection cost
-    passes = (
-        (n >= min_tokens)
-        & (n <= max_tokens)
-        & (avg_len >= min_avg_len)
-        & (avg_len <= max_avg_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (stop_hits >= min_stopword_hits)
-    )
-    return df.select(
+    metrics = staged.select(
         F.col(id_col),
-        n.cast("long").alias("n_tokens"),
-        round4_expr(avg_len).alias("avg_word_len"),
-        round4_expr(symbol_ratio).alias("symbol_ratio"),
-        round4_expr(alpha_frac).alias("alpha_word_frac"),
-        stop_hits.cast("long").alias("stopword_hits"),
+        n.alias("_n"),
+        (F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d).alias(
+            "_avg_len"
+        ),
+        (n_symbols.cast("double") / n_d).alias("_symbol_ratio"),
+        (F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_d).alias(
+            "_alpha_frac"
+        ),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        ).alias("_stop_hits"),
+    )
+    passes = (
+        (F.col("_n") >= min_tokens)
+        & (F.col("_n") <= max_tokens)
+        & (F.col("_avg_len") >= min_avg_len)
+        & (F.col("_avg_len") <= max_avg_len)
+        & (F.col("_symbol_ratio") <= max_symbol_ratio)
+        & (F.col("_alpha_frac") >= min_alpha_word_frac)
+        & (F.col("_stop_hits") >= min_stopword_hits)
+    )
+    return metrics.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        round4_expr(F.col("_avg_len")).alias("avg_word_len"),
+        round4_expr(F.col("_symbol_ratio")).alias("symbol_ratio"),
+        round4_expr(F.col("_alpha_frac")).alias("alpha_word_frac"),
+        F.col("_stop_hits").cast("long").alias("stopword_hits"),
         passes.cast("long").alias("passes"),
     )
 
@@ -655,12 +715,17 @@ def split_fixed_spans(
     units for corpora without sentence/line structure; map-side only (array
     slicing inside the projection, then one posexplode)."""
     # true whitespace tokens (review finding: the literal single-space
-    # split collapsed newline/tab-separated text into mega-tokens)
-    toks = F.filter(F.split(F.col(text_col), WS_CLASS + "+"), lambda t: t != "")
-    nspans = F.ceil(F.size(toks) / F.lit(words_per_span)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), nspans - 1),
-        lambda i: F.array_join(F.slice(toks, i * words_per_span + 1, words_per_span), " "),
+    # split collapsed newline/tab-separated text into mega-tokens);
+    # let-bound so the slice lambda doesn't re-split per span (r13)
+    def body(toks: Column) -> Column:
+        nspans = F.ceil(F.size(toks) / F.lit(words_per_span)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nspans - 1),
+            lambda i: F.array_join(F.slice(toks, i * words_per_span + 1, words_per_span), " "),
+        )
+
+    spans = bind1(
+        F.filter(F.split(F.col(text_col), WS_CLASS + "+"), lambda t: t != ""), body
     )
     return df.select(
         F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
@@ -688,27 +753,34 @@ def chunk_documents(
     (sim_* operators) downstream."""
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
-    toks = F.filter(F.split(F.col(text_col), WS_CLASS + "+"), lambda t: t != "")
-    # windows start at 0, stride, 2*stride, ... while start < n_tokens
-    nchunks = F.greatest(
-        F.lit(1), F.ceil(F.size(toks) / F.lit(stride)).cast("int")
-    )
-    # a window starting past (n - chunk_words) is fully inside the previous
-    # one's coverage only when stride >= chunk_words is false; keep any
-    # start < n, but drop starts where the previous window already reaches
-    # the end (pure-suffix duplicates): start < n AND (start == 0 OR
-    # start - stride + chunk_words < n)
-    n = F.size(toks)
-    chunks = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), nchunks - 1),
-            lambda i: F.struct(
-                i.alias("i"),
-                F.slice(toks, i * stride + 1, chunk_words).alias("w"),
+
+    # tokens let-bound (num.bind1, r13): the window-slice lambda and the
+    # suffix-duplicate filter otherwise re-split the whole text per chunk
+    def body(toks: Column) -> Column:
+        # windows start at 0, stride, 2*stride, ... while start < n_tokens
+        nchunks = F.greatest(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(stride)).cast("int")
+        )
+        # a window starting past (n - chunk_words) is fully inside the
+        # previous one's coverage only when stride >= chunk_words is false;
+        # keep any start < n, but drop starts where the previous window
+        # already reaches the end (pure-suffix duplicates): start < n AND
+        # (start == 0 OR start - stride + chunk_words < n)
+        n = F.size(toks)
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.slice(toks, i * stride + 1, chunk_words).alias("w"),
+                ),
             ),
-        ),
-        lambda s: (s["i"] * stride < n)
-        & ((s["i"] == 0) | ((s["i"] - 1) * stride + chunk_words < n)),
+            lambda s: (s["i"] * stride < n)
+            & ((s["i"] == 0) | ((s["i"] - 1) * stride + chunk_words < n)),
+        )
+
+    chunks = bind1(
+        F.filter(F.split(F.col(text_col), WS_CLASS + "+"), lambda t: t != ""), body
     )
     out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
     return out.select(

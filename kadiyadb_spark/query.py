@@ -205,46 +205,69 @@ def fetch(
     # values scan partition-prunes on epoch too.
     e_from = from_b - (from_b % duration)
     e_to = (to_b - resolution) - ((to_b - resolution) % duration)
-    matched = pattern_filter(cube, pattern).filter(
-        (F.col(S.EPOCH) >= F.lit(e_from))
-        & (F.col(S.EPOCH) <= F.lit(e_to))
-        & (F.col(S.BUCKET) >= F.lit(from_b))
-        & (F.col(S.BUCKET) < F.lit(to_b))
-    )
-
     if not densify:
+        matched = pattern_filter(cube, pattern).filter(
+            (F.col(S.EPOCH) >= F.lit(e_from))
+            & (F.col(S.EPOCH) <= F.lit(e_to))
+            & (F.col(S.BUCKET) >= F.lit(from_b))
+            & (F.col(S.BUCKET) < F.lit(to_b))
+        )
         return matched.select(S.EPOCH, *fcols, S.BUCKET, S.TOTAL, S.CNT)
 
     # Series membership is per-EPOCH, not per-slot: a series present in a
     # touched epoch's index yields a dense (possibly all-zero) vector for
     # that epoch, and nothing for epochs where it was never tracked
-    # (database.go:204-251, database_test.go:203-281). Fan each membership
-    # row out to its epoch's clipped slot sequence MAP-SIDE — the explode
-    # happens inside the projection, so no axis table, no broadcast, no
-    # join to produce the dense grid.
-    series_per_epoch = (
+    # (database.go:204-251, database_test.go:203-281).
+    #
+    # r13 (guide §2.4, remove shuffles outright): densify is ONE
+    # aggregation keyed (epoch, series) — each group gathers its in-range
+    # points into a map and fans out to the epoch's clipped slot sequence
+    # map-side. The previous shape (distinct membership frame + left join
+    # of the grid against the matched points) cost a second full scan+fold
+    # of the cube plus two extra Exchanges (distinct, join); this one scans
+    # once and shuffles once. Per-group state is bounded by
+    # slots-per-epoch (duration/resolution — e.g. 1440 for 1m slots in a
+    # 1d epoch), never by range width or series count. Rows OUTSIDE the
+    # bucket range still vote for membership (the when() leaves them out
+    # of the map but not out of the group) — the per-epoch membership rule
+    # above. The map build assumes the cube is FOLDED (one row per
+    # (epoch, series, bucket) — both track_batch and Database.cube
+    # guarantee it); duplicate bucket keys would error here where the old
+    # join silently emitted duplicate slots.
+    in_range = (F.col(S.BUCKET) >= F.lit(from_b)) & (F.col(S.BUCKET) < F.lit(to_b))
+    per_series = (
         pattern_filter(cube, pattern)
         .filter((F.col(S.EPOCH) >= F.lit(e_from)) & (F.col(S.EPOCH) <= F.lit(e_to)))
-        .select(S.EPOCH, *fcols)
-        .distinct()
+        .groupBy(S.EPOCH, *fcols)
+        .agg(
+            F.map_from_entries(
+                # collect_list drops the when()'s nulls; all-out-of-range
+                # groups yield an empty map (all-zero dense vector)
+                F.collect_list(
+                    F.when(
+                        in_range,
+                        F.struct(
+                            F.col(S.BUCKET),
+                            F.struct(F.col(S.TOTAL).alias("t"), F.col(S.CNT).alias("c")),
+                        ),
+                    )
+                )
+            ).alias("_pts")
+        )
     )
-
-    grid = series_per_epoch.select(
+    pt = F.try_element_at(F.col("_pts"), F.col(S.BUCKET))  # NULL on gap slots
+    return per_series.select(
         S.EPOCH,
         *fcols,
         F.explode(_epoch_slots_expr(from_b, to_b, resolution, duration)).alias(S.BUCKET),
+        "_pts",
+    ).select(
+        S.EPOCH,
+        *fcols,
+        S.BUCKET,
+        F.coalesce(pt["t"], F.lit(0.0)).alias(S.TOTAL),
+        F.coalesce(pt["c"], F.lit(0.0)).alias(S.CNT),
     )
-    dense = (
-        grid.join(matched.select(*fcols, S.BUCKET, S.TOTAL, S.CNT), on=[*fcols, S.BUCKET], how="left")
-        .select(
-            S.EPOCH,
-            *fcols,
-            S.BUCKET,
-            F.coalesce(F.col(S.TOTAL), F.lit(0.0)).alias(S.TOTAL),
-            F.coalesce(F.col(S.CNT), F.lit(0.0)).alias(S.CNT),
-        )
-    )
-    return dense
 
 
 def rollup_at_read(
@@ -2756,36 +2779,42 @@ def fetch_rule_group(
             .drop("_thr4")
         )
     if by_kind["below"] and grid_ok:
-        bs = sp.filter(F.col("query").isin(by_kind["below"])).alias("bs")
         # Membership is per-EPOCH, exactly fetch's densify rule (O2): a
         # series zero-fills only over epochs where it was tracked, and
         # contributes nothing for epochs it never existed in — the
         # full-window grid fired long runs across epochs a decommissioned
         # series never reached (review finding; fetch+series_alerts
-        # produce no rows there).
-        mem = (
+        # produce no rows there). r13: same one-aggregation densify as
+        # fetch (guide §2.4) — the previous distinct-membership + grid
+        # left-join shape cost a second pass over the below subset plus a
+        # join Exchange; sparse is already bucket-range filtered, so every
+        # row enters its group's map, and the groupBy over
+        # (query, series, epoch) IS the membership set. NULL deeper field
+        # columns group as one key — the old join's eqNullSafe semantics.
+        per = (
             sparse.filter(F.col("query").isin(by_kind["below"]))
-            .select("query", *fcols, S.EPOCH)
-            .distinct()
+            .groupBy("query", *fcols, S.EPOCH)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col(S.BUCKET), t4.alias("_t4")))
+                ).alias("_pts")
+            )
         )
-        grid = mem.select(
+        dense = per.select(
             "query",
             *fcols,
             F.explode(
                 _epoch_slots_expr(from_b, to_b, resolution, duration)
             ).alias(S.BUCKET),
-        ).alias("gr")
-        cond = (F.col("gr.query") == F.col("bs.query")) & (
-            F.col(f"gr.{S.BUCKET}") == F.col(f"bs.{S.BUCKET}")
-        )
-        for c in fcols:
-            # null-safe: depth-1 series carry NULL deeper field columns
-            cond = cond & F.col(f"gr.{c}").eqNullSafe(F.col(f"bs.{c}"))
-        dense = grid.join(bs, cond, "left").select(
-            F.col("gr.query").alias("query"),
-            *[F.col(f"gr.{c}").alias(c) for c in fcols],
-            F.col(f"gr.{S.BUCKET}").alias(S.BUCKET),
-            F.coalesce(F.col("bs._t4"), F.lit(0).cast("long")).alias("_t4"),
+            "_pts",
+        ).select(
+            "query",
+            *fcols,
+            S.BUCKET,
+            F.coalesce(
+                F.try_element_at(F.col("_pts"), F.col(S.BUCKET)),
+                F.lit(0).cast("long"),
+            ).alias("_t4"),
         )
         branches.append(
             dense.withColumn("_thr4", thr_c)

@@ -65,6 +65,50 @@ def test_winnow_fingerprint_matches_python(spark):
     assert [r.min0, r.min1, r.min2, r.min3] == hs
 
 
+def test_bind1_value_identity(spark):
+    """r13: num.bind1 (the HOF let-binding device) must be a pure value
+    no-op — same result as writing the expression inline."""
+    from kadiyadb_spark.functions.num import bind1
+
+    df = spark.range(5).selectExpr("cast(id as string) as s")
+    bound = df.select(bind1(F.upper("s"), lambda v: F.concat(v, v)).alias("x")).collect()
+    plain = df.selectExpr("concat(upper(s), upper(s)) as x").collect()
+    assert bound == plain
+
+
+def test_assign_map_matches_assign_cols_spec(spark):
+    """r13: the numpy Lloyd-assignment kernel (_assign_map) must reproduce
+    the plan-literal spec twin (_assign_cols) bit-for-bit — identical
+    quantized integer distances AND the first-minimum (lowest centroid id)
+    tie rule, including exact midpoint ties."""
+    import random
+
+    from kadiyadb_spark.functions.cluster import _assign_cols, _assign_map, _base_frame
+
+    rnd = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-1.0, 1.0) for _ in range(8)])
+        for i in range(64)
+    ]
+    # exact equidistant ties: midpoint of centroids 0 and 1 below
+    rows += [Row(vec_id=100 + j, embedding=[1.0] * 8) for j in range(3)]
+    emb = spark.createDataFrame(rows)
+    cents = [[0.0] * 8, [2.0] * 8] + [list(rows[i].embedding) for i in range(3)]
+    base = _base_frame(emb, "vec_id", "embedding")
+    kernel = {
+        (r["_id"], r["_cid"], r["_dq"])
+        for r in _assign_map(base, cents, with_id=True, with_dq=True).collect()
+    }
+    cid, dq = _assign_cols(F.col("_v"), cents)
+    spec = {
+        (r["_id"], r["c"], r["d"])
+        for r in base.select("_id", cid.alias("c"), dq.alias("d")).collect()
+    }
+    assert kernel == spec
+    # the midpoint vectors tie between centroids 0 and 1 -> lowest id wins
+    assert all(c == 0 for i, c, _ in kernel if i >= 100)
+
+
 def test_winnow_fingerprint_robust_to_small_edits(spark):
     # shared content -> overlapping min-sets, unlike the exact md5 fingerprint
     base = "the quick brown fox jumps over the lazy dog and runs far away"

@@ -314,8 +314,13 @@ def test_profile_columns_single_scan(spark):
 
     df = spark.range(100).selectExpr("id as a", "cast(id % 7 as string) as b")
     plan = plan_str(profile_columns(df, ["a", "b"]))
-    # multi-distinct census plans as ONE pass: a single Expand over one scan
-    assert plan.count("(1) Range") == 1 and "Expand" in plan
+    # r13 shape: the multi-distinct census is one Expand pass that HASH
+    # aggregates, and min/max run as a separate GROUPING-FREE pass — string
+    # min/max buffers are immutable, so mixing them in forced the whole
+    # expanded row set through SortAggregate with two full sorts. Two scans,
+    # an Expand, and NO Sort operator anywhere.
+    assert "Expand" in plan
+    assert not re.search(r"\(\d+\) Sort\b", plan), plan
 
 
 def test_pq_topk_single_shuffle(spark):
@@ -600,10 +605,16 @@ def test_series_resets_and_gaps_plan_shape(spark):
     )
     plan = plan_str(g)
     assert n_shuffles(plan) == base + 1  # window exchange reused by the groupBy
-    # the cnt=0 filter must sit below the first window Exchange so only
-    # absent slots ever shuffle
-    first_ex = plan.index("Exchange")
-    assert "Filter" in plan[:first_ex] or re.search(r"cnt.*= 0", plan)
+    # the absent-slot filter must sit BELOW the window Exchange so only
+    # absent slots ever shuffle. Since the r13 map-densify, project collapse
+    # inlines cnt as coalesce(element_at(_pts, bucket).c, 0.0), so the
+    # predicate reads "... = 0.0" rather than "cnt = 0". Formatted plans
+    # number nodes leaf-up: the zero-filter's id must be smaller than the
+    # window Exchange's (the largest Exchange id).
+    zero_f = re.search(r"\((\d+)\) Filter\n[^\n]*\n[^\n]*= 0\.0", plan)
+    assert zero_f, plan
+    win_ex = max(int(m) for m in re.findall(r"\((\d+)\) Exchange\b", plan))
+    assert int(zero_f.group(1)) < win_ex, plan
 
 
 def test_series_quantile_over_time_one_window_exchange(spark):
