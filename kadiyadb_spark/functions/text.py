@@ -509,7 +509,6 @@ def gopher_pass_expr(
     def body(toks: Column) -> Column:
         n = F.size(toks)
         n_d = F.greatest(n, F.lit(1)).cast("double")
-        avg_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d
         symbol_ratio = (
             F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
         ).cast("double") / n_d
@@ -521,14 +520,24 @@ def gopher_pass_expr(
                 F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
             )
         )
-        return (
-            (n >= min_tokens)
-            & (n <= max_tokens)
-            & (avg_len >= min_avg_len)
-            & (avg_len <= max_avg_len)
-            & (symbol_ratio <= max_symbol_ratio)
-            & (alpha_frac >= min_alpha_word_frac)
-            & (stop_hits >= min_stopword_hits)
+
+        # the avg-length fold is O(n) and feeds TWO band comparisons; inside
+        # the interpreted lambda there is no subexpression elimination, so
+        # let-bind the fold's value as well (same arithmetic, computed once)
+        def with_avg(avg_len: Column) -> Column:
+            return (
+                (n >= min_tokens)
+                & (n <= max_tokens)
+                & (avg_len >= min_avg_len)
+                & (avg_len <= max_avg_len)
+                & (symbol_ratio <= max_symbol_ratio)
+                & (alpha_frac >= min_alpha_word_frac)
+                & (stop_hits >= min_stopword_hits)
+            )
+
+        return bind1(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_d,
+            with_avg,
         )
 
     return bind1(tokens_expr(text), body)

@@ -1313,6 +1313,33 @@ def test_gopher_rules_verdicts(spark):
     assert abs(out[2]["avg_word_len"] - 8 / 3) < 1e-3
 
 
+def test_gopher_pass_expr_matches_gopher_rules(spark):
+    """r13: gopher_pass_expr (the map-side gate, with the avg-len fold
+    let-bound) must agree with gopher_rules' `passes` verdict on every
+    document — including empty/degenerate ones."""
+    from kadiyadb_spark.functions.text import gopher_pass_expr, gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that have with lazy dogs"] * 5
+    )
+    docs = [
+        (1, good),
+        (2, "the and of"),  # under min_tokens
+        (3, " ".join(["word"] * 60) + " " + " ".join(["###"] * 30)),
+        (4, ""),  # empty text
+        (5, " ".join(["a"] * 60)),  # avg_len below band
+        (6, " ".join(["supercalifragilistic"] * 60)),  # avg_len above band
+        (7, " ".join(["the", "be"] * 30)),  # exactly at stopword rule
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    gate = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", gopher_pass_expr(F.col("text")).alias("g")).collect()
+    }
+    rules = {r["doc_id"]: bool(r["passes"]) for r in gopher_rules(df).collect()}
+    assert gate == rules
+
+
 def test_unigram_lm_score_exact_math(spark):
     import math
 
