@@ -20,12 +20,13 @@ integer-exact instead:
 - inertia: the exact long distance sum, one double division + 4dp floor
   at output.
 
-Scale shape per iteration: assignment is FULLY map-side (centroids ride
-the plan as literals — k x d doubles, no join, no shuffle); the update is
-posexplode + groupBy(cluster, dim) whose partial map-side combine emits at
-most k*d rows PER PARTITION — the shuffle is KBs regardless of corpus
-size; the driver holds k*d doubles (a bounded collect, documented like
-similarity._collect_matrix). Both sums are RUNTIME-GUARDED
+Scale shape per iteration: assignment is FULLY map-side (a broadcast
+numpy kernel since r13 — the centroid literals stay the spec twin); the
+update is FUSED into the same kernel (r13), which emits at most k*d
+exact decimal partial rows PER TASK into the groupBy(cluster, dim) — the
+shuffle is KBs regardless of corpus size; the driver holds k*d doubles
+(a bounded collect, documented like similarity._collect_matrix). Both
+sums are RUNTIME-GUARDED
 (num.py:guarded_scaled_sum — decimal(38,0) accumulation asserted within
 2^53 before the one double division): a corpus wide enough to overflow
 fails loudly instead of drifting.
@@ -69,6 +70,23 @@ def _assign_cols(vec_dbl: Column, centroids: "list[list[float]]"):
     # first-match position = lowest cluster id on exact-integer ties
     cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
     return cid, F.array_min(dists)
+
+
+def _argmin_q(v, C):
+    """Shared numpy device of the exact assignment: quantized int64
+    distances (same IEEE-754 ops as ``_dist_q``) and first-minimum argmin
+    (= ``array_position`` lowest-centroid-id tie rule). Used by both the
+    assignment kernel and the fused update kernel so the two cannot
+    drift. Returns (cid[n], dists[n, k])."""
+    import numpy as np
+
+    n = v.shape[0]
+    dists = np.empty((n, C.shape[0]), dtype=np.int64)
+    for j in range(C.shape[0]):  # k passes of n x d keeps memory O(n*d)
+        d = v - C[j]
+        # same evaluation order as _dist_q: ((x-y)*(x-y))*_DQ + 0.5
+        dists[:, j] = np.floor(d * d * _DQ + 0.5).astype(np.int64).sum(axis=1)
+    return dists.argmin(axis=1).astype("int64"), dists  # first min = lowest id
 
 
 def _assign_map(
@@ -121,12 +139,7 @@ def _assign_map(
             if n == 0:
                 continue
             v = np.array(pdf["_v"].tolist(), dtype=np.float64)  # n x d
-            dists = np.empty((n, C.shape[0]), dtype=np.int64)
-            for j in range(C.shape[0]):  # k passes of n x d keeps memory O(n*d)
-                d = v - C[j]
-                # same evaluation order as _dist_q: ((x-y)*(x-y))*_DQ + 0.5
-                dists[:, j] = np.floor(d * d * _DQ + 0.5).astype(np.int64).sum(axis=1)
-            cid = dists.argmin(axis=1).astype("int64")  # first min = lowest id
+            cid, dists = _argmin_q(v, C)
             out = {}
             if with_id:
                 out["_id"] = pdf["_id"]
@@ -138,6 +151,83 @@ def _assign_map(
             yield pd.DataFrame(out)
 
     return base.select(*in_cols).mapInPandas(kernel, schema=", ".join(fields))
+
+
+def _update_partials(base: DataFrame, centroids: "list[list[float]]") -> DataFrame:
+    """Fused assignment + centroid-update PARTIALS (r13, guide §4.2 do
+    the heavy lifting in native code / §4.1 ship fewer columns across the
+    boundary). The posexplode shape already bounded the SHUFFLE to k*d
+    rows per partition (map-side partial agg); what it could not avoid
+    was per-task volume: n*d doubles crossing Arrow back OUT of the
+    assignment kernel, then n*d generated rows each paying a decimal
+    conversion + hash-aggregate probe. This kernel folds the quantized
+    components ``floor(x*_CQ + 0.5)`` per (cluster, dim) in numpy inside
+    the same pass that assigns, so at most k*d exact decimal rows leave
+    the kernel per task and the JVM aggregate folds partials only.
+    Measured flat at sf0.1 (min-of-5: semdedup 2.88 -> 2.84 s,
+    embedding_kmeans 2.03 -> 2.20 s — noise; the n*d term is tiny at
+    10k x 64); kept for the per-task shape at corpus scale, where the
+    n*d explosion dominates each iteration.
+
+    Exactness (the reason this fusion is safe):
+
+    - the assignment is ``_argmin_q`` — the same device ``_assign_map``
+      uses, bit-for-bit;
+    - per-BATCH folds run in int64: ``_lloyd``'s grid guard bounds every
+      component to |x| <= grid_max < 2^13, so |floor(x*_CQ+0.5)| < 2^33,
+      and an Arrow batch holds < 2^31 rows — a batch partial can never
+      wrap int64;
+    - cross-batch accumulation uses PYTHON ints (unbounded) and emits
+      decimal(38,0), so a task of any size stays exact;
+    - the downstream ``guarded_scaled_sum`` folds the partials in
+      decimal(38,0) and asserts the SAME +/-2^53 bound on the SAME true
+      total — values and abort behavior are identical to the posexplode
+      path (pinned by test_update_partials_matches_posexplode).
+
+    Empty clusters emit no rows, exactly like the posexplode path
+    (callers keep the previous centroid)."""
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal
+
+        C = np.asarray(cents, dtype=np.float64)  # k x d, built once per task
+        d = C.shape[1]
+        sums: dict[int, list] = {}  # cid -> per-dim Python-int partials
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["_v"].tolist(), dtype=np.float64)  # n x d
+            cid, _ = _argmin_q(v, C)
+            q = np.floor(v * _CQ + 0.5).astype(np.int64)  # exact under the grid guard
+            for j in np.unique(cid):
+                sel = q[cid == j]
+                ps = sel.sum(axis=0)  # int64 batch partial — bounded, see above
+                j = int(j)
+                if j in sums:
+                    s = sums[j]
+                    for t in range(d):
+                        s[t] += int(ps[t])
+                    counts[j] += int(sel.shape[0])
+                else:
+                    sums[j] = [int(x) for x in ps]
+                    counts[j] = int(sel.shape[0])
+        if sums:
+            out = {"_cid": [], "_dim": [], "_ps": [], "_n": []}
+            for j in sorted(sums):
+                for t in range(d):
+                    out["_cid"].append(j)
+                    out["_dim"].append(t)
+                    out["_ps"].append(Decimal(sums[j][t]))
+                    out["_n"].append(counts[j])
+            yield pd.DataFrame(out)
+
+    return base.select("_v").mapInPandas(
+        kernel, schema="_cid long, _dim int, _ps decimal(38,0), _n long"
+    )
 
 
 def _base_frame(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -204,18 +294,16 @@ def _lloyd(base: DataFrame, k: int, iters: int) -> "list[list[float]]":
 
     for _ in range(iters):
         sums = (
-            _assign_map(base, centroids, with_vec=True)
-            .select("_cid", F.posexplode(F.col("_v")).alias("_dim", "_val"))
+            # r13 fusion: assignment + per-task update partials in ONE
+            # kernel (see _update_partials) — the old shape posexploded
+            # n*d (cid, dim, val) rows through the shuffle and shipped _v
+            # back across Arrow; the guarded decimal fold + 2^53 assert
+            # (num.py:guarded_scaled_sum) still runs on the same true total
+            _update_partials(base, centroids)
             .groupBy("_cid", "_dim")
             .agg(
-                # decimal(38,0) accumulation + 2^53 assert: the sum feeds ONE
-                # double division, so it must stay an exact double — raise
-                # loudly instead of drifting (num.py:guarded_scaled_sum)
-                guarded_scaled_sum(
-                    F.floor(F.col("_val") * F.lit(_CQ) + F.lit(0.5)).cast("long"),
-                    dp=6,
-                ).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
+                guarded_scaled_sum(F.col("_ps"), dp=6).alias("_s"),
+                F.sum("_n").cast("long").alias("_n"),
             )
             .collect()  # bounded: exactly k*dim rows, independent of corpus size
         )

@@ -109,6 +109,60 @@ def test_assign_map_matches_assign_cols_spec(spark):
     assert all(c == 0 for i, c, _ in kernel if i >= 100)
 
 
+def test_update_partials_matches_posexplode(spark):
+    """r13: the fused assignment+update kernel (_update_partials) must
+    reproduce the posexplode + per-row guarded fold EXACTLY — same
+    per-(cluster, dim) scaled-long sums and counts, at any partition
+    width, with empty clusters absent from both."""
+    import random
+
+    from kadiyadb_spark.functions.cluster import (
+        _CQ,
+        _assign_map,
+        _base_frame,
+        _update_partials,
+    )
+    from kadiyadb_spark.functions.num import guarded_scaled_sum
+
+    rnd = random.Random(13)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-3.0, 3.0) for _ in range(6)])
+        for i in range(97)
+    ]
+    emb = spark.createDataFrame(rows)
+    # centroid 3 is far away -> guaranteed-empty cluster on both paths
+    cents = [[-1.0] * 6, [0.0] * 6, [1.0] * 6, [1000.0] * 6]
+
+    for parts in (1, 8):
+        base = _base_frame(emb.repartition(parts), "vec_id", "embedding")
+        fused = {
+            (r["_cid"], r["_dim"], int(r["_s"]), r["_n"])
+            for r in _update_partials(base, cents)
+            .groupBy("_cid", "_dim")
+            .agg(
+                guarded_scaled_sum(F.col("_ps"), dp=6).alias("_s"),
+                F.sum("_n").cast("long").alias("_n"),
+            )
+            .collect()
+        }
+        spec = {
+            (r["_cid"], r["_dim"], int(r["_s"]), r["_n"])
+            for r in _assign_map(base, cents, with_vec=True)
+            .select("_cid", F.posexplode(F.col("_v")).alias("_dim", "_val"))
+            .groupBy("_cid", "_dim")
+            .agg(
+                guarded_scaled_sum(
+                    F.floor(F.col("_val") * F.lit(_CQ) + F.lit(0.5)).cast("long"),
+                    dp=6,
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        }
+        assert fused == spec
+        assert not any(c == 3 for c, _, _, _ in fused)  # empty cluster absent
+
+
 def test_winnow_fingerprint_robust_to_small_edits(spark):
     # shared content -> overlapping min-sets, unlike the exact md5 fingerprint
     base = "the quick brown fox jumps over the lazy dog and runs far away"
