@@ -17,6 +17,31 @@ from pyspark.sql import SparkSession
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap sized per concurrent task slot, not per lone driver.
+
+    local[N] runs the driver AND all N executor task slots in ONE JVM; a
+    fixed 16g at N=32 is ~0.5 GB per slot — measured (r13, guide §5): after
+    a ~250-query bench session the old gen saturates and big-allocation
+    operators (exact-percentile ObjectHashAggregate, binary Arrow batches)
+    go GC-bound, reading 2-6x their isolated time (approx_quantile >=10.7 s
+    in three 16 GB runs vs 2.7 s at 32 GB, full-run total 482 -> 430 s).
+    Production executors are separate JVMs sized per slot; mirror that:
+    1 GB per local core, floor at the old 16g default, capped at a quarter
+    of system RAM so small hosts are unchanged. SPARK_DRIVER_MEM overrides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        cores = int(cpus) if cpus else (os.cpu_count() or 16)
+    except ValueError:
+        cores = os.cpu_count() or 16
+    try:
+        ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") >> 30
+    except (ValueError, OSError, AttributeError):
+        ram_gb = 64
+    return f"{max(16, min(cores, ram_gb // 4))}g"
+
+
 def get_spark(
     app_name: str = "kadiyadb-spark",
     master: str | None = None,
@@ -32,6 +57,21 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
+
+    # Preload numpy/pandas/pyarrow in the worker DAEMON so forked workers
+    # inherit them copy-on-write (kadiyadb_spark/pydaemon.py has the
+    # measurements). The daemon is spawned with `python -m`, so the package
+    # root must be on the env PYTHONPATH of the JVM (set before launch) and
+    # on the workers' PYTHONPATH (executorEnv) — both merged into the
+    # daemon's path by PythonWorkerFactory. If a pre-existing session
+    # created elsewhere is returned by getOrCreate, these configs are
+    # simply ignored and the stock daemon keeps running.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in env_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + env_pp if env_pp else "")
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -57,10 +97,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.python.daemon.module", "kadiyadb_spark.pydaemon")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
         # local[N] runs executors inside the driver JVM: size the heap for N
-        # concurrent tasks, not for a lone driver.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # concurrent tasks, not for a lone driver (see _default_driver_mem).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     return builder.getOrCreate()
 
