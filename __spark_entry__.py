@@ -911,24 +911,44 @@ def _stage_sessionize_batches(spark: SparkSession, sf_dir: str, tmp: str) -> Non
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     tsn = ts_ns_expr(raw.schema["ts"].dataType, "ts")
     hour = 3600 * SEC
+    # r14 (guide §1.2, fewer jobs/passes): the staging used to be FOUR
+    # Spark jobs — two scalar aggs plus one coalesce(1) write per batch
+    # file. The two batch files partition the input (b is exactly the
+    # complement of a), so ONE partitioned write emits both files in a
+    # single job; m0 (batch a's max ts, needed only inside the stripe
+    # bounds) folds into that same job as a broadcast single-row agg
+    # instead of its own collect. Identical file contents (same rows,
+    # same single-file-per-batch layout); 4 jobs -> 2.
     mx = raw.agg(F.max(tsn)).collect()[0][0]
     tc = mx - 4 * hour
-    m0 = raw.filter(tsn < tc).agg(F.max(tsn)).collect()[0][0]
+    m0 = F.col("_m0")
     lo, hi = m0 - 23 * hour, m0 - 45 * 60 * SEC
     is_stripe = (tsn >= lo) & (tsn < hi)
+    m0df = raw.filter(tsn < tc).agg(F.max(tsn).alias("_m0"))
+    split = (
+        raw.crossJoin(F.broadcast(m0df))
+        .withColumn(
+            "_b",
+            F.when((tsn < tc) & ~is_stripe, F.lit("a")).otherwise(F.lit("b")),
+        )
+        .select(*raw.columns, "_b")
+    )
+    stage = f"{tmp}/stage_batches"
+    (
+        split.repartition(F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(stage)
+    )
     os.makedirs(f"{tmp}/events", exist_ok=True)
     now = time.time()
-    for name, part, age in (
-        ("a", raw.filter((tsn < tc) & ~is_stripe), 60.0),
-        ("b", raw.filter((tsn >= tc) | is_stripe), 0.0),
-    ):
-        stage = f"{tmp}/stage_{name}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        (pf,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+    for name, age in (("a", 60.0), ("b", 0.0)):
+        bdir = f"{stage}/_b={name}"
+        (pf,) = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
         dst = f"{tmp}/events/{name}.parquet"
-        shutil.copy(f"{stage}/{pf}", dst)
+        shutil.copy(f"{bdir}/{pf}", dst)
         os.utime(dst, (now - age, now - age))
-        shutil.rmtree(stage)
+    shutil.rmtree(stage)
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5380,62 +5400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so a freshly-dropped untracked artifact cannot redden the suite) and
     # tests/test_entry_rotation.py asserts list(queries()) equals it with
     # ZERO per-round constants. Rotation history r02-r10: see git log of
-    # this docstring; r13 cap = the 10 remaining r07 entries + the 31-entry
-    # r08 block + the r09 head, exactly VERDICT r12 item 3.
+    # this docstring; r14 cap = the r09 remainder + the r10 block head
+    # (CORRECTNESS_r13.json greened its 50, rotating them to the tail).
     return {
-        # -- last driver-green r07 --
-        "rollup_cascade": q_rollup_cascade,
-        "sample_token_budget": q_sample_token_budget,
-        "set_ops": q_set_ops,
-        "shard_writer": q_shard_writer,
-        "sim_ivfpq_residual": q_sim_ivfpq_residual,
-        "sim_ivfpq_search": q_sim_ivfpq_search,
-        "streaming_join": q_streaming_join,
-        "string_funcs": q_string_funcs,
-        "text_boilerplate": q_text_boilerplate,
-        "text_chunk": q_text_chunk,
-        # -- last driver-green r08 --
-        "cohort_retention": q_cohort_retention,
-        "correlated_subquery": q_correlated_subquery,
-        "exists_subquery": q_exists_subquery,
-        "fetch_binop": q_fetch_binop,
-        "fetch_seasonal": q_fetch_seasonal,
-        "funnel_counts": q_funnel,
-        "funnel_windowed": q_funnel_windowed,
-        "grouping_sets_mixed": q_grouping_sets_mixed,
-        "histogram_rollup_merge": q_histogram_rollup_merge,
-        "pack_nosplit": q_pack_nosplit,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q19_disjunctive": q19_disjunctive,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_waiting_customers": q22_waiting_customers,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q4_order_priority": q4_order_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_selective_scan": q6_selective_scan,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "text_bigram_lm": q_text_bigram_lm,
-        "topk_per_group": q_topk_per_group,
-        "window_daily_running": q_window_daily_running,
-        "window_frames": q_window_frames,
         # -- last driver-green r09 --
-        "active_users": q_active_users,
-        "attribution_last_touch": q_attribution_last_touch,
-        "bm25_retrieval": q_bm25_retrieval,
-        "bpe_encode_ids": q_bpe_encode_ids,
-        "csv_source_agg": q_csv_source_agg,
-        "date_extract": q_date_extract,
-        "db_clone": q_db_clone,
-        "dedup_containment": q_dedup_containment,
-        "dedup_fuzzy": q_dedup_fuzzy,
         "dedup_keep_best": q_dedup_keep_best,
         "drift_psi": q_drift_psi,
         "embedding_quantize": q_embedding_quantize,
@@ -5630,7 +5598,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "track_cube": q_track_cube,
-        # -- born (never driver-gated) --
+        # -- last driver-green r13 --
+        "active_users": q_active_users,
+        "attribution_last_touch": q_attribution_last_touch,
+        "bm25_retrieval": q_bm25_retrieval,
+        "bpe_encode_ids": q_bpe_encode_ids,
+        "cohort_retention": q_cohort_retention,
+        "correlated_subquery": q_correlated_subquery,
+        "csv_source_agg": q_csv_source_agg,
+        "date_extract": q_date_extract,
+        "db_clone": q_db_clone,
+        "dedup_containment": q_dedup_containment,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "exists_subquery": q_exists_subquery,
+        "fetch_binop": q_fetch_binop,
+        "fetch_seasonal": q_fetch_seasonal,
+        "funnel_counts": q_funnel,
+        "funnel_windowed": q_funnel_windowed,
+        "grouping_sets_mixed": q_grouping_sets_mixed,
+        "histogram_rollup_merge": q_histogram_rollup_merge,
+        "pack_nosplit": q_pack_nosplit,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q19_disjunctive": q19_disjunctive,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_waiting_customers": q22_waiting_customers,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_selective_scan": q6_selective_scan,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "rollup_cascade": q_rollup_cascade,
+        "sample_token_budget": q_sample_token_budget,
+        "set_ops": q_set_ops,
+        "shard_writer": q_shard_writer,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "sim_ivfpq_residual": q_sim_ivfpq_residual,
+        "sim_ivfpq_search": q_sim_ivfpq_search,
+        "streaming_join": q_streaming_join,
+        "string_funcs": q_string_funcs,
+        "text_bigram_lm": q_text_bigram_lm,
+        "text_boilerplate": q_text_boilerplate,
+        "text_chunk": q_text_chunk,
+        "topk_per_group": q_topk_per_group,
+        "window_daily_running": q_window_daily_running,
+        "window_frames": q_window_frames,
+        # -- never driver-gated (borns) --
         "dq_expectations": q_dq_expectations,
         "embedding_kmeans": q_embedding_kmeans,
         "fetch_backtest": q_fetch_backtest,

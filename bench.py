@@ -131,6 +131,10 @@ def main() -> None:
         )
     except Exception:  # noqa: BLE001 - provenance is best-effort
         pass
+    # The min-rule may only merge runs at the SAME core count: the driver's
+    # low-cpu scaling run at the same HEAD is a different configuration and
+    # mixing it in corrupts the bank's meaning (VERDICT r13 item 4).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
     merged, run_totals = dict(timings), [total]
     try:
         with open(full_path) as f:
@@ -138,6 +142,7 @@ def main() -> None:
         if (
             prior.get("sf") == sf
             and prior.get("notes", {}).get("git_head") == git_head
+            and prior.get("notes", {}).get("cpus") == cpus
             and set(prior.get("queries", {})) == set(timings)
         ):
             for k, cur in timings.items():
@@ -164,7 +169,8 @@ def main() -> None:
                  # noise unless they exceed ~2x.
                  "notes": {"streaming_fixed_overhead_sec_per_batch": 6.0,
                            "git_head": git_head,
-                           "rule": "per-query min across same-HEAD runs",
+                           "cpus": cpus,
+                           "rule": "per-query min across same-HEAD same-cpus runs",
                            "run_totals": run_totals}},
                 f, indent=1,
             )

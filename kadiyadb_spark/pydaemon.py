@@ -1,33 +1,10 @@
-"""Python worker daemon that preloads the heavy scientific stack.
+"""Back-compat shim: the daemon moved to the top-level ``kdb_pydaemon``
+module (ADVICE r13 — a package submodule executes the package __init__
+on ``python -m``, making every optional heavy import a daemon-fatal
+dependency). Sessions configured with the old module name keep working
+through this alias; it re-exports the stock manager unchanged."""
 
-Spark forks ONE Python daemon per worker factory and forks each task
-worker from it, so anything imported here is inherited by every worker
-via copy-on-write — imported once per factory instead of once per worker.
-
-Why this exists (r13, guide §4.5): the stock daemon imports only pyspark;
-each forked worker then imports numpy/pandas/pyarrow on first use, ~1-2 s
-of CPU per worker. A 253-query bench session constantly rebuilds worker
-pools (a bounded collect/take downstream of an Arrow kernel terminates
-the stream early, which kills the worker instead of returning it to the
-reuse pool), so the next Arrow-kernel query pays 32 fresh imports —
-measured as multimodal_avi_real reading 8-16 s in full-session runs vs
-~1.1 s with a warm pool, with the same plan and the same data. Preloading
-here cuts a pool rebuild to bare forks.
-
-Every import is best-effort: a missing optional package must not take
-down the daemon (that would fail ALL Python queries), so only pyspark
-itself is a hard dependency.
-"""
-
-import importlib
-
-for _mod in ("numpy", "pandas", "pyarrow", "pyarrow.compute"):
-    try:
-        importlib.import_module(_mod)
-    except Exception:  # noqa: BLE001 - preload is opportunistic, never fatal
-        pass
-
-from pyspark.daemon import manager  # noqa: E402
+from kdb_pydaemon import manager  # noqa: F401
 
 if __name__ == "__main__":
     manager()

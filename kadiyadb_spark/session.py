@@ -59,19 +59,31 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus else 32
 
     # Preload numpy/pandas/pyarrow in the worker DAEMON so forked workers
-    # inherit them copy-on-write (kadiyadb_spark/pydaemon.py has the
-    # measurements). The daemon is spawned with `python -m`, so the package
-    # root must be on the env PYTHONPATH of the JVM (set before launch) and
-    # on the workers' PYTHONPATH (executorEnv) — both merged into the
-    # daemon's path by PythonWorkerFactory. If a pre-existing session
-    # created elsewhere is returned by getOrCreate, these configs are
-    # simply ignored and the stock daemon keeps running.
+    # inherit them copy-on-write (kdb_pydaemon.py at the repo root has the
+    # measurements; top-level so `python -m` never executes the package
+    # __init__ — ADVICE r13). The daemon is spawned with `python -m`, so
+    # the repo root must be on the env PYTHONPATH of the JVM (set before
+    # launch) and on the workers' PYTHONPATH (executorEnv) — both merged
+    # into the daemon's path by PythonWorkerFactory.
+    #
+    # LOCAL masters only (ADVICE r13): on a real cluster the executors
+    # need not have this repo importable (UDFs ship via cloudpickle), so
+    # forcing a custom daemon module or a driver-local absolute
+    # PYTHONPATH there would fail every Python worker that the stock
+    # daemon would have served. The preload is a local-mode worker-pool
+    # optimization; cluster deployments that install the package can opt
+    # in with spark.python.daemon.module through spark-submit conf.
+    local_master = master.startswith("local")
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env_pp = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in env_pp.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_root + (os.pathsep + env_pp if env_pp else "")
-        )
+    if local_master and SparkSession.getActiveSession() is None:
+        # Mutating os.environ is only useful when THIS call launches the
+        # JVM; a pre-existing session ignores the config, and the leak
+        # into later subprocesses is avoidable (ADVICE r13).
+        env_pp = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in env_pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + env_pp if env_pp else "")
+            )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -97,8 +109,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.python.daemon.module", "kadiyadb_spark.pydaemon")
-        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
         # local[N] runs executors inside the driver JVM: size the heap for N
         # concurrent tasks, not for a lone driver (see _default_driver_mem).
@@ -107,6 +117,13 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
         )
     )
+    if local_master:
+        builder = builder.config(
+            "spark.python.daemon.module", "kdb_pydaemon"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            os.environ.get("PYTHONPATH", pkg_root),
+        )
     return builder.getOrCreate()
 
 

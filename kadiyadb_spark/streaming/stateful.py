@@ -85,14 +85,21 @@ def _session_fn(gap_ns: int):
             islands = [list(t) for t in zip(starts, lasts, ns_, vsums, nvs)]
 
         if not state.hasTimedOut:
-            rows = pd.concat(list(pdfs))
-            for ts, value in zip(rows["ts"], rows["value"]):
-                # int() per element: rows.iloc[k]["ts"] row-first indexing
-                # would coerce int64 ts into float64 and corrupt ns
-                # timestamps (53-bit mantissa) — keep column-first access.
-                ts = int(ts)
-                nn = 0 if pd.isna(value) else 1
-                islands.append([ts, ts, 1, float(value) if nn else 0.0, nn])
+            # Per-group overhead is the scaling term here (one kernel call
+            # per user per micro-batch): skip pd.concat for the common
+            # single-chunk group, and pull both columns out with ONE
+            # .tolist() each — C-level conversion to exact python ints
+            # (int64 column-first, so ns timestamps never round through
+            # float64) and floats, instead of per-element Series iteration
+            # + pd.isna calls (r14, guide §4.2 — measured ~30% of the
+            # kernel's batch-path time at 1500 groups/batch).
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+                for ts, value in zip(rows["ts"].tolist(), rows["value"].tolist()):
+                    # NULL value arrives as float nan from the float64 column
+                    nn = 0 if (value is None or value != value) else 1
+                    islands.append([ts, ts, 1, value if nn else 0.0, nn])
             # One sorted merge pass restores the gap-separated invariant.
             # State islands are already disjoint; event islands are points;
             # a point can bridge two state islands — the linear fold merges

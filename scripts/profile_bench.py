@@ -58,7 +58,7 @@ def main() -> int:
     qs = entry_mod.queries()
     if not names:
         names = sorted(qs)
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
@@ -120,8 +120,26 @@ def main() -> int:
                     plan = df._jdf.queryExecution().explainString(
                         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
                     )
+                    # Provenance header (VERDICT r13 item 8: a stale dump
+                    # committed as evidence) — records the commit + dirty
+                    # flag the dump was generated at, so a reviewer can
+                    # check it matches the HEAD it claims to describe.
+                    import subprocess
+
+                    try:
+                        head = subprocess.run(
+                            ["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True, timeout=10,
+                        ).stdout.strip()
+                        dirty = bool(subprocess.run(
+                            ["git", "status", "--porcelain", "-uno"],
+                            capture_output=True, text=True, timeout=10,
+                        ).stdout.strip())
+                        prov = f"-- generated at {head}{' (dirty tree)' if dirty else ''}\n"
+                    except Exception:  # noqa: BLE001 - provenance best-effort
+                        prov = ""
                     with open(os.path.join(plans_dir, f"{name}_{plans_tag}.txt"), "w") as f:
-                        f.write(plan)
+                        f.write(prov + plan)
                 except Exception as e:  # noqa: BLE001
                     print(f"{name}: plan capture failed: {e}", file=sys.stderr)
             sc.setJobGroup(None, None)

@@ -30,13 +30,22 @@ def test_driver_mem_floor_holds_at_small_core_counts():
 
 
 def test_driver_mem_scales_with_cores_up_to_ram_cap():
-    with _with_cpus("32"):
-        got = int(_default_driver_mem().rstrip("g"))
-    try:
-        ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") >> 30
-    except (ValueError, OSError, AttributeError):
-        ram_gb = 64
-    assert got == max(16, min(32, ram_gb // 4))
+    # Fixed sysconf values (ADVICE r13: recomputing ram_gb with the
+    # implementation's own expression made this tautological): 256 GB RAM
+    # -> cap 64g does not bind at 32 cores -> 32g; 64 GB RAM -> cap 16g
+    # binds -> 16g (the floor and cap meet).
+    page, phys_256g = 4096, (256 << 30) // 4096
+    with _with_cpus("32"), mock.patch.object(
+        os, "sysconf", side_effect=lambda name: {"SC_PAGE_SIZE": page,
+                                                 "SC_PHYS_PAGES": phys_256g}[name]
+    ):
+        assert _default_driver_mem() == "32g"
+    phys_64g = (64 << 30) // 4096
+    with _with_cpus("32"), mock.patch.object(
+        os, "sysconf", side_effect=lambda name: {"SC_PAGE_SIZE": page,
+                                                 "SC_PHYS_PAGES": phys_64g}[name]
+    ):
+        assert _default_driver_mem() == "16g"
 
 
 def test_driver_mem_garbage_cpus_falls_back_to_host_cores():
@@ -48,16 +57,30 @@ def test_driver_mem_garbage_cpus_falls_back_to_host_cores():
 def test_pydaemon_importable_and_wraps_stock_manager():
     # The daemon module must import cleanly (a failure here would take down
     # EVERY Python worker) and re-export pyspark.daemon.manager unchanged.
-    mod = importlib.import_module("kadiyadb_spark.pydaemon")
+    # Both the top-level module (what sessions configure since r14) and the
+    # back-compat package alias must resolve to the stock manager.
+    mod = importlib.import_module("kdb_pydaemon")
+    alias = importlib.import_module("kadiyadb_spark.pydaemon")
     from pyspark.daemon import manager as stock_manager
 
     assert mod.manager is stock_manager
+    assert alias.manager is stock_manager
+
+
+def test_pydaemon_is_top_level_module():
+    # ADVICE r13: `python -m kadiyadb_spark.pydaemon` executed the package
+    # __init__ (which hard-imports pandas & co.), so any optional-import
+    # failure became daemon-fatal for EVERY worker. The configured module
+    # must live at the repo root, outside any package.
+    mod = importlib.import_module("kdb_pydaemon")
+    assert "." not in mod.__name__
+    assert not hasattr(mod, "__path__")  # a module, not a package
 
 
 def test_pydaemon_preload_survives_missing_optional_package():
     # Simulate an environment without pandas: re-executing the module body
     # must not raise (imports are opportunistic by design).
-    import kadiyadb_spark.pydaemon as pd_mod
+    import kdb_pydaemon as pd_mod
 
     real_import = importlib.import_module
 
