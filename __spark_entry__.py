@@ -60,9 +60,26 @@ def _stage_stream_events(sf_dir: str, tmp: str, tag: str = "evt") -> None:
         shutil.copy(src, f"{tmp}/events/{tag}.parquet")
 
 
+# Per-process memo of INFERRED fixture schemas, keyed by path (r14, guide
+# §6): every bare spark.read.parquet pays a schema-inference job (a driver
+# footer read, ~0.1 s locally) and the fixture tables are opened hundreds
+# of times across a bench/oracle run. This caches METADATA only — the
+# schema Spark itself would infer, never data or results; every query
+# still scans the parquet at execution.
+_FIXTURE_SCHEMAS: dict = {}
+
+
+def _fixture_read(spark: SparkSession, path: str) -> DataFrame:
+    sch = _FIXTURE_SCHEMAS.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _FIXTURE_SCHEMAS[path] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _fixture_read(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Event-time boundary: fixtures have stored ts as TIMESTAMP(NANOS)
         # (read long via nanosAsLong) in one generation and timestamp[us]
@@ -84,7 +101,7 @@ def _events_range(spark: SparkSession, sf_dir: str, lo_ns: int, hi_ns: int) -> D
     normalization — the selective-scan path: spread()'s repartition is a
     shuffle barrier, so _t() + filter would read the whole table first."""
     ensure_engine_confs(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _fixture_read(spark, f"{sf_dir}/events.parquet")
     from kadiyadb_spark.schema import ts_range_pred
 
     return normalize_ts(raw.filter(ts_range_pred(raw.schema["ts"].dataType, "ts", lo_ns, hi_ns)))
@@ -769,7 +786,7 @@ def q_streaming_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_stream_rejects_")
     os.makedirs(f"{tmp}/events", exist_ok=True)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _fixture_read(spark, f"{sf_dir}/events.parquet")
     dirty = raw.select(
         "event_id",
         F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(F.col("ts")).alias("ts"),
@@ -908,7 +925,7 @@ def _stage_sessionize_batches(spark: SparkSession, sf_dir: str, tmp: str) -> Non
 
     from kadiyadb_spark.schema import ts_ns_expr
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _fixture_read(spark, f"{sf_dir}/events.parquet")
     tsn = ts_ns_expr(raw.schema["ts"].dataType, "ts")
     hour = 3600 * SEC
     # r14 (guide §1.2, fewer jobs/passes): the staging used to be FOUR
@@ -974,7 +991,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sess_entry_")
     _stage_sessionize_batches(spark, sf_dir, tmp)
-    actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    actual = _fixture_read(spark, f"{sf_dir}/events.parquet").schema
     evs = (
         spark.readStream.schema(actual)
         .option("maxFilesPerTrigger", 1)  # one staged file per micro-batch
@@ -1024,7 +1041,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="kdb_sdedup_entry_")
     _stage_stream_events(sf_dir, tmp, tag="copy_a")
     _stage_stream_events(sf_dir, tmp, tag="copy_b")
-    actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    actual = _fixture_read(spark, f"{sf_dir}/events.parquet").schema
     evs = (
         spark.readStream.schema(actual)
         .option("maxFilesPerTrigger", 1)  # force the duplicate into a SECOND batch
@@ -1083,7 +1100,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     tmp = tempfile.mkdtemp(prefix="kdb_sjoin_entry_")
     _stage_stream_events(sf_dir, tmp, tag="events")
-    actual = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    actual = _fixture_read(spark, f"{sf_dir}/events.parquet").schema
     left = (
         spark.readStream.schema(actual)
         .parquet(f"{tmp}/events")
@@ -2895,7 +2912,7 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole text payload would shuffle just to keep 50 rows. A raw read
     lets the filter push down (row-group skipping on doc_id min/max)."""
     ensure_engine_confs(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
+    docs = _fixture_read(spark, f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 50)
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "token")).select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "token"
@@ -2969,7 +2986,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kadiyadb_spark.layout import quantize_expr, zorder_layout
 
     ensure_engine_confs(spark)
-    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
+    ev = normalize_ts(_fixture_read(spark, f"{sf_dir}/events.parquet"), "ts")
     qt = quantize_expr(F.col("ts"), T0, T_END, bits=8)
     qu = quantize_expr(F.col("user_id"), 0, 10_000, bits=8)
     out = f"{tempfile.mkdtemp(prefix='kdb_z_')}/events_z"
@@ -2995,10 +3012,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     loc = tempfile.mkdtemp(prefix="kdb_bkt_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS kdb_bkt LOCATION '{loc}'")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _fixture_read(spark, f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_totalprice"
     )
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    customer = _fixture_read(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     write_bucketed(orders, "kdb_bkt.orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
@@ -3039,7 +3056,7 @@ def _roundtrip_source_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFra
     import tempfile
 
     ensure_engine_confs(spark)
-    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts").select(
+    ev = normalize_ts(_fixture_read(spark, f"{sf_dir}/events.parquet"), "ts").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     path = f"{tempfile.mkdtemp(prefix='kdb_src_')}/events_{fmt}"
@@ -3309,7 +3326,7 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = D.MinHashIndex.build(
         docs.filter(F.col("doc_id") < 166), f"{tmp}/idx", num_hashes=8, bands=4, shingle_k=8
     )
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = _fixture_read(spark, f"{sf_dir}/documents.parquet")
     src = f"{tmp}/incoming"
     os.makedirs(src)
     slices = ["doc_id >= 166 AND doc_id < 332", "doc_id >= 332"]
@@ -4655,14 +4672,23 @@ def q_rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion, so no score calibration across sources and no doubles in the
     fused output; n_sources exposes the agreement signal. Scale: both
     retrievals are the gated corpus-linear operators (local_topk bounds
-    the cosine ranking shuffle); the fuse itself touches <= 40 rows."""
+    the cosine ranking shuffle); the fuse itself touches <= 40 rows.
+    r14 (guide §1.2/§2.3): the two retrievers share ONE persisted
+    outer-exploded token pass over the corpus — BM25 consumes its
+    null-free filter (inner-explode-identical rows), hashed_bow consumes
+    it directly — instead of each retriever re-scanning + re-tokenizing
+    the corpus."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    lex = TX.bm25_score(docs, ["merge", "filter", "window"], k=20).select(
-        "doc_id", "rank"
-    )
-    base = TX.hashed_bow(docs, dim=64)
+    toks = docs.select(
+        "doc_id", F.explode_outer(TX.tokens_expr(F.col("text"))).alias("_tok")
+    ).persist()
+    lex = TX.bm25_score(
+        docs, ["merge", "filter", "window"], k=20,
+        toks=toks.filter(F.col("_tok").isNotNull()),
+    ).select("doc_id", "rank")
+    base = TX.hashed_bow(docs, dim=64, toks=toks)
     qv = TX.hashed_bow(
         spark.createDataFrame(
             [(0, "merge filter window")], "query_id long, text string"

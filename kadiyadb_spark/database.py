@@ -328,9 +328,15 @@ class Database:
         if not fcols:
             return {}
         from pyspark.sql import Window
+        from pyspark.sql import types as T
 
+        # pinned schema (same reasoning as _read_fold) + the epoch_p
+        # partition column this root-level read discovers from dir names
+        seg_schema = T.StructType(
+            [*S.cube_schema(self.max_depth).fields, T.StructField("epoch_p", T.LongType())]
+        )
         pairs = (
-            self.spark.read.parquet(seg_root)
+            self.spark.read.schema(seg_schema).parquet(seg_root)
             .select("epoch_p", F.posexplode(F.array(*[F.col(c) for c in fcols])).alias("_i", "_v"))
             .where(F.col("_v").isNotNull())
         )
@@ -556,7 +562,12 @@ class Database:
         cols = [f.name for f in S.cube_schema(self.max_depth).fields]
         if not paths:
             return self.spark.createDataFrame([], S.cube_schema(self.max_depth))
-        df = self.spark.read.parquet(*paths)
+        # PINNED schema: every segment is written by _write_segment from a
+        # cube-shaped frame, so the file schema is cube_schema by
+        # construction — schema inference would otherwise cost one driver
+        # job (a footer read; ~0.1 s locally, a listing+footer pass over
+        # the pruned path set at scale) on EVERY cube read (r14, guide §6).
+        df = self.spark.read.schema(S.cube_schema(self.max_depth)).parquet(*paths)
         df = df.select(*[F.col(c).cast(t.dataType).alias(c) for c, t in zip(cols, S.cube_schema(self.max_depth))])
         keys = [S.EPOCH, S.BUCKET, *S.field_cols(self.max_depth), S.DEPTH]
         return df.groupBy(*keys).agg(*fold_aggs(self.params.value_dp)).select(*cols)
@@ -995,7 +1006,7 @@ class Database:
             return []
         from pyspark.sql import Window
 
-        df = self.spark.read.parquet(
+        df = self.spark.read.schema(S.cube_schema(self.max_depth)).parquet(
             *[HadoopFS.join(self.cube_path, ref) for ref in missing]
         )
         pairs = (

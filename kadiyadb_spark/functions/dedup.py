@@ -1136,7 +1136,14 @@ class MinHashIndex:
             .partitionBy("band_idx")
             .parquet(f"{path}/{live}")
         )
-        log.commit({"live": live, "params": idx._params()}, m["gen"])
+        # written-schema record: readers pin it instead of paying a
+        # schema-inference job per open (r14, guide §6); add/compact
+        # write the same shape and carry it forward
+        log.commit(
+            {"live": live, "params": idx._params(),
+             "schemas": {"banded": banded.schema.json()}},
+            m["gen"],
+        )
         idx._gc_data_dirs(keep=live)
         return idx
 
@@ -1221,7 +1228,25 @@ class MinHashIndex:
         across maintenance windows beyond that can hit FileNotFound at
         action time, exactly like any snapshot reader outliving its
         snapshot's GC horizon."""
-        return self.spark.read.parquet(self._live(at_gen))
+        m = self._log().read(at_gen)
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
+        return self._pinned_reader(m).parquet(f"{self.path}/{m['live']}")
+
+    def _pinned_reader(self, m: dict):
+        """Reader pinned to the build-time schema recorded in the manifest
+        (skips the per-open schema-inference job — r14, guide §6); falls
+        back to inference for pre-r14 manifests."""
+        import json
+
+        from pyspark.sql import types as T
+
+        sj = m.get("schemas", {}).get("banded")
+        return (
+            self.spark.read.schema(T.StructType.fromJson(json.loads(sj)))
+            if sj
+            else self.spark.read
+        )
 
     def add(
         self,
@@ -1283,7 +1308,7 @@ class MinHashIndex:
         live = self._live()
         new = f"banded-g{m['gen'] + 1:06d}"
         (
-            self.spark.read.parquet(live)
+            self._pinned_reader(m).parquet(live)
             .distinct()
             .repartition("band_idx", "band_key")
             .write.mode("overwrite")

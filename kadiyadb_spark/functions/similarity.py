@@ -178,7 +178,7 @@ def _centroid_arrays(centroids: DataFrame):
 
 def ivf_assign(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | tuple",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -190,12 +190,20 @@ def ivf_assign(
     zero row inflation. (The obvious crossJoin(centroids) + row_number
     formulation explodes the base table C-fold and then shuffles+sorts all of
     it just to pick a per-row max — at 100 TB that is C x 100 TB through the
-    shuffle for a value computable locally.)"""
+    shuffle for a value computable locally.)
+
+    ``centroids`` may be the centroid DataFrame or an already-collected
+    ``_centroid_arrays`` (ids, normalized matrix) tuple — IVFIndex.add
+    collects the frame once for its own arithmetic and passes the arrays
+    through, instead of paying a second collect job here (r14, §1.2)."""
     import numpy as np
 
     spark = emb.sparkSession
     vec_type = emb.schema[vec_col].dataType.simpleString()
-    bc = spark.sparkContext.broadcast(_centroid_arrays(centroids))
+    arrays = (
+        centroids if isinstance(centroids, tuple) else _centroid_arrays(centroids)
+    )
+    bc = spark.sparkContext.broadcast(arrays)
 
     def assign(batches):
         c_ids, cn = bc.value
@@ -285,6 +293,14 @@ class IVFIndex:
                 "live": live,
                 "centroids": cdir,
                 "params": {"id_col": id_col, "vec_col": vec_col},
+                # written-schema record: readers pin it instead of paying a
+                # schema-inference job (a driver footer read) per open —
+                # r14, guide §6; add/compact write the same shape and carry
+                # this forward through their manifest copies
+                "schemas": {
+                    "assigned": assigned.schema.json(),
+                    "centroids": cents.schema.json(),
+                },
             },
             m["gen"],
         )
@@ -342,12 +358,28 @@ class IVFIndex:
         """Retained (pinnable) generation numbers, ascending."""
         return self._log().retained()
 
+    def _pinned_reader(self, m: dict, key: str):
+        """Reader pinned to the build-time schema recorded in the manifest
+        (no schema-inference job); falls back to inference for pre-r14
+        manifests without a record."""
+        import json
+
+        from pyspark.sql import types as T
+
+        sj = m.get("schemas", {}).get(key)
+        reader = self.spark.read
+        return reader.schema(T.StructType.fromJson(json.loads(sj))) if sj else reader
+
     def assigned(self, at_gen: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(self._live(at_gen))
+        m = self._log().read(at_gen)
+        if m["gen"] < 0:
+            raise FileNotFoundError(f"no committed index at {self.path} (build() first)")
+        return self._pinned_reader(m, "assigned").parquet(f"{self.path}/{m['live']}")
 
     def centroids(self, at_gen: int | None = None) -> DataFrame:
-        mdir = self._log().read(at_gen).get("centroids", "centroids")
-        return self.spark.read.parquet(f"{self.path}/{mdir}")
+        m = self._log().read(at_gen)
+        mdir = m.get("centroids", "centroids")
+        return self._pinned_reader(m, "centroids").parquet(f"{self.path}/{mdir}")
 
     def add(self, emb: DataFrame) -> None:
         """APPEND a batch of vectors to the index against the EXISTING
@@ -369,9 +401,13 @@ class IVFIndex:
             log = self._log()
             m = log.read()
             live = self._live()
-            cents = self.centroids()
-            n = cents.count()  # tiny frame: C rows
-            assigned = ivf_assign(emb, cents, self.id_col, self.vec_col)
+            # ONE collect of the tiny centroid frame serves both the
+            # partition count and the assignment kernel (r14: the separate
+            # cents.count() job + ivf_assign's internal collect were two
+            # extra jobs per add)
+            arrays = _centroid_arrays(self.centroids())
+            n = len(arrays[0])
+            assigned = ivf_assign(emb, arrays, self.id_col, self.vec_col)
             (
                 assigned.repartition(int(n), "centroid_id")
                 .write.mode("append")
@@ -400,9 +436,9 @@ class IVFIndex:
         m = log.read()
         live = self._live()
         new = f"assigned-g{m['gen'] + 1:06d}"
-        n = self.centroids().count()
+        n = self.centroids().count()  # tiny frame: C rows
         (
-            self.spark.read.parquet(live)
+            self._pinned_reader(m, "assigned").parquet(live)
             .distinct()
             .repartition(int(n), "centroid_id")
             .write.mode("overwrite")
@@ -1460,14 +1496,30 @@ class IVFPQIndex:
         """Retained (pinnable) generation numbers, ascending."""
         return self._log().retained()
 
+    def _pinned_reader(self, m: dict, key: str):
+        """Reader pinned to the build-time schema recorded in the manifest
+        (skips the per-open schema-inference job — r14, guide §6); falls
+        back to inference for pre-r14 manifests."""
+        import json
+
+        from pyspark.sql import types as T
+
+        sj = m.get("schemas", {}).get(key)
+        return (
+            self.spark.read.schema(T.StructType.fromJson(json.loads(sj)))
+            if sj
+            else self.spark.read
+        )
+
     def _codebooks(self, at_gen: int | None = None):
         """[m, ksub, dsub] ndarray from the persisted codebook rows (the
         generation's own dir; legacy indexes fall back to the unversioned
         path)."""
         import numpy as np
 
-        mdir = self._log().read(at_gen).get("codebooks", "codebooks")
-        rows = self.spark.read.parquet(f"{self.path}/{mdir}").collect()
+        m_ = self._log().read(at_gen)
+        mdir = m_.get("codebooks", "codebooks")
+        rows = self._pinned_reader(m_, "codebooks").parquet(f"{self.path}/{mdir}").collect()
         dsub = len(rows[0]["center_vec"])
         C = np.zeros((self.m, self.ksub, dsub))
         for r in rows:
@@ -1477,12 +1529,23 @@ class IVFPQIndex:
     @staticmethod
     def _encode(emb, cents, C, id_col, vec_col, residual):
         """(id, centroid_id, codes) — fused bucket argmax + PQ encode, one
-        Arrow pass, zero shuffle (the write's repartition is the only one)."""
+        Arrow pass, zero shuffle (the write's repartition is the only one).
+
+        ``cents`` is the centroid DataFrame or an already-collected
+        (ids, raw matrix) pair from ``_collect_matrix`` — ONE collect now
+        serves the sorted ids, the normalized matrix and the raw residual
+        base (r14: this ran two collect jobs of the same tiny frame, and
+        ``add`` paid a third for its partition count)."""
         import numpy as np
 
-        c_ids, cn = _centroid_arrays(cents)
-        cid2, craw = _collect_matrix(cents, "centroid_id", "centroid_vec")
-        craw = craw[np.argsort(cid2)]
+        cid2, craw = (
+            cents
+            if isinstance(cents, tuple)
+            else _collect_matrix(cents, "centroid_id", "centroid_vec")
+        )
+        order = np.argsort(cid2)
+        c_ids, craw = cid2[order], craw[order]
+        cn = craw / np.linalg.norm(craw, axis=1, keepdims=True)
         bc = emb.sparkSession.sparkContext.broadcast((c_ids, cn, craw, C, residual))
 
         def enc(batches):
@@ -1583,6 +1646,15 @@ class IVFPQIndex:
                     "ksub": ksub,
                     "residual": residual,
                 },
+                # written-schema record: readers pin it instead of paying a
+                # schema-inference job per open (r14, guide §6)
+                "schemas": {
+                    "codes": coded.schema.json(),
+                    "centroids": cents.schema.json(),
+                    "codebooks": spark.createDataFrame(
+                        [], "subspace long, code long, center_vec array<double>"
+                    ).schema.json(),
+                },
             },
             mm["gen"],
         )
@@ -1591,11 +1663,13 @@ class IVFPQIndex:
         return idx
 
     def centroids(self, at_gen: int | None = None) -> DataFrame:
-        mdir = self._log().read(at_gen).get("centroids", "centroids")
-        return self.spark.read.parquet(f"{self.path}/{mdir}")
+        m = self._log().read(at_gen)
+        mdir = m.get("centroids", "centroids")
+        return self._pinned_reader(m, "centroids").parquet(f"{self.path}/{mdir}")
 
     def codes(self, at_gen: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(self._live(at_gen))
+        m = self._log().read(at_gen)
+        return self._pinned_reader(m, "codes").parquet(f"{self.path}/{m['live']}")
 
     def add(self, emb: DataFrame) -> None:
         """LSM append against the FROZEN centroids + codebooks (bucket
@@ -1613,10 +1687,12 @@ class IVFPQIndex:
             log = self._log()
             m = log.read()
             live = self._live()
-            cents = self.centroids()
-            n = cents.count()
+            # ONE collect of the tiny centroid frame serves the partition
+            # count and the encode kernel (was: count job + 2 collects)
+            cid, craw = _collect_matrix(self.centroids(), "centroid_id", "centroid_vec")
+            n = len(cid)
             coded = IVFPQIndex._encode(
-                emb, cents, self._codebooks(), self.id_col, self.vec_col, self.residual
+                emb, (cid, craw), self._codebooks(), self.id_col, self.vec_col, self.residual
             )
             (
                 coded.repartition(int(n), "centroid_id")
@@ -1640,7 +1716,7 @@ class IVFPQIndex:
         new = f"codes-g{m['gen'] + 1:06d}"
         n = self.centroids().count()
         (
-            self.spark.read.parquet(live)
+            self._pinned_reader(m, "codes").parquet(live)
             .distinct()
             .repartition(int(n), "centroid_id")
             .write.mode("overwrite")

@@ -926,6 +926,7 @@ def hashed_bow(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Feature-hashing bag-of-words (the hashing trick, Weinberger et al.
     2009): every token hashes into one of ``dim`` buckets; a document's
@@ -939,37 +940,54 @@ def hashed_bow(
     Output: (id, embedding array<double>) with |embedding| = 1 (all-empty
     docs yield the zero vector).
 
-    Shape: explode tokens -> ONE groupBy(doc, bucket) count (partial
-    map-side combine) -> ONE groupBy(doc) collecting the sparse (bucket,
-    count) entries -> Arrow-batched numpy scatter to the dense normalized
-    vector. Two doc-keyed shuffles, both corpus-linear; dim stays a
-    projection width, never a join. Densify deliberately lives in a
-    vectorized kernel: the pure-expression form (dim map lookups per row
-    via transform(sequence)) is interpreted, and dim x corpus lookups
-    measured seconds at sf0.1 where the scatter is milliseconds."""
+    Shape (r14, guide §2.4): ONE outer token explode -> ONE groupBy(doc,
+    bucket) count (partial map-side combine) -> ONE groupBy(doc)
+    collecting the sparse (bucket, count) entries -> Arrow-batched numpy
+    scatter to the dense normalized vector. explode_outer keeps a
+    token-less doc alive as a single NULL-token row (md5(NULL) -> NULL
+    bucket), so the zero-vector contract holds WITHOUT the r13 shape's
+    LEFT join back to the corpus ids — that join cost a second corpus
+    scan plus an extra Exchange on every caller (rag entries,
+    quality_model). Two doc-keyed shuffles total, both corpus-linear; dim
+    stays a projection width, never a join. Densify deliberately lives in
+    a vectorized kernel: the pure-expression form (dim map lookups per
+    row via transform(sequence)) is interpreted, and dim x corpus lookups
+    measured seconds at sf0.1 where the scatter is milliseconds.
+
+    ``toks``: an optional pre-exploded (id_col, _tok) frame — pass a
+    persisted OUTER explode (null-token rows for token-less docs) when
+    several operators over the same corpus share one tokenization pass
+    (rag_rrf_fusion shares it with bm25_score). An inner-exploded frame
+    also works but silently drops token-less docs from the output."""
     import numpy as np
 
-    counts = hashed_counts(df, dim=dim, text_col=text_col, id_col=id_col).select(
-        id_col, "_b", F.col("_c").cast("double").alias("_c")
+    if toks is None:
+        toks = df.select(
+            F.col(id_col), F.explode_outer(tokens_expr(F.col(text_col))).alias("_tok")
+        )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(dim),
     )
-    # LEFT join back to the doc ids: a token-less doc emits no count rows
-    # and would otherwise VANISH from the output — the docstring's
-    # zero-vector contract was dead code and score_quality silently
-    # returned no verdict for empty docs (review finding)
-    sparse = (
-        df.select(id_col)
-        .join(
-            counts.groupBy(id_col).agg(
-                F.collect_list("_b").alias("_bs"), F.collect_list("_c").alias("_cs")
-            ),
-            id_col,
-            "left",
-        )
-        .select(
-            id_col,
-            F.coalesce(F.col("_bs"), F.array().cast("array<long>")).alias("_bs"),
-            F.coalesce(F.col("_cs"), F.array().cast("array<double>")).alias("_cs"),
-        )
+    counts = (
+        toks.select(id_col, bucket.alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    # The two collect_lists fill from the same input stream per group, so
+    # their indices stay aligned (the r13 shape relied on the same
+    # property); the when() wrappers skip the NULL-bucket marker row of a
+    # token-less doc in BOTH lists, leaving it empty arrays -> zero vector.
+    nb = F.col("_b").isNotNull()
+    sparse = counts.groupBy(id_col).agg(
+        F.coalesce(
+            F.collect_list(F.when(nb, F.col("_b"))), F.array().cast("array<long>")
+        ).alias("_bs"),
+        F.coalesce(
+            F.collect_list(F.when(nb, F.col("_c"))), F.array().cast("array<double>")
+        ).alias("_cs"),
     )
 
     def densify(batches):
@@ -1199,6 +1217,7 @@ def bm25_score(
     k1: float = 1.25,
     b: float = 0.75,
     k: int | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 lexical retrieval (Robertson/Sparck Jones, the classic
     public formula with the +1 idf floor) over whitespace tokens — the
@@ -1249,10 +1268,19 @@ def bm25_score(
 
     # the token explode feeds THREE aggregations (doc lengths, the corpus
     # total and the query tf) — persist it or the whole tokenization chain
-    # re-executes per consumer (the minhash_near_duplicates precedent)
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("_term")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # re-executes per consumer (the minhash_near_duplicates precedent).
+    # ``toks``: optional pre-exploded INNER (id_col, _tok) frame — pass a
+    # persisted one to share the corpus scan + tokenization with other
+    # retrievers over the same corpus (rag_rrf_fusion shares it with
+    # hashed_bow); the caller owns its persist. Token-ROW semantics must
+    # match the inner explode exactly (no null-token marker rows: they
+    # would inflate dl and the corpus total T, shifting every score).
+    if toks is not None:
+        toks = toks.select(F.col(id_col), F.col("_tok").alias("_term"))
+    else:
+        toks = docs.select(
+            F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("_term")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_N"))
     tot = toks.agg(F.count(F.lit(1)).alias("_T"))
