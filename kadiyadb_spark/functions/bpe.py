@@ -479,7 +479,17 @@ def encode_ids(
             "_wpos", "word"
         ),
     ).filter(F.col("word") != "").localCheckpoint(eager=False)  # 2 consumers
-    wt = tokenize_words(occ.select("word").distinct(), merges)
+    # MATERIALIZE the tokenized vocab (r14, guide §1.2): under the expr
+    # engine `tokens` is a num_merges-deep nested-aggregate tree, and the
+    # optimizer collapses it INTO the downstream explode generators —
+    # measured at sf1: computing the 50k-word frame costs 1.7 s, while
+    # explode(tokens) over the same frame costs 19.3 s (the generator
+    # path re-evaluates the interpreted tree per output row). wt also
+    # feeds TWO subtrees (vocab_of + word_ids) that would each recompute
+    # it. One lazy checkpoint makes both explodes read stored arrays.
+    wt = tokenize_words(occ.select("word").distinct(), merges).localCheckpoint(
+        eager=False
+    )
     if vocab is None:
         vocab = vocab_of(wt)
         how = "inner"  # corpus-derived: every token is in it by construction
