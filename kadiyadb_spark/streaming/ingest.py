@@ -475,7 +475,15 @@ def stream_index_dedup(
         add_hwm = int(m.get("add_hwm", -1))
         if batch_id <= add_hwm:
             return  # fully applied: replay is a no-op
-        banded = index.banded_of(batch, text_col=text_col).persist()
+        # A file-source micro-batch arrives as ONE scan partition per file
+        # (maxFilesPerTrigger=1 -> 1 partition), which serializes the
+        # whole shingle+minhash pass onto one core — measured 36 s of the
+        # entry's 52 s at sf1 (guide §2.5 input skew: repartition right
+        # after the read). spread() never shrinks, so an already-wide
+        # batch is untouched.
+        from kadiyadb_spark.session import spread
+
+        banded = index.banded_of(spread(batch), text_col=text_col).persist()
         decided = None  # bound before the try: a recovery-path failure must
         # surface ITS error, not an UnboundLocalError from the finally
         try:
